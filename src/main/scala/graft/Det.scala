@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/**
+ * Determinism helpers for oracle-verified queries.
+ *
+ * Floating-point SUM/AVG are order-dependent, and Spark's partial
+ * aggregation order differs run-to-run and engine-to-engine, so any
+ * query whose output is hash-compared against DuckDB must make its
+ * additions exact: cast the addends to DECIMAL (exact, associative),
+ * sum, then cast the final scalar back to DOUBLE (a single correctly-
+ * rounded conversion, identical in both engines).
+ *
+ * MIN/MAX/COUNT over doubles are already exact; plain scalar double
+ * arithmetic (`a*(1-b)`) is IEEE-deterministic and needs no help.
+ */
+object Det {
+
+  /** Exact SUM of a double column: `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)`. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Exact-sum mean: decimal-sum divided by count, in double. */
+  def davg(c: Column, scale: Int = 6): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** Computed timestamps (session-TZ TimestampType) written to parquet
+    * carry isAdjustedToUTC=true and read back tz-aware in DuckDB, while
+    * the test tables and oracle results are tz-naive. Cast outputs to
+    * TIMESTAMP_NTZ (wall-time-preserving under the UTC session) so both
+    * sides compare naive-to-naive. */
+  def ntz(c: Column): Column = c.cast(org.apache.spark.sql.types.TimestampNTZType)
+
+  /** DuckDB SQL mirroring [[dsum]]. */
+  def dsumSql(col: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** DuckDB SQL mirroring [[davg]]. */
+  def davgSql(col: String, scale: Int = 6): String =
+    s"${dsumSql(col, scale)} / COUNT(*)"
+}

@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries INT64 TIMESTAMP(NANOS); read as ns-longs
+      // (graft.Tables.events converts to microsecond timestamps, matching
+      // DuckDB's truncating read of the same file).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as INT64 micros, not INT96, for oracle compare
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,108 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental (watermark + keyed-upsert) model execution — the engine
+ * equivalent of the reference's dbt incremental materialization plus its
+ * hand-rolled PySpark watermark loop:
+ *
+ *   - watermark read: `SELECT MAX(<col>) FROM <target>` collected to the
+ *     driver as a scalar (transforme_stock_silver.py:41-69; the reference
+ *     holds incremental state as a driver-side scalar between jobs, and
+ *     so do we — this is the ONLY driver-side collect in the engine)
+ *   - watermark filter: `>= watermark` (daily_stocks.sql:29-32) — the
+ *     boundary day is reprocessed and the keyed upsert makes that
+ *     idempotent; `>` (transforme_stock_silver.py:83) is also offered
+ *   - model DAG: dbt `source()`/`ref()` becomes a registry + topo order
+ *     (daily_stocks.sql:23, monthly_stock_summary.sql:23)
+ *
+ * Scale notes: the watermark collect moves one row to the driver, never
+ * data. The watermark filter lands directly above the source scan so
+ * Catalyst pushes it into the Parquet reader (row-group pruning); when
+ * the source is partitioned by a date-derived column, callers should add
+ * the derived predicate too (SURVEY.md §4) so partition pruning kicks in.
+ */
+object Incremental {
+
+  /** MAX(col) over the target table, as a driver-held scalar
+    * (A1, transforme_stock_silver.py:41-69). None when table is empty. */
+  def maxWatermark(target: DataFrame, col: String): Option[Any] = {
+    val row: Row = target.agg(max(target(col))).head()
+    if (row.isNullAt(0)) None else Some(row.get(0))
+  }
+
+  /** Rows of `source` strictly newer than the watermark (F1). */
+  def newerThan(source: DataFrame, col: String, watermark: Option[Any]): DataFrame =
+    watermark.map(w => source.filter(source(col) > lit(w))).getOrElse(source)
+
+  /** Rows at-or-after the watermark (F3/F4 `>=` boundary reprocessing). */
+  def atOrAfter(source: DataFrame, col: Column, watermark: Option[Any]): DataFrame =
+    watermark.map(w => source.filter(col >= lit(w))).getOrElse(source)
+
+  /**
+   * One incremental model: named transform with a unique key and a
+   * watermark expression evaluated against the *target* table. Mirrors
+   * dbt's `{{ config(materialized='incremental', unique_key=[...]) }}`.
+   *
+   * @param name          target table name (written to `layer`)
+   * @param layer         warehouse layer ("silver"/"gold")
+   * @param deps          upstream model names (ref()) — drives topo order
+   * @param uniqueKey     upsert key columns
+   * @param watermarkCol  column of the TARGET holding the high-water mark
+   * @param transform     full-refresh logic: inputs by name → staged rows;
+   *                      receives `isIncremental` + watermark so it can
+   *                      apply the F3/F4 source-side filter like
+   *                      `is_incremental()` Jinja guards do
+   */
+  final case class Model(
+      name: String,
+      layer: String,
+      deps: Seq[String],
+      uniqueKey: Seq[String],
+      watermarkCol: String,
+      transform: (Map[String, DataFrame], Option[Any]) => DataFrame)
+
+  /** Registry with dbt-style topological execution order. */
+  final class Registry(models: Seq[Model]) {
+    private val byName = models.map(m => m.name -> m).toMap
+
+    def topoOrder: Seq[Model] = {
+      val seen = scala.collection.mutable.LinkedHashSet[String]()
+      def visit(n: String, stack: Set[String]): Unit = {
+        require(!stack(n), s"model cycle at $n")
+        if (!seen(n)) byName.get(n).foreach { m =>
+          m.deps.foreach(visit(_, stack + n)); seen += n
+        }
+      }
+      models.foreach(m => visit(m.name, Set.empty))
+      seen.toSeq.map(byName)
+    }
+
+    /** Run every model in dependency order against `wh`. Sources not
+      * produced by any model must be present in `externalSources`. */
+    def runAll(wh: Warehouse, externalSources: Map[String, DataFrame]): Unit = {
+      val produced = scala.collection.mutable.Map[String, DataFrame]() ++ externalSources
+      topoOrder.foreach { m =>
+        runModel(wh, m, produced.toMap)
+        produced(m.name) = wh.read(m.layer, m.name)
+      }
+    }
+
+    private def runModel(wh: Warehouse, m: Model, inputs: Map[String, DataFrame]): Unit = {
+      val exists = wh.tableExists(m.layer, m.name)
+      val wm = if (exists) maxWatermark(wh.read(m.layer, m.name), m.watermarkCol) else None
+      val staged = m.transform(inputs, wm)
+      if (exists) {
+        val existing = wh.read(m.layer, m.name)
+        Merge.schemaGuard(existing, staged)
+        // Write to a swap dir, not in place: the plan reads `existing`
+        // from the same path it would overwrite.
+        wh.atomicOverwrite(Merge.upsert(existing, staged, m.uniqueKey), m.layer, m.name)
+      } else {
+        wh.atomicOverwrite(staged, m.layer, m.name)
+      }
+    }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.broadcast
+
+/**
+ * Keyed merge semantics — the reference's most distinctive operators,
+ * re-expressed as declarative anti-joins so Catalyst picks the physical
+ * strategy (broadcast-hash when one side is small, sort-merge otherwise,
+ * AQE skew-split at runtime).
+ *
+ *   - insert-only merge: Delta `whenNotMatchedInsertAll`
+ *     (reference: pipelines/stock_api/ingest_stocks.py:87-100)
+ *   - keyed upsert (staged wins): dbt `unique_key` incremental MERGE
+ *     (reference: dbt/lakehouse_models/models/silver/daily_stocks.sql:1-6,
+ *      models/gold/monthly_stock_summary.sql:1-5)
+ *   - schema guard: dbt `on_schema_change='fail'` (daily_stocks.sql:5)
+ *
+ * Scale notes:
+ *   - `freshRows` anti-joins the *incoming* batch against only the key
+ *     columns of the existing table — column pruning means the big
+ *     existing table is scanned for its key columns only, and when the
+ *     incoming batch is small Catalyst broadcasts it.
+ *   - For a 100 TB existing table the right long-term structure is
+ *     partition-aligned merges (bucket both sides by key) or a real
+ *     table format with file-level pruning; the logical semantics here
+ *     stay identical, only the physical plan changes.
+ */
+object Merge {
+
+  /** Rows of `incoming` whose key is absent from `existing` (J1/W2). */
+  def freshRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(existing(_)): _*), keys, "left_anti")
+
+  /** Insert-only merge: existing rows are never updated; duplicate-keyed
+    * incoming rows are discarded (ingest_stocks.py:87-100 intent). */
+  def insertOnlyMerge(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(freshRows(existing, incoming, keys))
+
+  /** Keyed upsert where staged rows win (dbt incremental MERGE, W7). */
+  def upsert(existing: DataFrame, staged: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(staged.select(keys.map(staged(_)): _*), keys, "left_anti")
+      .unionByName(staged)
+
+  /** Upsert hinting that the staged increment is small enough to
+    * broadcast — the steady-state shape of the reference's daily runs
+    * (~3 rows/day vs an ever-growing target, BASELINE.md). */
+  def upsertSmallStaged(existing: DataFrame, staged: DataFrame, keys: Seq[String]): DataFrame =
+    existing.join(broadcast(staged.select(keys.map(staged(_)): _*)), keys, "left_anti")
+      .unionByName(staged)
+
+  /** dbt `on_schema_change='fail'` (W8): abort when the staged schema
+    * drifts from the existing table's (names + types, order-insensitive,
+    * nullability ignored — BigQuery's comparison semantics). */
+  def schemaGuard(existing: DataFrame, staged: DataFrame): Unit = {
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => (f.name.toLowerCase, f.dataType)).sortBy(_._1).toSeq
+    val (e, s) = (shape(existing), shape(staged))
+    require(e == s,
+      s"schema drift detected (on_schema_change=fail): existing=$e staged=$s")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/**
+ * Managed hive-partitioned-Parquet "catalog": the engine's stand-in for
+ * the reference's Delta-on-GCS + BigQuery table store
+ * (reference: pipelines/stock_api/ingest_stocks.py:102-111 partitioned
+ * Delta writes; transforme_stock_silver.py:136-173 overwrite/append).
+ *
+ * Layout: `<root>/<layer>/<table>/` with optional hive partition dirs.
+ * No Delta jar is available in this environment, so transactional
+ * semantics are emulated:
+ *
+ *   - `append`       — plain partitioned append (ingest_stocks.py:105-111)
+ *   - `atomicOverwrite` — write to a temp dir, then swap via two renames.
+ *     On HDFS/local-FS renames are atomic per rename; readers racing the
+ *     swap can observe a missing table for an instant, which is the same
+ *     guarantee dbt's view-less table swap gives. On object stores this
+ *     becomes copy+delete; a manifest/table format (Delta/Iceberg) is the
+ *     production answer and this class is the seam where it would plug in.
+ *
+ * Scale note: all writes go through the DataFrame writer, so at cluster
+ * scale the data never routes through the driver; partition columns
+ * should be low-cardinality (the reference uses ticker/year/month,
+ * ingest_stocks.py:79) to avoid small-file explosion.
+ */
+final class Warehouse(val spark: SparkSession, val root: String) {
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def path(layer: String, table: String): String = s"$root/$layer/$table"
+
+  /** Existence probe — the reference gates create-vs-merge on this
+    * (DeltaTable.isDeltaTable, ingest_stocks.py:82). */
+  def tableExists(layer: String, table: String): Boolean = {
+    val p = new Path(path(layer, table))
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+
+  def read(layer: String, table: String): DataFrame =
+    spark.read.parquet(path(layer, table))
+
+  /** Append, optionally hive-partitioned (W1, ingest_stocks.py:102-111). */
+  def append(df: DataFrame, layer: String, table: String,
+             partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path(layer, table))
+  }
+
+  /** Overwrite via tmp-dir swap so readers never see a half-written
+    * table (emulates Delta's atomic overwrite, W4,
+    * transforme_stock_silver.py:136-154). */
+  def atomicOverwrite(df: DataFrame, layer: String, table: String,
+                      partitionBy: Seq[String] = Nil): Unit = {
+    val target = new Path(path(layer, table))
+    val tmp = new Path(s"$root/.tmp/$layer-$table-${System.nanoTime()}")
+    val trash = new Path(s"$root/.tmp/$layer-$table-old-${System.nanoTime()}")
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    fs.mkdirs(target.getParent)
+    if (fs.exists(target)) fs.rename(target, trash)
+    fs.rename(tmp, target)
+    fs.delete(trash, true)
+    ()
+  }
+
+  def dropTable(layer: String, table: String): Unit = {
+    fs.delete(new Path(path(layer, table)), true); ()
+  }
+}

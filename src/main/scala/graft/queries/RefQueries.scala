@@ -1,0 +1,485 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import graft.engine.{Incremental, Merge, Warehouse}
+import graft.ops.{Sanitize, StockOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One named query + optional DuckDB oracle. Keeping the pair adjacent
+  * prevents the column-name drift the driver's hash compare punishes. */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/**
+ * Reference-parity operator inventory (SURVEY.md §2) over the driver
+ * test tables (FIXTURES.md §3 mapping). Every query is deterministic:
+ * explicit total-order sort keys, exact decimal sums ([[graft.Det]]),
+ * injected timestamps, UTC session.
+ */
+object RefQueries {
+
+  private val TS97 = "TIMESTAMP '1997-01-01 00:00:00'"
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Sources / scans ────────────────────────────────────────────────
+
+    // S3: rows → DataFrame with explicit schema (ingest_stocks.py:131).
+    Q("s3_local_rows",
+      (s, _) => {
+        import s.implicits._
+        Seq(
+          ("IBM", "2025-11-14", 210.10, 212.50, 209.00, 211.75, 3456700L),
+          ("MSFT", "2025-11-14", 420.00, 421.00, 415.00, 418.30, 1200000L),
+          ("NVDA", "2025-11-14", 900.50, 905.00, 898.25, 901.10, 9876543L))
+          .toDF("ticker", "trade_date", "open_px", "high_px", "low_px", "close_px", "volume")
+          .withColumn("trade_date", col("trade_date").cast(DateType))
+          .orderBy("ticker")
+      },
+      Some("""SELECT ticker, CAST(trade_date AS DATE) AS trade_date,
+             |       CAST(open_px AS DOUBLE) AS open_px, CAST(high_px AS DOUBLE) AS high_px,
+             |       CAST(low_px AS DOUBLE) AS low_px, CAST(close_px AS DOUBLE) AS close_px,
+             |       CAST(volume AS BIGINT) AS volume
+             |FROM (VALUES
+             |  ('IBM','2025-11-14',210.10,212.50,209.00,211.75,3456700),
+             |  ('MSFT','2025-11-14',420.00,421.00,415.00,418.30,1200000),
+             |  ('NVDA','2025-11-14',900.50,905.00,898.25,901.10,9876543))
+             |  t(ticker, trade_date, open_px, high_px, low_px, close_px, volume)
+             |ORDER BY ticker""".stripMargin)),
+
+    // S4: parquet scan with filter+projection pushdown
+    // (transforme_stock_silver.py:80-84). `.explain` shows PushedFilters
+    // on l_shipdate/l_quantity and a 4-column ReadSchema.
+    Q("s4_pushdown_scan",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+          && col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity < 5
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // S7: CSV scan with header+inference (transformacao.py:100), here as
+    // a lossless write→read roundtrip so the oracle can check it.
+    Q("s7_csv_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_csv_${new java.io.File(dir).getName}"
+        Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true").option("inferSchema", "true").csv(out)
+          .select(
+            col("p_partkey").cast(LongType).as("p_partkey"),
+            col("p_name").cast(StringType).as("p_name"),
+            col("p_brand").cast(StringType).as("p_brand"),
+            col("p_size").cast(IntegerType).as("p_size"))
+          .orderBy("p_partkey")
+      },
+      Some("SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey")),
+
+    // ── Projections / scalar functions ────────────────────────────────
+
+    // P1-P5 + P8 + P11: renames, DATE cast, DECIMAL(30,8) casts, derived
+    // arithmetic, try_divide (SAFE_DIVIDE) with a sometimes-zero divisor.
+    Q("p_silver_projection",
+      (s, dir) => Tables.lineitem(s, dir).select(
+        col("l_orderkey").as("chave_pedido"),
+        col("l_linenumber").as("numero_linha"),
+        col("l_shipdate").cast(DateType).as("data_envio"),
+        col("l_quantity").cast(DecimalType(30, 8)).as("quantidade"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("preco_liquido"),
+        try_divide(col("l_extendedprice"), col("l_discount") * lit(100)).as("preco_por_ponto_desconto"))
+        .orderBy("chave_pedido", "numero_linha"),
+      Some("""SELECT l_orderkey AS chave_pedido, l_linenumber AS numero_linha,
+             |       CAST(l_shipdate AS DATE) AS data_envio,
+             |       CAST(l_quantity AS DECIMAL(30,8)) AS quantidade,
+             |       l_extendedprice * (1 - l_discount) AS preco_liquido,
+             |       CASE WHEN l_discount * 100 = 0 THEN NULL
+             |            ELSE l_extendedprice / (l_discount * 100) END AS preco_por_ponto_desconto
+             |FROM lineitem ORDER BY chave_pedido, numero_linha""".stripMargin)),
+
+    // P9: column-name sanitization (transformacao.py:38-67) applied to a
+    // deliberately messy header; P10 key normalization upper(trim).
+    Q("p_sanitize_columns",
+      (s, dir) => Sanitize.sanitizeColumns(
+        Tables.part(s, dir).select(
+          col("p_partkey").as("Chave Peça"),
+          col("p_name").as("Unnamed: 1"),
+          col("p_brand").as("Marca %"),
+          col("p_size").as("9size")))
+        .orderBy("chave_peca"),
+      Some("""SELECT p_partkey AS chave_peca, p_name AS coluna_extra_1,
+             |       p_brand AS marca_, p_size AS num_9size
+             |FROM part ORDER BY chave_peca""".stripMargin)),
+
+    // P7: timezone shift (transforme_stock_silver.py:123-126).
+    Q("p_tz_shift",
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        Det.ntz(from_utc_timestamp(col("o_orderdate"), "America/Sao_Paulo")).as("data_local"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |       (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'America/Sao_Paulo' AS data_local
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ── Filters ────────────────────────────────────────────────────────
+
+    // F2: quality predicates (daily_stocks.sql:26-27).
+    Q("f2_quality_filter",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_quantity") > 0 && col("l_extendedprice") > 0
+          && col("l_discount").between(0.05, 0.07))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+             |WHERE l_quantity > 0 AND l_extendedprice > 0
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // F1 + A1 + J3: watermark as driver-held scalar — MAX over the
+    // "already processed" slice, then a strict `>` filter
+    // (transforme_stock_silver.py:41-69,80-84). The collect moves ONE
+    // row to the driver; the filter pushes into the parquet scan.
+    Q("f1_watermark_scalar",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val processed = orders.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val wm = Incremental.maxWatermark(processed, "o_orderdate")
+        Incremental.newerThan(orders, "o_orderdate", wm)
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate FROM orders
+             |WHERE o_orderdate > (SELECT max(o_orderdate) FROM orders
+             |                     WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // F4: watermark on DATE_TRUNC month with `>=` boundary reprocessing
+    // (monthly_stock_summary.sql:26-31).
+    Q("f4_watermark_month",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val processed = orders.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        val wm = Incremental.maxWatermark(
+          processed.select(date_trunc("month", col("o_orderdate")).cast(DateType).as("m")), "m")
+        Incremental.atOrAfter(orders, date_trunc("month", col("o_orderdate")).cast(DateType), wm)
+          .select(col("o_orderkey"), col("o_orderdate"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderdate FROM orders
+             |WHERE CAST(date_trunc('month', o_orderdate) AS DATE) >=
+             |      (SELECT max(CAST(date_trunc('month', o_orderdate) AS DATE)) FROM orders
+             |       WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── Aggregations ───────────────────────────────────────────────────
+
+    // A1: global scalar MAX/MIN/COUNT (watermark read).
+    Q("a1_scalar_bounds",
+      (s, dir) => Tables.orders(s, dir).agg(
+        max(col("o_orderdate")).cast(DateType).as("max_data"),
+        min(col("o_orderdate")).cast(DateType).as("min_data"),
+        count(lit(1)).as("n")),
+      Some("""SELECT CAST(max(o_orderdate) AS DATE) AS max_data,
+             |       CAST(min(o_orderdate) AS DATE) AS min_data, count(*) AS n
+             |FROM orders""".stripMargin)),
+
+    // A2/O2: the gold monthly aggregate over the full medallion chain.
+    Q("a2_gold_monthly",
+      (s, dir) => StockOps.goldMonthly(StockOps.silverDaily(
+        StockOps.bronzeFromLineitem(Tables.lineitem(s, dir)))),
+      Some(StockOps.goldSql)),
+
+    // A3: row count.
+    Q("a3_count_rows",
+      (s, dir) => Tables.lineitem(s, dir).agg(count(lit(1)).as("n")),
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    // Aggregate surface: COUNT / COUNT DISTINCT / exact SUM / MIN / MAX
+    // per group — partial+final hash aggregation around one shuffle.
+    Q("agg_stats_by_flag",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"),
+          Det.davg(col("l_discount")).as("avg_discount"),
+          max(col("l_shipdate")).as("last_ship"),
+          min(col("l_shipdate")).as("first_ship"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+              |       count(DISTINCT l_orderkey) AS n_orders,
+              |       ${Det.dsumSql("l_extendedprice")} AS sum_price,
+              |       ${Det.davgSql("l_discount")} AS avg_discount,
+              |       max(l_shipdate) AS last_ship, min(l_shipdate) AS first_ship
+              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ROLLUP with grouping id (extension of A2; BigQuery/dbt users reach
+    // for this next). NULL group keys are coalesced to a sentinel so the
+    // two engines sort identically.
+    Q("agg_rollup",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"), grouping_id().cast(IntegerType).as("gid"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("regiao"),
+            coalesce(col("n_name"), lit("ALL")).as("nacao"),
+            col("n_cust"), col("gid"))
+          .orderBy("gid", "regiao", "nacao")
+      },
+      Some("""SELECT coalesce(r_name, 'ALL') AS regiao, coalesce(n_name, 'ALL') AS nacao,
+             |       count(*) AS n_cust, CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |              JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)
+             |ORDER BY gid, regiao, nacao""".stripMargin)),
+
+    // ── Joins (J1-J3 generalized to the full family, SURVEY §2.6) ─────
+
+    // Inner 3-way with broadcast dims: the canonical star-schema shape.
+    // nation/region are tiny → broadcast-hash joins, zero shuffle of the
+    // fact side beyond the final aggregation.
+    Q("j_inner_3way",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_cust"), Det.dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("r_name")
+      },
+      Some(s"""SELECT r_name, count(*) AS n_cust, ${Det.dsumSql("c_acctbal")} AS sum_bal
+              |FROM customer JOIN nation ON c_nationkey = n_nationkey
+              |              JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // Left outer with genuine non-matches (nations with no customers).
+    Q("j_left_outer",
+      (s, dir) => {
+        val n = Tables.nation(s, dir)
+        val c = Tables.customer(s, dir)
+        n.join(c, n("n_nationkey") === c("c_nationkey"), "left")
+          .groupBy(col("n_name"))
+          .agg(count(col("c_custkey")).as("n_cust"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(c_custkey) AS n_cust
+             |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Full outer of two aggregated sides (customer vs supplier presence
+    // per nation) — non-matching keys on both sides.
+    Q("j_full_outer",
+      (s, dir) => {
+        val cu = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        cu.join(su, cu("nationkey") === su("nationkey"), "full")
+          .select(
+            coalesce(cu("nationkey"), su("nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).cast(LongType).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).cast(LongType).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("""SELECT coalesce(cu.nationkey, su.nationkey) AS nationkey,
+             |       CAST(coalesce(cu.n_cust, 0) AS BIGINT) AS n_cust,
+             |       CAST(coalesce(su.n_supp, 0) AS BIGINT) AS n_supp
+             |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) cu
+             |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) su
+             |  ON cu.nationkey = su.nationkey
+             |ORDER BY nationkey""".stripMargin)),
+
+    // Semi / anti: EXISTS / NOT EXISTS — customers with / without orders.
+    Q("j_semi",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("j_anti",
+      (s, dir) => Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J1/W2: insert-only merge — incoming rows whose key exists are
+    // discarded, never updated (ingest_stocks.py:87-100 intent).
+    Q("j1_insert_only_merge",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val existing = orders.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        val incoming = orders.filter(col("o_orderkey") % 3 === 0)
+        Merge.insertOnlyMerge(existing, incoming, Seq("o_orderkey"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders WHERE o_orderdate < $TS97
+              |UNION ALL
+              |SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o2
+              |WHERE o_orderkey % 3 = 0
+              |  AND NOT EXISTS (SELECT 1 FROM orders o1
+              |                  WHERE o1.o_orderdate < $TS97 AND o1.o_orderkey = o2.o_orderkey)
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // J2/W7: keyed upsert — staged rows win (dbt unique_key MERGE).
+    Q("j2_keyed_upsert",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val existing = orders
+          .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_totalprice"), lit("existing").as("src"))
+        val staged = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"), lit("staged").as("src"))
+        Merge.upsert(existing, staged, Seq("o_orderkey")).orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice, 'existing' AS src FROM orders
+              |WHERE o_orderdate < $TS97 AND o_orderkey NOT IN
+              |      (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+              |UNION ALL
+              |SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'staged' AS src FROM orders
+              |WHERE o_orderkey % 3 = 0
+              |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── Sorts / set ops ────────────────────────────────────────────────
+
+    // O1: global multi-column sort (range-partitioned total order).
+    Q("o1_total_sort",
+      (s, dir) => Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber FROM lineitem
+             |ORDER BY l_returnflag, l_shipdate DESC, l_orderkey, l_linenumber""".stripMargin)),
+
+    // S2/§2.8: union of heterogeneous-ordered projections by NAME.
+    Q("set_union_by_name",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val a = li.filter(col("l_returnflag") === "A")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), lit("A").as("src"))
+        val b = li.filter(col("l_returnflag") === "R")
+          .select(lit("R").as("src"), col("l_quantity"), col("l_linenumber"), col("l_orderkey"))
+        a.unionByName(b).orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, 'A' AS src FROM lineitem WHERE l_returnflag = 'A'
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, l_quantity, 'R' AS src FROM lineitem WHERE l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("set_intersect",
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("set_except",
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    // ── Window functions (dedup-rank + running aggregates) ─────────────
+
+    // Latest row per key — the windowed generalization of keyed dedup.
+    Q("w_latest_per_key",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        Tables.orders(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate FROM orders
+             |QUALIFY row_number() OVER (PARTITION BY o_custkey
+             |                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // Running exact sum + lag within partition.
+    Q("w_running_sum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .over(w.rowsBetween(Long.MinValue, 0)).cast(DoubleType).as("running_total"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+             |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+             |                             ORDER BY o_orderdate, o_orderkey) AS prev_price
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ── Medallion pipeline end-to-end through the warehouse ────────────
+
+    // The whole engine lifecycle (W1-W8, F1-F4, A1-A2) through
+    // Warehouse + Incremental.Registry: bronze→silver→gold models run
+    // TWICE into a scratch warehouse (second run proves incremental
+    // idempotence), then gold is read back. Oracle = the one-shot SQL.
+    Q("m_incremental_pipeline",
+      (s, dir) => {
+        val whRoot = s"/tmp/graft_wh_${new java.io.File(dir).getName}"
+        val wh = new Warehouse(s, whRoot)
+        wh.dropTable("silver", "daily_stocks"); wh.dropTable("gold", "monthly_summary")
+        val silverModel = Incremental.Model(
+          "daily_stocks", "silver", Seq(), Seq("sigla_empresa", "data_pregao"), "data_pregao",
+          (in, wm) => {
+            val silver = StockOps.silverDaily(StockOps.bronzeFromLineitem(in("lineitem")))
+            wm.map(w => silver.filter(col("data_pregao") >= lit(w))).getOrElse(silver)
+          })
+        val goldModel = Incremental.Model(
+          "monthly_summary", "gold", Seq("daily_stocks"), Seq("sigla_empresa", "data_inicio_mes"), "data_inicio_mes",
+          (in, wm) => {
+            val src = wm.map(w => in("daily_stocks")
+              .filter(date_trunc("month", col("data_pregao")).cast(DateType) >= lit(w)))
+              .getOrElse(in("daily_stocks"))
+            StockOps.goldMonthly(src)
+          })
+        val registry = new Incremental.Registry(Seq(silverModel, goldModel))
+        val sources = Map("lineitem" -> Tables.lineitem(s, dir))
+        registry.runAll(wh, sources) // initial full build
+        registry.runAll(wh, sources) // incremental no-op/idempotent rerun
+        wh.read("gold", "monthly_summary").orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(StockOps.goldSql))
+  )
+
+  def queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    queries.map(q => q.name -> q.fn).toMap
+
+  def oracleMap: Map[String, String] =
+    queries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
