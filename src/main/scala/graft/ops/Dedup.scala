@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Deduplication operators for training-data pipelines, in increasing
+ * fuzziness: exact (hash group-by), n-gram Jaccard (posting-list
+ * self-join), MinHash+LSH (banded signatures), SimHash (bit sketches).
+ *
+ * Scale design notes (the whole point of these operators is 100 TB):
+ *  - exact dedup is one hash-aggregate shuffle on the text (or its md5,
+ *    which is what you'd group by at scale to keep shuffle rows narrow);
+ *  - Jaccard pair generation self-joins shingle posting lists; postings
+ *    with document frequency > `maxDf` ("stop shingles") are dropped
+ *    first, which bounds the per-shingle pair blowup at df², the classic
+ *    trick that keeps candidate generation near-linear;
+ *  - MinHash/LSH replaces the all-pairs problem with band-bucket joins:
+ *    k hash slots in b bands; only same-bucket docs meet, so cost tracks
+ *    true-duplicate density rather than corpus size²;
+ *  - SimHash packs a document into one 64-bit sketch; banded 16-bit
+ *    chunks make Hamming-≤k candidate search a 4-way equi-join.
+ *
+ * Everything is expressions + joins — no UDFs, no driver-side loops.
+ */
+object Dedup {
+
+  /** Exact dedup: deterministic representative (min id) per distinct
+    * text + duplicate count. One shuffle, map-side partial agg. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col(textCol), col("n_copies"))
+
+  /** Distinct word n-gram shingles per doc: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol),
+      explode(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + 1, n), " ")))).as("shingle"))
+      .where(size(toks) >= n)
+  }
+
+  /**
+   * Candidate near-duplicate pairs by n-gram Jaccard ≥ `minJaccard`.
+   * Shingle postings with df > `maxDf` are dropped before the
+   * self-join (stop-shingle pruning).
+   */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, minJaccard: Double, maxDf: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val pruned = sh.join(keep.select("shingle"), Seq("shingle"))
+    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = pruned.select(col(idCol).as("id_a"), col("shingle"))
+    val b = pruned.select(col(idCol).as("id_b"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+  }
+
+  /** MinHash signature: k slots, slot i = min over shingles of
+    * xxhash64(i || shingle). Returns (id, sig ARRAY<BIGINT>). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_list(col("shingle")).as("sh"))
+    sh.select(col(idCol),
+      transform(sequence(lit(0), lit(k - 1)),
+        i => aggregate(col("sh"), lit(Long.MaxValue),
+          (acc, s) => least(acc, xxhash64(i, s)))).as("sig"))
+  }
+
+  /**
+   * MinHash+LSH candidate pairs: signatures split into `bands` bands of
+   * k/bands rows; docs sharing any band bucket become candidates;
+   * candidates are verified by estimated Jaccard (matching slots / k)
+   * ≥ `minEstJaccard`.
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, k: Int = 16, bands: Int = 4,
+                      minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    val buckets = sigs
+      .select(col(idCol), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        xxhash64(col("band"), array_join(slice(col("sig"), col("band") * rows + 1, rows), ",")))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over word hashes (uniform weights): bit j of the
+    * sketch is 1 iff the sum of ±1 votes from token-hash bits is > 0.
+    * Bit manipulation uses SQL expressions (shift amounts must be
+    * expressions, which the Scala function API doesn't allow). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), expr("transform(__toks, t -> xxhash64(t))").as("__hs"))
+      .select(col(idCol), expr(
+        """aggregate(sequence(0, 63), 0L, (acc, b) -> acc +
+          |  IF(aggregate(__hs, 0L,
+          |       (vote, h) -> vote + IF((shiftrightunsigned(h, b) & 1) = 1, 1L, -1L)) > 0,
+          |     shiftleft(1L, b), 0L))""".stripMargin).as("simhash"))
+
+  /** SimHash near-dup candidates: 4 bands of 16 bits; docs agreeing on
+    * any band meet, verified by Hamming distance ≤ `maxHamming`. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, idCol, textCol)
+    val banded = sh
+      .select(col(idCol), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", expr("shiftrightunsigned(simhash, band * 16) & 65535"))
+    val a = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing: image/audio/video payloads modeled as
+ * opaque `BINARY` columns with typed metadata, processed in batched
+ * partition passes.
+ *
+ * The actual media decode is STUBBED (this container has no image/audio
+ * libraries): `fakeDecode` derives deterministic pseudo-metadata from
+ * the bytes. Everything around the stub — schema, batch iteration,
+ * partition sizing, metadata struct shape — is the real distributed
+ * plumbing a decode UDF would ride on. In production, swap `fakeDecode`
+ * for a JNI/process-isolated decoder inside the same `mapPartitions`
+ * (one decoder init per partition, not per row — the Spark analogue of
+ * a pandas-UDF batch).
+ */
+object Multimodal {
+
+  case class MediaMeta(
+      doc_id: Long,
+      byte_len: Long,
+      header_hex: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  /** STUB decoder: deterministic fake dimensions from payload bytes.
+    * Replace with a real codec at the marked line. */
+  def fakeDecode(id: Long, payload: Array[Byte]): MediaMeta = {
+    val len = payload.length.toLong
+    val header = payload.take(8).map("%02x".format(_)).mkString
+    // ??? real decode goes here — e.g. ImageIO / ffmpeg via process pool
+    val w = 64 + (math.abs(len * 2654435761L) % 1024).toInt
+    val h = 64 + (math.abs(len * 40503L) % 768).toInt
+    MediaMeta(id, len, header, w, h, 1 + (len % 30).toInt)
+  }
+
+  /** Attach a binary payload column (here derived from text — the test
+    * corpus has no real blobs) plus the metadata struct, decoded in
+    * batched partition passes. */
+  def decodeMeta(spark: SparkSession, docs: DataFrame,
+                 idCol: String, payloadCol: String): DataFrame = {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
+    docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        // per-partition init of the (stub) decoder happens HERE, once
+        rows.map { r: Row => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)) }
+      }(enc)
+      .toDF()
+  }
+}

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/**
+ * Similarity search over embedding columns (`ARRAY<FLOAT>`):
+ * brute-force cosine top-k as the exact baseline, IVF-style centroid
+ * assignment, and random-hyperplane LSH bucketing as the scale path.
+ *
+ * All vector math is higher-order Column expressions (zip_with /
+ * aggregate) over double-cast elements — sequential left-to-right
+ * accumulation, so results are bit-reproducible.
+ *
+ * Scale design: brute force is one narrow map over the corpus (fine for
+ * a broadcast query set, O(corpus) per query); IVF prunes to the probed
+ * centroid's partition (build: one k-means-ish assignment shuffle;
+ * probe: partition-pruned scan when the table is written partitioned by
+ * centroid_id); LSH trades recall for a bucket equi-join, the right
+ * shape when queries are also a large table.
+ */
+object Similarity {
+
+  /** Elements cast to double — float arithmetic differs across engines;
+    * double is the common exact currency. */
+  private def dbl(v: Column): Column = transform(v, x => x.cast(DoubleType))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(dbl(a), dbl(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(dbl(a), lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB SQL mirroring [[dot]] — the SAME left-to-right double fold,
+    * so results are bit-identical (no tolerance needed in the oracle). */
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |                 s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  def normSql(a: String): String =
+    s"""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+       |  (x, y) -> x + y))""".stripMargin
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  /** Exact top-k by cosine against one query vector (broadcast as a
+    * literal — no shuffle until the final top-k sort, which AQE executes
+    * as a partial top-k per partition + merge). */
+  def bruteForceTopK(emb: DataFrame, vecCol: String, idCol: String,
+                     query: Array[Double], k: Int): DataFrame = {
+    val q = array(query.map(lit): _*)
+    emb.select(col(idCol), cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF building block: assign every vector to its nearest centroid
+    * (centroids broadcast). Ties broken by centroid id. At scale the
+    * output is written `partitionBy(centroid_id)` so probes prune. */
+  def ivfAssign(emb: DataFrame, vecCol: String, idCol: String,
+                centroids: DataFrame, cVecCol: String, cIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = emb.crossJoin(broadcast(centroids))
+      .withColumn("cosine", cosine(col(vecCol), col(cVecCol)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cosine").desc, col(cIdCol))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col(cIdCol).as("centroid_id"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: `planes(p)(d)` from a fixed seed. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit LSH signature: bit p = (v · plane_p) > 0. */
+  def lshSignature(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vecCol, array(p.map(lit): _*)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: candidates = same-signature vectors, ranked by true
+    * cosine within the bucket. Returns top-k per query id from the
+    * `queries` side (equi-join on bucket — no cross product). */
+  def lshTopK(emb: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+              planes: Array[Array[Double]], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sig = lshSignature(col(vecCol), planes)
+    val base = emb.withColumn("bucket", sig)
+      .select(col("bucket"), col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val qs = queries.withColumn("bucket", sig)
+      .select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("item_id"))
+    qs.join(base, Seq("bucket"))
+      .where(col("query_id") =!= col("item_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("item_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("item_id"), col("cosine"), col("rn"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold among
+    * same-LSH-bucket candidates (the embedding analogue of MinHash). */
+  def embeddingNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+                            planes: Array[Array[Double]], minCosine: Double): DataFrame = {
+    val withSig = emb.withColumn("bucket", lshSignature(col(vecCol), planes))
+    val a = withSig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = withSig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

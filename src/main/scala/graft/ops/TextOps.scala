@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Text-analysis operators for training-data pipelines: tokenization,
+ * quality scoring, language identification, and content fingerprints.
+ * These generalize the reference's string-normalization surface
+ * (transforme_stock_silver.py:112, transformacao.py:38-67) to document
+ * corpora.
+ *
+ * All functions are pure Column expressions (codegen'd builtins +
+ * higher-order functions) — no UDFs, so whole-stage codegen spans the
+ * full pipeline and the operators scale embarrassingly parallel with
+ * zero shuffles.
+ */
+object TextOps {
+
+  /** Whitespace tokenization; empties from doubled spaces dropped so
+    * downstream counts are stable. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast(LongType)
+
+  /** DuckDB mirror of [[tokens]]: `list_filter(string_split(x,' '), t -> len(t)>0)`. */
+  def tokensSql(col: String): String =
+    s"list_filter(string_split($col, ' '), t -> len(t) > 0)"
+
+  /** Small closed-class stopword set (shared with the SQL oracle). */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(Stopwords))).cast(LongType)
+
+  def stopwordCountSql(col: String): String = {
+    val set = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"CAST(len(list_filter(${tokensSql(col)}, t -> t IN ($set))) AS BIGINT)"
+  }
+
+  /** Heuristic quality score in [0,1]: penalizes very short docs,
+    * rewards moderate mean token length and stopword presence —
+    * the shape of the C4/Gopher-style length+stopword filters. All
+    * scalar double arithmetic → bit-identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val nChars = length(text).cast(DoubleType)
+    val meanLen = nChars / nTok
+    val stopRatio = stopwordCount(text).cast(DoubleType) / nTok
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val shapeScore = when(meanLen >= 3 && meanLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    val stopScore = least(stopRatio * lit(5.0), lit(1.0))
+    (lenScore * lit(0.4) + shapeScore * lit(0.3) + stopScore * lit(0.3))
+  }
+
+  def qualityScoreSql(col: String): String = {
+    val nTok = s"CAST(len(${tokensSql(col)}) AS DOUBLE)"
+    val meanLen = s"(CAST(length($col) AS DOUBLE) / $nTok)"
+    s"""(least($nTok / 50.0, 1.0) * 0.4
+       | + (CASE WHEN $meanLen >= 3 AND $meanLen <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
+       | + least((CAST(${stopwordCountSql(col)} AS DOUBLE) / $nTok) * 5.0, 1.0) * 0.3)""".stripMargin
+  }
+
+  /** Marker-word language ID (n-gram-free heuristic): CJK chars → zh,
+    * else argmax of per-language function-word hits with the fixed
+    * tiebreak order en > es > de > fr. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "es" -> Seq("el", "la", "los", "de", "que"),
+    "de" -> Seq("der", "die", "und", "das", "nicht"),
+    "fr" -> Seq("le", "les", "et", "des", "une"))
+
+  def langId(text: Column): Column = {
+    def hits(ws: Seq[String]) = size(filter(tokens(text), t => t.isInCollection(ws)))
+    val Seq(en, es, de, fr) = LangMarkers.map { case (_, ws) => hits(ws) }
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), lit("zh"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  def langIdSql(col: String): String = {
+    def hits(ws: Seq[String]) = {
+      val set = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(${tokensSql(col)}, t -> t IN ($set)))"
+    }
+    val Seq(en, es, de, fr) = LangMarkers.map { case (_, ws) => hits(ws) }
+    s"""CASE WHEN regexp_matches($col, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |     WHEN $en >= $es AND $en >= $de AND $en >= $fr THEN 'en'
+       |     WHEN $es >= $de AND $es >= $fr THEN 'es'
+       |     WHEN $de >= $fr THEN 'de'
+       |     ELSE 'fr' END""".stripMargin
+  }
+
+  /** Content fingerprint: exact (md5 of raw text) and token-order-
+    * insensitive (md5 of sorted token list) — the bag-of-words
+    * canonical form used for near-exact dedup. */
+  def md5Fingerprint(text: Column): Column = md5(text)
+
+  def normalizedFingerprint(text: Column): Column =
+    md5(array_join(array_sort(tokens(text)), " "))
+
+  /** Karp–Rabin rolling polynomial hash over characters, mod 1e9+7 —
+    * exact BIGINT arithmetic, reproducible in any engine. */
+  val RollMod = 1000000007L
+
+  def rollingHash(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast(LongType), lit(RollMod)))
+
+  def rollingHashSql(col: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_filter(string_split($col, ''), c -> len(c) > 0),
+       |                   c -> CAST(unicode(c) AS BIGINT))),
+       |  (acc, ch) -> (acc * 31 + ch) % ${RollMod})""".stripMargin
+}
