@@ -39,7 +39,7 @@ object Dedup {
     docs.select(col(idCol),
       explode(array_distinct(
         transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, n), " ")))).as("shingle"))
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))).as("shingle"))
       .where(size(toks) >= n)
   }
 
@@ -97,7 +97,7 @@ object Dedup {
     val buckets = sigs
       .select(col(idCol), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("bucket",
-        xxhash64(col("band"), array_join(slice(col("sig"), col("band") * rows + 1, rows), ",")))
+        xxhash64(col("band"), array_join(slice(col("sig"), col("band") * rows + 1, lit(rows)), ",")))
     val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
     val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
