@@ -36,11 +36,11 @@ object Dedup {
   /** Distinct word n-gram shingles per doc: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))
-    docs.select(col(idCol),
-      explode(array_distinct(
-        transform(sequence(lit(0), size(toks) - n),
-          i => array_join(slice(toks, i + 1, lit(n)), " ")))).as("shingle"))
-      .where(size(toks) >= n)
+    docs.where(size(toks) >= n)
+      .select(col(idCol),
+        explode(array_distinct(
+          transform(sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " ")))).as("shingle"))
   }
 
   /**
