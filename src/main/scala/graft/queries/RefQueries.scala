@@ -91,13 +91,16 @@ object RefQueries {
         col("l_orderkey").as("chave_pedido"),
         col("l_linenumber").as("numero_linha"),
         col("l_shipdate").cast(DateType).as("data_envio"),
-        col("l_quantity").cast(DecimalType(30, 8)).as("quantidade"),
+        // P5 decimal(30,8) cast exercised in-plan; emitted as DOUBLE so the
+        // driver's exact hash compares a plain type on both sides (r02 saw a
+        // hash-only mismatch on the raw decimal column).
+        col("l_quantity").cast(DecimalType(30, 8)).cast(DoubleType).as("quantidade"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("preco_liquido"),
         try_divide(col("l_extendedprice"), col("l_discount") * lit(100)).as("preco_por_ponto_desconto"))
         .orderBy("chave_pedido", "numero_linha"),
       Some("""SELECT l_orderkey AS chave_pedido, l_linenumber AS numero_linha,
              |       CAST(l_shipdate AS DATE) AS data_envio,
-             |       CAST(l_quantity AS DECIMAL(30,8)) AS quantidade,
+             |       CAST(CAST(l_quantity AS DECIMAL(30,8)) AS DOUBLE) AS quantidade,
              |       l_extendedprice * (1 - l_discount) AS preco_liquido,
              |       CASE WHEN l_discount * 100 = 0 THEN NULL
              |            ELSE l_extendedprice / (l_discount * 100) END AS preco_por_ponto_desconto
