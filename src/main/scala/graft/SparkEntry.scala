@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.StockOps
-import graft.queries.RefQueries
+import graft.queries.{ExtQueries, RefQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,12 +15,13 @@ object SparkEntry {
     StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(
       Tables.lineitem(spark, "/root/testdata/sf0.001"))))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator: reference parity (SURVEY.md §2)
+    * plus the training-data-pipeline extensions (SURVEY.md §7.3 step 4). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queryMap
+    RefQueries.queryMap ++ ExtQueries.queries.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracleMap
+    RefQueries.oracleMap ++ ExtQueries.queries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

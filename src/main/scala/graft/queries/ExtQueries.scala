@@ -1,0 +1,290 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Extension operator inventory: the LLM-training-data-pipeline surface
+ * (dedup, text analysis, similarity search, event-time processing,
+ * multimodal plumbing) the north star adds beyond reference parity
+ * (SURVEY.md §7.3 step 4). Every query that is SQL-expressible carries a
+ * DuckDB oracle built from the same shared SQL mirrors the Scala ops
+ * use ([[TextOps.tokensSql]], [[Similarity.cosineSql]], …) so double
+ * arithmetic folds identically and the driver's hash compare is exact.
+ *
+ * MinHash/SimHash queries depend on Spark's xxhash64, which DuckDB
+ * lacks — they are declared without oracle (driver records the weaker
+ * rows-only check per the contract).
+ */
+object ExtQueries {
+
+  /** documents ∪ exact copies of every doc_id % 5 == 0 (id + 100000) —
+    * a corpus with KNOWN exact duplicates for dedup operators. */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val dupCorpusSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** documents ∪ near copies (one appended token) of doc_id % 7 == 0 —
+    * KNOWN near-duplicates at Jaccard ≈ (T-4)/(T-3) for 5-gram shingles. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" xtra")).as("text")))
+  }
+
+  private val nearDupCorpusSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |           UNION ALL
+      |           SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+      |           FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Deterministic hyperplanes shared by the Spark query and its SQL
+    * oracle (12 planes → 4096 buckets keeps the bucket self-join tiny
+    * even at sf0.1's 50k vectors). */
+  private lazy val planes12: Array[Array[Double]] = Similarity.hyperplanes(12, 64)
+
+  /** DuckDB literal for a plane vector; Scala Double.toString is
+    * shortest-round-trip, so DuckDB parses back the identical double. */
+  private def planeSql(p: Array[Double]): String = p.mkString("[", ", ", "]")
+
+  private def bucketSql(vec: String): String =
+    planes12.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN ${Similarity.dotSql(vec, planeSql(p))} > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  val queries: Seq[Q] = Seq(
+
+    // ── Deduplication ──────────────────────────────────────────────────
+
+    // Exact dedup: one hash-aggregate shuffle keyed on the text; at
+    // 100 TB you'd key on md5(text) to keep shuffle rows narrow — the
+    // aggregate shape is identical.
+    Q("dd_exact",
+      (s, dir) => Dedup.exactDedup(dupCorpus(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $dupCorpusSql
+              |SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
+              |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin)),
+
+    // N-gram Jaccard near-dup pairs: posting-list self-join with
+    // stop-shingle (df > 20) pruning bounding the pair blowup.
+    Q("dd_jaccard",
+      (s, dir) => Dedup.jaccardPairs(nearDupCorpus(s, dir), "doc_id", "text",
+        n = 5, minJaccard = 0.4, maxDf = 20).orderBy("id_a", "id_b"),
+      Some(s"""WITH $nearDupCorpusSql,
+              |tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM corpus),
+              |sh AS (SELECT doc_id,
+              |         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+              |           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS shingle
+              |       FROM tok WHERE len(toks) >= 5),
+              |dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+              |pruned AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfr USING (shingle) WHERE dfr.df <= 20),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+              |           FROM pruned a JOIN pruned b USING (shingle)
+              |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+              |SELECT id_a, id_b, n_shared, jaccard FROM (
+              |  SELECT id_a, id_b, n_shared,
+              |         CAST(n_shared AS DOUBLE) / CAST(ca.n_sh + cb.n_sh - n_shared AS DOUBLE) AS jaccard
+              |  FROM shared JOIN cnt ca ON ca.doc_id = shared.id_a
+              |              JOIN cnt cb ON cb.doc_id = shared.id_b)
+              |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // MinHash+LSH banded candidates (xxhash64 sketches — not DuckDB-
+    // expressible; rows-only check). Exact copies share every band.
+    Q("dd_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(dupCorpus(s, dir), "doc_id", "text",
+        n = 5, k = 16, bands = 4, minEstJaccard = 0.5).orderBy("id_a", "id_b"),
+      None),
+
+    // SimHash 64-bit sketches, banded Hamming-≤3 candidates (xxhash64 —
+    // rows-only check).
+    Q("dd_simhash",
+      (s, dir) => Dedup.simhashPairs(dupCorpus(s, dir), "doc_id", "text",
+        maxHamming = 3).orderBy("id_a", "id_b"),
+      None),
+
+    // ── Text analysis ──────────────────────────────────────────────────
+
+    // Per-document stats: token/stopword counts, quality score,
+    // language ID, exact + bag-of-words fingerprints, rolling hash.
+    // Pure codegen'd expressions — zero shuffles, scales linearly.
+    Q("t_text_stats",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.stopwordCount(col("text")).as("n_stop"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("lang_guess"),
+        TextOps.md5Fingerprint(col("text")).as("fp_exact"),
+        TextOps.normalizedFingerprint(col("text")).as("fp_bag"),
+        TextOps.rollingHash(col("text")).as("roll_hash"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
+              |  ${TextOps.stopwordCountSql("text")} AS n_stop,
+              |  ${TextOps.qualityScoreSql("text")} AS quality,
+              |  ${TextOps.langIdSql("text")} AS lang_guess,
+              |  md5(text) AS fp_exact,
+              |  md5(array_to_string(list_sort(${TextOps.tokensSql("text")}), ' ')) AS fp_bag,
+              |  ${TextOps.rollingHashSql("text")} AS roll_hash
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Corpus rollup by detected language — the filter-then-aggregate
+    // shape of a corpus quality report (one shuffle; exact aggregates).
+    Q("t_corpus_by_lang",
+      (s, dir) => Tables.documents(s, dir).select(
+        TextOps.langId(col("text")).as("lang_guess"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.qualityScore(col("text")).as("q"))
+        .groupBy(col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("q")).as("min_quality"),
+          max(col("q")).as("max_quality"))
+        .orderBy("lang_guess"),
+      Some(s"""SELECT lang_guess, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+              |       min(q) AS min_quality, max(q) AS max_quality
+              |FROM (SELECT ${TextOps.langIdSql("text")} AS lang_guess,
+              |             CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
+              |             ${TextOps.qualityScoreSql("text")} AS q
+              |      FROM documents)
+              |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin)),
+
+    // ── Similarity search ──────────────────────────────────────────────
+
+    // Brute-force cosine top-k against one query vector: the query side
+    // is a 1-row broadcast; corpus side is one narrow scan + partial
+    // top-k per partition merged by the final sort-limit.
+    Q("sim_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        emb.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""SELECT vec_id, ${Similarity.cosineSql("embedding", "qv")} AS cosine
+              |FROM embeddings CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+              |WHERE vec_id <> 0
+              |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // IVF building block: nearest-centroid assignment (centroids
+    // broadcast). At scale the output is written partitionBy(centroid)
+    // so probes prune to one partition.
+    Q("sim_ivf_assign",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        Similarity.ivfAssign(emb, "embedding", "vec_id", cents, "c_vec", "c_id")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+              |j AS (SELECT e.vec_id, c.c_id,
+              |             ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+              |      FROM embeddings e CROSS JOIN cents c),
+              |r AS (SELECT vec_id, c_id, cosine,
+              |             row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn
+              |      FROM j)
+              |SELECT vec_id, c_id AS centroid_id, cosine FROM r WHERE rn = 1
+              |ORDER BY vec_id""".stripMargin)),
+
+    // Embedding near-duplicates: random-hyperplane LSH buckets (4096)
+    // turn the all-pairs cosine problem into a per-bucket equi-join.
+    Q("sim_neardup",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        Similarity.embeddingNearDupPairs(corpus, "embedding", "vec_id", planes12, 0.99)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+              |                UNION ALL
+              |                SELECT vec_id + 100000 AS vec_id, embedding
+              |                FROM embeddings WHERE vec_id % 5 = 0),
+              |sig AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM corpus)
+              |SELECT id_a, id_b, cosine FROM (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |         ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cosine
+              |  FROM sig a JOIN sig b USING (bucket) WHERE a.vec_id < b.vec_id)
+              |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── Event-time processing ──────────────────────────────────────────
+
+    // JSON property extraction with explicit schema (generalizes the
+    // reference's API-payload parsing, ingest_stocks.py:52-63).
+    Q("ev_json_extract",
+      (s, dir) => EventOps.jsonProps(Tables.events(s, dir))
+        .select(col("event_id"), col("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Tumbling 1-hour event-time windows (same transform runs under
+    // Structured Streaming — graft.streaming.StreamOps).
+    Q("ev_tumbling_hourly",
+      (s, dir) => EventOps.tumblingHourly(Tables.events(s, dir))
+        .orderBy("window_start", "event_type"),
+      Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+              |       count(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // Session windows (30-min inactivity gap) — oracle is the classic
+    // gaps-and-islands rewrite, proving the semantics line up.
+    Q("ev_sessions",
+      (s, dir) => EventOps.sessions(Tables.events(s, dir), "30 minutes")
+        .orderBy("user_id", "session_start"),
+      Some("""WITH m AS (SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |g AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+             |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    // Fixed-domain pivot on event type (conditional aggregation).
+    Q("ev_pivot",
+      (s, dir) => EventOps.pivotByType(Tables.events(s, dir)).orderBy("user_id"),
+      Some(s"""SELECT user_id,
+              |${EventOps.EventTypes.map(t =>
+                 s"  count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(",\n")}
+              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ── Multimodal plumbing ────────────────────────────────────────────
+
+    // Binary payload + batched per-partition decode (stubbed codec —
+    // deterministic fake metadata; the mapPartitions batch shape is the
+    // real distributed plumbing). Oracle replays the stub arithmetic.
+    Q("mm_decode_meta",
+      (s, dir) => Multimodal.decodeMeta(s,
+        Tables.documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) AS BIGINT) AS byte_len,
+             |  lower(hex(substr(text, 1, 8))) AS header_hex,
+             |  CAST(64 + (length(text) * 2654435761) % 1024 AS INTEGER) AS width,
+             |  CAST(64 + (length(text) * 40503) % 768 AS INTEGER) AS height,
+             |  CAST(1 + length(text) % 30 AS INTEGER) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.engine.{Incremental, Merge, Warehouse}
+import org.apache.spark.sql.functions._
+
+/** Watermark semantics + the model registry's incremental upsert loop
+  * (F1/F3/F4, A1, dbt-style DAG), including rerun idempotence. */
+class IncrementalSpec extends SparkSpec {
+
+  test("maxWatermark returns None on empty, Some(max) otherwise") {
+    import spark.implicits._
+    val df = Seq("2025-01-01", "2025-03-01").toDF("d").withColumn("d", col("d").cast("date"))
+    assert(Incremental.maxWatermark(df.filter(lit(false)), "d").isEmpty)
+    assert(Incremental.maxWatermark(df, "d").map(_.toString).contains("2025-03-01"))
+  }
+
+  test("newerThan is strict >, atOrAfter reprocesses the boundary") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    val wm = Some(2: Any)
+    assert(Incremental.newerThan(df, "x", wm).collect().map(_.getInt(0)).toSeq == Seq(3))
+    assert(Incremental.atOrAfter(df, col("x"), wm).orderBy("x")
+      .collect().map(_.getInt(0)).toSeq == Seq(2, 3))
+    // no watermark → full refresh
+    assert(Incremental.newerThan(df, "x", None).count() == 3)
+  }
+
+  test("registry topo-orders deps and rejects cycles") {
+    def m(name: String, deps: Seq[String]) = Incremental.Model(
+      name, "silver", deps, Seq("k"), "w", (in, _) => in.values.head)
+    val r = new Incremental.Registry(Seq(m("gold", Seq("silver")), m("silver", Seq())))
+    assert(r.topoOrder.map(_.name) == Seq("silver", "gold"))
+    val cyc = new Incremental.Registry(Seq(m("a", Seq("b")), m("b", Seq("a"))))
+    assertThrows[IllegalArgumentException](cyc.topoOrder)
+  }
+
+  test("incremental rerun is a no-op and new data upserts by key") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_inc_test").toString
+    val wh = new Warehouse(spark, root)
+
+    def model = Incremental.Model(
+      "t", "silver", Seq(), Seq("k"), "d",
+      (in, wm) => {
+        val src = in("src")
+        wm.map(w => src.filter(col("d") >= lit(w))).getOrElse(src)
+      })
+
+    val v1 = Seq(("a", "2025-01-01", 1.0), ("b", "2025-01-02", 2.0)).toDF("k", "d", "v")
+      .withColumn("d", col("d").cast("date"))
+    val reg = new Incremental.Registry(Seq(model))
+    reg.runAll(wh, Map("src" -> v1))
+    val after1 = wh.read("silver", "t").orderBy("k").collect().toSeq
+    reg.runAll(wh, Map("src" -> v1)) // identical rerun → identical table
+    assert(wh.read("silver", "t").orderBy("k").collect().toSeq == after1)
+
+    // boundary-day restatement (same key, new value) + a fresh row
+    val v2 = v1.unionByName(
+      Seq(("b", "2025-01-02", 99.0), ("c", "2025-01-03", 3.0)).toDF("k", "d", "v")
+        .withColumn("d", col("d").cast("date")))
+      .groupBy("k", "d").agg(max("v").as("v")).select("k", "d", "v")
+    reg.runAll(wh, Map("src" -> v2))
+    val out = wh.read("silver", "t").orderBy("k")
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(out == Seq(("a", 1.0), ("b", 99.0), ("c", 3.0)))
+  }
+
+  test("warehouse atomicOverwrite replaces content and survives self-read plans") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_test").toString
+    val wh = new Warehouse(spark, root)
+    wh.atomicOverwrite(Seq(1, 2).toDF("x"), "bronze", "t")
+    assert(wh.tableExists("bronze", "t"))
+    // plan reads the same path it overwrites — the tmp-swap makes it safe
+    val doubled = wh.read("bronze", "t").withColumn("x", col("x") * 2)
+    wh.atomicOverwrite(doubled, "bronze", "t")
+    assert(wh.read("bronze", "t").orderBy("x").collect().map(_.getInt(0)).toSeq == Seq(2, 4))
+  }
+}

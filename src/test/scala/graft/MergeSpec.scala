@@ -1,0 +1,63 @@
+package graft
+
+import graft.engine.Merge
+
+/** Keyed merge semantics (J1/W2, J2/W7, W8) on tiny frames. */
+class MergeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def existing = {
+    import spark.implicits._
+    Seq(("IBM", "2025-11-14", 1.0), ("MSFT", "2025-11-14", 2.0)).toDF("t", "d", "v")
+  }
+
+  test("insertOnlyMerge discards duplicate-keyed incoming rows") {
+    import spark.implicits._
+    val incoming = Seq(("IBM", "2025-11-14", 99.0), ("IBM", "2025-11-17", 3.0)).toDF("t", "d", "v")
+    val out = Merge.insertOnlyMerge(existing, incoming, Seq("t", "d"))
+      .orderBy("t", "d").collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("IBM", "2025-11-14", 1.0),   // existing wins — NOT 99.0
+      ("IBM", "2025-11-17", 3.0),   // fresh key inserted
+      ("MSFT", "2025-11-14", 2.0)))
+  }
+
+  test("upsert lets staged rows win") {
+    import spark.implicits._
+    val staged = Seq(("IBM", "2025-11-14", 99.0), ("NVDA", "2025-11-14", 4.0)).toDF("t", "d", "v")
+    val out = Merge.upsert(existing, staged, Seq("t", "d"))
+      .orderBy("t", "d").collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      ("IBM", "2025-11-14", 99.0),  // staged wins
+      ("MSFT", "2025-11-14", 2.0),
+      ("NVDA", "2025-11-14", 4.0)))
+  }
+
+  test("upsert is idempotent: run(run(x)) == run(x)") {
+    import spark.implicits._
+    val staged = Seq(("IBM", "2025-11-14", 99.0)).toDF("t", "d", "v")
+    val once = Merge.upsert(existing, staged, Seq("t", "d"))
+    val twice = Merge.upsert(once, staged, Seq("t", "d"))
+    assert(once.orderBy("t", "d").collect().toSeq ==
+      twice.orderBy("t", "d").collect().toSeq)
+  }
+
+  test("insert-only merge commutes on disjoint keys") {
+    import spark.implicits._
+    val a = Seq(("NVDA", "2025-11-14", 4.0)).toDF("t", "d", "v")
+    val b = Seq(("GOOG", "2025-11-14", 5.0)).toDF("t", "d", "v")
+    val ab = Merge.insertOnlyMerge(Merge.insertOnlyMerge(existing, a, Seq("t", "d")), b, Seq("t", "d"))
+    val ba = Merge.insertOnlyMerge(Merge.insertOnlyMerge(existing, b, Seq("t", "d")), a, Seq("t", "d"))
+    assert(ab.orderBy("t", "d").collect().toSeq == ba.orderBy("t", "d").collect().toSeq)
+  }
+
+  test("schemaGuard passes on reordered columns, fails on drift") {
+    import spark.implicits._
+    val reordered = existing.select(col("v"), col("d"), col("t"))
+    Merge.schemaGuard(existing, reordered) // must not throw
+    val drifted = existing.withColumn("extra", lit(1))
+    assertThrows[IllegalArgumentException](Merge.schemaGuard(existing, drifted))
+    val retyped = existing.withColumn("v", col("v").cast("int"))
+    assertThrows[IllegalArgumentException](Merge.schemaGuard(existing, retyped))
+  }
+}

@@ -1,116 +1,75 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+"""Local replica of the driver's DuckDB-oracle correctness gate.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
-Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
-the matching SQL from oracle_sql.json in DuckDB with views registered for
-every test table, and compares: column names (sorted), row count, and
-exact values (with a report of first diffs). Exit code 1 on any mismatch.
+Registers every parquet in sfDir as a DuckDB view, runs each entry of
+<verifyOutDir>/oracle_sql.json, and compares to the Spark result parquet
+at <verifyOutDir>/<name>/ — rows, schema (column names sorted), and a
+value hash over column-name-sorted, row-sorted data.
 """
-import json
-import math
-import sys
-
+import sys, json, glob, os
 import duckdb
-
-TABLES = ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings"]
-
-
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    # Decimal -> exact string; dates/timestamps -> isoformat
-    t = type(v).__name__
-    if t == "Decimal":
-        return str(v.normalize())
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
+import pandas as pd
+import hashlib
 
 
-def values_equal(a, b):
-    a, b = norm(a), norm(b)
-    if isinstance(a, float) and isinstance(b, float):
-        if a == b:
-            return True
-        return abs(a - b) <= 1e-12 * max(1.0, abs(a), abs(b))
-    return a == b
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def df_hash(df: pd.DataFrame) -> str:
+    df = canon(df)
+    payload = df.to_csv(index=False, float_format="%.17g").encode()
+    return hashlib.md5(payload).hexdigest()
 
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
-    con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    with open(f"{out_dir}/oracle_sql.json") as f:
-        oracles = json.load(f)
-
-    failures = []
-    for name, sql in sorted(oracles.items()):
-        try:
-            spark_rel = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            s_cols = [d[0] for d in spark_rel.description]
-            s_rows = spark_rel.fetchall()
-        except Exception as e:
-            failures.append((name, f"read spark output failed: {e}"))
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[: -len(".parquet")]
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_bad = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        spark_df = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
+        if name not in oracles:
+            print(f"{name}: NO-ORACLE rows={len(spark_df)}"
+                  + (" [EMPTY!]" if len(spark_df) == 0 else ""))
             continue
         try:
-            o_rel = con.execute(sql)
-            o_cols = [d[0] for d in o_rel.description]
-            o_rows = o_rel.fetchall()
+            ora_df = con.sql(oracles[name]).df()
         except Exception as e:
-            failures.append((name, f"oracle sql failed: {e}"))
+            print(f"{name}: ORACLE-ERROR {e}")
+            n_bad += 1
             continue
-
-        if sorted(s_cols) != sorted(o_cols):
-            failures.append(
-                (name, f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}"))
-            continue
-        if len(s_rows) != len(o_rows):
-            failures.append(
-                (name, f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}"))
-            continue
-        # reorder spark columns to oracle order via name mapping
-        idx = [s_cols.index(c) for c in o_cols]
-        bad = 0
-        first = None
-        for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
-            srow = tuple(sr[j] for j in idx)
-            for c, (a, b) in enumerate(zip(srow, orow)):
-                if not values_equal(a, b):
-                    bad += 1
-                    if first is None:
-                        first = f"row {i} col {o_cols[c]}: spark={a!r} oracle={b!r}"
-                    break
-        if bad:
-            failures.append((name, f"{bad}/{len(s_rows)} rows differ; first: {first}"))
+        rows_ok = len(spark_df) == len(ora_df)
+        schema_ok = sorted(spark_df.columns) == sorted(ora_df.columns)
+        hash_ok = schema_ok and rows_ok and df_hash(spark_df) == df_hash(ora_df)
+        status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        if status == "FAIL":
+            n_bad += 1
+            print(f"{name}: FAIL rows={rows_ok}({len(spark_df)}/{len(ora_df)}) "
+                  f"schema={schema_ok} hash={hash_ok}")
+            if not schema_ok:
+                print(f"  spark cols: {sorted(spark_df.columns)}")
+                print(f"  ora   cols: {sorted(ora_df.columns)}")
+            elif rows_ok:
+                a, b = canon(spark_df), canon(ora_df)
+                diff = (a != b) & ~(a.isna() & b.isna())
+                bad_rows = diff.any(axis=1)
+                print(a[bad_rows].head(3))
+                print(b[bad_rows].head(3))
         else:
-            print(f"OK   {name}  ({len(s_rows)} rows)")
-
-    # queries without oracle: report rows-only status
-    import os
-    for d in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, d)
-        if os.path.isdir(p) and d not in oracles:
-            try:
-                n = con.execute(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
-                print(f"ROWS {d}  ({n} rows, no oracle)")
-            except Exception as e:
-                failures.append((d, f"rows-only read failed: {e}"))
-
-    for name, msg in failures:
-        print(f"FAIL {name}: {msg}")
-    print(f"\n{len(oracles) - len([f for f in failures if f[0] in oracles])}/{len(oracles)} oracle checks passed")
-    sys.exit(1 if failures else 0)
+            print(f"{name}: OK rows={len(spark_df)}")
+    print(f"\n{'ALL GREEN' if n_bad == 0 else f'{n_bad} FAILURES'}")
+    sys.exit(1 if n_bad else 0)
 
 
 if __name__ == "__main__":
