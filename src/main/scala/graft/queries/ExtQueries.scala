@@ -246,13 +246,16 @@ object ExtQueries {
               |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
     // Session windows (30-min inactivity gap) — oracle is the classic
-    // gaps-and-islands rewrite, proving the semantics line up.
+    // gaps-and-islands rewrite, proving the semantics line up. Spark
+    // merges an event landing EXACTLY at the previous session's end
+    // (next.start <= prev_end), so a new session starts only when the
+    // quiet time strictly exceeds the gap — hence `>` here.
     Q("ev_sessions",
       (s, dir) => EventOps.sessions(Tables.events(s, dir), "30 minutes")
         .orderBy("user_id", "session_start"),
       Some("""WITH m AS (SELECT user_id, ts,
              |         CASE WHEN lag(ts) OVER w IS NULL
-             |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
              |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
              |g AS (SELECT user_id, ts,
              |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"),   // near dup of 1
+      (4L, "completely different words about spark engines here")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exactDedup keeps min id and counts copies") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles emits distinct n-grams, skipping too-short docs") {
+    import spark.implicits._
+    val tiny = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(tiny, "doc_id", "text", 3).collect()
+    assert(sh.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "a b c")))
+  }
+
+  test("jaccardPairs finds the hand-computed pair set") {
+    // 9-token docs, 3-gram shingles → 7 shingles each.
+    // doc1 vs doc2: identical → J = 1.0
+    // doc1 vs doc3: differ in the last token → only the final shingle
+    // ("the lazy dog/cat") differs → share 6 → J = 6/(7+7-6) = 0.75
+    val out = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, minJaccard = 0.5, maxDf = 10)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.length == 3)
+    assert(out(0) == ((1L, 2L, 1.0)))
+    assert(out(1) == ((1L, 3L, 0.75)))
+    assert(out(2) == ((2L, 3L, 0.75)))
+  }
+
+  test("stop-shingle pruning drops high-df postings") {
+    import spark.implicits._
+    // 4 docs all sharing one 2-gram "x y"; maxDf=3 excludes it entirely.
+    val docs = Seq((1L, "x y a"), (2L, "x y b"), (3L, "x y c"), (4L, "x y d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, minJaccard = 0.1, maxDf = 3)
+    assert(out.count() == 0)
+  }
+
+  test("minhash LSH surfaces exact duplicates with est_jaccard 1.0") {
+    val out = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4, minEstJaccard = 0.9)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash of identical docs is identical; pairs found at hamming 0") {
+    val sh = Dedup.simhash(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(sh(0) == sh(1))
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 0)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+  }
+}

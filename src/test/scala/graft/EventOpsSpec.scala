@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.EventOps
+import org.apache.spark.sql.functions._
+
+class EventOpsSpec extends SparkSpec {
+
+  private def ev(rows: (Long, String, Long, String, Double, String)*) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  test("jsonProps extracts k with explicit schema; malformed → null") {
+    val out = EventOps.jsonProps(ev(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0, """{"k": 7}"""),
+      (2L, "2024-01-01 00:00:00", 1L, "click", 1.0, "not json")))
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Int]("k") == 7)
+    assert(out(1).isNullAt(out(1).fieldIndex("k")))
+  }
+
+  test("tumblingHourly buckets on the hour with exact sums") {
+    val out = EventOps.tumblingHourly(ev(
+      (1L, "2024-01-01 10:05:00", 1L, "click", 1.5, "{}"),
+      (2L, "2024-01-01 10:59:59", 2L, "click", 2.5, "{}"),
+      (3L, "2024-01-01 11:00:00", 1L, "click", 4.0, "{}")))
+      .orderBy("window_start").collect()
+      .map(r => (r.getAs[java.time.LocalDateTime]("window_start").getHour,
+        r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((10, 2L, 4.0), (11, 1L, 4.0)))
+  }
+
+  test("sessions split at >= gap, merge at < gap, end = last + gap") {
+    val out = EventOps.sessions(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:29:59", 1L, "click", 1.0, "{}"), // < 30m after #1 → same session
+      (3L, "2024-01-01 10:59:59", 1L, "click", 1.0, "{}"), // < 30m after #2 → extends
+      (4L, "2024-01-01 11:29:59", 2L, "click", 1.0, "{}")), // other user
+      "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime]("session_end").toString, r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01T11:29:59", 3L),  // 10:59:59 + 30m
+      (2L, "2024-01-01T11:59:59", 1L)))
+    // exactly-at-gap boundary MERGES (next.start <= prev_end); a new
+    // session needs quiet time strictly greater than the gap
+    val boundary = EventOps.sessions(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:30:00", 1L, "click", 1.0, "{}")), "30 minutes")
+    assert(boundary.count() == 1)
+    val split = EventOps.sessions(ev(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:30:01", 1L, "click", 1.0, "{}")), "30 minutes")
+    assert(split.count() == 2)
+  }
+
+  test("pivotByType produces fixed columns with zero fill") {
+    val out = EventOps.pivotByType(ev(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 00:00:00", 1L, "purchase", 1.0, "{}")))
+    assert(out.columns.toSeq == Seq("user_id", "n_click", "n_error", "n_purchase", "n_signup", "n_view"))
+    val r = out.collect().head
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L && r.getLong(3) == 1L)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    import spark.implicits._
+    Seq(text).toDF("text")
+  }
+
+  private def col1(df: org.apache.spark.sql.DataFrame) = df.collect().head
+
+  test("tokens drops empties from doubled spaces") {
+    val r = col1(one("a  b   c").select(TextOps.tokenCount(col("text"))))
+    assert(r.getLong(0) == 3L)
+  }
+
+  test("stopword count uses the closed set") {
+    val r = col1(one("the cat and the hat").select(TextOps.stopwordCount(col("text"))))
+    assert(r.getLong(0) == 3L) // the, and, the
+  }
+
+  test("rolling hash matches hand-computed Karp-Rabin") {
+    // "abc": ((0*31+97)*31+98)*31+99 mod 1e9+7 = 96354
+    val r = col1(one("abc").select(TextOps.rollingHash(col("text"))))
+    assert(r.getLong(0) == 96354L)
+  }
+
+  test("langId picks marker-word argmax with fixed tiebreak") {
+    def lang(s: String) =
+      col1(one(s).select(TextOps.langId(col("text")))).getString(0)
+    assert(lang("the cat is with food") == "en")
+    assert(lang("el gato que de la casa") == "es")
+    assert(lang("der hund und die katze nicht") == "de")
+    assert(lang("le chat et les chiens une") == "fr")
+    assert(lang("中文文本") == "zh")
+    assert(lang("nothing matches anything") == "en") // all-zero → tiebreak order
+  }
+
+  test("bag-of-words fingerprint is token-order insensitive, exact is not") {
+    import spark.implicits._
+    val df = Seq(("b a", "a b")).toDF("x", "y")
+    val r = df.select(
+      TextOps.normalizedFingerprint(col("x")) === TextOps.normalizedFingerprint(col("y")),
+      TextOps.md5Fingerprint(col("x")) === TextOps.md5Fingerprint(col("y"))).collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
+  test("quality score is bounded in [0,1] and rewards real prose") {
+    import spark.implicits._
+    val df = Seq("x", "the quick brown fox jumps over the lazy dog and runs on")
+      .toDF("text").select(TextOps.qualityScore(col("text")).as("q"))
+    val qs = df.collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    assert(qs(1) > qs(0))
+  }
+}
