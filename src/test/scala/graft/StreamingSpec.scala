@@ -1,0 +1,105 @@
+package graft
+
+import graft.engine.Warehouse
+import graft.ops.EventOps
+import graft.streaming.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Streaming == batch for the shared transforms; custom stateful dedup
+  * and the foreachBatch upsert sink across micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  /** Write one parquet file of events; returns the directory. */
+  private def eventDir(rowsByFile: Seq[Seq[(Long, String, Long, String, Double, String)]]): String = {
+    import spark.implicits._
+    val dir = tmp("graft_stream_in")
+    rowsByFile.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      // distinct mtimes keep file-source batch order deterministic
+      Thread.sleep(20)
+    }
+    dir
+  }
+
+  private val baseRows = Seq(
+    (1L, "2024-01-01 10:05:00", 1L, "click", 1.5, "{}"),
+    (2L, "2024-01-01 10:50:00", 1L, "view", 2.5, "{}"),
+    (3L, "2024-01-01 11:10:00", 2L, "click", 4.0, "{}"),
+    (4L, "2024-01-01 12:45:00", 2L, "purchase", 8.0, "{}"))
+
+  private def schemaOf(dir: String) = spark.read.parquet(dir).schema
+
+  test("streaming tumbling agg (complete mode) equals the batch result") {
+    val dir = eventDir(Seq(baseRows))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir))
+    StreamOps.runAvailableNowToMemory(
+      EventOps.tumblingHourly(stream), "tumbling_out", tmp("graft_ck"), outputMode = "complete")
+    val streamed = spark.table("tumbling_out").orderBy("window_start", "event_type").collect()
+    val batch = EventOps.tumblingHourly(spark.read.parquet(dir))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("watermarked append emits exactly the closed windows") {
+    val dir = eventDir(Seq(baseRows))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir))
+    StreamOps.runAvailableNowToMemory(
+      StreamOps.tumblingHourlyStream(stream, delay = "1 hour"), "tumbling_wm", tmp("graft_ck"))
+    // watermark settles at max(ts) - 1h = 11:45; append emits windows
+    // whose END <= watermark → only the 10:00 window (ends 11:00). The
+    // 11:00 window (ends 12:00) and the live 12:00 window stay open.
+    val hours = spark.table("tumbling_wm").collect()
+      .map(_.getAs[java.time.LocalDateTime]("window_start").getHour).toSet
+    assert(hours == Set(10))
+  }
+
+  test("streaming insert-only dedup keeps the first row per key across batches") {
+    val dir = eventDir(Seq(
+      Seq((1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "a"),
+          (2L, "2024-01-01 10:01:00", 2L, "view", 2.0, "b")),
+      Seq((3L, "2024-01-01 10:02:00", 2L, "view", 99.0, "c"),   // dup key user 2
+          (4L, "2024-01-01 10:03:00", 3L, "click", 3.0, "d"))))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1))
+    StreamOps.runAvailableNowToMemory(
+      StreamOps.streamingInsertOnlyDedup(stream, Seq("user_id")), "dedup_out", tmp("graft_ck"),
+      outputMode = "append")
+    val out = spark.table("dedup_out").orderBy("user_id")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id")))
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 4L))) // event 3 dropped: key 2 seen
+  }
+
+  test("foreachBatch upsert sink merges micro-batches by key, staged wins") {
+    import spark.implicits._
+    val dir = eventDir(Seq(
+      Seq((1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "v1"),
+          (2L, "2024-01-01 10:01:00", 2L, "view", 2.0, "v1")),
+      Seq((2L, "2024-01-01 10:02:00", 2L, "view", 2.0, "v2"))))   // restates event 2
+    val wh = new Warehouse(spark, tmp("graft_stream_wh"))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1))
+    val q = StreamOps.upsertSink(stream, wh, "silver", "events", Seq("event_id"), tmp("graft_ck"))
+    q.awaitTermination()
+    val out = wh.read("silver", "events").orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("props")))
+    assert(out.toSeq == Seq((1L, "v1"), (2L, "v2"))) // later batch won on key 2
+  }
+
+  test("streaming sessions match batch sessions once all windows close") {
+    val dir = eventDir(Seq(baseRows :+
+      (99L, "2024-01-02 23:59:59", 99L, "click", 0.0, "{}"))) // sentinel advances watermark
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir))
+    StreamOps.runAvailableNowToMemory(
+      StreamOps.sessionsStream(stream, gap = "30 minutes", delay = "1 minute"),
+      "sessions_out", tmp("graft_ck"))
+    val streamed = spark.table("sessions_out")
+      .filter(col("user_id") =!= 99).orderBy("user_id", "session_start").collect()
+    val batch = EventOps.sessions(spark.read.parquet(dir).filter(col("user_id") =!= 99))
+      .orderBy("user_id", "session_start").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
