@@ -248,6 +248,44 @@ object RefQueries {
              |GROUP BY ROLLUP(r_name, n_name)
              |ORDER BY gid, regiao, nacao""".stripMargin)),
 
+    // CUBE over both dims (all 4 grouping sets) — completes the
+    // grouping-sets family next to agg_rollup.
+    Q("agg_cube",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .cube(col("r_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"), grouping_id().cast(IntegerType).as("gid"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("regiao"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segmento"),
+            col("n_cust"), col("gid"))
+          .orderBy("gid", "regiao", "segmento")
+      },
+      Some("""SELECT coalesce(r_name, 'ALL') AS regiao, coalesce(c_mktsegment, 'ALL') AS segmento,
+             |       count(*) AS n_cust, CAST(GROUPING(r_name, c_mktsegment) AS INTEGER) AS gid
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |              JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY CUBE(r_name, c_mktsegment)
+             |ORDER BY gid, regiao, segmento""".stripMargin)),
+
+    // HyperLogLog++ approximate distinct next to the exact count. The
+    // sketch value is engine-specific (no DuckDB hash-parity possible) →
+    // rows-only check here; DedupSpec-style error-bound assertion lives
+    // in the unit tests. At 100 TB this replaces a two-shuffle exact
+    // distinct with a mergeable fixed-size sketch.
+    Q("agg_approx_distinct",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .orderBy("l_returnflag"),
+      None),
+
     // ── Joins (J1-J3 generalized to the full family, SURVEY §2.6) ─────
 
     // Inner 3-way with broadcast dims: the canonical star-schema shape.
@@ -445,6 +483,72 @@ object RefQueries {
              |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
              |                             ORDER BY o_orderdate, o_orderkey) AS prev_price
              |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Ranking family: rank/dense_rank (tie-stable), ntile and lead over
+    // a unique total order within each partition.
+    Q("w_rank_funcs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byPrice = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(byPrice).as("rnk"),
+          dense_rank().over(byPrice).as("drnk"),
+          ntile(4).over(byPrice).as("quartile"),
+          lead(col("o_totalprice"), 1).over(byPrice).as("next_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+             |  ntile(4) OVER w AS quartile, lead(o_totalprice, 1) OVER w AS next_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // Scalar string-function surface (substring/concat_ws/regexp/pad/
+    // replace + case functions) — generalizes P9/P10 string hygiene.
+    Q("p_string_funcs",
+      (s, dir) => Tables.part(s, dir).select(
+        col("p_partkey"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        upper(col("p_name")).as("nome_upper"),
+        length(col("p_name")).as("nome_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        lpad(col("p_size").cast(StringType), 4, "0").as("size_padded"),
+        regexp_replace(col("p_name"), "a", "_").as("nome_sub"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, substr(p_name, 1, 5) AS prefix5, upper(p_name) AS nome_upper,
+             |       CAST(length(p_name) AS INTEGER) AS nome_len,
+             |       concat_ws('-', p_brand, p_type) AS brand_type,
+             |       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+             |       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+             |       replace(p_name, 'a', '_') AS nome_sub
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Scalar date-function surface (quarter/last_day/dayofweek/week/
+    // date_add/datediff) — generalizes P11/W3 date derivations. DuckDB
+    // dayofweek is 0-based (Sunday=0) vs Spark's 1-based, hence the +1.
+    Q("p_date_funcs",
+      (s, dir) => Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("woy"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+        datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             |       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+             |       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+             |       CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+             |       CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+             |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+             |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
     // ── Medallion pipeline end-to-end through the warehouse ────────────
 
