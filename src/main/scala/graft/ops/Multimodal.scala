@@ -39,6 +39,30 @@ object Multimodal {
     MediaMeta(id, len, header, w, h, 1 + (len % 30).toInt)
   }
 
+  /**
+   * Frame-sampling + aspect-preserving resize PLAN over decoded
+   * metadata: for each media item, ≤ `maxFrames` evenly-strided frame
+   * indices and the output dimensions fitting `fitBox`² (never
+   * upscaled). Pure integer/double expressions — at scale this column
+   * drives the actual decode pass (sample exactly these frames), so
+   * the expensive codec work is pruned before it happens.
+   */
+  def frameSamplePlan(meta: DataFrame, maxFrames: Int = 8, fitBox: Int = 256): DataFrame = {
+    // ceil(n_frames / maxFrames) in exact integer arithmetic
+    val stride = ((col("n_frames") + (maxFrames - 1)) - ((col("n_frames") + (maxFrames - 1)) % maxFrames)) / maxFrames
+    val scale = least(
+      lit(fitBox.toDouble) / col("width"),
+      lit(fitBox.toDouble) / col("height"),
+      lit(1.0))
+    meta.select(
+      col("doc_id"), col("n_frames"),
+      stride.cast(IntegerType).as("stride"),
+      array_join(sequence(lit(0L), (col("n_frames") - 1).cast(LongType),
+        stride.cast(LongType)), ",").as("frame_csv"),
+      floor(col("width") * scale).cast(IntegerType).as("out_w"),
+      floor(col("height") * scale).cast(IntegerType).as("out_h"))
+  }
+
   /** Attach a binary payload column (here derived from text — the test
     * corpus has no real blobs) plus the metadata struct, decoded in
     * batched partition passes. */

@@ -29,6 +29,18 @@ object TextOps {
   def tokensSql(col: String): String =
     s"list_filter(string_split($col, ' '), t -> len(t) > 0)"
 
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks — the GPT-2-style split shape that
+    * approximates subword token counts without a vocab. The pattern
+    * stays in the Java∩RE2 common subset so the DuckDB oracle matches. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast(LongType)
+
+  def bpeishTokenCountSql(col: String): String =
+    s"CAST(len(regexp_extract_all($col, '$BpeishPattern')) AS BIGINT)"
+
   /** Small closed-class stopword set (shared with the SQL oracle). */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 

@@ -51,15 +51,17 @@ object ExtQueries {
 
   /** Deterministic hyperplanes shared by the Spark query and its SQL
     * oracle (12 planes → 4096 buckets keeps the bucket self-join tiny
-    * even at sf0.1's 50k vectors). */
+    * even at sf0.1's 50k vectors; 6 planes → 64 buckets give the
+    * top-k query populated candidate buckets on the 500-vector corpus). */
   private lazy val planes12: Array[Array[Double]] = Similarity.hyperplanes(12, 64)
+  private lazy val planes6: Array[Array[Double]] = Similarity.hyperplanes(6, 64)
 
   /** DuckDB literal for a plane vector; Scala Double.toString is
     * shortest-round-trip, so DuckDB parses back the identical double. */
   private def planeSql(p: Array[Double]): String = p.mkString("[", ", ", "]")
 
-  private def bucketSql(vec: String): String =
-    planes12.zipWithIndex.map { case (p, i) =>
+  private def bucketSql(vec: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN ${Similarity.dotSql(vec, planeSql(p))} > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
@@ -124,6 +126,7 @@ object ExtQueries {
       (s, dir) => Tables.documents(s, dir).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpe"),
         TextOps.stopwordCount(col("text")).as("n_stop"),
         TextOps.qualityScore(col("text")).as("quality"),
         TextOps.langId(col("text")).as("lang_guess"),
@@ -133,6 +136,7 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |  CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
+              |  ${TextOps.bpeishTokenCountSql("text")} AS n_bpe,
               |  ${TextOps.stopwordCountSql("text")} AS n_stop,
               |  ${TextOps.qualityScoreSql("text")} AS quality,
               |  ${TextOps.langIdSql("text")} AS lang_guess,
@@ -218,12 +222,37 @@ object ExtQueries {
               |                UNION ALL
               |                SELECT vec_id + 100000 AS vec_id, embedding
               |                FROM embeddings WHERE vec_id % 5 = 0),
-              |sig AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM corpus)
+              |sig AS (SELECT vec_id, embedding, ${bucketSql("embedding", planes12)} AS bucket FROM corpus)
               |SELECT id_a, id_b, cosine FROM (
               |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
               |         ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cosine
               |  FROM sig a JOIN sig b USING (bucket) WHERE a.vec_id < b.vec_id)
               |WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin)),
+
+    // LSH-bucketed top-k where the query side is itself a table (the
+    // right shape when both sides are large: bucket equi-join, then a
+    // per-query window top-k — never a cross product).
+    Q("sim_lsh_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val qs = emb.filter(col("vec_id") < 5)
+        Similarity.lshTopK(emb, qs, "embedding", "vec_id", planes6, k = 5)
+          .orderBy("query_id", "rn")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding, ${bucketSql("embedding", planes6)} AS bucket
+              |              FROM embeddings),
+              |qs AS (SELECT vec_id AS query_id, embedding AS query_vec, bucket
+              |       FROM base WHERE vec_id < 5),
+              |cand AS (SELECT qs.query_id, base.vec_id AS item_id,
+              |                ${Similarity.cosineSql("qs.query_vec", "base.embedding")} AS cosine
+              |         FROM qs JOIN base USING (bucket)
+              |         WHERE qs.query_id <> base.vec_id),
+              |ranked AS (SELECT query_id, item_id, cosine,
+              |                  row_number() OVER (PARTITION BY query_id
+              |                                     ORDER BY cosine DESC, item_id) AS rn
+              |           FROM cand)
+              |SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rn
+              |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)),
 
     // ── Event-time processing ──────────────────────────────────────────
 
@@ -288,6 +317,29 @@ object ExtQueries {
              |  CAST(64 + (length(text) * 2654435761) % 1024 AS INTEGER) AS width,
              |  CAST(64 + (length(text) * 40503) % 768 AS INTEGER) AS height,
              |  CAST(1 + length(text) % 30 AS INTEGER) AS n_frames
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Frame-sampling + aspect-resize plan over decoded metadata: the
+    // columns that tell the (stubbed) codec which frames to decode and
+    // at what size — compute pruning BEFORE the expensive work.
+    Q("mm_frame_sample",
+      (s, dir) => Multimodal.frameSamplePlan(
+        Multimodal.decodeMeta(s,
+          Tables.documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
+          "doc_id", "payload"),
+        maxFrames = 8, fitBox = 256)
+        .orderBy("doc_id"),
+      Some("""WITH meta AS (
+             |  SELECT doc_id,
+             |         CAST(64 + (length(text) * 2654435761) % 1024 AS INTEGER) AS width,
+             |         CAST(64 + (length(text) * 40503) % 768 AS INTEGER) AS height,
+             |         CAST(1 + length(text) % 30 AS INTEGER) AS n_frames
+             |  FROM documents)
+             |SELECT doc_id, n_frames,
+             |       CAST((n_frames + 7) // 8 AS INTEGER) AS stride,
+             |       array_to_string(range(0, CAST(n_frames AS BIGINT), (n_frames + 7) // 8), ',') AS frame_csv,
+             |       CAST(floor(width * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_w,
+             |       CAST(floor(height * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_h
+             |FROM meta ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan assertions: the scale properties the engine claims
+  * (pushdown, pruning, broadcast, bucketed shuffle elimination,
+  * whole-stage codegen) verified against actual plans, so a regression
+  * that silently de-optimizes a query fails CI, not a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("s4: filters reach the parquet scan; only needed columns are read") {
+    val plan = planOf("s4_pushdown_scan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), LessThan(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_shipdate"),
+      s"column pruning lost:\n$plan")
+    assert(!plan.contains("l_extendedprice"), "scan reads columns the query never uses")
+  }
+
+  test("star joins broadcast the small dimensions") {
+    val plan = planOf("j_inner_3way")
+    assert(plan.split("BroadcastHashJoin").length - 1 == 2, s"expected 2 broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dimension join degraded to sort-merge")
+  }
+
+  test("grouped aggregation is partial+final around a single shuffle") {
+    val plan = planOf("agg_stats_by_flag")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  /** Final-plan section only (AQE's toString repeats the initial plan). */
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize the adaptive plan
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  test("text stats are one narrow projection over the scan — no UDFs, no extra shuffle") {
+    val plan = finalPlanOf("t_text_stats")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "a UDF barrier appeared in the text pipeline")
+    // the presentation sort is the ONLY exchange; the stats themselves are narrow
+    assert(plan.split("Exchange").length - 1 <= 1, s"unexpected shuffle:\n$plan")
+  }
+
+  test("silver projection executes inside whole-stage codegen") {
+    // codegen'd stages render as `*(n)` prefixes in the executed plan
+    assert(finalPlanOf("p_silver_projection").contains("*(1) Project"))
+  }
+
+  test("bucketed tables co-locate the join: zero shuffle exchanges") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    val orders = Tables.orders(s2, dir)
+    orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders_a")
+    orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders_n")
+    val joined = s2.table("b_orders_a").join(s2.table("b_orders_n"), "o_custkey")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketing failed to remove the shuffle:\n$plan")
+    assert(joined.count() == orders.count())
+    s2.sql("DROP TABLE IF EXISTS b_orders_a")
+    s2.sql("DROP TABLE IF EXISTS b_orders_n")
+  }
+}
