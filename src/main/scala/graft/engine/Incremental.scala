@@ -42,6 +42,26 @@ object Incremental {
     watermark.map(w => source.filter(col >= lit(w))).getOrElse(source)
 
   /**
+   * Watermark filter WITH derived partition predicates for a source
+   * laid out hive-style by `year=`/`month=` (the reference's bronze
+   * layout, ingest_stocks.py:79). The reference filters only on the
+   * date column (transforme_stock_silver.py:83), so its scan touches
+   * every partition and relies on row-group stats alone; deriving the
+   * equivalent year/month predicate turns the incremental read into a
+   * partition-pruned scan — `PartitionFilters` in the physical plan,
+   * entire directories skipped. The row-level `>=` filter still applies
+   * for exactness within the boundary month.
+   */
+  def partitionPrunedAtOrAfter(source: DataFrame, dateCol: Column,
+                               wm: java.sql.Date): DataFrame = {
+    val d = wm.toLocalDate
+    source
+      .filter(col("year") > d.getYear ||
+        (col("year") === d.getYear && col("month") >= d.getMonthValue))
+      .filter(dateCol >= lit(wm))
+  }
+
+  /**
    * One incremental model: named transform with a unique key and a
    * watermark expression evaluated against the *target* table. Mirrors
    * dbt's `{{ config(materialized='incremental', unique_key=[...]) }}`.

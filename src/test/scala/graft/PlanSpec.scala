@@ -55,6 +55,25 @@ class PlanSpec extends SparkSpec {
     assert(finalPlanOf("p_silver_projection").contains("*(1) Project"))
   }
 
+  test("watermark-derived predicates prune hive partitions (SURVEY §4)") {
+    import graft.engine.Incremental
+    val root = Files.createTempDirectory("graft_part").toString
+    val silver = graft.ops.StockOps.silverDaily(
+      graft.ops.StockOps.bronzeFromLineitem(Tables.lineitem(spark, dir)))
+      .withColumn("year", year(col("data_pregao")))
+      .withColumn("month", month(col("data_pregao")))
+    silver.write.mode("overwrite").partitionBy("year", "month").parquet(root)
+    val wm = java.sql.Date.valueOf("1997-06-15")
+    val pruned = Incremental.partitionPrunedAtOrAfter(
+      spark.read.parquet(root), col("data_pregao"), wm)
+    val plan = pruned.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("year"),
+      s"no partition pruning:\n$plan")
+    // exactness: pruned read == plain row filter on the same data
+    val plain = spark.read.parquet(root).filter(col("data_pregao") >= lit(wm))
+    assert(pruned.count() == plain.count() && pruned.count() > 0)
+  }
+
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
