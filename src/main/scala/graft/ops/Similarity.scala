@@ -21,18 +21,33 @@ import org.apache.spark.sql.types.DoubleType
  * shape when queries are also a large table.
  */
 object Similarity {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
 
   /** Elements cast to double — float arithmetic differs across engines;
     * double is the common exact currency. */
   private def dbl(v: Column): Column = transform(v, x => x.cast(DoubleType))
 
-  def dot(a: Column, b: Column): Column =
+  /** Higher-order-function formulations — kept as the executable
+    * specification: SimilaritySpec asserts the native expressions below
+    * are bit-identical to these folds. */
+  private[graft] def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(dbl(a), dbl(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private[graft] def cosineFold(a: Column, b: Column): Column =
+    dotFold(a, b) / (norm(a) * norm(b))
+
+  /** Native codegen'd vector ops ([[graft.functions.DotProduct]] /
+    * [[graft.functions.CosineSimilarity]]): same left-to-right double
+    * accumulation compiled into the whole-stage loop instead of an
+    * interpreted lambda per element. */
+  def dot(a: Column, b: Column): Column =
+    column(graft.functions.DotProduct(expression(a), expression(b)))
 
   def norm(a: Column): Column =
     sqrt(aggregate(dbl(a), lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    column(graft.functions.CosineSimilarity(expression(a), expression(b)))
 
   /** DuckDB SQL mirroring [[dot]] — the SAME left-to-right double fold,
     * so results are bit-identical (no tolerance needed in the oracle). */

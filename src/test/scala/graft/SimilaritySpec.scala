@@ -54,6 +54,38 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L)) // orthogonal: no pair
   }
 
+  test("native cosine/dot expressions are bit-identical to the HOF folds") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(q).select(
+      Similarity.cosine(col("embedding"), col("qv")).as("native"),
+      Similarity.cosineFold(col("embedding"), col("qv")).as("fold"),
+      Similarity.dot(col("embedding"), col("qv")).as("native_dot"),
+      Similarity.dotFold(col("embedding"), col("qv")).as("fold_dot"))
+      .collect()
+    assert(both.length > 0)
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), s"cosine differs: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), s"dot differs: $r")
+    }
+  }
+
+  test("native cosine handles nulls and length mismatches like the fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f)),          // length mismatch
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)))    // zero vector → NaN
+      .toDF("a", "b")
+    val rows = df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0).isNaN)
+    val nullRow = df.limit(1).select(
+      Similarity.cosine(lit(null).cast("array<float>"), col("b"))).collect()
+    assert(nullRow(0).isNullAt(0))
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)
