@@ -286,6 +286,40 @@ object RefQueries {
         .orderBy("l_returnflag"),
       None),
 
+    // Exact interpolated percentiles. Deliberately restricted to
+    // binary-exact fractions (.25/.5/.75) over the integer-valued
+    // l_quantity: both engines' interpolation formulas are then exact,
+    // so the hash compare holds without tolerance. (0.9 would expose
+    // formula-order rounding differences between engines.)
+    Q("agg_percentiles",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_quantity"), lit(0.25)).as("p25"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.75)).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, quantile_cont(l_quantity, 0.25) AS p25,
+             |       quantile_cont(l_quantity, 0.5) AS p50,
+             |       quantile_cont(l_quantity, 0.75) AS p75, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Sorted list aggregation (collect_list is order-nondeterministic;
+    // array_sort restores a canonical form the oracle can match).
+    Q("agg_listagg",
+      (s, dir) => {
+        val r = Tables.region(s, dir)
+        val n = Tables.nation(s, dir)
+        r.join(n, r("r_regionkey") === n("n_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy("r_name")
+      },
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM region JOIN nation ON r_regionkey = n_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     // ── Joins (J1-J3 generalized to the full family, SURVEY §2.6) ─────
 
     // Inner 3-way with broadcast dims: the canonical star-schema shape.
