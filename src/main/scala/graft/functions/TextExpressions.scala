@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Karp–Rabin rolling hash as a native codegen'd expression:
+ * `acc = (acc * 31 + codeUnit) mod 1e9+7` over the string's UTF-16
+ * code units. Bit-identical to the higher-order fold formulation in
+ * [[graft.ops.TextOps]] (split-by-"" + `ascii()` visits the same code
+ * units with the same values on BMP text) and to the DuckDB
+ * `list_reduce(string_split(...))` mirror on ASCII corpora, but runs
+ * as a compiled loop instead of two array materializations and an
+ * interpreted lambda per character — the difference between O(bytes)
+ * and O(bytes × interpreter-dispatch) on a 100 TB text scan.
+ */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  final val Mod = 1000000007L
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * 31L + s.charAt(i).toLong) % Mod
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val (s, i, acc) = (ctx.freshName("s"), ctx.freshName("i"), ctx.freshName("acc"))
+      s"""
+         |final String $s = $input.toString();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $s.length(); $i++) {
+         |  $acc = ($acc * 31L + (long) $s.charAt($i)) % ${Mod}L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -116,10 +116,17 @@ object TextOps {
     md5(array_join(array_sort(tokens(text)), " "))
 
   /** Karp–Rabin rolling polynomial hash over characters, mod 1e9+7 —
-    * exact BIGINT arithmetic, reproducible in any engine. */
+    * exact BIGINT arithmetic, reproducible in any engine. Runs as the
+    * native codegen'd [[graft.functions.RollingHash]]; the fold below
+    * is the executable spec (TextOpsSpec asserts bit-parity). */
   val RollMod = 1000000007L
 
-  def rollingHash(text: Column): Column =
+  def rollingHash(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.RollingHash(Bridge.expression(text)))
+  }
+
+  private[graft] def rollingHashFold(text: Column): Column =
     aggregate(
       filter(split(text, ""), c => length(c) > 0),
       lit(0L),

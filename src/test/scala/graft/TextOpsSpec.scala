@@ -28,6 +28,15 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(0) == 96354L)
   }
 
+  test("native rolling hash is bit-identical to the HOF fold on real docs") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+      TextOps.rollingHash(col("text")).as("native"),
+      TextOps.rollingHashFold(col("text")).as("fold"))
+      .filter(col("native") =!= col("fold"))
+    assert(diff.count() == 0)
+  }
+
   test("langId picks marker-word argmax with fixed tiebreak") {
     def lang(s: String) =
       col1(one(s).select(TextOps.langId(col("text")))).getString(0)
