@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality checks — the dbt test surface (`unique`, `not_null`,
+ * `accepted_values`, `relationships`) as engine operators. The
+ * reference ships an empty dbt tests/ scaffold and instructs
+ * `dbt test` (reference: README.md:89, dbt/lakehouse_models/tests/);
+ * its only enforced contracts are runtime ones (unique_key MERGEs,
+ * on_schema_change='fail', quality WHERE-filters — SURVEY.md §5). This
+ * module gives those contracts a declarative, verifiable form: each
+ * check is an aggregate returning its violation count, so a suite is
+ * one union-all job — no driver loops, one pass per table.
+ */
+object Quality {
+
+  /** dbt `unique`: number of key tuples occurring more than once. */
+  def duplicateKeyCount(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1)
+      .agg(count(lit(1)).as("n_violations"))
+
+  /** dbt `not_null`: null count for a column. */
+  def nullCount(df: DataFrame, c: String): DataFrame =
+    df.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_violations"))
+
+  /** dbt `accepted_values`: rows whose column is outside the set. */
+  def notAcceptedCount(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
+    df.agg(sum(when(!col(c).isInCollection(allowed) || col(c).isNull, 1L)
+      .otherwise(0L)).as("n_violations"))
+
+  /** dbt `relationships`: child keys with no parent (referential
+    * integrity) — a left-anti join count. */
+  def orphanCount(child: DataFrame, childKey: String,
+                  parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)), Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+
+  /** Run a named suite of checks as ONE unioned job:
+    * (check_name, n_violations) per check. */
+  def suite(checks: Seq[(String, DataFrame)]): DataFrame =
+    checks.map { case (name, c) =>
+      c.select(lit(name).as("check_name"),
+        coalesce(col("n_violations"), lit(0L)).cast("long").as("n_violations"))
+    }.reduce(_ unionByName _)
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.ops.{Dedup, EventOps, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, EventOps, Multimodal, Quality, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -340,6 +340,43 @@ object ExtQueries {
              |       array_to_string(range(0, CAST(n_frames AS BIGINT), (n_frames + 7) // 8), ',') AS frame_csv,
              |       CAST(floor(width * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_w,
              |       CAST(floor(height * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_h
-             |FROM meta ORDER BY doc_id""".stripMargin))
+             |FROM meta ORDER BY doc_id""".stripMargin)),
+
+    // ── Data-quality suite (the dbt test surface, SURVEY §5) ──────────
+
+    // unique / not_null / accepted_values / relationships over the
+    // orders table, as one unioned aggregate job. The duplicate check
+    // runs against a corpus with INJECTED duplicates (every 100th key
+    // repeated) so the operator provably counts, not just returns 0.
+    Q("q_quality_suite",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val withDups = orders.unionByName(orders.filter(col("o_orderkey") % 100 === 0))
+        Quality.suite(Seq(
+          "unique_o_orderkey" -> Quality.duplicateKeyCount(withDups, Seq("o_orderkey")),
+          "not_null_o_custkey" -> Quality.nullCount(orders, "o_custkey"),
+          "accepted_o_orderstatus" -> Quality.notAcceptedCount(orders, "o_orderstatus",
+            Seq("F", "O", "P")),
+          "orphan_o_custkey" -> Quality.orphanCount(orders, "o_custkey",
+            Tables.customer(s, dir), "c_custkey")))
+          .orderBy("check_name")
+      },
+      Some("""SELECT 'unique_o_orderkey' AS check_name,
+             |       (SELECT count(*) FROM (
+             |          SELECT o_orderkey FROM (SELECT o_orderkey FROM orders UNION ALL
+             |                                  SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0)
+             |          GROUP BY o_orderkey HAVING count(*) > 1)) AS n_violations
+             |UNION ALL
+             |SELECT 'not_null_o_custkey',
+             |       (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+             |UNION ALL
+             |SELECT 'accepted_o_orderstatus',
+             |       (SELECT count(*) FROM orders
+             |        WHERE o_orderstatus NOT IN ('F','O','P') OR o_orderstatus IS NULL)
+             |UNION ALL
+             |SELECT 'orphan_o_custkey',
+             |       (SELECT count(*) FROM orders
+             |        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+             |ORDER BY check_name""".stripMargin))
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Quality
+import org.apache.spark.sql.functions._
+
+class QualitySpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, Some("A"), "ok"),
+      (1L, Some("B"), "ok"),      // duplicate key 1
+      (2L, None, "ok"),           // null col
+      (3L, Some("C"), "bad"))     // not accepted
+      .toDF("k", "v", "status")
+  }
+
+  private def one(d: org.apache.spark.sql.DataFrame): Long =
+    d.collect().head.getLong(0)
+
+  test("duplicateKeyCount counts keys occurring more than once") {
+    assert(one(Quality.duplicateKeyCount(df, Seq("k"))) == 1L)
+  }
+
+  test("nullCount counts nulls") {
+    assert(one(Quality.nullCount(df, "v")) == 1L)
+  }
+
+  test("notAcceptedCount counts out-of-set and null values") {
+    assert(one(Quality.notAcceptedCount(df, "status", Seq("ok"))) == 1L)
+    assert(one(Quality.notAcceptedCount(df, "v", Seq("A", "B", "C"))) == 1L) // the null
+  }
+
+  test("orphanCount counts children without parents") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L).toDF("pk")
+    assert(one(Quality.orphanCount(df, "k", parent, "pk")) == 1L) // key 3
+  }
+
+  test("suite unions all checks into one frame") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Quality.suite(Seq(
+      "uniq" -> Quality.duplicateKeyCount(df, Seq("k")),
+      "nn" -> Quality.nullCount(df, "v"),
+      "orph" -> Quality.orphanCount(df, "k", parent, "pk")))
+      .orderBy("check_name").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("nn", 1L), ("orph", 0L), ("uniq", 1L)))
+  }
+}
