@@ -49,6 +49,19 @@ object Merge {
     existing.join(broadcast(staged.select(keys.map(staged(_)): _*)), keys, "left_anti")
       .unionByName(staged)
 
+  /** Schema-evolving union (the reference's `mergeSchema` write option,
+    * W4, transforme_stock_silver.py:146): columns missing on either
+    * side surface as NULL instead of failing. */
+  def unionEvolving(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b, allowMissingColumns = true)
+
+  /** Insert-only merge under schema evolution: new columns in the
+    * incoming batch widen the table; historical rows read NULL there
+    * (`overwriteSchema`/`mergeSchema` intent, ingest_stocks.py:109). */
+  def insertOnlyMergeEvolving(existing: DataFrame, incoming: DataFrame,
+                              keys: Seq[String]): DataFrame =
+    unionEvolving(existing, freshRows(existing, incoming, keys))
+
   /** dbt `on_schema_change='fail'` (W8): abort when the staged schema
     * drifts from the existing table's (names + types, order-insensitive,
     * nullability ignored — BigQuery's comparison semantics). */

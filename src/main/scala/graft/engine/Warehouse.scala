@@ -71,4 +71,27 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def dropTable(layer: String, table: String): Unit = {
     fs.delete(new Path(path(layer, table)), true); ()
   }
+
+  /** Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files analogue):
+    * rewrite the table into `numFiles` files, optionally clustered by
+    * sort keys for row-group skipping. The reference's daily partitioned
+    * appends (~3 rows/run, ingest_stocks.py:105-111) produce exactly the
+    * small-file accumulation this fixes; at cluster scale run it per
+    * partition on a schedule. Atomic via the same tmp-dir swap. */
+  def compact(layer: String, table: String, numFiles: Int,
+              sortCols: Seq[String] = Nil): Unit = {
+    val df = read(layer, table)
+    val arranged =
+      if (sortCols.nonEmpty)
+        df.repartition(numFiles).sortWithinPartitions(sortCols.map(df(_)): _*)
+      else df.repartition(numFiles)
+    atomicOverwrite(arranged, layer, table)
+  }
+
+  /** Data files of a table (for compaction assertions/monitoring). */
+  def dataFiles(layer: String, table: String): Seq[String] = {
+    val p = new Path(path(layer, table))
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.endsWith(".parquet"))
+  }
 }

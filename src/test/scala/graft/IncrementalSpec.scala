@@ -65,6 +65,33 @@ class IncrementalSpec extends SparkSpec {
     assert(out == Seq(("a", 1.0), ("b", 99.0), ("c", 3.0)))
   }
 
+  test("compact rewrites many small files into few, preserving rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val wh = new Warehouse(spark, root)
+    (1 to 5).foreach { i =>   // five tiny appends → ≥5 files
+      wh.append(Seq((i.toLong, s"row$i")).toDF("id", "v"), "bronze", "t")
+    }
+    assert(wh.dataFiles("bronze", "t").size >= 5)
+    val before = wh.read("bronze", "t").orderBy("id").collect().toSeq
+    wh.compact("bronze", "t", numFiles = 1, sortCols = Seq("id"))
+    assert(wh.dataFiles("bronze", "t").size == 1)
+    assert(wh.read("bronze", "t").orderBy("id").collect().toSeq == before)
+  }
+
+  test("evolving insert-only merge widens schema, old rows read NULL") {
+    import spark.implicits._
+    val existing = Seq(("IBM", "2025-11-14", 1.0)).toDF("t", "d", "v")
+    val incoming = Seq(("IBM", "2025-11-14", 9.0, "dup"), ("NVDA", "2025-11-17", 2.0, "new"))
+      .toDF("t", "d", "v", "src")
+    val out = Merge.insertOnlyMergeEvolving(existing, incoming, Seq("t", "d"))
+      .orderBy("t").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(0) == "IBM" && out(0).getDouble(2) == 1.0
+      && out(0).isNullAt(out(0).fieldIndex("src")))       // old row, new col → NULL
+    assert(out(1).getString(0) == "NVDA" && out(1).getString(3) == "new")
+  }
+
   test("warehouse atomicOverwrite replaces content and survives self-read plans") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_wh_test").toString

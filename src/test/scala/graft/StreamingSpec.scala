@@ -89,6 +89,22 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "v1"), (2L, "v2"))) // later batch won on key 2
   }
 
+  test("running count accumulates state across micro-batches (update mode)") {
+    val dir = eventDir(Seq(
+      Seq((1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+          (2L, "2024-01-01 10:01:00", 1L, "view", 1.0, "{}"),
+          (3L, "2024-01-01 10:02:00", 2L, "click", 1.0, "{}")),
+      Seq((4L, "2024-01-01 10:03:00", 1L, "click", 1.0, "{}"))))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1))
+    StreamOps.runAvailableNowToMemory(
+      StreamOps.streamingRunningCount(stream, "user_id").toDF("key", "n"),
+      "running_out", tmp("graft_ck"), outputMode = "update")
+    // update mode appends each refresh; the max per key is the final count
+    val finals = spark.table("running_out").groupBy("key").agg(max("n").as("n"))
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(finals.toSeq == Seq(("1", 3L), ("2", 1L)))
+  }
+
   test("streaming sessions match batch sessions once all windows close") {
     val dir = eventDir(Seq(baseRows :+
       (99L, "2024-01-02 23:59:59", 99L, "click", 0.0, "{}"))) // sentinel advances watermark
