@@ -435,6 +435,53 @@ object RefQueries {
               |WHERE o_orderkey % 3 = 0
               |ORDER BY o_orderkey""".stripMargin)),
 
+    // As-of join (no native Spark operator — union+window composition,
+    // ops/TemporalJoins.scala): each order picks the latest price
+    // snapshot at-or-before its date per customer. Oracle = DuckDB's
+    // native ASOF LEFT JOIN, an independent implementation.
+    Q("j_asof",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val snaps = orders.filter(col("o_orderkey") % 7 === 0)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_totalprice")).as("snap_price"))
+        graft.ops.TemporalJoins.asofJoin(
+          orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          snaps, key = "o_custkey", leftTs = "o_orderdate", rightTs = "o_orderdate",
+          valueCols = Seq("snap_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH snaps AS (SELECT o_custkey, o_orderdate AS snap_ts,
+             |                      max(o_totalprice) AS snap_price
+             |               FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1, 2)
+             |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, s.snap_price
+             |FROM orders o ASOF LEFT JOIN snaps s
+             |  ON o.o_custkey = s.o_custkey AND o.o_orderdate >= s.snap_ts
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // Range (point-in-interval) join via bin bucketing — the equi-join
+    // rewrite of an inequality join (ops/TemporalJoins.scala). Bands
+    // overlap deliberately (the catch-all row) so points match multiple
+    // intervals.
+    Q("j_range",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          (0, 100000), (100000, 200000), (200000, 300000), (300000, 400000),
+          (400000, 500000), (500000, 700000), (0, 700000))
+          .toDF("band_start", "band_end")
+        graft.ops.TemporalJoins.pointIntervalJoin(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+          bands, "o_totalprice", "band_start", "band_end", binSize = 50000L)
+          .orderBy("o_orderkey", "band_start", "band_end")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, band_start, band_end
+             |FROM orders JOIN (VALUES (0, 100000), (100000, 200000), (200000, 300000),
+             |                         (300000, 400000), (400000, 500000), (500000, 700000),
+             |                         (0, 700000)) b(band_start, band_end)
+             |  ON band_start <= o_totalprice AND o_totalprice < band_end
+             |ORDER BY o_orderkey, band_start, band_end""".stripMargin)),
+
     // ── Sorts / set ops ────────────────────────────────────────────────
 
     // O1: global multi-column sort (range-partitioned total order).

@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.TemporalJoins
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    import spark.implicits._
+    val left = Seq(
+      ("c1", 10L, "o1"), ("c1", 20L, "o2"), ("c1", 25L, "o3"),
+      ("c2", 5L, "o4"))
+      .toDF("k", "ts", "oid")
+    val right = Seq(
+      ("c1", 10L, 1.0),   // exactly at o1's ts → matched (<=)
+      ("c1", 15L, 2.0),   // latest before o2 and o3
+      ("c2", 9L, 9.0))    // after o4 → o4 unmatched
+      .toDF("k", "ts", "price")
+    val out = TemporalJoins.asofJoin(left, right, "k", "ts", "ts", Seq("price"))
+      .orderBy("oid").collect()
+      .map(r => (r.getAs[String]("oid"), Option(r.getAs[java.lang.Double]("price"))))
+    assert(out.toSeq == Seq(
+      ("o1", Some(1.0)), ("o2", Some(2.0)), ("o3", Some(2.0)), ("o4", None)))
+  }
+
+  test("pointIntervalJoin matches exact containment, start-inclusive") {
+    import spark.implicits._
+    val points = Seq(0L, 99L, 100L, 250L).toDF("p")
+    val intervals = Seq((0L, 100L), (100L, 200L), (0L, 300L)).toDF("s", "e")
+    val out = TemporalJoins.pointIntervalJoin(points, intervals, "p", "s", "e", binSize = 64L)
+      .orderBy("p", "s", "e").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 100L), (0L, 0L, 300L),
+      (99L, 0L, 100L), (99L, 0L, 300L),
+      (100L, 0L, 300L), (100L, 100L, 200L),
+      (250L, 0L, 300L)))
+  }
+
+  test("pointIntervalJoin emits each match exactly once across bin sizes") {
+    import spark.implicits._
+    val points = (0L to 500L by 7).toDF("p")
+    val intervals = Seq((0L, 100L), (50L, 450L), (449L, 450L)).toDF("s", "e")
+    val expected = points.crossJoin(intervals)
+      .filter(col("s") <= col("p") && col("p") < col("e"))
+      .count()
+    Seq(1L, 13L, 100L, 1000L).foreach { bin =>
+      val n = TemporalJoins.pointIntervalJoin(points, intervals, "p", "s", "e", bin).count()
+      assert(n == expected, s"binSize $bin: $n != $expected")
+    }
+  }
+}
