@@ -435,6 +435,32 @@ object RefQueries {
               |WHERE o_orderkey % 3 = 0
               |ORDER BY o_orderkey""".stripMargin)),
 
+    // Fact-to-fact shuffle join (TPC-H Q3/Q4 shape): lineitem ⋈ orders
+    // on the orderkey both sides are large on — the sort-merge/shuffled-
+    // hash path with AQE coalescing, unlike the broadcast star joins.
+    // Filters push to BOTH scans before the join.
+    Q("j_fact_join",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .filter(o("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+            && li("l_shipdate") > o("o_orderdate"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS n_lines,
+              |       count(DISTINCT o_orderkey) AS n_orders,
+              |       ${Det.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND l_shipdate > o_orderdate
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // As-of join (no native Spark operator — union+window composition,
     // ops/TemporalJoins.scala): each order picks the latest price
     // snapshot at-or-before its date per customer. Oracle = DuckDB's
