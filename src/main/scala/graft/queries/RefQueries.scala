@@ -82,6 +82,30 @@ object RefQueries {
       },
       Some("SELECT p_partkey, p_name, p_brand, p_size FROM part ORDER BY p_partkey")),
 
+    // S8-gen: JSON-lines write→read roundtrip with an EXPLICIT read
+    // schema (inference on JSON mangles dates/decimals) — the file-based
+    // generalization of the reference's API-JSON ingestion.
+    Q("s8_json_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_json_${new java.io.File(dir).getName}"
+        Tables.supplier(s, dir).write.mode("overwrite").json(out)
+        s.read.schema(Tables.supplier(s, dir).schema).json(out)
+          .orderBy("s_suppkey")
+      },
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // S9-gen: ORC roundtrip — the second columnar format users expect
+    // next to parquet (built-in datasource, same pushdown machinery).
+    Q("s9_orc_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_orc_${new java.io.File(dir).getName}"
+        Tables.nation(s, dir).write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .filter(col("n_regionkey") < 3)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation WHERE n_regionkey < 3 ORDER BY n_nationkey")),
+
     // ── Projections / scalar functions ────────────────────────────────
 
     // P1-P5 + P8 + P11: renames, DATE cast, DECIMAL(30,8) casts, derived

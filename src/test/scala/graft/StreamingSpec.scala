@@ -105,6 +105,37 @@ class StreamingSpec extends SparkSpec {
     assert(finals.toSeq == Seq(("1", 3L), ("2", 1L)))
   }
 
+  test("stream-stream join correlates events within the time bound") {
+    val dir = eventDir(Seq(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),
+      (2L, "2024-01-01 10:20:00", 1L, "purchase", 5.0, "{}"),   // within 1h of click 1
+      (3L, "2024-01-01 12:00:00", 1L, "purchase", 7.0, "{}"),   // outside the bound
+      (4L, "2024-01-01 10:10:00", 2L, "purchase", 9.0, "{}"),   // other user, no click
+      (99L, "2024-01-02 23:00:00", 99L, "view", 0.0, "{}"))))   // watermark sentinel
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir))
+    StreamOps.runAvailableNowToMemory(
+      StreamOps.correlatedEvents(stream, "click", "purchase", "1 hour"),
+      "corr_out", tmp("graft_ck"))
+    val out = spark.table("corr_out").orderBy("a_id", "b_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 2L)))
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per key across batches") {
+    val dir = eventDir(Seq(
+      Seq((1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "a"),
+          (1L, "2024-01-01 10:00:30", 1L, "click", 1.0, "b")),  // dup id, same batch
+      Seq((1L, "2024-01-01 10:05:00", 1L, "click", 1.0, "c"),   // dup id, next batch
+          (2L, "2024-01-01 10:06:00", 2L, "view", 2.0, "d"))))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1))
+    StreamOps.runAvailableNowToMemory(
+      StreamOps.dedupWithinWatermark(stream, Seq("event_id"), "1 hour"),
+      "ddwm_out", tmp("graft_ck"))
+    val out = spark.table("ddwm_out").orderBy("event_id")
+      .collect().map(_.getAs[Long]("event_id"))
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
   test("streaming sessions match batch sessions once all windows close") {
     val dir = eventDir(Seq(baseRows :+
       (99L, "2024-01-02 23:59:59", 99L, "click", 0.0, "{}"))) // sentinel advances watermark
