@@ -101,10 +101,14 @@ object Incremental {
     }
 
     /** Run every model in dependency order against `wh`. Sources not
-      * produced by any model must be present in `externalSources`. */
-    def runAll(wh: Warehouse, externalSources: Map[String, DataFrame]): Unit = {
+      * produced by any model must be present in `externalSources`.
+      * `fullRefresh` drops each target first and rebuilds from scratch —
+      * dbt's `--full-refresh` (reference: README.md:88). */
+    def runAll(wh: Warehouse, externalSources: Map[String, DataFrame],
+               fullRefresh: Boolean = false): Unit = {
       val produced = scala.collection.mutable.Map[String, DataFrame]() ++ externalSources
       topoOrder.foreach { m =>
+        if (fullRefresh) wh.dropTable(m.layer, m.name)
         runModel(wh, m, produced.toMap)
         produced(m.name) = wh.read(m.layer, m.name)
       }

@@ -681,6 +681,29 @@ object RefQueries {
              |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // RANGE-framed window: trailing-30-day sum per customer — the frame
+    // is value-based (all orders within 30 days), not row-count-based,
+    // so ties are included and the result is deterministic without a
+    // unique tiebreak.
+    Q("w_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dayNum = datediff(col("o_orderdate").cast(DateType), lit("1970-01-01").cast(DateType))
+        val w = Window.partitionBy(col("o_custkey")).orderBy(dayNum)
+          .rangeBetween(-30, 0)
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("trailing_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey
+             |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+             |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // ── Medallion pipeline end-to-end through the warehouse ────────────
 
     // The whole engine lifecycle (W1-W8, F1-F4, A1-A2) through

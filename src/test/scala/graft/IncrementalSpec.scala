@@ -65,6 +65,25 @@ class IncrementalSpec extends SparkSpec {
     assert(out == Seq(("a", 1.0), ("b", 99.0), ("c", 3.0)))
   }
 
+  test("full refresh rebuilds from scratch, discarding stale rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fr").toString
+    val wh = new Warehouse(spark, root)
+    val model = Incremental.Model("t", "silver", Seq(), Seq("k"), "d",
+      (in, wm) => wm.map(w => in("src").filter(col("d") >= lit(w))).getOrElse(in("src")))
+    def src(rows: Seq[(String, String, Double)]) =
+      rows.toDF("k", "d", "v").withColumn("d", col("d").cast("date"))
+    val reg = new Incremental.Registry(Seq(model))
+    reg.runAll(wh, Map("src" -> src(Seq(("a", "2025-01-01", 1.0), ("b", "2025-01-02", 2.0)))))
+    // source shrank (row b deleted upstream): incremental run keeps b...
+    val shrunk = src(Seq(("a", "2025-01-01", 1.0)))
+    reg.runAll(wh, Map("src" -> shrunk))
+    assert(wh.read("silver", "t").count() == 2)
+    // ...full refresh drops it
+    reg.runAll(wh, Map("src" -> shrunk), fullRefresh = true)
+    assert(wh.read("silver", "t").count() == 1)
+  }
+
   test("compact rewrites many small files into few, preserving rows") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
