@@ -121,6 +121,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /**
+   * Connected components over near-dup pairs by iterative min-label
+   * propagation: every doc adopts the smallest id reachable through
+   * pair edges; converged components ARE the duplicate groups. The
+   * loop is a driver-side iteration of JOINS (each a distributed
+   * shuffle) — iterations needed = graph diameter, which for near-dup
+   * clusters is tiny (dup groups are cliques or short chains), so 5-10
+   * rounds close 100 TB corpora. The driver holds only the
+   * changed-label COUNT per round, never data.
+   *
+   * @param pairs (id_a, id_b) undirected edges
+   * @return (id, component) — component = min id in the component
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .unionByName(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id"))
+      .union(edges.select(col("id_b").as("id"))).distinct()
+      .withColumn("component", col("id"))
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // each node pulls the smallest label among itself and its neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "id_b"), Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"),
+          (col("n_comp") < col("component")).as("__changed"))
+      updated.cache()
+      changed = updated.filter(col("__changed")).count()
+      labels = updated.drop("__changed")
+      iter += 1
+    }
+    labels
+  }
+
+  /** Corpus dedup end-to-end: given near-dup pairs, keep ONE doc per
+    * component (the min id) plus every unpaired doc. */
+  def dedupByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.filter(col("id") =!= col("component")).select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** 64-bit SimHash over word hashes (uniform weights): bit j of the
     * sketch is 1 iff the sum of ±1 votes from token-hash bits is > 0.
     *

@@ -124,6 +124,40 @@ object Similarity {
       .select(col("query_id"), col("item_id"), col("cosine"), col("rn"))
   }
 
+  /**
+   * Distributed Lloyd's k-means over an embedding column, built from
+   * [[ivfAssign]]: assign → element-wise mean per cluster → repeat.
+   * The mean runs as posexplode + (cluster, position) grouped AVG —
+   * fully distributed, no vector ever on the driver; the driver loop
+   * holds only the iteration counter. Initial centroids = the first k
+   * vectors by id (deterministic). Empty clusters keep their previous
+   * centroid. This is the "train" half of the IVF index; at 100 TB run
+   * it on a sample, then one final [[ivfAssign]] pass over everything.
+   */
+  def kmeans(emb: DataFrame, vecCol: String, idCol: String,
+             k: Int, iterations: Int): DataFrame = {
+    var centroids = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    (1 to iterations).foreach { _ =>
+      val assigned = ivfAssign(emb, vecCol, idCol, centroids, "c_vec", "c_id")
+        .select(col(idCol), col("centroid_id"))
+        .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id").as("c_id"),
+          expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("c_vec"))
+      // empty clusters keep their previous centroid
+      centroids = means.unionByName(
+        centroids.join(means.select(col("c_id")), Seq("c_id"), "left_anti"))
+      centroids.cache()
+    }
+    centroids
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among
     * same-LSH-bucket candidates (the embedding analogue of MinHash). */
   def embeddingNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,

@@ -117,6 +117,21 @@ object ExtQueries {
         maxHamming = 3).orderBy("id_a", "id_b"),
       None),
 
+    // End-to-end corpus dedup: duplicate pairs → connected components
+    // (iterative min-label propagation) → drop every non-representative.
+    // Ground truth: pruning the injected copies must reproduce EXACTLY
+    // the original documents table, which is the oracle.
+    Q("dd_pipeline",
+      (s, dir) => {
+        val corpus = dupCorpus(s, dir)
+        val a = corpus.select(col("doc_id").as("id_a"), col("text"))
+        val b = corpus.select(col("doc_id").as("id_b"), col("text"))
+        val pairs = a.join(b, Seq("text")).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        Dedup.dedupByPairs(corpus, "doc_id", pairs).orderBy("doc_id")
+      },
+      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+
     // ── Text analysis ──────────────────────────────────────────────────
 
     // Per-document stats: token/stopword counts, quality score,

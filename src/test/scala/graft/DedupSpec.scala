@@ -51,6 +51,27 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("connected components merge transitive near-dup chains") {
+    import spark.implicits._
+    // 1-2, 2-3 (chain → one component), 10-11, and 20-21-22 clique
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comps.toSeq == Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L)))
+  }
+
+  test("dedupByPairs keeps one representative per component plus unpaired docs") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 99L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 10L, 99L)) // min of each component + untouched 99
+  }
+
   test("minhash LSH surfaces exact duplicates with est_jaccard 1.0") {
     val out = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 3, k = 16, bands = 4, minEstJaccard = 0.9)

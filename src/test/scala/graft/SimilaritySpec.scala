@@ -86,6 +86,22 @@ class SimilaritySpec extends SparkSpec {
     assert(nullRow(0).isNullAt(0))
   }
 
+  test("kmeans separates two obvious clusters and assigns all points") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(0.9f, 0.1f)), (2L, Array(1.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.95f)), (5L, Array(0.05f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeans(pts, "embedding", "vec_id", k = 2, iterations = 3)
+    assert(cents.count() == 2)
+    val assign = Similarity.ivfAssign(pts, "embedding", "vec_id", cents, "c_vec", "c_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // ids 0-2 share a centroid; ids 3-5 share the other
+    assert(Set(assign(0L), assign(1L), assign(2L)).size == 1)
+    assert(Set(assign(3L), assign(4L), assign(5L)).size == 1)
+    assert(assign(0L) != assign(3L))
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)
