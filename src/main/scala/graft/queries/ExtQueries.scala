@@ -124,9 +124,11 @@ object ExtQueries {
     Q("dd_pipeline",
       (s, dir) => {
         val corpus = dupCorpus(s, dir)
-        val a = corpus.select(col("doc_id").as("id_a"), col("text"))
-        val b = corpus.select(col("doc_id").as("id_b"), col("text"))
-        val pairs = a.join(b, Seq("text")).where(col("id_a") < col("id_b"))
+        // pair on the md5 fingerprint, not the text: the shuffle carries
+        // 16-byte keys instead of whole documents
+        val a = corpus.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
+        val b = corpus.select(col("doc_id").as("id_b"), md5(col("text")).as("fp"))
+        val pairs = a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"))
         Dedup.dedupByPairs(corpus, "doc_id", pairs).orderBy("doc_id")
       },
