@@ -50,26 +50,27 @@ object Dedup {
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double, maxDf: Int): DataFrame = {
+    // ONE tokenize+shingle pass: group per doc (count travels with the
+    // shingle array), re-explode from the grouped arrays (array scan,
+    // not a second tokenization), then posting lists per shingle carry
+    // (id, n_sh) structs — so pair expansion yields the Jaccard
+    // denominators directly and no count-join is needed afterwards.
     val sh = shingles(docs, idCol, textCol, n)
-    val counts = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    // Posting list per shingle (one aggregation does df-counting AND
-    // candidate grouping); pairs expand in-array from each ≤maxDf
-    // posting — no posting-list self-join shuffle, and the shingle
-    // explosion is computed twice instead of three times.
-    val postings = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val perDoc = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"), collect_list(col("shingle")).as("shs"))
+    val postingRows = perDoc.select(col(idCol), col("n_sh"), explode(col("shs")).as("shingle"))
+    val postings = postingRows.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n")))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
-    val shared = postings
+    postings
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(slice(ids, i + 1, size(ids) - i),
-          |       y -> struct(element_at(ids, i) AS id_a, y AS id_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+          |       y -> struct(element_at(ids, i).id AS id_a, element_at(ids, i).n AS n_a,
+          |                   y.id AS id_b, y.n AS n_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.n_a"), col("p.id_b"), col("p.n_b"))
+      .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(counts.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(counts.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("n_shared").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
