@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SQL registration for the native expressions, so `spark.sql("SELECT
+ * graft_cosine(a, b) ...")` works for SQL-only users:
+ *
+ *  - [[GraftExtensions]] is the `spark.sql.extensions` entry point
+ *    (`--conf spark.sql.extensions=graft.functions.GraftExtensions`)
+ *    for cluster deployments;
+ *  - [[GraftFunctions.register]] injects into an existing session
+ *    (tests, notebooks).
+ */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> { args => CosineSimilarity(args(0), args(1)) },
+    "graft_dot" -> { args => DotProduct(args(0), args(1)) },
+    "graft_rolling_hash" -> { args => RollingHash(args(0)) })
+
+  private def info(name: String) =
+    new ExpressionInfo("graft.functions.GraftFunctions", name)
+
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info(name), builder)
+    }
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+}
+
+/** `spark.sql.extensions` hook. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}

@@ -162,6 +162,21 @@ object ExtQueries {
               |  ${TextOps.rollingHashSql("text")} AS roll_hash
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Vocabulary / document-frequency: explode distinct tokens per doc,
+    // count docs per token, keep the head of the distribution — the
+    // term-frequency pass every corpus pipeline starts with.
+    Q("t_term_freq",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(array_distinct(TextOps.tokens(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("token"))
+        .limit(30),
+      Some(s"""SELECT token, count(*) AS doc_freq
+              |FROM (SELECT unnest(list_distinct(${TextOps.tokensSql("text")})) AS token
+              |      FROM documents)
+              |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 30""".stripMargin)),
+
     // Corpus rollup by detected language — the filter-then-aggregate
     // shape of a corpus quality report (one shuffle; exact aggregates).
     Q("t_corpus_by_lang",

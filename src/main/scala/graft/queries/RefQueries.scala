@@ -154,6 +154,22 @@ object RefQueries {
              |       (o_orderdate AT TIME ZONE 'UTC') AT TIME ZONE 'America/Sao_Paulo' AS data_local
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
 
+    // Null-handling scalar surface: coalesce / nullif / nvl2-style
+    // branching over a column made sparsely null by nullif.
+    Q("p_null_handling",
+      (s, dir) => Tables.customer(s, dir).select(
+        col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(default)")).as("seg_filled"),
+        when(nullif(col("c_mktsegment"), lit("BUILDING")).isNull, lit(0))
+          .otherwise(lit(1)).cast(IntegerType).as("has_seg"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+             |       coalesce(nullif(c_mktsegment, 'BUILDING'), '(default)') AS seg_filled,
+             |       CAST(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL
+             |                 THEN 0 ELSE 1 END AS INTEGER) AS has_seg
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
     // ── Filters ────────────────────────────────────────────────────────
 
     // F2: quality predicates (daily_stocks.sql:26-27).
@@ -680,6 +696,29 @@ object RefQueries {
              |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
              |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
              |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Distribution window functions + frame endpoints over a unique
+    // per-partition order.
+    Q("w_distribution",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first_value(col("o_orderkey")).over(w).as("cheapest_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume,
+             |  first_value(o_orderkey) OVER w AS cheapest_order,
+             |  nth_value(o_orderkey, 2) OVER w AS second_cheapest
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // RANGE-framed window: trailing-30-day sum per customer — the frame
     // is value-based (all orders within 30 days), not row-count-based,

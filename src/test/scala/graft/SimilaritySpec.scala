@@ -102,6 +102,17 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(0L) != assign(3L))
   }
 
+  test("native functions are SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       graft_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
+        |       graft_rolling_hash('abc') AS h""".stripMargin).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 23.0 && r.getLong(2) == 96354L)
+    // the spark.sql.extensions entry point wires the same set
+    new graft.functions.GraftExtensions() // constructible for --conf use
+  }
+
   test("hyperplanes are deterministic for a fixed seed") {
     val a = Similarity.hyperplanes(4, 8)
     val b = Similarity.hyperplanes(4, 8)
