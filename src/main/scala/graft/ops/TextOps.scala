@@ -107,6 +107,14 @@ object TextOps {
        |     ELSE 'fr' END""".stripMargin
   }
 
+  /** Context-length truncation: keep the first `maxTokens` tokens
+    * (the standard pre-tokenizer cap before expensive BPE). */
+  def truncateTokens(text: Column, maxTokens: Int): Column =
+    array_join(slice(tokens(text), 1, maxTokens), " ")
+
+  def truncateTokensSql(col: String, maxTokens: Int): String =
+    s"array_to_string(list_slice(${tokensSql(col)}, 1, $maxTokens), ' ')"
+
   /** Content fingerprint: exact (md5 of raw text) and token-order-
     * insensitive (md5 of sorted token list) — the bag-of-words
     * canonical form used for near-exact dedup. */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.ops.{Dedup, EventOps, Multimodal, Quality, Similarity, TextOps}
+import graft.ops.{Dedup, EventOps, Multimodal, Packing, Quality, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -176,6 +176,40 @@ object ExtQueries {
               |FROM (SELECT unnest(list_distinct(${TextOps.tokensSql("text")})) AS token
               |      FROM documents)
               |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 30""".stripMargin)),
+
+    // Context-length truncation: first-20-token cap per doc.
+    Q("t_truncate",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.truncateTokens(col("text"), 20).as("truncated"),
+        TextOps.tokenCount(TextOps.truncateTokens(col("text"), 20)).as("n_after"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
+              |       ${TextOps.truncateTokensSql("text", 20)} AS truncated,
+              |       CAST(len(list_filter(string_split(${TextOps.truncateTokensSql("text", 20)}, ' '),
+              |                            t -> len(t) > 0)) AS BIGINT) AS n_after
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing: shard-parallel greedy binning of documents into
+    // ~512-token training sequences (ops/Packing.scala).
+    Q("t_pack",
+      (s, dir) => Packing.packDocuments(
+        Tables.documents(s, dir), "doc_id", "text", binTokens = 512L, shards = 8)
+        .orderBy("shard", "bin"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok,
+             |         doc_id % 8 AS shard
+             |  FROM documents),
+             |c AS (SELECT doc_id, text, n_tok, shard,
+             |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+             |      FROM t)
+             |SELECT shard, CAST(floor(start_off / 512.0) AS BIGINT) AS bin,
+             |       count(*) AS n_docs, sum(n_tok) AS n_tokens,
+             |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+             |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
 
     // Corpus rollup by detected language — the filter-then-aggregate
     // shape of a corpus quality report (one shuffle; exact aggregates).
