@@ -232,6 +232,38 @@ object ExtQueries {
               |      FROM documents)
               |GROUP BY lang_guess ORDER BY lang_guess""".stripMargin)),
 
+    // CAPSTONE: the full training-data flow in one plan — corpus with
+    // duplicates → quality filter → exact dedup (min-id representative
+    // per fingerprint) → shard-parallel sequence packing. Everything
+    // upstream of the pack is narrow or a single hash shuffle.
+    Q("td_pipeline",
+      (s, dir) => {
+        val filtered = dupCorpus(s, dir)
+          .filter(TextOps.qualityScore(col("text")) >= 0.5)
+        val deduped = filtered
+          .groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+          .select(col("doc_id"), col("text"))
+        Packing.packDocuments(deduped, "doc_id", "text", binTokens = 512L, shards = 8)
+          .orderBy("shard", "bin")
+      },
+      Some(s"""WITH $dupCorpusSql,
+              |filtered AS (SELECT doc_id, text FROM corpus
+              |             WHERE ${TextOps.qualityScoreSql("text")} >= 0.5),
+              |deduped AS (SELECT min(doc_id) AS doc_id, text FROM filtered GROUP BY md5(text), text),
+              |t AS (SELECT doc_id, text,
+              |             CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok,
+              |             doc_id % 8 AS shard
+              |      FROM deduped),
+              |c AS (SELECT doc_id, text, n_tok, shard,
+              |             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+              |                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+              |      FROM t)
+              |SELECT shard, CAST(floor(start_off / 512.0) AS BIGINT) AS bin,
+              |       count(*) AS n_docs, sum(n_tok) AS n_tokens,
+              |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
+              |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
+
     // ── Similarity search ──────────────────────────────────────────────
 
     // Brute-force cosine top-k against one query vector: the query side
