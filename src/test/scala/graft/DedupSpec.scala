@@ -79,6 +79,18 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(2) == 1.0)
   }
 
+  test("dedup operators are total on empty and trivial corpora") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactDedup(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.jaccardPairs(empty, "doc_id", "text", 3, 0.5, 10).count() == 0)
+    assert(Dedup.minhashLshPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.simhashPairs(empty, "doc_id", "text").count() == 0)
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(Dedup.dedupByPairs(docs, "doc_id", noPairs).count() == 1)
+  }
+
   test("simhash of identical docs is identical; pairs found at hamming 0") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.getLong(1))

@@ -51,6 +51,22 @@ class MergeSpec extends SparkSpec {
     assert(ab.orderBy("t", "d").collect().toSeq == ba.orderBy("t", "d").collect().toSeq)
   }
 
+  test("upsertSmallStaged (broadcast hint) equals plain upsert") {
+    import spark.implicits._
+    val staged = Seq(("IBM", "2025-11-14", 99.0), ("NVDA", "2025-11-14", 4.0)).toDF("t", "d", "v")
+    val plain = Merge.upsert(existing, staged, Seq("t", "d")).orderBy("t", "d").collect()
+    val hinted = Merge.upsertSmallStaged(existing, staged, Seq("t", "d")).orderBy("t", "d").collect()
+    assert(plain.toSeq == hinted.toSeq)
+  }
+
+  test("evolving merge on identical schemas equals the strict merge") {
+    import spark.implicits._
+    val incoming = Seq(("IBM", "2025-11-17", 3.0)).toDF("t", "d", "v")
+    val strict = Merge.insertOnlyMerge(existing, incoming, Seq("t", "d")).orderBy("t", "d").collect()
+    val evolving = Merge.insertOnlyMergeEvolving(existing, incoming, Seq("t", "d")).orderBy("t", "d").collect()
+    assert(strict.toSeq == evolving.toSeq)
+  }
+
   test("schemaGuard passes on reordered columns, fails on drift") {
     import spark.implicits._
     val reordered = existing.select(col("v"), col("d"), col("t"))
