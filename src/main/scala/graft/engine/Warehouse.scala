@@ -73,25 +73,37 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   }
 
   /** Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files analogue):
-    * rewrite the table into `numFiles` files, optionally clustered by
-    * sort keys for row-group skipping. The reference's daily partitioned
-    * appends (~3 rows/run, ingest_stocks.py:105-111) produce exactly the
+    * rewrite the table into `numFiles` files (per partition when
+    * `partitionBy` is set — pass it for hive-partitioned tables or the
+    * rewrite flattens the layout), optionally clustered by sort keys for
+    * row-group skipping. The reference's daily partitioned appends
+    * (~3 rows/run, ingest_stocks.py:105-111) produce exactly the
     * small-file accumulation this fixes; at cluster scale run it per
     * partition on a schedule. Atomic via the same tmp-dir swap. */
   def compact(layer: String, table: String, numFiles: Int,
-              sortCols: Seq[String] = Nil): Unit = {
+              sortCols: Seq[String] = Nil,
+              partitionBy: Seq[String] = Nil): Unit = {
     val df = read(layer, table)
+    val repartitioned =
+      if (partitionBy.nonEmpty)
+        df.repartition(numFiles, partitionBy.map(df(_)): _*)
+      else df.repartition(numFiles)
     val arranged =
       if (sortCols.nonEmpty)
-        df.repartition(numFiles).sortWithinPartitions(sortCols.map(df(_)): _*)
-      else df.repartition(numFiles)
-    atomicOverwrite(arranged, layer, table)
+        repartitioned.sortWithinPartitions(sortCols.map(df(_)): _*)
+      else repartitioned
+    atomicOverwrite(arranged, layer, table, partitionBy)
   }
 
-  /** Data files of a table (for compaction assertions/monitoring). */
+  /** Data files of a table, recursing into hive partition directories
+    * (for compaction assertions/monitoring). */
   def dataFiles(layer: String, table: String): Seq[String] = {
-    val p = new Path(path(layer, table))
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).toSeq.map(_.getPath.getName).filter(_.endsWith(".parquet"))
+    val root = new Path(path(layer, table))
+    if (!fs.exists(root)) return Nil
+    def walk(p: Path): Seq[Path] = {
+      val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+      files.map(_.getPath) ++ dirs.flatMap(d => walk(d.getPath))
+    }
+    walk(root).map(_.getName).filter(_.endsWith(".parquet"))
   }
 }

@@ -17,10 +17,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  */
 object GraftFunctions {
 
+  private def arity(name: String, n: Int)(f: Seq[Expression] => Expression)
+  : Seq[Expression] => Expression = { args =>
+    if (args.length != n) throw new IllegalArgumentException(
+      s"$name expects $n argument(s), got ${args.length}")
+    f(args)
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine" -> { args => CosineSimilarity(args(0), args(1)) },
-    "graft_dot" -> { args => DotProduct(args(0), args(1)) },
-    "graft_rolling_hash" -> { args => RollingHash(args(0)) })
+    "graft_cosine" -> arity("graft_cosine", 2) { args => CosineSimilarity(args(0), args(1)) },
+    "graft_dot" -> arity("graft_dot", 2) { args => DotProduct(args(0), args(1)) },
+    "graft_rolling_hash" -> arity("graft_rolling_hash", 1) { args => RollingHash(args(0)) })
 
   private def info(name: String) =
     new ExpressionInfo("graft.functions.GraftFunctions", name)

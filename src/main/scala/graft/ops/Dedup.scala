@@ -141,6 +141,7 @@ object Dedup {
     var labels = edges.select(col("id_a").as("id"))
       .union(edges.select(col("id_b").as("id"))).distinct()
       .withColumn("component", col("id"))
+    var prev: Option[DataFrame] = None
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -154,10 +155,16 @@ object Dedup {
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"),
           (col("n_comp") < col("component")).as("__changed"))
       updated.cache()
-      changed = updated.filter(col("__changed")).count()
+      changed = updated.filter(col("__changed")).count() // materializes the cache
+      prev.foreach(_.unpersist())
+      prev = Some(updated)
       labels = updated.drop("__changed")
       iter += 1
     }
+    // silent non-convergence would let duplicates survive dedupByPairs —
+    // fail loudly instead (raise maxIter: rounds needed = graph diameter)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations ($changed labels still changing)")
     labels
   }
 
@@ -176,7 +183,9 @@ object Dedup {
     * conditional SUMs (map-side partial agg keeps the shuffle at one
     * narrow row per (doc, partition)). A nested higher-order-function
     * fold computes the same sketch but runs interpreted, ~10× slower
-    * at sf0.1. Docs with zero tokens produce no row. */
+    * at sf0.1. Zero-token docs keep sketch 0 (all-zero votes) — the
+    * most common duplicate class in web corpora is the empty page, and
+    * dropping them from the sketch table would hide exactly those. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__t"))
@@ -184,9 +193,12 @@ object Dedup {
     val voteCols = (0 until 64).map(b =>
       sum(when(expr(s"(shiftrightunsigned(__h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"__b$b"))
     val packed = (0 until 64).map(b => s"IF(__b$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")
-    hashed.groupBy(col(idCol))
+    val sketches = hashed.groupBy(col(idCol))
       .agg(voteCols.head, voteCols.tail: _*)
       .select(col(idCol), expr(packed).as("simhash"))
+    docs.select(col(idCol))
+      .join(sketches, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; docs agreeing on

@@ -22,14 +22,15 @@ object Quality {
       .filter(col("count") > 1)
       .agg(count(lit(1)).as("n_violations"))
 
-  /** dbt `not_null`: null count for a column. */
+  /** dbt `not_null`: null count for a column (0 on an empty table —
+    * SUM alone yields NULL there). */
   def nullCount(df: DataFrame, c: String): DataFrame =
-    df.agg(sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_violations"))
+    df.agg(coalesce(sum(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)).as("n_violations"))
 
   /** dbt `accepted_values`: rows whose column is outside the set. */
   def notAcceptedCount(df: DataFrame, c: String, allowed: Seq[String]): DataFrame =
-    df.agg(sum(when(!col(c).isInCollection(allowed) || col(c).isNull, 1L)
-      .otherwise(0L)).as("n_violations"))
+    df.agg(coalesce(sum(when(!col(c).isInCollection(allowed) || col(c).isNull, 1L)
+      .otherwise(0L)), lit(0L)).as("n_violations"))
 
   /** dbt `relationships`: child keys with no parent (referential
     * integrity) — a left-anti join count. */

@@ -151,9 +151,11 @@ object Similarity {
         .select(col("centroid_id").as("c_id"),
           expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("c_vec"))
       // empty clusters keep their previous centroid
-      centroids = means.unionByName(
+      val next = means.unionByName(
         centroids.join(means.select(col("c_id")), Seq("c_id"), "left_anti"))
-      centroids.cache()
+      next.cache().count() // materialize before dropping the parent cache
+      if (centroids.storageLevel.useMemory) centroids.unpersist()
+      centroids = next
     }
     centroids
   }

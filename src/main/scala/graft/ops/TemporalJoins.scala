@@ -32,21 +32,29 @@ object TemporalJoins {
    */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    // values ride in ONE nullable struct: null marks "no right row yet",
+    // while a right row whose value fields are NULL still counts as the
+    // latest snapshot (matching DuckDB ASOF) — last(value, ignoreNulls)
+    // per column would skip it and resurface a stale older value.
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-      .withColumns(valueCols.map(v => v -> lit(null).cast(right.schema(v).dataType)).toMap)
+      .withColumn("__vals",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          valueCols.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))))
     val rTagged = right.select(
-      (col(key) +: col(rightTs).as("__ts") +: valueCols.map(col)): _*)
+      col(key), col(rightTs).as("__ts"),
+      struct(valueCols.map(col): _*).as("__vals"))
       .withColumn("__side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows (__side=0) sort before left rows at equal ts → `<=`
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = valueCols.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn("__latest", last(col("__vals"), ignoreNulls = true).over(w))
+    val out = valueCols.foldLeft(filled) { (df, v) =>
+      df.withColumn(v, col(s"__latest.$v"))
     }
-    filled.filter(col("__side") === 1).drop("__ts", "__side")
+    out.filter(col("__side") === 1).drop("__ts", "__side", "__vals", "__latest")
   }
 
   /**
@@ -60,8 +68,14 @@ object TemporalJoins {
                         pointCol: String, startCol: String, endCol: String,
                         binSize: Long): DataFrame = {
     val binnedPoints = points.withColumn("__bin", floor(col(pointCol) / binSize))
-    val binnedIntervals = intervals.withColumn("__bin",
-      explode(sequence(floor(col(startCol) / binSize), floor((col(endCol) - 1) / binSize))))
+    // last covered bin for the half-open [start, end): ceil(end/bin) - 1
+    // handles fractional bounds (floor((end-1)/bin) silently loses
+    // matches when end isn't an integer); empty intervals are filtered
+    // before sequence() can produce a descending (wraparound) range.
+    val binnedIntervals = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn("__bin",
+        explode(sequence(floor(col(startCol) / binSize), ceil(col(endCol) / binSize) - 1)))
     binnedPoints.join(binnedIntervals, Seq("__bin"))
       .filter(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
       .drop("__bin")

@@ -91,6 +91,26 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.dedupByPairs(docs, "doc_id", noPairs).count() == 1)
   }
 
+  test("zero-token docs get sketch 0 and pair up as duplicates") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "real words here")).toDF("doc_id", "text")
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sh.length == 3)
+    assert(sh(0)._2 == 0L && sh(1)._2 == 0L) // empty docs share sketch 0
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("connectedComponents fails loudly when maxIter is too small") {
+    import spark.implicits._
+    // a 5-node chain needs ~4 rounds; maxIter=1 must not return quietly
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException](
+      Dedup.connectedComponents(chain, maxIter = 1).collect())
+  }
+
   test("simhash of identical docs is identical; pairs found at hamming 0") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.getLong(1))

@@ -98,6 +98,21 @@ class IncrementalSpec extends SparkSpec {
     assert(wh.read("bronze", "t").orderBy("id").collect().toSeq == before)
   }
 
+  test("compact preserves hive partition layout when told about it") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_p").toString
+    val wh = new Warehouse(spark, root)
+    val df = Seq((1L, 2024, "a"), (2L, 2024, "b"), (3L, 2025, "c")).toDF("id", "year", "v")
+    (1 to 3).foreach(_ => wh.append(df, "bronze", "t", partitionBy = Seq("year")))
+    assert(wh.dataFiles("bronze", "t").size >= 6) // recursive listing sees partition files
+    wh.compact("bronze", "t", numFiles = 1, partitionBy = Seq("year"))
+    val out = wh.read("bronze", "t")
+    assert(out.count() == 9)
+    assert(out.schema.fieldNames.contains("year")) // partition column survives
+    val dirs = new java.io.File(s"$root/bronze/t").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == Set("year=2024", "year=2025")) // layout preserved
+  }
+
   test("evolving insert-only merge widens schema, old rows read NULL") {
     import spark.implicits._
     val existing = Seq(("IBM", "2025-11-14", 1.0)).toDF("t", "d", "v")

@@ -37,6 +37,14 @@ class QualitySpec extends SparkSpec {
     assert(one(Quality.orphanCount(df, "k", parent, "pk")) == 1L) // key 3
   }
 
+  test("all checks return 0 (not NULL) on an empty table") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Option[String], String)].toDF("k", "v", "status")
+    assert(one(Quality.duplicateKeyCount(empty, Seq("k"))) == 0L)
+    assert(one(Quality.nullCount(empty, "v")) == 0L)
+    assert(one(Quality.notAcceptedCount(empty, "status", Seq("ok"))) == 0L)
+  }
+
   test("suite unions all checks into one frame") {
     import spark.implicits._
     val parent = Seq(1L, 2L, 3L).toDF("pk")

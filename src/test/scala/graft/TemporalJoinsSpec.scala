@@ -36,6 +36,28 @@ class TemporalJoinsSpec extends SparkSpec {
       (250L, 0L, 300L)))
   }
 
+  test("asofJoin honors a NULL value on the latest snapshot (no stale resurrection)") {
+    import spark.implicits._
+    val left = Seq(("k", 25L, "o1")).toDF("k", "ts", "oid")
+    val right = Seq(
+      ("k", 10L, Some(5.0)),
+      ("k", 20L, None: Option[Double]))   // latest snapshot has NULL value
+      .toDF("k", "ts", "price")
+    val r = TemporalJoins.asofJoin(left, right, "k", "ts", "ts", Seq("price"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("price")), "ts=20 NULL must win over ts=10's 5.0")
+  }
+
+  test("pointIntervalJoin handles fractional bounds and empty intervals") {
+    import spark.implicits._
+    val points = Seq(128.0, 0.5).toDF("p")
+    val intervals = Seq((0.0, 128.5), (10.0, 10.0), (12.0, 3.0)).toDF("s", "e")
+    val out = TemporalJoins.pointIntervalJoin(points, intervals, "p", "s", "e", binSize = 64L)
+      .orderBy("p").collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // both points fall only in [0, 128.5); degenerate intervals match nothing
+    assert(out.toSeq == Seq((0.5, 0.0), (128.0, 0.0)))
+  }
+
   test("pointIntervalJoin emits each match exactly once across bin sizes") {
     import spark.implicits._
     val points = (0L to 500L by 7).toDF("p")

@@ -34,10 +34,14 @@ def main():
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_bad = 0
-    for name in sorted(os.listdir(out_dir)):
+    produced = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    # an oracle whose query crashed in Verify leaves no output dir —
+    # that is a gate FAILURE, not a skip
+    for name in sorted(set(oracles) - produced):
+        print(f"{name}: MISSING-OUTPUT (query failed in Verify)")
+        n_bad += 1
+    for name in sorted(produced):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
-            continue
         spark_df = con.sql(f"SELECT * FROM read_parquet('{d}/*.parquet')").df()
         if name not in oracles:
             print(f"{name}: NO-ORACLE rows={len(spark_df)}"
