@@ -312,6 +312,29 @@ object RefQueries {
              |GROUP BY CUBE(r_name, c_mktsegment)
              |ORDER BY gid, regiao, segmento""".stripMargin)),
 
+    // Explicit GROUPING SETS through the spark.sql entry point (the
+    // one surface the DataFrame queries don't exercise): the engine
+    // serves SQL-first users with the same verified semantics.
+    Q("sql_grouping_sets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                 coalesce(o_orderpriority, 'ALL') AS prioridade,
+                 count(*) AS n,
+                 CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY gid, status, prioridade""")
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |       coalesce(o_orderpriority, 'ALL') AS prioridade,
+             |       count(*) AS n,
+             |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INTEGER) AS gid
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+             |ORDER BY gid, status, prioridade""".stripMargin)),
+
     // HyperLogLog++ approximate distinct next to the exact count. The
     // sketch value is engine-specific (no DuckDB hash-parity possible) →
     // rows-only check here; DedupSpec-style error-bound assertion lives
