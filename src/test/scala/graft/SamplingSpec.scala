@@ -1,0 +1,37 @@
+package graft
+
+import graft.ops.Sampling
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    (1L to 2000L).map(i => (i, if (i % 4 == 0) "en" else "other")).toDF("id", "lang")
+  }
+
+  test("downsampleByKey thins targeted strata, keeps the rest whole") {
+    val out = Sampling.downsampleByKey(corpus, "lang", Map("other" -> 0.1), seed = 7L)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == 500L) // untouched stratum fully kept
+    assert(counts("other") > 50L && counts("other") < 300L) // ~150 expected
+  }
+
+  test("downsample is reproducible for a fixed seed") {
+    val a = Sampling.downsampleByKey(corpus, "lang", Map("other" -> 0.2), 42L)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val b = Sampling.downsampleByKey(corpus, "lang", Map("other" -> 0.2), 42L)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("deterministicPerKey keeps exactly k rows per key, stably") {
+    val a = Sampling.deterministicPerKey(corpus, "lang", "id", k = 25)
+    assert(a.groupBy("lang").count().collect().forall(_.getLong(1) == 25L))
+    // repartitioning the input must not change the selection
+    val b = Sampling.deterministicPerKey(corpus.repartition(13), "lang", "id", k = 25)
+    assert(a.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      b.orderBy("id").collect().map(_.getLong(0)).toSeq)
+  }
+}
