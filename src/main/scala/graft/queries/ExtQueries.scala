@@ -207,7 +207,7 @@ object ExtQueries {
              |                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
              |      FROM t)
              |SELECT shard, CAST(floor(start_off / 512.0) AS BIGINT) AS bin,
-             |       count(*) AS n_docs, sum(n_tok) AS n_tokens,
+             |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
              |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
              |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
 
@@ -224,7 +224,7 @@ object ExtQueries {
           min(col("q")).as("min_quality"),
           max(col("q")).as("max_quality"))
         .orderBy("lang_guess"),
-      Some(s"""SELECT lang_guess, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+      Some(s"""SELECT lang_guess, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
               |       min(q) AS min_quality, max(q) AS max_quality
               |FROM (SELECT ${TextOps.langIdSql("text")} AS lang_guess,
               |             CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
@@ -260,7 +260,7 @@ object ExtQueries {
               |                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
               |      FROM t)
               |SELECT shard, CAST(floor(start_off / 512.0) AS BIGINT) AS bin,
-              |       count(*) AS n_docs, sum(n_tok) AS n_tokens,
+              |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
               |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
               |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
 

@@ -22,7 +22,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def df_hash(df: pd.DataFrame) -> str:
     df = canon(df)
-    payload = df.to_csv(index=False, float_format="%.17g").encode()
+    # dtype KIND (int vs float vs object) is part of the contract: the
+    # driver's comparator distinguishes DuckDB HUGEINT->float64 from
+    # Spark int64 even when %.17g prints both as "788" (round-3 lesson:
+    # raw sum(BIGINT) in a DuckDB oracle must be CAST back to BIGINT).
+    kinds = ",".join(f"{c}:{df[c].dtype.kind}" for c in df.columns)
+    payload = (kinds + "\n").encode() + df.to_csv(index=False, float_format="%.17g").encode()
     return hashlib.md5(payload).hexdigest()
 
 
