@@ -68,6 +68,23 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     ()
   }
 
+  /** Bucketed catalog-table write: hash-partition rows on `bucketCols`
+    * into `numBuckets` files (optionally sorted within each bucket).
+    * Bucket layout metadata lives in the session catalog, so this goes
+    * through `saveAsTable`, not a path write. Two tables bucketed the
+    * same way sort-merge-join with ZERO shuffle — the 100 TB answer for
+    * repeatedly-joined fact tables (the join cost collapses to a
+    * per-bucket merge; PlanSpec asserts the Exchange-free plan). The
+    * reference never pre-co-locates its joins (its MERGE rewrites
+    * shuffle both sides every run, ingest_stocks.py:87-100). */
+  def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(name)
+  }
+
   def dropTable(layer: String, table: String): Unit = {
     fs.delete(new Path(path(layer, table)), true); ()
   }

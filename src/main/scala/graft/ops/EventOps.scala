@@ -29,6 +29,18 @@ object EventOps {
       .select(Det.ntz(col("w.start")).as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) event-time windows — 1-hour windows starting
+    * every 30 minutes, so each event lands in size/slide = 2 windows.
+    * Spark replicates rows into their windows BEFORE the aggregate, so
+    * this stays one shuffle with map-side partials (shuffle volume =
+    * size/slide × input, the unavoidable cost of overlap). */
+  def hoppingHourBy30(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"))
+      .select(Det.ntz(col("w.start")).as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Session windows per user with a fixed inactivity gap: a new session
     * starts when the quiet time is ≥ gap. Emits start/end/count. */
   def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -177,6 +177,72 @@ object ExtQueries {
               |      FROM documents)
               |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 30""".stripMargin)),
 
+    // TF-IDF-style term weighting with an add-one RATIONAL rarity
+    // factor — weight = tf × (N+1)/(df+1), deliberately log-free: ln()
+    // is not guaranteed bit-identical across engines' libm, while
+    // correctly-rounded double division and multiplication are. Two
+    // narrow shuffles (tf, df) + a key join; N is a driver-held scalar
+    // (same pattern as the reference's watermark read, SURVEY §2.5 A1).
+    Q("t_tfidf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        tf.join(dfr, Seq("token"))
+          .withColumn("weight",
+            col("tf").cast(DoubleType) *
+              (lit((nDocs + 1).toDouble) / (col("df") + 1).cast(DoubleType)))
+          .select(col("doc_id"), col("token"), col("tf"), col("df"), col("weight"))
+          .orderBy(col("weight").desc, col("doc_id"), col("token"))
+          .limit(30)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS token FROM documents),
+              |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+              |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+              |nd AS (SELECT count(*) AS n FROM documents)
+              |SELECT doc_id, token, tf, df,
+              |       CAST(tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS weight
+              |FROM tf JOIN dfr USING (token) CROSS JOIN nd
+              |ORDER BY weight DESC, doc_id, token LIMIT 30""".stripMargin)),
+
+    // PII redaction: regex scrub of emails/phones with per-doc match
+    // counts — the compliance pass every training corpus runs before
+    // release. Patterns stay in the Java∩RE2 common subset so the
+    // DuckDB oracle replays them exactly; the corpus gets DETERMINISTIC
+    // injected PII (doc_id-keyed) so the operator provably redacts
+    // rather than matching nothing. Pure codegen'd projection — zero
+    // shuffles, embarrassingly parallel at any scale.
+    Q("t_pii_redact",
+      (s, dir) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val pii = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com now")))
+            .when(col("doc_id") % 3 === 1,
+              concat(col("text"), lit(" call 555-123-4567 today")))
+            .otherwise(col("text")).as("text"))
+        pii.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0))).cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(phone), lit(0))).cast(LongType).as("n_phones"),
+          regexp_replace(regexp_replace(col("text"), lit(email), lit("<EMAIL>")),
+            lit(phone), lit("<PHONE>")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH pii AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+             |       WHEN doc_id % 3 = 1 THEN text || ' call 555-123-4567 today'
+             |       ELSE text END AS text FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+             |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |                 '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+             |FROM pii ORDER BY doc_id""".stripMargin)),
+
     // Context-length truncation: first-20-token cap per doc.
     Q("t_truncate",
       (s, dir) => Tables.documents(s, dir).select(
@@ -371,6 +437,20 @@ object ExtQueries {
       Some(s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
               |       count(*) AS n_events, ${Det.dsumSql("value")} AS sum_value
               |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
+
+    // Hopping windows (1 h size / 30 min slide): every event lands in
+    // exactly two windows. Oracle replicates each event to its two
+    // slide-aligned window starts with integer microsecond arithmetic
+    // (make_timestamp keeps the result tz-naive, matching Det.ntz).
+    Q("ev_hopping",
+      (s, dir) => EventOps.hoppingHourBy30(Tables.events(s, dir))
+        .orderBy("window_start", "event_type"),
+      Some(s"""SELECT window_start, event_type, count(*) AS n_events,
+              |       ${Det.dsumSql("value")} AS sum_value
+              |FROM (SELECT make_timestamp(((epoch_us(ts) - off) // 3600000000) * 3600000000 + off) AS window_start,
+              |             event_type, value
+              |      FROM events CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) AS off))
+              |GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin)),
 
     // Session windows (30-min inactivity gap) — oracle is the classic
     // gaps-and-islands rewrite, proving the semantics line up. Spark

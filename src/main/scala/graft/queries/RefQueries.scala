@@ -428,6 +428,21 @@ object RefQueries {
              |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // Right outer — the preserved side on the build side, completing
+    // the outer-join family (inner/left/right/full/semi/anti).
+    Q("j_right_outer",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        c.join(n, c("c_nationkey") === n("n_nationkey"), "right")
+          .groupBy(col("n_name"))
+          .agg(count(col("c_custkey")).as("n_cust"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, count(c_custkey) AS n_cust
+             |FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
     // Full outer of two aggregated sides (customer vs supplier presence
     // per nation) — non-matching keys on both sides.
     Q("j_full_outer",

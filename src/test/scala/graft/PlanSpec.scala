@@ -77,12 +77,11 @@ class PlanSpec extends SparkSpec {
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+    val wh = new graft.engine.Warehouse(s2, Files.createTempDirectory("graft_bkt").toString)
     val orders = Tables.orders(s2, dir)
-    orders.write.bucketBy(4, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("b_orders_a")
-    orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
-      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").saveAsTable("b_orders_n")
+    wh.writeBucketed(orders, "b_orders_a", Seq("o_custkey"), 4, Seq("o_custkey"))
+    wh.writeBucketed(orders.groupBy("o_custkey").agg(count(lit(1)).as("n")),
+      "b_orders_n", Seq("o_custkey"), 4, Seq("o_custkey"))
     val joined = s2.table("b_orders_a").join(s2.table("b_orders_n"), "o_custkey")
     val plan = joined.queryExecution.sparkPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
