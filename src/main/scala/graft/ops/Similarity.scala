@@ -90,6 +90,32 @@ object Similarity {
       .select(col(idCol), col(cIdCol).as("centroid_id"), col("cosine"))
   }
 
+  /** IVF probe (nprobe=1): answer top-k by ranking ONLY the inverted
+    * list of each query's own centroid — the probe touches
+    * ~corpus/num_centroids vectors instead of the whole table. At scale
+    * the assigned corpus is written `partitionBy(centroid_id)` and this
+    * equi-join on centroid_id becomes a partition-pruned scan. Recall
+    * is bounded by cell boundaries (the classic IVF trade; raise nprobe
+    * by unioning more centroids per query). Queries must be members of
+    * `emb` (identified by id) so their cell is their own assignment. */
+  def ivfSearch(emb: DataFrame, queryIds: DataFrame, vecCol: String, idCol: String,
+                centroids: DataFrame, cVecCol: String, cIdCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(emb, vecCol, idCol, centroids, cVecCol, cIdCol)
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+    val qs = assigned.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"), col("centroid_id"))
+    val items = assigned
+      .select(col("centroid_id"), col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("item_id"))
+    qs.join(items, Seq("centroid_id"))
+      .where(col("query_id") =!= col("item_id"))
+      .withColumn("cosine", cosine(col("query_vec"), col("item_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("item_id"), col("cosine"), col("rn"))
+  }
+
   /** Deterministic random hyperplanes: `planes(p)(d)` from a fixed seed. */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)

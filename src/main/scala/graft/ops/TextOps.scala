@@ -115,6 +115,28 @@ object TextOps {
   def truncateTokensSql(col: String, maxTokens: Int): String =
     s"array_to_string(list_slice(${tokensSql(col)}, 1, $maxTokens), ' ')"
 
+  /** Overlapping token-window chunking: split each document into
+    * training-context chunks of `chunkLen` tokens, one starting every
+    * `stride` tokens (overlap = chunkLen - stride) — the standard
+    * long-document treatment before sequence packing. The chunk array
+    * is built in ONE expression over a pre-projected token column and
+    * exploded once; per-chunk work is array slicing, never
+    * re-tokenization (see Dedup.jaccardPairs for why computing derived
+    * values beside an explode is a trap). Zero shuffles. */
+  def chunkTokens(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                  chunkLen: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) > 0)
+    val chunks = transform(
+      sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(stride)),
+      st => struct(
+        array_join(slice(col("__toks"), st + 1, lit(chunkLen)), " ").as("chunk_text"),
+        least(lit(chunkLen), size(col("__toks")) - st).cast(LongType).as("n_chunk_tokens")))
+    base.select(col(idCol), posexplode(chunks).as(Seq("pos", "c")))
+      .select(col(idCol), col("pos").cast(LongType).as("chunk_id"),
+        col("c.chunk_text").as("chunk_text"), col("c.n_chunk_tokens").as("n_chunk_tokens"))
+  }
+
   /** Content fingerprint: exact (md5 of raw text) and token-order-
     * insensitive (md5 of sorted token list) — the bag-of-words
     * canonical form used for near-exact dedup. */

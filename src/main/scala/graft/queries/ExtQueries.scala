@@ -277,6 +277,56 @@ object ExtQueries {
              |       string_agg(text, ' ' ORDER BY doc_id) AS packed_text
              |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin)),
 
+    // Overlapping token-window chunking (64-token chunks every 48):
+    // the long-document treatment upstream of packing. One explode,
+    // zero shuffles besides the presentation sort.
+    Q("t_chunk",
+      (s, dir) => TextOps.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+        chunkLen = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id"),
+      Some(s"""WITH t AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents),
+              |nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+              |st AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM nz)
+              |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+              |       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk_text,
+              |       CAST(least(64, n - start) AS BIGINT) AS n_chunk_tokens
+              |FROM st ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Gopher-style rule-based quality gate: each rule is its own
+    // column (auditable), `keep` is their conjunction. All arithmetic
+    // is single-pass scalar doubles — mirrored operation-for-operation
+    // in the oracle so the hash compare is exact.
+    Q("t_gopher_rules",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val nTok = TextOps.tokenCount(col("text"))
+        val meanLen = length(col("text")).cast(DoubleType) / nTok.cast(DoubleType)
+        val distinctRatio =
+          size(array_distinct(toks)).cast(DoubleType) / nTok.cast(DoubleType)
+        val stopHits = TextOps.stopwordCount(col("text"))
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          meanLen.as("mean_len"),
+          distinctRatio.as("distinct_ratio"),
+          stopHits.as("stop_hits"),
+          (nTok >= 50 && nTok <= 100000 &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            distinctRatio >= 0.2 && stopHits >= 2).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens, mean_len, distinct_ratio, stop_hits,
+              |       (n_tokens >= 50 AND n_tokens <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+              |        AND distinct_ratio >= 0.2 AND stop_hits >= 2) AS keep
+              |FROM (SELECT doc_id,
+              |        CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
+              |        CAST(length(text) AS DOUBLE) / CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE) AS mean_len,
+              |        CAST(len(list_distinct(${TextOps.tokensSql("text")})) AS DOUBLE)
+              |          / CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE) AS distinct_ratio,
+              |        ${TextOps.stopwordCountSql("text")} AS stop_hits
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Corpus rollup by detected language — the filter-then-aggregate
     // shape of a corpus quality report (one shuffle; exact aggregates).
     Q("t_corpus_by_lang",
@@ -417,6 +467,37 @@ object ExtQueries {
               |           FROM cand)
               |SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rn
               |FROM ranked WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)),
+
+    // IVF probe with nprobe=1: each query ranks only its own centroid's
+    // inverted list — the partition-pruned ANN search path (the scan
+    // prunes to one centroid partition when the assigned corpus is
+    // written partitionBy(centroid_id)).
+    Q("sim_ivf_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 3).select(col("vec_id")),
+          "embedding", "vec_id", cents, "c_vec", "c_id", k = 5)
+          .orderBy("query_id", "rn")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+              |scored AS (SELECT e.vec_id, e.embedding, c.c_id,
+              |                  ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+              |           FROM embeddings e CROSS JOIN cents c),
+              |assign AS (SELECT vec_id, embedding, c_id,
+              |                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS arn
+              |           FROM scored),
+              |a1 AS (SELECT vec_id, embedding, c_id FROM assign WHERE arn = 1),
+              |qs AS (SELECT vec_id AS query_id, embedding AS qv, c_id FROM a1 WHERE vec_id < 3),
+              |cand AS (SELECT qs.query_id, a1.vec_id AS item_id,
+              |                ${Similarity.cosineSql("qs.qv", "a1.embedding")} AS cosine
+              |         FROM qs JOIN a1 USING (c_id) WHERE a1.vec_id <> qs.query_id),
+              |r AS (SELECT query_id, item_id, cosine,
+              |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rn
+              |      FROM cand)
+              |SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rn
+              |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)),
 
     // ── Event-time processing ──────────────────────────────────────────
 

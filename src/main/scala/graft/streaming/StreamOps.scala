@@ -45,6 +45,12 @@ object StreamOps {
   def tumblingHourlyStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
     EventOps.tumblingHourly(events.withWatermark("ts", delay))
 
+  /** Hopping 1h/30min windows under a watermark — state holds
+    * size/slide = 2 open windows per key instead of 1; same append
+    * semantics (a window emits when its END passes the watermark). */
+  def hoppingStream(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    EventOps.hoppingHourBy30(events.withWatermark("ts", delay))
+
   /** Session windows under a watermark (built-in session_window —
     * the state-store-backed generalization of gaps-and-islands). */
   def sessionsStream(events: DataFrame, gap: String = "30 minutes",

@@ -102,6 +102,23 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(0L) != assign(3L))
   }
 
+  test("ivfSearch ranks only the query's own cell (nprobe=1 pruning)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),          // centroids
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)),          // cell of 0
+      (4L, Array(0.1f, 0.9f)), (5L, Array(0.05f, 0.95f))         // cell of 1
+    ).toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val out = Similarity.ivfSearch(emb, emb.filter(col("vec_id") === 0L).select(col("vec_id")),
+      "embedding", "vec_id", cents, "c_vec", "c_id", k = 5)
+      .orderBy("rn").collect()
+    // query 0 sees items 2 and 3 (its cell), never 1/4/5 (the other cell)
+    assert(out.map(_.getAs[Long]("item_id")).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2))
+  }
+
   test("native functions are SQL-callable after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

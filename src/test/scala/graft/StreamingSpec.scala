@@ -46,6 +46,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming hopping agg (complete mode) equals the batch result") {
+    val dir = eventDir(Seq(baseRows))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir))
+    StreamOps.runAvailableNowToMemory(
+      EventOps.hoppingHourBy30(stream), "hopping_out", tmp("graft_ck"), outputMode = "complete")
+    val streamed = spark.table("hopping_out").orderBy("window_start", "event_type").collect()
+    val batch = EventOps.hoppingHourBy30(spark.read.parquet(dir))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+  }
+
   test("watermarked append emits exactly the closed windows") {
     val dir = eventDir(Seq(baseRows))
     val stream = StreamOps.eventStream(spark, dir, schemaOf(dir))

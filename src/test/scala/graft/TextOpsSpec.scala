@@ -57,6 +57,18 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("chunkTokens covers every token with the declared overlap") {
+    import spark.implicits._
+    val df = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" ")), (8L, "")).toDF("doc_id", "text")
+    val chunks = graft.ops.TextOps.chunkTokens(df, "doc_id", "text", chunkLen = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    // empty doc yields no chunks; 10 tokens / stride 3 → starts 0,3,6,9
+    assert(chunks.forall(_.getLong(0) == 7L) && chunks.length == 4)
+    assert(chunks.map(_.getString(2)).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(chunks.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L, 1L))
+  }
+
   test("quality score is bounded in [0,1] and rewards real prose") {
     import spark.implicits._
     val df = Seq("x", "the quick brown fox jumps over the lazy dog and runs on")
