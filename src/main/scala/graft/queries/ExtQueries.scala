@@ -140,16 +140,7 @@ object ExtQueries {
     // language ID, exact + bag-of-words fingerprints, rolling hash.
     // Pure codegen'd expressions — zero shuffles, scales linearly.
     Q("t_text_stats",
-      (s, dir) => Tables.documents(s, dir).select(
-        col("doc_id"),
-        TextOps.tokenCount(col("text")).as("n_tokens"),
-        TextOps.bpeishTokenCount(col("text")).as("n_bpe"),
-        TextOps.stopwordCount(col("text")).as("n_stop"),
-        TextOps.qualityScore(col("text")).as("quality"),
-        TextOps.langId(col("text")).as("lang_guess"),
-        TextOps.md5Fingerprint(col("text")).as("fp_exact"),
-        TextOps.normalizedFingerprint(col("text")).as("fp_bag"),
-        TextOps.rollingHash(col("text")).as("roll_hash"))
+      (s, dir) => TextOps.textStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
               |  CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
