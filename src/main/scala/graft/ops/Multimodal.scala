@@ -77,4 +77,36 @@ object Multimodal {
       }(enc)
       .toDF()
   }
+
+  case class AudioMeta(
+      doc_id: Long,
+      n_samples: Long,
+      sample_rate: Int,
+      duration_s: Double,
+      peak: Int)
+
+  /** STUB audio decoder: PCM16-shaped deterministic pseudo-features
+    * from the payload bytes (2 bytes/sample; fake rate ∈ {8,16,24} kHz).
+    * Replace at the marked line with a real parser (wav header / ffprobe). */
+  def fakeAudioDecode(id: Long, payload: Array[Byte]): AudioMeta = {
+    val len = payload.length.toLong
+    // ??? real audio header parse goes here
+    val nSamples = len / 2
+    val rate = (8000L * (1 + len % 3)).toInt
+    AudioMeta(id, nSamples, rate, nSamples.toDouble / rate,
+      (math.abs(len * 2654435761L) % 32768).toInt)
+  }
+
+  /** Audio-column analogue of [[decodeMeta]]: same batched
+    * mapPartitions plumbing, audio-shaped metadata struct. */
+  def audioFeats(spark: SparkSession, docs: DataFrame,
+                 idCol: String, payloadCol: String): DataFrame = {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[AudioMeta]
+    docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        rows.map { r: Row => fakeAudioDecode(r.getLong(0), r.getAs[Array[Byte]](1)) }
+      }(enc)
+      .toDF()
+  }
 }

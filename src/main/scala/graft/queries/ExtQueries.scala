@@ -592,6 +592,42 @@ object ExtQueries {
              |       CAST(floor(height * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_h
              |FROM meta ORDER BY doc_id""".stripMargin)),
 
+    // Audio-shaped multimodal plumbing: PCM16-ish pseudo-features via
+    // the same batched mapPartitions decode path (stubbed codec; the
+    // oracle replays the stub arithmetic).
+    Q("mm_audio_feats",
+      (s, dir) => Multimodal.audioFeats(s,
+        Tables.documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  length(text) // 2 AS n_samples,
+             |  CAST(8000 * (1 + length(text) % 3) AS INTEGER) AS sample_rate,
+             |  CAST(length(text) // 2 AS DOUBLE) / (8000 * (1 + length(text) % 3)) AS duration_s,
+             |  CAST((length(text) * 2654435761) % 32768 AS INTEGER) AS peak
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Salted two-phase aggregation, oracle-proven equivalent to the
+    // plain GROUP BY: a hot key is spread over 16 (key, salt) partials
+    // first, so one giant group cannot pin a single reducer. Decimal
+    // sums keep phase-merge order irrelevant (exact associativity).
+    Q("skew_salted_agg",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("q"), col("l_orderkey"))
+        graft.ops.Skew.saltedStats(li, "l_returnflag", "q", "l_orderkey", salts = 16)
+          .select(col("l_returnflag"), col("n"),
+            col("sum_val").cast(DoubleType).as("sum_val"),
+            col("min_val").cast(DoubleType).as("min_val"),
+            col("max_val").cast(DoubleType).as("max_val"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+             |       CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
+             |       CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_val
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ── Data-quality suite (the dbt test surface, SURVEY §5) ──────────
 
     // unique / not_null / accepted_values / relationships over the

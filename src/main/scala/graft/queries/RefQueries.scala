@@ -658,6 +658,27 @@ object RefQueries {
              |                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Offset window family: lag / lead / first_value per key — pure
+    // value movement (no arithmetic), so doubles compare exactly.
+    Q("w_lead_lag",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir).select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_orderdate"), 1).over(w).as("next_date"),
+          first(col("o_orderdate")).over(w).as("first_date"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderdate, o_orderkey,
+             |       lag(o_totalprice, 1) OVER w AS prev_price,
+             |       lead(o_orderdate, 1) OVER w AS next_date,
+             |       first_value(o_orderdate) OVER w AS first_date
+             |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
     // Running exact sum + lag within partition.
     Q("w_running_sum",
       (s, dir) => {
