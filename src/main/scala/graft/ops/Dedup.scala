@@ -67,9 +67,8 @@ object Dedup {
     // Generate and re-evaluates the whole shingle transform per
     // exploded row, turning the scan O(shingles²) per doc (measured
     // 13× slower at sf0.1).
-    val toks = TextOps.tokens(col(textCol))
-    val postingRows = shingles(docs, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle"))
+    val postingRows = docs.select(col(idCol),
+      explode(TextOps.shingleHashes(col(textCol), n)).as("shingle"))
     val cnt = postingRows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val postings = postingRows.groupBy(col("shingle"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
@@ -92,16 +91,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 
-  /** MinHash signature: k slots, slot i = min over shingles of
-    * xxhash64(i || shingle). Returns (id, sig ARRAY<BIGINT>).
+  /** MinHash signature: k slots, slot i = min over shingle HASHES h of
+    * xxhash64(i, h). Returns (id, sig ARRAY<BIGINT>).
     *
-    * Shape: k MIN aggregates over the exploded shingles — codegen'd
-    * hash aggregation with map-side partials (a collect_list + k
-    * interpreted array folds computes the same signature ~3× slower,
-    * and collect_list would OOM on pathologically long docs). */
+    * Shape: the native [[TextOps.shingleHashes]] front end emits 8-byte
+    * shingle keys in one compiled pass; the k slot hashes then operate
+    * on LONGs (fixed-width rehash, not a per-slot string hash). k MIN
+    * aggregates — codegen'd hash aggregation with map-side partials (a
+    * collect_list + k interpreted array folds computes the same
+    * signature ~3× slower, and collect_list would OOM on
+    * pathologically long docs). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    val sh = docs.select(col(idCol),
+      explode(TextOps.shingleHashes(col(textCol), n)).as("shingle"))
     val slotCols = (0 until k).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"__slot$i"))
     sh.groupBy(col(idCol))
@@ -201,9 +204,10 @@ object Dedup {
     * most common duplicate class in web corpora is the empty page, and
     * dropping them from the sketch table would hide exactly those. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__t"))
-      .select(col(idCol), xxhash64(col("__t")).as("__h"))
+    // n=1, non-distinct: per-token xxhash64 votes (term frequency
+    // weights preserved), emitted by the compiled shingle pass
+    val hashed = docs.select(col(idCol),
+      explode(TextOps.shingleHashes(col(textCol), 1, distinct = false)).as("__h"))
     val voteCols = (0 until 64).map(b =>
       sum(when(expr(s"(shiftrightunsigned(__h, $b) & 1) = 1"), 1L).otherwise(-1L)).as(s"__b$b"))
     val packed = (0 until 64).map(b => s"IF(__b$b > 0, shiftleft(1L, $b), 0L)").mkString(" + ")

@@ -145,6 +145,15 @@ object TextOps {
         col("c.chunk_text").as("chunk_text"), col("c.n_chunk_tokens").as("n_chunk_tokens"))
   }
 
+  /** Word n-gram shingle xxhash64 values in one compiled pass
+    * ([[graft.functions.WordShingleHashes]]): the dedup-family front
+    * end (Jaccard postings, MinHash input, SimHash token votes).
+    * Hash-identical to `xxhash64(array_join(slice(tokens,...)))`. */
+  def shingleHashes(text: Column, n: Int, distinct: Boolean = true): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.WordShingleHashes(Bridge.expression(text), n, distinct))
+  }
+
   /** Content fingerprint: exact (md5 of raw text) and token-order-
     * insensitive (md5 of sorted token list) — the bag-of-words
     * canonical form used for near-exact dedup. */

@@ -28,6 +28,31 @@ class DedupSpec extends SparkSpec {
     assert(sh.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((2L, "a b c")))
   }
 
+  test("native shingleHashes is hash-identical to the composed formulation") {
+    import graft.ops.TextOps
+    import spark.implicits._
+    val docs = Seq((1L, "the quick  brown fox jumps"), (2L, " a b "), (3L, ""), (4L, "x"))
+      .toDF("doc_id", "text")
+    // distinct n-gram hashes == xxhash64 over the string shingles
+    val native = docs.select(col("doc_id"),
+      sort_array(TextOps.shingleHashes(col("text"), 2)).as("h"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val composed = Dedup.shingles(docs, "doc_id", "text", 2)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("h"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(native(1L) == composed(1L) && native(2L) == composed(2L))
+    assert(native(3L).isEmpty && native(4L).isEmpty) // < n tokens → empty
+    // n=1 non-distinct == per-token xxhash64, frequencies preserved
+    val tokNative = docs.filter(col("doc_id") === 1)
+      .select(explode(TextOps.shingleHashes(col("text"), 1, distinct = false)).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val tokComposed = docs.filter(col("doc_id") === 1)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .select(xxhash64(col("t")).as("h")).collect().map(_.getLong(0)).toSeq
+    assert(tokNative == tokComposed && tokNative.length == 5)
+  }
+
   test("jaccardPairs finds the hand-computed pair set") {
     // 9-token docs, 3-gram shingles → 7 shingles each.
     // doc1 vs doc2: identical → J = 1.0
