@@ -27,7 +27,22 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> arity("graft_cosine", 2) { args => CosineSimilarity(args(0), args(1)) },
     "graft_dot" -> arity("graft_dot", 2) { args => DotProduct(args(0), args(1)) },
-    "graft_rolling_hash" -> arity("graft_rolling_hash", 1) { args => RollingHash(args(0)) })
+    "graft_rolling_hash" -> arity("graft_rolling_hash", 1) { args => RollingHash(args(0)) },
+    "graft_shingle_hashes" -> arity("graft_shingle_hashes", 3) { args =>
+      def lit[T](e: Expression, what: String): Any =
+        if (e.foldable) e.eval()
+        else throw new IllegalArgumentException(s"graft_shingle_hashes $what must be a literal")
+      val n = lit(args(1), "n") match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"n must be an integer, got $other")
+      }
+      val distinct = lit(args(2), "distinct") match {
+        case b: Boolean => b
+        case other => throw new IllegalArgumentException(s"distinct must be a boolean, got $other")
+      }
+      WordShingleHashes(args(0), n, distinct)
+    })
 
   private def info(name: String) =
     new ExpressionInfo("graft.functions.GraftFunctions", name)

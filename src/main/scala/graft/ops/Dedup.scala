@@ -70,9 +70,18 @@ object Dedup {
     val postingRows = docs.select(col(idCol),
       explode(TextOps.shingleHashes(col(textCol), n)).as("shingle"))
     val cnt = postingRows.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val postings = postingRows.groupBy(col("shingle"))
+    // document frequency FIRST (count-aggregate: map-side partials,
+    // bounded state) — so the posting-list collect below only ever
+    // materializes lists of 2..maxDf ids. Collecting before filtering
+    // would buffer a stop-shingle's entire posting list (in a web
+    // corpus: most of the corpus) inside one aggregation buffer.
+    val eligible = postingRows.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select(col("shingle"))
+    val postings = postingRows.join(eligible, Seq("shingle"), "left_semi")
+      .groupBy(col("shingle"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
     val shared = postings
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),

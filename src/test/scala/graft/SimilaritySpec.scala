@@ -124,8 +124,11 @@ class SimilaritySpec extends SparkSpec {
     val r = spark.sql(
       """SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
         |       graft_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
-        |       graft_rolling_hash('abc') AS h""".stripMargin).collect().head
+        |       graft_rolling_hash('abc') AS h,
+        |       graft_shingle_hashes('a b c', 2, true) AS sh,
+        |       xxhash64('a b') AS x""".stripMargin).collect().head
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 23.0 && r.getLong(2) == 96354L)
+    assert(r.getSeq[Long](3).length == 2 && r.getSeq[Long](3).head == r.getLong(4))
     // the spark.sql.extensions entry point wires the same set
     new graft.functions.GraftExtensions() // constructible for --conf use
   }
