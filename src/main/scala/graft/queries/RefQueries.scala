@@ -621,6 +621,18 @@ object RefQueries {
              |SELECT l_orderkey, l_linenumber, l_quantity, 'R' AS src FROM lineitem WHERE l_returnflag = 'R'
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // Distinct UNION (vs the append-only unionByName above): dedups
+    // across both sides — one hash-distinct shuffle.
+    Q("set_union_distinct",
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |UNION
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
     Q("set_intersect",
       (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
         .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
