@@ -69,6 +69,25 @@ class TextOpsSpec extends SparkSpec {
     assert(chunks.map(_.getLong(3)).toSeq == Seq(4L, 4L, 4L, 1L))
   }
 
+  test("chunkTokens matches slice semantics across boundary sizes") {
+    import spark.implicits._
+    val sizes = Seq(0, 1, 4, 47, 48, 49, 96, 150)
+    val docs = sizes.zipWithIndex
+      .map { case (k, i) => (i.toLong, (1 to k).map(j => s"w$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.chunkTokens(docs, "doc_id", "text", chunkLen = 64, stride = 48)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getLong(3)))).toMap
+    sizes.zipWithIndex.foreach { case (k, i) =>
+      val toks = (1 to k).map(j => s"w$j")
+      val expected = if (k == 0) Seq.empty else (0 until k by 48).map(st => toks.slice(st, st + 64))
+      assert(out.keys.count(_._1 == i.toLong) == expected.length, s"doc of $k tokens")
+      expected.zipWithIndex.foreach { case (c, ci) =>
+        val (txt, n) = out((i.toLong, ci.toLong))
+        assert(txt == c.mkString(" ") && n == c.length, s"doc $k chunk $ci")
+      }
+    }
+  }
+
   test("quality score is bounded in [0,1] and rewards real prose") {
     import spark.implicits._
     val df = Seq("x", "the quick brown fox jumps over the lazy dog and runs on")
