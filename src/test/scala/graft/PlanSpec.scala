@@ -50,6 +50,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 <= 1, s"unexpected shuffle:\n$plan")
   }
 
+  test("pii redaction and rule gate stay narrow: presentation sort is the only exchange") {
+    for (q <- Seq("t_pii_redact", "t_gopher_rules")) {
+      val plan = finalPlanOf(q)
+      assert(plan.split("Exchange").length - 1 <= 1, s"$q grew a shuffle:\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"$q uses a UDF barrier")
+    }
+  }
+
+  test("ivf search never plans a cartesian product") {
+    val plan = finalPlanOf("sim_ivf_search")
+    assert(!plan.contains("CartesianProduct"),
+      s"IVF probe degraded to an all-pairs cross join:\n$plan")
+  }
+
   test("silver projection executes inside whole-stage codegen") {
     // codegen'd stages render as `*(n)` prefixes in the executed plan
     assert(finalPlanOf("p_silver_projection").contains("*(1) Project"))
