@@ -202,6 +202,26 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus n-gram contamination: for every corpus doc, how many
+    * n-gram shingles it shares with each benchmark doc — the
+    * decontamination pass run before training so eval data never leaks
+    * into the training set. Same narrow-key shape as [[jaccardPairs]]:
+    * both sides reduce to (id, shingle-hash) longs via the compiled
+    * [[TextOps.shingleHashes]]; the join key is 8 bytes; the benchmark
+    * side is tiny (eval suites are small) so it broadcasts. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int, minShared: Int): DataFrame = {
+    val c = corpus.select(col(idCol),
+      explode(TextOps.shingleHashes(col(textCol), n)).as("sh"))
+    val b = benchmark.select(col(idCol).as("bench_id"),
+      explode(TextOps.shingleHashes(col(textCol), n)).as("sh"))
+    c.join(broadcast(b), Seq("sh"))
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** 64-bit SimHash over word hashes (uniform weights): bit j of the
     * sketch is 1 iff the sum of ±1 votes from token-hash bits is > 0.
     *

@@ -134,6 +134,37 @@ object ExtQueries {
       },
       Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
 
+    // Benchmark decontamination: corpus docs sharing ≥10 5-gram
+    // shingles with an "eval set" (docs 0-4). The corpus gets INJECTED
+    // contaminated copies (+200000 ids) so the operator provably
+    // detects leakage; natural high-overlap docs surface too.
+    Q("dd_contamination",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val bench = d.filter(col("doc_id") < 5)
+        val corpus = d.filter(col("doc_id") >= 5)
+          .unionByName(bench.select((col("doc_id") + 200000).as("doc_id"), col("text")))
+        Dedup.contamination(corpus, bench, "doc_id", "text", n = 5, minShared = 10)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 5
+              |                UNION ALL
+              |                SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 5),
+              |ctok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM corpus),
+              |csh AS (SELECT doc_id,
+              |          unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+              |            i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
+              |        FROM ctok WHERE len(toks) >= 5),
+              |btok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents WHERE doc_id < 5),
+              |bsh AS (SELECT doc_id AS bench_id,
+              |          unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+              |            i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS sh
+              |        FROM btok WHERE len(toks) >= 5)
+              |SELECT doc_id, bench_id, count(*) AS n_shared
+              |FROM csh JOIN bsh USING (sh)
+              |GROUP BY 1, 2 HAVING count(*) >= 10
+              |ORDER BY doc_id, bench_id""".stripMargin)),
+
     // ── Text analysis ──────────────────────────────────────────────────
 
     // Per-document stats: token/stopword counts, quality score,

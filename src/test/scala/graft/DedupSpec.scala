@@ -76,6 +76,18 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("contamination flags corpus docs overlapping the benchmark set") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"),          // full leak: 2 shared 5-grams
+      (11L, "totally unrelated words in this document here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, "doc_id", "text", n = 5, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 1L, 2L)))
+  }
+
   test("connected components merge transitive near-dup chains") {
     import spark.implicits._
     // 1-2, 2-3 (chain → one component), 10-11, and 20-21-22 clique
