@@ -36,7 +36,9 @@ object Bench {
     // stdout tail-capture window (round 3 lost the head of a ~3.4 KB
     // full-precision line and recorded parsed:null); a file copy in the
     // repo survives even if stdout capture ever truncates again.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+    // a comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

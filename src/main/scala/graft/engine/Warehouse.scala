@@ -77,13 +77,23 @@ final class Warehouse(val spark: SparkSession, val root: String) {
     * per-bucket merge; PlanSpec asserts the Exchange-free plan). The
     * reference never pre-co-locates its joins (its MERGE rewrites
     * shuffle both sides every run, ingest_stocks.py:87-100). */
-  def writeBucketed(df: DataFrame, name: String, bucketCols: Seq[String],
+  def writeBucketed(df: DataFrame, layer: String, table: String, bucketCols: Seq[String],
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    // external table: catalog entry carries the bucket spec, data files
+    // live under THIS warehouse's root like every other table here
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path(layer, table))
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(name)
+      .saveAsTable(bucketedTableName(layer, table))
   }
+
+  /** Catalog name of a bucketed table (bucket metadata lives in the
+    * session catalog; the name is namespaced by layer). */
+  def bucketedTableName(layer: String, table: String): String = s"${layer}_$table"
+
+  def readBucketed(layer: String, table: String): DataFrame =
+    spark.table(bucketedTableName(layer, table))
 
   def dropTable(layer: String, table: String): Unit = {
     fs.delete(new Path(path(layer, table)), true); ()

@@ -59,11 +59,15 @@ object Dedup {
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, minJaccard: Double, maxDf: Int): DataFrame = {
-    // ONE tokenize+shingle pass; every shuffle after the explode moves
-    // only 8-byte longs. NOTE: the Jaccard denominators come from a
-    // separate narrow count-aggregate JOINED back onto the (pruned,
-    // small) pair table — computing size(arr) alongside explode(arr)
-    // is a trap: the optimizer hoists the size() projection ABOVE the
+    // Every shuffle after the explode moves only 8-byte longs. The
+    // hashed shingle stream feeds THREE consumers (per-doc counts,
+    // df counts, the semi-joined posting collect), so the compiled
+    // scan+shingle pass re-executes per consumer — at cluster scale
+    // persist postingRows between them; the re-run stage is the
+    // cheapest in the plan. The denominators come from a separate
+    // narrow count-aggregate JOINED back onto the (pruned, small)
+    // pair table — computing size(arr) alongside explode(arr) is a
+    // trap: the optimizer hoists the size() projection ABOVE the
     // Generate and re-evaluates the whole shingle transform per
     // exploded row, turning the scan O(shingles²) per doc (measured
     // 13× slower at sf0.1).

@@ -592,12 +592,15 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
         "doc_id", "payload")
         .orderBy("doc_id"),
+      // strlen = BYTE length (Spark hashes the UTF-8 payload bytes);
+      // header_hex's substr is char-based — DuckDB has no blob substr,
+      // so that one column assumes the corpus's ASCII header bytes
       Some("""SELECT doc_id,
-             |  CAST(length(text) AS BIGINT) AS byte_len,
+             |  CAST(strlen(text) AS BIGINT) AS byte_len,
              |  lower(hex(substr(text, 1, 8))) AS header_hex,
-             |  CAST(64 + (length(text) * 2654435761) % 1024 AS INTEGER) AS width,
-             |  CAST(64 + (length(text) * 40503) % 768 AS INTEGER) AS height,
-             |  CAST(1 + length(text) % 30 AS INTEGER) AS n_frames
+             |  CAST(64 + (strlen(text) * 2654435761) % 1024 AS INTEGER) AS width,
+             |  CAST(64 + (strlen(text) * 40503) % 768 AS INTEGER) AS height,
+             |  CAST(1 + strlen(text) % 30 AS INTEGER) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Frame-sampling + aspect-resize plan over decoded metadata: the
@@ -612,9 +615,9 @@ object ExtQueries {
         .orderBy("doc_id"),
       Some("""WITH meta AS (
              |  SELECT doc_id,
-             |         CAST(64 + (length(text) * 2654435761) % 1024 AS INTEGER) AS width,
-             |         CAST(64 + (length(text) * 40503) % 768 AS INTEGER) AS height,
-             |         CAST(1 + length(text) % 30 AS INTEGER) AS n_frames
+             |         CAST(64 + (strlen(text) * 2654435761) % 1024 AS INTEGER) AS width,
+             |         CAST(64 + (strlen(text) * 40503) % 768 AS INTEGER) AS height,
+             |         CAST(1 + strlen(text) % 30 AS INTEGER) AS n_frames
              |  FROM documents)
              |SELECT doc_id, n_frames,
              |       CAST((n_frames + 7) // 8 AS INTEGER) AS stride,
@@ -631,11 +634,12 @@ object ExtQueries {
         Tables.documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
         "doc_id", "payload")
         .orderBy("doc_id"),
+      // strlen = BYTE length, matching the Spark side's payload bytes
       Some("""SELECT doc_id,
-             |  length(text) // 2 AS n_samples,
-             |  CAST(8000 * (1 + length(text) % 3) AS INTEGER) AS sample_rate,
-             |  CAST(length(text) // 2 AS DOUBLE) / (8000 * (1 + length(text) % 3)) AS duration_s,
-             |  CAST((length(text) * 2654435761) % 32768 AS INTEGER) AS peak
+             |  strlen(text) // 2 AS n_samples,
+             |  CAST(8000 * (1 + strlen(text) % 3) AS INTEGER) AS sample_rate,
+             |  CAST(strlen(text) // 2 AS DOUBLE) / (8000 * (1 + strlen(text) % 3)) AS duration_s,
+             |  CAST((strlen(text) * 2654435761) % 32768 AS INTEGER) AS peak
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Salted two-phase aggregation, oracle-proven equivalent to the

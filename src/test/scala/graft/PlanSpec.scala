@@ -91,17 +91,20 @@ class PlanSpec extends SparkSpec {
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
-    val wh = new graft.engine.Warehouse(s2, Files.createTempDirectory("graft_bkt").toString)
+    val whRoot = Files.createTempDirectory("graft_bkt").toString
+    val wh = new graft.engine.Warehouse(s2, whRoot)
     val orders = Tables.orders(s2, dir)
-    wh.writeBucketed(orders, "b_orders_a", Seq("o_custkey"), 4, Seq("o_custkey"))
+    wh.writeBucketed(orders, "bkt", "orders_a", Seq("o_custkey"), 4, Seq("o_custkey"))
     wh.writeBucketed(orders.groupBy("o_custkey").agg(count(lit(1)).as("n")),
-      "b_orders_n", Seq("o_custkey"), 4, Seq("o_custkey"))
-    val joined = s2.table("b_orders_a").join(s2.table("b_orders_n"), "o_custkey")
+      "bkt", "orders_n", Seq("o_custkey"), 4, Seq("o_custkey"))
+    // data files land under THIS warehouse's root, not the global dir
+    assert(new java.io.File(s"$whRoot/bkt/orders_a").exists())
+    val joined = wh.readBucketed("bkt", "orders_a").join(wh.readBucketed("bkt", "orders_n"), "o_custkey")
     val plan = joined.queryExecution.sparkPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
     assert(!plan.contains("Exchange"), s"bucketing failed to remove the shuffle:\n$plan")
     assert(joined.count() == orders.count())
-    s2.sql("DROP TABLE IF EXISTS b_orders_a")
-    s2.sql("DROP TABLE IF EXISTS b_orders_n")
+    s2.sql("DROP TABLE IF EXISTS bkt_orders_a")
+    s2.sql("DROP TABLE IF EXISTS bkt_orders_n")
   }
 }
