@@ -119,8 +119,12 @@ object ExtQueries {
 
     // End-to-end corpus dedup: duplicate pairs → connected components
     // (iterative min-label propagation) → drop every non-representative.
-    // Ground truth: pruning the injected copies must reproduce EXACTLY
-    // the original documents table, which is the oracle.
+    // Ground truth: the min-id representative per distinct text — the
+    // oracle computes it from the ORIGINAL table (injected copies can
+    // never be representatives: their ids are original+100000). Phrased
+    // as a GROUP BY, not `SELECT *`, because real corpora contain
+    // NATURAL exact duplicates too (sf0.1 has 8) and the pipeline
+    // rightly merges them.
     Q("dd_pipeline",
       (s, dir) => {
         val corpus = dupCorpus(s, dir)
@@ -132,7 +136,8 @@ object ExtQueries {
           .select(col("id_a"), col("id_b"))
         Dedup.dedupByPairs(corpus, "doc_id", pairs).orderBy("doc_id")
       },
-      Some("SELECT doc_id, text FROM documents ORDER BY doc_id")),
+      Some("""SELECT min(doc_id) AS doc_id, text FROM documents
+             |GROUP BY text ORDER BY doc_id""".stripMargin)),
 
     // Benchmark decontamination: corpus docs sharing ≥10 5-gram
     // shingles with an "eval set" (docs 0-4). The corpus gets INJECTED

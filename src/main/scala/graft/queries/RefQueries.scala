@@ -466,6 +466,16 @@ object RefQueries {
              |  ON cu.nationkey = su.nationkey
              |ORDER BY nationkey""".stripMargin)),
 
+    // Explicit cross join (both sides tiny — the only shape where a
+    // cartesian product is ever acceptable; bigger sides must go
+    // through an equi/bucket join, never this).
+    Q("j_cross",
+      (s, dir) => Tables.nation(s, dir).select(col("n_name"))
+        .crossJoin(Tables.region(s, dir).select(col("r_name")))
+        .orderBy("n_name", "r_name"),
+      Some("""SELECT n_name, r_name FROM nation CROSS JOIN region
+             |ORDER BY n_name, r_name""".stripMargin)),
+
     // Semi / anti: EXISTS / NOT EXISTS — customers with / without orders.
     Q("j_semi",
       (s, dir) => Tables.customer(s, dir)
