@@ -20,10 +20,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/classloading warm-up outside the timed region: one scan+agg
-    // through the parquet reader and shuffle paths, so the first timed
-    // query (alphabetical) isn't billed for one-time JVM setup.
+    // through the parquet reader and shuffle paths, plus the decimal
+    // medallion transforms on the TINY sf (the alphabetically-first
+    // timed queries are decimal-heavy and would otherwise be billed
+    // for one-time JVM/library warm-up).
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    try graft.ops.StockOps.goldMonthly(graft.ops.StockOps.silverDaily(
+      graft.ops.StockOps.bronzeFromLineitem(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))))
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
