@@ -90,25 +90,31 @@ object Similarity {
       .select(col(idCol), col(cIdCol).as("centroid_id"), col("cosine"))
   }
 
-  /** IVF probe (nprobe=1): answer top-k by ranking ONLY the inverted
-    * list of each query's own centroid — the probe touches
-    * ~corpus/num_centroids vectors instead of the whole table. At scale
-    * the assigned corpus is written `partitionBy(centroid_id)` and this
-    * equi-join on centroid_id becomes a partition-pruned scan. Recall
-    * is bounded by cell boundaries (the classic IVF trade; raise nprobe
-    * by unioning more centroids per query). Queries must be members of
-    * `emb` (identified by id) so their cell is their own assignment. */
+  /** IVF probe: answer top-k by ranking only the inverted lists of
+    * each query's `nprobe` nearest centroids — the probe touches
+    * ~nprobe × corpus/num_centroids vectors instead of the whole
+    * table. At scale the assigned corpus is written
+    * `partitionBy(centroid_id)` and the equi-join on centroid_id
+    * becomes a partition-pruned scan. Recall is bounded by cell
+    * boundaries; raising nprobe trades scan volume back for recall
+    * (the standard IVF knob). Items live in exactly one cell, so a
+    * query probing several cells still sees each item at most once —
+    * no dedup needed. Queries must be members of `emb` (by id). */
   def ivfSearch(emb: DataFrame, queryIds: DataFrame, vecCol: String, idCol: String,
-                centroids: DataFrame, cVecCol: String, cIdCol: String, k: Int): DataFrame = {
+                centroids: DataFrame, cVecCol: String, cIdCol: String, k: Int,
+                nprobe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(emb, vecCol, idCol, centroids, cVecCol, cIdCol)
-      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
-    val qs = assigned.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
-      .select(col(idCol).as("query_id"), col(vecCol).as("query_vec"), col("centroid_id"))
-    val items = assigned
-      .select(col("centroid_id"), col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("cosine", cosine(col(vecCol), col(cVecCol)))
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("cosine").desc, col(cIdCol))
+    val ranked = scored.withColumn("arn", row_number().over(wAssign))
+    val items = ranked.filter(col("arn") === 1)
+      .select(col(cIdCol).as("centroid_id"), col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val qcells = ranked.filter(col("arn") <= nprobe)
+      .join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("query_id"), col(cIdCol).as("centroid_id"), col(vecCol).as("query_vec"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("item_id"))
-    qs.join(items, Seq("centroid_id"))
+    qcells.join(items, Seq("centroid_id"))
       .where(col("query_id") =!= col("item_id"))
       .withColumn("cosine", cosine(col("query_vec"), col("item_vec")))
       .withColumn("rn", row_number().over(w))

@@ -526,6 +526,36 @@ object ExtQueries {
               |SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rn
               |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)),
 
+    // IVF probe with nprobe=2: each query unions its two nearest cells
+    // before ranking — the recall-vs-scan knob turned one notch.
+    Q("sim_ivf_probe2",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        Similarity.ivfSearch(emb, emb.filter(col("vec_id") < 3).select(col("vec_id")),
+          "embedding", "vec_id", cents, "c_vec", "c_id", k = 5, nprobe = 2)
+          .orderBy("query_id", "rn")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+              |scored AS (SELECT e.vec_id, e.embedding, c.c_id,
+              |                  ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+              |           FROM embeddings e CROSS JOIN cents c),
+              |ranked AS (SELECT vec_id, embedding, c_id,
+              |                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS arn
+              |           FROM scored),
+              |items AS (SELECT c_id, vec_id AS item_id, embedding AS item_vec FROM ranked WHERE arn = 1),
+              |qs AS (SELECT vec_id AS query_id, c_id, embedding AS qv
+              |       FROM ranked WHERE arn <= 2 AND vec_id < 3),
+              |cand AS (SELECT qs.query_id, items.item_id,
+              |                ${Similarity.cosineSql("qs.qv", "items.item_vec")} AS cosine
+              |         FROM qs JOIN items USING (c_id) WHERE items.item_id <> qs.query_id),
+              |r AS (SELECT query_id, item_id, cosine,
+              |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rn
+              |      FROM cand)
+              |SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rn
+              |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)),
+
     // ── Event-time processing ──────────────────────────────────────────
 
     // JSON property extraction with explicit schema (generalizes the

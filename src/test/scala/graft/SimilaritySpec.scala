@@ -117,6 +117,12 @@ class SimilaritySpec extends SparkSpec {
     // query 0 sees items 2 and 3 (its cell), never 1/4/5 (the other cell)
     assert(out.map(_.getAs[Long]("item_id")).toSeq == Seq(2L, 3L))
     assert(out.map(_.getAs[Int]("rn")).toSeq == Seq(1, 2))
+    // nprobe=2 widens the probe to both cells: all five other items rank
+    val out2 = Similarity.ivfSearch(emb, emb.filter(col("vec_id") === 0L).select(col("vec_id")),
+      "embedding", "vec_id", cents, "c_vec", "c_id", k = 5, nprobe = 2)
+      .orderBy("rn").collect()
+    assert(out2.map(_.getAs[Long]("item_id")).toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out2.take(2).map(_.getAs[Long]("item_id")).toSeq == Seq(2L, 3L)) // own cell still first
   }
 
   test("native functions are SQL-callable after registration") {
