@@ -51,11 +51,9 @@ case class WordShingleHashes(child: Expression, n: Int, distinctShingles: Boolea
 
 object WordShingleHashes {
 
-  /** Static entry shared by eval and generated code. */
-  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
-    val s = text.toString
+  /** Whitespace-split tokens, empties dropped (== TextOps.tokens). */
+  private[functions] def tokenize(s: String): java.util.ArrayList[String] = {
     val len = s.length
-    // whitespace-split tokens, empties dropped (== TextOps.tokens)
     val toks = new java.util.ArrayList[String]()
     var i = 0
     while (i < len) {
@@ -64,6 +62,12 @@ object WordShingleHashes {
       while (i < len && s.charAt(i) != ' ') i += 1
       if (i > start) toks.add(s.substring(start, i))
     }
+    toks
+  }
+
+  /** Static entry shared by eval and generated code. */
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = tokenize(text.toString)
     val m = toks.size()
     if (m < n) return new GenericArrayData(Array.emptyLongArray)
     val out = new java.util.ArrayList[java.lang.Long](m - n + 1)
@@ -88,5 +92,78 @@ object WordShingleHashes {
     var p = 0
     while (p < arr.length) { arr(p) = out.get(p); p += 1 }
     new GenericArrayData(arr)
+  }
+}
+
+/**
+ * Full k-slot MinHash signature per document in ONE compiled pass —
+ * slot i = min over the doc's n-word shingles of the chained
+ * `xxhash64(i, xxhash64(shingle))` (bit-identical to Spark's builtin
+ * `min(xxhash64(lit(i), shingleHash))` aggregate: same seed-42 chain).
+ *
+ * Structurally this removes the explode + k-MIN hash-aggregate SHUFFLE
+ * from signature building: the signature becomes a narrow projection,
+ * so MinHash/LSH's first exchange is the band-bucket join itself. The
+ * per-slot seed `xxhash64(i)` is hoisted out of the shingle loop, so
+ * cost is one hashLong per (shingle, slot). Docs with fewer than n
+ * tokens yield an EMPTY array (they have no signature — filter on
+ * size, mirroring the old aggregate's absent-group behavior).
+ */
+case class MinHashSignature(child: Expression, n: Int, k: Int)
+  extends UnaryExpression {
+
+  require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.MinHashSignature.compute($input, $n, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = WordShingleHashes.tokenize(text.toString)
+    val m = toks.size()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    // chained-seed prefix per slot: xxhash64 of the slot index under
+    // seed 42 — constant across shingles, hoisted out of the loop
+    val slotSeed = new Array[Long](k)
+    var i = 0
+    while (i < k) { slotSeed(i) = XXH64.hashInt(i, 42L); i += 1 }
+    val sig = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(j + t))
+        t += 1
+      }
+      val h = XxHash64Function.hash(UTF8String.fromString(sb.toString), StringType, 42L)
+      i = 0
+      while (i < k) {
+        val slotted = XXH64.hashLong(h, slotSeed(i))
+        if (slotted < sig(i)) sig(i) = slotted
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
   }
 }

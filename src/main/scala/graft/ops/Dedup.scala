@@ -107,15 +107,27 @@ object Dedup {
   /** MinHash signature: k slots, slot i = min over shingle HASHES h of
     * xxhash64(i, h). Returns (id, sig ARRAY<BIGINT>).
     *
-    * Shape: the native [[TextOps.shingleHashes]] front end emits 8-byte
-    * shingle keys in one compiled pass; the k slot hashes then operate
-    * on LONGs (fixed-width rehash, not a per-slot string hash). k MIN
-    * aggregates — codegen'd hash aggregation with map-side partials (a
-    * collect_list + k interpreted array folds computes the same
-    * signature ~3× slower, and collect_list would OOM on
-    * pathologically long docs). */
+    * Shape: the native [[graft.functions.MinHashSignature]] expression
+    * computes the whole signature per doc in one compiled pass — a
+    * narrow PROJECTION, no explode and no aggregate, so signature
+    * building contributes ZERO shuffles (the first exchange in
+    * MinHash/LSH is the band-bucket join itself). Docs with fewer than
+    * n tokens have no signature (empty array → filtered), mirroring
+    * the aggregate formulation's absent groups. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col(idCol),
+      Bridge.column(graft.functions.MinHashSignature(
+        Bridge.expression(col(textCol)), n, k)).as("sig"))
+      .where(size(col("sig")) > 0)
+  }
+
+  /** Executable spec for [[minhashSignatures]]: the explode + k-MIN
+    * aggregate formulation (one shuffle). DedupSpec asserts bit-parity
+    * with the native expression — do NOT remove. */
+  private[graft] def minhashSignaturesAgg(docs: DataFrame, idCol: String, textCol: String,
+                                          n: Int, k: Int): DataFrame = {
     val sh = docs.select(col(idCol),
       explode(TextOps.shingleHashes(col(textCol), n)).as("shingle"))
     val slotCols = (0 until k).map(i =>

@@ -109,6 +109,14 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L)) // min of each component + untouched 99
   }
 
+  test("native minhash signature is bit-identical to the aggregate formulation") {
+    val native = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val agg = Dedup.minhashSignaturesAgg(corpus, "doc_id", "text", n = 3, k = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(native == agg && native.size == 4)
+  }
+
   test("minhash LSH surfaces exact duplicates with est_jaccard 1.0") {
     val out = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 3, k = 16, bands = 4, minEstJaccard = 0.9)
