@@ -132,6 +132,62 @@ case class MinHashSignature(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/**
+ * 64-bit SimHash sketch per document in ONE compiled pass: every
+ * token's xxhash64 (seed 42, == the builtin over the token string)
+ * votes ±1 on each of the 64 bit positions; bit b of the sketch is set
+ * iff its vote total is positive. Bit-identical to the aggregate
+ * formulation (explode + 64 conditional SUMs + bit packing) that
+ * [[graft.ops.Dedup.simhashAgg]] keeps as the executable spec — but as
+ * a narrow projection: no explode, no aggregate shuffle, and zero-token
+ * docs get sketch 0 naturally (no vote ever fires) without the
+ * re-join the aggregate needed for its absent groups.
+ */
+case class SimHashSketch(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHashSketch.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.SimHashSketch.compute($input);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSketch {
+
+  def compute(text: UTF8String): Long = {
+    val toks = WordShingleHashes.tokenize(text.toString)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < toks.size()) {
+      val h = XxHash64Function.hash(UTF8String.fromString(toks.get(t)), StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sketch = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sketch |= (1L << b)
+      b += 1
+    }
+    sketch
+  }
+}
+
 object MinHashSignature {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 

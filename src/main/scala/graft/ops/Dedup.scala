@@ -241,16 +241,23 @@ object Dedup {
   /** 64-bit SimHash over word hashes (uniform weights): bit j of the
     * sketch is 1 iff the sum of ±1 votes from token-hash bits is > 0.
     *
-    * Shape: explode tokens → one codegen'd hash aggregate with 64
-    * conditional SUMs (map-side partial agg keeps the shuffle at one
-    * narrow row per (doc, partition)). A nested higher-order-function
-    * fold computes the same sketch but runs interpreted, ~10× slower
-    * at sf0.1. Zero-token docs keep sketch 0 (all-zero votes) — the
-    * most common duplicate class in web corpora is the empty page, and
-    * dropping them from the sketch table would hide exactly those. */
+    * Shape: the native [[graft.functions.SimHashSketch]] expression
+    * computes the whole sketch per doc in one compiled pass — a narrow
+    * PROJECTION, no explode/aggregate shuffle and no re-join for empty
+    * docs (zero tokens → zero votes → sketch 0 naturally; the most
+    * common duplicate class in web corpora is the empty page, and
+    * dropping them would hide exactly those). */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // n=1, non-distinct: per-token xxhash64 votes (term frequency
-    // weights preserved), emitted by the compiled shingle pass
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col(idCol),
+      Bridge.column(graft.functions.SimHashSketch(
+        Bridge.expression(col(textCol)))).as("simhash"))
+  }
+
+  /** Executable spec for [[simhash]]: explode + 64 conditional SUMs +
+    * bit packing + empty-doc re-join (one shuffle). DedupSpec asserts
+    * bit-parity with the native expression — do NOT remove. */
+  private[graft] def simhashAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = docs.select(col(idCol),
       explode(TextOps.shingleHashes(col(textCol), 1, distinct = false)).as("__h"))
     val voteCols = (0 until 64).map(b =>

@@ -156,6 +156,16 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(chain, maxIter = 1).collect())
   }
 
+  test("native simhash sketch is bit-identical to the aggregate formulation") {
+    import spark.implicits._
+    val docs = corpus.unionByName(Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"))
+    val native = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val agg = Dedup.simhashAgg(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native == agg && native.size == 6)
+  }
+
   test("simhash of identical docs is identical; pairs found at hamming 0") {
     val sh = Dedup.simhash(corpus, "doc_id", "text")
       .orderBy("doc_id").collect().map(_.getLong(1))
