@@ -609,6 +609,30 @@ object ExtQueries {
              |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
              |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // Time-bounded event correlation: clicks joined to purchases of the
+    // same user within the following hour — the batch form of
+    // StreamOps.correlatedEvents (whose stream-stream state eviction
+    // relies on exactly this time bound). Oracle-verified here; the
+    // streaming variant is unit-tested for parity.
+    Q("ev_correlated",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val a = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+        val b = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("b_id"))
+        a.join(b, col("user_id") === col("b_user") &&
+            col("b_ts") >= col("a_ts") &&
+            col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("a_id"), col("b_id"))
+          .orderBy("user_id", "a_id", "b_id")
+      },
+      Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+             |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+             |ORDER BY a.user_id, a_id, b_id""".stripMargin)),
+
     // Fixed-domain pivot on event type (conditional aggregation).
     Q("ev_pivot",
       (s, dir) => EventOps.pivotByType(Tables.events(s, dir)).orderBy("user_id"),
