@@ -19,18 +19,26 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/classloading warm-up outside the timed region: one scan+agg
-    // through the parquet reader and shuffle paths, plus the decimal
-    // medallion transforms on the TINY sf (the alphabetically-first
-    // timed queries are decimal-heavy and would otherwise be billed
-    // for one-time JVM/library warm-up).
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
-    try graft.ops.StockOps.goldMonthly(graft.ops.StockOps.silverDaily(
-      graft.ops.StockOps.bronzeFromLineitem(
-        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))))
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // JIT/codegen warm-up outside the timed region: run EVERY query once
+    // at the tiny SF first. Round-4 showed single-shot timings bill 3-5 s
+    // of one-time JVM/whole-stage-codegen cost to whichever query first
+    // touches a path (from_json, salting exchange, decimal aggs):
+    // ev_json_extract measured 5.11 s cold vs 0.74 s steady-state with
+    // IDENTICAL code. A tiny-SF pass compiles each query's generated code
+    // without doing material work, so the timed pass at the target SF
+    // reflects throughput — the 100 TB-relevant number. Warm-up dir falls
+    // back to sfDir (still correct, just slower) and logs when it does.
+    val warmDir = {
+      val tiny = "/root/testdata/sf0.001"
+      if (new java.io.File(tiny).isDirectory) tiny
+      else { System.err.println(s"[bench] warm-up dir $tiny missing; warming at $sfDir"); sfDir }
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
