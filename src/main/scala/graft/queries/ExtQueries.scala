@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.ops.{Dedup, EventOps, Multimodal, Packing, Quality, Similarity, TextOps}
+import graft.ops.{Dedup, EventOps, Multimodal, Packing, Quality, Sampling, Similarity, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -116,6 +116,83 @@ object ExtQueries {
       (s, dir) => Dedup.simhashPairs(dupCorpus(s, dir), "doc_id", "text",
         maxHamming = 3).orderBy("id_a", "id_b"),
       None),
+
+    // MinHash/SimHash sketches use xxhash64 (no DuckDB equivalent), so
+    // the pair LISTS above are rows-only — but a derived invariant IS
+    // oracle-checkable: identical texts get identical sketches, land in
+    // every shared band, and survive the est/hamming filter, so LSH must
+    // recall 100% of identical-text pairs with a perfect sketch match.
+    // DuckDB counts those pairs exactly (text self-join); a broken
+    // sketch, bander, or filter makes n_recalled/n_perfect fall short
+    // and the hash compare fails.
+    Q("dd_minhash_recall",
+      (s, dir) => {
+        val corpus = dupCorpus(s, dir)
+        val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          n = 5, k = 16, bands = 4, minEstJaccard = 0.5)
+        val t = corpus.select(col("doc_id"), col("text"))
+        val truePairs = t.as("a").join(t.as("b"),
+            col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        truePairs.join(pairs, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_true_pairs"),
+            count(col("est_jaccard")).as("n_recalled"),
+            sum(when(col("est_jaccard") === 1.0, 1L).otherwise(0L)).as("n_perfect"))
+      },
+      Some(s"""WITH $dupCorpusSql,
+              |p AS (SELECT count(*) AS n FROM corpus a JOIN corpus b
+              |      ON a.text = b.text AND a.doc_id < b.doc_id)
+              |SELECT CAST(n AS BIGINT) AS n_true_pairs, CAST(n AS BIGINT) AS n_recalled,
+              |       CAST(n AS BIGINT) AS n_perfect FROM p""".stripMargin)),
+
+    // Same invariant for SimHash: identical text → identical 64-bit
+    // sketch → Hamming 0 on every band → guaranteed candidate.
+    Q("dd_simhash_recall",
+      (s, dir) => {
+        val corpus = dupCorpus(s, dir)
+        val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+        val t = corpus.select(col("doc_id"), col("text"))
+        val truePairs = t.as("a").join(t.as("b"),
+            col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        truePairs.join(pairs, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_true_pairs"),
+            count(col("hamming")).as("n_recalled"),
+            sum(when(col("hamming") === 0L, 1L).otherwise(0L)).as("n_perfect"))
+      },
+      Some(s"""WITH $dupCorpusSql,
+              |p AS (SELECT count(*) AS n FROM corpus a JOIN corpus b
+              |      ON a.text = b.text AND a.doc_id < b.doc_id)
+              |SELECT CAST(n AS BIGINT) AS n_true_pairs, CAST(n AS BIGINT) AS n_recalled,
+              |       CAST(n AS BIGINT) AS n_perfect FROM p""".stripMargin)),
+
+    // ── Sampling ───────────────────────────────────────────────────────
+
+    // Deterministic per-key carve-out: xxhash64 order is not DuckDB-
+    // expressible, but its CONTRACT is — exactly min(k, |group|) rows
+    // per key, and the selected ids identical no matter how the input
+    // is partitioned. The query runs the sampler twice (native layout
+    // vs. repartition(7)) and reports per-key sample size plus the
+    // count of ids picked by one run and not the other; the oracle
+    // asserts (LEAST(k, n), 0) per key.
+    Q("samp_per_key",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val k = 3
+        val s1 = Sampling.deterministicPerKey(docs, "lang", "doc_id", k)
+          .select(col("lang"), col("doc_id"))
+        val s2 = Sampling.deterministicPerKey(
+            docs.repartition(7, col("doc_id")), "lang", "doc_id", k)
+          .select(col("lang"), col("doc_id"), lit(1).as("m"))
+        s1.join(s2, Seq("lang", "doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(when(col("m").isNull, 1L).otherwise(0L)).as("n_unstable"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, CAST(LEAST(3, count(*)) AS BIGINT) AS n_sampled,
+             |       CAST(0 AS BIGINT) AS n_unstable
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
 
     // End-to-end corpus dedup: duplicate pairs → connected components
     // (iterative min-label propagation) → drop every non-representative.

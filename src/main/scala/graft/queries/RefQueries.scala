@@ -346,6 +346,13 @@ object RefQueries {
     // scan+shuffle volume); split, the HLL side is one partial+final
     // agg and the exact side the standard two-phase distinct — both
     // shuffle-narrow. Same output, measured ~3× faster at sf0.1.
+    // The HLL estimate itself is not DuckDB-computable, so the query
+    // emits the exact count (oracle-hashed) plus `approx_ok` — the HLL
+    // estimate bound-checked Spark-side against 5× the configured rsd
+    // (0.02 → 10%; the estimate is deterministic for fixed data, and at
+    // every test SF the observed error is <2%). The oracle asserts the
+    // flag is 1 for every group, so a broken sketch hash-mismatches
+    // instead of sliding through as "no_oracle".
     Q("agg_approx_distinct",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
@@ -354,10 +361,16 @@ object RefQueries {
         val exact = li.groupBy(col("l_returnflag"))
           .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
         approx.join(exact, Seq("l_returnflag"))
-          .select(col("l_returnflag"), col("approx_orders"), col("exact_orders"))
+          .select(col("l_returnflag"), col("exact_orders"),
+            (abs(col("approx_orders") - col("exact_orders"))
+              .cast(DoubleType) / col("exact_orders") <= 0.10)
+              .cast(IntegerType).as("approx_ok"))
           .orderBy("l_returnflag")
       },
-      None),
+      Some("""SELECT l_returnflag,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+             |       CAST(1 AS INTEGER) AS approx_ok
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // Exact interpolated percentiles. Deliberately restricted to
     // binary-exact fractions (.25/.5/.75) over the integer-valued
