@@ -854,30 +854,8 @@ object RefQueries {
     // TWICE into a scratch warehouse (second run proves incremental
     // idempotence), then gold is read back. Oracle = the one-shot SQL.
     Q("m_incremental_pipeline",
-      (s, dir) => {
-        val whRoot = s"/tmp/graft_wh_${new java.io.File(dir).getName}"
-        val wh = new Warehouse(s, whRoot)
-        wh.dropTable("silver", "daily_stocks"); wh.dropTable("gold", "monthly_summary")
-        val silverModel = Incremental.Model(
-          "daily_stocks", "silver", Seq(), Seq("sigla_empresa", "data_pregao"), "data_pregao",
-          (in, wm) => {
-            val silver = StockOps.silverDaily(StockOps.bronzeFromLineitem(in("lineitem")))
-            wm.map(w => silver.filter(col("data_pregao") >= lit(w))).getOrElse(silver)
-          })
-        val goldModel = Incremental.Model(
-          "monthly_summary", "gold", Seq("daily_stocks"), Seq("sigla_empresa", "data_inicio_mes"), "data_inicio_mes",
-          (in, wm) => {
-            val src = wm.map(w => in("daily_stocks")
-              .filter(date_trunc("month", col("data_pregao")).cast(DateType) >= lit(w)))
-              .getOrElse(in("daily_stocks"))
-            StockOps.goldMonthly(src)
-          })
-        val registry = new Incremental.Registry(Seq(silverModel, goldModel))
-        val sources = Map("lineitem" -> Tables.lineitem(s, dir))
-        registry.runAll(wh, sources) // initial full build
-        registry.runAll(wh, sources) // incremental no-op/idempotent rerun
-        wh.read("gold", "monthly_summary").orderBy("sigla_empresa", "ano", "mes")
-      },
+      (s, dir) => MedallionPipeline.run(s, dir,
+        s"/tmp/graft_wh_${new java.io.File(dir).getName}"),
       Some(StockOps.goldSql))
   )
 

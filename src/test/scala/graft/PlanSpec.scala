@@ -88,6 +88,21 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == plain.count() && pruned.count() > 0)
   }
 
+  test("pipeline's incremental silver read is partition-pruned") {
+    import graft.engine.{Incremental, Warehouse}
+    import graft.queries.MedallionPipeline
+    val whRoot = Files.createTempDirectory("graft_mpipe").toString
+    MedallionPipeline.run(spark, dir, whRoot) // builds bronze + runs DAG twice
+    val wh = new Warehouse(spark, whRoot)
+    val wm = Incremental.maxWatermark(wh.read("silver", "daily_stocks"), "data_pregao")
+    assert(wm.isDefined)
+    // the EXACT source read the silver model performs on an incremental run
+    val src = MedallionPipeline.silverSource(wh.read("bronze", "stocks"), wm)
+    val plan = src.queryExecution.sparkPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("year"),
+      s"silver incremental read does not prune bronze partitions:\n$plan")
+  }
+
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
