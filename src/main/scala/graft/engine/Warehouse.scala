@@ -88,9 +88,15 @@ final class Warehouse(val spark: SparkSession, val root: String) {
       .saveAsTable(bucketedTableName(layer, table))
   }
 
-  /** Catalog name of a bucketed table (bucket metadata lives in the
-    * session catalog; the name is namespaced by layer). */
-  def bucketedTableName(layer: String, table: String): String = s"${layer}_$table"
+  /** Catalog name of a bucketed table. The session catalog is global,
+    * so the name is namespaced by a hash of THIS warehouse's root —
+    * two warehouses with different roots (or layer/table pairs like
+    * (a,b_c) vs (a_b,c)) must not collide and silently repoint each
+    * other's catalog entries. */
+  def bucketedTableName(layer: String, table: String): String = {
+    val rootTag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(root))
+    s"g${rootTag}__${layer}__$table"
+  }
 
   def readBucketed(layer: String, table: String): DataFrame =
     spark.table(bucketedTableName(layer, table))

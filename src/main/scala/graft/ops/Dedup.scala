@@ -48,11 +48,12 @@ object Dedup {
    * Shingle postings with df > `maxDf` are dropped before the
    * self-join (stop-shingle pruning).
    *
-   * Scale shape — exactly two shuffles, both over (BIGINT, BIGINT,
-   * BIGINT) rows: the per-doc shingle count is computed in the SAME
-   * projection that builds the distinct-shingle array (no aggregation),
-   * and shingles are xxhash64'd to 8-byte keys before the posting-list
-   * groupBy, so neither shuffle ever carries shingle text. A 64-bit
+   * Scale shape — several shuffles, every one keyed on 8-byte longs:
+   * shingles are xxhash64'd before any aggregation, so no shuffle ever
+   * carries shingle text. Per-doc counts and document frequencies are
+   * separate narrow count-aggregates (df computed FIRST so posting
+   * lists stay bounded — see body comments), and the two denominator
+   * joins land on the already-pruned, small pair table. A 64-bit
    * collision merging two distinct shingles corpus-wide is ~q²/2⁶⁵
    * (≈1e-7 at a billion distinct shingles) — the standard trade every
    * large-scale shingling pipeline makes.

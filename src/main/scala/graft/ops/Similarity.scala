@@ -107,7 +107,14 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(centroids))
       .withColumn("cosine", cosine(col(vecCol), col(cVecCol)))
     val wAssign = Window.partitionBy(col(idCol)).orderBy(col("cosine").desc, col(cIdCol))
+    // persist: both `items` and `qcells` consume this plan, and the
+    // broadcast-scoring + ranking window is the most expensive stage of
+    // the probe — without the persist it executes twice per search.
+    // Kept to nprobe rows per vector first so the cached footprint is
+    // O(corpus × nprobe), not O(corpus × centroids). The entry stays
+    // cached for repeated searches; Spark evicts LRU under pressure.
     val ranked = scored.withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") <= math.max(1, nprobe)).persist()
     val items = ranked.filter(col("arn") === 1)
       .select(col(cIdCol).as("centroid_id"), col(idCol).as("item_id"), col(vecCol).as("item_vec"))
     val qcells = ranked.filter(col("arn") <= nprobe)

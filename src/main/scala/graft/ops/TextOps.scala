@@ -63,7 +63,11 @@ object TextOps {
   def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
 
   private def qualityScoreOf(text: Column, toks: Column): Column = {
-    val nTok = tokenCountOf(toks).cast(DoubleType)
+    // nullif guard: a zero-token doc must yield NULL ratios on BOTH
+    // engines — Spark's non-ANSI divide returns NULL but DuckDB's
+    // ieee_floating_point_ops default returns Infinity, a latent
+    // oracle hash mismatch on empty/whitespace-only text.
+    val nTok = nullif(tokenCountOf(toks).cast(DoubleType), lit(0.0))
     val nChars = length(text).cast(DoubleType)
     val meanLen = nChars / nTok
     val stopRatio = stopwordCountOf(toks).cast(DoubleType) / nTok
@@ -74,7 +78,7 @@ object TextOps {
   }
 
   def qualityScoreSql(col: String): String = {
-    val nTok = s"CAST(len(${tokensSql(col)}) AS DOUBLE)"
+    val nTok = s"nullif(CAST(len(${tokensSql(col)}) AS DOUBLE), 0)"
     val meanLen = s"(CAST(length($col) AS DOUBLE) / $nTok)"
     s"""(least($nTok / 50.0, 1.0) * 0.4
        | + (CASE WHEN $meanLen >= 3 AND $meanLen <= 10 THEN 1.0 ELSE 0.5 END) * 0.3

@@ -404,9 +404,12 @@ object ExtQueries {
       (s, dir) => {
         val toks = TextOps.tokens(col("text"))
         val nTok = TextOps.tokenCount(col("text"))
-        val meanLen = length(col("text")).cast(DoubleType) / nTok.cast(DoubleType)
+        // nullif: zero-token docs → NULL ratios on both engines (DuckDB
+        // would otherwise emit Infinity, Spark NULL — hash mismatch)
+        val safeTok = nullif(nTok.cast(DoubleType), lit(0.0))
+        val meanLen = length(col("text")).cast(DoubleType) / safeTok
         val distinctRatio =
-          size(array_distinct(toks)).cast(DoubleType) / nTok.cast(DoubleType)
+          size(array_distinct(toks)).cast(DoubleType) / safeTok
         val stopHits = TextOps.stopwordCount(col("text"))
         Tables.documents(s, dir).select(
           col("doc_id"),
@@ -424,9 +427,9 @@ object ExtQueries {
               |        AND distinct_ratio >= 0.2 AND stop_hits >= 2) AS keep
               |FROM (SELECT doc_id,
               |        CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens,
-              |        CAST(length(text) AS DOUBLE) / CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE) AS mean_len,
+              |        CAST(length(text) AS DOUBLE) / nullif(CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE), 0) AS mean_len,
               |        CAST(len(list_distinct(${TextOps.tokensSql("text")})) AS DOUBLE)
-              |          / CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE) AS distinct_ratio,
+              |          / nullif(CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE), 0) AS distinct_ratio,
               |        ${TextOps.stopwordCountSql("text")} AS stop_hits
               |      FROM documents)
               |ORDER BY doc_id""".stripMargin)),

@@ -119,7 +119,7 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
     assert(!plan.contains("Exchange"), s"bucketing failed to remove the shuffle:\n$plan")
     assert(joined.count() == orders.count())
-    s2.sql("DROP TABLE IF EXISTS bkt_orders_a")
-    s2.sql("DROP TABLE IF EXISTS bkt_orders_n")
+    s2.sql(s"DROP TABLE IF EXISTS ${wh.bucketedTableName("bkt", "orders_a")}")
+    s2.sql(s"DROP TABLE IF EXISTS ${wh.bucketedTableName("bkt", "orders_n")}")
   }
 }
