@@ -85,28 +85,121 @@ object Multimodal {
       duration_s: Double,
       peak: Int)
 
-  /** STUB audio decoder: PCM16-shaped deterministic pseudo-features
-    * from the payload bytes (2 bytes/sample; fake rate ∈ {8,16,24} kHz).
-    * Replace at the marked line with a real parser (wav header / ffprobe). */
+  /** STUB audio decoder for non-RIFF payloads: PCM16-shaped
+    * deterministic pseudo-features from the payload bytes (2 bytes per
+    * sample; fake rate ∈ {8,16,24} kHz). The REAL path is [[parseWav]];
+    * this fallback keeps opaque/unknown containers flowing (swap it for
+    * ffprobe/JNI in production). */
   def fakeAudioDecode(id: Long, payload: Array[Byte]): AudioMeta = {
     val len = payload.length.toLong
-    // ??? real audio header parse goes here
     val nSamples = len / 2
     val rate = (8000L * (1 + len % 3)).toInt
     AudioMeta(id, nSamples, rate, nSamples.toDouble / rate,
       (math.abs(len * 2654435761L) % 32768).toInt)
   }
 
+  case class WavInfo(numChannels: Int, sampleRate: Int, bitsPerSample: Int,
+                     nFrames: Long, peak: Int)
+
+  /** REAL RIFF/WAVE parser — pure JVM, no codec library needed. Walks
+    * the chunk list (honoring the odd-size pad byte), reads PCM fmt
+    * fields little-endian, counts data frames via blockAlign, and scans
+    * the PCM16 payload for the true peak amplitude. Returns None for
+    * anything that is not a well-formed PCM16 WAV (callers fall back to
+    * the stub), never throws on malformed bytes. */
+  def parseWav(b: Array[Byte]): Option[WavInfo] = {
+    if (b.length < 44) return None
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var dataOff = -1
+    var dataLen = -1
+    while (off + 8 <= b.length) {
+      val id = ascii(off, 4)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return None // truncated chunk
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = buf.getShort(off + 8) & 0xffff
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((buf.getShort(off + 10) & 0xffff, buf.getInt(off + 12),
+            buf.getShort(off + 22) & 0xffff, buf.getShort(off + 20) & 0xffff))
+        case "data" => dataOff = off + 8; dataLen = size
+        case _ => () // LIST/INFO/fact/... chunks are skipped
+      }
+      off += 8 + size + (size & 1) // chunks pad to even offsets
+    }
+    fmt match {
+      case Some((ch, rate, bits, blockAlign))
+          if dataOff >= 0 && ch > 0 && rate > 0 && bits == 16 && blockAlign == ch * 2 =>
+        val nFrames = dataLen.toLong / blockAlign
+        var peak = 0
+        var i = dataOff
+        val end = dataOff + dataLen
+        while (i + 1 < end) {
+          val s = buf.getShort(i).toInt
+          val a = if (s < 0) -s else s
+          if (a > peak) peak = a
+          i += 2
+        }
+        Some(WavInfo(ch, rate, bits, nFrames, peak))
+      case _ => None
+    }
+  }
+
+  /** Minimal canonical PCM16 WAV container (RIFF/fmt/data) — the
+    * synthesis side of the parser's unit + oracle tests. */
+  def wavBytes(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode one audio payload: real RIFF/WAV parse when the bytes are a
+    * PCM16 WAV, deterministic stub otherwise. */
+  def audioDecode(id: Long, payload: Array[Byte]): AudioMeta = parseWav(payload) match {
+    case Some(w) =>
+      AudioMeta(id, w.nFrames, w.sampleRate, w.nFrames.toDouble / w.sampleRate, w.peak)
+    case None => fakeAudioDecode(id, payload)
+  }
+
   /** Audio-column analogue of [[decodeMeta]]: same batched
-    * mapPartitions plumbing, audio-shaped metadata struct. */
+    * mapPartitions plumbing, audio-shaped metadata struct; WAV payloads
+    * take the real parser, anything else the stub. */
   def audioFeats(spark: SparkSession, docs: DataFrame,
                  idCol: String, payloadCol: String): DataFrame = {
     import spark.implicits._
     val enc = org.apache.spark.sql.Encoders.product[AudioMeta]
     docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
       .mapPartitions { rows =>
-        rows.map { r: Row => fakeAudioDecode(r.getLong(0), r.getAs[Array[Byte]](1)) }
+        rows.map { r: Row => audioDecode(r.getLong(0), r.getAs[Array[Byte]](1)) }
       }(enc)
       .toDF()
+  }
+
+  /** Deterministic PCM16 WAV corpus derived from doc ids (rate, frame
+    * count, and amplitude are all id-keyed), so an oracle can predict
+    * every parsed field analytically while the bytes exercise the REAL
+    * container parse. Alternating ±A samples make the true peak A. */
+  def synthWavCorpus(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val rate = (8000L * (1 + id % 3)).toInt
+      val nFrames = (100 + id % 50).toInt
+      val amp = ((id * 997L) % 32768L).toShort
+      val samples = Array.tabulate(nFrames)(i => if (i % 2 == 0) amp else (-amp).toShort)
+      (id, wavBytes(rate, 1, samples))
+    }.toDF(idCol, "payload")
   }
 }

@@ -765,20 +765,22 @@ object ExtQueries {
              |       CAST(floor(height * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_h
              |FROM meta ORDER BY doc_id""".stripMargin)),
 
-    // Audio-shaped multimodal plumbing: PCM16-ish pseudo-features via
-    // the same batched mapPartitions decode path (stubbed codec; the
-    // oracle replays the stub arithmetic).
+    // Audio multimodal path with a REAL RIFF/WAV container parse: the
+    // corpus is genuine PCM16 WAV bytes synthesized from id-keyed
+    // parameters, decoded by Multimodal.parseWav (chunk walk, LE fmt
+    // fields, true peak scan over the PCM payload). The oracle predicts
+    // every parsed field analytically from the same id arithmetic, so a
+    // mis-read header offset or endianness bug hash-mismatches.
     Q("mm_audio_feats",
       (s, dir) => Multimodal.audioFeats(s,
-        Tables.documents(s, dir).select(col("doc_id"), col("text").cast(BinaryType).as("payload")),
+        Multimodal.synthWavCorpus(s, Tables.documents(s, dir), "doc_id"),
         "doc_id", "payload")
         .orderBy("doc_id"),
-      // strlen = BYTE length, matching the Spark side's payload bytes
       Some("""SELECT doc_id,
-             |  strlen(text) // 2 AS n_samples,
-             |  CAST(8000 * (1 + strlen(text) % 3) AS INTEGER) AS sample_rate,
-             |  CAST(strlen(text) // 2 AS DOUBLE) / (8000 * (1 + strlen(text) % 3)) AS duration_s,
-             |  CAST((strlen(text) * 2654435761) % 32768 AS INTEGER) AS peak
+             |  CAST(100 + doc_id % 50 AS BIGINT) AS n_samples,
+             |  CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+             |  CAST(100 + doc_id % 50 AS DOUBLE) / (8000 * (1 + doc_id % 3)) AS duration_s,
+             |  CAST((doc_id * 997) % 32768 AS INTEGER) AS peak
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Salted two-phase aggregation, oracle-proven equivalent to the

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Multimodal
+import org.apache.spark.sql.functions._
+
+/** RIFF/WAV parser correctness: round-trip vs the synthesizer, stereo
+  * frame accounting, chunk-walk robustness (extra + odd-sized chunks),
+  * and the guaranteed stub fallback on malformed bytes. */
+class MultimodalSpec extends SparkSpec {
+
+  test("parseWav round-trips the synthesized container exactly") {
+    val samples = Array[Short](100, -200, 32000, -32000, 0, 7)
+    val wav = Multimodal.wavBytes(16000, 1, samples)
+    val w = Multimodal.parseWav(wav).get
+    assert(w.numChannels == 1 && w.sampleRate == 16000 && w.bitsPerSample == 16)
+    assert(w.nFrames == 6L)
+    assert(w.peak == 32000)
+  }
+
+  test("stereo: frames counted per blockAlign, peak across channels") {
+    // 2 channels → 3 frames from 6 samples; peak is channel-agnostic
+    val samples = Array[Short](10, -500, 300, 20, -1, 2)
+    val w = Multimodal.parseWav(Multimodal.wavBytes(44100, 2, samples)).get
+    assert(w.numChannels == 2 && w.sampleRate == 44100)
+    assert(w.nFrames == 3L)
+    assert(w.peak == 500)
+  }
+
+  test("parser skips unknown and odd-sized chunks before data") {
+    val base = Multimodal.wavBytes(8000, 1, Array[Short](5, -9))
+    // splice an odd-sized junk chunk between fmt and data
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // size 3 + pad
+    val spliced = base.take(36) ++ junk ++ base.drop(36)
+    // fix the RIFF size field
+    val buf = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(4, spliced.length - 8)
+    val w = Multimodal.parseWav(spliced).get
+    assert(w.sampleRate == 8000 && w.nFrames == 2L && w.peak == 9)
+  }
+
+  test("malformed payloads fall back to the deterministic stub") {
+    for (bad <- Seq(
+        "not audio at all".getBytes("US-ASCII"),
+        Array.empty[Byte],
+        Multimodal.wavBytes(8000, 1, Array[Short](1, 2)).take(30))) { // truncated
+      assert(Multimodal.parseWav(bad).isEmpty)
+      assert(Multimodal.audioDecode(7L, bad) == Multimodal.fakeAudioDecode(7L, bad))
+    }
+  }
+
+  test("audioFeats over a synthesized WAV corpus matches the analytic contract") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.audioFeats(spark,
+      Multimodal.synthWavCorpus(spark, docs, "doc_id"), "doc_id", "payload")
+    val bad = feats.filter(
+      col("n_samples") =!= (lit(100) + col("doc_id") % 50) ||
+      col("sample_rate") =!= (lit(8000) * (lit(1) + col("doc_id") % 3)).cast("int") ||
+      col("peak") =!= ((col("doc_id") * 997) % 32768).cast("int")).count()
+    assert(bad == 0)
+    assert(feats.count() == docs.count())
+  }
+}
