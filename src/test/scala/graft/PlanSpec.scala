@@ -88,6 +88,29 @@ class PlanSpec extends SparkSpec {
     assert(pruned.count() == plain.count() && pruned.count() > 0)
   }
 
+  test("native sketches: no shuffle or aggregate below the band-bucket join") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    for ((q, native) <- Seq("dd_minhash_lsh" -> "graft_minhash",
+                            "dd_simhash" -> "graft_simhash")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan
+      assert(plan.toString.contains(native), s"$q lost the native sketch expression")
+      // signature building must be a pure projection: any Exchange or
+      // aggregate in the plan may only implement pair-distinct/sort
+      // ABOVE the join, never signature construction below it
+      plan.foreach {
+        case e: ShuffleExchangeLike =>
+          assert(e.find(_.isInstanceOf[BaseJoinExec]).isDefined,
+            s"$q shuffles below the band join:\n$plan")
+        case a: BaseAggregateExec =>
+          assert(a.find(_.isInstanceOf[BaseJoinExec]).isDefined,
+            s"$q aggregates below the band join:\n$plan")
+        case _ => ()
+      }
+    }
+  }
+
   test("pipeline's incremental silver read is partition-pruned") {
     import graft.engine.{Incremental, Warehouse}
     import graft.queries.MedallionPipeline
