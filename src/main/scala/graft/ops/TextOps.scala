@@ -119,6 +119,36 @@ object TextOps {
        |     ELSE 'fr' END""".stripMargin
   }
 
+  /** Word bigrams of a token array (n=2 shingles, duplicates KEPT —
+    * repetition measurement needs the multiset, unlike [[Dedup.shingles]]). */
+  def bigramsOf(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 1),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+
+  def bigramsSql(col: String): String =
+    s"list_transform(range(1, len(${tokensSql(col)})), i -> ${tokensSql(col)}[i] || ' ' || ${tokensSql(col)}[i+1])"
+
+  /**
+   * Gopher-style repetition stats: the fraction of all word bigrams
+   * taken by the single most frequent bigram (docs dominated by one
+   * repeated phrase are boilerplate/spam — "top-2-gram fraction" in the
+   * Gopher/DataComp filter family). Two narrow shuffles, both keyed on
+   * (doc_id, gram): per-(doc, bigram) counts with map-side partials,
+   * then a per-doc max/sum. At 100 TB the gram key would be
+   * xxhash64(gram) — 16-byte shuffle rows, same aggregate shape (the
+   * string key here keeps the DuckDB oracle exact).
+   */
+  def topBigramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val bg = docs.where(size(toks) >= 2)
+      .select(col(idCol), explode(bigramsOf(toks)).as("bg"))
+    bg.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_bigrams"))
+      .select(col(idCol), col("top_cnt"), col("n_bigrams"),
+        (col("top_cnt").cast(DoubleType) / col("n_bigrams").cast(DoubleType)).as("top_frac"))
+  }
+
   /** Context-length truncation: keep the first `maxTokens` tokens
     * (the standard pre-tokenizer cap before expensive BPE). */
   def truncateTokens(text: Column, maxTokens: Int): Column =

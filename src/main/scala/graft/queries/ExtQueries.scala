@@ -434,6 +434,20 @@ object ExtQueries {
               |      FROM documents)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Gopher repetition rule: top-bigram fraction — docs dominated by a
+    // single repeated phrase are boilerplate. Exact-integer top/total
+    // counts divide identically on both engines.
+    Q("t_top_bigram",
+      (s, dir) => TextOps.topBigramStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH bg AS (SELECT doc_id, unnest(${TextOps.bigramsSql("text")}) AS bg
+              |           FROM documents WHERE len(${TextOps.tokensSql("text")}) >= 2),
+              |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+              |SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+              |       CAST(sum(c) AS BIGINT) AS n_bigrams,
+              |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+              |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Corpus rollup by detected language — the filter-then-aggregate
     // shape of a corpus quality report (one shuffle; exact aggregates).
     Q("t_corpus_by_lang",

@@ -119,6 +119,20 @@ object StreamOps {
           (key, n)
       }(Encoders.scalaLong, Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
 
+  /** Streaming decontamination gate: the batch
+    * [[graft.ops.Dedup.contamination]] plan UNCHANGED over a document
+    * stream — a stream-static broadcast join (the benchmark side is
+    * static and tiny) feeding a streaming aggregate keyed on
+    * (doc, bench) pairs. Run in complete/update mode; state is one
+    * count per contaminated pair, bounded by benchmark size × flagged
+    * docs (contaminated pairs are rare by construction). This is the
+    * eval-leak tripwire run WHILE ingesting, instead of as a nightly
+    * batch over the full corpus. */
+  def contaminationStream(docStream: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int, minShared: Int): DataFrame =
+    graft.ops.Dedup.contamination(docStream, benchmark, idCol, textCol, n, minShared)
+
   /** Keyed-upsert sink: every micro-batch MERGEs into the warehouse
     * table by unique key (staged wins) — `foreachBatch` + [[Merge]] is
     * Spark's idiom for the reference's Delta MERGE sink. */

@@ -147,6 +147,31 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming contamination gate equals the batch decontamination pass") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val docsDir = tmp("graft_docs_in")
+    Seq(
+      (1L, "a b c d e xx yy zz"),            // shares 3 trigrams with the benchmark
+      (2L, "totally different words here now"),
+      (3L, "c d e f g something else here"), // shares 3 trigrams
+      (4L, "a b q c d q e f"))               // interleaved: no shared trigram
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(docsDir)
+    val benchmark = Seq((100L, "a b c d e f g")).toDF("doc_id", "text")
+    val stream = spark.readStream.schema(spark.read.parquet(docsDir).schema).parquet(docsDir)
+    StreamOps.runAvailableNowToMemory(
+      StreamOps.contaminationStream(stream, benchmark, "doc_id", "text", n = 3, minShared = 2),
+      "contam_out", tmp("graft_ck"), outputMode = "complete")
+    val streamed = spark.table("contam_out").orderBy("doc_id", "bench_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"), r.getAs[Long]("n_shared")))
+    val batch = Dedup.contamination(spark.read.parquet(docsDir), benchmark,
+        "doc_id", "text", n = 3, minShared = 2)
+      .orderBy("doc_id", "bench_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id"), r.getAs[Long]("n_shared")))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.map(_._1).toSet == Set(1L, 3L))
+  }
+
   test("streaming sessions match batch sessions once all windows close") {
     val dir = eventDir(Seq(baseRows :+
       (99L, "2024-01-02 23:59:59", 99L, "click", 0.0, "{}"))) // sentinel advances watermark
