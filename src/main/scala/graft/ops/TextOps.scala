@@ -132,13 +132,39 @@ object TextOps {
    * Gopher-style repetition stats: the fraction of all word bigrams
    * taken by the single most frequent bigram (docs dominated by one
    * repeated phrase are boilerplate/spam — "top-2-gram fraction" in the
-   * Gopher/DataComp filter family). Two narrow shuffles, both keyed on
-   * (doc_id, gram): per-(doc, bigram) counts with map-side partials,
-   * then a per-doc max/sum. At 100 TB the gram key would be
-   * xxhash64(gram) — 16-byte shuffle rows, same aggregate shape (the
-   * string key here keeps the DuckDB oracle exact).
+   * Gopher/DataComp filter family).
+   *
+   * Shape: the per-doc mode never needs a cross-row aggregate — sort
+   * the doc's bigram array and take the longest equal run in ONE
+   * `aggregate` fold. The whole stat block is a zero-shuffle
+   * projection (the explode+groupBy spec below measured 5 s at sf0.1;
+   * this runs with the scan). Works at any scale because state is one
+   * (prev, run, best) struct per row.
    */
   def topBigramStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // tokenize ONCE in its own projection (same rationale as textStats)
+    val toks = col("__toks")
+    val sorted = array_sort(bigramsOf(toks))
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    val folded = aggregate(sorted, zero, (acc, x) => {
+      val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(1L)
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    })
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .where(size(toks) >= 2)
+      .select(col(idCol),
+        folded.getField("best").as("top_cnt"),
+        (size(toks) - 1).cast(LongType).as("n_bigrams"))
+      .withColumn("top_frac",
+        col("top_cnt").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+  }
+
+  /** Executable spec for [[topBigramStats]]: explode + two-level
+    * aggregate (per-(doc,bigram) counts, then per-doc max/sum).
+    * TextOpsSpec asserts parity — do NOT remove. */
+  private[graft] def topBigramStatsAgg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val bg = docs.where(size(toks) >= 2)
       .select(col(idCol), explode(bigramsOf(toks)).as("bg"))

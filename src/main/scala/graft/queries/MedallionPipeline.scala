@@ -60,7 +60,13 @@ object MedallionPipeline {
     wh.dropTable("bronze", "stocks")
     wh.dropTable("silver", "daily_stocks")
     wh.dropTable("gold", "monthly_summary")
-    wh.atomicOverwrite(bronzeWithPartitions(Tables.lineitem(s, dir)),
+    // repartition on the hive keys first: otherwise every one of the
+    // input tasks writes a sliver into every (year, month) directory —
+    // tasks × partitions small files, the classic partitioned-write
+    // blowup. After the shuffle each directory is written by one task.
+    wh.atomicOverwrite(
+      bronzeWithPartitions(Tables.lineitem(s, dir))
+        .repartition(col("year"), col("month")),
       "bronze", "stocks", Seq("year", "month"))
     val registry = new Incremental.Registry(Seq(silverModel, goldModel))
     val sources = Map("bronze_stocks" -> wh.read("bronze", "stocks"))

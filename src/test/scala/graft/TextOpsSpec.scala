@@ -96,4 +96,18 @@ class TextOpsSpec extends SparkSpec {
     assert(qs.forall(q => q >= 0.0 && q <= 1.0))
     assert(qs(1) > qs(0))
   }
+
+  test("topBigramStats: sorted-run fold equals the explode+groupBy spec") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val fast = TextOps.topBigramStats(docs, "doc_id", "text").orderBy("doc_id").collect()
+    val spec = TextOps.topBigramStatsAgg(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(fast.toSeq == spec.toSeq && fast.nonEmpty)
+  }
+
+  test("topBigramStats: repeated-phrase doc is flagged by top_frac") {
+    val r = TextOps.topBigramStats(
+      one("spam spam spam spam spam ok"), "text", "text").collect().head
+    // bigrams: 4x "spam spam" + 1x "spam ok" -> top 4 of 5
+    assert(r.getAs[Long]("top_cnt") == 4L && r.getAs[Long]("n_bigrams") == 5L)
+  }
 }
