@@ -40,4 +40,23 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Training-mix materialization: per-key row CAPS (e.g. "at most
+    * 100k en docs, 10k zh docs, `default` for unlisted sources"),
+    * selected in the same deterministic hash order as
+    * [[deterministicPerKey]] so reruns and re-partitions pick the SAME
+    * mix. One window shuffle + a broadcast join against the tiny cap
+    * table — the cap map lives on executors, never drives a collect. */
+  def mixturePerKey(df: DataFrame, keyCol: String, idCol: String,
+                    caps: Map[String, Int], default: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val capDf = broadcast(caps.toSeq.toDF(keyCol, "__cap"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(capDf, Seq(keyCol), "left")
+      .filter(col("__rn") <= coalesce(col("__cap"), lit(default)))
+      .select(df.columns.map(col).toIndexedSeq: _*) // using-join moved the key first
+  }
 }

@@ -194,6 +194,39 @@ object ExtQueries {
              |       CAST(0 AS BIGINT) AS n_unstable
              |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
 
+    // Training-mix materialization: per-source caps in deterministic
+    // hash order. Oracle asserts the mix counts (least(cap, |source|))
+    // — the selection itself is xxhash-ordered, so counts are the
+    // SQL-checkable contract (id-stability is samp_per_key's job).
+    Q("samp_mixture",
+      (s, dir) => Sampling.mixturePerKey(Tables.documents(s, dir), "source", "doc_id",
+          Map("src0" -> 10, "src1" -> 3), default = 15)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .orderBy("source"),
+      Some("""SELECT source,
+             |  CAST(LEAST(CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 3 ELSE 15 END,
+             |             count(*)) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // Corpus length profile: equi-width histogram of document lengths
+    // per source — pure INTEGER bucket arithmetic (n_chars div 200,
+    // clamped), so both engines agree bit-exactly; one narrow shuffle
+    // with map-side partials. The distribution-profiling pass that
+    // sizes packing/truncation decisions at 100 TB.
+    Q("t_len_histogram",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("source"),
+          least(expr("n_chars div 200"), lit(9L)).cast(IntegerType).as("bucket"),
+          col("n_chars"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy("source", "bucket"),
+      Some("""SELECT source, CAST(LEAST(n_chars // 200, 9) AS INTEGER) AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM documents GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin)),
+
     // End-to-end corpus dedup: duplicate pairs → connected components
     // (iterative min-label propagation) → drop every non-representative.
     // Ground truth: the min-id representative per distinct text — the

@@ -26,6 +26,22 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mixturePerKey honors per-key caps, default, and hash-order stability") {
+    val caps = Map("en" -> 10)
+    val a = Sampling.mixturePerKey(corpus, "lang", "id", caps, default = 30)
+    val counts = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == 10L && counts("other") == 30L)
+    // same mix regardless of input partitioning
+    val b = Sampling.mixturePerKey(corpus.repartition(13), "lang", "id", caps, default = 30)
+    assert(a.orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      b.orderBy("id").collect().map(_.getLong(0)).toSeq)
+    // the mixture is a SUBSET of the per-key carve-out with the same order
+    val carve = Sampling.deterministicPerKey(corpus, "lang", "id", 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(a.collect().map(_.getLong(0)).forall(carve))
+  }
+
   test("deterministicPerKey keeps exactly k rows per key, stably") {
     val a = Sampling.deterministicPerKey(corpus, "lang", "id", k = 25)
     assert(a.groupBy("lang").count().collect().forall(_.getLong(1) == 25L))
