@@ -245,6 +245,14 @@ object RefQueries {
 
     // Aggregate surface: COUNT / COUNT DISTINCT / exact SUM / MIN / MAX
     // per group — partial+final hash aggregation around one shuffle.
+    // Mixed distinct + plain aggregates plan an Expand (2x scan rows
+    // before the shuffle) — usually a smell, but MEASURED best here:
+    // steady-state at sf0.1 the Expand form runs 1.4s vs 1.6s for a
+    // split two-groupBy join (second scan dominates) and 2.0s for a
+    // one-scan two-level re-agg (the (key, orderkey) level-1 shuffle
+    // carries 150k decimal partials). Low group cardinality + narrow
+    // scan makes the Expand the cheapest of the three; see
+    // agg_approx_distinct for the case where splitting wins.
     Q("agg_stats_by_flag",
       (s, dir) => Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
