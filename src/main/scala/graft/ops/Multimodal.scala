@@ -39,6 +39,65 @@ object Multimodal {
     MediaMeta(id, len, header, w, h, 1 + (len % 30).toInt)
   }
 
+  /** REAL BMP container parser — pure JVM. Validates the 'BM' magic,
+    * reads the BITMAPINFOHEADER fields little-endian, and sanity-checks
+    * the declared pixel-array size against the actual payload. Returns
+    * None (callers fall back to the stub) for anything malformed;
+    * never throws. Height may be negative in BMP (top-down rows) —
+    * reported as its magnitude. */
+  def parseBmp(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dibSize = buf.getInt(14)
+    if (dibSize < 40) return None // BITMAPCOREHEADER not supported
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val h = math.abs(hRaw)
+    val bpp = buf.getShort(28) & 0xffff
+    val dataOff = buf.getInt(10)
+    if (w <= 0 || h == 0 || dataOff < 54 || dataOff > b.length) return None
+    // row stride pads to 4 bytes; the payload must hold the pixel array
+    val rowBytes = ((w.toLong * bpp + 31) / 32) * 4
+    if (dataOff + rowBytes * h > b.length) return None
+    Some((w, h, bpp))
+  }
+
+  /** Minimal canonical 24bpp BMP (54-byte header + padded pixel rows) —
+    * the synthesis side of the parser's tests and oracle. */
+  def bmpBytes(w: Int, h: Int, pixelByte: Byte): Array[Byte] = {
+    val rowBytes = ((3 * w + 3) / 4) * 4
+    val dataLen = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    java.util.Arrays.fill(buf.array(), 54, 54 + dataLen, pixelByte)
+    buf.array()
+  }
+
+  /** Decode one image payload: real BMP parse when the bytes are a BMP
+    * container, deterministic stub otherwise. */
+  def imageDecode(id: Long, payload: Array[Byte]): MediaMeta = parseBmp(payload) match {
+    case Some((w, h, _)) =>
+      val header = payload.take(8).map("%02x".format(_)).mkString
+      MediaMeta(id, payload.length.toLong, header, w, h, 1)
+    case None => fakeDecode(id, payload)
+  }
+
+  /** Deterministic BMP corpus with id-keyed dimensions, so an oracle
+    * predicts width/height/byte_len analytically while the bytes
+    * exercise the REAL container parse. */
+  def synthBmpCorpus(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (16 + id % 64).toInt
+      val h = (16 + (id * 7) % 64).toInt
+      (id, bmpBytes(w, h, (id % 256).toByte))
+    }.toDF(idCol, "payload")
+  }
+
   /**
    * Frame-sampling + aspect-preserving resize PLAN over decoded
    * metadata: for each media item, ≤ `maxFrames` evenly-strided frame
@@ -63,17 +122,17 @@ object Multimodal {
       floor(col("height") * scale).cast(IntegerType).as("out_h"))
   }
 
-  /** Attach a binary payload column (here derived from text — the test
-    * corpus has no real blobs) plus the metadata struct, decoded in
-    * batched partition passes. */
+  /** Attach a binary payload column plus the metadata struct, decoded
+    * in batched partition passes: BMP payloads take the REAL container
+    * parse ([[parseBmp]]), anything else the deterministic stub. */
   def decodeMeta(spark: SparkSession, docs: DataFrame,
                  idCol: String, payloadCol: String): DataFrame = {
     import spark.implicits._
     val enc = org.apache.spark.sql.Encoders.product[MediaMeta]
     docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
       .mapPartitions { rows =>
-        // per-partition init of the (stub) decoder happens HERE, once
-        rows.map { r: Row => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)) }
+        // per-partition init of a real decoder would happen HERE, once
+        rows.map { r: Row => imageDecode(r.getLong(0), r.getAs[Array[Byte]](1)) }
       }(enc)
       .toDF()
   }

@@ -789,6 +789,24 @@ object ExtQueries {
              |  CAST(1 + strlen(text) % 30 AS INTEGER) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Image multimodal path with a REAL BMP container parse: genuine
+    // 24bpp BMPs with id-keyed dimensions, decoded by
+    // Multimodal.parseBmp (LE header fields, stride/size sanity). The
+    // oracle predicts width/height/byte_len analytically — a mis-read
+    // offset or a broken stride computation hash-mismatches.
+    Q("mm_image_meta",
+      (s, dir) => Multimodal.decodeMeta(s,
+        Multimodal.synthBmpCorpus(s, Tables.documents(s, dir), "doc_id"),
+        "doc_id", "payload")
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(54 + ((3 * (16 + doc_id % 64) + 3) // 4) * 4 * (16 + (doc_id * 7) % 64) AS BIGINT) AS byte_len,
+             |  CAST(16 + doc_id % 64 AS INTEGER) AS width,
+             |  CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
+             |  CAST(1 AS INTEGER) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Frame-sampling + aspect-resize plan over decoded metadata: the
     // columns that tell the (stubbed) codec which frames to decode and
     // at what size — compute pruning BEFORE the expensive work.

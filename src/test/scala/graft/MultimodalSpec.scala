@@ -48,6 +48,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parseBmp round-trips the synthesized container exactly") {
+    val bmp = Multimodal.bmpBytes(17, 9, 0x7f.toByte) // odd width exercises row padding
+    val (w, h, bpp) = Multimodal.parseBmp(bmp).get
+    assert(w == 17 && h == 9 && bpp == 24)
+    assert(bmp.length == 54 + ((3 * 17 + 3) / 4) * 4 * 9)
+  }
+
+  test("parseBmp rejects malformed payloads; imageDecode falls back to the stub") {
+    val truncated = Multimodal.bmpBytes(8, 8, 0).take(60) // header ok, pixels missing
+    for (bad <- Seq("BMnot really a bitmap at all".getBytes("US-ASCII"),
+        Array.empty[Byte], truncated)) {
+      assert(Multimodal.parseBmp(bad).isEmpty)
+      assert(Multimodal.imageDecode(3L, bad) == Multimodal.fakeDecode(3L, bad))
+    }
+  }
+
+  test("negative-height (top-down) BMP reports magnitude height") {
+    val bmp = Multimodal.bmpBytes(10, 4, 0)
+    java.nio.ByteBuffer.wrap(bmp).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -4)
+    assert(Multimodal.parseBmp(bmp).get == ((10, 4, 24)))
+  }
+
   test("audioFeats over a synthesized WAV corpus matches the analytic contract") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.audioFeats(spark,
