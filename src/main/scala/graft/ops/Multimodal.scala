@@ -77,13 +77,85 @@ object Multimodal {
     buf.array()
   }
 
-  /** Decode one image payload: real BMP parse when the bytes are a BMP
-    * container, deterministic stub otherwise. */
-  def imageDecode(id: Long, payload: Array[Byte]): MediaMeta = parseBmp(payload) match {
-    case Some((w, h, _)) =>
-      val header = payload.take(8).map("%02x".format(_)).mkString
-      MediaMeta(id, payload.length.toLong, header, w, h, 1)
-    case None => fakeDecode(id, payload)
+  /** REAL AVI (RIFF video) header parser — pure JVM. Validates the
+    * RIFF/'AVI ' container, walks top-level chunks into the LIST(hdrl)
+    * sub-list, and reads the avih main header little-endian:
+    * (totalFrames, width, height). None for anything malformed. */
+  def parseAvi(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 12) return None
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return None
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def findAvih(off0: Int, end: Int): Option[Int] = {
+      var off = off0
+      while (off + 8 <= end) {
+        val id = ascii(off, 4)
+        val size = buf.getInt(off + 4)
+        if (size < 0 || off + 8 + size > end) return None
+        if (id == "avih") return Some(off + 8)
+        val found = // recurse into header lists only
+          if (id == "LIST" && size >= 4 && ascii(off + 8, 4) == "hdrl")
+            findAvih(off + 12, off + 8 + size)
+          else None
+        if (found.isDefined) return found
+        off += 8 + size + (size & 1)
+      }
+      None
+    }
+    findAvih(12, b.length).flatMap { at =>
+      if (at + 40 > b.length) None
+      else {
+        val frames = buf.getInt(at + 16)
+        val w = buf.getInt(at + 32)
+        val h = buf.getInt(at + 36)
+        if (frames <= 0 || w <= 0 || h <= 0) None else Some((frames, w, h))
+      }
+    }
+  }
+
+  /** Minimal canonical AVI header (RIFF → LIST hdrl → avih) — the
+    * synthesis side of the parser's tests and oracle. No movi payload:
+    * frame SAMPLING planning needs only the main header, which is the
+    * point (prune before decoding any frame). */
+  def aviBytes(frames: Int, w: Int, h: Int): Array[Byte] = {
+    val avihSize = 56
+    val hdrlSize = 4 + 8 + avihSize       // 'hdrl' + avih chunk
+    val riffSize = 4 + 8 + hdrlSize       // 'AVI ' + LIST chunk
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")).putInt(hdrlSize).put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII")).putInt(avihSize)
+    buf.putInt(33333).putInt(0).putInt(0).putInt(0) // usec/frame, maxbps, pad, flags
+    buf.putInt(frames).putInt(0).putInt(1).putInt(0) // totalFrames, initial, streams, bufsize
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)     // reserved
+    buf.array()
+  }
+
+  /** Decode one image/video payload: real BMP or AVI parse when the
+    * container is recognized, deterministic stub otherwise. */
+  def imageDecode(id: Long, payload: Array[Byte]): MediaMeta = {
+    val header = () => payload.take(8).map("%02x".format(_)).mkString
+    parseBmp(payload) match {
+      case Some((w, h, _)) => MediaMeta(id, payload.length.toLong, header(), w, h, 1)
+      case None => parseAvi(payload) match {
+        case Some((frames, w, h)) =>
+          MediaMeta(id, payload.length.toLong, header(), w, h, frames)
+        case None => fakeDecode(id, payload)
+      }
+    }
+  }
+
+  /** Deterministic AVI-header corpus with id-keyed dimensions/frames. */
+  def synthAviCorpus(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val frames = (10 + id % 120).toInt
+      val w = (320 + (id % 8) * 160).toInt
+      val h = (240 + (id % 5) * 120).toInt
+      (id, aviBytes(frames, w, h))
+    }.toDF(idCol, "payload")
   }
 
   /** Deterministic BMP corpus with id-keyed dimensions, so an oracle

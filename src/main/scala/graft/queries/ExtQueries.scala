@@ -830,6 +830,32 @@ object ExtQueries {
              |       CAST(floor(height * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_h
              |FROM meta ORDER BY doc_id""".stripMargin)),
 
+    // Video multimodal path with a REAL AVI (RIFF) header parse: the
+    // corpus is genuine RIFF→LIST(hdrl)→avih containers with id-keyed
+    // frame counts and dimensions; the frame-sampling/resize PLAN is
+    // then computed from the REAL parsed header — exactly the
+    // prune-before-decode pattern (no frame ever decoded to plan the
+    // sampling). Oracle predicts header fields + plan analytically.
+    Q("mm_video_frames",
+      (s, dir) => Multimodal.frameSamplePlan(
+        Multimodal.decodeMeta(s,
+          Multimodal.synthAviCorpus(s, Tables.documents(s, dir), "doc_id"),
+          "doc_id", "payload"),
+        maxFrames = 8, fitBox = 256)
+        .orderBy("doc_id"),
+      Some("""WITH meta AS (
+             |  SELECT doc_id,
+             |         CAST(320 + (doc_id % 8) * 160 AS INTEGER) AS width,
+             |         CAST(240 + (doc_id % 5) * 120 AS INTEGER) AS height,
+             |         CAST(10 + doc_id % 120 AS INTEGER) AS n_frames
+             |  FROM documents)
+             |SELECT doc_id, n_frames,
+             |       CAST((n_frames + 7) // 8 AS INTEGER) AS stride,
+             |       array_to_string(range(0, CAST(n_frames AS BIGINT), (n_frames + 7) // 8), ',') AS frame_csv,
+             |       CAST(floor(width * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_w,
+             |       CAST(floor(height * least(256.0 / width, 256.0 / height, 1.0)) AS INTEGER) AS out_h
+             |FROM meta ORDER BY doc_id""".stripMargin)),
+
     // Audio multimodal path with a REAL RIFF/WAV container parse: the
     // corpus is genuine PCM16 WAV bytes synthesized from id-keyed
     // parameters, decoded by Multimodal.parseWav (chunk walk, LE fmt

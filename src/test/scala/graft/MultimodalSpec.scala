@@ -71,6 +71,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmp(bmp).get == ((10, 4, 24)))
   }
 
+  test("parseAvi round-trips the synthesized header exactly") {
+    assert(Multimodal.parseAvi(Multimodal.aviBytes(75, 640, 480)).get == ((75, 640, 480)))
+  }
+
+  test("parseAvi rejects malformed containers; imageDecode stubs them") {
+    val truncated = Multimodal.aviBytes(10, 320, 240).take(40)
+    val wavNotAvi = Multimodal.wavBytes(8000, 1, Array[Short](1, 2)) // RIFF but WAVE
+    for (bad <- Seq(truncated, wavNotAvi, "RIFFxxxx".getBytes("US-ASCII"))) {
+      assert(Multimodal.parseAvi(bad).isEmpty)
+    }
+    val m = Multimodal.imageDecode(5L, truncated)
+    assert(m == Multimodal.fakeDecode(5L, truncated))
+  }
+
+  test("imageDecode dispatches by container: BMP, AVI, stub") {
+    val bmp = Multimodal.imageDecode(1L, Multimodal.bmpBytes(20, 10, 0))
+    assert(bmp.width == 20 && bmp.height == 10 && bmp.n_frames == 1)
+    val avi = Multimodal.imageDecode(2L, Multimodal.aviBytes(30, 640, 360))
+    assert(avi.width == 640 && avi.height == 360 && avi.n_frames == 30)
+  }
+
   test("audioFeats over a synthesized WAV corpus matches the analytic contract") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.audioFeats(spark,
