@@ -22,11 +22,21 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Bernoulli stratified downsample: `fractions(key) → keep-rate`;
-    * keys absent from the map are kept entirely. */
+    * keys absent from the map are kept entirely.
+    *
+    * The distinct-key collect is the ONLY data-dependent driver-side
+    * materialization in the sampling family. It is bounded by stratum
+    * cardinality (languages/sources — tens, not millions), and the
+    * `require` makes a mis-keyed call (e.g. stratifying on doc_id)
+    * fail loudly instead of OOMing the driver. */
   def downsampleByKey(df: DataFrame, keyCol: String,
-                      fractions: Map[String, Double], seed: Long): DataFrame = {
+                      fractions: Map[String, Double], seed: Long,
+                      maxStrata: Int = 10000): DataFrame = {
     val allKeys = df.select(col(keyCol)).distinct()
-      .collect().map(_.get(0).toString)
+      .limit(maxStrata + 1).collect().map(_.get(0).toString)
+    require(allKeys.length <= maxStrata,
+      s"downsampleByKey: over $maxStrata distinct '$keyCol' strata — " +
+        "this column is not a stratum key; use deterministicPerKey/mixturePerKey")
     val full = allKeys.map(k => k -> fractions.getOrElse(k, 1.0)).toMap
     df.stat.sampleBy(keyCol, full, seed)
   }
