@@ -52,12 +52,17 @@ object Multimodal {
     if (dibSize < 40) return None // BITMAPCOREHEADER not supported
     val w = buf.getInt(18)
     val hRaw = buf.getInt(22)
+    if (hRaw == Int.MinValue) return None // abs(MinValue) is negative
     val h = math.abs(hRaw)
     val bpp = buf.getShort(28) & 0xffff
     val dataOff = buf.getInt(10)
-    if (w <= 0 || h == 0 || dataOff < 54 || dataOff > b.length) return None
-    // row stride pads to 4 bytes; the payload must hold the pixel array
+    if (w <= 0 || h == 0 || bpp == 0 || bpp > 32 ||
+      dataOff < 54 || dataOff > b.length) return None
+    // row stride pads to 4 bytes; the payload must hold the pixel
+    // array. Bound each factor by the payload length FIRST so the
+    // product below cannot overflow Long (len² ≤ 2⁶² for any real array)
     val rowBytes = ((w.toLong * bpp + 31) / 32) * 4
+    if (rowBytes > b.length || h > b.length) return None
     if (dataOff + rowBytes * h > b.length) return None
     Some((w, h, bpp))
   }
@@ -91,7 +96,8 @@ object Multimodal {
       while (off + 8 <= end) {
         val id = ascii(off, 4)
         val size = buf.getInt(off + 4)
-        if (size < 0 || off + 8 + size > end) return None
+        // Long compare, same overflow guard as parseWav's chunk walk
+        if (size < 0 || off.toLong + 8 + size > end) return None
         if (id == "avih") return Some(off + 8)
         val found = // recurse into header lists only
           if (id == "LIST" && size >= 4 && ascii(off + 8, 4) == "hdrl")
@@ -250,7 +256,9 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id = ascii(off, 4)
       val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None // truncated chunk
+      // Long compare: a near-Int.MaxValue declared size would wrap
+      // `off + 8 + size` negative and walk past the guard
+      if (size < 0 || off.toLong + 8 + size > b.length) return None // truncated chunk
       id match {
         case "fmt " =>
           if (size < 16) return None

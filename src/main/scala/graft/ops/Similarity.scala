@@ -107,14 +107,17 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(centroids))
       .withColumn("cosine", cosine(col(vecCol), col(cVecCol)))
     val wAssign = Window.partitionBy(col(idCol)).orderBy(col("cosine").desc, col(cIdCol))
-    // persist: both `items` and `qcells` consume this plan, and the
-    // broadcast-scoring + ranking window is the most expensive stage of
-    // the probe — without the persist it executes twice per search.
-    // Kept to nprobe rows per vector first so the cached footprint is
-    // O(corpus × nprobe), not O(corpus × centroids). The entry stays
-    // cached for repeated searches; Spark evicts LRU under pressure.
+    // Both `items` and `qcells` consume this plan, so the broadcast-
+    // scoring + ranking window executes twice per search. Deliberately
+    // NOT persisted here: a persist inside a lazy builder has no
+    // unpersist point and leaks one cache entry per invocation
+    // (measured: no steady-state win at sf0.1 — both branches share
+    // the scan and broadcast). Callers running repeated searches
+    // should materialize the ASSIGNMENT once instead — write it
+    // partitionBy(centroid_id) (see scaladoc above) and pass the
+    // saved table; that is the production shape, not a session cache.
     val ranked = scored.withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") <= math.max(1, nprobe)).persist()
+      .filter(col("arn") <= math.max(1, nprobe))
     val items = ranked.filter(col("arn") === 1)
       .select(col(cIdCol).as("centroid_id"), col(idCol).as("item_id"), col(vecCol).as("item_vec"))
     val qcells = ranked.filter(col("arn") <= nprobe)

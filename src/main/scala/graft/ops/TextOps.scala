@@ -63,26 +63,32 @@ object TextOps {
   def qualityScore(text: Column): Column = qualityScoreOf(text, tokens(text))
 
   private def qualityScoreOf(text: Column, toks: Column): Column = {
-    // nullif guard: a zero-token doc must yield NULL ratios on BOTH
-    // engines — Spark's non-ANSI divide returns NULL but DuckDB's
-    // ieee_floating_point_ops default returns Infinity, a latent
-    // oracle hash mismatch on empty/whitespace-only text.
-    val nTok = nullif(tokenCountOf(toks).cast(DoubleType), lit(0.0))
+    // Zero-token docs score an explicit 0.0 — both the pre-guard form
+    // (NULL-skipping least() quietly yielded 0.45) and a bare nullif
+    // guard (least(NULL,1)=1 inflated it to 0.85!) gave empty docs a
+    // nonsense nonzero quality. The divisions still use the nullif'd
+    // denominator so Spark's NULL and DuckDB's Infinity (ieee default)
+    // can never diverge on the guarded branch.
+    val rawTok = tokenCountOf(toks).cast(DoubleType)
+    val nTok = nullif(rawTok, lit(0.0))
     val nChars = length(text).cast(DoubleType)
     val meanLen = nChars / nTok
     val stopRatio = stopwordCountOf(toks).cast(DoubleType) / nTok
-    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val lenScore = least(rawTok / lit(50.0), lit(1.0))
     val shapeScore = when(meanLen >= 3 && meanLen <= 10, lit(1.0)).otherwise(lit(0.5))
     val stopScore = least(stopRatio * lit(5.0), lit(1.0))
-    (lenScore * lit(0.4) + shapeScore * lit(0.3) + stopScore * lit(0.3))
+    when(rawTok === 0.0, lit(0.0)).otherwise(
+      lenScore * lit(0.4) + shapeScore * lit(0.3) + stopScore * lit(0.3))
   }
 
   def qualityScoreSql(col: String): String = {
-    val nTok = s"nullif(CAST(len(${tokensSql(col)}) AS DOUBLE), 0)"
+    val rawTok = s"CAST(len(${tokensSql(col)}) AS DOUBLE)"
+    val nTok = s"nullif($rawTok, 0)"
     val meanLen = s"(CAST(length($col) AS DOUBLE) / $nTok)"
-    s"""(least($nTok / 50.0, 1.0) * 0.4
+    s"""(CASE WHEN $rawTok = 0 THEN 0.0 ELSE
+       |   least($rawTok / 50.0, 1.0) * 0.4
        | + (CASE WHEN $meanLen >= 3 AND $meanLen <= 10 THEN 1.0 ELSE 0.5 END) * 0.3
-       | + least((CAST(${stopwordCountSql(col)} AS DOUBLE) / $nTok) * 5.0, 1.0) * 0.3)""".stripMargin
+       | + least((CAST(${stopwordCountSql(col)} AS DOUBLE) / $nTok) * 5.0, 1.0) * 0.3 END)""".stripMargin
   }
 
   /** Marker-word language ID (n-gram-free heuristic): CJK chars → zh,
@@ -120,10 +126,15 @@ object TextOps {
   }
 
   /** Word bigrams of a token array (n=2 shingles, duplicates KEPT —
-    * repetition measurement needs the multiset, unlike [[Dedup.shingles]]). */
+    * repetition measurement needs the multiset, unlike [[Dedup.shingles]]).
+    * Guarded for < 2 tokens: sequence(1, size-1) would run DESCENDING
+    * through index 0 and element_at(_, 0) throws in Spark. */
   def bigramsOf(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 1),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
 
   def bigramsSql(col: String): String =
     s"list_transform(range(1, len(${tokensSql(col)})), i -> ${tokensSql(col)}[i] || ' ' || ${tokensSql(col)}[i+1])"

@@ -130,7 +130,11 @@ object ExtQueries {
         val corpus = dupCorpus(s, dir)
         val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
           n = 5, k = 16, bands = 4, minEstJaccard = 0.5)
-        val t = corpus.select(col("doc_id"), col("text"))
+        // true pairs restricted to docs that HAVE a 5-gram signature
+        // (minhashSignatures drops <5-token docs) — without the mirror
+        // filter the invariant breaks on any short duplicated text
+        val t = corpus.where(size(TextOps.tokens(col("text"))) >= 5)
+          .select(col("doc_id"), col("text"))
         val truePairs = t.as("a").join(t.as("b"),
             col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -140,7 +144,9 @@ object ExtQueries {
             sum(when(col("est_jaccard") === 1.0, 1L).otherwise(0L)).as("n_perfect"))
       },
       Some(s"""WITH $dupCorpusSql,
-              |p AS (SELECT count(*) AS n FROM corpus a JOIN corpus b
+              |sig AS (SELECT doc_id, text FROM corpus
+              |        WHERE len(${TextOps.tokensSql("text")}) >= 5),
+              |p AS (SELECT count(*) AS n FROM sig a JOIN sig b
               |      ON a.text = b.text AND a.doc_id < b.doc_id)
               |SELECT CAST(n AS BIGINT) AS n_true_pairs, CAST(n AS BIGINT) AS n_recalled,
               |       CAST(n AS BIGINT) AS n_perfect FROM p""".stripMargin)),

@@ -31,12 +31,21 @@ object MedallionPipeline {
       .withColumn("month", month(col("trade_ts").cast(DateType)))
 
   /** The silver model's source read: partition-pruned when incremental.
-    * Day-boundary filtering before the day-level aggregate is exact. */
-  def silverSource(bronze: DataFrame, wm: Option[Any]): DataFrame = wm match {
-    case Some(d: java.sql.Date) =>
-      Incremental.partitionPrunedAtOrAfter(bronze, col("trade_ts").cast(DateType), d)
-        .drop("year", "month")
-    case _ => bronze.drop("year", "month")
+    * Day-boundary filtering before the day-level aggregate is exact.
+    * Every non-empty watermark representation MUST at least row-filter
+    * (an unmatched type silently degrading to a full rebuild is the
+    * worst failure mode of an incremental engine); the date-typed
+    * forms additionally prune partitions. */
+  def silverSource(bronze: DataFrame, wm: Option[Any]): DataFrame = {
+    val dateCol = col("trade_ts").cast(DateType)
+    (wm match {
+      case Some(d: java.sql.Date) =>
+        Incremental.partitionPrunedAtOrAfter(bronze, dateCol, d)
+      case Some(d: java.time.LocalDate) => // java8API datetime config
+        Incremental.partitionPrunedAtOrAfter(bronze, dateCol, java.sql.Date.valueOf(d))
+      case Some(w) => bronze.filter(dateCol >= lit(w)) // filter-only fallback
+      case None => bronze
+    }).drop("year", "month")
   }
 
   def silverModel: Incremental.Model = Incremental.Model(

@@ -71,6 +71,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmp(bmp).get == ((10, 4, 24)))
   }
 
+  test("adversarial containers are rejected, never thrown on") {
+    // RIFF/WAVE with a chunk declaring size near Int.MaxValue: the
+    // off+8+size truncation guard must compare as Long, not wrap
+    val wavBomb = Multimodal.wavBytes(8000, 1, Array[Short](1, 2))
+    java.nio.ByteBuffer.wrap(wavBomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 4) // fmt chunk size
+    assert(Multimodal.parseWav(wavBomb).isEmpty)
+    val aviBomb = Multimodal.aviBytes(10, 320, 240)
+    java.nio.ByteBuffer.wrap(aviBomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, Int.MaxValue - 4) // LIST chunk size
+    assert(Multimodal.parseAvi(aviBomb).isEmpty)
+    // BMP height Int.MinValue (abs is still negative) and billboard
+    // dims on a truncated payload must both fall back, not parse
+    val bmpMin = Multimodal.bmpBytes(4, 4, 0)
+    java.nio.ByteBuffer.wrap(bmpMin).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MinValue)
+    assert(Multimodal.parseBmp(bmpMin).isEmpty)
+    val bmpHuge = Multimodal.bmpBytes(4, 4, 0)
+    java.nio.ByteBuffer.wrap(bmpHuge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, Int.MaxValue).putInt(22, Int.MaxValue).putShort(28, -1)
+    assert(Multimodal.parseBmp(bmpHuge).isEmpty)
+  }
+
   test("parseAvi round-trips the synthesized header exactly") {
     assert(Multimodal.parseAvi(Multimodal.aviBytes(75, 640, 480)).get == ((75, 640, 480)))
   }

@@ -110,4 +110,21 @@ class TextOpsSpec extends SparkSpec {
     // bigrams: 4x "spam spam" + 1x "spam ok" -> top 4 of 5
     assert(r.getAs[Long]("top_cnt") == 4L && r.getAs[Long]("n_bigrams") == 5L)
   }
+
+  test("qualityScore of empty/whitespace docs is exactly 0.0") {
+    for (t <- Seq("", "   ")) {
+      val r = col1(one(t).select(TextOps.qualityScore(col("text")).as("q")))
+      assert(r.getDouble(0) == 0.0, s"'$t' scored ${r.getDouble(0)}")
+    }
+    // cross-engine spot values (DuckDB replay of qualityScoreSql agrees)
+    val cat = col1(one("the cat").select(TextOps.qualityScore(col("text")).as("q")))
+    assert(math.abs(cat.getDouble(0) - 0.616) < 1e-9)
+  }
+
+  test("bigramsOf is total on empty and single-token docs") {
+    for (t <- Seq("", "one")) {
+      val r = col1(one(t).select(TextOps.bigramsOf(TextOps.tokens(col("text"))).as("bg")))
+      assert(r.getSeq[String](0).isEmpty, s"'$t' produced bigrams")
+    }
+  }
 }
