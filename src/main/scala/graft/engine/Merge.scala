@@ -37,6 +37,43 @@ object Merge {
   def insertOnlyMerge(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.unionByName(freshRows(existing, incoming, keys))
 
+  /**
+   * Insert-only merge with a BLOOM prefilter on the incoming side — the
+   * 100 TB shape of [[insertOnlyMerge]]. A Bloom filter of the existing
+   * keys (built with Spark's own runtime-filter machinery,
+   * `BloomFilterAggregate`, over `xxhash64(keys)`) is collected once
+   * (the sketch is MBs for billions of keys, data never moves) and
+   * tested as a compiled predicate (`BloomFilterMightContain`, the same
+   * expression AQE injects for runtime join filters). Rows the filter
+   * rejects are DEFINITELY new (Bloom filters have no false negatives)
+   * and skip the anti-join entirely; only `mightContain` rows — true
+   * duplicates plus the fpp share of false positives — pay the precise
+   * anti-join shuffle. In the steady state where most of a batch is new
+   * (ingest), the merge's join shrinks from |incoming| to
+   * ~|dups| + fpp·|incoming|. Result is EXACTLY [[insertOnlyMerge]]
+   * (a 64-bit key-hash collision only routes a row to the precise join).
+   */
+  def insertOnlyMergeBloom(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+                           expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.functions.{col, lit, not, xxhash64}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val existingHash = xxhash64(keys.map(existing(_)): _*)
+    val bloomAgg = Bridge.column(
+      new BloomFilterAggregate(Bridge.expression(existingHash), expectedItems)
+        .toAggregateExpression())
+    // one partial+final aggregate; a few-MB sketch is the ONLY driver data
+    val sketch = existing.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(sketch)),
+      Bridge.expression(xxhash64(keys.map(col): _*))))
+    val definitelyNew = incoming.filter(not(mightContain))
+    val needsCheck = incoming.filter(mightContain)
+    existing.unionByName(definitelyNew)
+      .unionByName(freshRows(existing, needsCheck, keys))
+  }
+
   /** Keyed upsert where staged rows win (dbt incremental MERGE, W7). */
   def upsert(existing: DataFrame, staged: DataFrame, keys: Seq[String]): DataFrame =
     existing.join(staged.select(keys.map(staged(_)): _*), keys, "left_anti")

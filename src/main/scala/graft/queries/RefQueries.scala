@@ -535,6 +535,30 @@ object RefQueries {
               |                  WHERE o1.o_orderdate < $TS97 AND o1.o_orderkey = o2.o_orderkey)
               |ORDER BY o_orderkey""".stripMargin)),
 
+    // J1 at the 100 TB shape: Bloom-prefiltered insert-only merge. The
+    // sketch of existing keys (Spark's own BloomFilterAggregate) lets
+    // definitely-new rows bypass the anti-join; only mightContain rows
+    // pay the precise check. Result — and therefore the oracle — is
+    // EXACTLY j1's (no-false-negative guarantee proven by the shared
+    // SQL contract hashing identically).
+    Q("j1_bloom_merge",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val existing = orders.filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        val incoming = orders.filter(col("o_orderkey") % 3 === 0)
+        Merge.insertOnlyMergeBloom(existing, incoming, Seq("o_orderkey"),
+            expectedItems = 100000L)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice, o_orderdate FROM orders WHERE o_orderdate < $TS97
+              |UNION ALL
+              |SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o2
+              |WHERE o_orderkey % 3 = 0
+              |  AND NOT EXISTS (SELECT 1 FROM orders o1
+              |                  WHERE o1.o_orderdate < $TS97 AND o1.o_orderkey = o2.o_orderkey)
+              |ORDER BY o_orderkey""".stripMargin)),
+
     // J2/W7: keyed upsert — staged rows win (dbt unique_key MERGE).
     Q("j2_keyed_upsert",
       (s, dir) => {

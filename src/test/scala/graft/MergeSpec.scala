@@ -76,4 +76,29 @@ class MergeSpec extends SparkSpec {
     val retyped = existing.withColumn("v", col("v").cast("int"))
     assertThrows[IllegalArgumentException](Merge.schemaGuard(existing, retyped))
   }
+
+  test("bloom-prefiltered insert-only merge equals the plain merge exactly") {
+    import spark.implicits._
+    val existing = (1L to 500L).map(i => (i, s"old$i")).toDF("k", "v")
+    val incoming = (400L to 900L).map(i => (i, s"new$i")).toDF("k", "v")
+    val plain = Merge.insertOnlyMerge(existing, incoming, Seq("k"))
+      .orderBy("k", "v").collect().toSeq
+    val bloom = Merge.insertOnlyMergeBloom(existing, incoming, Seq("k"), expectedItems = 1000L)
+      .orderBy("k", "v").collect().toSeq
+    assert(bloom == plain)
+    assert(bloom.size == 500 + 400) // 500 existing + fresh keys 501..900
+  }
+
+  test("bloom merge with a tiny (high-fpp) sketch is still exact") {
+    import spark.implicits._
+    val existing = (1L to 2000L).map(i => (i, i * 2)).toDF("k", "v")
+    val incoming = (1500L to 2500L).map(i => (i, i * 3)).toDF("k", "v")
+    // expectedItems deliberately 100x under-sized: many false positives,
+    // all routed to the precise anti-join -> result unchanged
+    val plain = Merge.insertOnlyMerge(existing, incoming, Seq("k"))
+      .orderBy("k", "v").collect().toSeq
+    val bloom = Merge.insertOnlyMergeBloom(existing, incoming, Seq("k"), expectedItems = 20L)
+      .orderBy("k", "v").collect().toSeq
+    assert(bloom == plain)
+  }
 }
