@@ -39,6 +39,19 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
+    // Second warm-up at the TARGET SF: AQE picks different physical plans
+    // at different scales (broadcast-hash at sf0.001 where the same join
+    // is sort-merge at sf0.1), so the tiny-SF pass does not compile the
+    // target-SF codegen. Round 6 showed the whole SMJ family billed
+    // fresh compiles to the timed pass (j_inner_3way 0.43→2.47 s with
+    // unchanged code). One untimed pass at sfDir makes the timed pass
+    // pure steady-state throughput — the 100 TB-relevant number.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] target-SF warm-up $name failed: ${e.getMessage}")
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -202,6 +202,38 @@ object Similarity {
     centroids
   }
 
+  /**
+   * SemDeDup-style semantic deduplication: vectors are clustered to
+   * their nearest centroid, near-duplicate pairs are discovered ONLY
+   * within a cell (equi-join on centroid_id — never all-pairs), and a
+   * vector dominated by a smaller-id cell-mate at cosine ≥ `minCosine`
+   * is dropped (deterministic keep-smallest-id policy, the greedy
+   * one-representative-per-ε-group rule). Returns `(idCol,
+   * centroid_id)` of the survivors.
+   *
+   * Scale shape: the centroid set is the broadcast side; the only wide
+   * operations are the assignment window (keyed on the vector id) and
+   * the within-cell self-join (keyed on centroid_id). With the assigned
+   * corpus written `partitionBy(centroid_id)`, each cell's pair join is
+   * partition-local; cells bound the candidate blowup the way LSH bands
+   * do for MinHash. Train centroids with [[kmeans]] on a sample.
+   */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+                    centroids: DataFrame, cVecCol: String, cIdCol: String,
+                    minCosine: Double): DataFrame = {
+    val cells = ivfAssign(emb, vecCol, idCol, centroids, cVecCol, cIdCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(emb.select(col(idCol), col(vecCol)), Seq(idCol))
+    val a = cells.select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = cells.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val dominated = a.join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    cells.select(col(idCol), col("centroid_id"))
+      .join(dominated, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among
     * same-LSH-bucket candidates (the embedding analogue of MinHash). */
   def embeddingNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,

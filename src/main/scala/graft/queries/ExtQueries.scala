@@ -65,6 +65,71 @@ object ExtQueries {
       s"(CASE WHEN ${Similarity.dotSql(vec, planeSql(p))} > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /**
+   * Deterministic line-structured corpus: the raw documents are single
+   * spaceless-newline word soup, so structure-sensitive operators
+   * (Gopher duplicate-line rules, C4 line heuristics) get their
+   * structure INJECTED deterministically — the same pattern as the
+   * injected-PII / injected-dup corpora. Each doc is re-laid-out as
+   * newline-separated lines of k = 5 + doc_id%7 tokens; a line is
+   * terminally punctuated when (doc_id + line_idx) % 3 != 0; every 4th
+   * doc gets its first line duplicated at the end (known duplicate
+   * lines); every 97th doc gets a "lorem ipsum dolor." line (known
+   * C4-filter hit). Mirrored operation-for-operation in
+   * [[lineCorpusSql]].
+   */
+  private def lineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val k = (lit(5) + col("doc_id") % 7).cast(IntegerType)
+    val n = size(col("toks"))
+    val nLines = floor((n + k - lit(1)).cast(DoubleType) / k.cast(DoubleType)).cast(IntegerType)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        when(n > lit(0), transform(sequence(lit(0), nLines - 1), i => {
+          val joined = array_join(slice(col("toks"), i * k + lit(1), k), " ")
+          when((col("doc_id") + i) % 3 =!= 0, concat(joined, lit("."))).otherwise(joined)
+        })).otherwise(array().cast(ArrayType(StringType))).as("lines0"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0 && size(col("lines0")) > 0,
+          concat(col("lines0"), slice(col("lines0"), 1, 1)))
+          .otherwise(col("lines0")).as("lines1"))
+      .select(col("doc_id"),
+        array_join(
+          when(col("doc_id") % 97 === 0,
+            concat(col("lines1"), array(lit("lorem ipsum dolor."))))
+            .otherwise(col("lines1")),
+          "\n").as("text"))
+  }
+
+  private val lineCorpusSql: String =
+    s"""lc AS (
+       |  SELECT doc_id,
+       |    array_to_string(
+       |      CASE WHEN doc_id % 97 = 0 THEN list_append(lines1, 'lorem ipsum dolor.')
+       |           ELSE lines1 END, chr(10)) AS text
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id % 4 = 0 AND len(lines0) > 0 THEN list_append(lines0, lines0[1])
+       |           ELSE lines0 END AS lines1
+       |    FROM (
+       |      SELECT doc_id,
+       |        CASE WHEN n > 0 THEN list_transform(range(0, nl), i ->
+       |          CASE WHEN (doc_id + i) % 3 <> 0
+       |               THEN array_to_string(list_slice(toks, i * k + 1, i * k + k), ' ') || '.'
+       |               ELSE array_to_string(list_slice(toks, i * k + 1, i * k + k), ' ')
+       |          END)
+       |        ELSE CAST([] AS VARCHAR[]) END AS lines0
+       |      FROM (
+       |        SELECT doc_id, toks, len(toks) AS n, 5 + doc_id % 7 AS k,
+       |               (len(toks) + (5 + doc_id % 7) - 1) // (5 + doc_id % 7) AS nl
+       |        FROM (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM documents)))))""".stripMargin
+
+  /** DuckDB bit-interleave mirroring [[graft.ops.Layout.zValue2]]. */
+  private def zSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString("(", " | ", ")")
+
   val queries: Seq[Q] = Seq(
 
     // ── Deduplication ──────────────────────────────────────────────────
@@ -286,6 +351,42 @@ object ExtQueries {
               |GROUP BY 1, 2 HAVING count(*) >= 10
               |ORDER BY doc_id, bench_id""".stripMargin)),
 
+    // Semantic (embedding-space) dedup, SemDeDup shape: cluster-scoped
+    // cosine domination — a vector is dropped when a smaller-id member
+    // of ITS CELL matches at cosine ≥ 0.99. Injected exact copies
+    // (vec_id%5, +100000) share their original's cell with cosine 1.0,
+    // so the operator provably removes them; the oracle replays the
+    // full assignment + within-cell pair discovery in SQL.
+    Q("dd_semantic",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        Similarity.semanticDedup(corpus, "embedding", "vec_id", cents, "c_vec", "c_id",
+          minCosine = 0.99)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+              |                UNION ALL
+              |                SELECT vec_id + 100000 AS vec_id, embedding
+              |                FROM embeddings WHERE vec_id % 5 = 0),
+              |cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+              |j AS (SELECT e.vec_id, e.embedding, c.c_id,
+              |             ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+              |      FROM corpus e CROSS JOIN cents c),
+              |cells AS (SELECT vec_id, embedding, c_id AS centroid_id FROM (
+              |            SELECT vec_id, embedding, c_id,
+              |                   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn
+              |            FROM j) WHERE rn = 1),
+              |dom AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b USING (centroid_id)
+              |        WHERE a.vec_id < b.vec_id
+              |          AND ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.99)
+              |SELECT vec_id, centroid_id FROM cells
+              |WHERE NOT EXISTS (SELECT 1 FROM dom WHERE dom.vec_id = cells.vec_id)
+              |ORDER BY vec_id""".stripMargin)),
+
     // ── Text analysis ──────────────────────────────────────────────────
 
     // Per-document stats: token/stopword counts, quality score,
@@ -486,6 +587,78 @@ object ExtQueries {
               |       CAST(sum(c) AS BIGINT) AS n_bigrams,
               |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
               |FROM c GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Gopher duplicate-line repetition rules over the line-structured
+    // corpus: fraction of repeated lines and fraction of characters in
+    // repeated lines. Pure array arithmetic per doc (lines projected
+    // ONCE in their own SELECT) — zero shuffles, integer counts divided
+    // at the end so both engines agree bit-exactly. Every 4th doc has
+    // an injected duplicate first line, so the operator provably
+    // counts (dup_line_frac > 0 exactly there plus natural repeats).
+    Q("t_dup_lines",
+      (s, dir) => lineCorpus(s, dir)
+        .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+        .select(col("doc_id"),
+          size(col("lines")).cast(LongType).as("n_lines"),
+          size(array_distinct(col("lines"))).cast(LongType).as("n_distinct"),
+          aggregate(col("lines"), lit(0L), (a, x) => a + length(x)).as("line_chars"),
+          aggregate(array_distinct(col("lines")), lit(0L), (a, x) => a + length(x))
+            .as("distinct_chars"))
+        .select(col("doc_id"), col("n_lines"), col("n_distinct"),
+          ((col("n_lines") - col("n_distinct")).cast(DoubleType) /
+            col("n_lines").cast(DoubleType)).as("dup_line_frac"),
+          ((col("line_chars") - col("distinct_chars")).cast(DoubleType) /
+            nullif(col("line_chars").cast(DoubleType), lit(0.0))).as("dup_char_frac"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $lineCorpusSql,
+              |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM lc),
+              |stats AS (SELECT doc_id,
+              |    CAST(len(lines) AS BIGINT) AS n_lines,
+              |    CAST(len(list_distinct(lines)) AS BIGINT) AS n_distinct,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(lines, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS line_chars,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(list_distinct(lines), x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS distinct_chars
+              |  FROM l)
+              |SELECT doc_id, n_lines, n_distinct,
+              |       CAST(n_lines - n_distinct AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+              |       CAST(line_chars - distinct_chars AS DOUBLE) / nullif(CAST(line_chars AS DOUBLE), 0) AS dup_char_frac
+              |FROM stats ORDER BY doc_id""".stripMargin)),
+
+    // C4-style line heuristics over the same line corpus: terminal-
+    // punctuation line ratio, ≥5-word line count, bad-phrase flags,
+    // and the conjunctive keep gate. Injected structure guarantees
+    // both outcomes occur (every 97th doc carries "lorem ipsum").
+    // Pure projection — zero shuffles.
+    Q("t_c4_filters",
+      (s, dir) => lineCorpus(s, dir)
+        .select(col("doc_id"), col("text"), split(col("text"), "\n").as("lines"))
+        .select(col("doc_id"),
+          size(col("lines")).cast(LongType).as("n_lines"),
+          size(filter(col("lines"), l => l.endsWith("."))).cast(LongType).as("n_terminal"),
+          size(filter(col("lines"), l => size(split(l, " ")) >= 5)).cast(LongType).as("n_ge5w"),
+          col("text").contains("lorem ipsum").as("has_lorem"),
+          col("text").contains("{").as("has_brace"))
+        .withColumn("terminal_frac",
+          col("n_terminal").cast(DoubleType) / col("n_lines").cast(DoubleType))
+        .withColumn("keep",
+          col("n_lines") >= 3 && col("terminal_frac") >= 0.5 &&
+            !col("has_lorem") && !col("has_brace"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $lineCorpusSql,
+              |l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM lc),
+              |stats AS (SELECT doc_id,
+              |    CAST(len(lines) AS BIGINT) AS n_lines,
+              |    CAST(len(list_filter(lines, x -> ends_with(x, '.'))) AS BIGINT) AS n_terminal,
+              |    CAST(len(list_filter(lines, x -> len(string_split(x, ' ')) >= 5)) AS BIGINT) AS n_ge5w,
+              |    contains(text, 'lorem ipsum') AS has_lorem,
+              |    contains(text, '{') AS has_brace
+              |  FROM l)
+              |SELECT doc_id, n_lines, n_terminal, n_ge5w, has_lorem, has_brace,
+              |       CAST(n_terminal AS DOUBLE) / CAST(n_lines AS DOUBLE) AS terminal_frac,
+              |       (n_lines >= 3 AND CAST(n_terminal AS DOUBLE) / CAST(n_lines AS DOUBLE) >= 0.5
+              |        AND NOT has_lorem AND NOT has_brace) AS keep
+              |FROM stats ORDER BY doc_id""".stripMargin)),
 
     // Corpus rollup by detected language — the filter-then-aggregate
     // shape of a corpus quality report (one shuffle; exact aggregates).
@@ -900,6 +1073,34 @@ object ExtQueries {
              |       CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
              |       CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_val
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Z-order (Morton curve) layout: interleave the bits of two bounded
+    // dimensions and zone the data by z-range. The output proves the
+    // clustering property the layout exists for: every 16384-z zone's
+    // min/max spans ≈ 1/8 of the domain in BOTH dimensions — so
+    // parquet footer min/max prune on x AND y predicates alike, where a
+    // 1-D sort leaves the second dimension's spans full-width. The
+    // z-value is pure shift/AND/OR projection (whole-stage codegen);
+    // clustering at write time is one range exchange (Layout.zorder2).
+    Q("layout_zorder",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 1024).cast(LongType).as("x"),
+          (col("l_partkey") % 1024).cast(LongType).as("y"))
+        li.withColumn("zv", graft.ops.Layout.zValue2(col("x"), col("y"), 10))
+          .withColumn("zone", shiftrightunsigned(col("zv"), 14))
+          .groupBy(col("zone"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .orderBy("zone")
+      },
+      Some(s"""WITH z AS (SELECT ${zSql("x", "y", 10)} AS zv, x, y FROM (
+              |  SELECT CAST(l_orderkey % 1024 AS BIGINT) AS x,
+              |         CAST(l_partkey % 1024 AS BIGINT) AS y FROM lineitem))
+              |SELECT zv >> 14 AS zone, count(*) AS n_rows,
+              |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+              |FROM z GROUP BY 1 ORDER BY zone""".stripMargin)),
 
     // ── Data-quality suite (the dbt test surface, SURVEY §5) ──────────
 

@@ -106,6 +106,20 @@ object RefQueries {
       },
       Some("SELECT * FROM nation WHERE n_regionkey < 3 ORDER BY n_nationkey")),
 
+    // S10-gen: XML roundtrip — Spark 4 ships the XML datasource
+    // built-in (SPARK-44265 merged spark-xml); read uses an EXPLICIT
+    // schema (XML inference strings everything) with a rowTag.
+    Q("s10_xml_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_xml_${new java.io.File(dir).getName}"
+        Tables.region(s, dir).write.mode("overwrite")
+          .option("rowTag", "region").format("xml").save(out)
+        s.read.schema(Tables.region(s, dir).schema)
+          .option("rowTag", "region").format("xml").load(out)
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
     // ── Projections / scalar functions ────────────────────────────────
 
     // P1-P5 + P8 + P11: renames, DATE cast, DECIMAL(30,8) casts, derived
@@ -577,6 +591,86 @@ object RefQueries {
               |SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, 'staged' AS src FROM orders
               |WHERE o_orderkey % 3 = 0
               |ORDER BY o_orderkey""".stripMargin)),
+
+    // J3/W7-history: SCD Type-2 dimension merge (dbt snapshot / Delta
+    // MERGE whenMatched+insert semantics). The dimension is built
+    // deterministically from customer — a history row for every 10th
+    // key, a current row for all — and the staged increment mixes all
+    // four cases: changed attributes (%3=0 → close + open), identical
+    // restatement (%3=1 → no-op), absent keys (%3=2 → untouched), and
+    // brand-new keys (+100000 → open only). valid_from is distinct per
+    // version (1996/1997/1998) so the sort is total.
+    Q("j3_scd2_merge",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val t96 = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        val t97 = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        val t98 = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+        val cur = c.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          t97.as("valid_from"), lit(null).cast(TimestampType).as("valid_to"),
+          lit(true).as("is_current"))
+        val hist = c.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"),
+            (col("c_acctbal") - 100).as("c_acctbal"),
+            t96.as("valid_from"), t97.as("valid_to"), lit(false).as("is_current"))
+        val staged = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"), (col("c_acctbal") + 50).as("c_acctbal"))
+          .unionByName(c.filter(col("c_custkey") % 3 === 1)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+          .unionByName(c.filter(col("c_custkey") % 7 === 0)
+            .select((col("c_custkey") + 100000).as("c_custkey"), col("c_mktsegment"),
+              col("c_acctbal")))
+        Merge.scd2Merge(hist.unionByName(cur), staged,
+          Seq("c_custkey"), Seq("c_mktsegment", "c_acctbal"), t98)
+          // literal-built timestamps read back tz-aware; compare naive
+          .withColumn("valid_from", Det.ntz(col("valid_from")))
+          .withColumn("valid_to", Det.ntz(col("valid_to")))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some(s"""WITH cur AS (
+              |  SELECT c_custkey, c_mktsegment, c_acctbal,
+              |         TIMESTAMP '1996-01-01 00:00:00' AS t96,
+              |         $TS97 AS t97, TIMESTAMP '1998-01-01 00:00:00' AS t98
+              |  FROM customer),
+              |staged AS (
+              |  SELECT c_custkey, c_mktsegment, c_acctbal + 50 AS c_acctbal
+              |  FROM customer WHERE c_custkey % 3 = 0
+              |  UNION ALL
+              |  SELECT c_custkey, c_mktsegment, c_acctbal
+              |  FROM customer WHERE c_custkey % 3 = 1
+              |  UNION ALL
+              |  SELECT c_custkey + 100000 AS c_custkey, c_mktsegment, c_acctbal
+              |  FROM customer WHERE c_custkey % 7 = 0)
+              |-- history passes through untouched
+              |SELECT c_custkey, c_mktsegment, c_acctbal - 100 AS c_acctbal,
+              |       t96 AS valid_from, t97 AS valid_to, FALSE AS is_current
+              |FROM cur WHERE c_custkey % 10 = 0
+              |UNION ALL
+              |-- current rows not changed by the increment
+              |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+              |       t97 AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+              |FROM cur c WHERE NOT EXISTS (
+              |  SELECT 1 FROM staged s WHERE s.c_custkey = c.c_custkey
+              |  AND (s.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+              |       OR s.c_acctbal IS DISTINCT FROM c.c_acctbal))
+              |UNION ALL
+              |-- current rows closed by a changed staged row
+              |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+              |       t97 AS valid_from, t98 AS valid_to, FALSE AS is_current
+              |FROM cur c WHERE EXISTS (
+              |  SELECT 1 FROM staged s WHERE s.c_custkey = c.c_custkey
+              |  AND (s.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+              |       OR s.c_acctbal IS DISTINCT FROM c.c_acctbal))
+              |UNION ALL
+              |-- staged rows opening a new version (new key or changed)
+              |SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal,
+              |       TIMESTAMP '1998-01-01 00:00:00' AS valid_from,
+              |       CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+              |FROM staged s WHERE NOT EXISTS (
+              |  SELECT 1 FROM cur c WHERE c.c_custkey = s.c_custkey
+              |  AND NOT (s.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+              |           OR s.c_acctbal IS DISTINCT FROM c.c_acctbal))
+              |ORDER BY c_custkey, valid_from""".stripMargin)),
 
     // Fact-to-fact shuffle join (TPC-H Q3/Q4 shape): lineitem ⋈ orders
     // on the orderkey both sides are large on — the sort-merge/shuffled-

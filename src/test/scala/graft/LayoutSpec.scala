@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order layout: bit-interleave parity against a reference Scala
+  * implementation, permutation safety, and the clustering property the
+  * layout exists for (zones bound BOTH dimensions). */
+class LayoutSpec extends SparkSpec {
+
+  private def zRef(x: Long, y: Long, bits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < bits) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
+  test("zValue2 matches the reference bit interleave") {
+    import spark.implicits._
+    val rows = for (x <- 0L to 40L; y <- Seq(0L, 1L, 5L, 31L, 512L, 1023L)) yield (x, y)
+    val got = rows.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue2(col("x"), col("y"), 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      assert(z == zRef(x, y, 10), s"zValue2($x, $y) = $z != ${zRef(x, y, 10)}")
+    }
+  }
+
+  test("zorder2 is a permutation of its input") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i % 97, (i * 31) % 89)).toDF("x", "y")
+    val z = Layout.zorder2(df, "x", "y", 7, 4)
+    assert(z.count() == 1000)
+    assert(z.exceptAll(df).count() == 0 && df.exceptAll(z).count() == 0)
+    assert(z.columns.toSeq == Seq("x", "y")) // helper column dropped
+  }
+
+  test("z-order zones bound BOTH dimensions (16x16 tiles)") {
+    import spark.implicits._
+    // full 64x64 grid; zones of 256 consecutive z-values are exact
+    // 16x16 tiles, so every zone's span is <=15 in x AND y — the
+    // property that makes parquet min/max footers prune on either
+    // dimension (a 1-D sort would leave y spans at 63)
+    val df = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val zones = df.select(col("x"), col("y"),
+        shiftrightunsigned(Layout.zValue2(col("x"), col("y"), 6), 8).as("zone"))
+      .groupBy("zone")
+      .agg((max(col("x")) - min(col("x"))).as("span_x"),
+        (max(col("y")) - min(col("y"))).as("span_y"))
+      .collect()
+    assert(zones.length == 16)
+    zones.foreach { r =>
+      assert(r.getLong(1) <= 15 && r.getLong(2) <= 15,
+        s"zone ${r.getLong(0)} spans (${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+}

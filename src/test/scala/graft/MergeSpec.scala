@@ -101,4 +101,50 @@ class MergeSpec extends SparkSpec {
       .orderBy("k", "v").collect().toSeq
     assert(bloom == plain)
   }
+
+  private def scd2Existing = {
+    import spark.implicits._
+    Seq(
+      ("A", "x", 1.0, "2024-01-01", Some("2025-01-01"), false), // history row
+      ("A", "x", 2.0, "2025-01-01", None, true), // current, will change
+      ("B", "y", 3.0, "2025-01-01", None, true), // current, restated identically
+      ("C", "z", 4.0, "2025-01-01", None, true)) // current, absent from staged
+      .toDF("k", "seg", "bal", "valid_from", "valid_to", "is_current")
+  }
+
+  private def scd2Staged = {
+    import spark.implicits._
+    Seq(
+      ("A", "x", 9.0), // changed attribute -> close + open
+      ("B", "y", 3.0), // identical restatement -> no-op
+      ("D", "w", 5.0)) // brand-new key -> open only
+      .toDF("k", "seg", "bal")
+  }
+
+  test("scd2Merge covers all four staged cases") {
+    val out = Merge.scd2Merge(scd2Existing, scd2Staged, Seq("k"), Seq("seg", "bal"),
+      lit("2025-06-01"))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getString(3),
+        Option(r.getString(4)), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("A", 1.0, "2024-01-01", Some("2025-01-01"), false), // history untouched
+      ("A", 2.0, "2025-01-01", Some("2025-06-01"), false), // closed by the change
+      ("A", 9.0, "2025-06-01", None, true), // new version opened
+      ("B", 3.0, "2025-01-01", None, true), // identical restatement: no-op
+      ("C", 4.0, "2025-01-01", None, true), // untouched
+      ("D", 5.0, "2025-06-01", None, true))) // new key opened
+  }
+
+  test("scd2Merge is idempotent under the same increment") {
+    val once = Merge.scd2Merge(scd2Existing, scd2Staged, Seq("k"), Seq("seg", "bal"),
+      lit("2025-06-01"))
+    // every staged row now matches the current version it produced, so a
+    // later re-statement of the same increment must change nothing
+    val twice = Merge.scd2Merge(once, scd2Staged, Seq("k"), Seq("seg", "bal"),
+      lit("2025-07-01"))
+    assert(twice.count() == once.count())
+    assert(twice.except(once).count() == 0 && once.except(twice).count() == 0)
+  }
 }
