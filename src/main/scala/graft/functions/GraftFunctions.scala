@@ -28,6 +28,7 @@ object GraftFunctions {
     "graft_cosine" -> arity("graft_cosine", 2) { args => CosineSimilarity(args(0), args(1)) },
     "graft_dot" -> arity("graft_dot", 2) { args => DotProduct(args(0), args(1)) },
     "graft_rolling_hash" -> arity("graft_rolling_hash", 1) { args => RollingHash(args(0)) },
+    "graft_nfc" -> arity("graft_nfc", 1) { args => NormalizeNfc(args(0)) },
     "graft_shingle_hashes" -> arity("graft_shingle_hashes", 3) { args =>
       def lit[T](e: Expression, what: String): Any =
         if (e.foldable) e.eval()

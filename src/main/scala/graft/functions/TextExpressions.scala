@@ -55,3 +55,46 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Unicode NFC normalization as a native codegen'd expression — the
+ * canonical-composition pass every multilingual training corpus runs
+ * before tokenization/dedup (decomposed "a"+U+0301 and precomposed "á"
+ * must fingerprint identically). Spark has no built-in normalizer;
+ * `java.text.Normalizer` implements the same Unicode canonical
+ * composition ICU does, so results match DuckDB's `nfc_normalize`
+ * (asserted by the t_normalize oracle). The already-normalized fast
+ * path (`isNormalized`) makes the common ASCII scan a no-op check
+ * instead of a rebuild.
+ */
+case class NormalizeNfc(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val s = ctx.freshName("s")
+      s"""
+         |final String $s = $input.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized($s, java.text.Normalizer.Form.NFC)
+         |  ? $input
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize($s, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

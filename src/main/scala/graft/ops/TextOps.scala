@@ -276,4 +276,15 @@ object TextOps {
        |    list_transform(list_filter(string_split($col, ''), c -> len(c) > 0),
        |                   c -> CAST(unicode(c) AS BIGINT))),
        |  (acc, ch) -> (acc * 31 + ch) % ${RollMod})""".stripMargin
+
+  /** Unicode NFC canonical composition (native codegen'd
+    * [[graft.functions.NormalizeNfc]]) — decomposed and precomposed
+    * forms must fingerprint identically before dedup. DuckDB mirror:
+    * `nfc_normalize` (same Unicode canonical composition). */
+  def normalizeNfc(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.NormalizeNfc(Bridge.expression(text)))
+  }
+
+  def normalizeNfcSql(col: String): String = s"nfc_normalize($col)"
 }

@@ -660,6 +660,97 @@ object ExtQueries {
               |        AND NOT has_lorem AND NOT has_brace) AS keep
               |FROM stats ORDER BY doc_id""".stripMargin)),
 
+    // Unicode NFC normalization (native codegen'd expression — Spark
+    // has no built-in normalizer): decomposed accents are injected
+    // deterministically (every 'a' in every 11th doc becomes
+    // 'a'+U+0301) and must compose to the precomposed form, shrinking
+    // the codepoint count. DuckDB's ICU nfc_normalize replays the same
+    // canonical composition, so the full normalized TEXT is
+    // hash-compared, not just the lengths. Pure projection.
+    Q("t_normalize",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0,
+            regexp_replace(col("text"), "a", "a\u0301")).otherwise(col("text")).as("text"))
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_raw"),
+          TextOps.normalizeNfc(col("text")).as("nfc_text"))
+        .select(col("doc_id"), col("n_raw"), col("nfc_text"),
+          length(col("nfc_text")).cast(LongType).as("n_nfc"),
+          (length(col("nfc_text")) =!= col("n_raw")).as("changed"))
+        .orderBy("doc_id"),
+      Some(s"""WITH inj AS (SELECT doc_id,
+              |  CASE WHEN doc_id % 11 = 0 THEN regexp_replace(text, 'a', 'a' || chr(769), 'g')
+              |       ELSE text END AS text
+              |  FROM documents)
+              |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_raw,
+              |       ${TextOps.normalizeNfcSql("text")} AS nfc_text,
+              |       CAST(length(${TextOps.normalizeNfcSql("text")}) AS BIGINT) AS n_nfc,
+              |       length(${TextOps.normalizeNfcSql("text")}) <> length(text) AS changed
+              |FROM inj ORDER BY doc_id""".stripMargin)),
+
+    // URL/domain filtering (the C4/RefinedWeb blocklist pass): URLs are
+    // injected deterministically, the domain is regex-extracted (RE2 ∩
+    // Java pattern subset, so both engines match identically), and a
+    // broadcast-able blocklist decides the keep gate. Pure projection.
+    Q("t_url_filter",
+      (s, dir) => {
+        val urlRe = "https://([a-z0-9]+)\\.example\\.com/p[0-9]+"
+        val blocked = Seq("site0", "site7", "site13")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            when(col("doc_id") % 6 === 0,
+              concat(col("text"), lit(" see https://site"),
+                (col("doc_id") % 20).cast(StringType), lit(".example.com/p"),
+                col("doc_id").cast(StringType), lit(" now")))
+              .otherwise(col("text")).as("text"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(urlRe), lit(0))).cast(LongType).as("n_urls"),
+            regexp_extract(col("text"), urlRe, 1).as("domain"))
+          .select(col("doc_id"), col("n_urls"), col("domain"),
+            col("domain").isin(blocked: _*).as("blocked"))
+          .withColumn("keep", !col("blocked"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 6 = 0
+             |       THEN text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+             |            || '.example.com/p' || CAST(doc_id AS VARCHAR) || ' now'
+             |       ELSE text END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, 'https://([a-z0-9]+)\.example\.com/p[0-9]+')) AS BIGINT) AS n_urls,
+             |  regexp_extract(text, 'https://([a-z0-9]+)\.example\.com/p[0-9]+', 1) AS domain,
+             |  regexp_extract(text, 'https://([a-z0-9]+)\.example\.com/p[0-9]+', 1) IN ('site0','site7','site13') AS blocked,
+             |  NOT (regexp_extract(text, 'https://([a-z0-9]+)\.example\.com/p[0-9]+', 1) IN ('site0','site7','site13')) AS keep
+             |FROM inj ORDER BY doc_id""".stripMargin)),
+
+    // Repetition REMOVAL (not just measurement): keep each line's first
+    // occurrence, drop later repeats, re-join the cleaned document.
+    // Index-aware lambda (first-occurrence test is array_position = i)
+    // — O(lines²) per doc, fine for document-sized arrays; still a pure
+    // zero-shuffle projection. Proven against the injected duplicate
+    // first lines of the line corpus.
+    Q("t_clean_lines",
+      (s, dir) => lineCorpus(s, dir)
+        .select(col("doc_id"), split(col("text"), "\n").as("lines"))
+        .select(col("doc_id"),
+          size(col("lines")).cast(LongType).as("n_lines"),
+          filter(col("lines"),
+            (x, i) => array_position(col("lines"), x) === i + 1).as("kept"))
+        .select(col("doc_id"), col("n_lines"),
+          size(col("kept")).cast(LongType).as("n_kept"),
+          array_join(col("kept"), "\n").as("clean_text"))
+        .orderBy("doc_id"),
+      Some(s"""WITH $lineCorpusSql,
+              |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM lc),
+              |k AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+              |             list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+              |      FROM l)
+              |SELECT doc_id, n_lines, CAST(len(kept) AS BIGINT) AS n_kept,
+              |       array_to_string(kept, chr(10)) AS clean_text
+              |FROM k ORDER BY doc_id""".stripMargin)),
+
     // Corpus rollup by detected language — the filter-then-aggregate
     // shape of a corpus quality report (one shuffle; exact aggregates).
     Q("t_corpus_by_lang",

@@ -184,6 +184,32 @@ object RefQueries {
              |                 THEN 0 ELSE 1 END AS INTEGER) AS has_seg
              |FROM customer ORDER BY c_custkey""".stripMargin)),
 
+    // Nested-type surface: build struct / array-of-struct columns,
+    // navigate fields, and flatten with explode — the shape API-JSON
+    // payloads take after parsing (generalizes S1 beyond flat schemas).
+    // Everything stays a narrow codegen'd projection; the oracle
+    // mirrors it with DuckDB struct literals + unnest.
+    Q("p_nested_struct",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"), col("o_totalprice").as("tp")).as("meta"),
+          array(
+            struct(lit("h1").as("half"), (col("o_totalprice") * 0.5).as("amt")),
+            struct(lit("h2").as("half"), (col("o_totalprice") * 0.5).as("amt"))).as("splits"))
+        .select(col("o_orderkey"),
+          col("meta.st").as("status"), col("meta.tp").as("total"),
+          explode(col("splits")).as("s"))
+        .select(col("o_orderkey"), col("status"), col("total"),
+          col("s.half").as("half"), col("s.amt").as("amt"))
+        .orderBy("o_orderkey", "half"),
+      Some("""SELECT o_orderkey, status, total, u.half AS half, u.amt AS amt
+             |FROM (SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total,
+             |             unnest([{'half': 'h1', 'amt': o_totalprice * 0.5},
+             |                     {'half': 'h2', 'amt': o_totalprice * 0.5}]) AS u
+             |      FROM orders WHERE o_orderkey % 100 = 0)
+             |ORDER BY o_orderkey, half""".stripMargin)),
+
     // ── Filters ────────────────────────────────────────────────────────
 
     // F2: quality predicates (daily_stocks.sql:26-27).

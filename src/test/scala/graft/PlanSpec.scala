@@ -145,4 +145,32 @@ class PlanSpec extends SparkSpec {
     s2.sql(s"DROP TABLE IF EXISTS ${wh.bucketedTableName("bkt", "orders_a")}")
     s2.sql(s"DROP TABLE IF EXISTS ${wh.bucketedTableName("bkt", "orders_n")}")
   }
+
+  test("zorder2 clusters with exactly one range exchange, no UDF") {
+    val df = Tables.lineitem(spark, dir).select(
+      (col("l_orderkey") % 1024).cast("long").as("x"),
+      (col("l_partkey") % 1024).cast("long").as("y"))
+    val plan = graft.ops.Layout.zorder2(df, "x", "y", 10, 8)
+      .queryExecution.sparkPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"z-order clustering should cost exactly one exchange:\n$plan")
+    assert(plan.contains("rangepartitioning"), s"expected a range exchange:\n$plan")
+    assert(!plan.contains("ScalaUDF"), "z-value left whole-stage codegen")
+  }
+
+  test("scd2 merge broadcasts the staged increment; never a cartesian product") {
+    val plan = finalPlanOf("j3_scd2_merge")
+    assert(!plan.contains("CartesianProduct"),
+      s"SCD2 change detection degraded to a cross join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small staged increment did not broadcast:\n$plan")
+  }
+
+  test("semantic dedup joins only within cells — no cartesian product") {
+    // the only nested-loop is the broadcast centroid scoring; the pair
+    // discovery itself must be a centroid_id equi-join
+    val plan = finalPlanOf("dd_semantic")
+    assert(!plan.contains("CartesianProduct"),
+      s"semantic dedup degraded to all-pairs:\n$plan")
+  }
 }

@@ -28,6 +28,35 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(0) == 96354L)
   }
 
+  test("normalizeNfc composes decomposed accents; ASCII and nulls pass through") {
+    import spark.implicits._
+    val df = Seq(
+      Some("ábc"), // decomposed a + combining acute -> á
+      Some("ábc"), // already precomposed
+      Some("plain ascii"),
+      None: Option[String])
+      .toDF("text")
+      .select(col("text"), TextOps.normalizeNfc(col("text")).as("nfc"))
+    val rows = df.collect().map(r => (Option(r.getString(0)), Option(r.getString(1))))
+    assert(rows(0)._2.contains("ábc")) // composed, 3 codepoints
+    assert(rows(1)._2.contains("ábc")) // unchanged
+    assert(rows(2)._2.contains("plain ascii"))
+    assert(rows(3)._2.isEmpty) // null-safe
+    // matches java.text.Normalizer on every row (the executable spec)
+    rows.foreach { case (in, out) =>
+      assert(out == in.map(s =>
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)))
+    }
+  }
+
+  test("graft_nfc is SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("á").toDF("t").createOrReplaceTempView("nfc_in")
+    val r = spark.sql("SELECT graft_nfc(t) AS n FROM nfc_in").collect().head.getString(0)
+    assert(r == "á")
+  }
+
   test("native rolling hash is bit-identical to the HOF fold on real docs") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val diff = docs.select(
