@@ -118,6 +118,17 @@ object Merge {
    *     version: `validFrom = effective`, `validTo = null`,
    *     `isCurrent = true`.
    *
+   * Preconditions (enforced): `staged` must have AT MOST ONE row per
+   * key — Delta MERGE and dbt snapshots raise on multiple source
+   * matches, and the left joins below would otherwise multiply current
+   * rows into duplicated kept/closed output and several simultaneously
+   * "current" versions per key. The check is one aggregate over the
+   * staged side, which is the small daily increment — negligible even
+   * when the dimension is 100 TB. Dedupe upstream (e.g. latest-wins
+   * `row_number` per key) before calling. Existing rows with NULL
+   * `isCurrent` are treated as history (`coalesce(_, false)`) so no
+   * input row is silently dropped.
+   *
    * Scale shape: both change-detection joins are keyed on `keys` only
    * and the staged side is the small daily increment, so Catalyst
    * broadcasts it — the 100 TB dimension never shuffles. Partitioning
@@ -130,10 +141,17 @@ object Merge {
                 validFrom: String = "valid_from", validTo: String = "valid_to",
                 isCurrent: String = "is_current"): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val dupStaged = staged.groupBy(keys.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupStaged == 0L,
+      s"scd2Merge: staged batch has duplicate rows per key (${keys.mkString(", ")}) — " +
+        "MERGE semantics require at most one source match per key; dedupe upstream " +
+        "(e.g. latest-wins row_number) before merging")
     val validToType = existing.schema(validTo).dataType
     val outCols = existing.columns.toSeq
-    val hist = existing.filter(not(col(isCurrent)))
-    val cur = existing.filter(col(isCurrent))
+    val curFlag = coalesce(col(isCurrent), lit(false))
+    val hist = existing.filter(not(curFlag))
+    val cur = existing.filter(curFlag)
 
     // current side annotated with the staged attributes (left join keeps
     // dimension rows whose key never appears in the increment)

@@ -41,10 +41,14 @@ object Layout {
     * min/max footer is tight in BOTH dimensions. */
   def zorder2(df: DataFrame, xCol: String, yCol: String, bits: Int,
               numPartitions: Int): DataFrame = {
+    // pick a helper-column name the input provably doesn't use, so an
+    // existing user column is never silently replaced then dropped
+    val zvName = Iterator.from(0).map(i => if (i == 0) "__zv" else s"__zv$i")
+      .find(n => !df.columns.contains(n)).get
     val zv = zValue2(col(xCol), col(yCol), bits)
-    df.withColumn("__zv", zv)
-      .repartitionByRange(numPartitions, col("__zv"))
-      .sortWithinPartitions("__zv")
-      .drop("__zv")
+    df.withColumn(zvName, zv)
+      .repartitionByRange(numPartitions, col(zvName))
+      .sortWithinPartitions(zvName)
+      .drop(zvName)
   }
 }

@@ -21,32 +21,39 @@ import org.apache.spark.sql.types._
  */
 object ExtQueries {
 
-  /** documents ∪ exact copies of every doc_id % 5 == 0 (id + 100000) —
-    * a corpus with KNOWN exact duplicates for dedup operators. */
+  /** documents ∪ exact copies of every doc_id % 5 == 0, copy ids offset
+    * by MAX(doc_id)+1 (smallest copy id = offset > every real id, so the
+    * injection is collision-free at ANY scale factor) — a corpus with
+    * KNOWN exact duplicates for dedup operators. The offset is one
+    * scalar collect, the same pattern as the watermark reads. */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val off = d.agg(max("doc_id")).head.getLong(0) + 1
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .select((col("doc_id") + off).as("doc_id"), col("text")))
   }
 
   private val dupCorpusSql =
     """corpus AS (SELECT doc_id, text FROM documents
       |           UNION ALL
-      |           SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+      |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text
+      |           FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
-  /** documents ∪ near copies (one appended token) of doc_id % 7 == 0 —
-    * KNOWN near-duplicates at Jaccard ≈ (T-4)/(T-3) for 5-gram shingles. */
+  /** documents ∪ near copies (one appended token) of doc_id % 7 == 0,
+    * copy ids offset by MAX(doc_id)+1 (collision-free at any SF) — KNOWN
+    * near-duplicates at Jaccard ≈ (T-4)/(T-3) for 5-gram shingles. */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val off = d.agg(max("doc_id")).head.getLong(0) + 1
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"),
+      .select((col("doc_id") + off).as("doc_id"),
         concat(col("text"), lit(" xtra")).as("text")))
   }
 
   private val nearDupCorpusSql =
     """corpus AS (SELECT doc_id, text FROM documents
       |           UNION ALL
-      |           SELECT doc_id + 100000 AS doc_id, text || ' xtra' AS text
+      |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text || ' xtra' AS text
       |           FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   /** Deterministic hyperplanes shared by the Spark query and its SQL
@@ -302,7 +309,7 @@ object ExtQueries {
     // (iterative min-label propagation) → drop every non-representative.
     // Ground truth: the min-id representative per distinct text — the
     // oracle computes it from the ORIGINAL table (injected copies can
-    // never be representatives: their ids are original+100000). Phrased
+    // never be representatives: their ids are original + max id). Phrased
     // as a GROUP BY, not `SELECT *`, because real corpora contain
     // NATURAL exact duplicates too (sf0.1 has 8) and the pipeline
     // rightly merges them.
@@ -360,8 +367,9 @@ object ExtQueries {
     Q("dd_semantic",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val off = emb.agg(max("vec_id")).head.getLong(0) + 1
         val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + off).as("vec_id"), col("embedding")))
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
         Similarity.semanticDedup(corpus, "embedding", "vec_id", cents, "c_vec", "c_id",
@@ -370,7 +378,7 @@ object ExtQueries {
       },
       Some(s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
               |                UNION ALL
-              |                SELECT vec_id + 100000 AS vec_id, embedding
+              |                SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id, embedding
               |                FROM embeddings WHERE vec_id % 5 = 0),
               |cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
               |j AS (SELECT e.vec_id, e.embedding, c.c_id,
@@ -851,14 +859,15 @@ object ExtQueries {
     Q("sim_neardup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val off = emb.agg(max("vec_id")).head.getLong(0) + 1
         val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + off).as("vec_id"), col("embedding")))
         Similarity.embeddingNearDupPairs(corpus, "embedding", "vec_id", planes12, 0.99)
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings
               |                UNION ALL
-              |                SELECT vec_id + 100000 AS vec_id, embedding
+              |                SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id, embedding
               |                FROM embeddings WHERE vec_id % 5 = 0),
               |sig AS (SELECT vec_id, embedding, ${bucketSql("embedding", planes12)} AS bucket FROM corpus)
               |SELECT id_a, id_b, cosine FROM (

@@ -111,12 +111,16 @@ object RefQueries {
     // schema (XML inference strings everything) with a rowTag.
     Q("s10_xml_roundtrip",
       (s, dir) => {
-        val out = s"/tmp/graft_xml_${new java.io.File(dir).getName}"
+        // per-application path: concurrent runs on the same SF must not
+        // clobber each other's files mid-read (applicationId is unique)
+        val out = s"/tmp/graft_xml_${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
         Tables.region(s, dir).write.mode("overwrite")
           .option("rowTag", "region").format("xml").save(out)
-        s.read.schema(Tables.region(s, dir).schema)
+        val res = s.read.schema(Tables.region(s, dir).schema)
           .option("rowTag", "region").format("xml").load(out)
-          .orderBy("r_regionkey")
+          .orderBy("r_regionkey").localCheckpoint()
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+        res
       },
       Some("SELECT * FROM region ORDER BY r_regionkey")),
 
@@ -624,11 +628,13 @@ object RefQueries {
     // key, a current row for all — and the staged increment mixes all
     // four cases: changed attributes (%3=0 → close + open), identical
     // restatement (%3=1 → no-op), absent keys (%3=2 → untouched), and
-    // brand-new keys (+100000 → open only). valid_from is distinct per
-    // version (1996/1997/1998) so the sort is total.
+    // brand-new keys (+ max key, collision-free at any SF → open only).
+    // valid_from is distinct per version (1996/1997/1998) so the sort
+    // is total.
     Q("j3_scd2_merge",
       (s, dir) => {
         val c = Tables.customer(s, dir)
+        val keyOff = c.agg(max(col("c_custkey"))).head.getLong(0) + 1
         val t96 = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
         val t97 = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
         val t98 = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
@@ -644,7 +650,7 @@ object RefQueries {
           .unionByName(c.filter(col("c_custkey") % 3 === 1)
             .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
           .unionByName(c.filter(col("c_custkey") % 7 === 0)
-            .select((col("c_custkey") + 100000).as("c_custkey"), col("c_mktsegment"),
+            .select((col("c_custkey") + keyOff).as("c_custkey"), col("c_mktsegment"),
               col("c_acctbal")))
         Merge.scd2Merge(hist.unionByName(cur), staged,
           Seq("c_custkey"), Seq("c_mktsegment", "c_acctbal"), t98)
@@ -665,7 +671,7 @@ object RefQueries {
               |  SELECT c_custkey, c_mktsegment, c_acctbal
               |  FROM customer WHERE c_custkey % 3 = 1
               |  UNION ALL
-              |  SELECT c_custkey + 100000 AS c_custkey, c_mktsegment, c_acctbal
+              |  SELECT c_custkey + (SELECT MAX(c_custkey) + 1 FROM customer) AS c_custkey, c_mktsegment, c_acctbal
               |  FROM customer WHERE c_custkey % 7 = 0)
               |-- history passes through untouched
               |SELECT c_custkey, c_mktsegment, c_acctbal - 100 AS c_acctbal,

@@ -39,6 +39,15 @@ class LayoutSpec extends SparkSpec {
     assert(z.columns.toSeq == Seq("x", "y")) // helper column dropped
   }
 
+  test("zorder2 preserves a user column named __zv") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i % 11, (i * 7) % 13, s"user-$i"))
+      .toDF("x", "y", "__zv")
+    val z = Layout.zorder2(df, "x", "y", 4, 2)
+    assert(z.columns.toSeq == Seq("x", "y", "__zv")) // user data intact
+    assert(z.exceptAll(df).count() == 0 && df.exceptAll(z).count() == 0)
+  }
+
   test("z-order zones bound BOTH dimensions (16x16 tiles)") {
     import spark.implicits._
     // full 64x64 grid; zones of 256 consecutive z-values are exact

@@ -147,4 +147,29 @@ class MergeSpec extends SparkSpec {
     assert(twice.count() == once.count())
     assert(twice.except(once).count() == 0 && once.except(twice).count() == 0)
   }
+
+  test("scd2Merge rejects a staged batch with duplicate keys") {
+    import spark.implicits._
+    val dupStaged = scd2Staged.unionByName(Seq(("A", "x", 7.0)).toDF("k", "seg", "bal"))
+    val e = intercept[IllegalArgumentException] {
+      Merge.scd2Merge(scd2Existing, dupStaged, Seq("k"), Seq("seg", "bal"),
+        lit("2025-06-01"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("scd2Merge keeps rows whose is_current is NULL (treated as history)") {
+    import spark.implicits._
+    val withNull = scd2Existing.unionByName(
+      Seq(("E", "q", 6.0, "2023-01-01", Some("2024-01-01")))
+        .toDF("k", "seg", "bal", "valid_from", "valid_to")
+        .withColumn("is_current", lit(null).cast("boolean")))
+    val out = Merge.scd2Merge(withNull, scd2Staged, Seq("k"), Seq("seg", "bal"),
+      lit("2025-06-01"))
+    // the malformed row must not vanish: it rides along as history
+    assert(out.filter($"k" === "E").count() == 1)
+    assert(out.count() ==
+      Merge.scd2Merge(scd2Existing, scd2Staged, Seq("k"), Seq("seg", "bal"),
+        lit("2025-06-01")).count() + 1)
+  }
 }
