@@ -60,4 +60,60 @@ object EventOps {
       .agg(count(lit(1)))
       .na.fill(0L, EventTypes)
       .toDF("user_id" +: EventTypes.map("n_" + _): _*)
+
+  /**
+   * Sequential conversion funnel: a user reaches stage i when some
+   * stage-i event occurs STRICTLY AFTER the time they reached stage
+   * i-1 (their earliest qualifying stage-i event becomes the reach
+   * time). This is the order-respecting semantics product funnels use —
+   * a click before ever viewing does not count, a later click does.
+   *
+   * Plan shape: stage 0 is one keyed aggregate; each later stage is an
+   * equi-join on the user key against the previous reach set (which
+   * only shrinks) plus a keyed min — a chain of `stages.length` narrow
+   * shuffles, no window over the whole event stream and nothing
+   * quadratic. The per-stage counts are 1-row aggregates unioned at
+   * the end.
+   */
+  def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.select(
+      col(userCol).as("u"), col(typeCol).as("et"), col(tsCol).as("t"))
+    val reaches = stages.zipWithIndex.foldLeft(Vector.empty[DataFrame]) {
+      case (acc, (st, i)) =>
+        val r =
+          if (i == 0)
+            base.filter(col("et") === st).groupBy("u").agg(min(col("t")).as("tr"))
+          else
+            base.filter(col("et") === st)
+              .join(acc.last.select(col("u"), col("tr").as("prev_tr")), "u")
+              .filter(col("t") > col("prev_tr"))
+              .groupBy("u").agg(min(col("t")).as("tr"))
+        acc :+ r
+    }
+    stages.zip(reaches).zipWithIndex.map { case ((st, r), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Cohort retention: users are grouped by their first activity date
+   * (the cohort), and each later active day contributes to that
+   * cohort's `day_offset` bucket. The classic triangle matrix behind
+   * every retention chart.
+   *
+   * Plan shape: per-user-day distinct (one shuffle on the compound
+   * key), per-user min (narrow keyed agg), an equi-join on the user
+   * key, and the final (cohort, offset) aggregate — all keyed, nothing
+   * collected, skew bounded by days-per-user.
+   */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val acts = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val cohorts = acts.groupBy("u").agg(min(col("d")).as("cohort_d"))
+    acts.join(cohorts, "u")
+      .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .agg(count_distinct(col("u")).as("n_users"))
+  }
 }

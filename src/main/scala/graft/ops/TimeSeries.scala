@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Calendar densification and gap filling for keyed time series — the
+ * operation every daily-grain lakehouse table eventually needs (the
+ * reference's stock series has per-ticker trading-day gaps: weekends
+ * and holidays simply have no row, ingest_stocks.py:52-63; downstream
+ * consumers want a continuous daily axis with carried-forward values).
+ *
+ * Scale shape (100 TB):
+ *   - the per-key span aggregate produces ONE row per key (narrow
+ *     shuffle on the key);
+ *   - the spine is `explode(sequence(min, max))` over those one-row
+ *     spans — a pure projection, no shuffle, and its size is bounded by
+ *     keys × calendar days, not by input rows;
+ *   - the left join back to observations is an equi-join on
+ *     (key, date) — both sides hash-partition on the same compound key;
+ *   - forward fill is one window per key ordered by date; per-key row
+ *     count is the calendar span (≤ tens of thousands for decades of
+ *     daily data), so no partition ever exceeds executor memory no
+ *     matter how large the table is.
+ * Nothing is collected to the driver and no step is quadratic.
+ */
+object TimeSeries {
+
+  /** One row per (key, calendar day) between each key's own first and
+    * last observed date. `dateCol` must be a DateType column. */
+  def dailySpine(observed: DataFrame, keys: Seq[String], dateCol: String): DataFrame = {
+    val spans = observed.groupBy(keys.map(col): _*)
+      .agg(min(col(dateCol)).as("__mn"), max(col(dateCol)).as("__mx"))
+    spans.select(
+      keys.map(col) :+ explode(sequence(col("__mn"), col("__mx"))).as(dateCol): _*)
+  }
+
+  /**
+   * Densify `observed` onto its per-key daily calendar and forward-fill
+   * each of `valueCols`: missing days get the most recent earlier
+   * value (classic as-of carry-forward). For every value column `v` the
+   * output keeps the raw (NULL on gap days) column `v` and adds
+   * `v_filled`. Days before a key's first observation never exist
+   * (the spine starts at the key's min date), so filled columns are
+   * total.
+   */
+  def gapFillForward(observed: DataFrame, keys: Seq[String], dateCol: String,
+                     valueCols: Seq[String]): DataFrame = {
+    val spine = dailySpine(observed, keys, dateCol)
+    val joined = spine.join(observed, keys :+ dateCol, "left")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valueCols.foldLeft(joined) { (df, v) =>
+      df.withColumn(s"${v}_filled", last(col(v), ignoreNulls = true).over(w))
+    }
+  }
+
+  /**
+   * Linear interpolation between observations (the other standard gap
+   * policy, e.g. for slowly-varying metrics): a gap day's value is the
+   * straight line between the previous and next observed values; gaps
+   * after the last observation carry the last value forward. Same plan
+   * shape as [[gapFillForward]] plus one backward window.
+   */
+  def gapFillInterpolate(observed: DataFrame, keys: Seq[String], dateCol: String,
+                         valueCol: String): DataFrame = {
+    val spine = dailySpine(observed, keys, dateCol)
+    val joined = spine.join(observed, keys :+ dateCol, "left")
+    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val d = col(dateCol)
+    val prevV = last(v, ignoreNulls = true).over(fwd)
+    val nextV = first(v, ignoreNulls = true).over(bwd)
+    val prevD = last(when(v.isNotNull, d), ignoreNulls = true).over(fwd)
+    val nextD = first(when(v.isNotNull, d), ignoreNulls = true).over(bwd)
+    val frac = datediff(d, prevD).cast("double") /
+      datediff(nextD, prevD).cast("double")
+    joined.withColumn(s"${valueCol}_interp",
+      when(v.isNotNull, v)
+        .when(nextV.isNull, prevV) // after last observation: carry forward
+        .otherwise(prevV + (nextV - prevV) * frac))
+  }
+}

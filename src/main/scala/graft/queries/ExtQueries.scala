@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.ops.{Dedup, EventOps, Multimodal, Packing, Quality, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, EventOps, Multimodal, Packing, Quality, Sampling, Similarity, TextOps, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1047,6 +1047,47 @@ object ExtQueries {
                  s"  count(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t").mkString(",\n")}
               |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Sequential conversion funnel signup → view → click → purchase:
+    // each stage's reach time is the user's earliest stage event
+    // STRICTLY AFTER reaching the previous stage. The oracle replays
+    // the same stage chain as CTEs.
+    Q("ev_funnel",
+      (s, dir) => EventOps.funnel(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage_idx"),
+      Some("""WITH e AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events),
+             |r1 AS (SELECT u, min(t) AS tr FROM e WHERE et = 'signup' GROUP BY u),
+             |r2 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r1 ON e.u = r1.u
+             |       WHERE e.et = 'view' AND e.t > r1.tr GROUP BY e.u),
+             |r3 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r2 ON e.u = r2.u
+             |       WHERE e.et = 'click' AND e.t > r2.tr GROUP BY e.u),
+             |r4 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r3 ON e.u = r3.u
+             |       WHERE e.et = 'purchase' AND e.t > r3.tr GROUP BY e.u)
+             |SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT count(*) FROM r1) AS n_users
+             |UNION ALL
+             |SELECT 2, 'view', (SELECT count(*) FROM r2)
+             |UNION ALL
+             |SELECT 3, 'click', (SELECT count(*) FROM r3)
+             |UNION ALL
+             |SELECT 4, 'purchase', (SELECT count(*) FROM r4)
+             |ORDER BY stage_idx""".stripMargin)),
+
+    // Cohort retention triangle: users bucketed by first-activity date,
+    // later active days land in that cohort's day_offset cell. Events
+    // are thinned (event_id % 13) so first-activity dates actually
+    // spread across the month instead of collapsing onto day one.
+    Q("ev_retention",
+      (s, dir) => EventOps.retentionCohorts(
+        Tables.events(s, dir).filter(col("event_id") % 13 === 0), "user_id", "ts")
+        .orderBy("cohort_d", "day_offset"),
+      Some("""WITH acts AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+             |              FROM events WHERE event_id % 13 = 0),
+             |cohorts AS (SELECT u, min(d) AS cohort_d FROM acts GROUP BY u)
+             |SELECT c.cohort_d, datediff('day', c.cohort_d, a.d) AS day_offset,
+             |       count(DISTINCT a.u) AS n_users
+             |FROM acts a JOIN cohorts c ON a.u = c.u
+             |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin)),
+
     // ── Multimodal plumbing ────────────────────────────────────────────
 
     // Binary payload + batched per-partition decode (stubbed codec —
@@ -1237,6 +1278,124 @@ object ExtQueries {
              |SELECT 'orphan_o_custkey',
              |       (SELECT count(*) FROM orders
              |        WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
-             |ORDER BY check_name""".stripMargin))
+             |ORDER BY check_name""".stripMargin)),
+
+    // Int8 scalar quantization + exact integer dot scoring — the
+    // memory-bandwidth scale path for ANN (1-byte codes instead of
+    // 4-byte floats through every scan/shuffle). Codes and int64 dots
+    // are exact integer arithmetic, so the whole kernel oracle-hashes
+    // with zero tolerance; the float rerank is covered by sim_topk.
+    Q("sim_quantized",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val codes = emb.select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding"), Similarity.quantScale(col("embedding"))).as("qv"))
+        val queryCodes = codes.filter(col("vec_id") === 0)
+          .select(col("qv").as("query_qv"))
+        codes.crossJoin(broadcast(queryCodes))
+          .select(col("vec_id"), Similarity.quantizedDot(col("qv"), col("query_qv")).as("int_dot"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding,
+              |                     ${Similarity.quantScaleSql("embedding")} AS sc
+              |              FROM embeddings),
+              |codes AS (SELECT vec_id, ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM base),
+              |qq AS (SELECT qv AS query_qv FROM codes WHERE vec_id = 0)
+              |SELECT codes.vec_id, ${Similarity.quantizedDotSql("codes.qv", "qq.query_qv")} AS int_dot
+              |FROM codes CROSS JOIN qq ORDER BY vec_id""".stripMargin)),
+
+    // Unpivot/melt: wide measure columns → (key, measure, value) long
+    // form (Spark's native unpivot lowers to one Expand — a projection,
+    // no shuffle, output = rows × measures).
+    Q("p_unpivot",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") % 50 === 0)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+             |FROM lineitem WHERE l_orderkey % 50 = 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+             |FROM lineitem WHERE l_orderkey % 50 = 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+             |FROM lineitem WHERE l_orderkey % 50 = 0
+             |UNION ALL
+             |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+             |FROM lineitem WHERE l_orderkey % 50 = 0
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // ── Time-series gap fill (ops/TimeSeries.scala) ───────────────────
+
+    // Calendar densification + forward fill: per-customer daily order
+    // totals get one row per calendar day between that customer's first
+    // and last order, gap days carrying the last observed total. The
+    // spine is explode(sequence(min,max)) over one-row-per-key spans —
+    // its size is keys × days, independent of input row count.
+    Q("ts_gapfill",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir).filter(col("o_custkey") < 20)
+          .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"))
+          .agg(Det.dsum(col("o_totalprice")).as("day_total"))
+        TimeSeries.gapFillForward(daily, Seq("o_custkey"), "d", Seq("day_total"))
+          .orderBy("o_custkey", "d")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+              |         ${Det.dsumSql("o_totalprice")} AS day_total
+              |  FROM orders WHERE o_custkey < 20 GROUP BY 1, 2),
+              |spans AS (SELECT o_custkey, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1),
+              |spine AS (SELECT o_custkey, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+              |          FROM spans),
+              |j AS (SELECT s.o_custkey, s.d, daily.day_total
+              |      FROM spine s LEFT JOIN daily ON s.o_custkey = daily.o_custkey AND s.d = daily.d)
+              |SELECT o_custkey, d, day_total,
+              |       last_value(day_total IGNORE NULLS) OVER (
+              |         PARTITION BY o_custkey ORDER BY d
+              |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_total_filled
+              |FROM j ORDER BY o_custkey, d""".stripMargin)),
+
+    // Linear interpolation between observations (the other standard gap
+    // policy): a gap day sits on the straight line between its previous
+    // and next observed values; tail gaps carry forward. Both engines
+    // compute prev + (next - prev) * frac on the SAME decimal-summed
+    // doubles, so the IEEE result is bit-identical.
+    Q("ts_interp",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir).filter(col("o_custkey") < 5)
+          .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"))
+          .agg(Det.dsum(col("o_totalprice")).as("day_total"))
+        TimeSeries.gapFillInterpolate(daily, Seq("o_custkey"), "d", "day_total")
+          .orderBy("o_custkey", "d")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+              |         ${Det.dsumSql("o_totalprice")} AS day_total
+              |  FROM orders WHERE o_custkey < 5 GROUP BY 1, 2),
+              |spans AS (SELECT o_custkey, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1),
+              |spine AS (SELECT o_custkey, CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d
+              |          FROM spans),
+              |j AS (SELECT s.o_custkey, s.d, daily.day_total
+              |      FROM spine s LEFT JOIN daily ON s.o_custkey = daily.o_custkey AND s.d = daily.d),
+              |f AS (SELECT o_custkey, d, day_total,
+              |             last_value(day_total IGNORE NULLS) OVER w_fwd AS prev_v,
+              |             first_value(day_total IGNORE NULLS) OVER w_bwd AS next_v,
+              |             last_value(CASE WHEN day_total IS NOT NULL THEN d END IGNORE NULLS) OVER w_fwd AS prev_d,
+              |             first_value(CASE WHEN day_total IS NOT NULL THEN d END IGNORE NULLS) OVER w_bwd AS next_d
+              |      FROM j
+              |      WINDOW w_fwd AS (PARTITION BY o_custkey ORDER BY d
+              |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              |             w_bwd AS (PARTITION BY o_custkey ORDER BY d
+              |                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              |SELECT o_custkey, d, day_total,
+              |       CASE WHEN day_total IS NOT NULL THEN day_total
+              |            WHEN next_v IS NULL THEN prev_v
+              |            ELSE prev_v + (next_v - prev_v) *
+              |                 (CAST(datediff('day', prev_d, d) AS DOUBLE) /
+              |                  CAST(datediff('day', prev_d, next_d) AS DOUBLE)) END AS day_total_interp
+              |FROM f ORDER BY o_custkey, d""".stripMargin))
   )
 }

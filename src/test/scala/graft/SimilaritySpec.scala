@@ -144,4 +144,47 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.hyperplanes(4, 8)
     assert(a.flatten.toSeq == b.flatten.toSeq)
   }
+
+  test("int8 quantization matches a reference impl; zero vector is safe") {
+    import spark.implicits._
+    def qRef(xs: Array[Float]): Array[Long] = {
+      val sc = xs.map(v => math.abs(v.toDouble)).max / 127.0
+      if (sc == 0.0) xs.map(_ => 0L)
+      else xs.map(v => java.math.BigDecimal.valueOf(v.toDouble / sc)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    }
+    val data = Seq(
+      (0L, Array(0.5f, -0.25f, 1.0f)),
+      (1L, Array(-3.0f, 1.5f, 0.75f)),
+      (2L, Array(0.0f, 0.0f, 0.0f))) // all-zero: scale 0 must not NaN
+    val out = data.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.quantizeInt8(col("embedding"), Similarity.quantScale(col("embedding"))).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    data.foreach { case (id, xs) =>
+      assert(out(id).toSeq == qRef(xs).toSeq, s"vec $id")
+      assert(out(id).forall(q => q >= -127 && q <= 127))
+    }
+  }
+
+  test("quantized cosine tracks exact cosine within int8 error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = data.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.quantScale(col("embedding")).as("sc"))
+      .withColumn("qv", Similarity.quantizeInt8(col("embedding"), col("sc")))
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("exact"),
+        Similarity.quantizedCosine(col("a.qv"), col("a.sc"), col("b.qv"), col("b.sc")).as("approx"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
+        s"exact=${r.getDouble(0)} approx=${r.getDouble(1)}")
+    }
+  }
 }
