@@ -140,9 +140,12 @@ object Merge {
                 track: Seq[String], effective: Column,
                 validFrom: String = "valid_from", validTo: String = "valid_to",
                 isCurrent: String = "is_current"): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
-    val dupStaged = staged.groupBy(keys.map(col): _*).count()
-      .filter(col("count") > 1).limit(1).count()
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, not}
+    // collision-proof aggregate alias: .count() would name the column
+    // "count", ambiguous if a merge key is itself named "count"
+    val dupStaged = staged.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__dup_cnt"))
+      .filter(col("__dup_cnt") > 1).limit(1).count()
     require(dupStaged == 0L,
       s"scd2Merge: staged batch has duplicate rows per key (${keys.mkString(", ")}) — " +
         "MERGE semantics require at most one source match per key; dedupe upstream " +

@@ -27,6 +27,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> arity("graft_cosine", 2) { args => CosineSimilarity(args(0), args(1)) },
     "graft_dot" -> arity("graft_dot", 2) { args => DotProduct(args(0), args(1)) },
+    "graft_int8_dot" -> arity("graft_int8_dot", 2) { args => Int8DotProduct(args(0), args(1)) },
+    "graft_int8_cosine" -> arity("graft_int8_cosine", 2) { args =>
+      Int8CosineSimilarity(args(0), args(1)) },
     "graft_rolling_hash" -> arity("graft_rolling_hash", 1) { args => RollingHash(args(0)) },
     "graft_nfc" -> arity("graft_nfc", 1) { args => NormalizeNfc(args(0)) },
     "graft_shingle_hashes" -> arity("graft_shingle_hashes", 3) { args =>

@@ -97,18 +97,43 @@ object Similarity {
     transform(dbl(vec), x =>
       when(scale === 0.0, lit(0L)).otherwise(round(x / scale).cast(LongType)))
 
-  /** Exact int64 dot product of two quantized code vectors. */
-  def quantizedDot(qa: Column, qb: Column): Column =
+  /** Fused scale+quantize as ONE compiled kernel
+    * ([[graft.functions.Int8Encode]]) — bit-identical to
+    * `quantizeInt8(vec, quantScale(vec))` (SimilaritySpec parity test)
+    * but runs as a single static call inside the whole-stage loop
+    * instead of two interpreted HOF transforms per row. Use this form
+    * in queries; the HOF pair above is the executable spec. */
+  def int8Codes(vec: Column): Column =
+    column(graft.functions.Int8Encode(expression(vec)))
+
+  /** Higher-order-fold formulations of the int8 kernels — the
+    * executable specification: SimilaritySpec asserts the native
+    * expressions below are bit-identical. */
+  private[graft] def quantizedDotFold(qa: Column, qb: Column): Column =
     aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Cosine estimate reconstructed from quantized codes: the int dot
-    * rescaled by both vectors' scales and code norms. */
-  def quantizedCosine(qa: Column, sa: Column, qb: Column, sb: Column): Column = {
-    val num = quantizedDot(qa, qb).cast(DoubleType) * sa * sb
-    val na = sqrt(aggregate(qa, lit(0L), (acc, x) => acc + x * x).cast(DoubleType)) * sa
-    val nb = sqrt(aggregate(qb, lit(0L), (acc, x) => acc + x * x).cast(DoubleType)) * sb
-    num / (na * nb)
+  private[graft] def quantizedCosineFold(qa: Column, qb: Column): Column = {
+    val na = aggregate(qa, lit(0L), (acc, x) => acc + x * x)
+    val nb = aggregate(qb, lit(0L), (acc, x) => acc + x * x)
+    when(na === 0L || nb === 0L, lit(0.0)).otherwise(
+      quantizedDotFold(qa, qb).cast(DoubleType) /
+        (sqrt(na.cast(DoubleType)) * sqrt(nb.cast(DoubleType))))
   }
+
+  /** Exact int64 dot product of two quantized code vectors — native
+    * codegen'd ([[graft.functions.Int8DotProduct]]); the int8 point is
+    * cheap scoring, so the hot loop must be compiled, not interpreted. */
+  def quantizedDot(qa: Column, qb: Column): Column =
+    column(graft.functions.Int8DotProduct(expression(qa), expression(qb)))
+
+  /** Cosine estimate from quantized codes alone: the per-vector scales
+    * cancel algebraically (num = ab·sa·sb, denom = √aa·sa·√bb·sb), so
+    * only the int64 code arrays are needed. Zero-norm (all-zero)
+    * vectors return 0.0 instead of NaN — safe for quantized all-zero
+    * inputs. Native codegen'd
+    * ([[graft.functions.Int8CosineSimilarity]]). */
+  def quantizedCosine(qa: Column, qb: Column): Column =
+    column(graft.functions.Int8CosineSimilarity(expression(qa), expression(qb)))
 
   def quantScaleSql(a: String): String =
     s"(list_max(list_transform($a, v -> abs(CAST(v AS DOUBLE)))) / 127.0)"
@@ -121,6 +146,19 @@ object Similarity {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(list_zip($qa, $qb), s -> s[1] * s[2])),
        |  (x, y) -> x + y)""".stripMargin
+
+  private def quantizedNormSqSql(q: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform($q, v -> v * v)), (x, y) -> x + y)""".stripMargin
+
+  /** DuckDB mirror of [[quantizedCosine]]: the same exact-integer sums
+    * (each ≤ 2⁵³, so exactly representable as doubles) through the same
+    * sqrt/divide — bit-identical, zero tolerance. */
+  def quantizedCosineSql(qa: String, qb: String): String =
+    s"""(CASE WHEN ${quantizedNormSqSql(qa)} = 0 OR ${quantizedNormSqSql(qb)} = 0 THEN 0.0
+       |  ELSE CAST(${quantizedDotSql(qa, qb)} AS DOUBLE) /
+       |       (sqrt(CAST(${quantizedNormSqSql(qa)} AS DOUBLE)) *
+       |        sqrt(CAST(${quantizedNormSqSql(qb)} AS DOUBLE))) END)""".stripMargin
 
   /** IVF building block: assign every vector to its nearest centroid
     * (centroids broadcast). Ties broken by centroid id. At scale the

@@ -24,8 +24,34 @@ import org.apache.spark.sql.functions._
  *     daily data), so no partition ever exceeds executor memory no
  *     matter how large the table is.
  * Nothing is collected to the driver and no step is quadratic.
+ *
+ * Precondition (both fill operators): `observed` has AT MOST ONE row
+ * per (keys, dateCol) — duplicate observations would multiply spine
+ * rows through the left join and make the filled value order-dependent
+ * — and `dateCol` is non-NULL (a NULL date can never match a spine day
+ * and would be silently dropped). [[requireDailyGrain]] enforces both;
+ * the fill entry points call it. Pre-aggregate (e.g. latest-wins or
+ * mean per day) upstream if the raw feed can double-report.
  */
 object TimeSeries {
+
+  /** One aggregate over the observations (same bounded-cost pattern as
+    * scd2Merge's duplicate-staged-key guard): rejects NULL dates and
+    * duplicate (keys, date) rows instead of silently producing
+    * order-dependent fills. */
+  private def requireDailyGrain(observed: DataFrame, keys: Seq[String],
+                                dateCol: String): Unit = {
+    val nullDates = observed.filter(col(dateCol).isNull).limit(1).count()
+    require(nullDates == 0L,
+      s"gap fill: observed has NULL $dateCol rows — they can never join a spine day; " +
+        "filter or repair them upstream")
+    val dup = observed.groupBy((keys :+ dateCol).map(col): _*)
+      .agg(count(lit(1)).as("__dup_cnt"))
+      .filter(col("__dup_cnt") > 1).limit(1).count()
+    require(dup == 0L,
+      s"gap fill: observed has duplicate rows per (${(keys :+ dateCol).mkString(", ")}) — " +
+        "daily-grain uniqueness is required; pre-aggregate (latest-wins/mean) upstream")
+  }
 
   /** One row per (key, calendar day) between each key's own first and
     * last observed date. `dateCol` must be a DateType column. */
@@ -47,6 +73,7 @@ object TimeSeries {
    */
   def gapFillForward(observed: DataFrame, keys: Seq[String], dateCol: String,
                      valueCols: Seq[String]): DataFrame = {
+    requireDailyGrain(observed, keys, dateCol)
     val spine = dailySpine(observed, keys, dateCol)
     val joined = spine.join(observed, keys :+ dateCol, "left")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
@@ -65,6 +92,7 @@ object TimeSeries {
    */
   def gapFillInterpolate(observed: DataFrame, keys: Seq[String], dateCol: String,
                          valueCol: String): DataFrame = {
+    requireDailyGrain(observed, keys, dateCol)
     val spine = dailySpine(observed, keys, dateCol)
     val joined = spine.join(observed, keys :+ dateCol, "left")
     val fwd = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))

@@ -28,7 +28,7 @@ object ExtQueries {
     * scalar collect, the same pattern as the watermark reads. */
   private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val off = d.agg(max("doc_id")).head.getLong(0) + 1
+    val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
       .select((col("doc_id") + off).as("doc_id"), col("text")))
   }
@@ -44,7 +44,7 @@ object ExtQueries {
     * near-duplicates at Jaccard ≈ (T-4)/(T-3) for 5-gram shingles. */
   private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val off = d.agg(max("doc_id")).head.getLong(0) + 1
+    val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
     d.unionByName(d.filter(col("doc_id") % 7 === 0)
       .select((col("doc_id") + off).as("doc_id"),
         concat(col("text"), lit(" xtra")).as("text")))
@@ -367,7 +367,7 @@ object ExtQueries {
     Q("dd_semantic",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        val off = emb.agg(max("vec_id")).head.getLong(0) + 1
+        val off = emb.agg(coalesce(max("vec_id"), lit(0L))).head.getLong(0) + 1
         val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + off).as("vec_id"), col("embedding")))
         val cents = emb.filter(col("vec_id") < 8)
@@ -859,7 +859,7 @@ object ExtQueries {
     Q("sim_neardup",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        val off = emb.agg(max("vec_id")).head.getLong(0) + 1
+        val off = emb.agg(coalesce(max("vec_id"), lit(0L))).head.getLong(0) + 1
         val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
           .select((col("vec_id") + off).as("vec_id"), col("embedding")))
         Similarity.embeddingNearDupPairs(corpus, "embedding", "vec_id", planes12, 0.99)
@@ -1289,12 +1289,14 @@ object ExtQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
         val codes = emb.select(col("vec_id"),
-          Similarity.quantizeInt8(col("embedding"), Similarity.quantScale(col("embedding"))).as("qv"))
+          Similarity.int8Codes(col("embedding")).as("qv"))
         val queryCodes = codes.filter(col("vec_id") === 0)
           .select(col("qv").as("query_qv"))
+        // no global sort: scoring is a pure projection, and the
+        // driver's compare canon-sorts rows — an orderBy here would be
+        // a decorative full exchange at 100 TB
         codes.crossJoin(broadcast(queryCodes))
           .select(col("vec_id"), Similarity.quantizedDot(col("qv"), col("query_qv")).as("int_dot"))
-          .orderBy("vec_id")
       },
       Some(s"""WITH base AS (SELECT vec_id, embedding,
               |                     ${Similarity.quantScaleSql("embedding")} AS sc
@@ -1303,6 +1305,47 @@ object ExtQueries {
               |qq AS (SELECT qv AS query_qv FROM codes WHERE vec_id = 0)
               |SELECT codes.vec_id, ${Similarity.quantizedDotSql("codes.qv", "qq.query_qv")} AS int_dot
               |FROM codes CROSS JOIN qq ORDER BY vec_id""".stripMargin)),
+
+    // Two-stage retrieval over the quantized codes — the production ANN
+    // pattern: shortlist candidates with the cheap int8 cosine (1-byte
+    // codes, compiled int64 loop), then rerank ONLY the shortlist with
+    // the exact float cosine. At 100 TB the shortlist pass touches
+    // 4-8× less memory bandwidth than float scoring and the expensive
+    // kernel runs on 50 rows instead of the corpus. The quantized
+    // cosine estimate is carried through, so Int8CosineSimilarity is
+    // oracle-hash-verified end to end (scales cancel algebraically —
+    // see Similarity.quantizedCosine).
+    Q("sim_quantized_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val codes = emb.select(col("vec_id"), col("embedding"),
+          Similarity.int8Codes(col("embedding")).as("qv"))
+        val q = codes.filter(col("vec_id") === 0)
+          .select(col("qv").as("query_qv"), col("embedding").as("query_vec"))
+        val shortlist = codes.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id"), col("embedding"), col("query_vec"),
+            Similarity.quantizedCosine(col("qv"), col("query_qv")).as("q_cosine"))
+          .orderBy(col("q_cosine").desc, col("vec_id")).limit(50)
+        shortlist
+          .select(col("vec_id"), col("q_cosine"),
+            Similarity.cosine(col("embedding"), col("query_vec")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id")).limit(10)
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding,
+              |                     ${Similarity.quantScaleSql("embedding")} AS sc
+              |              FROM embeddings),
+              |codes AS (SELECT vec_id, embedding,
+              |                 ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM base),
+              |qq AS (SELECT qv AS query_qv, embedding AS query_vec FROM codes WHERE vec_id = 0),
+              |shortlist AS (
+              |  SELECT codes.vec_id, codes.embedding, qq.query_vec,
+              |         ${Similarity.quantizedCosineSql("codes.qv", "qq.query_qv")} AS q_cosine
+              |  FROM codes CROSS JOIN qq WHERE codes.vec_id <> 0
+              |  ORDER BY q_cosine DESC, vec_id LIMIT 50)
+              |SELECT vec_id, q_cosine,
+              |       ${Similarity.cosineSql("embedding", "query_vec")} AS cosine
+              |FROM shortlist ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
 
     // Unpivot/melt: wide measure columns → (key, measure, value) long
     // form (Spark's native unpivot lowers to one Expand — a projection,

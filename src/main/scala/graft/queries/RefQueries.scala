@@ -634,7 +634,7 @@ object RefQueries {
     Q("j3_scd2_merge",
       (s, dir) => {
         val c = Tables.customer(s, dir)
-        val keyOff = c.agg(max(col("c_custkey"))).head.getLong(0) + 1
+        val keyOff = c.agg(coalesce(max(col("c_custkey")), lit(0L))).head.getLong(0) + 1
         val t96 = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
         val t97 = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
         val t98 = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))

@@ -158,6 +158,16 @@ class MergeSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"))
   }
 
+  test("scd2Merge works when a merge key column is named 'count'") {
+    import spark.implicits._
+    val existing = Seq(("A", "x", "2025-01-01", Option.empty[String], true))
+      .toDF("count", "seg", "valid_from", "valid_to", "is_current")
+    val staged = Seq(("A", "y")).toDF("count", "seg")
+    val out = Merge.scd2Merge(existing, staged, Seq("count"), Seq("seg"),
+      lit("2025-06-01"))
+    assert(out.count() == 2) // closed old version + opened new one
+  }
+
   test("scd2Merge keeps rows whose is_current is NULL (treated as history)") {
     import spark.implicits._
     val withNull = scd2Existing.unionByName(

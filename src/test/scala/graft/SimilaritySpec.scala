@@ -172,19 +172,69 @@ class SimilaritySpec extends SparkSpec {
     val rnd = new scala.util.Random(7)
     val data = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
     val df = data.toDF("vec_id", "embedding")
-      .select(col("vec_id"), col("embedding"),
-        Similarity.quantScale(col("embedding")).as("sc"))
-      .withColumn("qv", Similarity.quantizeInt8(col("embedding"), col("sc")))
+      .withColumn("qv", Similarity.quantizeInt8(
+        col("embedding"), Similarity.quantScale(col("embedding"))))
     val pairs = df.as("a").crossJoin(df.as("b"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(
         Similarity.cosine(col("a.embedding"), col("b.embedding")).as("exact"),
-        Similarity.quantizedCosine(col("a.qv"), col("a.sc"), col("b.qv"), col("b.sc")).as("approx"))
+        Similarity.quantizedCosine(col("a.qv"), col("b.qv")).as("approx"))
       .collect()
     assert(pairs.nonEmpty)
     pairs.foreach { r =>
       assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.02,
         s"exact=${r.getDouble(0)} approx=${r.getDouble(1)}")
     }
+  }
+
+  test("native int8 dot/cosine are bit-identical to the long folds") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("qv", Similarity.quantizeInt8(
+        col("embedding"), Similarity.quantScale(col("embedding"))))
+    val q = emb.filter(col("vec_id") === 0).select(col("qv").as("qq"))
+    val both = emb.crossJoin(q).select(
+      Similarity.quantizedDot(col("qv"), col("qq")).as("native_dot"),
+      Similarity.quantizedDotFold(col("qv"), col("qq")).as("fold_dot"),
+      Similarity.quantizedCosine(col("qv"), col("qq")).as("native_cos"),
+      Similarity.quantizedCosineFold(col("qv"), col("qq")).as("fold_cos"))
+      .collect()
+    assert(both.length > 0)
+    both.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), s"int dot differs: $r")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)), s"quantized cosine differs: $r")
+    }
+  }
+
+  test("fused int8Codes is bit-identical to the quantScale+quantizeInt8 composition") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val both = emb.select(
+      Similarity.int8Codes(col("embedding")).as("fused"),
+      Similarity.quantizeInt8(col("embedding"), Similarity.quantScale(col("embedding"))).as("spec"))
+      .collect()
+    assert(both.length > 0)
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"codes differ: $r")
+    }
+    // edge shapes: all-zero vector → all-zero codes; empty → empty
+    import spark.implicits._
+    val edge = Seq(Array(0.0f, 0.0f), Array.empty[Float]).toDF("v")
+      .select(Similarity.int8Codes(col("v"))).collect()
+    assert(edge(0).getSeq[Long](0) == Seq(0L, 0L))
+    assert(edge(1).getSeq[Long](0).isEmpty)
+  }
+
+  test("quantized cosine: zero vector → 0.0 (not NaN); null/mismatch → NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0L, 0L), Array(5L, 7L)),   // zero codes → 0.0
+      (Array(1L, 2L), Array(1L)))       // length mismatch → NULL
+      .toDF("a", "b")
+    val rows = df.select(Similarity.quantizedCosine(col("a"), col("b"))).collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).isNullAt(0))
+    val dotRows = df.select(Similarity.quantizedDot(col("a"), col("b"))).collect()
+    assert(dotRows(0).getLong(0) == 0L)
+    assert(dotRows(1).isNullAt(0))
   }
 }

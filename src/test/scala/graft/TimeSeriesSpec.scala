@@ -42,6 +42,24 @@ class TimeSeriesSpec extends SparkSpec {
       ("B", "2024-02-10", Some(7.0), 7.0)))
   }
 
+  test("gap fill rejects duplicate (key, date) rows and NULL dates") {
+    import spark.implicits._
+    val dup = observed.unionByName(
+      Seq(("A", "2024-01-01", 11.0)).toDF("k", "d", "v")
+        .withColumn("d", col("d").cast(DateType)))
+    val e1 = intercept[IllegalArgumentException] {
+      TimeSeries.gapFillForward(dup, Seq("k"), "d", Seq("v"))
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val withNull = observed.unionByName(
+      Seq(("C", null.asInstanceOf[String], 1.0)).toDF("k", "d", "v")
+        .withColumn("d", col("d").cast(DateType)))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.gapFillInterpolate(withNull, Seq("k"), "d", "v")
+    }
+    assert(e2.getMessage.contains("NULL"))
+  }
+
   test("gapFillInterpolate draws the straight line between observations") {
     val out = TimeSeries.gapFillInterpolate(observed, Seq("k"), "d", "v")
       .orderBy("k", "d").collect()
