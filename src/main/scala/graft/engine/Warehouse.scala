@@ -20,13 +20,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
  *     guarantee dbt's view-less table swap gives. On object stores this
  *     becomes copy+delete; a manifest/table format (Delta/Iceberg) is the
  *     production answer and this class is the seam where it would plug in.
+ *   - versioned snapshots — each `atomicOverwrite` ARCHIVES the replaced
+ *     table generation instead of deleting it (Delta `_delta_log` time
+ *     travel, ingest_stocks.py:102-111 gets this for free from Delta);
+ *     [[readVersion]] reads N generations back, [[versions]] lists what
+ *     is retained, and retention keeps the newest `keepVersions`
+ *     archived generations (older ones are dropped at swap time, like
+ *     `VACUUM`). Archiving is one rename — no data copy, no extra IO at
+ *     any scale. `append` mutates the current generation in place
+ *     (appends are not snapshotted — matching Delta, where time travel
+ *     is per-commit, a snapshot here is per-overwrite).
  *
  * Scale note: all writes go through the DataFrame writer, so at cluster
  * scale the data never routes through the driver; partition columns
  * should be low-cardinality (the reference uses ticker/year/month,
  * ingest_stocks.py:79) to avoid small-file explosion.
  */
-final class Warehouse(val spark: SparkSession, val root: String) {
+final class Warehouse(val spark: SparkSession, val root: String,
+                      val keepVersions: Int = 2) {
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -52,20 +63,58 @@ final class Warehouse(val spark: SparkSession, val root: String) {
 
   /** Overwrite via tmp-dir swap so readers never see a half-written
     * table (emulates Delta's atomic overwrite, W4,
-    * transforme_stock_silver.py:136-154). */
+    * transforme_stock_silver.py:136-154). The replaced generation is
+    * archived for [[readVersion]] time travel; generations beyond
+    * `keepVersions` are dropped (VACUUM analogue). */
   def atomicOverwrite(df: DataFrame, layer: String, table: String,
                       partitionBy: Seq[String] = Nil): Unit = {
     val target = new Path(path(layer, table))
     val tmp = new Path(s"$root/.tmp/$layer-$table-${System.nanoTime()}")
-    val trash = new Path(s"$root/.tmp/$layer-$table-old-${System.nanoTime()}")
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
     fs.mkdirs(target.getParent)
-    if (fs.exists(target)) fs.rename(target, trash)
+    if (fs.exists(target)) {
+      val gen = versions(layer, table).lastOption.getOrElse(0L) + 1
+      val vdir = versionsRoot(layer, table)
+      fs.mkdirs(vdir)
+      fs.rename(target, new Path(vdir, f"v$gen%012d"))
+      versions(layer, table).dropRight(keepVersions).foreach { old =>
+        fs.delete(new Path(vdir, f"v$old%012d"), true)
+      }
+    }
     fs.rename(tmp, target)
-    fs.delete(trash, true)
     ()
+  }
+
+  /** Archived-generation directory. Nested `<layer>/<table>` (not a
+    * joined name) so (a, b_c) and (a_b, c) can never collide. */
+  private def versionsRoot(layer: String, table: String): Path =
+    new Path(s"$root/.versions/$layer/$table")
+
+  /** Retained archived generation numbers, oldest first. The current
+    * table is generation `last + 1` conceptually; it is not listed. */
+  def versions(layer: String, table: String): Seq[Long] = {
+    val vdir = versionsRoot(layer, table)
+    if (!fs.exists(vdir)) Nil
+    else fs.listStatus(vdir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+  }
+
+  /** Time travel: `back = 0` reads the current table, `back = 1` the
+    * generation replaced by the latest [[atomicOverwrite]], and so on.
+    * Fails fast (with what IS retained) past the retention horizon. */
+  def readVersion(layer: String, table: String, back: Int): DataFrame = {
+    require(back >= 0, s"readVersion: back must be >= 0, got $back")
+    if (back == 0) read(layer, table)
+    else {
+      val vs = versions(layer, table)
+      require(back <= vs.length,
+        s"readVersion($layer, $table, $back): only ${vs.length} archived generation(s) " +
+          s"retained (keepVersions=$keepVersions)")
+      val gen = vs(vs.length - back)
+      spark.read.parquet(new Path(versionsRoot(layer, table), f"v$gen%012d").toString)
+    }
   }
 
   /** Bucketed catalog-table write: hash-partition rows on `bucketCols`
@@ -101,8 +150,12 @@ final class Warehouse(val spark: SparkSession, val root: String) {
   def readBucketed(layer: String, table: String): DataFrame =
     spark.table(bucketedTableName(layer, table))
 
+  /** Drops the table AND its archived generations (dropping a Delta
+    * table removes its log; a re-created table starts fresh history). */
   def dropTable(layer: String, table: String): Unit = {
-    fs.delete(new Path(path(layer, table)), true); ()
+    fs.delete(new Path(path(layer, table)), true)
+    fs.delete(versionsRoot(layer, table), true)
+    ()
   }
 
   /** Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files analogue):

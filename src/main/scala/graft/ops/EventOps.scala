@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Det
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -89,6 +89,38 @@ object EventOps {
             base.filter(col("et") === st)
               .join(acc.last.select(col("u"), col("tr").as("prev_tr")), "u")
               .filter(col("t") > col("prev_tr"))
+              .groupBy("u").agg(min(col("t")).as("tr"))
+        acc :+ r
+    }
+    stages.zip(reaches).zipWithIndex.map { case ((st, r), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * Time-constrained funnel: identical to [[funnel]] except stage i
+   * must occur within `maxGap` of reaching stage i-1 (real product
+   * funnels bound each step — "purchased within a day of clicking" —
+   * or every ancient signup eventually "converts"). Same join-chain
+   * plan with one extra range predicate on the already-joined row, so
+   * the 100 TB shape is unchanged: the reach sets only shrink faster.
+   * `maxGap` is an interval expression, e.g. `expr("INTERVAL 1 DAY")`.
+   */
+  def funnelWindowed(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                     stages: Seq[String], maxGap: Column): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val base = events.select(
+      col(userCol).as("u"), col(typeCol).as("et"), col(tsCol).as("t"))
+    val reaches = stages.zipWithIndex.foldLeft(Vector.empty[DataFrame]) {
+      case (acc, (st, i)) =>
+        val r =
+          if (i == 0)
+            base.filter(col("et") === st).groupBy("u").agg(min(col("t")).as("tr"))
+          else
+            base.filter(col("et") === st)
+              .join(acc.last.select(col("u"), col("tr").as("prev_tr")), "u")
+              .filter(col("t") > col("prev_tr") && col("t") <= col("prev_tr") + maxGap)
               .groupBy("u").agg(min(col("t")).as("tr"))
         acc :+ r
     }

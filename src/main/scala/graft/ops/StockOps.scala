@@ -62,8 +62,10 @@ object StockOps {
       .withColumn("variacao_dia_perc",
         try_divide(col("valor_fechamento") - col("valor_abertura"), col("valor_abertura")))
 
-  /** DuckDB SQL equivalent of bronze→silver, FROM `lineitem`. */
-  def silverSql: String =
+  /** DuckDB SQL equivalent of bronze→silver, FROM `lineitem`;
+    * `where` optionally restricts the lineitem scan (e.g. a snapshot
+    * cut for the time-travel oracle). */
+  def silverSql(where: String = ""): String =
     s"""WITH bronze AS (
        |  SELECT lower(l_returnflag) || ' ' AS sigla_raw,
        |         l_shipdate AS trade_ts,
@@ -72,7 +74,7 @@ object StockOps {
        |         l_extendedprice * (1 - l_discount) * (1 - l_tax) AS low_px,
        |         l_extendedprice * (1 - l_discount) AS close_px,
        |         l_quantity AS volume
-       |  FROM lineitem)
+       |  FROM lineitem $where)
        |SELECT sigla_empresa, data_pregao,
        |       valor_abertura, valor_maximo, valor_minimo, valor_fechamento,
        |       volume_negociado,
@@ -109,8 +111,8 @@ object StockOps {
       .orderBy(col("sigla_empresa"), col("ano"), col("mes"))
 
   /** DuckDB SQL equivalent of the full bronze→silver→gold chain. */
-  def goldSql: String =
-    s"""WITH silver AS (${silverSql})
+  def goldSql(where: String = ""): String =
+    s"""WITH silver AS (${silverSql(where)})
        |SELECT sigla_empresa,
        |       CAST(year(data_pregao) AS INTEGER) AS ano,
        |       CAST(month(data_pregao) AS INTEGER) AS mes,

@@ -1072,6 +1072,35 @@ object ExtQueries {
              |SELECT 4, 'purchase', (SELECT count(*) FROM r4)
              |ORDER BY stage_idx""".stripMargin)),
 
+    // Windowed funnel: each stage must land within 1 day of reaching
+    // the previous stage — the bounded-step semantics real product
+    // funnels use. Same chain plan as ev_funnel plus one range
+    // predicate per stage join.
+    Q("ev_funnel_windowed",
+      (s, dir) => EventOps.funnelWindowed(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("signup", "view", "click", "purchase"),
+        expr("INTERVAL 1 DAY"))
+        .orderBy("stage_idx"),
+      Some("""WITH e AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events),
+             |r1 AS (SELECT u, min(t) AS tr FROM e WHERE et = 'signup' GROUP BY u),
+             |r2 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r1 ON e.u = r1.u
+             |       WHERE e.et = 'view' AND e.t > r1.tr
+             |         AND e.t <= r1.tr + INTERVAL 1 DAY GROUP BY e.u),
+             |r3 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r2 ON e.u = r2.u
+             |       WHERE e.et = 'click' AND e.t > r2.tr
+             |         AND e.t <= r2.tr + INTERVAL 1 DAY GROUP BY e.u),
+             |r4 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r3 ON e.u = r3.u
+             |       WHERE e.et = 'purchase' AND e.t > r3.tr
+             |         AND e.t <= r3.tr + INTERVAL 1 DAY GROUP BY e.u)
+             |SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT count(*) FROM r1) AS n_users
+             |UNION ALL
+             |SELECT 2, 'view', (SELECT count(*) FROM r2)
+             |UNION ALL
+             |SELECT 3, 'click', (SELECT count(*) FROM r3)
+             |UNION ALL
+             |SELECT 4, 'purchase', (SELECT count(*) FROM r4)
+             |ORDER BY stage_idx""".stripMargin)),
+
     // Cohort retention triangle: users bucketed by first-activity date,
     // later active days land in that cohort's day_offset cell. Events
     // are thinned (event_id % 13) so first-activity dates actually
@@ -1214,6 +1243,31 @@ object ExtQueries {
              |       CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_val,
              |       CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_val
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Salted equi-join against a broadcast dim: the big (skewed) side
+    // takes a deterministic salt, the 3-row dim is exploded 16× so
+    // every (key, salt) bucket matches — the hot returnflag key spreads
+    // over 16 tasks instead of pinning one. Result is EXACTLY the
+    // plain join (verified by the per-flag count + exact weighted sum);
+    // PlanSpec pins the broadcast-no-shuffle shape.
+    Q("skew_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast(DecimalType(18, 2)).as("q"))
+        val dim = Seq(("A", 2L), ("N", 3L), ("R", 5L)).toDF("l_returnflag", "weight")
+        graft.ops.Skew.saltedJoinSmallSide(li, dim, "l_returnflag", "l_orderkey", salts = 16)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("q") * col("weight")).cast(DoubleType).as("wsum"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * weight) AS DOUBLE) AS wsum
+             |FROM lineitem
+             |JOIN (VALUES ('A', 2), ('N', 3), ('R', 5)) d(l_returnflag, weight)
+             |  USING (l_returnflag)
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Z-order (Morton curve) layout: interleave the bits of two bounded
     // dimensions and zone the data by z-range. The output proves the

@@ -280,7 +280,7 @@ object RefQueries {
     Q("a2_gold_monthly",
       (s, dir) => StockOps.goldMonthly(StockOps.silverDaily(
         StockOps.bronzeFromLineitem(Tables.lineitem(s, dir)))),
-      Some(StockOps.goldSql)),
+      Some(StockOps.goldSql())),
 
     // A3: row count.
     Q("a3_count_rows",
@@ -1014,7 +1014,37 @@ object RefQueries {
     Q("m_incremental_pipeline",
       (s, dir) => MedallionPipeline.run(s, dir,
         s"/tmp/graft_wh_${new java.io.File(dir).getName}"),
-      Some(StockOps.goldSql))
+      Some(StockOps.goldSql())),
+
+    // Warehouse time travel (Delta `VERSION AS OF`, the one Delta
+    // semantic the tmp-swap emulation previously lacked —
+    // ingest_stocks.py:102-111 gets versioning free from `_delta_log`):
+    // gold is built from a snapshot cut, then FULLY rebuilt from all
+    // data; the overwrite archives the old generation, and the query
+    // reads version N-1 next to version N. The archive is one rename —
+    // no data copy at any scale. Oracle replays both builds in SQL.
+    Q("m_time_travel",
+      (s, dir) => {
+        val wh = new Warehouse(s, s"/tmp/graft_wh_tt_${new java.io.File(dir).getName}")
+        wh.dropTable("gold", "monthly_summary")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        wh.atomicOverwrite(gold(li.filter(col("l_shipdate") < lit(cut))),
+          "gold", "monthly_summary")
+        wh.atomicOverwrite(gold(li), "gold", "monthly_summary")
+        wh.readVersion("gold", "monthly_summary", 1).withColumn("version", lit("prev"))
+          .unionByName(
+            wh.readVersion("gold", "monthly_summary", 0).withColumn("version", lit("curr")))
+          .orderBy("version", "sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH prev_g AS (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")}),
+              |curr_g AS (${StockOps.goldSql()})
+              |SELECT *, 'prev' AS version FROM prev_g
+              |UNION ALL
+              |SELECT *, 'curr' AS version FROM curr_g
+              |ORDER BY version, sigla_empresa, ano, mes""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -31,6 +31,28 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((10, 2L, 4.0), (11, 1L, 4.0)))
   }
 
+  test("windowed funnel drops conversions slower than the step gap") {
+    val events = ev(
+      // user 1: signup → view 2h later → click 30m later (all inside 1 day)
+      (1L, "2024-01-01 00:00:00", 1L, "signup", 0.0, "{}"),
+      (2L, "2024-01-01 02:00:00", 1L, "view", 0.0, "{}"),
+      (3L, "2024-01-01 02:30:00", 1L, "click", 0.0, "{}"),
+      // user 2: signup → view 3 DAYS later (outside the window)
+      (4L, "2024-01-01 00:00:00", 2L, "signup", 0.0, "{}"),
+      (5L, "2024-01-04 00:00:00", 2L, "view", 0.0, "{}"),
+      // user 2 clicks right after the late view — must NOT count either,
+      // because the view itself never qualified
+      (6L, "2024-01-04 00:10:00", 2L, "click", 0.0, "{}"))
+    val stages = Seq("signup", "view", "click")
+    val bounded = EventOps.funnelWindowed(events, "user_id", "event_type", "ts",
+      stages, expr("INTERVAL 1 DAY"))
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(bounded.toSeq == Seq(2L, 1L, 1L)) // both signup; only user 1 converts
+    val unbounded = EventOps.funnel(events, "user_id", "event_type", "ts", stages)
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(unbounded.toSeq == Seq(2L, 2L, 2L)) // no window: user 2 counts too
+  }
+
   test("sessions split at >= gap, merge at < gap, end = last + gap") {
     val out = EventOps.sessions(ev(
       (1L, "2024-01-01 10:00:00", 1L, "click", 1.0, "{}"),

@@ -137,4 +137,43 @@ class IncrementalSpec extends SparkSpec {
     wh.atomicOverwrite(doubled, "bronze", "t")
     assert(wh.read("bronze", "t").orderBy("x").collect().map(_.getInt(0)).toSeq == Seq(2, 4))
   }
+
+  test("warehouse time travel: readVersion walks generations, retention prunes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_tt").toString
+    val wh = new Warehouse(spark, root, keepVersions = 2)
+    def write(v: Int): Unit = wh.atomicOverwrite(Seq(v).toDF("x"), "gold", "t")
+    def readBack(back: Int): Int =
+      wh.readVersion("gold", "t", back).collect().head.getInt(0)
+
+    write(1)                              // gen 1 (current), no archive yet
+    assert(wh.versions("gold", "t").isEmpty)
+    write(2)                              // archives 1
+    write(3)                              // archives 2
+    assert(wh.versions("gold", "t") == Seq(1L, 2L))
+    assert(readBack(0) == 3 && readBack(1) == 2 && readBack(2) == 1)
+
+    write(4)                              // archives 3; retention drops gen 1
+    assert(wh.versions("gold", "t") == Seq(2L, 3L))
+    assert(readBack(0) == 4 && readBack(1) == 3 && readBack(2) == 2)
+    val e = intercept[IllegalArgumentException] { readBack(3) }
+    assert(e.getMessage.contains("retained"))
+
+    // drop removes history too: a re-created table starts fresh
+    wh.dropTable("gold", "t")
+    assert(wh.versions("gold", "t").isEmpty)
+    write(9)
+    assert(wh.versions("gold", "t").isEmpty && readBack(0) == 9)
+  }
+
+  test("warehouse keepVersions=0 keeps no history (old swap semantics)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_tt0").toString
+    val wh = new Warehouse(spark, root, keepVersions = 0)
+    wh.atomicOverwrite(Seq(1).toDF("x"), "gold", "t")
+    wh.atomicOverwrite(Seq(2).toDF("x"), "gold", "t")
+    assert(wh.versions("gold", "t").isEmpty)
+    assert(wh.read("gold", "t").collect().head.getInt(0) == 2)
+    intercept[IllegalArgumentException] { wh.readVersion("gold", "t", 1) }
+  }
 }

@@ -173,4 +173,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"semantic dedup degraded to all-pairs:\n$plan")
   }
+
+  test("salted join broadcasts the exploded dim; big side never shuffles for the join") {
+    val plan = finalPlanOf("skew_salted_join")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"salted small side did not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"salted join degraded:\n$plan")
+    // shuffle exchanges: the post-join aggregate + presentation sort
+    // only (BroadcastExchange is the point, not a shuffle) — the join
+    // itself moves no big-side rows
+    val shuffles = plan.split("Exchange hashpartitioning").length - 1 +
+      (plan.split("Exchange rangepartitioning").length - 1)
+    assert(shuffles <= 2, s"join shuffled the big side:\n$plan")
+  }
 }
