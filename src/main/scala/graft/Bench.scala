@@ -70,9 +70,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Per-stage attribution for the slowest query (the double medallion
+    // DAG): one extra untimed-elsewhere run with the stage hook, so a
+    // future m_incremental_pipeline regression names its stage.
+    val stages = try {
+      val (gold, st) = graft.queries.MedallionPipeline.runTimed(spark, sfDir,
+        s"/tmp/graft_wh_${new java.io.File(sfDir).getName}")
+      gold.write.format("noop").mode("overwrite").save()
+      st.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] pipeline stage timing failed: ${e.getMessage}"); "{}"
+    }
+    // stdout line stays as small as the contract allows (the driver's
+    // tail-capture truncated r8's ~3.3 KB line); the richer file copy
+    // additionally carries the per-stage pipeline attribution.
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"pipeline_stages":$stages,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -103,13 +103,18 @@ object Incremental {
     /** Run every model in dependency order against `wh`. Sources not
       * produced by any model must be present in `externalSources`.
       * `fullRefresh` drops each target first and rebuilds from scratch —
-      * dbt's `--full-refresh` (reference: README.md:88). */
+      * dbt's `--full-refresh` (reference: README.md:88). `onModelDone`
+      * receives (model name, wall seconds) after each model completes —
+      * the per-stage attribution hook Bench uses. */
     def runAll(wh: Warehouse, externalSources: Map[String, DataFrame],
-               fullRefresh: Boolean = false): Unit = {
+               fullRefresh: Boolean = false,
+               onModelDone: (String, Double) => Unit = (_, _) => ()): Unit = {
       val produced = scala.collection.mutable.Map[String, DataFrame]() ++ externalSources
       topoOrder.foreach { m =>
         if (fullRefresh) wh.dropTable(m.layer, m.name)
+        val t0 = System.nanoTime()
         runModel(wh, m, produced.toMap)
+        onModelDone(m.name, (System.nanoTime() - t0) / 1e9)
         produced(m.name) = wh.read(m.layer, m.name)
       }
     }

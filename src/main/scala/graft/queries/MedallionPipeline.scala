@@ -64,7 +64,15 @@ object MedallionPipeline {
 
   /** Drop targets, materialize partitioned bronze, run the DAG twice,
     * read gold back. Returns the presentation-ordered gold table. */
-  def run(s: SparkSession, dir: String, whRoot: String): DataFrame = {
+  def run(s: SparkSession, dir: String, whRoot: String): DataFrame =
+    runTimed(s, dir, whRoot)._1
+
+  /** [[run]] plus per-stage wall timings (bronze_write, then
+    * `<model>_run1` / `<model>_run2`) so a pipeline regression is
+    * attributable to a stage instead of a 3-second blob. */
+  def runTimed(s: SparkSession, dir: String,
+               whRoot: String): (DataFrame, Seq[(String, Double)]) = {
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val wh = new Warehouse(s, whRoot)
     wh.dropTable("bronze", "stocks")
     wh.dropTable("silver", "daily_stocks")
@@ -73,14 +81,19 @@ object MedallionPipeline {
     // input tasks writes a sliver into every (year, month) directory —
     // tasks × partitions small files, the classic partitioned-write
     // blowup. After the shuffle each directory is written by one task.
+    val t0 = System.nanoTime()
     wh.atomicOverwrite(
       bronzeWithPartitions(Tables.lineitem(s, dir))
         .repartition(col("year"), col("month")),
       "bronze", "stocks", Seq("year", "month"))
+    stages += "bronze_write" -> (System.nanoTime() - t0) / 1e9
     val registry = new Incremental.Registry(Seq(silverModel, goldModel))
     val sources = Map("bronze_stocks" -> wh.read("bronze", "stocks"))
-    registry.runAll(wh, sources) // initial full build
-    registry.runAll(wh, sources) // incremental partition-pruned rerun
-    wh.read("gold", "monthly_summary").orderBy("sigla_empresa", "ano", "mes")
+    registry.runAll(wh, sources, // initial full build
+      onModelDone = (n, sec) => stages += s"${n}_run1" -> sec)
+    registry.runAll(wh, sources, // incremental partition-pruned rerun
+      onModelDone = (n, sec) => stages += s"${n}_run2" -> sec)
+    (wh.read("gold", "monthly_summary").orderBy("sigla_empresa", "ano", "mes"),
+      stages.toSeq)
   }
 }

@@ -151,6 +151,56 @@ object StreamOps {
       }
       .start()
 
+  /**
+   * Incremental retention cohorts — the classic "cohort table
+   * maintained by upsert". Each micro-batch MERGEs two compact
+   * warehouse tables instead of re-scanning the event history:
+   *
+   *   - `user_days` (u, d): insert-only merge of the batch's distinct
+   *     per-user activity days (idempotent under replays);
+   *   - `user_cohorts` (u, cohort_d): min-merge — a late-arriving batch
+   *     carrying an EARLIER event moves the user's cohort back, so
+   *     event-time disorder across batches cannot corrupt cohorts.
+   *
+   * The retention triangle is then derived from the maintained tables
+   * by [[retentionFromWarehouse]] — identical, by construction, to the
+   * batch [[EventOps.retentionCohorts]] over all events seen so far
+   * (StreamingSpec proves equality across out-of-order batches).
+   *
+   * Scale shape: state lives in the warehouse, not the state store —
+   * both tables are bounded by users × active days (compact vs the
+   * event stream), both merges are keyed anti-join/aggregate plans,
+   * and the triangle is a keyed join + aggregate over them.
+   */
+  def retentionSink(events: DataFrame, wh: Warehouse, layer: String,
+                    checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val acts = batch.select(col("user_id").as("u"), to_date(col("ts")).as("d")).distinct()
+        if (wh.tableExists(layer, "user_days"))
+          wh.atomicOverwrite(
+            Merge.insertOnlyMerge(wh.read(layer, "user_days"), acts, Seq("u", "d")),
+            layer, "user_days")
+        else wh.atomicOverwrite(acts, layer, "user_days")
+        val stagedCohorts = acts.groupBy("u").agg(min(col("d")).as("cohort_d"))
+        if (wh.tableExists(layer, "user_cohorts"))
+          wh.atomicOverwrite(
+            wh.read(layer, "user_cohorts").unionByName(stagedCohorts)
+              .groupBy("u").agg(min(col("cohort_d")).as("cohort_d")),
+            layer, "user_cohorts")
+        else wh.atomicOverwrite(stagedCohorts, layer, "user_cohorts")
+      }
+      .start()
+
+  /** The retention triangle derived from [[retentionSink]]'s maintained
+    * tables — same output shape as [[EventOps.retentionCohorts]]. */
+  def retentionFromWarehouse(wh: Warehouse, layer: String): DataFrame =
+    wh.read(layer, "user_days").join(wh.read(layer, "user_cohorts"), "u")
+      .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
+      .agg(count_distinct(col("u")).as("n_users"))
+
   /** Run any streaming result to an in-memory table with AvailableNow
     * (drain everything outstanding, then stop) and return the sink. */
   def runAvailableNowToMemory(df: DataFrame, name: String, checkpoint: String,

@@ -172,6 +172,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1).toSet == Set(1L, 3L))
   }
 
+  test("incremental retention sink equals batch retention across out-of-order batches") {
+    val dir = eventDir(Seq(
+      Seq((1L, "2024-01-03 10:00:00", 1L, "click", 1.0, "{}"),   // user 1 first seen Jan 3
+          (2L, "2024-01-03 11:00:00", 2L, "view", 1.0, "{}")),
+      Seq((3L, "2024-01-01 09:00:00", 1L, "click", 1.0, "{}"),   // LATE batch: user 1's
+          (4L, "2024-01-05 09:00:00", 2L, "click", 1.0, "{}")),  // true cohort is Jan 1
+      Seq((5L, "2024-01-03 12:00:00", 1L, "view", 1.0, "{}"),    // dup day for user 1
+          (6L, "2024-01-04 12:00:00", 3L, "view", 1.0, "{}"))))
+    val wh = new Warehouse(spark, tmp("graft_ret_wh"))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1))
+    StreamOps.retentionSink(stream, wh, "gold", tmp("graft_ck")).awaitTermination()
+    val streamed = StreamOps.retentionFromWarehouse(wh, "gold")
+      .orderBy("cohort_d", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    val batch = EventOps.retentionCohorts(spark.read.parquet(dir), "user_id", "ts")
+      .orderBy("cohort_d", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+    // the late batch moved user 1's cohort back to Jan 1 (min-merge):
+    // Jan 1 cohort has day offsets 0 (Jan 1) and 2 (Jan 3)
+    assert(streamed.filter(_._1 == "2024-01-01").map(x => (x._2, x._3)).toSeq ==
+      Seq((0, 1L), (2, 1L)))
+  }
+
   test("streaming sessions match batch sessions once all windows close") {
     val dir = eventDir(Seq(baseRows :+
       (99L, "2024-01-02 23:59:59", 99L, "click", 0.0, "{}"))) // sentinel advances watermark
