@@ -424,6 +424,44 @@ object RefQueries {
              |       CAST(1 AS INTEGER) AS approx_ok
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
+    // Count-min sketch heavy-hitter counts — the third classic sketch
+    // beside HLL (agg_approx_distinct) and Bloom (j1_bloom_merge), and
+    // the 100 TB answer to "frequency of hot keys without a shuffle per
+    // query": one mergeable sketch aggregate over the stream/corpus,
+    // then O(1) point lookups. Like the Bloom merge, only the few-KB
+    // sketch ever reaches the driver, and the probed key set (the
+    // GROUP's distinct keys, 3 here) is bounded. DuckDB cannot compute
+    // CMS, so the oracle hashes the exact counts plus `cms_ok` — the
+    // CMS guarantee (estimate never undercounts; overcount ≤ eps·N
+    // with the configured confidence; deterministic for a fixed seed)
+    // bound-checked Spark-side, so a broken sketch hash-mismatches.
+    Q("agg_count_min",
+      (s, dir) => {
+        import s.implicits._
+        val eps = 0.001
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag"))
+        val skBytes = li.agg(
+          count_min_sketch(col("l_returnflag"), lit(eps), lit(0.99), lit(42)).as("sk"))
+          .head.getAs[Array[Byte]](0)
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val exact = li.groupBy("l_returnflag").agg(count(lit(1)).as("exact_n"))
+        // bounded driver probe: one lookup per distinct group key
+        val keys = exact.select("l_returnflag").collect().map(_.getString(0))
+        val est = keys.map(k => (k, cms.estimateCount(k))).toSeq
+          .toDF("l_returnflag", "cms_est")
+        val slack = eps * cms.totalCount()
+        exact.join(broadcast(est), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("exact_n"),
+            (col("cms_est") >= col("exact_n") &&
+              (col("cms_est") - col("exact_n")).cast(DoubleType) <= slack)
+              .cast(IntegerType).as("cms_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS exact_n,
+             |       CAST(1 AS INTEGER) AS cms_ok
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // Exact interpolated percentiles. Deliberately restricted to
     // binary-exact fractions (.25/.5/.75) over the integer-valued
     // l_quantity: both engines' interpolation formulas are then exact,

@@ -201,6 +201,48 @@ object StreamOps {
       .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
       .agg(count_distinct(col("u")).as("n_users"))
 
+  /**
+   * Incremental funnel — log compaction to the funnel's sufficient
+   * statistic. A funnel's stage-i reach time depends on the FULL event
+   * history (a late stage-1 event can move every later reach time), so
+   * per-stage running minima cannot be merged incrementally without
+   * losing correctness. What CAN be maintained incrementally is the
+   * minimal sufficient input: the distinct (user, stage, ts) triples of
+   * funnel-stage events — an insert-only MERGE per micro-batch
+   * (idempotent under replays, order-insensitive across batches). The
+   * funnel is then derived from that compacted index, which is
+   * duplicate-free and orders of magnitude smaller than the raw stream
+   * (non-funnel event types never land in it at all).
+   */
+  def funnelEventsSink(events: DataFrame, wh: Warehouse, layer: String,
+                       stages: Seq[String], checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val staged = batch.filter(col("event_type").isin(stages: _*))
+          .select(col("user_id").as("u"), col("event_type").as("et"), col("ts").as("t"))
+          .distinct()
+        if (wh.tableExists(layer, "stage_events"))
+          wh.atomicOverwrite(
+            Merge.insertOnlyMerge(wh.read(layer, "stage_events"), staged, Seq("u", "et", "t")),
+            layer, "stage_events")
+        else wh.atomicOverwrite(staged, layer, "stage_events")
+      }
+      .start()
+
+  /** Funnel (and its windowed variant) derived from
+    * [[funnelEventsSink]]'s compacted index — identical to the batch
+    * operators over all events seen so far. */
+  def funnelFromWarehouse(wh: Warehouse, layer: String, stages: Seq[String],
+                          maxGap: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val idx = wh.read(layer, "stage_events")
+    maxGap match {
+      case Some(g) => EventOps.funnelWindowed(idx, "u", "et", "t", stages, g)
+      case None => EventOps.funnel(idx, "u", "et", "t", stages)
+    }
+  }
+
   /** Run any streaming result to an in-memory table with AvailableNow
     * (drain everything outstanding, then stop) and return the sink. */
   def runAvailableNowToMemory(df: DataFrame, name: String, checkpoint: String,

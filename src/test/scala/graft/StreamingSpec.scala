@@ -196,6 +196,37 @@ class StreamingSpec extends SparkSpec {
       Seq((0, 1L), (2, 1L)))
   }
 
+  test("incremental funnel equals batch funnel across out-of-order batches") {
+    val stages = Seq("signup", "view", "click")
+    val dir = eventDir(Seq(
+      Seq((1L, "2024-01-01 12:00:00", 1L, "view", 1.0, "{}"),     // view BEFORE signup arrives
+          (2L, "2024-01-01 13:00:00", 2L, "view", 1.0, "{}")),
+      Seq((3L, "2024-01-01 10:00:00", 1L, "signup", 1.0, "{}"),   // late signup: makes the
+          (4L, "2024-01-01 11:00:00", 2L, "signup", 1.0, "{}"),   // earlier views qualify
+          (5L, "2024-01-01 12:30:00", 1L, "click", 1.0, "{}"),
+          (6L, "2024-01-01 12:30:00", 1L, "click", 1.0, "{}")),   // same-instant duplicate
+      Seq((7L, "2024-01-03 13:30:00", 2L, "click", 1.0, "{}"))))  // >1 day after view
+    val wh = new Warehouse(spark, tmp("graft_fun_wh"))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1))
+    StreamOps.funnelEventsSink(stream, wh, "gold", stages, tmp("graft_ck")).awaitTermination()
+    val all = spark.read.parquet(dir)
+    // unbounded: both users complete all three stages
+    val streamed = StreamOps.funnelFromWarehouse(wh, "gold", stages)
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    val batch = EventOps.funnel(all, "user_id", "event_type", "ts", stages)
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(streamed.toSeq == batch.toSeq && streamed.toSeq == Seq(2L, 2L, 2L))
+    // windowed (1 day): user 2's click lands too late — both forms agree
+    val g = expr("INTERVAL 1 DAY")
+    val streamedW = StreamOps.funnelFromWarehouse(wh, "gold", stages, Some(g))
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    val batchW = EventOps.funnelWindowed(all, "user_id", "event_type", "ts", stages, g)
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(streamedW.toSeq == batchW.toSeq && streamedW.toSeq == Seq(2L, 2L, 1L))
+    // the compacted index holds only distinct funnel-stage triples
+    assert(wh.read("gold", "stage_events").count() == 6) // 7 events, 1 duplicate
+  }
+
   test("streaming sessions match batch sessions once all windows close") {
     val dir = eventDir(Seq(baseRows :+
       (99L, "2024-01-02 23:59:59", 99L, "click", 0.0, "{}"))) // sentinel advances watermark
