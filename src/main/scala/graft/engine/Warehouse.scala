@@ -1,7 +1,8 @@
 package graft.engine
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /**
  * Managed hive-partitioned-Parquet "catalog": the engine's stand-in for
@@ -179,6 +180,85 @@ final class Warehouse(val spark: SparkSession, val root: String,
         repartitioned.sortWithinPartitions(sortCols.map(df(_)): _*)
       else repartitioned
     atomicOverwrite(arranged, layer, table, partitionBy)
+  }
+
+  /** Row-level DELETE (Delta `DELETE FROM ... WHERE`): rewrite the table
+    * without the rows matching `predicate`. SQL DELETE semantics — rows
+    * where the predicate is NULL are KEPT (only provably-true rows go).
+    * The rewrite routes through [[atomicOverwrite]], so the pre-delete
+    * generation is archived: `readVersion(_, _, 1)` is the undo, exactly
+    * as `RESTORE TABLE ... VERSION AS OF` recovers a bad Delta delete.
+    * At cluster scale this is a full-table rewrite (like Delta without
+    * deletion vectors); pair the predicate with the partition layout so
+    * file pruning bounds what is actually rewritten. */
+  def deleteWhere(layer: String, table: String, predicate: Column,
+                  partitionBy: Seq[String] = Nil): Unit = {
+    val remaining = read(layer, table).filter(coalesce(!predicate, lit(true)))
+    atomicOverwrite(remaining, layer, table, partitionBy)
+  }
+
+  /** Schema-evolving append (Delta `mergeSchema=true` append,
+    * ingest_stocks.py relies on Delta's implicit evolution): the batch
+    * may carry columns the table lacks and vice versa — parquet files
+    * each carry their own schema, so the append is just an append; the
+    * union view materializes at read time via [[readEvolved]]. Fails
+    * fast if a SHARED column changed type (that is corruption, not
+    * evolution — same contract as [[Merge.schemaGuard]]). */
+  def appendEvolve(df: DataFrame, layer: String, table: String,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    if (tableExists(layer, table)) {
+      val existing = read(layer, table).schema.map(f => f.name -> f.dataType).toMap
+      val clash = df.schema.filter(f => existing.get(f.name).exists(_ != f.dataType))
+      require(clash.isEmpty,
+        s"appendEvolve($layer, $table): type change on shared column(s) " +
+          clash.map(f => s"${f.name}: ${existing(f.name)} -> ${f.dataType}").mkString(", "))
+    }
+    append(df, layer, table, partitionBy)
+  }
+
+  /** Read with schema merged across all file generations: columns absent
+    * from older files surface as NULL (Delta post-evolution reads). The
+    * footer merge is a driver-side metadata pass over file schemas, not
+    * data — cheap even at 100k files. */
+  def readEvolved(layer: String, table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(layer, table))
+
+  /** Change-data-capture between two retained generations (Delta CDF
+    * `table_changes(...)`): full-outer join the snapshots on `keys` and
+    * classify every row as `insert`, `delete`, or an
+    * `update_preimage`/`update_postimage` pair; unchanged rows vanish.
+    * Single keyed shuffle join + one narrow explode — no second pass
+    * over the join, no driver involvement, so the cost at 100 TB is the
+    * one join (which AQE/bucketing can co-locate). Value comparison is
+    * null-safe per column. `keys` must be unique per snapshot (same
+    * precondition as Delta MERGE; violations surface as multiplied join
+    * rows, so callers with doubt should dedupe first). */
+  def changesBetween(layer: String, table: String, keys: Seq[String],
+                     fromBack: Int, toBack: Int = 0): DataFrame = {
+    require(fromBack > toBack,
+      s"changesBetween: fromBack ($fromBack) must be older than toBack ($toBack)")
+    val before = readVersion(layer, table, fromBack)
+    val after = readVersion(layer, table, toBack)
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"changesBetween($layer, $table): snapshot schemas differ " +
+        s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")}); " +
+        "read evolved snapshots through a projection first")
+    val cols = before.columns.toSeq
+    val valueCols = cols.filterNot(keys.contains)
+    val b = before.select(struct(cols.map(col): _*).as("b"))
+    val a = after.select(struct(cols.map(col): _*).as("a"))
+    val joined = b.join(a, keys.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _), "full_outer")
+    val differs = valueCols.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def tagged(tag: String, side: String) =
+      struct(lit(tag).as("_change_type") +: cols.map(c => col(s"$side.$c")): _*)
+    joined
+      .select(explode( // no-change rows fall to NULL, which explode drops
+        when(col("b").isNull, array(tagged("insert", "a")))
+          .when(col("a").isNull, array(tagged("delete", "b")))
+          .when(differs, array(tagged("update_preimage", "b"), tagged("update_postimage", "a"))))
+        .as("ch"))
+      .select(col("ch._change_type") +: cols.map(c => col(s"ch.$c")): _*)
   }
 
   /** Data files of a table, recursing into hive partition directories

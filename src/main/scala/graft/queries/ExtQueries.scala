@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.ops.{Dedup, EventOps, Multimodal, Packing, Quality, Sampling, Similarity, TextOps, TimeSeries}
+import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Quality, Sampling, Similarity, TextOps, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1493,6 +1493,77 @@ object ExtQueries {
               |            ELSE prev_v + (next_v - prev_v) *
               |                 (CAST(datediff('day', prev_d, d) AS DOUBLE) /
               |                  CAST(datediff('day', prev_d, next_d) AS DOUBLE)) END AS day_total_interp
-              |FROM f ORDER BY o_custkey, d""".stripMargin))
+              |FROM f ORDER BY o_custkey, d""".stripMargin)),
+
+    // ── Graph analytics over interaction edges ─────────────────────────
+    // The customer↔supplier interaction graph: an undirected edge per
+    // distinct (customer, supplier) pair that ever traded (orders ⋈
+    // lineitem). Node ids are namespaced into one key space (customer =
+    // 2k, supplier = 2k+1) so the two entity families can't collide.
+
+    // Degree distribution — the first thing to look at on any graph
+    // (skew here predicts which PageRank/CC keys need salting). Integer
+    // counts, zero float risk; two keyed aggregates.
+    Q("gr_degree",
+      (s, dir) => {
+        val e = graphEdges(s, dir)
+        e.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+          .groupBy(col("degree")).agg(count(lit(1)).as("nodes"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH $graphEdgesSql,
+              |deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src)
+              |SELECT degree, COUNT(*) AS nodes FROM deg
+              |GROUP BY degree ORDER BY degree""".stripMargin)),
+
+    // PageRank, 3 fixed-point rounds (graph-importance curation signal;
+    // [[graft.ops.Graph.pageRank]] — per-round one keyed join + one
+    // keyed aggregate over the edge table, ranks cached and lineage cut
+    // per round, edges never broadcast/collected). Rank mass travels as
+    // BIGINT fixed-point (units of 1e-15): integer div + integer SUM are
+    // exact and order-independent in BOTH engines, so the oracle — the
+    // identical three rounds unrolled in SQL — hash-matches bit-for-bit
+    // (a double or DECIMAL formulation would not; see Graph scaladoc).
+    Q("gr_pagerank",
+      (s, dir) => Graph.pageRank(graphEdges(s, dir), iterations = 3)
+        .orderBy("node"),
+      Some {
+        val s = Graph.SCALE
+        def round(prev: String, out: String) =
+          s"""c_$out AS (SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS in_rank
+             |  FROM edges e JOIN $prev r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |$out AS (SELECT nodes.node,
+             |    (150 * $s) // (1000 * (SELECT n FROM nn))
+             |      + (850 * COALESCE(c.in_rank, 0)) // 1000 AS rank
+             |  FROM nodes LEFT JOIN c_$out c ON nodes.node = c.node)""".stripMargin
+        s"""WITH $graphEdgesSql,
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+           |r0 AS (SELECT node, $s // (SELECT n FROM nn) AS rank FROM nodes),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT node, CAST(rank AS DOUBLE) / $s.0 AS rank FROM r3 ORDER BY node""".stripMargin
+      })
   )
+
+  /** Symmetrized customer↔supplier edge list shared by the gr_* queries
+    * (both directions per undirected edge — no dangling nodes). */
+  private def graphEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** DuckDB mirror of [[graphEdges]] (a `WITH`-clause fragment).
+    * A `def`, not a `val`: it is interpolated inside `val queries`,
+    * which initializes first. */
+  private def graphEdgesSql =
+    """eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      |         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |edges AS (SELECT src, dst FROM eraw UNION ALL SELECT dst AS src, src AS dst FROM eraw)""".stripMargin
 }

@@ -1082,7 +1082,134 @@ object RefQueries {
               |SELECT *, 'prev' AS version FROM prev_g
               |UNION ALL
               |SELECT *, 'curr' AS version FROM curr_g
-              |ORDER BY version, sigla_empresa, ano, mes""".stripMargin))
+              |ORDER BY version, sigla_empresa, ano, mes""".stripMargin)),
+
+    // Change-data-capture between snapshots (Delta CDF
+    // `table_changes(...)` — the reference's Delta tables expose this
+    // free; the emulation diffs two retained generations). Gold is
+    // built from a mid-month cut, then rebuilt over a window starting
+    // later: months only in the old build surface as `delete`, months
+    // only in the new as `insert`, the straddled month as an
+    // `update_preimage`/`update_postimage` pair, and identical months
+    // vanish. One keyed full-outer join + explode — no second pass.
+    Q("m_cdc",
+      (s, dir) => {
+        val wh = new Warehouse(s, s"/tmp/graft_wh_cdc_${new java.io.File(dir).getName}")
+        wh.dropTable("gold", "monthly_summary")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        wh.atomicOverwrite(
+          gold(li.filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-06-15 00:00:00")))),
+          "gold", "monthly_summary")
+        wh.atomicOverwrite(
+          gold(li.filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))),
+          "gold", "monthly_summary")
+        wh.changesBetween("gold", "monthly_summary",
+          Seq("sigla_empresa", "ano", "mes"), fromBack = 1)
+          .orderBy("_change_type", "sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH prev_g AS (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-06-15 00:00:00'")}),
+              |curr_g AS (${StockOps.goldSql("WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'")}),
+              |diff AS (
+              |  SELECT p.sigla_empresa, p.ano, p.mes FROM prev_g p
+              |  JOIN curr_g c USING (sigla_empresa, ano, mes)
+              |  WHERE p.data_inicio_mes IS DISTINCT FROM c.data_inicio_mes
+              |     OR p.volume_total_mensal IS DISTINCT FROM c.volume_total_mensal
+              |     OR p.preco_medio_fechamento_mensal IS DISTINCT FROM c.preco_medio_fechamento_mensal
+              |     OR p.maximo_mensal IS DISTINCT FROM c.maximo_mensal
+              |     OR p.minimo_mensal IS DISTINCT FROM c.minimo_mensal)
+              |SELECT 'insert' AS _change_type, c.* FROM curr_g c
+              |WHERE NOT EXISTS (SELECT 1 FROM prev_g p
+              |  WHERE p.sigla_empresa = c.sigla_empresa AND p.ano = c.ano AND p.mes = c.mes)
+              |UNION ALL
+              |SELECT 'delete' AS _change_type, p.* FROM prev_g p
+              |WHERE NOT EXISTS (SELECT 1 FROM curr_g c
+              |  WHERE c.sigla_empresa = p.sigla_empresa AND c.ano = p.ano AND c.mes = p.mes)
+              |UNION ALL
+              |SELECT 'update_preimage' AS _change_type, p.* FROM prev_g p
+              |JOIN diff USING (sigla_empresa, ano, mes)
+              |UNION ALL
+              |SELECT 'update_postimage' AS _change_type, c.* FROM curr_g c
+              |JOIN diff USING (sigla_empresa, ano, mes)
+              |ORDER BY _change_type, sigla_empresa, ano, mes""".stripMargin)),
+
+    // Row-level DELETE + archived undo (Delta `DELETE FROM` +
+    // `RESTORE VERSION AS OF`). The rewrite keeps NULL-predicate rows
+    // (SQL DELETE only removes provably-true matches) and archives the
+    // pre-delete generation; the unit test proves readVersion(1) is the
+    // undo. Timestamp columns are excluded from the projection on
+    // purpose — roundtrip tz parity is Det.ntz territory, not DELETE's.
+    Q("m_delete_where",
+      (s, dir) => {
+        val wh = new Warehouse(s, s"/tmp/graft_wh_del_${new java.io.File(dir).getName}")
+        wh.dropTable("silver", "orders")
+        wh.atomicOverwrite(
+          Tables.orders(s, dir).select(
+            col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderpriority"))
+            .filter(col("o_custkey") < 500),
+          "silver", "orders")
+        wh.deleteWhere("silver", "orders",
+          col("o_orderstatus") === "F" && col("o_totalprice") > 150000)
+        wh.read("silver", "orders").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+             |FROM orders
+             |WHERE o_custkey < 500
+             |  AND NOT COALESCE(o_orderstatus = 'F' AND o_totalprice > 150000, FALSE)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Schema evolution (Delta mergeSchema append): v1 batch lacks the
+    // column the v2 batch carries; the merged read surfaces v1 rows with
+    // NULL in the new column. The footer merge is metadata-only — no
+    // data pass at any file count.
+    Q("m_schema_evolution",
+      (s, dir) => {
+        val wh = new Warehouse(s, s"/tmp/graft_wh_evo_${new java.io.File(dir).getName}")
+        wh.dropTable("bronze", "customers")
+        val c = Tables.customer(s, dir)
+        wh.appendEvolve(c.filter(col("c_custkey") % 2 === 0)
+          .select(col("c_custkey"), col("c_name")), "bronze", "customers")
+        wh.appendEvolve(c.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+          "bronze", "customers")
+        wh.readEvolved("bronze", "customers").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment
+             |FROM customer WHERE c_custkey % 2 = 0
+             |UNION ALL
+             |SELECT c_custkey, c_name, c_mktsegment
+             |FROM customer WHERE c_custkey % 2 = 1
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Compaction correctness through the oracle (Delta OPTIMIZE): three
+    // small partitioned appends (the reference's daily ~3-row appends,
+    // ingest_stocks.py:105-111, produce exactly this small-file
+    // accumulation), then compact — the in-query require() pins the
+    // file-count collapse, and the oracle hashes that the DATA is
+    // byte-identical to never having fragmented at all.
+    Q("m_compact",
+      (s, dir) => {
+        val wh = new Warehouse(s, s"/tmp/graft_wh_cmp_${new java.io.File(dir).getName}")
+        wh.dropTable("bronze", "orders")
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        for (r <- 0 to 2) // three fragmented appends, 4 files each
+          wh.append(o.filter(col("o_orderkey") % 3 === r).repartition(4),
+            "bronze", "orders", Seq("o_orderstatus"))
+        val before = wh.dataFiles("bronze", "orders").size
+        wh.compact("bronze", "orders", numFiles = 1,
+          sortCols = Seq("o_orderkey"), partitionBy = Seq("o_orderstatus"))
+        val after = wh.dataFiles("bronze", "orders").size
+        require(after < before && after <= 3, // one file per status partition
+          s"compact did not shrink the table: $before -> $after files")
+        wh.read("bronze", "orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

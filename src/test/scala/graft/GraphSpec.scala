@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Graph
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  test("pageRank on a symmetric 2-cycle stays uniform at every round") {
+    // each node forwards its whole rank to the other: the uniform
+    // distribution is the fixed point, so every iterate is exactly 0.5
+    val r = Graph.pageRank(edges((1L, 2L), (2L, 1L)), iterations = 3)
+      .orderBy("node").as[(Long, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq(1L, 2L))
+    r.foreach { case (_, rank) => assert(rank === 0.5) }
+  }
+
+  test("pageRank on a directed chain ranks downstream nodes higher") {
+    // 1 -> 2 -> 3: rank accumulates downstream; 3 is dangling (leaks),
+    // which is the documented semantic
+    val r = Graph.pageRank(edges((1L, 2L), (2L, 3L)), iterations = 3)
+      .orderBy("node").as[(Long, Double)].collect().map(_._2)
+    assert(r(0) < r(1) && r(1) < r(2))
+    // no dangling redistribution → total mass strictly below 1
+    assert(r.sum < 1.0 && r.forall(_ > 0))
+  }
+
+  test("pageRank mass is conserved on symmetrized graphs") {
+    val undirected = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    val r = Graph.pageRank(undirected, iterations = 5).as[(Long, Double)].collect()
+    // no dangling nodes → Σ rank = 1 up to decimal-exact rounding
+    assert(math.abs(r.map(_._2).sum - 1.0) < 1e-12)
+    // symmetric chain 1-2-3-4: interior nodes outrank endpoints, and the
+    // mirror symmetry (1↔4, 2↔3) is exact
+    val byNode = r.toMap
+    assert(byNode(2L) > byNode(1L) && byNode(3L) > byNode(4L))
+    assert(byNode(1L) == byNode(4L) && byNode(2L) == byNode(3L))
+  }
+
+  test("pageRank rejects empty input and zero iterations") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges((1L, 2L)), iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges().where(lit(false)), iterations = 1)
+    }
+  }
+}

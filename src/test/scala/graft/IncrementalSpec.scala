@@ -166,6 +166,68 @@ class IncrementalSpec extends SparkSpec {
     assert(wh.versions("gold", "t").isEmpty && readBack(0) == 9)
   }
 
+  test("deleteWhere removes matching rows, keeps NULL-predicate rows, archives undo") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_del").toString
+    val wh = new Warehouse(spark, root)
+    wh.atomicOverwrite(
+      Seq((1L, Some(10)), (2L, Some(99)), (3L, None)).toDF("id", "v"),
+      "silver", "t")
+    wh.deleteWhere("silver", "t", col("v") > 50)
+    // row 2 deleted; row 3's predicate is NULL → kept (SQL DELETE semantics)
+    assert(wh.read("silver", "t").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // the pre-delete generation is the undo
+    assert(wh.readVersion("silver", "t", 1).count() == 3)
+  }
+
+  test("appendEvolve widens schema; readEvolved surfaces NULLs; type clash rejected") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_evo").toString
+    val wh = new Warehouse(spark, root)
+    wh.appendEvolve(Seq((1L, "a")).toDF("id", "v"), "bronze", "t")
+    wh.appendEvolve(Seq((2L, "b", 7.5)).toDF("id", "v", "score"), "bronze", "t")
+    val out = wh.readEvolved("bronze", "t").orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).isNullAt(out(0).fieldIndex("score"))) // v1 row, evolved col
+    assert(out(1).getDouble(out(1).fieldIndex("score")) == 7.5)
+    // a TYPE change on a shared column is corruption, not evolution
+    val e = intercept[IllegalArgumentException] {
+      wh.appendEvolve(Seq((3L, 42)).toDF("id", "v"), "bronze", "t")
+    }
+    assert(e.getMessage.contains("type change"))
+  }
+
+  test("changesBetween classifies insert/delete/update and drops unchanged rows") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_cdc").toString
+    val wh = new Warehouse(spark, root)
+    wh.atomicOverwrite(
+      Seq((1L, "same"), (2L, "old"), (3L, "gone")).toDF("id", "v"), "gold", "t")
+    wh.atomicOverwrite(
+      Seq((1L, "same"), (2L, "new"), (4L, "born")).toDF("id", "v"), "gold", "t")
+    val ch = wh.changesBetween("gold", "t", Seq("id"), fromBack = 1)
+      .orderBy("id", "_change_type")
+      .select("_change_type", "id", "v").as[(String, Long, String)].collect().toSeq
+    assert(ch == Seq(
+      ("update_postimage", 2L, "new"), ("update_preimage", 2L, "old"),
+      ("delete", 3L, "gone"), ("insert", 4L, "born")))
+  }
+
+  test("changesBetween is null-safe on keys and values") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_cdc_null").toString
+    val wh = new Warehouse(spark, root)
+    wh.atomicOverwrite(
+      Seq((Some(1L), Option("x")), (None, Option("k_null"))).toDF("id", "v"), "gold", "t")
+    wh.atomicOverwrite(
+      Seq((Some(1L), Option.empty[String]), (None, Option("k_null"))).toDF("id", "v"), "gold", "t")
+    val ch = wh.changesBetween("gold", "t", Seq("id"), fromBack = 1)
+      .select("_change_type", "v").collect()
+    // NULL-keyed row matched itself (unchanged → dropped); value x→NULL is an update
+    assert(ch.map(_.getString(0)).sorted.toSeq ==
+      Seq("update_postimage", "update_preimage"))
+  }
+
   test("warehouse keepVersions=0 keeps no history (old swap semantics)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_wh_tt0").toString

@@ -187,4 +187,32 @@ class PlanSpec extends SparkSpec {
       (plan.split("Exchange rangepartitioning").length - 1)
     assert(shuffles <= 2, s"join shuffled the big side:\n$plan")
   }
+
+  test("pageRank round: rank/degree broadcast onto dst-partitioned edges, gather has no exchange") {
+    import spark.implicits._
+    // the exact per-round shape Graph.pageRank builds: broadcast joins
+    // onto the dst-pre-partitioned cached edge table, then groupBy(dst).
+    // The one up-front repartition must be the ONLY hash exchange —
+    // the aliasing projection preserves the partitioning into the
+    // aggregate, so iterations never re-shuffle the edge table.
+    val e = (1 to 1000).map(i => (i.toLong % 97, i.toLong % 89)).toDF("src", "dst")
+      .repartition(col("dst")).cache()
+    try {
+      val ranks = (0L to 96L).map((_, 100L)).toDF("src", "rank")
+      val deg = (0L to 96L).map((_, 3L)).toDF("src", "out_deg")
+      val round = e.join(broadcast(ranks), Seq("src")).join(broadcast(deg), Seq("src"))
+        .selectExpr("dst AS node", "rank div out_deg AS contrib")
+        .groupBy(col("node")).agg(sum(col("contrib")).as("in_rank"))
+      round.collect()
+      val plan = round.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.split("BroadcastHashJoin").length - 1 == 2,
+        s"rank/degree tables did not broadcast:\n$plan")
+      // the one hash exchange lives INSIDE the cached relation (the
+      // up-front repartition); everything above the cache scan — joins,
+      // projection, both aggregate halves — must be exchange-free
+      val aboveCache = plan.split("InMemoryTableScan").head
+      assert(aboveCache.split("Exchange hashpartitioning").length - 1 == 0,
+        s"gather aggregate re-shuffled the edges:\n$plan")
+    } finally e.unpersist()
+  }
 }
