@@ -112,4 +112,61 @@ object TimeSeries {
         .when(nextV.isNull, prevV) // after last observation: carry forward
         .otherwise(prevV + (nextV - prevV) * frac))
   }
+
+  /** Per-key z-score anomaly flags: standardize `valueCol` against its
+    * key's mean/stddev and flag |z| > `threshold` — the classic
+    * outlier screen over metric series (and over document-quality
+    * scores when curating a corpus).
+    *
+    * Determinism contract: the value is re-anchored to integer CENTS
+    * (`BIGINT(value·100)` via an exact DECIMAL(18,2) hop — 2-decimal
+    * values round-trip double↔decimal losslessly below 2^53/100), so
+    * the windowed sums Σx and Σx² are EXACT integer arithmetic —
+    * order-independent, no Expand, engine-identical. NOT decimal sums:
+    * a decimal→double cast rounds TWICE in engines that store decimals
+    * as scaled int128 (int→double, then ÷10^s) vs once through
+    * BigDecimal, and Σx² is big enough to expose the ulp; BIGINT→double
+    * is a single correctly-rounded conversion everywhere. The float
+    * epilogue (mean = S/n, var = Q/n − mean², σ = √max(var,0),
+    * z = (x−mean)/σ, all in cent space — z is scale-invariant) is a
+    * fixed chain of correctly-rounded IEEE ops (÷, ×, −, √ — unlike
+    * ln/exp, which are libm-dependent and banned from oracle paths).
+    * σ = 0 (constant series) yields z = 0, not NULL.
+    *
+    * Magnitude precondition: Σ(100·v)² per key must fit a BIGINT, i.e.
+    * |v|·100·√(rows per key) < 2^63 — holds for any currency-grain
+    * series by ~9 orders of magnitude.
+    *
+    * Scale shape: one window pass per key — no join, no second scan;
+    * per-key partition size is the series length. */
+  def zscoreAnomalies(series: DataFrame, keys: Seq[String], orderCol: String,
+                      valueCol: String, threshold: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("bigint") // integral by construction → truncate == round
+    val s = sum(vc).over(w).cast("double")
+    val q = sum(vc * vc).over(w).cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val mean = s / n
+    val variance = q / n - mean * mean
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    val z = when(sd === 0.0, lit(0.0)).otherwise((vc.cast("double") - mean) / sd)
+    series
+      .withColumn("zscore", z)
+      .withColumn("is_anomaly", abs(col("zscore")) > threshold)
+  }
+
+  /** DuckDB SQL mirror of [[zscoreAnomalies]]'s arithmetic over a
+    * window alias `w` — keep the op chain in lockstep with the Scala. */
+  def zscoreSql(valueCol: String): (String, String) = {
+    val vc = s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    val s = s"CAST(SUM($vc) OVER w AS DOUBLE)"
+    val q = s"CAST(SUM($vc * $vc) OVER w AS DOUBLE)"
+    val n = s"CAST(COUNT(*) OVER w AS DOUBLE)"
+    val mean = s"(($s) / ($n))"
+    val variance = s"(($q) / ($n) - $mean * $mean)"
+    val sd = s"sqrt(GREATEST($variance, 0.0))"
+    val z = s"CASE WHEN $sd = 0.0 THEN 0.0 ELSE (CAST($vc AS DOUBLE) - $mean) / $sd END"
+    (z, sd)
+  }
 }

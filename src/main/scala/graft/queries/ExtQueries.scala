@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Quality, Sampling, Similarity, TextOps, TimeSeries}
+import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Sampling, Similarity, TextOps, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1494,6 +1494,93 @@ object ExtQueries {
               |                 (CAST(datediff('day', prev_d, d) AS DOUBLE) /
               |                  CAST(datediff('day', prev_d, next_d) AS DOUBLE)) END AS day_total_interp
               |FROM f ORDER BY o_custkey, d""".stripMargin)),
+
+    // Table profiling (ANALYZE-style column stats): null count, exact
+    // distinct count, numeric min/max per column — one aggregate leg
+    // per column so each leg is a pruned one-column scan with map-side
+    // partials (NO mixed-distinct Expand; see Profile scaladoc). The
+    // NULLIF-derived column proves the null counting against a column
+    // that actually contains NULLs.
+    Q("prof_orders",
+      (s, dir) => Profile.profile(
+        Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_nn")),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "status_nn"))
+        .orderBy("column_name"),
+      Some {
+        val t = "(SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, " +
+          "NULLIF(o_orderstatus, 'P') AS status_nn FROM orders) prof_src"
+        Seq(
+          Profile.profileLegSql(t, "o_orderkey", numeric = true),
+          Profile.profileLegSql(t, "o_custkey", numeric = true),
+          Profile.profileLegSql(t, "o_totalprice", numeric = true),
+          Profile.profileLegSql(t, "o_orderstatus", numeric = false),
+          Profile.profileLegSql(t, "status_nn", numeric = false))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
+    // Per-key z-score anomaly screen over daily order totals
+    // ([[TimeSeries.zscoreAnomalies]]): exact decimal Σx/Σx² in one
+    // window pass, float epilogue restricted to correctly-rounded IEEE
+    // ops (÷ × − √), so the standardized scores hash-match the oracle
+    // bit-for-bit — no tolerance, no ln/exp.
+    Q("ts_zscore",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir).filter(col("o_custkey") < 50)
+          .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"))
+          .agg(Det.dsum(col("o_totalprice")).as("day_total"))
+        TimeSeries.zscoreAnomalies(daily, Seq("o_custkey"), "d", "day_total")
+          .orderBy("o_custkey", "d")
+      },
+      Some {
+        val (z, _) = TimeSeries.zscoreSql("day_total")
+        s"""WITH daily AS (
+           |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           |         ${Det.dsumSql("o_totalprice")} AS day_total
+           |  FROM orders WHERE o_custkey < 50 GROUP BY 1, 2)
+           |SELECT o_custkey, d, day_total, zscore, abs(zscore) > 2.0 AS is_anomaly
+           |FROM (SELECT o_custkey, d, day_total, $z AS zscore
+           |      FROM daily
+           |      WINDOW w AS (PARTITION BY o_custkey))
+           |ORDER BY o_custkey, d""".stripMargin
+      }),
+
+    // Equi-depth histogram of document lengths WITHOUT a global window:
+    // exact quartile boundaries from one aggregate (0.25/0.5/0.75 are
+    // binary-exact fractions, where Spark `percentile` and DuckDB
+    // `quantile_cont` agree over integer data), broadcast onto the rows
+    // for bucket assignment, then a keyed aggregate — the two-phase
+    // shape that scales where `ntile()` (single global sort partition)
+    // does not.
+    Q("t_equidepth",
+      (s, dir) => {
+        val lens = Tables.documents(s, dir)
+          .select(col("doc_id"), length(col("text")).as("len"))
+        val bounds = lens.agg(
+          percentile(col("len"), lit(0.25)).as("q1"),
+          percentile(col("len"), lit(0.5)).as("q2"),
+          percentile(col("len"), lit(0.75)).as("q3"))
+        lens.crossJoin(broadcast(bounds))
+          .withColumn("bucket",
+            lit(1) + (col("len") > col("q1")).cast("int")
+              + (col("len") > col("q2")).cast("int")
+              + (col("len") > col("q3")).cast("int"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("docs"), min(col("len")).as("min_len"),
+            max(col("len")).as("max_len"))
+          .orderBy("bucket")
+      },
+      Some("""WITH lens AS (SELECT doc_id, length(text) AS len FROM documents),
+             |bounds AS (SELECT quantile_cont(len, 0.25) AS q1,
+             |                  quantile_cont(len, 0.5) AS q2,
+             |                  quantile_cont(len, 0.75) AS q3 FROM lens)
+             |SELECT 1 + CAST(len > q1 AS INTEGER) + CAST(len > q2 AS INTEGER)
+             |         + CAST(len > q3 AS INTEGER) AS bucket,
+             |       COUNT(*) AS docs, MIN(len) AS min_len, MAX(len) AS max_len
+             |FROM lens CROSS JOIN bounds
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
     // ── Graph analytics over interaction edges ─────────────────────────
     // The customer↔supplier interaction graph: an undirected edge per

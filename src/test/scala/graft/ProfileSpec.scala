@@ -1,0 +1,37 @@
+package graft
+
+import graft.ops.Profile
+import org.apache.spark.sql.functions._
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profile counts nulls and distincts, reports numeric min/max, NULL for strings") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), Some("a")), (Some(2), None), (None, Some("b")))
+      .toDF("num", "str")
+    val out = Profile.profile(df, Seq("num", "str"))
+      .orderBy("column_name").collect()
+    val num = out(0)
+    assert(num.getString(0) == "num" && num.getLong(1) == 1 // one NULL
+      && num.getLong(2) == 2                                // distinct {1, 2}
+      && num.getDouble(3) == 1.0 && num.getDouble(4) == 2.0)
+    val str = out(1)
+    assert(str.getString(0) == "str" && str.getLong(1) == 1
+      && str.getLong(2) == 2
+      && str.isNullAt(3) && str.isNullAt(4)) // non-numeric: no min/max
+  }
+
+  test("profile has no Expand in any leg (the mixed-distinct blowup)") {
+    val df = Seq((1, "a")).toDF("num", "str")
+    val plan = Profile.profile(df, Seq("num", "str"))
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Expand"), s"profile planned an Expand:\n$plan")
+  }
+
+  test("profile rejects an empty column list") {
+    intercept[IllegalArgumentException] {
+      Profile.profile(Seq((1, 2)).toDF("a", "b"), Seq())
+    }
+  }
+}

@@ -60,6 +60,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e2.getMessage.contains("NULL"))
   }
 
+  test("zscoreAnomalies flags the outlier, constant series score 0") {
+    import spark.implicits._
+    val series = Seq(
+      ("A", 1, 10.0), ("A", 2, 10.0), ("A", 3, 10.0), ("A", 4, 10.0), ("A", 5, 110.0),
+      ("C", 1, 5.0), ("C", 2, 5.0)) // constant: sd = 0 → z = 0, not NULL
+      .toDF("k", "t", "v")
+    // threshold 1.5: with n=5 a single outlier maxes out at z = √(n−1) = 2,
+    // so the default >2 strict threshold can never fire at this length
+    val out = TimeSeries.zscoreAnomalies(series, Seq("k"), "t", "v", threshold = 1.5)
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(3), r.getBoolean(4)))
+    val a = out.filter(_._1 == "A")
+    // mean 30, sd 40: the four 10s are at z = -0.5, the 110 at z = +2.0
+    assert(a.count(_._4) == 1 && a.last._4, "only the spike is anomalous")
+    assert(a.take(4).forall(p => math.abs(p._3 + 0.5) < 1e-12))
+    val c = out.filter(_._1 == "C")
+    assert(c.forall(p => p._3 == 0.0 && !p._4))
+  }
+
   test("gapFillInterpolate draws the straight line between observations") {
     val out = TimeSeries.gapFillInterpolate(observed, Seq("k"), "d", "v")
       .orderBy("k", "d").collect()
