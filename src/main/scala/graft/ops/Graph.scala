@@ -54,10 +54,12 @@ object Graph {
     * as a watermark. Output: `(node, rank: Double)`, one row per node.
     */
   def pageRank(edges: DataFrame, iterations: Int,
-               dampingPerMille: Int = 850): DataFrame = {
+               dampingPerMille: Int = 850,
+               materializeEvery: Int = 4): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
     require(dampingPerMille > 0 && dampingPerMille < 1000,
       s"pageRank: dampingPerMille must be in (0, 1000), got $dampingPerMille")
+    require(materializeEvery >= 1, "pageRank: materializeEvery must be >= 1")
     // the edge table is read every round (plus nodes + outdeg below) —
     // cache it once instead of re-deriving the upstream pipeline 5×;
     // DataFrame cache is MEMORY_AND_DISK, so an edge set bigger than
@@ -67,7 +69,11 @@ object Graph {
     // partitioning through the aliasing projection, so the groupBy(dst)
     // aggregate needs NO exchange — zero per-round edge shuffles. One
     // shuffle up front buys them all.
-    val e = edges.select(col("src"), col("dst")).repartition(col("dst")).cache()
+    // NULL endpoints can't participate in an equi-join gather and would
+    // silently hold a base-rank-only row — drop them up front
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     nodes.cache()
@@ -80,7 +86,7 @@ object Graph {
     val baseInt = (1000L - dampingPerMille) * SCALE / (1000L * n)
     var ranks = nodes.withColumn("rank", lit(SCALE / n))
     var prev: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
+    for (round <- 1 to iterations) {
       val contribs = e
         .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .join(broadcast(outDeg), Seq("src"))
@@ -90,16 +96,24 @@ object Graph {
           Seq("node"), "left")
         .selectExpr("node",
           s"$baseInt + ($dampingPerMille * coalesce(in_rank, 0)) div 1000 AS rank")
-      updated.cache()
-      updated.count() // cut the lineage NOW so plans stay bounded per round
-      prev.foreach(_.unpersist())
-      prev = Some(updated)
+      // cut the lineage every few rounds so deep iteration keeps plans
+      // bounded, without paying a job barrier per round when shallow
+      if (round % materializeEvery == 0 && round < iterations) {
+        updated.cache()
+        updated.count()
+        prev.foreach(_.unpersist())
+        prev = Some(updated)
+      }
       ranks = updated
     }
+    val result = ranks.select(col("node"),
+      (col("rank").cast(DoubleType) / lit(SCALE.toDouble)).as("rank"))
+      .cache()
+    result.count() // materialize before dropping the inputs it reads
+    prev.foreach(_.unpersist())
     e.unpersist()
     nodes.unpersist()
     outDeg.unpersist()
-    ranks.select(col("node"),
-      (col("rank").cast(DoubleType) / lit(SCALE.toDouble)).as("rank"))
+    result
   }
 }

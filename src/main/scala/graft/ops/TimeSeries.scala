@@ -144,9 +144,11 @@ object TimeSeries {
     val w = Window.partitionBy(keys.map(col): _*)
     val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
       .cast("bigint") // integral by construction → truncate == round
+    // n counts NON-NULL values (like the sums): a NULL observation gets
+    // a NULL z-score and does not bias its key's mean/σ
     val s = sum(vc).over(w).cast("double")
     val q = sum(vc * vc).over(w).cast("double")
-    val n = count(lit(1)).over(w).cast("double")
+    val n = count(vc).over(w).cast("double")
     val mean = s / n
     val variance = q / n - mean * mean
     val sd = sqrt(greatest(variance, lit(0.0)))
@@ -162,7 +164,7 @@ object TimeSeries {
     val vc = s"CAST(CAST($valueCol AS DECIMAL(18,2)) * 100 AS BIGINT)"
     val s = s"CAST(SUM($vc) OVER w AS DOUBLE)"
     val q = s"CAST(SUM($vc * $vc) OVER w AS DOUBLE)"
-    val n = s"CAST(COUNT(*) OVER w AS DOUBLE)"
+    val n = s"CAST(COUNT($vc) OVER w AS DOUBLE)"
     val mean = s"(($s) / ($n))"
     val variance = s"(($q) / ($n) - $mean * $mean)"
     val sd = s"sqrt(GREATEST($variance, 0.0))"
