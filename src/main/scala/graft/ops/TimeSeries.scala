@@ -158,6 +158,39 @@ object TimeSeries {
       .withColumn("is_anomaly", abs(col("zscore")) > threshold)
   }
 
+  /** Per-key baseline statistics `(keys…, mean_c, sd_c)` in CENT space,
+    * computed with the identical exact-integer chain as
+    * [[zscoreAnomalies]] (groupBy instead of window) — the static side
+    * of a stream-static anomaly screen
+    * ([[graft.streaming.StreamOps.anomalyStream]]): train the baseline
+    * on history once, broadcast it onto live events. */
+  def zscoreBaseline(series: DataFrame, keys: Seq[String],
+                     valueCol: String): DataFrame = {
+    val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("bigint")
+    series.groupBy(keys.map(col): _*)
+      .agg(sum(vc).cast("double").as("__s"), sum(vc * vc).cast("double").as("__q"),
+        count(vc).cast("double").as("__n"))
+      .select(keys.map(col) :+
+        (col("__s") / col("__n")).as("mean_c") :+
+        sqrt(greatest(col("__q") / col("__n")
+          - (col("__s") / col("__n")) * (col("__s") / col("__n")), lit(0.0))).as("sd_c"): _*)
+  }
+
+  /** Score `valueCol` against a [[zscoreBaseline]]'s cent-space
+    * `mean_c`/`sd_c` columns — the identical epilogue zscoreAnomalies
+    * applies, exposed so stream and batch share one definition. Rows
+    * with no baseline (NULL stats) get NULL scores. */
+  def zscoreAgainst(df: DataFrame, valueCol: String,
+                    threshold: Double = 2.0): DataFrame = {
+    val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("bigint")
+    val z = when(col("sd_c") === 0.0, lit(0.0))
+      .otherwise((vc.cast("double") - col("mean_c")) / col("sd_c"))
+    df.withColumn("zscore", z)
+      .withColumn("is_anomaly", abs(col("zscore")) > threshold)
+  }
+
   /** DuckDB SQL mirror of [[zscoreAnomalies]]'s arithmetic over a
     * window alias `w` — keep the op chain in lockstep with the Scala. */
   def zscoreSql(valueCol: String): (String, String) = {

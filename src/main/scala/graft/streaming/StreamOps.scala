@@ -243,6 +243,23 @@ object StreamOps {
     }
   }
 
+  /** Stream-static anomaly screen: per-key baseline stats
+    * ([[graft.ops.TimeSeries.zscoreBaseline]], trained on history)
+    * broadcast-joined onto live events, each event scored immediately
+    * with the batch-identical z epilogue
+    * ([[graft.ops.TimeSeries.zscoreAgainst]]). Stateless on the stream
+    * side — no state store, no watermark needed; the baseline is the
+    * only memory, so this scales to any event rate. Keys unseen in the
+    * baseline score NULL (flag-and-route them separately if novel keys
+    * matter). StreamingSpec proves parity with the batch
+    * [[graft.ops.TimeSeries.zscoreAnomalies]] when the baseline is
+    * trained on the same data the stream replays. */
+  def anomalyStream(stream: DataFrame, baseline: DataFrame, keys: Seq[String],
+                    valueCol: String, threshold: Double = 2.0): DataFrame =
+    graft.ops.TimeSeries.zscoreAgainst(
+      stream.join(broadcast(baseline), keys, "left"), valueCol, threshold)
+      .drop("mean_c", "sd_c")
+
   /** Run any streaming result to an in-memory table with AvailableNow
     * (drain everything outstanding, then stop) and return the sink. */
   def runAvailableNowToMemory(df: DataFrame, name: String, checkpoint: String,

@@ -227,6 +227,42 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("gold", "stage_events").count() == 6) // 7 events, 1 duplicate
   }
 
+  test("stream-static anomaly screen matches batch z-scores; unseen keys score NULL") {
+    import graft.ops.TimeSeries
+    import spark.implicits._
+    // per-user values with one clear spike for user 1
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "m", 10.0, "{}"),
+      (2L, "2024-01-01 11:00:00", 1L, "m", 10.0, "{}"),
+      (3L, "2024-01-01 12:00:00", 1L, "m", 10.0, "{}"),
+      (4L, "2024-01-01 13:00:00", 1L, "m", 10.0, "{}"),
+      (5L, "2024-01-01 14:00:00", 1L, "m", 110.0, "{}"),
+      (6L, "2024-01-01 10:30:00", 2L, "m", 5.0, "{}"))
+    val dir = eventDir(Seq(rows))
+    val history = spark.read.parquet(dir)
+    val baseline = TimeSeries.zscoreBaseline(history, Seq("user_id"), "value")
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir))
+    StreamOps.runAvailableNowToMemory(
+      StreamOps.anomalyStream(stream, baseline, Seq("user_id"), "value", threshold = 1.5),
+      "anomaly_out", tmp("graft_ck"))
+    val streamed = spark.table("anomaly_out")
+      .select("event_id", "zscore", "is_anomaly").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    val batch = TimeSeries.zscoreAnomalies(history, Seq("user_id"), "ts", "value",
+      threshold = 1.5)
+      .select("event_id", "zscore", "is_anomaly").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.count(_._3) == 1 && streamed(4)._3, "only the spike flags")
+
+    // a key absent from the baseline scores NULL, not a phantom number
+    val novel = StreamOps.anomalyStream(
+      Seq((7L, 9L, 1.0)).toDF("event_id", "user_id", "value"),
+      baseline, Seq("user_id"), "value").collect().head
+    assert(novel.isNullAt(novel.fieldIndex("zscore"))
+      && novel.isNullAt(novel.fieldIndex("is_anomaly")))
+  }
+
   test("streaming sessions match batch sessions once all windows close") {
     val dir = eventDir(Seq(baseRows :+
       (99L, "2024-01-02 23:59:59", 99L, "click", 0.0, "{}"))) // sentinel advances watermark
