@@ -244,6 +244,9 @@ final class Warehouse(val spark: SparkSession, val root: String,
         s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")}); " +
         "read evolved snapshots through a projection first")
     val cols = before.columns.toSeq
+    require(!cols.contains("_change_type"),
+      s"changesBetween($layer, $table): the table already has a _change_type column " +
+        "— the CDC tag would collide; rename it first")
     val valueCols = cols.filterNot(keys.contains)
     val b = before.select(struct(cols.map(col): _*).as("b"))
     val a = after.select(struct(cols.map(col): _*).as("a"))

@@ -1134,6 +1134,102 @@ object RefQueries {
               |JOIN diff USING (sigla_empresa, ano, mes)
               |ORDER BY _change_type, sigla_empresa, ano, mes""".stripMargin)),
 
+    // CDC applied downstream: incremental view maintenance from the
+    // change feed — the reason CDF exists. A derived per-ticker
+    // aggregate of snapshot N-1 is advanced to snapshot N by FOLDING IN
+    // only the change rows (+post/+insert, −pre/−delete) instead of
+    // recomputing from the new snapshot; the query emits the applied
+    // total NEXT TO the full rebuild and a match flag the oracle
+    // hash-checks as true. Decimal sums make the fold exact, so
+    // "applied == rebuilt" holds bit-for-bit, not approximately. At
+    // 100 TB the fold touches only changed rows — this is the recipe
+    // that replaces the reference's full dbt gold rebuilds.
+    Q("m_cdc_apply",
+      (s, dir) => {
+        val wh = new Warehouse(s, s"/tmp/graft_wh_cdca_${new java.io.File(dir).getName}")
+        wh.dropTable("gold", "monthly_summary")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        wh.atomicOverwrite(
+          gold(li.filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-06-15 00:00:00")))),
+          "gold", "monthly_summary")
+        wh.atomicOverwrite(
+          gold(li.filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")))),
+          "gold", "monthly_summary")
+        val changes = wh.changesBetween("gold", "monthly_summary",
+          Seq("sigla_empresa", "ano", "mes"), fromBack = 1)
+        val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1))
+          .otherwise(lit(-1))
+        val delta = changes.groupBy(col("sigla_empresa"))
+          .agg(Det.dsum(sign * col("volume_total_mensal")).as("d_volume"),
+            sum(sign).cast(LongType).as("d_months"))
+        val base = wh.readVersion("gold", "monthly_summary", 1)
+          .groupBy(col("sigla_empresa"))
+          .agg(Det.dsum(col("volume_total_mensal")).as("b_volume"),
+            count(lit(1)).as("b_months"))
+        val applied = base.join(delta, Seq("sigla_empresa"), "full_outer")
+          .select(col("sigla_empresa"),
+            (coalesce(col("b_volume"), lit(0.0)) + coalesce(col("d_volume"), lit(0.0)))
+              .cast(DecimalType(18, 2)).cast(DoubleType).as("applied_volume"),
+            (coalesce(col("b_months"), lit(0L)) + coalesce(col("d_months"), lit(0L)))
+              .as("applied_months"))
+        val rebuilt = wh.read("gold", "monthly_summary")
+          .groupBy(col("sigla_empresa"))
+          .agg(Det.dsum(col("volume_total_mensal")).as("rebuilt_volume"),
+            count(lit(1)).as("rebuilt_months"))
+        applied.join(rebuilt, Seq("sigla_empresa"), "full_outer")
+          .withColumn("cdc_applies_cleanly",
+            col("applied_volume") === col("rebuilt_volume")
+              && col("applied_months") === col("rebuilt_months"))
+          .orderBy("sigla_empresa")
+      },
+      Some(s"""WITH prev_g AS (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-06-15 00:00:00'")}),
+              |curr_g AS (${StockOps.goldSql("WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'")}),
+              |diff AS (
+              |  SELECT p.sigla_empresa, p.ano, p.mes FROM prev_g p
+              |  JOIN curr_g c USING (sigla_empresa, ano, mes)
+              |  WHERE p.volume_total_mensal IS DISTINCT FROM c.volume_total_mensal
+              |     OR p.preco_medio_fechamento_mensal IS DISTINCT FROM c.preco_medio_fechamento_mensal
+              |     OR p.maximo_mensal IS DISTINCT FROM c.maximo_mensal
+              |     OR p.minimo_mensal IS DISTINCT FROM c.minimo_mensal),
+              |changes AS (
+              |  SELECT 'insert' AS _change_type, c.* FROM curr_g c
+              |  WHERE NOT EXISTS (SELECT 1 FROM prev_g p
+              |    WHERE p.sigla_empresa = c.sigla_empresa AND p.ano = c.ano AND p.mes = c.mes)
+              |  UNION ALL
+              |  SELECT 'delete', p.* FROM prev_g p
+              |  WHERE NOT EXISTS (SELECT 1 FROM curr_g c
+              |    WHERE c.sigla_empresa = p.sigla_empresa AND c.ano = p.ano AND c.mes = p.mes)
+              |  UNION ALL
+              |  SELECT 'update_preimage', p.* FROM prev_g p JOIN diff USING (sigla_empresa, ano, mes)
+              |  UNION ALL
+              |  SELECT 'update_postimage', c.* FROM curr_g c JOIN diff USING (sigla_empresa, ano, mes)),
+              |delta AS (
+              |  SELECT sigla_empresa,
+              |    ${Det.dsumSql("(CASE WHEN _change_type IN ('insert','update_postimage') THEN 1 ELSE -1 END) * volume_total_mensal")} AS d_volume,
+              |    CAST(SUM(CASE WHEN _change_type IN ('insert','update_postimage') THEN 1 ELSE -1 END) AS BIGINT) AS d_months
+              |  FROM changes GROUP BY 1),
+              |base AS (
+              |  SELECT sigla_empresa, ${Det.dsumSql("volume_total_mensal")} AS b_volume,
+              |         COUNT(*) AS b_months
+              |  FROM prev_g GROUP BY 1),
+              |applied AS (
+              |  SELECT COALESCE(base.sigla_empresa, delta.sigla_empresa) AS sigla_empresa,
+              |    CAST(CAST(COALESCE(b_volume, 0.0) + COALESCE(d_volume, 0.0) AS DECIMAL(18,2)) AS DOUBLE) AS applied_volume,
+              |    COALESCE(b_months, 0) + COALESCE(d_months, 0) AS applied_months
+              |  FROM base FULL OUTER JOIN delta ON base.sigla_empresa = delta.sigla_empresa),
+              |rebuilt AS (
+              |  SELECT sigla_empresa, ${Det.dsumSql("volume_total_mensal")} AS rebuilt_volume,
+              |         COUNT(*) AS rebuilt_months
+              |  FROM curr_g GROUP BY 1)
+              |SELECT COALESCE(applied.sigla_empresa, rebuilt.sigla_empresa) AS sigla_empresa,
+              |       applied_volume, applied_months, rebuilt_volume, rebuilt_months,
+              |       applied_volume = rebuilt_volume AND applied_months = rebuilt_months
+              |         AS cdc_applies_cleanly
+              |FROM applied FULL OUTER JOIN rebuilt ON applied.sigla_empresa = rebuilt.sigla_empresa
+              |ORDER BY sigla_empresa""".stripMargin)),
+
     // Row-level DELETE + archived undo (Delta `DELETE FROM` +
     // `RESTORE VERSION AS OF`). The rewrite keeps NULL-predicate rows
     // (SQL DELETE only removes provably-true matches) and archives the

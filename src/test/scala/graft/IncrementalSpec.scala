@@ -213,6 +213,18 @@ class IncrementalSpec extends SparkSpec {
       ("delete", 3L, "gone"), ("insert", 4L, "born")))
   }
 
+  test("changesBetween refuses a table that already has a _change_type column") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_cdc_clash").toString
+    val wh = new Warehouse(spark, root)
+    wh.atomicOverwrite(Seq((1L, "x")).toDF("id", "_change_type"), "gold", "t")
+    wh.atomicOverwrite(Seq((1L, "y")).toDF("id", "_change_type"), "gold", "t")
+    val e = intercept[IllegalArgumentException] {
+      wh.changesBetween("gold", "t", Seq("id"), fromBack = 1)
+    }
+    assert(e.getMessage.contains("_change_type"))
+  }
+
   test("changesBetween is null-safe on keys and values") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_wh_cdc_null").toString
