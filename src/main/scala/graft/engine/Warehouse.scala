@@ -207,7 +207,9 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def appendEvolve(df: DataFrame, layer: String, table: String,
                    partitionBy: Seq[String] = Nil): Unit = {
     if (tableExists(layer, table)) {
-      val existing = read(layer, table).schema.map(f => f.name -> f.dataType).toMap
+      // guard against the MERGED schema: a plain read samples one
+      // footer and could miss a column that only newer files carry
+      val existing = readEvolved(layer, table).schema.map(f => f.name -> f.dataType).toMap
       val clash = df.schema.filter(f => existing.get(f.name).exists(_ != f.dataType))
       require(clash.isEmpty,
         s"appendEvolve($layer, $table): type change on shared column(s) " +

@@ -85,7 +85,6 @@ object Graph {
     // the SQL `div`/`//` the per-round arithmetic uses
     val baseInt = (1000L - dampingPerMille) * SCALE / (1000L * n)
     var ranks = nodes.withColumn("rank", lit(SCALE / n))
-    var prev: Option[DataFrame] = None
     for (round <- 1 to iterations) {
       val contribs = e
         .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
@@ -97,23 +96,89 @@ object Graph {
         .selectExpr("node",
           s"$baseInt + ($dampingPerMille * coalesce(in_rank, 0)) div 1000 AS rank")
       // cut the lineage every few rounds so deep iteration keeps plans
-      // bounded, without paying a job barrier per round when shallow
-      if (round % materializeEvery == 0 && round < iterations) {
-        updated.cache()
-        updated.count()
-        prev.foreach(_.unpersist())
-        prev = Some(updated)
-      }
-      ranks = updated
+      // bounded, without paying a job barrier per round when shallow.
+      // localCheckpoint (not cache): a chain of cached generations
+      // NESTS each prior InMemoryRelation's plan inside the next — plan
+      // strings grow superlinearly and a deep run OOMs just RENDERING
+      // them; the checkpoint truncates to a constant-size leaf. (On a
+      // cluster where executor loss matters, swap for reliable
+      // `checkpoint()` against the checkpoint dir — same call shape.)
+      ranks =
+        if (round % materializeEvery == 0 && round < iterations)
+          updated.localCheckpoint()
+        else updated
     }
     val result = ranks.select(col("node"),
       (col("rank").cast(DoubleType) / lit(SCALE.toDouble)).as("rank"))
       .cache()
     result.count() // materialize before dropping the inputs it reads
-    prev.foreach(_.unpersist())
     e.unpersist()
     nodes.unpersist()
     outDeg.unpersist()
     result
+  }
+
+  /** PageRank iterated to a FIXED POINT: stops when no node's rank
+    * moved more than `tolUnits` fixed-point units (1e-15 each) in a
+    * round, or at `maxIter`. Returns `(ranks, roundsRun)`.
+    *
+    * The convergence probe is `max(|rank − prev|)` — a keyed join on
+    * the two one-row-per-node rank tables plus a scalar aggregate, the
+    * same bounded driver read as [[Dedup.connectedComponents]]'s
+    * changed-label count; the edge table is untouched by the probe.
+    * Because the arithmetic is exact integer fixed-point, the round
+    * count at a given tolerance is DETERMINISTIC — identical on every
+    * cluster layout, which makes convergence-stopped runs reproducible
+    * (a floating-point loop cannot promise that: its termination round
+    * can flip with summation order). Non-convergence at maxIter fails
+    * loudly rather than returning silently-unconverged ranks. */
+  def pageRankConverged(edges: DataFrame, maxIter: Int = 50,
+                        tolUnits: Long = 1000L, // 1e-12 rank units
+                        dampingPerMille: Int = 850): (DataFrame, Int) = {
+    require(maxIter >= 1 && tolUnits >= 0, "pageRankConverged: bad maxIter/tolUnits")
+    require(dampingPerMille > 0 && dampingPerMille < 1000,
+      s"pageRankConverged: dampingPerMille must be in (0, 1000), got $dampingPerMille")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    nodes.cache()
+    val n = nodes.count()
+    require(n > 0, "pageRankConverged: empty edge list")
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    outDeg.cache()
+    val baseInt = (1000L - dampingPerMille) * SCALE / (1000L * n)
+    // every round is materialized by the convergence probe anyway, so
+    // localCheckpoint each generation — constant-size plans (see the
+    // cache-nesting note in pageRank) at no extra job cost
+    var ranks = nodes.withColumn("rank", lit(SCALE / n)).localCheckpoint()
+    var round = 0
+    var moved = Long.MaxValue
+    while (round < maxIter && moved > tolUnits) {
+      val contribs = e
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
+        .join(broadcast(outDeg), Seq("src"))
+        .selectExpr("dst AS node", "rank div out_deg AS contrib")
+      val updated = nodes
+        .join(contribs.groupBy(col("node")).agg(sum(col("contrib")).as("in_rank")),
+          Seq("node"), "left")
+        .selectExpr("node",
+          s"$baseInt + ($dampingPerMille * coalesce(in_rank, 0)) div 1000 AS rank")
+        .localCheckpoint()
+      moved = updated.join(ranks.withColumnRenamed("rank", "prev_rank"), Seq("node"))
+        .agg(max(abs(col("rank") - col("prev_rank")))).head.getLong(0)
+      ranks = updated
+      round += 1
+    }
+    require(moved <= tolUnits,
+      s"pageRankConverged: still moving $moved units after $maxIter rounds " +
+        "(raise maxIter or tolUnits)")
+    val result = ranks.select(col("node"),
+      (col("rank").cast(DoubleType) / lit(SCALE.toDouble)).as("rank"))
+    e.unpersist()
+    nodes.unpersist()
+    outDeg.unpersist()
+    (result, round)
   }
 }

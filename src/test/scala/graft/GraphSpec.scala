@@ -39,6 +39,37 @@ class GraphSpec extends SparkSpec {
     assert(byNode(1L) == byNode(4L) && byNode(2L) == byNode(3L))
   }
 
+  test("pageRankConverged stops at the exact fixed point and reports rounds") {
+    // 2-cycle: the uniform start IS the fixed point — one probe round
+    // suffices even at zero tolerance
+    val (r2, rounds2) = Graph.pageRankConverged(edges((1L, 2L), (2L, 1L)),
+      maxIter = 10, tolUnits = 0L)
+    assert(rounds2 == 1)
+    r2.as[(Long, Double)].collect().foreach { case (_, rank) => assert(rank === 0.5) }
+
+    // symmetric chain: converged ranks agree with a deep fixed-iteration
+    // run to within the tolerance, and it takes more than one round.
+    // damping 0.5 so the contraction reaches 1e-9 rank units in ~30
+    // rounds (at 0.85 the same tolerance needs ~130)
+    val chain = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    val (rc, rounds) = Graph.pageRankConverged(chain, maxIter = 50,
+      tolUnits = 1000000L, dampingPerMille = 500)
+    assert(rounds > 1 && rounds < 50)
+    val deep = Graph.pageRank(chain, iterations = 40, dampingPerMille = 500)
+      .as[(Long, Double)].collect().toMap
+    rc.as[(Long, Double)].collect().foreach { case (node, rank) =>
+      assert(math.abs(rank - deep(node)) < 1e-8)
+    }
+  }
+
+  test("pageRankConverged fails loudly when maxIter is too small") {
+    val chain = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.pageRankConverged(chain, maxIter = 1, tolUnits = 0L)
+    }
+    assert(ex.getMessage.contains("still moving"))
+  }
+
   test("pageRank rejects empty input and zero iterations") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges((1L, 2L)), iterations = 0)
