@@ -792,6 +792,46 @@ object RefQueries {
              |  ON o.o_custkey = s.o_custkey AND o.o_orderdate >= s.snap_ts
              |ORDER BY o.o_orderkey""".stripMargin)),
 
+    // SCD2 point-in-time enrichment: each fact joined to the dimension
+    // VERSION valid at the fact's event time — the join every SCD2
+    // history table exists to serve. Because versions per key are
+    // contiguous and non-overlapping, "latest valid_from <= fact time"
+    // IS the valid version, so this composes directly as the as-of join
+    // (one union+window shuffle; no interval theta-join, no per-row
+    // subquery). Facts before a customer's first version get NULLs —
+    // surfaced, not dropped.
+    Q("j_scd2_pit",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val t92 = lit(java.sql.Timestamp.valueOf("1992-06-01 00:00:00"))
+        val t96 = lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+        // two-version dimension: balances were 100 lower before 1996
+        val dim = c.select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") - 100).as("c_acctbal"), t92.as("valid_from"))
+          .unionByName(c.select(col("c_custkey"), col("c_mktsegment"),
+            col("c_acctbal"), t96.as("valid_from")))
+        val facts = Tables.orders(s, dir)
+          .filter(col("o_custkey") < 300)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        graft.ops.TemporalJoins.asofJoin(
+          facts, dim.withColumnRenamed("c_custkey", "o_custkey"),
+          key = "o_custkey", leftTs = "o_orderdate", rightTs = "valid_from",
+          valueCols = Seq("c_mktsegment", "c_acctbal"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH dim AS (
+             |  SELECT c_custkey, c_mktsegment, c_acctbal - 100 AS c_acctbal,
+             |         TIMESTAMP '1992-06-01 00:00:00' AS valid_from FROM customer
+             |  UNION ALL
+             |  SELECT c_custkey, c_mktsegment, c_acctbal,
+             |         TIMESTAMP '1996-01-01 00:00:00' AS valid_from FROM customer)
+             |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, d.c_mktsegment, d.c_acctbal
+             |FROM (SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+             |      WHERE o_custkey < 300) o
+             |ASOF LEFT JOIN dim d
+             |  ON o.o_custkey = d.c_custkey AND o.o_orderdate >= d.valid_from
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
     // Range (point-in-interval) join via bin bucketing — the equi-join
     // rewrite of an inequality join (ops/TemporalJoins.scala). Bands
     // overlap deliberately (the catch-all row) so points match multiple
