@@ -272,6 +272,38 @@ object Dedup {
       .select(col(idCol), coalesce(col("simhash"), lit(0L)).as("simhash"))
   }
 
+  /** Fuzzy string matching / entity resolution at edit distance ≤ 1:
+    * deletion-neighborhood blocking (FastSS). Each string generates
+    * itself plus every single-character deletion; any ED≤1 pair —
+    * substitution, insertion, deletion, or equality — provably shares a
+    * variant, so candidates come from ONE equi-join on the variant
+    * (sub-quadratic: never all-pairs), then exact `levenshtein ≤ 1`
+    * kills the false positives (two different deletions can collide,
+    * e.g. "aab"/"aba" → "ab"). Both engines agree on integer
+    * Levenshtein exactly, so the whole operator is oracle-hashable.
+    *
+    * Scale shape: variants ≈ rows × avg-length — a projection-explode;
+    * the join key at 100 TB should be `xxhash64(v)` (8 bytes through
+    * the shuffle instead of the string; kept as the raw string here for
+    * the oracle mirror). Blocking degrades for very long strings
+    * (length × rows variants) — for documents use the shingle/MinHash
+    * family instead; this operator is for NAMES and short keys. */
+  def editDistancePairs(rows: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val variants = rows.select(col(idCol).as("id"), col(strCol).as("name"))
+      .select(col("id"), col("name"), explode(concat(
+        array(col("name")),
+        expr("transform(sequence(1, length(name)), " +
+          "i -> concat(substring(name, 1, i-1), substring(name, i+1, length(name))))")))
+        .as("v"))
+      .distinct() // repeated characters produce duplicate variants
+    val a = variants.select(col("id").as("id_a"), col("name").as("name_a"), col("v"))
+    val b = variants.select(col("id").as("id_b"), col("name").as("name_b"), col("v"))
+    a.join(b, Seq("v")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 1)
+  }
+
   /** SimHash near-dup candidates: 4 bands of 16 bits; docs agreeing on
     * any band meet, verified by Hamming distance ≤ `maxHamming`. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,

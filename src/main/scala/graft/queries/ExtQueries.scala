@@ -1495,6 +1495,46 @@ object ExtQueries {
               |                  CAST(datediff('day', prev_d, next_d) AS DOUBLE)) END AS day_total_interp
               |FROM f ORDER BY o_custkey, d""".stripMargin)),
 
+    // Fuzzy entity resolution over supplier names (edit distance ≤ 1):
+    // deletion-neighborhood blocking + exact Levenshtein verify
+    // ([[Dedup.editDistancePairs]]). The corpus injects KNOWN ED-1
+    // variants (3rd character deleted, offset keys) so the operator
+    // provably recalls insertions/deletions, not just the digit-
+    // substitution pairs the TPC-H name pattern produces naturally.
+    Q("dd_fuzzy_pairs",
+      (s, dir) => {
+        val sup = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))
+        val off = sup.agg(coalesce(max("s_suppkey"), lit(0L))).head.getLong(0) + 1
+        val corpus = sup
+          .unionByName(sup.filter(col("s_suppkey") % 9 === 0)
+            .select((col("s_suppkey") + off).as("s_suppkey"),
+              concat(substring(col("s_name"), 1, 2), expr("substring(s_name, 4, length(s_name))"))
+                .as("s_name")))
+        Dedup.editDistancePairs(corpus, "s_suppkey", "s_name")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT s_suppkey AS id, s_name AS name FROM supplier
+             |  UNION ALL
+             |  SELECT s_suppkey + (SELECT MAX(s_suppkey) + 1 FROM supplier) AS id,
+             |         substr(s_name, 1, 2) || substr(s_name, 4) AS name
+             |  FROM supplier WHERE s_suppkey % 9 = 0),
+             |variants AS (
+             |  SELECT DISTINCT id, name, v FROM (
+             |    SELECT id, name, name AS v FROM corpus
+             |    UNION ALL
+             |    SELECT id, name,
+             |           substr(name, 1, CAST(i AS INTEGER) - 1)
+             |             || substr(name, CAST(i AS INTEGER) + 1) AS v
+             |    FROM corpus, UNNEST(range(1, length(name) + 1)) AS t(i))),
+             |cand AS (
+             |  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b
+             |  FROM variants a JOIN variants b ON a.v = b.v AND a.id < b.id)
+             |SELECT id_a, id_b, name_a, name_b,
+             |       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+             |FROM cand WHERE levenshtein(name_a, name_b) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Table profiling (ANALYZE-style column stats): null count, exact
     // distinct count, numeric min/max per column — one aggregate leg
     // per column so each leg is a pruned one-column scan with map-side

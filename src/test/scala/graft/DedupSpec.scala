@@ -174,4 +174,27 @@ class DedupSpec extends SparkSpec {
       .filter(col("id_a") === 1 && col("id_b") === 2).collect()
     assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
   }
+
+  test("editDistancePairs recalls every ED<=1 class and rejects ED 2") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "abc"),  // baseline
+      (2L, "abd"),  // substitution of 1
+      (3L, "ab"),   // deletion of 1
+      (4L, "xabc"), // insertion into 1
+      (5L, "abc"),  // exact duplicate of 1
+      (6L, "xyz"),  // unrelated
+      (7L, "aab"),  // shares deletion variant "ab" with 8 but ED=2 —
+      (8L, "aba"))  //   the false positive Levenshtein must kill
+      .toDF("id", "name")
+    val got = Dedup.editDistancePairs(rows, "id", "name")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 1))
+      && got.contains((1L, 4L, 1)) && got.contains((1L, 5L, 0)))
+    assert(!got.exists(p => p._1 == 7L && p._2 == 8L), "aab/aba is ED 2")
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L), "xyz matches nothing")
+    // symmetric closure: 3 ("ab") is also ED1 from 2 ("abd")? no — ED 2;
+    // but 2/5 ("abd"/"abc") and 3/5, 4/5 mirror the baseline's pairs
+    assert(got.contains((2L, 5L, 1)) && got.contains((3L, 5L, 1)) && got.contains((4L, 5L, 1)))
+  }
 }
