@@ -52,10 +52,18 @@ object Graph {
     * (both directions per undirected edge) to avoid dangling nodes
     * entirely. `N` is one scalar count — the same bounded driver read
     * as a watermark. Output: `(node, rank: Double)`, one row per node.
+    *
+    * `weightCol`: optional positive integer edge weights — rank splits
+    * proportionally, `contrib = rank·w div strength(u)` with
+    * `strength = Σw` per source (weight 1 everywhere reduces to the
+    * unweighted arithmetic exactly). Weights must satisfy
+    * `max(w) ≤ 2^63/SCALE ≈ 9220` so `rank·w` cannot overflow —
+    * enforced with one scalar read; pre-bucket heavier weights.
     */
   def pageRank(edges: DataFrame, iterations: Int,
                dampingPerMille: Int = 850,
-               materializeEvery: Int = 4): DataFrame = {
+               materializeEvery: Int = 4,
+               weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, s"pageRank: iterations must be >= 1, got $iterations")
     require(dampingPerMille > 0 && dampingPerMille < 1000,
       s"pageRank: dampingPerMille must be in (0, 1000), got $dampingPerMille")
@@ -71,7 +79,8 @@ object Graph {
     // shuffle up front buys them all.
     // NULL endpoints can't participate in an equi-join gather and would
     // silently hold a base-rank-only row — drop them up front
-    val e = edges.select(col("src"), col("dst"))
+    val w = weightCol.map(col).getOrElse(lit(1L)).cast("bigint").as("w")
+    val e = edges.select(col("src"), col("dst"), w)
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .repartition(col("dst")).cache()
     val nodes = e.select(col("src").as("node"))
@@ -79,7 +88,14 @@ object Graph {
     nodes.cache()
     val n = nodes.count() // materializes the node cache too
     require(n > 0, "pageRank: empty edge list")
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    if (weightCol.isDefined) {
+      val wStats = e.agg(min(col("w")), max(col("w"))).head
+      require(wStats.getLong(0) >= 1, "pageRank: weights must be positive integers")
+      require(wStats.getLong(1) <= Long.MaxValue / SCALE,
+        s"pageRank: max weight ${wStats.getLong(1)} would overflow rank*w " +
+          s"(cap is ${Long.MaxValue / SCALE}); pre-bucket weights")
+    }
+    val outDeg = e.groupBy(col("src")).agg(sum(col("w")).as("strength"))
     outDeg.cache()
     // (1-d)/N in fixed point; Long division truncates identically to
     // the SQL `div`/`//` the per-round arithmetic uses
@@ -89,7 +105,7 @@ object Graph {
       val contribs = e
         .join(broadcast(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .join(broadcast(outDeg), Seq("src"))
-        .selectExpr("dst AS node", "rank div out_deg AS contrib")
+        .selectExpr("dst AS node", "(rank * w) div strength AS contrib")
       val updated = nodes
         .join(contribs.groupBy(col("node")).agg(sum(col("contrib")).as("in_rank")),
           Seq("node"), "left")

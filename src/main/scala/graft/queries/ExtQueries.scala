@@ -1673,8 +1673,54 @@ object ExtQueries {
            |${round("r1", "r2")},
            |${round("r2", "r3")}
            |SELECT node, CAST(rank AS DOUBLE) / $s.0 AS rank FROM r3 ORDER BY node""".stripMargin
+      }),
+
+    // Weighted PageRank: rank splits proportionally to interaction
+    // strength (lineitem count per pair) instead of evenly —
+    // `contrib = rank·w div strength`, still pure integer fixed-point,
+    // so the unrolled SQL hash-matches exactly like the unweighted run.
+    Q("gr_pagerank_weighted",
+      (s, dir) => Graph.pageRank(weightedGraphEdges(s, dir), iterations = 3,
+        weightCol = Some("w")).orderBy("node"),
+      Some {
+        val s = Graph.SCALE
+        def round(prev: String, out: String) =
+          s"""c_$out AS (SELECT e.dst AS node, SUM((r.rank * e.w) // d.strength) AS in_rank
+             |  FROM edges e JOIN $prev r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |$out AS (SELECT nodes.node,
+             |    (150 * $s) // (1000 * (SELECT n FROM nn))
+             |      + (850 * COALESCE(c.in_rank, 0)) // 1000 AS rank
+             |  FROM nodes LEFT JOIN c_$out c ON nodes.node = c.node)""".stripMargin
+        s"""WITH $weightedGraphEdgesSql,
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |outdeg AS (SELECT src, SUM(w) AS strength FROM edges GROUP BY src),
+           |r0 AS (SELECT node, $s // (SELECT n FROM nn) AS rank FROM nodes),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT node, CAST(rank AS DOUBLE) / $s.0 AS rank FROM r3 ORDER BY node""".stripMargin
       })
   )
+
+  /** Symmetrized WEIGHTED customer↔supplier edges: weight = number of
+    * lineitems traded between the pair (interaction strength). */
+  private def weightedGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** DuckDB mirror of [[weightedGraphEdges]] (a `WITH`-clause fragment). */
+  private def weightedGraphEdgesSql =
+    """eraw AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+      |                CAST(COUNT(*) AS BIGINT) AS w
+      |         FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+      |edges AS (SELECT src, dst, w FROM eraw
+      |          UNION ALL SELECT dst AS src, src AS dst, w FROM eraw)""".stripMargin
 
   /** Symmetrized customer↔supplier edge list shared by the gr_* queries
     * (both directions per undirected edge — no dangling nodes). */

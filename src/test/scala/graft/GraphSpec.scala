@@ -39,6 +39,36 @@ class GraphSpec extends SparkSpec {
     assert(byNode(1L) == byNode(4L) && byNode(2L) == byNode(3L))
   }
 
+  test("weighted pageRank splits rank by weight; weight 1 equals unweighted exactly") {
+    import org.apache.spark.sql.functions.lit
+    // hub 1 favors 2 (weight 3) over 3 (weight 1); back-edges close the loop
+    val weighted = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r = Graph.pageRank(weighted, iterations = 3, weightCol = Some("w"))
+      .as[(Long, Double)].collect().toMap
+    assert(r(2L) > r(3L), "heavier edge must carry more rank")
+
+    val base = edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val unweighted = Graph.pageRank(base, iterations = 3)
+      .orderBy("node").as[(Long, Double)].collect().toSeq
+    val weightOne = Graph.pageRank(base.withColumn("w", lit(1L)), iterations = 3,
+      weightCol = Some("w")).orderBy("node").as[(Long, Double)].collect().toSeq
+    assert(unweighted == weightOne) // bit-identical, not approximately
+  }
+
+  test("weighted pageRank rejects non-positive and overflow-range weights") {
+    val bad = Seq((1L, 2L, 0L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(bad, iterations = 1, weightCol = Some("w"))
+    }
+    val huge = Seq((1L, 2L, Long.MaxValue / Graph.SCALE + 1), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val e = intercept[IllegalArgumentException] {
+      Graph.pageRank(huge, iterations = 1, weightCol = Some("w"))
+    }
+    assert(e.getMessage.contains("overflow"))
+  }
+
   test("pageRankConverged stops at the exact fixed point and reports rounds") {
     // 2-cycle: the uniform start IS the fixed point — one probe round
     // suffices even at zero tolerance
