@@ -57,6 +57,43 @@ object Sampling {
     * [[deterministicPerKey]] so reruns and re-partitions pick the SAME
     * mix. One window shuffle + a broadcast join against the tiny cap
     * table — the cap map lives on executors, never drives a collect. */
+  /** Deterministic train/val/test assignment by hashed id — the split
+    * step of a training-data pipeline (dedup → filter → mix → SPLIT →
+    * pack). The first byte of `md5(id)` lands uniformly in 00..ff;
+    * comparing it against hex thresholds partitions ids at
+    * `floor(256·frac)/256` granularity. Properties that matter at any
+    * scale: stateless (an id's split never depends on other rows, so
+    * re-runs and incremental batches agree), no shuffle (pure
+    * projection), and engine-portable (MD5 is standardized — unlike
+    * xxhash64, which DuckDB lacks — so the oracle hashes the exact
+    * assignment). NULL ids get NULL splits (surfaced, not silently
+    * bucketed). */
+  def hashSplit(df: DataFrame, idCol: String,
+                trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      s"hashSplit: need 0 < trainFrac, 0 <= valFrac, trainFrac+valFrac < 1 " +
+        s"(got $trainFrac, $valFrac)")
+    val t1 = f"${(trainFrac * 256).toInt}%02x"
+    val t2 = f"${((trainFrac + valFrac) * 256).toInt}%02x"
+    val b = substring(md5(col(idCol).cast("string")), 1, 2)
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string"))
+        .when(b < t1, lit("train"))
+        .when(b < t2, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** DuckDB SQL mirror of [[hashSplit]]'s assignment expression. */
+  def hashSplitSql(idCol: String, trainFrac: Double = 0.8,
+                   valFrac: Double = 0.1): String = {
+    val t1 = f"${(trainFrac * 256).toInt}%02x"
+    val t2 = f"${((trainFrac + valFrac) * 256).toInt}%02x"
+    s"""CASE WHEN $idCol IS NULL THEN NULL
+       |     WHEN substr(md5(CAST($idCol AS VARCHAR)), 1, 2) < '$t1' THEN 'train'
+       |     WHEN substr(md5(CAST($idCol AS VARCHAR)), 1, 2) < '$t2' THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
+
   def mixturePerKey(df: DataFrame, keyCol: String, idCol: String,
                     caps: Map[String, Int], default: Int): DataFrame = {
     val spark = df.sparkSession

@@ -1495,6 +1495,17 @@ object ExtQueries {
               |                  CAST(datediff('day', prev_d, next_d) AS DOUBLE)) END AS day_total_interp
               |FROM f ORDER BY o_custkey, d""".stripMargin)),
 
+    // Deterministic train/val/test split by hashed id
+    // ([[Sampling.hashSplit]]) — stateless, shuffle-free, and
+    // re-run/incremental-batch stable; the oracle hashes the EXACT
+    // per-document assignment, not just the counts.
+    Q("samp_split",
+      (s, dir) => Sampling.hashSplit(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${Sampling.hashSplitSql("doc_id")} AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Fuzzy entity resolution over supplier names (edit distance ≤ 1):
     // deletion-neighborhood blocking + exact Levenshtein verify
     // ([[Dedup.editDistancePairs]]). The corpus injects KNOWN ED-1

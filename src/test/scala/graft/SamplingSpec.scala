@@ -42,6 +42,29 @@ class SamplingSpec extends SparkSpec {
     assert(a.collect().map(_.getLong(0)).forall(carve))
   }
 
+  test("hashSplit is deterministic, partition-independent, roughly proportioned") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("id")
+    val a = Sampling.hashSplit(ids, "id")
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // thresholds are floor(256*frac)/256: train 204/256 = 79.7%,
+    // val (230-204)/256 = 10.2%; allow sampling wobble
+    assert(math.abs(counts("train") - 1594L) < 120)
+    assert(counts("val") > 100 && counts("test") > 100)
+    // same id → same split regardless of partitioning (stateless)
+    val b = Sampling.hashSplit(ids.repartition(13), "id")
+    assert(a.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      b.orderBy("id").collect().map(_.getString(1)).toSeq)
+    // NULL id surfaces as NULL split
+    val n = Sampling.hashSplit(Seq(Option.empty[Long]).toDF("id"), "id").collect().head
+    assert(n.isNullAt(1))
+    // bad fractions rejected
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "id", trainFrac = 0.95, valFrac = 0.1)
+    }
+  }
+
   test("deterministicPerKey keeps exactly k rows per key, stably") {
     val a = Sampling.deterministicPerKey(corpus, "lang", "id", k = 25)
     assert(a.groupBy("lang").count().collect().forall(_.getLong(1) == 25L))
