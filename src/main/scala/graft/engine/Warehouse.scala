@@ -170,7 +170,10 @@ final class Warehouse(val spark: SparkSession, val root: String,
   def compact(layer: String, table: String, numFiles: Int,
               sortCols: Seq[String] = Nil,
               partitionBy: Seq[String] = Nil): Unit = {
-    val df = read(layer, table)
+    // merged-schema read for the same full-rewrite reason as
+    // [[deleteWhere]]; compacting an evolved table also MATERIALIZES
+    // the evolution (every surviving file carries the union schema)
+    val df = readEvolved(layer, table)
     val repartitioned =
       if (partitionBy.nonEmpty)
         df.repartition(numFiles, partitionBy.map(df(_)): _*)
@@ -193,7 +196,11 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * file pruning bounds what is actually rewritten. */
   def deleteWhere(layer: String, table: String, predicate: Column,
                   partitionBy: Seq[String] = Nil): Unit = {
-    val remaining = read(layer, table).filter(coalesce(!predicate, lit(true)))
+    // readEvolved, NOT read: a full-table rewrite through a plain read
+    // would take one sampled footer's schema — on a schema-evolved
+    // table that silently and PERMANENTLY drops the evolved columns
+    // from every row; the merged read keeps them (older rows NULL)
+    val remaining = readEvolved(layer, table).filter(coalesce(!predicate, lit(true)))
     atomicOverwrite(remaining, layer, table, partitionBy)
   }
 

@@ -51,12 +51,6 @@ object Sampling {
       .drop("__rn")
   }
 
-  /** Training-mix materialization: per-key row CAPS (e.g. "at most
-    * 100k en docs, 10k zh docs, `default` for unlisted sources"),
-    * selected in the same deterministic hash order as
-    * [[deterministicPerKey]] so reruns and re-partitions pick the SAME
-    * mix. One window shuffle + a broadcast join against the tiny cap
-    * table — the cap map lives on executors, never drives a collect. */
   /** Deterministic train/val/test assignment by hashed id — the split
     * step of a training-data pipeline (dedup → filter → mix → SPLIT →
     * pack). The first byte of `md5(id)` lands uniformly in 00..ff;
@@ -75,6 +69,14 @@ object Sampling {
         s"(got $trainFrac, $valFrac)")
     val t1 = f"${(trainFrac * 256).toInt}%02x"
     val t2 = f"${((trainFrac + valFrac) * 256).toInt}%02x"
+    // thresholds floor to 1/256 granularity: a positive fraction that
+    // floors to an existing boundary would make that split silently
+    // EMPTY — fail loudly instead of shipping a zero-row split
+    require(t1 > "00",
+      s"hashSplit: trainFrac $trainFrac floors below 1/256 — train would be empty")
+    require(valFrac == 0 || t2 > t1,
+      s"hashSplit: valFrac $valFrac floors to zero width at 1/256 granularity " +
+        "— val would be empty")
     val b = substring(md5(col(idCol).cast("string")), 1, 2)
     df.withColumn("split",
       when(col(idCol).isNull, lit(null).cast("string"))
@@ -94,6 +96,12 @@ object Sampling {
        |     ELSE 'test' END""".stripMargin
   }
 
+  /** Training-mix materialization: per-key row CAPS (e.g. "at most
+    * 100k en docs, 10k zh docs, `default` for unlisted sources"),
+    * selected in the same deterministic hash order as
+    * [[deterministicPerKey]] so reruns and re-partitions pick the SAME
+    * mix. One window shuffle + a broadcast join against the tiny cap
+    * table — the cap map lives on executors, never drives a collect. */
   def mixturePerKey(df: DataFrame, keyCol: String, idCol: String,
                     caps: Map[String, Int], default: Int): DataFrame = {
     val spark = df.sparkSession

@@ -131,7 +131,10 @@ object TimeSeries {
     * z = (x−mean)/σ, all in cent space — z is scale-invariant) is a
     * fixed chain of correctly-rounded IEEE ops (÷, ×, −, √ — unlike
     * ln/exp, which are libm-dependent and banned from oracle paths).
-    * σ = 0 (constant series) yields z = 0, not NULL.
+    * σ = 0 with x = mean (constant series) yields z = 0; σ = 0 with
+    * x ≠ mean (only reachable when scoring against an external
+    * baseline) yields ±∞ so the deviation FLAGS instead of hiding; a
+    * NULL x yields NULL z in every branch.
     *
     * Magnitude precondition: Σ(100·v)² per key must fit a BIGINT, i.e.
     * |v|·100·√(rows per key) < 2^63 — holds for any currency-grain
@@ -139,7 +142,7 @@ object TimeSeries {
     *
     * Scale shape: one window pass per key — no join, no second scan;
     * per-key partition size is the series length. */
-  def zscoreAnomalies(series: DataFrame, keys: Seq[String], orderCol: String,
+  def zscoreAnomalies(series: DataFrame, keys: Seq[String],
                       valueCol: String, threshold: Double = 2.0): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
     val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
@@ -152,11 +155,24 @@ object TimeSeries {
     val mean = s / n
     val variance = q / n - mean * mean
     val sd = sqrt(greatest(variance, lit(0.0)))
-    val z = when(sd === 0.0, lit(0.0)).otherwise((vc.cast("double") - mean) / sd)
     series
-      .withColumn("zscore", z)
+      .withColumn("zscore", zEpilogue(vc.cast("double"), mean, sd))
       .withColumn("is_anomaly", abs(col("zscore")) > threshold)
   }
+
+  /** The shared scoring epilogue (see [[zscoreAnomalies]] scaladoc for
+    * the σ=0 and NULL semantics). `signum(x−mean)·∞` in the σ=0 branch
+    * keeps NULL propagation for free (signum(NULL) is NULL) while any
+    * real deviation from a zero-variance baseline scores ±∞ — the
+    * previous blanket z=0 there silently passed the most extreme
+    * possible anomalies when the baseline was external. */
+  private def zEpilogue(xd: org.apache.spark.sql.Column,
+                        mean: org.apache.spark.sql.Column,
+                        sd: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(sd === 0.0,
+      when(xd === mean, lit(0.0))
+        .otherwise(signum(xd - mean) * lit(Double.PositiveInfinity)))
+      .otherwise((xd - mean) / sd)
 
   /** Per-key baseline statistics `(keys…, mean_c, sd_c)` in CENT space,
     * computed with the identical exact-integer chain as
@@ -180,14 +196,14 @@ object TimeSeries {
   /** Score `valueCol` against a [[zscoreBaseline]]'s cent-space
     * `mean_c`/`sd_c` columns — the identical epilogue zscoreAnomalies
     * applies, exposed so stream and batch share one definition. Rows
-    * with no baseline (NULL stats) get NULL scores. */
+    * with no baseline (NULL stats) get NULL scores; a value deviating
+    * from a ZERO-VARIANCE baseline scores ±∞ and flags (the most
+    * extreme anomaly there is — a blanket z=0 would hide it). */
   def zscoreAgainst(df: DataFrame, valueCol: String,
                     threshold: Double = 2.0): DataFrame = {
     val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
       .cast("bigint")
-    val z = when(col("sd_c") === 0.0, lit(0.0))
-      .otherwise((vc.cast("double") - col("mean_c")) / col("sd_c"))
-    df.withColumn("zscore", z)
+    df.withColumn("zscore", zEpilogue(vc.cast("double"), col("mean_c"), col("sd_c")))
       .withColumn("is_anomaly", abs(col("zscore")) > threshold)
   }
 
@@ -201,7 +217,14 @@ object TimeSeries {
     val mean = s"(($s) / ($n))"
     val variance = s"(($q) / ($n) - $mean * $mean)"
     val sd = s"sqrt(GREATEST($variance, 0.0))"
-    val z = s"CASE WHEN $sd = 0.0 THEN 0.0 ELSE (CAST($vc AS DOUBLE) - $mean) / $sd END"
+    val xd = s"CAST($vc AS DOUBLE)"
+    // mirror of zEpilogue: within one window sd = 0 implies every
+    // non-NULL x equals mean, so the ±∞ branch is unreachable here —
+    // but the CASE shape stays in lockstep with the Scala
+    val z = s"""CASE WHEN $sd = 0.0 THEN
+               |  CASE WHEN $xd = $mean THEN 0.0
+               |       ELSE sign($xd - $mean) * CAST('infinity' AS DOUBLE) END
+               |ELSE ($xd - $mean) / $sd END""".stripMargin
     (z, sd)
   }
 }

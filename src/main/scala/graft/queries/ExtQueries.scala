@@ -1582,7 +1582,7 @@ object ExtQueries {
         val daily = Tables.orders(s, dir).filter(col("o_custkey") < 50)
           .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"))
           .agg(Det.dsum(col("o_totalprice")).as("day_total"))
-        TimeSeries.zscoreAnomalies(daily, Seq("o_custkey"), "d", "day_total")
+        TimeSeries.zscoreAnomalies(daily, Seq("o_custkey"), "day_total")
           .orderBy("o_custkey", "d")
       },
       Some {

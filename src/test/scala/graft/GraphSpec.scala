@@ -56,11 +56,19 @@ class GraphSpec extends SparkSpec {
     assert(unweighted == weightOne) // bit-identical, not approximately
   }
 
-  test("weighted pageRank rejects non-positive and overflow-range weights") {
+  test("weighted pageRank rejects non-positive, NULL, and overflow-range weights") {
     val bad = Seq((1L, 2L, 0L), (2L, 1L, 1L)).toDF("src", "dst", "w")
     intercept[IllegalArgumentException] {
       Graph.pageRank(bad, iterations = 1, weightCol = Some("w"))
     }
+    // min/max skip NULLs — a NULL weight would otherwise slip past the
+    // positivity check and silently drop its edge's mass
+    val withNull = Seq((1L, 2L, Some(1L)), (2L, 1L, Option.empty[Long]))
+      .toDF("src", "dst", "w")
+    val en = intercept[IllegalArgumentException] {
+      Graph.pageRank(withNull, iterations = 1, weightCol = Some("w"))
+    }
+    assert(en.getMessage.contains("NULL"))
     val huge = Seq((1L, 2L, Long.MaxValue / Graph.SCALE + 1), (2L, 1L, 1L))
       .toDF("src", "dst", "w")
     val e = intercept[IllegalArgumentException] {

@@ -213,6 +213,24 @@ class IncrementalSpec extends SparkSpec {
       ("delete", 3L, "gone"), ("insert", 4L, "born")))
   }
 
+  test("deleteWhere and compact on an evolved table keep the evolved column") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_del_evo").toString
+    val wh = new Warehouse(spark, root)
+    wh.appendEvolve(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "bronze", "t")
+    wh.appendEvolve(Seq((3L, "c", 7.5)).toDF("id", "v", "score"), "bronze", "t")
+    // the rewrite must go through the MERGED schema — a sampled-footer
+    // read could silently drop `score` from every surviving row
+    wh.deleteWhere("bronze", "t", col("id") === 2L)
+    val afterDelete = wh.readEvolved("bronze", "t").orderBy("id").collect()
+    assert(afterDelete.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(afterDelete(1).getDouble(afterDelete(1).fieldIndex("score")) == 7.5)
+    wh.compact("bronze", "t", numFiles = 1)
+    val afterCompact = wh.read("bronze", "t").orderBy("id").collect()
+    assert(afterCompact.length == 2
+      && afterCompact(1).getDouble(afterCompact(1).fieldIndex("score")) == 7.5)
+  }
+
   test("changesBetween refuses a table that already has a _change_type column") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_wh_cdc_clash").toString

@@ -63,6 +63,14 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(ids, "id", trainFrac = 0.95, valFrac = 0.1)
     }
+    // fractions that floor to a zero-width band would make a split
+    // silently empty — rejected loudly instead
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "id", trainFrac = 0.003, valFrac = 0.1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids, "id", trainFrac = 0.8, valFrac = 0.0005)
+    }
   }
 
   test("deterministicPerKey keeps exactly k rows per key, stably") {

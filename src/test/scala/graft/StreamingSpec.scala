@@ -248,7 +248,7 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("anomaly_out")
       .select("event_id", "zscore", "is_anomaly").orderBy("event_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
-    val batch = TimeSeries.zscoreAnomalies(history, Seq("user_id"), "ts", "value",
+    val batch = TimeSeries.zscoreAnomalies(history, Seq("user_id"), "value",
       threshold = 1.5)
       .select("event_id", "zscore", "is_anomaly").orderBy("event_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2)))
@@ -261,6 +261,18 @@ class StreamingSpec extends SparkSpec {
       baseline, Seq("user_id"), "value").collect().head
     assert(novel.isNullAt(novel.fieldIndex("zscore"))
       && novel.isNullAt(novel.fieldIndex("is_anomaly")))
+
+    // a value DEVIATING from a zero-variance baseline is the most
+    // extreme anomaly there is — it must flag (z = ±∞), not score 0
+    val constBase = TimeSeries.zscoreBaseline(
+      Seq((2L, 5.0), (2L, 5.0)).toDF("user_id", "value"), Seq("user_id"), "value")
+    val dev = StreamOps.anomalyStream(
+      Seq((8L, 2L, 9999.0), (9L, 2L, 5.0)).toDF("event_id", "user_id", "value"),
+      constBase, Seq("user_id"), "value").orderBy("event_id").collect()
+    assert(dev(0).getDouble(dev(0).fieldIndex("zscore")).isPosInfinity
+      && dev(0).getBoolean(dev(0).fieldIndex("is_anomaly")))
+    assert(dev(1).getDouble(dev(1).fieldIndex("zscore")) == 0.0
+      && !dev(1).getBoolean(dev(1).fieldIndex("is_anomaly")))
   }
 
   test("streaming sessions match batch sessions once all windows close") {

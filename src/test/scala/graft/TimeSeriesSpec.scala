@@ -68,7 +68,7 @@ class TimeSeriesSpec extends SparkSpec {
       .toDF("k", "t", "v")
     // threshold 1.5: with n=5 a single outlier maxes out at z = √(n−1) = 2,
     // so the default >2 strict threshold can never fire at this length
-    val out = TimeSeries.zscoreAnomalies(series, Seq("k"), "t", "v", threshold = 1.5)
+    val out = TimeSeries.zscoreAnomalies(series, Seq("k"), "v", threshold = 1.5)
       .orderBy("k", "t").collect()
       .map(r => (r.getString(0), r.getInt(1), r.getDouble(3), r.getBoolean(4)))
     val a = out.filter(_._1 == "A")
