@@ -52,7 +52,14 @@ object Bench {
         System.err.println(s"[bench] target-SF warm-up $name failed: ${e.getMessage}")
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Timed pass runs the six write-heavy warehouse-lifecycle queries
+    // (m_*: real partitioned writes + archive swaps per run) LAST, so
+    // their FS/GC pressure cannot contaminate the read-only queries that
+    // would otherwise follow them alphabetically — round 9 showed broad
+    // +20-30% drift on unchanged post-m queries (set_except 0.20→0.50 s).
+    val results = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (name.startsWith("m_"), name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

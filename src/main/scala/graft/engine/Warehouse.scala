@@ -102,21 +102,26 @@ final class Warehouse(val spark: SparkSession, val root: String,
       .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
   }
 
-  /** Time travel: `back = 0` reads the current table, `back = 1` the
-    * generation replaced by the latest [[atomicOverwrite]], and so on.
-    * Fails fast (with what IS retained) past the retention horizon. */
-  def readVersion(layer: String, table: String, back: Int): DataFrame = {
+  /** Directory of generation `back` (0 = current table, 1 = the
+    * generation the latest [[atomicOverwrite]] replaced, …). Fails fast
+    * (with what IS retained) past the retention horizon. */
+  private def generationPath(layer: String, table: String, back: Int): Path = {
     require(back >= 0, s"readVersion: back must be >= 0, got $back")
-    if (back == 0) read(layer, table)
+    if (back == 0) new Path(path(layer, table))
     else {
       val vs = versions(layer, table)
       require(back <= vs.length,
         s"readVersion($layer, $table, $back): only ${vs.length} archived generation(s) " +
           s"retained (keepVersions=$keepVersions)")
       val gen = vs(vs.length - back)
-      spark.read.parquet(new Path(versionsRoot(layer, table), f"v$gen%012d").toString)
+      new Path(versionsRoot(layer, table), f"v$gen%012d")
     }
   }
+
+  /** Time travel: `back = 0` reads the current table, `back = 1` the
+    * generation replaced by the latest [[atomicOverwrite]], and so on. */
+  def readVersion(layer: String, table: String, back: Int): DataFrame =
+    spark.read.parquet(generationPath(layer, table, back).toString)
 
   /** Bucketed catalog-table write: hash-partition rows on `bucketCols`
     * into `numBuckets` files (optionally sorted within each bucket).
@@ -172,17 +177,35 @@ final class Warehouse(val spark: SparkSession, val root: String,
               partitionBy: Seq[String] = Nil): Unit = {
     // merged-schema read for the same full-rewrite reason as
     // [[deleteWhere]]; compacting an evolved table also MATERIALIZES
-    // the evolution (every surviving file carries the union schema)
+    // the evolution (every surviving file carries the union schema).
+    // Omitted partitionBy inherits the table's existing hive layout —
+    // same never-silently-flatten contract as [[deleteWhere]].
+    val layout = if (partitionBy.nonEmpty) partitionBy else partitionLayout(layer, table)
     val df = readEvolved(layer, table)
     val repartitioned =
-      if (partitionBy.nonEmpty)
-        df.repartition(numFiles, partitionBy.map(df(_)): _*)
+      if (layout.nonEmpty)
+        df.repartition(numFiles, layout.map(df(_)): _*)
       else df.repartition(numFiles)
     val arranged =
       if (sortCols.nonEmpty)
         repartitioned.sortWithinPartitions(sortCols.map(df(_)): _*)
       else repartitioned
-    atomicOverwrite(arranged, layer, table, partitionBy)
+    atomicOverwrite(arranged, layer, table, layout)
+  }
+
+  /** The table's hive partition column chain, inferred from its
+    * directory structure (empty for a flat table) — a driver-side
+    * metadata walk down ONE branch, no data IO at any table size. */
+  def partitionLayout(layer: String, table: String): Seq[String] = {
+    @scala.annotation.tailrec
+    def descend(p: Path, acc: Vector[String]): Seq[String] = {
+      val sub = fs.listStatus(p).filter(st =>
+        st.isDirectory && st.getPath.getName.contains("="))
+      if (sub.isEmpty) acc
+      else descend(sub.head.getPath, acc :+ sub.head.getPath.getName.split("=", 2)(0))
+    }
+    val root = new Path(path(layer, table))
+    if (!fs.exists(root)) Nil else descend(root, Vector.empty)
   }
 
   /** Row-level DELETE (Delta `DELETE FROM ... WHERE`): rewrite the table
@@ -199,9 +222,13 @@ final class Warehouse(val spark: SparkSession, val root: String,
     // readEvolved, NOT read: a full-table rewrite through a plain read
     // would take one sampled footer's schema — on a schema-evolved
     // table that silently and PERMANENTLY drops the evolved columns
-    // from every row; the merged read keeps them (older rows NULL)
+    // from every row; the merged read keeps them (older rows NULL).
+    // Omitted partitionBy defaults to the table's EXISTING layout
+    // (inferred from the hive directory structure): a delete must never
+    // silently flatten a partitioned table and lose pruning.
+    val layout = if (partitionBy.nonEmpty) partitionBy else partitionLayout(layer, table)
     val remaining = readEvolved(layer, table).filter(coalesce(!predicate, lit(true)))
-    atomicOverwrite(remaining, layer, table, partitionBy)
+    atomicOverwrite(remaining, layer, table, layout)
   }
 
   /** Schema-evolving append (Delta `mergeSchema=true` append,
@@ -241,13 +268,27 @@ final class Warehouse(val spark: SparkSession, val root: String,
     * one join (which AQE/bucketing can co-locate). Value comparison is
     * null-safe per column. `keys` must be unique per snapshot (same
     * precondition as Delta MERGE; violations surface as multiplied join
-    * rows, so callers with doubt should dedupe first). */
+    * rows, so callers with doubt should dedupe first).
+    *
+    * Partition pruning (the Delta-CDF "read only changed files"
+    * behavior): when both generations are hive-partitioned the same
+    * way, a driver-side metadata diff (same walk as [[dataFiles]])
+    * finds the partitions whose FILE LISTS (name + length) differ, and
+    * each side reads only those partition directories — a partition
+    * carried unchanged across generations (archive renames preserve
+    * file identity) is never scanned, so CDC cost tracks the CHANGE
+    * volume, not the table size. File (name, length) identity is
+    * treated as content identity — sound here because every write
+    * produces fresh randomized file names; only a metadata-preserving
+    * rename can make the lists match. */
   def changesBetween(layer: String, table: String, keys: Seq[String],
                      fromBack: Int, toBack: Int = 0): DataFrame = {
     require(fromBack > toBack,
       s"changesBetween: fromBack ($fromBack) must be older than toBack ($toBack)")
-    val before = readVersion(layer, table, fromBack)
-    val after = readVersion(layer, table, toBack)
+    val beforeDir = generationPath(layer, table, fromBack)
+    val afterDir = generationPath(layer, table, toBack)
+    val (before, after) = prunedSnapshots(beforeDir, afterDir).getOrElse(
+      (spark.read.parquet(beforeDir.toString), spark.read.parquet(afterDir.toString)))
     require(before.columns.sorted.sameElements(after.columns.sorted),
       s"changesBetween($layer, $table): snapshot schemas differ " +
         s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")}); " +
@@ -271,6 +312,51 @@ final class Warehouse(val spark: SparkSession, val root: String,
           .when(differs, array(tagged("update_preimage", "b"), tagged("update_postimage", "a"))))
         .as("ch"))
       .select(col("ch._change_type") +: cols.map(c => col(s"ch.$c")): _*)
+  }
+
+  /** Both snapshots restricted to the hive partitions whose file lists
+    * differ — `None` when either side is unpartitioned or the partition
+    * column chains disagree (caller falls back to full scans). The walk
+    * is driver-side file METADATA only (listStatus), no data IO. */
+  private def prunedSnapshots(beforeDir: Path, afterDir: Path): Option[(DataFrame, DataFrame)] =
+    for {
+      bm <- partitionFileMap(beforeDir)
+      am <- partitionFileMap(afterDir)
+      // partition col chain of a map key: "year=1995/month=3" → (year, month)
+      chain = (m: Map[String, Set[(String, Long)]]) =>
+        m.keysIterator.next().split('/').toSeq.map(_.split("=", 2)(0))
+      if chain(bm) == chain(am)
+    } yield {
+      val changed = (bm.keySet ++ am.keySet).filter(p => bm.get(p) != am.get(p))
+      def side(dir: Path, m: Map[String, Set[(String, Long)]]): DataFrame = {
+        val dirs = changed.toSeq.sorted.filter(m.contains).map(p => s"$dir/$p")
+        // a side with no changed partitions: empty frame with the full
+        // schema (the literal-false filter folds to an empty relation —
+        // no scan runs)
+        if (dirs.isEmpty) spark.read.parquet(dir.toString).filter(lit(false))
+        else spark.read.option("basePath", dir.toString).parquet(dirs: _*)
+      }
+      (side(beforeDir, bm), side(afterDir, am))
+    }
+
+  /** Per-partition file lists `relativePartitionPath -> {(name, len)}`
+    * of a hive-partitioned directory; `None` for a flat layout. */
+  private def partitionFileMap(dir: Path): Option[Map[String, Set[(String, Long)]]] = {
+    if (!fs.exists(dir)) return None
+    val out = scala.collection.mutable.Map[String, Set[(String, Long)]]()
+    var flat = false
+    def walk(p: Path, rel: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name.contains("=")) walk(st.getPath, if (rel.isEmpty) name else s"$rel/$name")
+        } else if (name.endsWith(".parquet")) {
+          if (rel.isEmpty) flat = true
+          else out(rel) = out.getOrElse(rel, Set.empty[(String, Long)]) + ((name, st.getLen))
+        }
+      }
+    walk(dir, "")
+    if (flat || out.isEmpty) None else Some(out.toMap)
   }
 
   /** Data files of a table, recursing into hive partition directories

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -283,18 +283,27 @@ object Dedup {
     * Levenshtein exactly, so the whole operator is oracle-hashable.
     *
     * Scale shape: variants ≈ rows × avg-length — a projection-explode;
-    * the join key at 100 TB should be `xxhash64(v)` (8 bytes through
-    * the shuffle instead of the string; kept as the raw string here for
-    * the oracle mirror). Blocking degrades for very long strings
+    * the join (and the variant-dedup shuffle before it) keys on
+    * `xxhash64(v)` by default — 8 bytes through the shuffle instead of
+    * the ~word-length string. A hash collision only ADDS a spurious
+    * candidate pair, which the exact `levenshtein ≤ 1` filter kills, so
+    * the OUTPUT is provably identical to raw-string blocking — which is
+    * why the raw-string DuckDB oracle still hash-verifies the hashed
+    * plan (DedupSpec additionally asserts pair-for-pair parity of the
+    * two forms). `hashKey = false` keeps the raw-string key as the
+    * executable spec. Blocking degrades for very long strings
     * (length × rows variants) — for documents use the shingle/MinHash
     * family instead; this operator is for NAMES and short keys. */
-  def editDistancePairs(rows: DataFrame, idCol: String, strCol: String): DataFrame = {
+  def editDistancePairs(rows: DataFrame, idCol: String, strCol: String,
+                        hashKey: Boolean = true): DataFrame = {
+    val keyOf: Column => Column = if (hashKey) (v => xxhash64(v)) else identity
     val variants = rows.select(col(idCol).as("id"), col(strCol).as("name"))
       .select(col("id"), col("name"), explode(concat(
         array(col("name")),
         expr("transform(sequence(1, length(name)), " +
           "i -> concat(substring(name, 1, i-1), substring(name, i+1, length(name))))")))
         .as("v"))
+      .select(col("id"), col("name"), keyOf(col("v")).as("v"))
       .distinct() // repeated characters produce duplicate variants
     val a = variants.select(col("id").as("id_a"), col("name").as("name_a"), col("v"))
     val b = variants.select(col("id").as("id_b"), col("name").as("name_b"), col("v"))

@@ -159,13 +159,20 @@ object Graph {
         // RENDERING them; the checkpoint truncates to a constant-size
         // leaf. (On a cluster where executor loss matters, swap for
         // reliable `checkpoint()` — same call shape.)
+        // The FINAL round is always checkpointed too: it severs the
+        // result from the cached edge/strength tables (released in the
+        // finally below) and materializes it — replacing the
+        // cache()+count() this previously used, which pinned a
+        // CacheManager entry the caller had no handle to unpersist, so
+        // repeated invocations (the 125-query bench, iterative use)
+        // accumulated pinned executor storage forever. Checkpoint
+        // blocks are released when the result is garbage-collected.
         ranks =
-          if (r % materializeEvery == 0 && r < iterations) updated.localCheckpoint()
+          if (r % materializeEvery == 0 || r == iterations) updated.localCheckpoint()
           else updated
       }
-      val result = toDoubleRanks(ranks).cache()
-      result.count() // materialize before dropping the inputs it reads
-      result
+      // pure projection over the checkpointed leaf — nothing to pin
+      toDoubleRanks(ranks)
     } finally g.unpersistAll()
   }
 

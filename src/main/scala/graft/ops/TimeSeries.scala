@@ -35,20 +35,30 @@ import org.apache.spark.sql.functions._
  */
 object TimeSeries {
 
-  /** One aggregate over the observations (same bounded-cost pattern as
+  /** ONE probe job over the observations (same bounded-cost pattern as
     * scd2Merge's duplicate-staged-key guard): rejects NULL dates and
     * duplicate (keys, date) rows instead of silently producing
-    * order-dependent fills. */
+    * order-dependent fills. A single partial-aggregated pass — groupBy
+    * the grain (NULL dates group like any value; map-side combine keeps
+    * shuffle rows bounded by distinct grain keys), then roll both guard
+    * signals up in one global aggregate. The previous two-job form
+    * (a limit(1).count() NULL scan plus a separate dup groupBy) cost two
+    * full table scans per fill call — at 100 TB that is two extra reads
+    * of the whole series before any fill work starts. */
   private def requireDailyGrain(observed: DataFrame, keys: Seq[String],
                                 dateCol: String): Unit = {
-    val nullDates = observed.filter(col(dateCol).isNull).limit(1).count()
-    require(nullDates == 0L,
+    val row = observed.groupBy((keys :+ dateCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .agg(max(when(col(dateCol).isNull, lit(1)).otherwise(lit(0))).as("__has_null"),
+        max(col("__cnt")).as("__max_cnt"))
+      .head()
+    // empty input → global max over zero groups is NULL → both guards pass
+    val hasNull = !row.isNullAt(0) && row.getInt(0) == 1
+    val maxCnt = if (row.isNullAt(1)) 0L else row.getLong(1)
+    require(!hasNull,
       s"gap fill: observed has NULL $dateCol rows — they can never join a spine day; " +
         "filter or repair them upstream")
-    val dup = observed.groupBy((keys :+ dateCol).map(col): _*)
-      .agg(count(lit(1)).as("__dup_cnt"))
-      .filter(col("__dup_cnt") > 1).limit(1).count()
-    require(dup == 0L,
+    require(maxCnt <= 1L,
       s"gap fill: observed has duplicate rows per (${(keys :+ dateCol).mkString(", ")}) — " +
         "daily-grain uniqueness is required; pre-aggregate (latest-wins/mean) upstream")
   }
@@ -142,11 +152,29 @@ object TimeSeries {
     *
     * Scale shape: one window pass per key — no join, no second scan;
     * per-key partition size is the series length. */
+  /** The cent re-anchoring shared by every z-score entry point, with a
+    * RUNTIME range guard: a value whose DECIMAL(18,2) hop overflows
+    * (|v| ≥ ~10^16) would silently become NULL — excluded from mean/σ
+    * and scored NULL instead of FLAGGED, the worst failure for an
+    * anomaly screen. The guard is a per-row branch inside the existing
+    * expression (`raise_error` when the cast NULLs a non-NULL value):
+    * distributed, zero extra scans — unlike an eager probe job (the
+    * requireDailyGrain lesson), and loud like Graph.prepare's
+    * NULL-weight check. Values with >2 decimals round (documented). */
+  private def cents(valueCol: String): org.apache.spark.sql.Column = {
+    val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("bigint") // integral by construction → truncate == round
+    when(col(valueCol).isNotNull && vc.isNull,
+      raise_error(concat(
+        lit(s"zscore: $valueCol out of DECIMAL(18,2) cent range (|v| < ~10^16 required): "),
+        col(valueCol).cast("string"))).cast("bigint"))
+      .otherwise(vc)
+  }
+
   def zscoreAnomalies(series: DataFrame, keys: Seq[String],
                       valueCol: String, threshold: Double = 2.0): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
-    val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-      .cast("bigint") // integral by construction → truncate == round
+    val vc = cents(valueCol)
     // n counts NON-NULL values (like the sums): a NULL observation gets
     // a NULL z-score and does not bias its key's mean/σ
     val s = sum(vc).over(w).cast("double")
@@ -182,8 +210,7 @@ object TimeSeries {
     * on history once, broadcast it onto live events. */
   def zscoreBaseline(series: DataFrame, keys: Seq[String],
                      valueCol: String): DataFrame = {
-    val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-      .cast("bigint")
+    val vc = cents(valueCol)
     series.groupBy(keys.map(col): _*)
       .agg(sum(vc).cast("double").as("__s"), sum(vc * vc).cast("double").as("__q"),
         count(vc).cast("double").as("__n"))
@@ -201,8 +228,7 @@ object TimeSeries {
     * extreme anomaly there is — a blanket z=0 would hide it). */
   def zscoreAgainst(df: DataFrame, valueCol: String,
                     threshold: Double = 2.0): DataFrame = {
-    val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-      .cast("bigint")
+    val vc = cents(valueCol)
     df.withColumn("zscore", zEpilogue(vc.cast("double"), col("mean_c"), col("sd_c")))
       .withColumn("is_anomaly", abs(col("zscore")) > threshold)
   }

@@ -1,7 +1,9 @@
 package graft.queries
 
 import graft.{Det, Tables}
+import graft.engine.Warehouse
 import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Sampling, Similarity, TextOps, TimeSeries}
+import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -38,6 +40,17 @@ object ExtQueries {
       |           UNION ALL
       |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text
       |           FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** Shared by ev_retention (batch) and stream_retention_final (the
+    * streaming sink's maintained tables) — identical by construction. */
+  private val retentionOracleSql =
+    """WITH acts AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      |              FROM events WHERE event_id % 13 = 0),
+      |cohorts AS (SELECT u, min(d) AS cohort_d FROM acts GROUP BY u)
+      |SELECT c.cohort_d, datediff('day', c.cohort_d, a.d) AS day_offset,
+      |       count(DISTINCT a.u) AS n_users
+      |FROM acts a JOIN cohorts c ON a.u = c.u
+      |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin
 
   /** documents ∪ near copies (one appended token) of doc_id % 7 == 0,
     * copy ids offset by MAX(doc_id)+1 (collision-free at any SF) — KNOWN
@@ -962,6 +975,83 @@ object ExtQueries {
               |SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rn
               |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)),
 
+    // IVF retrieval QUALITY, not just output correctness: recall@5 of
+    // the IVF probe vs the brute-force exact top-5 on the same query
+    // set, at nprobe=1 and nprobe=2. Recall is SQL-computable from the
+    // two result sets, so the quality number itself is oracle-HASHED —
+    // and nprobe=2's candidate cells are a superset of nprobe=1's, so
+    // recall is provably non-decreasing (SimilaritySpec asserts the
+    // ordering; any item displacing an exact-top-5 hit must outrank it
+    // and is therefore itself an exact-top-5 hit).
+    Q("sim_ivf_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val queryIds = emb.filter(col("vec_id") < 3).select(col("vec_id"))
+        val qs = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("item_id"))
+        val exact5 = emb.crossJoin(broadcast(qs))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("item_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cosine"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 5)
+          .select("query_id", "item_id")
+        def leg(np: Int): DataFrame =
+          Similarity.ivfSearch(emb, queryIds, "embedding", "vec_id",
+            cents, "c_vec", "c_id", k = 5, nprobe = np)
+            .join(exact5, Seq("query_id", "item_id"), "left_semi")
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(np).as("nprobe"), col("hits"),
+              // 3 queries × k=5 ground-truth pairs
+              (col("hits").cast(DoubleType) / lit(15.0)).as("recall"))
+        leg(1).unionByName(leg(2)).orderBy("nprobe")
+      },
+      Some {
+        def ivfLeg(np: Int) =
+          s"""SELECT query_id, item_id FROM (
+             |  SELECT qs.query_id, items.item_id,
+             |         row_number() OVER (PARTITION BY qs.query_id
+             |             ORDER BY ${Similarity.cosineSql("qs.qv", "items.item_vec")} DESC,
+             |                      items.item_id) AS rn
+             |  FROM (SELECT vec_id AS query_id, c_id, embedding AS qv
+             |        FROM ranked WHERE arn <= $np AND vec_id < 3) qs
+             |  JOIN items USING (c_id)
+             |  WHERE items.item_id <> qs.query_id)
+             |WHERE rn <= 5""".stripMargin
+        s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+           |scored AS (SELECT e.vec_id, e.embedding, c.c_id,
+           |                  ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+           |           FROM embeddings e CROSS JOIN cents c),
+           |ranked AS (SELECT vec_id, embedding, c_id,
+           |                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS arn
+           |           FROM scored),
+           |items AS (SELECT c_id, vec_id AS item_id, embedding AS item_vec FROM ranked WHERE arn = 1),
+           |exact5 AS (SELECT query_id, item_id FROM (
+           |  SELECT q.vec_id AS query_id, e.vec_id AS item_id,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY ${Similarity.cosineSql("e.embedding", "q.embedding")} DESC,
+           |                      e.vec_id) AS rn
+           |  FROM embeddings e
+           |  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+           |  WHERE e.vec_id <> q.vec_id)
+           |  WHERE rn <= 5),
+           |ivf1 AS (${ivfLeg(1)}),
+           |ivf2 AS (${ivfLeg(2)}),
+           |h1 AS (SELECT count(*) AS hits FROM ivf1 JOIN exact5 USING (query_id, item_id)),
+           |h2 AS (SELECT count(*) AS hits FROM ivf2 JOIN exact5 USING (query_id, item_id))
+           |SELECT CAST(1 AS INTEGER) AS nprobe, CAST(hits AS BIGINT) AS hits,
+           |       CAST(hits AS DOUBLE) / 15.0 AS recall FROM h1
+           |UNION ALL
+           |SELECT CAST(2 AS INTEGER), CAST(hits AS BIGINT),
+           |       CAST(hits AS DOUBLE) / 15.0 FROM h2
+           |ORDER BY nprobe""".stripMargin
+      }),
+
     // ── Event-time processing ──────────────────────────────────────────
 
     // JSON property extraction with explicit schema (generalizes the
@@ -1109,13 +1199,40 @@ object ExtQueries {
       (s, dir) => EventOps.retentionCohorts(
         Tables.events(s, dir).filter(col("event_id") % 13 === 0), "user_id", "ts")
         .orderBy("cohort_d", "day_offset"),
-      Some("""WITH acts AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
-             |              FROM events WHERE event_id % 13 = 0),
-             |cohorts AS (SELECT u, min(d) AS cohort_d FROM acts GROUP BY u)
-             |SELECT c.cohort_d, datediff('day', c.cohort_d, a.d) AS day_offset,
-             |       count(DISTINCT a.u) AS n_users
-             |FROM acts a JOIN cohorts c ON a.u = c.u
-             |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin)),
+      Some(retentionOracleSql)),
+
+    // The streaming surface's oracle-hashed entry (every other streaming
+    // op is unit-verified by batch parity — the driver oracle cannot run
+    // a stream, but it CAN hash the FINAL warehouse table a sink
+    // maintains): the events table replayed as a file stream in small
+    // micro-batches through [[StreamOps.retentionSink]] (foreachBatch
+    // insert-only + min-merge into two compact warehouse tables), then
+    // the retention triangle derived from the maintained tables. Same
+    // oracle as ev_retention — the sink's incremental merges must land
+    // exactly where the one-shot batch aggregation lands.
+    Q("stream_retention_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_ret_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // fresh state every run: a retained checkpoint alongside dropped
+        // tables would claim the files were processed and emit nothing
+        fs.delete(base, true)
+        // stage the (thinned, ts-normalized) events as a DIRECTORY of
+        // several files — the file stream source needs a dir, and
+        // maxFilesPerTrigger=1 then replays it as real micro-batches so
+        // the sink's insert-only/min merges actually merge across them
+        val staged = s"$base/in"
+        Tables.events(s, dir).filter(col("event_id") % 13 === 0)
+          .repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(2))
+        val wh = new Warehouse(s, s"$base/wh")
+        StreamOps.retentionSink(stream, wh, "silver", s"$base/ckpt").awaitTermination()
+        StreamOps.retentionFromWarehouse(wh, "silver")
+          .orderBy("cohort_d", "day_offset")
+      },
+      Some(retentionOracleSql)),
 
     // ── Multimodal plumbing ────────────────────────────────────────────
 
@@ -1569,6 +1686,32 @@ object ExtQueries {
           Profile.profileLegSql(t, "o_totalprice", numeric = true),
           Profile.profileLegSql(t, "o_orderstatus", numeric = false),
           Profile.profileLegSql(t, "status_nn", numeric = false))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
+    // The 100 TB profile variant: approx_count_distinct (HLL++) legs —
+    // bounded agg state instead of an exact distinct's key set. The
+    // estimate itself is not DuckDB-computable, so each leg hashes the
+    // exact count plus `approx_ok` (estimate within 5× the configured
+    // rsd) — the agg_approx_distinct contract: a broken sketch
+    // hash-mismatches instead of passing as "no_oracle".
+    Q("prof_orders_approx",
+      (s, dir) => Profile.profileApprox(
+        Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_nn")),
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "status_nn"))
+        .orderBy("column_name"),
+      Some {
+        val t = "(SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, " +
+          "NULLIF(o_orderstatus, 'P') AS status_nn FROM orders) prof_src"
+        Seq(
+          Profile.profileApproxLegSql(t, "o_orderkey", numeric = true),
+          Profile.profileApproxLegSql(t, "o_custkey", numeric = true),
+          Profile.profileApproxLegSql(t, "o_totalprice", numeric = true),
+          Profile.profileApproxLegSql(t, "o_orderstatus", numeric = false),
+          Profile.profileApproxLegSql(t, "status_nn", numeric = false))
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 

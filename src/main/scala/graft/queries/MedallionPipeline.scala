@@ -73,7 +73,11 @@ object MedallionPipeline {
   def runTimed(s: SparkSession, dir: String,
                whRoot: String): (DataFrame, Seq[(String, Double)]) = {
     val stages = scala.collection.mutable.ArrayBuffer[(String, Double)]()
-    val wh = new Warehouse(s, whRoot)
+    // keepVersions=0: the pipeline's tables are rebuilt from scratch
+    // every run — archiving each overwritten generation (r9's versioned
+    // Warehouse default) buys nothing here and bills extra FS renames +
+    // retention deletes to every stage; time travel has its own queries
+    val wh = new Warehouse(s, whRoot, keepVersions = 0)
     wh.dropTable("bronze", "stocks")
     wh.dropTable("silver", "daily_stocks")
     wh.dropTable("gold", "monthly_summary")

@@ -255,10 +255,18 @@ object StreamOps {
     * [[graft.ops.TimeSeries.zscoreAnomalies]] when the baseline is
     * trained on the same data the stream replays. */
   def anomalyStream(stream: DataFrame, baseline: DataFrame, keys: Seq[String],
-                    valueCol: String, threshold: Double = 2.0): DataFrame =
+                    valueCol: String, threshold: Double = 2.0): DataFrame = {
+    // same collision contract as Warehouse.changesBetween's _change_type
+    // check: the join would make mean_c/sd_c ambiguous (or score against
+    // the wrong column) if the stream already carries them
+    val clash = stream.columns.toSet.intersect(Set("mean_c", "sd_c"))
+    require(clash.isEmpty,
+      s"anomalyStream: stream already has column(s) ${clash.mkString(", ")} — " +
+        "they collide with the baseline stats; rename them first")
     graft.ops.TimeSeries.zscoreAgainst(
       stream.join(broadcast(baseline), keys, "left"), valueCol, threshold)
       .drop("mean_c", "sd_c")
+  }
 
   /** Run any streaming result to an in-memory table with AvailableNow
     * (drain everything outstanding, then stop) and return the sink. */

@@ -197,4 +197,21 @@ class DedupSpec extends SparkSpec {
     // but 2/5 ("abd"/"abc") and 3/5, 4/5 mirror the baseline's pairs
     assert(got.contains((2L, 5L, 1)) && got.contains((3L, 5L, 1)) && got.contains((4L, 5L, 1)))
   }
+
+  test("hashed-key editDistancePairs is pair-identical to raw-string blocking") {
+    import spark.implicits._
+    // the 8-byte xxhash64 shuffle key may only ADD candidates (hash
+    // collisions), which the exact levenshtein filter kills — so the
+    // two forms must return the same pair set, row for row
+    val rows = Seq(
+      (1L, "abc"), (2L, "abd"), (3L, "ab"), (4L, "xabc"),
+      (5L, "abc"), (6L, "xyz"), (7L, "aab"), (8L, "aba"))
+      .toDF("id", "name")
+    def pairs(hashKey: Boolean) =
+      Dedup.editDistancePairs(rows, "id", "name", hashKey)
+        .orderBy("id_a", "id_b")
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .collect().toSeq
+    assert(pairs(hashKey = true) == pairs(hashKey = false))
+  }
 }

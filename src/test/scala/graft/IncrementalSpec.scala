@@ -243,6 +243,49 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("_change_type"))
   }
 
+  test("deleteWhere preserves hive partition layout when partitionBy is omitted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_del_part").toString
+    val wh = new Warehouse(spark, root)
+    wh.atomicOverwrite(
+      Seq((1L, 2024, "a"), (2L, 2024, "b"), (3L, 2025, "c")).toDF("id", "year", "v"),
+      "silver", "t", partitionBy = Seq("year"))
+    assert(wh.partitionLayout("silver", "t") == Seq("year"))
+    // no partitionBy passed — the rewrite must NOT flatten the layout
+    wh.deleteWhere("silver", "t", col("id") === 2L)
+    assert(wh.partitionLayout("silver", "t") == Seq("year"))
+    assert(wh.read("silver", "t").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("changesBetween prunes partitions whose file lists are unchanged") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_cdc_prune").toString
+    val wh = new Warehouse(spark, root)
+    wh.atomicOverwrite(
+      Seq((1L, "a", 1), (2L, "b", 2)).toDF("id", "v", "k"),
+      "gold", "t", partitionBy = Seq("k"))
+    // fabricate an archived generation whose k=1 files are IDENTICAL to
+    // the current table's (what any metadata-preserving archive — a
+    // rename, a dynamic partition overwrite leaving k=1 alone — yields):
+    // copy the table dir wholesale, then mutate ONLY partition k=2
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$root/gold/t")
+    val dst = new org.apache.hadoop.fs.Path(s"$root/.versions/gold/t/v000000000001")
+    val fs = src.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    wh.append(Seq((3L, "c", 2)).toDF("id", "v", "k"), "gold", "t", Seq("k"))
+
+    val ch = wh.changesBetween("gold", "t", Seq("id"), fromBack = 1)
+    // the unchanged partition's files are never scanned — the Delta-CDF
+    // "read only changed files" behavior
+    assert(ch.inputFiles.nonEmpty && ch.inputFiles.forall(!_.contains("k=1")),
+      s"k=1 leaked into the scan: ${ch.inputFiles.mkString(", ")}")
+    val rows = ch.select("_change_type", "id", "v").as[(String, Long, String)]
+      .collect().toSeq
+    assert(rows == Seq(("insert", 3L, "c"))) // id=2 unchanged inside k=2 → dropped by the join
+  }
+
   test("changesBetween is null-safe on keys and values") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_wh_cdc_null").toString

@@ -33,5 +33,29 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Profile.profile(Seq((1, 2)).toDF("a", "b"), Seq())
     }
+    intercept[IllegalArgumentException] {
+      Profile.profileApprox(Seq((1, 2)).toDF("a", "b"), Seq())
+    }
+  }
+
+  test("profileApprox: estimate within bound, all-NULL column vacuously ok, no Expand") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), Some("a")), (Some(2), None), (None, Option.empty[String]))
+      .toDF("num", "half_null")
+      .withColumn("all_null", lit(null).cast("string"))
+    val out = Profile.profileApprox(df, Seq("num", "half_null", "all_null"))
+      .orderBy("column_name").collect()
+    out.foreach { r =>
+      assert(r.getInt(r.fieldIndex("approx_ok")) == 1,
+        s"${r.getString(0)}: HLL estimate out of bound")
+    }
+    val allNull = out(0)
+    assert(allNull.getString(0) == "all_null"
+      && allNull.getLong(allNull.fieldIndex("n_distinct")) == 0)
+    // a single-distinct + regular-agg leg must plan via the one-distinct
+    // path, not the multi-distinct Expand that multiplies scan rows
+    val plan = Profile.profileApprox(df, Seq("num", "half_null"))
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("Expand"), s"profileApprox planned an Expand:\n$plan")
   }
 }

@@ -25,6 +25,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_recall: recall@5 is non-decreasing in nprobe") {
+    // nprobe=2's candidate cells are a superset of nprobe=1's, so hits
+    // against the exact top-5 can only grow (any displacing item must
+    // outrank the displaced one and is therefore itself a true hit)
+    val rows = SparkEntry.queries("sim_ivf_recall")(spark, dir)
+      .orderBy("nprobe").collect()
+    assert(rows.length == 2)
+    val (r1, r2) = (rows(0).getDouble(2), rows(1).getDouble(2))
+    assert(r1 > 0.0, "nprobe=1 probe found nothing")
+    assert(r2 >= r1, s"recall regressed with a larger probe: $r1 -> $r2")
+  }
+
+  test("stream_retention_final equals the batch retention triangle") {
+    val streamed = SparkEntry.queries("stream_retention_final")(spark, dir).collect().toSeq
+    val batch = SparkEntry.queries("ev_retention")(spark, dir).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("rows-only queries are non-empty (driver records row counts)") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     rowsOnly.foreach { name =>

@@ -14,6 +14,9 @@ object SparkSpec {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // the driver testdata's events.ts is INT64 TIMESTAMP(NANOS) — same
+    // config the Bench/Verify mains run with (Tables.events normalizes)
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 }
 

@@ -273,6 +273,15 @@ class StreamingSpec extends SparkSpec {
       && dev(0).getBoolean(dev(0).fieldIndex("is_anomaly")))
     assert(dev(1).getDouble(dev(1).fieldIndex("zscore")) == 0.0
       && !dev(1).getBoolean(dev(1).fieldIndex("is_anomaly")))
+
+    // a stream already carrying the baseline stat columns would make the
+    // join ambiguous (or score against the wrong column) — refused loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.anomalyStream(
+        Seq((10L, 2L, 1.0, 0.0)).toDF("event_id", "user_id", "value", "mean_c"),
+        constBase, Seq("user_id"), "value")
+    }
+    assert(e.getMessage.contains("mean_c"))
   }
 
   test("streaming sessions match batch sessions once all windows close") {

@@ -60,6 +60,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(e2.getMessage.contains("NULL"))
   }
 
+  test("zscore fails loudly on values beyond the DECIMAL(18,2) cent range") {
+    import spark.implicits._
+    // under ANSI (Spark 4 default) the decimal hop itself throws
+    // NUMERIC_VALUE_OUT_OF_RANGE; with ANSI off it would silently NULL —
+    // excluded from mean/σ and scored NULL instead of FLAGGED — which
+    // the in-expression raise_error guard turns into the same loud
+    // failure. Either way: an out-of-range value must never score NULL.
+    val bad = Seq(("a", 1.0), ("a", 2.0), ("a", 1.0e17)).toDF("k", "v")
+    val e = intercept[Exception] {
+      TimeSeries.zscoreAnomalies(bad, Seq("k"), "v").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(m =>
+      m.contains("cent range") || m.contains("NUMERIC_VALUE_OUT_OF_RANGE")),
+      chain(e).mkString(" | "))
+    val ok = Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v")
+    assert(TimeSeries.zscoreAnomalies(ok, Seq("k"), "v").collect().length == 2)
+  }
+
   test("zscoreAnomalies flags the outlier, constant series score 0") {
     import spark.implicits._
     val series = Seq(
