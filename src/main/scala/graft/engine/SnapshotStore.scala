@@ -1,0 +1,239 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * Manifest-versioned table store — the production table-format shape
+ * ([[Warehouse]]'s scaladoc calls a manifest format "the production
+ * answer and this class is the seam where it would plug in"; this is
+ * that seam, filled). The reference gets these semantics for free from
+ * Delta's `_delta_log` (ingest_stocks.py:102-111,
+ * transforme_stock_silver.py:136-154); with no Delta jar in this
+ * environment, the mechanism is re-implemented the way Delta/Iceberg
+ * actually do it: an immutable DATA FILE POOL plus a tiny per-snapshot
+ * MANIFEST listing which pool files are visible.
+ *
+ * Layout: `<root>/<layer>/<table>/data/<hive partition dirs>/part-*`
+ * (files only ever added, never mutated) and
+ * `<root>/<layer>/<table>/_manifests/m<id>` (line 1 = schema JSON,
+ * following lines = pool-relative file paths). A snapshot IS its
+ * manifest — a few KB at any table size.
+ *
+ * What the manifest mechanism buys over directory-swap versioning:
+ *
+ *   - **Zero-copy snapshots**: generations SHARE unchanged files; a
+ *     commit's cost is the new data plus one small manifest write,
+ *     never a table rewrite or rename fan-out.
+ *   - **Dynamic partition overwrite** ([[overwritePartitions]]): only
+ *     touched partitions' files are replaced in the manifest; untouched
+ *     partitions keep their physical files — the daily-load shape at
+ *     100 TB, where a day's commit touches a handful of partitions.
+ *   - **File-granular CDC** ([[changesBetween]]): diffing two manifests
+ *     is a driver-side set difference; files SHARED by both snapshots
+ *     are provably identical (pool files are immutable) and are never
+ *     scanned — CDC cost tracks the change volume, not the table size.
+ *   - **Snapshot-isolated reads**: visibility is the committed
+ *     manifest, not a directory listing, so readers never observe a
+ *     half-written commit (the manifest lands via tmp+rename AFTER its
+ *     data files) and never lose the table mid-swap (the
+ *     directory-swap emulation's one caveat).
+ *   - **VACUUM** ([[vacuum]]): pool files referenced by no retained
+ *     manifest are deleted — storage reclamation is decoupled from
+ *     commits, exactly like Delta's VACUUM.
+ *
+ * Concurrency contract: single writer (manifest ids are assigned by
+ * listing). Delta adds optimistic concurrency on the log for multiple
+ * writers; out of scope here. Readers are always safe.
+ */
+final class SnapshotStore(val spark: SparkSession, val root: String,
+                          val keepSnapshots: Int = 10) {
+  require(keepSnapshots >= 1, "SnapshotStore: keepSnapshots must be >= 1")
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def dataDir(layer: String, table: String): String = s"$root/$layer/$table/data"
+  private def manifestDir(layer: String, table: String): Path =
+    new Path(s"$root/$layer/$table/_manifests")
+
+  /** Committed snapshot ids, oldest first. */
+  def snapshots(layer: String, table: String): Seq[Long] = {
+    val dir = manifestDir(layer, table)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("m")).map(_.drop(1).toLong).sorted
+  }
+
+  def tableExists(layer: String, table: String): Boolean =
+    snapshots(layer, table).nonEmpty
+
+  /** (schema, pool-relative file paths) of a committed manifest. */
+  private def readManifest(layer: String, table: String, id: Long): (StructType, Seq[String]) = {
+    val p = new Path(manifestDir(layer, table), f"m$id%012d")
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+    require(lines.nonEmpty, s"SnapshotStore: corrupt manifest $p")
+    (DataType.fromJson(lines.head).asInstanceOf[StructType], lines.tail)
+  }
+
+  /** Commit protocol: write to a tmp name, then rename into place —
+    * the manifest (hence the snapshot) appears atomically, AFTER every
+    * data file it references exists. */
+  private def writeManifest(layer: String, table: String, id: Long,
+                            schema: StructType, files: Seq[String]): Unit = {
+    val dir = manifestDir(layer, table)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, f".m$id%012d.tmp")
+    val out = fs.create(tmp, false)
+    try out.write((schema.json +: files).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, new Path(dir, f"m$id%012d")),
+      s"SnapshotStore: concurrent commit detected for $layer/$table snapshot $id")
+    // retention: drop manifests beyond keepSnapshots (data files stay
+    // until vacuum — reclamation is decoupled from commits)
+    snapshots(layer, table).dropRight(keepSnapshots).foreach { old =>
+      fs.delete(new Path(dir, f"m$old%012d"), true)
+    }
+  }
+
+  /** Pool-relative paths of the parquet files under `dataDir`. */
+  private def listPool(layer: String, table: String): Set[String] = {
+    val base = new Path(dataDir(layer, table))
+    if (!fs.exists(base)) return Set.empty
+    val baseUri = base.toUri.getPath
+    def walk(p: Path): Seq[Path] = {
+      val (dirs, files) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+      files.map(_.getPath) ++ dirs.flatMap(d => walk(d.getPath))
+    }
+    walk(base).map(_.toUri.getPath.stripPrefix(baseUri).stripPrefix("/"))
+      .filter(_.endsWith(".parquet")).toSet
+  }
+
+  /** Append `df`'s rows as new pool files and return their relative
+    * paths. The pool only ever gains files (mode=Append with unique
+    * task UUIDs in file names), so a before/after listing diff
+    * identifies exactly this write's files — a driver-side metadata
+    * pass. */
+  private def writeIntoPool(df: DataFrame, layer: String, table: String,
+                            partitionBy: Seq[String]): Seq[String] = {
+    val before = listPool(layer, table)
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dataDir(layer, table))
+    (listPool(layer, table) -- before).toSeq.sorted
+  }
+
+  private def nextId(layer: String, table: String): Long =
+    snapshots(layer, table).lastOption.getOrElse(0L) + 1
+
+  /** Schema including hive partition columns (the pool write moves
+    * `partitionBy` cols into directory names; the manifest records the
+    * LOGICAL schema so empty snapshots stay readable). */
+  private def commit(df: DataFrame, layer: String, table: String,
+                     files: Seq[String]): Long = {
+    val id = nextId(layer, table)
+    writeManifest(layer, table, id, df.schema, files)
+    id
+  }
+
+  /** Full overwrite: the new snapshot sees only this commit's files.
+    * Zero data is copied or deleted — prior snapshots keep reading
+    * their own files. Returns the snapshot id. */
+  def overwrite(df: DataFrame, layer: String, table: String,
+                partitionBy: Seq[String] = Nil): Long =
+    commit(df, layer, table, writeIntoPool(df, layer, table, partitionBy))
+
+  /** Append: the new snapshot sees the previous snapshot's files plus
+    * this commit's. */
+  def append(df: DataFrame, layer: String, table: String,
+             partitionBy: Seq[String] = Nil): Long = {
+    val prev = snapshots(layer, table).lastOption
+      .map(readManifest(layer, table, _)._2).getOrElse(Nil)
+    commit(df, layer, table, (prev ++ writeIntoPool(df, layer, table, partitionBy)).sorted)
+  }
+
+  /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
+    * dynamic`, Delta `replaceWhere` by partition): replace ONLY the
+    * partitions `df` carries rows for; every other partition keeps its
+    * physical files, carried into the new manifest by reference. The
+    * touched-partition set is read from the NEW files' own paths — no
+    * extra job over `df` and no driver collect of data. */
+  def overwritePartitions(df: DataFrame, layer: String, table: String,
+                          partitionBy: Seq[String]): Long = {
+    require(partitionBy.nonEmpty,
+      "overwritePartitions: partitionBy is required (use overwrite for flat tables)")
+    val prev = snapshots(layer, table).lastOption
+      .map(readManifest(layer, table, _)._2).getOrElse(Nil)
+    val added = writeIntoPool(df, layer, table, partitionBy)
+    // partition dir chain of a pool-relative path: "year=1996/part-x" → "year=1996"
+    def partOf(rel: String): String =
+      rel.split('/').takeWhile(_.contains("=")).mkString("/")
+    val touched = added.map(partOf).toSet
+    val kept = prev.filterNot(f => touched.contains(partOf(f)))
+    commit(df, layer, table, (kept ++ added).sorted)
+  }
+
+  /** Read the latest snapshot. */
+  def read(layer: String, table: String): DataFrame =
+    readSnapshot(layer, table,
+      snapshots(layer, table).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SnapshotStore: no committed snapshot for $layer/$table")))
+
+  /** Time travel: read snapshot `id` exactly as committed. Reads go
+    * through the manifest's explicit file list (basePath keeps hive
+    * partition columns), so a snapshot is reproducible even after later
+    * commits add files to the same partition directories. */
+  def readSnapshot(layer: String, table: String, id: Long): DataFrame = {
+    val ids = snapshots(layer, table)
+    require(ids.contains(id),
+      s"SnapshotStore: snapshot $id of $layer/$table not retained (have: ${ids.mkString(",")})")
+    val (schema, files) = readManifest(layer, table, id)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.option("basePath", dataDir(layer, table))
+        .parquet(files.map(f => s"${dataDir(layer, table)}/$f"): _*)
+  }
+
+  /** CDC between two snapshots, pruned at FILE granularity: pool files
+    * are immutable, so files present in both manifests hold identical
+    * rows and are never scanned — each side reads only its exclusive
+    * files. A dynamic-partition commit that touched 1 of 10k partitions
+    * scans ~2 partitions' worth of data regardless of table size. */
+  def changesBetween(layer: String, table: String, keys: Seq[String],
+                     fromId: Long, toId: Long): DataFrame = {
+    require(fromId < toId, s"changesBetween: fromId ($fromId) must precede toId ($toId)")
+    val (fromSchema, fromFiles) = readManifest(layer, table, fromId)
+    val (toSchema, toFiles) = readManifest(layer, table, toId)
+    def side(own: Seq[String], other: Seq[String], schema: StructType): DataFrame = {
+      val excl = (own.toSet -- other.toSet).toSeq.sorted
+      if (excl.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("basePath", dataDir(layer, table))
+        .parquet(excl.map(f => s"${dataDir(layer, table)}/$f"): _*)
+    }
+    ChangeFeed.classify(
+      side(fromFiles, toFiles, fromSchema), side(toFiles, fromFiles, toSchema),
+      keys, s"changesBetween($layer, $table)")
+  }
+
+  /** Delete pool files referenced by NO retained manifest (Delta
+    * VACUUM): a driver-side set difference over file paths, then
+    * deletes. Safe at any time — retained snapshots keep every file
+    * they reference. Returns how many files were removed. */
+  def vacuum(layer: String, table: String): Int = {
+    val referenced = snapshots(layer, table)
+      .flatMap(readManifest(layer, table, _)._2).toSet
+    val orphans = listPool(layer, table) -- referenced
+    orphans.foreach(f => fs.delete(new Path(s"${dataDir(layer, table)}/$f"), false))
+    orphans.size
+  }
+
+  def dropTable(layer: String, table: String): Unit = {
+    fs.delete(new Path(s"$root/$layer/$table"), true)
+    ()
+  }
+}

@@ -289,29 +289,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val afterDir = generationPath(layer, table, toBack)
     val (before, after) = prunedSnapshots(beforeDir, afterDir).getOrElse(
       (spark.read.parquet(beforeDir.toString), spark.read.parquet(afterDir.toString)))
-    require(before.columns.sorted.sameElements(after.columns.sorted),
-      s"changesBetween($layer, $table): snapshot schemas differ " +
-        s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")}); " +
-        "read evolved snapshots through a projection first")
-    val cols = before.columns.toSeq
-    require(!cols.contains("_change_type"),
-      s"changesBetween($layer, $table): the table already has a _change_type column " +
-        "— the CDC tag would collide; rename it first")
-    val valueCols = cols.filterNot(keys.contains)
-    val b = before.select(struct(cols.map(col): _*).as("b"))
-    val a = after.select(struct(cols.map(col): _*).as("a"))
-    val joined = b.join(a, keys.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _), "full_outer")
-    val differs = valueCols.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    def tagged(tag: String, side: String) =
-      struct(lit(tag).as("_change_type") +: cols.map(c => col(s"$side.$c")): _*)
-    joined
-      .select(explode( // no-change rows fall to NULL, which explode drops
-        when(col("b").isNull, array(tagged("insert", "a")))
-          .when(col("a").isNull, array(tagged("delete", "b")))
-          .when(differs, array(tagged("update_preimage", "b"), tagged("update_postimage", "a"))))
-        .as("ch"))
-      .select(col("ch._change_type") +: cols.map(c => col(s"ch.$c")): _*)
+    ChangeFeed.classify(before, after, keys, s"changesBetween($layer, $table)")
   }
 
   /** Both snapshots restricted to the hive partitions whose file lists
@@ -369,5 +347,40 @@ final class Warehouse(val spark: SparkSession, val root: String,
       files.map(_.getPath) ++ dirs.flatMap(d => walk(d.getPath))
     }
     walk(root).map(_.getName).filter(_.endsWith(".parquet"))
+  }
+}
+
+/** The CDC classification shared by [[Warehouse.changesBetween]] and
+  * [[SnapshotStore.changesBetween]]: full-outer join two snapshots on
+  * `keys`, tag every row `insert` / `delete` /
+  * `update_preimage`+`update_postimage`; unchanged rows vanish. One
+  * keyed shuffle join + one narrow explode — no second pass, no driver
+  * involvement. Value comparison is null-safe per column. */
+private[engine] object ChangeFeed {
+  def classify(before: DataFrame, after: DataFrame, keys: Seq[String],
+               label: String): DataFrame = {
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"$label: snapshot schemas differ " +
+        s"(${before.columns.mkString(",")} vs ${after.columns.mkString(",")}); " +
+        "read evolved snapshots through a projection first")
+    val cols = before.columns.toSeq
+    require(!cols.contains("_change_type"),
+      s"$label: the table already has a _change_type column " +
+        "— the CDC tag would collide; rename it first")
+    val valueCols = cols.filterNot(keys.contains)
+    val b = before.select(struct(cols.map(col): _*).as("b"))
+    val a = after.select(struct(cols.map(col): _*).as("a"))
+    val joined = b.join(a, keys.map(k => col(s"b.$k") <=> col(s"a.$k")).reduce(_ && _), "full_outer")
+    val differs = valueCols.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def tagged(tag: String, side: String) =
+      struct(lit(tag).as("_change_type") +: cols.map(c => col(s"$side.$c")): _*)
+    joined
+      .select(explode( // no-change rows fall to NULL, which explode drops
+        when(col("b").isNull, array(tagged("insert", "a")))
+          .when(col("a").isNull, array(tagged("delete", "b")))
+          .when(differs, array(tagged("update_preimage", "b"), tagged("update_postimage", "a"))))
+        .as("ch"))
+      .select(col("ch._change_type") +: cols.map(c => col(s"ch.$c")): _*)
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.engine.{Incremental, Merge, Warehouse}
+import graft.engine.{Incremental, Merge, SnapshotStore, Warehouse}
 import graft.ops.{Sanitize, StockOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1345,7 +1345,92 @@ object RefQueries {
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Manifest-versioned store + DYNAMIC partition overwrite (Spark
+    // partitionOverwriteMode=dynamic / Delta replaceWhere — the
+    // daily-load shape at 100 TB): gold is committed partitioned by
+    // ano, then ONLY ano=1996 is recomputed from the full data and
+    // overwritten; every other year's partition carries its physical
+    // files into the new snapshot by manifest reference — zero copy,
+    // zero rewrite (SnapshotStoreSpec asserts file identity). The
+    // oracle replays the splice in SQL.
+    Q("m_snapshot_dynamic",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_dyn_${new java.io.File(dir).getName}")
+        st.dropTable("gold", "monthly")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-06-15 00:00:00")
+        st.overwrite(gold(li.filter(col("l_shipdate") < lit(cut))),
+          "gold", "monthly", Seq("ano"))
+        st.overwritePartitions(gold(li).filter(col("ano") === 1996),
+          "gold", "monthly", Seq("ano"))
+        st.read("gold", "monthly")
+          .select("sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH prev_g AS (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-06-15 00:00:00'")}),
+              |curr_g AS (${StockOps.goldSql()})
+              |SELECT * FROM prev_g WHERE ano <> 1996
+              |UNION ALL
+              |SELECT * FROM curr_g WHERE ano = 1996
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
+    // File-granular CDC over the manifest store: the two snapshots
+    // share every partition except ano=1996, and shared pool files are
+    // provably identical (immutable), so the diff scans ONLY the 1996
+    // files of each side — CDC cost tracks the change volume, not the
+    // table size (SnapshotStoreSpec asserts untouched partitions never
+    // enter the scan). Jan-May 1996 is identical on both sides and
+    // vanishes in the classify join; June straddles the cut (update
+    // pair); Jul-Dec exist only after (inserts).
+    Q("m_snapshot_cdc",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_cdc_${new java.io.File(dir).getName}")
+        st.dropTable("gold", "monthly")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-06-15 00:00:00")
+        val v1 = st.overwrite(gold(li.filter(col("l_shipdate") < lit(cut))),
+          "gold", "monthly", Seq("ano"))
+        val v2 = st.overwritePartitions(gold(li).filter(col("ano") === 1996),
+          "gold", "monthly", Seq("ano"))
+        st.changesBetween("gold", "monthly",
+          Seq("sigla_empresa", "ano", "mes"), v1, v2)
+          .select("_change_type", "sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("_change_type", "sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH prev_g AS (SELECT * FROM (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-06-15 00:00:00'")}) WHERE ano = 1996),
+              |curr_g AS (SELECT * FROM (${StockOps.goldSql()}) WHERE ano = 1996),
+              |diff AS (
+              |  SELECT p.sigla_empresa, p.ano, p.mes FROM prev_g p
+              |  JOIN curr_g c USING (sigla_empresa, ano, mes)
+              |  WHERE p.data_inicio_mes IS DISTINCT FROM c.data_inicio_mes
+              |     OR p.volume_total_mensal IS DISTINCT FROM c.volume_total_mensal
+              |     OR p.preco_medio_fechamento_mensal IS DISTINCT FROM c.preco_medio_fechamento_mensal
+              |     OR p.maximo_mensal IS DISTINCT FROM c.maximo_mensal
+              |     OR p.minimo_mensal IS DISTINCT FROM c.minimo_mensal)
+              |SELECT 'insert' AS _change_type, c.* FROM curr_g c
+              |WHERE NOT EXISTS (SELECT 1 FROM prev_g p
+              |  WHERE p.sigla_empresa = c.sigla_empresa AND p.ano = c.ano AND p.mes = c.mes)
+              |UNION ALL
+              |SELECT 'delete' AS _change_type, p.* FROM prev_g p
+              |WHERE NOT EXISTS (SELECT 1 FROM curr_g c
+              |  WHERE c.sigla_empresa = p.sigla_empresa AND c.ano = p.ano AND c.mes = p.mes)
+              |UNION ALL
+              |SELECT 'update_preimage' AS _change_type, p.* FROM prev_g p
+              |JOIN diff USING (sigla_empresa, ano, mes)
+              |UNION ALL
+              |SELECT 'update_postimage' AS _change_type, c.* FROM curr_g c
+              |JOIN diff USING (sigla_empresa, ano, mes)
+              |ORDER BY _change_type, sigla_empresa, ano, mes""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,97 @@
+package graft
+
+import graft.engine.SnapshotStore
+import org.apache.spark.sql.functions._
+
+/** Manifest-versioned store: zero-copy snapshots, dynamic partition
+  * overwrite, file-granular CDC pruning, vacuum, snapshot isolation. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newStore(tag: String, keep: Int = 10) = new SnapshotStore(
+    spark, java.nio.file.Files.createTempDirectory(s"graft_ss_$tag").toString, keep)
+
+  test("overwrite/append round-trip; prior snapshots stay readable (isolation)") {
+    val st = newStore("rt")
+    val v1 = st.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "silver", "t")
+    val v2 = st.append(Seq((3L, "c")).toDF("id", "v"), "silver", "t")
+    val v3 = st.overwrite(Seq((9L, "z")).toDF("id", "v"), "silver", "t")
+    assert(st.readSnapshot("silver", "t", v1).count() == 2)
+    assert(st.readSnapshot("silver", "t", v2).orderBy("id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(st.read("silver", "t").as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    assert(st.snapshots("silver", "t") == Seq(v1, v2, v3))
+  }
+
+  test("dynamic partition overwrite: untouched partitions share PHYSICAL files") {
+    val st = newStore("dyn")
+    st.overwrite(
+      Seq((1L, "old", 2024), (2L, "old", 2024), (3L, "old", 2025)).toDF("id", "v", "year"),
+      "gold", "t", Seq("year"))
+    val filesV1 = st.read("gold", "t").inputFiles.toSet
+    st.overwritePartitions(
+      Seq((3L, "new", 2025), (4L, "new", 2025)).toDF("id", "v", "year"),
+      "gold", "t", Seq("year"))
+    val out = st.read("gold", "t")
+    assert(out.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "old"), (2L, "old"), (3L, "new"), (4L, "new")))
+    // the 2024 partition's files in snapshot 2 ARE snapshot 1's files —
+    // carried by manifest reference, not rewritten or copied
+    val filesV2 = out.inputFiles.toSet
+    val shared = filesV1.intersect(filesV2)
+    assert(shared.nonEmpty && shared.forall(_.contains("year=2024")),
+      s"expected 2024 files shared by reference, got: $shared")
+    assert(filesV2.filter(_.contains("year=2025")).forall(!filesV1.contains(_)),
+      "2025 files must be the NEW commit's files")
+  }
+
+  test("changesBetween scans only each side's exclusive files and classifies") {
+    val st = newStore("cdc")
+    val v1 = st.overwrite(
+      Seq((1L, "same", 2024), (3L, "old", 2025), (5L, "gone", 2025)).toDF("id", "v", "year"),
+      "gold", "t", Seq("year"))
+    val v2 = st.overwritePartitions(
+      Seq((3L, "new", 2025), (6L, "born", 2025)).toDF("id", "v", "year"),
+      "gold", "t", Seq("year"))
+    val ch = st.changesBetween("gold", "t", Seq("id"), v1, v2)
+    // the shared 2024 partition never enters the scan — file-granular CDC
+    assert(ch.inputFiles.nonEmpty && ch.inputFiles.forall(!_.contains("year=2024")),
+      s"shared files leaked into the CDC scan: ${ch.inputFiles.mkString(", ")}")
+    val rows = ch.select("_change_type", "id", "v").as[(String, Long, String)]
+      .collect().toSeq.sorted
+    assert(rows == Seq(
+      ("delete", 5L, "gone"), ("insert", 6L, "born"),
+      ("update_postimage", 3L, "new"), ("update_preimage", 3L, "old")))
+  }
+
+  test("append-only CDC: empty exclusive before-side, all rows are inserts") {
+    val st = newStore("app")
+    val v1 = st.overwrite(Seq((1L, "a")).toDF("id", "v"), "silver", "t")
+    val v2 = st.append(Seq((2L, "b")).toDF("id", "v"), "silver", "t")
+    val ch = st.changesBetween("silver", "t", Seq("id"), v1, v2)
+      .select("_change_type", "id").as[(String, Long)].collect().toSeq
+    assert(ch == Seq(("insert", 2L))) // the shared v1 file is skipped entirely
+  }
+
+  test("vacuum deletes only files no retained manifest references") {
+    val st = newStore("vac", keep = 1) // retention: latest manifest only
+    st.overwrite(Seq((1L, "a")).toDF("id", "v"), "silver", "t")
+    st.overwrite(Seq((2L, "b")).toDF("id", "v"), "silver", "t")
+    // snapshot 1's manifest is beyond retention; its files are orphans
+    assert(st.snapshots("silver", "t").size == 1)
+    val removed = st.vacuum("silver", "t")
+    assert(removed >= 1, "expected snapshot 1's files reclaimed")
+    assert(st.read("silver", "t").as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    assert(st.vacuum("silver", "t") == 0) // idempotent
+  }
+
+  test("reading a missing table or unretained snapshot fails loudly") {
+    val st = newStore("err")
+    intercept[IllegalArgumentException] { st.read("silver", "nope") }
+    st.overwrite(Seq((1L, "a")).toDF("id", "v"), "silver", "t")
+    intercept[IllegalArgumentException] { st.readSnapshot("silver", "t", 99L) }
+    intercept[IllegalArgumentException] {
+      st.changesBetween("silver", "t", Seq("id"), 2L, 1L)
+    }
+  }
+}
