@@ -68,26 +68,43 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   def tableExists(layer: String, table: String): Boolean =
     snapshots(layer, table).nonEmpty
 
-  /** (schema, pool-relative file paths) of a committed manifest. */
-  private def readManifest(layer: String, table: String, id: Long): (StructType, Seq[String]) = {
+  /** Manifest format: line 1 = schema JSON, then `#key=value` property
+    * lines (e.g. the transaction id of an exactly-once append), then
+    * pool-relative file paths. */
+  private def readManifestFull(layer: String, table: String,
+                               id: Long): (StructType, Map[String, String], Seq[String]) = {
     val p = new Path(manifestDir(layer, table), f"m$id%012d")
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
     require(lines.nonEmpty, s"SnapshotStore: corrupt manifest $p")
-    (DataType.fromJson(lines.head).asInstanceOf[StructType], lines.tail)
+    val (propLines, fileLines) = lines.tail.partition(_.startsWith("#"))
+    val props = propLines.map { l =>
+      val kv = l.drop(1).split("=", 2); kv(0) -> kv.lift(1).getOrElse("")
+    }.toMap
+    (DataType.fromJson(lines.head).asInstanceOf[StructType], props, fileLines)
+  }
+
+  private def readManifest(layer: String, table: String, id: Long): (StructType, Seq[String]) = {
+    val (schema, _, files) = readManifestFull(layer, table, id)
+    (schema, files)
   }
 
   /** Commit protocol: write to a tmp name, then rename into place —
     * the manifest (hence the snapshot) appears atomically, AFTER every
     * data file it references exists. */
   private def writeManifest(layer: String, table: String, id: Long,
-                            schema: StructType, files: Seq[String]): Unit = {
+                            schema: StructType, files: Seq[String],
+                            props: Map[String, String] = Map.empty): Unit = {
+    require(props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
+      && props.values.forall(!_.contains("\n")),
+      s"SnapshotStore: malformed manifest properties $props")
     val dir = manifestDir(layer, table)
     fs.mkdirs(dir)
     val tmp = new Path(dir, f".m$id%012d.tmp")
     val out = fs.create(tmp, false)
-    try out.write((schema.json +: files).mkString("\n").getBytes("UTF-8"))
+    val propLines = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
+    try out.write(((schema.json +: propLines) ++ files).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, new Path(dir, f"m$id%012d")),
       s"SnapshotStore: concurrent commit detected for $layer/$table snapshot $id")
@@ -132,9 +149,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * `partitionBy` cols into directory names; the manifest records the
     * LOGICAL schema so empty snapshots stay readable). */
   private def commit(df: DataFrame, layer: String, table: String,
-                     files: Seq[String]): Long = {
+                     files: Seq[String], props: Map[String, String] = Map.empty): Long = {
     val id = nextId(layer, table)
-    writeManifest(layer, table, id, df.schema, files)
+    writeManifest(layer, table, id, df.schema, files, props)
     id
   }
 
@@ -152,6 +169,27 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val prev = snapshots(layer, table).lastOption
       .map(readManifest(layer, table, _)._2).getOrElse(Nil)
     commit(df, layer, table, (prev ++ writeIntoPool(df, layer, table, partitionBy)).sorted)
+  }
+
+  /** Exactly-once append: skip the commit entirely when a retained
+    * manifest already carries `txnId` — Delta's `txnAppId`/`txnVersion`
+    * idempotent-writer pattern, the contract a streaming `foreachBatch`
+    * sink needs so a replayed micro-batch (checkpoint recovery) cannot
+    * double-append. Transaction memory is bounded by manifest retention
+    * (`keepSnapshots`), exactly as Delta's txn retention is bounded by
+    * log retention — size retention to cover the maximum replay window.
+    * Returns the snapshot id that carries the txn (new or existing). */
+  def appendIfAbsent(df: DataFrame, layer: String, table: String, txnId: String,
+                     partitionBy: Seq[String] = Nil): Long = {
+    val seen = snapshots(layer, table).reverse.find(id =>
+      readManifestFull(layer, table, id)._2.get("txn").contains(txnId))
+    seen.getOrElse {
+      val prev = snapshots(layer, table).lastOption
+        .map(readManifest(layer, table, _)._2).getOrElse(Nil)
+      commit(df, layer, table,
+        (prev ++ writeIntoPool(df, layer, table, partitionBy)).sorted,
+        Map("txn" -> txnId))
+    }
   }
 
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
@@ -173,6 +211,54 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val touched = added.map(partOf).toSet
     val kept = prev.filterNot(f => touched.contains(partOf(f)))
     commit(df, layer, table, (kept ++ added).sorted)
+  }
+
+  /** Keyed MERGE with file pruning (Delta MERGE under a partition
+    * predicate): upsert `staged` into ONLY the partitions it touches —
+    * the existing side reads just those partitions (partition filter
+    * over the manifest's file relation; PartitionFilters in the plan),
+    * the merge is [[Merge.upsert]] (staged wins per key), and the write
+    * is a [[overwritePartitions]] commit, so untouched partitions are
+    * never read OR rewritten. At 100 TB a daily upsert costs the
+    * touched partitions' volume, not the table's.
+    *
+    * Precondition (enforced): `partitionBy ⊆ keys` — the partition is
+    * then functionally determined by the key, so a staged key's
+    * existing row provably lives in a touched partition and the
+    * partition-scoped merge sees every row it must reconcile. (Without
+    * it, a key could "move" partitions and leave a stale twin behind —
+    * the same reason Delta MERGE only prunes under an explicit
+    * partition predicate.)
+    *
+    * The touched-partition values are one bounded driver read (distinct
+    * over the partition columns — low-cardinality by design, same
+    * pattern as the pivot key domain), guarded against degenerate
+    * layouts. */
+  def upsertPartitions(staged: DataFrame, layer: String, table: String,
+                       keys: Seq[String], partitionBy: Seq[String]): Long = {
+    require(partitionBy.nonEmpty,
+      "upsertPartitions: partitionBy is required (flat tables: merge + overwrite)")
+    require(partitionBy.forall(keys.contains),
+      s"upsertPartitions: partition columns (${partitionBy.mkString(",")}) must be a " +
+        s"subset of the merge keys (${keys.mkString(",")}) — otherwise a key can move " +
+        "partitions and the pruned merge would leave a stale twin behind")
+    if (!tableExists(layer, table))
+      return overwrite(staged, layer, table, partitionBy)
+    import org.apache.spark.sql.functions.{col, lit}
+    val touched = staged.select(partitionBy.map(col): _*).distinct().collect()
+    require(touched.length <= 10000,
+      s"upsertPartitions: staged batch touches ${touched.length} partitions — " +
+        "that is a full-table rewrite; use overwrite, or coarsen the partition layout")
+    val pred = touched.map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val existingTouched = read(layer, table).filter(pred)
+    Merge.schemaGuard(existingTouched, staged)
+    overwritePartitions(Merge.upsert(existingTouched, staged, keys),
+      layer, table, partitionBy)
   }
 
   /** Read the latest snapshot. */

@@ -1430,7 +1430,44 @@ object RefQueries {
               |UNION ALL
               |SELECT 'update_postimage' AS _change_type, c.* FROM curr_g c
               |JOIN diff USING (sigla_empresa, ano, mes)
-              |ORDER BY _change_type, sigla_empresa, ano, mes""".stripMargin))
+              |ORDER BY _change_type, sigla_empresa, ano, mes""".stripMargin)),
+
+    // Partition-pruned MERGE (Delta MERGE under a partition predicate):
+    // a staged batch of recomputed Apr-Sep 1996 months upserts into the
+    // ano-partitioned gold — the existing side READS only ano=1996
+    // (partition filter over the manifest relation), the write REPLACES
+    // only ano=1996 (dynamic overwrite), and every other year keeps its
+    // physical files untouched. Within 1996: Jan-Mar survive the merge
+    // (existing rows with unmatched keys), Apr-Jun are replaced (staged
+    // wins), Jul-Sep insert. At 100 TB the upsert costs the touched
+    // partitions, not the table.
+    Q("m_snapshot_upsert",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_up_${new java.io.File(dir).getName}")
+        st.dropTable("gold", "monthly")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-06-15 00:00:00")
+        st.overwrite(gold(li.filter(col("l_shipdate") < lit(cut))),
+          "gold", "monthly", Seq("ano"))
+        val staged = gold(li).filter(col("ano") === 1996 && col("mes").between(4, 9))
+        st.upsertPartitions(staged, "gold", "monthly",
+          keys = Seq("sigla_empresa", "ano", "mes"), partitionBy = Seq("ano"))
+        st.read("gold", "monthly")
+          .select("sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH prev_g AS (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-06-15 00:00:00'")}),
+              |curr_g AS (${StockOps.goldSql()})
+              |SELECT * FROM prev_g WHERE ano <> 1996
+              |UNION ALL
+              |SELECT * FROM prev_g WHERE ano = 1996 AND mes < 4
+              |UNION ALL
+              |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.engine.{Merge, Warehouse}
+import graft.engine.{Merge, SnapshotStore, Warehouse}
 import graft.ops.EventOps
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -132,6 +132,26 @@ object StreamOps {
                           idCol: String, textCol: String,
                           n: Int, minShared: Int): DataFrame =
     graft.ops.Dedup.contamination(docStream, benchmark, idCol, textCol, n, minShared)
+
+  /** EXACTLY-ONCE streaming append into a [[SnapshotStore]] table: each
+    * micro-batch commits one snapshot tagged with its batch id
+    * ([[SnapshotStore.appendIfAbsent]]), so a checkpoint-recovery
+    * replay of a batch finds its transaction already committed and
+    * appends nothing — the Delta `txnAppId`/`txnVersion` idempotent-
+    * writer pattern, which plain file sinks cannot offer (a replayed
+    * foreachBatch against a raw directory double-appends). Commit cost
+    * per batch is the batch's files plus one manifest write; readers
+    * are snapshot-isolated throughout. */
+  def appendOnlySink(stream: DataFrame, st: SnapshotStore, layer: String, table: String,
+                     checkpoint: String, partitionBy: Seq[String] = Nil): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        st.appendIfAbsent(batch.toDF(), layer, table, s"stream-$batchId", partitionBy)
+        ()
+      }
+      .start()
 
   /** Keyed-upsert sink: every micro-batch MERGEs into the warehouse
     * table by unique key (staged wins) — `foreachBatch` + [[Merge]] is

@@ -85,6 +85,68 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.vacuum("silver", "t") == 0) // idempotent
   }
 
+  test("upsertPartitions merges only touched partitions, others share files") {
+    val st = newStore("ups")
+    st.overwrite(
+      Seq((1L, "keep", 2024), (2L, "old", 2025), (3L, "keep", 2025)).toDF("id", "v", "year"),
+      "gold", "t", Seq("year"))
+    val filesV1 = st.read("gold", "t").inputFiles.toSet
+    // staged: update id=2, insert id=4 — both in year=2025
+    st.upsertPartitions(
+      Seq((2L, "new", 2025), (4L, "born", 2025)).toDF("id", "v", "year"),
+      "gold", "t", keys = Seq("id", "year"), partitionBy = Seq("year"))
+    val out = st.read("gold", "t")
+    assert(out.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "keep"), (2L, "new"), (3L, "keep"), (4L, "born")))
+    // the untouched 2024 partition carried its physical files by reference
+    val shared = filesV1.intersect(out.inputFiles.toSet)
+    assert(shared.nonEmpty && shared.forall(_.contains("year=2024")), s"shared: $shared")
+    // partition columns outside the merge keys are refused (a key could
+    // move partitions and leave a stale twin)
+    intercept[IllegalArgumentException] {
+      st.upsertPartitions(Seq((9L, "x", 2025)).toDF("id", "v", "year"),
+        "gold", "t", keys = Seq("id"), partitionBy = Seq("year"))
+    }
+    // first commit on a missing table degrades to a plain overwrite
+    val st2 = newStore("ups2")
+    st2.upsertPartitions(Seq((1L, "a", 2024)).toDF("id", "v", "year"),
+      "gold", "t", keys = Seq("id", "year"), partitionBy = Seq("year"))
+    assert(st2.read("gold", "t").count() == 1)
+  }
+
+  test("appendIfAbsent: a replayed transaction commits nothing (exactly-once)") {
+    val st = newStore("txn")
+    val v1 = st.appendIfAbsent(Seq((1L, "a")).toDF("id", "v"), "silver", "t", "stream-0")
+    val v2 = st.appendIfAbsent(Seq((2L, "b")).toDF("id", "v"), "silver", "t", "stream-1")
+    // checkpoint-recovery replay of batch 1: same txn id → same snapshot,
+    // no duplicate rows, no new commit
+    val replay = st.appendIfAbsent(Seq((2L, "b")).toDF("id", "v"), "silver", "t", "stream-1")
+    assert(replay == v2 && v2 == v1 + 1)
+    assert(st.snapshots("silver", "t") == Seq(v1, v2))
+    assert(st.read("silver", "t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("appendOnlySink streams micro-batches into snapshots exactly once") {
+    import graft.streaming.StreamOps
+    val st = newStore("sink")
+    val in = java.nio.file.Files.createTempDirectory("graft_ss_sink_in").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+      .repartition(4).write.mode("overwrite").parquet(in)
+    val ck = java.nio.file.Files.createTempDirectory("graft_ss_sink_ck").toString
+    val stream = StreamOps.eventStream(spark, in, spark.read.parquet(in).schema,
+      maxFilesPerTrigger = Some(2))
+    StreamOps.appendOnlySink(stream, st, "bronze", "t", ck).awaitTermination()
+    assert(st.snapshots("bronze", "t").size == 2) // 4 files / 2 per trigger
+    assert(st.read("bronze", "t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // re-running the drained stream (same checkpoint) appends nothing
+    val stream2 = StreamOps.eventStream(spark, in, spark.read.parquet(in).schema)
+    StreamOps.appendOnlySink(stream2, st, "bronze", "t", ck).awaitTermination()
+    assert(st.snapshots("bronze", "t").size == 2)
+    assert(st.read("bronze", "t").count() == 4)
+  }
+
   test("reading a missing table or unretained snapshot fails loudly") {
     val st = newStore("err")
     intercept[IllegalArgumentException] { st.read("silver", "nope") }
