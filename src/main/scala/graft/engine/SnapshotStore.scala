@@ -48,7 +48,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
  * writers; out of scope here. Readers are always safe.
  */
 final class SnapshotStore(val spark: SparkSession, val root: String,
-                          val keepSnapshots: Int = 10) {
+                          val keepSnapshots: Int = 10,
+                          val statsFor: Seq[String] = Nil) {
   require(keepSnapshots >= 1, "SnapshotStore: keepSnapshots must be >= 1")
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -68,25 +69,47 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   def tableExists(layer: String, table: String): Boolean =
     snapshots(layer, table).nonEmpty
 
-  /** Manifest format: line 1 = schema JSON, then `#key=value` property
-    * lines (e.g. the transaction id of an exactly-once append), then
-    * pool-relative file paths. */
+  /** Per-file column statistics: `path -> (col -> (min, max))`, min/max
+    * as Spark string casts (ISO dates/timestamps sort lexicographically;
+    * numerics compare via BigDecimal in [[readBetween]]). */
+  private type FileStats = Map[String, Map[String, (String, String)]]
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** Manifest format, one record per line:
+    *   line 1       — schema JSON
+    *   `#key=value` — properties (e.g. the txn id of an exactly-once append)
+    *   `@` lines    — per-file stats: `@<b64 path>\t<col>\u0001<b64 min>\u0001<b64 max>…`
+    *   other lines  — pool-relative data file paths
+    * Base64 keeps arbitrary string min/max (and `=`-bearing hive paths)
+    * out of the delimiter space. */
   private def readManifestFull(layer: String, table: String,
-                               id: Long): (StructType, Map[String, String], Seq[String]) = {
+                               id: Long): (StructType, Map[String, String], Seq[String], FileStats) = {
     val p = new Path(manifestDir(layer, table), f"m$id%012d")
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
     require(lines.nonEmpty, s"SnapshotStore: corrupt manifest $p")
-    val (propLines, fileLines) = lines.tail.partition(_.startsWith("#"))
+    val (propLines, rest) = lines.tail.partition(_.startsWith("#"))
+    val (statLines, fileLines) = rest.partition(_.startsWith("@"))
     val props = propLines.map { l =>
       val kv = l.drop(1).split("=", 2); kv(0) -> kv.lift(1).getOrElse("")
     }.toMap
-    (DataType.fromJson(lines.head).asInstanceOf[StructType], props, fileLines)
+    val stats: FileStats = statLines.map { l =>
+      val parts = l.drop(1).split("\t")
+      val cols = parts.tail.map { c =>
+        val f = c.split("\u0001"); f(0) -> (unb64(f(1)), unb64(f(2)))
+      }.toMap
+      unb64(parts.head) -> cols
+    }.toMap
+    (DataType.fromJson(lines.head).asInstanceOf[StructType], props, fileLines, stats)
   }
 
   private def readManifest(layer: String, table: String, id: Long): (StructType, Seq[String]) = {
-    val (schema, _, files) = readManifestFull(layer, table, id)
+    val (schema, _, files, _) = readManifestFull(layer, table, id)
     (schema, files)
   }
 
@@ -95,7 +118,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * data file it references exists. */
   private def writeManifest(layer: String, table: String, id: Long,
                             schema: StructType, files: Seq[String],
-                            props: Map[String, String] = Map.empty): Unit = {
+                            props: Map[String, String] = Map.empty,
+                            stats: FileStats = Map.empty): Unit = {
     require(props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
       && props.values.forall(!_.contains("\n")),
       s"SnapshotStore: malformed manifest properties $props")
@@ -104,7 +128,15 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val tmp = new Path(dir, f".m$id%012d.tmp")
     val out = fs.create(tmp, false)
     val propLines = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
-    try out.write(((schema.json +: propLines) ++ files).mkString("\n").getBytes("UTF-8"))
+    val fileSet = files.toSet
+    val statLines = stats.toSeq.filter(s => fileSet.contains(s._1)).sortBy(_._1)
+      .map { case (f, cols) =>
+        "@" + b64(f) + cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"\t$c\u0001${b64(mn)}\u0001${b64(mx)}"
+        }.mkString
+      }
+    try out.write(((schema.json +: propLines) ++ statLines ++ files)
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, new Path(dir, f"m$id%012d")),
       s"SnapshotStore: concurrent commit detected for $layer/$table snapshot $id")
@@ -145,13 +177,53 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   private def nextId(layer: String, table: String): Long =
     snapshots(layer, table).lastOption.getOrElse(0L) + 1
 
+  /** Latest manifest's per-file stats (empty for a new table). */
+  private def prevStats(layer: String, table: String): FileStats =
+    snapshots(layer, table).lastOption
+      .map(readManifestFull(layer, table, _)._4).getOrElse(Map.empty)
+
+  /** Min/max of the `statsFor` columns per NEW file — Delta/Iceberg
+    * file statistics, gathered by ONE aggregate job over just this
+    * commit's files (grouped by `input_file_name`; the driver receives
+    * one row per new file, never data). Only atomic-typed columns are
+    * recorded; an all-NULL file records nothing for that column and is
+    * conservatively read by [[readBetween]]. */
+  private def statsOf(layer: String, table: String, added: Seq[String]): FileStats = {
+    if (statsFor.isEmpty || added.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val base = dataDir(layer, table)
+    val df = spark.read.option("basePath", base).parquet(added.map(f => s"$base/$f"): _*)
+    val atomic = df.schema.filter(f => f.dataType match {
+      case _: org.apache.spark.sql.types.NumericType | _: org.apache.spark.sql.types.StringType
+           | _: org.apache.spark.sql.types.DateType | _: org.apache.spark.sql.types.TimestampType => true
+      case _ => false
+    }).map(_.name).toSet
+    val present = statsFor.filter(atomic.contains)
+    if (present.isEmpty) return Map.empty
+    val aggs = present.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__mn_$c"), max(col(c)).cast("string").as(s"__mx_$c")))
+    val rows = df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*).collect()
+    val baseUriPath = new Path(base).toUri.getPath
+    rows.map { r =>
+      val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
+      val rel = abs.stripPrefix(baseUriPath).stripPrefix("/")
+      rel -> present.flatMap { c =>
+        (Option(r.getAs[String](s"__mn_$c")), Option(r.getAs[String](s"__mx_$c"))) match {
+          case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
+          case _ => None
+        }
+      }.toMap
+    }.toMap
+  }
+
   /** Schema including hive partition columns (the pool write moves
     * `partitionBy` cols into directory names; the manifest records the
     * LOGICAL schema so empty snapshots stay readable). */
   private def commit(df: DataFrame, layer: String, table: String,
-                     files: Seq[String], props: Map[String, String] = Map.empty): Long = {
+                     files: Seq[String], props: Map[String, String] = Map.empty,
+                     stats: FileStats = Map.empty): Long = {
     val id = nextId(layer, table)
-    writeManifest(layer, table, id, df.schema, files, props)
+    writeManifest(layer, table, id, df.schema, files, props, stats)
     id
   }
 
@@ -159,8 +231,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * Zero data is copied or deleted — prior snapshots keep reading
     * their own files. Returns the snapshot id. */
   def overwrite(df: DataFrame, layer: String, table: String,
-                partitionBy: Seq[String] = Nil): Long =
-    commit(df, layer, table, writeIntoPool(df, layer, table, partitionBy))
+                partitionBy: Seq[String] = Nil): Long = {
+    val added = writeIntoPool(df, layer, table, partitionBy)
+    commit(df, layer, table, added, stats = statsOf(layer, table, added))
+  }
 
   /** Append: the new snapshot sees the previous snapshot's files plus
     * this commit's. */
@@ -168,7 +242,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
              partitionBy: Seq[String] = Nil): Long = {
     val prev = snapshots(layer, table).lastOption
       .map(readManifest(layer, table, _)._2).getOrElse(Nil)
-    commit(df, layer, table, (prev ++ writeIntoPool(df, layer, table, partitionBy)).sorted)
+    val added = writeIntoPool(df, layer, table, partitionBy)
+    commit(df, layer, table, (prev ++ added).sorted,
+      stats = prevStats(layer, table) ++ statsOf(layer, table, added))
   }
 
   /** Exactly-once append: skip the commit entirely when a retained
@@ -186,9 +262,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     seen.getOrElse {
       val prev = snapshots(layer, table).lastOption
         .map(readManifest(layer, table, _)._2).getOrElse(Nil)
-      commit(df, layer, table,
-        (prev ++ writeIntoPool(df, layer, table, partitionBy)).sorted,
-        Map("txn" -> txnId))
+      val added = writeIntoPool(df, layer, table, partitionBy)
+      commit(df, layer, table, (prev ++ added).sorted, Map("txn" -> txnId),
+        stats = prevStats(layer, table) ++ statsOf(layer, table, added))
     }
   }
 
@@ -210,7 +286,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       rel.split('/').takeWhile(_.contains("=")).mkString("/")
     val touched = added.map(partOf).toSet
     val kept = prev.filterNot(f => touched.contains(partOf(f)))
-    commit(df, layer, table, (kept ++ added).sorted)
+    // dropped partitions' stats fall away in writeManifest's file filter
+    commit(df, layer, table, (kept ++ added).sorted,
+      stats = prevStats(layer, table) ++ statsOf(layer, table, added))
   }
 
   /** Keyed MERGE with file pruning (Delta MERGE under a partition
@@ -282,6 +360,45 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     else
       spark.read.option("basePath", dataDir(layer, table))
         .parquet(files.map(f => s"${dataDir(layer, table)}/$f"): _*)
+  }
+
+  /** Stats-pruned range scan (Delta/Iceberg data skipping): read only
+    * the files whose recorded [min, max] for `column` overlaps
+    * [lo, hi], then apply the exact row-level BETWEEN on what remains.
+    * The pruning is a driver-side walk over the manifest's stats — no
+    * file is opened to decide, so a range query over a range-clustered
+    * table (sort or [[graft.ops.Layout]] z-order before commit) touches
+    * the matching files only, at any table size. Files without recorded
+    * stats (all-NULL, or the column wasn't in `statsFor` at commit) are
+    * conservatively read. `lo`/`hi` are strings in the column's natural
+    * text form (ISO for dates/timestamps); numeric columns compare via
+    * BigDecimal, everything else lexicographically — the same order
+    * Spark's string cast preserves for those types. */
+  def readBetween(layer: String, table: String, column: String,
+                  lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val id = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val (schema, _, files, stats) = readManifestFull(layer, table, id)
+    val colType = schema.find(_.name == column).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(
+        s"readBetween: $layer/$table has no column $column"))
+    val numeric = colType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def le(a: String, b: String): Boolean =
+      if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
+    val keep = files.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => le(mn, hi) && le(lo, mx)
+        case None => true // no stats recorded: must read
+      }
+    }
+    val pruned =
+      if (keep.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("basePath", dataDir(layer, table))
+        .parquet(keep.map(f => s"${dataDir(layer, table)}/$f"): _*)
+    pruned.filter(col(column) >= lit(lo).cast(colType) && col(column) <= lit(hi).cast(colType))
   }
 
   /** CDC between two snapshots, pruned at FILE granularity: pool files

@@ -1467,6 +1467,39 @@ object RefQueries {
               |SELECT * FROM prev_g WHERE ano = 1996 AND mes < 4
               |UNION ALL
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
+    // Stats-based file skipping (Delta/Iceberg data skipping): gold is
+    // committed RANGE-CLUSTERED on data_inicio_mes (repartitionByRange —
+    // each output file covers a disjoint date slice) with per-file
+    // min/max recorded in the manifest; the 1995 range read then prunes
+    // to the overlapping files DRIVER-SIDE, before any file is opened —
+    // the in-query require() pins that most files were skipped, and the
+    // oracle hashes that pruning + the row filter lose nothing. This is
+    // the scan path for every time-ranged query at 100 TB: cluster on
+    // the range key, skip by stats.
+    Q("m_snapshot_skipping",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_skip_${new java.io.File(dir).getName}",
+          statsFor = Seq("data_inicio_mes"))
+        st.dropTable("gold", "monthly")
+        val gold = StockOps.goldMonthly(StockOps.silverDaily(
+          StockOps.bronzeFromLineitem(Tables.lineitem(s, dir))))
+        st.overwrite(gold.repartitionByRange(8, col("data_inicio_mes")), "gold", "monthly")
+        val total = st.read("gold", "monthly").inputFiles.length
+        val ranged = st.readBetween("gold", "monthly", "data_inicio_mes",
+          "1995-01-01", "1995-12-31")
+        val scanned = ranged.inputFiles.length
+        require(scanned < total && scanned >= 1,
+          s"stats skipping did not prune: $scanned of $total files scanned")
+        ranged
+          .select("sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(s"""SELECT * FROM (${StockOps.goldSql()})
+              |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin))
   )
 

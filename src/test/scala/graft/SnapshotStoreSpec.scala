@@ -147,6 +147,32 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("bronze", "t").count() == 4)
   }
 
+  test("readBetween prunes by manifest file stats and returns exact rows") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_stats").toString,
+      statsFor = Seq("id"))
+    val df = spark.range(1, 101).toDF("id").withColumn("v", col("id") * 2)
+    // range-clustered commit: each file covers a disjoint id slice
+    st.overwrite(df.repartitionByRange(5, col("id")), "silver", "t")
+    val total = st.read("silver", "t").inputFiles.length
+    assert(total >= 4)
+    // [2, 30]: also the lexicographic trap — "2" <= "20" is FALSE as
+    // strings, so a string-compare pruner would skip the file holding
+    // ids 2..20 and silently lose rows; numeric stats must compare
+    // numerically
+    val r = st.readBetween("silver", "t", "id", "2", "30")
+    assert(r.inputFiles.length < total,
+      s"no pruning: ${r.inputFiles.length} of $total files scanned")
+    assert(r.select("id").as[Long].collect().sorted.toSeq == (2L to 30L))
+    // stats survive append commits; unknown column is refused
+    st.append(spark.range(200, 202).toDF("id").withColumn("v", col("id") * 2),
+      "silver", "t")
+    assert(st.readBetween("silver", "t", "id", "200", "300").count() == 2)
+    intercept[IllegalArgumentException] {
+      st.readBetween("silver", "t", "nope", "0", "1")
+    }
+  }
+
   test("reading a missing table or unretained snapshot fails loudly") {
     val st = newStore("err")
     intercept[IllegalArgumentException] { st.read("silver", "nope") }
