@@ -231,10 +231,22 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * Zero data is copied or deleted — prior snapshots keep reading
     * their own files. Returns the snapshot id. */
   def overwrite(df: DataFrame, layer: String, table: String,
-                partitionBy: Seq[String] = Nil): Long = {
-    val added = writeIntoPool(df, layer, table, partitionBy)
-    commit(df, layer, table, added, stats = statsOf(layer, table, added))
-  }
+                partitionBy: Seq[String] = Nil,
+                txnId: Option[String] = None): Long =
+    txnSeen(layer, table, txnId).getOrElse {
+      val added = writeIntoPool(df, layer, table, partitionBy)
+      commit(df, layer, table, added, txnProps(txnId),
+        stats = statsOf(layer, table, added))
+    }
+
+  /** The retained snapshot already carrying `txnId`, if any — the
+    * idempotence probe every txn-tagged commit path runs first. */
+  private def txnSeen(layer: String, table: String, txnId: Option[String]): Option[Long] =
+    txnId.flatMap(t => snapshots(layer, table).reverse.find(id =>
+      readManifestFull(layer, table, id)._2.get("txn").contains(t)))
+
+  private def txnProps(txnId: Option[String]): Map[String, String] =
+    txnId.map("txn" -> _).toMap
 
   /** Append: the new snapshot sees the previous snapshot's files plus
     * this commit's. */
@@ -256,17 +268,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * log retention — size retention to cover the maximum replay window.
     * Returns the snapshot id that carries the txn (new or existing). */
   def appendIfAbsent(df: DataFrame, layer: String, table: String, txnId: String,
-                     partitionBy: Seq[String] = Nil): Long = {
-    val seen = snapshots(layer, table).reverse.find(id =>
-      readManifestFull(layer, table, id)._2.get("txn").contains(txnId))
-    seen.getOrElse {
+                     partitionBy: Seq[String] = Nil): Long =
+    txnSeen(layer, table, Some(txnId)).getOrElse {
       val prev = snapshots(layer, table).lastOption
         .map(readManifest(layer, table, _)._2).getOrElse(Nil)
       val added = writeIntoPool(df, layer, table, partitionBy)
       commit(df, layer, table, (prev ++ added).sorted, Map("txn" -> txnId),
         stats = prevStats(layer, table) ++ statsOf(layer, table, added))
     }
-  }
 
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
     * dynamic`, Delta `replaceWhere` by partition): replace ONLY the
@@ -275,9 +284,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * touched-partition set is read from the NEW files' own paths — no
     * extra job over `df` and no driver collect of data. */
   def overwritePartitions(df: DataFrame, layer: String, table: String,
-                          partitionBy: Seq[String]): Long = {
+                          partitionBy: Seq[String],
+                          txnId: Option[String] = None): Long = {
     require(partitionBy.nonEmpty,
       "overwritePartitions: partitionBy is required (use overwrite for flat tables)")
+    txnSeen(layer, table, txnId).foreach(return _)
     val prev = snapshots(layer, table).lastOption
       .map(readManifest(layer, table, _)._2).getOrElse(Nil)
     val added = writeIntoPool(df, layer, table, partitionBy)
@@ -287,7 +298,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val touched = added.map(partOf).toSet
     val kept = prev.filterNot(f => touched.contains(partOf(f)))
     // dropped partitions' stats fall away in writeManifest's file filter
-    commit(df, layer, table, (kept ++ added).sorted,
+    commit(df, layer, table, (kept ++ added).sorted, txnProps(txnId),
       stats = prevStats(layer, table) ++ statsOf(layer, table, added))
   }
 
@@ -313,15 +324,17 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * pattern as the pivot key domain), guarded against degenerate
     * layouts. */
   def upsertPartitions(staged: DataFrame, layer: String, table: String,
-                       keys: Seq[String], partitionBy: Seq[String]): Long = {
+                       keys: Seq[String], partitionBy: Seq[String],
+                       txnId: Option[String] = None): Long = {
     require(partitionBy.nonEmpty,
       "upsertPartitions: partitionBy is required (flat tables: merge + overwrite)")
+    txnSeen(layer, table, txnId).foreach(return _)
     require(partitionBy.forall(keys.contains),
       s"upsertPartitions: partition columns (${partitionBy.mkString(",")}) must be a " +
         s"subset of the merge keys (${keys.mkString(",")}) — otherwise a key can move " +
         "partitions and the pruned merge would leave a stale twin behind")
     if (!tableExists(layer, table))
-      return overwrite(staged, layer, table, partitionBy)
+      return overwrite(staged, layer, table, partitionBy, txnId)
     import org.apache.spark.sql.functions.{col, lit}
     val touched = staged.select(partitionBy.map(col): _*).distinct().collect()
     require(touched.length <= 10000,
@@ -336,7 +349,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val existingTouched = read(layer, table).filter(pred)
     Merge.schemaGuard(existingTouched, staged)
     overwritePartitions(Merge.upsert(existingTouched, staged, keys),
-      layer, table, partitionBy)
+      layer, table, partitionBy, txnId)
   }
 
   /** Read the latest snapshot. */

@@ -1234,6 +1234,53 @@ object ExtQueries {
       },
       Some(retentionOracleSql)),
 
+    // Partition-pruned streaming MERGE, oracle-hashed end state: the
+    // recomputed Apr-Sep 1996 gold months arrive as a micro-batched
+    // stream and upsert into the ano-partitioned snapshot table via
+    // [[StreamOps.upsertPartitionsSink]] — per batch, only ano=1996 is
+    // read and rewritten, every other year's files ride along by
+    // manifest reference, and batch-id txn tags make replays no-ops.
+    // The final table must land exactly on the batch splice
+    // (m_snapshot_upsert's oracle), whatever the batch boundaries were.
+    Q("stream_upsert_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_ups_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        def gold(src: DataFrame) =
+          graft.ops.StockOps.goldMonthly(graft.ops.StockOps.silverDaily(
+            graft.ops.StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-06-15 00:00:00")
+        st.overwrite(gold(li.filter(col("l_shipdate") < lit(cut))),
+          "gold", "monthly", Seq("ano"))
+        // stage the recomputed months as one file per month → real
+        // micro-batches through the sink (2 files per trigger)
+        val staged = s"$base/in"
+        gold(li).filter(col("ano") === 1996 && col("mes").between(4, 9))
+          .repartition(6, col("mes")).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(2))
+        StreamOps.upsertPartitionsSink(stream, st, "gold", "monthly",
+          keys = Seq("sigla_empresa", "ano", "mes"), partitionBy = Seq("ano"),
+          checkpoint = s"$base/ckpt").awaitTermination()
+        st.read("gold", "monthly")
+          .select("sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH prev_g AS (${graft.ops.StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-06-15 00:00:00'")}),
+              |curr_g AS (${graft.ops.StockOps.goldSql()})
+              |SELECT * FROM prev_g WHERE ano <> 1996
+              |UNION ALL
+              |SELECT * FROM prev_g WHERE ano = 1996 AND mes < 4
+              |UNION ALL
+              |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
     // ── Multimodal plumbing ────────────────────────────────────────────
 
     // Binary payload + batched per-partition decode (stubbed codec —

@@ -153,6 +153,29 @@ object StreamOps {
       }
       .start()
 
+  /** PARTITION-PRUNED streaming MERGE: each micro-batch upserts into
+    * only the partitions it touches
+    * ([[SnapshotStore.upsertPartitions]] — existing side reads just the
+    * touched partitions, write is a dynamic partition overwrite), with
+    * the batch id as transaction tag so checkpoint-recovery replays
+    * merge nothing. This is the 100 TB form of the reference's
+    * daily MERGE (ingest_stocks.py:87-100 rewrites the whole Delta
+    * table's join every run): per batch, cost tracks the touched
+    * partitions' volume, not the table's. Requires `partitionBy ⊆
+    * keys` (enforced downstream) so keys cannot move partitions. */
+  def upsertPartitionsSink(stream: DataFrame, st: SnapshotStore, layer: String,
+                           table: String, keys: Seq[String], partitionBy: Seq[String],
+                           checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        st.upsertPartitions(batch.toDF(), layer, table, keys, partitionBy,
+          txnId = Some(s"stream-$batchId"))
+        ()
+      }
+      .start()
+
   /** Keyed-upsert sink: every micro-batch MERGEs into the warehouse
     * table by unique key (staged wins) — `foreachBatch` + [[Merge]] is
     * Spark's idiom for the reference's Delta MERGE sink. */

@@ -147,6 +147,39 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("bronze", "t").count() == 4)
   }
 
+  test("upsertPartitionsSink: per-batch pruned merge, replay merges nothing") {
+    import graft.streaming.StreamOps
+    val st = newStore("upsink")
+    // seeded table: two day-partitions
+    st.overwrite(
+      Seq((1L, "old", 1), (2L, "old", 1), (5L, "old", 2)).toDF("id", "v", "day"),
+      "silver", "t", Seq("day"))
+    // two micro-batches: batch A updates day 1, batch B inserts into day 2
+    val in = java.nio.file.Files.createTempDirectory("graft_ss_upsink_in").toString
+    Seq((1L, "new", 1)).toDF("id", "v", "day").write.mode("append").parquet(in)
+    Seq((6L, "new", 2)).toDF("id", "v", "day").write.mode("append").parquet(in)
+    val ck = java.nio.file.Files.createTempDirectory("graft_ss_upsink_ck").toString
+    val stream = StreamOps.eventStream(spark, in, spark.read.parquet(in).schema,
+      maxFilesPerTrigger = Some(1))
+    StreamOps.upsertPartitionsSink(stream, st, "silver", "t",
+      keys = Seq("id", "day"), partitionBy = Seq("day"), ck).awaitTermination()
+    assert(st.read("silver", "t").orderBy("id").select("id", "v")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "new"), (2L, "old"), (5L, "old"), (6L, "new")))
+    val committed = st.snapshots("silver", "t")
+    // drained-stream rerun (same checkpoint): txn tags make it a no-op
+    val stream2 = StreamOps.eventStream(spark, in, spark.read.parquet(in).schema)
+    StreamOps.upsertPartitionsSink(stream2, st, "silver", "t",
+      keys = Seq("id", "day"), partitionBy = Seq("day"), ck).awaitTermination()
+    assert(st.snapshots("silver", "t") == committed)
+    // direct replay of a batch txn also merges nothing
+    val again = st.upsertPartitions(Seq((1L, "evil", 1)).toDF("id", "v", "day"),
+      "silver", "t", Seq("id", "day"), Seq("day"), txnId = Some("stream-0"))
+    assert(committed.contains(again))
+    assert(st.read("silver", "t").filter(col("id") === 1L)
+      .select("v").as[String].head() == "new")
+  }
+
   test("readBetween prunes by manifest file stats and returns exact rows") {
     val st = new SnapshotStore(spark,
       java.nio.file.Files.createTempDirectory("graft_ss_stats").toString,
