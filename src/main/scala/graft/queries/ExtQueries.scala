@@ -1670,6 +1670,44 @@ object ExtQueries {
       Some(s"""SELECT doc_id, ${Sampling.hashSplitSql("doc_id")} AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Token-budget-capped corpus selection, per language: rank docs by
+    // quality within each language and keep them while the language's
+    // cumulative token count fits the budget — the standard "best N
+    // tokens per domain" curation cut when composing a training mix.
+    // Scale shape: one keyed window (partitioned by language — never a
+    // single global running sum, which would serialize the corpus
+    // through one partition at 100 TB); quality/token scoring shares
+    // one tokenization. Exact-integer cumulative sums hash-match.
+    Q("samp_token_budget",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.langId(col("text")).as("lang"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
+          .filter(col("cum_tok") <= 3000)
+          .select("lang", "doc_id", "n_tok", "quality", "cum_tok")
+          .orderBy("lang", "cum_tok", "doc_id")
+      },
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id,
+              |         ${TextOps.langIdSql("text")} AS lang,
+              |         CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok,
+              |         ${TextOps.qualityScoreSql("text")} AS quality
+              |  FROM documents),
+              |c AS (SELECT lang, doc_id, n_tok, quality,
+              |             CAST(sum(n_tok) OVER (PARTITION BY lang
+              |                 ORDER BY quality DESC, doc_id
+              |                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+              |      FROM scored)
+              |SELECT lang, doc_id, n_tok, quality, cum_tok FROM c
+              |WHERE cum_tok <= 3000 ORDER BY lang, cum_tok, doc_id""".stripMargin)),
+
     // Fuzzy entity resolution over supplier names (edit distance ≤ 1):
     // deletion-neighborhood blocking + exact Levenshtein verify
     // ([[Dedup.editDistancePairs]]). The corpus injects KNOWN ED-1
