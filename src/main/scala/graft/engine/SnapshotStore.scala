@@ -388,22 +388,35 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * BigDecimal, everything else lexicographically — the same order
     * Spark's string cast preserves for those types. */
   def readBetween(layer: String, table: String, column: String,
-                  lo: String, hi: String): DataFrame = {
+                  lo: String, hi: String): DataFrame =
+    readWhere(layer, table, Map(column -> (lo, hi)))
+
+  /** Multi-column form of [[readBetween]]: a file survives only if its
+    * stats overlap EVERY range (conjunction) — over a z-ordered layout
+    * ([[graft.ops.Layout]]) both dimensions prune multiplicatively,
+    * which is the point of interleaving the bits. */
+  def readWhere(layer: String, table: String,
+                ranges: Map[String, (String, String)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    require(ranges.nonEmpty, "readWhere: no ranges given")
     val id = snapshots(layer, table).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore: no committed snapshot for $layer/$table"))
     val (schema, _, files, stats) = readManifestFull(layer, table, id)
-    val colType = schema.find(_.name == column).map(_.dataType).getOrElse(
-      throw new IllegalArgumentException(
-        s"readBetween: $layer/$table has no column $column"))
-    val numeric = colType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    def le(a: String, b: String): Boolean =
+    val typed = ranges.map { case (c, lohi) =>
+      val t = schema.find(_.name == c).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"readWhere: $layer/$table has no column $c"))
+      (c, lohi, t)
+    }.toSeq
+    def le(numeric: Boolean)(a: String, b: String): Boolean =
       if (numeric) BigDecimal(a) <= BigDecimal(b) else a <= b
     val keep = files.filter { f =>
-      stats.get(f).flatMap(_.get(column)) match {
-        case Some((mn, mx)) => le(mn, hi) && le(lo, mx)
-        case None => true // no stats recorded: must read
+      typed.forall { case (c, (lo, hi), t) =>
+        val cmp = le(t.isInstanceOf[org.apache.spark.sql.types.NumericType]) _
+        stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => cmp(mn, hi) && cmp(lo, mx)
+          case None => true // no stats recorded: must read
+        }
       }
     }
     val pruned =
@@ -411,7 +424,29 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.option("basePath", dataDir(layer, table))
         .parquet(keep.map(f => s"${dataDir(layer, table)}/$f"): _*)
-    pruned.filter(col(column) >= lit(lo).cast(colType) && col(column) <= lit(hi).cast(colType))
+    typed.foldLeft(pruned) { case (df, (c, (lo, hi), t)) =>
+      df.filter(col(c) >= lit(lo).cast(t) && col(c) <= lit(hi).cast(t))
+    }
+  }
+
+  /** Compaction (Delta OPTIMIZE): rewrite the CURRENT snapshot into
+    * `numFiles` files (per partition-key hash when `partitionBy` is
+    * set), optionally sort-clustered for stats tightness, and commit.
+    * Prior snapshots still time-travel — their manifests keep
+    * referencing the old files until [[vacuum]]; nothing is deleted by
+    * compaction itself. Stats are re-collected for the new files, so a
+    * sort by the range key directly tightens [[readWhere]] pruning. */
+  def compact(layer: String, table: String, numFiles: Int,
+              sortCols: Seq[String] = Nil,
+              partitionBy: Seq[String] = Nil): Long = {
+    val df = read(layer, table)
+    val repartitioned =
+      if (partitionBy.nonEmpty) df.repartition(numFiles, partitionBy.map(df(_)): _*)
+      else df.repartition(numFiles)
+    val arranged =
+      if (sortCols.nonEmpty) repartitioned.sortWithinPartitions(sortCols.map(df(_)): _*)
+      else repartitioned
+    overwrite(arranged, layer, table, partitionBy)
   }
 
   /** CDC between two snapshots, pruned at FILE granularity: pool files

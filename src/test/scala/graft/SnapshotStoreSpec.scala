@@ -206,6 +206,41 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact collapses files, keeps rows, and prior snapshots still time-travel") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_cmp").toString,
+      statsFor = Seq("id"))
+    val v1 = st.overwrite(spark.range(1, 51).toDF("id").repartition(8), "silver", "t")
+    assert(st.read("silver", "t").inputFiles.length >= 4)
+    val v2 = st.compact("silver", "t", numFiles = 1, sortCols = Seq("id"))
+    assert(st.read("silver", "t").inputFiles.length == 1)
+    assert(st.read("silver", "t").count() == 50)
+    // compaction is just another snapshot: v1 still reads its own files
+    assert(st.readSnapshot("silver", "t", v1).count() == 50)
+    // stats were re-collected for the compacted file
+    assert(st.readBetween("silver", "t", "id", "10", "20").count() == 11)
+    assert(v2 == v1 + 1)
+  }
+
+  test("readWhere prunes on a conjunction of ranges over z-ordered files") {
+    import graft.ops.Layout
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_zw").toString,
+      statsFor = Seq("x", "y"))
+    // 32x32 grid, z-order-clustered into 16 files: each file covers a
+    // compact (x, y) tile, so BOTH dimensions' stats are tight
+    val grid = spark.range(0, 1024).toDF("i")
+      .withColumn("x", col("i") % 32).withColumn("y", expr("i div 32"))
+    st.overwrite(Layout.zorder2(grid, "x", "y", bits = 5, numPartitions = 16),
+      "silver", "grid")
+    val total = st.read("silver", "grid").inputFiles.length
+    val r = st.readWhere("silver", "grid",
+      Map("x" -> ("3", "6"), "y" -> ("3", "6")))
+    assert(r.inputFiles.length < total,
+      s"z-order + stats pruned nothing: ${r.inputFiles.length} of $total")
+    assert(r.count() == 16) // the 4x4 tile
+  }
+
   test("reading a missing table or unretained snapshot fails loudly") {
     val st = newStore("err")
     intercept[IllegalArgumentException] { st.read("silver", "nope") }
