@@ -1478,6 +1478,41 @@ object RefQueries {
     // oracle hashes that pruning + the row filter lose nothing. This is
     // the scan path for every time-ranged query at 100 TB: cluster on
     // the range key, skip by stats.
+    // Z-order + multi-dimension stats skipping, end to end: lineitem's
+    // (x, y) key pair is z-order-clustered into the snapshot store (each
+    // file covers a compact 2-D tile, so BOTH columns' min/max are
+    // tight), then a tile query prunes files on the CONJUNCTION of the
+    // two ranges driver-side — the in-query require() pins that most
+    // files were skipped; a 1-D sort would leave the second dimension's
+    // spans full-width and prune nothing on y. The oracle hashes the
+    // tile's exact aggregate.
+    Q("m_snapshot_zorder_skip",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_z_${new java.io.File(dir).getName}",
+          statsFor = Seq("x", "y"))
+        st.dropTable("silver", "xy")
+        val xy = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 1024).cast(LongType).as("x"),
+          (col("l_partkey") % 1024).cast(LongType).as("y"),
+          col("l_quantity"))
+        st.overwrite(graft.ops.Layout.zorder2(xy, "x", "y", bits = 10, numPartitions = 16),
+          "silver", "xy")
+        val total = st.read("silver", "xy").inputFiles.length
+        val tile = st.readWhere("silver", "xy",
+          Map("x" -> ("100", "227"), "y" -> ("100", "227")))
+        require(tile.inputFiles.length < total,
+          s"z-order stats skipping pruned nothing: ${tile.inputFiles.length} of $total files")
+        tile.groupBy("x", "y")
+          .agg(count(lit(1)).as("n_rows"), Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("x", "y")
+      },
+      Some(s"""SELECT x, y, count(*) AS n_rows, ${Det.dsumSql("l_quantity")} AS sum_qty
+              |FROM (SELECT CAST(l_orderkey % 1024 AS BIGINT) AS x,
+              |             CAST(l_partkey % 1024 AS BIGINT) AS y, l_quantity
+              |      FROM lineitem)
+              |WHERE x BETWEEN 100 AND 227 AND y BETWEEN 100 AND 227
+              |GROUP BY x, y ORDER BY x, y""".stripMargin)),
+
     Q("m_snapshot_skipping",
       (s, dir) => {
         val st = new SnapshotStore(s, s"/tmp/graft_ss_skip_${new java.io.File(dir).getName}",
