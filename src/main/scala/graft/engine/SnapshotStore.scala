@@ -177,6 +177,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   private def nextId(layer: String, table: String): Long =
     snapshots(layer, table).lastOption.getOrElse(0L) + 1
 
+  /** Manifest file entries are pool-relative for this table's own
+    * commits and ABSOLUTE (leading `/`) when they reference another
+    * table's pool — the shallow-clone mechanism ([[shallowClone]]),
+    * exactly how Delta's shallow clone records source-table paths. */
+  private def absFile(layer: String, table: String, f: String): String =
+    if (f.startsWith("/")) f else s"${dataDir(layer, table)}/$f"
+
   /** Latest manifest's per-file stats (empty for a new table). */
   private def prevStats(layer: String, table: String): FileStats =
     snapshots(layer, table).lastOption
@@ -292,9 +299,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val prev = snapshots(layer, table).lastOption
       .map(readManifest(layer, table, _)._2).getOrElse(Nil)
     val added = writeIntoPool(df, layer, table, partitionBy)
-    // partition dir chain of a pool-relative path: "year=1996/part-x" → "year=1996"
+    // partition dir chain of a manifest entry: "year=1996/part-x" →
+    // "year=1996". Entries may be pool-relative (partition dirs lead) or
+    // absolute shallow-clone references (pool base leads) — the `k=v`
+    // segments of the DIR chain are the partition spec either way.
     def partOf(rel: String): String =
-      rel.split('/').takeWhile(_.contains("=")).mkString("/")
+      rel.split('/').dropRight(1).filter(_.contains("=")).mkString("/")
     val touched = added.map(partOf).toSet
     val kept = prev.filterNot(f => touched.contains(partOf(f)))
     // dropped partitions' stats fall away in writeManifest's file filter
@@ -352,6 +362,28 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       layer, table, partitionBy, txnId)
   }
 
+  /** Read a manifest's file list. Files are grouped by their pool base
+    * (the directory chain above any `k=v` partition segment) and each
+    * group gets its own `basePath`, so a manifest that mixes this
+    * table's own pool with an absolute-path source pool (a
+    * [[shallowClone]] that has since been appended to) reads correctly —
+    * hive partition columns resolve per group, then the groups union by
+    * name. One group is the common case and reads exactly as before. */
+  private def readFiles(layer: String, table: String, schema: StructType,
+                        files: Seq[String]): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def baseOf(p: String): String = {
+      val dirChain = p.split('/').dropRight(1)
+      val cut = dirChain.indexWhere(_.contains("="))
+      (if (cut >= 0) dirChain.take(cut) else dirChain).mkString("/")
+    }
+    files.map(absFile(layer, table, _)).groupBy(baseOf).toSeq.sortBy(_._1)
+      .map { case (base, fs) =>
+        spark.read.option("basePath", base).parquet(fs.sorted: _*)
+      }.reduce(_.unionByName(_))
+  }
+
   /** Read the latest snapshot. */
   def read(layer: String, table: String): DataFrame =
     readSnapshot(layer, table,
@@ -368,11 +400,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     require(ids.contains(id),
       s"SnapshotStore: snapshot $id of $layer/$table not retained (have: ${ids.mkString(",")})")
     val (schema, files) = readManifest(layer, table, id)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.option("basePath", dataDir(layer, table))
-        .parquet(files.map(f => s"${dataDir(layer, table)}/$f"): _*)
+    readFiles(layer, table, schema, files)
   }
 
   /** Stats-pruned range scan (Delta/Iceberg data skipping): read only
@@ -419,11 +447,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         }
       }
     }
-    val pruned =
-      if (keep.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.option("basePath", dataDir(layer, table))
-        .parquet(keep.map(f => s"${dataDir(layer, table)}/$f"): _*)
+    val pruned = readFiles(layer, table, schema, keep)
     typed.foldLeft(pruned) { case (df, (c, (lo, hi), t)) =>
       df.filter(col(c) >= lit(lo).cast(t) && col(c) <= lit(hi).cast(t))
     }
@@ -459,16 +483,59 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     require(fromId < toId, s"changesBetween: fromId ($fromId) must precede toId ($toId)")
     val (fromSchema, fromFiles) = readManifest(layer, table, fromId)
     val (toSchema, toFiles) = readManifest(layer, table, toId)
-    def side(own: Seq[String], other: Seq[String], schema: StructType): DataFrame = {
-      val excl = (own.toSet -- other.toSet).toSeq.sorted
-      if (excl.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.option("basePath", dataDir(layer, table))
-        .parquet(excl.map(f => s"${dataDir(layer, table)}/$f"): _*)
-    }
+    def side(own: Seq[String], other: Seq[String], schema: StructType): DataFrame =
+      readFiles(layer, table, schema, (own.toSet -- other.toSet).toSeq.sorted)
     ChangeFeed.classify(
       side(fromFiles, toFiles, fromSchema), side(toFiles, fromFiles, toSchema),
       keys, s"changesBetween($layer, $table)")
+  }
+
+  /** Delta RESTORE: make snapshot `id`'s content CURRENT again by
+    * committing its exact file list (and per-file stats) as a NEW
+    * snapshot — zero data movement, a manifest write only. History is
+    * preserved: the restore is itself a snapshot, so the "bad" commits
+    * it rolls back remain time-travelable (and the restore can itself
+    * be restored away), exactly Delta's RESTORE semantics. The one-line
+    * disaster-recovery answer after a bad overwrite or merge at any
+    * table size. Returns the new snapshot id. */
+  def restore(layer: String, table: String, id: Long): Long = {
+    val ids = snapshots(layer, table)
+    require(ids.contains(id),
+      s"SnapshotStore: snapshot $id of $layer/$table not retained (have: ${ids.mkString(",")})")
+    val (schema, _, files, stats) = readManifestFull(layer, table, id)
+    val newId = nextId(layer, table)
+    writeManifest(layer, table, newId, schema, files, stats = stats)
+    newId
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`):
+    * create `dstLayer/dstTable` whose first snapshot references the
+    * source table's CURRENT data files by absolute path — no data is
+    * copied, the clone costs one manifest write at any source size. The
+    * clone is a first-class table from then on: appends/overwrites/
+    * merges write into its OWN pool (the manifest mixes absolute source
+    * references with the clone's relative files — [[readFiles]] resolves
+    * both), and CDC, time travel, stats pruning, compaction all work;
+    * compacting the clone rewrites its content into its own pool,
+    * severing the source dependency. The sandbox-experiment shape:
+    * clone production, mutate the clone, diff, drop.
+    *
+    * Caveat (exactly Delta's): [[vacuum]] on the SOURCE table does not
+    * know about clones and can delete files a clone still references —
+    * a clone must not outlive its source's retention unless compacted.
+    * Vacuum on the CLONE only ever touches the clone's own pool. */
+  def shallowClone(srcLayer: String, srcTable: String,
+                   dstLayer: String, dstTable: String): Long = {
+    val srcId = snapshots(srcLayer, srcTable).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $srcLayer/$srcTable"))
+    require(!tableExists(dstLayer, dstTable),
+      s"SnapshotStore: clone target $dstLayer/$dstTable already exists")
+    val (schema, _, files, stats) = readManifestFull(srcLayer, srcTable, srcId)
+    val absFiles = files.map(absFile(srcLayer, srcTable, _)).sorted
+    val absStats = stats.map { case (f, s) => absFile(srcLayer, srcTable, f) -> s }
+    writeManifest(dstLayer, dstTable, 1L, schema, absFiles, stats = absStats)
+    1L
   }
 
   /** Delete pool files referenced by NO retained manifest (Delta

@@ -1535,6 +1535,86 @@ object RefQueries {
       },
       Some(s"""SELECT * FROM (${StockOps.goldSql()})
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
+    // RESTORE (Delta RESTORE): a "bad" full overwrite lands on top of
+    // the good gold snapshot; restore(v1) rolls the table back with a
+    // MANIFEST WRITE ONLY — the in-query require pins that the restored
+    // read serves v1's physical files verbatim (zero data movement) —
+    // while the bad commit stays time-travelable. The oracle is simply
+    // the good snapshot's content: what a rollback must return.
+    Q("m_snapshot_restore",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_rst_${new java.io.File(dir).getName}")
+        st.dropTable("gold", "monthly")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-06-15 00:00:00")
+        val v1 = st.overwrite(gold(li.filter(col("l_shipdate") < lit(cut))),
+          "gold", "monthly", Seq("ano"))
+        val v1Files = st.readSnapshot("gold", "monthly", v1).inputFiles.toSet
+        // the bad commit: gold truncated to one year by mistake
+        st.overwrite(gold(li).filter(col("ano") === 1996), "gold", "monthly", Seq("ano"))
+        st.restore("gold", "monthly", v1)
+        val out = st.read("gold", "monthly")
+        require(out.inputFiles.toSet == v1Files,
+          "restore must serve the restored snapshot's own physical files")
+        out.select("sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(s"""SELECT * FROM (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-06-15 00:00:00'")})
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
+    // SHALLOW CLONE (Delta CREATE TABLE ... SHALLOW CLONE): production
+    // gold is cloned zero-copy into a sandbox (the in-query require pins
+    // that the clone serves the SOURCE's physical files), a re-statement
+    // of Apr-Jun 1996 is merged into the CLONE only, and the result is
+    // read from the clone while production is provably untouched (same
+    // file set before and after). The sandbox-experiment shape at 100 TB:
+    // the clone costs one manifest write, the merge costs the touched
+    // partition, production risk is zero. Oracle: full gold with Apr-Jun
+    // 1996 replaced by the pre-cut restatement.
+    Q("m_snapshot_clone",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_cln_${new java.io.File(dir).getName}")
+        st.dropTable("gold", "monthly")
+        st.dropTable("sandbox", "monthly")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        st.overwrite(gold(li), "gold", "monthly", Seq("ano"))
+        val srcFiles = st.read("gold", "monthly").inputFiles.toSet
+        st.shallowClone("gold", "monthly", "sandbox", "monthly")
+        require(st.read("sandbox", "monthly").inputFiles.toSet == srcFiles,
+          "shallow clone must reference the source's physical files")
+        val cut = java.sql.Timestamp.valueOf("1996-06-15 00:00:00")
+        val restated = gold(li.filter(col("l_shipdate") < lit(cut)))
+          .filter(col("ano") === 1996 && col("mes").between(4, 6))
+        st.upsertPartitions(restated, "sandbox", "monthly",
+          keys = Seq("sigla_empresa", "ano", "mes"), partitionBy = Seq("ano"))
+        require(st.read("gold", "monthly").inputFiles.toSet == srcFiles,
+          "mutating the clone must not touch the source table")
+        st.read("sandbox", "monthly")
+          .select("sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH prev_g AS (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-06-15 00:00:00'")}),
+              |curr_g AS (${StockOps.goldSql()})
+              |SELECT * FROM curr_g WHERE NOT (ano = 1996 AND mes BETWEEN 4 AND 6)
+              |UNION ALL
+              |SELECT * FROM prev_g WHERE ano = 1996 AND mes BETWEEN 4 AND 6
+              |UNION ALL
+              |-- upsert semantics: an existing key the restatement does not
+              |-- stage survives with its current value (a company trading
+              |-- only in late June exists in curr but not in the pre-cut set)
+              |SELECT c.* FROM curr_g c WHERE c.ano = 1996 AND c.mes BETWEEN 4 AND 6
+              |  AND NOT EXISTS (SELECT 1 FROM prev_g p
+              |    WHERE p.sigla_empresa = c.sigla_empresa AND p.ano = c.ano AND p.mes = c.mes)
               |ORDER BY sigla_empresa, ano, mes""".stripMargin))
   )
 

@@ -241,6 +241,61 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(r.count() == 16) // the 4x4 tile
   }
 
+  test("restore rolls back to an old snapshot with zero data movement") {
+    val st = newStore("rst")
+    val v1 = st.overwrite(Seq((1L, "good"), (2L, "good")).toDF("id", "v"), "silver", "t")
+    val filesV1 = st.readSnapshot("silver", "t", v1).inputFiles.toSet
+    val v2 = st.overwrite(Seq((9L, "bad")).toDF("id", "v"), "silver", "t")
+    val v3 = st.restore("silver", "t", v1)
+    assert(v3 == v2 + 1)
+    // current content is v1's, served by v1's PHYSICAL files — the
+    // restore was a manifest write, not a data write
+    assert(st.read("silver", "t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "good"), (2L, "good")))
+    assert(st.read("silver", "t").inputFiles.toSet == filesV1)
+    // history preserved: the bad commit still time-travels
+    assert(st.readSnapshot("silver", "t", v2).as[(Long, String)].collect().toSeq ==
+      Seq((9L, "bad")))
+    intercept[IllegalArgumentException] { st.restore("silver", "t", 99L) }
+  }
+
+  test("shallowClone references source files; clone writes stay in clone pool") {
+    val st = newStore("cln")
+    st.overwrite(
+      Seq((1L, "a", 2024), (2L, "b", 2025)).toDF("id", "v", "year"),
+      "gold", "t", Seq("year"))
+    val srcFiles = st.read("gold", "t").inputFiles.toSet
+    st.shallowClone("gold", "t", "sandbox", "t")
+    // the clone reads the SOURCE table's physical files — nothing copied
+    val clone0 = st.read("sandbox", "t")
+    assert(clone0.inputFiles.toSet == srcFiles)
+    assert(clone0.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // mutating the clone (partition-pruned merge) leaves the source
+    // untouched; untouched partitions still serve from the source pool
+    st.upsertPartitions(Seq((2L, "B2", 2025), (3L, "c", 2025)).toDF("id", "v", "year"),
+      "sandbox", "t", keys = Seq("id", "year"), partitionBy = Seq("year"))
+    val clone1 = st.read("sandbox", "t")
+    assert(clone1.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(st.read("gold", "t").orderBy("id").select("id", "v")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    val cloneFiles = clone1.inputFiles.toSet
+    assert(cloneFiles.intersect(srcFiles).forall(_.contains("year=2024")),
+      "untouched partition must still be a source-pool reference")
+    assert(cloneFiles.exists(f => !srcFiles.contains(f)), "merged partition must be clone-pool")
+    // CDC across the clone's own history prunes to the changed files
+    val ch = st.changesBetween("sandbox", "t", Seq("id", "year"), 1L, 2L)
+      .select("_change_type", "id").as[(String, Long)].collect().toSeq.sorted
+    assert(ch == Seq(("insert", 3L), ("update_postimage", 2L), ("update_preimage", 2L)))
+    // compacting the clone severs the source dependency entirely
+    st.compact("sandbox", "t", numFiles = 1)
+    assert(st.read("sandbox", "t").inputFiles.toSet.intersect(srcFiles).isEmpty)
+    assert(st.read("sandbox", "t").count() == 3)
+    // cloning onto an existing table is refused
+    intercept[IllegalArgumentException] { st.shallowClone("gold", "t", "sandbox", "t") }
+  }
+
   test("reading a missing table or unretained snapshot fails loudly") {
     val st = newStore("err")
     intercept[IllegalArgumentException] { st.read("silver", "nope") }
