@@ -176,6 +176,65 @@ object Graph {
     } finally g.unpersistAll()
   }
 
+  /** Per-node triangle counts and local clustering coefficient over an
+    * UNDIRECTED simple graph (input edges may be directed/duplicated/
+    * self-looped — they are canonicalized first). Output: one row per
+    * node, `(node, degree, triangles, lcc)` with
+    * `lcc = 2·T(v) / (deg(v)·(deg(v)−1))` (0.0 below degree 2).
+    *
+    * Algorithm — the standard distributed shape (node-iterator with
+    * degree ordering, the MapReduce-era "count triangles off the lowest-
+    * degree vertex" trick): every edge is DIRECTED from its lower-rank
+    * endpoint to its higher-rank endpoint under the total order
+    * `(degree, node)`; wedges are built only at each triangle's LOWEST-
+    * rank vertex (self-join of the directed edges on their tail, head
+    * pair rank-ordered), and a wedge closes iff its head pair is itself
+    * a directed edge (equi-join). Each triangle is found exactly once.
+    * Degree ordering bounds every node's forward-degree by O(√m), so the
+    * wedge join is O(m^1.5) total — the bound that makes exact triangle
+    * counting feasible on web-scale graphs — and every step is an
+    * equi-join or keyed aggregate: no broadcast requirement, no driver
+    * reads, no windows. All counts are exact integers (order-independent)
+    * and the lcc is one correctly-rounded double division, so results
+    * are engine-identical (oracle-hashable).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .filter(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    // (u → v, dv): u strictly precedes v in (degree, node) order; dv is
+    // v's degree, carried so the wedge join can rank-order head pairs
+    // without a second degree join
+    val dir = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    val w1 = dir.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val w2 = dir.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = w1.join(w2, Seq("u"))
+      .filter(col("dv1") < col("dv2") || (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val closed = wedges
+      .join(dir.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    val perNode = closed.select(col("u").as("node"))
+      .union(closed.select(col("v1").as("node")))
+      .union(closed.select(col("v2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("lcc",
+        when(col("degree") >= 2,
+          (col("triangles") * 2).cast(DoubleType) /
+            (col("degree") * (col("degree") - 1)).cast(DoubleType))
+          .otherwise(lit(0.0)))
+  }
+
   /** PageRank iterated to a FIXED POINT: stops when no node's rank
     * moved more than `tolUnits` fixed-point units (1e-15 each) in a
     * round, or at `maxIter`. Returns `(ranks, roundsRun)`.

@@ -1940,7 +1940,62 @@ object ExtQueries {
            |${round("r1", "r2")},
            |${round("r2", "r3")}
            |SELECT node, CAST(rank AS DOUBLE) / $s.0 AS rank FROM r3 ORDER BY node""".stripMargin
-      })
+      }),
+
+    // Triangle counting + local clustering coefficient over the PART
+    // CO-OCCURRENCE graph (parts bought together in one order — the
+    // customer↔supplier graph is bipartite and trivially triangle-free).
+    // [[Graph.triangles]]: edges directed low→high under (degree, node)
+    // order, wedges built only at each triangle's lowest-rank vertex,
+    // closed by one equi-join — O(m^1.5) total, the exact-counting bound
+    // that survives web-scale graphs; no broadcast, no driver reads.
+    // Clustering coefficient is a curation signal (a page/product whose
+    // neighbors all know each other is a community hub; isolated-star
+    // nodes often spam). Q1-1996 window keeps the graph mid-sized at
+    // every SF. Counts are exact integers; lcc is one correctly-rounded
+    // division — the oracle runs the identical wedge algebra in SQL.
+    Q("gr_triangles",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+            && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        val co = lp.as("x").join(lp.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+        Graph.triangles(co).orderBy("node")
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'),
+             |und AS (SELECT DISTINCT x.p AS a, y.p AS b
+             |        FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p),
+             |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+             |          SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+             |        GROUP BY node),
+             |dir AS (SELECT
+             |    CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND u0.a < u0.b)
+             |         THEN u0.a ELSE u0.b END AS u,
+             |    CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND u0.a < u0.b)
+             |         THEN u0.b ELSE u0.a END AS v,
+             |    CASE WHEN da.degree < db.degree OR (da.degree = db.degree AND u0.a < u0.b)
+             |         THEN db.degree ELSE da.degree END AS dv
+             |  FROM und u0 JOIN deg da ON da.node = u0.a JOIN deg db ON db.node = u0.b),
+             |tri AS (SELECT w1.u AS x, w1.v AS y, w2.v AS z
+             |  FROM dir w1 JOIN dir w2 ON w1.u = w2.u
+             |    AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+             |  JOIN dir c ON c.u = w1.v AND c.v = w2.v),
+             |pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+             |           SELECT x AS node FROM tri UNION ALL SELECT y AS node FROM tri
+             |           UNION ALL SELECT z AS node FROM tri)
+             |         GROUP BY node)
+             |SELECT deg.node, deg.degree, COALESCE(pern.triangles, 0) AS triangles,
+             |       CASE WHEN deg.degree >= 2
+             |            THEN CAST(2 * COALESCE(pern.triangles, 0) AS DOUBLE)
+             |                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+             |            ELSE 0.0 END AS lcc
+             |FROM deg LEFT JOIN pern ON pern.node = deg.node
+             |ORDER BY deg.node""".stripMargin))
   )
 
   /** Symmetrized WEIGHTED customer↔supplier edges: weight = number of

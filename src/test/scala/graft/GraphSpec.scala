@@ -108,6 +108,31 @@ class GraphSpec extends SparkSpec {
     assert(ex.getMessage.contains("still moving"))
   }
 
+  test("triangles: per-node counts, lcc, and canonicalization of messy input") {
+    // two triangles sharing edge (2,3), plus pendant 5 on node 1; input
+    // is deliberately messy: duplicates, reversed copies, a self-loop
+    val e = edges(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L), (5L, 1L),
+      (2L, 1L), (1L, 2L), (3L, 3L)) // reversed dup, exact dup, self-loop
+    val r = Graph.triangles(e).orderBy("node")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 3L, 1L, 1.0 / 3.0), // neighbors {2,3,5}; one closed pair of 3
+      (2L, 3L, 2L, 2.0 / 3.0), // neighbors {1,3,4}; two closed pairs
+      (3L, 3L, 2L, 2.0 / 3.0),
+      (4L, 2L, 1L, 1.0),       // both neighbors adjacent
+      (5L, 1L, 0L, 0.0)))      // degree < 2: lcc pinned to 0
+  }
+
+  test("triangles: triangle-free graphs count zero everywhere") {
+    // a star and a 4-cycle — wedges exist but never close
+    val r = Graph.triangles(edges((1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L)))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.forall(t => t._3 == 0L && t._4 == 0.0))
+    assert(r.length == 8)
+  }
+
   test("pageRank rejects empty input and zero iterations") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges((1L, 2L)), iterations = 0)
