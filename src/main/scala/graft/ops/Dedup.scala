@@ -33,6 +33,30 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col(textCol), col("n_copies"))
 
+  /** Incremental (continuous-ingestion) exact dedup: admit only the
+    * `batch` documents whose text appears neither in the already-
+    * committed `corpus` nor EARLIER in the batch itself (first id wins
+    * within the batch — deterministic). This is the shape a corpus that
+    * grows daily actually needs: dedup cost must track the BATCH, never
+    * re-scan the corpus' text.
+    *
+    * Scale shape: the corpus contributes only `xxhash64(text)` — 8
+    * bytes per committed document through the shuffle, no corpus text
+    * ever moves (at 100 TB the hash set is ~1000× smaller than the
+    * corpus and can also be maintained incrementally as its own
+    * warehouse table). The batch side is one groupBy (first-id-wins)
+    * plus one LEFT ANTI join keyed on the hash. A 64-bit collision
+    * would drop a genuinely-new document with probability ≈ n²/2⁶⁵ —
+    * the standard trade (see [[jaccardPairs]]); swap in a 128-bit
+    * concat of two seeded hashes if a stricter bound is required. */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val firsts = batch.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(textCol))
+    val seen = corpus.select(xxhash64(col(textCol)).as("__seen_h")).distinct()
+    firsts.join(seen, xxhash64(col(textCol)) === col("__seen_h"), "left_anti")
+  }
+
   /** Distinct word n-gram shingles per doc: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val toks = TextOps.tokens(col(textCol))

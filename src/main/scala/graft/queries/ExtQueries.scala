@@ -164,6 +164,43 @@ object ExtQueries {
               |SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
               |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // Incremental (continuous-ingestion) dedup: a new batch — fresh
+    // docs + a simulated re-crawl of committed docs under new ids + a
+    // within-batch duplicate slice — is admitted against the committed
+    // corpus. [[Dedup.incrementalExact]]: the corpus contributes ONLY
+    // its 8-byte text hashes to the anti-join (no corpus text moves —
+    // the property that keeps daily dedup cost tracking the batch, not
+    // the 100 TB corpus); within-batch first-id-wins is one groupBy.
+    // The oracle replays the admission in SQL on raw text equality —
+    // hash-green also certifies the xxhash64 keying loses nothing.
+    Q("dd_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val corpus = d.filter(col("doc_id") % 3 =!= 0)
+        val fresh = d.filter(col("doc_id") % 3 === 0)
+        val recrawl = corpus.filter(col("doc_id") % 7 === 1)
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+        val selfdup = fresh.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2 * off).as("doc_id"), col("text"))
+        val batch = fresh.unionByName(recrawl).unionByName(selfdup)
+        Dedup.incrementalExact(corpus, batch, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+             |off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+             |  UNION ALL
+             |  SELECT doc_id + (SELECT o FROM off) AS doc_id, text
+             |  FROM corpus WHERE doc_id % 7 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 2 * (SELECT o FROM off) AS doc_id, text
+             |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 11 = 0),
+             |firsts AS (SELECT MIN(doc_id) AS doc_id, text FROM batch GROUP BY text)
+             |SELECT doc_id, text FROM firsts f
+             |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = f.text)
+             |ORDER BY doc_id""".stripMargin)),
+
     // N-gram Jaccard near-dup pairs: posting-list self-join with
     // stop-shingle (df > 20) pruning bounding the pair blowup.
     Q("dd_jaccard",

@@ -21,6 +21,23 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("incrementalExact admits only batch texts unseen in corpus, first id wins") {
+    import spark.implicits._
+    val committed = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "gamma"),          // new → admitted
+      (11L, "alpha"),          // re-crawl of committed text → rejected
+      (12L, "delta"), (13L, "delta"), // within-batch dup → min id only
+      (14L, "beta")).toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(committed, batch, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((10L, "gamma"), (12L, "delta")))
+    // empty corpus: everything admitted (still first-id-wins)
+    val out2 = Dedup.incrementalExact(committed.limit(0), batch, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out2 == Seq((10L, "gamma"), (11L, "alpha"), (12L, "delta"), (14L, "beta")))
+  }
+
   test("shingles emits distinct n-grams, skipping too-short docs") {
     import spark.implicits._
     val tiny = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
