@@ -11,56 +11,54 @@ import org.apache.spark.sql.functions._
  * and holidays simply have no row, ingest_stocks.py:52-63; downstream
  * consumers want a continuous daily axis with carried-forward values).
  *
- * Scale shape (100 TB):
- *   - the per-key span aggregate produces ONE row per key (narrow
- *     shuffle on the key);
- *   - the spine is `explode(sequence(min, max))` over those one-row
- *     spans — a pure projection, no shuffle, and its size is bounded by
- *     keys × calendar days, not by input rows;
- *   - the left join back to observations is an equi-join on
- *     (key, date) — both sides hash-partition on the same compound key;
- *   - forward fill is one window per key ordered by date; per-key row
- *     count is the calendar span (≤ tens of thousands for decades of
- *     daily data), so no partition ever exceeds executor memory no
- *     matter how large the table is.
+ * Scale shape (100 TB): both fill operators are ONE pass — a single
+ * shuffle on the key (the per-key window), then each observation
+ * EXPLODES its own gap days (`sequence(d, next_d − 1)` via `lead`):
+ *   - no spine join: the previous spine-then-left-join plan shuffled
+ *     the DENSE calendar (bigger than the input) through a compound-key
+ *     join and scanned `observed` three times (grain probe, span
+ *     aggregate, join leg); this plan reads it once and shuffles it
+ *     once;
+ *   - grain guards (NULL date, duplicate (key, day)) are per-row
+ *     `raise_error` branches inside the plan — distributed, zero extra
+ *     jobs (the zscore cent-guard pattern), not an eager probe pass;
+ *   - fill/interp anchors (`last`/`first` IGNORE NULLS, `lead`) share
+ *     one window spec, so Spark evaluates every frame in a single
+ *     WindowExec over a single sort; per-key partition size is the
+ *     observation count, and the exploded output is bounded by
+ *     keys × calendar days exactly as a spine would be.
  * Nothing is collected to the driver and no step is quadratic.
  *
  * Precondition (both fill operators): `observed` has AT MOST ONE row
- * per (keys, dateCol) — duplicate observations would multiply spine
- * rows through the left join and make the filled value order-dependent
- * — and `dateCol` is non-NULL (a NULL date can never match a spine day
- * and would be silently dropped). [[requireDailyGrain]] enforces both;
- * the fill entry points call it. Pre-aggregate (e.g. latest-wins or
+ * per (keys, dateCol) — duplicate observations would make the filled
+ * value order-dependent — and `dateCol` is non-NULL (a NULL date has no
+ * place on a calendar axis). Both are enforced in-plan: the sorted
+ * window makes equal dates adjacent, so `lead(d) = d` detects every
+ * duplicate with no extra pass. Pre-aggregate (e.g. latest-wins or
  * mean per day) upstream if the raw feed can double-report.
  */
 object TimeSeries {
 
-  /** ONE probe job over the observations (same bounded-cost pattern as
-    * scd2Merge's duplicate-staged-key guard): rejects NULL dates and
-    * duplicate (keys, date) rows instead of silently producing
-    * order-dependent fills. A single partial-aggregated pass — groupBy
-    * the grain (NULL dates group like any value; map-side combine keeps
-    * shuffle rows bounded by distinct grain keys), then roll both guard
-    * signals up in one global aggregate. The previous two-job form
-    * (a limit(1).count() NULL scan plus a separate dup groupBy) cost two
-    * full table scans per fill call — at 100 TB that is two extra reads
-    * of the whole series before any fill work starts. */
-  private def requireDailyGrain(observed: DataFrame, keys: Seq[String],
-                                dateCol: String): Unit = {
-    val row = observed.groupBy((keys :+ dateCol).map(col): _*)
-      .agg(count(lit(1)).as("__cnt"))
-      .agg(max(when(col(dateCol).isNull, lit(1)).otherwise(lit(0))).as("__has_null"),
-        max(col("__cnt")).as("__max_cnt"))
-      .head()
-    // empty input → global max over zero groups is NULL → both guards pass
-    val hasNull = !row.isNullAt(0) && row.getInt(0) == 1
-    val maxCnt = if (row.isNullAt(1)) 0L else row.getLong(1)
-    require(!hasNull,
-      s"gap fill: observed has NULL $dateCol rows — they can never join a spine day; " +
-        "filter or repair them upstream")
-    require(maxCnt <= 1L,
-      s"gap fill: observed has duplicate rows per (${(keys :+ dateCol).mkString(", ")}) — " +
-        "daily-grain uniqueness is required; pre-aggregate (latest-wins/mean) upstream")
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.DateType
+
+  /** The calendar axis column with the grain guards embedded: evaluating
+    * a NULL date or a date equal to its successor (a duplicate — the
+    * window sort makes equal dates adjacent) raises instead of silently
+    * producing an order-dependent fill. A per-row branch, not a probe
+    * job: the guard costs zero extra scans at any table size. */
+  private def guardedDay(dateCol: String, keys: Seq[String], nextD: Column): Column = {
+    val d = col(dateCol)
+    when(d.isNull,
+      raise_error(lit(s"gap fill: observed has NULL $dateCol rows — they have no " +
+        "place on a calendar axis; filter or repair them upstream")).cast(DateType))
+      .when(nextD === d,
+        raise_error(concat(
+          lit(s"gap fill: duplicate row per (${(keys :+ dateCol).mkString(", ")}) at "),
+          d.cast("string"),
+          lit(" — daily-grain uniqueness is required; pre-aggregate " +
+            "(latest-wins/mean) upstream"))).cast(DateType))
+      .otherwise(d)
   }
 
   /** One row per (key, calendar day) between each key's own first and
@@ -77,50 +75,79 @@ object TimeSeries {
    * each of `valueCols`: missing days get the most recent earlier
    * value (classic as-of carry-forward). For every value column `v` the
    * output keeps the raw (NULL on gap days) column `v` and adds
-   * `v_filled`. Days before a key's first observation never exist
-   * (the spine starts at the key's min date), so filled columns are
-   * total.
+   * `v_filled`; other non-key columns of `observed` pass through (NULL
+   * on gap days), exactly as a spine left-join would surface them. Days
+   * before a key's first observation never exist (the axis starts at
+   * the key's min date), so filled columns are total.
+   *
+   * Plan: one window (lead + cumulative last-non-NULL in a single
+   * WindowExec), then each observation explodes its own gap days
+   * `[d, next_d)` — every generated day's carried value IS the
+   * generating row's cumulative fill, so no join and no second scan.
    */
   def gapFillForward(observed: DataFrame, keys: Seq[String], dateCol: String,
                      valueCols: Seq[String]): DataFrame = {
-    requireDailyGrain(observed, keys, dateCol)
-    val spine = dailySpine(observed, keys, dateCol)
-    val joined = spine.join(observed, keys :+ dateCol, "left")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    valueCols.foldLeft(joined) { (df, v) =>
-      df.withColumn(s"${v}_filled", last(col(v), ignoreNulls = true).over(w))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = col(dateCol)
+    val others = observed.columns.filterNot(c => keys.contains(c) || c == dateCol)
+    val withW = valueCols.foldLeft(observed.withColumn("__next_d", lead(d, 1).over(w))) {
+      (df, v) => df.withColumn(s"__${v}_filled", last(col(v), ignoreNulls = true).over(cum))
     }
+    val exploded = withW.withColumn("__day",
+      explode(sequence(guardedDay(dateCol, keys, col("__next_d")),
+        coalesce(date_sub(col("__next_d"), 1), d))))
+    val obsDay = col("__day") === d
+    exploded.select(
+      keys.map(col) ++
+        Seq(col("__day").as(dateCol)) ++
+        others.map(c => when(obsDay, col(c)).as(c)) ++
+        valueCols.map(v => col(s"__${v}_filled").as(s"${v}_filled")): _*)
   }
 
   /**
    * Linear interpolation between observations (the other standard gap
    * policy, e.g. for slowly-varying metrics): a gap day's value is the
    * straight line between the previous and next observed values; gaps
-   * after the last observation carry the last value forward. Same plan
-   * shape as [[gapFillForward]] plus one backward window.
+   * after the last observation carry the last value forward. Same
+   * one-pass plan as [[gapFillForward]]: the four interpolation anchors
+   * (previous/next non-NULL value and their dates) are frames of the
+   * same window, and each observation explodes its own gap days with
+   * those anchors already attached.
    */
   def gapFillInterpolate(observed: DataFrame, keys: Seq[String], dateCol: String,
                          valueCol: String): DataFrame = {
-    requireDailyGrain(observed, keys, dateCol)
-    val spine = dailySpine(observed, keys, dateCol)
-    val joined = spine.join(observed, keys :+ dateCol, "left")
-    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val bwd = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(dateCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // strictly-after frame: a gap day sits AFTER its generating
+    // observation, so its "next" anchor skips the generating row; on the
+    // observed day itself the distinction is moot (a non-NULL value
+    // short-circuits to itself, a NULL one is invisible to IGNORE NULLS)
+    val fol = w.rowsBetween(1, Window.unboundedFollowing)
     val v = col(valueCol)
     val d = col(dateCol)
-    val prevV = last(v, ignoreNulls = true).over(fwd)
-    val nextV = first(v, ignoreNulls = true).over(bwd)
-    val prevD = last(when(v.isNotNull, d), ignoreNulls = true).over(fwd)
-    val nextD = first(when(v.isNotNull, d), ignoreNulls = true).over(bwd)
-    val frac = datediff(d, prevD).cast("double") /
-      datediff(nextD, prevD).cast("double")
-    joined.withColumn(s"${valueCol}_interp",
-      when(v.isNotNull, v)
-        .when(nextV.isNull, prevV) // after last observation: carry forward
-        .otherwise(prevV + (nextV - prevV) * frac))
+    val others = observed.columns.filterNot(c => keys.contains(c) || c == dateCol)
+    val withW = observed
+      .withColumn("__next_d", lead(d, 1).over(w))
+      .withColumn("__prev_v", last(v, ignoreNulls = true).over(cum))
+      .withColumn("__prev_vd", last(when(v.isNotNull, d), ignoreNulls = true).over(cum))
+      .withColumn("__next_v", first(v, ignoreNulls = true).over(fol))
+      .withColumn("__next_vd", first(when(v.isNotNull, d), ignoreNulls = true).over(fol))
+    val exploded = withW.withColumn("__day",
+      explode(sequence(guardedDay(dateCol, keys, col("__next_d")),
+        coalesce(date_sub(col("__next_d"), 1), d))))
+    val g = col("__day")
+    val vAtDay = when(g === d, v)
+    val frac = datediff(g, col("__prev_vd")).cast("double") /
+      datediff(col("__next_vd"), col("__prev_vd")).cast("double")
+    exploded.select(
+      keys.map(col) ++
+        Seq(g.as(dateCol)) ++
+        others.map(c => when(g === d, col(c)).as(c)) ++
+        Seq(when(vAtDay.isNotNull, vAtDay)
+          .when(col("__next_v").isNull, col("__prev_v")) // after last observation: carry forward
+          .otherwise(col("__prev_v") + (col("__next_v") - col("__prev_v")) * frac)
+          .as(s"${valueCol}_interp")): _*)
   }
 
   /** Per-key z-score anomaly flags: standardize `valueCol` against its

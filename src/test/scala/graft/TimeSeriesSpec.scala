@@ -47,17 +47,21 @@ class TimeSeriesSpec extends SparkSpec {
     val dup = observed.unionByName(
       Seq(("A", "2024-01-01", 11.0)).toDF("k", "d", "v")
         .withColumn("d", col("d").cast(DateType)))
-    val e1 = intercept[IllegalArgumentException] {
-      TimeSeries.gapFillForward(dup, Seq("k"), "d", Seq("v"))
+    // in-plan raise_error guards (no eager probe job): the failure
+    // surfaces at action time, wrapped by Spark — walk the cause chain
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e1 = intercept[Exception] {
+      TimeSeries.gapFillForward(dup, Seq("k"), "d", Seq("v")).collect()
     }
-    assert(e1.getMessage.contains("duplicate"))
+    assert(chain(e1).exists(_.contains("duplicate")), chain(e1).mkString(" | "))
     val withNull = observed.unionByName(
       Seq(("C", null.asInstanceOf[String], 1.0)).toDF("k", "d", "v")
         .withColumn("d", col("d").cast(DateType)))
-    val e2 = intercept[IllegalArgumentException] {
-      TimeSeries.gapFillInterpolate(withNull, Seq("k"), "d", "v")
+    val e2 = intercept[Exception] {
+      TimeSeries.gapFillInterpolate(withNull, Seq("k"), "d", "v").collect()
     }
-    assert(e2.getMessage.contains("NULL"))
+    assert(chain(e2).exists(_.contains("NULL")), chain(e2).mkString(" | "))
   }
 
   test("zscore fails loudly on values beyond the DECIMAL(18,2) cent range") {
