@@ -278,4 +278,62 @@ object Graph {
       (toDoubleRanks(ranks), r)
     } finally g.unpersistAll()
   }
+
+  /** Multi-source BFS hop distances over a DIRECTED edge list: for every
+    * node reachable from `sources` (a `node` column) within `maxHops`
+    * edges, the minimum hop count. Source nodes themselves are distance
+    * 0; unreachable nodes produce no row. Pass a symmetrized edge list
+    * for undirected semantics (same contract as [[pageRank]]).
+    *
+    * The standard distributed frontier expansion (Pregel's BFS): each
+    * round joins the CURRENT frontier (only the newly-reached nodes, not
+    * the whole visited set) against the src-pre-partitioned cached edge
+    * table, then anti-joins the visited set so every node is settled
+    * exactly once — per round one keyed join + one distinct + one
+    * anti-join, all keyed on the node id; nothing is collected or
+    * broadcast by hand (AQE broadcasts the shrinking frontier on its
+    * own when it fits). Every frontier is localCheckpoint'ed: rounds
+    * are data-dependent, so lineage would otherwise nest one join
+    * deeper per hop, and the empty-frontier early exit (`isEmpty` — a
+    * bounded probe on the already-materialized checkpoint, the same
+    * pattern as [[pageRankConverged]]'s convergence scalar) stops as
+    * soon as the reachable set is exhausted rather than running
+    * `maxHops` dead rounds.
+    *
+    * Hop counts are integers — exact, order-independent, and
+    * engine-identical: the DuckDB mirror is a recursive CTE with the
+    * identical `dist < maxHops` cap, and `MIN(dist)` over its (node,
+    * dist) fixpoint equals first-reach hop, so the operator is
+    * oracle-hashable bit-for-bit. */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"shortestPaths: maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src")).cache()
+    try {
+      var dist = sources.select(col("node")).filter(col("node").isNotNull)
+        .distinct().select(col("node"), lit(0).as("dist")).localCheckpoint()
+      var frontier = dist.select("node")
+      var hop = 1
+      var exhausted = frontier.isEmpty
+      while (hop <= maxHops && !exhausted) {
+        val next = e.join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(dist.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), lit(hop).as("dist"))
+          .localCheckpoint()
+        if (next.isEmpty) exhausted = true
+        else {
+          // union of ≤ maxHops checkpointed leaves — flat, bounded plan
+          dist = dist.unionByName(next)
+          frontier = next.select("node")
+        }
+        hop += 1
+      }
+      dist
+    } finally {
+      e.unpersist()
+      ()
+    }
+  }
 }

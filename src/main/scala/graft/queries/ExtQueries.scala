@@ -2032,7 +2032,34 @@ object ExtQueries {
              |                 / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
              |            ELSE 0.0 END AS lcc
              |FROM deg LEFT JOIN pern ON pern.node = deg.node
-             |ORDER BY deg.node""".stripMargin))
+             |ORDER BY deg.node""".stripMargin)),
+
+    // Multi-source BFS hop distances ([[Graph.shortestPaths]]): frontier
+    // expansion against src-pre-partitioned cached edges, one keyed
+    // join + distinct + anti-join per hop, frontiers checkpointed and
+    // the loop early-exits on an empty frontier. "How far is every
+    // entity from this seed set" is the standard reachability/influence
+    // primitive (seed-set contamination spread, crawl-frontier depth).
+    // Hop counts are exact integers; the oracle is DuckDB's RECURSIVE
+    // CTE with the identical hop cap — MIN(dist) over its (node, dist)
+    // fixpoint IS first-reach BFS distance, so the hash matches.
+    Q("gr_bfs",
+      (s, dir) => {
+        val sources = Tables.orders(s, dir).filter(col("o_custkey") < 3)
+          .select((col("o_custkey") * 2).as("node")).distinct()
+        Graph.shortestPaths(graphEdges(s, dir), sources, maxHops = 3)
+          .orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE $graphEdgesSql,
+              |srcs AS (SELECT DISTINCT o_custkey * 2 AS node FROM orders WHERE o_custkey < 3),
+              |bfs(node, dist) AS (
+              |  SELECT node, 0 AS dist FROM srcs
+              |  UNION
+              |  SELECT e.dst AS node, b.dist + 1 AS dist
+              |  FROM bfs b JOIN edges e ON e.src = b.node
+              |  WHERE b.dist < 3)
+              |SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+              |ORDER BY node""".stripMargin))
   )
 
   /** Symmetrized WEIGHTED customer↔supplier edges: weight = number of

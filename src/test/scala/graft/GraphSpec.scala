@@ -133,6 +133,28 @@ class GraphSpec extends SparkSpec {
     assert(r.length == 8)
   }
 
+  test("shortestPaths: BFS hop distances, hop cap, early exit, multi-source min") {
+    // directed chain 1→2→3→4→5 plus a shortcut 1→4; source {1}
+    val chain = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val src1 = Seq(1L).toDF("node")
+    val d = Graph.shortestPaths(chain, src1, maxHops = 10)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2),
+      "shortcut wins over the longer chain path; early exit past hop 2")
+    // hop cap truncates reach
+    val capped = Graph.shortestPaths(chain, src1, maxHops = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(capped == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // multi-source: distance is min over sources; disconnected node 99 absent
+    val multi = Graph.shortestPaths(chain.unionByName(edges((98L, 99L))),
+      Seq(1L, 5L, 1L).toDF("node"), maxHops = 10).as[(Long, Int)].collect().toMap
+    assert(multi == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 0))
+    // maxHops = 0: sources only
+    val zero = Graph.shortestPaths(chain, src1, maxHops = 0)
+      .as[(Long, Int)].collect().toMap
+    assert(zero == Map(1L -> 0))
+  }
+
   test("pageRank rejects empty input and zero iterations") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges((1L, 2L)), iterations = 0)
