@@ -287,6 +287,40 @@ object Similarity {
   }
 
   /**
+   * One k-means M-step as EXACT integer sufficient statistics: assign
+   * every vector to its nearest centroid ([[ivfAssign]]), then reduce
+   * each cluster to `(dim-wise Σ quantized component, member count)` —
+   * the `(S_k, n_k)` pair from which the new centroid is `S_k / n_k`.
+   * Output: one row per (centroid_id, dim): `(centroid_id, dim, sum_q,
+   * n)`.
+   *
+   * Why sufficient statistics instead of AVG (the [[kmeans]] loop's
+   * form): integer sums are associative and order-independent, so the
+   * M-step is (a) oracle-hashable bit-for-bit with zero tolerance, and
+   * (b) MERGEABLE — stats from two corpus shards (or two days of
+   * ingest) combine by addition without touching the raw vectors,
+   * which is how a 100 TB training loop actually updates centroids:
+   * each partition emits partial (Σ, n), one narrow shuffle on
+   * (centroid_id, dim) combines them. Components ride as int8 codes
+   * ([[int8Codes]]) — 1 byte per dim through the explode instead of 4.
+   *
+   * Scale shape: broadcast centroids → assignment window keyed on the
+   * vector id → posexplode (pure projection) → ONE keyed aggregate on
+   * (centroid_id, dim) with map-side partials; output cardinality is
+   * k × dim, independent of corpus size.
+   */
+  def kmeansMStepStats(emb: DataFrame, vecCol: String, idCol: String,
+                       centroids: DataFrame, cVecCol: String, cIdCol: String): DataFrame = {
+    val assigned = ivfAssign(emb, vecCol, idCol, centroids, cVecCol, cIdCol)
+      .select(col(idCol), col("centroid_id"))
+    val codes = emb.select(col(idCol), int8Codes(col(vecCol)).as("__qv"))
+    assigned.join(codes, Seq(idCol))
+      .select(col("centroid_id"), posexplode(col("__qv")).as(Seq("dim", "q")))
+      .groupBy(col("centroid_id"), col("dim"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+  }
+
+  /**
    * SemDeDup-style semantic deduplication: vectors are clustered to
    * their nearest centroid, near-duplicate pairs are discovered ONLY
    * within a cell (equi-join on centroid_id — never all-pairs), and a

@@ -1602,6 +1602,42 @@ object ExtQueries {
               |       ${Similarity.cosineSql("embedding", "query_vec")} AS cosine
               |FROM shortlist ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // One k-means M-step as integer sufficient statistics
+    // ([[Similarity.kmeansMStepStats]]): per (cluster, dim) the exact
+    // Σ of int8-quantized components plus the member count — the
+    // mergeable (S_k, n_k) form a distributed training loop actually
+    // shuffles (partial sums combine by addition; the new centroid is
+    // S/n). Assignment reuses the ivfAssign window; the reduce is one
+    // keyed aggregate with map-side partials; output is k × dim rows
+    // regardless of corpus size. All-integer → oracle-hash-exact.
+    Q("sim_kmeans_mstep",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        Similarity.kmeansMStepStats(emb, "embedding", "vec_id", cents, "c_vec", "c_id")
+          .orderBy("centroid_id", "dim")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+              |j AS (SELECT e.vec_id, c.c_id,
+              |             ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+              |      FROM embeddings e CROSS JOIN cents c),
+              |r AS (SELECT vec_id, c_id, cosine,
+              |             row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn
+              |      FROM j),
+              |a AS (SELECT vec_id, c_id AS centroid_id FROM r WHERE rn = 1),
+              |base AS (SELECT vec_id, ${Similarity.quantScaleSql("embedding")} AS sc, embedding
+              |         FROM embeddings),
+              |codes AS (SELECT vec_id, ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM base),
+              |x AS (SELECT a.centroid_id,
+              |             unnest(range(len(c.qv))) AS dim,
+              |             unnest(c.qv) AS q
+              |      FROM a JOIN codes c ON a.vec_id = c.vec_id)
+              |SELECT centroid_id, dim, CAST(SUM(q) AS BIGINT) AS sum_q,
+              |       CAST(COUNT(*) AS BIGINT) AS n
+              |FROM x GROUP BY centroid_id, dim
+              |ORDER BY centroid_id, dim""".stripMargin)),
+
     // Unpivot/melt: wide measure columns → (key, measure, value) long
     // form (Spark's native unpivot lowers to one Expand — a projection,
     // no shuffle, output = rows × measures).

@@ -102,6 +102,40 @@ class SimilaritySpec extends SparkSpec {
     assert(assign(0L) != assign(3L))
   }
 
+  test("kmeansMStepStats: exact per-cluster sums, and shard stats merge by addition") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(1.1f, -0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(-0.1f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("c_id", "c_vec")
+    val stats = Similarity.kmeansMStepStats(pts, "embedding", "vec_id", cents, "c_vec", "c_id")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // int8 codes: scale = max|x|/127, so e.g. (0.9, 0.1) → (127, 14)
+    def q(v: Array[Float]): Array[Long] = {
+      val sc = v.map(x => math.abs(x.toDouble)).max / 127.0
+      v.map(x => math.round(x / sc))
+    }
+    val expected = Seq(0L -> Seq(0, 1, 2), 1L -> Seq(3, 4, 5)).flatMap { case (c, ids) =>
+      val members = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+        (2L, Array(1.1f, -0.1f)), (3L, Array(0.0f, 1.0f)),
+        (4L, Array(0.1f, 0.9f)), (5L, Array(-0.1f, 1.1f)))
+        .filter(p => ids.contains(p._1)).map(p => q(p._2))
+      (0 until 2).map(d => (c, d, members.map(_(d)).sum, members.length.toLong))
+    }.toSet
+    assert(stats == expected, s"got $stats")
+    // mergeability: stats over two disjoint shards sum to the full stats
+    val shardA = pts.filter(col("vec_id") % 2 === 0)
+    val shardB = pts.filter(col("vec_id") % 2 === 1)
+    val merged = Similarity.kmeansMStepStats(shardA, "embedding", "vec_id", cents, "c_vec", "c_id")
+      .unionByName(Similarity.kmeansMStepStats(shardB, "embedding", "vec_id", cents, "c_vec", "c_id"))
+      .groupBy("centroid_id", "dim")
+      .agg(sum("sum_q").as("sum_q"), sum("n").as("n"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(merged == stats, "shard partials must combine to the full-corpus stats")
+  }
+
   test("ivfSearch ranks only the query's own cell (nprobe=1 pruning)") {
     import spark.implicits._
     val emb = Seq(
