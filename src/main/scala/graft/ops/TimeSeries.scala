@@ -280,4 +280,56 @@ object TimeSeries {
                |ELSE ($xd - $mean) / $sd END""".stripMargin
     (z, sd)
   }
+
+  /**
+   * Multi-horizon trailing features — the standard ML feature-
+   * engineering sweep ("trailing 7/30/90-day spend, count, mean per
+   * entity as of each activity date"): for every row of the daily-grain
+   * input and every horizon `h`, the SUM and COUNT of `valueCol` over
+   * the trailing `h`-day CALENDAR window (current day inclusive), as
+   * `<valueCol>_sum_<h>d` / `<valueCol>_cnt_<h>d` / `<valueCol>_avg_<h>d`.
+   *
+   * Calendar semantics, not row counts: the frame is a RANGE over epoch
+   * days, so a key with gaps still gets "last 7 calendar days", not
+   * "last 7 observations" — the distinction that makes backfilled
+   * features match what a point-in-time serving store would return.
+   *
+   * Scale shape: ALL horizons share one window spec (same partition
+   * keys, same epoch-day ordering) and differ only in frame bounds, so
+   * Spark evaluates every horizon in a SINGLE WindowExec over a single
+   * shuffle+sort of the input — K horizons cost one pass, not K. Each
+   * trailing RANGE frame advances two pointers monotonically per
+   * partition (no per-row rescan). Per-key partition size is the key's
+   * observation count; nothing is collected or joined.
+   *
+   * Determinism: sums run in DECIMAL(18,2) (exact, order-independent)
+   * and surface as one correctly-rounded DOUBLE; the mean is a single
+   * IEEE division — both engines agree bit-for-bit.
+   */
+  def trailingFeatures(daily: DataFrame, keys: Seq[String], dateCol: String,
+                       valueCol: String, horizons: Seq[Int]): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"trailingFeatures: horizons must be >= 1 days, got $horizons")
+    // every window expression lands in ONE select over a pre-computed
+    // ordering column — chained withColumns would stack one Window node
+    // (plus a re-sort) per call and defeat CollapseWindow; this shape
+    // plan-collapses to a single WindowExec (spec-asserted)
+    val ord = "__tf_epoch_day"
+    val withOrd = daily.withColumn(ord,
+      datediff(col(dateCol), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord))
+    val dec = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val feats = horizons.flatMap { h =>
+      val frame = w.rangeBetween(-(h - 1L), Window.currentRow)
+      Seq(sum(dec).over(frame).cast("double").as(s"${valueCol}_sum_${h}d"),
+        count(col(valueCol)).over(frame).as(s"${valueCol}_cnt_${h}d"))
+    }
+    val base = withOrd.select(daily.columns.map(col) ++ feats: _*)
+    // means divide the two already-computed columns — a pure projection,
+    // not a third window function per horizon
+    horizons.foldLeft(base) { (df, h) =>
+      df.withColumn(s"${valueCol}_avg_${h}d",
+        col(s"${valueCol}_sum_${h}d") / col(s"${valueCol}_cnt_${h}d"))
+    }
+  }
 }

@@ -1899,6 +1899,44 @@ object ExtQueries {
            |ORDER BY o_custkey, d""".stripMargin
       }),
 
+    // Multi-horizon trailing features ([[TimeSeries.trailingFeatures]]):
+    // trailing 7/30/90-CALENDAR-day spend sum/count/mean per customer as
+    // of each activity date — the point-in-time feature backfill every
+    // ML feature store computes. All three horizons are RANGE frames of
+    // ONE window spec (same keys, same epoch-day order), so the whole
+    // sweep is a single WindowExec over a single shuffle+sort — K
+    // horizons for the price of one pass. Decimal-exact sums; the
+    // oracle runs the identical frames via a SQL WINDOW clause.
+    Q("feat_trailing",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir).filter(col("o_custkey") < 2000)
+          .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"))
+          .agg(Det.dsum(col("o_totalprice")).as("day_total"))
+        TimeSeries.trailingFeatures(daily, Seq("o_custkey"), "d", "day_total",
+          Seq(7, 30, 90)).orderBy("o_custkey", "d")
+      },
+      Some {
+        def feat(h: Int) =
+          s"""CAST(SUM(CAST(day_total AS DECIMAL(18,2))) OVER w$h AS DOUBLE) AS day_total_sum_${h}d,
+             |  CAST(COUNT(day_total) OVER w$h AS BIGINT) AS day_total_cnt_${h}d,
+             |  CAST(SUM(CAST(day_total AS DECIMAL(18,2))) OVER w$h AS DOUBLE)
+             |    / CAST(COUNT(day_total) OVER w$h AS BIGINT) AS day_total_avg_${h}d""".stripMargin
+        def win(h: Int) =
+          s"""w$h AS (PARTITION BY o_custkey ORDER BY datediff('day', DATE '1970-01-01', d)
+             |  RANGE BETWEEN ${h - 1} PRECEDING AND CURRENT ROW)""".stripMargin
+        s"""WITH daily AS (
+           |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           |         ${Det.dsumSql("o_totalprice")} AS day_total
+           |  FROM orders WHERE o_custkey < 2000 GROUP BY 1, 2)
+           |SELECT o_custkey, d, day_total,
+           |  ${feat(7)},
+           |  ${feat(30)},
+           |  ${feat(90)}
+           |FROM daily
+           |WINDOW ${win(7)}, ${win(30)}, ${win(90)}
+           |ORDER BY o_custkey, d""".stripMargin
+      }),
+
     // Equi-depth histogram of document lengths WITHOUT a global window:
     // exact quartile boundaries from one aggregate (0.25/0.5/0.75 are
     // binary-exact fractions, where Spark `percentile` and DuckDB

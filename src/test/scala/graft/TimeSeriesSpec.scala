@@ -103,6 +103,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.forall(p => p._3 == 0.0 && !p._4))
   }
 
+  test("trailingFeatures: calendar-range semantics, one WindowExec for all horizons") {
+    import spark.implicits._
+    // key A: days 1, 2, 10 — the 7d window on day 10 must NOT see days
+    // 1-2 (calendar range, not last-N-rows); the 30d window must.
+    val daily = Seq(
+      ("A", "2024-01-01", 10.0), ("A", "2024-01-02", 20.0), ("A", "2024-01-10", 5.0),
+      ("B", "2024-03-01", 100.0))
+      .toDF("k", "d", "v").withColumn("d", col("d").cast(DateType))
+    // columns: k, d, v, sum_7d, cnt_7d, sum_30d, cnt_30d, avg_7d, avg_30d
+    val out = TimeSeries.trailingFeatures(daily, Seq("k"), "d", "v", Seq(7, 30))
+      .orderBy("k", "d").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(3), r.getLong(4),
+        r.getDouble(5), r.getLong(6), r.getDouble(8)))
+    assert(out.toSeq == Seq(
+      ("A", "2024-01-01", 10.0, 1L, 10.0, 1L, 10.0),
+      ("A", "2024-01-02", 30.0, 2L, 30.0, 2L, 15.0),
+      ("A", "2024-01-10", 5.0, 1L, 35.0, 3L, 35.0 / 3.0), // 7d forgot days 1-2
+      ("B", "2024-03-01", 100.0, 1L, 100.0, 1L, 100.0)))
+    // all horizons must share ONE WindowExec — no stacked re-sorts
+    val plan = TimeSeries.trailingFeatures(daily, Seq("k"), "d", "v", Seq(7, 30, 90))
+      .queryExecution.executedPlan.toString
+    assert("(?s)Window".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("gapFillInterpolate draws the straight line between observations") {
     val out = TimeSeries.gapFillInterpolate(observed, Seq("k"), "d", "v")
       .orderBy("k", "d").collect()
