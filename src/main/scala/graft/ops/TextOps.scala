@@ -43,6 +43,23 @@ object TextOps {
   def bpeishTokenCountSql(col: String): String =
     s"CAST(len(regexp_extract_all($col, '$BpeishPattern')) AS BIGINT)"
 
+  /** Adjacent character pairs of one token — the merge-candidate
+    * generator for BPE vocabulary induction: training's first step
+    * counts every adjacent symbol pair across the corpus and merges the
+    * most frequent. Tokens shorter than 2 chars have no pairs (callers
+    * filter them BEFORE exploding: `sequence(1, 0)` would descend).
+    * A pure projection (sequence+transform over the token), so corpus-
+    * wide pair counting is explode → keyed aggregate with map-side
+    * combine — one narrow shuffle of (pair, partial count). */
+  def charPairs(word: Column): Column =
+    transform(sequence(lit(1), char_length(word) - 1),
+      i => word.substr(i, lit(2)))
+
+  /** DuckDB mirror of [[charPairs]] (`range(1, n)` is end-exclusive —
+    * the same 1..n-1 starts as Spark's inclusive `sequence(1, n-1)`). */
+  def charPairsSql(w: String): String =
+    s"list_transform(range(1, length($w)), i -> substr($w, CAST(i AS INT), 2))"
+
   /** Small closed-class stopword set (shared with the SQL oracle). */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 

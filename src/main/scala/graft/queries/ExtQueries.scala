@@ -479,6 +479,26 @@ object ExtQueries {
               |      FROM documents)
               |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 30""".stripMargin)),
 
+    // BPE merge-candidate counting ([[TextOps.charPairs]]) — the first
+    // round of byte-pair-encoding vocabulary induction: count every
+    // adjacent character pair over every token occurrence and rank the
+    // merge candidates. Two explodes (pure projections) + ONE keyed
+    // aggregate with map-side partials; the top-k is a partial
+    // per-partition top-k + merge, never a global sort of all pairs.
+    Q("t_bpe_pairs",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(char_length(col("w")) >= 2)
+        .select(explode(TextOps.charPairs(col("w"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(40),
+      Some(s"""SELECT pair, count(*) AS cnt FROM (
+              |  SELECT unnest(${TextOps.charPairsSql("w")}) AS pair
+              |  FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS w FROM documents)
+              |  WHERE length(w) >= 2)
+              |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin)),
+
     // TF-IDF-style term weighting with an add-one RATIONAL rarity
     // factor — weight = tf × (N+1)/(df+1), deliberately log-free: ln()
     // is not guaranteed bit-identical across engines' libm, while

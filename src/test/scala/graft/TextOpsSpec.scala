@@ -22,6 +22,14 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(0) == 3L) // the, and, the
   }
 
+  test("charPairs emits every adjacent character pair in order") {
+    val r = col1(one("abcd").select(TextOps.charPairs(col("text"))))
+    assert(r.getSeq[String](0) == Seq("ab", "bc", "cd"))
+    // 2-char word: exactly one pair; repeated chars count per position
+    val rr = col1(one("aaa").select(TextOps.charPairs(col("text"))))
+    assert(rr.getSeq[String](0) == Seq("aa", "aa"))
+  }
+
   test("rolling hash matches hand-computed Karp-Rabin") {
     // "abc": ((0*31+97)*31+98)*31+99 mod 1e9+7 = 96354
     val r = col1(one("abc").select(TextOps.rollingHash(col("text"))))
