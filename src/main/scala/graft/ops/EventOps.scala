@@ -50,6 +50,60 @@ object EventOps {
       .select(col("user_id"), Det.ntz(col("w.start")).as("session_start"),
         Det.ntz(col("w.end")).as("session_end"), col("n_events"))
 
+  /**
+   * Interval union (gaps-and-islands over EXPLICIT extents): merge each
+   * key's overlapping-or-touching `[startCol, endCol]` intervals into
+   * maximal islands and report per island its span and the number of
+   * source intervals. The sibling of [[sessions]] for data that carries
+   * its own duration (shipments in transit, maintenance windows, lease
+   * terms, GPU-job reservations) — a gap-based session window cannot
+   * express "this row OCCUPIES until its own end date".
+   *
+   * Standard distributed shape: one shuffle on the key, two chained
+   * frames of the same window spec (inherently two phases — the island
+   * counter is a running sum OF the break flag): an interval starts a
+   * new island iff its start exceeds the running max of every EARLIER
+   * end (strictly-preceding frame), islands are numbered by running sum
+   * of that flag, then one keyed aggregate rolls each island up.
+   * Pure date/integer comparisons — oracle-hash-exact.
+   *
+   * NULL starts/ends are rejected up front (an unbounded interval would
+   * silently swallow its whole key); zero-length (start = end) and
+   * inverted intervals are the caller's modeling choice — inverted ones
+   * fail loudly too.
+   */
+  def mergeIntervals(df: DataFrame, keys: Seq[String],
+                     startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(startCol)
+    val e = col(endCol)
+    // the guard rides the materialized start column itself, so it is
+    // evaluated for EVERY row (a guard inside the island-break flag
+    // would be skipped whenever the || short-circuits on the first row
+    // of a key) — in-plan raise_error, zero extra jobs
+    val guarded = when(s.isNull || e.isNull,
+      raise_error(lit(s"mergeIntervals: NULL $startCol/$endCol — unbounded " +
+        "intervals are not mergeable; filter or repair upstream"))
+        .cast(df.schema(startCol).dataType))
+      .when(e < s,
+        raise_error(concat(lit(s"mergeIntervals: inverted interval at $startCol="),
+          s.cast("string"))).cast(df.schema(startCol).dataType))
+      .otherwise(s)
+    val withS = df.withColumn("__s", guarded)
+    // total order: ties on start broken by end so the running max is
+    // deterministic row-by-row, keeping the oracle mirror exact
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__s"), e)
+    val prevMaxEnd = max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = withS.withColumn("__new_island",
+      when(prevMaxEnd.isNull || col("__s") > prevMaxEnd, lit(1)).otherwise(lit(0)))
+    val numbered = flagged.withColumn("__island",
+      sum(col("__new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    numbered.groupBy(keys.map(col) :+ col("__island"): _*)
+      .agg(min(col("__s")).as("island_start"), max(e).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("__island")
+  }
+
   /** Conditional-aggregation pivot on event type (fixed domain, so the
     * output schema is static and oracle-expressible). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")

@@ -1162,6 +1162,43 @@ object ExtQueries {
              |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
              |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // Interval union ([[EventOps.mergeIntervals]]): each supplier's
+    // in-transit windows [shipdate, receiptdate] merged into maximal
+    // busy islands — gaps-and-islands over EXPLICIT extents, the
+    // interval-algebra sibling of ev_sessions (which only knows point
+    // events + a gap). One shuffle on the key, two chained frames of
+    // one window spec, one keyed rollup; all date/integer comparisons.
+    Q("ev_interval_union",
+      (s, dir) => {
+        // the synthetic lineitem has no receipt date: transit end =
+        // shipdate + 1..14 days, derived deterministically in both engines
+        val iv = Tables.lineitem(s, dir).filter(col("l_suppkey") < 100)
+          .select(col("l_suppkey"), col("l_shipdate").cast(DateType).as("s"),
+            date_add(col("l_shipdate").cast(DateType),
+              (col("l_linenumber") % 14) + 1).as("e"))
+        EventOps.mergeIntervals(iv, Seq("l_suppkey"), "s", "e")
+          .select(col("l_suppkey"), col("island_start"), col("island_end"),
+            col("n_intervals"))
+          .orderBy("l_suppkey", "island_start")
+      },
+      Some("""WITH iv AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+             |                   CAST(l_shipdate AS DATE) + INTERVAL ((l_linenumber % 14) + 1) DAY AS e
+             |            FROM lineitem WHERE l_suppkey < 100),
+             |m AS (SELECT l_suppkey, s, e,
+             |        CASE WHEN max(e) OVER wp IS NULL OR s > max(e) OVER wp
+             |             THEN 1 ELSE 0 END AS brk
+             |      FROM iv
+             |      WINDOW wp AS (PARTITION BY l_suppkey ORDER BY s, e
+             |                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |g AS (SELECT l_suppkey, s, e,
+             |        sum(brk) OVER (PARTITION BY l_suppkey ORDER BY s, e
+             |                       ROWS UNBOUNDED PRECEDING) AS island
+             |      FROM m)
+             |SELECT l_suppkey, min(s) AS island_start, max(e) AS island_end,
+             |       count(*) AS n_intervals
+             |FROM g GROUP BY l_suppkey, island
+             |ORDER BY l_suppkey, island_start""".stripMargin)),
+
     // Time-bounded event correlation: clicks joined to purchases of the
     // same user within the following hour — the batch form of
     // StreamOps.correlatedEvents (whose stream-stream state eviction

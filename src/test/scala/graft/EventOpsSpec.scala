@@ -11,6 +11,43 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  test("mergeIntervals: overlap and touch merge, gaps split, guards raise") {
+    import spark.implicits._
+    import graft.ops.EventOps.mergeIntervals
+    def iv(rows: (String, String, String)*) =
+      rows.toDF("k", "s", "e")
+        .withColumn("s", col("s").cast("date")).withColumn("e", col("e").cast("date"))
+    val merged = mergeIntervals(iv(
+      ("A", "2024-01-01", "2024-01-05"),
+      ("A", "2024-01-03", "2024-01-08"), // overlaps the first
+      ("A", "2024-01-08", "2024-01-09"), // touches (start = prev end) → merges
+      ("A", "2024-01-15", "2024-01-16"), // gap → new island
+      ("B", "2024-02-01", "2024-02-01")), // zero-length singleton
+      Seq("k"), "s", "e")
+      .orderBy("k", "island_start").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDate(2).toString, r.getLong(3)))
+    assert(merged.toSeq == Seq(
+      ("A", "2024-01-01", "2024-01-09", 3L),
+      ("A", "2024-01-15", "2024-01-16", 1L),
+      ("B", "2024-02-01", "2024-02-01", 1L)))
+    // a later interval fully INSIDE an earlier one must not split the island
+    val nested = mergeIntervals(iv(
+      ("A", "2024-01-01", "2024-01-10"),
+      ("A", "2024-01-02", "2024-01-03"),
+      ("A", "2024-01-09", "2024-01-12")), Seq("k"), "s", "e").collect()
+    assert(nested.length == 1 && nested.head.getLong(3) == 3L)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e1 = intercept[Exception] {
+      mergeIntervals(iv(("A", "2024-01-05", "2024-01-01")), Seq("k"), "s", "e").collect()
+    }
+    assert(chain(e1).exists(_.contains("inverted")), chain(e1).mkString(" | "))
+    val e2 = intercept[Exception] {
+      mergeIntervals(iv(("A", null, "2024-01-01")), Seq("k"), "s", "e").collect()
+    }
+    assert(chain(e2).exists(_.contains("NULL")), chain(e2).mkString(" | "))
+  }
+
   test("jsonProps extracts k with explicit schema; malformed → null") {
     val out = EventOps.jsonProps(ev(
       (1L, "2024-01-01 00:00:00", 1L, "click", 1.0, """{"k": 7}"""),
