@@ -114,4 +114,71 @@ object Sampling {
       .filter(col("__rn") <= coalesce(col("__cap"), lit(default)))
       .select(df.columns.map(col).toIndexedSeq: _*) // using-join moved the key first
   }
+
+  /**
+   * Deterministic negative sampling for contrastive training: for every
+   * anchor, `k` pseudo-random candidates from the pool (anchor itself
+   * excluded), reproducible across reruns, partitionings, and engines —
+   * the property in-batch random sampling lacks, and the one that makes
+   * a training set auditable. The rank key is `md5(anchor ':' cand)`
+   * (pairwise-independent per anchor; MD5 for engine portability,
+   * exactly the [[hashSplit]] rationale), so each anchor draws its OWN
+   * uniform order over the pool.
+   *
+   * `poolSlice` ∈ (0, 1] pre-slices the pool by an INDEPENDENT hash of
+   * the candidate id alone (1/256 granularity, floor semantics like
+   * [[hashSplit]]) — at corpus scale you never rank the whole pool per
+   * anchor; a deterministic slice bounds the join to
+   * anchors × pool·slice while staying rerun-stable. The slice hash
+   * must differ from the rank hash's shape (it is keyed on the
+   * candidate only), so slicing never biases any anchor's order.
+   *
+   * Shape: slice (pure filter) → broadcast anchors onto the pool →
+   * per-anchor top-k window keyed on the anchor id. NULL ids are
+   * excluded from both sides (an unkeyed row can't be ranked).
+   */
+  def negativeSample(anchors: DataFrame, anchorIdCol: String,
+                     pool: DataFrame, poolIdCol: String, k: Int,
+                     poolSlice: Double = 1.0): DataFrame = {
+    require(k >= 1, s"negativeSample: k must be >= 1, got $k")
+    require(poolSlice > 0 && poolSlice <= 1.0,
+      s"negativeSample: poolSlice must be in (0, 1], got $poolSlice")
+    val t = f"${(poolSlice * 256).toInt}%02x"
+    require(poolSlice == 1.0 || t > "00",
+      s"negativeSample: poolSlice $poolSlice floors below 1/256 — pool would be empty")
+    val cand = pool.select(col(poolIdCol).cast("string").as("__cand"))
+      .filter(col("__cand").isNotNull)
+    val sliced =
+      if (poolSlice == 1.0) cand
+      else cand.filter(substring(md5(col("__cand")), 1, 2) < t)
+    val a = anchors.select(col(anchorIdCol).cast("string").as("anchor_id"))
+      .filter(col("anchor_id").isNotNull).distinct()
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(md5(concat(col("anchor_id"), lit(":"), col("__cand"))), col("__cand"))
+    sliced.join(broadcast(a), col("__cand") =!= col("anchor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("__cand").as("negative_id"), col("rank"))
+  }
+
+  /** DuckDB mirror of [[negativeSample]] (`$anchors`/`$pool` are table
+    * or CTE names with `$aId`/`$pId` id columns). */
+  def negativeSampleSql(anchors: String, aId: String, pool: String, pId: String,
+                       k: Int, poolSlice: Double = 1.0): String = {
+    val t = f"${(poolSlice * 256).toInt}%02x"
+    val slice =
+      if (poolSlice == 1.0) ""
+      else s" AND substr(md5(CAST($pool.$pId AS VARCHAR)), 1, 2) < '$t'"
+    s"""SELECT anchor_id, negative_id, rank FROM (
+       |  SELECT CAST($anchors.$aId AS VARCHAR) AS anchor_id,
+       |         CAST($pool.$pId AS VARCHAR) AS negative_id,
+       |         row_number() OVER (
+       |           PARTITION BY CAST($anchors.$aId AS VARCHAR)
+       |           ORDER BY md5(CAST($anchors.$aId AS VARCHAR) || ':' || CAST($pool.$pId AS VARCHAR)),
+       |                    CAST($pool.$pId AS VARCHAR)) AS rank
+       |  FROM $anchors CROSS JOIN $pool
+       |  WHERE CAST($anchors.$aId AS VARCHAR) <> CAST($pool.$pId AS VARCHAR)
+       |    AND $anchors.$aId IS NOT NULL AND $pool.$pId IS NOT NULL$slice)
+       |WHERE rank <= $k""".stripMargin
+  }
 }

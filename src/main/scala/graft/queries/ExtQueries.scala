@@ -1800,6 +1800,27 @@ object ExtQueries {
       Some(s"""SELECT doc_id, ${Sampling.hashSplitSql("doc_id")} AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic negative sampling ([[Sampling.negativeSample]]):
+    // 8 reproducible pseudo-random negatives per anchor from a 1/4
+    // hash-slice of the pool — the contrastive-pairs generator whose
+    // draws are auditable and rerun-stable (md5 rank key per anchor,
+    // candidate-only hash for the slice so slicing never biases an
+    // anchor's order). Slice = pure filter, anchors broadcast, one
+    // per-anchor top-k window.
+    Q("samp_negatives",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Sampling.negativeSample(
+          docs.filter(col("doc_id") < 5), "doc_id", docs, "doc_id",
+          k = 8, poolSlice = 0.25)
+          .orderBy("anchor_id", "rank")
+      },
+      Some(s"""WITH anchors AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 5),
+              |pool AS (SELECT doc_id FROM documents)
+              |${Sampling.negativeSampleSql("anchors", "doc_id", "pool", "doc_id",
+                 k = 8, poolSlice = 0.25)}
+              |ORDER BY anchor_id, rank""".stripMargin)),
+
     // Token-budget-capped corpus selection, per language: rank docs by
     // quality within each language and keep them while the language's
     // cumulative token count fits the budget — the standard "best N

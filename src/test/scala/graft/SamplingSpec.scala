@@ -73,6 +73,29 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("negativeSample: k per anchor, no self-pairs, rerun- and partition-stable") {
+    import spark.implicits._
+    val anchors = corpus.filter(col("id") < 4)
+    val out = Sampling.negativeSample(anchors, "id", corpus, "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out.length == 15, "3 anchors x 5 negatives")
+    assert(out.forall { case (a, n, _) => a != n }, "anchor never samples itself")
+    assert(out.groupBy(_._1).forall(_._2.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    // different anchors draw DIFFERENT orders (per-anchor hash key)
+    val byAnchor = out.groupBy(_._1).map { case (a, rows) =>
+      a -> rows.sortBy(_._3).map(_._2).toSeq
+    }
+    assert(byAnchor.values.toSet.size > 1, "per-anchor orders should differ")
+    // partition-count independence: same draws on a repartitioned pool
+    val re = Sampling.negativeSample(anchors, "id", corpus.repartition(7), "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(re.toSet == out.toSet)
+    // slicing restricts candidates but keeps determinism
+    val sliced = Sampling.negativeSample(anchors, "id", corpus, "id", k = 5, poolSlice = 0.25)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(sliced.length == 15 && sliced.toSet != out.toSet)
+  }
+
   test("deterministicPerKey keeps exactly k rows per key, stably") {
     val a = Sampling.deterministicPerKey(corpus, "lang", "id", k = 25)
     assert(a.groupBy("lang").count().collect().forall(_.getLong(1) == 25L))
