@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-evaluation aggregates over prediction/label columns — the
+ * measurement half of every curation classifier in this library
+ * (language ID, quality filters, dedup verdicts): before a heuristic
+ * gates a 100 TB corpus, its per-class precision/recall against a
+ * labeled sample is the go/no-go number.
+ *
+ * Scale shape: everything derives from the CONFUSION MATRIX, which is
+ * ONE keyed aggregate `(label, pred) → count` with map-side partials —
+ * output cardinality is |classes|², independent of corpus size; the
+ * per-class rollups and joins that follow touch only that tiny matrix.
+ * No collect, no per-row UDF.
+ *
+ * Determinism: all counts are exact integers; precision/recall are one
+ * correctly-rounded double division each and F1 is the same fixed
+ * `2pr/(p+r)` expression in both engines — oracle-hashable with zero
+ * tolerance. Zero denominators yield NULL (unmeasurable), never 0.0 or
+ * ±Inf: a class with no predictions has UNDEFINED precision, and
+ * folding that to 0 would misread "never predicted" as "always wrong".
+ */
+object Eval {
+
+  /** Per-class classification report: one row per class (union of
+    * observed labels and observed predictions), with `support` (label
+    * count), `tp`/`fp`/`fn`, `precision`, `recall`, `f1`. NULL labels
+    * or predictions are their own class only if present (they join via
+    * null-safe keys — a NULL prediction is a real model output and
+    * must count as a false negative for the true class). */
+  def classificationReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val cm = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val support = cm.groupBy(col("label").as("clazz"))
+      .agg(sum(col("n")).as("support"))
+    val predicted = cm.groupBy(col("pred").as("clazz"))
+      .agg(sum(col("n")).as("predicted"))
+    val tp = cm.filter(col("label") <=> col("pred"))
+      .select(col("label").as("clazz"), col("n").as("tp"))
+    val classes = support.select(col("clazz"))
+      .unionByName(predicted.select(col("clazz"))).distinct()
+    // distinct key names per leg: all four frames share the cm lineage,
+    // so joining on a same-named column would be a self-join ambiguity
+    val joined = classes
+      .join(support.withColumnRenamed("clazz", "__cs"),
+        col("clazz") <=> col("__cs"), "left").drop("__cs")
+      .join(predicted.withColumnRenamed("clazz", "__cp"),
+        col("clazz") <=> col("__cp"), "left").drop("__cp")
+      .join(tp.withColumnRenamed("clazz", "__ct"),
+        col("clazz") <=> col("__ct"), "left").drop("__ct")
+      .select(col("clazz"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        (coalesce(col("predicted"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+        (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"))
+    val p = when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+      .otherwise(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+    val r = when(col("support") === 0, lit(null).cast("double"))
+      .otherwise(col("tp").cast("double") / col("support").cast("double"))
+    joined
+      .withColumn("precision", p)
+      .withColumn("recall", r)
+      .withColumn("f1",
+        when(col("precision").isNull || col("recall").isNull
+          || col("precision") + col("recall") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall"))))
+  }
+
+  /** DuckDB mirror of [[classificationReport]] over a CTE/table `rel`
+    * with columns `label`, `pred` (pre-aliased by the caller). */
+  def classificationReportSql(rel: String): String =
+    s"""cm AS (SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n FROM $rel GROUP BY 1, 2),
+       |sup AS (SELECT label AS clazz, CAST(SUM(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+       |prd AS (SELECT pred AS clazz, CAST(SUM(n) AS BIGINT) AS predicted FROM cm GROUP BY 1),
+       |tpc AS (SELECT label AS clazz, n AS tp FROM cm WHERE label IS NOT DISTINCT FROM pred),
+       |cls AS (SELECT clazz FROM sup UNION SELECT clazz FROM prd),
+       |base AS (SELECT cls.clazz,
+       |    COALESCE(sup.support, 0) AS support,
+       |    COALESCE(tpc.tp, 0) AS tp,
+       |    COALESCE(prd.predicted, 0) - COALESCE(tpc.tp, 0) AS fp,
+       |    COALESCE(sup.support, 0) - COALESCE(tpc.tp, 0) AS fn
+       |  FROM cls
+       |  LEFT JOIN sup ON cls.clazz IS NOT DISTINCT FROM sup.clazz
+       |  LEFT JOIN prd ON cls.clazz IS NOT DISTINCT FROM prd.clazz
+       |  LEFT JOIN tpc ON cls.clazz IS NOT DISTINCT FROM tpc.clazz),
+       |pr AS (SELECT clazz, support, tp, fp, fn,
+       |    CASE WHEN tp + fp = 0 THEN NULL
+       |         ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+       |    CASE WHEN support = 0 THEN NULL
+       |         ELSE CAST(tp AS DOUBLE) / CAST(support AS DOUBLE) END AS recall
+       |  FROM base),
+       |rep AS (SELECT clazz, support, tp, fp, fn, precision, recall,
+       |    CASE WHEN precision IS NULL OR recall IS NULL OR precision + recall = 0.0
+       |         THEN NULL
+       |         ELSE 2.0 * precision * recall / (precision + recall) END AS f1
+       |  FROM pr)""".stripMargin
+}

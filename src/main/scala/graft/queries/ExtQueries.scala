@@ -831,6 +831,27 @@ object ExtQueries {
 
     // Corpus rollup by detected language — the filter-then-aggregate
     // shape of a corpus quality report (one shuffle; exact aggregates).
+    // Per-class precision/recall/F1 of the language-ID heuristic
+    // against the corpus's labeled lang column
+    // ([[graft.ops.Eval.classificationReport]]) — the go/no-go
+    // measurement before any curation classifier gates a corpus.
+    // Everything derives from the (label, pred) confusion matrix: ONE
+    // map-side-combined keyed aggregate whose output is |classes|²
+    // rows regardless of corpus size; the per-class rollups touch only
+    // that matrix. Integer counts + fixed-shape double divisions →
+    // oracle-hash-exact (zero denominators are NULL, never 0 or ±Inf).
+    Q("ml_langid_report",
+      (s, dir) => {
+        val rel = Tables.documents(s, dir)
+          .select(col("lang").as("label"), TextOps.langId(col("text")).as("pred"))
+        graft.ops.Eval.classificationReport(rel, "label", "pred")
+          .orderBy("clazz")
+      },
+      Some(s"""WITH rel AS (SELECT lang AS label, ${TextOps.langIdSql("text")} AS pred
+              |             FROM documents),
+              |${graft.ops.Eval.classificationReportSql("rel")}
+              |SELECT * FROM rep ORDER BY clazz""".stripMargin)),
+
     Q("t_corpus_by_lang",
       (s, dir) => Tables.documents(s, dir).select(
         TextOps.langId(col("text")).as("lang_guess"),

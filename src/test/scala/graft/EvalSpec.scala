@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Eval
+import org.apache.spark.sql.functions._
+
+/** classificationReport against a hand-computed confusion matrix,
+  * including a predicted-only class (NULL precision semantics), a NULL
+  * prediction (counts as a false negative for its true class), and a
+  * never-predicted label (precision NULL, recall 0). */
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("classificationReport: per-class tp/fp/fn and P/R/F1, NULL where unmeasurable") {
+    val rows = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"), // en: tp=2, fn=1
+      ("de", "de"), ("de", "en"),               // de: tp=1, fn=1; en gains fp=1
+      ("fr", null),                             // fr: never predicted right
+      ("zh", "ja")                              // ja appears only as a prediction
+    ).toDF("label", "pred")
+    val r = Eval.classificationReport(rows, "label", "pred").collect()
+      .map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), Option(x.get(5)), Option(x.get(6)), Option(x.get(7))))
+      .map(t => t._1.getOrElse("NULL") -> t).toMap
+    // en: support 3, tp 2, fp 1 (de mislabeled en), fn 1
+    val en = r("en")
+    assert((en._2, en._3, en._4, en._5) == (3L, 2L, 1L, 1L))
+    assert(en._6.contains(2.0 / 3.0) && en._7.contains(2.0 / 3.0))
+    assert(en._8.contains(2.0 / 3.0)) // P = R → F1 = P
+    // de: support 2, tp 1, fp 1 (en's miss predicted de), fn 1
+    val de = r("de")
+    assert((de._2, de._3, de._4, de._5) == (2L, 1L, 1L, 1L))
+    // fr: support 1, never predicted → precision NULL, recall 0, f1 NULL
+    val fr = r("fr")
+    assert((fr._2, fr._3, fr._4) == (1L, 0L, 0L))
+    assert(fr._6.isEmpty && fr._7.contains(0.0) && fr._8.isEmpty)
+    // ja: prediction-only class → support 0, recall NULL
+    val ja = r("ja")
+    assert(ja._2 == 0L && ja._4 == 1L && ja._7.isEmpty)
+    // NULL prediction is its own class row (it was observed as a pred)
+    assert(r.contains("NULL") && r("NULL")._2 == 0L)
+    // class set: labels ∪ preds
+    assert(r.keySet == Set("en", "de", "fr", "zh", "ja", "NULL"))
+  }
+}
