@@ -282,6 +282,53 @@ object TimeSeries {
   }
 
   /**
+   * Per-key Pearson correlation between two metric columns, exact and
+   * engine-identical — `corr()` itself is banned from oracle paths
+   * because both engines fold it with order-dependent floating-point
+   * partials. Here every sufficient statistic (n, Σx, Σy, Σx², Σy²,
+   * Σxy) is an EXACT BIGINT in cent space (same DECIMAL(18,2) hop and
+   * loud range guard as [[zscoreAnomalies]]), reduced in ONE keyed
+   * aggregate with map-side partials; the epilogue
+   * `r = (n·Σxy − ΣxΣy) / (√(n·Σx² − Σx²)·√(n·Σy² − Σy²))`
+   * is a fixed chain of correctly-rounded IEEE ops on those integers
+   * (each ≤ 2⁶³ converts to double identically everywhere; the cent
+   * scale cancels algebraically). Rows where either side is NULL drop
+   * out of every statistic. Constant series (zero variance) and empty
+   * keys yield NULL, never NaN/±Inf. Output: `(keys…, n_pairs, corr)`.
+   */
+  def pearsonByKey(df: DataFrame, keys: Seq[String],
+                   xCol: String, yCol: String): DataFrame = {
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val vx = when(both, cents(xCol))
+    val vy = when(both, cents(yCol))
+    val agg = df.groupBy(keys.map(col): _*).agg(
+      count(when(both, lit(1))).as("n_pairs"),
+      sum(vx).as("__sx"), sum(vy).as("__sy"),
+      sum(vx * vx).as("__sxx"), sum(vy * vy).as("__syy"),
+      sum(vx * vy).as("__sxy"))
+    val n = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("__sxy") - d("__sx") * d("__sy")
+    val varx = n * d("__sxx") - d("__sx") * d("__sx")
+    val vary = n * d("__syy") - d("__sy") * d("__sy")
+    val den = sqrt(greatest(varx, lit(0.0))) * sqrt(greatest(vary, lit(0.0)))
+    agg.withColumn("corr",
+      when(col("n_pairs") === 0 || den === 0.0, lit(null).cast("double"))
+        .otherwise(num / den))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+  }
+
+  /** DuckDB mirror of [[pearsonByKey]]'s statistic + epilogue for two
+    * pre-centified BIGINT columns `cx`, `cy` (rows already pair-
+    * filtered): SELECT-list fragments for the aggregate CTE. */
+  def pearsonSql(cx: String, cy: String): String =
+    s"""CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |CAST(SUM($cx) AS BIGINT) AS sx, CAST(SUM($cy) AS BIGINT) AS sy,
+       |CAST(SUM($cx * $cx) AS BIGINT) AS sxx,
+       |CAST(SUM($cy * $cy) AS BIGINT) AS syy,
+       |CAST(SUM($cx * $cy) AS BIGINT) AS sxy""".stripMargin
+
+  /**
    * Multi-horizon trailing features — the standard ML feature-
    * engineering sweep ("trailing 7/30/90-day spend, count, mean per
    * entity as of each activity date"): for every row of the daily-grain

@@ -1998,6 +1998,39 @@ object ExtQueries {
            |ORDER BY o_custkey, d""".stripMargin
       }),
 
+    // Exact keyed Pearson correlation ([[TimeSeries.pearsonByKey]]):
+    // quantity↔revenue correlation per supplier. Native corr() is
+    // banned from oracle paths (order-dependent float partials in both
+    // engines); here the sufficient statistics are exact cent-space
+    // BIGINTs from ONE map-side-combined aggregate and the epilogue is
+    // a fixed IEEE chain — hash-exact, and the mergeable-stats shape a
+    // 100 TB shard-combine actually uses.
+    Q("ts_corr",
+      (s, dir) => TimeSeries.pearsonByKey(
+        Tables.lineitem(s, dir).filter(col("l_suppkey") < 200),
+        Seq("l_suppkey"), "l_quantity", "l_extendedprice")
+        .orderBy("l_suppkey"),
+      Some {
+        val nd = "CAST(n_pairs AS DOUBLE)"
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        val num = s"($nd * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+        val varx = s"($nd * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+        val vary = s"($nd * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+        val den = s"(sqrt(GREATEST($varx, 0.0)) * sqrt(GREATEST($vary, 0.0)))"
+        s"""WITH c AS (SELECT l_suppkey,
+           |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS cx,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cy
+           |  FROM lineitem
+           |  WHERE l_suppkey < 200 AND l_quantity IS NOT NULL
+           |    AND l_extendedprice IS NOT NULL),
+           |a AS (SELECT l_suppkey, ${TimeSeries.pearsonSql("cx", "cy")}
+           |      FROM c GROUP BY l_suppkey)
+           |SELECT l_suppkey, n_pairs,
+           |       CASE WHEN n_pairs = 0 OR $den = 0.0 THEN NULL
+           |            ELSE $num / $den END AS corr
+           |FROM a ORDER BY l_suppkey""".stripMargin
+      }),
+
     // Multi-horizon trailing features ([[TimeSeries.trailingFeatures]]):
     // trailing 7/30/90-CALENDAR-day spend sum/count/mean per customer as
     // of each activity date — the point-in-time feature backfill every

@@ -103,6 +103,31 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.forall(p => p._3 == 0.0 && !p._4))
   }
 
+  test("pearsonByKey: exact r, NULL-pair exclusion, constant series -> NULL") {
+    import spark.implicits._
+    val df = Seq(
+      // key A: y = 2x exactly → r = 1
+      ("A", Some(1.0), Some(2.0)), ("A", Some(2.0), Some(4.0)), ("A", Some(3.0), Some(6.0)),
+      // key B: y = -x → r = -1; one NULL-sided pair must drop out
+      ("B", Some(1.0), Some(-1.0)), ("B", Some(2.0), Some(-2.0)),
+      ("B", Some(9.0), None),
+      // key C: constant x → undefined
+      ("C", Some(5.0), Some(1.0)), ("C", Some(5.0), Some(2.0)))
+      .toDF("k", "x", "y")
+    val byKey = TimeSeries.pearsonByKey(df, Seq("k"), "x", "y").collect()
+      .map(row => row.getString(0) -> (row.getLong(1), Option(row.get(2)))).toMap
+    // √a·√b ≠ √(ab) in the last ulp, so perfect correlation is 1−ε —
+    // deterministically (the oracle hash-matches the same 1−ε)
+    assert(byKey("A")._1 == 3L && math.abs(byKey("A")._2.get.asInstanceOf[Double] - 1.0) < 1e-12)
+    assert(byKey("B")._1 == 2L && math.abs(byKey("B")._2.get.asInstanceOf[Double] + 1.0) < 1e-12)
+    assert(byKey("C")._2.isEmpty, "zero variance is NULL, not NaN")
+    // anti-correlated with noise: known closed form n=3, x=1,2,3 y=3,1,2
+    val m = TimeSeries.pearsonByKey(
+      Seq(("M", 1.0, 3.0), ("M", 2.0, 1.0), ("M", 3.0, 2.0)).toDF("k", "x", "y"),
+      Seq("k"), "x", "y").collect().head
+    assert(math.abs(m.getDouble(2) - (-0.5)) < 1e-12)
+  }
+
   test("trailingFeatures: calendar-range semantics, one WindowExec for all horizons") {
     import spark.implicits._
     // key A: days 1, 2, 10 — the 7d window on day 10 must NOT see days
