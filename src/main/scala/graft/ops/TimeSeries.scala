@@ -282,6 +282,39 @@ object TimeSeries {
   }
 
   /**
+   * Trailing distinct-count features — "distinct parts ordered in the
+   * last 7/30 calendar days as of each transaction": the companion of
+   * [[trailingFeatures]] for breadth-of-activity signals (distinct
+   * counterparties, SKUs, source domains), which sums cannot express.
+   * Emits `<valueCol>_nd_<h>d` per horizon. Input is transaction-grain
+   * (no daily-uniqueness requirement); RANGE frames include same-day
+   * peers in both engines.
+   *
+   * Shape: same single-WindowExec pattern as [[trailingFeatures]] (all
+   * horizons in one select over one epoch-day window). Exact windowed
+   * COUNT DISTINCT inherently carries the frame's value set per key
+   * (`collect_set` over the RANGE frame) — state is bounded by a key's
+   * distinct values inside the widest horizon, which is the operator's
+   * honest cost; for horizons where that set no longer fits, swap the
+   * set for an HLL sketch and accept the estimate (the
+   * [[Profile.profileApprox]] trade, documented not silently made).
+   */
+  def trailingDistinct(tx: DataFrame, keys: Seq[String], dateCol: String,
+                       valueCol: String, horizons: Seq[Int]): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 1),
+      s"trailingDistinct: horizons must be >= 1 days, got $horizons")
+    val ord = "__td_epoch_day"
+    val withOrd = tx.withColumn(ord,
+      datediff(col(dateCol), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord))
+    val feats = horizons.map { h =>
+      size(collect_set(col(valueCol)).over(w.rangeBetween(-(h - 1L), Window.currentRow)))
+        .as(s"${valueCol}_nd_${h}d")
+    }
+    withOrd.select(tx.columns.map(col) ++ feats: _*)
+  }
+
+  /**
    * Per-key Pearson correlation between two metric columns, exact and
    * engine-identical — `corr()` itself is banned from oracle paths
    * because both engines fold it with order-dependent floating-point

@@ -1998,6 +1998,36 @@ object ExtQueries {
            |ORDER BY o_custkey, d""".stripMargin
       }),
 
+    // Trailing distinct-count features ([[TimeSeries.trailingDistinct]]):
+    // distinct parts each customer ordered in the trailing 7/30
+    // calendar days as of every transaction — breadth-of-activity
+    // features sums can't express. Same one-WindowExec shape as
+    // feat_trailing; the DuckDB mirror builds the identical RANGE-frame
+    // value set (len(list_distinct(list() OVER))).
+    Q("feat_trailing_distinct",
+      (s, dir) => {
+        val tx = Tables.orders(s, dir).filter(col("o_custkey") < 500)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"),
+            col("l_partkey"))
+        TimeSeries.trailingDistinct(tx, Seq("o_custkey"), "d", "l_partkey", Seq(7, 30))
+          .orderBy("o_custkey", "d", "l_partkey", "l_partkey_nd_7d", "l_partkey_nd_30d")
+      },
+      Some("""WITH tx AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, l_partkey
+             |            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |            WHERE o_custkey < 500)
+             |SELECT o_custkey, d, l_partkey,
+             |  len(list_distinct(list(l_partkey) OVER w7)) AS l_partkey_nd_7d,
+             |  len(list_distinct(list(l_partkey) OVER w30)) AS l_partkey_nd_30d
+             |FROM tx
+             |WINDOW w7 AS (PARTITION BY o_custkey
+             |              ORDER BY datediff('day', DATE '1970-01-01', d)
+             |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+             |       w30 AS (PARTITION BY o_custkey
+             |               ORDER BY datediff('day', DATE '1970-01-01', d)
+             |               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, d, l_partkey, l_partkey_nd_7d, l_partkey_nd_30d""".stripMargin)),
+
     // Exact keyed Pearson correlation ([[TimeSeries.pearsonByKey]]):
     // quantity↔revenue correlation per supplier. Native corr() is
     // banned from oracle paths (order-dependent float partials in both

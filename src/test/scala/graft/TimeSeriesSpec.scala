@@ -103,6 +103,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(c.forall(p => p._3 == 0.0 && !p._4))
   }
 
+  test("trailingDistinct: calendar-range distinct counts, same-day peers included") {
+    import spark.implicits._
+    val tx = Seq(
+      ("A", "2024-01-01", "p1"), ("A", "2024-01-01", "p2"), // same-day peers
+      ("A", "2024-01-02", "p1"),                            // repeat → not new
+      ("A", "2024-01-10", "p3"))                            // 7d window forgot p1/p2
+      .toDF("k", "d", "p").withColumn("d", col("d").cast(DateType))
+    val out = TimeSeries.trailingDistinct(tx, Seq("k"), "d", "p", Seq(7, 30))
+      .orderBy("d", "p").collect()
+      .map(r => (r.getDate(1).toString, r.getString(2), r.getInt(3), r.getInt(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", "p1", 2, 2), // RANGE frame sees both same-day rows
+      ("2024-01-01", "p2", 2, 2),
+      ("2024-01-02", "p1", 2, 2),
+      ("2024-01-10", "p3", 1, 3)))
+  }
+
   test("pearsonByKey: exact r, NULL-pair exclusion, constant series -> NULL") {
     import spark.implicits._
     val df = Seq(
