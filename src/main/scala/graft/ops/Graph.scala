@@ -305,6 +305,50 @@ object Graph {
     * identical `dist < maxHops` cap, and `MIN(dist)` over its (node,
     * dist) fixpoint equals first-reach hop, so the operator is
     * oracle-hashable bit-for-bit. */
+  /** Hop-bounded WEIGHTED shortest paths: minimum total edge weight
+    * from `sources` over paths of at most `maxHops` edges — classic
+    * Bellman-Ford, one relaxation round per hop: candidates =
+    * settled distances joined onto the src-pre-partitioned edges, then
+    * `min(dist)` per node over old ∪ candidates (one keyed aggregate);
+    * each generation localCheckpoint'ed like [[shortestPaths]]. The
+    * hop bound is the semantic contract, not a budget: round k yields
+    * the exact minimum over ≤ k-edge paths, which is what the DuckDB
+    * mirror (a recursive CTE carrying a hop counter with the identical
+    * cap) computes — integer weights, so the hash matches bit-for-bit.
+    * Weights must be positive (NULL/zero/negative raise in-plan: a
+    * zero-cost cycle would make "shortest" ill-defined). At cluster
+    * scale prefer delta-stepping-style frontier pruning for huge
+    * diameters; for the ≤ few-hop neighborhoods curation actually
+    * queries, fixed rounds are the simpler exact plan. */
+  def weightedShortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                            weightCol: String): DataFrame = {
+    require(maxHops >= 0, s"weightedShortestPaths: maxHops must be >= 0, got $maxHops")
+    val w = col(weightCol).cast("bigint")
+    val guarded = when(w.isNull || w < 1,
+      raise_error(concat(lit("weightedShortestPaths: weights must be positive, got "),
+        w.cast("string"))).cast("bigint"))
+      .otherwise(w)
+    val e = edges.select(col("src"), col("dst"), guarded.as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src")).cache()
+    try {
+      var dist = sources.select(col("node")).filter(col("node").isNotNull)
+        .distinct().select(col("node"), lit(0L).as("dist")).localCheckpoint()
+      for (_ <- 1 to maxHops) {
+        val cand = e
+          .join(dist.select(col("node").as("src"), col("dist").as("sd")), Seq("src"))
+          .select(col("dst").as("node"), (col("sd") + col("w")).as("dist"))
+        dist = dist.unionByName(cand)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      dist
+    } finally {
+      e.unpersist()
+      ()
+    }
+  }
+
   def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"shortestPaths: maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst"))

@@ -2270,6 +2270,31 @@ object ExtQueries {
              |FROM deg LEFT JOIN pern ON pern.node = deg.node
              |ORDER BY deg.node""".stripMargin)),
 
+    // Hop-bounded weighted shortest paths
+    // ([[Graph.weightedShortestPaths]]): Bellman-Ford relaxation rounds
+    // over the interaction-weighted customer↔supplier graph — min total
+    // weight over ≤2-edge paths from the seed customers. The oracle is
+    // a recursive CTE carrying a hop counter with the identical cap;
+    // integer weights → bit-exact. Complements gr_bfs (hop metric) with
+    // the cost metric, same checkpointed-generation loop shape.
+    Q("gr_sssp_weighted",
+      (s, dir) => {
+        val sources = Tables.orders(s, dir).filter(col("o_custkey") < 2)
+          .select((col("o_custkey") * 2).as("node")).distinct()
+        Graph.weightedShortestPaths(weightedGraphEdges(s, dir), sources,
+          maxHops = 2, weightCol = "w").orderBy("node")
+      },
+      Some(s"""WITH RECURSIVE $weightedGraphEdgesSql,
+              |srcs AS (SELECT DISTINCT o_custkey * 2 AS node FROM orders WHERE o_custkey < 2),
+              |paths(node, dist, hops) AS (
+              |  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM srcs
+              |  UNION
+              |  SELECT e.dst AS node, p.dist + e.w AS dist, p.hops + 1 AS hops
+              |  FROM paths p JOIN edges e ON e.src = p.node
+              |  WHERE p.hops < 2)
+              |SELECT node, MIN(dist) AS dist FROM paths GROUP BY node
+              |ORDER BY node""".stripMargin)),
+
     // Multi-source BFS hop distances ([[Graph.shortestPaths]]): frontier
     // expansion against src-pre-partitioned cached edges, one keyed
     // join + distinct + anti-join per hop, frontiers checkpointed and

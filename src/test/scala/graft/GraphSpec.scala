@@ -155,6 +155,34 @@ class GraphSpec extends SparkSpec {
     assert(zero == Map(1L -> 0))
   }
 
+  test("weightedShortestPaths: cheap detour beats direct edge, hop cap binds, guards raise") {
+    import spark.implicits._
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5 — two hops must win
+    val we = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node")
+    val d2 = graft.ops.Graph.weightedShortestPaths(we, src, maxHops = 2, "w")
+      .as[(Long, Long)].collect().toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 11L),
+      "min over <=2-edge paths: detour wins, 4 reachable only via direct-edge path")
+    // hop 3 improves node 4 through the detour (5 + 1)
+    val d3 = graft.ops.Graph.weightedShortestPaths(we, src, maxHops = 3, "w")
+      .as[(Long, Long)].collect().toMap
+    assert(d3(4L) == 6L)
+    // hop cap 1: only direct neighbors
+    val d1 = graft.ops.Graph.weightedShortestPaths(we, src, maxHops = 1, "w")
+      .as[(Long, Long)].collect().toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    // non-positive weight fails loudly
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val bad = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    val e = intercept[Exception] {
+      graft.ops.Graph.weightedShortestPaths(bad, src, maxHops = 1, "w").collect()
+    }
+    assert(chain(e).exists(_.contains("positive")), chain(e).mkString(" | "))
+  }
+
   test("pageRank rejects empty input and zero iterations") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges((1L, 2L)), iterations = 0)
