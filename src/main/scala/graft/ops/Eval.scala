@@ -32,8 +32,16 @@ object Eval {
     * null-safe keys — a NULL prediction is a real model output and
     * must count as a false negative for the true class). */
   def classificationReport(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    // localCheckpoint: five downstream legs (support, predicted, tp, and
+    // the class union's two sides) consume the matrix — without the
+    // checkpoint each leg would re-run the FULL corpus aggregate
+    // (including the prediction expression, e.g. langId's tokenization),
+    // five scans instead of one. The materialized matrix is |classes|²
+    // rows; checkpoint blocks are GC-released (the pageRank rationale —
+    // not cache(), which pins an entry nobody can unpersist).
     val cm = df.groupBy(col(labelCol).as("label"), col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val support = cm.groupBy(col("label").as("clazz"))
       .agg(sum(col("n")).as("support"))
     val predicted = cm.groupBy(col("pred").as("clazz"))
