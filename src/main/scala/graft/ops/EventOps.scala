@@ -104,6 +104,41 @@ object EventOps {
       .drop("__island")
   }
 
+  /**
+   * First-order Markov transition matrix over each user's event-type
+   * sequence: counts of (previous type → type) transitions plus the
+   * row-normalized transition probability — the standard
+   * next-event-model / funnel-discovery statistic (and the label
+   * distribution a next-action training set would be packed from).
+   *
+   * Determinism: the per-user sequence order is `(ts, eventIdCol)` —
+   * the unique id breaks timestamp ties, otherwise lag() would be
+   * partition-order-dependent and the counts irreproducible. Counts
+   * are exact integers; the probability is one double division per
+   * (from, to) pair.
+   *
+   * Shape: one window (lag over the user partition) + one keyed
+   * aggregate on (from, to) with map-side partials + a broadcast-size
+   * per-from rollup joined back — output is |types|², independent of
+   * event volume.
+   */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+                       tsCol: String, eventIdCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
+    val pairs = events
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .select(col("__from").as("from_type"), col(typeCol).as("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type").as("__ft"))
+      .agg(sum(col("n")).as("__row_total"))
+    counts.join(totals, col("from_type") === col("__ft"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__row_total").cast("double")).as("p"))
+  }
+
   /** Conditional-aggregation pivot on event type (fixed domain, so the
     * output schema is static and oracle-expressible). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")

@@ -1183,6 +1183,29 @@ object ExtQueries {
              |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
              |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // First-order Markov transitions over per-user event sequences
+    // ([[EventOps.transitionMatrix]]): (prev type → type) counts and
+    // row-normalized probabilities — next-event-model statistics.
+    // Sequence order is (ts, event_id) so lag() is reproducible under
+    // any partitioning; one window + one keyed aggregate; output is
+    // |types|² regardless of event volume.
+    Q("ev_transitions",
+      (s, dir) => EventOps.transitionMatrix(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id")
+        .orderBy("from_type", "to_type"),
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |                               ORDER BY ts, event_id) AS from_type
+             |       FROM events),
+             |cnt AS (SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+             |        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+             |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+             |        FROM cnt GROUP BY 1)
+             |SELECT cnt.from_type, cnt.to_type, cnt.n,
+             |       CAST(cnt.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p
+             |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+             |ORDER BY cnt.from_type, cnt.to_type""".stripMargin)),
+
     // Interval union ([[EventOps.mergeIntervals]]): each supplier's
     // in-transit windows [shipdate, receiptdate] merged into maximal
     // busy islands — gaps-and-islands over EXPLICIT extents, the

@@ -11,6 +11,25 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  test("transitionMatrix: per-user lag pairs, tie-broken by event id, row-normalized") {
+    import graft.ops.EventOps.transitionMatrix
+    // user 1: view → click → click; user 2: view → buy
+    // same-ts tie for user 1's first two events broken by event_id
+    val e = ev(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0, "{}"),
+      (2L, "2024-01-01 10:00:00", 1L, "click", 0.0, "{}"),
+      (3L, "2024-01-01 11:00:00", 1L, "click", 0.0, "{}"),
+      (4L, "2024-01-02 10:00:00", 2L, "view", 0.0, "{}"),
+      (5L, "2024-01-02 11:00:00", 2L, "buy", 0.0, "{}"))
+    val out = transitionMatrix(e, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "buy") -> ((1L, 0.5)),
+      ("click", "click") -> ((1L, 1.0))))
+  }
+
   test("mergeIntervals: overlap and touch merge, gaps split, guards raise") {
     import spark.implicits._
     import graft.ops.EventOps.mergeIntervals
