@@ -83,7 +83,45 @@ object Dedup {
    * large-scale shingling pipeline makes.
    */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int, minJaccard: Double, maxDf: Int): DataFrame = {
+                   n: Int, minJaccard: Double, maxDf: Int): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, n, maxDf)
+      .withColumn("jaccard",
+        col("n_shared").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+
+  /**
+   * Directed CONTAINMENT near-dup pairs: `|A∩B| / |A| ≥ minContainment`
+   * emits "A is contained in B" — the asymmetric complement of
+   * [[jaccardPairs]]. Symmetric Jaccard structurally misses the
+   * quote-expansion / boilerplate-wrapper case (a short doc fully
+   * embedded in a much longer one has Jaccard ≈ |A|/|B| → 0 while its
+   * containment is ≈ 1), and containment is the statistic corpus
+   * pipelines actually dedup subsumed documents with. Same posting-
+   * list machinery and stop-shingle pruning as Jaccard — one extra
+   * projection (both directions of each undirected pair), no extra
+   * shuffle. Output: `(contained_id, container_id, n_shared,
+   * containment)`.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minContainment: Double, maxDf: Int): DataFrame =
+    sharedShingleCounts(docs, idCol, textCol, n, maxDf)
+      .select(col("n_shared"), explode(array(
+        struct(col("id_a").as("contained_id"), col("id_b").as("container_id"),
+          (col("n_shared").cast(DoubleType) / col("n_a").cast(DoubleType)).as("containment")),
+        struct(col("id_b").as("contained_id"), col("id_a").as("container_id"),
+          (col("n_shared").cast(DoubleType) / col("n_b").cast(DoubleType)).as("containment"))))
+        .as("d"))
+      .select(col("d.contained_id"), col("d.container_id"), col("n_shared"),
+        col("d.containment"))
+      .filter(col("containment") >= minContainment)
+
+  /** Shared core of [[jaccardPairs]] and [[containmentPairs]]: candidate
+    * pairs with shared-shingle counts and both docs' shingle totals —
+    * `(id_a, id_b, n_shared, n_a, n_b)` with `id_a < id_b`. */
+  private def sharedShingleCounts(docs: DataFrame, idCol: String, textCol: String,
+                                  n: Int, maxDf: Int): DataFrame = {
     // Every shuffle after the explode moves only 8-byte longs. The
     // hashed shingle stream feeds THREE consumers (per-doc counts,
     // df counts, the semi-joined posting collect), so the compiled
@@ -122,11 +160,6 @@ object Dedup {
     shared
       .join(cnt.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(cnt.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        col("n_shared").cast(DoubleType) /
-          (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
   }
 
   /** MinHash signature: k slots, slot i = min over shingle HASHES h of

@@ -225,6 +225,51 @@ object ExtQueries {
               |              JOIN cnt cb ON cb.doc_id = shared.id_b)
               |WHERE jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Directed containment near-dups ([[Dedup.containmentPairs]]):
+    // |A∩B|/|A| — the asymmetric statistic that catches a snippet
+    // embedded in a longer document, which symmetric Jaccard
+    // structurally misses (≈|A|/|B| → 0). Corpus plants a 200-char
+    // prefix snippet of every 11th doc; threshold 0.8 tolerates the
+    // mid-token cut at the snippet boundary. Same posting-list plan as
+    // dd_jaccard, one extra both-directions projection, no new shuffle.
+    Q("dd_containment",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val corpus = d.unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            substring(col("text"), 1, 200).as("text")))
+        Dedup.containmentPairs(corpus, "doc_id", "text",
+          n = 5, minContainment = 0.8, maxDf = 20)
+          .orderBy("contained_id", "container_id")
+      },
+      Some(s"""WITH corpus AS (SELECT doc_id, text FROM documents
+              |           UNION ALL
+              |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+              |                  substr(text, 1, 200) AS text
+              |           FROM documents WHERE doc_id % 11 = 0),
+              |tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM corpus),
+              |sh AS (SELECT doc_id,
+              |         unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+              |           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS shingle
+              |       FROM tok WHERE len(toks) >= 5),
+              |dfr AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+              |pruned AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfr USING (shingle) WHERE dfr.df <= 20),
+              |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+              |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+              |           FROM pruned a JOIN pruned b USING (shingle)
+              |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+              |dirp AS (SELECT id_a AS contained_id, id_b AS container_id, n_shared,
+              |                CAST(n_shared AS DOUBLE) / CAST(ca.n_sh AS DOUBLE) AS containment
+              |         FROM shared JOIN cnt ca ON ca.doc_id = shared.id_a
+              |         UNION ALL
+              |         SELECT id_b, id_a, n_shared,
+              |                CAST(n_shared AS DOUBLE) / CAST(cb.n_sh AS DOUBLE)
+              |         FROM shared JOIN cnt cb ON cb.doc_id = shared.id_b)
+              |SELECT contained_id, container_id, n_shared, containment
+              |FROM dirp WHERE containment >= 0.8
+              |ORDER BY contained_id, container_id""".stripMargin)),
+
     // MinHash+LSH banded candidates (xxhash64 sketches — not DuckDB-
     // expressible; rows-only check). Exact copies share every band.
     Q("dd_minhash_lsh",

@@ -84,6 +84,25 @@ class DedupSpec extends SparkSpec {
     assert(out(2) == ((2L, 3L, 0.75)))
   }
 
+  test("containmentPairs flags an embedded snippet that Jaccard misses") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val snippet = (1 to 8).map(i => s"tok$i").mkString(" ") // prefix of `long`
+    val docs = Seq((1L, long), (2L, snippet),
+      (3L, "unrelated words entirely outside the shared vocabulary space"))
+      .toDF("doc_id", "text")
+    // snippet: 4 5-gram shingles, all inside long (36 shingles)
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 5, minContainment = 0.9, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(cont.toSeq == Seq((2L, 1L, 1.0)),
+      s"only snippet→long, fully contained; got ${cont.toSeq}")
+    // the same pair's Jaccard is 4/36 ≈ 0.11 — invisible to a 0.4 gate
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 5, minJaccard = 0.4, maxDf = 10).collect()
+    assert(jac.isEmpty, "symmetric Jaccard must miss the embedded snippet")
+  }
+
   test("stop-shingle pruning drops high-df postings") {
     import spark.implicits._
     // 4 docs all sharing one 2-gram "x y"; maxDf=3 excludes it entirely.
