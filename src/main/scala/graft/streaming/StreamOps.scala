@@ -286,6 +286,45 @@ object StreamOps {
     }
   }
 
+  /**
+   * Incremental transition matrix — the [[funnelEventsSink]] log-
+   * compaction argument applies verbatim: a transition's FROM side is
+   * "the user's previous event", so ONE late event can rewrite two
+   * transitions — per-batch transition counts cannot be merged
+   * incrementally without losing correctness under reordering. What CAN
+   * be maintained is the minimal sufficient input: the distinct
+   * `(user, ts, event_id, type)` tuples, an insert-only MERGE per
+   * micro-batch (idempotent under replays, order-insensitive across
+   * batches). [[transitionsFromWarehouse]] then derives the matrix from
+   * the compacted index — identical to batch over all events seen so
+   * far, whatever the batch boundaries were (StreamingSpec asserts this
+   * against [[EventOps.transitionMatrix]] with out-of-order batches).
+   */
+  def transitionEventsSink(events: DataFrame, wh: Warehouse, layer: String,
+                           checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val rows = batch
+          .select(col("user_id").as("u"), col("ts").as("t"),
+            col("event_id").as("eid"), col("event_type").as("et"))
+          .distinct()
+        if (wh.tableExists(layer, "transition_events"))
+          wh.atomicOverwrite(
+            Merge.insertOnlyMerge(wh.read(layer, "transition_events"), rows,
+              Seq("u", "t", "eid")),
+            layer, "transition_events")
+        else wh.atomicOverwrite(rows, layer, "transition_events")
+      }
+      .start()
+
+  /** Transition matrix derived from [[transitionEventsSink]]'s compacted
+    * index — batch-identical over all events seen so far. */
+  def transitionsFromWarehouse(wh: Warehouse, layer: String): DataFrame =
+    EventOps.transitionMatrix(wh.read(layer, "transition_events"),
+      "u", "et", "t", "eid")
+
   /** Stream-static anomaly screen: per-key baseline stats
     * ([[graft.ops.TimeSeries.zscoreBaseline]], trained on history)
     * broadcast-joined onto live events, each event scored immediately

@@ -227,6 +227,31 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("gold", "stage_events").count() == 6) // 7 events, 1 duplicate
   }
 
+  test("incremental transition matrix equals batch across out-of-order batches") {
+    val dir = eventDir(Seq(
+      Seq((2L, "2024-01-01 11:00:00", 1L, "click", 1.0, "{}"),   // arrives BEFORE its
+          (4L, "2024-01-01 10:30:00", 2L, "view", 1.0, "{}")),   // predecessor event
+      Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"),    // late: rewrites user 1's
+          (3L, "2024-01-01 12:00:00", 1L, "click", 1.0, "{}")),  // first transition
+      Seq((4L, "2024-01-01 10:30:00", 2L, "view", 1.0, "{}"),    // exact replayed duplicate
+          (5L, "2024-01-01 11:00:00", 2L, "buy", 1.0, "{}"))))
+    val wh = new Warehouse(spark, tmp("graft_tr_wh"))
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1))
+    StreamOps.transitionEventsSink(stream, wh, "gold", tmp("graft_ck")).awaitTermination()
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("from_type", "to_type").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val streamed = shape(StreamOps.transitionsFromWarehouse(wh, "gold"))
+    val batch = shape(EventOps.transitionMatrix(
+      spark.read.parquet(dir).distinct(), "user_id", "event_type", "ts", "event_id"))
+    assert(streamed.toSeq == batch.toSeq && streamed.nonEmpty)
+    // the late view became user 1's first event: view→click, click→click;
+    // user 2: view→buy (replay deduped by the insert-only merge)
+    assert(streamed.toSeq == Seq(
+      ("click", "click", 1L, 1.0), ("view", "buy", 1L, 0.5), ("view", "click", 1L, 0.5)))
+    assert(wh.read("gold", "transition_events").count() == 5) // 6 rows, 1 replay
+  }
+
   test("stream-static anomaly screen matches batch z-scores; unseen keys score NULL") {
     import graft.ops.TimeSeries
     import spark.implicits._
