@@ -1,0 +1,113 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Cross-table ATOMIC commits over a [[SnapshotStore]] — the catalog-
+ * pointer mechanism (Nessie/'git-for-data' shape, also how a metastore
+ * pins table versions): a catalog version is one tiny file mapping
+ * every governed table to a pinned snapshot id, and a multi-table
+ * commit stages each table's snapshot first, then flips ONE catalog
+ * file via tmp+rename. Readers that resolve through the catalog see
+ * all of a group's tables move together or none — the guarantee
+ * single-table log formats (Delta/Iceberg) cannot give, and exactly
+ * what a medallion pipeline wants when silver and gold must stay
+ * mutually consistent (the reference's dbt run materializes
+ * daily_stocks and monthly_summary as separate non-atomic steps;
+ * daily_lakehouse_pipeline.py:88 just sequences them).
+ *
+ * Crash safety: a failure while staging (data/manifest writes) leaves
+ * the catalog untouched — staged snapshots exist in the store but no
+ * catalog version references them, so catalog readers still see the
+ * previous consistent group (spec-asserted with a mid-group failure).
+ * The rename itself is the only commit point.
+ *
+ * Contracts: single writer (same as the store); transactional
+ * visibility holds for CATALOG reads (`read`) — direct
+ * `SnapshotStore.read` bypasses the catalog by design, seeing the
+ * latest per-table snapshot. Size `keepSnapshots` to cover at least
+ * `keepVersions` catalog generations' worth of per-table commits, or
+ * a retained catalog version could point past the store's retention.
+ */
+final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
+  require(keepVersions >= 1, "TxnCatalog: keepVersions must be >= 1")
+
+  private def fs = new Path(st.root)
+    .getFileSystem(st.spark.sparkContext.hadoopConfiguration)
+  private def dir = new Path(s"${st.root}/_catalog")
+
+  /** Retained catalog versions, oldest first. */
+  def versions: Seq[Long] = {
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("c")).map(_.drop(1).toLong).sorted
+  }
+
+  /** The pinned (layer, table) → snapshot id map of catalog version
+    * `v` (latest when omitted); empty before the first commit. */
+  def tableVersions(v: Option[Long] = None): Map[(String, String), Long] = {
+    val vv = v.orElse(versions.lastOption)
+    vv.map { id =>
+      val in = fs.open(new Path(dir, f"c$id%012d"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split("\n").filter(_.nonEmpty).map { line =>
+        val Array(layer, table, snap) = line.split("\t")
+        (layer, table) -> snap.toLong
+      }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /**
+   * Atomically commit a group of table overwrites: stage every table's
+   * snapshot in the store, then flip the catalog to a version pinning
+   * the new ids (tables outside the group keep their previous pins).
+   * Returns the new catalog version.
+   */
+  def commitGroup(writes: Seq[(DataFrame, String, String)],
+                  partitionBy: Map[(String, String), Seq[String]] = Map.empty): Long = {
+    require(writes.nonEmpty, "commitGroup: empty write group")
+    writes.foreach { case (_, layer, table) =>
+      require(!s"$layer$table".exists(c => c == '\t' || c == '\n'),
+        s"commitGroup: layer/table names must not contain tab/newline: $layer/$table")
+    }
+    // stage everything FIRST — any failure here aborts with the catalog
+    // (and therefore every catalog reader) untouched
+    val staged = writes.map { case (df, layer, table) =>
+      (layer, table) ->
+        st.overwrite(df, layer, table, partitionBy.getOrElse((layer, table), Nil))
+    }
+    val next = versions.lastOption.getOrElse(0L) + 1
+    val mapping = tableVersions() ++ staged
+    val body = mapping.toSeq.sortBy { case ((l, t), _) => (l, t) }
+      .map { case ((l, t), id) => s"$l\t$t\t$id" }.mkString("\n")
+    val tmp = new Path(dir, s".tmp-c$next-${System.nanoTime()}")
+    fs.mkdirs(dir)
+    val out = fs.create(tmp, true)
+    try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp, new Path(dir, f"c$next%012d")) // THE commit point
+    versions.dropRight(keepVersions).foreach { old =>
+      fs.delete(new Path(dir, f"c$old%012d"), false)
+    }
+    next
+  }
+
+  /** Catalog-resolved read: the snapshot the LATEST catalog version
+    * pins for this table — transactionally consistent with every other
+    * table committed in the same group. */
+  def read(layer: String, table: String): DataFrame =
+    readAt(layer, table, versions.lastOption.getOrElse(
+      throw new IllegalArgumentException("TxnCatalog: no catalog version committed yet")))
+
+  /** Catalog time travel: the table as catalog version `v` pinned it —
+    * cross-table-consistent historical reads. */
+  def readAt(layer: String, table: String, v: Long): DataFrame = {
+    val pins = tableVersions(Some(v))
+    val id = pins.getOrElse((layer, table),
+      throw new IllegalArgumentException(
+        s"TxnCatalog: catalog c$v does not govern $layer/$table " +
+          s"(governs: ${pins.keys.map { case (l, t) => s"$l/$t" }.mkString(", ")})"))
+    st.readSnapshot(layer, table, id)
+  }
+}
