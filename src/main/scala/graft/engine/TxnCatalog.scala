@@ -37,6 +37,13 @@ final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
     .getFileSystem(st.spark.sparkContext.hadoopConfiguration)
   private def dir = new Path(s"${st.root}/_catalog")
 
+  /** Delete every catalog version (test/fixture reset — the governed
+    * tables' snapshots are untouched; pair with `st.dropTable`). */
+  def reset(): Unit = {
+    if (fs.exists(dir)) fs.delete(dir, true)
+    ()
+  }
+
   /** Retained catalog versions, oldest first. */
   def versions: Seq[Long] = {
     if (!fs.exists(dir)) Nil

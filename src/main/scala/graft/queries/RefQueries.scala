@@ -1615,7 +1615,52 @@ object RefQueries {
               |SELECT c.* FROM curr_g c WHERE c.ano = 1996 AND c.mes BETWEEN 4 AND 6
               |  AND NOT EXISTS (SELECT 1 FROM prev_g p
               |    WHERE p.sigla_empresa = c.sigla_empresa AND p.ano = c.ano AND p.mes = c.mes)
-              |ORDER BY sigla_empresa, ano, mes""".stripMargin))
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
+    // Cross-table ATOMIC commit ([[graft.engine.TxnCatalog]]): silver
+    // and gold are committed as one group; catalog time travel pins
+    // both to the same group, so recomputing gold from the
+    // catalog-pinned silver must reproduce the catalog-pinned gold
+    // EXACTLY at every version — the `consistent` flag the oracle
+    // hashes as true is that cross-table invariant (the m_cdc_apply
+    // equality-flag pattern). A failed group never flips the catalog
+    // (TxnCatalogSpec covers the abort path).
+    Q("m_txn_group",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_txn_${new java.io.File(dir).getName}")
+        st.dropTable("silver", "daily")
+        st.dropTable("gold", "monthly")
+        val cat = new graft.engine.TxnCatalog(st)
+        cat.reset()
+        def silver(src: DataFrame) =
+          StockOps.silverDaily(StockOps.bronzeFromLineitem(src))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        val s1 = silver(li.filter(col("l_shipdate") < lit(cut)))
+        val v1 = cat.commitGroup(Seq(
+          (s1, "silver", "daily"), (StockOps.goldMonthly(s1), "gold", "monthly")))
+        val s2 = silver(li)
+        val v2 = cat.commitGroup(Seq(
+          (s2, "silver", "daily"), (StockOps.goldMonthly(s2), "gold", "monthly")))
+        def snap(v: Long, tag: String) = {
+          val g = cat.readAt("gold", "monthly", v)
+          // bounded driver read over the small gold table (m_cdc_apply
+          // pattern): catalog-pinned gold vs gold recomputed from the
+          // catalog-pinned silver — exact multiset equality
+          val re = StockOps.goldMonthly(cat.readAt("silver", "daily", v))
+          val mismatches = g.exceptAll(re).count() + re.exceptAll(g).count()
+          g.withColumn("version", lit(tag))
+            .withColumn("consistent", lit(mismatches == 0L))
+        }
+        snap(v1, "g1").unionByName(snap(v2, "g2"))
+          .orderBy("version", "sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH g1 AS (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")}),
+              |g2 AS (${StockOps.goldSql()})
+              |SELECT *, 'g1' AS version, TRUE AS consistent FROM g1
+              |UNION ALL
+              |SELECT *, 'g2' AS version, TRUE AS consistent FROM g2
+              |ORDER BY version, sigla_empresa, ano, mes""".stripMargin))
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
