@@ -79,6 +79,12 @@ final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
       require(!s"$layer$table".exists(c => c == '\t' || c == '\n'),
         s"commitGroup: layer/table names must not contain tab/newline: $layer/$table")
     }
+    // the same table twice in one group is almost certainly a caller
+    // bug (the later write would silently win) — fail fast instead
+    val dups = writes.map(w => (w._2, w._3)).groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"commitGroup: table(s) appear more than once in the group: " +
+        dups.map { case (l, t) => s"$l/$t" }.mkString(", "))
     // stage everything FIRST — any failure here aborts with the catalog
     // (and therefore every catalog reader) untouched
     val staged = writes.map { case (df, layer, table) =>

@@ -90,6 +90,76 @@ object Profile {
   }
 
   /** DuckDB SQL mirror of one [[profile]] leg. */
+  /**
+   * Histogram (fixed-width-bin) quantile estimates per key — the
+   * percentile pattern that SURVIVES 100 TB: exact `percentile()`
+   * sorts every group's values; this is two keyed aggregates whose
+   * intermediate is `keys × bins` rows regardless of input size, the
+   * way monitoring systems (HDR histogram, Prometheus) compute
+   * quantiles. Values are re-anchored to integer cents (the zscore
+   * hop; non-negative domain enforced in-plan) and binned by a fixed
+   * `binWidthCents`; each requested p yields classic within-bin linear
+   * interpolation `lo + width·(p·n − cum_before)/bin_count`, a fixed
+   * IEEE chain over exact integers — oracle-hash-identical, with
+   * estimation error bounded by the bin width (the documented trade;
+   * shrink bins to tighten).
+   *
+   * Output: one row per key group with a `p<percent>` double column
+   * per requested quantile (e.g. `p50`, `p95`), in ORIGINAL value
+   * units.
+   */
+  def binnedQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                      binWidthCents: Long, ps: Seq[Double]): DataFrame = {
+    require(binWidthCents >= 1, s"binnedQuantiles: binWidthCents must be >= 1")
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"binnedQuantiles: quantiles must be in (0, 1], got $ps")
+    val vc = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val c = when(col(valueCol).isNotNull && vc.isNull,
+      raise_error(lit(s"binnedQuantiles: $valueCol out of DECIMAL(18,2) range"))
+        .cast(LongType))
+      .when(vc < 0,
+        raise_error(lit(s"binnedQuantiles: $valueCol must be non-negative " +
+          "(integer-div binning floors toward zero)")).cast(LongType))
+      .otherwise(vc)
+    // integer division (div), NOT `/` — Spark's `/` on longs is DOUBLE
+    // division, and a truncating double round-trip is the wrong tool
+    // for an exact integer bin id
+    val binned = df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ c.as("__c"): _*)
+      .withColumn("__bin", expr(s"__c div ${binWidthCents}L"))
+      .drop("__c")
+    val counts = binned.groupBy(keys.map(col) :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__bin"))
+    val cum = counts
+      .withColumn("__cum", sum(col("__cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val estCols = ps.map { p =>
+      val target = lit(p) * col("__n").cast(DoubleType)
+      val before = (col("__cum") - col("__cnt")).cast(DoubleType)
+      val interp = (col("__bin") * binWidthCents).cast(DoubleType) +
+        lit(binWidthCents.toDouble) * (target - before) / col("__cnt").cast(DoubleType)
+      val name = s"p${(p * 100).round}"
+      min(when(col("__cum").cast(DoubleType) >= target && before < target,
+        interp / 100.0)).as(name)
+    }
+    cum.groupBy(keys.map(col): _*).agg(estCols.head, estCols.tail: _*)
+  }
+
+  /** DuckDB mirror of [[binnedQuantiles]]'s per-quantile aggregate
+    * expression over a CTE with columns `bin, cnt, cum, n`. */
+  def binnedQuantileSql(p: Double, binWidthCents: Long): String = {
+    val target = s"($p * CAST(n AS DOUBLE))"
+    val before = s"CAST(cum - cnt AS DOUBLE)"
+    s"""MIN(CASE WHEN CAST(cum AS DOUBLE) >= $target AND $before < $target
+       |  THEN (CAST(bin * $binWidthCents AS DOUBLE)
+       |        + $binWidthCents.0 * ($target - $before) / CAST(cnt AS DOUBLE)) / 100.0
+       |  END) AS p${(p * 100).round}""".stripMargin
+  }
+
   def profileLegSql(table: String, c: String, numeric: Boolean): String = {
     val mn = if (numeric) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
     val mx = if (numeric) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"

@@ -2096,6 +2096,33 @@ object ExtQueries {
              |               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
              |ORDER BY o_custkey, d, l_partkey, l_partkey_nd_7d, l_partkey_nd_30d""".stripMargin)),
 
+    // Histogram-binned quantiles ([[Profile.binnedQuantiles]]): p50/p95
+    // of extended price per return flag from fixed $1000 bins — the
+    // percentile shape that survives 100 TB (two keyed aggregates with
+    // a keys × bins intermediate; exact percentile() sorts every
+    // group). Integer bin counts + one fixed interpolation chain →
+    // oracle-hash-identical; error bounded by the bin width.
+    Q("agg_binned_quantile",
+      (s, dir) => Profile.binnedQuantiles(
+        Tables.lineitem(s, dir), Seq("l_returnflag"), "l_extendedprice",
+        binWidthCents = 100000L, ps = Seq(0.5, 0.95))
+        .orderBy("l_returnflag"),
+      Some(s"""WITH c AS (SELECT l_returnflag,
+              |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS bin
+              |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+              |cnts AS (SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+              |         FROM c GROUP BY 1, 2),
+              |cum AS (SELECT l_returnflag, bin, cnt,
+              |          CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+              |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |          CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+              |        FROM cnts)
+              |SELECT l_returnflag,
+              |  ${Profile.binnedQuantileSql(0.5, 100000L)},
+              |  ${Profile.binnedQuantileSql(0.95, 100000L)}
+              |FROM cum GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin)),
+
     // Exact keyed Pearson correlation ([[TimeSeries.pearsonByKey]]):
     // quantity↔revenue correlation per supplier. Native corr() is
     // banned from oracle paths (order-dependent float partials in both

@@ -58,4 +58,26 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.sparkPlan.toString
     assert(!plan.contains("Expand"), s"profileApprox planned an Expand:\n$plan")
   }
+
+  test("binnedQuantiles: hand-computed interpolation; error bounded by bin width") {
+    import spark.implicits._
+    // $1..$100, $10 bins: bin 0 holds 9 values ($1-$9), bins 1-9 hold 10,
+    // bin 10 holds just $100. p50: target 50 lands in bin 5 (cum 49→59):
+    // 5000 + 1000·(50−49)/10 = 5100 cents = $51.00 exactly.
+    val vals = (1 to 100).map(i => ("k", i.toDouble)).toDF("k", "v")
+    val out = Profile.binnedQuantiles(vals, Seq("k"), "v",
+      binWidthCents = 1000L, ps = Seq(0.5, 0.95)).collect().head
+    assert(out.getDouble(1) == 51.0, s"p50 = ${out.getDouble(1)}")
+    // exact p50 of 1..100 is 50.5 — estimate within one bin width
+    assert(math.abs(out.getDouble(1) - 50.5) <= 10.0)
+    assert(math.abs(out.getDouble(2) - 95.0) <= 10.0, s"p95 = ${out.getDouble(2)}")
+    // negative values refuse loudly (integer-div binning floors toward 0)
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val e = intercept[Exception] {
+      Profile.binnedQuantiles(Seq(("k", -1.0)).toDF("k", "v"), Seq("k"), "v",
+        1000L, Seq(0.5)).collect()
+    }
+    assert(chain(e).exists(_.contains("non-negative")), chain(e).mkString(" | "))
+  }
 }
