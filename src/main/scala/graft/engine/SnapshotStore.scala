@@ -239,10 +239,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * their own files. Returns the snapshot id. */
   def overwrite(df: DataFrame, layer: String, table: String,
                 partitionBy: Seq[String] = Nil,
-                txnId: Option[String] = None): Long =
+                txnId: Option[String] = None,
+                op: String = "overwrite"): Long =
     txnSeen(layer, table, txnId).getOrElse {
       val added = writeIntoPool(df, layer, table, partitionBy)
-      commit(df, layer, table, added, txnProps(txnId),
+      commit(df, layer, table, added, txnProps(txnId) + ("op" -> op),
         stats = statsOf(layer, table, added))
     }
 
@@ -262,7 +263,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val prev = snapshots(layer, table).lastOption
       .map(readManifest(layer, table, _)._2).getOrElse(Nil)
     val added = writeIntoPool(df, layer, table, partitionBy)
-    commit(df, layer, table, (prev ++ added).sorted,
+    commit(df, layer, table, (prev ++ added).sorted, Map("op" -> "append"),
       stats = prevStats(layer, table) ++ statsOf(layer, table, added))
   }
 
@@ -280,7 +281,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       val prev = snapshots(layer, table).lastOption
         .map(readManifest(layer, table, _)._2).getOrElse(Nil)
       val added = writeIntoPool(df, layer, table, partitionBy)
-      commit(df, layer, table, (prev ++ added).sorted, Map("txn" -> txnId),
+      commit(df, layer, table, (prev ++ added).sorted,
+        Map("txn" -> txnId, "op" -> "append"),
         stats = prevStats(layer, table) ++ statsOf(layer, table, added))
     }
 
@@ -292,7 +294,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * extra job over `df` and no driver collect of data. */
   def overwritePartitions(df: DataFrame, layer: String, table: String,
                           partitionBy: Seq[String],
-                          txnId: Option[String] = None): Long = {
+                          txnId: Option[String] = None,
+                          op: String = "overwrite_partitions"): Long = {
     require(partitionBy.nonEmpty,
       "overwritePartitions: partitionBy is required (use overwrite for flat tables)")
     txnSeen(layer, table, txnId).foreach(return _)
@@ -308,7 +311,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val touched = added.map(partOf).toSet
     val kept = prev.filterNot(f => touched.contains(partOf(f)))
     // dropped partitions' stats fall away in writeManifest's file filter
-    commit(df, layer, table, (kept ++ added).sorted, txnProps(txnId),
+    commit(df, layer, table, (kept ++ added).sorted, txnProps(txnId) + ("op" -> op),
       stats = prevStats(layer, table) ++ statsOf(layer, table, added))
   }
 
@@ -359,7 +362,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val existingTouched = read(layer, table).filter(pred)
     Merge.schemaGuard(existingTouched, staged)
     overwritePartitions(Merge.upsert(existingTouched, staged, keys),
-      layer, table, partitionBy, txnId)
+      layer, table, partitionBy, txnId, op = "upsert_partitions")
   }
 
   /** Read a manifest's file list. Files are grouped by their pool base
@@ -470,7 +473,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val arranged =
       if (sortCols.nonEmpty) repartitioned.sortWithinPartitions(sortCols.map(df(_)): _*)
       else repartitioned
-    overwrite(arranged, layer, table, partitionBy)
+    overwrite(arranged, layer, table, partitionBy, op = "compact")
   }
 
   /** CDC between two snapshots, pruned at FILE granularity: pool files
@@ -504,7 +507,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       s"SnapshotStore: snapshot $id of $layer/$table not retained (have: ${ids.mkString(",")})")
     val (schema, _, files, stats) = readManifestFull(layer, table, id)
     val newId = nextId(layer, table)
-    writeManifest(layer, table, newId, schema, files, stats = stats)
+    writeManifest(layer, table, newId, schema, files,
+      Map("op" -> "restore", "restored_from" -> id.toString), stats = stats)
     newId
   }
 
@@ -534,8 +538,31 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val (schema, _, files, stats) = readManifestFull(srcLayer, srcTable, srcId)
     val absFiles = files.map(absFile(srcLayer, srcTable, _)).sorted
     val absStats = stats.map { case (f, s) => absFile(srcLayer, srcTable, f) -> s }
-    writeManifest(dstLayer, dstTable, 1L, schema, absFiles, stats = absStats)
+    writeManifest(dstLayer, dstTable, 1L, schema, absFiles,
+      Map("op" -> "clone", "cloned_from" -> s"$srcLayer/$srcTable@m$srcId"),
+      stats = absStats)
     1L
+  }
+
+  /** DESCRIBE HISTORY analogue: one row per RETAINED snapshot, oldest
+    * first — `(snapshot_id, op, n_files, txn, detail)` from the
+    * manifests' recorded properties (a driver-side walk over a few-KB
+    * files, no data IO at any table size). Snapshots written before op
+    * recording read as op "unknown"; `detail` carries restore/clone
+    * provenance. The audit surface a governed pipeline needs: what
+    * operation produced each generation, and which streaming txn (if
+    * any) it belongs to. */
+  def history(layer: String, table: String): DataFrame = {
+    val rows = snapshots(layer, table).map { id =>
+      val (_, props, files, _) = readManifestFull(layer, table, id)
+      (id, props.getOrElse("op", "unknown"), files.size.toLong,
+        props.getOrElse("txn", null), props.get("restored_from")
+          .map("restored_from=" + _)
+          .orElse(props.get("cloned_from").map("cloned_from=" + _)).orNull)
+    }
+    val s2 = spark
+    import s2.implicits._
+    rows.toDF("snapshot_id", "op", "n_files", "txn", "detail")
   }
 
   /** Delete pool files referenced by NO retained manifest (Delta

@@ -114,6 +114,26 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st2.read("gold", "t").count() == 1)
   }
 
+  test("history records the operation, txn, and provenance of every snapshot") {
+    val st = newStore("hist")
+    st.overwrite(Seq((1L, "a")).toDF("id", "v"), "silver", "t")
+    st.append(Seq((2L, "b")).toDF("id", "v"), "silver", "t")
+    st.appendIfAbsent(Seq((3L, "c")).toDF("id", "v"), "silver", "t", txnId = "batch-7")
+    st.compact("silver", "t", numFiles = 1)
+    val restoredFrom = st.snapshots("silver", "t").head
+    st.restore("silver", "t", restoredFrom)
+    st.shallowClone("silver", "t", "dev", "t_clone")
+    val h = st.history("silver", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(3)), Option(r.getString(4))))
+    assert(h.map(_._2).toSeq ==
+      Seq("overwrite", "append", "append", "compact", "restore"))
+    assert(h(2)._3.contains("batch-7"), "txn id surfaces in history")
+    assert(h(4)._4.contains(s"restored_from=$restoredFrom"))
+    val hc = st.history("dev", "t_clone").collect()
+    assert(hc.length == 1 && hc.head.getString(1) == "clone"
+      && hc.head.getString(4).startsWith("cloned_from=silver/t@m"))
+  }
+
   test("appendIfAbsent: a replayed transaction commits nothing (exactly-once)") {
     val st = newStore("txn")
     val v1 = st.appendIfAbsent(Seq((1L, "a")).toDF("id", "v"), "silver", "t", "stream-0")
