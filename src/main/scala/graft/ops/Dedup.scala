@@ -276,6 +276,29 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware dedup: one representative per near-dup component,
+    * keeping the member with the HIGHEST `scoreCol` (ties → smallest
+    * id) — what production curation actually does: when a page exists
+    * as a clean copy and a boilerplate-wrapped copy, keep the clean
+    * one, not the one that happened to crawl first ([[dedupByPairs]]'s
+    * min-id policy). Unpaired docs survive untouched. Plan shape: the
+    * [[connectedComponents]] labels (a table of PAIRED ids only — tiny
+    * next to the corpus) left-join the docs, then one row_number window
+    * per component; per-partition size is the component size. */
+  def dedupByPairsKeepBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                           scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val labeled = docs.join(comps, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labeled.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__comp", "__rn", "component")
+  }
+
   /** Cross-corpus n-gram contamination: for every corpus doc, how many
     * n-gram shingles it shares with each benchmark doc — the
     * decontamination pass run before training so eval data never leaks

@@ -422,6 +422,34 @@ object ExtQueries {
       Some("""SELECT min(doc_id) AS doc_id, text FROM documents
              |GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware dedup ([[Dedup.dedupByPairsKeepBest]]): one
+    // representative per exact-dup component, keeping the member with
+    // the highest quality score (ties → min id) instead of blind
+    // min-id — production curation keeps the BEST copy, not the first
+    // crawled. The injected score (doc_id % 7) makes the kept member
+    // provably differ from min-id on most components, so the policy
+    // itself is what the oracle hashes.
+    Q("dd_keep_best",
+      (s, dir) => {
+        val scored = dupCorpus(s, dir)
+          .withColumn("quality", (col("doc_id") % 7).cast("bigint"))
+        val a = scored.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
+        val b = scored.select(col("doc_id").as("id_b"), md5(col("text")).as("fp"))
+        val pairs = a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        Dedup.dedupByPairsKeepBest(scored, "doc_id", pairs, "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dupCorpusSql,
+              |scored AS (SELECT doc_id, text, CAST(doc_id % 7 AS BIGINT) AS quality
+              |           FROM corpus)
+              |SELECT doc_id, text, quality FROM (
+              |  SELECT doc_id, text, quality,
+              |         row_number() OVER (PARTITION BY text
+              |                            ORDER BY quality DESC, doc_id) AS rn
+              |  FROM scored)
+              |WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
     // Benchmark decontamination: corpus docs sharing ≥10 5-gram
     // shingles with an "eval set" (docs 0-4). The corpus gets INJECTED
     // contaminated copies (+200000 ids) so the operator provably

@@ -145,6 +145,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 10L, 99L)) // min of each component + untouched 99
   }
 
+  test("dedupByPairsKeepBest keeps the highest-scoring member, not min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup text", 2.0), (2L, "dup text", 9.0), (3L, "dup text", 9.0),
+      (4L, "solo", 0.5))
+      .toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b") // transitive chain
+    val kept = Dedup.dedupByPairsKeepBest(docs, "doc_id", pairs, "q")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // component {1,2,3}: max q = 9.0, tie between 2 and 3 → min id 2;
+    // unpaired doc 4 survives
+    assert(kept.toSeq == Seq((2L, 9.0), (4L, 0.5)), kept.toSeq.toString)
+    // min-id policy would have kept doc 1 — the policies provably differ
+    val minId = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(_.getLong(0))
+    assert(minId.toSeq == Seq(1L, 4L))
+  }
+
   test("native minhash signature is bit-identical to the aggregate formulation") {
     val native = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 16)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
