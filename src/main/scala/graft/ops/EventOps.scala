@@ -139,6 +139,57 @@ object EventOps {
         (col("n").cast("double") / col("__row_total").cast("double")).as("p"))
   }
 
+  /**
+   * Linear multi-touch attribution: every conversion splits one unit
+   * of credit EQUALLY across the user's touch events inside the
+   * lookback window (touch_ts ∈ (conv_ts − window, conv_ts]), and each
+   * channel's total is the sum of its credits — the standard
+   * marketing-attribution model between last-touch (as-of join) and
+   * data-driven.
+   *
+   * Determinism: per-conversion credit `1/n` is ONE double division
+   * (identical everywhere), then re-anchored to DECIMAL(18,9) so the
+   * channel-level SUM is exact decimal addition — order-independent
+   * and engine-identical, where summing raw double credits would be
+   * partial-aggregation-order dependent. Conversions with NO touch in
+   * the window surface under channel '(unattributed)' so credit is
+   * conserved: total credit always equals the conversion count.
+   *
+   * Shape: one time-bounded equi-join on the user key (the
+   * ev_correlated / stream-stream join shape — state bounded by the
+   * window), one per-conversion count window, one keyed aggregate.
+   */
+  def linearAttribution(events: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String,
+                        touchTypes: Seq[String], convType: String,
+                        window: Column): DataFrame = {
+    require(touchTypes.nonEmpty && !touchTypes.contains(convType),
+      s"linearAttribution: touch types must be non-empty and exclude '$convType'")
+    import org.apache.spark.sql.expressions.Window
+    val touches = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("channel"),
+        col(tsCol).as("__touch_ts"))
+    val convs = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(tsCol).as("__conv_ts"),
+        col(idCol).as("conv_id"))
+    val touched = convs.join(touches, Seq("__u"))
+      .filter(col("__touch_ts") <= col("__conv_ts")
+        && col("__touch_ts") > col("__conv_ts") - window)
+    val untouched = convs.join(touched.select(col("conv_id")), Seq("conv_id"), "left_anti")
+      .select(col("conv_id"), lit("(unattributed)").as("channel"), lit(1L).as("__n"))
+    val w = Window.partitionBy(col("conv_id"))
+    val credited = touched
+      .withColumn("__n", count(lit(1)).over(w))
+      .select(col("conv_id"), col("channel"), col("__n"))
+      .unionByName(untouched)
+    credited
+      .withColumn("__credit",
+        (lit(1.0) / col("__n").cast("double")).cast(DecimalType(18, 9)))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touchpoints"),
+        sum(col("__credit")).cast("double").as("credit"))
+  }
+
   /** Conditional-aggregation pivot on event type (fixed domain, so the
     * output schema is static and oracle-expressible). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")

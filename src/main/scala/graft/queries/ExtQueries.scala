@@ -1256,6 +1256,37 @@ object ExtQueries {
              |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
              |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // Linear multi-touch attribution ([[EventOps.linearAttribution]]):
+    // each purchase splits one credit unit equally across the user's
+    // click/view touches in the prior hour; channel totals are exact
+    // decimal sums of the per-conversion 1/n credits (one double
+    // division re-anchored to DECIMAL(18,9) — order-independent where
+    // raw double sums are not). Touchless conversions land under
+    // '(unattributed)', so total credit == conversion count.
+    Q("ev_attribution",
+      (s, dir) => EventOps.linearAttribution(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id",
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        window = expr("INTERVAL 1 HOUR"))
+        .orderBy("channel"),
+      Some("""WITH touches AS (SELECT user_id AS u, event_type AS channel, ts AS touch_ts
+             |                 FROM events WHERE event_type IN ('click', 'view')),
+             |convs AS (SELECT user_id AS u, ts AS conv_ts, event_id AS conv_id
+             |          FROM events WHERE event_type = 'purchase'),
+             |touched AS (SELECT c.conv_id, t.channel
+             |            FROM convs c JOIN touches t ON c.u = t.u
+             |            WHERE t.touch_ts <= c.conv_ts
+             |              AND t.touch_ts > c.conv_ts - INTERVAL 1 HOUR),
+             |untouched AS (SELECT conv_id, '(unattributed)' AS channel, CAST(1 AS BIGINT) AS n
+             |              FROM convs WHERE conv_id NOT IN (SELECT conv_id FROM touched)),
+             |credited AS (SELECT conv_id, channel,
+             |               CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n
+             |             FROM touched
+             |             UNION ALL SELECT conv_id, channel, n FROM untouched)
+             |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touchpoints,
+             |       CAST(SUM(CAST(1.0 / CAST(n AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS credit
+             |FROM credited GROUP BY channel ORDER BY channel""".stripMargin)),
+
     // First-order Markov transitions over per-user event sequences
     // ([[EventOps.transitionMatrix]]): (prev type → type) counts and
     // row-normalized probabilities — next-event-model statistics.

@@ -11,6 +11,31 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  test("linearAttribution: equal split in window, unattributed bucket, credit conserved") {
+    import graft.ops.EventOps.linearAttribution
+    val e = ev(
+      // user 1: click + view inside the hour before purchase → 1/2 each
+      (1L, "2024-01-01 09:30:00", 1L, "click", 0.0, "{}"),
+      (2L, "2024-01-01 09:45:00", 1L, "view", 0.0, "{}"),
+      (3L, "2024-01-01 10:00:00", 1L, "purchase", 0.0, "{}"),
+      // user 2: touch outside the window → unattributed
+      (4L, "2024-01-02 08:00:00", 2L, "click", 0.0, "{}"),
+      (5L, "2024-01-02 10:00:00", 2L, "purchase", 0.0, "{}"),
+      // user 3: two clicks in window → click gets 2 × 1/2 = 1.0
+      (6L, "2024-01-03 09:10:00", 3L, "click", 0.0, "{}"),
+      (7L, "2024-01-03 09:20:00", 3L, "click", 0.0, "{}"),
+      (8L, "2024-01-03 10:00:00", 3L, "purchase", 0.0, "{}"))
+    val out = linearAttribution(e, "user_id", "event_type", "ts", "event_id",
+      Seq("click", "view"), "purchase", expr("INTERVAL 1 HOUR"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out == Map(
+      "click" -> ((3L, 1.5)), // 0.5 (user 1) + 1.0 (user 3)
+      "view" -> ((1L, 0.5)),
+      "(unattributed)" -> ((1L, 1.0))))
+    // credit conservation: total credit equals the 3 conversions
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-9)
+  }
+
   test("transitionMatrix: per-user lag pairs, tie-broken by event id, row-normalized") {
     import graft.ops.EventOps.transitionMatrix
     // user 1: view → click → click; user 2: view → buy
