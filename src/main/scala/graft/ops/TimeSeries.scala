@@ -281,6 +281,18 @@ object TimeSeries {
     (z, sd)
   }
 
+  /** RANGE-frame ordering column for the trailing-feature family, with
+    * the NULL-date guard in-plan (the gap-fill pattern): a NULL
+    * ordering value would silently group with other NULLs into a
+    * nonsense frame instead of failing. */
+  private def guardedEpochDay(dateCol: String): Column = {
+    val d = datediff(col(dateCol), lit(java.sql.Date.valueOf("1970-01-01")))
+    when(col(dateCol).isNull,
+      raise_error(lit(s"trailing features: NULL $dateCol — a calendar frame " +
+        "needs a date; filter or repair upstream")).cast("int"))
+      .otherwise(d)
+  }
+
   /**
    * Trailing distinct-count features — "distinct parts ordered in the
    * last 7/30 calendar days as of each transaction": the companion of
@@ -304,8 +316,7 @@ object TimeSeries {
     require(horizons.nonEmpty && horizons.forall(_ >= 1),
       s"trailingDistinct: horizons must be >= 1 days, got $horizons")
     val ord = "__td_epoch_day"
-    val withOrd = tx.withColumn(ord,
-      datediff(col(dateCol), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val withOrd = tx.withColumn(ord, guardedEpochDay(dateCol))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord))
     val feats = horizons.map { h =>
       size(collect_set(col(valueCol)).over(w.rangeBetween(-(h - 1L), Window.currentRow)))
@@ -395,8 +406,7 @@ object TimeSeries {
     // (plus a re-sort) per call and defeat CollapseWindow; this shape
     // plan-collapses to a single WindowExec (spec-asserted)
     val ord = "__tf_epoch_day"
-    val withOrd = daily.withColumn(ord,
-      datediff(col(dateCol), lit(java.sql.Date.valueOf("1970-01-01"))))
+    val withOrd = daily.withColumn(ord, guardedEpochDay(dateCol))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord))
     val dec = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
     val feats = horizons.flatMap { h =>

@@ -118,6 +118,16 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-01", "p2", 2, 2),
       ("2024-01-02", "p1", 2, 2),
       ("2024-01-10", "p3", 1, 3)))
+    // NULL dates fail loudly — they'd otherwise form a nonsense frame
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    val withNull = tx.unionByName(
+      Seq(("A", null.asInstanceOf[String], "p9")).toDF("k", "d", "p")
+        .withColumn("d", col("d").cast(DateType)))
+    val e = intercept[Exception] {
+      TimeSeries.trailingDistinct(withNull, Seq("k"), "d", "p", Seq(7)).collect()
+    }
+    assert(chain(e).exists(_.contains("NULL")), chain(e).mkString(" | "))
   }
 
   test("pearsonByKey: exact r, NULL-pair exclusion, constant series -> NULL") {
