@@ -43,6 +43,19 @@ object TextOps {
   def bpeishTokenCountSql(col: String): String =
     s"CAST(len(regexp_extract_all($col, '$BpeishPattern')) AS BIGINT)"
 
+  /** Sentence count: non-blank segments between terminal-punctuation
+    * runs (`[.!?]+`) — the denominator of mean-words-per-sentence, the
+    * Gopher-style quality signal a token-level pass cannot see (spam
+    * and boilerplate skew short; OCR noise skews absurdly long). The
+    * regex stays in the Java∩RE2 common subset so the DuckDB oracle
+    * splits identically. Pure projection — codegen'd, no shuffle. */
+  def sentenceCount(text: Column): Column =
+    size(filter(split(text, "[.!?]+"), s => length(trim(s)) > 0)).cast(LongType)
+
+  /** DuckDB mirror of [[sentenceCount]]. */
+  def sentenceCountSql(col: String): String =
+    s"CAST(len(list_filter(string_split_regex($col, '[.!?]+'), s -> len(trim(s)) > 0)) AS BIGINT)"
+
   /** Adjacent character pairs of one token — the merge-candidate
     * generator for BPE vocabulary induction: training's first step
     * counts every adjacent symbol pair across the corpus and merges the

@@ -552,6 +552,31 @@ object ExtQueries {
               |      FROM documents)
               |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 30""".stripMargin)),
 
+    // Sentence-level quality stats ([[TextOps.sentenceCount]]):
+    // sentences per doc and mean words-per-sentence — the Gopher-style
+    // signal token counts can't see (spam skews short, OCR noise
+    // absurdly long). Zero-sentence docs score NULL, not ÷0. Pure
+    // projections over one scan; exact integers + one division.
+    Q("t_sentence_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"),
+          TextOps.sentenceCount(col("text")).as("n_sentences"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("words_per_sentence",
+          when(col("n_sentences") === 0, lit(null).cast("double"))
+            .otherwise(col("n_tokens").cast("double") / col("n_sentences").cast("double")))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_sentences, n_tokens,
+              |       CASE WHEN n_sentences = 0 THEN NULL
+              |            ELSE CAST(n_tokens AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+              |       END AS words_per_sentence
+              |FROM (SELECT doc_id,
+              |        ${TextOps.sentenceCountSql("text")} AS n_sentences,
+              |        CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tokens
+              |      FROM documents WHERE doc_id % 20 = 0)
+              |ORDER BY doc_id""".stripMargin)),
+
     // BPE merge-candidate counting ([[TextOps.charPairs]]) — the first
     // round of byte-pair-encoding vocabulary induction: count every
     // adjacent character pair over every token occurrence and rank the

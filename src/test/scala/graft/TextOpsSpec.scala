@@ -22,6 +22,16 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(0) == 3L) // the, and, the
   }
 
+  test("sentenceCount splits on terminal punctuation runs, ignoring blanks") {
+    val r = col1(one("One two. Three four!! Five?").select(TextOps.sentenceCount(col("text"))))
+    assert(r.getLong(0) == 3L)
+    // an unterminated fragment still counts as one sentence segment
+    assert(col1(one("fragment without end").select(TextOps.sentenceCount(col("text"))))
+      .getLong(0) == 1L)
+    // pure punctuation yields zero (every segment blank)
+    assert(col1(one("...!!!").select(TextOps.sentenceCount(col("text")))).getLong(0) == 0L)
+  }
+
   test("charPairs emits every adjacent character pair in order") {
     val r = col1(one("abcd").select(TextOps.charPairs(col("text"))))
     assert(r.getSeq[String](0) == Seq("ab", "bc", "cd"))
