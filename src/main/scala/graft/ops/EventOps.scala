@@ -20,6 +20,25 @@ object EventOps {
     events.withColumn("k",
       from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k"))
 
+  /** PERMISSIVE JSON parse with CORRUPT-RECORD QUARANTINE — the
+    * engine-grade upgrade of [[jsonProps]] for feeds that can carry
+    * junk (the reference's API ingestion just trusts the payload,
+    * ingest_stocks.py:49-63; at pipeline scale a malformed row must
+    * neither kill the job (FAILFAST) nor silently vanish (DROPMALFORMED)
+    * but land in a quarantine lane with its raw payload preserved for
+    * replay). Emits `k` (NULL when unparseable) and `quarantined`
+    * (true + raw payload retained in `payloadCol` when the parser
+    * rejected the row). Pure projection — no shuffle, codegen'd. */
+  def jsonPropsQuarantine(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("k", IntegerType), StructField("_corrupt_record", StringType)))
+    df.withColumn("__p", from_json(col(payloadCol), schema,
+        Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("k", col("__p.k"))
+      .withColumn("quarantined", col("__p._corrupt_record").isNotNull)
+      .drop("__p")
+  }
+
   /** Tumbling 1-hour event-time windows: count + exact value sum per
     * (window, event_type). One shuffle; map-side partial aggregation. */
   def tumblingHourly(events: DataFrame): DataFrame =

@@ -1239,6 +1239,37 @@ object ExtQueries {
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
              |FROM events ORDER BY event_id""".stripMargin)),
 
+    // Corrupt-record quarantine ([[EventOps.jsonPropsQuarantine]]):
+    // every 3rd payload is deterministically TRUNCATED (an unterminated
+    // object — Spark's Jackson and DuckDB's json_valid agree it is
+    // invalid, unlike trailing garbage, which Jackson tolerates after
+    // the first root); parsed rows keep
+    // their extracted field, rejects land in a quarantine lane with the
+    // raw payload preserved — neither FAILFAST's dead pipeline nor
+    // DROPMALFORMED's silent data loss. Oracle: DuckDB json_valid
+    // classifies the identical corpus.
+    Q("s11_json_quarantine",
+      (s, dir) => {
+        val corpus = Tables.events(s, dir).select(col("event_id"), col("props"))
+          .withColumn("payload",
+            when(col("event_id") % 3 === 0,
+              substring(col("props"), 1, 4))
+              .otherwise(col("props")))
+        EventOps.jsonPropsQuarantine(corpus, "payload")
+          .select(col("event_id"), col("k"), col("quarantined"),
+            when(col("quarantined"), col("payload")).as("raw_payload"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN json_valid(payload)
+             |       THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
+             |  NOT json_valid(payload) AS quarantined,
+             |  CASE WHEN NOT json_valid(payload) THEN payload END AS raw_payload
+             |FROM (SELECT event_id,
+             |        CASE WHEN event_id % 3 = 0 THEN substr(props, 1, 4) ELSE props END AS payload
+             |      FROM events)
+             |ORDER BY event_id""".stripMargin)),
+
     // Tumbling 1-hour event-time windows (same transform runs under
     // Structured Streaming — graft.streaming.StreamOps).
     Q("ev_tumbling_hourly",

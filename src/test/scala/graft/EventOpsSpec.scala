@@ -11,6 +11,24 @@ class EventOpsSpec extends SparkSpec {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  test("jsonPropsQuarantine: valid rows parse, junk quarantines with raw preserved") {
+    import spark.implicits._
+    import graft.ops.EventOps.jsonPropsQuarantine
+    val rows = Seq(
+      (1L, """{"k": 7}"""),
+      (2L, """{"k":"""),      // truncated → quarantine
+      (3L, """{"x": 1}"""),   // valid JSON, no k → k NULL but NOT quarantined
+      (4L, """not json"""))
+      .toDF("event_id", "payload")
+    val out = jsonPropsQuarantine(rows, "payload").orderBy("event_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)), r.getBoolean(3)))
+    assert(out.toSeq == Seq(
+      (1L, Some(7), false),
+      (2L, None, true),
+      (3L, None, false),
+      (4L, None, true)))
+  }
+
   test("linearAttribution: equal split in window, unattributed bucket, credit conserved") {
     import graft.ops.EventOps.linearAttribution
     val e = ev(
