@@ -287,6 +287,35 @@ object StreamOps {
   }
 
   /**
+   * Streaming DEAD-LETTER QUEUE: every micro-batch is split by
+   * [[EventOps.jsonPropsQuarantine]] — parseable rows land in the
+   * `parsed` table, rejects in `quarantine` WITH their raw payload, so
+   * junk neither kills the stream (FAILFAST) nor vanishes
+   * (DROPMALFORMED) and can be replayed after an upstream fix. Both
+   * lanes commit via txn-tagged [[SnapshotStore.appendIfAbsent]]
+   * (txn = batch id + lane), so a checkpoint-recovery replay of a
+   * micro-batch commits NOTHING twice — exactly-once on both lanes,
+   * the property a plain append dead-letter sink lacks.
+   */
+  def quarantineSink(events: DataFrame, st: SnapshotStore, layer: String,
+                     checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val parsed = EventOps.jsonPropsQuarantine(batch, "props")
+        st.appendIfAbsent(
+          parsed.filter(!col("quarantined")).drop("quarantined"),
+          layer, "parsed", txnId = s"q$id-good")
+        st.appendIfAbsent(
+          parsed.filter(col("quarantined"))
+            .select(col("event_id"), col("props").as("raw_payload")),
+          layer, "quarantine", txnId = s"q$id-bad")
+        ()
+      }
+      .start()
+
+  /**
    * Incremental transition matrix — the [[funnelEventsSink]] log-
    * compaction argument applies verbatim: a transition's FROM side is
    * "the user's previous event", so ONE late event can rewrite two

@@ -227,6 +227,32 @@ class StreamingSpec extends SparkSpec {
     assert(wh.read("gold", "stage_events").count() == 6) // 7 events, 1 duplicate
   }
 
+  test("quarantine sink: dead-letter lane with raw payloads, exactly-once on replay") {
+    import graft.engine.SnapshotStore
+    val dir = eventDir(Seq(
+      Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0, """{"k": 5}"""),
+          (2L, "2024-01-01 10:01:00", 1L, "view", 1.0, """{"k":""")),   // truncated junk
+      Seq((3L, "2024-01-01 10:02:00", 2L, "view", 1.0, """not json"""),
+          (4L, "2024-01-01 10:03:00", 2L, "view", 1.0, """{"k": 9}"""))))
+    val st = new SnapshotStore(spark, tmp("graft_dlq"))
+    val ck = tmp("graft_ck")
+    val stream = StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1))
+    StreamOps.quarantineSink(stream, st, "bronze", ck).awaitTermination()
+    val good = st.read("bronze", "parsed").orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[Int]("k")))
+    assert(good.toSeq == Seq((1L, 5), (4L, 9)))
+    val bad = st.read("bronze", "quarantine").orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"), r.getAs[String]("raw_payload")))
+    assert(bad.toSeq == Seq((2L, """{"k":"""), (3L, """not json""")),
+      "rejects keep their raw payload for replay")
+    // drained rerun from the same checkpoint: nothing commits twice
+    StreamOps.quarantineSink(
+      StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1)),
+      st, "bronze", ck).awaitTermination()
+    assert(st.read("bronze", "parsed").count() == 2)
+    assert(st.read("bronze", "quarantine").count() == 2)
+  }
+
   test("incremental transition matrix equals batch across out-of-order batches") {
     val dir = eventDir(Seq(
       Seq((2L, "2024-01-01 11:00:00", 1L, "click", 1.0, "{}"),   // arrives BEFORE its
