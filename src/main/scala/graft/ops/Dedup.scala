@@ -117,6 +117,36 @@ object Dedup {
         col("d.containment"))
       .filter(col("containment") >= minContainment)
 
+  /**
+   * Provenance-preserving dedup: like [[dedupByPairs]] (one min-id
+   * representative per component) but each survivor CARRIES its
+   * component's merged attribute values — `n_members` plus, per
+   * requested attribute, the sorted distinct values joined with ','.
+   * The licensing/audit requirement dedup usually destroys: when a
+   * document existed on three sources under two licenses, the kept
+   * copy must say so, or the training-set audit trail is gone the
+   * moment the duplicates are.
+   *
+   * Deterministic output: `collect_set` order is partition-dependent,
+   * so values pass through `sort_array` before joining — the string is
+   * identical under any partitioning (and engine-identical for the
+   * oracle). One component-keyed aggregate over the labeled docs.
+   */
+  def dedupWithProvenance(docs: DataFrame, idCol: String, pairs: DataFrame,
+                          attrCols: Seq[String]): DataFrame = {
+    require(attrCols.nonEmpty, "dedupWithProvenance: no attribute columns given")
+    val comps = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component"))
+    val labeled = docs.join(comps, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    labeled.groupBy(col("__comp"))
+      .agg(min(col(idCol)).as(idCol),
+        count(lit(1)).as("n_members") +:
+          attrCols.map(a =>
+            array_join(sort_array(collect_set(col(a))), ",").as(s"${a}s")): _*)
+      .drop("__comp")
+  }
+
   /** Shared core of [[jaccardPairs]] and [[containmentPairs]]: candidate
     * pairs with shared-shingle counts and both docs' shingle totals —
     * `(id_a, id_b, n_shared, n_a, n_b)` with `id_a < id_b`. */

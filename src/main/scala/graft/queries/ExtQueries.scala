@@ -422,6 +422,34 @@ object ExtQueries {
       Some("""SELECT min(doc_id) AS doc_id, text FROM documents
              |GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // Provenance-preserving dedup ([[Dedup.dedupWithProvenance]]):
+    // every kept representative carries its component's member count
+    // and merged source list — the licensing audit trail dedup
+    // normally destroys. Injected copies arrive under source 'mirror',
+    // so merged multi-source provenance provably survives.
+    Q("dd_provenance",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+        val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val corpus = d.unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("text"),
+            lit("mirror").as("source")))
+        val a = corpus.select(col("doc_id").as("id_a"), md5(col("text")).as("fp"))
+        val b = corpus.select(col("doc_id").as("id_b"), md5(col("text")).as("fp"))
+        val pairs = a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+        Dedup.dedupWithProvenance(corpus, "doc_id", pairs, Seq("source"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text, source FROM documents
+             |           UNION ALL
+             |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+             |                  text, 'mirror' AS source
+             |           FROM documents WHERE doc_id % 5 = 0)
+             |SELECT min(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             |       array_to_string(list_sort(list_distinct(list(source))), ',') AS sources
+             |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin)),
+
     // Quality-aware dedup ([[Dedup.dedupByPairsKeepBest]]): one
     // representative per exact-dup component, keeping the member with
     // the highest quality score (ties → min id) instead of blind

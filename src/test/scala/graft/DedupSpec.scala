@@ -163,6 +163,21 @@ class DedupSpec extends SparkSpec {
     assert(minId.toSeq == Seq(1L, 4L))
   }
 
+  test("dedupWithProvenance merges member counts and sorted source lists") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dup", "web"), (2L, "dup", "mirror"), (3L, "dup", "web"),
+      (4L, "solo", "books"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupWithProvenance(docs, "doc_id", pairs, Seq("source"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, "mirror,web"), // distinct sources, sorted — audit trail survives
+      (4L, 1L, "books")))
+  }
+
   test("native minhash signature is bit-identical to the aggregate formulation") {
     val native = Dedup.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 16)
       .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
