@@ -1617,6 +1617,28 @@ object RefQueries {
               |    WHERE p.sigla_empresa = c.sigla_empresa AND p.ano = c.ano AND p.mes = c.mes)
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Write-time constraints, pass-through leg
+    // ([[graft.engine.Constraints]]): NOT NULL + CHECK guards wrap
+    // 600k lineitem rows and the output must be value-identical to the
+    // unguarded projection — the oracle hashes the wrapper's identity
+    // property at scale (the abort path is ConstraintsSpec's, not
+    // SQL-expressible). The guards ride the output columns in-plan:
+    // zero extra scans, stays inside whole-stage codegen.
+    Q("m_constraints_pass",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"))
+        graft.engine.Constraints.enforce(li,
+          notNull = Seq("l_orderkey", "l_returnflag"),
+          checks = Map(
+            "quantity_positive" -> (col("l_quantity") > 0),
+            "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Cross-table ATOMIC commit ([[graft.engine.TxnCatalog]]): silver
     // and gold are committed as one group; catalog time travel pins
     // both to the same group, so recomputing gold from the
