@@ -207,20 +207,45 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     }).map(_.name).toSet
     val present = statsFor.filter(atomic.contains)
     if (present.isEmpty) return Map.empty
+    // the per-file ROW COUNT rides the same aggregate — zero extra
+    // jobs — and makes COUNT(*) a metadata-only query ([[countRows]])
+    import org.apache.spark.sql.functions.{count, lit}
     val aggs = present.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__mn_$c"), max(col(c)).cast("string").as(s"__mx_$c")))
+      min(col(c)).cast("string").as(s"__mn_$c"), max(col(c)).cast("string").as(s"__mx_$c"))) :+
+      count(lit(1)).cast("string").as("__rows")
     val rows = df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*).collect()
     val baseUriPath = new Path(base).toUri.getPath
     rows.map { r =>
       val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
       val rel = abs.stripPrefix(baseUriPath).stripPrefix("/")
-      rel -> present.flatMap { c =>
+      val colStats = present.flatMap { c =>
         (Option(r.getAs[String](s"__mn_$c")), Option(r.getAs[String](s"__mx_$c"))) match {
           case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
           case _ => None
         }
       }.toMap
+      val n = r.getAs[String]("__rows")
+      rel -> (colStats + (RowCountStat -> (n, n)))
     }.toMap
+  }
+
+  /** Reserved per-file stats key carrying the file's row count (stored
+    * as an ordinary (min, max) pair with min == max == count). */
+  val RowCountStat = "__rows"
+
+  /** COUNT(*) as a METADATA-ONLY query (Delta/Iceberg answer counts
+    * from the log the same way): sum the manifest's per-file row
+    * counts — a driver-side walk over a few KB, zero data IO at any
+    * table size. `None` when any retained file predates row-count
+    * stats (or the store collects no stats) — the caller falls back to
+    * a scan; correctness is never silently approximated. */
+  def countRows(layer: String, table: String, id: Option[Long] = None): Option[Long] = {
+    val snap = id.orElse(snapshots(layer, table).lastOption)
+      .getOrElse(return None)
+    val (_, _, files, stats) = readManifestFull(layer, table, snap)
+    if (files.isEmpty) return Some(0L)
+    val counts = files.map(f => stats.get(f).flatMap(_.get(RowCountStat)).map(_._1.toLong))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
   /** Schema including hive partition columns (the pool write moves

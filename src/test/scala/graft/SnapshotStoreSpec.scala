@@ -114,6 +114,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st2.read("gold", "t").count() == 1)
   }
 
+  test("countRows answers COUNT(*) from manifest metadata alone") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_cnt").toString,
+      statsFor = Seq("id"))
+    st.overwrite((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "silver", "t")
+    st.append((101L to 130L).map(i => (i, s"v$i")).toDF("id", "v"), "silver", "t")
+    assert(st.countRows("silver", "t").contains(130L))
+    assert(st.countRows("silver", "t").get == st.read("silver", "t").count())
+    // snapshot-pinned count matches the snapshot's own rows
+    val first = st.snapshots("silver", "t").head
+    assert(st.countRows("silver", "t", Some(first)).contains(100L))
+    // a store collecting no stats cannot answer — explicit None, no guess
+    val bare = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_cnt0").toString)
+    bare.overwrite(Seq((1L, "a")).toDF("id", "v"), "silver", "t")
+    assert(bare.countRows("silver", "t").isEmpty)
+  }
+
   test("history records the operation, txn, and provenance of every snapshot") {
     val st = newStore("hist")
     st.overwrite(Seq((1L, "a")).toDF("id", "v"), "silver", "t")
