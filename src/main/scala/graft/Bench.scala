@@ -19,6 +19,11 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Local-iteration filter (unset for driver runs), same contract as
+    // Verify's: comma-separated query names; only those are timed.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benchQueries = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // JIT/codegen warm-up outside the timed region: run EVERY query once
     // at the tiny SF first. Round-4 showed single-shot timings bill 3-5 s
     // of one-time JVM/whole-stage-codegen cost to whichever query first
@@ -33,7 +38,7 @@ object Bench {
       if (new java.io.File(tiny).isDirectory) tiny
       else { System.err.println(s"[bench] warm-up dir $tiny missing; warming at $sfDir"); sfDir }
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
@@ -46,7 +51,7 @@ object Bench {
     // fresh compiles to the timed pass (j_inner_3way 0.43→2.47 s with
     // unchanged code). One untimed pass at sfDir makes the timed pass
     // pure steady-state throughput — the 100 TB-relevant number.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] target-SF warm-up $name failed: ${e.getMessage}")
@@ -57,7 +62,7 @@ object Bench {
     // their FS/GC pressure cannot contaminate the read-only queries that
     // would otherwise follow them alphabetically — round 9 showed broad
     // +20-30% drift on unchanged post-m queries (set_except 0.20→0.50 s).
-    val results = SparkEntry.queries.toSeq
+    val results = benchQueries.toSeq
       .sortBy { case (name, _) => (name.startsWith("m_"), name) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()

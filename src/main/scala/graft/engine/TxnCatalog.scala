@@ -23,8 +23,13 @@ import org.apache.spark.sql.DataFrame
  * previous consistent group (spec-asserted with a mid-group failure).
  * The rename itself is the only commit point.
  *
- * Contracts: single writer (same as the store); transactional
- * visibility holds for CATALOG reads (`read`) — direct
+ * Contracts: the CATALOG pointer is optimistically concurrent —
+ * racing `commitGroup`s over DISJOINT table sets both land (the loser
+ * detects the moved pointer via the rename result, merges the
+ * winner's pins and retries at the next id; see the commit loop).
+ * Concurrent groups touching the SAME table remain single-writer:
+ * they contend at the store's per-table manifest rename first.
+ * Transactional visibility holds for CATALOG reads (`read`) — direct
  * `SnapshotStore.read` bypasses the catalog by design, seeing the
  * latest per-table snapshot. Size `keepSnapshots` to cover at least
  * `keepVersions` catalog generations' worth of per-table commits, or
@@ -36,6 +41,12 @@ final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
   private def fs = new Path(st.root)
     .getFileSystem(st.spark.sparkContext.hadoopConfiguration)
   private def dir = new Path(s"${st.root}/_catalog")
+
+  /** Test seam: runs between tmp-write and rename on every attempt —
+    * the only way to deterministically interleave a racing winner into
+    * the rename window (TxnCatalogSpec's lost-race test). No-op in
+    * production. */
+  private[graft] var preCommitHook: () => Unit = () => ()
 
   /** Delete every catalog version (test/fixture reset — the governed
     * tables' snapshots are untouched; pair with `st.dropTable`). */
@@ -91,19 +102,40 @@ final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
       (layer, table) ->
         st.overwrite(df, layer, table, partitionBy.getOrElse((layer, table), Nil))
     }
-    val next = versions.lastOption.getOrElse(0L) + 1
-    val mapping = tableVersions() ++ staged
-    val body = mapping.toSeq.sortBy { case ((l, t), _) => (l, t) }
-      .map { case ((l, t), id) => s"$l\t$t\t$id" }.mkString("\n")
-    val tmp = new Path(dir, s".tmp-c$next-${System.nanoTime()}")
+    // optimistic concurrency at the catalog pointer (the Delta commit
+    // protocol's shape): the rename is the sole commit point and Hadoop
+    // reports a lost race by RETURNING FALSE (destination exists), not by
+    // throwing — so the result is checked, and a loser re-reads the
+    // winner's catalog version (picking up its pins), re-targets the next
+    // id, and retries. The winner's group is never dropped; the staged
+    // snapshots need no re-staging (they are already durable in the
+    // store). Bounded attempts keep a pathological stampede loud.
     fs.mkdirs(dir)
-    val out = fs.create(tmp, true)
-    try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp, new Path(dir, f"c$next%012d")) // THE commit point
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val next = versions.lastOption.getOrElse(0L) + 1
+      val mapping = tableVersions() ++ staged
+      val body = mapping.toSeq.sortBy { case ((l, t), _) => (l, t) }
+        .map { case ((l, t), id) => s"$l\t$t\t$id" }.mkString("\n")
+      val tmp = new Path(dir, s".tmp-c$next-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
+      preCommitHook()
+      if (fs.rename(tmp, new Path(dir, f"c$next%012d"))) committed = next // THE commit point
+      else {
+        fs.delete(tmp, false)
+        attempt += 1
+        require(attempt < 10,
+          s"TxnCatalog: lost the commit race $attempt times in a row " +
+            s"(last contended version: c$next) — giving up; staged snapshots remain " +
+            "in the store and no catalog version references them")
+      }
+    }
     versions.dropRight(keepVersions).foreach { old =>
       fs.delete(new Path(dir, f"c$old%012d"), false)
     }
-    next
+    committed
   }
 
   /** Catalog-resolved read: the snapshot the LATEST catalog version

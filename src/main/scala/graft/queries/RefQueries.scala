@@ -1658,18 +1658,24 @@ object RefQueries {
           StockOps.silverDaily(StockOps.bronzeFromLineitem(src))
         val li = Tables.lineitem(s, dir)
         val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
-        val s1 = silver(li.filter(col("l_shipdate") < lit(cut)))
+        // localCheckpoint: each group commits the increment TWICE (silver
+        // write + gold derived from it) and the consistency probe below
+        // reads it again — without materialization the bronze→silver
+        // lineage re-derives from raw lineitem four times per group
+        val s1 = silver(li.filter(col("l_shipdate") < lit(cut))).localCheckpoint()
         val v1 = cat.commitGroup(Seq(
           (s1, "silver", "daily"), (StockOps.goldMonthly(s1), "gold", "monthly")))
-        val s2 = silver(li)
+        val s2 = silver(li).localCheckpoint()
         val v2 = cat.commitGroup(Seq(
           (s2, "silver", "daily"), (StockOps.goldMonthly(s2), "gold", "monthly")))
         def snap(v: Long, tag: String) = {
           val g = cat.readAt("gold", "monthly", v)
           // bounded driver read over the small gold table (m_cdc_apply
           // pattern): catalog-pinned gold vs gold recomputed from the
-          // catalog-pinned silver — exact multiset equality
-          val re = StockOps.goldMonthly(cat.readAt("silver", "daily", v))
+          // catalog-pinned silver — exact multiset equality. The recompute
+          // is checkpointed: both exceptAll legs consume it, and without
+          // materialization each leg re-aggregates the silver parquet.
+          val re = StockOps.goldMonthly(cat.readAt("silver", "daily", v)).localCheckpoint()
           val mismatches = g.exceptAll(re).count() + re.exceptAll(g).count()
           g.withColumn("version", lit(tag))
             .withColumn("consistent", lit(mismatches == 0L))

@@ -52,6 +52,59 @@ class TxnCatalogSpec extends SparkSpec {
     assert(cat.read("gold", "monthly").count() == 1)
   }
 
+  test("a lost catalog race retries past the winner and drops neither group") {
+    val (_, cat) = fixture()
+    cat.commitGroup(Seq((Seq((1L, 1.0)).toDF("k", "v"), "silver", "a")))
+    // interleave a racing winner INSIDE the rename window (the test
+    // seam fires after the loser wrote its tmp file, targeting c2):
+    // the winner commits table b at c2 through its own catalog handle,
+    // so the loser's rename onto c2 must return false → retry → c3
+    val winnerFired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    cat.preCommitHook = () => if (winnerFired.compareAndSet(false, true)) {
+      val (_, winner) = (cat.st, new TxnCatalog(cat.st))
+      winner.commitGroup(Seq((Seq((9L, 9.0)).toDF("k", "v"), "silver", "b")))
+      ()
+    }
+    val v = cat.commitGroup(Seq((Seq((2L, 2.0)).toDF("k", "v"), "silver", "c")))
+    cat.preCommitHook = () => ()
+    assert(v == 3L, s"loser must land past the winner's c2, got c$v")
+    // nothing dropped: the winner's pin (b) AND the loser's (c) are both
+    // in the latest catalog version, and a's pin survived throughout
+    val pins = cat.tableVersions()
+    assert(pins.contains(("silver", "a")) && pins.contains(("silver", "b"))
+      && pins.contains(("silver", "c")),
+      s"latest catalog must pin all three tables, got ${pins.keys}")
+    assert(cat.read("silver", "b").count() == 1)
+    assert(cat.read("silver", "c").count() == 1)
+    // catalog never references an orphaned snapshot: every pinned id is
+    // a retained store snapshot
+    pins.foreach { case ((l, t), id) =>
+      assert(cat.st.snapshots(l, t).contains(id), s"orphan pin $l/$t@$id")
+    }
+  }
+
+  test("truly concurrent commitGroups over disjoint tables all land") {
+    val (_, cat) = fixture()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (0 until 4).map { i =>
+      Future {
+        val c = new TxnCatalog(cat.st)
+        c.commitGroup(Seq((Seq((i.toLong, i.toDouble)).toDF("k", "v"), "silver", s"t$i")))
+      }
+    }
+    val versions = Await.result(Future.sequence(futures), 120.seconds)
+    // every commit got a distinct catalog version (no silent clobbers)
+    assert(versions.distinct.size == 4, s"duplicate catalog versions: $versions")
+    // and the FINAL catalog pins all four tables — no group was dropped
+    val pins = cat.tableVersions()
+    (0 until 4).foreach { i =>
+      assert(pins.contains(("silver", s"t$i")), s"table t$i dropped from catalog: ${pins.keys}")
+      assert(cat.read("silver", s"t$i").count() == 1)
+    }
+  }
+
   test("tables outside a group keep their pins; ungoverned reads fail fast") {
     val (_, cat) = fixture()
     cat.commitGroup(Seq((Seq((1L, 1.0)).toDF("k", "v"), "silver", "a")))
