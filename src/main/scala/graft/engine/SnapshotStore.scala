@@ -248,6 +248,24 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 
+  /** COUNT(*) as a one-row DataFrame, routed through the metadata path
+    * ([[countRows]]) whenever the manifest's per-file row counts are
+    * complete — the plan is then a LITERAL over driver-walked KB of
+    * manifest, opens ZERO data files (`inputFiles` is empty), and costs
+    * the same at 100 TB as at 1 MB. Falls back to a full-scan count
+    * when any retained file predates row-count stats, so the answer is
+    * never approximated — only the access path changes. This is how
+    * Delta/Iceberg serve `SELECT COUNT(*)`: from the log, not the data. */
+  def countDF(layer: String, table: String, alias: String = "n"): DataFrame =
+    countRows(layer, table) match {
+      case Some(n) =>
+        import org.apache.spark.sql.functions.lit
+        spark.range(1).select(lit(n).as(alias))
+      case None =>
+        import org.apache.spark.sql.functions.{count, lit}
+        read(layer, table).agg(count(lit(1)).as(alias))
+    }
+
   /** Schema including hive partition columns (the pool write moves
     * `partitionBy` cols into directory names; the manifest records the
     * LOGICAL schema so empty snapshots stay readable). */

@@ -1537,6 +1537,63 @@ object RefQueries {
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Metadata-only COUNT(*) (Delta/Iceberg answer counts from the
+    // log): the table is committed across TWO generations (overwrite +
+    // append, so the manifest sums per-file counts over multiple
+    // commits' files), then countDF answers from the manifest — the
+    // in-query requires pin that the count took the metadata path
+    // (stats complete) and that the returned plan opens ZERO data files.
+    // The oracle recomputes the same count the hard way; at 100 TB the
+    // two paths differ by the whole table scan.
+    Q("m_count_meta",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_cnt_${new java.io.File(dir).getName}",
+          statsFor = Seq("l_orderkey"))
+        st.dropTable("silver", "li")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+        val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        st.overwrite(li.filter(col("l_shipdate") < lit(cut)), "silver", "li")
+        st.append(li.filter(col("l_shipdate") >= lit(cut)), "silver", "li")
+        require(st.countRows("silver", "li").isDefined,
+          "stats-complete table must answer COUNT(*) from the manifest")
+        val out = st.countDF("silver", "li")
+        require(out.inputFiles.isEmpty,
+          s"metadata COUNT opened data files: ${out.inputFiles.mkString(",")}")
+        out
+      },
+      Some("SELECT count(*) AS n FROM lineitem")),
+
+    // DESCRIBE HISTORY ([[SnapshotStore.history]]), oracle-hashed over a
+    // scripted lifecycle: overwrite → append → txn-tagged append →
+    // restore(v1), then the SAME txn append REPLAYED — exactly-once
+    // means the replay commits nothing, so the hashed history having
+    // exactly four rows IS the idempotence proof. The audit projection
+    // (version, op, txn, provenance) is deterministic; n_files is
+    // layout-dependent and excluded. Oracle: the expected audit trail as
+    // a VALUES literal.
+    Q("m_history",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_hist_${new java.io.File(dir).getName}")
+        st.dropTable("bronze", "region")
+        val r = Tables.region(s, dir)
+        st.overwrite(r, "bronze", "region")
+        st.append(r.limit(2), "bronze", "region")
+        st.appendIfAbsent(r.limit(1), "bronze", "region", txnId = "batch-7")
+        st.restore("bronze", "region", 1L)
+        // checkpoint-recovery replay: must be a no-op commit
+        st.appendIfAbsent(r.limit(1), "bronze", "region", txnId = "batch-7")
+        st.history("bronze", "region")
+          .select(col("snapshot_id"), col("op"), col("txn"), col("detail"))
+          .orderBy("snapshot_id")
+      },
+      Some("""SELECT CAST(v AS BIGINT) AS snapshot_id, op, txn, detail FROM (VALUES
+             |  (1, 'overwrite', NULL, NULL),
+             |  (2, 'append',    NULL, NULL),
+             |  (3, 'append',    'batch-7', NULL),
+             |  (4, 'restore',   NULL, 'restored_from=1')) AS t(v, op, txn, detail)
+             |ORDER BY snapshot_id""".stripMargin)),
+
     // RESTORE (Delta RESTORE): a "bad" full overwrite lands on top of
     // the good gold snapshot; restore(v1) rolls the table back with a
     // MANIFEST WRITE ONLY — the in-query require pins that the restored

@@ -132,6 +132,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(bare.countRows("silver", "t").isEmpty)
   }
 
+  test("countDF takes the metadata path when stats are complete, scans otherwise") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_cdf").toString,
+      statsFor = Seq("id"))
+    st.overwrite((1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"), "silver", "t")
+    st.append((51L to 70L).map(i => (i, s"v$i")).toDF("id", "v"), "silver", "t")
+    val meta = st.countDF("silver", "t")
+    assert(meta.inputFiles.isEmpty, "stats-complete COUNT must open zero data files")
+    assert(meta.head.getLong(0) == 70L)
+    // stats-less store: same answer via the scan path — never a guess
+    val bare = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_cdf0").toString)
+    bare.overwrite((1L to 9L).map(i => (i, s"v$i")).toDF("id", "v"), "silver", "t")
+    val scan = bare.countDF("silver", "t")
+    assert(scan.inputFiles.nonEmpty, "fallback must be the real scan")
+    assert(scan.head.getLong(0) == 9L)
+  }
+
   test("history records the operation, txn, and provenance of every snapshot") {
     val st = newStore("hist")
     st.overwrite(Seq((1L, "a")).toDF("id", "v"), "silver", "t")
