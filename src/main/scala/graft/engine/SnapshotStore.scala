@@ -269,11 +269,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   /** Schema including hive partition columns (the pool write moves
     * `partitionBy` cols into directory names; the manifest records the
     * LOGICAL schema so empty snapshots stay readable). */
-  private def commit(df: DataFrame, layer: String, table: String,
+  private def commit(schema: StructType, layer: String, table: String,
                      files: Seq[String], props: Map[String, String] = Map.empty,
                      stats: FileStats = Map.empty): Long = {
     val id = nextId(layer, table)
-    writeManifest(layer, table, id, df.schema, files, props, stats)
+    writeManifest(layer, table, id, schema, files, props, stats)
     id
   }
 
@@ -286,7 +286,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
                 op: String = "overwrite"): Long =
     txnSeen(layer, table, txnId).getOrElse {
       val added = writeIntoPool(df, layer, table, partitionBy)
-      commit(df, layer, table, added, txnProps(txnId) + ("op" -> op),
+      commit(df.schema, layer, table, added, txnProps(txnId) + ("op" -> op),
         stats = statsOf(layer, table, added))
     }
 
@@ -306,7 +306,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val prev = snapshots(layer, table).lastOption
       .map(readManifest(layer, table, _)._2).getOrElse(Nil)
     val added = writeIntoPool(df, layer, table, partitionBy)
-    commit(df, layer, table, (prev ++ added).sorted, Map("op" -> "append"),
+    commit(df.schema, layer, table, (prev ++ added).sorted, Map("op" -> "append"),
       stats = prevStats(layer, table) ++ statsOf(layer, table, added))
   }
 
@@ -324,10 +324,49 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       val prev = snapshots(layer, table).lastOption
         .map(readManifest(layer, table, _)._2).getOrElse(Nil)
       val added = writeIntoPool(df, layer, table, partitionBy)
-      commit(df, layer, table, (prev ++ added).sorted,
+      commit(df.schema, layer, table, (prev ++ added).sorted,
         Map("txn" -> txnId, "op" -> "append"),
         stats = prevStats(layer, table) ++ statsOf(layer, table, added))
     }
+
+  /** Schema-EVOLVING append (Delta `mergeSchema=true`, the reference's
+    * own write option at transforme_stock_silver.py:146): `df` may carry
+    * columns the table has never seen — the commit records the MERGED
+    * logical schema (existing fields first, in their original order and
+    * types, then the new fields, forced nullable), and because every
+    * read serves the manifest's recorded schema ([[readFiles]]),
+    * pre-evolution files surface the new columns as NULL with zero
+    * rewriting — the merge-read. `df` may also OMIT existing columns
+    * (its files read back NULL for them). Shared columns must keep
+    * their exact type — a silent cast is how lakes corrupt data, so
+    * type changes fail loudly here. Pre-evolution snapshots keep their
+    * own manifests' narrower schema: time travel is schema-faithful. */
+  def appendEvolve(df: DataFrame, layer: String, table: String,
+                   partitionBy: Seq[String] = Nil): Long = {
+    val prevSchema = snapshots(layer, table).lastOption
+      .map(readManifest(layer, table, _)._1)
+      .getOrElse(return append(df, layer, table, partitionBy))
+    val prevNames = prevSchema.fieldNames.toSet
+    df.schema.foreach { f =>
+      prevSchema.find(_.name == f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"appendEvolve: column ${f.name} is ${p.dataType.simpleString} in $layer/$table " +
+            s"but ${f.dataType.simpleString} in the incoming batch — evolution adds columns, " +
+            "never retypes them; cast explicitly if a retype is intended")
+      }
+    }
+    val dfNames = df.schema.fieldNames.toSet
+    val merged = StructType(
+      // an existing column the batch omits reads NULL from the new
+      // files, so it must become nullable in the merged schema too
+      prevSchema.fields.map(f => if (dfNames(f.name)) f else f.copy(nullable = true)) ++
+        df.schema.fields.filterNot(f => prevNames(f.name)).map(_.copy(nullable = true)))
+    val prev = snapshots(layer, table).lastOption
+      .map(readManifest(layer, table, _)._2).getOrElse(Nil)
+    val added = writeIntoPool(df, layer, table, partitionBy)
+    commit(merged, layer, table, (prev ++ added).sorted, Map("op" -> "append_evolve"),
+      stats = prevStats(layer, table) ++ statsOf(layer, table, added))
+  }
 
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
     * dynamic`, Delta `replaceWhere` by partition): replace ONLY the
@@ -354,7 +393,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val touched = added.map(partOf).toSet
     val kept = prev.filterNot(f => touched.contains(partOf(f)))
     // dropped partitions' stats fall away in writeManifest's file filter
-    commit(df, layer, table, (kept ++ added).sorted, txnProps(txnId) + ("op" -> op),
+    commit(df.schema, layer, table, (kept ++ added).sorted, txnProps(txnId) + ("op" -> op),
       stats = prevStats(layer, table) ++ statsOf(layer, table, added))
   }
 
@@ -414,7 +453,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * table's own pool with an absolute-path source pool (a
     * [[shallowClone]] that has since been appended to) reads correctly —
     * hive partition columns resolve per group, then the groups union by
-    * name. One group is the common case and reads exactly as before. */
+    * name. One group is the common case.
+    *
+    * The read carries the manifest's RECORDED logical schema (not footer
+    * inference): a snapshot's schema is exactly what was committed —
+    * stable column order, and files written BEFORE a schema evolution
+    * ([[appendEvolve]]) surface the later columns as NULL, which is the
+    * Delta/Iceberg merge-read. A pre-evolution snapshot keeps its own
+    * manifest's narrower schema, so time travel is schema-faithful. */
   private def readFiles(layer: String, table: String, schema: StructType,
                         files: Seq[String]): DataFrame = {
     if (files.isEmpty)
@@ -426,7 +472,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     }
     files.map(absFile(layer, table, _)).groupBy(baseOf).toSeq.sortBy(_._1)
       .map { case (base, fs) =>
-        spark.read.option("basePath", base).parquet(fs.sorted: _*)
+        spark.read.schema(schema).option("basePath", base).parquet(fs.sorted: _*)
       }.reduce(_.unionByName(_))
   }
 

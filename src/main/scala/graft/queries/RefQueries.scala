@@ -1564,6 +1564,49 @@ object RefQueries {
       },
       Some("SELECT count(*) AS n FROM lineitem")),
 
+    // Schema evolution on the manifest store ([[SnapshotStore.
+    // appendEvolve]], Delta mergeSchema — the reference's own silver
+    // write option, transforme_stock_silver.py:146): orders lands in two
+    // generations, the SECOND carrying a column the first never wrote
+    // (o_orderpriority); the final read merge-reads old+new files under
+    // the evolved schema, so pre-evolution rows surface the new column
+    // as NULL with zero file rewriting. In-query requires pin that the
+    // pre-evolution snapshot still time-travels with its ORIGINAL
+    // two-column schema and that no data file was rewritten by the
+    // evolution (old files are shared by reference). Oracle: the same
+    // split with NULL backfill.
+    Q("m_snapshot_evolve",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_evo_${new java.io.File(dir).getName}")
+        st.dropTable("silver", "orders")
+        val o = Tables.orders(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        val v1 = st.overwrite(
+          o.filter(col("o_orderdate") < lit(cut)).select(col("o_orderkey"), col("o_totalprice")),
+          "silver", "orders")
+        val v1Files = st.readSnapshot("silver", "orders", v1).inputFiles.toSet
+        st.appendEvolve(
+          o.filter(col("o_orderdate") >= lit(cut))
+            .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority")),
+          "silver", "orders")
+        require(st.readSnapshot("silver", "orders", v1).schema.fieldNames.toSeq ==
+          Seq("o_orderkey", "o_totalprice"),
+          "pre-evolution snapshot must keep its original schema under time travel")
+        val out = st.read("silver", "orders")
+        require(v1Files.subsetOf(out.inputFiles.toSet),
+          "evolution must share pre-evolution files by reference, not rewrite them")
+        require(out.schema.fieldNames.toSeq ==
+          Seq("o_orderkey", "o_totalprice", "o_orderpriority"),
+          s"evolved schema must append the new column, got ${out.schema.fieldNames.toSeq}")
+        out.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+             |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // DESCRIBE HISTORY ([[SnapshotStore.history]]), oracle-hashed over a
     // scripted lifecycle: overwrite → append → txn-tagged append →
     // restore(v1), then the SAME txn append REPLAYED — exactly-once

@@ -150,6 +150,32 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(scan.head.getLong(0) == 9L)
   }
 
+  test("appendEvolve merge-reads old+new files; time travel keeps the old schema") {
+    val st = newStore("evo")
+    st.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "silver", "t")
+    // evolving batch: new column `score`, and it OMITS `v`
+    st.appendEvolve(Seq((3L, 0.5)).toDF("id", "score"), "silver", "t")
+    val out = st.read("silver", "t")
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val rows = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), Option(r.get(2)))).toSeq
+    assert(rows == Seq((1L, Some("a"), None), (2L, Some("b"), None),
+      (3L, None, Some(0.5))), s"merge-read mismatch: $rows")
+    // pre-evolution snapshot: original narrow schema, original rows
+    val v1 = st.snapshots("silver", "t").head
+    val old = st.readSnapshot("silver", "t", v1)
+    assert(old.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(old.count() == 2)
+    // retype attempts fail loudly — evolution never silently casts
+    intercept[IllegalArgumentException] {
+      st.appendEvolve(Seq((4, "x")).toDF("id", "v"), "silver", "t") // id INT, was BIGINT
+    }
+    // and a second evolution stacks on the first
+    st.appendEvolve(Seq((5L, "e", 9L)).toDF("id", "v", "rank"), "silver", "t")
+    assert(st.read("silver", "t").schema.fieldNames.toSeq == Seq("id", "v", "score", "rank"))
+    assert(st.read("silver", "t").count() == 4)
+  }
+
   test("history records the operation, txn, and provenance of every snapshot") {
     val st = newStore("hist")
     st.overwrite(Seq((1L, "a")).toDF("id", "v"), "silver", "t")
