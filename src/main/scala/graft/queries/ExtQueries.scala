@@ -52,6 +52,19 @@ object ExtQueries {
       |FROM acts a JOIN cohorts c ON a.u = c.u
       |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin
 
+  /** Shared by s11_json_quarantine (batch) and stream_dlq_final (the
+    * DLQ sink's two maintained lanes) — identical by construction. */
+  private val quarantineOracleSql =
+    """SELECT event_id,
+      |  CASE WHEN json_valid(payload)
+      |       THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
+      |  NOT json_valid(payload) AS quarantined,
+      |  CASE WHEN NOT json_valid(payload) THEN payload END AS raw_payload
+      |FROM (SELECT event_id,
+      |        CASE WHEN event_id % 3 = 0 THEN substr(props, 1, 4) ELSE props END AS payload
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   /** documents ∪ near copies (one appended token) of doc_id % 7 == 0,
     * copy ids offset by MAX(doc_id)+1 (collision-free at any SF) — KNOWN
     * near-duplicates at Jaccard ≈ (T-4)/(T-3) for 5-gram shingles. */
@@ -1288,15 +1301,7 @@ object ExtQueries {
             when(col("quarantined"), col("payload")).as("raw_payload"))
           .orderBy("event_id")
       },
-      Some("""SELECT event_id,
-             |  CASE WHEN json_valid(payload)
-             |       THEN CAST(json_extract_string(payload, '$.k') AS INTEGER) END AS k,
-             |  NOT json_valid(payload) AS quarantined,
-             |  CASE WHEN NOT json_valid(payload) THEN payload END AS raw_payload
-             |FROM (SELECT event_id,
-             |        CASE WHEN event_id % 3 = 0 THEN substr(props, 1, 4) ELSE props END AS payload
-             |      FROM events)
-             |ORDER BY event_id""".stripMargin)),
+      Some(quarantineOracleSql)),
 
     // Tumbling 1-hour event-time windows (same transform runs under
     // Structured Streaming — graft.streaming.StreamOps).
@@ -1606,6 +1611,53 @@ object ExtQueries {
               |UNION ALL
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
+    // Streaming DEAD-LETTER QUEUE, oracle-hashed end state
+    // ([[StreamOps.quarantineSink]]): the corrupted-payload corpus (every
+    // 3rd payload truncated, s11_json_quarantine's exact input) replayed
+    // as real micro-batches; per batch the parseable rows land in the
+    // `parsed` table and rejects in `quarantine` WITH raw payload, both
+    // lanes via txn-tagged exactly-once appends. The WHOLE staged input
+    // is then re-streamed from a FRESH checkpoint — same batch ids, same
+    // txn tags — and must commit NOTHING (checkpoint-recovery replay),
+    // so the hashed union of both final lanes doubles as the idempotence
+    // proof. Same oracle as the batch classifier: the two lanes must
+    // land exactly where one-shot batch classification lands.
+    Q("stream_dlq_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_dlq_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val staged = s"$base/in"
+        Tables.events(s, dir).select(col("event_id"),
+            when(col("event_id") % 3 === 0, substring(col("props"), 1, 4))
+              .otherwise(col("props")).as("props"))
+          .repartition(4).write.parquet(staged)
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        def drain(ckpt: String): Unit =
+          StreamOps.quarantineSink(
+            StreamOps.eventStream(s, staged, s.read.parquet(staged).schema,
+              maxFilesPerTrigger = Some(2)),
+            st, "silver", ckpt).awaitTermination()
+        drain(s"$base/ckpt")
+        val afterFirst = st.snapshots("silver", "parsed").size +
+          st.snapshots("silver", "quarantine").size
+        // replay from scratch: fresh checkpoint, identical input → the
+        // batch-id txn tags make every commit a no-op
+        drain(s"$base/ckpt2")
+        require(st.snapshots("silver", "parsed").size +
+          st.snapshots("silver", "quarantine").size == afterFirst,
+          "replayed micro-batches must commit nothing (exactly-once)")
+        val good = st.read("silver", "parsed")
+          .select(col("event_id"), col("k"), lit(false).as("quarantined"),
+            lit(null).cast(StringType).as("raw_payload"))
+        val bad = st.read("silver", "quarantine")
+          .select(col("event_id"), lit(null).cast(IntegerType).as("k"),
+            lit(true).as("quarantined"), col("raw_payload"))
+        good.unionByName(bad).orderBy("event_id")
+      },
+      Some(quarantineOracleSql)),
 
     // ── Multimodal plumbing ────────────────────────────────────────────
 
