@@ -30,35 +30,50 @@ object Constraints {
     * the nullable flag — a CASE branch is nullable as far as the
     * analyzer knows, parquet round-trips it back) — validation rides
     * the existing columns, so it composes with any writer. Unknown
-    * columns fail fast at build time. */
+    * columns fail fast at build time.
+    *
+    * Pruning survival: each CHECK rides EVERY column its predicate
+    * references (falling back to the first output column for
+    * column-free predicates), and NOT NULL rides its own column — so a
+    * downstream projection keeps enforcement for as long as it keeps
+    * any column the constraint is ABOUT. The residual caveat: a
+    * consumer that prunes every referenced column (a bare `count()`,
+    * a projection of only unrelated columns) skips those guards —
+    * enforcement is a property of the columns flowing to the sink, so
+    * compose `enforce` with full-row writers (as every in-repo caller
+    * does), not with column-pruning readers. Predicates should be
+    * deterministic: a multi-carrier CHECK evaluates once per carrier. */
   def enforce(df: DataFrame, notNull: Seq[String] = Nil,
               checks: Map[String, Column] = Map.empty): DataFrame = {
     val missing = notNull.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"Constraints.enforce: NOT NULL column(s) not in schema: ${missing.mkString(", ")}")
     require(df.columns.nonEmpty, "Constraints.enforce: empty schema")
-    val guarded = df.columns.map { c =>
+    val guarded = scala.collection.mutable.LinkedHashMap(df.columns.map { c =>
       val base = col(c)
-      if (notNull.contains(c))
+      c -> (if (notNull.contains(c))
         when(base.isNull,
           raise_error(lit(s"NOT NULL constraint violated: column $c"))
             .cast(df.schema(c).dataType))
           .otherwise(base)
-      else base
-    }
-    // CHECK guards fold onto the first column — one designated carrier
-    // is enough: every output row evaluates every output column
-    val head = df.columns.head
-    val withChecks = checks.toSeq.sortBy(_._1).foldLeft(guarded(0)) {
-      case (acc, (name, pred)) =>
+      else base)
+    }: _*)
+    checks.toSeq.sortBy(_._1).foreach { case (name, pred) =>
+      // the columns the predicate is ABOUT, read off a throwaway
+      // analyzed projection (build-time only; Column.expr is gone in
+      // Spark 4's Column API)
+      val refs = df.select(pred.as("__check")).queryExecution.analyzed
+        .expressions.flatMap(_.references.map(_.name))
+        .distinct.filter(df.columns.contains(_)).toSeq
+      val carriers = if (refs.nonEmpty) refs else Seq(df.columns.head)
+      carriers.foreach { c =>
         // SQL CHECK: NULL predicate passes; only a provably-false row violates
-        when(coalesce(pred, lit(true)) === false,
+        guarded(c) = when(coalesce(pred, lit(true)) === false,
           raise_error(lit(s"CHECK constraint '$name' violated"))
-            .cast(df.schema(head).dataType))
-          .otherwise(acc)
+            .cast(df.schema(c).dataType))
+          .otherwise(guarded(c))
+      }
     }
-    df.select((withChecks.as(head) +: guarded.tail.zip(df.columns.tail).map {
-      case (g, c) => g.as(c)
-    }): _*)
+    df.select(df.columns.map(c => guarded(c).as(c)): _*)
   }
 }

@@ -171,8 +171,13 @@ object EventOps {
    * channel-level SUM is exact decimal addition — order-independent
    * and engine-identical, where summing raw double credits would be
    * partial-aggregation-order dependent. Conversions with NO touch in
-   * the window surface under channel '(unattributed)' so credit is
-   * conserved: total credit always equals the conversion count.
+   * the window surface under channel '(unattributed)' so no credit
+   * vanishes wholesale. Conservation is exact to the DECIMAL(18,9)
+   * anchor, not absolute: an n-way split sums to n·trunc(1/n), i.e.
+   * within 1e-9 per conversion of 1 (an n=3 conversion contributes
+   * 0.999999999) — both engines truncate identically, so the oracle
+   * hash is still exact. Distribute the remainder to one touchpoint
+   * if absolute conservation ever matters more than equal splits.
    *
    * Shape: one time-bounded equi-join on the user key (the
    * ev_correlated / stream-stream join shape — state bounded by the

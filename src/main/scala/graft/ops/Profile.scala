@@ -89,7 +89,14 @@ object Profile {
        |  $mn AS min_value, $mx AS max_value FROM $table""".stripMargin
   }
 
-  /** DuckDB SQL mirror of one [[profile]] leg. */
+  /** Column name for quantile `p`: the full decimal of `p·100` with
+    * `_` for the decimal point — collision-free by construction (two
+    * distinct ps always differ in some digit). Shared by the Scala
+    * aggregate and the SQL mirror so oracle column names line up. */
+  def quantileColName(p: Double): String =
+    "p" + BigDecimal(p.toString).*(100).underlying.stripTrailingZeros
+      .toPlainString.replace(".", "_")
+
   /**
    * Histogram (fixed-width-bin) quantile estimates per key — the
    * percentile pattern that SURVIVES 100 TB: exact `percentile()`
@@ -105,14 +112,18 @@ object Profile {
    * shrink bins to tighten).
    *
    * Output: one row per key group with a `p<percent>` double column
-   * per requested quantile (e.g. `p50`, `p95`), in ORIGINAL value
-   * units.
+   * per requested quantile (e.g. `p50`, `p95`; fractional percents
+   * keep their full decimal with `_` for the point — 0.999 → `p99_9`,
+   * 0.975 → `p97_5` — so nearby quantiles can never collide into one
+   * column name), in ORIGINAL value units.
    */
   def binnedQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
                       binWidthCents: Long, ps: Seq[Double]): DataFrame = {
     require(binWidthCents >= 1, s"binnedQuantiles: binWidthCents must be >= 1")
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
       s"binnedQuantiles: quantiles must be in (0, 1], got $ps")
+    require(ps.distinct.size == ps.size,
+      s"binnedQuantiles: duplicate quantiles requested: $ps")
     val vc = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
     val c = when(col(valueCol).isNotNull && vc.isNull,
       raise_error(lit(s"binnedQuantiles: $valueCol out of DECIMAL(18,2) range"))
@@ -142,9 +153,8 @@ object Profile {
       val before = (col("__cum") - col("__cnt")).cast(DoubleType)
       val interp = (col("__bin") * binWidthCents).cast(DoubleType) +
         lit(binWidthCents.toDouble) * (target - before) / col("__cnt").cast(DoubleType)
-      val name = s"p${(p * 100).round}"
       min(when(col("__cum").cast(DoubleType) >= target && before < target,
-        interp / 100.0)).as(name)
+        interp / 100.0)).as(quantileColName(p))
     }
     cum.groupBy(keys.map(col): _*).agg(estCols.head, estCols.tail: _*)
   }
@@ -157,7 +167,7 @@ object Profile {
     s"""MIN(CASE WHEN CAST(cum AS DOUBLE) >= $target AND $before < $target
        |  THEN (CAST(bin * $binWidthCents AS DOUBLE)
        |        + $binWidthCents.0 * ($target - $before) / CAST(cnt AS DOUBLE)) / 100.0
-       |  END) AS p${(p * 100).round}""".stripMargin
+       |  END) AS ${quantileColName(p)}""".stripMargin
   }
 
   def profileLegSql(table: String, c: String, numeric: Boolean): String = {

@@ -330,26 +330,33 @@ object TimeSeries {
    * engine-identical — `corr()` itself is banned from oracle paths
    * because both engines fold it with order-dependent floating-point
    * partials. Here every sufficient statistic (n, Σx, Σy, Σx², Σy²,
-   * Σxy) is an EXACT BIGINT in cent space (same DECIMAL(18,2) hop and
-   * loud range guard as [[zscoreAnomalies]]), reduced in ONE keyed
-   * aggregate with map-side partials; the epilogue
+   * Σxy) is EXACT in cent space (same DECIMAL(18,2) hop and loud
+   * range guard as [[zscoreAnomalies]]): the products and sums run as
+   * DECIMAL(38,0) — integer arithmetic, order-independent, and wide
+   * enough that cent values near the 10^18 guard ceiling cannot wrap
+   * (a BIGINT accumulator would: 10^18² = 10^36 ≫ 2^63; decimal
+   * overflow past 10^38 NULLs loudly under the epilogue's NULL
+   * propagation instead of silently wrapping). One keyed aggregate
+   * with map-side decimal partials; the epilogue
    * `r = (n·Σxy − ΣxΣy) / (√(n·Σx² − Σx²)·√(n·Σy² − Σy²))`
-   * is a fixed chain of correctly-rounded IEEE ops on those integers
-   * (each ≤ 2⁶³ converts to double identically everywhere; the cent
-   * scale cancels algebraically). Rows where either side is NULL drop
-   * out of every statistic. Constant series (zero variance) and empty
-   * keys yield NULL, never NaN/±Inf. Output: `(keys…, n_pairs, corr)`.
+   * is a fixed chain of correctly-rounded IEEE ops on those exact
+   * integers (the decimal→double conversion is the same
+   * round-to-nearest in every engine; the cent scale cancels
+   * algebraically). Rows where either side is NULL drop out of every
+   * statistic. Constant series (zero variance) and empty keys yield
+   * NULL, never NaN/±Inf. Output: `(keys…, n_pairs, corr)`.
    */
   def pearsonByKey(df: DataFrame, keys: Seq[String],
                    xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val both = col(xCol).isNotNull && col(yCol).isNotNull
-    val vx = when(both, cents(xCol))
-    val vy = when(both, cents(yCol))
+    val vx = when(both, cents(xCol)).cast(dec)
+    val vy = when(both, cents(yCol)).cast(dec)
     val agg = df.groupBy(keys.map(col): _*).agg(
       count(when(both, lit(1))).as("n_pairs"),
       sum(vx).as("__sx"), sum(vy).as("__sy"),
-      sum(vx * vx).as("__sxx"), sum(vy * vy).as("__syy"),
-      sum(vx * vy).as("__sxy"))
+      sum(vx * vy).as("__sxy"),
+      sum(vx * vx).as("__sxx"), sum(vy * vy).as("__syy"))
     val n = col("n_pairs").cast("double")
     def d(c: String) = col(c).cast("double")
     val num = n * d("__sxy") - d("__sx") * d("__sy")

@@ -45,6 +45,24 @@ class ConstraintsSpec extends SparkSpec {
     }
   }
 
+  test("CHECK guards survive projections that keep any referenced column") {
+    val negative = Seq((1L, "a", -5.0)).toDF("id", "name", "v")
+    val enforced = Constraints.enforce(negative,
+      checks = Map("v_positive" -> (col("v") > 0)))
+    // the guard rides v (the referenced column), so selecting v alone —
+    // pruning the old first-column carrier `id` — still enforces
+    val e = intercept[Exception] { enforced.select("v").collect() }
+    assert(chain(e).exists(_.contains("v_positive")), chain(e).mkString(" | "))
+    // a multi-column predicate rides every referenced column
+    val bad = Seq((5L, "x", 1.0)).toDF("id", "name", "v")
+    val multi = Constraints.enforce(bad,
+      checks = Map("id_lt_v" -> (col("id") < col("v"))))
+    val e2 = intercept[Exception] { multi.select("name", "id").collect() }
+    assert(chain(e2).exists(_.contains("id_lt_v")), chain(e2).mkString(" | "))
+    // (pruning EVERY referenced column is the documented residual: the
+    // guard MAY be skipped then — plan-dependent, so not asserted)
+  }
+
   test("a tripped constraint aborts an atomicOverwrite; previous generation intact") {
     val wh = new Warehouse(spark,
       java.nio.file.Files.createTempDirectory("graft_cons_wh").toString)
