@@ -314,10 +314,82 @@ object Similarity {
     val assigned = ivfAssign(emb, vecCol, idCol, centroids, cVecCol, cIdCol)
       .select(col(idCol), col("centroid_id"))
     val codes = emb.select(col(idCol), int8Codes(col(vecCol)).as("__qv"))
+    mStepStats(assigned, codes, idCol)
+  }
+
+  /** The M-step reduce shared by [[kmeansMStepStats]] (one shot) and
+    * [[kmeansFit]] (the loop): `(centroid_id, dim) → (Σq, n)` from an
+    * assignment table and the int8 code table. */
+  private def mStepStats(assigned: DataFrame, codes: DataFrame, idCol: String): DataFrame =
     assigned.join(codes, Seq(idCol))
       .select(col("centroid_id"), posexplode(col("__qv")).as(Seq("dim", "q")))
       .groupBy(col("centroid_id"), col("dim"))
       .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+
+  /**
+   * The FULL distributed k-means training loop the M-step statistics
+   * were built for: E-step = broadcast-centroid assignment
+   * ([[ivfAssign]]), M-step = the mergeable `(Σq, n)` integer reduce
+   * ([[kmeansMStepStats]]'s shape — at 100 TB each corpus shard emits
+   * partial stats and one narrow shuffle on (centroid_id, dim) adds
+   * them), new centroid component = `Σq / n` (one double division,
+   * rounded once to FLOAT — deterministic IEEE in every engine).
+   * Because members ride as int8 codes, each member contributes
+   * L∞-normalized direction (per-vector scale ≈ max|v|/127), making
+   * the mean a spherical-k-means-style direction mean — the right
+   * update under cosine assignment, where magnitude is meaningless.
+   *
+   * Convergence is the standard exact stop: ZERO reassignments in a
+   * round (an integer count — deterministic, no floating-point
+   * tolerance), or `maxIter`. Convergence implies fixed point:
+   * centroids are a pure function of the assignment, so once the
+   * assignment repeats, every later round repeats it — which is why an
+   * oracle that unrolls exactly `maxIter` rounds lands on the same
+   * final assignment the early-stopped loop returns (sim_kmeans_fit
+   * hashes this). Empty clusters keep their previous centroid (the
+   * [[kmeans]] rule). Initial centroids: the first `k` vectors by id —
+   * deterministic.
+   *
+   * Per round: one broadcast cross + id-keyed ranking window (E), one
+   * explode + keyed integer aggregate (M), one id-keyed equi-join for
+   * the reassignment count (the bounded convergence scalar, the
+   * pageRankConverged pattern). Assignments are localCheckpoint'ed so
+   * lineage stays flat; codes are materialized once for all rounds.
+   * Returns `(centroids (c_id, c_vec), assignment (idCol,
+   * centroid_id), roundsRun)`.
+   */
+  def kmeansFit(emb: DataFrame, vecCol: String, idCol: String,
+                k: Int, maxIter: Int): (DataFrame, DataFrame, Int) = {
+    require(k >= 1, s"kmeansFit: k must be >= 1, got $k")
+    require(maxIter >= 1, s"kmeansFit: maxIter must be >= 1, got $maxIter")
+    val codes = emb.select(col(idCol), int8Codes(col(vecCol)).as("__qv"))
+      .localCheckpoint()
+    var cents = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    var assigned = ivfAssign(emb, vecCol, idCol, cents, "c_vec", "c_id")
+      .select(col(idCol), col("centroid_id")).localCheckpoint()
+    var rounds = 0
+    var moved = Long.MaxValue
+    while (rounds < maxIter && moved > 0) {
+      val means = mStepStats(assigned, codes, idCol)
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("dim"),
+          (col("sum_q").cast(DoubleType) / col("n").cast(DoubleType)).as("m")))).as("dm"))
+        .select(col("centroid_id").as("c_id"),
+          expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("c_vec"))
+      // empty clusters keep their previous centroid (the kmeans rule)
+      val next = means.unionByName(
+        cents.join(means.select(col("c_id")), Seq("c_id"), "left_anti"))
+      val reassigned = ivfAssign(emb, vecCol, idCol, next, "c_vec", "c_id")
+        .select(col(idCol), col("centroid_id")).localCheckpoint()
+      moved = reassigned
+        .join(assigned.withColumnRenamed("centroid_id", "__prev"), Seq(idCol))
+        .filter(col("centroid_id") =!= col("__prev")).count()
+      cents = next
+      assigned = reassigned
+      rounds += 1
+    }
+    (cents, assigned, rounds)
   }
 
   /**

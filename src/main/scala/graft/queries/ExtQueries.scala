@@ -1979,6 +1979,64 @@ object ExtQueries {
               |FROM x GROUP BY centroid_id, dim
               |ORDER BY centroid_id, dim""".stripMargin)),
 
+    // Full k-means E/M training loop ([[Similarity.kmeansFit]]): two
+    // rounds of broadcast-assignment (E) + mergeable integer (Σq, n)
+    // M-step over int8 codes, centroid = Σq/n rounded once to FLOAT,
+    // empty clusters carrying their previous centroid, convergence =
+    // zero reassignments. The oracle UNROLLS exactly maxIter rounds —
+    // sound because convergence implies a fixed point (centroids are a
+    // pure function of the assignment), so the early-stopped loop and
+    // the unrolled SQL land on the same final assignment. Output: the
+    // final assignment plus cluster sizes, hashed exactly.
+    Q("sim_kmeans_fit",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val (_, assigned, _) =
+          Similarity.kmeansFit(emb, "embedding", "vec_id", k = 8, maxIter = 2)
+        val sizes = assigned.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("cluster_n"))
+        assigned.join(sizes, Seq("centroid_id"))
+          .select(col("vec_id"), col("centroid_id"), col("cluster_n"))
+          .orderBy("vec_id")
+      },
+      Some {
+        def assign(cents: String, out: String) =
+          s"""j_$out AS (SELECT e.vec_id, c.c_id,
+             |            ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+             |     FROM embeddings e CROSS JOIN $cents c),
+             |$out AS (SELECT vec_id, c_id AS centroid_id FROM (
+             |    SELECT vec_id, c_id,
+             |           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn
+             |    FROM j_$out) WHERE rn = 1)""".stripMargin
+        def mstep(a: String, prev: String, out: String) =
+          s"""s_$out AS (SELECT $a.centroid_id, unnest(range(len(c.qv))) AS dim, unnest(c.qv) AS q
+             |     FROM $a JOIN codes c ON $a.vec_id = c.vec_id),
+             |g_$out AS (SELECT centroid_id, dim, SUM(q) AS sum_q, COUNT(*) AS n
+             |     FROM s_$out GROUP BY 1, 2),
+             |m_$out AS (SELECT centroid_id AS c_id,
+             |            list(CAST(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS FLOAT) ORDER BY dim) AS c_vec
+             |     FROM g_$out GROUP BY centroid_id),
+             |$out AS (SELECT * FROM m_$out
+             |     UNION ALL
+             |     SELECT c_id, c_vec FROM $prev
+             |     WHERE c_id NOT IN (SELECT c_id FROM m_$out))""".stripMargin
+        s"""WITH cents0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+           |                ORDER BY vec_id LIMIT 8),
+           |base AS (SELECT vec_id, ${Similarity.quantScaleSql("embedding")} AS sc, embedding
+           |         FROM embeddings),
+           |codes AS (SELECT vec_id, ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM base),
+           |${assign("cents0", "a0")},
+           |${mstep("a0", "cents0", "cents1")},
+           |${assign("cents1", "a1")},
+           |${mstep("a1", "cents1", "cents2")},
+           |${assign("cents2", "a2")},
+           |sizes AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS cluster_n
+           |          FROM a2 GROUP BY centroid_id)
+           |SELECT a2.vec_id, a2.centroid_id, sizes.cluster_n
+           |FROM a2 JOIN sizes USING (centroid_id)
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // Unpivot/melt: wide measure columns → (key, measure, value) long
     // form (Spark's native unpivot lowers to one Expand — a projection,
     // no shuffle, output = rows × measures).

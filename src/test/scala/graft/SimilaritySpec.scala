@@ -136,6 +136,30 @@ class SimilaritySpec extends SparkSpec {
     assert(merged == stats, "shard partials must combine to the full-corpus stats")
   }
 
+  test("kmeansFit converges early (zero reassignments) and separates clusters") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Array(1.0f, 0.05f)), (1L, Array(0.9f, 0.1f)), (2L, Array(1.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.95f)), (5L, Array(0.05f, 1.1f)))
+      .toDF("vec_id", "embedding")
+    // init = first 2 by id → both initial centroids sit in cluster A;
+    // the M-step must pull one toward cluster B and then stabilize
+    val (cents, assigned, rounds) =
+      Similarity.kmeansFit(pts, "embedding", "vec_id", k = 2, maxIter = 10)
+    assert(rounds < 10, s"separable corpus should converge early, ran $rounds rounds")
+    assert(cents.count() == 2)
+    val a = assigned.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.size == 6, "every vector assigned")
+    assert(Set(a(0L), a(1L), a(2L)).size == 1)
+    assert(Set(a(3L), a(4L), a(5L)).size == 1)
+    assert(a(0L) != a(3L), s"clusters must separate, got $a")
+    // converged means fixed point: one more round reassigns nothing
+    val (_, again, extra) =
+      Similarity.kmeansFit(pts, "embedding", "vec_id", k = 2, maxIter = rounds + 1)
+    assert(extra == rounds, "an extra iteration budget must not change the round count")
+    assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toMap == a)
+  }
+
   test("ivfSearch ranks only the query's own cell (nprobe=1 pruning)") {
     import spark.implicits._
     val emb = Seq(
