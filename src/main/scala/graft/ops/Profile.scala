@@ -89,6 +89,33 @@ object Profile {
        |  $mn AS min_value, $mx AS max_value FROM $table""".stripMargin
   }
 
+  /** Bounded-state PERCENTILE profiling — the missing leg that makes
+    * the whole profile family 100 TB-safe: [[profileApprox]] bounds the
+    * distinct counts (HLL++), this bounds the percentiles (histogram
+    * bins) — nothing in the family ever sorts a column or holds a full
+    * key set. All `cols` profile in ONE pass: the columns unpivot to
+    * `(column_name, value)` long form — an Expand projection, rows ×
+    * |cols|, no shuffle — and a single [[binnedQuantiles]] run keyed on
+    * `column_name` does the rest (intermediate = |cols| × bins rows at
+    * ANY input size). Columns must be numeric and non-negative (the
+    * binning contract; violations raise in-plan) and share one
+    * `binWidthCents` — estimation error ≤ bin width applies per column,
+    * so pick the width for the coarsest-scaled column you profile.
+    * Output: one row per column, `(column_name, p50, p95, …)`. */
+  def profileQuantiles(df: DataFrame, cols: Seq[String], binWidthCents: Long,
+                       ps: Seq[Double]): DataFrame = {
+    require(cols.nonEmpty, "profileQuantiles: no columns given")
+    val types = df.schema.map(f => f.name -> f.dataType).toMap
+    val nonNumeric = cols.filter(c => !types.get(c).exists(_.isInstanceOf[NumericType]))
+    require(nonNumeric.isEmpty,
+      s"profileQuantiles: non-numeric column(s): ${nonNumeric.mkString(", ")}")
+    val long = df.unpivot(
+      Array.empty[org.apache.spark.sql.Column],
+      cols.map(c => col(c).cast(DoubleType).as(c)).toArray,
+      "column_name", "__v")
+    binnedQuantiles(long, Seq("column_name"), "__v", binWidthCents, ps)
+  }
+
   /** Column name for quantile `p`: the full decimal of `p·100` with
     * `_` for the decimal point — collision-free by construction (two
     * distinct ps always differ in some digit). Shared by the Scala

@@ -2376,6 +2376,38 @@ object ExtQueries {
               |FROM cum GROUP BY l_returnflag
               |ORDER BY l_returnflag""".stripMargin)),
 
+    // Bounded-state percentile profiling ([[Profile.profileQuantiles]]):
+    // p50/p95 of four lineitem measures in ONE pass — unpivot (Expand
+    // projection, no shuffle) then histogram-binned quantiles keyed on
+    // column_name; with profileApprox's HLL distincts this closes the
+    // profile family at 100 TB (nothing sorts a column or holds a full
+    // key set; intermediate = |cols| × bins). $1 bins; the oracle
+    // replays the identical binning + interpolation per column.
+    Q("prof_quantiles",
+      (s, dir) => Profile.profileQuantiles(
+        Tables.lineitem(s, dir),
+        Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax"),
+        binWidthCents = 100L, ps = Seq(0.5, 0.95))
+        .orderBy("column_name"),
+      Some {
+        def leg(c: String) =
+          s"""SELECT * FROM (
+             |  -- the DOUBLE hop mirrors profileQuantiles' unpivot cast
+             |  WITH b AS (SELECT CAST(CAST(CAST($c AS DOUBLE) AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS bin
+             |             FROM lineitem WHERE $c IS NOT NULL),
+             |  cnts AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+             |  cum AS (SELECT bin, cnt,
+             |            CAST(SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |            CAST(SUM(cnt) OVER () AS BIGINT) AS n
+             |          FROM cnts)
+             |  SELECT '$c' AS column_name,
+             |    ${Profile.binnedQuantileSql(0.5, 100L)},
+             |    ${Profile.binnedQuantileSql(0.95, 100L)}
+             |  FROM cum)""".stripMargin
+        Seq("l_extendedprice", "l_quantity", "l_discount", "l_tax").map(leg)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
     // Exact keyed Pearson correlation ([[TimeSeries.pearsonByKey]]):
     // quantity↔revenue correlation per supplier. Native corr() is
     // banned from oracle paths (order-dependent float partials in both

@@ -80,4 +80,27 @@ class ProfileSpec extends SparkSpec {
     }
     assert(chain(e).exists(_.contains("non-negative")), chain(e).mkString(" | "))
   }
+
+  test("profileQuantiles: one-pass multi-column == per-column binnedQuantiles") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toDouble, (i * 3 % 97).toDouble)).toDF("a", "b")
+    val onePass = Profile.profileQuantiles(df, Seq("a", "b"),
+      binWidthCents = 1000L, ps = Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Seq("a", "b").foreach { c =>
+      val solo = Profile.binnedQuantiles(
+        df.select(lit(c).as("k"), col(c).as("v")), Seq("k"), "v", 1000L, Seq(0.5, 0.95))
+        .collect().head
+      assert(onePass(c) == ((solo.getDouble(1), solo.getDouble(2))),
+        s"column $c: one-pass ${onePass(c)} != solo ${(solo.getDouble(1), solo.getDouble(2))}")
+    }
+    // fractional quantile names carry their full decimal
+    assert(Profile.quantileColName(0.999) == "p99_9")
+    assert(Profile.quantileColName(0.975) == "p97_5")
+    assert(Profile.quantileColName(0.5) == "p50")
+    // non-numeric columns refuse at build time
+    intercept[IllegalArgumentException] {
+      Profile.profileQuantiles(Seq(("x", 1.0)).toDF("s", "v"), Seq("s"), 100L, Seq(0.5))
+    }
+  }
 }
