@@ -43,9 +43,27 @@ import org.apache.spark.sql.types.{DataType, StructType}
  *     manifest are deleted — storage reclamation is decoupled from
  *     commits, exactly like Delta's VACUUM.
  *
- * Concurrency contract: single writer (manifest ids are assigned by
- * listing). Delta adds optimistic concurrency on the log for multiple
- * writers; out of scope here. Readers are always safe.
+ * Concurrency contract — OPTIMISTIC, the Delta commit protocol's
+ * shape. Two mechanisms compose:
+ *
+ *   1. Pool writes stage in a private `.stage-<uuid>` directory and
+ *      MOVE into the pool, so a commit's files are identified exactly
+ *      (a before/after pool listing would misattribute a concurrent
+ *      writer's in-flight files).
+ *   2. The manifest rename is the sole commit point; Hadoop reports a
+ *      lost race by returning false, and the loser re-reads the
+ *      winner's manifest and retries at the next id (bounded).
+ *
+ * Semantics under races: concurrent APPENDs all land (each retry
+ * merges onto the winner's file list — nothing is dropped); blind
+ * OVERWRITEs serialize to last-writer-wins; read-modify-write MERGE
+ * ([[upsertPartitions]]) detects a concurrent change to its touched
+ * partitions and ABORTS loudly instead of silently losing the other
+ * writer's update — Delta's ConcurrentAppendException contract.
+ * Readers are always safe (a manifest is immutable once renamed).
+ * [[vacuum]] is a maintenance-window operation: don't run it while a
+ * write is in flight (it reclaims unreferenced pool files and
+ * abandoned staging directories).
  */
 final class SnapshotStore(val spark: SparkSession, val root: String,
                           val keepSnapshots: Int = 10,
@@ -115,17 +133,22 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
 
   /** Commit protocol: write to a tmp name, then rename into place —
     * the manifest (hence the snapshot) appears atomically, AFTER every
-    * data file it references exists. */
-  private def writeManifest(layer: String, table: String, id: Long,
-                            schema: StructType, files: Seq[String],
-                            props: Map[String, String] = Map.empty,
-                            stats: FileStats = Map.empty): Unit = {
+    * data file it references exists. Returns false when the rename
+    * loses a race (the id is already committed by another writer) —
+    * the optimistic-retry paths re-read and retry; [[writeManifest]]
+    * is the fail-loud form for paths that must not retry. */
+  private def tryWriteManifest(layer: String, table: String, id: Long,
+                               schema: StructType, files: Seq[String],
+                               props: Map[String, String] = Map.empty,
+                               stats: FileStats = Map.empty): Boolean = {
     require(props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
       && props.values.forall(!_.contains("\n")),
       s"SnapshotStore: malformed manifest properties $props")
     val dir = manifestDir(layer, table)
     fs.mkdirs(dir)
-    val tmp = new Path(dir, f".m$id%012d.tmp")
+    // unique tmp name: two racing writers targeting the same id must
+    // not collide on the tmp file either
+    val tmp = new Path(dir, f".m$id%012d-${System.nanoTime()}.tmp")
     val out = fs.create(tmp, false)
     val propLines = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val fileSet = files.toSet
@@ -138,13 +161,40 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     try out.write(((schema.json +: propLines) ++ statLines ++ files)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, new Path(dir, f"m$id%012d")),
-      s"SnapshotStore: concurrent commit detected for $layer/$table snapshot $id")
+    if (!fs.rename(tmp, new Path(dir, f"m$id%012d"))) {
+      fs.delete(tmp, false)
+      return false
+    }
     // retention: drop manifests beyond keepSnapshots (data files stay
     // until vacuum — reclamation is decoupled from commits)
     snapshots(layer, table).dropRight(keepSnapshots).foreach { old =>
       fs.delete(new Path(dir, f"m$old%012d"), true)
     }
+    true
+  }
+
+  private def writeManifest(layer: String, table: String, id: Long,
+                            schema: StructType, files: Seq[String],
+                            props: Map[String, String] = Map.empty,
+                            stats: FileStats = Map.empty): Unit =
+    require(tryWriteManifest(layer, table, id, schema, files, props, stats),
+      s"SnapshotStore: concurrent commit detected for $layer/$table snapshot $id")
+
+  /** Optimistic commit loop: `attempt` reads the CURRENT latest
+    * snapshot and tries to commit at the next id; a lost rename race
+    * yields None and the loop re-reads and retries — the winner's
+    * commit is never dropped. Bounded so a stampede stays loud. */
+  private def commitRetry(layer: String, table: String)(attempt: () => Option[Long]): Long = {
+    var n = 0
+    while (n < 10) {
+      attempt() match {
+        case Some(id) => return id
+        case None => n += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"SnapshotStore: lost the commit race 10 times in a row for $layer/$table — " +
+        "giving up; this attempt's pool files remain unreferenced (vacuum reclaims them)")
   }
 
   /** Pool-relative paths of the parquet files under `dataDir`. */
@@ -161,21 +211,38 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   }
 
   /** Append `df`'s rows as new pool files and return their relative
-    * paths. The pool only ever gains files (mode=Append with unique
-    * task UUIDs in file names), so a before/after listing diff
-    * identifies exactly this write's files — a driver-side metadata
-    * pass. */
+    * paths. The write lands in a private `.stage-<uuid>` directory
+    * first and the files MOVE into the pool (same-FS renames) — this
+    * commit's files are identified EXACTLY, never by a before/after
+    * pool listing, which would misattribute a concurrent writer's
+    * in-flight files. Spark part-file names carry a per-job UUID, so
+    * moved files cannot collide with other writers'. A crash between
+    * move and manifest commit leaves unreferenced pool files (and a
+    * crash before the move, an abandoned stage dir) — [[vacuum]]
+    * reclaims both. */
   private def writeIntoPool(df: DataFrame, layer: String, table: String,
                             partitionBy: Seq[String]): Seq[String] = {
-    val before = listPool(layer, table)
-    val w = df.write.mode(SaveMode.Append)
+    val stage = new Path(s"$root/$layer/$table/.stage-${java.util.UUID.randomUUID()}")
+    val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(dataDir(layer, table))
-    (listPool(layer, table) -- before).toSeq.sorted
+      .parquet(stage.toString)
+    def walk(p: Path): Seq[Path] = {
+      val (dirs, fls) = fs.listStatus(p).toSeq.partition(_.isDirectory)
+      fls.map(_.getPath) ++ dirs.flatMap(d => walk(d.getPath))
+    }
+    val stageUri = stage.toUri.getPath
+    val rels = walk(stage).map(_.toUri.getPath.stripPrefix(stageUri).stripPrefix("/"))
+      .filter(_.endsWith(".parquet")).sorted
+    val base = new Path(dataDir(layer, table))
+    rels.foreach { rel =>
+      val dst = new Path(base, rel)
+      fs.mkdirs(dst.getParent)
+      require(fs.rename(new Path(stage, rel), dst),
+        s"SnapshotStore: failed to move staged file $rel into the pool of $layer/$table")
+    }
+    fs.delete(stage, true)
+    rels
   }
-
-  private def nextId(layer: String, table: String): Long =
-    snapshots(layer, table).lastOption.getOrElse(0L) + 1
 
   /** Manifest file entries are pool-relative for this table's own
     * commits and ABSOLUTE (leading `/`) when they reference another
@@ -183,11 +250,6 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * exactly how Delta's shallow clone records source-table paths. */
   private def absFile(layer: String, table: String, f: String): String =
     if (f.startsWith("/")) f else s"${dataDir(layer, table)}/$f"
-
-  /** Latest manifest's per-file stats (empty for a new table). */
-  private def prevStats(layer: String, table: String): FileStats =
-    snapshots(layer, table).lastOption
-      .map(readManifestFull(layer, table, _)._4).getOrElse(Map.empty)
 
   /** Min/max of the `statsFor` columns per NEW file — Delta/Iceberg
     * file statistics, gathered by ONE aggregate job over just this
@@ -269,13 +331,20 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   /** Schema including hive partition columns (the pool write moves
     * `partitionBy` cols into directory names; the manifest records the
     * LOGICAL schema so empty snapshots stay readable). */
-  private def commit(schema: StructType, layer: String, table: String,
-                     files: Seq[String], props: Map[String, String] = Map.empty,
-                     stats: FileStats = Map.empty): Long = {
-    val id = nextId(layer, table)
-    writeManifest(layer, table, id, schema, files, props, stats)
-    id
-  }
+  /** Optimistic commit: `build` maps the CURRENT latest snapshot (None
+    * for an empty table) to what to commit; on a lost rename race the
+    * latest is re-read and `build` runs again against the winner's
+    * state — how append-like commits compose with concurrent writers
+    * instead of dropping them. */
+  private def commitBuild(layer: String, table: String)(
+      build: Option[Long] => (StructType, Seq[String], Map[String, String], FileStats)): Long =
+    commitRetry(layer, table) { () =>
+      val latest = snapshots(layer, table).lastOption
+      val (schema, files, props, stats) = build(latest)
+      val id = latest.getOrElse(0L) + 1
+      if (tryWriteManifest(layer, table, id, schema, files, props, stats)) Some(id)
+      else None
+    }
 
   /** Full overwrite: the new snapshot sees only this commit's files.
     * Zero data is copied or deleted — prior snapshots keep reading
@@ -286,8 +355,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
                 op: String = "overwrite"): Long =
     txnSeen(layer, table, txnId).getOrElse {
       val added = writeIntoPool(df, layer, table, partitionBy)
-      commit(df.schema, layer, table, added, txnProps(txnId) + ("op" -> op),
-        stats = statsOf(layer, table, added))
+      val st = statsOf(layer, table, added)
+      // blind overwrite: content is independent of the previous
+      // snapshot, so racing overwrites serialize to last-writer-wins
+      commitBuild(layer, table)(_ =>
+        (df.schema, added, txnProps(txnId) + ("op" -> op), st))
     }
 
   /** The retained snapshot already carrying `txnId`, if any — the
@@ -300,14 +372,18 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     txnId.map("txn" -> _).toMap
 
   /** Append: the new snapshot sees the previous snapshot's files plus
-    * this commit's. */
+    * this commit's. Concurrent appends ALL land: a loser re-reads the
+    * winner's file list and retries on top of it. */
   def append(df: DataFrame, layer: String, table: String,
              partitionBy: Seq[String] = Nil): Long = {
-    val prev = snapshots(layer, table).lastOption
-      .map(readManifest(layer, table, _)._2).getOrElse(Nil)
     val added = writeIntoPool(df, layer, table, partitionBy)
-    commit(df.schema, layer, table, (prev ++ added).sorted, Map("op" -> "append"),
-      stats = prevStats(layer, table) ++ statsOf(layer, table, added))
+    val st = statsOf(layer, table, added)
+    commitBuild(layer, table) { latest =>
+      val (prev, prevSt) = latest
+        .map { id => val m = readManifestFull(layer, table, id); (m._3, m._4) }
+        .getOrElse((Nil, Map.empty: FileStats))
+      (df.schema, (prev ++ added).sorted, Map("op" -> "append"), prevSt ++ st)
+    }
   }
 
   /** Exactly-once append: skip the commit entirely when a retained
@@ -321,12 +397,15 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   def appendIfAbsent(df: DataFrame, layer: String, table: String, txnId: String,
                      partitionBy: Seq[String] = Nil): Long =
     txnSeen(layer, table, Some(txnId)).getOrElse {
-      val prev = snapshots(layer, table).lastOption
-        .map(readManifest(layer, table, _)._2).getOrElse(Nil)
       val added = writeIntoPool(df, layer, table, partitionBy)
-      commit(df.schema, layer, table, (prev ++ added).sorted,
-        Map("txn" -> txnId, "op" -> "append"),
-        stats = prevStats(layer, table) ++ statsOf(layer, table, added))
+      val st = statsOf(layer, table, added)
+      commitBuild(layer, table) { latest =>
+        val (prev, prevSt) = latest
+          .map { id => val m = readManifestFull(layer, table, id); (m._3, m._4) }
+          .getOrElse((Nil, Map.empty: FileStats))
+        (df.schema, (prev ++ added).sorted,
+          Map("txn" -> txnId, "op" -> "append"), prevSt ++ st)
+      }
     }
 
   /** Schema-EVOLVING append (Delta `mergeSchema=true`, the reference's
@@ -343,29 +422,32 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * own manifests' narrower schema: time travel is schema-faithful. */
   def appendEvolve(df: DataFrame, layer: String, table: String,
                    partitionBy: Seq[String] = Nil): Long = {
-    val prevSchema = snapshots(layer, table).lastOption
-      .map(readManifest(layer, table, _)._1)
-      .getOrElse(return append(df, layer, table, partitionBy))
-    val prevNames = prevSchema.fieldNames.toSet
-    df.schema.foreach { f =>
-      prevSchema.find(_.name == f.name).foreach { p =>
-        require(p.dataType == f.dataType,
-          s"appendEvolve: column ${f.name} is ${p.dataType.simpleString} in $layer/$table " +
-            s"but ${f.dataType.simpleString} in the incoming batch — evolution adds columns, " +
-            "never retypes them; cast explicitly if a retype is intended")
-      }
-    }
-    val dfNames = df.schema.fieldNames.toSet
-    val merged = StructType(
-      // an existing column the batch omits reads NULL from the new
-      // files, so it must become nullable in the merged schema too
-      prevSchema.fields.map(f => if (dfNames(f.name)) f else f.copy(nullable = true)) ++
-        df.schema.fields.filterNot(f => prevNames(f.name)).map(_.copy(nullable = true)))
-    val prev = snapshots(layer, table).lastOption
-      .map(readManifest(layer, table, _)._2).getOrElse(Nil)
+    if (!tableExists(layer, table)) return append(df, layer, table, partitionBy)
     val added = writeIntoPool(df, layer, table, partitionBy)
-    commit(merged, layer, table, (prev ++ added).sorted, Map("op" -> "append_evolve"),
-      stats = prevStats(layer, table) ++ statsOf(layer, table, added))
+    val st = statsOf(layer, table, added)
+    val dfNames = df.schema.fieldNames.toSet
+    // the schema merge recomputes per attempt: a racing writer may have
+    // evolved the table too, and the loser must merge onto ITS schema
+    commitBuild(layer, table) { latest =>
+      val (prevSchema, _, prev, prevSt) = latest
+        .map(readManifestFull(layer, table, _))
+        .getOrElse((df.schema, Map.empty[String, String], Nil, Map.empty: FileStats))
+      val prevNames = prevSchema.fieldNames.toSet
+      df.schema.foreach { f =>
+        prevSchema.find(_.name == f.name).foreach { p =>
+          require(p.dataType == f.dataType,
+            s"appendEvolve: column ${f.name} is ${p.dataType.simpleString} in $layer/$table " +
+              s"but ${f.dataType.simpleString} in the incoming batch — evolution adds columns, " +
+              "never retypes them; cast explicitly if a retype is intended")
+        }
+      }
+      val merged = StructType(
+        // an existing column the batch omits reads NULL from the new
+        // files, so it must become nullable in the merged schema too
+        prevSchema.fields.map(f => if (dfNames(f.name)) f else f.copy(nullable = true)) ++
+          df.schema.fields.filterNot(f => prevNames(f.name)).map(_.copy(nullable = true)))
+      (merged, (prev ++ added).sorted, Map("op" -> "append_evolve"), prevSt ++ st)
+    }
   }
 
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
@@ -377,24 +459,54 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   def overwritePartitions(df: DataFrame, layer: String, table: String,
                           partitionBy: Seq[String],
                           txnId: Option[String] = None,
-                          op: String = "overwrite_partitions"): Long = {
+                          op: String = "overwrite_partitions"): Long =
+    overwritePartitionsChecked(df, layer, table, partitionBy, txnId, op, mergeBase = None)
+
+  /** Partition dir chain of a manifest entry: "year=1996/part-x" →
+    * "year=1996". Entries may be pool-relative (partition dirs lead) or
+    * absolute shallow-clone references (pool base leads) — the `k=v`
+    * segments of the DIR chain are the partition spec either way. */
+  private def partOf(rel: String): String =
+    rel.split('/').dropRight(1).filter(_.contains("=")).mkString("/")
+
+  /** [[overwritePartitions]] plus Delta-style WRITE-CONFLICT DETECTION
+    * for read-modify-write callers: when `mergeBase` carries the
+    * snapshot id the caller's merge READ, and a racing writer has since
+    * changed any of the partitions this commit replaces, the commit
+    * ABORTS (ConcurrentModificationException) instead of silently
+    * overwriting the racer's rows with a merge that never saw them —
+    * Delta's ConcurrentAppendException contract. Races on DISJOINT
+    * partitions retry and land. Blind callers (mergeBase = None) keep
+    * last-writer-wins semantics per partition. */
+  private[graft] def overwritePartitionsChecked(df: DataFrame, layer: String, table: String,
+                                         partitionBy: Seq[String],
+                                         txnId: Option[String], op: String,
+                                         mergeBase: Option[Long]): Long = {
     require(partitionBy.nonEmpty,
       "overwritePartitions: partitionBy is required (use overwrite for flat tables)")
     txnSeen(layer, table, txnId).foreach(return _)
-    val prev = snapshots(layer, table).lastOption
-      .map(readManifest(layer, table, _)._2).getOrElse(Nil)
     val added = writeIntoPool(df, layer, table, partitionBy)
-    // partition dir chain of a manifest entry: "year=1996/part-x" →
-    // "year=1996". Entries may be pool-relative (partition dirs lead) or
-    // absolute shallow-clone references (pool base leads) — the `k=v`
-    // segments of the DIR chain are the partition spec either way.
-    def partOf(rel: String): String =
-      rel.split('/').dropRight(1).filter(_.contains("=")).mkString("/")
+    val st = statsOf(layer, table, added)
     val touched = added.map(partOf).toSet
-    val kept = prev.filterNot(f => touched.contains(partOf(f)))
-    // dropped partitions' stats fall away in writeManifest's file filter
-    commit(df.schema, layer, table, (kept ++ added).sorted, txnProps(txnId) + ("op" -> op),
-      stats = prevStats(layer, table) ++ statsOf(layer, table, added))
+    val baseTouchedFiles = mergeBase.map { id =>
+      readManifestFull(layer, table, id)._3.filter(f => touched.contains(partOf(f))).toSet
+    }
+    commitBuild(layer, table) { latest =>
+      val (prev, prevSt) = latest
+        .map { id => val m = readManifestFull(layer, table, id); (m._3, m._4) }
+        .getOrElse((Nil, Map.empty: FileStats))
+      baseTouchedFiles.foreach { base =>
+        val nowTouched = prev.filter(f => touched.contains(partOf(f))).toSet
+        if (nowTouched != base)
+          throw new java.util.ConcurrentModificationException(
+            s"SnapshotStore: $layer/$table partitions ${touched.mkString(", ")} changed " +
+              s"since the merge read snapshot ${mergeBase.get} — committing would silently " +
+              "drop a concurrent writer's rows; re-run the merge against the new snapshot")
+      }
+      val kept = prev.filterNot(f => touched.contains(partOf(f)))
+      // dropped partitions' stats fall away in the manifest's file filter
+      (df.schema, (kept ++ added).sorted, txnProps(txnId) + ("op" -> op), prevSt ++ st)
+    }
   }
 
   /** Keyed MERGE with file pruning (Delta MERGE under a partition
@@ -441,10 +553,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         if (v == null) col(c).isNull else col(c) === lit(v)
       }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
-    val existingTouched = read(layer, table).filter(pred)
+    // PIN the merge's read to a snapshot id: the commit then detects a
+    // concurrent change to the touched partitions (vs this exact base)
+    // and aborts rather than silently dropping the racer's rows
+    val baseId = snapshots(layer, table).last
+    val existingTouched = readSnapshot(layer, table, baseId).filter(pred)
     Merge.schemaGuard(existingTouched, staged)
-    overwritePartitions(Merge.upsert(existingTouched, staged, keys),
-      layer, table, partitionBy, txnId, op = "upsert_partitions")
+    overwritePartitionsChecked(Merge.upsert(existingTouched, staged, keys),
+      layer, table, partitionBy, txnId, op = "upsert_partitions", mergeBase = Some(baseId))
   }
 
   /** Read a manifest's file list. Files are grouped by their pool base
@@ -595,10 +711,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     require(ids.contains(id),
       s"SnapshotStore: snapshot $id of $layer/$table not retained (have: ${ids.mkString(",")})")
     val (schema, _, files, stats) = readManifestFull(layer, table, id)
-    val newId = nextId(layer, table)
-    writeManifest(layer, table, newId, schema, files,
-      Map("op" -> "restore", "restored_from" -> id.toString), stats = stats)
-    newId
+    // restore re-points to an immutable snapshot's files — content is
+    // independent of the latest, so a lost race just retries (a racing
+    // writer's commit stays time-travelable behind the restore)
+    commitBuild(layer, table)(_ =>
+      (schema, files, Map("op" -> "restore", "restored_from" -> id.toString), stats))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`):
@@ -663,6 +780,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       .flatMap(readManifest(layer, table, _)._2).toSet
     val orphans = listPool(layer, table) -- referenced
     orphans.foreach(f => fs.delete(new Path(s"${dataDir(layer, table)}/$f"), false))
+    // abandoned staging dirs from crashed writers (vacuum is a
+    // maintenance-window op: no write may be in flight — class scaladoc)
+    val tableRoot = new Path(s"$root/$layer/$table")
+    if (fs.exists(tableRoot))
+      fs.listStatus(tableRoot).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+        .foreach(s => fs.delete(s.getPath, true))
     orphans.size
   }
 
