@@ -488,14 +488,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val added = writeIntoPool(df, layer, table, partitionBy)
     val st = statsOf(layer, table, added)
     val touched = added.map(partOf).toSet
-    val baseTouchedFiles = mergeBase.map { id =>
+    // lazy: the no-race fast path (latest == mergeBase) never pays the
+    // extra manifest read the comparison needs
+    lazy val baseTouchedFiles = mergeBase.map { id =>
       readManifestFull(layer, table, id)._3.filter(f => touched.contains(partOf(f))).toSet
     }
     commitBuild(layer, table) { latest =>
       val (prev, prevSt) = latest
         .map { id => val m = readManifestFull(layer, table, id); (m._3, m._4) }
         .getOrElse((Nil, Map.empty: FileStats))
-      baseTouchedFiles.foreach { base =>
+      if (mergeBase.isDefined && latest != mergeBase) baseTouchedFiles.foreach { base =>
         val nowTouched = prev.filter(f => touched.contains(partOf(f))).toSet
         if (nowTouched != base)
           throw new java.util.ConcurrentModificationException(

@@ -326,6 +326,44 @@ object TimeSeries {
   }
 
   /**
+   * OHLC bar resampling — the financial-series downsample the
+   * reference's domain implies but its gold model approximates
+   * (monthly_stock_summary.sql:12-18 keeps avg/max/min and loses true
+   * open/close semantics): per key and calendar bucket, `open` is the
+   * value at the EARLIEST observation in the bucket, `close` at the
+   * LATEST, high/low/volume as plain extreme/sum aggregates, plus the
+   * bar count. ONE keyed aggregate — `min_by`/`max_by` carry the
+   * (order, value) pair through map-side partials, so there is no
+   * window over the raw series, no self-join, no second scan; state
+   * per group is O(1) and output cardinality is keys × buckets at any
+   * input size. Volume sums via [[graft.Det.dsum]] (exact decimal
+   * addition — order-independent for double inputs too).
+   *
+   * Grain contract: at most one bar per (keys, dateCol) — the daily-
+   * bar invariant silverDaily guarantees by construction; with
+   * duplicate timestamps `min_by`/`max_by` ties would be
+   * plan-dependent. Output: `(keys…, bucket_start, open, high, low,
+   * close, volume, n_bars)`.
+   */
+  def resampleOhlc(bars: DataFrame, keys: Seq[String], dateCol: String,
+                   openCol: String, highCol: String, lowCol: String,
+                   closeCol: String, volumeCol: String,
+                   unit: String = "month"): DataFrame = {
+    require(Seq("week", "month", "quarter", "year").contains(unit),
+      s"resampleOhlc: unit must be week/month/quarter/year, got $unit")
+    import org.apache.spark.sql.types.DateType
+    bars.groupBy(keys.map(col) :+
+        date_trunc(unit, col(dateCol)).cast(DateType).as("bucket_start"): _*)
+      .agg(
+        min_by(col(openCol), col(dateCol)).as("open"),
+        max(col(highCol)).as("high"),
+        min(col(lowCol)).as("low"),
+        max_by(col(closeCol), col(dateCol)).as("close"),
+        graft.Det.dsum(col(volumeCol)).as("volume"),
+        count(lit(1)).as("n_bars"))
+  }
+
+  /**
    * Per-key Pearson correlation between two metric columns, exact and
    * engine-identical — `corr()` itself is banned from oracle paths
    * because both engines fold it with order-dependent floating-point

@@ -2408,6 +2408,33 @@ object ExtQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    // OHLC bar resampling ([[TimeSeries.resampleOhlc]]): daily silver
+    // bars → monthly bars with TRUE open/close semantics (value at the
+    // bucket's earliest/latest trading day — the reference's gold model
+    // only keeps avg/max/min). One keyed aggregate; min_by/max_by ride
+    // map-side partials, no window over the raw series. Oracle: DuckDB
+    // arg_min/arg_max over the identical silver CTE.
+    Q("ts_ohlc",
+      (s, dir) => TimeSeries.resampleOhlc(
+        graft.ops.StockOps.silverDaily(graft.ops.StockOps.bronzeFromLineitem(
+          Tables.lineitem(s, dir))),
+        Seq("sigla_empresa"), "data_pregao",
+        "valor_abertura", "valor_maximo", "valor_minimo", "valor_fechamento",
+        "volume_negociado", unit = "month")
+        .orderBy("sigla_empresa", "bucket_start"),
+      Some(s"""WITH silver AS (${graft.ops.StockOps.silverSql()})
+              |SELECT sigla_empresa,
+              |       CAST(date_trunc('month', data_pregao) AS DATE) AS bucket_start,
+              |       arg_min(valor_abertura, data_pregao) AS open,
+              |       MAX(valor_maximo) AS high,
+              |       MIN(valor_minimo) AS low,
+              |       arg_max(valor_fechamento, data_pregao) AS close,
+              |       ${Det.dsumSql("volume_negociado")} AS volume,
+              |       count(*) AS n_bars
+              |FROM silver
+              |GROUP BY 1, 2
+              |ORDER BY sigla_empresa, bucket_start""".stripMargin)),
+
     // Exact keyed Pearson correlation ([[TimeSeries.pearsonByKey]]):
     // quantity↔revenue correlation per supplier. Native corr() is
     // banned from oracle paths (order-dependent float partials in both
