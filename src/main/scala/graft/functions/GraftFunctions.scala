@@ -46,6 +46,15 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(s"distinct must be a boolean, got $other")
       }
       WordShingleHashes(args(0), n, distinct)
+    },
+    "graft_top_k_by" -> arity("graft_top_k_by", 3) { args =>
+      val k = (if (args(2).foldable) args(2).eval()
+        else throw new IllegalArgumentException("graft_top_k_by k must be a literal")) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"k must be an integer, got $other")
+      }
+      TopKByAgg(args(0), args(1), k).toAggregateExpression()
     })
 
   private def info(name: String) =

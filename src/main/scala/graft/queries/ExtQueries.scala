@@ -2408,6 +2408,33 @@ object ExtQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    // Bounded-state exact top-k per group ([[graft.functions.
+    // TopKByAgg]], surfaced as [[graft.ops.Ranking.topKBy]]): the five
+    // highest-priced lineitems per return flag via a k-capped MERGEABLE
+    // heap aggregate — k pairs of state per group and map-side partials
+    // (each input partition ships ≤ k pairs per group), where the rank
+    // window the oracle uses sorts every group's full row set. The
+    // total order (score desc, id asc) makes the result hash-exact.
+    Q("w_topk_agg",
+      (s, dir) => {
+        val rid = (col("l_orderkey") * 10 + col("l_linenumber")).cast(LongType)
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(graft.ops.Ranking.topKBy(col("l_extendedprice"), rid, 5).as("top"))
+          .select(col("l_returnflag"), posexplode(col("top")).as(Seq("idx", "e")))
+          .select(col("l_returnflag"), (col("idx") + 1).as("rank"),
+            col("e.score").as("score"), col("e.id").as("id"))
+          .orderBy("l_returnflag", "rank")
+      },
+      Some("""SELECT l_returnflag, CAST(rank AS INTEGER) AS rank, score, id FROM (
+             |  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS score,
+             |         l_orderkey * 10 + l_linenumber AS id,
+             |         row_number() OVER (PARTITION BY l_returnflag
+             |           ORDER BY CAST(l_extendedprice AS DOUBLE) DESC,
+             |                    l_orderkey * 10 + l_linenumber) AS rank
+             |  FROM lineitem)
+             |WHERE rank <= 5 ORDER BY l_returnflag, rank""".stripMargin)),
+
     // OHLC bar resampling ([[TimeSeries.resampleOhlc]]): daily silver
     // bars → monthly bars with TRUE open/close semantics (value at the
     // bucket's earliest/latest trading day — the reference's gold model

@@ -1,0 +1,75 @@
+package graft
+
+import graft.ops.Ranking
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Bounded-state top-k aggregate: matches the rank window exactly,
+  * merges across partitions, ignores NULLs, and never plans a
+  * WindowExec. */
+class RankingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viaWindow(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("id"))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("g", "rank", "s", "id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+  }
+
+  private def viaAgg(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy("g").agg(Ranking.topKBy(col("s"), col("id"), k).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("idx", "e")))
+      .select(col("g"), (col("idx") + 1).as("rank"), col("e.score"), col("e.id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+
+  test("topKBy == rank window on seeded data, under any partitioning") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 7}", math.floor(rnd.nextDouble() * 50) / 10.0, i.toLong) // deliberate score ties
+    }
+    val df = rows.toDF("g", "s", "id")
+    assert(viaAgg(df, 5) == viaWindow(df, 5))
+    // merge correctness: partial buffers from many partitions combine
+    assert(viaAgg(df.repartition(17), 5) == viaWindow(df, 5))
+    assert(viaAgg(df.repartition(1), 5) == viaWindow(df, 5))
+  }
+
+  test("k exceeding the group size returns the whole group, ordered") {
+    val df = Seq(("a", 1.0, 1L), ("a", 3.0, 2L), ("b", 2.0, 3L)).toDF("g", "s", "id")
+    val out = df.groupBy("g").agg(Ranking.topKBy(col("s"), col("id"), 10).as("top"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    assert(out("a") == Seq((3.0, 2L), (1.0, 1L)))
+    assert(out("b") == Seq((2.0, 3L)))
+  }
+
+  test("NULL scores and ids are ignored; all-NULL group yields an empty array") {
+    val df = Seq(("a", Some(2.0), Some(1L)), ("a", None, Some(2L)),
+      ("a", Some(9.0), None), ("b", None, None))
+      .toDF("g", "s", "id")
+    val out = df.groupBy("g").agg(Ranking.topKBy(col("s"), col("id"), 3).as("top"))
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    assert(out("a") == Seq((2.0, 1L)))
+    assert(out("b") == Seq.empty)
+  }
+
+  test("plans as a partial-merge aggregate, not a window sort") {
+    val df = Seq(("a", 1.0, 1L)).toDF("g", "s", "id")
+    val plan = df.groupBy("g").agg(Ranking.topKBy(col("s"), col("id"), 3).as("top"))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"top-k must not plan a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an imperative aggregate:\n$plan")
+    assert(plan.contains("partial_"), s"map-side partial aggregation missing:\n$plan")
+  }
+
+  test("SQL registration: graft_top_k_by works in spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(("a", 5.0, 1L), ("a", 7.0, 2L)).toDF("g", "s", "id")
+      .createOrReplaceTempView("tk")
+    val out = spark.sql(
+      "SELECT g, graft_top_k_by(s, id, 1) AS top FROM tk GROUP BY g")
+      .as[(String, Seq[(Double, Long)])].collect().toMap
+    assert(out("a") == Seq((7.0, 2L)))
+  }
+}
