@@ -2408,6 +2408,50 @@ object ExtQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    // Incremental distinct counting via PERSISTED mergeable HLL
+    // sketches (Spark 4 hll_sketch_agg / hll_union_agg — Apache
+    // DataSketches): monthly customer sketches land in a snapshot table
+    // as exactly-once incremental batches (binary sketch column in
+    // parquet), one batch is REPLAYED (txn no-op, required in-query),
+    // and the global distinct is answered by UNIONING the stored
+    // sketches — the 100 TB incremental-metrics shape: history is never
+    // rescanned, a new day appends one sketch row and the union stays
+    // KB-sized. The estimate is bound-checked against the exact count
+    // (the agg_approx_distinct contract); the oracle hashes the exact
+    // count + flag.
+    Q("agg_hll_incremental",
+      (s, dir) => {
+        val st = new graft.engine.SnapshotStore(
+          s, s"/tmp/graft_ss_hll_${new java.io.File(dir).getName}")
+        st.dropTable("metrics", "cust_sketch")
+        val o = Tables.orders(s, dir).select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("m"))
+        def batch(b: Int) = o.filter(pmod(year(col("m")), lit(3)) === b)
+          .groupBy(col("m"))
+          .agg(hll_sketch_agg(col("o_custkey")).as("sketch"))
+        (0 until 3).foreach(b =>
+          st.appendIfAbsent(batch(b), "metrics", "cust_sketch", txnId = s"hll-b$b"))
+        st.appendIfAbsent(batch(0), "metrics", "cust_sketch", txnId = "hll-b0") // replay
+        val sk = st.read("metrics", "cust_sketch")
+        // bounded driver scalars (the watermark pattern): months are
+        // few by construction, and the union reduces to ONE sketch row
+        val nMonths = sk.count()
+        val est = sk.agg(hll_sketch_estimate(hll_union_agg(col("sketch"))))
+          .head.getLong(0)
+        val exact = o.agg(countDistinct(col("o_custkey"))).head.getLong(0)
+        require(nMonths == o.select("m").distinct().count(),
+          "replayed sketch batch must commit nothing (exactly-once)")
+        s.range(1).select(
+          lit(nMonths).as("n_months"),
+          lit(exact).as("exact_custs"),
+          (lit(math.abs(est - exact).toDouble / exact) <= 0.05)
+            .cast(IntegerType).as("approx_ok"))
+      },
+      Some("""SELECT CAST(count(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT) AS n_months,
+             |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+             |       CAST(1 AS INTEGER) AS approx_ok
+             |FROM orders""".stripMargin)),
+
     // Bounded-state exact top-k per group ([[graft.functions.
     // TopKByAgg]], surfaced as [[graft.ops.Ranking.topKBy]]): the five
     // highest-priced lineitems per return flag via a k-capped MERGEABLE

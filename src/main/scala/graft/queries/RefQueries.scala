@@ -1537,6 +1537,44 @@ object RefQueries {
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // VACUUM ([[SnapshotStore.vacuum]]), oracle-hashed lifecycle: with
+    // retention 1, a second full overwrite orphans the first
+    // generation's files; vacuum must reclaim EXACTLY those (count
+    // required in-query, physical deletion spot-checked) while the live
+    // snapshot keeps serving its own untouched files — storage
+    // reclamation decoupled from commits, the Delta VACUUM contract.
+    // Oracle: the live generation's content.
+    Q("m_vacuum",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_vac_${new java.io.File(dir).getName}",
+          keepSnapshots = 1)
+        st.dropTable("gold", "monthly")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-06-15 00:00:00")
+        st.overwrite(gold(li.filter(col("l_shipdate") < lit(cut))),
+          "gold", "monthly", Seq("ano"))
+        val orphaned = st.read("gold", "monthly").inputFiles.toSet
+        // retention 1: this commit drops the first generation's manifest
+        st.overwrite(gold(li), "gold", "monthly", Seq("ano"))
+        val live = st.read("gold", "monthly").inputFiles.toSet
+        val removed = st.vacuum("gold", "monthly")
+        require(removed == orphaned.size,
+          s"vacuum must reclaim exactly the orphaned generation: $removed of ${orphaned.size}")
+        require(st.read("gold", "monthly").inputFiles.toSet == live,
+          "vacuum must not touch the live snapshot's files")
+        require(orphaned.forall(f => !new java.io.File(new java.net.URI(f).getPath).exists()),
+          "orphaned files must be physically deleted")
+        st.read("gold", "monthly")
+          .select("sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(s"""SELECT * FROM (${StockOps.goldSql()})
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
     // Metadata-only COUNT(*) (Delta/Iceberg answer counts from the
     // log): the table is committed across TWO generations (overwrite +
     // append, so the manifest sums per-file counts over multiple
