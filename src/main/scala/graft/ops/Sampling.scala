@@ -85,6 +85,38 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling — quality-proportional
+    * corpus downsampling (keep a document with probability = its
+    * weight) without randomness: the per-row uniform is the first 8
+    * md5 hex digits of the id (engine-portable, unlike xxhash64), the
+    * threshold is `floor(w·2³²)` rendered as 8 lower-hex digits, and
+    * the comparison is lexicographic == numeric on fixed-width hex.
+    * Same-id rows decide identically on every engine, rerun, and
+    * partitioning — so incremental batches and the DuckDB oracle agree
+    * row-for-row, where `rand() < w` could never be verified. Pure
+    * projection + filter: no shuffle, whole-stage codegen. Weights
+    * must be in [0, 1] (NULL/out-of-range raise in-plan — a silent
+    * clamp would corrupt sampling proportions); NULL ids are dropped
+    * (no stable decision exists for them). `floor` is explicit because
+    * Spark truncates double→long where DuckDB rounds — the classic
+    * cross-engine cast trap. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String): DataFrame = {
+    val w = col(weightCol)
+    val guarded = when(w.isNull || w < 0 || w > 1,
+      raise_error(concat(lit(s"weightedSample: $weightCol must be in [0, 1], got "),
+        w.cast("string"))).cast("double"))
+      .otherwise(w)
+    val u = substring(md5(col(idCol).cast("string")), 1, 8)
+    val thr = lpad(lower(hex(floor(guarded * lit(4294967296.0)).cast("bigint"))), 8, "0")
+    df.filter(col(idCol).isNotNull && (guarded >= 1.0 || u < thr))
+  }
+
+  /** DuckDB SQL mirror of [[weightedSample]]'s keep predicate. */
+  def weightedSampleSql(idCol: String, weightExpr: String): String =
+    s"""($idCol IS NOT NULL AND (($weightExpr) >= 1.0 OR
+       |  substr(md5(CAST($idCol AS VARCHAR)), 1, 8) <
+       |  lpad(lower(to_hex(CAST(floor(($weightExpr) * 4294967296) AS BIGINT))), 8, '0')))""".stripMargin
+
   /** DuckDB SQL mirror of [[hashSplit]]'s assignment expression. */
   def hashSplitSql(idCol: String, trainFrac: Double = 0.8,
                    valFrac: Double = 0.1): String = {

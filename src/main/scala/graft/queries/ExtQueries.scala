@@ -2142,6 +2142,26 @@ object ExtQueries {
       Some(s"""SELECT doc_id, ${Sampling.hashSplitSql("doc_id")} AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic weighted Bernoulli sampling
+    // ([[Sampling.weightedSample]]): keep each document with
+    // probability proportional to a quality-style weight, decided by
+    // md5 arithmetic instead of rand() — so the exact kept set is
+    // rerun-stable, partitioning-independent, and oracle-hashable
+    // row-for-row (a rand() sample could only ever be checked in
+    // aggregate). Pure filter: no shuffle. The weight here is a
+    // deterministic per-doc stand-in ((doc_id*7 mod 10)/10) spanning
+    // the [0, 0.9] range so every decile is exercised.
+    Q("samp_weighted",
+      (s, dir) => Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"),
+          (pmod(col("doc_id") * 7, lit(10)).cast(DoubleType) / 10.0).as("w")),
+        "doc_id", "w")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, CAST((doc_id * 7) % 10 AS DOUBLE) / 10.0 AS w
+              |FROM documents
+              |WHERE ${Sampling.weightedSampleSql("doc_id", "CAST((doc_id * 7) % 10 AS DOUBLE) / 10.0")}
+              |ORDER BY doc_id""".stripMargin)),
+
     // Deterministic negative sampling ([[Sampling.negativeSample]]):
     // 8 reproducible pseudo-random negatives per anchor from a 1/4
     // hash-slice of the pool — the contrastive-pairs generator whose

@@ -104,4 +104,32 @@ class SamplingSpec extends SparkSpec {
     assert(a.orderBy("id").collect().map(_.getLong(0)).toSeq ==
       b.orderBy("id").collect().map(_.getLong(0)).toSeq)
   }
+
+  test("weightedSample: proportional, deterministic, loud on bad weights") {
+    import spark.implicits._
+    // 10k ids at constant weight 0.3 → kept fraction within a few points
+    val flat = (1L to 10000L).map(i => (i, 0.3)).toDF("id", "w")
+    val kept = Sampling.weightedSample(flat, "id", "w").count()
+    assert(math.abs(kept / 10000.0 - 0.3) < 0.03, s"kept $kept of 10000 at w=0.3")
+    // extremes: w=0 keeps nothing, w=1 keeps everything
+    assert(Sampling.weightedSample(
+      (1L to 100L).map((_, 0.0)).toDF("id", "w"), "id", "w").count() == 0)
+    assert(Sampling.weightedSample(
+      (1L to 100L).map((_, 1.0)).toDF("id", "w"), "id", "w").count() == 100)
+    // deterministic + partition-independent: identical kept SET
+    val mixed = (1L to 2000L).map(i => (i, (i % 10) / 10.0)).toDF("id", "w")
+    val a = Sampling.weightedSample(mixed, "id", "w").select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.weightedSample(mixed.repartition(13), "id", "w")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    // NULL ids dropped (no stable decision); bad weights raise in-plan
+    assert(Sampling.weightedSample(
+      Seq((Option.empty[Long], 0.5)).toDF("id", "w"), "id", "w").count() == 0)
+    val e = intercept[Exception] {
+      Sampling.weightedSample(Seq((1L, 1.5)).toDF("id", "w"), "id", "w").count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("[0, 1]")), chain(e).mkString(" | "))
+  }
 }
