@@ -234,10 +234,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val rels = walk(stage).map(_.toUri.getPath.stripPrefix(stageUri).stripPrefix("/"))
       .filter(_.endsWith(".parquet")).sorted
     val base = new Path(dataDir(layer, table))
+    rels.map(new Path(base, _).getParent).distinct.foreach(fs.mkdirs)
     rels.foreach { rel =>
-      val dst = new Path(base, rel)
-      fs.mkdirs(dst.getParent)
-      require(fs.rename(new Path(stage, rel), dst),
+      require(fs.rename(new Path(stage, rel), new Path(base, rel)),
         s"SnapshotStore: failed to move staged file $rel into the pool of $layer/$table")
     }
     fs.delete(stage, true)
