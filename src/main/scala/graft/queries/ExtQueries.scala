@@ -52,6 +52,42 @@ object ExtQueries {
       |FROM acts a JOIN cohorts c ON a.u = c.u
       |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin
 
+  /** Shared by ev_funnel (batch) and stream_funnel_final (the funnel
+    * derived from the sink's compacted stage-event index). */
+  private val funnelOracleSql =
+    """WITH e AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events),
+      |r1 AS (SELECT u, min(t) AS tr FROM e WHERE et = 'signup' GROUP BY u),
+      |r2 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r1 ON e.u = r1.u
+      |       WHERE e.et = 'view' AND e.t > r1.tr GROUP BY e.u),
+      |r3 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r2 ON e.u = r2.u
+      |       WHERE e.et = 'click' AND e.t > r2.tr GROUP BY e.u),
+      |r4 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r3 ON e.u = r3.u
+      |       WHERE e.et = 'purchase' AND e.t > r3.tr GROUP BY e.u)
+      |SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT count(*) FROM r1) AS n_users
+      |UNION ALL
+      |SELECT 2, 'view', (SELECT count(*) FROM r2)
+      |UNION ALL
+      |SELECT 3, 'click', (SELECT count(*) FROM r3)
+      |UNION ALL
+      |SELECT 4, 'purchase', (SELECT count(*) FROM r4)
+      |ORDER BY stage_idx""".stripMargin
+
+  /** Shared by ev_transitions (batch) and stream_transitions_final
+    * (the matrix derived from the sink's compacted event index). */
+  private val transitionsOracleSql =
+    """WITH seq AS (SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS from_type
+      |       FROM events),
+      |cnt AS (SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+      |        FROM cnt GROUP BY 1)
+      |SELECT cnt.from_type, cnt.to_type, cnt.n,
+      |       CAST(cnt.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p
+      |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
+      |ORDER BY cnt.from_type, cnt.to_type""".stripMargin
+
   /** Shared by s11_json_quarantine (batch) and stream_dlq_final (the
     * DLQ sink's two maintained lanes) — identical by construction. */
   private val quarantineOracleSql =
@@ -1386,18 +1422,7 @@ object ExtQueries {
       (s, dir) => EventOps.transitionMatrix(Tables.events(s, dir),
         "user_id", "event_type", "ts", "event_id")
         .orderBy("from_type", "to_type"),
-      Some("""WITH seq AS (SELECT user_id, event_type,
-             |         lag(event_type) OVER (PARTITION BY user_id
-             |                               ORDER BY ts, event_id) AS from_type
-             |       FROM events),
-             |cnt AS (SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
-             |        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
-             |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
-             |        FROM cnt GROUP BY 1)
-             |SELECT cnt.from_type, cnt.to_type, cnt.n,
-             |       CAST(cnt.n AS DOUBLE) / CAST(tot.row_total AS DOUBLE) AS p
-             |FROM cnt JOIN tot ON cnt.from_type = tot.from_type
-             |ORDER BY cnt.from_type, cnt.to_type""".stripMargin)),
+      Some(transitionsOracleSql)),
 
     // Interval union ([[EventOps.mergeIntervals]]): each supplier's
     // in-transit windows [shipdate, receiptdate] merged into maximal
@@ -1476,22 +1501,7 @@ object ExtQueries {
       (s, dir) => EventOps.funnel(Tables.events(s, dir),
         "user_id", "event_type", "ts", Seq("signup", "view", "click", "purchase"))
         .orderBy("stage_idx"),
-      Some("""WITH e AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events),
-             |r1 AS (SELECT u, min(t) AS tr FROM e WHERE et = 'signup' GROUP BY u),
-             |r2 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r1 ON e.u = r1.u
-             |       WHERE e.et = 'view' AND e.t > r1.tr GROUP BY e.u),
-             |r3 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r2 ON e.u = r2.u
-             |       WHERE e.et = 'click' AND e.t > r2.tr GROUP BY e.u),
-             |r4 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r3 ON e.u = r3.u
-             |       WHERE e.et = 'purchase' AND e.t > r3.tr GROUP BY e.u)
-             |SELECT 1 AS stage_idx, 'signup' AS stage, (SELECT count(*) FROM r1) AS n_users
-             |UNION ALL
-             |SELECT 2, 'view', (SELECT count(*) FROM r2)
-             |UNION ALL
-             |SELECT 3, 'click', (SELECT count(*) FROM r3)
-             |UNION ALL
-             |SELECT 4, 'purchase', (SELECT count(*) FROM r4)
-             |ORDER BY stage_idx""".stripMargin)),
+      Some(funnelOracleSql)),
 
     // Windowed funnel: each stage must land within 1 day of reaching
     // the previous stage — the bounded-step semantics real product
@@ -1611,6 +1621,54 @@ object ExtQueries {
               |UNION ALL
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
+    // Streaming funnel, oracle-hashed end state: the event stream
+    // drains through [[StreamOps.funnelEventsSink]] (per micro-batch,
+    // an insert-only MERGE into the compacted distinct (user, stage,
+    // ts) index — the minimal sufficient input, since per-stage minima
+    // cannot merge incrementally under late events), then the funnel
+    // derived from the maintained index must land exactly on the
+    // one-shot batch funnel's oracle, whatever the batch boundaries.
+    Q("stream_funnel_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_fun_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val staged = s"$base/in"
+        Tables.events(s, dir).repartition(4).write.parquet(staged)
+        val stages = Seq("signup", "view", "click", "purchase")
+        val wh = new Warehouse(s, s"$base/wh")
+        StreamOps.funnelEventsSink(
+          StreamOps.eventStream(s, staged, s.read.parquet(staged).schema,
+            maxFilesPerTrigger = Some(2)),
+          wh, "silver", stages, s"$base/ckpt").awaitTermination()
+        StreamOps.funnelFromWarehouse(wh, "silver", stages).orderBy("stage_idx")
+      },
+      Some(funnelOracleSql)),
+
+    // Streaming transition matrix, oracle-hashed end state: same
+    // compacted-index argument ([[StreamOps.transitionEventsSink]] —
+    // one late event can rewrite two transitions, so per-batch counts
+    // cannot merge; the distinct event index can), matrix derived from
+    // the maintained index == the batch matrix's oracle.
+    Q("stream_transitions_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_trn_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val staged = s"$base/in"
+        Tables.events(s, dir).repartition(4).write.parquet(staged)
+        val wh = new Warehouse(s, s"$base/wh")
+        StreamOps.transitionEventsSink(
+          StreamOps.eventStream(s, staged, s.read.parquet(staged).schema,
+            maxFilesPerTrigger = Some(2)),
+          wh, "silver", s"$base/ckpt").awaitTermination()
+        StreamOps.transitionsFromWarehouse(wh, "silver")
+          .orderBy("from_type", "to_type")
+      },
+      Some(transitionsOracleSql)),
 
     // Streaming DEAD-LETTER QUEUE, oracle-hashed end state
     // ([[StreamOps.quarantineSink]]): the corrupted-payload corpus (every
