@@ -116,6 +116,28 @@ object Profile {
     binnedQuantiles(long, Seq("column_name"), "__v", binWidthCents, ps)
   }
 
+  /** Winsorization — robust-statistics outlier clipping, the
+    * preprocessing step quality filters reach for when hard thresholds
+    * are too blunt: every value is clipped into its GROUP's
+    * [pLo, pHi] band, with the band estimated by [[binnedQuantiles]]
+    * (so the whole operation stays bounded-state at 100 TB: no
+    * per-group sort, the band table is keys-cardinality and joins back
+    * onto the rows — broadcast when small, plain equi-join otherwise).
+    * Output: the input plus `<valueCol>_wins` (double, clipped); the
+    * original column is untouched for auditability. */
+  def winsorize(df: DataFrame, keys: Seq[String], valueCol: String,
+                binWidthCents: Long, pLo: Double, pHi: Double): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"winsorize: need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val bands = binnedQuantiles(df, keys, valueCol, binWidthCents, Seq(pLo, pHi))
+      .withColumnRenamed(quantileColName(pLo), "__lo")
+      .withColumnRenamed(quantileColName(pHi), "__hi")
+    df.join(bands, keys)
+      .withColumn(s"${valueCol}_wins",
+        least(greatest(col(valueCol).cast(DoubleType), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Column name for quantile `p`: the full decimal of `p·100` with
     * `_` for the decimal point — collision-free by construction (two
     * distinct ps always differ in some digit). Shared by the Scala

@@ -2584,6 +2584,42 @@ object ExtQueries {
               |GROUP BY 1, 2
               |ORDER BY sigla_empresa, bucket_start""".stripMargin)),
 
+    // Winsorization ([[Profile.winsorize]]): extended prices clipped
+    // into each return flag's binned [p05, p95] band — robust-stats
+    // outlier handling whose band estimation stays bounded-state
+    // (histogram bins, no per-group sort). The oracle replays the
+    // identical binning + interpolation + least/greatest clip.
+    Q("t_winsorize",
+      (s, dir) => Profile.winsorize(
+        Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 50 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            col("l_extendedprice")),
+        Seq("l_returnflag"), "l_extendedprice",
+        binWidthCents = 100000L, pLo = 0.05, pHi = 0.95)
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""WITH src AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+              |            FROM lineitem WHERE l_orderkey % 50 = 0),
+              |c AS (SELECT l_returnflag,
+              |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS bin
+              |  FROM src WHERE l_extendedprice IS NOT NULL),
+              |cnts AS (SELECT l_returnflag, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+              |         FROM c GROUP BY 1, 2),
+              |cum AS (SELECT l_returnflag, bin, cnt,
+              |          CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin
+              |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |          CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+              |        FROM cnts),
+              |bands AS (SELECT l_returnflag,
+              |    ${Profile.binnedQuantileSql(0.05, 100000L)},
+              |    ${Profile.binnedQuantileSql(0.95, 100000L)}
+              |  FROM cum GROUP BY l_returnflag)
+              |SELECT s.l_orderkey, s.l_linenumber, s.l_returnflag, s.l_extendedprice,
+              |       least(greatest(CAST(s.l_extendedprice AS DOUBLE), b.p5), b.p95)
+              |         AS l_extendedprice_wins
+              |FROM src s JOIN bands b USING (l_returnflag)
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // Exact keyed Pearson correlation ([[TimeSeries.pearsonByKey]]):
     // quantity↔revenue correlation per supplier. Native corr() is
     // banned from oracle paths (order-dependent float partials in both
@@ -2710,6 +2746,27 @@ object ExtQueries {
               |deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY src)
               |SELECT degree, COUNT(*) AS nodes FROM deg
               |GROUP BY degree ORDER BY degree""".stripMargin)),
+
+    // Connected components as a first-class graph query
+    // ([[Dedup.connectedComponents]] — the same label-propagation core
+    // the dedup pipelines build on, here oracle-hashed directly):
+    // component = min node id reachable, converged by min-label pull
+    // rounds over the symmetrized edges. The oracle computes min
+    // reachable id per node via a recursive CTE — exact integer labels,
+    // so the hash has zero tolerance.
+    Q("gr_components",
+      (s, dir) => Dedup.connectedComponents(
+        graphEdges(s, dir).select(col("src").as("id_a"), col("dst").as("id_b")),
+        maxIter = 20)
+        .select(col("id").as("node"), col("component"))
+        .orderBy("node"),
+      Some(s"""WITH RECURSIVE $graphEdgesSql,
+              |reach(node, r) AS (
+              |  SELECT src AS node, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+              |SELECT node, MIN(r) AS component FROM reach
+              |GROUP BY node ORDER BY node""".stripMargin)),
 
     // PageRank, 3 fixed-point rounds (graph-importance curation signal;
     // [[graft.ops.Graph.pageRank]] — per-round one keyed join + one
