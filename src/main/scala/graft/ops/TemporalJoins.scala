@@ -80,4 +80,40 @@ object TemporalJoins {
       .filter(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /**
+   * Interval-interval OVERLAP join via the same binning trick — the
+   * general range join (Allen "overlaps ∪ contains ∪ equals") that a
+   * naive formulation makes a cartesian with a residual predicate:
+   * both sides explode into the fixed-size bins they cover, pairs meet
+   * by bin equi-join, the residual keeps exact CLOSED-interval overlap
+   * (`ls <= re AND rs <= le`). A pair sharing several bins would
+   * surface once per shared bin, so each match is kept only in the
+   * FIRST shared bin (`max(floor(ls/bin), floor(rs/bin))`) — dedup by
+   * arithmetic, not a distinct shuffle. Choose `binSize` near the
+   * typical interval span: per-row bin fan-out is span/binSize + 1
+   * (the usual binning trade; a huge outlier interval multiplies its
+   * own rows only). Column names must be disjoint between the sides
+   * (enforced) — alias before calling.
+   */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          binSize: Long): DataFrame = {
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"intervalOverlapJoin: column(s) ${clash.mkString(", ")} exist on both sides — " +
+        "alias them first (the overlap predicate needs unambiguous names)")
+    def binned(df: DataFrame, s: String, e: String) = df
+      .filter(col(s) <= col(e)) // closed intervals: empty = start > end
+      .withColumn("__bin", explode(sequence(
+        floor(col(s) / binSize), floor(col(e) / binSize))))
+    binned(left, lStart, lEnd).join(binned(right, rStart, rEnd), Seq("__bin"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      // keep each pair in its first SHARED bin only: bins are truncated
+      // starts, so the first shared bin is the larger of the two
+      .filter(col("__bin") === greatest(floor(col(lStart) / binSize),
+        floor(col(rStart) / binSize)))
+      .drop("__bin")
+  }
 }

@@ -2584,6 +2584,47 @@ object ExtQueries {
               |GROUP BY 1, 2
               |ORDER BY sigla_empresa, bucket_start""".stripMargin)),
 
+    // Interval-interval OVERLAP join ([[TemporalJoins.
+    // intervalOverlapJoin]]): supplier in-transit windows × 30-day
+    // audit windows — the general range join a naive formulation makes
+    // a CARTESIAN with a residual predicate. Both interval sets explode
+    // into fixed bins, pairs meet by bin EQUI-join, the residual keeps
+    // exact closed overlap, and each pair is kept only in its first
+    // shared bin (arithmetic dedup, no distinct shuffle). The oracle is
+    // the plain quadratic overlap join DuckDB can afford at this size.
+    Q("j_interval_overlap",
+      (s, dir) => {
+        def days(c: String) = datediff(col(c).cast(DateType),
+          lit("1970-01-01").cast(DateType)).cast(LongType)
+        // synthetic transit span (the table has no receipt date):
+        // 1-45 days, deterministic per line
+        val transit = Tables.lineitem(s, dir).filter(col("l_suppkey") < 10)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+            days("l_shipdate").as("t_start"),
+            (days("l_shipdate") + pmod(col("l_orderkey") + col("l_linenumber"), lit(45)) + 1)
+              .as("t_end"))
+        val audits = Tables.orders(s, dir).filter(col("o_custkey") < 10)
+          .select(col("o_orderkey").as("a_id"), days("o_orderdate").as("a_start"),
+            (days("o_orderdate") + 30).as("a_end"))
+        graft.ops.TemporalJoins.intervalOverlapJoin(
+          transit, audits, "t_start", "t_end", "a_start", "a_end", binSize = 32)
+          .orderBy("l_orderkey", "l_linenumber", "a_id")
+      },
+      Some("""WITH transit AS (SELECT l_orderkey, l_linenumber, l_suppkey,
+             |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS t_start,
+             |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      + (l_orderkey + l_linenumber) % 45 + 1 AS t_end
+             |  FROM lineitem WHERE l_suppkey < 10),
+             |audits AS (SELECT o_orderkey AS a_id,
+             |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS a_start,
+             |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) + 30 AS a_end
+             |  FROM orders WHERE o_custkey < 10)
+             |SELECT t.l_orderkey, t.l_linenumber, t.l_suppkey, t.t_start, t.t_end,
+             |       a.a_id, a.a_start, a.a_end
+             |FROM transit t JOIN audits a
+             |  ON t.t_start <= a.a_end AND a.a_start <= t.t_end
+             |ORDER BY l_orderkey, l_linenumber, a_id""".stripMargin)),
+
     // Winsorization ([[Profile.winsorize]]): extended prices clipped
     // into each return flag's binned [p05, p95] band — robust-stats
     // outlier handling whose band estimation stays bounded-state

@@ -70,4 +70,28 @@ class TemporalJoinsSpec extends SparkSpec {
       assert(n == expected, s"binSize $bin: $n != $expected")
     }
   }
+
+  test("intervalOverlapJoin: each overlapping pair exactly once, any bin size") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 120).map { i =>
+      val s = rnd.nextInt(400).toLong; (i.toLong, s, s + rnd.nextInt(60))
+    }.toDF("lid", "ls", "le")
+    val right = (1 to 80).map { i =>
+      val s = rnd.nextInt(400).toLong; (i.toLong, s, s + rnd.nextInt(90))
+    }.toDF("rid", "rs", "re")
+    val expected = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    // multi-bin-spanning pairs must NOT duplicate, zero-width intervals count
+    Seq(1L, 7L, 64L, 1000L).foreach { bin =>
+      val got = TemporalJoins.intervalOverlapJoin(left, right, "ls", "le", "rs", "re", bin)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == expected, s"binSize $bin: ${got.size} pairs != ${expected.size}")
+    }
+    // shared column names refuse loudly
+    intercept[IllegalArgumentException] {
+      TemporalJoins.intervalOverlapJoin(left, left, "ls", "le", "ls", "le", 10L)
+    }
+  }
 }
