@@ -250,6 +250,38 @@ object TextOps {
     * ([[graft.functions.WordShingleHashes]]): the dedup-family front
     * end (Jaccard postings, MinHash input, SimHash token votes).
     * Hash-identical to `xxhash64(array_join(slice(tokens,...)))`. */
+  /** Corpus-level BOILERPLATE LINE removal (C4's global form of line
+    * dedup, beyond the per-document stats of the dup-lines operator):
+    * a line appearing in at least `minDocs` DISTINCT documents —
+    * navigation chrome, cookie banners, license footers — is removed
+    * from EVERY document, and each survivor document is reassembled in
+    * original line order. Documents left with zero lines drop out
+    * (C4's behavior).
+    *
+    * Scale shape: explode to (doc, pos, line) — one pass; the
+    * boilerplate set is ONE map-side-combined count-distinct keyed on
+    * the line (its cardinality is the distinct-line count, and the
+    * SELECTED set is small by construction — boilerplate is what
+    * repeats); removal is a left-anti equi-join on the line;
+    * reassembly is one keyed aggregate whose per-group state is the
+    * document's own lines (bounded by document length, never corpus
+    * size). No window over the corpus, no driver reads. */
+  def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                             minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"removeBoilerplateLines: minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__line")))
+    val boiler = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__line"))
+    lines.join(boiler, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        expr("transform(array_sort(collect_list(struct(__pos, __line))), x -> x.__line)"))
+        .as(textCol))
+  }
+
   def shingleHashes(text: Column, n: Int, distinct: Boolean = true): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(graft.functions.WordShingleHashes(Bridge.expression(text), n, distinct))

@@ -848,6 +848,28 @@ object ExtQueries {
     // at the end so both engines agree bit-exactly. Every 4th doc has
     // an injected duplicate first line, so the operator provably
     // counts (dup_line_frac > 0 exactly there plus natural repeats).
+    // Corpus-level boilerplate removal ([[TextOps.
+    // removeBoilerplateLines]]): lines shared by >= 3 distinct docs
+    // (the injected "lorem ipsum dolor." every 97th doc, plus natural
+    // repeats) vanish from EVERY doc; survivors reassemble in original
+    // line order; all-boilerplate docs drop out — C4's global line
+    // dedup, beyond t_dup_lines' per-doc stats. Oracle: identical
+    // explode → count-distinct gate → anti-join → ordered string_agg.
+    Q("t_boilerplate",
+      (s, dir) => TextOps.removeBoilerplateLines(
+        lineCorpus(s, dir), "doc_id", "text", minDocs = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH $lineCorpusSql,
+              |lines AS (SELECT doc_id,
+              |    unnest(string_split(text, chr(10))) AS line,
+              |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+              |  FROM lc),
+              |boiler AS (SELECT line FROM lines GROUP BY line
+              |           HAVING COUNT(DISTINCT doc_id) >= 3)
+              |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              |FROM lines ANTI JOIN boiler USING (line)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     Q("t_dup_lines",
       (s, dir) => lineCorpus(s, dir)
         .select(col("doc_id"), split(col("text"), "\n").as("lines"))
