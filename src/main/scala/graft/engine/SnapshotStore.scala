@@ -276,7 +276,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       count(lit(1)).cast("string").as("__rows")
     val rows = df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*).collect()
     val baseUriPath = new Path(base).toUri.getPath
-    rows.map { r =>
+    val withRows = rows.map { r =>
       val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
       val rel = abs.stripPrefix(baseUriPath).stripPrefix("/")
       val colStats = present.flatMap { c =>
@@ -288,6 +288,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       val n = r.getAs[String]("__rows")
       rel -> (colStats + (RowCountStat -> (n, n)))
     }.toMap
+    // a ZERO-ROW file yields no input_file_name group, but its row
+    // count is KNOWN (0) — record it, or one empty task output would
+    // silently disable the metadata COUNT path for the whole table
+    withRows ++ added.filterNot(withRows.contains)
+      .map(f => f -> Map(RowCountStat -> ("0", "0")))
   }
 
   /** Reserved per-file stats key carrying the file's row count (stored

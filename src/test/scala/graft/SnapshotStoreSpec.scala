@@ -132,6 +132,20 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(bare.countRows("silver", "t").isEmpty)
   }
 
+  test("zero-row task files do not disable the metadata COUNT path") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_cnt_z").toString,
+      statsFor = Seq("id"))
+    // repartition(4) over 2 rows leaves empty tasks, which write
+    // zero-row files on some plans — their count is known (0)
+    st.overwrite((1L to 2L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4),
+      "silver", "t")
+    st.append(spark.range(0).selectExpr("id", "CAST(id AS STRING) AS v"), "silver", "t")
+    assert(st.countRows("silver", "t").contains(2L),
+      s"metadata count must survive empty files, got ${st.countRows("silver", "t")}")
+    assert(st.countDF("silver", "t").inputFiles.isEmpty)
+  }
+
   test("countDF takes the metadata path when stats are complete, scans otherwise") {
     val st = new SnapshotStore(spark,
       java.nio.file.Files.createTempDirectory("graft_ss_cdf").toString,
