@@ -244,7 +244,18 @@ object EventOps {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val base = events.select(
       col(userCol).as("u"), col(typeCol).as("et"), col(tsCol).as("t"))
-    val reaches = stages.zipWithIndex.foldLeft(Vector.empty[DataFrame]) {
+    val reaches = reachChain(base, stages)
+    stages.zip(reaches).zipWithIndex.map { case ((st, r), i) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The per-user stage reach-time chain [[funnel]] counts over:
+    * element i = `(u, tr)` of users who reached stage i, with their
+    * earliest qualifying time. */
+  private def reachChain(base: DataFrame, stages: Seq[String]): Vector[DataFrame] =
+    stages.zipWithIndex.foldLeft(Vector.empty[DataFrame]) {
       case (acc, (st, i)) =>
         val r =
           if (i == 0)
@@ -256,9 +267,38 @@ object EventOps {
               .groupBy("u").agg(min(col("t")).as("tr"))
         acc :+ r
     }
-    stages.zip(reaches).zipWithIndex.map { case ((st, r), i) =>
-      r.agg(count(lit(1)).as("n_users"))
-        .select(lit(i + 1).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+
+  /**
+   * Time-to-convert per funnel step — the latency distribution product
+   * analytics reads next to the counts [[funnel]] gives: for every
+   * consecutive stage pair, how long users who made the step took
+   * (reach-time difference), as `(step_idx, from_stage, to_stage,
+   * n_converted, min_us, p50_us, max_us)` in exact MICROSECONDS
+   * (integer diffs — engine-portable where fractional epoch seconds
+   * truncate differently across engines; the p50 midpoint of two
+   * integers is exactly representable). Same reach-chain plan as the
+   * funnel plus one keyed join per step; each step's aggregate is one
+   * row. Users at stage i are a subset of stage i-1 by construction,
+   * so the join drops nobody.
+   */
+  def funnelLatency(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "funnelLatency needs at least two stages")
+    val base = events.select(
+      col(userCol).as("u"), col(typeCol).as("et"), col(tsCol).as("t"))
+    val reaches = reachChain(base, stages)
+    (1 until stages.size).map { i =>
+      val from = reaches(i - 1).select(col("u"), unix_micros(col("tr")).as("t_from"))
+      val to = reaches(i).select(col("u"), unix_micros(col("tr")).as("t_to"))
+      to.join(from, "u")
+        .select((col("t_to") - col("t_from")).as("lat"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("lat")).as("min_us"),
+          percentile(col("lat"), lit(0.5)).as("p50_us"),
+          max(col("lat")).as("max_us"))
+        .select(lit(i).as("step_idx"), lit(stages(i - 1)).as("from_stage"),
+          lit(stages(i)).as("to_stage"), col("n_converted"),
+          col("min_us"), col("p50_us"), col("max_us"))
     }.reduce(_ unionByName _)
   }
 

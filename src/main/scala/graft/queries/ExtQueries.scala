@@ -1525,6 +1525,42 @@ object ExtQueries {
         .orderBy("stage_idx"),
       Some(funnelOracleSql)),
 
+    // Time-to-convert per funnel step ([[EventOps.funnelLatency]]):
+    // reach-time differences per consecutive stage pair in exact
+    // integer microseconds (fractional epoch seconds truncate
+    // differently across engines), with n/min/p50/max per step — the
+    // latency read product analytics puts next to the funnel counts.
+    // p50 is an exact percentile over integers at a binary-exact
+    // fraction, so quantile_cont mirrors it bit-for-bit.
+    Q("ev_time_to_convert",
+      (s, dir) => EventOps.funnelLatency(Tables.events(s, dir),
+        "user_id", "event_type", "ts", Seq("signup", "view", "click", "purchase"))
+        .orderBy("step_idx"),
+      Some("""WITH e AS (SELECT user_id AS u, event_type AS et, ts AS t FROM events),
+             |r1 AS (SELECT u, min(t) AS tr FROM e WHERE et = 'signup' GROUP BY u),
+             |r2 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r1 ON e.u = r1.u
+             |       WHERE e.et = 'view' AND e.t > r1.tr GROUP BY e.u),
+             |r3 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r2 ON e.u = r2.u
+             |       WHERE e.et = 'click' AND e.t > r2.tr GROUP BY e.u),
+             |r4 AS (SELECT e.u, min(e.t) AS tr FROM e JOIN r3 ON e.u = r3.u
+             |       WHERE e.et = 'purchase' AND e.t > r3.tr GROUP BY e.u),
+             |lat AS (
+             |  SELECT 1 AS step_idx, 'signup' AS from_stage, 'view' AS to_stage,
+             |         epoch_us(b.tr) - epoch_us(a.tr) AS lat
+             |  FROM r2 b JOIN r1 a ON b.u = a.u
+             |  UNION ALL
+             |  SELECT 2, 'view', 'click', epoch_us(b.tr) - epoch_us(a.tr)
+             |  FROM r3 b JOIN r2 a ON b.u = a.u
+             |  UNION ALL
+             |  SELECT 3, 'click', 'purchase', epoch_us(b.tr) - epoch_us(a.tr)
+             |  FROM r4 b JOIN r3 a ON b.u = a.u)
+             |SELECT step_idx, from_stage, to_stage,
+             |       CAST(count(*) AS BIGINT) AS n_converted,
+             |       CAST(min(lat) AS BIGINT) AS min_us,
+             |       quantile_cont(lat, 0.5) AS p50_us,
+             |       CAST(max(lat) AS BIGINT) AS max_us
+             |FROM lat GROUP BY 1, 2, 3 ORDER BY step_idx""".stripMargin)),
+
     // Windowed funnel: each stage must land within 1 day of reaching
     // the previous stage — the bounded-step semantics real product
     // funnels use. Same chain plan as ev_funnel plus one range
