@@ -35,17 +35,47 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** N-dimensional Morton/Z-value: output bit `n·i + d` is bit i of
+    * dimension d — the round-robin bit interleave for ANY dimension
+    * count, so 3- and 4-column clusterings are first-class (zValue2 is
+    * the n=2 special case, kept for its hot-path arity). Total output
+    * bits n·bits must fit a signed long; still a pure shift/AND/OR
+    * projection inside whole-stage codegen. */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size >= 2, s"zValueN: need >= 2 dimensions, got ${dims.size}")
+    require(bits >= 1 && dims.size * bits <= 63,
+      s"zValueN: ${dims.size} dims x $bits bits must be <= 63 total")
+    val n = dims.size
+    val terms = (0 until bits).flatMap { i =>
+      dims.zipWithIndex.map { case (d, j) =>
+        shiftleft(shiftrightunsigned(d, i).bitwiseAND(lit(1L)), n * i + j)
+      }
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
   /** Cluster `df` in z-order of two bounded int columns: one range
     * exchange on the z-value, rows sorted by it within partitions.
     * Write the result with `partitionBy`-free parquet and each file's
     * min/max footer is tight in BOTH dimensions. */
   def zorder2(df: DataFrame, xCol: String, yCol: String, bits: Int,
+              numPartitions: Int): DataFrame =
+    zorderN(df, Seq(xCol, yCol), bits, numPartitions)
+
+  /** N-column z-order clustering — each written file covers a compact
+    * n-dimensional tile, so conjunctive stats pruning
+    * ([[graft.engine.SnapshotStore.readWhere]]) prunes on EVERY
+    * participating dimension multiplicatively. One range exchange
+    * regardless of dimension count. */
+  def zorderN(df: DataFrame, cols: Seq[String], bits: Int,
               numPartitions: Int): DataFrame = {
     // pick a helper-column name the input provably doesn't use, so an
     // existing user column is never silently replaced then dropped
     val zvName = Iterator.from(0).map(i => if (i == 0) "__zv" else s"__zv$i")
       .find(n => !df.columns.contains(n)).get
-    val zv = zValue2(col(xCol), col(yCol), bits)
+    val zv =
+      if (cols.size == 2) zValue2(col(cols.head), col(cols(1)), bits)
+      else zValueN(cols.map(col), bits)
     df.withColumn(zvName, zv)
       .repartitionByRange(numPartitions, col(zvName))
       .sortWithinPartitions(zvName)

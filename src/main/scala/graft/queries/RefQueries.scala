@@ -1513,6 +1513,42 @@ object RefQueries {
               |WHERE x BETWEEN 100 AND 227 AND y BETWEEN 100 AND 227
               |GROUP BY x, y ORDER BY x, y""".stripMargin)),
 
+    // THREE-dimensional z-order + conjunctive stats skipping
+    // ([[graft.ops.Layout.zorderN]]): the (x, y, z) key triple is
+    // Morton-interleaved so each file covers a compact 3-D tile and a
+    // tile query prunes on ALL THREE ranges multiplicatively
+    // driver-side — the in-query require pins that most files were
+    // skipped; any 1-D or 2-D clustering would leave the remaining
+    // dimension's spans full-width. Oracle: the tile's exact aggregate.
+    Q("m_snapshot_zorder3",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_z3_${new java.io.File(dir).getName}",
+          statsFor = Seq("x", "y", "z"))
+        st.dropTable("silver", "xyz")
+        val xyz = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 256).cast(LongType).as("x"),
+          (col("l_partkey") % 256).cast(LongType).as("y"),
+          (col("l_suppkey") % 256).cast(LongType).as("z"),
+          col("l_quantity"))
+        st.overwrite(graft.ops.Layout.zorderN(xyz, Seq("x", "y", "z"),
+          bits = 8, numPartitions = 16), "silver", "xyz")
+        val total = st.read("silver", "xyz").inputFiles.length
+        val tile = st.readWhere("silver", "xyz",
+          Map("x" -> ("32", "95"), "y" -> ("32", "95"), "z" -> ("32", "95")))
+        require(tile.inputFiles.length < total,
+          s"3-D z-order stats skipping pruned nothing: ${tile.inputFiles.length} of $total files")
+        tile.groupBy("x", "y", "z")
+          .agg(count(lit(1)).as("n_rows"), Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("x", "y", "z")
+      },
+      Some(s"""SELECT x, y, z, count(*) AS n_rows, ${Det.dsumSql("l_quantity")} AS sum_qty
+              |FROM (SELECT CAST(l_orderkey % 256 AS BIGINT) AS x,
+              |             CAST(l_partkey % 256 AS BIGINT) AS y,
+              |             CAST(l_suppkey % 256 AS BIGINT) AS z, l_quantity
+              |      FROM lineitem)
+              |WHERE x BETWEEN 32 AND 95 AND y BETWEEN 32 AND 95 AND z BETWEEN 32 AND 95
+              |GROUP BY x, y, z ORDER BY x, y, z""".stripMargin)),
+
     Q("m_snapshot_skipping",
       (s, dir) => {
         val st = new SnapshotStore(s, s"/tmp/graft_ss_skip_${new java.io.File(dir).getName}",
