@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions.{broadcast, col, sum}
 
 /**
  * Keyed merge semantics — the reference's most distinctive operators,
@@ -85,6 +85,32 @@ object Merge {
   def upsertSmallStaged(existing: DataFrame, staged: DataFrame, keys: Seq[String]): DataFrame =
     existing.join(broadcast(staged.select(keys.map(staged(_)): _*)), keys, "left_anti")
       .unionByName(staged)
+
+  /** Self-maintainable ADDITIVE rollup merge — incremental
+    * materialized-view refresh for SUM/COUNT aggregates (the
+    * generalization of the reference's dbt incremental monthly model,
+    * monthly_stock_summary.sql:26-31, which re-aggregates a watermarked
+    * slice): the maintained rollup and a new increment's PARTIAL
+    * aggregates combine by union + re-sum on the group keys, so a
+    * refresh costs the DELTA's volume plus a keys-cardinality
+    * aggregate — the table of raw history is never rescanned. Only
+    * ADDITIVE measures compose this way (SUM, COUNT; AVG = maintained
+    * SUM/COUNT pair, MIN/MAX only under insert-only streams); keep
+    * sums in exact types (DECIMAL/BIGINT) — double partials would make
+    * the refresh order-visible. */
+  def mergeAdditive(rollup: DataFrame, delta: DataFrame, keys: Seq[String],
+                    addCols: Seq[String]): DataFrame = {
+    require(addCols.nonEmpty, "mergeAdditive: no additive columns given")
+    val cols = keys ++ addCols
+    Seq(rollup, delta).foreach { df =>
+      val missing = cols.filterNot(df.columns.contains)
+      require(missing.isEmpty, s"mergeAdditive: missing column(s): ${missing.mkString(", ")}")
+    }
+    rollup.select(cols.map(col): _*).unionByName(delta.select(cols.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col(addCols.head)).as(addCols.head),
+        addCols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
 
   /** Schema-evolving union (the reference's `mergeSchema` write option,
     * W4, transforme_stock_silver.py:146): columns missing on either

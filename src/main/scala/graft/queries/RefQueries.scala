@@ -1573,6 +1573,40 @@ object RefQueries {
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Incremental aggregate maintenance ([[Merge.mergeAdditive]]): a
+    // monthly rollup maintained from a BASE slice is refreshed with the
+    // increment's partial aggregates — union + re-sum on the keys, the
+    // raw history never rescanned (the reference's dbt incremental
+    // monthly model re-aggregates a watermarked slice; this is the
+    // self-maintainable form). Sums ride DECIMAL partials (exact,
+    // order-independent); AVG derives from the maintained SUM/COUNT at
+    // read time. Oracle: the one-shot full aggregation — refresh and
+    // recompute must be indistinguishable.
+    Q("m_incremental_agg",
+      (s, dir) => {
+        def partial(src: DataFrame) = src
+          .groupBy(col("l_returnflag"),
+            date_trunc("month", col("l_shipdate")).cast(DateType).as("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("sum_qty"))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+        val base = partial(li.filter(col("l_shipdate") < lit(cut)))
+        val delta = partial(li.filter(col("l_shipdate") >= lit(cut)))
+        Merge.mergeAdditive(base, delta, Seq("l_returnflag", "m"),
+          Seq("n_rows", "sum_qty"))
+          .select(col("l_returnflag"), col("m"), col("n_rows"),
+            col("sum_qty").cast(DoubleType).as("sum_qty"),
+            (col("sum_qty").cast(DoubleType) / col("n_rows")).as("avg_qty"))
+          .orderBy("l_returnflag", "m")
+      },
+      Some(s"""SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE) AS m,
+              |       CAST(count(*) AS BIGINT) AS n_rows,
+              |       ${Det.dsumSql("l_quantity")} AS sum_qty,
+              |       ${Det.dsumSql("l_quantity")} / count(*) AS avg_qty
+              |FROM lineitem GROUP BY 1, 2
+              |ORDER BY l_returnflag, m""".stripMargin)),
+
     // VACUUM ([[SnapshotStore.vacuum]]), oracle-hashed lifecycle: with
     // retention 1, a second full overwrite orphans the first
     // generation's files; vacuum must reclaim EXACTLY those (count
