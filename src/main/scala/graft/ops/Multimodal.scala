@@ -82,6 +82,51 @@ object Multimodal {
     buf.array()
   }
 
+  /** REAL PNG container parser — pure JVM. Validates the 8-byte PNG
+    * signature and the mandatory FIRST chunk (IHDR: declared length 13,
+    * type bytes "IHDR"), reads width/height/bitDepth BIG-endian (PNG is
+    * network byte order, unlike BMP/RIFF), and VERIFIES the IHDR CRC32
+    * (type + data, java.util.zip.CRC32 — the polynomial the PNG spec
+    * mandates), so a corrupted header is rejected, not misread. Returns
+    * `(width, height, bitDepth)`; None for anything malformed. */
+  def parsePng(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    val sig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (b.length < 33 || !(0 until 8).forall(i => (b(i) & 0xff) == sig(i))) return None
+    val buf = java.nio.ByteBuffer.wrap(b) // big-endian by default
+    if (buf.getInt(8) != 13) return None // IHDR data length
+    if (!(new String(b, 12, 4, "US-ASCII") == "IHDR")) return None
+    val w = buf.getInt(16)
+    val h = buf.getInt(20)
+    val bitDepth = b(24) & 0xff
+    if (w <= 0 || h <= 0 || !Set(1, 2, 4, 8, 16).contains(bitDepth)) return None
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 12, 4 + 13) // chunk type + data
+    if (crc.getValue != (buf.getInt(29).toLong & 0xffffffffL)) return None
+    Some((w, h, bitDepth))
+  }
+
+  /** Minimal well-formed PNG (signature + CRC-correct IHDR + one fake
+    * IDAT + IEND) — the synthesis side of [[parsePng]]'s tests and
+    * oracle. The IDAT body is opaque filler (a real encoder would
+    * deflate scanlines); the container structure is real. */
+  def pngBytes(w: Int, h: Int, idatLen: Int): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", Array.tabulate(idatLen)(i => (i % 251).toByte)) ++
+      chunk("IEND", Array.empty)
+  }
+
   /** REAL AVI (RIFF video) header parser — pure JVM. Validates the
     * RIFF/'AVI ' container, walks top-level chunks into the LIST(hdrl)
     * sub-list, and reads the avih main header little-endian:
@@ -143,12 +188,15 @@ object Multimodal {
     * container is recognized, deterministic stub otherwise. */
   def imageDecode(id: Long, payload: Array[Byte]): MediaMeta = {
     val header = () => payload.take(8).map("%02x".format(_)).mkString
-    parseBmp(payload) match {
+    parsePng(payload) match {
       case Some((w, h, _)) => MediaMeta(id, payload.length.toLong, header(), w, h, 1)
-      case None => parseAvi(payload) match {
-        case Some((frames, w, h)) =>
-          MediaMeta(id, payload.length.toLong, header(), w, h, frames)
-        case None => fakeDecode(id, payload)
+      case None => parseBmp(payload) match {
+        case Some((w, h, _)) => MediaMeta(id, payload.length.toLong, header(), w, h, 1)
+        case None => parseAvi(payload) match {
+          case Some((frames, w, h)) =>
+            MediaMeta(id, payload.length.toLong, header(), w, h, frames)
+          case None => fakeDecode(id, payload)
+        }
       }
     }
   }
@@ -161,6 +209,18 @@ object Multimodal {
       val w = (320 + (id % 8) * 160).toInt
       val h = (240 + (id % 5) * 120).toInt
       (id, aviBytes(frames, w, h))
+    }.toDF(idCol, "payload")
+  }
+
+  /** Deterministic PNG corpus with id-keyed dimensions and IDAT size,
+    * so an oracle predicts width/height/byte_len analytically while
+    * the bytes exercise the REAL (CRC-verified) container parse. */
+  def synthPngCorpus(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (16 + id % 128).toInt
+      val h = (16 + (id * 3) % 128).toInt
+      (id, pngBytes(w, h, idatLen = (10 + id % 50).toInt))
     }.toDF(idCol, "payload")
   }
 

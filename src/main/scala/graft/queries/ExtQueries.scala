@@ -1796,6 +1796,26 @@ object ExtQueries {
              |  CAST(1 + strlen(text) % 30 AS INTEGER) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Image multimodal path with a REAL PNG container parse: genuine
+    // CRC-verified PNGs (signature + IHDR + IDAT + IEND, network byte
+    // order — the opposite endianness of BMP/RIFF) with id-keyed
+    // dimensions, decoded by Multimodal.parsePng. The oracle predicts
+    // every column analytically from the synthesis formulas — a
+    // mis-read offset, a little-endian slip, or a broken CRC check
+    // hash-mismatches.
+    Q("mm_png_meta",
+      (s, dir) => Multimodal.decodeMeta(s,
+        Multimodal.synthPngCorpus(s, Tables.documents(s, dir), "doc_id"),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(67 + doc_id % 50 AS BIGINT) AS byte_len,
+             |  '89504e470d0a1a0a' AS header_hex,
+             |  CAST(16 + doc_id % 128 AS INTEGER) AS width,
+             |  CAST(16 + (doc_id * 3) % 128 AS INTEGER) AS height,
+             |  CAST(1 AS INTEGER) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Image multimodal path with a REAL BMP container parse: genuine
     // 24bpp BMPs with id-keyed dimensions, decoded by
     // Multimodal.parseBmp (LE header fields, stride/size sanity). The

@@ -48,6 +48,24 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("parsePng round-trips, verifies the IHDR CRC, rejects corruption") {
+    import graft.ops.Multimodal._
+    val png = pngBytes(640, 480, idatLen = 20)
+    assert(parsePng(png).contains((640, 480, 8)))
+    // flip one IHDR data byte: the CRC check must reject, not misread
+    val corrupted = png.clone(); corrupted(17) = (corrupted(17) ^ 0x01).toByte
+    assert(parsePng(corrupted).isEmpty, "corrupted IHDR must fail the CRC")
+    // truncations and wrong signature never throw
+    assert(parsePng(png.take(20)).isEmpty)
+    assert(parsePng(Array.empty[Byte]).isEmpty)
+    val badSig = png.clone(); badSig(0) = 'B'.toByte
+    assert(parsePng(badSig).isEmpty)
+    // a PNG payload routes through the real parser in imageDecode
+    val meta = imageDecode(7L, png)
+    assert(meta.width == 640 && meta.height == 480 && meta.n_frames == 1)
+    assert(meta.header_hex == "89504e470d0a1a0a")
+  }
+
   test("parseBmp round-trips the synthesized container exactly") {
     val bmp = Multimodal.bmpBytes(17, 9, 0x7f.toByte) // odd width exercises row padding
     val (w, h, bpp) = Multimodal.parseBmp(bmp).get
