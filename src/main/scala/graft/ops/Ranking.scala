@@ -19,4 +19,24 @@ object Ranking {
     column(graft.functions.TopKByAgg(
       expression(score.cast(DoubleType)), expression(id.cast(LongType)), k)
       .toAggregateExpression())
+
+  /** DETERMINISTIC per-group MODE of an integral column (most frequent
+    * value; ties to the SMALLEST value — native `mode()` leaves ties
+    * engine/plan-dependent, which disqualifies it from any verified
+    * pipeline): two keyed aggregates — value counts, then the k=1
+    * [[topKBy]] heap over (count, value) — both map-side combined,
+    * state O(distinct values) then O(1). Returns `(keys…, mode, n)`.
+    * NULL values are ignored (SQL aggregate convention). */
+  def modeBy(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+             valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = df.filter(col(valueCol).isNotNull)
+      .groupBy((keys :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    counts.groupBy(keys.map(col): _*)
+      .agg(topKBy(col("__n"), col(valueCol), 1).as("__top"))
+      .select(keys.map(col) :+ element_at(col("__top"), 1).as("__m"): _*)
+      .select(keys.map(col) :+ col("__m.id").as("mode")
+        :+ col("__m.score").cast("bigint").as("n"): _*)
+  }
 }

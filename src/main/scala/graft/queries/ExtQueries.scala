@@ -2608,6 +2608,25 @@ object ExtQueries {
              |       CAST(1 AS INTEGER) AS approx_ok
              |FROM orders""".stripMargin)),
 
+    // Deterministic per-group MODE ([[graft.ops.Ranking.modeBy]], built
+    // on the k=1 top-k heap): native mode() leaves ties engine- and
+    // plan-dependent; here ties break to the smallest value — a total
+    // order, hashed against a rank-window oracle with the same rule.
+    Q("agg_mode",
+      (s, dir) => graft.ops.Ranking.modeBy(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("qty")),
+        Seq("l_returnflag"), "qty")
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, qty AS mode, n FROM (
+             |  SELECT l_returnflag, qty, n,
+             |         row_number() OVER (PARTITION BY l_returnflag
+             |                            ORDER BY n DESC, qty) AS rn
+             |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             |               CAST(COUNT(*) AS BIGINT) AS n
+             |        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2))
+             |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
     // Bounded-state exact top-k per group ([[graft.functions.
     // TopKByAgg]], surfaced as [[graft.ops.Ranking.topKBy]]): the five
     // highest-priced lineitems per return flag via a k-capped MERGEABLE
