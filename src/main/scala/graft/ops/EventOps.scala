@@ -214,6 +214,48 @@ object EventOps {
         sum(col("__credit")).cast("double").as("credit"))
   }
 
+  /**
+   * A/B experiment readout — the two-proportion z-test product teams
+   * run on every experiment: users split by a deterministic variant
+   * expression, a user counts as CONVERTED if they have ≥ 1 `convType`
+   * event, and the readout is one row of per-variant counts/rates plus
+   * the pooled z statistic
+   * `z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))`.
+   *
+   * Determinism: the sufficient statistics are exact integer counts
+   * from two keyed aggregates (per-user conversion flag, then one
+   * conditional global aggregate — both map-side combined); the
+   * epilogue is a fixed chain of correctly-rounded IEEE ops (÷ × − √)
+   * on those integers, so the statistic is engine-identical and
+   * oracle-hashable — the pearsonByKey contract. Degenerate splits
+   * (an empty variant, or a pooled rate of 0 or 1, where the z
+   * denominator is 0) yield NULL, never NaN/±Inf.
+   */
+  def abTest(events: DataFrame, userCol: String, typeCol: String,
+             convType: String, variant: Column): DataFrame = {
+    val perUser = events
+      .select(variant.as("__v"), col(userCol).as("__u"),
+        (col(typeCol) === convType).as("__c"))
+      .groupBy(col("__v"), col("__u"))
+      .agg(max(col("__c")).cast("long").as("__conv"))
+    val agg = perUser.agg(
+      count(when(col("__v") === 0, lit(1))).as("n_a"),
+      coalesce(sum(when(col("__v") === 0, col("__conv"))), lit(0L)).as("c_a"),
+      count(when(col("__v") === 1, lit(1))).as("n_b"),
+      coalesce(sum(when(col("__v") === 1, col("__conv"))), lit(0L)).as("c_b"))
+    val (na, ca, nb, cb) = (col("n_a").cast("double"), col("c_a").cast("double"),
+      col("n_b").cast("double"), col("c_b").cast("double"))
+    val pa = ca / na
+    val pb = cb / nb
+    val pool = (ca + cb) / (na + nb)
+    val den = sqrt(pool * (lit(1.0) - pool) * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(col("n_a"), col("c_a"), pa.as("rate_a"),
+      col("n_b"), col("c_b"), pb.as("rate_b"),
+      when(col("n_a") === 0 || col("n_b") === 0 || den === 0.0,
+        lit(null).cast(DoubleType))
+        .otherwise((pa - pb) / den).as("z_score"))
+  }
+
   /** Conditional-aggregation pivot on event type (fixed domain, so the
     * output schema is static and oracle-expressible). */
   val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")

@@ -1525,6 +1525,35 @@ object ExtQueries {
         .orderBy("stage_idx"),
       Some(funnelOracleSql)),
 
+    // A/B experiment readout ([[EventOps.abTest]]): users split by
+    // user_id parity, converted = any purchase event; per-variant
+    // counts/rates plus the pooled two-proportion z statistic — exact
+    // integer sufficient statistics through a fixed IEEE epilogue, so
+    // the z score hashes bit-for-bit (the pearsonByKey contract).
+    Q("ev_ab_test",
+      (s, dir) => EventOps.abTest(Tables.events(s, dir),
+        "user_id", "event_type", "purchase", pmod(col("user_id"), lit(2))),
+      Some("""WITH pu AS (SELECT user_id % 2 AS v, user_id,
+             |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+             |       FROM events GROUP BY 1, 2),
+             |agg AS (SELECT
+             |    CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS n_a,
+             |    CAST(coalesce(sum(CASE WHEN v = 0 THEN conv END), 0) AS BIGINT) AS c_a,
+             |    CAST(count(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS n_b,
+             |    CAST(coalesce(sum(CASE WHEN v = 1 THEN conv END), 0) AS BIGINT) AS c_b
+             |  FROM pu)
+             |SELECT n_a, c_a, CAST(c_a AS DOUBLE) / n_a AS rate_a,
+             |       n_b, c_b, CAST(c_b AS DOUBLE) / n_b AS rate_b,
+             |       CASE WHEN n_a = 0 OR n_b = 0 OR
+             |              sqrt(((CAST(c_a AS DOUBLE) + c_b) / (CAST(n_a AS DOUBLE) + n_b))
+             |                * (1.0 - (CAST(c_a AS DOUBLE) + c_b) / (CAST(n_a AS DOUBLE) + n_b))
+             |                * (1.0 / n_a + 1.0 / n_b)) = 0.0 THEN NULL
+             |            ELSE (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+             |              sqrt(((CAST(c_a AS DOUBLE) + c_b) / (CAST(n_a AS DOUBLE) + n_b))
+             |                * (1.0 - (CAST(c_a AS DOUBLE) + c_b) / (CAST(n_a AS DOUBLE) + n_b))
+             |                * (1.0 / n_a + 1.0 / n_b)) END AS z_score
+             |FROM agg""".stripMargin)),
+
     // Time-to-convert per funnel step ([[EventOps.funnelLatency]]):
     // reach-time differences per consecutive stage pair in exact
     // integer microseconds (fractional epoch seconds truncate
