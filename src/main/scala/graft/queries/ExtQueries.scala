@@ -52,6 +52,50 @@ object ExtQueries {
       |FROM acts a JOIN cohorts c ON a.u = c.u
       |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin
 
+  /** One k-means assignment round as CTEs (`j_<out>`, `<out>`):
+    * nearest centroid in `cents` for every vector of `src`, the
+    * ivfAssign tie-break (cosine DESC, c_id). Shared by the k-means
+    * oracles. */
+  private def kmAssignSql(src: String, cents: String, out: String): String =
+    s"""j_$out AS (SELECT e.vec_id, c.c_id,
+       |            ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+       |     FROM $src e CROSS JOIN $cents c),
+       |$out AS (SELECT vec_id, c_id AS centroid_id FROM (
+       |    SELECT vec_id, c_id,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn
+       |    FROM j_$out) WHERE rn = 1)""".stripMargin
+
+  /** One k-means M-step as CTEs: integer (Σq, n) stats from assignment
+    * `a` over the `codes` table, centroid = Σ/n as FLOAT, empty
+    * clusters carried from `prev`. */
+  private def kmMStepSql(a: String, prev: String, out: String): String =
+    s"""s_$out AS (SELECT $a.centroid_id, unnest(range(len(c.qv))) AS dim, unnest(c.qv) AS q
+       |     FROM $a JOIN codes c ON $a.vec_id = c.vec_id),
+       |g_$out AS (SELECT centroid_id, dim, SUM(q) AS sum_q, COUNT(*) AS n
+       |     FROM s_$out GROUP BY 1, 2),
+       |m_$out AS (SELECT centroid_id AS c_id,
+       |            list(CAST(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS FLOAT) ORDER BY dim) AS c_vec
+       |     FROM g_$out GROUP BY centroid_id),
+       |$out AS (SELECT * FROM m_$out
+       |     UNION ALL
+       |     SELECT c_id, c_vec FROM $prev
+       |     WHERE c_id NOT IN (SELECT c_id FROM m_$out))""".stripMargin
+
+  /** The full two-round k-means unroll over `embeddings` (cents0 →
+    * a0 → cents1 → a1 → cents2) — [[Similarity.kmeansFit]]'s oracle
+    * fragment, sound by the fixed-point argument (sim_kmeans_fit's
+    * comment). Ends with the CTE `cents2` = the trained centroids. */
+  private def kmUnrollSql(k: Int): String =
+    s"""cents0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
+       |           ORDER BY vec_id LIMIT $k),
+       |base AS (SELECT vec_id, ${Similarity.quantScaleSql("embedding")} AS sc, embedding
+       |         FROM embeddings),
+       |codes AS (SELECT vec_id, ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM base),
+       |${kmAssignSql("embeddings", "cents0", "a0")},
+       |${kmMStepSql("a0", "cents0", "cents1")},
+       |${kmAssignSql("embeddings", "cents1", "a1")},
+       |${kmMStepSql("a1", "cents1", "cents2")}""".stripMargin
+
   /** Shared by ev_funnel (batch) and stream_funnel_final (the funnel
     * derived from the sink's compacted stage-event index). */
   private val funnelOracleSql =
@@ -2165,42 +2209,53 @@ object ExtQueries {
           .orderBy("vec_id")
       },
       Some {
-        def assign(cents: String, out: String) =
-          s"""j_$out AS (SELECT e.vec_id, c.c_id,
-             |            ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
-             |     FROM embeddings e CROSS JOIN $cents c),
-             |$out AS (SELECT vec_id, c_id AS centroid_id FROM (
-             |    SELECT vec_id, c_id,
-             |           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn
-             |    FROM j_$out) WHERE rn = 1)""".stripMargin
-        def mstep(a: String, prev: String, out: String) =
-          s"""s_$out AS (SELECT $a.centroid_id, unnest(range(len(c.qv))) AS dim, unnest(c.qv) AS q
-             |     FROM $a JOIN codes c ON $a.vec_id = c.vec_id),
-             |g_$out AS (SELECT centroid_id, dim, SUM(q) AS sum_q, COUNT(*) AS n
-             |     FROM s_$out GROUP BY 1, 2),
-             |m_$out AS (SELECT centroid_id AS c_id,
-             |            list(CAST(CAST(sum_q AS DOUBLE) / CAST(n AS DOUBLE) AS FLOAT) ORDER BY dim) AS c_vec
-             |     FROM g_$out GROUP BY centroid_id),
-             |$out AS (SELECT * FROM m_$out
-             |     UNION ALL
-             |     SELECT c_id, c_vec FROM $prev
-             |     WHERE c_id NOT IN (SELECT c_id FROM m_$out))""".stripMargin
-        s"""WITH cents0 AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings
-           |                ORDER BY vec_id LIMIT 8),
-           |base AS (SELECT vec_id, ${Similarity.quantScaleSql("embedding")} AS sc, embedding
-           |         FROM embeddings),
-           |codes AS (SELECT vec_id, ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM base),
-           |${assign("cents0", "a0")},
-           |${mstep("a0", "cents0", "cents1")},
-           |${assign("cents1", "a1")},
-           |${mstep("a1", "cents1", "cents2")},
-           |${assign("cents2", "a2")},
+        s"""WITH ${kmUnrollSql(8)},
+           |${kmAssignSql("embeddings", "cents2", "a2")},
            |sizes AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS cluster_n
            |          FROM a2 GROUP BY centroid_id)
            |SELECT a2.vec_id, a2.centroid_id, sizes.cluster_n
            |FROM a2 JOIN sizes USING (centroid_id)
            |ORDER BY vec_id""".stripMargin
       }),
+
+    // Trained SemDeDup, end to end ([[Similarity.kmeansFit]] →
+    // [[Similarity.semanticDedup]]): the centroids are LEARNED by the
+    // E/M loop on the base embeddings, then the dup-injected corpus is
+    // deduplicated within the trained cells — the composition a real
+    // curation pipeline runs (dd_semantic uses fixed seed centroids;
+    // this proves the training half feeds the dedup half exactly). The
+    // oracle chains the k-means unroll into the cell-scoped domination
+    // SQL; injected exact copies still provably vanish.
+    Q("dd_semantic_trained",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val (cents, _, _) = Similarity.kmeansFit(emb, "embedding", "vec_id",
+          k = 8, maxIter = 2)
+        val off = emb.agg(coalesce(max("vec_id"), lit(0L))).head.getLong(0) + 1
+        val corpus = emb.unionByName(emb.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + off).as("vec_id"), col("embedding")))
+        Similarity.semanticDedup(corpus, "embedding", "vec_id", cents, "c_vec", "c_id",
+          minCosine = 0.99)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${kmUnrollSql(8)},
+              |corpus AS (SELECT vec_id, embedding FROM embeddings
+              |           UNION ALL
+              |           SELECT vec_id + (SELECT MAX(vec_id) + 1 FROM embeddings) AS vec_id, embedding
+              |           FROM embeddings WHERE vec_id % 5 = 0),
+              |jj AS (SELECT e.vec_id, e.embedding, c.c_id,
+              |              ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+              |       FROM corpus e CROSS JOIN cents2 c),
+              |cells AS (SELECT vec_id, embedding, c_id AS centroid_id FROM (
+              |            SELECT vec_id, embedding, c_id,
+              |                   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS rn
+              |            FROM jj) WHERE rn = 1),
+              |dom AS (SELECT DISTINCT b.vec_id FROM cells a JOIN cells b USING (centroid_id)
+              |        WHERE a.vec_id < b.vec_id
+              |          AND ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.99)
+              |SELECT vec_id, centroid_id FROM cells
+              |WHERE NOT EXISTS (SELECT 1 FROM dom WHERE dom.vec_id = cells.vec_id)
+              |ORDER BY vec_id""".stripMargin)),
 
     // Unpivot/melt: wide measure columns → (key, measure, value) long
     // form (Spark's native unpivot lowers to one Expand — a projection,
