@@ -76,12 +76,16 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   private def manifestDir(layer: String, table: String): Path =
     new Path(s"$root/$layer/$table/_manifests")
 
-  /** Committed snapshot ids, oldest first. */
+  /** Committed snapshot ids, oldest first. A concurrent writer's
+    * retention delete can race the listing (listStatus throws on an
+    * entry vanishing between readdir and stat) — re-list, bounded. */
   def snapshots(layer: String, table: String): Seq[Long] = {
     val dir = manifestDir(layer, table)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("m")).map(_.drop(1).toLong).sorted
+    def attempt(n: Int): Seq[Long] =
+      try fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("m")).map(_.drop(1).toLong).sorted
+      catch { case _: java.io.FileNotFoundException if n > 0 => attempt(n - 1) }
+    if (!fs.exists(dir)) Nil else attempt(3)
   }
 
   def tableExists(layer: String, table: String): Boolean =
@@ -146,9 +150,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       s"SnapshotStore: malformed manifest properties $props")
     val dir = manifestDir(layer, table)
     fs.mkdirs(dir)
-    // unique tmp name: two racing writers targeting the same id must
-    // not collide on the tmp file either
-    val tmp = new Path(dir, f".m$id%012d-${System.nanoTime()}.tmp")
+    // unique tmp name, OUTSIDE the listed _manifests dir: a transient
+    // entry inside it could vanish between a concurrent reader's
+    // readdir and stat ([[snapshots]]'s listStatus throws FNFE on
+    // vanishing entries), turning a benign lost race into a spurious
+    // failure; the table dir itself is never listStatus'd on the read
+    // path
+    val tmp = new Path(s"$root/$layer/$table", f".m$id%012d-${System.nanoTime()}.tmp")
     val out = fs.create(tmp, false)
     val propLines = props.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" }
     val fileSet = files.toSet
@@ -786,12 +794,17 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       .flatMap(readManifest(layer, table, _)._2).toSet
     val orphans = listPool(layer, table) -- referenced
     orphans.foreach(f => fs.delete(new Path(s"${dataDir(layer, table)}/$f"), false))
-    // abandoned staging dirs from crashed writers (vacuum is a
-    // maintenance-window op: no write may be in flight — class scaladoc)
+    // abandoned staging dirs and manifest tmp files from crashed
+    // writers (vacuum is a maintenance-window op: no write may be in
+    // flight — class scaladoc)
     val tableRoot = new Path(s"$root/$layer/$table")
     if (fs.exists(tableRoot))
       fs.listStatus(tableRoot).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".stage-"))
+        .filter { s =>
+          (s.isDirectory && s.getPath.getName.startsWith(".stage-")) ||
+            (!s.isDirectory && s.getPath.getName.startsWith(".m") &&
+              s.getPath.getName.endsWith(".tmp"))
+        }
         .foreach(s => fs.delete(s.getPath, true))
     orphans.size
   }

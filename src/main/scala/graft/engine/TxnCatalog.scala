@@ -55,11 +55,15 @@ final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
     ()
   }
 
-  /** Retained catalog versions, oldest first. */
+  /** Retained catalog versions, oldest first. A concurrent writer's
+    * retention delete can race the listing (listStatus throws on an
+    * entry vanishing between readdir and stat) — re-list, bounded. */
   def versions: Seq[Long] = {
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("c")).map(_.drop(1).toLong).sorted
+    def attempt(n: Int): Seq[Long] =
+      try fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("c")).map(_.drop(1).toLong).sorted
+      catch { case _: java.io.FileNotFoundException if n > 0 => attempt(n - 1) }
+    if (!fs.exists(dir)) Nil else attempt(3)
   }
 
   /** The pinned (layer, table) → snapshot id map of catalog version
@@ -118,7 +122,12 @@ final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
       val mapping = tableVersions() ++ staged
       val body = mapping.toSeq.sortBy { case ((l, t), _) => (l, t) }
         .map { case ((l, t), id) => s"$l\t$t\t$id" }.mkString("\n")
-      val tmp = new Path(dir, s".tmp-c$next-${System.nanoTime()}")
+      // tmp lives OUTSIDE the listed _catalog dir: a transient entry
+      // inside it could vanish between a concurrent reader's readdir
+      // and stat (listStatus throws FNFE on vanishing entries — a real
+      // flake caught by the 4-thread race spec), turning a benign race
+      // into a spurious failure
+      val tmp = new Path(s"${st.root}/.cat-tmp-c$next-${System.nanoTime()}")
       val out = fs.create(tmp, true)
       try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
       preCommitHook()
