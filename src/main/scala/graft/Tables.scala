@@ -21,8 +21,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // The driver testdata's timestamps are isAdjustedToUTC=false micros;
+    // our sessions read them as TimestampType via
+    // spark.sql.parquet.inferTimestampNTZ.enabled=false. Under a foreign
+    // session that leaves the default, they'd arrive TIMESTAMP_NTZ and
+    // break tz-dependent expressions (unix_micros etc.) — normalize
+    // defensively. The cast is a no-op (schema check) in our sessions,
+    // so scan pushdown is unaffected there.
+    val ntz = raw.schema.fields.filter(_.dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    if (ntz.isEmpty) raw
+    else ntz.foldLeft(raw)((df, f) =>
+      df.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType)))
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")

@@ -16,6 +16,9 @@ object Verify {
       // (graft.Tables.events converts to microsecond timestamps, matching
       // DuckDB's truncating read of the same file).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // regenerated driver testdata carries isAdjustedToUTC=false micro
+      // timestamps; read them as TimestampType (not NTZ) like before
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // write timestamps as INT64 micros, not INT96, for oracle compare
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
@@ -24,10 +27,23 @@ object Verify {
     // Local-iteration filter (unset for driver runs): comma-separated
     // query names; only those are dumped.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // The driver's DuckDB oracle reads the regenerated testdata's
+    // isAdjustedToUTC=false timestamps as NAIVE, so every oracle result
+    // is tz-naive; a TimestampType (tz-aware) column in our dump would
+    // fail the compare on tz-awareness, not values. Normalize ALL
+    // timestamp outputs to NTZ at this single choke point (UTC session:
+    // same wall-clock, same instant; already-NTZ columns via Det.ntz
+    // are untouched).
+    def ntzAll(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.TimestampType)
+        .foldLeft(df)((d, f) => d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name)
+            .cast(org.apache.spark.sql.types.TimestampNTZType)))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        try ntzAll(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -112,6 +112,29 @@ object Merge {
         addCols.tail.map(c => sum(col(c)).as(c)): _*)
   }
 
+  /** Incremental JOIN-view maintenance (the delta-join rule every
+    * incremental-view-maintenance engine applies; generalizes
+    * [[mergeAdditive]] from aggregates to joins): given insert-only
+    * deltas ΔA, ΔB against base tables A, B and the previously
+    * materialized view V = A ⋈ B, the new view is
+    *
+    *   V ∪ (ΔA ⋈ (B ∪ ΔB)) ∪ (A ⋈ ΔB)
+    *
+    * — ΔA joins the FULL new B (catches ΔA⋈ΔB once), old A joins only
+    * ΔB. Cost scales with |Δ|·|matches|, not |A|·|B|: at 100 TB the
+    * two delta joins broadcast the (small) delta side and prune the
+    * base-table scan to the delta's key range (partition/bucket
+    * pruning), where a full recompute rescans both bases. Insert-only
+    * deltas are REQUIRED (updates/deletes need retraction rows —
+    * out of scope, as in the reference's append-only ingest). Both
+    * join legs project through unionByName, so V's column order need
+    * not match the join output's. */
+  def joinViewDelta(viewOld: DataFrame, aOld: DataFrame, aDelta: DataFrame,
+                    bOld: DataFrame, bDelta: DataFrame, keys: Seq[String]): DataFrame =
+    viewOld
+      .unionByName(aDelta.join(bOld.unionByName(bDelta), keys))
+      .unionByName(aOld.join(bDelta, keys))
+
   /** Schema-evolving union (the reference's `mergeSchema` write option,
     * W4, transforme_stock_silver.py:146): columns missing on either
     * side surface as NULL instead of failing. */

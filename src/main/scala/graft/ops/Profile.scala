@@ -138,6 +138,89 @@ object Profile {
       .drop("__lo", "__hi")
   }
 
+  /** Histogram drift between two slices of the same column — the
+    * training-data distribution-shift monitor (the role PSI plays in
+    * production ML pipelines): bin both slices into a FIXED grid,
+    * compare the share vectors with L1 distance and χ², flag when L1
+    * exceeds the conventional 0.1 alert threshold. PSI's ln() is
+    * libm-dependent and banned from oracle paths; L1 and χ² order the
+    * same drifts.
+    *
+    * Determinism: bin counts are exact BIGINTs; the per-bin float
+    * terms are summed by an ORDERED FOLD over the bin-sorted array
+    * (both engines reduce left-to-right over the same sequence —
+    * a plain SUM of doubles would be partitioning-dependent). The
+    * fixed [lo, hi) grid (out-of-range values clamp to the edge bins)
+    * makes runs comparable across time, which is the point of a drift
+    * monitor; NULLs are excluded (profile them separately).
+    *
+    * Scale shape: two keyed bin aggregates (map-side combined) + one
+    * nBins-row join folded on the driver side of the plan — state is
+    * O(nBins) whatever the input size. Returns ONE row:
+    * `(n_bins, tot_a, tot_b, l1, chisq, drifted)`. */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                     lo: Double, hi: Double, nBins: Int): DataFrame = {
+    require(nBins >= 2 && hi > lo, s"histogramDrift: bad grid ($lo, $hi, $nBins)")
+    val width = hi - lo
+    def binned(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(least(lit(nBins - 1L), greatest(lit(0L),
+        floor((col(valueCol).cast(DoubleType) - lit(lo)) / lit(width) * lit(nBins.toDouble))
+          .cast(LongType))).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+    val j = binned(a, "na").join(binned(b, "nb"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
+        coalesce(col("nb"), lit(0L)).as("nb"))
+    val one = j.agg(
+      count(lit(1)).as("n_bins"),
+      sum("na").as("tot_a"), sum("nb").as("tot_b"),
+      sort_array(collect_list(struct(col("bin"), col("na"), col("nb")))).as("__bins"))
+    def share(f: org.apache.spark.sql.Column, tot: String) =
+      f.cast(DoubleType) / col(tot).cast(DoubleType)
+    val l1Terms = transform(col("__bins"),
+      x => abs(share(x.getField("na"), "tot_a") - share(x.getField("nb"), "tot_b")))
+    val chiTerms = transform(col("__bins"), { x =>
+      val d = share(x.getField("na"), "tot_a") - share(x.getField("nb"), "tot_b")
+      d * d / greatest(share(x.getField("nb"), "tot_b"), lit(1e-9))
+    })
+    def fold(terms: org.apache.spark.sql.Column) =
+      aggregate(terms, lit(0.0), (acc, v) => acc + v)
+    one.select(col("n_bins"), col("tot_a"), col("tot_b"),
+      fold(l1Terms).as("l1"), fold(chiTerms).as("chisq"))
+      .withColumn("drifted", col("l1") > 0.1)
+  }
+
+  /** DuckDB mirror of [[histogramDrift]] over relations `aRel`/`bRel`
+    * (same ordered-fold reduction, same clamped grid). */
+  def histogramDriftSql(aRel: String, bRel: String, valueCol: String,
+                        lo: Double, hi: Double, nBins: Int): String = {
+    val width = (hi - lo).toString
+    def binExpr =
+      s"""least(${nBins - 1}, greatest(0, CAST(floor(
+         |  (CAST($valueCol AS DOUBLE) - $lo) / $width * ${nBins.toDouble}) AS BIGINT)))""".stripMargin
+    def sh(f: String, tot: String) = s"CAST(x.$f AS DOUBLE) / CAST($tot AS DOUBLE)"
+    val dTerm = s"${sh("na", "tot_a")} - ${sh("nb", "tot_b")}"
+    s"""WITH ca AS (SELECT $binExpr AS bin, count(*) AS na
+       |            FROM $aRel WHERE $valueCol IS NOT NULL GROUP BY 1),
+       |cb AS (SELECT $binExpr AS bin, count(*) AS nb
+       |       FROM $bRel WHERE $valueCol IS NOT NULL GROUP BY 1),
+       |j AS (SELECT COALESCE(ca.bin, cb.bin) AS bin, COALESCE(na, 0) AS na,
+       |             COALESCE(nb, 0) AS nb
+       |      FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       |               CAST(SUM(na) AS BIGINT) AS tot_a, CAST(SUM(nb) AS BIGINT) AS tot_b,
+       |               list(struct_pack(bin := bin, na := na, nb := nb) ORDER BY bin) AS bins
+       |        FROM j)
+       |SELECT n_bins, tot_a, tot_b, l1, chisq, l1 > 0.1 AS drifted FROM (
+       |  SELECT n_bins, tot_a, tot_b,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(bins, x -> abs($dTerm))), (acc, v) -> acc + v) AS l1,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(bins, x -> ($dTerm) * ($dTerm)
+       |        / greatest(${sh("nb", "tot_b")}, 1e-9))), (acc, v) -> acc + v) AS chisq
+       |  FROM agg)""".stripMargin
+  }
+
   /** Column name for quantile `p`: the full decimal of `p·100` with
     * `_` for the decimal point — collision-free by construction (two
     * distinct ps always differ in some digit). Shared by the Scala

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/**
+ * Full-text retrieval over a document corpus: BM25 ranking in the
+ * inverted-index shape (posting lists = the (term, doc) tf table; a
+ * query touches only its terms' postings, never the corpus). The
+ * reference's lakehouse has no search operator — this is the
+ * training-data-pipeline extension for "find the documents about X"
+ * curation passes (SURVEY §7.3 step 4).
+ *
+ * Determinism contract (what makes BM25 oracle-hashable at all):
+ *
+ *  - The IDF is the RATIONAL Robertson form (N − df + ½)/(df + ½)
+ *    without the usual ln() — ln is libm-dependent and banned from
+ *    oracle paths (the t_tfidf precedent); +, −, ×, ÷ are IEEE
+ *    correctly-rounded everywhere. ln is monotone, so per-term
+ *    rankings are preserved; multi-term scores weight rare terms
+ *    more sharply than log-BM25 (documented, deterministic).
+ *  - A per-(query, term, doc) double score is floor-scaled to integer
+ *    MICRO-POINTS (⌊score·10⁶⌋ — floor, not cast: Spark truncates
+ *    double→long where DuckDB rounds). The per-doc total is then a
+ *    BIGINT sum — exact and order-independent where a double Σ would
+ *    depend on partitioning.
+ *  - Every float constant the oracle needs is interpolated via
+ *    `Double.toString`, which round-trips: DuckDB parses the decimal
+ *    string back to the bit-identical double Spark folded (writing
+ *    `k1 + 1` as "2.2" in SQL while Scala computed `1.2 + 1.0` risks
+ *    a one-ulp mismatch).
+ *
+ * Scale shape: tokenize once (tf, dl, df all derive from one
+ * exploded-token aggregate chain, each map-side combined); the query
+ * table and the (N, Σdl) stats row BROADCAST; the only shuffles are
+ * the keyed tf/df/dl aggregates and the final per-query top-k — which
+ * is [[Ranking.topKBy]]'s bounded heap (k pairs of state per query,
+ * mergeable partials), not a rank window over every scored doc.
+ */
+object Search {
+
+  /** Top-`k` docs per query by BM25. `queryTerms` must have columns
+    * `(q_id bigint, term string)` — one row per query term; it is
+    * broadcast (query sets are human-sized). Returns
+    * `(q_id, rank, doc_id, score_pts)` with rank ties broken to the
+    * smaller doc_id (a total order → deterministic). Docs matching no
+    * query term never leave their partitions. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: DataFrame, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+
+    def d(c: String) = col(c).cast(DoubleType)
+    val avgdl = d("tot_dl") / d("n_docs")
+    val idf = (d("n_docs") - d("df") + lit(0.5)) / (d("df") + lit(0.5))
+    val tfc = (d("tf") * lit(k1 + 1.0)) /
+      (d("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (d("dl") / avgdl)))
+    val pts = floor(idf * tfc * lit(1e6)).cast(LongType)
+
+    val scored = tf
+      .join(broadcast(queryTerms), Seq("term"))
+      .join(dfr, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"), pts.as("pts"))
+      .groupBy("q_id", "doc_id").agg(sum("pts").as("score_pts"))
+    scored.groupBy("q_id")
+      .agg(Ranking.topKBy(col("score_pts"), col("doc_id"), k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("doc_id"), col("col.score").cast(LongType).as("score_pts"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings of the SAME candidate set
+    * — the standard way to combine a lexical ranker with a second
+    * signal (quality, recency, an ANN ranker) without score
+    * calibration: fused = 1/(c+rankA) + 1/(c+rankB), c = 60 (the
+    * constant from the original RRF paper; dampens the top-1's
+    * dominance). Inputs carry `(q_id, doc_id, rank)`; candidates
+    * missing from one ranking contribute only their present term
+    * (full-outer semantics). Deterministic: the fused score is a
+    * FIXED-ARITY sum of two correctly-rounded divisions (no
+    * aggregation order anywhere), ties break to the smaller doc_id.
+    * Scale: one key join + [[Ranking.topKBy]]'s bounded heap per
+    * query. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Double = 60.0): DataFrame = {
+    def term(r: org.apache.spark.sql.Column) =
+      when(r.isNull, lit(0.0)).otherwise(lit(1.0) / (lit(c) + r.cast(DoubleType)))
+    val fused = a.select(col("q_id"), col("doc_id"), col("rank").as("__ra"))
+      .join(b.select(col("q_id"), col("doc_id"), col("rank").as("__rb")),
+        Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (term(col("__ra")) + term(col("__rb"))).as("rrf"))
+    fused.groupBy("q_id")
+      .agg(Ranking.topKBy(col("rrf"), col("doc_id"), k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("rrf"))
+  }
+
+  /** DuckDB mirror of [[bm25]]: same CTE chain, same expression trees,
+    * float constants round-tripped through `Double.toString`.
+    * `qtValues` is the query-term VALUES list, e.g.
+    * `(1,'hash'),(1,'join')`; `docsRel` the corpus relation with
+    * `doc_id, text`. */
+  def bm25Sql(docsRel: String, qtValues: String, k: Int,
+              k1: Double = 1.2, b: Double = 0.75): String = {
+    val k1p1 = (k1 + 1.0).toString
+    val oneMb = (1.0 - b).toString
+    s"""WITH qt(q_id, term) AS (VALUES $qtValues),
+       |tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS term FROM $docsRel),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |pts AS (SELECT q_id, doc_id,
+       |  CAST(floor(
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf AS DOUBLE) * $k1p1)
+       |       / (CAST(tf AS DOUBLE) + $k1 * ($oneMb + $b * (CAST(dl AS DOUBLE)
+       |            / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |    * 1000000.0) AS BIGINT) AS pts
+       |  FROM tf JOIN qt USING (term) JOIN dfr USING (term)
+       |       JOIN dl USING (doc_id) CROSS JOIN stats),
+       |scored AS (SELECT q_id, doc_id, CAST(SUM(pts) AS BIGINT) AS score_pts FROM pts GROUP BY 1, 2)
+       |SELECT q_id, rank, doc_id, score_pts FROM (
+       |  SELECT q_id, doc_id, score_pts,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY score_pts DESC, doc_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+}

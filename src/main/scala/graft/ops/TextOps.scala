@@ -349,4 +349,70 @@ object TextOps {
   }
 
   def normalizeNfcSql(col: String): String = s"nfc_normalize($col)"
+
+  /**
+   * Corpus-trained bigram language-model scoring — the CCNet-style
+   * fluency screen: score every document by the add-one-smoothed
+   * bigram probabilities of its own text under counts trained on the
+   * WHOLE corpus, p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V). Documents whose
+   * word sequences are unusual for the corpus (boilerplate, shuffled
+   * spam, wrong-language fragments) score low and can be filtered —
+   * the shape of the perplexity filter production pipelines run with
+   * a KenLM model, with the model here trained in-engine by two keyed
+   * counts.
+   *
+   * Determinism: no ln() (libm-banned; the classic log-perplexity is a
+   * monotone transform of nothing we need — ranking and thresholding
+   * work on raw probabilities), each bigram's double probability is
+   * floor-scaled to integer MICRO-POINTS, and the per-doc total is an
+   * exact BIGINT sum — order-independent under any partitioning. The
+   * per-doc mean divides two exact integers once (correctly-rounded
+   * IEEE ÷).
+   *
+   * Scale shape: ONE tokenization feeds both the bigram stream and the
+   * unigram counts; c₂/c₁ are map-side-combined keyed aggregates; the
+   * scoring join shuffles on bigram/unigram keys (both bounded by
+   * vocabulary², not corpus size); V is one broadcast scalar row. No
+   * driver collects, no windows.
+   *
+   * Returns `(doc_id, n_bigrams, pts_total, avg_pts)` — `avg_pts` is
+   * mean micro-probability (≈ 10⁶/perplexity per bigram).
+   */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val bg = tok.select(col("doc_id"), explode(bigramsOf(col("t"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val uni = tok.select(explode(col("t")).as("w1"))
+    val c1 = uni.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val p = (col("c2") + 1).cast(DoubleType) / (col("c1") + col("v")).cast(DoubleType)
+    bg.join(c2, Seq("bg"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), floor(p * lit(1e6)).cast(LongType).as("pts"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("pts").as("pts_total"))
+      .withColumn("avg_pts",
+        col("pts_total").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+  }
+
+  /** DuckDB mirror of [[bigramLmScore]] over `docsRel(doc_id, text)`. */
+  def bigramLmScoreSql(docsRel: String): String =
+    s"""WITH tok AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $docsRel),
+       |bgr AS (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+       |        FROM tok),
+       |bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bgr),
+       |c2 AS (SELECT bg, count(*) AS c2 FROM bgw GROUP BY 1),
+       |uni AS (SELECT unnest(t) AS w1 FROM tok),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM c1),
+       |pts AS (SELECT doc_id,
+       |          CAST(floor((CAST(c2 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE)) * 1000000.0)
+       |               AS BIGINT) AS pts
+       |        FROM bgw JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+       |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(pts) AS BIGINT) AS pts_total,
+       |       CAST(SUM(pts) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_pts
+       |FROM pts GROUP BY 1""".stripMargin
 }

@@ -467,4 +467,46 @@ object TimeSeries {
         col(s"${valueCol}_sum_${h}d") / col(s"${valueCol}_cnt_${h}d"))
     }
   }
+
+  /** Day-of-week seasonal baseline + anomaly flags over a per-key daily
+    * series: each observation is compared to the mean of its key's SAME
+    * WEEKDAY — the screen that catches "this Tuesday is broken" where a
+    * flat [[zscoreAnomalies]] mean would hide it under the weekly cycle
+    * (weekend troughs would flag every Saturday instead).
+    *
+    * `season` is `(epoch_days mod 7)` — pure date arithmetic, not the
+    * engine-varying DAYOFWEEK() (Spark counts Sunday=1, DuckDB
+    * Sunday=0). Determinism: `valueCol` must be an exact DECIMAL (the
+    * caller's aggregate makes it so via [[graft.Det.dsum]]); the
+    * seasonal sum stays decimal (order-independent exact), and the
+    * float epilogue (baseline = Σ/n, dev = v − baseline, flag =
+    * 2·|dev| > baseline) is a fixed chain of correctly-rounded IEEE
+    * ops. Scale shape: ONE window pass partitioned by (key, season) —
+    * no join, no second scan; at 100 TB the partition count is
+    * |keys|·7, each holding one value per calendar day. */
+  def seasonalAnomalies(daily: DataFrame, keys: Seq[String], dateCol: String,
+                        valueCol: String): DataFrame = {
+    val season = pmod(
+      datediff(col(dateCol), lit("1970-01-01").cast(org.apache.spark.sql.types.DateType)),
+      lit(7)).cast("bigint")
+    val withS = daily.withColumn("season", season)
+    val w = Window.partitionBy((keys.map(col) :+ col("season")): _*)
+    val vD = col(valueCol).cast("double")
+    val baseline = sum(col(valueCol)).over(w).cast("double") /
+      count(col(valueCol)).over(w).cast("double")
+    withS
+      .withColumn("baseline", baseline)
+      .withColumn("deviation", vD - col("baseline"))
+      .withColumn("is_anomaly", abs(col("deviation")) * 2.0 > col("baseline"))
+  }
+
+  /** DuckDB mirror of [[seasonalAnomalies]]'s derived columns, given a
+    * relation with `$keys, $dateCol, $valueCol` (decimal). Returns the
+    * SELECT-list fragment after the caller's key/date/value columns. */
+  def seasonalSql(dateCol: String, valueCol: String, partitionKeys: String): String =
+    s"""((datediff('day', DATE '1970-01-01', $dateCol) % 7 + 7) % 7) AS season,
+       |CAST(SUM($valueCol) OVER (PARTITION BY $partitionKeys,
+       |       ((datediff('day', DATE '1970-01-01', $dateCol) % 7 + 7) % 7)) AS DOUBLE)
+       |  / CAST(COUNT($valueCol) OVER (PARTITION BY $partitionKeys,
+       |       ((datediff('day', DATE '1970-01-01', $dateCol) % 7 + 7) % 7)) AS DOUBLE) AS baseline""".stripMargin
 }

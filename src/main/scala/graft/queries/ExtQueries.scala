@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, Tables}
 import graft.engine.Warehouse
-import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Sampling, Similarity, TextOps, TimeSeries}
+import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Sampling, Search, Similarity, TextOps, TimeSeries}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -748,6 +748,83 @@ object ExtQueries {
               |       CAST(tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS weight
               |FROM tf JOIN dfr USING (token) CROSS JOIN nd
               |ORDER BY weight DESC, doc_id, token LIMIT 30""".stripMargin)),
+
+    // BM25 full-text retrieval ([[Search.bm25]]): top-10 docs for three
+    // multi-term queries over the posting-list (term, doc) shape —
+    // rational Robertson IDF (no libm ln), per-term micro-point floors,
+    // exact BIGINT per-doc sums, bounded-heap top-k per query
+    // ([[Ranking.topKBy]], not a rank window over every scored doc).
+    // Query table + corpus stats broadcast; docs matching no term never
+    // shuffle.
+    Q("search_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val qt = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+          (2L, "sort"), (3L, "stream"), (3L, "table")).toDF("q_id", "term")
+        Search.bm25(Tables.documents(s, dir), "doc_id", "text", qt, k = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some(Search.bm25Sql("documents",
+        "(1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'sort'),(3,'stream'),(3,'table')",
+        k = 10) + "\nORDER BY q_id, rank")),
+
+    // Reciprocal-rank fusion ([[Search.rrfFuse]]): BM25 relevance fused
+    // with a document-quality ranking over the SAME candidate set —
+    // the calibration-free way to blend ranking signals (1/(60+rA) +
+    // 1/(60+rB), the RRF constant from the original paper). The fused
+    // score is a fixed-arity sum of two correctly-rounded divisions —
+    // no aggregation-order nondeterminism — and the final top-10 is
+    // the bounded heap, not a global sort.
+    Q("search_rrf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val qt = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+          (2L, "sort"), (3L, "stream"), (3L, "table")).toDF("q_id", "term")
+        val docs = Tables.documents(s, dir)
+        val cand = Search.bm25(docs, "doc_id", "text", qt, k = 20)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        val quality = cand
+          .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("n_chars").desc, col("doc_id")))
+            .cast(LongType))
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        Search.rrfFuse(cand, quality, k = 10).orderBy("q_id", "rank")
+      },
+      Some {
+        val bm = Search.bm25Sql("documents",
+          "(1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'sort'),(3,'stream'),(3,'table')",
+          k = 20)
+        s"""WITH bm AS (SELECT q_id, doc_id, rank FROM ($bm) bm_sub),
+           |qr AS (SELECT bm.q_id, bm.doc_id,
+           |         row_number() OVER (PARTITION BY bm.q_id
+           |                            ORDER BY d.n_chars DESC, bm.doc_id) AS rank
+           |       FROM bm JOIN documents d USING (doc_id)),
+           |f AS (SELECT COALESCE(a.q_id, b.q_id) AS q_id,
+           |             COALESCE(a.doc_id, b.doc_id) AS doc_id,
+           |        (CASE WHEN a.rank IS NULL THEN 0.0
+           |              ELSE 1.0 / (60.0 + CAST(a.rank AS DOUBLE)) END
+           |       + CASE WHEN b.rank IS NULL THEN 0.0
+           |              ELSE 1.0 / (60.0 + CAST(b.rank AS DOUBLE)) END) AS rrf
+           |      FROM bm a FULL OUTER JOIN qr b
+           |        ON a.q_id = b.q_id AND a.doc_id = b.doc_id)
+           |SELECT q_id, rank, doc_id, rrf FROM (
+           |  SELECT q_id, doc_id, rrf,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS rank
+           |  FROM f)
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      }),
+
+    // Corpus-trained bigram-LM fluency scoring ([[TextOps.
+    // bigramLmScore]]): the CCNet/KenLM-shaped perplexity filter with
+    // the model trained in-engine — add-one-smoothed p(w₂|w₁) from two
+    // keyed counts, micro-point floors, exact integer per-doc totals.
+    // One tokenization feeds bigram AND unigram streams; V broadcast.
+    Q("t_bigram_lm",
+      (s, dir) => TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.bigramLmScoreSql("documents") + "\nORDER BY doc_id")),
 
     // PII redaction: regex scrub of emails/phones with per-doc match
     // counts — the compliance pass every training corpus runs before
@@ -1753,6 +1830,41 @@ object ExtQueries {
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Stream-STREAM join, oracle-hashed end state: clicks and purchases
+    // arrive on TWO independent file streams (1 file per trigger = real
+    // interleaved micro-batches), joined per user under a time bound by
+    // [[StreamOps.correlatedStreams]] — both state stores keyed by
+    // user, rows matched across whatever batch boundaries the replay
+    // produced. The out-of-order horizon exceeds the corpus span, so
+    // no row is late and the drained result must equal ev_correlated's
+    // batch join EXACTLY — same oracle. On live feeds the same plan
+    // evicts state once the watermark passes delay+within.
+    Q("stream_join_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_jn_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val (inA, inB) = (s"$base/a", s"$base/b")
+        ev.filter(col("event_type") === "click").repartition(4).write.parquet(inA)
+        ev.filter(col("event_type") === "purchase").repartition(4).write.parquet(inB)
+        val sa = StreamOps.eventStream(s, inA, s.read.parquet(inA).schema, Some(1))
+        val sb = StreamOps.eventStream(s, inB, s.read.parquet(inB).schema, Some(1))
+        val joined = StreamOps.correlatedStreams(sa, sb, "1 hour",
+          delay = Some("3650 days"))
+          .select(col("user_id"), col("a_id"), col("b_id"))
+        val mem = s"sjf_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        StreamOps.runAvailableNowToMemory(joined, mem, s"$base/ckpt_$mem")
+        s.table(mem).orderBy("user_id", "a_id", "b_id")
+      },
+      Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+             |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+             |ORDER BY a.user_id, a_id, b_id""".stripMargin)),
+
     // Streaming funnel, oracle-hashed end state: the event stream
     // drains through [[StreamOps.funnelEventsSink]] (per micro-batch,
     // an insert-only MERGE into the compacted distinct (user, stage,
@@ -2362,6 +2474,30 @@ object ExtQueries {
       Some(s"""SELECT doc_id, ${Sampling.hashSplitSql("doc_id")} AS split
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // GROUP-aware train/val/test split ([[Sampling.hashSplit]] keyed on
+    // the group column, not the row id): every document from one
+    // `source` lands in the SAME split, so near-duplicates that cluster
+    // within a crawl domain can never straddle train and test — the
+    // leakage mode a row-level split invites and group-level splitting
+    // is the standard fix for. Same md5 assignment (engine-portable,
+    // rerun- and partitioning-stable); still a pure projection, no
+    // shuffle. The in-query require pins the no-leakage invariant
+    // (distinct (source, split) pairs == distinct sources) — one
+    // bounded aggregate over the group domain, not a data collect.
+    Q("samp_group_split",
+      (s, dir) => {
+        val out = Sampling.hashSplit(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")), "source")
+        val Array(pairs, groups) = out.agg(
+          countDistinct(col("source"), col("split")),
+          countDistinct(col("source"))).head.toSeq.map(_.asInstanceOf[Long]).toArray
+        require(pairs == groups,
+          s"group split leaked: $pairs (source, split) pairs over $groups sources")
+        out.orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, source, ${Sampling.hashSplitSql("source")} AS split
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Deterministic weighted Bernoulli sampling
     // ([[Sampling.weightedSample]]): keep each document with
     // probability proportional to a quality-style weight, decided by
@@ -2533,6 +2669,26 @@ object ExtQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    // Histogram drift monitor ([[Profile.histogramDrift]]): order-value
+    // distribution before vs after 1996 on a fixed 12-bin grid — the
+    // PSI-style distribution-shift gate (L1 + χ², ln-free), with the
+    // per-bin float terms reduced by an ORDERED fold over the
+    // bin-sorted array so the double sums are engine- and
+    // partitioning-independent. State O(nBins) at any input size.
+    Q("prof_drift",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        Profile.histogramDrift(
+          ord.filter(col("o_orderdate") < lit(cut)),
+          ord.filter(col("o_orderdate") >= lit(cut)),
+          "o_totalprice", lo = 0.0, hi = 600000.0, nBins = 12)
+      },
+      Some(Profile.histogramDriftSql(
+        "(SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00') drift_a",
+        "(SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00') drift_b",
+        "o_totalprice", lo = 0.0, hi = 600000.0, nBins = 12))),
+
     // Per-key z-score anomaly screen over daily order totals
     // ([[TimeSeries.zscoreAnomalies]]): exact decimal Σx/Σx² in one
     // window pass, float epilogue restricted to correctly-rounded IEEE
@@ -2558,6 +2714,34 @@ object ExtQueries {
            |      WINDOW w AS (PARTITION BY o_custkey))
            |ORDER BY o_custkey, d""".stripMargin
       }),
+
+    // Day-of-week seasonal anomaly screen ([[TimeSeries.
+    // seasonalAnomalies]]): each day's quantity vs the mean of its
+    // key's SAME weekday — the deseasonalized outlier check a flat
+    // z-score can't do (weekly troughs would flag every Saturday).
+    // season = epoch_days mod 7 (pure date arithmetic; DAYOFWEEK()
+    // numbers Sunday differently per engine), exact decimal seasonal
+    // sums, correctly-rounded float epilogue — hash-exact, no
+    // tolerance. ONE window pass partitioned (key, season).
+    Q("ts_seasonal",
+      (s, dir) => {
+        val daily = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_shipdate").cast(DateType).as("d"))
+          .agg(Det.dsum(col("l_quantity")).as("day_qty"))
+        TimeSeries.seasonalAnomalies(daily, Seq("l_returnflag"), "d", "day_qty")
+          .orderBy("l_returnflag", "d")
+      },
+      Some(s"""WITH daily AS (
+              |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+              |         ${Det.dsumSql("l_quantity")} AS day_qty
+              |  FROM lineitem GROUP BY 1, 2)
+              |SELECT l_returnflag, d, day_qty, season, baseline,
+              |       CAST(day_qty AS DOUBLE) - baseline AS deviation,
+              |       abs(CAST(day_qty AS DOUBLE) - baseline) * 2.0 > baseline AS is_anomaly
+              |FROM (SELECT l_returnflag, d, day_qty,
+              |             ${TimeSeries.seasonalSql("d", "day_qty", "l_returnflag")}
+              |      FROM daily)
+              |ORDER BY l_returnflag, d""".stripMargin)),
 
     // Trailing distinct-count features ([[TimeSeries.trailingDistinct]]):
     // distinct parts each customer ordered in the trailing 7/30

@@ -1607,6 +1607,71 @@ object RefQueries {
               |FROM lineitem GROUP BY 1, 2
               |ORDER BY l_returnflag, m""".stripMargin)),
 
+    // Bucket-co-located join ([[Warehouse.writeBucketed]] /
+    // readBucketed): both sides hash-bucketed AND sorted on the join
+    // key at write time, so the sort-merge join runs with ZERO shuffle
+    // exchanges — pinned by an in-query plan assert, hashed against a
+    // plain-join oracle. THE 100 TB lever for repeatedly-joined fact
+    // tables: the per-run join cost collapses to a per-bucket merge;
+    // the write-time shuffle is paid once, not per query. The merge
+    // hint forces the SMJ path (a broadcast would also be
+    // exchange-free but would not exercise bucketing).
+    Q("j_bucketed_join",
+      (s, dir) => {
+        val wh = new Warehouse(s, s"/tmp/graft_bkt_${new java.io.File(dir).getName}")
+        Seq("orders_k", "cust_n").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS ${wh.bucketedTableName("bkt", t)}")
+          wh.dropTable("bkt", t)
+        }
+        val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+        wh.writeBucketed(ord, "bkt", "orders_k", Seq("o_custkey"), 8, Seq("o_custkey"))
+        wh.writeBucketed(ord.groupBy("o_custkey").agg(count(lit(1)).as("n_orders")),
+          "bkt", "cust_n", Seq("o_custkey"), 8, Seq("o_custkey"))
+        val joined = wh.readBucketed("bkt", "orders_k").hint("merge")
+          .join(wh.readBucketed("bkt", "cust_n"), Seq("o_custkey"))
+        val plan = joined.queryExecution.sparkPlan.toString
+        require(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+        require(!plan.contains("Exchange"),
+          s"bucketing failed to eliminate the shuffle:\n$plan")
+        joined.select(col("o_orderkey"), col("o_custkey"), col("n_orders"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, n_orders
+             |FROM orders JOIN (SELECT o_custkey, count(*) AS n_orders
+             |                  FROM orders GROUP BY 1) USING (o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Incremental JOIN-view maintenance ([[Merge.joinViewDelta]]): the
+    // delta-join rule V ∪ (ΔA ⋈ B_new) ∪ (A ⋈ ΔB) over an
+    // orders⋈lineitem view, with DIFFERENT cutoffs per table (deltas
+    // arrive independently in real feeds). The maintained view is
+    // aggregated per order key and hashed against a FULL-recompute
+    // oracle — the IVM correctness contract. At 100 TB the two delta
+    // legs broadcast/prune on the delta keys; the full recompute the
+    // oracle runs is exactly what this avoids.
+    Q("m_incremental_join",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"), col("l_shipdate"))
+        val cutA = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        val cutB = java.sql.Timestamp.valueOf("1996-06-01 00:00:00")
+        val (aOld, aDelta) = (ord.filter(col("o_orderdate") < lit(cutA)),
+          ord.filter(col("o_orderdate") >= lit(cutA)))
+        val (bOld, bDelta) = (li.filter(col("l_shipdate") < lit(cutB)),
+          li.filter(col("l_shipdate") >= lit(cutB)))
+        val viewOld = aOld.join(bOld, Seq("o_orderkey"))
+        Merge.joinViewDelta(viewOld, aOld, aDelta, bOld, bDelta, Seq("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_lines"), Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, count(*) AS n_lines,
+              |       ${Det.dsumSql("l_quantity")} AS sum_qty
+              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              |GROUP BY 1 ORDER BY o_orderkey""".stripMargin)),
+
     // VACUUM ([[SnapshotStore.vacuum]]), oracle-hashed lifecycle: with
     // retention 1, a second full overwrite orphans the first
     // generation's files; vacuum must reclaim EXACTLY those (count

@@ -84,13 +84,30 @@ object StreamOps {
    * passes — bounded memory at any scale.
    */
   def correlatedEvents(events: DataFrame, typeA: String, typeB: String,
-                       within: String = "1 hour"): DataFrame = {
-    val a = events.filter(col("event_type") === typeA)
+                       within: String = "1 hour"): DataFrame =
+    correlatedStreams(
+      events.filter(col("event_type") === typeA),
+      events.filter(col("event_type") === typeB), within)
+
+  /** [[correlatedEvents]] over TWO independent source streams (each
+    * with `user_id, ts, event_id`) — the general stream-stream join
+    * where the sides arrive on separate feeds. `delay` is the
+    * out-of-order tolerance (defaults to `within`); pass a horizon
+    * longer than the replayed data's time span to make a bounded
+    * replay EXACTLY equal the batch join — no row can be late, so the
+    * only rows dropped are the ones the time bound excludes. State
+    * eviction still needs only the watermark to pass `delay + within`
+    * behind each side — bounded memory on live feeds. */
+  def correlatedStreams(aEvents: DataFrame, bEvents: DataFrame,
+                        within: String = "1 hour",
+                        delay: Option[String] = None): DataFrame = {
+    val d = delay.getOrElse(within)
+    val a = aEvents
       .select(col("user_id").as("a_user"), col("ts").as("a_ts"), col("event_id").as("a_id"))
-      .withWatermark("a_ts", within)
-    val b = events.filter(col("event_type") === typeB)
+      .withWatermark("a_ts", d)
+    val b = bEvents
       .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("b_id"))
-      .withWatermark("b_ts", within)
+      .withWatermark("b_ts", d)
     a.join(b, expr(
       s"a_user = b_user AND b_ts >= a_ts AND b_ts <= a_ts + INTERVAL $within"))
       .select(col("a_user").as("user_id"), col("a_id"), col("b_id"),

@@ -9,6 +9,9 @@ object TimeQ {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // regenerated driver testdata carries isAdjustedToUTC=false micro
+      // timestamps; read them as TimestampType (not NTZ) like before
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$dir/lineitem.parquet").groupBy("l_returnflag").count()

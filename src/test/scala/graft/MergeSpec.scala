@@ -182,4 +182,32 @@ class MergeSpec extends SparkSpec {
       Merge.scd2Merge(scd2Existing, scd2Staged, Seq("k"), Seq("seg", "bal"),
         lit("2025-06-01")).count() + 1)
   }
+
+  test("joinViewDelta equals the full recompute for ANY insert-only split") {
+    import spark.implicits._
+    val a = Seq((1, "a1"), (2, "a2"), (3, "a3"), (3, "a3b")).toDF("k", "av")
+    val b = Seq((1, "b1"), (2, "b2"), (2, "b2b"), (4, "b4")).toDF("k", "bv")
+    val full = a.join(b, Seq("k")).orderBy("k", "av", "bv")
+      .collect().map(_.toSeq).toSeq
+    // every way to split each table into (old, delta) must converge
+    for (cutA <- Seq("a1", "a2", "a3z"); cutB <- Seq("b1", "b2b", "b9")) {
+      val (aOld, aDelta) = (a.filter($"av" <= cutA), a.filter($"av" > cutA))
+      val (bOld, bDelta) = (b.filter($"bv" <= cutB), b.filter($"bv" > cutB))
+      val vOld = aOld.join(bOld, Seq("k"))
+      val v = Merge.joinViewDelta(vOld, aOld, aDelta, bOld, bDelta, Seq("k"))
+        .orderBy("k", "av", "bv").collect().map(_.toSeq).toSeq
+      assert(v == full, s"split ($cutA, $cutB) diverged from the recompute")
+    }
+  }
+
+  test("joinViewDelta with empty deltas is exactly the old view") {
+    import spark.implicits._
+    val a = Seq((1, "a1")).toDF("k", "av")
+    val b = Seq((1, "b1")).toDF("k", "bv")
+    val none = a.filter(lit(false))
+    val noneB = b.filter(lit(false))
+    val vOld = a.join(b, Seq("k"))
+    val v = Merge.joinViewDelta(vOld, a, none, b, noneB, Seq("k"))
+    assert(v.collect().map(_.toSeq).toSeq == vOld.collect().map(_.toSeq).toSeq)
+  }
 }

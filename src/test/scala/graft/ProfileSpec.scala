@@ -103,4 +103,28 @@ class ProfileSpec extends SparkSpec {
       Profile.profileQuantiles(Seq(("x", 1.0)).toDF("s", "v"), Seq("s"), 100L, Seq(0.5))
     }
   }
+
+  test("histogramDrift: identical slices score zero; disjoint slices score L1=2") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val same = Profile.histogramDrift(a, a, "v", 0.0, 10.0, 5).head()
+    assert(same.getAs[Double]("l1") == 0.0 && same.getAs[Double]("chisq") == 0.0)
+    assert(!same.getAs[Boolean]("drifted"))
+    // fully disjoint mass: Σ|p−q| = 2 exactly, and the flag trips
+    val b = Seq(9.0, 9.5).toDF("v")
+    val diff = Profile.histogramDrift(a, b, "v", 0.0, 10.0, 5).head()
+    assert(diff.getAs[Double]("l1") == 2.0, s"got ${diff.getAs[Double]("l1")}")
+    assert(diff.getAs[Boolean]("drifted"))
+    assert(diff.getAs[Long]("tot_a") == 4L && diff.getAs[Long]("tot_b") == 2L)
+  }
+
+  test("histogramDrift clamps out-of-range values into the edge bins") {
+    import spark.implicits._
+    val a = Seq(-100.0, 0.5).toDF("v")   // both land in bin 0
+    val b = Seq(999.0, 9.9).toDF("v")    // both land in bin 4
+    val r = Profile.histogramDrift(a, b, "v", 0.0, 10.0, 5).head()
+    // two fully-concentrated disjoint bins → L1 = 2
+    assert(r.getAs[Double]("l1") == 2.0)
+    assert(r.getAs[Long]("n_bins") == 2L) // only touched bins materialize
+  }
 }

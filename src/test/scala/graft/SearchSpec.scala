@@ -1,0 +1,74 @@
+package graft
+
+import graft.ops.{Search, TextOps}
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval + bigram-LM scoring semantics on tiny corpora. */
+class SearchSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "hash join hash join hash"), // tf(hash)=3, dl=5
+      (2L, "hash scan scan scan scan"), // tf(hash)=1, dl=5
+      (3L, "sort sort sort sort sort"), // no match
+      (4L, "hash")                      // tf=1, dl=1 (short doc boost)
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25 ranks higher-tf docs first and never returns non-matching docs") {
+    import spark.implicits._
+    val qt = Seq((1L, "hash")).toDF("q_id", "term")
+    val out = Search.bm25(corpus, "doc_id", "text", qt, k = 10)
+      .orderBy("rank").collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(3L), "doc without the term must not appear")
+    assert(ids.length == 3)
+    // doc 4 (tf=1 but dl=1 ≪ avgdl) outranks doc 2 (tf=1, dl=5);
+    // doc 1 (tf=3) beats both
+    assert(ids.head == 1L)
+    assert(ids.indexOf(4L) < ids.indexOf(2L),
+      s"length normalization must boost the short doc: $ids")
+    // ranks are 1..n and scores non-increasing
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    val scores = out.map(_.getAs[Long]("score_pts")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("bm25 multi-term scores add per-term points; ties break to smaller doc_id") {
+    import spark.implicits._
+    val docs = Seq((10L, "a b"), (7L, "a b")).toDF("doc_id", "text")
+    val qt = Seq((1L, "a"), (1L, "b")).toDF("q_id", "term")
+    val out = Search.bm25(docs, "doc_id", "text", qt, k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L, 10L),
+      "identical scores must rank the smaller doc_id first")
+    assert(out.map(_.getAs[Long]("score_pts")).distinct.length == 1)
+  }
+
+  test("bigramsOf guard: 0- and 1-token texts yield empty arrays, not descending sequences") {
+    import spark.implicits._
+    val out = Seq("", "one", "a b c").toDF("text")
+      .select(TextOps.bigramsOf(TextOps.tokens(col("text"))).as("bg"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(out == List(Nil, Nil, List("a b", "b c")))
+  }
+
+  test("bigramLmScore: common-bigram docs outscore novel-bigram docs; counts exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"),  // bigrams all from the dominant pattern
+      (2L, "y x q z"),      // novel pairs
+      (3L, "x y x y x y")
+    ).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("n_bigrams")).toSeq == Seq(5L, 3L, 5L))
+    val avg = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_pts")).toMap
+    assert(avg(1L) == avg(3L), "identical docs must score identically")
+    assert(avg(1L) > avg(2L), s"corpus-typical doc must outscore novel doc: $avg")
+    // per-doc totals are exact integer micro-point sums
+    val pts = out.map(r => (r.getAs[Long]("pts_total"), r.getAs[Long]("n_bigrams")))
+    pts.foreach { case (tot, n) => assert(tot >= 0 && tot <= n * 1000000L) }
+  }
+}

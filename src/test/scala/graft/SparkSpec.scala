@@ -17,6 +17,9 @@ object SparkSpec {
     // the driver testdata's events.ts is INT64 TIMESTAMP(NANOS) — same
     // config the Bench/Verify mains run with (Tables.events normalizes)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // regenerated driver testdata carries isAdjustedToUTC=false micro
+    // timestamps; read them as TimestampType (not NTZ) like before
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .getOrCreate()
 }
 

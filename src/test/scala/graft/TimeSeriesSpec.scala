@@ -191,4 +191,25 @@ class TimeSeriesSpec extends SparkSpec {
       ("A", "2024-01-05", 50.0),
       ("B", "2024-02-10", 7.0)))
   }
+
+  test("seasonalAnomalies compares each day to its own weekday's mean") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // 2024-01-01 is a Monday = epoch day 19723, season 19723 % 7 = 4.
+    // Mondays: 10, 10, 40 (spike); the Tuesday stands alone.
+    val daily = Seq(
+      ("k", "2024-01-01", 10.0), ("k", "2024-01-08", 10.0),
+      ("k", "2024-01-15", 40.0), ("k", "2024-01-02", 99.0))
+      .toDF("k", "d", "v")
+      .select($"k", $"d".cast("date").as("d"), $"v".cast(DecimalType(18, 2)).as("v"))
+    val out = TimeSeries.seasonalAnomalies(daily, Seq("k"), "d", "v")
+      .orderBy("d").collect()
+      .map(r => (r.getDate(1).toString, r.getAs[Long]("season"),
+        r.getAs[Double]("baseline"), r.getAs[Boolean]("is_anomaly")))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 4L, 20.0, false), // |10-20|*2 = 20 ≯ 20 (boundary)
+      ("2024-01-02", 5L, 99.0, false), // lone Tuesday is its own baseline
+      ("2024-01-08", 4L, 20.0, false),
+      ("2024-01-15", 4L, 20.0, true))) // |40-20|*2 = 40 > 20
+  }
 }
