@@ -101,22 +101,34 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
+  /** One equality-delete file: pool path + the key columns its rows
+    * name. Readers anti-join the data on exactly these columns. */
+  private[engine] case class DeleteEntry(file: String, keyCols: Seq[String])
+
+  /** A fully parsed manifest. */
+  private case class Mf(schema: StructType, props: Map[String, String],
+                        files: Seq[String], stats: FileStats,
+                        deletes: Seq[DeleteEntry])
+
   /** Manifest format, one record per line:
     *   line 1       — schema JSON
     *   `#key=value` — properties (e.g. the txn id of an exactly-once append)
     *   `@` lines    — per-file stats: `@<b64 path>\t<col>\u0001<b64 min>\u0001<b64 max>…`
+    *   `-` lines    — equality-delete files: `-<b64 path>\t<b64 keycols-csv>`
     *   other lines  — pool-relative data file paths
     * Base64 keeps arbitrary string min/max (and `=`-bearing hive paths)
-    * out of the delimiter space. */
-  private def readManifestFull(layer: String, table: String,
-                               id: Long): (StructType, Map[String, String], Seq[String], FileStats) = {
+    * out of the delimiter space. Data paths never start with `-` (pool
+    * entries start with a partition dir or `part-`, clone references
+    * with `/`). */
+  private def readMf(layer: String, table: String, id: Long): Mf = {
     val p = new Path(manifestDir(layer, table), f"m$id%012d")
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
     finally in.close()
     require(lines.nonEmpty, s"SnapshotStore: corrupt manifest $p")
     val (propLines, rest) = lines.tail.partition(_.startsWith("#"))
-    val (statLines, fileLines) = rest.partition(_.startsWith("@"))
+    val (statLines, rest2) = rest.partition(_.startsWith("@"))
+    val (delLines, fileLines) = rest2.partition(_.startsWith("-"))
     val props = propLines.map { l =>
       val kv = l.drop(1).split("=", 2); kv(0) -> kv.lift(1).getOrElse("")
     }.toMap
@@ -127,7 +139,18 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       }.toMap
       unb64(parts.head) -> cols
     }.toMap
-    (DataType.fromJson(lines.head).asInstanceOf[StructType], props, fileLines, stats)
+    val deletes = delLines.map { l =>
+      val parts = l.drop(1).split("\t")
+      DeleteEntry(unb64(parts(0)), unb64(parts(1)).split(",").toSeq)
+    }
+    Mf(DataType.fromJson(lines.head).asInstanceOf[StructType], props,
+      fileLines, stats, deletes)
+  }
+
+  private def readManifestFull(layer: String, table: String,
+                               id: Long): (StructType, Map[String, String], Seq[String], FileStats) = {
+    val m = readMf(layer, table, id)
+    (m.schema, m.props, m.files, m.stats)
   }
 
   private def readManifest(layer: String, table: String, id: Long): (StructType, Seq[String]) = {
@@ -144,7 +167,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   private def tryWriteManifest(layer: String, table: String, id: Long,
                                schema: StructType, files: Seq[String],
                                props: Map[String, String] = Map.empty,
-                               stats: FileStats = Map.empty): Boolean = {
+                               stats: FileStats = Map.empty,
+                               deletes: Seq[DeleteEntry] = Nil): Boolean = {
     require(props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
       && props.values.forall(!_.contains("\n")),
       s"SnapshotStore: malformed manifest properties $props")
@@ -166,7 +190,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
           s"\t$c\u0001${b64(mn)}\u0001${b64(mx)}"
         }.mkString
       }
-    try out.write(((schema.json +: propLines) ++ statLines ++ files)
+    val delLines = deletes.map(d => "-" + b64(d.file) + "\t" + b64(d.keyCols.mkString(",")))
+    try out.write(((schema.json +: propLines) ++ statLines ++ delLines ++ files)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!fs.rename(tmp, new Path(dir, f"m$id%012d"))) {
@@ -184,8 +209,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   private def writeManifest(layer: String, table: String, id: Long,
                             schema: StructType, files: Seq[String],
                             props: Map[String, String] = Map.empty,
-                            stats: FileStats = Map.empty): Unit =
-    require(tryWriteManifest(layer, table, id, schema, files, props, stats),
+                            stats: FileStats = Map.empty,
+                            deletes: Seq[DeleteEntry] = Nil): Unit =
+    require(tryWriteManifest(layer, table, id, schema, files, props, stats, deletes),
       s"SnapshotStore: concurrent commit detected for $layer/$table snapshot $id")
 
   /** Optimistic commit loop: `attempt` reads the CURRENT latest
@@ -316,7 +342,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   def countRows(layer: String, table: String, id: Option[Long] = None): Option[Long] = {
     val snap = id.orElse(snapshots(layer, table).lastOption)
       .getOrElse(return None)
-    val (_, _, files, stats) = readManifestFull(layer, table, snap)
+    val m = readMf(layer, table, snap)
+    // pending equality deletes remove an unknown number of rows —
+    // metadata counts would overcount; fall back to the scan path
+    if (m.deletes.nonEmpty) return None
+    val (files, stats) = (m.files, m.stats)
     if (files.isEmpty) return Some(0L)
     val counts = files.map(f => stats.get(f).flatMap(_.get(RowCountStat)).map(_._1.toLong))
     if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
@@ -350,11 +380,21 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * instead of dropping them. */
   private def commitBuild(layer: String, table: String)(
       build: Option[Long] => (StructType, Seq[String], Map[String, String], FileStats)): Long =
+    commitBuildD(layer, table) { latest =>
+      val (schema, files, props, stats) = build(latest)
+      (schema, files, props, stats, Nil)
+    }
+
+  /** [[commitBuild]] whose builder also decides the snapshot's
+    * equality-delete entries (append-like commits carry the previous
+    * snapshot's deletes forward; overwrites reset them). */
+  private def commitBuildD(layer: String, table: String)(
+      build: Option[Long] => (StructType, Seq[String], Map[String, String], FileStats, Seq[DeleteEntry])): Long =
     commitRetry(layer, table) { () =>
       val latest = snapshots(layer, table).lastOption
-      val (schema, files, props, stats) = build(latest)
+      val (schema, files, props, stats, deletes) = build(latest)
       val id = latest.getOrElse(0L) + 1
-      if (tryWriteManifest(layer, table, id, schema, files, props, stats)) Some(id)
+      if (tryWriteManifest(layer, table, id, schema, files, props, stats, deletes)) Some(id)
       else None
     }
 
@@ -390,11 +430,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
              partitionBy: Seq[String] = Nil): Long = {
     val added = writeIntoPool(df, layer, table, partitionBy)
     val st = statsOf(layer, table, added)
-    commitBuild(layer, table) { latest =>
-      val (prev, prevSt) = latest
-        .map { id => val m = readManifestFull(layer, table, id); (m._3, m._4) }
-        .getOrElse((Nil, Map.empty: FileStats))
-      (df.schema, (prev ++ added).sorted, Map("op" -> "append"), prevSt ++ st)
+    commitBuildD(layer, table) { latest =>
+      val (prev, prevSt, prevDel) = latest
+        .map { id => val m = readMf(layer, table, id); (m.files, m.stats, m.deletes) }
+        .getOrElse((Nil, Map.empty: FileStats, Nil))
+      (df.schema, (prev ++ added).sorted, Map("op" -> "append"), prevSt ++ st, prevDel)
     }
   }
 
@@ -411,12 +451,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     txnSeen(layer, table, Some(txnId)).getOrElse {
       val added = writeIntoPool(df, layer, table, partitionBy)
       val st = statsOf(layer, table, added)
-      commitBuild(layer, table) { latest =>
-        val (prev, prevSt) = latest
-          .map { id => val m = readManifestFull(layer, table, id); (m._3, m._4) }
-          .getOrElse((Nil, Map.empty: FileStats))
+      commitBuildD(layer, table) { latest =>
+        val (prev, prevSt, prevDel) = latest
+          .map { id => val m = readMf(layer, table, id); (m.files, m.stats, m.deletes) }
+          .getOrElse((Nil, Map.empty: FileStats, Nil))
         (df.schema, (prev ++ added).sorted,
-          Map("txn" -> txnId, "op" -> "append"), prevSt ++ st)
+          Map("txn" -> txnId, "op" -> "append"), prevSt ++ st, prevDel)
       }
     }
 
@@ -440,10 +480,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val dfNames = df.schema.fieldNames.toSet
     // the schema merge recomputes per attempt: a racing writer may have
     // evolved the table too, and the loser must merge onto ITS schema
-    commitBuild(layer, table) { latest =>
-      val (prevSchema, _, prev, prevSt) = latest
-        .map(readManifestFull(layer, table, _))
-        .getOrElse((df.schema, Map.empty[String, String], Nil, Map.empty: FileStats))
+    commitBuildD(layer, table) { latest =>
+      val (prevSchema, prev, prevSt, prevDel) = latest
+        .map { id => val m = readMf(layer, table, id); (m.schema, m.files, m.stats, m.deletes) }
+        .getOrElse((df.schema, Nil, Map.empty: FileStats, Nil))
       val prevNames = prevSchema.fieldNames.toSet
       df.schema.foreach { f =>
         prevSchema.find(_.name == f.name).foreach { p =>
@@ -458,9 +498,54 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         // files, so it must become nullable in the merged schema too
         prevSchema.fields.map(f => if (dfNames(f.name)) f else f.copy(nullable = true)) ++
           df.schema.fields.filterNot(f => prevNames(f.name)).map(_.copy(nullable = true)))
-      (merged, (prev ++ added).sorted, Map("op" -> "append_evolve"), prevSt ++ st)
+      (merged, (prev ++ added).sorted, Map("op" -> "append_evolve"), prevSt ++ st, prevDel)
     }
   }
+
+  /** EQUALITY DELETE, merge-on-read (Iceberg equality-delete files /
+    * the role Delta's deletion vectors play): commit the KEYS of the
+    * rows to remove as a small delete file — the snapshot's DATA files
+    * are untouched (zero rewriting at any table size; deleting 100 rows
+    * from a 100 TB table costs one key-file write + a manifest commit).
+    * Readers anti-join on the key columns ([[applyDeletes]] — the
+    * delete set broadcasts), prior snapshots still time-travel to the
+    * undeleted content, and [[compact]] materializes pending deletes
+    * physically (its read applies them; its overwrite commit resets the
+    * delete list). `countRows` falls back to a scan while deletes are
+    * pending (metadata counts would overcount); partial-overwrite /
+    * pruned-merge commits refuse until a compact (they cannot reconcile
+    * replaced partitions against global key deletes). Deduplicated
+    * keys; concurrent appends compose (the delete names keys, not
+    * files). Returns the new snapshot id. */
+  def deleteKeys(keys: DataFrame, layer: String, table: String,
+                 keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "deleteKeys: keyCols must be non-empty")
+    val latest = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val schema = readMf(layer, table, latest).schema
+    keyCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"deleteKeys: $layer/$table has no column $c"))
+    require(keyCols.forall(c => !c.contains(",")),
+      s"deleteKeys: key column names must not contain ',' (manifest delimiter): $keyCols")
+    val added = writeIntoPool(
+      keys.select(keyCols.map(col): _*).dropDuplicates(keyCols),
+      layer, table, Nil)
+    commitBuildD(layer, table) { l =>
+      val m = l.map(readMf(layer, table, _)).getOrElse(
+        throw new IllegalStateException(
+          s"SnapshotStore: $layer/$table vanished during deleteKeys"))
+      (m.schema, m.files, Map("op" -> "delete"), m.stats,
+        m.deletes ++ added.map(DeleteEntry(_, keyCols)))
+    }
+  }
+
+  /** [[deleteKeys]] from a predicate: `DELETE FROM t WHERE p`, with the
+    * matched keys computed from the current snapshot. */
+  def deleteWhere(layer: String, table: String, keyCols: Seq[String],
+                  predicate: org.apache.spark.sql.Column): Long =
+    deleteKeys(read(layer, table).filter(predicate), layer, table, keyCols)
 
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
     * dynamic`, Delta `replaceWhere` by partition): replace ONLY the
@@ -507,7 +592,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     }
     commitBuild(layer, table) { latest =>
       val (prev, prevSt) = latest
-        .map { id => val m = readManifestFull(layer, table, id); (m._3, m._4) }
+        .map { id =>
+          val m = readMf(layer, table, id)
+          require(m.deletes.isEmpty,
+            s"SnapshotStore: $layer/$table has pending equality deletes — a partial " +
+              "overwrite cannot reconcile them with replaced partitions; run compact " +
+              "(materializes deletes) first")
+          (m.files, m.stats)
+        }
         .getOrElse((Nil, Map.empty: FileStats))
       if (mergeBase.isDefined && latest != mergeBase) baseTouchedFiles.foreach { base =>
         val nowTouched = prev.filter(f => touched.contains(partOf(f))).toSet
@@ -621,8 +713,28 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val ids = snapshots(layer, table)
     require(ids.contains(id),
       s"SnapshotStore: snapshot $id of $layer/$table not retained (have: ${ids.mkString(",")})")
-    val (schema, files) = readManifest(layer, table, id)
-    readFiles(layer, table, schema, files)
+    val m = readMf(layer, table, id)
+    applyDeletes(readFiles(layer, table, m.schema, m.files), layer, table,
+      m.schema, m.deletes)
+  }
+
+  /** Merge-on-read: anti-join the data on each delete file group's key
+    * columns. Delete sets are commit-sized (small), so Catalyst
+    * broadcasts them — a delete costs a broadcast anti-join at read
+    * time and ZERO data rewriting at commit time, until [[compact]]
+    * materializes it. */
+  private def applyDeletes(df: DataFrame, layer: String, table: String,
+                           schema: StructType,
+                           deletes: Seq[DeleteEntry]): DataFrame = {
+    if (deletes.isEmpty) return df
+    deletes.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(","))
+      .foldLeft(df) { case (acc, (cols, entries)) =>
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"SnapshotStore: delete key column $c missing from $layer/$table schema"))
+        val keySchema = StructType(schema.fields.filter(f => cols.contains(f.name)))
+        val keys = readFiles(layer, table, keySchema, entries.map(_.file).sorted)
+        acc.join(keys.dropDuplicates(cols), cols, "left_anti")
+      }
   }
 
   /** Stats-pruned range scan (Delta/Iceberg data skipping): read only
@@ -652,7 +764,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val id = snapshots(layer, table).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore: no committed snapshot for $layer/$table"))
-    val (schema, _, files, stats) = readManifestFull(layer, table, id)
+    val mf = readMf(layer, table, id)
+    val (schema, files, stats) = (mf.schema, mf.files, mf.stats)
     val typed = ranges.map { case (c, lohi) =>
       val t = schema.find(_.name == c).map(_.dataType).getOrElse(
         throw new IllegalArgumentException(s"readWhere: $layer/$table has no column $c"))
@@ -669,7 +782,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         }
       }
     }
-    val pruned = readFiles(layer, table, schema, keep)
+    val pruned = applyDeletes(readFiles(layer, table, schema, keep),
+      layer, table, schema, mf.deletes)
     typed.foldLeft(pruned) { case (df, (c, (lo, hi), t)) =>
       df.filter(col(c) >= lit(lo).cast(t) && col(c) <= lit(hi).cast(t))
     }
@@ -703,8 +817,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   def changesBetween(layer: String, table: String, keys: Seq[String],
                      fromId: Long, toId: Long): DataFrame = {
     require(fromId < toId, s"changesBetween: fromId ($fromId) must precede toId ($toId)")
-    val (fromSchema, fromFiles) = readManifest(layer, table, fromId)
-    val (toSchema, toFiles) = readManifest(layer, table, toId)
+    val (fromMf, toMf) = (readMf(layer, table, fromId), readMf(layer, table, toId))
+    require(fromMf.deletes.toSet == toMf.deletes.toSet,
+      s"changesBetween: equality deletes changed between snapshots $fromId and $toId " +
+        "of " + s"$layer/$table — file-granular CDC cannot classify merge-on-read " +
+        "deletes; compact (materialize) before diffing across a delete")
+    val (fromSchema, fromFiles) = (fromMf.schema, fromMf.files)
+    val (toSchema, toFiles) = (toMf.schema, toMf.files)
     def side(own: Seq[String], other: Seq[String], schema: StructType): DataFrame =
       readFiles(layer, table, schema, (own.toSet -- other.toSet).toSeq.sorted)
     ChangeFeed.classify(
@@ -724,12 +843,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val ids = snapshots(layer, table)
     require(ids.contains(id),
       s"SnapshotStore: snapshot $id of $layer/$table not retained (have: ${ids.mkString(",")})")
-    val (schema, _, files, stats) = readManifestFull(layer, table, id)
+    val m = readMf(layer, table, id)
     // restore re-points to an immutable snapshot's files — content is
     // independent of the latest, so a lost race just retries (a racing
     // writer's commit stays time-travelable behind the restore)
-    commitBuild(layer, table)(_ =>
-      (schema, files, Map("op" -> "restore", "restored_from" -> id.toString), stats))
+    commitBuildD(layer, table)(_ =>
+      (m.schema, m.files, Map("op" -> "restore", "restored_from" -> id.toString),
+        m.stats, m.deletes))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`):
@@ -755,12 +875,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         s"SnapshotStore: no committed snapshot for $srcLayer/$srcTable"))
     require(!tableExists(dstLayer, dstTable),
       s"SnapshotStore: clone target $dstLayer/$dstTable already exists")
-    val (schema, _, files, stats) = readManifestFull(srcLayer, srcTable, srcId)
-    val absFiles = files.map(absFile(srcLayer, srcTable, _)).sorted
-    val absStats = stats.map { case (f, s) => absFile(srcLayer, srcTable, f) -> s }
-    writeManifest(dstLayer, dstTable, 1L, schema, absFiles,
+    val m = readMf(srcLayer, srcTable, srcId)
+    val absFiles = m.files.map(absFile(srcLayer, srcTable, _)).sorted
+    val absStats = m.stats.map { case (f, s) => absFile(srcLayer, srcTable, f) -> s }
+    val absDel = m.deletes.map(d => d.copy(file = absFile(srcLayer, srcTable, d.file)))
+    writeManifest(dstLayer, dstTable, 1L, m.schema, absFiles,
       Map("op" -> "clone", "cloned_from" -> s"$srcLayer/$srcTable@m$srcId"),
-      stats = absStats)
+      stats = absStats, deletes = absDel)
     1L
   }
 
@@ -791,7 +912,10 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * they reference. Returns how many files were removed. */
   def vacuum(layer: String, table: String): Int = {
     val referenced = snapshots(layer, table)
-      .flatMap(readManifest(layer, table, _)._2).toSet
+      .flatMap { id =>
+        val m = readMf(layer, table, id)
+        m.files ++ m.deletes.map(_.file) // delete files are live too
+      }.toSet
     val orphans = listPool(layer, table) -- referenced
     orphans.foreach(f => fs.delete(new Path(s"${dataDir(layer, table)}/$f"), false))
     // abandoned staging dirs and manifest tmp files from crashed

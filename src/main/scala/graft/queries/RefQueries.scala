@@ -1710,6 +1710,49 @@ object RefQueries {
       Some(s"""SELECT * FROM (${StockOps.goldSql()})
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // EQUALITY DELETE, merge-on-read ([[SnapshotStore.deleteKeys]] —
+    // Iceberg equality-delete files / the role Delta's deletion vectors
+    // play): DELETE FROM a two-generation table commits only a small
+    // key file; the in-query requires pin that (a) every pre-delete
+    // DATA file still serves the post-delete read (zero rewriting — at
+    // 100 TB a delete costs a key-file write, not a table rewrite),
+    // (b) the metadata COUNT correctly refuses while deletes are
+    // pending, and (c) compact materializes the delete into fresh
+    // files and restores the metadata-count path. The oracle recomputes
+    // the surviving rows directly; the final output hashes the
+    // COMPACTED table, so read-path anti-join and physical apply must
+    // agree exactly.
+    Q("m_snapshot_deletes",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_del_${new java.io.File(dir).getName}",
+          statsFor = Seq("o_orderkey"))
+        st.dropTable("silver", "ord")
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"))
+        st.overwrite(ord.filter(col("o_orderkey") % 2 === 0), "silver", "ord")
+        st.append(ord.filter(col("o_orderkey") % 2 === 1), "silver", "ord")
+        val preFiles = st.read("silver", "ord").inputFiles.toSet
+        require(st.countRows("silver", "ord").isDefined,
+          "metadata COUNT must be available before the delete")
+        st.deleteWhere("silver", "ord", Seq("o_orderkey"), col("o_custkey") % 10 === 3)
+        val post = st.read("silver", "ord")
+        require(preFiles.subsetOf(post.inputFiles.toSet),
+          "equality delete must not rewrite or drop any data file")
+        require(st.countRows("silver", "ord").isEmpty,
+          "metadata COUNT must refuse while equality deletes are pending")
+        st.compact("silver", "ord", numFiles = 4)
+        require(st.countRows("silver", "ord").isDefined,
+          "compact must materialize deletes and restore the metadata-count path")
+        val compacted = st.read("silver", "ord")
+        require(compacted.inputFiles.toSet.intersect(preFiles).isEmpty,
+          "compact must rewrite into fresh files")
+        compacted.orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+             |FROM orders WHERE o_custkey % 10 <> 3
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Metadata-only COUNT(*) (Delta/Iceberg answer counts from the
     // log): the table is committed across TWO generations (overwrite +
     // append, so the manifest sums per-file counts over multiple

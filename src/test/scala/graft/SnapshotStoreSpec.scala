@@ -401,4 +401,64 @@ class SnapshotStoreSpec extends SparkSpec {
       st.changesBetween("silver", "t", Seq("id"), 2L, 1L)
     }
   }
+
+  test("equality delete is zero-copy, snapshot-isolated, and compact materializes it") {
+    val st = newStore("del")
+    val v1 = st.overwrite(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "b", 40.0))
+        .toDF("id", "seg", "v"), "silver", "t")
+    val preFiles = st.read("silver", "t").inputFiles.toSet
+    val vDel = st.deleteWhere("silver", "t", Seq("id"), col("seg") === "a")
+    val post = st.read("silver", "t")
+    // merge-on-read: rows gone, but every pre-delete DATA file still serves
+    assert(post.orderBy("id").select("id").as[Long].collect().toSeq == Seq(2L, 4L))
+    assert(preFiles.subsetOf(post.inputFiles.toSet),
+      "delete must not rewrite or drop data files")
+    // snapshot isolation: the pre-delete snapshot still sees all rows
+    assert(st.readSnapshot("silver", "t", v1).count() == 4)
+    // vacuum must NOT reclaim the delete key file the live snapshot needs
+    assert(st.vacuum("silver", "t") == 0)
+    assert(st.read("silver", "t").count() == 2)
+    // compact applies the delete physically and clears the entries
+    st.compact("silver", "t", numFiles = 1)
+    val compacted = st.read("silver", "t")
+    assert(compacted.orderBy("id").select("id").as[Long].collect().toSeq == Seq(2L, 4L))
+    assert(compacted.inputFiles.toSet.intersect(preFiles).isEmpty,
+      "compact must rewrite into fresh files")
+    assert(vDel > v1)
+  }
+
+  test("deletes accumulate across commits and compose with appends") {
+    val st = newStore("del2")
+    st.overwrite(Seq((1L, 1.0), (2L, 2.0)).toDF("id", "v"), "s", "t")
+    st.deleteKeys(Seq(Tuple1(1L)).toDF("id"), "s", "t", Seq("id"))
+    st.append(Seq((3L, 3.0), (4L, 4.0)).toDF("id", "v"), "s", "t")
+    st.deleteKeys(Seq(Tuple1(3L)).toDF("id"), "s", "t", Seq("id"))
+    assert(st.read("s", "t").orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(2L, 4L))
+    // a fresh overwrite resets pending deletes: new content, key 1 reusable
+    st.overwrite(Seq((1L, 9.0)).toDF("id", "v"), "s", "t")
+    assert(st.read("s", "t").select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("pending deletes: metadata COUNT falls back; partial overwrite refuses until compact") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_del3").toString,
+      statsFor = Seq("id"))
+    st.overwrite(Seq((1L, 2024), (2L, 2024), (3L, 2025)).toDF("id", "year"),
+      "g", "t", Seq("year"))
+    assert(st.countRows("g", "t").contains(3L))
+    st.deleteKeys(Seq(Tuple1(2L)).toDF("id"), "g", "t", Seq("id"))
+    assert(st.countRows("g", "t").isEmpty,
+      "metadata count would overcount past a pending delete")
+    assert(st.countDF("g", "t").head().getLong(0) == 2L) // scan fallback is exact
+    intercept[IllegalArgumentException] {
+      st.overwritePartitions(Seq((5L, 2025)).toDF("id", "year"), "g", "t", Seq("year"))
+    }
+    st.compact("g", "t", numFiles = 1, partitionBy = Seq("year"))
+    assert(st.countRows("g", "t").contains(2L)) // materialized: metadata path back
+    st.overwritePartitions(Seq((5L, 2025)).toDF("id", "year"), "g", "t", Seq("year"))
+    assert(st.read("g", "t").orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 5L))
+  }
 }
