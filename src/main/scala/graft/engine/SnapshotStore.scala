@@ -885,6 +885,51 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     1L
   }
 
+  /** FAST-FORWARD BRANCH MERGE (the Nessie/Iceberg-branch workflow,
+    * built on [[shallowClone]]): a "branch" is a shallow clone —
+    * zero-copy, its own commit chain, experiments land in its own
+    * pool. Merging publishes the branch head back onto the SOURCE
+    * table as one new snapshot, by file reference (no data copied:
+    * source-pool files return to relative form, branch-pool files ride
+    * as absolute references — compact afterwards to localize them).
+    *
+    * Only fast-forward merges are allowed: if the source advanced past
+    * the branch point (read from the clone's provenance), the merge
+    * ABORTS loudly — divergent histories need a real three-way merge,
+    * and silently clobbering the source's new commits is the one
+    * unacceptable outcome. The check re-runs inside the commit loop,
+    * so a writer racing the merge itself also aborts it. Returns the
+    * new source snapshot id. */
+  def mergeBranch(branchLayer: String, branchTable: String): Long = {
+    val ids = snapshots(branchLayer, branchTable)
+    require(ids.nonEmpty, s"SnapshotStore: no snapshots on $branchLayer/$branchTable")
+    val prov = readMf(branchLayer, branchTable, ids.head).props.getOrElse("cloned_from",
+      throw new IllegalArgumentException(
+        s"SnapshotStore: $branchLayer/$branchTable is not a branch (no clone provenance " +
+          "in its oldest retained manifest — branches must not outlive manifest retention)"))
+    val Array(srcPath, baseTag) = prov.split("@m")
+    val Array(srcLayer, srcTable) = srcPath.split("/")
+    val base = baseTag.toLong
+    val head = readMf(branchLayer, branchTable, ids.last)
+    val srcData = dataDir(srcLayer, srcTable)
+    def toSrc(f: String): String = {
+      val abs = absFile(branchLayer, branchTable, f)
+      if (abs.startsWith(srcData + "/")) abs.stripPrefix(srcData + "/") else abs
+    }
+    commitBuildD(srcLayer, srcTable) { latest =>
+      require(latest.contains(base),
+        s"SnapshotStore: cannot fast-forward $branchLayer/$branchTable onto " +
+          s"$srcLayer/$srcTable — source advanced from snapshot $base to " +
+          s"${latest.getOrElse(0L)} since the branch was cut; rebase (re-clone " +
+          "and replay) instead of clobbering the source's commits")
+      (head.schema, head.files.map(toSrc).sorted,
+        Map("op" -> "merge_branch",
+          "merged_from" -> s"$branchLayer/$branchTable@m${ids.last}"),
+        head.stats.map { case (f, st) => toSrc(f) -> st },
+        head.deletes.map(d => d.copy(file = toSrc(d.file))))
+    }
+  }
+
   /** DESCRIBE HISTORY analogue: one row per RETAINED snapshot, oldest
     * first — `(snapshot_id, op, n_files, txn, detail)` from the
     * manifests' recorded properties (a driver-side walk over a few-KB

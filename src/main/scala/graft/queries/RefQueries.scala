@@ -1710,6 +1710,44 @@ object RefQueries {
       Some(s"""SELECT * FROM (${StockOps.goldSql()})
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // BRANCH / FAST-FORWARD MERGE ([[SnapshotStore.shallowClone]] +
+    // [[SnapshotStore.mergeBranch]] — the Nessie/Iceberg-branch
+    // workflow): production gold is branched zero-copy, the 1997
+    // months land on the branch (prod requires pinned untouched during
+    // branch work), and the branch head fast-forwards back as ONE
+    // manifest commit whose file list mixes prod's files (by reference)
+    // with the branch's (absolute) — no data moves at any table size.
+    // The oracle recomputes the merged content directly; a diverged
+    // merge aborting is unit-covered (SnapshotStoreSpec).
+    Q("m_snapshot_branch",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_br_${new java.io.File(dir).getName}")
+        st.dropTable("gold", "t"); st.dropTable("sandbox", "t")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+        st.overwrite(gold(li.filter(col("l_shipdate") < lit(cut))), "gold", "t")
+        val prodSnaps = st.snapshots("gold", "t")
+        val prodFiles = st.read("gold", "t").inputFiles.toSet
+        st.shallowClone("gold", "t", "sandbox", "t")
+        st.append(gold(li.filter(col("l_shipdate") >= lit(cut))), "sandbox", "t")
+        require(st.snapshots("gold", "t") == prodSnaps &&
+          st.read("gold", "t").inputFiles.toSet == prodFiles,
+          "branch work must not touch the production table")
+        st.mergeBranch("sandbox", "t")
+        val merged = st.read("gold", "t")
+        require(prodFiles.subsetOf(merged.inputFiles.toSet),
+          "fast-forward merge must reference production's files, not copy them")
+        merged
+          .select("sigla_empresa", "ano", "mes", "data_inicio_mes",
+            "volume_total_mensal", "preco_medio_fechamento_mensal",
+            "maximo_mensal", "minimo_mensal")
+          .orderBy("sigla_empresa", "ano", "mes")
+      },
+      Some(s"""SELECT * FROM (${StockOps.goldSql()})
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
     // EQUALITY DELETE, merge-on-read ([[SnapshotStore.deleteKeys]] —
     // Iceberg equality-delete files / the role Delta's deletion vectors
     // play): DELETE FROM a two-generation table commits only a small

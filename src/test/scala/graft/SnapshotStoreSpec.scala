@@ -402,6 +402,26 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("mergeBranch fast-forwards; a diverged source aborts the merge") {
+    val st = newStore("br")
+    st.overwrite(Seq((1L, "a")).toDF("id", "v"), "prod", "t")
+    st.shallowClone("prod", "t", "exp", "t")
+    st.append(Seq((2L, "b")).toDF("id", "v"), "exp", "t")
+    st.mergeBranch("exp", "t")
+    assert(st.read("prod", "t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // second branch; source then advances → merge must abort
+    st.shallowClone("prod", "t", "exp2", "t")
+    st.append(Seq((3L, "c")).toDF("id", "v"), "exp2", "t")
+    st.append(Seq((9L, "z")).toDF("id", "v"), "prod", "t")
+    intercept[IllegalArgumentException] { st.mergeBranch("exp2", "t") }
+    // the source's racing commit survives untouched
+    assert(st.read("prod", "t").orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 2L, 9L))
+    // a non-branch table refuses
+    intercept[IllegalArgumentException] { st.mergeBranch("prod", "t") }
+  }
+
   test("equality delete is zero-copy, snapshot-isolated, and compact materializes it") {
     val st = newStore("del")
     val v1 = st.overwrite(
