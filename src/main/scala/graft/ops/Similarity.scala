@@ -437,4 +437,74 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // ── Product quantization (PQ) ──────────────────────────────────────
+
+  /** PQ codebook: split the `dim`-dim vector into `m` contiguous
+    * subspaces and k-means each ([[kmeansFit]] per slice — same
+    * deterministic init, int8-stat M-step, cosine assignment). Returns
+    * `(sub_id, c_id, c_vec)`, m·k rows — the whole codebook broadcasts
+    * at any corpus size; training is m independent fits over
+    * (dim/m)-wide slices. PQ is how billion-vector indexes (FAISS
+    * IVFPQ) hold the corpus in memory: m bytes per vector instead of
+    * 4·dim. */
+  def pqCodebook(emb: DataFrame, vecCol: String, idCol: String,
+                 m: Int, dim: Int, k: Int, maxIter: Int = 1): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"pqCodebook: m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
+      val (cents, _, _) = kmeansFit(sliced, vecCol, idCol, k, maxIter)
+      cents.select(lit(j).as("sub_id"), col("c_id"), col("c_vec"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** PQ encoding: each vector → m small codes, the nearest codebook
+    * centroid per subspace (same tie-break as [[ivfAssign]]). Returns
+    * `(idCol, sub_id, code)` — the m-bytes-per-vector compressed
+    * corpus. One broadcast assignment per subspace, no shuffle of the
+    * corpus itself. */
+  def pqEncode(emb: DataFrame, vecCol: String, idCol: String,
+               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
+    (0 until m).map { j =>
+      val sliced = emb.select(col(idCol),
+        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
+      val cb = codebook.filter(col("sub_id") === j).select(col("c_id"), col("c_vec"))
+      ivfAssign(sliced, vecCol, idCol, cb, "c_vec", "c_id")
+        .select(col(idCol), lit(j).as("sub_id"), col("centroid_id").as("code"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** ADC top-k (asymmetric distance computation, inner-product form):
+    * score(q, x) ≈ Σⱼ ⟨q's j-th slice, codebook[j][codeⱼ(x)]⟩ — the
+    * query stays full-precision, the corpus is its codes. Per query
+    * the m·k lookup table is computed ONCE and broadcast; scoring a
+    * vector is m table lookups + an integer add, never a float dot
+    * against the corpus. Determinism: each LUT cell floor-scales to
+    * integer micro-points, so the per-vector sum is exact BIGINT
+    * arithmetic (order-independent); ties break to the smaller id via
+    * [[Ranking.topKBy]]'s bounded heap. Returns
+    * `(q_id, rank, vec_id, score_pts)`. */
+  def pqAdcTopK(codes: DataFrame, idCol: String, codebook: DataFrame,
+                queries: DataFrame, qIdCol: String, vecCol: String,
+                m: Int, dim: Int, k: Int): DataFrame = {
+    val sub = dim / m
+    val lut = (0 until m).map { j =>
+      queries.select(col(qIdCol),
+        slice(col(vecCol), j * sub + 1, sub).as("__qs"))
+        .crossJoin(codebook.filter(col("sub_id") === j))
+        .select(col(qIdCol), col("sub_id"), col("c_id").as("code"),
+          floor(dot(col("__qs"), col("c_vec")) * lit(1e6)).cast(LongType).as("pts"))
+    }.reduce(_.unionByName(_))
+    codes.join(broadcast(lut), Seq("sub_id", "code"))
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum("pts").as("score_pts"))
+      .groupBy(col(qIdCol))
+      .agg(Ranking.topKBy(col("score_pts"), col(idCol), k).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")))
+      .select(col(qIdCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as(idCol), col("col.score").cast(LongType).as("score_pts"))
+  }
 }

@@ -68,9 +68,10 @@ object ExtQueries {
   /** One k-means M-step as CTEs: integer (Σq, n) stats from assignment
     * `a` over the `codes` table, centroid = Σ/n as FLOAT, empty
     * clusters carried from `prev`. */
-  private def kmMStepSql(a: String, prev: String, out: String): String =
+  private def kmMStepSql(a: String, prev: String, out: String,
+                         codes: String = "codes"): String =
     s"""s_$out AS (SELECT $a.centroid_id, unnest(range(len(c.qv))) AS dim, unnest(c.qv) AS q
-       |     FROM $a JOIN codes c ON $a.vec_id = c.vec_id),
+       |     FROM $a JOIN $codes c ON $a.vec_id = c.vec_id),
        |g_$out AS (SELECT centroid_id, dim, SUM(q) AS sum_q, COUNT(*) AS n
        |     FROM s_$out GROUP BY 1, 2),
        |m_$out AS (SELECT centroid_id AS c_id,
@@ -2328,6 +2329,55 @@ object ExtQueries {
            |SELECT a2.vec_id, a2.centroid_id, sizes.cluster_n
            |FROM a2 JOIN sizes USING (centroid_id)
            |ORDER BY vec_id""".stripMargin
+      }),
+
+    // Product quantization + ADC search ([[Similarity.pqCodebook]] /
+    // pqEncode / pqAdcTopK — the FAISS-IVFPQ memory shape: m bytes per
+    // corpus vector instead of 4·dim): per-subspace k-means codebooks
+    // (the same deterministic fit as sim_kmeans_fit, per 16-dim slice),
+    // corpus encoded as 4 codes, queries scored by broadcast LUT —
+    // m integer lookups + an exact BIGINT sum per vector, never a
+    // corpus-side float dot. The oracle unrolls all four subspace fits,
+    // encodings, and the micro-point LUT join.
+    Q("sim_pq_adc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val cb = Similarity.pqCodebook(emb, "embedding", "vec_id", m = 4, dim = 64, k = 8)
+        val codes = Similarity.pqEncode(emb, "embedding", "vec_id", cb, m = 4, dim = 64)
+        val queries = emb.orderBy("vec_id").limit(3)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        Similarity.pqAdcTopK(codes, "vec_id", cb, queries, "q_id", "embedding",
+          m = 4, dim = 64, k = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val subsSql = (0 until 4).map { j =>
+          val lo = j * 16 + 1; val hi = (j + 1) * 16
+          s"""sub$j AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+             |c0_$j AS (SELECT vec_id AS c_id, embedding AS c_vec FROM sub$j ORDER BY vec_id LIMIT 8),
+             |b_$j AS (SELECT vec_id, ${Similarity.quantScaleSql("embedding")} AS sc, embedding FROM sub$j),
+             |q_$j AS (SELECT vec_id, ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM b_$j),
+             |${kmAssignSql(s"sub$j", s"c0_$j", s"a0_$j")},
+             |${kmMStepSql(s"a0_$j", s"c0_$j", s"c1_$j", codes = s"q_$j")},
+             |${kmAssignSql(s"sub$j", s"c1_$j", s"enc_$j")},
+             |lut_$j AS (SELECT q.q_id, $j AS sub_id, c.c_id AS code,
+             |             CAST(floor(${Similarity.dotSql(s"(q.embedding[$lo:$hi])", "c.c_vec")} * 1000000.0) AS BIGINT) AS pts
+             |           FROM qs q CROSS JOIN c1_$j c)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH qs AS (SELECT vec_id AS q_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
+           |$subsSql,
+           |codes_all AS (${(0 until 4).map(j =>
+              s"SELECT vec_id, $j AS sub_id, centroid_id AS code FROM enc_$j")
+              .mkString("\n UNION ALL ")}),
+           |lut AS (${(0 until 4).map(j => s"SELECT * FROM lut_$j").mkString(" UNION ALL ")}),
+           |sc AS (SELECT l.q_id, c.vec_id, CAST(SUM(l.pts) AS BIGINT) AS score_pts
+           |       FROM codes_all c JOIN lut l ON c.sub_id = l.sub_id AND c.code = l.code
+           |       GROUP BY 1, 2)
+           |SELECT q_id, rank, vec_id, score_pts FROM (
+           |  SELECT q_id, vec_id, score_pts,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY score_pts DESC, vec_id) AS rank
+           |  FROM sc)
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       }),
 
     // Trained SemDeDup, end to end ([[Similarity.kmeansFit]] →

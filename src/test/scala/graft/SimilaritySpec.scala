@@ -295,4 +295,28 @@ class SimilaritySpec extends SparkSpec {
     assert(dotRows(0).getLong(0) == 0L)
     assert(dotRows(1).isNullAt(0))
   }
+
+  test("PQ: m codes per vector, ADC retrieves the matching-code vector first") {
+    import spark.implicits._
+    // two 4-dim vectors with ORTHOGONAL slices in both subspaces
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Seq(0.0f, 1.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(emb, "embedding", "vec_id", m = 2, dim = 4, k = 2)
+    assert(cb.count() == 4) // m * k
+    val codes = Similarity.pqEncode(emb, "embedding", "vec_id", cb, m = 2, dim = 4)
+    // exactly m codes per vector, codes drawn from the codebook
+    val perVec = codes.groupBy("vec_id").count().collect()
+    assert(perVec.forall(_.getLong(1) == 2L))
+    val cbIds = cb.select("c_id").as[Long].collect().toSet
+    assert(codes.select("code").as[Long].collect().forall(cbIds.contains))
+    // ADC: querying with vector 1 must rank vector 1 first (its codes'
+    // centroids align with the query slices; vector 2's are orthogonal)
+    val queries = emb.filter($"vec_id" === 1L).select($"vec_id".as("q_id"), $"embedding")
+    val top = Similarity.pqAdcTopK(codes, "vec_id", cb, queries, "q_id", "embedding",
+      m = 2, dim = 4, k = 2).orderBy("rank").collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L,
+      s"ADC must retrieve the aligned vector first: ${top.mkString(", ")}")
+    assert(top.head.getAs[Long]("score_pts") > top.last.getAs[Long]("score_pts"))
+  }
 }
