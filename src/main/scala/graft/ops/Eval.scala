@@ -78,6 +78,57 @@ object Eval {
             / (col("precision") + col("recall"))))
   }
 
+  /** Exact ROC-AUC over BUCKETED scores — the bounded-state ranking
+    * metric (Mann-Whitney U form): with per-bucket (positives,
+    * negatives) counts and buckets ascending by score,
+    * U·2 = Σᵢ posᵢ·(2·cumnegᵢ + negᵢ) counts every (pos, neg) pair
+    * once (same-bucket ties at ½, the standard convention), and
+    * AUC = U·2 / (2·P·N). Everything before the final division is
+    * exact BIGINT arithmetic — order-independent under any
+    * partitioning; the prefix sum runs over BUCKET rows (score grain),
+    * never data rows, so state is O(buckets) at any corpus size — the
+    * same shape as the binned-quantile family. The caller picks the
+    * bucket grain (e.g. `floor(score·1000)`), which is also what makes
+    * a float score deterministic cross-engine. `yCol` must be 0/1.
+    * Returns one row `(n_pos, n_neg, auc)`; AUC is NULL when either
+    * class is empty (no ranking exists). */
+  def bucketAuc(df: DataFrame, yCol: String, bucketCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bk = df.groupBy(col(bucketCol).as("__b"))
+      .agg(sum(col(yCol)).cast("long").as("__pos"),
+        (count(lit(1)) - sum(col(yCol))).cast("long").as("__neg"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = bk.withColumn("__cumneg",
+      coalesce(sum(col("__neg")).over(w), lit(0L)))
+    withCum.agg(
+      sum(col("__pos")).as("n_pos"), sum(col("__neg")).as("n_neg"),
+      sum(col("__pos") * (col("__cumneg") * 2 + col("__neg"))).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(col("__u2").cast("double") /
+            (col("n_pos") * col("n_neg") * 2).cast("double")).as("auc"))
+  }
+
+  /** DuckDB mirror of [[bucketAuc]] over a relation with `y` (0/1) and
+    * `b` (bucket) columns. */
+  def bucketAucSql(rel: String): String =
+    s"""bk AS (SELECT b, CAST(SUM(y) AS BIGINT) AS pos,
+       |              CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+       |       FROM $rel GROUP BY 1),
+       |wc AS (SELECT b, pos, neg,
+       |         COALESCE(SUM(neg) OVER (ORDER BY b
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+       |       FROM bk),
+       |auc_r AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |                 CAST(SUM(neg) AS BIGINT) AS n_neg,
+       |                 CAST(SUM(pos * (cumneg * 2 + neg)) AS BIGINT) AS u2
+       |          FROM wc)
+       |SELECT n_pos, n_neg,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+       |       ELSE CAST(u2 AS DOUBLE) / CAST(n_pos * n_neg * 2 AS DOUBLE) END AS auc
+       |FROM auc_r""".stripMargin
+
   /** DuckDB mirror of [[classificationReport]] over a CTE/table `rel`
     * with columns `label`, `pred` (pre-aliased by the caller). */
   def classificationReportSql(rel: String): String =

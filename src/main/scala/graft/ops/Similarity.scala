@@ -382,9 +382,15 @@ object Similarity {
         cents.join(means.select(col("c_id")), Seq("c_id"), "left_anti"))
       val reassigned = ivfAssign(emb, vecCol, idCol, next, "c_vec", "c_id")
         .select(col(idCol), col("centroid_id")).localCheckpoint()
-      moved = reassigned
-        .join(assigned.withColumnRenamed("centroid_id", "__prev"), Seq(idCol))
-        .filter(col("centroid_id") =!= col("__prev")).count()
+      // the reassignment count only feeds the while-condition — on the
+      // LAST permitted round the loop exits either way, so the
+      // join+count job is skipped (pqCodebook runs maxIter=1 fits per
+      // subspace; this is its whole convergence-probe cost)
+      moved =
+        if (rounds + 1 < maxIter) reassigned
+          .join(assigned.withColumnRenamed("centroid_id", "__prev"), Seq(idCol))
+          .filter(col("centroid_id") =!= col("__prev")).count()
+        else 0L
       cents = next
       assigned = reassigned
       rounds += 1
@@ -440,42 +446,80 @@ object Similarity {
 
   // ── Product quantization (PQ) ──────────────────────────────────────
 
+  /** Every vector exploded into its m subspace slices:
+    * `(idCol, sub_id, __sv)` — ONE projection, so every PQ stage
+    * processes ALL subspaces in the same jobs (no per-subspace driver
+    * loop; at 100 TB the m codebooks train in one pass per round). */
+  private def pqSliced(df: DataFrame, vecCol: String, idCol: String,
+                       m: Int, sub: Int): DataFrame =
+    df.select(col(idCol), posexplode(transform(sequence(lit(0), lit(m - 1)),
+      j => slice(col(vecCol), j * lit(sub) + lit(1), lit(sub)))).as(Seq("sub_id", "__sv")))
+
+  /** Nearest codebook centroid per (vector, subspace) — [[ivfAssign]]'s
+    * exact ranking (cosine DESC, c_id) run for all subspaces at once
+    * (the tiny codebook broadcasts; one window per (sub_id, id)). */
+  private def pqAssign(sliced: DataFrame, codebook: DataFrame,
+                       idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    sliced.join(broadcast(codebook), Seq("sub_id"))
+      .withColumn("__cos", cosine(col("__sv"), col("c_vec")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("sub_id"), col(idCol))
+          .orderBy(col("__cos").desc, col("c_id"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("sub_id"), col("c_id").as("code"))
+  }
+
   /** PQ codebook: split the `dim`-dim vector into `m` contiguous
-    * subspaces and k-means each ([[kmeansFit]] per slice — same
-    * deterministic init, int8-stat M-step, cosine assignment). Returns
-    * `(sub_id, c_id, c_vec)`, m·k rows — the whole codebook broadcasts
-    * at any corpus size; training is m independent fits over
-    * (dim/m)-wide slices. PQ is how billion-vector indexes (FAISS
-    * IVFPQ) hold the corpus in memory: m bytes per vector instead of
-    * 4·dim. */
+    * subspaces and k-means each — same deterministic init (first k
+    * vectors by id), int8-stat M-step, and cosine assignment as
+    * [[kmeansFit]], but trained for ALL subspaces in the same jobs: the
+    * slice-exploded frame assigns in one pass, the M-step is one keyed
+    * `(sub_id, code, dim)` integer aggregate, empty clusters carry.
+    * Returns `(sub_id, c_id, c_vec)`, m·k rows — the whole codebook
+    * broadcasts at any corpus size. PQ is how billion-vector indexes
+    * (FAISS IVFPQ) hold the corpus in memory: m bytes per vector
+    * instead of 4·dim. */
   def pqCodebook(emb: DataFrame, vecCol: String, idCol: String,
                  m: Int, dim: Int, k: Int, maxIter: Int = 1): DataFrame = {
     require(m >= 1 && dim % m == 0, s"pqCodebook: m=$m must divide dim=$dim")
+    require(k >= 1 && maxIter >= 1, s"pqCodebook: bad (k=$k, maxIter=$maxIter)")
     val sub = dim / m
-    (0 until m).map { j =>
-      val sliced = emb.select(col(idCol),
-        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
-      val (cents, _, _) = kmeansFit(sliced, vecCol, idCol, k, maxIter)
-      cents.select(lit(j).as("sub_id"), col("c_id"), col("c_vec"))
-    }.reduce(_.unionByName(_))
+    val sliced = pqSliced(emb, vecCol, idCol, m, sub).localCheckpoint()
+    // init = the first k vectors by id (kmeansFit's rule) — k scalars,
+    // the bounded driver read every watermark-style scalar uses
+    val initIds = emb.select(col(idCol)).orderBy(col(idCol)).limit(k)
+      .collect().map(_.get(0))
+    var cents = sliced.filter(col(idCol).isin(initIds: _*))
+      .select(col("sub_id"), col(idCol).as("c_id"), col("__sv").as("c_vec"))
+    val codes = sliced.select(col(idCol), col("sub_id"),
+      int8Codes(col("__sv")).as("__qv"))
+    (1 to maxIter).foreach { _ =>
+      val a = pqAssign(sliced, cents, idCol)
+      val means = a.join(codes, Seq(idCol, "sub_id"))
+        .select(col("sub_id"), col("code"), posexplode(col("__qv")).as(Seq("dim", "q")))
+        .groupBy(col("sub_id"), col("code"), col("dim"))
+        .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n"))
+        .groupBy(col("sub_id"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"),
+          (col("sum_q").cast(DoubleType) / col("n").cast(DoubleType)).as("m")))).as("dm"))
+        .select(col("sub_id"), col("code").as("c_id"),
+          expr("transform(dm, x -> CAST(x.m AS FLOAT))").as("c_vec"))
+      cents = means.unionByName(
+        cents.join(means.select(col("sub_id"), col("c_id")),
+          Seq("sub_id", "c_id"), "left_anti"))
+        .localCheckpoint()
+    }
+    cents
   }
 
   /** PQ encoding: each vector → m small codes, the nearest codebook
-    * centroid per subspace (same tie-break as [[ivfAssign]]). Returns
-    * `(idCol, sub_id, code)` — the m-bytes-per-vector compressed
-    * corpus. One broadcast assignment per subspace, no shuffle of the
-    * corpus itself. */
+    * centroid per subspace — ONE assignment job for all subspaces.
+    * Returns `(idCol, sub_id, code)`, the m-bytes-per-vector
+    * compressed corpus. */
   def pqEncode(emb: DataFrame, vecCol: String, idCol: String,
-               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
-    val sub = dim / m
-    (0 until m).map { j =>
-      val sliced = emb.select(col(idCol),
-        slice(col(vecCol), j * sub + 1, sub).as(vecCol))
-      val cb = codebook.filter(col("sub_id") === j).select(col("c_id"), col("c_vec"))
-      ivfAssign(sliced, vecCol, idCol, cb, "c_vec", "c_id")
-        .select(col(idCol), lit(j).as("sub_id"), col("centroid_id").as("code"))
-    }.reduce(_.unionByName(_))
-  }
+               codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    pqAssign(pqSliced(emb, vecCol, idCol, m, dim / m), codebook, idCol)
 
   /** ADC top-k (asymmetric distance computation, inner-product form):
     * score(q, x) ≈ Σⱼ ⟨q's j-th slice, codebook[j][codeⱼ(x)]⟩ — the
@@ -491,13 +535,10 @@ object Similarity {
                 queries: DataFrame, qIdCol: String, vecCol: String,
                 m: Int, dim: Int, k: Int): DataFrame = {
     val sub = dim / m
-    val lut = (0 until m).map { j =>
-      queries.select(col(qIdCol),
-        slice(col(vecCol), j * sub + 1, sub).as("__qs"))
-        .crossJoin(codebook.filter(col("sub_id") === j))
-        .select(col(qIdCol), col("sub_id"), col("c_id").as("code"),
-          floor(dot(col("__qs"), col("c_vec")) * lit(1e6)).cast(LongType).as("pts"))
-    }.reduce(_.unionByName(_))
+    val lut = pqSliced(queries, vecCol, qIdCol, m, sub)
+      .join(broadcast(codebook), Seq("sub_id"))
+      .select(col(qIdCol), col("sub_id"), col("c_id").as("code"),
+        floor(dot(col("__sv"), col("c_vec")) * lit(1e6)).cast(LongType).as("pts"))
     codes.join(broadcast(lut), Seq("sub_id", "code"))
       .groupBy(col(qIdCol), col(idCol))
       .agg(sum("pts").as("score_pts"))

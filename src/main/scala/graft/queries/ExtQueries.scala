@@ -1171,6 +1171,32 @@ object ExtQueries {
               |${graft.ops.Eval.classificationReportSql("rel")}
               |SELECT * FROM rep ORDER BY clazz""".stripMargin)),
 
+    // Exact bucketed ROC-AUC ([[graft.ops.Eval.bucketAuc]]): a
+    // nearest-prototype classifier (cosine to the first label-1
+    // vector) scored against the true label, AUC computed in the
+    // Mann-Whitney U form over SCORE BUCKETS — all-integer pair
+    // counting with ½-credit ties, prefix sums over bucket rows only
+    // (state = O(buckets) at any corpus size), one double division at
+    // the end. The bucket floor is also what pins the float score
+    // cross-engine.
+    Q("ml_auc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val proto = emb.filter(col("label") === 1).orderBy("vec_id").limit(1)
+          .select(col("embedding").as("__p"))
+        val scored = emb.crossJoin(broadcast(proto))
+          .select(when(col("label") === 1, 1L).otherwise(0L).as("y"),
+            floor(Similarity.cosine(col("embedding"), col("__p")) * 1000)
+              .cast(LongType).as("b"))
+        graft.ops.Eval.bucketAuc(scored, "y", "b")
+      },
+      Some(s"""WITH proto AS (SELECT embedding AS p FROM embeddings WHERE label = 1
+              |               ORDER BY vec_id LIMIT 1),
+              |sc AS (SELECT CASE WHEN label = 1 THEN 1 ELSE 0 END AS y,
+              |         CAST(floor(${Similarity.cosineSql("embedding", "p")} * 1000) AS BIGINT) AS b
+              |       FROM embeddings CROSS JOIN proto),
+              |${graft.ops.Eval.bucketAucSql("sc")}""".stripMargin)),
+
     Q("t_corpus_by_lang",
       (s, dir) => Tables.documents(s, dir).select(
         TextOps.langId(col("text")).as("lang_guess"),
@@ -1846,22 +1872,36 @@ object ExtQueries {
           s"/tmp/graft_stream_jn_${new java.io.File(dir).getName}")
         val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
         fs.delete(base, true)
+        // a deterministic third of the users: the join shape (two live
+        // state stores, cross-batch matching) is what's under test, and
+        // micro-batched state-store commits bill per batch — 2 files a
+        // side keeps the replay at two real interleaved triggers
         val ev = Tables.events(s, dir)
+          .filter(col("user_id") % 3 === 0)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         val (inA, inB) = (s"$base/a", s"$base/b")
-        ev.filter(col("event_type") === "click").repartition(4).write.parquet(inA)
-        ev.filter(col("event_type") === "purchase").repartition(4).write.parquet(inB)
+        ev.filter(col("event_type") === "click").repartition(2).write.parquet(inA)
+        ev.filter(col("event_type") === "purchase").repartition(2).write.parquet(inB)
         val sa = StreamOps.eventStream(s, inA, s.read.parquet(inA).schema, Some(1))
         val sb = StreamOps.eventStream(s, inB, s.read.parquet(inB).schema, Some(1))
         val joined = StreamOps.correlatedStreams(sa, sb, "1 hour",
           delay = Some("3650 days"))
           .select(col("user_id"), col("a_id"), col("b_id"))
         val mem = s"sjf_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-        StreamOps.runAvailableNowToMemory(joined, mem, s"$base/ckpt_$mem")
+        // per-batch state-store commits scale with the stateful shuffle
+        // fan-out (2 stores × partitions × batches of driver-side file
+        // traffic at this scale) — scope it down for the drive, restore
+        // after; on a real cluster this is sized to executor count
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          StreamOps.runAvailableNowToMemory(joined, mem, s"$base/ckpt_$mem")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.table(mem).orderBy("user_id", "a_id", "b_id")
       },
       Some("""SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id
              |FROM events a JOIN events b ON a.user_id = b.user_id
+             |  AND a.user_id % 3 = 0
              |  AND a.event_type = 'click' AND b.event_type = 'purchase'
              |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
              |ORDER BY a.user_id, a_id, b_id""".stripMargin)),

@@ -41,4 +41,21 @@ class EvalSpec extends SparkSpec {
     // class set: labels ∪ preds
     assert(r.keySet == Set("en", "de", "fr", "zh", "ja", "NULL"))
   }
+
+  test("bucketAuc: perfect separation → 1.0, all-tied → 0.5, hand case exact") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): java.lang.Double = {
+      val r = Eval.bucketAuc(rows.toDF("y", "b"), "y", "b").head()
+      if (r.isNullAt(2)) null else r.getDouble(2)
+    }
+    // positives strictly above negatives
+    assert(auc(Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L))) == 1.0)
+    // everything in one bucket: all pairs tie at 1/2
+    assert(auc(Seq((0L, 5L), (1L, 5L), (0L, 5L), (1L, 5L))) == 0.5)
+    // hand case: neg@1, pos@2, neg@2, pos@3 → pairs (pos2,neg1)=1,
+    // (pos2,neg2)=.5, (pos3,neg1)=1, (pos3,neg2)=1 → U=3.5, P·N=4
+    assert(auc(Seq((0L, 1L), (1L, 2L), (0L, 2L), (1L, 3L))) == 0.875)
+    // degenerate: one class empty → NULL, not a crash or a fake number
+    assert(auc(Seq((1L, 1L), (1L, 2L))) == null)
+  }
 }
