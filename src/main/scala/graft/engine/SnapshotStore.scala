@@ -809,6 +809,51 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     overwrite(arranged, layer, table, partitionBy, op = "compact")
   }
 
+  /** INCREMENTAL compaction (Delta OPTIMIZE's real shape): rewrite
+    * ONLY the files smaller than `thresholdBytes` into `numFiles` new
+    * files; every file already at target size is carried into the new
+    * manifest BY REFERENCE — at 100 TB a daily run touches the day's
+    * small-append debris, never the compacted bulk. File sizes come
+    * from a driver-side status walk over the manifest's file list (KB
+    * of metadata, no data IO to decide). Aborts on a concurrent commit
+    * (the rewrite read a specific snapshot; retrying on top of a racer
+    * would drop its rows) and refuses while equality deletes are
+    * pending (a partial rewrite cannot apply key deletes to the files
+    * it does not touch). No-op (returns the current id) when fewer
+    * than two small files exist. */
+  def compactSmall(layer: String, table: String, thresholdBytes: Long,
+                   numFiles: Int = 1, partitionBy: Seq[String] = Nil): Long = {
+    val id = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val m = readMf(layer, table, id)
+    require(m.deletes.isEmpty,
+      s"SnapshotStore: $layer/$table has pending equality deletes — compactSmall " +
+        "cannot apply key deletes to the files it leaves in place; run compact first")
+    val sized = m.files.map(f =>
+      f -> fs.getFileStatus(new Path(absFile(layer, table, f))).getLen)
+    val (small, big) = sized.partition(_._2 < thresholdBytes)
+    if (small.size <= 1) return id
+    val df = readFiles(layer, table, m.schema, small.map(_._1))
+    import org.apache.spark.sql.functions.col
+    val rearranged =
+      if (partitionBy.nonEmpty) df.repartition(numFiles, partitionBy.map(col): _*)
+      else df.repartition(numFiles)
+    val added = writeIntoPool(rearranged, layer, table, partitionBy)
+    val st = statsOf(layer, table, added)
+    commitRetry(layer, table) { () =>
+      val latest = snapshots(layer, table).lastOption
+      if (latest != Some(id))
+        throw new java.util.ConcurrentModificationException(
+          s"SnapshotStore: $layer/$table advanced past snapshot $id during " +
+            "compactSmall — the rewrite no longer reflects the table; re-run")
+      val files = (big.map(_._1) ++ added).sorted
+      if (tryWriteManifest(layer, table, id + 1, m.schema, files,
+        Map("op" -> "compact_small"), m.stats ++ st)) Some(id + 1)
+      else None
+    }
+  }
+
   /** CDC between two snapshots, pruned at FILE granularity: pool files
     * are immutable, so files present in both manifests hold identical
     * rows and are never scanned — each side reads only its exclusive

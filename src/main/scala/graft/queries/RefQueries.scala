@@ -1710,6 +1710,52 @@ object RefQueries {
       Some(s"""SELECT * FROM (${StockOps.goldSql()})
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // INCREMENTAL small-file compaction ([[SnapshotStore.compactSmall]]
+    // — Delta OPTIMIZE's real shape): three tiny appends pile small
+    // files onto a large base; the rewrite touches ONLY the
+    // sub-threshold files, the base rides into the new manifest by
+    // reference (identity required in-query), and the metadata COUNT
+    // stays complete across the rewrite. At 100 TB this is the nightly
+    // job that folds the day's streaming debris without touching the
+    // compacted bulk. Oracle: full content recompute.
+    Q("m_compact_small",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_cs_${new java.io.File(dir).getName}",
+          statsFor = Seq("l_orderkey"))
+        st.dropTable("silver", "li")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"))
+        st.overwrite(li.filter(col("l_orderkey") % 10 =!= 0).repartition(1),
+          "silver", "li")
+        val bigFiles = st.read("silver", "li").inputFiles.toSet
+        Seq(0, 1, 2).foreach(i => st.append(
+          li.filter(col("l_orderkey") % 10 === 0 && col("l_orderkey") % 3 === i)
+            .repartition(1), "silver", "li"))
+        val preCount = st.countRows("silver", "li")
+        require(preCount.isDefined, "metadata COUNT must be complete before compaction")
+        // SF-portable threshold: halfway between the biggest append file
+        // and the (27× larger) base — a bounded driver status walk, the
+        // same metadata the operator itself consults
+        def sizeOf(f: String) = new java.io.File(new java.net.URI(f).getPath).length
+        val appendFiles = st.read("silver", "li").inputFiles.toSet -- bigFiles
+        val (maxSmall, minBig) = (appendFiles.map(sizeOf).max, bigFiles.map(sizeOf).min)
+        require(maxSmall < minBig, s"setup: appends ($maxSmall B) must undercut the base ($minBig B)")
+        st.compactSmall("silver", "li", thresholdBytes = (maxSmall + minBig) / 2,
+          numFiles = 1)
+        val post = st.read("silver", "li")
+        require(bigFiles.subsetOf(post.inputFiles.toSet),
+          "compactSmall must carry the big base file by reference, not rewrite it")
+        require(post.inputFiles.toSet.size == bigFiles.size + 1,
+          s"three small appends must fold into ONE new file " +
+            s"(got ${post.inputFiles.toSet.size} files for base ${bigFiles.size})")
+        require(st.countRows("silver", "li") == preCount,
+          "metadata COUNT must survive the rewrite unchanged")
+        post.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // BRANCH / FAST-FORWARD MERGE ([[SnapshotStore.shallowClone]] +
     // [[SnapshotStore.mergeBranch]] — the Nessie/Iceberg-branch
     // workflow): production gold is branched zero-copy, the 1997

@@ -402,6 +402,27 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("compactSmall rewrites only sub-threshold files; refuses under pending deletes") {
+    val st = newStore("cs")
+    st.overwrite(spark.range(5000).toDF("id").repartition(1), "s", "t")
+    val big = st.read("s", "t").inputFiles.toSet
+    st.append(spark.range(5000, 5010).toDF("id").repartition(1), "s", "t")
+    st.append(spark.range(5010, 5020).toDF("id").repartition(1), "s", "t")
+    def sz(f: String) = new java.io.File(new java.net.URI(f).getPath).length
+    val appends = st.read("s", "t").inputFiles.toSet -- big
+    val thr = (appends.map(sz).max + big.map(sz).min) / 2
+    val v = st.compactSmall("s", "t", thr, numFiles = 1)
+    val post = st.read("s", "t")
+    assert(big.subsetOf(post.inputFiles.toSet), "big file must ride by reference")
+    assert(post.inputFiles.toSet.size == big.size + 1)
+    assert(post.count() == 5020)
+    // idempotent: one small file left → no-op, same snapshot id
+    assert(st.compactSmall("s", "t", thr, numFiles = 1) == v)
+    // pending equality deletes block the partial rewrite
+    st.deleteKeys(Seq(Tuple1(1L)).toDF("id"), "s", "t", Seq("id"))
+    intercept[IllegalArgumentException] { st.compactSmall("s", "t", thr) }
+  }
+
   test("mergeBranch fast-forwards; a diverged source aborts the merge") {
     val st = newStore("br")
     st.overwrite(Seq((1L, "a")).toDF("id", "v"), "prod", "t")
