@@ -125,3 +125,139 @@ final class TopKBuffer(k: Int) {
   def foreach(f: ((Double, Long)) => Unit): Unit = heap.foreach(f)
   def toArray: Array[(Double, Long)] = heap.toArray
 }
+
+/**
+ * Misra-Gries heavy-hitter SKETCH — a mergeable
+ * [[TypedImperativeAggregate]] holding at most `k` (item, counter)
+ * pairs whatever the item domain's cardinality (the "top URLs in
+ * 100 TB" problem, where an exact groupBy's state is the domain size).
+ *
+ * Guarantee (survives merging, the textbook bound): after summarizing
+ * n rows, every item with true frequency > n/(k+1) is PRESENT in the
+ * sketch, and each kept counter underestimates its item's true count
+ * by at most n/(k+1). Counters are partitioning-dependent (merge order
+ * moves the shared decrement), so the sketch is a CANDIDATE GENERATOR,
+ * not an answer — [[graft.ops.Ranking.heavyHitters]] verifies the ≤ k
+ * candidates exactly in a second pass, which is what makes the
+ * end-to-end operator deterministic and oracle-hashable.
+ *
+ * Output: `array<struct<item: string, lb: bigint>>`, counter desc then
+ * item asc. NULL items are ignored (SQL aggregate convention).
+ */
+case class MisraGriesAgg(itemExpr: Expression, k: Int,
+                         override val mutableAggBufferOffset: Int = 0,
+                         override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGBuffer] {
+
+  require(k >= 1 && k <= 1000000, s"graft_misra_gries: k must be in [1, 1e6], got $k")
+
+  override def children: Seq[Expression] = Seq(itemExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = MisraGriesAgg.resultType
+
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer(k)
+
+  override def update(buffer: MGBuffer, input: InternalRow): MGBuffer = {
+    val v = itemExpr.eval(input)
+    if (v != null) buffer.add(v.toString, 1L)
+    buffer
+  }
+
+  override def merge(buffer: MGBuffer, other: MGBuffer): MGBuffer = {
+    other.foreach((item, c) => buffer.add(item, c))
+    buffer.shrink()
+    buffer
+  }
+
+  override def eval(buffer: MGBuffer): Any = {
+    val sorted = buffer.toArray.sortWith { case ((i1, c1), (i2, c2)) =>
+      if (c1 != c2) c1 > c2 else i1 < i2
+    }
+    new GenericArrayData(sorted.map { case (item, c) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(item), c)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buffer: MGBuffer): Array[Byte] = {
+    val entries = buffer.toArray
+    val bytes = entries.map { case (s, _) => s.getBytes("UTF-8") }
+    val bb = java.nio.ByteBuffer.allocate(
+      4 + bytes.map(_.length + 12).sum)
+    bb.putInt(entries.length)
+    entries.zip(bytes).foreach { case ((_, c), b) =>
+      bb.putInt(b.length); bb.put(b); bb.putLong(c)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new MGBuffer(k)
+    (0 until n).foreach { _ =>
+      val len = bb.getInt
+      val b = new Array[Byte](len); bb.get(b)
+      buf.add(new String(b, "UTF-8"), bb.getLong)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(itemExpr = newChildren(0))
+  override def prettyName: String = "graft_misra_gries"
+}
+
+object MisraGriesAgg {
+  val resultType: DataType = ArrayType(
+    new StructType().add("item", StringType, nullable = false)
+      .add("lb", LongType, nullable = false),
+    containsNull = false)
+}
+
+/** Misra-Gries state: ≤ k counters. `add` is the classic algorithm
+  * generalized to weighted adds (so `merge` = add counters then ONE
+  * [[shrink]]): an absent item beyond capacity pays its weight into a
+  * shared decrement; [[shrink]] subtracts the (k+1)-th largest counter
+  * from everyone and drops the non-positive. */
+final class MGBuffer(k: Int) {
+  private val m = scala.collection.mutable.HashMap.empty[String, Long]
+
+  def add(item: String, w: Long): Unit = {
+    m.get(item) match {
+      case Some(c) => m.update(item, c + w); ()
+      case None =>
+        m.update(item, w)
+        if (m.size > k) shrink()
+    }
+  }
+
+  /** Enforce ≤ k counters: subtract the (k+1)-th largest value from
+    * every counter, drop those that hit zero or below. */
+  def shrink(): Unit = {
+    if (m.size <= k) return
+    val vals = m.values.toArray
+    java.util.Arrays.sort(vals)
+    val dec = vals(vals.length - k - 1) // (k+1)-th largest
+    if (dec > 0) {
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      m.foreach { case (i, c) =>
+        if (c - dec <= 0) { dead += i; () } else { m.update(i, c - dec); () }
+      }
+      dead.foreach(m.remove)
+    }
+    // ties at the decrement value can leave > k survivors of equal
+    // weight — drop the largest items (deterministic tie rule)
+    if (m.size > k) {
+      m.toSeq.sortBy { case (i, c) => (-c, i) }.drop(k)
+        .foreach { case (i, _) => m.remove(i) }
+    }
+  }
+
+  def foreach(f: (String, Long) => Unit): Unit = m.foreach { case (i, c) => f(i, c) }
+  def toArray: Array[(String, Long)] = m.toArray
+}

@@ -55,6 +55,15 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(s"k must be an integer, got $other")
       }
       TopKByAgg(args(0), args(1), k).toAggregateExpression()
+    },
+    "graft_misra_gries" -> arity("graft_misra_gries", 2) { args =>
+      val k = (if (args(1).foldable) args(1).eval()
+        else throw new IllegalArgumentException("graft_misra_gries k must be a literal")) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"k must be an integer, got $other")
+      }
+      MisraGriesAgg(args(0), k).toAggregateExpression()
     })
 
   private def info(name: String) =

@@ -20,6 +20,48 @@ object Ranking {
       expression(score.cast(DoubleType)), expression(id.cast(LongType)), k)
       .toAggregateExpression())
 
+  /** Misra-Gries heavy-hitter sketch over a string column
+    * ([[graft.functions.MisraGriesAgg]]): ≤ k (item, lower-bound)
+    * counters whatever the item domain's cardinality, mergeable so
+    * map-side partials apply. Counters are partition-order-dependent —
+    * use [[heavyHitters]] for a deterministic exact answer. */
+  def misraGries(item: Column, k: Int): Column =
+    column(graft.functions.MisraGriesAgg(expression(item), k)
+      .toAggregateExpression())
+
+  /** EXACT heavy hitters with BOUNDED memory — the two-pass pattern
+    * for "items above φ·n frequency over a domain too large to
+    * groupBy-count exactly in one shot" (top URLs/tokens at 100 TB):
+    * pass 1 runs the mergeable Misra-Gries sketch (state ≤ k counters
+    * per partition; with k ≥ 1/φ − 1, EVERY item above the threshold
+    * is guaranteed among the ≤ k candidates); pass 2 exactly counts
+    * the candidates only (a broadcast-friendly IN filter) and keeps
+    * those truly above φ·n. The sketch's partition-dependence cancels:
+    * ANY valid candidate superset yields the same verified output, so
+    * the result is deterministic and oracle-hashable against a plain
+    * GROUP BY … HAVING. The candidate read is ≤ k driver scalars (the
+    * watermark-read pattern). Returns `(itemCol, n)`, the exact counts
+    * of the true heavy hitters. */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, itemCol: String,
+                   phi: Double, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(phi > 0 && phi < 1, s"heavyHitters: phi must be in (0,1), got $phi")
+    require(k + 1 >= math.ceil(1.0 / phi).toInt,
+      s"heavyHitters: k=$k too small for phi=$phi — the Misra-Gries guarantee " +
+        s"needs k >= 1/phi - 1 = ${math.ceil(1.0 / phi).toInt - 1} or candidates may be missed")
+    // n counts NON-NULL items, like the sketch and the exact pass
+    val row = df.agg(misraGries(col(itemCol), k).as("__mg"),
+      count(col(itemCol)).as("__n")).head()
+    val n = row.getLong(1)
+    val cands = row.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    val thr = math.floor(phi * n).toLong
+    if (cands.isEmpty) return df.sparkSession.emptyDataFrame
+      .select(lit("").as(itemCol), lit(0L).as("n")).limit(0)
+    df.filter(col(itemCol).isin(cands: _*))
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > thr)
+  }
+
   /** DETERMINISTIC per-group MODE of an integral column (most frequent
     * value; ties to the SMALLEST value — native `mode()` leaves ties
     * engine/plan-dependent, which disqualifies it from any verified

@@ -719,6 +719,29 @@ object ExtQueries {
               |  WHERE length(w) >= 2)
               |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin)),
 
+    // EXACT heavy hitters with bounded memory ([[graft.ops.Ranking.
+    // heavyHitters]]): tokens above 0.5% corpus frequency via the
+    // two-pass Misra-Gries pattern — a mergeable ≤k-counter sketch
+    // (custom TypedImperativeAggregate) generates a guaranteed
+    // candidate superset, then one exact pass verifies candidates
+    // only. The sketch's partition-dependence cancels in the verify
+    // pass, so the output hashes against a plain GROUP BY/HAVING —
+    // while an exact one-shot groupBy at 100 TB would hold state for
+    // EVERY distinct token.
+    Q("t_heavy_hitters",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+        graft.ops.Ranking.heavyHitters(tok, "w", phi = 0.005, k = 512)
+          .select(col("w").as("token"), col("n").as("n_occ"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${TextOps.tokensSql("text")}) AS w FROM documents),
+              |nn AS (SELECT count(*) AS n FROM tok)
+              |SELECT w AS token, CAST(count(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1
+              |HAVING count(*) > (SELECT CAST(floor(0.005 * n) AS BIGINT) FROM nn)
+              |ORDER BY token""".stripMargin)),
+
     // TF-IDF-style term weighting with an add-one RATIONAL rarity
     // factor — weight = tf × (N+1)/(df+1), deliberately log-free: ln()
     // is not guaranteed bit-identical across engines' libm, while

@@ -72,4 +72,38 @@ class RankingSpec extends SparkSpec {
       .as[(String, Seq[(Double, Long)])].collect().toMap
     assert(out("a") == Seq((7.0, 2L)))
   }
+
+  test("heavyHitters: exact answer, partition-count-invariant, guarantee holds") {
+    import org.apache.spark.sql.functions._
+    // 1000 rows: "hot" 400×, "warm" 120×, 480 distinct singletons
+    val rows = Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 480).map(i => s"cold_$i")
+    val expected = Map("hot" -> 400L, "warm" -> 120L) // phi=0.1 → thr=100
+    Seq(1, 4, 13).foreach { parts =>
+      val df = spark.createDataset(rows)(org.apache.spark.sql.Encoders.STRING)
+        .toDF("w").repartition(parts)
+      val out = Ranking.heavyHitters(df, "w", phi = 0.1, k = 16)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"parts=$parts: $out")
+    }
+    // k below the guarantee bound refuses loudly
+    intercept[IllegalArgumentException] {
+      Ranking.heavyHitters(Seq("x").toDF("w"), "w", phi = 0.01, k = 10)
+    }
+    // the raw sketch keeps at most k counters and always contains the
+    // guaranteed-frequent items
+    val sk = Seq.fill(300)("hot").++((1 to 700).map(i => s"c$i")).toDF("w")
+      .agg(Ranking.misraGries(col("w"), 8)).head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(sk.size <= 8)
+    assert(sk.exists(_.getString(0) == "hot"), "freq > n/(k+1) item must survive")
+  }
+
+  test("graft_misra_gries is SQL-registered") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq("a", "a", "b").toDF("w").createOrReplaceTempView("mg_t")
+    val out = spark.sql("SELECT graft_misra_gries(w, 4) FROM mg_t").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(out.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
+  }
 }
