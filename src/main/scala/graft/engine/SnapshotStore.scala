@@ -158,9 +158,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     (schema, files)
   }
 
-  /** Commit protocol: write to a tmp name, then rename into place —
-    * the manifest (hence the snapshot) appears atomically, AFTER every
-    * data file it references exists. Returns false when the rename
+  /** Commit protocol: write to a tmp name, then CLAIM the manifest
+    * name ([[AtomicClaim]] — hard-link on file://, where POSIX rename
+    * would silently replace a racing winner's manifest; plain rename
+    * on HDFS-likes, which refuse an existing destination) — the
+    * manifest (hence the snapshot) appears atomically, AFTER every
+    * data file it references exists. Returns false when the claim
     * loses a race (the id is already committed by another writer) —
     * the optimistic-retry paths re-read and retry; [[writeManifest]]
     * is the fail-loud form for paths that must not retry. */
@@ -194,7 +197,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     try out.write(((schema.json +: propLines) ++ statLines ++ delLines ++ files)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!fs.rename(tmp, new Path(dir, f"m$id%012d"))) {
+    if (!AtomicClaim.claim(fs, tmp, new Path(dir, f"m$id%012d"))) {
       fs.delete(tmp, false)
       return false
     }

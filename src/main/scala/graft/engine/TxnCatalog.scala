@@ -107,13 +107,15 @@ final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
         st.overwrite(df, layer, table, partitionBy.getOrElse((layer, table), Nil))
     }
     // optimistic concurrency at the catalog pointer (the Delta commit
-    // protocol's shape): the rename is the sole commit point and Hadoop
-    // reports a lost race by RETURNING FALSE (destination exists), not by
-    // throwing — so the result is checked, and a loser re-reads the
-    // winner's catalog version (picking up its pins), re-targets the next
-    // id, and retries. The winner's group is never dropped; the staged
-    // snapshots need no re-staging (they are already durable in the
-    // store). Bounded attempts keep a pathological stampede loud.
+    // protocol's shape): the claim is the sole commit point —
+    // [[AtomicClaim]] guarantees exactly one racer wins (HDFS rename
+    // refuses an existing destination; local POSIX rename would
+    // silently REPLACE it, so file:// claims via hard link instead).
+    // A loser re-reads the winner's catalog version (picking up its
+    // pins), re-targets the next id, and retries. The winner's group
+    // is never dropped; the staged snapshots need no re-staging (they
+    // are already durable in the store). Bounded attempts keep a
+    // pathological stampede loud.
     fs.mkdirs(dir)
     var attempt = 0
     var committed = -1L
@@ -131,7 +133,7 @@ final class TxnCatalog(val st: SnapshotStore, val keepVersions: Int = 10) {
       val out = fs.create(tmp, true)
       try out.write((body + "\n").getBytes("UTF-8")) finally out.close()
       preCommitHook()
-      if (fs.rename(tmp, new Path(dir, f"c$next%012d"))) committed = next // THE commit point
+      if (AtomicClaim.claim(fs, tmp, new Path(dir, f"c$next%012d"))) committed = next // THE commit point
       else {
         fs.delete(tmp, false)
         attempt += 1
