@@ -380,4 +380,49 @@ object Graph {
       ()
     }
   }
+
+  /** K-CORE decomposition (fixed-point peel): repeatedly drop nodes
+    * with fewer than `k` neighbors inside the surviving subgraph until
+    * nothing changes — the standard dense-substructure screen (spam
+    * rings, collusive engagement, well-connected entity clusters).
+    * `edges` must be SYMMETRIC (both directions per undirected edge).
+    *
+    * Each round is one survivor-filtered degree aggregate (two
+    * semi-join-shaped equi-joins + a keyed count, map-side combined);
+    * survivors shrink MONOTONICALLY, so the per-round convergence
+    * probe (a bounded count scalar, the pageRankConverged pattern)
+    * certifies the exact fixed point — and because a converged peel is
+    * idempotent, an oracle that blindly unrolls `maxRounds` rounds
+    * lands on the identical set, which is what makes the iterative
+    * operator hash-verifiable. Fails loudly if `maxRounds` is too
+    * small (a truncated peel is NOT a k-core). Returns
+    * `(node, deg)` — each survivor with its degree inside the core. */
+  def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"kcore: bad (k=$k, maxRounds=$maxRounds)")
+    val sym = edges.select(col("src"), col("dst"))
+    var survivors = sym.select(col("src").as("node")).distinct().localCheckpoint()
+    var n = survivors.count()
+    var lastDeg = survivors.withColumn("deg", lit(0L)).limit(0)
+    var stable = false
+    var r = 0
+    while (r < maxRounds && !stable) {
+      val deg = sym
+        .join(survivors.select(col("node").as("src")), Seq("src"))
+        .join(survivors.select(col("node").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("node"), col("deg"))
+        .localCheckpoint()
+      val m = deg.count()
+      stable = m == n // monotone shrink: equal counts ⇒ equal sets
+      survivors = deg.select("node")
+      lastDeg = deg
+      n = m
+      r += 1
+    }
+    require(stable || n == 0,
+      s"kcore: not converged within $maxRounds rounds (still $n candidates) — " +
+        "raise maxRounds; a truncated peel is not a k-core")
+    lastDeg
+  }
 }

@@ -468,6 +468,39 @@ object TimeSeries {
     }
   }
 
+  /** ROBUST (median/MAD) anomaly flags — the outlier screen that
+    * survives its own outliers: [[zscoreAnomalies]]'s mean and σ are
+    * dragged by the very extremes being hunted, while the median and
+    * the median-absolute-deviation have a 50% breakdown point. Score =
+    * 0.6745·(v − median)/MAD (the Iglewicz–Hoaglin modified z-score;
+    * flag |rz| > threshold, conventionally 3.5). Both the median and
+    * the MAD come from [[Profile.binnedQuantiles]] — bounded state
+    * (keys × bins) at any input size, never a per-key sort — so the
+    * whole screen is two keyed bin aggregates + two joins of the tiny
+    * per-key band tables. MAD = 0 (over half the values identical)
+    * scores 0 at the median and ±∞ off it, so deviations FLAG instead
+    * of hiding; values must be non-negative at the given cent grain
+    * (binnedQuantiles' contract). */
+  def robustZscoreAnomalies(series: DataFrame, keys: Seq[String], valueCol: String,
+                            binWidthCents: Long, threshold: Double = 3.5): DataFrame = {
+    val p50 = Profile.quantileColName(0.5)
+    val med = Profile.binnedQuantiles(series, keys, valueCol, binWidthCents, Seq(0.5))
+      .withColumnRenamed(p50, "med")
+    val vD = col(valueCol).cast("double")
+    val dev = series.join(med, keys)
+      .withColumn("__adev", abs(vD - col("med")))
+    val mad = Profile.binnedQuantiles(dev, keys, "__adev", binWidthCents, Seq(0.5))
+      .withColumnRenamed(p50, "mad")
+    val rz = when(col("mad") === 0.0,
+      when(vD === col("med"), lit(0.0))
+        .otherwise(signum(vD - col("med")) * lit(Double.PositiveInfinity)))
+      .otherwise(lit(0.6745) * (vD - col("med")) / col("mad"))
+    dev.join(mad, keys)
+      .withColumn("rz", rz)
+      .withColumn("is_anomaly", abs(col("rz")) > threshold)
+      .drop("__adev")
+  }
+
   /** Day-of-week seasonal baseline + anomaly flags over a per-key daily
     * series: each observation is compared to the mean of its key's SAME
     * WEEKDAY — the screen that catches "this Tuesday is broken" where a

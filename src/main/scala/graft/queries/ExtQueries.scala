@@ -2782,6 +2782,33 @@ object ExtQueries {
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    // K-core decomposition ([[Graph.kcore]]): the 3-core of the
+    // customer↔supplier graph — iterative peel to the exact fixed
+    // point (converged-required in-op, so the blind 12-round oracle
+    // unroll lands on the identical set: a converged peel is
+    // idempotent). Survivor-filtered degree aggregates per round,
+    // bounded count scalars as the convergence probe.
+    Q("gr_kcore",
+      (s, dir) => Graph.kcore(graphEdges(s, dir), k = 3, maxRounds = 12)
+        .orderBy("node"),
+      Some {
+        // every CTE is MATERIALIZED: each round references its
+        // predecessor twice, and DuckDB's default inlining would
+        // expand the 12-round chain exponentially (observed as a
+        // too-many-open-files blowup on the base scans)
+        val rounds = (1 to 12).map { i =>
+          val prev = if (i == 1) "s0" else s"r${i - 1}"
+          s"""r$i AS MATERIALIZED (SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+             |  FROM em e JOIN $prev a ON e.src = a.node JOIN $prev b ON e.dst = b.node
+             |  GROUP BY e.src HAVING count(*) >= 3)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $graphEdgesSql,
+           |em AS MATERIALIZED (SELECT src, dst FROM edges),
+           |s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+           |$rounds
+           |SELECT node, deg FROM r12 ORDER BY node""".stripMargin
+      }),
+
     // Histogram drift monitor ([[Profile.histogramDrift]]): order-value
     // distribution before vs after 1996 on a fixed 12-bin grid — the
     // PSI-style distribution-shift gate (L1 + χ², ln-free), with the
@@ -2855,6 +2882,58 @@ object ExtQueries {
               |             ${TimeSeries.seasonalSql("d", "day_qty", "l_returnflag")}
               |      FROM daily)
               |ORDER BY l_returnflag, d""".stripMargin)),
+
+    // ROBUST median/MAD anomaly screen ([[TimeSeries.
+    // robustZscoreAnomalies]]): the Iglewicz–Hoaglin modified z-score
+    // 0.6745·(v−median)/MAD over the same daily totals as ts_zscore —
+    // the screen whose baseline the outliers themselves cannot drag
+    // (50% breakdown point vs the mean/σ's 0%). Median AND MAD come
+    // from the bounded-state binned-quantile machinery (keys × bins
+    // state, no per-key sort), so the whole thing is two keyed bin
+    // aggregates + two tiny band joins at any scale.
+    Q("ts_robust",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir).filter(col("o_custkey") < 50)
+          .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"))
+          .agg(Det.dsum(col("o_totalprice")).as("day_total"))
+        TimeSeries.robustZscoreAnomalies(daily, Seq("o_custkey"), "day_total",
+          binWidthCents = 1000000L)
+          .orderBy("o_custkey", "d")
+      },
+      Some {
+        def binChain(src: String, vcol: String, tag: String) =
+          s"""b$tag AS (SELECT o_custkey,
+             |    CAST(CAST($vcol AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000000 AS bin
+             |  FROM $src),
+             |n$tag AS (SELECT o_custkey, bin, CAST(count(*) AS BIGINT) AS cnt
+             |          FROM b$tag GROUP BY 1, 2),
+             |c$tag AS (SELECT o_custkey, bin, cnt,
+             |    CAST(SUM(cnt) OVER (PARTITION BY o_custkey ORDER BY bin
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY o_custkey) AS BIGINT) AS n
+             |  FROM n$tag),
+             |q$tag AS (SELECT o_custkey, ${Profile.binnedQuantileSql(0.5, 1000000L)}
+             |          FROM c$tag GROUP BY o_custkey)""".stripMargin
+        s"""WITH daily AS (
+           |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+           |         ${Det.dsumSql("o_totalprice")} AS day_total
+           |  FROM orders WHERE o_custkey < 50 GROUP BY 1, 2),
+           |${binChain("daily", "day_total", "1")},
+           |dev AS (SELECT d0.o_custkey, d0.d, d0.day_total, q1.p50 AS med,
+           |          abs(CAST(d0.day_total AS DOUBLE) - q1.p50) AS adev
+           |        FROM daily d0 JOIN q1 USING (o_custkey)),
+           |${binChain("dev", "adev", "2")},
+           |scored AS (SELECT v.o_custkey, v.d, v.day_total, v.med, q2.p50 AS mad,
+           |    CASE WHEN q2.p50 = 0
+           |         THEN CASE WHEN CAST(v.day_total AS DOUBLE) = v.med THEN 0.0
+           |              ELSE sign(CAST(v.day_total AS DOUBLE) - v.med)
+           |                   * CAST('Infinity' AS DOUBLE) END
+           |         ELSE 0.6745 * (CAST(v.day_total AS DOUBLE) - v.med) / q2.p50
+           |    END AS rz
+           |  FROM dev v JOIN q2 USING (o_custkey))
+           |SELECT o_custkey, d, day_total, med, mad, rz, abs(rz) > 3.5 AS is_anomaly
+           |FROM scored ORDER BY o_custkey, d""".stripMargin
+      }),
 
     // Trailing distinct-count features ([[TimeSeries.trailingDistinct]]):
     // distinct parts each customer ordered in the trailing 7/30

@@ -191,4 +191,23 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(edges().where(lit(false)), iterations = 1)
     }
   }
+
+  test("kcore peels to the exact fixed point") {
+    // triangle {1,2,3} + a tail 3-4-5: the 2-core is exactly the
+    // triangle (4 dies first, THEN 5's degree drops — needs 2 rounds)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val sym = und ++ und.map(_.swap)
+    val out = Graph.kcore(edges(sym: _*), k = 2, maxRounds = 10)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k above the max core empties the graph (and still converges)
+    assert(Graph.kcore(edges(sym: _*), k = 5, maxRounds = 10).count() == 0)
+    // truncated peel fails loudly instead of returning a non-core
+    intercept[IllegalArgumentException] {
+      // a 6-node path peels one endpoint pair per round: 1 round is
+      // provably not enough for k=2
+      val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      Graph.kcore(edges((path ++ path.map(_.swap)): _*), k = 2, maxRounds = 1)
+    }
+  }
 }

@@ -192,6 +192,25 @@ class TimeSeriesSpec extends SparkSpec {
       ("B", "2024-02-10", 7.0)))
   }
 
+  test("robustZscoreAnomalies flags the outlier, not the bulk, and is partition-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val vals = (1 to 40).map(i => ("k", i, 100.0 + (i % 5))) :+ (("k", 99, 5000.0))
+    val df = vals.toDF("k", "i", "v")
+      .select($"k", $"i", $"v".cast(DecimalType(18, 2)).as("v"))
+    def run(parts: Int) = TimeSeries
+      .robustZscoreAnomalies(df.repartition(parts), Seq("k"), "v", binWidthCents = 100L)
+      .orderBy("i").collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Double]("rz"), r.getAs[Boolean]("is_anomaly")))
+    val out = run(3)
+    // exactly the 5000.0 row flags; the bulk stays under threshold
+    assert(out.count(_._3) == 1 && out.find(_._1 == 99).exists(_._3),
+      s"expected only the outlier flagged: ${out.filter(_._3).mkString(", ")}")
+    assert(out.filter(_._1 != 99).forall(r => math.abs(r._2) < 3.5))
+    // deterministic under any partitioning
+    assert(run(1).toSeq == out.toSeq && run(7).toSeq == out.toSeq)
+  }
+
   test("seasonalAnomalies compares each day to its own weekday's mean") {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
