@@ -273,6 +273,45 @@ object Profile {
       .drop("__c")
     val counts = binned.groupBy(keys.map(col) :+ col("__bin"): _*)
       .agg(count(lit(1)).as("__cnt"))
+    quantilesFromBinCounts(counts, keys, binWidthCents, ps)
+  }
+
+  /** The ADDITIVE partial of the binned-quantile family: per-(key, bin)
+    * row counts for one shard/batch of data — partials from any split
+    * of the input SUM to the whole input's counts, which is what makes
+    * percentiles incrementally maintainable (a streaming sink appends
+    * per-batch partials; [[quantilesFromBinCounts]] folds them). Same
+    * cent binning and guards as [[binnedQuantiles]]. */
+  def binCounts(df: DataFrame, keys: Seq[String], valueCol: String,
+                binWidthCents: Long): DataFrame = {
+    require(binWidthCents >= 1, s"binCounts: binWidthCents must be >= 1")
+    val vc = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val c = when(col(valueCol).isNotNull && vc.isNull,
+      raise_error(lit(s"binCounts: $valueCol out of DECIMAL(18,2) range"))
+        .cast(LongType))
+      .when(vc < 0,
+        raise_error(lit(s"binCounts: $valueCol must be non-negative")).cast(LongType))
+      .otherwise(vc)
+    df.filter(col(valueCol).isNotNull)
+      .select(keys.map(col) :+ c.as("__c"): _*)
+      .withColumn("__bin", expr(s"__c div ${binWidthCents}L"))
+      .groupBy(keys.map(col) :+ col("__bin"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+  }
+
+  /** Quantile estimates from (possibly duplicated) per-(key, bin)
+    * count partials: partials merge by an additive keyed SUM, then the
+    * identical cum-window + interpolation epilogue as
+    * [[binnedQuantiles]] — so batch, sharded, and streaming-maintained
+    * inputs land on the same hash-exact estimates. */
+  def quantilesFromBinCounts(partials: DataFrame, keys: Seq[String],
+                             binWidthCents: Long, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantilesFromBinCounts: quantiles must be in (0, 1], got $ps")
+    require(ps.distinct.size == ps.size,
+      s"quantilesFromBinCounts: duplicate quantiles requested: $ps")
+    val counts = partials.groupBy(keys.map(col) :+ col("__bin"): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__bin"))
     val cum = counts

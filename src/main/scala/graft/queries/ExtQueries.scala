@@ -1880,6 +1880,47 @@ object ExtQueries {
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Streaming percentile maintenance, oracle-hashed end state
+    // ([[StreamOps.binnedCountsSink]]): order values arrive as real
+    // micro-batches; each batch appends its ADDITIVE bin-count
+    // partials exactly-once, and the quantile epilogue over the
+    // maintained table must land EXACTLY on the batch binned-quantile
+    // run over the same data — continuous p50/p95 monitoring with
+    // keys × bins state, no raw-value retention, no sort, replay-proof.
+    Q("stream_quantiles_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_bq_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val staged = s"$base/in"
+        ord.repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        StreamOps.binnedCountsSink(stream, st, "metrics", "price_bins",
+          Seq("o_orderstatus"), "o_totalprice", binWidthCents = 1000000L,
+          checkpoint = s"$base/ckpt").awaitTermination()
+        Profile.quantilesFromBinCounts(st.read("metrics", "price_bins"),
+          Seq("o_orderstatus"), binWidthCents = 1000000L, Seq(0.5, 0.95))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""WITH b1 AS (SELECT o_orderstatus,
+              |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000000 AS bin
+              |  FROM orders),
+              |n1 AS (SELECT o_orderstatus, bin, CAST(count(*) AS BIGINT) AS cnt
+              |       FROM b1 GROUP BY 1, 2),
+              |c1 AS (SELECT o_orderstatus, bin, cnt,
+              |    CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bin
+              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+              |    CAST(SUM(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+              |  FROM n1)
+              |SELECT o_orderstatus, ${Profile.binnedQuantileSql(0.5, 1000000L)},
+              |       ${Profile.binnedQuantileSql(0.95, 1000000L)}
+              |FROM c1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
     // Stream-STREAM join, oracle-hashed end state: clicks and purchases
     // arrive on TWO independent file streams (1 file per trigger = real
     // interleaved micro-batches), joined per user under a time bound by

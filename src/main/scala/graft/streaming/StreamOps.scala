@@ -150,6 +150,31 @@ object StreamOps {
                           n: Int, minShared: Int): DataFrame =
     graft.ops.Dedup.contamination(docStream, benchmark, idCol, textCol, n, minShared)
 
+  /** Streaming PERCENTILE maintenance with bounded state: per
+    * micro-batch, the batch's [[graft.ops.Profile.binCounts]] partials
+    * (keys × bins rows — additive by construction) append exactly-once
+    * into a snapshot table; [[graft.ops.Profile.quantilesFromBinCounts]]
+    * over the table then yields estimates IDENTICAL to a batch run
+    * over all data ever streamed — latency percentiles maintained
+    * continuously without ever sorting or retaining raw values. State
+    * grows as batches × touched bins; compact the table on a schedule
+    * (the partials re-merge additively, so compaction is just
+    * [[SnapshotStore.compact]]). Replays commit nothing
+    * ([[SnapshotStore.appendIfAbsent]]'s txn tag). */
+  def binnedCountsSink(stream: DataFrame, st: SnapshotStore, layer: String, table: String,
+                       keys: Seq[String], valueCol: String, binWidthCents: Long,
+                       checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        st.appendIfAbsent(
+          graft.ops.Profile.binCounts(batch.toDF(), keys, valueCol, binWidthCents),
+          layer, table, s"stream-$batchId")
+        ()
+      }
+      .start()
+
   /** EXACTLY-ONCE streaming append into a [[SnapshotStore]] table: each
     * micro-batch commits one snapshot tagged with its batch id
     * ([[SnapshotStore.appendIfAbsent]]), so a checkpoint-recovery
