@@ -394,4 +394,33 @@ object EventOps {
       .groupBy(col("cohort_d"), datediff(col("d"), col("cohort_d")).as("day_offset"))
       .agg(count_distinct(col("u")).as("n_users"))
   }
+
+  /** Sequence-pattern matching over each user's event JOURNEY — the
+    * MATCH_RECOGNIZE-lite every product-analytics stack grows: the
+    * user's events collapse (in (ts, id) order — a total order, so the
+    * journey string is deterministic under any partitioning) into one
+    * compact string of event-type initials, and each named regex
+    * classifies it ("converted", "converted before any error", …).
+    * Patterns must stay in the Java∩RE2 common subset so the DuckDB
+    * oracle replays them exactly (the t_pii_redact rule).
+    *
+    * Scale shape: ONE keyed aggregate (array_sort over the collected
+    * (ts, id, initial) structs — per-user state is the user's event
+    * count, the same bound sessionization already carries) + a pure
+    * regex projection. No windows, no joins. */
+  def journeyMatch(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, idCol: String,
+                   patterns: Seq[(String, String)]): DataFrame = {
+    require(patterns.nonEmpty, "journeyMatch: no patterns given")
+    val j = events
+      .select(col(userCol), col(tsCol), col(idCol),
+        substring(col(typeCol), 1, 1).as("__init"))
+      .groupBy(col(userCol))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col(tsCol), col(idCol), col("__init")))),
+        x => x.getField("__init"))).as("journey"))
+    patterns.foldLeft(j) { case (df, (name, re)) =>
+      df.withColumn(name, col("journey").rlike(re))
+    }
+  }
 }

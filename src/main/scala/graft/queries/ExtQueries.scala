@@ -1678,6 +1678,28 @@ object ExtQueries {
              |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
              |ORDER BY a.user_id, a_id, b_id""".stripMargin)),
 
+    // Sequence-pattern matching over user journeys ([[EventOps.
+    // journeyMatch]] — MATCH_RECOGNIZE-lite): each user's events
+    // collapse deterministically ((ts, id) total order) into an
+    // initials string, classified by regexes: converted at all
+    // (signup … purchase), and converted with NO error in between.
+    // One keyed aggregate + a regex projection; the oracle rebuilds
+    // the identical journeys with string_agg ORDER BY.
+    Q("ev_sequence_match",
+      (s, dir) => EventOps.journeyMatch(
+        Tables.events(s, dir).filter(col("user_id") < 300),
+        "user_id", "event_type", "ts", "event_id",
+        Seq("converted" -> "s.*p", "clean_conversion" -> "s[^e]*p"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |       string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS journey,
+             |       regexp_matches(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+             |                      's.*p') AS converted,
+             |       regexp_matches(string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id),
+             |                      's[^e]*p') AS clean_conversion
+             |FROM events WHERE user_id < 300
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // Fixed-domain pivot on event type (conditional aggregation).
     Q("ev_pivot",
       (s, dir) => EventOps.pivotByType(Tables.events(s, dir)).orderBy("user_id"),

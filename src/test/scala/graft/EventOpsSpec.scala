@@ -185,4 +185,25 @@ class EventOpsSpec extends SparkSpec {
     val r = out.collect().head
     assert(r.getLong(1) == 1L && r.getLong(2) == 0L && r.getLong(3) == 1L)
   }
+
+  test("journeyMatch: deterministic journey order, regex classification") {
+    // user 1: signup → error → purchase (converted, NOT clean);
+    // user 2: signup → view → purchase (clean); user 3: views only.
+    // Same-ts events order by event_id (10 before 11).
+    val out = EventOps.journeyMatch(ev(
+      (1L, "2024-01-01 00:00:00", 1L, "signup", 0.0, "{}"),
+      (2L, "2024-01-01 01:00:00", 1L, "error", 0.0, "{}"),
+      (3L, "2024-01-01 02:00:00", 1L, "purchase", 1.0, "{}"),
+      (10L, "2024-01-02 00:00:00", 2L, "signup", 0.0, "{}"),
+      (11L, "2024-01-02 00:00:00", 2L, "view", 0.0, "{}"),
+      (12L, "2024-01-02 01:00:00", 2L, "purchase", 1.0, "{}"),
+      (20L, "2024-01-03 00:00:00", 3L, "view", 0.0, "{}")),
+      "user_id", "event_type", "ts", "event_id",
+      Seq("converted" -> "s.*p", "clean" -> "s[^e]*p"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[String]("journey"), r.getAs[Boolean]("converted"),
+        r.getAs[Boolean]("clean")))
+    assert(out.toSeq == Seq(("sep", true, false), ("svp", true, true),
+      ("v", false, false)))
+  }
 }
