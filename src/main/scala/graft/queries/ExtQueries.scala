@@ -1902,6 +1902,41 @@ object ExtQueries {
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Streaming dedup, oracle-hashed end state ([[StreamOps.
+    // dedupWithinWatermark]]): the corpus arrives with every fifth
+    // event DUPLICATED (exact copies, so which copy survives is
+    // irrelevant — what makes a first-row-wins stream operator
+    // hash-verifiable at all), replayed as real micro-batches; the
+    // built-in watermarked dedup state drops the twins across
+    // whatever batch boundaries the replay produced, and the drained
+    // set must equal SELECT DISTINCT. Horizon > corpus span ⇒ no twin
+    // ever outlives the state; on live feeds the same plan evicts
+    // per-key state past the watermark — bounded memory.
+    Q("stream_dedup_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_dd_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val ev = Tables.events(s, dir).filter(col("event_id") % 7 === 0)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        val withDups = ev.unionByName(ev.filter(col("event_id") % 5 === 0))
+        val staged = s"$base/in"
+        withDups.repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val deduped = StreamOps.dedupWithinWatermark(stream, Seq("event_id"),
+          delay = "3650 days")
+        val mem = s"sdd_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        StreamOps.runAvailableNowToMemory(deduped, mem, s"$base/ckpt_$mem")
+        s.table(mem).select(col("event_id"), Det.ntz(col("ts")).as("ts"),
+          col("user_id"), col("event_type"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT DISTINCT event_id, ts, user_id, event_type
+             |FROM events WHERE event_id % 7 = 0
+             |ORDER BY event_id""".stripMargin)),
+
     // Streaming percentile maintenance, oracle-hashed end state
     // ([[StreamOps.binnedCountsSink]]): order values arrive as real
     // micro-batches; each batch appends its ADDITIVE bin-count
