@@ -340,6 +340,55 @@ object RefQueries {
              |GROUP BY ROLLUP(r_name, n_name)
              |ORDER BY gid, regiao, nacao""".stripMargin)),
 
+    // ARBITRARY GROUPING SETS via the SQL surface (not just
+    // ROLLUP/CUBE's fixed lattices): three chosen sets with
+    // grouping_id disambiguation — and the query goes through
+    // spark.sql over direct parquet relations, exercising the engine's
+    // SQL entry path end to end.
+    Q("agg_grouping_sets",
+      (s, dir) => s.sql(
+        s"""SELECT r_name, n_name, count(*) AS n_cust,
+           |       CAST(grouping_id() AS INT) AS gid
+           |FROM parquet.`$dir/customer.parquet` c
+           |JOIN parquet.`$dir/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+           |JOIN parquet.`$dir/region.parquet` r ON n.n_regionkey = r.r_regionkey
+           |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+           |ORDER BY gid, r_name, n_name""".stripMargin),
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+             |       CAST(GROUPING(r_name, n_name) AS INT) AS gid
+             |FROM customer c
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |JOIN region r ON n.n_regionkey = r.r_regionkey
+             |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+             |ORDER BY gid, r_name NULLS LAST, n_name NULLS LAST""".stripMargin)),
+
+    // Rank-function family over a TOTAL order (ntile / percent_rank /
+    // cume_dist): deciles and exact rank fractions of line quantities
+    // per return flag. The tie-broken ORDER BY is what makes every
+    // rank deterministic; the fractions are single integer-ratio
+    // divisions (correctly-rounded IEEE).
+    Q("w_rank_family",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        Tables.lineitem(s, dir).filter(col("l_orderkey") % 100 === 0)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"),
+            ntile(10).over(w).cast(LongType).as("decile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+             |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+             |  percent_rank() OVER w AS pct_rank,
+             |  cume_dist() OVER w AS cume
+             |FROM lineitem WHERE l_orderkey % 100 = 0
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |             ORDER BY l_quantity, l_orderkey, l_linenumber)
+             |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin)),
+
     // CUBE over both dims (all 4 grouping sets) — completes the
     // grouping-sets family next to agg_rollup.
     Q("agg_cube",
