@@ -1928,7 +1928,14 @@ object ExtQueries {
         val deduped = StreamOps.dedupWithinWatermark(stream, Seq("event_id"),
           delay = "3650 days")
         val mem = s"sdd_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-        StreamOps.runAvailableNowToMemory(deduped, mem, s"$base/ckpt_$mem")
+        // per-batch state-store commits bill per partition × batch —
+        // scope the stateful fan-out down for the drive (restored in
+        // finally), the stream_join_final lesson
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          StreamOps.runAvailableNowToMemory(deduped, mem, s"$base/ckpt_$mem")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         s.table(mem).select(col("event_id"), Det.ntz(col("ts")).as("ts"),
           col("user_id"), col("event_type"))
           .orderBy("event_id")
