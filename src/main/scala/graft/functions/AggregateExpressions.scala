@@ -244,14 +244,16 @@ final class MGBuffer(k: Int) {
     java.util.Arrays.sort(vals)
     val dec = vals(vals.length - k - 1) // (k+1)-th largest
     if (dec > 0) {
-      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-      m.foreach { case (i, c) =>
-        if (c - dec <= 0) { dead += i; () } else { m.update(i, c - dec); () }
+      // iterate a SNAPSHOT: updating a mutable.HashMap inside its own
+      // foreach is undefined behavior — entries could be revisited and
+      // double-decremented, silently breaking the n/(k+1) error bound
+      // (caught by MisraGriesProps' lower-bound property on a full run)
+      m.toArray.foreach { case (i, c) =>
+        if (c - dec <= 0) { m.remove(i); () } else { m.update(i, c - dec); () }
       }
-      dead.foreach(m.remove)
     }
-    // ties at the decrement value can leave > k survivors of equal
-    // weight — drop the largest items (deterministic tie rule)
+    // at most k values strictly exceed the (k+1)-th largest, so the
+    // subtraction always leaves <= k counters; defensive only
     if (m.size > k) {
       m.toSeq.sortBy { case (i, c) => (-c, i) }.drop(k)
         .foreach { case (i, _) => m.remove(i) }
