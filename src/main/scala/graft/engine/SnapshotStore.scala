@@ -102,19 +102,38 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   /** One equality-delete file: pool path + the key columns its rows
-    * name. Readers anti-join the data on exactly these columns. */
-  private[engine] case class DeleteEntry(file: String, keyCols: Seq[String])
+    * name + the SEQUENCE at which the delete committed. Readers
+    * anti-join the data on exactly these columns — but only rows from
+    * data files with a STRICTLY LOWER sequence (Iceberg's
+    * equality-delete scoping): a row appended AFTER the delete carries
+    * a higher sequence and is never swallowed by it. */
+  private[engine] case class DeleteEntry(file: String, keyCols: Seq[String],
+                                         seq: Long)
 
-  /** A fully parsed manifest. */
+  /** A fully parsed manifest. `seqs` records, per data file, the
+    * commit sequence at which the file entered the table (missing →
+    * 0, i.e. before every delete — the conservative reading). */
   private case class Mf(schema: StructType, props: Map[String, String],
                         files: Seq[String], stats: FileStats,
-                        deletes: Seq[DeleteEntry])
+                        deletes: Seq[DeleteEntry],
+                        seqs: Map[String, Long])
+
+  /** The sequence a NEW commit's files (or a new delete) should carry:
+    * strictly greater than every sequence the previous manifest
+    * mentions. Derived from manifest CONTENT, not the snapshot id, so
+    * it stays consistent across [[restore]] / [[shallowClone]] /
+    * [[mergeBranch]], whose file lists carry sequences from another
+    * point in history. */
+  private def nextSeq(prev: Option[Mf]): Long =
+    prev.map(m => ((m.seqs.values ++ m.deletes.map(_.seq)) ++ Seq(0L)).max + 1)
+      .getOrElse(1L)
 
   /** Manifest format, one record per line:
     *   line 1       — schema JSON
     *   `#key=value` — properties (e.g. the txn id of an exactly-once append)
     *   `@` lines    — per-file stats: `@<b64 path>\t<col>\u0001<b64 min>\u0001<b64 max>…`
-    *   `-` lines    — equality-delete files: `-<b64 path>\t<b64 keycols-csv>`
+    *   `-` lines    — equality-delete files: `-<b64 path>\t<b64 keycols-csv>\t<seq>`
+    *   `~` lines    — per-file commit sequence: `~<b64 path>\t<seq>`
     *   other lines  — pool-relative data file paths
     * Base64 keeps arbitrary string min/max (and `=`-bearing hive paths)
     * out of the delimiter space. Data paths never start with `-` (pool
@@ -128,7 +147,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     require(lines.nonEmpty, s"SnapshotStore: corrupt manifest $p")
     val (propLines, rest) = lines.tail.partition(_.startsWith("#"))
     val (statLines, rest2) = rest.partition(_.startsWith("@"))
-    val (delLines, fileLines) = rest2.partition(_.startsWith("-"))
+    val (seqLines, rest3) = rest2.partition(_.startsWith("~"))
+    val (delLines, fileLines) = rest3.partition(_.startsWith("-"))
     val props = propLines.map { l =>
       val kv = l.drop(1).split("=", 2); kv(0) -> kv.lift(1).getOrElse("")
     }.toMap
@@ -141,10 +161,18 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     }.toMap
     val deletes = delLines.map { l =>
       val parts = l.drop(1).split("\t")
-      DeleteEntry(unb64(parts(0)), unb64(parts(1)).split(",").toSeq)
+      // a delete line without a recorded sequence (pre-sequencing
+      // manifest) conservatively applies to EVERY data file — the old
+      // global-anti-join semantics
+      DeleteEntry(unb64(parts(0)), unb64(parts(1)).split(",").toSeq,
+        parts.lift(2).map(_.toLong).getOrElse(Long.MaxValue))
     }
+    val seqs = seqLines.map { l =>
+      val parts = l.drop(1).split("\t")
+      unb64(parts(0)) -> parts(1).toLong
+    }.toMap
     Mf(DataType.fromJson(lines.head).asInstanceOf[StructType], props,
-      fileLines, stats, deletes)
+      fileLines, stats, deletes, seqs)
   }
 
   private def readManifestFull(layer: String, table: String,
@@ -171,7 +199,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
                                schema: StructType, files: Seq[String],
                                props: Map[String, String] = Map.empty,
                                stats: FileStats = Map.empty,
-                               deletes: Seq[DeleteEntry] = Nil): Boolean = {
+                               deletes: Seq[DeleteEntry] = Nil,
+                               seqs: Map[String, Long] = Map.empty): Boolean = {
     require(props.keys.forall(k => !k.contains("=") && !k.contains("\n"))
       && props.values.forall(!_.contains("\n")),
       s"SnapshotStore: malformed manifest properties $props")
@@ -193,8 +222,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
           s"\t$c\u0001${b64(mn)}\u0001${b64(mx)}"
         }.mkString
       }
-    val delLines = deletes.map(d => "-" + b64(d.file) + "\t" + b64(d.keyCols.mkString(",")))
-    try out.write(((schema.json +: propLines) ++ statLines ++ delLines ++ files)
+    val delLines = deletes.map(d =>
+      "-" + b64(d.file) + "\t" + b64(d.keyCols.mkString(",")) + "\t" + d.seq)
+    // sequence lines only matter while deletes are pending (they scope
+    // which deletes touch which files); writing them unconditionally
+    // keeps appends after a delete correctly sequenced
+    val seqLines = seqs.toSeq.filter(s => fileSet.contains(s._1)).sortBy(_._1)
+      .map { case (f, sq) => "~" + b64(f) + "\t" + sq }
+    try out.write(((schema.json +: propLines) ++ statLines ++ seqLines ++ delLines ++ files)
       .mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!AtomicClaim.claim(fs, tmp, new Path(dir, f"m$id%012d"))) {
@@ -213,8 +248,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
                             schema: StructType, files: Seq[String],
                             props: Map[String, String] = Map.empty,
                             stats: FileStats = Map.empty,
-                            deletes: Seq[DeleteEntry] = Nil): Unit =
-    require(tryWriteManifest(layer, table, id, schema, files, props, stats, deletes),
+                            deletes: Seq[DeleteEntry] = Nil,
+                            seqs: Map[String, Long] = Map.empty): Unit =
+    require(tryWriteManifest(layer, table, id, schema, files, props, stats, deletes, seqs),
       s"SnapshotStore: concurrent commit detected for $layer/$table snapshot $id")
 
   /** Optimistic commit loop: `attempt` reads the CURRENT latest
@@ -385,19 +421,27 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       build: Option[Long] => (StructType, Seq[String], Map[String, String], FileStats)): Long =
     commitBuildD(layer, table) { latest =>
       val (schema, files, props, stats) = build(latest)
-      (schema, files, props, stats, Nil)
+      // delete-free commit: carried-over files keep their recorded
+      // sequence, new files take the next one — so a LATER delete
+      // correctly covers everything this commit made visible
+      val prev = latest.map(readMf(layer, table, _))
+      val prevSeqs = prev.map(_.seqs).getOrElse(Map.empty[String, Long])
+      val sq = nextSeq(prev)
+      (schema, files, props, stats, Nil,
+        files.map(f => f -> prevSeqs.getOrElse(f, sq)).toMap)
     }
 
   /** [[commitBuild]] whose builder also decides the snapshot's
-    * equality-delete entries (append-like commits carry the previous
-    * snapshot's deletes forward; overwrites reset them). */
+    * equality-delete entries and per-file sequences (append-like
+    * commits carry the previous snapshot's deletes and sequences
+    * forward; overwrites reset them). */
   private def commitBuildD(layer: String, table: String)(
-      build: Option[Long] => (StructType, Seq[String], Map[String, String], FileStats, Seq[DeleteEntry])): Long =
+      build: Option[Long] => (StructType, Seq[String], Map[String, String], FileStats, Seq[DeleteEntry], Map[String, Long])): Long =
     commitRetry(layer, table) { () =>
       val latest = snapshots(layer, table).lastOption
-      val (schema, files, props, stats, deletes) = build(latest)
+      val (schema, files, props, stats, deletes, seqs) = build(latest)
       val id = latest.getOrElse(0L) + 1
-      if (tryWriteManifest(layer, table, id, schema, files, props, stats, deletes)) Some(id)
+      if (tryWriteManifest(layer, table, id, schema, files, props, stats, deletes, seqs)) Some(id)
       else None
     }
 
@@ -434,10 +478,12 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val added = writeIntoPool(df, layer, table, partitionBy)
     val st = statsOf(layer, table, added)
     commitBuildD(layer, table) { latest =>
-      val (prev, prevSt, prevDel) = latest
-        .map { id => val m = readMf(layer, table, id); (m.files, m.stats, m.deletes) }
+      val pm = latest.map(readMf(layer, table, _))
+      val (prev, prevSt, prevDel) = pm
+        .map(m => (m.files, m.stats, m.deletes))
         .getOrElse((Nil, Map.empty: FileStats, Nil))
-      (df.schema, (prev ++ added).sorted, Map("op" -> "append"), prevSt ++ st, prevDel)
+      (df.schema, (prev ++ added).sorted, Map("op" -> "append"), prevSt ++ st, prevDel,
+        pm.map(_.seqs).getOrElse(Map.empty) ++ added.map(_ -> nextSeq(pm)))
     }
   }
 
@@ -455,11 +501,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       val added = writeIntoPool(df, layer, table, partitionBy)
       val st = statsOf(layer, table, added)
       commitBuildD(layer, table) { latest =>
-        val (prev, prevSt, prevDel) = latest
-          .map { id => val m = readMf(layer, table, id); (m.files, m.stats, m.deletes) }
+        val pm = latest.map(readMf(layer, table, _))
+        val (prev, prevSt, prevDel) = pm
+          .map(m => (m.files, m.stats, m.deletes))
           .getOrElse((Nil, Map.empty: FileStats, Nil))
         (df.schema, (prev ++ added).sorted,
-          Map("txn" -> txnId, "op" -> "append"), prevSt ++ st, prevDel)
+          Map("txn" -> txnId, "op" -> "append"), prevSt ++ st, prevDel,
+          pm.map(_.seqs).getOrElse(Map.empty) ++ added.map(_ -> nextSeq(pm)))
       }
     }
 
@@ -484,8 +532,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     // the schema merge recomputes per attempt: a racing writer may have
     // evolved the table too, and the loser must merge onto ITS schema
     commitBuildD(layer, table) { latest =>
-      val (prevSchema, prev, prevSt, prevDel) = latest
-        .map { id => val m = readMf(layer, table, id); (m.schema, m.files, m.stats, m.deletes) }
+      val pm = latest.map(readMf(layer, table, _))
+      val (prevSchema, prev, prevSt, prevDel) = pm
+        .map(m => (m.schema, m.files, m.stats, m.deletes))
         .getOrElse((df.schema, Nil, Map.empty: FileStats, Nil))
       val prevNames = prevSchema.fieldNames.toSet
       df.schema.foreach { f =>
@@ -501,7 +550,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         // files, so it must become nullable in the merged schema too
         prevSchema.fields.map(f => if (dfNames(f.name)) f else f.copy(nullable = true)) ++
           df.schema.fields.filterNot(f => prevNames(f.name)).map(_.copy(nullable = true)))
-      (merged, (prev ++ added).sorted, Map("op" -> "append_evolve"), prevSt ++ st, prevDel)
+      (merged, (prev ++ added).sorted, Map("op" -> "append_evolve"), prevSt ++ st, prevDel,
+        pm.map(_.seqs).getOrElse(Map.empty) ++ added.map(_ -> nextSeq(pm)))
     }
   }
 
@@ -510,9 +560,13 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * rows to remove as a small delete file — the snapshot's DATA files
     * are untouched (zero rewriting at any table size; deleting 100 rows
     * from a 100 TB table costs one key-file write + a manifest commit).
-    * Readers anti-join on the key columns ([[applyDeletes]] — the
-    * delete set broadcasts), prior snapshots still time-travel to the
-    * undeleted content, and [[compact]] materializes pending deletes
+    * Readers anti-join on the key columns ([[readMerged]] — the
+    * delete set broadcasts), scoped by SEQUENCE to the data files
+    * visible when the delete committed: rows appended afterwards
+    * (even with a deleted key) stay visible, matching Iceberg
+    * equality deletes and SQL DELETE-then-INSERT. Prior snapshots
+    * still time-travel to the undeleted content, and [[compact]]
+    * materializes pending deletes
     * physically (its read applies them; its overwrite commit resets the
     * delete list). `countRows` falls back to a scan while deletes are
     * pending (metadata counts would overcount); partial-overwrite /
@@ -532,15 +586,27 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       s"deleteKeys: $layer/$table has no column $c"))
     require(keyCols.forall(c => !c.contains(",")),
       s"deleteKeys: key column names must not contain ',' (manifest delimiter): $keyCols")
+    // persist the delete file with the TABLE's physical key types, not
+    // the caller's (an INT keys frame against a BIGINT column would
+    // otherwise fail far away, at read time, when readMerged re-reads
+    // the delete file with the table schema)
+    val typedKeys = keyCols.map { c =>
+      col(c).cast(schema(schema.fieldIndex(c)).dataType).as(c)
+    }
     val added = writeIntoPool(
-      keys.select(keyCols.map(col): _*).dropDuplicates(keyCols),
+      keys.select(typedKeys: _*).dropDuplicates(keyCols),
       layer, table, Nil)
     commitBuildD(layer, table) { l =>
       val m = l.map(readMf(layer, table, _)).getOrElse(
         throw new IllegalStateException(
           s"SnapshotStore: $layer/$table vanished during deleteKeys"))
+      // the delete's sequence scopes it to the files visible NOW —
+      // data files appended later carry a higher sequence and are
+      // untouched by it (Iceberg equality-delete scoping; a
+      // delete-then-reinsert round-trip behaves like SQL
+      // DELETE-then-INSERT)
       (m.schema, m.files, Map("op" -> "delete"), m.stats,
-        m.deletes ++ added.map(DeleteEntry(_, keyCols)))
+        m.deletes ++ added.map(DeleteEntry(_, keyCols, nextSeq(Some(m)))), m.seqs)
     }
   }
 
@@ -717,18 +783,34 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     require(ids.contains(id),
       s"SnapshotStore: snapshot $id of $layer/$table not retained (have: ${ids.mkString(",")})")
     val m = readMf(layer, table, id)
-    applyDeletes(readFiles(layer, table, m.schema, m.files), layer, table,
-      m.schema, m.deletes)
+    readMerged(layer, table, m, m.files)
   }
 
-  /** Merge-on-read: anti-join the data on each delete file group's key
-    * columns. Delete sets are commit-sized (small), so Catalyst
-    * broadcasts them — a delete costs a broadcast anti-join at read
-    * time and ZERO data rewriting at commit time, until [[compact]]
-    * materializes it. */
-  private def applyDeletes(df: DataFrame, layer: String, table: String,
-                           schema: StructType,
-                           deletes: Seq[DeleteEntry]): DataFrame = {
+  /** Merge-on-read with SEQUENCE SCOPING (Iceberg equality-delete
+    * semantics): a delete committed at sequence D removes matching
+    * keys only from data files whose recorded sequence is < D — rows
+    * appended after the delete are never swallowed. Files bucket by
+    * their applicable delete set (at most #deletes + 1 buckets, each
+    * the deletes whose sequence exceeds the file's); each bucket
+    * anti-joins its deletes and the buckets union. Delete sets are
+    * commit-sized (small), so Catalyst broadcasts them — a delete
+    * costs broadcast anti-joins at read time and ZERO data rewriting
+    * at commit time, until [[compact]] materializes it. */
+  private def readMerged(layer: String, table: String, m: Mf,
+                         files: Seq[String]): DataFrame = {
+    if (m.deletes.isEmpty || files.isEmpty)
+      return readFiles(layer, table, m.schema, files)
+    files.groupBy(f => m.deletes.filter(_.seq > m.seqs.getOrElse(f, 0L)))
+      .toSeq.sortBy(_._2.min) // deterministic plan order
+      .map { case (dels, bucket) =>
+        antiJoinDeletes(readFiles(layer, table, m.schema, bucket.sorted),
+          layer, table, m.schema, dels)
+      }.reduce(_.unionByName(_))
+  }
+
+  private def antiJoinDeletes(df: DataFrame, layer: String, table: String,
+                              schema: StructType,
+                              deletes: Seq[DeleteEntry]): DataFrame = {
     if (deletes.isEmpty) return df
     deletes.groupBy(_.keyCols).toSeq.sortBy(_._1.mkString(","))
       .foldLeft(df) { case (acc, (cols, entries)) =>
@@ -785,8 +867,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         }
       }
     }
-    val pruned = applyDeletes(readFiles(layer, table, schema, keep),
-      layer, table, schema, mf.deletes)
+    val pruned = readMerged(layer, table, mf, keep)
     typed.foldLeft(pruned) { case (df, (c, (lo, hi), t)) =>
       df.filter(col(c) >= lit(lo).cast(t) && col(c) <= lit(hi).cast(t))
     }
@@ -851,8 +932,11 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
           s"SnapshotStore: $layer/$table advanced past snapshot $id during " +
             "compactSmall — the rewrite no longer reflects the table; re-run")
       val files = (big.map(_._1) ++ added).sorted
+      // stats/seqs explicitly pruned to the surviving file list (the
+      // manifest writer also filters to it — belt and braces)
       if (tryWriteManifest(layer, table, id + 1, m.schema, files,
-        Map("op" -> "compact_small"), m.stats ++ st)) Some(id + 1)
+        Map("op" -> "compact_small"), (m.stats -- small.map(_._1)) ++ st,
+        seqs = (m.seqs -- small.map(_._1)) ++ added.map(_ -> nextSeq(Some(m))))) Some(id + 1)
       else None
     }
   }
@@ -897,7 +981,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     // writer's commit stays time-travelable behind the restore)
     commitBuildD(layer, table)(_ =>
       (m.schema, m.files, Map("op" -> "restore", "restored_from" -> id.toString),
-        m.stats, m.deletes))
+        m.stats, m.deletes, m.seqs))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`):
@@ -929,7 +1013,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val absDel = m.deletes.map(d => d.copy(file = absFile(srcLayer, srcTable, d.file)))
     writeManifest(dstLayer, dstTable, 1L, m.schema, absFiles,
       Map("op" -> "clone", "cloned_from" -> s"$srcLayer/$srcTable@m$srcId"),
-      stats = absStats, deletes = absDel)
+      stats = absStats, deletes = absDel,
+      seqs = m.seqs.map { case (f, sq) => absFile(srcLayer, srcTable, f) -> sq })
     1L
   }
 
@@ -974,7 +1059,8 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         Map("op" -> "merge_branch",
           "merged_from" -> s"$branchLayer/$branchTable@m${ids.last}"),
         head.stats.map { case (f, st) => toSrc(f) -> st },
-        head.deletes.map(d => d.copy(file = toSrc(d.file))))
+        head.deletes.map(d => d.copy(file = toSrc(d.file))),
+        head.seqs.map { case (f, sq) => toSrc(f) -> sq })
     }
   }
 

@@ -502,4 +502,67 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.read("g", "t").orderBy("id").select("id").as[Long].collect().toSeq ==
       Seq(1L, 5L))
   }
+
+  test("equality deletes are sequence-scoped: delete-then-reinsert shows the new row") {
+    val st = newStore("delseq")
+    st.overwrite(Seq((1L, "old"), (2L, "keep")).toDF("id", "v"), "s", "t")
+    st.deleteKeys(Seq(Tuple1(1L)).toDF("id"), "s", "t", Seq("id"))
+    // REINSERT of a deleted key: the append carries a higher sequence
+    // than the delete, so the new row must be visible (Iceberg
+    // equality-delete scoping / SQL DELETE-then-INSERT), not silently
+    // swallowed by the older delete entry
+    st.append(Seq((1L, "new")).toDF("id", "v"), "s", "t")
+    assert(st.read("s", "t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "new"), (2L, "keep")))
+    // a LATER delete of the same key removes the reinserted row too
+    st.deleteKeys(Seq(Tuple1(1L)).toDF("id"), "s", "t", Seq("id"))
+    assert(st.read("s", "t").as[(Long, String)].collect().toSeq == Seq((2L, "keep")))
+    // and a second reinsert after that is again visible; compact then
+    // materializes the merged state and clears the pending entries
+    st.append(Seq((1L, "newer")).toDF("id", "v"), "s", "t")
+    st.compact("s", "t", numFiles = 1)
+    assert(st.read("s", "t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "newer"), (2L, "keep")))
+    // compact cleared the pending entries: compactSmall no longer
+    // refuses on pending deletes (no-op here — just one file)
+    st.compactSmall("s", "t", 1L)
+  }
+
+  test("sequence scoping survives restore, clone, and branch merge") {
+    val st = newStore("delseq2")
+    st.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "s", "t")
+    st.deleteKeys(Seq(Tuple1(1L)).toDF("id"), "s", "t", Seq("id"))
+    val vDel = st.snapshots("s", "t").last
+    st.append(Seq((1L, "re")).toDF("id", "v"), "s", "t")
+    // restore to the post-delete snapshot: key 1 hidden again
+    st.restore("s", "t", vDel)
+    assert(st.read("s", "t").select("id").as[Long].collect().toSeq == Seq(2L))
+    // append onto the restored head: the reinsert is visible again
+    st.append(Seq((1L, "re2")).toDF("id", "v"), "s", "t")
+    assert(st.read("s", "t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "re2"), (2L, "b")))
+    // clone carries pending deletes AND their scoping; a branch append
+    // of a deleted key is visible on the branch and after the merge
+    val st2 = newStore("delseq3")
+    st2.overwrite(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), "prod", "t")
+    st2.deleteKeys(Seq(Tuple1(2L)).toDF("id"), "prod", "t", Seq("id"))
+    st2.shallowClone("prod", "t", "exp", "t")
+    assert(st2.read("exp", "t").select("id").as[Long].collect().toSeq == Seq(1L))
+    st2.append(Seq((2L, "back")).toDF("id", "v"), "exp", "t")
+    assert(st2.read("exp", "t").orderBy("id").select("id").as[Long].collect().toSeq ==
+      Seq(1L, 2L))
+    st2.mergeBranch("exp", "t")
+    assert(st2.read("prod", "t").orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "x"), (2L, "back")))
+  }
+
+  test("deleteKeys casts caller key types to the table schema's types") {
+    val st = newStore("delcast")
+    st.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "s", "t")
+    // caller passes INT keys against a BIGINT column — the delete file
+    // must persist with the table's type, so the read-side anti-join
+    // resolves instead of failing at a distance
+    st.deleteKeys(Seq(Tuple1(1)).toDF("id"), "s", "t", Seq("id"))
+    assert(st.read("s", "t").select("id").as[Long].collect().toSeq == Seq(2L))
+  }
 }
