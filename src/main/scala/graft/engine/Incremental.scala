@@ -75,6 +75,27 @@ object Incremental {
    *                      receives `isIncremental` + watermark so it can
    *                      apply the F3/F4 source-side filter like
    *                      `is_incremental()` Jinja guards do
+   * @param partitionBy   optional hive partition columns of the TARGET
+   *                      (dbt `insert_overwrite` / Delta MERGE under a
+   *                      partition predicate). When set, an incremental
+   *                      run merges into ONLY the partitions the staged
+   *                      batch touches: the existing side reads those
+   *                      partitions (partition-pruned scan) and the
+   *                      write swaps just their directories — the run
+   *                      costs the delta's partitions, never the table,
+   *                      which is the difference between a daily job
+   *                      that scales and one that rewrites 100 TB.
+   *                      CONTRACT: each partition column must appear in
+   *                      the transform's output, be NON-NULL (the
+   *                      touched-partition semi-join is an equi-join,
+   *                      so a null partition value would silently miss
+   *                      its existing directory), and be a
+   *                      DETERMINISTIC FUNCTION of the uniqueKey
+   *                      columns (e.g. a month derived from a key
+   *                      date) — otherwise a key could "move"
+   *                      partitions between runs and the pruned merge
+   *                      would leave a stale twin in an untouched
+   *                      partition.
    */
   final case class Model(
       name: String,
@@ -82,7 +103,8 @@ object Incremental {
       deps: Seq[String],
       uniqueKey: Seq[String],
       watermarkCol: String,
-      transform: (Map[String, DataFrame], Option[Any]) => DataFrame)
+      transform: (Map[String, DataFrame], Option[Any]) => DataFrame,
+      partitionBy: Seq[String] = Nil)
 
   /** Registry with dbt-style topological execution order. */
   final class Registry(models: Seq[Model]) {
@@ -123,14 +145,40 @@ object Incremental {
       val exists = wh.tableExists(m.layer, m.name)
       val wm = if (exists) maxWatermark(wh.read(m.layer, m.name), m.watermarkCol) else None
       val staged = m.transform(inputs, wm)
-      if (exists) {
+      if (exists && m.partitionBy.nonEmpty) {
+        // PARTITION-SCOPED merge (dbt insert_overwrite shape): merge
+        // into only the partitions the staged batch touches and swap
+        // just those directories — the incremental run costs the
+        // delta's partitions at any table size. Soundness rests on the
+        // Model contract: partition cols are functions of the key, so a
+        // staged key's existing row provably lives in a touched
+        // partition. The touched-partition restriction is a broadcast
+        // SEMI-JOIN on the partition columns, not a driver collect:
+        // dynamic partition pruning turns it into a runtime partition
+        // filter on the existing scan, zero extra jobs, and the
+        // touched set never routes through the driver.
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val stagedParts = staged.select(m.partitionBy.map(col): _*).distinct()
+        val existingTouched = wh.read(m.layer, m.name)
+          .join(broadcast(stagedParts), m.partitionBy, "left_semi")
+        Merge.schemaGuard(existingTouched, staged)
+        // no repartition: the write fans into only the touched
+        // directories, and the merge's task layout (pruned scan +
+        // broadcast anti-join) stays shuffle-free
+        wh.overwritePartitions(Merge.upsert(existingTouched, staged, m.uniqueKey),
+          m.layer, m.name, m.partitionBy)
+      } else if (exists) {
         val existing = wh.read(m.layer, m.name)
         Merge.schemaGuard(existing, staged)
         // Write to a swap dir, not in place: the plan reads `existing`
         // from the same path it would overwrite.
         wh.atomicOverwrite(Merge.upsert(existing, staged, m.uniqueKey), m.layer, m.name)
       } else {
-        wh.atomicOverwrite(staged, m.layer, m.name)
+        val arranged =
+          if (m.partitionBy.nonEmpty)
+            staged.repartition(m.partitionBy.map(staged(_)): _*)
+          else staged
+        wh.atomicOverwrite(arranged, m.layer, m.name, m.partitionBy)
       }
     }
   }

@@ -88,6 +88,50 @@ final class Warehouse(val spark: SparkSession, val root: String,
     ()
   }
 
+  /** DYNAMIC PARTITION OVERWRITE (Spark's `partitionOverwriteMode=
+    * dynamic` / Delta `replaceWhere` by partition): replace ONLY the
+    * hive partition directories `df` carries rows for; every other
+    * partition keeps its files untouched. The write lands in a tmp dir
+    * first, then each touched LEAF partition directory swaps in via
+    * one rename — so at 100 TB a daily merge commits the day's
+    * partitions, never the table. Like [[append]] (and unlike
+    * [[atomicOverwrite]]), this does not archive a generation: the
+    * unit of versioning here is the whole-table swap, and a partial
+    * write has no whole-table "before" to archive cheaply.
+    *
+    * The swap is atomic PER PARTITION (rename), not across partitions —
+    * a reader racing a multi-partition overwrite can see partition A
+    * new and partition B old, the same visibility gap dbt's
+    * insert_overwrite has on hive tables. [[graft.engine.SnapshotStore
+    * .overwritePartitions]] is the manifest-committed answer when
+    * cross-partition atomicity matters. */
+  def overwritePartitions(df: DataFrame, layer: String, table: String,
+                          partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty,
+      "overwritePartitions: partitionBy is required (use atomicOverwrite for flat tables)")
+    val target = new Path(path(layer, table))
+    val tmp = new Path(s"$root/.tmp/$layer-$table-${System.nanoTime()}")
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*)
+      .parquet(tmp.toString)
+    // the touched partitions are exactly the leaf k=v chains the write
+    // produced — read from the tmp dir's structure, no extra job on df
+    def leaves(p: Path, depth: Int): Seq[Path] =
+      if (depth == partitionBy.length) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap(st => leaves(st.getPath, depth + 1))
+    val rootUri = tmp.toUri.getPath
+    leaves(tmp, 0).foreach { leaf =>
+      val rel = leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val dst = new Path(target, rel)
+      fs.mkdirs(dst.getParent)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(leaf, dst)
+    }
+    fs.delete(tmp, true)
+    ()
+  }
+
   /** Archived-generation directory. Nested `<layer>/<table>` (not a
     * joined name) so (a, b_c) and (a_b, c) can never collide. */
   private def versionsRoot(layer: String, table: String): Path =

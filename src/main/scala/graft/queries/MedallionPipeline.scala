@@ -48,19 +48,52 @@ object MedallionPipeline {
     }).drop("year", "month")
   }
 
+  /** Silver is hive-partitioned by derived `ano_ref` — a deterministic
+    * function of the key column `data_pregao` (the Model partitionBy
+    * contract), so an incremental run merges into and swaps ONLY the
+    * boundary year's directory: at 100 TB the daily run reads and
+    * rewrites one year of silver, never the table. `mes_ref` rides as
+    * a DATA column: gold's incremental read row-filters it and parquet
+    * min/max stats skip the non-boundary months' row groups within the
+    * pruned year. (Month-level hive dirs would prune tighter but cost
+    * 12× the directories on the full build — year strikes the balance
+    * at this table's cardinality.) The extra columns ride into gold's
+    * input harmlessly (goldMonthly groups on its own named columns). */
   def silverModel: Incremental.Model = Incremental.Model(
     "daily_stocks", "silver", Seq(), Seq("sigla_empresa", "data_pregao"), "data_pregao",
-    (in, wm) => StockOps.silverDaily(silverSource(in("bronze_stocks"), wm)))
+    (in, wm) => StockOps.silverDaily(silverSource(in("bronze_stocks"), wm))
+      .withColumn("ano_ref", year(col("data_pregao")))
+      .withColumn("mes_ref", month(col("data_pregao"))),
+    partitionBy = Seq("ano_ref"))
 
+  /** Gold partitions by `ano` (derived from the key
+    * `data_inicio_mes`): the monthly re-aggregate swaps the boundary
+    * year's directory only. */
   def goldModel: Incremental.Model = Incremental.Model(
     "monthly_summary", "gold", Seq("daily_stocks"),
     Seq("sigla_empresa", "data_inicio_mes"), "data_inicio_mes",
     (in, wm) => {
-      val src = wm.map(w => in("daily_stocks")
-        .filter(date_trunc("month", col("data_pregao")).cast(DateType) >= lit(w)))
-        .getOrElse(in("daily_stocks"))
+      // the incremental read of silver rides its (ano_ref, mes_ref)
+      // hive layout: the month-boundary watermark becomes a partition
+      // predicate, so gold's rerun scans the boundary month's silver
+      // directory, not all of silver
+      val daily = in("daily_stocks")
+      def pruned(d: java.sql.Date): DataFrame = {
+        val ld = d.toLocalDate
+        daily.filter(col("ano_ref") > ld.getYear ||
+            (col("ano_ref") === ld.getYear && col("mes_ref") >= ld.getMonthValue))
+          .filter(date_trunc("month", col("data_pregao")).cast(DateType) >= lit(d))
+      }
+      val src = wm match {
+        case Some(d: java.sql.Date) => pruned(d)
+        case Some(d: java.time.LocalDate) => pruned(java.sql.Date.valueOf(d))
+        case Some(w) => daily
+          .filter(date_trunc("month", col("data_pregao")).cast(DateType) >= lit(w))
+        case None => daily
+      }
       StockOps.goldMonthly(src)
-    })
+    },
+    partitionBy = Seq("ano"))
 
   /** Drop targets, materialize partitioned bronze, run the DAG twice,
     * read gold back. Returns the presentation-ordered gold table. */

@@ -799,14 +799,28 @@ object RefQueries {
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         val o = Tables.orders(s, dir)
+        // TWO-LEVEL aggregate instead of countDistinct over the join
+        // output: a distinct-aggregate forces an Expand (row doubling)
+        // plus a SECOND full shuffle of every joined row. Pre-
+        // aggregating per (priority, orderkey) shuffles the joined rows
+        // once — and since the join key IS o_orderkey, the partial agg
+        // combines map-side within the join's own partitioning. The
+        // re-aggregate then runs over ~one row per order. The inner
+        // decimal sum stays DECIMAL (exact, associative) and only the
+        // final re-aggregated scalar casts to double.
         li.join(o, li("l_orderkey") === o("o_orderkey"))
           .filter(o("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
             && li("l_shipdate") > o("o_orderdate"))
+          .groupBy(col("o_orderpriority"), col("o_orderkey"))
+          .agg(
+            count(lit(1)).as("n_l"),
+            sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("rev_part"))
           .groupBy(col("o_orderpriority"))
           .agg(
-            count(lit(1)).as("n_lines"),
-            countDistinct(col("o_orderkey")).as("n_orders"),
-            Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+            sum(col("n_l")).as("n_lines"),
+            count(lit(1)).as("n_orders"),
+            sum(col("rev_part")).cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
           .orderBy("o_orderpriority")
       },
       Some(s"""SELECT o_orderpriority, count(*) AS n_lines,

@@ -301,6 +301,61 @@ class IncrementalSpec extends SparkSpec {
       Seq("update_postimage", "update_preimage"))
   }
 
+  test("overwritePartitions swaps only touched partition directories") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_op").toString
+    val wh = new Warehouse(spark, root)
+    wh.atomicOverwrite(
+      Seq((1L, "a", 2024), (2L, "b", 2024), (3L, "c", 2025)).toDF("id", "v", "y"),
+      "silver", "t", Seq("y"))
+    // inputFiles lists the whole table (no partition pruning applies
+    // to it) — classify by directory instead
+    def files(y: Int) = wh.read("silver", "t").inputFiles.filter(_.contains(s"y=$y")).toSet
+    val (before2024, before2025) = (files(2024), files(2025))
+    // replace ONLY y=2025; y=2024's physical files must be untouched
+    wh.overwritePartitions(Seq((9L, "z", 2025)).toDF("id", "v", "y"),
+      "silver", "t", Seq("y"))
+    val after = wh.read("silver", "t")
+    assert(after.orderBy("id").select("id").as[Long].collect().toSeq == Seq(1L, 2L, 9L))
+    assert(files(2024) == before2024, "untouched partition must keep its physical files")
+    assert(files(2025).intersect(before2025).isEmpty, "touched partition must be replaced")
+    // a brand-new partition value lands as a new directory
+    wh.overwritePartitions(Seq((7L, "n", 2026)).toDF("id", "v", "y"),
+      "silver", "t", Seq("y"))
+    assert(wh.read("silver", "t").count() == 4)
+  }
+
+  test("partitioned incremental model merges into touched partitions only") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_pinc").toString
+    val wh = new Warehouse(spark, root)
+    var source = Seq((1L, "2024-03-01", 10.0), (2L, "2024-03-02", 20.0),
+      (3L, "2025-01-05", 30.0)).toDF("k", "d", "v")
+      .withColumn("d", col("d").cast("date"))
+    val model = Incremental.Model(
+      "t", "silver", Seq(), Seq("k", "d"), "d",
+      (in, wm) => {
+        val src = wm.map(w => in("src").filter(col("d") >= lit(w))).getOrElse(in("src"))
+        src.withColumn("y", year(col("d")))
+      },
+      partitionBy = Seq("y"))
+    val reg = new Incremental.Registry(Seq(model))
+    reg.runAll(wh, Map("src" -> source))
+    def files2024 = wh.read("silver", "t").inputFiles.filter(_.contains("y=2024")).toSet
+    val oldFiles2024 = files2024
+    // new batch: a changed row at the 2025 watermark boundary + a new key
+    source = Seq((1L, "2024-03-01", 10.0), (2L, "2024-03-02", 20.0),
+      (3L, "2025-01-05", 99.0), (4L, "2025-02-01", 40.0)).toDF("k", "d", "v")
+      .withColumn("d", col("d").cast("date"))
+    reg.runAll(wh, Map("src" -> source))
+    val t = wh.read("silver", "t")
+    // staged wins per key; 2024 rows intact; 2024's files never rewritten
+    assert(t.orderBy("k", "v").select("k", "v").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 99.0), (4L, 40.0)))
+    assert(files2024 == oldFiles2024,
+      "incremental partitioned merge must not rewrite untouched partitions")
+  }
+
   test("warehouse keepVersions=0 keeps no history (old swap semantics)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_wh_tt0").toString
