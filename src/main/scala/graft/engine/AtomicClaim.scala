@@ -14,7 +14,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * ConcurrentCommitSpec under repetition: two appenders returning the
   * same version). For `file://` the claim is therefore a hard LINK:
   * link(2) fails EEXIST atomically in the kernel, so exactly one racer
-  * wins; the winner then unlinks its tmp name. */
+  * wins; the winner then unlinks its tmp name.
+  *
+  * Filesystems that mount as `file://` but lack hard links (overlayfs
+  * layers, some network mounts) surface as FileSystemException /
+  * UnsupportedOperationException from link(2) — NOT a lost race. Those
+  * degrade to an exclusive-create copy: O_EXCL create of `dst` is also
+  * a kernel-atomic claim (exactly one creator wins), and the manifest
+  * is small, so the copy costs what the original write did. Only the
+  * winner copies; a lost create race still returns false. */
 object AtomicClaim {
   def claim(fs: FileSystem, tmp: Path, dst: Path): Boolean =
     if (fs.getScheme == "file") {
@@ -26,6 +34,29 @@ object AtomicClaim {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException => claimByCreate(t, d, fs, tmp)
+        case _: java.nio.file.FileSystemException
+          if !java.nio.file.Files.exists(d) => claimByCreate(t, d, fs, tmp)
       }
     } else fs.rename(tmp, dst)
+
+  /** Exclusive-create fallback claim for link-less filesystems:
+    * CREATE_NEW is atomic (exactly one racer creates `dst`), then the
+    * winner copies the tmp content in. Caveat vs the link path: a
+    * reader opening `dst` between create and close can see a partial
+    * file — the degraded mode trades the link's full atomicity for
+    * still-correct mutual exclusion (no commit is ever LOST; a racing
+    * read can transiently fail and retry). */
+  private def claimByCreate(t: java.nio.file.Path, d: java.nio.file.Path,
+                            fs: FileSystem, tmp: Path): Boolean =
+    try {
+      val out = java.nio.file.Files.newOutputStream(d,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+      try java.nio.file.Files.copy(t, out) finally out.close()
+      fs.delete(tmp, false)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
 }

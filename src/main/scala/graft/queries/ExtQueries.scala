@@ -2105,16 +2105,20 @@ object ExtQueries {
               .otherwise(col("props")).as("props"))
           .repartition(4).write.parquet(staged)
         val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        // one logical writer identity (Delta's explicit txnAppId form):
+        // txn tags are namespaced per sink, so only a writer carrying
+        // the SAME sinkId replays as no-ops — a different query into
+        // the same table keeps its own txn lane
         def drain(ckpt: String): Unit =
           StreamOps.quarantineSink(
             StreamOps.eventStream(s, staged, s.read.parquet(staged).schema,
               maxFilesPerTrigger = Some(2)),
-            st, "silver", ckpt).awaitTermination()
+            st, "silver", ckpt, sinkId = Some("dlq")).awaitTermination()
         drain(s"$base/ckpt")
         val afterFirst = st.snapshots("silver", "parsed").size +
           st.snapshots("silver", "quarantine").size
-        // replay from scratch: fresh checkpoint, identical input → the
-        // batch-id txn tags make every commit a no-op
+        // LOST-CHECKPOINT replay: fresh checkpoint, same sinkId, same
+        // input → same batch ids, same txn tags, every commit a no-op
         drain(s"$base/ckpt2")
         require(st.snapshots("silver", "parsed").size +
           st.snapshots("silver", "quarantine").size == afterFirst,

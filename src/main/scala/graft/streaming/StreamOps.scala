@@ -161,16 +161,34 @@ object StreamOps {
     * (the partials re-merge additively, so compaction is just
     * [[SnapshotStore.compact]]). Replays commit nothing
     * ([[SnapshotStore.appendIfAbsent]]'s txn tag). */
+  /** Per-query transaction namespace: every streaming query numbers its
+    * batches from 0, so two queries (distinct checkpoints) writing the
+    * SAME table would collide on a bare batch-id tag — the second
+    * query's batch 0 would read as a replay of the first's and be
+    * silently dropped by the txn dedup. Namespacing by the checkpoint
+    * (the query's durable identity: stable across restarts of the same
+    * query, necessarily distinct between concurrent queries) keeps
+    * replay-dedup per query. This is exactly Delta's `txnAppId` role.
+    * A caller-supplied `sinkId` overrides the checkpoint-derived
+    * namespace — the explicit txnAppId form, for writers whose logical
+    * identity must survive a LOST checkpoint (a rebuilt query with the
+    * same sinkId replays as no-ops instead of double-committing). */
+  private def txnTag(checkpoint: String, sinkId: Option[String],
+                     batchId: Long): String =
+    "stream-" + sinkId.getOrElse(Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(checkpoint))) + s"-$batchId"
+
   def binnedCountsSink(stream: DataFrame, st: SnapshotStore, layer: String, table: String,
                        keys: Seq[String], valueCol: String, binWidthCents: Long,
-                       checkpoint: String): StreamingQuery =
+                       checkpoint: String,
+                       sinkId: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         st.appendIfAbsent(
           graft.ops.Profile.binCounts(batch.toDF(), keys, valueCol, binWidthCents),
-          layer, table, s"stream-$batchId")
+          layer, table, txnTag(checkpoint, sinkId, batchId))
         ()
       }
       .start()
@@ -185,12 +203,14 @@ object StreamOps {
     * per batch is the batch's files plus one manifest write; readers
     * are snapshot-isolated throughout. */
   def appendOnlySink(stream: DataFrame, st: SnapshotStore, layer: String, table: String,
-                     checkpoint: String, partitionBy: Seq[String] = Nil): StreamingQuery =
+                     checkpoint: String, partitionBy: Seq[String] = Nil,
+                     sinkId: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        st.appendIfAbsent(batch.toDF(), layer, table, s"stream-$batchId", partitionBy)
+        st.appendIfAbsent(batch.toDF(), layer, table,
+          txnTag(checkpoint, sinkId, batchId), partitionBy)
         ()
       }
       .start()
@@ -207,13 +227,14 @@ object StreamOps {
     * keys` (enforced downstream) so keys cannot move partitions. */
   def upsertPartitionsSink(stream: DataFrame, st: SnapshotStore, layer: String,
                            table: String, keys: Seq[String], partitionBy: Seq[String],
-                           checkpoint: String): StreamingQuery =
+                           checkpoint: String,
+                           sinkId: Option[String] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         st.upsertPartitions(batch.toDF(), layer, table, keys, partitionBy,
-          txnId = Some(s"stream-$batchId"))
+          txnId = Some(txnTag(checkpoint, sinkId, batchId)))
         ()
       }
       .start()
@@ -340,7 +361,8 @@ object StreamOps {
    * the property a plain append dead-letter sink lacks.
    */
   def quarantineSink(events: DataFrame, st: SnapshotStore, layer: String,
-                     checkpoint: String): StreamingQuery =
+                     checkpoint: String,
+                     sinkId: Option[String] = None): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -348,11 +370,11 @@ object StreamOps {
         val parsed = EventOps.jsonPropsQuarantine(batch, "props")
         st.appendIfAbsent(
           parsed.filter(!col("quarantined")).drop("quarantined"),
-          layer, "parsed", txnId = s"q$id-good")
+          layer, "parsed", txnId = txnTag(checkpoint, sinkId, id) + "-good")
         st.appendIfAbsent(
           parsed.filter(col("quarantined"))
             .select(col("event_id"), col("props").as("raw_payload")),
-          layer, "quarantine", txnId = s"q$id-bad")
+          layer, "quarantine", txnId = txnTag(checkpoint, sinkId, id) + "-bad")
         ()
       }
       .start()

@@ -268,9 +268,12 @@ class SnapshotStoreSpec extends SparkSpec {
     StreamOps.upsertPartitionsSink(stream2, st, "silver", "t",
       keys = Seq("id", "day"), partitionBy = Seq("day"), ck).awaitTermination()
     assert(st.snapshots("silver", "t") == committed)
-    // direct replay of a batch txn also merges nothing
+    // direct replay of a batch txn also merges nothing (the sink's txn
+    // tag is namespaced by the query's checkpoint — mirror it here)
+    val tag0 = "stream-" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(ck)) + "-0"
     val again = st.upsertPartitions(Seq((1L, "evil", 1)).toDF("id", "v", "day"),
-      "silver", "t", Seq("id", "day"), Seq("day"), txnId = Some("stream-0"))
+      "silver", "t", Seq("id", "day"), Seq("day"), txnId = Some(tag0))
     assert(committed.contains(again))
     assert(st.read("silver", "t").filter(col("id") === 1L)
       .select("v").as[String].head() == "new")

@@ -253,6 +253,33 @@ class StreamingSpec extends SparkSpec {
     assert(st.read("bronze", "quarantine").count() == 2)
   }
 
+  test("two streaming queries into one table keep separate txn namespaces") {
+    import graft.engine.SnapshotStore
+    // both queries number their batches from 0; a bare batch-id txn tag
+    // would make the second query's commits read as replays of the
+    // first's and silently drop them
+    val dirA = eventDir(Seq(baseRows.take(2)))
+    val dirB = eventDir(Seq(baseRows.drop(2)))
+    val st = new SnapshotStore(spark, tmp("graft_twoq"))
+    val ckA = tmp("graft_ck_a")
+    StreamOps.appendOnlySink(
+      StreamOps.eventStream(spark, dirA, schemaOf(dirA)),
+      st, "bronze", "events", ckA).awaitTermination()
+    StreamOps.appendOnlySink(
+      StreamOps.eventStream(spark, dirB, schemaOf(dirB)),
+      st, "bronze", "events", tmp("graft_ck_b")).awaitTermination()
+    import spark.implicits._
+    assert(st.read("bronze", "events").select("event_id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "the second query's batch 0 must not be dropped as a 'replay' of the first's")
+    // replay-dedup still holds per query: a drained rerun of A from its
+    // OWN checkpoint commits nothing twice
+    StreamOps.appendOnlySink(
+      StreamOps.eventStream(spark, dirA, schemaOf(dirA)),
+      st, "bronze", "events", ckA).awaitTermination()
+    assert(st.read("bronze", "events").count() == 4)
+  }
+
   test("incremental transition matrix equals batch across out-of-order batches") {
     val dir = eventDir(Seq(
       Seq((2L, "2024-01-01 11:00:00", 1L, "click", 1.0, "{}"),   // arrives BEFORE its
