@@ -223,3 +223,141 @@ object MinHashSignature {
     new GenericArrayData(sig)
   }
 }
+
+/**
+ * Engine-PORTABLE k-slot MinHash signature in ONE compiled pass — the
+ * fast form of [[graft.ops.Dedup.minhashSignaturesMd5Spec]]'s
+ * higher-order-function plan (DedupSpec asserts bit-parity; the spec
+ * is also exactly what the DuckDB oracle runs): base hash = first 48
+ * bits of `md5(shingle)` reduced mod p = 2^31−1, slot i =
+ * min over shingles of `((2i+1)·h + 1000003·(i+1)) mod p`
+ * (Carter-Wegman). Same single-projection shape as [[MinHashSignature]]
+ * (no explode, no aggregate shuffle) but every value is reproducible
+ * from any engine's md5 — which is what lets the LSH pair list be
+ * oracle-HASHED instead of rows-only checked. Shingle distinctness is
+ * irrelevant under min, so no dedup set is kept. Docs with fewer than
+ * n tokens yield an EMPTY array (filter on size).
+ */
+case class Md5MinHashSignature(child: Expression, n: Int, k: Int)
+  extends UnaryExpression {
+
+  require(n >= 1 && k >= 1, s"need n >= 1 and k >= 1, got n=$n k=$k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5MinHashSignature.compute(input.asInstanceOf[UTF8String], n, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.Md5MinHashSignature.compute($input, $n, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5MinHashSignature {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val toks = WordShingleHashes.tokenize(text.toString)
+    val m = toks.size()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = Array.fill(k)(Long.MaxValue)
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j <= m - n) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(j + t))
+        t += 1
+      }
+      // first 48 bits of the digest == parse of the first 12 hex chars
+      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h %= P
+      var i = 0
+      while (i < k) {
+        val v = (h * (2L * i + 1) + 1000003L * (i + 1)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/**
+ * Engine-PORTABLE 60-bit SimHash sketch in ONE compiled pass — the
+ * fast form of [[graft.ops.Dedup.simhashMd5Spec]]'s higher-order plan
+ * (DedupSpec asserts bit-parity; the spec mirrors the DuckDB oracle):
+ * each token's hash is the first 60 bits of its md5 (15 hex chars),
+ * voting ±1 per bit position; bit b is set iff its vote total is
+ * positive. 60 bits (not 64) because 15 hex chars is the widest md5
+ * prefix that parses into a signed BIGINT in every engine; the pair
+ * search bands 4 × 15 bits, preserving the Hamming-≤3 pigeonhole
+ * guarantee. Zero-token docs sketch to 0.
+ */
+case class Md5SimHashSketch(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects STRING, got ${child.dataType}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5SimHashSketch.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input =>
+      s"${ev.value} = graft.functions.Md5SimHashSketch.compute($input);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5SimHashSketch {
+
+  def compute(text: UTF8String): Long = {
+    val toks = WordShingleHashes.tokenize(text.toString)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < toks.size()) {
+      val d = md.digest(toks.get(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 60 bits == parse of the first 15 hex chars: 7 whole
+      // bytes then the HIGH nibble of byte 7
+      var h = 0L
+      var i = 0
+      while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = (h << 4) | ((d(7) & 0xf0L) >>> 4)
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sketch = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) > 0) sketch |= (1L << b)
+      b += 1
+    }
+    sketch
+  }
+}

@@ -225,6 +225,93 @@ object Dedup {
       .select(col(idCol), array((0 until k).map(i => col(s"__slot$i")): _*).as("sig"))
   }
 
+  /** Engine-PORTABLE MinHash signatures — same single-projection,
+    * zero-shuffle shape as [[minhashSignatures]], but every hash is
+    * derivable in ANY engine: the base hash comes from `md5(shingle)`
+    * and slot i applies the Carter-Wegman affine universal hash
+    * `((2i+1)·h + 1000003·(i+1)) mod (2^31−1)`. One md5 per shingle
+    * (the k slots are k cheap affine maps over it — the textbook
+    * MinHash construction, not k independent hashes), so the cost
+    * stays one strong hash per shingle like the xxhash64 form. What
+    * this buys over [[minhashSignatures]]: a DuckDB oracle reproduces
+    * the signatures bit-for-bit, so the LSH pair list itself is
+    * hash-verified instead of rows-only; the native form remains the
+    * throughput path and keeps its recall-invariant check. */
+  def minhashSignaturesMd5(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col(idCol),
+      Bridge.column(graft.functions.Md5MinHashSignature(
+        Bridge.expression(col(textCol)), n, k)).as("sig"))
+      .where(size(col("sig")) > 0)
+  }
+
+  /** Executable spec for [[minhashSignaturesMd5]]: the same values via
+    * builtin higher-order functions — and structurally the SAME
+    * program as the DuckDB oracle SQL, so the parity chain is
+    * native expression == HOF spec == oracle. DedupSpec asserts the
+    * first equality; the correctness gate hashes the second.
+    * base = first 48 bits of md5 REDUCED mod p = 2^31−1 (Mersenne
+    * prime): every affine step then stays comfortably inside LONG
+    * (h' < 2^31, a ≤ 2k−1 → a·h' + c < 2^36) — exact 64-bit integer
+    * arithmetic in BOTH engines, where a 60-bit base would force
+    * decimal/HUGEINT (measured 10× slower under Spark's BigDecimal
+    * boxing). The mod-p WRAP is what keeps the k slots independent:
+    * without it min(a·h + c) = a·min(h) + c and every slot would
+    * elect the same shingle. */
+  private[graft] def minhashSignaturesMd5Spec(docs: DataFrame, idCol: String, textCol: String,
+                                              n: Int, k: Int): DataFrame = {
+    val p = 2147483647L
+    val toks = TextOps.tokens(col(textCol))
+    val shingles = array_distinct(transform(
+      sequence(lit(1), size(toks) - lit(n - 1)),
+      i => array_join(slice(toks, i, lit(n)), " ")))
+    val base = transform(shingles,
+      s => conv(substring(md5(s), 1, 12), 16, 10).cast(LongType) % p)
+    // the md5 base-hash array MUST materialize behind its own project
+    // boundary (the textStats pattern: a multiply-referenced expensive
+    // alias is not collapsed into its consumers) — inlining it would
+    // re-tokenize, re-shingle, and re-md5 the document once PER SLOT,
+    // a k-fold blowup of the only expensive step. The short-doc gate
+    // filters BEFORE the projection (a predicate on the projected
+    // alias would push back down and evaluate the md5 chain twice);
+    // it also keeps sequence(1, size-4) from flipping descending on
+    // < n tokens. Mirrors minhashSignatures dropping short docs.
+    docs.where(size(toks) >= n)
+      .select(col(idCol), base.as("__base"))
+      .select(col(idCol),
+        array((0 until k).map { i =>
+          array_min(transform(col("__base"),
+            h => (h * lit(2L * i + 1) + lit(1000003L * (i + 1))) % p))
+        }: _*).as("sig"))
+  }
+
+  /** [[minhashLshPairs]] over the portable md5 signatures
+    * ([[minhashSignaturesMd5]]): identical banding/verification plan —
+    * band buckets key on the band's slot values directly (a string of
+    * 4 exact integers; no engine-private bucket hash), so the whole
+    * operator is DuckDB-reproducible and oracle-hashable. */
+  def minhashLshPairsMd5(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5, k: Int = 16, bands: Int = 4,
+                         minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignaturesMd5(docs, idCol, textCol, n, k)
+    val buckets = sigs
+      .select(col(idCol), col("sig"), explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        array_join(slice(col("sig"), col("band") * rows + 1, lit(rows)), ","))
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast(DoubleType) / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
   /**
    * MinHash+LSH candidate pairs: signatures split into `bands` bands of
    * k/bands rows; docs sharing any band bucket become candidates;
@@ -439,6 +526,64 @@ object Dedup {
 
   /** SimHash near-dup candidates: 4 bands of 16 bits; docs agreeing on
     * any band meet, verified by Hamming distance ≤ `maxHamming`. */
+  /** Engine-PORTABLE SimHash — a 60-bit sketch from md5 token hashes
+    * (first 15 hex chars, the [[minhashSignaturesMd5]] base), packed
+    * by the classic bit-vote: bit b is set iff more token hashes carry
+    * bit b than not. One projection per doc: the votes fold once over
+    * the token-hash array (array state, one pass) and the pack is a
+    * fixed 60-term sum — no explode, no shuffle, and every step
+    * (md5, hex→int, shifts, comparisons) is DuckDB-reproducible, so
+    * the banded pair list hash-verifies against an oracle. Empty docs
+    * sketch to 0 (the [[simhash]] convention). Duplicate tokens vote
+    * multiply — term WEIGHT matters in SimHash, so tokens are NOT
+    * deduped. */
+  def simhashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    docs.select(col(idCol),
+      Bridge.column(graft.functions.Md5SimHashSketch(
+        Bridge.expression(col(textCol)))).as("simhash"))
+  }
+
+  /** Executable spec for [[simhashMd5]] via builtin higher-order
+    * functions — the same program as the DuckDB oracle SQL (parity
+    * chain as in [[minhashSignaturesMd5Spec]]). DedupSpec asserts
+    * bit-parity with the native expression — do NOT remove. */
+  private[graft] def simhashMd5Spec(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val hs = transform(toks, t => conv(substring(md5(t), 1, 15), 16, 10).cast(LongType))
+    // the token-hash array is materialized ONCE behind its own project
+    // boundary (the textStats pattern); the 60 bit-votes are then 60
+    // in-memory folds over it — still one pass over the DATA
+    val withHs = docs.select(col(idCol), hs.as("__hs"))
+    val sketch = (0 until 60).map { b =>
+      val vote = aggregate(col("__hs"), lit(0),
+        (acc, h) => acc + when(shiftrightunsigned(h, b) % 2 === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withHs.select(col(idCol), sketch.as("simhash"))
+  }
+
+  /** [[simhashPairs]] over the portable 60-bit md5 sketches: 4 bands
+    * of 15 bits (a Hamming-≤3 pair is identical on ≥ 1 band by
+    * pigeonhole, same guarantee as the 64-bit form), XOR + bit_count
+    * verification — all DuckDB-expressible, so the pair list is
+    * oracle-hashable. */
+  def simhashPairsMd5(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = simhashMd5(docs, idCol, textCol)
+    val banded = sh
+      .select(col(idCol), col("simhash"), explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("chunk", expr("shiftrightunsigned(simhash, band * 15) & 32767"))
+    val a = banded.select(col("band"), col("chunk"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band"), col("chunk"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sh = simhash(docs, idCol, textCol)

@@ -364,19 +364,67 @@ object ExtQueries {
               |FROM dirp WHERE containment >= 0.8
               |ORDER BY contained_id, container_id""".stripMargin)),
 
-    // MinHash+LSH banded candidates (xxhash64 sketches — not DuckDB-
-    // expressible; rows-only check). Exact copies share every band.
+    // MinHash+LSH banded candidates over the PORTABLE md5 sketch
+    // (Dedup.minhashSignaturesMd5: one md5 base hash per shingle,
+    // k Carter-Wegman affine slots mod 2^61−1 — exact integer
+    // arithmetic both engines reproduce bit-for-bit), so the PAIR LIST
+    // itself hash-verifies. The xxhash64-native form keeps its own
+    // recall-invariant query below.
     Q("dd_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(dupCorpus(s, dir), "doc_id", "text",
+      (s, dir) => Dedup.minhashLshPairsMd5(dupCorpus(s, dir), "doc_id", "text",
         n = 5, k = 16, bands = 4, minEstJaccard = 0.5).orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH $dupCorpusSql,
+              |tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM corpus),
+              |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+              |         i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS shingles
+              |       FROM tok WHERE len(toks) >= 5),
+              |hs AS (SELECT doc_id, list_transform(shingles, s ->
+              |         CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % 2147483647) AS hs FROM sh),
+              |sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
+              |          CAST(list_min(list_transform(hs, h ->
+              |            (h * (2*i+1) + 1000003*(i+1)) % 2147483647)) AS BIGINT)) AS sig
+              |        FROM hs),
+              |bk AS (SELECT doc_id, sig, b AS band,
+              |         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
+              |       FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |                a.sig AS sig_a, b.sig AS sig_b
+              |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+              |         WHERE a.doc_id < b.doc_id),
+              |est AS (SELECT id_a, id_b,
+              |          CAST(len(list_filter(range(1, 17), j ->
+              |            list_extract(sig_a, j) = list_extract(sig_b, j))) AS DOUBLE) / 16.0 AS est_jaccard
+              |        FROM cand)
+              |SELECT id_a, id_b, est_jaccard FROM est
+              |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
-    // SimHash 64-bit sketches, banded Hamming-≤3 candidates (xxhash64 —
-    // rows-only check).
+    // SimHash banded Hamming-≤3 candidates over the PORTABLE 60-bit
+    // md5 bit-vote sketch (4 bands × 15 bits — pigeonhole still
+    // guarantees a Hamming-≤3 pair shares a band) — pair list
+    // hash-verified; the 64-bit xxhash64 form keeps its own
+    // recall-invariant query below.
     Q("dd_simhash",
-      (s, dir) => Dedup.simhashPairs(dupCorpus(s, dir), "doc_id", "text",
+      (s, dir) => Dedup.simhashPairsMd5(dupCorpus(s, dir), "doc_id", "text",
         maxHamming = 3).orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH $dupCorpusSql,
+              |tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM corpus),
+              |hs AS (SELECT doc_id, list_transform(toks, t ->
+              |         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs FROM tok),
+              |sk AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), b ->
+              |         CASE WHEN list_sum(list_transform(hs, h ->
+              |           CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+              |       FROM hs),
+              |bk AS (SELECT doc_id, simhash, b AS band,
+              |         (simhash >> CAST(b*15 AS INTEGER)) & 32767 AS chunk
+              |       FROM sk, (SELECT unnest(range(0, 4)) AS b) bb),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |                a.simhash AS sh_a, b.simhash AS sh_b
+              |         FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk
+              |         WHERE a.doc_id < b.doc_id)
+              |SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+              |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+              |ORDER BY id_a, id_b""".stripMargin)),
 
     // MinHash/SimHash sketches use xxhash64 (no DuckDB equivalent), so
     // the pair LISTS above are rows-only — but a derived invariant IS

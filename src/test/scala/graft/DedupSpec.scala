@@ -186,6 +186,37 @@ class DedupSpec extends SparkSpec {
     assert(native == agg && native.size == 4)
   }
 
+  test("portable md5 minhash: native expression == HOF spec; exact dups at est 1.0") {
+    val native = Dedup.minhashSignaturesMd5(corpus, "doc_id", "text", n = 3, k = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val spec = Dedup.minhashSignaturesMd5Spec(corpus, "doc_id", "text", n = 3, k = 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(native == spec && native.size == 4)
+    val out = Dedup.minhashLshPairsMd5(corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4, minEstJaccard = 0.9)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(out.length == 1 && out.head.getDouble(2) == 1.0)
+    assert(Dedup.minhashLshPairsMd5(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        corpus.schema), "doc_id", "text").count() == 0)
+  }
+
+  test("portable md5 simhash: native == HOF spec; empty docs sketch 0; hamming-0 pairs") {
+    import spark.implicits._
+    val docs = corpus.unionByName(Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"))
+    val native = Dedup.simhashMd5(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val spec = Dedup.simhashMd5Spec(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native == spec && native.size == 6)
+    assert(native(9L) == 0L && native(10L) == 0L)
+    assert(native.values.forall(v => v >= 0 && v < (1L << 60)),
+      "portable sketch must stay within 60 bits")
+    val pairs = Dedup.simhashPairsMd5(docs, "doc_id", "text", maxHamming = 0)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(2) == 0L)
+  }
+
   test("minhash LSH surfaces exact duplicates with est_jaccard 1.0") {
     val out = Dedup.minhashLshPairs(corpus, "doc_id", "text",
       n = 3, k = 16, bands = 4, minEstJaccard = 0.9)
