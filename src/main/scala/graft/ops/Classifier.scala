@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * In-engine text classification: linear quality/domain classifiers
+ * trained WITH aggregates, not a driver-side ML library — the
+ * fastText-style linear-model role in training-data pipelines
+ * (quality gating, language routing), built so that training at
+ * 100 TB is a handful of corpus scans and nothing else.
+ *
+ * Every quantity is an INTEGER: features are hashed token-bucket
+ * counts, labels ±1, and every training statistic is an integer sum —
+ * associative, order-independent, exact. That choice is what makes
+ * distributed training DETERMINISTIC (gradient descent on doubles is
+ * partitioning-dependent): each pass is one map-side-combined
+ * aggregate whose result is bit-identical at any parallelism, so the
+ * whole training computation hash-verifies against an
+ * engine-independent oracle. Feature hashing uses the md5-reduction
+ * both engines share (the portable-MinHash base hash,
+ * [[graft.functions]] ShingleExpressions scaladoc), not xxhash64.
+ *
+ * Two trainers with complementary roles:
+ *  - [[trainPerceptron]]: the batch-perceptron recurrence, E epochs =
+ *    E scans. The verified object is the exact TRAJECTORY — including
+ *    the textbook failure mode that full-batch updates oscillate on
+ *    non-separable data (the classic convergence theorem needs
+ *    per-sample updates, which are inherently sequential and don't
+ *    distribute). The trajectory makes that oscillation auditable
+ *    instead of hiding it behind a final accuracy number.
+ *  - [[centroidModel]]: the nearest-centroid (Rocchio) classifier
+ *    with a midpoint threshold — closed-form from TWO scans, no
+ *    iteration, and the production-shaped choice for a distributed
+ *    linear probe: exact, stable, embarrassingly parallel.
+ */
+object Classifier {
+
+  /** Hashed feature buckets (+1 bias ⇒ Dim+1 weights). Small enough
+    * that the oracle's unrolled epoch CTEs stay readable; the
+    * operator itself is Dim-generic. */
+  val Dim = 16
+
+  /** Engine-portable token bucket: first 48 bits of md5 mod `m` —
+    * non-negative, identical in any engine with md5 + hex parse. */
+  def md5Bucket(t: Column, m: Int): Column =
+    conv(substring(md5(t), 1, 12), 16, 10).cast(LongType) % m
+
+  def md5BucketSql(t: String, m: Int): String =
+    s"CAST(('0x' || substr(md5($t), 1, 12)) AS BIGINT) % $m"
+
+  /** Feature vector of one document: `[1 (bias), count of tokens in
+    * bucket 0, …, count in bucket Dim−1]` — integer counts, pure
+    * projection. */
+  def features(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    concat(array(lit(1L)),
+      transform(sequence(lit(0), lit(Dim - 1)),
+        j => size(filter(toks, t => md5Bucket(t, Dim) === j)).cast(LongType)))
+  }
+
+  /** DuckDB mirror of [[features]] (1-based lists downstream). */
+  def featuresSql(text: String): String =
+    s"[CAST(1 AS BIGINT)] || list_transform(range(0, $Dim), " +
+      s"j -> CAST(len(list_filter(${TextOps.tokensSql(text)}, " +
+      s"t -> ${md5BucketSql("t", Dim)} = j)) AS BIGINT))"
+
+  /** One training epoch's outcome: weights AFTER the update and the
+    * misclassified count that produced it. */
+  final case class Epoch(epoch: Int, nMis: Long, weights: Array[Long])
+
+  /**
+   * Batch-perceptron training: for `epochs` rounds, misclassified rows
+   * (y·(w·x) ≤ 0 — ties count as errors, so epoch 1 updates on every
+   * row from the zero vector) contribute `y·x` to the weight delta.
+   * Each round: one filter over the cached feature table + one
+   * aggregate of Dim+1 integer sums + the error count, collected as a
+   * single row. Returns the full trajectory (the verification object —
+   * two engines agreeing on every epoch's weights agree on the whole
+   * computation).
+   *
+   * `label` must evaluate to +1/−1 (integer).
+   */
+  def trainPerceptron(docs: DataFrame, textCol: String, label: Column,
+                      epochs: Int): Seq[Epoch] = {
+    require(epochs >= 1, s"trainPerceptron: epochs must be >= 1, got $epochs")
+    val n = Dim + 1
+    val feats = docs.select(label.cast(LongType).as("y"),
+      features(col(textCol)).as("x")).cache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Epoch]
+    try {
+      val w = Array.fill(n)(0L)
+      for (e <- 1 to epochs) {
+        val dot = (0 until n).map(j => lit(w(j)) * get(col("x"), lit(j)))
+          .reduce(_ + _)
+        val mis = feats.filter(col("y") * dot <= 0)
+        val aggs = (0 until n).map(j =>
+          coalesce(sum(col("y") * get(col("x"), lit(j))), lit(0L)).as(s"d$j")) :+
+          count(lit(1)).as("nmis")
+        val row = mis.agg(aggs.head, aggs.tail: _*).collect()(0)
+        for (j <- 0 until n) w(j) += row.getLong(j)
+        out += Epoch(e, row.getLong(n), w.clone())
+      }
+    } finally feats.unpersist()
+    out.toSeq
+  }
+
+  /** Confusion counts of a trained model over `docs`: one aggregate,
+    * rows `(label, predicted, n)` with labels in {−1, +1} and
+    * `predicted = +1 iff w·x > 0`. */
+  def confusion(docs: DataFrame, textCol: String, label: Column,
+                weights: Array[Long]): DataFrame = {
+    require(weights.length == Dim + 1,
+      s"confusion: expected ${Dim + 1} weights, got ${weights.length}")
+    val dot = weights.indices.map(j => lit(weights(j)) * get(col("x"), lit(j)))
+      .reduce(_ + _)
+    docs.select(label.cast(LongType).as("label"), features(col(textCol)).as("x"))
+      .select(col("label"),
+        when(dot > 0, lit(1L)).otherwise(lit(-1L)).as("predicted"))
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+  }
+
+  /** Stopword-density quality label (+1 iff stopwords are ≥ 1/16 of
+    * tokens and the doc is non-empty) — the C4-style "does this read
+    * like prose" signal, and a target the hashed features carry real
+    * (if collision-degraded) information about. Shared Spark/SQL so
+    * classifier queries and oracles agree exactly. */
+  def qualityLabel(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val nstop = size(filter(toks, t => t.isInCollection(TextOps.Stopwords)))
+    when(size(toks) > 0 && nstop * 16 >= size(toks), lit(1L)).otherwise(lit(-1L))
+  }
+
+  def qualityLabelSql(text: String): String = {
+    val set = TextOps.Stopwords.map(s => s"'$s'").mkString(", ")
+    val toks = TextOps.tokensSql(text)
+    s"CASE WHEN len($toks) > 0 AND 16 * len(list_filter($toks, t -> t IN ($set))) >= len($toks) " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END"
+  }
+
+  /** A trained nearest-centroid model: `w` is the (integer-scaled)
+    * centroid difference, and the decision rule is the exact rational
+    * comparison `2·npos·nneg·(w·x) > nneg·Spos + npos·Sneg` (s-means
+    * midpoint threshold, cross-multiplied so no division happens).
+    * The BigInt fields keep the rule exact at magnitudes where BIGINT
+    * products would wrap. */
+  final case class CentroidModel(w: Array[Long], nPos: Long, nNeg: Long,
+                                 lhsScale: BigInt, rhs: BigInt)
+
+  /** Bucket-count features WITHOUT the bias slot (centroids handle the
+    * offset via the midpoint threshold instead). */
+  def rawCounts(text: Column): Column = {
+    val toks = TextOps.tokens(text)
+    transform(sequence(lit(0), lit(Dim - 1)),
+      j => size(filter(toks, t => md5Bucket(t, Dim) === j)).cast(LongType))
+  }
+
+  def rawCountsSql(text: String): String =
+    s"list_transform(range(0, $Dim), " +
+      s"j -> CAST(len(list_filter(${TextOps.tokensSql(text)}, " +
+      s"t -> ${md5BucketSql("t", Dim)} = j)) AS BIGINT))"
+
+  /**
+   * Nearest-centroid (Rocchio) training in TWO corpus scans, all
+   * integer: scan 1 aggregates per-class counts and per-bucket sums
+   * (the class centroids, scaled by class size to stay integral:
+   * `w_j = nNeg·Σ_pos x_j − nPos·Σ_neg x_j` is `nPos·nNeg·(μ⁺−μ⁻)_j`);
+   * scan 2 aggregates the per-class score sums Σ s over s = w·x, from
+   * which the midpoint threshold θ = (mean⁺(s)+mean⁻(s))/2 is held as
+   * a cross-multiplied exact rational. Class-scaled weights mean NO
+   * division ever happens — the model is bit-identical in any engine.
+   *
+   * Scale shape: two whole-corpus aggregates with O(Dim) state +
+   * 1-row collects; scoring/inference is then a pure projection. Score
+   * magnitudes grow with corpus size (w carries an n² factor), so the
+   * decision rule compares in BigInt/DECIMAL(38,0) space — exact to
+   * 10³⁸, far past any realistic corpus.
+   */
+  def centroidModel(docs: DataFrame, textCol: String, label: Column): CentroidModel = {
+    val feats = docs.select(label.cast(LongType).as("y"),
+      rawCounts(col(textCol)).as("x")).cache()
+    try {
+      val statAggs =
+        count(when(col("y") === 1, lit(1))).as("npos") +:
+        count(when(col("y") === -1, lit(1))).as("nneg") +:
+        (0 until Dim).flatMap(j => Seq(
+          coalesce(sum(when(col("y") === 1, get(col("x"), lit(j)))), lit(0L)).as(s"sp$j"),
+          coalesce(sum(when(col("y") === -1, get(col("x"), lit(j)))), lit(0L)).as(s"sn$j")))
+      val st = feats.agg(statAggs.head, statAggs.tail: _*).collect()(0)
+      val (nPos, nNeg) = (st.getLong(0), st.getLong(1))
+      require(nPos > 0 && nNeg > 0,
+        s"centroidModel: need both classes present, got +$nPos / -$nNeg")
+      val w = Array.tabulate(Dim)(j =>
+        nNeg * st.getLong(2 + 2 * j) - nPos * st.getLong(3 + 2 * j))
+      val score = (0 until Dim).map(j => lit(w(j)) * get(col("x"), lit(j))).reduce(_ + _)
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val sums = feats.agg(
+        coalesce(sum(when(col("y") === 1, score.cast(dec))), lit(0).cast(dec)).as("spos"),
+        coalesce(sum(when(col("y") === -1, score.cast(dec))), lit(0).cast(dec)).as("sneg"))
+        .collect()(0)
+      val sPos = BigInt(sums.getDecimal(0).toBigInteger)
+      val sNeg = BigInt(sums.getDecimal(1).toBigInteger)
+      CentroidModel(w, nPos, nNeg,
+        lhsScale = BigInt(2) * nPos * nNeg,
+        rhs = BigInt(nNeg) * sPos + BigInt(nPos) * sNeg)
+    } finally feats.unpersist()
+  }
+
+  /** Confusion counts of a centroid model: the exact rational decision
+    * `lhsScale·(w·x) > rhs`, compared in DECIMAL(38,0). One scan. */
+  def centroidConfusion(docs: DataFrame, textCol: String, label: Column,
+                        m: CentroidModel): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val score = (0 until Dim).map(j => lit(m.w(j)) * get(col("x"), lit(j))).reduce(_ + _)
+    val lhs = lit(new java.math.BigDecimal(m.lhsScale.bigInteger)).cast(dec) * score.cast(dec)
+    val rhs = lit(new java.math.BigDecimal(m.rhs.bigInteger)).cast(dec)
+    docs.select(label.cast(LongType).as("label"), rawCounts(col(textCol)).as("x"))
+      .select(col("label"), when(lhs > rhs, lit(1L)).otherwise(lit(-1L)).as("predicted"))
+      .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+  }
+}

@@ -73,6 +73,130 @@ object TextOps {
   def charPairsSql(w: String): String =
     s"list_transform(range(1, length($w)), i -> substr($w, CAST(i AS INT), 2))"
 
+  // ---------------------------------------------------------------- BPE
+
+  /** Leftmost-replace passes per merge application: enough for any
+    * ≤[[BpeMaxWordLen]]-symbol word to reach the replace fixpoint (each
+    * pass merges every non-overlapping occurrence left to right; a
+    * missed overlap needs one further pass, and a 16-symbol word has
+    * ≤ 15 pairs, halving per pass). Shared by the Spark expressions
+    * and the SQL mirror so both engines apply merges IDENTICALLY. */
+  val BpePasses = 5
+  val BpeMinWordLen = 2
+  val BpeMaxWordLen = 16
+
+  /** Word → spaced symbol string (`hello` → `h e l l o`): the working
+    * representation of BPE vocabulary induction — symbols are space-
+    * separated so a merge is a literal string replace. */
+  def spacedChars(w: Column): Column =
+    trim(regexp_replace(w, "(.)", "$1 "))
+
+  /** DuckDB mirror of [[spacedChars]]. */
+  def spacedCharsSql(w: String): String =
+    s"trim(regexp_replace($w, '(.)', '\\1 ', 'g'))"
+
+  /** Apply ONE merge (`"a b"` → symbol `"ab"`) exhaustively to a spaced
+    * symbol string: [[BpePasses]] leftmost non-overlapping literal
+    * replaces over the space-padded string. This iterated-replace rule
+    * is the engine-portable variant of greedy BPE application — on
+    * runs of ≥4 identical symbols it can pick different (equally
+    * frequent) occurrences than the left-to-right rescanning merge HF
+    * tokenizers use, but it is deterministic and bit-identical in any
+    * engine with leftmost `replace` semantics, which is what makes the
+    * trained merge table and the encoded corpus oracle-verifiable. */
+  def applyMergeLit(sp: Column, pair: String): Column = {
+    val merged = pair.replace(" ", "")
+    var e: Column = concat(lit(" "), sp, lit(" "))
+    for (_ <- 1 to BpePasses)
+      e = replace(e, lit(s" $pair "), lit(s" $merged "))
+    trim(e)
+  }
+
+  /** SQL mirror of [[applyMergeLit]] with the pair as an EXPRESSION
+    * (the oracle derives merges in-query, so pairs are CTE columns). */
+  def applyMergeSql(sp: String, pr: String): String = {
+    var e = s"' ' || $sp || ' '"
+    for (_ <- 1 to BpePasses)
+      e = s"replace($e, ' ' || $pr || ' ', ' ' || replace($pr, ' ', '') || ' ')"
+    s"trim($e)"
+  }
+
+  /** Adjacent symbol pairs of a spaced string, as `"a b"` pair keys.
+    * Single-symbol strings (fully merged words) yield an EMPTY array —
+    * guarded explicitly because Spark's `sequence(0, -1)` descends
+    * (the charPairs trap), which would emit null pairs. */
+  def symbolPairs(sp: Column): Column = {
+    val a = split(sp, " ")
+    when(size(a) >= 2,
+      transform(sequence(lit(0), size(a) - 2),
+        j => concat(get(a, j), lit(" "), get(a, j + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB mirror of [[symbolPairs]] (1-based lists; `range` end-
+    * exclusive — the same n−1 pairs). */
+  def symbolPairsSql(sp: String): String =
+    s"list_transform(range(1, len(string_split($sp, ' '))), " +
+      s"j -> string_split($sp, ' ')[j] || ' ' || string_split($sp, ' ')[j + 1])"
+
+  /**
+   * BPE vocabulary induction, word-frequency-table shaped — the way
+   * industrial trainers (HuggingFace tokenizers, SentencePiece-BPE)
+   * actually scale: the 100 TB corpus is touched ONCE (explode →
+   * word-count aggregate, one narrow shuffle of (word, partial count));
+   * every merge iteration then runs on the distinct-WORD table, whose
+   * size is corpus-sublinear (Heaps' law) and independent of corpus
+   * row count. Each of the `numMerges` iterations is one pair-count
+   * aggregate + a 1-row top-1 collect (the driver-held-scalar pattern
+   * of the watermark reads, SURVEY §2.5 A1) + one pure-projection
+   * merge application; generations are cached and materialized so
+   * lineage stays one hop.
+   *
+   * Words outside [[BpeMinWordLen]]..[[BpeMaxWordLen]] chars are
+   * excluded from TRAINING (single chars have no pairs; overlong
+   * tokens are pre-tokenizer noise — the standard length cap) but
+   * still encode fine (they pass through unmerged / partially merged).
+   * Tie-break: highest count, then lexicographically smallest pair —
+   * total, engine-independent order.
+   *
+   * Returns the learned merges in application order: (rank, pair,
+   * count-at-selection).
+   */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int): Seq[(Int, String, Long)] = {
+    require(numMerges >= 1, s"bpeTrain: numMerges must be >= 1, got $numMerges")
+    val words = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .filter(char_length(col("w")).between(BpeMinWordLen, BpeMaxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var vt = words.select(spacedChars(col("w")).as("sp"), col("freq")).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    try {
+      for (i <- 1 to numMerges) {
+        val top = vt.select(explode(symbolPairs(col("sp"))).as("pr"), col("freq"))
+          .groupBy("pr").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("pr")).limit(1).collect()
+        require(top.nonEmpty, s"bpeTrain: corpus exhausted after ${i - 1} merges")
+        val pair = top(0).getString(0)
+        merges += ((i, pair, top(0).getLong(1)))
+        val next = vt.select(applyMergeLit(col("sp"), pair).as("sp"), col("freq")).cache()
+        next.count() // materialize before dropping the parent generation
+        vt.unpersist()
+        vt = next
+      }
+    } finally vt.unpersist()
+    merges.toSeq
+  }
+
+  /** Encode a document with a trained merge list: every token spaced,
+    * each merge applied in rank order — a PURE projection (the merges
+    * ride the plan as literals), so corpus-wide encoding is an
+    * embarrassingly parallel map with zero shuffles: the property that
+    * makes tokenizing 100 TB a single scan. Returns the per-token
+    * encoded symbol strings as an array column. */
+  def bpeEncodeTokens(text: Column, merges: Seq[String]): Column =
+    transform(tokens(text),
+      t => merges.foldLeft(spacedChars(t))((sp, pr) => applyMergeLit(sp, pr)))
+
   /** Small closed-class stopword set (shared with the SQL oracle). */
   val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
 

@@ -41,6 +41,93 @@ object ExtQueries {
       |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text
       |           FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** Merge-table size for the BPE train/encode queries — small enough
+    * that the oracle's unrolled iteration CTEs stay readable, large
+    * enough to exercise merged-symbol merges (rank 6 merges a pair
+    * containing a rank-1 product at every tested SF). */
+  private val BpeMerges = 6
+
+  /** Unrolled BPE-training CTE chain shared by the t_bpe_* oracles:
+    * `words` (corpus word frequencies) → `v0` (spaced symbol strings)
+    * → per iteration i: `p_i` (weighted pair counts), `m_i` (the
+    * selected merge: count DESC, pair ASC), `v_i` (the vocabulary
+    * re-spaced with merge i applied) — the exact computation
+    * [[TextOps.bpeTrain]] runs, unrolled for DuckDB. */
+  private def bpeCtes(k: Int): String = {
+    val b = Seq.newBuilder[String]
+    b += s"""words AS (
+            |  SELECT w, CAST(count(*) AS BIGINT) AS freq
+            |  FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS w FROM documents)
+            |  WHERE length(w) BETWEEN ${TextOps.BpeMinWordLen} AND ${TextOps.BpeMaxWordLen}
+            |  GROUP BY w)""".stripMargin
+    b += s"v0 AS (SELECT ${TextOps.spacedCharsSql("w")} AS sp, freq FROM words)"
+    for (i <- 1 to k) {
+      b += s"""p$i AS (SELECT pr, CAST(sum(freq) AS BIGINT) AS cnt
+              |  FROM (SELECT unnest(${TextOps.symbolPairsSql("sp")}) AS pr, freq FROM v${i - 1})
+              |  GROUP BY pr)""".stripMargin
+      b += s"m$i AS (SELECT pr, cnt FROM p$i ORDER BY cnt DESC, pr LIMIT 1)"
+      b += s"v$i AS (SELECT ${TextOps.applyMergeSql(s"v${i - 1}.sp", s"m$i.pr")} AS sp, freq FROM v${i - 1}, m$i)"
+    }
+    b.result().mkString(",\n")
+  }
+
+  /** Training epochs for the perceptron queries. */
+  private val PercEpochs = 3
+
+  /** Stopword-density quality label shared by all classifier queries
+    * ([[graft.ops.Classifier.qualityLabelSql]]). */
+  private def percLabelSql = graft.ops.Classifier.qualityLabelSql("text")
+
+  /** Unrolled batch-perceptron training CTEs (feats → w0 → per epoch:
+    * d_i misclassified-sum deltas + error count, w_i updated weights)
+    * — the exact integer recurrence [[graft.ops.Classifier
+    * .trainPerceptron]] runs, unrolled for DuckDB. */
+  private def percCtes(epochs: Int): String = {
+    val n = graft.ops.Classifier.Dim + 1
+    val b = Seq.newBuilder[String]
+    b += s"feats AS (SELECT $percLabelSql AS y, " +
+      s"${graft.ops.Classifier.featuresSql("text")} AS x FROM documents)"
+    b += s"w0 AS (SELECT ${(0 until n).map(j => s"CAST(0 AS BIGINT) AS w_$j").mkString(", ")})"
+    for (i <- 1 to epochs) {
+      val dot = (0 until n).map(j => s"w_$j * x[${j + 1}]").mkString(" + ")
+      b += s"""d$i AS (SELECT ${(0 until n).map(j =>
+                s"coalesce(CAST(sum(y * x[${j + 1}]) AS BIGINT), 0) AS d_$j").mkString(", ")},
+              |  CAST(count(*) AS BIGINT) AS nmis
+              |  FROM feats, w${i - 1} WHERE y * ($dot) <= 0)""".stripMargin
+      b += s"w$i AS (SELECT ${(0 until n).map(j =>
+        s"w.w_$j + d.d_$j AS w_$j").mkString(", ")}, d.nmis AS nmis FROM w${i - 1} w, d$i d)"
+    }
+    b.result().mkString(",\n")
+  }
+
+  /** Nearest-centroid training CTEs shared by the ml_centroid oracles:
+    * feats → st (class counts + per-bucket class sums) → w (scaled
+    * centroid difference) → scored (per-doc integer score) → cls
+    * (per-class HUGEINT score sums for the midpoint threshold) — the
+    * exact two-scan computation [[graft.ops.Classifier.centroidModel]]
+    * runs. */
+  private def centroidCtes(): String = {
+    val D = graft.ops.Classifier.Dim
+    val spSn = (0 until D).flatMap(j => Seq(
+      s"coalesce(CAST(sum(CASE WHEN y = 1 THEN x[${j + 1}] END) AS BIGINT), 0) AS sp_$j",
+      s"coalesce(CAST(sum(CASE WHEN y = -1 THEN x[${j + 1}] END) AS BIGINT), 0) AS sn_$j"))
+      .mkString(",\n              ")
+    val ws = (0 until D).map(j => s"nneg * sp_$j - npos * sn_$j AS w_$j").mkString(", ")
+    val dot = (0 until D).map(j => s"w_$j * x[${j + 1}]").mkString(" + ")
+    s"""feats AS (SELECT ${graft.ops.Classifier.qualityLabelSql("text")} AS y,
+       |                 ${graft.ops.Classifier.rawCountsSql("text")} AS x
+       |          FROM documents),
+       |st AS (SELECT CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS npos,
+       |              CAST(count(CASE WHEN y = -1 THEN 1 END) AS BIGINT) AS nneg,
+       |              $spSn
+       |       FROM feats),
+       |w AS (SELECT $ws, npos, nneg FROM st),
+       |scored AS (SELECT y, ($dot) AS s FROM feats, w),
+       |cls AS (SELECT coalesce(sum(CASE WHEN y = 1 THEN CAST(s AS HUGEINT) END), 0) AS spos,
+       |               coalesce(sum(CASE WHEN y = -1 THEN CAST(s AS HUGEINT) END), 0) AS sneg
+       |        FROM scored)""".stripMargin
+  }
+
   /** Shared by ev_retention (batch) and stream_retention_final (the
     * streaming sink's maintained tables) — identical by construction. */
   private val retentionOracleSql =
@@ -766,6 +853,152 @@ object ExtQueries {
               |  FROM (SELECT unnest(${TextOps.tokensSql("text")}) AS w FROM documents)
               |  WHERE length(w) >= 2)
               |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 40""".stripMargin)),
+
+    // BPE vocabulary induction end-to-end ([[TextOps.bpeTrain]]): the
+    // corpus is scanned ONCE into a word-frequency table; every merge
+    // iteration runs on that corpus-sublinear table (the HuggingFace/
+    // SentencePiece training shape — the reason BPE training is
+    // feasible at 100 TB at all). The oracle re-derives the same merge
+    // table with the SAME unrolled iterations in DuckDB: identical
+    // leftmost-replace merge application, identical (count DESC, pair)
+    // tie-break — the learned vocabulary is hash-verified, not just
+    // row-counted.
+    Q("t_bpe_train",
+      (s, dir) => {
+        val merges = TextOps.bpeTrain(Tables.documents(s, dir), "text", BpeMerges)
+        import s.implicits._
+        merges.map { case (r, p, c) => (r.toLong, p, c) }
+          .toDF("rank", "pair", "cnt").orderBy("rank")
+      },
+      Some(s"""WITH ${bpeCtes(BpeMerges)}
+              |SELECT rank, pair, cnt FROM (${
+                 (1 to BpeMerges).map(i =>
+                   s"SELECT CAST($i AS BIGINT) AS rank, pr AS pair, cnt FROM m$i")
+                   .mkString(" UNION ALL ")})
+              |ORDER BY rank""".stripMargin)),
+
+    // BPE corpus encoding with the trained merges ([[TextOps.
+    // bpeEncodeTokens]]): training's K scalar collects hand the merge
+    // list to the driver, and encoding is then a PURE projection (the
+    // merges ride the plan as literals) — tokenizing the full corpus
+    // is one shuffle-free scan, the property that makes retokenization
+    // a cheap pipeline stage rather than a second aggregation. Output
+    // per sampled doc: exact encoded-token count + an encoded prefix;
+    // the oracle re-trains in-query and encodes identically.
+    Q("t_bpe_encode",
+      (s, dir) => {
+        val merges = TextOps.bpeTrain(Tables.documents(s, dir), "text", BpeMerges)
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"),
+            TextOps.bpeEncodeTokens(col("text"), merges.map(_._2)).as("encs"))
+          .select(col("doc_id"),
+            aggregate(col("encs"), lit(0L),
+              (acc, e) => acc + size(split(e, " ")).cast(LongType)).as("n_bpe"),
+            substring(concat_ws(" | ", col("encs")), 1, 120).as("enc_prefix"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val chain = (1 to BpeMerges).foldLeft(TextOps.spacedCharsSql("t")) {
+          (sp, i) => TextOps.applyMergeSql(sp, s"m$i.pr")
+        }
+        s"""WITH ${bpeCtes(BpeMerges)}
+           |SELECT doc_id,
+           |  CAST(coalesce(list_sum(list_transform(encs, e -> len(string_split(e, ' ')))), 0) AS BIGINT) AS n_bpe,
+           |  substr(array_to_string(encs, ' | '), 1, 120) AS enc_prefix
+           |FROM (SELECT doc_id, list_transform(${TextOps.tokensSql("text")}, t -> $chain) AS encs
+           |      FROM documents, ${(1 to BpeMerges).map("m" + _).mkString(", ")}
+           |      WHERE doc_id % 7 = 0)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // In-engine classifier training ([[graft.ops.Classifier
+    // .trainPerceptron]]): a batch perceptron over md5-hashed
+    // bag-of-token counts, every quantity an INTEGER so the epoch
+    // update Σ_misclassified y·x is associative and exact — the
+    // property that makes distributed training DETERMINISTIC where
+    // double-gradient descent is partitioning-dependent. Each epoch is
+    // one scan of the cached (y, x) projection + a (Dim+2)-column
+    // aggregate collected as one row. The output is the full per-epoch
+    // weight trajectory (idx −1 carries the epoch's misclassified
+    // count), hash-verified against the same integer recurrence
+    // unrolled in DuckDB — oracle agreement on every epoch pins the
+    // whole computation, not just a final model, INCLUDING the
+    // textbook oscillation full-batch updates exhibit on this
+    // non-separable target (the Classifier scaladoc's point: the
+    // convergent per-sample rule is inherently sequential; the
+    // distributed-exact batch rule trades convergence for that —
+    // the production-shaped trainer is ml_centroid below).
+    Q("ml_perceptron",
+      (s, dir) => {
+        val tr = graft.ops.Classifier.trainPerceptron(
+          Tables.documents(s, dir), "text",
+          graft.ops.Classifier.qualityLabel(col("text")), PercEpochs)
+        import s.implicits._
+        tr.flatMap { ep =>
+          (-1L, ep.nMis) +: ep.weights.toSeq.zipWithIndex.map {
+            case (wj, j) => (j.toLong, wj)
+          } map { case (idx, v) => (ep.epoch.toLong, idx, v) }
+        }.toDF("epoch", "idx", "wv").orderBy("epoch", "idx")
+      },
+      Some(s"""WITH ${percCtes(PercEpochs)}
+              |SELECT epoch, idx, wv FROM (${
+                 (1 to PercEpochs).flatMap { i =>
+                   s"SELECT CAST($i AS BIGINT) AS epoch, CAST(-1 AS BIGINT) AS idx, nmis AS wv FROM w$i" +:
+                     (0 until graft.ops.Classifier.Dim + 1).map(j =>
+                       s"SELECT CAST($i AS BIGINT), CAST($j AS BIGINT), w_$j FROM w$i")
+                 }.mkString(" UNION ALL ")})
+              |ORDER BY epoch, idx""".stripMargin)),
+
+    // Nearest-centroid quality classifier ([[graft.ops.Classifier
+    // .centroidModel]]): the closed-form, distribution-stable linear
+    // probe — TWO integer aggregates (class centroids scaled by class
+    // size, then per-class score sums for the midpoint threshold), no
+    // iteration, no division, bit-identical in any engine. Output: the
+    // scaled centroid-difference weights + class counts, hash-verified
+    // against DuckDB deriving the same statistics.
+    Q("ml_centroid",
+      (s, dir) => {
+        val m = graft.ops.Classifier.centroidModel(
+          Tables.documents(s, dir), "text",
+          graft.ops.Classifier.qualityLabel(col("text")))
+        import s.implicits._
+        ((-2L, m.nPos) +: (-1L, m.nNeg) +: m.w.toSeq.zipWithIndex.map {
+          case (wj, j) => (j.toLong, wj)
+        }).toDF("idx", "wv").orderBy("idx")
+      },
+      Some(s"""WITH ${centroidCtes()}
+              |SELECT idx, wv FROM (
+              |  SELECT CAST(-2 AS BIGINT) AS idx, npos AS wv FROM st
+              |  UNION ALL SELECT CAST(-1 AS BIGINT), nneg FROM st
+              |  ${(0 until graft.ops.Classifier.Dim).map(j =>
+                   s"UNION ALL SELECT CAST($j AS BIGINT), w_$j FROM w").mkString("\n  ")})
+              |ORDER BY idx""".stripMargin)),
+
+    // Centroid-model scoring at corpus scale ([[graft.ops.Classifier
+    // .centroidConfusion]]): the trained weights + exact rational
+    // threshold ride the plan as literals, so inference is a pure
+    // shuffle-free projection + one tiny grouped count — the
+    // quality-gate deployment shape (score 100 TB in a single scan).
+    // The decision compares in DECIMAL(38,0)/HUGEINT space because the
+    // cross-multiplied threshold carries an n³ factor that would wrap
+    // BIGINT on a large corpus. Hash-checked against DuckDB
+    // re-deriving the same model and predictions end-to-end.
+    Q("ml_centroid_eval",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val label = graft.ops.Classifier.qualityLabel(col("text"))
+        val m = graft.ops.Classifier.centroidModel(docs, "text", label)
+        graft.ops.Classifier.centroidConfusion(docs, "text", label, m)
+          .orderBy("label", "predicted")
+      },
+      Some(s"""WITH ${centroidCtes()}
+              |SELECT y AS label,
+              |       CASE WHEN CAST(2 AS HUGEINT) * npos * nneg * CAST(s AS HUGEINT)
+              |                 > CAST(nneg AS HUGEINT) * spos + CAST(npos AS HUGEINT) * sneg
+              |            THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS predicted,
+              |       CAST(count(*) AS BIGINT) AS n
+              |FROM scored, w, cls
+              |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin)),
 
     // EXACT heavy hitters with bounded memory ([[graft.ops.Ranking.
     // heavyHitters]]): tokens above 0.5% corpus frequency via the

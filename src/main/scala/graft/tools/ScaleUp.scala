@@ -1,0 +1,83 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Builds a scaled-up bench dataset from the largest driver SF by
+ * replication — the scale-curve harness behind SCALING.md: the driver
+ * ships sf ≤ 0.1, and the 100 TB claims deserve at least one measured
+ * point beyond that, so `ScaleUp <srcDir> <dstDir> <replicas>` writes
+ * an sf0.1×N dataset for the tables the headline operators read
+ * (documents, embeddings, lineitem).
+ *
+ * Replication is workload-shape-aware, not naive:
+ *  - `documents`: ids offset per replica AND token order permuted by a
+ *    deterministic per-replica md5 key — a verbatim copy would give
+ *    every doc N−1 exact near-duplicates and blow the dedup workload's
+ *    pair density 100× past anything a real corpus has; permuting
+ *    destroys the shingle sets while preserving token/length/quality
+ *    statistics, so dedup/BM25/quality costs scale the way corpus
+ *    GROWTH scales, not the way corpus COPYING would.
+ *  - `embeddings`: ids offset, vectors kept — k-means/IVF/PQ training
+ *    sees the same distribution at N× the mass (noted in SCALING.md).
+ *  - `lineitem`: order keys offset per replica (key-space grows with
+ *    the data, as TPC-H scaling does); dates untouched so partition
+ *    layouts deepen rather than widen — the harder incremental case.
+ *
+ * Bench-only data: correctness stays at the driver SFs with the
+ * DuckDB oracle; nothing here feeds the correctness gate.
+ */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <replicas>")
+    val Array(src, dst, repStr) = args
+    val reps = repStr.toInt
+    require(reps >= 1 && reps <= 100, s"replicas out of range: $reps")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, perReplica: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until reps).map(i => perReplica(df, i)).reduce(_ unionByName _)
+
+    // documents: offset ids, permute token order with a per-replica key
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docOff = docs.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+    val docsN = replicate(docs, { (d, i) =>
+      if (i == 0) d
+      else {
+        val toks = filter(split(col("text"), " "), t => length(t) > 0)
+        val keyed = transform(toks, t => struct(md5(concat(t, lit(i.toString))).as("k"), t.as("v")))
+        d.withColumn("doc_id", col("doc_id") + lit(i * docOff))
+          .withColumn("text", concat_ws(" ", transform(array_sort(keyed), s => s("v"))))
+      }
+    })
+    docsN.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val idCol = emb.columns.find(_.endsWith("_id")).getOrElse(emb.columns.head)
+    val embOff = emb.agg(coalesce(max(idCol), lit(0L))).head.getLong(0) + 1
+    val embN = replicate(emb, { (d, i) =>
+      if (i == 0) d else d.withColumn(idCol, col(idCol) + lit(i * embOff))
+    })
+    embN.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val liOff = li.agg(coalesce(max("l_orderkey"), lit(0L))).head.getLong(0) + 1
+    val liN = replicate(li, { (d, i) =>
+      if (i == 0) d else d.withColumn("l_orderkey", col("l_orderkey") + lit(i * liOff))
+    })
+    liN.repartition(32).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    println(s"""{"scaled":"$dst","replicas":$reps,"docs":${docsN.count()},"emb":${embN.count()},"lineitem":${liN.count()}}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Classifier, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Model-checks the in-engine classifiers against independent
+  * driver-side reimplementations of the same integer recurrences
+  * (the ModelCheckSpec pattern: two code paths, one exact answer). */
+class ClassifierSpec extends SparkSpec {
+
+  private val texts = Seq(
+    "the cat sat on the mat and the dog",          // stopword-dense  → +1
+    "alpha beta gamma delta epsilon zeta eta",     // no stopwords    → -1
+    "a small step of the long march to victory",   // stopword-dense  → +1
+    "quantum flux capacitor overload sequence",    // no stopwords    → -1
+    "in the beginning is the word and the word",   // stopword-dense  → +1
+    "xylophone zebra quartz jackdaw vex nymph")    // no stopwords    → -1
+
+  private def docs = {
+    import spark.implicits._
+    texts.toDF("text")
+  }
+
+  // -------- driver-side replicate of features / labels --------
+
+  private def bucketRef(t: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(md.take(12), 16) % Classifier.Dim).toInt
+  }
+
+  private def featRef(text: String): Array[Long] = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val x = Array.fill(Classifier.Dim + 1)(0L); x(0) = 1L
+    toks.foreach(t => x(1 + bucketRef(t)) += 1L)
+    x
+  }
+
+  private def labelRef(text: String): Long = {
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val nstop = toks.count(TextOps.Stopwords.contains)
+    if (toks.nonEmpty && 16 * nstop >= toks.length) 1L else -1L
+  }
+
+  test("features mirror the md5-bucket reference; counts sum to token count") {
+    val rows = docs.select(col("text"), Classifier.features(col("text")).as("x")).collect()
+    for (r <- rows) {
+      val got = r.getSeq[Long](1)
+      val want = featRef(r.getString(0)).toSeq
+      assert(got == want, s"features mismatch for '${r.getString(0)}'")
+      assert(got.tail.sum == r.getString(0).split(" ").count(_.nonEmpty))
+    }
+  }
+
+  test("qualityLabel: empty text is -1; stopword-dense text is +1") {
+    import spark.implicits._
+    val r = Seq("", "the a of", "xyzzy plugh").toDF("text")
+      .select(Classifier.qualityLabel(col("text"))).collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(-1L, 1L, -1L))
+  }
+
+  test("trainPerceptron matches the driver-side batch recurrence exactly") {
+    val labeled = texts.map(t => (labelRef(t), featRef(t)))
+    val n = Classifier.Dim + 1
+    var w = Array.fill(n)(0L)
+    val wantTraj = (1 to 3).map { _ =>
+      val mis = labeled.filter { case (y, x) =>
+        y * (0 until n).map(j => w(j) * x(j)).sum <= 0 }
+      val delta = Array.tabulate(n)(j => mis.map { case (y, x) => y * x(j) }.sum)
+      w = Array.tabulate(n)(j => w(j) + delta(j))
+      (mis.size.toLong, w.toSeq)
+    }
+    val got = Classifier.trainPerceptron(docs, "text",
+      Classifier.qualityLabel(col("text")), 3)
+    assert(got.map(e => (e.nMis, e.weights.toSeq)) == wantTraj)
+  }
+
+  test("centroidModel + centroidConfusion match the driver-side exact rational rule") {
+    val labeled = texts.map(t => (labelRef(t), featRef(t).drop(1))) // no bias slot
+    val pos = labeled.filter(_._1 == 1L).map(_._2)
+    val neg = labeled.filter(_._1 == -1L).map(_._2)
+    val (np, nn) = (pos.size.toLong, neg.size.toLong)
+    val wantW = Array.tabulate(Classifier.Dim)(j =>
+      nn * pos.map(_(j)).sum - np * neg.map(_(j)).sum)
+    val m = Classifier.centroidModel(docs, "text", Classifier.qualityLabel(col("text")))
+    assert(m.w.toSeq == wantW.toSeq && m.nPos == np && m.nNeg == nn)
+
+    def score(x: Array[Long]) = BigInt((0 until Classifier.Dim).map(j => wantW(j) * x(j)).sum)
+    val sPos = pos.map(score).sum
+    val sNeg = neg.map(score).sum
+    assert(m.lhsScale == BigInt(2) * np * nn && m.rhs == BigInt(nn) * sPos + BigInt(np) * sNeg)
+    val wantConf = labeled.groupBy { case (y, x) =>
+      (y, if (m.lhsScale * score(x) > m.rhs) 1L else -1L)
+    }.map { case (k, g) => (k._1, k._2, g.size.toLong) }.toSet
+    val gotConf = Classifier.centroidConfusion(docs, "text",
+      Classifier.qualityLabel(col("text")), m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotConf == wantConf)
+  }
+
+  test("centroidModel refuses a single-class corpus") {
+    import spark.implicits._
+    val oneClass = Seq("alpha beta", "gamma delta").toDF("text")
+    intercept[IllegalArgumentException] {
+      Classifier.centroidModel(oneClass, "text", Classifier.qualityLabel(col("text")))
+    }
+  }
+}

@@ -174,4 +174,61 @@ class TextOpsSpec extends SparkSpec {
       assert(r.getSeq[String](0).isEmpty, s"'$t' produced bigrams")
     }
   }
+
+  // ------------------------------------------------------------- BPE
+
+  /** Driver-side replicate of the engine's merge rule: BpePasses
+    * leftmost non-overlapping replaces over the padded string. */
+  private def applyMergeRef(sp: String, pair: String): String = {
+    var e = s" $sp "
+    for (_ <- 1 to TextOps.BpePasses)
+      e = e.replace(s" $pair ", s" ${pair.replace(" ", "")} ")
+    e.trim
+  }
+
+  private def bpeTrainRef(words: Map[String, Long], k: Int): Seq[String] = {
+    var vt = words.toSeq.map { case (w, f) => (w.toSeq.mkString(" "), f) }
+    (1 to k).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      for ((sp, f) <- vt; Array(a, b) <- sp.split(" ").sliding(2))
+        counts(s"$a $b") = counts.getOrElse(s"$a $b", 0L) + f
+      val (pair, _) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      vt = vt.map { case (sp, f) => (applyMergeRef(sp, pair), f) }
+      pair
+    }
+  }
+
+  test("spacedChars spaces every character and round-trips") {
+    val r = col1(one("hello").select(TextOps.spacedChars(col("text"))))
+    assert(r.getString(0) == "h e l l o")
+  }
+
+  test("applyMergeLit reaches the replace fixpoint on same-symbol runs") {
+    // " a a a a " needs a second pass: pass 1 leaves "aa a a"
+    val r = col1(one("a a a a").select(TextOps.applyMergeLit(col("text"), "a a")))
+    assert(r.getString(0) == "aa aa")
+    assert(applyMergeRef("a a a a", "a a") == "aa aa")
+    // odd run: one symbol survives unmerged
+    val r3 = col1(one("a a a").select(TextOps.applyMergeLit(col("text"), "a a")))
+    assert(r3.getString(0) == "aa a")
+  }
+
+  test("bpeTrain matches a driver-side reference on a classic corpus") {
+    import spark.implicits._
+    // the textbook BPE corpus (low/lower/newest/widest), frequencies
+    // encoded by repetition
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.map(w => w).toDF("text")
+    val got = TextOps.bpeTrain(df, "text", 5).map(_._2)
+    val want = bpeTrainRef(docs.groupBy(identity).map { case (w, g) => w -> g.size.toLong }, 5)
+    assert(got == want, s"got $got, want $want")
+  }
+
+  test("bpeEncodeTokens applies merges in rank order; out-of-range tokens pass through") {
+    val merges = Seq("e s", "es t", "l o")
+    val enc = col1(one("newest x lo").select(
+      TextOps.bpeEncodeTokens(col("text"), merges).as("e")))
+    assert(enc.getSeq[String](0) == Seq("n e w est", "x", "lo"))
+  }
 }
