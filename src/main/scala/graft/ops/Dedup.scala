@@ -599,4 +599,64 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /**
+   * Substring-level duplication spans — the character-granular dedup
+   * signal of Lee et al.'s "Deduplicating Training Data Makes Language
+   * Models Better": for every document, the maximal character spans
+   * covered by a length-`k` substring that occurs MORE THAN ONCE in
+   * the corpus (in another doc or elsewhere in the same doc), plus the
+   * covered-character fraction. Token/shingle Jaccard sees documents;
+   * this sees the duplicated PASSAGE inside an otherwise-novel
+   * document — the case where you trim, not drop.
+   *
+   * Plan shape (no pair join anywhere — the reason this scales):
+   *  1. every char position explodes to its k-gram: pure projection,
+   *     k× the text bytes into ONE hash shuffle keyed on the gram;
+   *  2. duplicated grams = `count > 1` aggregate (counts only — a
+   *     gram repeated a million times is one group, never 10¹² pairs);
+   *  3. a semi-join marks duplicated positions, and a per-doc
+   *     gaps-and-islands window (running max of span end) merges
+   *     overlapping [pos, pos+k) windows into maximal spans.
+   * At 100 TB you'd key step 1/2 on xxhash64(gram) to shuffle 8 bytes
+   * instead of k chars (a collision only over-marks a span, never
+   * loses one); the exact-gram key here is what lets the DuckDB oracle
+   * replay the run bit-for-bit.
+   *
+   * Docs shorter than `k` yield zero grams (guarded — Spark's
+   * `sequence(1, 0)` descends) and report zero spans via the left
+   * join. Output: `(id, n_spans, dup_chars, n_chars, dup_frac)`.
+   */
+  def substringSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"substringSpans: k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol),
+        explode(when(char_length(col(textCol)) >= k,
+          transform(sequence(lit(1), char_length(col(textCol)) - (k - 1)),
+            i => struct(i.as("pos"), col(textCol).substr(i, lit(k)).as("g"))))
+          .otherwise(array().cast(s"array<struct<pos:int,g:string>>"))).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val dupG = grams.groupBy("g").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+    val dupPos = grams.join(dupG, Seq("g"), "left_semi")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + (k - 1)).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dupPos
+      .withColumn("is_new",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg((max(col("pos") + (k - 1)) - min(col("pos")) + 1).cast(LongType).as("span_chars"))
+    val perDoc = islands.groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_chars")).as("dup_chars"))
+    docs.select(col(idCol), char_length(col(textCol)).cast(LongType).as("n_chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        col("n_chars"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_chars"), lit(0L)).cast(DoubleType) /
+            col("n_chars").cast(DoubleType)).as("dup_frac"))
+  }
 }

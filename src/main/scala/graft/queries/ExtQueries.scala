@@ -911,6 +911,90 @@ object ExtQueries {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // Substring-level duplication spans ([[Dedup.substringSpans]]):
+    // character-granular dedup à la Lee et al. — maximal spans covered
+    // by any 24-char substring occurring elsewhere in the corpus, per
+    // doc, with the covered fraction. The only shuffle is keyed on the
+    // gram and feeds a COUNT (never a pair join), so a million-fold
+    // repeated passage is one group, not 10¹² pairs; span assembly is
+    // a per-doc gaps-and-islands window. Finds the duplicated PASSAGE
+    // inside an otherwise-novel document — the trim-don't-drop case
+    // document-level Jaccard can't see.
+    Q("dd_substring_spans",
+      (s, dir) => Dedup.substringSpans(Tables.documents(s, dir), "doc_id", "text", 24)
+        .orderBy("doc_id"),
+      Some {
+        val K = 24
+        s"""WITH grams AS (
+           |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, CAST(i AS INT), $K) AS g
+           |  FROM documents, unnest(range(1, greatest(length(text) - ${K - 1}, 0) + 1)) AS t(i)),
+           |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+           |duppos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+           |marked AS (SELECT doc_id, pos,
+           |    max(pos + ${K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+           |  FROM duppos),
+           |isl AS (SELECT doc_id, pos,
+           |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |  FROM marked),
+           |spans AS (SELECT doc_id, island,
+           |    CAST(max(pos + ${K - 1}) - min(pos) + 1 AS BIGINT) AS span_chars
+           |  FROM isl GROUP BY 1, 2),
+           |perdoc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+           |    CAST(sum(span_chars) AS BIGINT) AS dup_chars FROM spans GROUP BY 1)
+           |SELECT d.doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+           |       CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+           |       CAST(length(text) AS BIGINT) AS n_chars,
+           |       CASE WHEN length(text) = 0 THEN 0.0
+           |            ELSE CAST(coalesce(dup_chars, 0) AS DOUBLE) / CAST(length(text) AS DOUBLE) END AS dup_frac
+           |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin
+      }),
+
+    // Matryoshka-prefix retrieval fidelity ([[Similarity]] slicing):
+    // rank the corpus by cosine on the FULL 64-dim embedding and on
+    // its 16-dim PREFIX (the matryoshka-representation deployment
+    // trade: 4× less memory/bandwidth per probe), and report per query
+    // how much of the full-dim top-10 the prefix ranking preserves.
+    // One broadcast of the query rows, both cosines in the same
+    // codegen'd pass, two rank windows per query key — the measured
+    // answer to "can the first-stage retriever run on truncated
+    // vectors", hash-verified end to end.
+    Q("sim_matryoshka",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val scored = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos_full"),
+            Similarity.cosine(slice(col("embedding"), 1, 16),
+              slice(col("qv"), 1, 16)).as("cos_pre"))
+        val wf = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_full").desc, col("vec_id"))
+        val wp = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_pre").desc, col("vec_id"))
+        scored
+          .withColumn("r_full", row_number().over(wf))
+          .withColumn("r_pre", row_number().over(wp))
+          .groupBy(col("q_id"))
+          .agg(count(when(col("r_full") <= 10 && col("r_pre") <= 10, lit(1)))
+            .as("overlap10"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 4),
+              |scored AS (SELECT q_id, vec_id,
+              |    ${Similarity.cosineSql("e.embedding", "q.qv")} AS cos_full,
+              |    ${Similarity.cosineSql("e.embedding[1:16]", "q.qv[1:16]")} AS cos_pre
+              |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+              |ranked AS (SELECT q_id, vec_id,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY cos_full DESC, vec_id) AS r_full,
+              |    row_number() OVER (PARTITION BY q_id ORDER BY cos_pre DESC, vec_id) AS r_pre
+              |  FROM scored)
+              |SELECT q_id, CAST(count(CASE WHEN r_full <= 10 AND r_pre <= 10 THEN 1 END) AS BIGINT) AS overlap10
+              |FROM ranked GROUP BY q_id ORDER BY q_id""".stripMargin)),
+
     // In-engine classifier training ([[graft.ops.Classifier
     // .trainPerceptron]]): a batch perceptron over md5-hashed
     // bag-of-token counts, every quantity an INTEGER so the epoch

@@ -314,4 +314,32 @@ class DedupSpec extends SparkSpec {
         .collect().toSeq
     assert(pairs(hashKey = true) == pairs(hashKey = false))
   }
+
+  test("substringSpans merges overlapping dup windows into maximal spans") {
+    import spark.implicits._
+    // docs 1 and 2 share one verbatim 12-char passage ("SHAREDPASSAGE"
+    // minus one char); doc 3 is novel; doc 4 is shorter than k
+    val passage = "shared-passage-text"
+    val docs = Seq(
+      (1L, s"aaaa${passage}bbbb"),
+      (2L, s"cccccc${passage}dddd"),
+      (3L, "completely novel content here!"),
+      (4L, "tiny"))
+      .toDF("doc_id", "text")
+    val k = 8
+    val got = Dedup.substringSpans(docs, "doc_id", "text", k)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every k-window fully inside the passage duplicates; the covered
+    // region in doc 1 is exactly the passage (positions 5..23), one
+    // maximal span of passage.length chars
+    assert(got(0) == ((1L, 1L, passage.length.toLong, (8 + passage.length).toLong)))
+    assert(got(1)._3 == passage.length.toLong) // doc 2: same dup_chars
+    assert(got(2) == ((3L, 0L, 0L, 30L)))      // novel doc: no spans
+    assert(got(3) == ((4L, 0L, 0L, 4L)))       // shorter than k: guarded
+    // fraction column: exact division
+    val fr = Dedup.substringSpans(docs, "doc_id", "text", k)
+      .filter($"doc_id" === 3L).select($"dup_frac").head.getDouble(0)
+    assert(fr == 0.0)
+  }
 }
