@@ -143,8 +143,26 @@ object Incremental {
 
     private def runModel(wh: Warehouse, m: Model, inputs: Map[String, DataFrame]): Unit = {
       val exists = wh.tableExists(m.layer, m.name)
-      val wm = if (exists) maxWatermark(wh.read(m.layer, m.name), m.watermarkCol) else None
-      val staged = m.transform(inputs, wm)
+      // watermark: the sidecar recorded by the PREVIOUS run (zero IO —
+      // Delta answers MAX from per-commit stats the same way) with the
+      // full-table scan as the fallback for tables this runner didn't
+      // write or whose sidecar an out-of-band mutation cleared
+      val wm: Option[Any] =
+        if (!exists) None
+        else wh.readMeta(m.layer, m.name, wmKey(m)).flatMap(wmDeser)
+          .orElse(maxWatermark(wh.read(m.layer, m.name), m.watermarkCol))
+      val staged0 = m.transform(inputs, wm)
+      // the staged delta feeds the merge plan in several places (the
+      // touched-partition broadcast build, the anti-join probe, the
+      // union side) — cache it for the duration of the merge so the
+      // source-side incremental read + transform runs ONCE, not once
+      // per consumer. The cached set is the DELTA, bounded at any
+      // table size; the initial full build has one consumer and skips
+      // the cache.
+      val staged = if (exists)
+        staged0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else staged0
+      try {
       if (exists && m.partitionBy.nonEmpty) {
         // PARTITION-SCOPED merge (dbt insert_overwrite shape): merge
         // into only the partitions the staged batch touches and swap
@@ -165,21 +183,95 @@ object Incremental {
         // no repartition: the write fans into only the touched
         // directories, and the merge's task layout (pruned scan +
         // broadcast anti-join) stays shuffle-free
-        wh.overwritePartitions(Merge.upsert(existingTouched, staged, m.uniqueKey),
-          m.layer, m.name, m.partitionBy)
+        val (merged, obs) = observed(Merge.upsert(existingTouched, staged, m.uniqueKey), m)
+        wh.overwritePartitions(merged, m.layer, m.name, m.partitionBy)
+        // the write covered only the touched partitions, so the new
+        // high-water mark is the max of the prior one and what the
+        // write observed (watermarks only advance)
+        record(wh, m, obs, prior = wm)
       } else if (exists) {
         val existing = wh.read(m.layer, m.name)
         Merge.schemaGuard(existing, staged)
         // Write to a swap dir, not in place: the plan reads `existing`
         // from the same path it would overwrite.
-        wh.atomicOverwrite(Merge.upsert(existing, staged, m.uniqueKey), m.layer, m.name)
+        val (merged, obs) = observed(Merge.upsert(existing, staged, m.uniqueKey), m)
+        wh.atomicOverwrite(merged, m.layer, m.name)
+        record(wh, m, obs, prior = None) // merged output IS the whole table
       } else {
         val arranged =
           if (m.partitionBy.nonEmpty)
             staged.repartition(m.partitionBy.map(staged(_)): _*)
           else staged
-        wh.atomicOverwrite(arranged, m.layer, m.name, m.partitionBy)
+        val (out, obs) = observed(arranged, m)
+        wh.atomicOverwrite(out, m.layer, m.name, m.partitionBy)
+        record(wh, m, obs, prior = None)
       }
+      } finally if (exists) staged.unpersist(blocking = false)
     }
+
+    private def wmKey(m: Model): String =
+      s"wm_${m.watermarkCol.replaceAll("[^A-Za-z0-9_-]", "_")}"
+
+    /** Attach a MAX(watermarkCol) observation to the frame about to be
+      * written: CollectMetrics rides the write job itself — the new
+      * watermark costs ZERO extra jobs and zero IO, where the scan
+      * fallback re-reads the whole target (at 100 TB, the difference
+      * between free and a full-table pass per model per run). */
+    private def observed(df: DataFrame, m: Model): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, max(col(m.watermarkCol)).as("wm")), obs)
+    }
+
+    private def record(wh: Warehouse, m: Model,
+                       obs: org.apache.spark.sql.Observation,
+                       prior: Option[Any]): Unit = {
+      val seen = obs.get.get("wm").flatMap(Option(_)) // null on an empty write
+      val next = (seen, prior) match {
+        case (Some(a), Some(b)) => Some(wmMax(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      // an unserializable watermark type records nothing — the next
+      // run falls back to the scan, never to a wrong value
+      next.flatMap(wmSer).foreach(wh.writeMeta(m.layer, m.name, wmKey(m), _))
+    }
+  }
+
+  private def wmMax(a: Any, b: Any): Any =
+    if (a.asInstanceOf[Comparable[Any]].compareTo(b) >= 0) a else b
+
+  /** Sidecar text form of a watermark scalar, tagged with enough type
+    * to reconstruct the SAME JVM type the scan fallback would return —
+    * the `Some(d: java.sql.Date)` matches in model transforms (the
+    * partition-pruning path) must fire identically either way. */
+  private[graft] def wmSer(v: Any): Option[String] = v match {
+    case d: java.sql.Date => Some(s"date:$d")
+    case t: java.sql.Timestamp => Some(s"ts:$t")
+    case d: java.time.LocalDate => Some(s"ldate:$d")
+    case t: java.time.Instant => Some(s"inst:$t")
+    case i: java.lang.Integer => Some(s"int:$i")
+    case l: java.lang.Long => Some(s"long:$l")
+    case d: java.lang.Double => Some(s"double:$d")
+    case d: java.math.BigDecimal => Some(s"dec:$d")
+    case d: scala.math.BigDecimal => Some(s"dec:$d")
+    case s: String => Some(s"str:$s")
+    case _ => None
+  }
+
+  private[graft] def wmDeser(s: String): Option[Any] = {
+    val i = s.indexOf(':')
+    if (i < 0) return None
+    val (tag, v) = (s.take(i), s.drop(i + 1))
+    try Some(tag match {
+      case "date" => java.sql.Date.valueOf(v)
+      case "ts" => java.sql.Timestamp.valueOf(v)
+      case "ldate" => java.time.LocalDate.parse(v)
+      case "inst" => java.time.Instant.parse(v)
+      case "int" => Integer.valueOf(v)
+      case "long" => java.lang.Long.valueOf(v)
+      case "double" => java.lang.Double.valueOf(v)
+      case "dec" => new java.math.BigDecimal(v)
+      case "str" => v
+      case _ => return None
+    }) catch { case _: IllegalArgumentException | _: java.time.format.DateTimeParseException => None }
   }
 }

@@ -60,6 +60,46 @@ final class Warehouse(val spark: SparkSession, val root: String,
     val w = df.write.mode(SaveMode.Append)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(layer, table))
+    // any mutation that bypasses the writer that recorded them makes
+    // sidecar metadata stale — clearing is what makes staleness
+    // impossible (the reader falls back to a scan, never to a lie)
+    clearMeta(layer, table)
+  }
+
+  /** Sidecar table metadata (`_meta_<key>` files inside the table
+    * directory — the `_` prefix keeps Spark's file index from reading
+    * them as data). This is the Warehouse analogue of Delta's
+    * per-commit column stats: writers record derived scalars (e.g. the
+    * incremental watermark, observed for free during the write job)
+    * and the next run reads them without scanning the table. The
+    * sidecar travels with the generation on archive renames, and every
+    * mutating operation that does NOT re-record it ([[append]],
+    * [[overwritePartitions]]) clears it, so a present sidecar is
+    * always truthful. Keys must be simple names (`[A-Za-z0-9_-]`). */
+  def writeMeta(layer: String, table: String, key: String, value: String): Unit = {
+    require(key.matches("[A-Za-z0-9_-]+"), s"writeMeta: bad key $key")
+    val p = new Path(path(layer, table), s"_meta_$key")
+    val out = fs.create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read sidecar metadata recorded by [[writeMeta]]; None when absent
+    * (never written, or cleared by an out-of-band mutation). */
+  def readMeta(layer: String, table: String, key: String): Option[String] = {
+    val p = new Path(path(layer, table), s"_meta_$key")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    }
+  }
+
+  private def clearMeta(layer: String, table: String): Unit = {
+    val dir = new Path(path(layer, table))
+    if (fs.exists(dir))
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith("_meta_"))
+        .foreach(st => fs.delete(st.getPath, false))
   }
 
   /** Overwrite via tmp-dir swap so readers never see a half-written
@@ -129,6 +169,7 @@ final class Warehouse(val spark: SparkSession, val root: String,
       fs.rename(leaf, dst)
     }
     fs.delete(tmp, true)
+    clearMeta(layer, table) // partial mutation: recorded scalars now stale
     ()
   }
 

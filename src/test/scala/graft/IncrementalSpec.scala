@@ -366,4 +366,58 @@ class IncrementalSpec extends SparkSpec {
     assert(wh.read("gold", "t").collect().head.getInt(0) == 2)
     intercept[IllegalArgumentException] { wh.readVersion("gold", "t", 1) }
   }
+
+  test("watermark sidecar: recorded at write time, typed, cleared by out-of-band mutation") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wm_side").toString
+    val wh = new Warehouse(spark, root)
+    def model = Incremental.Model(
+      "t", "silver", Seq(), Seq("k"), "d",
+      (in, wm) => {
+        val src = in("src")
+        wm.map(w => src.filter(col("d") >= lit(w))).getOrElse(src)
+      })
+    val v1 = Seq(("a", "2025-01-01", 1.0), ("b", "2025-01-02", 2.0)).toDF("k", "d", "v")
+      .withColumn("d", col("d").cast("date"))
+    val reg = new Incremental.Registry(Seq(model))
+    reg.runAll(wh, Map("src" -> v1))
+    // the write job recorded MAX(d) without a target scan, typed as the
+    // same java.sql.Date the scan fallback would return
+    assert(wh.readMeta("silver", "t", "wm_d").contains("date:2025-01-02"))
+    // the sidecar round-trips to the scan's JVM type exactly
+    assert(wh.readMeta("silver", "t", "wm_d").flatMap(Incremental.wmDeser)
+      == Incremental.maxWatermark(wh.read("silver", "t"), "d"))
+    // a merge run advances it
+    val v2 = Seq(("c", "2025-02-01", 3.0)).toDF("k", "d", "v")
+      .withColumn("d", col("d").cast("date"))
+    reg.runAll(wh, Map("src" -> v1.unionByName(v2)))
+    assert(wh.readMeta("silver", "t", "wm_d").contains("date:2025-02-01"))
+    // an out-of-band append CLEARS the sidecar (never stale), and the
+    // next run falls back to the scan and re-records correctly
+    wh.append(Seq(("z", "2025-03-01", 9.0)).toDF("k", "d", "v")
+      .withColumn("d", col("d").cast("date")), "silver", "t")
+    assert(wh.readMeta("silver", "t", "wm_d").isEmpty)
+    reg.runAll(wh, Map("src" -> v1.unionByName(v2)))
+    assert(wh.readMeta("silver", "t", "wm_d").contains("date:2025-03-01"))
+    assert(wh.read("silver", "t").filter(col("k") === "z").count() == 1)
+  }
+
+  test("wmSer/wmDeser round-trip every supported watermark type") {
+    val vals: Seq[Any] = Seq(
+      java.sql.Date.valueOf("2025-06-30"),
+      java.sql.Timestamp.valueOf("2025-06-30 12:34:56.789"),
+      java.time.LocalDate.parse("2025-06-30"),
+      Integer.valueOf(42), java.lang.Long.valueOf(1234567890123L),
+      java.lang.Double.valueOf(3.5), new java.math.BigDecimal("12345.6789"),
+      "2025-06-30T00:00:00")
+    vals.foreach { v =>
+      val ser = Incremental.wmSer(v)
+      assert(ser.isDefined, s"wmSer failed for ${v.getClass}")
+      assert(Incremental.wmDeser(ser.get).contains(v), s"round-trip failed for $v")
+    }
+    // unknown types refuse (scan fallback), never mis-serialize
+    assert(Incremental.wmSer(new Object).isEmpty)
+    assert(Incremental.wmDeser("garbage").isEmpty)
+    assert(Incremental.wmDeser("date:not-a-date").isEmpty)
+  }
 }
