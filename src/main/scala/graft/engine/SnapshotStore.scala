@@ -67,7 +67,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
  */
 final class SnapshotStore(val spark: SparkSession, val root: String,
                           val keepSnapshots: Int = 10,
-                          val statsFor: Seq[String] = Nil) {
+                          val statsFor: Seq[String] = Nil,
+                          val bloomFor: Seq[String] = Nil) {
   require(keepSnapshots >= 1, "SnapshotStore: keepSnapshots must be >= 1")
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -330,7 +331,7 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * recorded; an all-NULL file records nothing for that column and is
     * conservatively read by [[readBetween]]. */
   private def statsOf(layer: String, table: String, added: Seq[String]): FileStats = {
-    if (statsFor.isEmpty || added.isEmpty) return Map.empty
+    if ((statsFor.isEmpty && bloomFor.isEmpty) || added.isEmpty) return Map.empty
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     val base = dataDir(layer, table)
     val df = spark.read.option("basePath", base).parquet(added.map(f => s"$base/$f"): _*)
@@ -340,37 +341,135 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       case _ => false
     }).map(_.name).toSet
     val present = statsFor.filter(atomic.contains)
-    if (present.isEmpty) return Map.empty
-    // the per-file ROW COUNT rides the same aggregate — zero extra
-    // jobs — and makes COUNT(*) a metadata-only query ([[countRows]])
-    import org.apache.spark.sql.functions.{count, lit}
-    val aggs = present.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__mn_$c"), max(col(c)).cast("string").as(s"__mx_$c"))) :+
-      count(lit(1)).cast("string").as("__rows")
-    val rows = df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*).collect()
     val baseUriPath = new Path(base).toUri.getPath
-    val withRows = rows.map { r =>
-      val abs = new Path(new java.net.URI(r.getString(0))).toUri.getPath
-      val rel = abs.stripPrefix(baseUriPath).stripPrefix("/")
-      val colStats = present.flatMap { c =>
-        (Option(r.getAs[String](s"__mn_$c")), Option(r.getAs[String](s"__mx_$c"))) match {
-          case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
-          case _ => None
-        }
+    def relOf(fileUri: String): String =
+      new Path(new java.net.URI(fileUri)).toUri.getPath
+        .stripPrefix(baseUriPath).stripPrefix("/")
+    val minmax: FileStats = if (present.isEmpty) Map.empty else {
+      // the per-file ROW COUNT rides the same aggregate — zero extra
+      // jobs — and makes COUNT(*) a metadata-only query ([[countRows]])
+      import org.apache.spark.sql.functions.{count, lit}
+      val aggs = present.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"__mn_$c"), max(col(c)).cast("string").as(s"__mx_$c"))) :+
+        count(lit(1)).cast("string").as("__rows")
+      val rows = df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*).collect()
+      val withRows = rows.map { r =>
+        val colStats = present.flatMap { c =>
+          (Option(r.getAs[String](s"__mn_$c")), Option(r.getAs[String](s"__mx_$c"))) match {
+            case (Some(mn), Some(mx)) => Some(c -> (mn, mx))
+            case _ => None
+          }
+        }.toMap
+        val n = r.getAs[String]("__rows")
+        relOf(r.getString(0)) -> (colStats + (RowCountStat -> (n, n)))
       }.toMap
-      val n = r.getAs[String]("__rows")
-      rel -> (colStats + (RowCountStat -> (n, n)))
+      // a ZERO-ROW file yields no input_file_name group, but its row
+      // count is KNOWN (0) — record it, or one empty task output would
+      // silently disable the metadata COUNT path for the whole table
+      withRows ++ added.filterNot(withRows.contains)
+        .map(f => f -> Map(RowCountStat -> ("0", "0")))
+    }
+    val bloomPresent = bloomFor.filter(atomic.contains)
+    val blooms: FileStats = if (bloomPresent.isEmpty) Map.empty else {
+      import org.apache.spark.sql.functions.{collect_set, when}
+      // one aggregate job over just this commit's files: per (column,
+      // hash seed) the SET of bloom bit positions its values touch —
+      // bounded by min(rows, BloomBits) ints per file, never data
+      val aggs = bloomPresent.flatMap(c => bloomPositions(col(c)).zipWithIndex.map {
+        case (p, i) => collect_set(when(col(c).isNotNull, p)).as(s"__bp_${i}_$c")
+      })
+      val rows = df.groupBy(input_file_name().as("__f")).agg(aggs.head, aggs.tail: _*).collect()
+      rows.map { r =>
+        relOf(r.getString(0)) -> bloomPresent.map { c =>
+          val bits = new java.util.BitSet(BloomBits)
+          (0 until BloomHashes).foreach { i =>
+            r.getSeq[Int](r.fieldIndex(s"__bp_${i}_$c")).foreach(bits.set)
+          }
+          (BloomStatPrefix + c) ->
+            (java.util.Base64.getEncoder.encodeToString(bits.toByteArray),
+              s"$BloomBits:$BloomHashes")
+        }.toMap
+      }.toMap
+    }
+    (minmax.keySet ++ blooms.keySet).map { f =>
+      f -> (minmax.getOrElse(f, Map.empty) ++ blooms.getOrElse(f, Map.empty))
     }.toMap
-    // a ZERO-ROW file yields no input_file_name group, but its row
-    // count is KNOWN (0) — record it, or one empty task output would
-    // silently disable the metadata COUNT path for the whole table
-    withRows ++ added.filterNot(withRows.contains)
-      .map(f => f -> Map(RowCountStat -> ("0", "0")))
   }
 
   /** Reserved per-file stats key carrying the file's row count (stored
     * as an ordinary (min, max) pair with min == max == count). */
   val RowCountStat = "__rows"
+
+  /** Per-file bloom filter sizing: 32768 bits (4 KB per file per
+    * indexed column in the manifest) × 2 hash functions keeps the
+    * false-positive rate ≈ (1 − e^(−2n/m))² — under 1% at n ≈ 1000
+    * distinct keys per file, i.e. a point probe opens ~1 file out of
+    * any number. Delta's per-column bloom index / Iceberg's
+    * bloom-filter content stats use the same commit-time mechanism. */
+  val BloomBits = 32768
+  val BloomHashes = 2
+  private val BloomStatPrefix = "__bf_"
+
+  /** The bloom bit positions a value lights up — the SAME column
+    * expressions serve commit-time indexing and probe-time hashing, so
+    * the two sides can never drift. Values hash through their string
+    * form (after a cast to the column's type at probe time), making
+    * the positions type-width-independent. */
+  private def bloomPositions(c: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    (0 until BloomHashes).map(i =>
+      pmod(xxhash64(lit(i), c.cast("string")), lit(BloomBits.toLong)).cast("int"))
+  }
+
+  /** Point lookup with bloom-filter file skipping (Delta
+    * `bloomFilterIndex`, Iceberg bloom content stats): files whose
+    * per-file bloom (recorded at commit time for `bloomFor` columns)
+    * provably lacks every probed key are dropped DRIVER-SIDE, before
+    * any file opens. This prunes where min/max cannot: a hash- or
+    * arrival-distributed key overlaps every file's [min, max] range,
+    * but each file's bloom knows its actual key SET (to ~1% false
+    * positives), so a point probe on a 100 TB table opens the one file
+    * holding the key plus ~fpp × files false positives — versus every
+    * file under range stats. Files without a recorded bloom (committed
+    * before the index, or the column wasn't in `bloomFor`) are
+    * conservatively read; the exact row filter always applies, so
+    * false positives cost IO, never correctness. Probes are given in
+    * the column's natural text form (like [[readBetween]]); equality
+    * deletes still apply through [[readMerged]]. */
+  def readPoint(layer: String, table: String, column: String,
+                values: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(values.nonEmpty, "readPoint: no probe values given")
+    val id = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val mf = readMf(layer, table, id)
+    val t = mf.schema.find(_.name == column).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"readPoint: $layer/$table has no column $column"))
+    // probe-side positions via the SAME expressions as commit-side
+    // indexing, evaluated in one driver-local job over literals — the
+    // text probe casts through the column's type so "007" and "7"
+    // hash identically
+    val posExprs = values.zipWithIndex.flatMap { case (v, vi) =>
+      bloomPositions(lit(v).cast(t)).zipWithIndex.map {
+        case (p, i) => p.as(s"__p_${vi}_$i")
+      }
+    }
+    val posRow = spark.range(1).select(posExprs: _*).head()
+    val probePos: Seq[Seq[Int]] = values.indices.map(vi =>
+      (0 until BloomHashes).map(i => posRow.getAs[Int](s"__p_${vi}_$i")))
+    val keep = mf.files.filter { f =>
+      mf.stats.get(f).flatMap(_.get(BloomStatPrefix + column)) match {
+        case Some((bitsB64, _)) =>
+          val bits = java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(bitsB64))
+          probePos.exists(_.forall(bits.get))
+        case None => true // no bloom recorded: must read
+      }
+    }
+    readMerged(layer, table, mf, keep)
+      .filter(col(column).isin(values.map(v => lit(v).cast(t)): _*))
+  }
 
   /** COUNT(*) as a METADATA-ONLY query (Delta/Iceberg answer counts
     * from the log the same way): sum the manifest's per-file row

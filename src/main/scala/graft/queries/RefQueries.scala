@@ -1642,6 +1642,36 @@ object RefQueries {
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Bloom-filter point-lookup skipping ([[SnapshotStore.readPoint]],
+    // Delta's bloomFilterIndex / Iceberg bloom content stats): four
+    // appends split documents by doc_id % 4, so every file's
+    // [min, max] range spans ~the whole id domain and RANGE stats can
+    // prune nothing — but each file's commit-time bloom (4 KB in the
+    // manifest) knows its actual key SET, and the probe drops the
+    // non-holding files DRIVER-SIDE before any file opens. At 100 TB
+    // this is a point lookup that opens ~1 file instead of every file
+    // of a hash-distributed table; the in-query require pins that the
+    // probe read strictly fewer files than the table holds. The exact
+    // row filter still applies after pruning, so a bloom false
+    // positive costs IO, never correctness.
+    Q("m_snapshot_bloom",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_bloom_${new java.io.File(dir).getName}",
+          statsFor = Seq("doc_id"), bloomFor = Seq("doc_id"))
+        st.dropTable("bronze", "docs")
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        (0 until 4).foreach(i => st.append(
+          docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1), "bronze", "docs"))
+        val total = st.read("bronze", "docs").inputFiles.length
+        val hit = st.readPoint("bronze", "docs", "doc_id", Seq("1", "6", "11"))
+        require(hit.inputFiles.length < total,
+          s"bloom skipping pruned nothing: ${hit.inputFiles.length} of $total files")
+        hit.orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+             |WHERE doc_id IN (1, 6, 11) ORDER BY doc_id""".stripMargin)),
+
     // Incremental aggregate maintenance ([[Merge.mergeAdditive]]): a
     // monthly rollup maintained from a BASE slice is refreshed with the
     // increment's partial aggregates — union + re-sum on the keys, the

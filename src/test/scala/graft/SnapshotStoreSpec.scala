@@ -568,4 +568,48 @@ class SnapshotStoreSpec extends SparkSpec {
     st.deleteKeys(Seq(Tuple1(1)).toDF("id"), "s", "t", Seq("id"))
     assert(st.read("s", "t").select("id").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("bloom point lookup opens only the file holding the key") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_bloom").toString,
+      statsFor = Seq("id"), bloomFor = Seq("id"))
+    // three single-file appends with fully OVERLAPPING [min, max] id
+    // ranges but disjoint key sets — range stats cannot prune here
+    st.overwrite(Seq((1L, "a"), (100L, "b")).toDF("id", "v").coalesce(1), "s", "t")
+    st.append(Seq((2L, "c"), (99L, "d")).toDF("id", "v").coalesce(1), "s", "t")
+    st.append(Seq((3L, "e"), (98L, "f")).toDF("id", "v").coalesce(1), "s", "t")
+    assert(st.read("s", "t").inputFiles.length == 3)
+    val hit = st.readPoint("s", "t", "id", Seq("99"))
+    assert(hit.inputFiles.length == 1, "bloom should prune to the one holding file")
+    assert(hit.as[(Long, String)].collect().toSeq == Seq((99L, "d")))
+    // text probes normalize through the column type: "099" == 99
+    assert(st.readPoint("s", "t", "id", Seq("099")).as[(Long, String)]
+      .collect().toSeq == Seq((99L, "d")))
+    // a missing key reads zero or fp-few files and returns nothing
+    assert(st.readPoint("s", "t", "id", Seq("12345")).count() == 0)
+    // multi-probe: union of per-value candidates
+    val multi = st.readPoint("s", "t", "id", Seq("1", "3"))
+    assert(multi.inputFiles.length == 2)
+    assert(multi.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (3L, "e")))
+  }
+
+  test("bloom lookup stays correct without an index and under deletes") {
+    // files committed WITHOUT a bloom are conservatively read
+    val plain = newStore("bloom_none")
+    plain.overwrite(Seq((1L, "a")).toDF("id", "v").coalesce(1), "s", "t")
+    plain.append(Seq((2L, "b")).toDF("id", "v").coalesce(1), "s", "t")
+    val all = plain.readPoint("s", "t", "id", Seq("2"))
+    assert(all.inputFiles.length == 2) // no bloom recorded: must read both
+    assert(all.as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+    // equality deletes still apply through the pruned read
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_bloom_del").toString,
+      statsFor = Seq("id"), bloomFor = Seq("id"))
+    st.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), "s", "t")
+    st.deleteKeys(Seq(Tuple1(2L)).toDF("id"), "s", "t", Seq("id"))
+    assert(st.readPoint("s", "t", "id", Seq("2")).count() == 0)
+    assert(st.readPoint("s", "t", "id", Seq("1")).as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a")))
+  }
 }
