@@ -777,6 +777,22 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
               s"since the merge read snapshot ${mergeBase.get} — committing would silently " +
               "drop a concurrent writer's rows; re-run the merge against the new snapshot")
       }
+      // PARTITION EVOLUTION fence: files written under an older layout
+      // (flat, or a different column chain) don't carry this spec's
+      // `k=v` dirs, so the partition-scoped replace below could not see
+      // rows of the touched partitions living inside them — it would
+      // keep stale twins silently. Plain append/overwrite/read work
+      // fine on a mixed-spec table (reads union the layouts); only
+      // partition-SCOPED mutation demands a uniform layout, which
+      // [[compact]] under the current spec restores.
+      prev.foreach { f =>
+        val specCols = partOf(f).split('/').filter(_.nonEmpty).map(_.takeWhile(_ != '='))
+        require(specCols.sameElements(partitionBy),
+          s"SnapshotStore: $layer/$table file $f carries partition layout " +
+            s"[${specCols.mkString(",")}] != this write's [${partitionBy.mkString(",")}] — " +
+            "a partition-scoped overwrite/merge on a mixed-layout table would miss rows " +
+            "in old-layout files; compact under the current spec first")
+      }
       val kept = prev.filterNot(f => touched.contains(partOf(f)))
       // dropped partitions' stats fall away in the manifest's file filter
       (df.schema, (kept ++ added).sorted, txnProps(txnId) + ("op" -> op), prevSt ++ st)
@@ -860,9 +876,20 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       val cut = dirChain.indexWhere(_.contains("="))
       (if (cut >= 0) dirChain.take(cut) else dirChain).mkString("/")
     }
-    files.map(absFile(layer, table, _)).groupBy(baseOf).toSeq.sortBy(_._1)
-      .map { case (base, fs) =>
+    // group by (base, partition-column chain): files of DIFFERENT
+    // layout eras (partition evolution) must read in separate groups —
+    // one mixed-depth listing makes Spark's partition discovery drop
+    // the flat files' rows silently. Each group reads under its own
+    // layout; hive reads surface partition columns LAST, so the select
+    // restores the manifest's logical order before the union.
+    def specOf(p: String): String =
+      p.split('/').dropRight(1).filter(_.contains("="))
+        .map(_.takeWhile(_ != '=')).mkString("/")
+    files.map(absFile(layer, table, _))
+      .groupBy(p => (baseOf(p), specOf(p))).toSeq.sortBy(_._1.toString)
+      .map { case ((base, _), fs) =>
         spark.read.schema(schema).option("basePath", base).parquet(fs.sorted: _*)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       }.reduce(_.unionByName(_))
   }
 

@@ -1642,6 +1642,39 @@ object RefQueries {
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Partition evolution (Iceberg's flagship layout feature): the
+    // table starts FLAT (era 1), then evolves to hive-partitioning by
+    // year (era 2) WITHOUT rewriting a single era-1 file — the
+    // manifest records each file's own layout, reads union the eras in
+    // the logical schema, and per-file min/max stats prune range
+    // probes across BOTH layouts (the in-query require pins a pruned
+    // year probe). At 100 TB this is the difference between evolving a
+    // table's layout with one manifest commit and rewriting the
+    // archive; partition-SCOPED mutation on a mixed-layout table
+    // fences loudly until compact restores uniformity (unit-tested).
+    // Oracle: the full-table per-year aggregate — eras must be
+    // indistinguishable to a reader.
+    Q("m_partition_evolution",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_pevo_${new java.io.File(dir).getName}",
+          statsFor = Seq("y"))
+        st.dropTable("bronze", "li")
+        val li = Tables.lineitem(s, dir).select(
+          year(col("l_shipdate")).as("y"), col("l_orderkey"), col("l_quantity"))
+        st.overwrite(li.filter(col("y") <= 1995).coalesce(2), "bronze", "li")
+        st.append(li.filter(col("y") >= 1996), "bronze", "li", partitionBy = Seq("y"))
+        val total = st.read("bronze", "li").inputFiles.length
+        val probe = st.readBetween("bronze", "li", "y", "1996", "1997")
+        require(probe.inputFiles.length < total,
+          s"evolved-layout stats skipping pruned nothing: ${probe.inputFiles.length} of $total")
+        st.read("bronze", "li").groupBy("y")
+          .agg(count(lit(1)).as("n_rows"), Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("y")
+      },
+      Some(s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS y, count(*) AS n_rows,
+              |       ${Det.dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Bloom-filter point-lookup skipping ([[SnapshotStore.readPoint]],
     // Delta's bloomFilterIndex / Iceberg bloom content stats): four
     // appends split documents by doc_id % 4, so every file's

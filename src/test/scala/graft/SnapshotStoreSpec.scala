@@ -594,6 +594,37 @@ class SnapshotStoreSpec extends SparkSpec {
       Seq((1L, "a"), (3L, "e")))
   }
 
+  test("partition evolution: old-layout files stay readable, scoped ops fence") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_pevo").toString,
+      statsFor = Seq("y"))
+    // era 1: flat files (y is a data column)
+    st.overwrite(Seq((1996, 1L, "a"), (1997, 2L, "b")).toDF("y", "id", "v")
+      .coalesce(1), "s", "t")
+    // era 2: the table evolves to hive-partitioning by y — WITHOUT
+    // rewriting era-1 files (Iceberg partition evolution)
+    st.append(Seq((1997, 3L, "c"), (1998, 4L, "d")).toDF("y", "id", "v"),
+      "s", "t", partitionBy = Seq("y"))
+    // both layouts read as one table
+    assert(st.read("s", "t").orderBy("id").as[(Int, Long, String)].collect().toSeq ==
+      Seq((1996, 1L, "a"), (1997, 2L, "b"), (1997, 3L, "c"), (1998, 4L, "d")))
+    // stats prune across BOTH layouts (y min/max recorded either way)
+    val pruned = st.readBetween("s", "t", "y", "1998", "1998")
+    assert(pruned.inputFiles.length < st.read("s", "t").inputFiles.length)
+    assert(pruned.as[(Int, Long, String)].collect().toSeq == Seq((1998, 4L, "d")))
+    // partition-SCOPED mutation on a mixed-layout table fences loudly:
+    // it could not see the 1997 row living in the flat era-1 file
+    intercept[IllegalArgumentException] {
+      st.overwritePartitions(Seq((1997, 9L, "x")).toDF("y", "id", "v"), "s", "t", Seq("y"))
+    }
+    // compact under the current spec restores layout uniformity...
+    st.compact("s", "t", numFiles = 2, partitionBy = Seq("y"))
+    // ...and the scoped overwrite now replaces ALL of 1997 (both eras')
+    st.overwritePartitions(Seq((1997, 9L, "x")).toDF("y", "id", "v"), "s", "t", Seq("y"))
+    assert(st.read("s", "t").orderBy("id").as[(Int, Long, String)].collect().toSeq ==
+      Seq((1996, 1L, "a"), (1998, 4L, "d"), (1997, 9L, "x")))
+  }
+
   test("bloom lookup stays correct without an index and under deletes") {
     // files committed WITHOUT a bloom are conservatively read
     val plain = newStore("bloom_none")
