@@ -2267,6 +2267,64 @@ object ExtQueries {
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Streaming SESSION WINDOWS, oracle-hashed end state ([[StreamOps
+    // .sessionsStream]]): the event corpus replays as real micro-
+    // batches into the state-store-backed `session_window` aggregate —
+    // per-key sessions merge as their member events arrive in whatever
+    // order the replay produces, and a session emits exactly once when
+    // the watermark passes its end. The delay horizon exceeds the
+    // corpus span (no real row can be late-dropped), and one far-
+    // future sentinel row — written LAST so the file source replays it
+    // last — pushes the final watermark past every real session's
+    // end, closing them. The drained result must equal the batch
+    // gaps-and-islands sessionization EXACTLY (same oracle as
+    // ev_sessions). On live feeds the same plan holds only OPEN
+    // sessions per key and evicts closed ones — bounded state at any
+    // event rate, where the batch window-function form re-sorts
+    // everything per run.
+    Q("stream_sessions_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_sess_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val ev = Tables.events(s, dir).select(col("ts"), col("user_id"))
+        val staged = s"$base/in"
+        ev.repartition(4).write.parquet(staged)
+        // sentinel AFTER the corpus files (modification order = replay
+        // order): watermark = 2999-01-01 − 100 years clears every real
+        // session end while never reaching real data from the real files
+        s.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(
+            java.sql.Timestamp.valueOf("2999-01-01 00:00:00"), -1L)),
+          s.read.parquet(staged).schema)
+          .write.mode("append").parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val mem = s"sess_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          StreamOps.runAvailableNowToMemory(
+            StreamOps.sessionsStream(stream, gap = "30 minutes", delay = "36500 days"),
+            mem, s"$base/ckpt_$mem")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        s.table(mem).filter(col("user_id") =!= -1L)
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH m AS (SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |g AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+             |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
     // Streaming dedup, oracle-hashed end state ([[StreamOps.
     // dedupWithinWatermark]]): the corpus arrives with every fifth
     // event DUPLICATED (exact copies, so which copy survives is
