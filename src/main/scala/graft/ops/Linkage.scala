@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Probabilistic record linkage in the Fellegi–Sunter shape, with
+ * VALUE-SPECIFIC agreement weights made exact-integer so every engine
+ * reproduces the scores bit-for-bit.
+ *
+ * Classic FS sums per-field log-odds ln(m/u) over agreeing fields. The
+ * discriminating part of that weight is the u-probability — how likely
+ * a RANDOM pair agrees on the value — and its value-specific form is
+ * u_v = n_v / N (the value's frequency on the index side): agreeing on
+ * a value shared by 3 records out of a million is near-proof, agreeing
+ * on one shared by a third of the corpus is noise. This module scores
+ * with the monotone transform 1/u_v kept in integer micro-points,
+ *   w(field, v) = (1_000_000 × N) div n_v      (0 when disagreeing),
+ * so scores are exact BIGINTs (no ln, no doubles — engine-portable and
+ * order-independent) while preserving FS ranking within each field.
+ * Missing (NULL) values contribute no evidence, per FS convention.
+ *
+ * Scale shape: candidates come from a BLOCKING equi-join (never
+ * all-pairs — the reference point is the deletion-neighborhood blocking
+ * of [[Dedup.fuzzyPairs]]); per-field frequency tables are count
+ * aggregates joined broadcast (bounded by distinct values; at 100 TB a
+ * high-cardinality field's freq join falls back to a shuffle on the
+ * value key — same plan, no driver involvement).
+ */
+object Linkage {
+
+  /**
+   * Score all blocked candidate pairs of `a` × `b`.
+   *
+   * @param blockCols columns equal on both sides to form candidates
+   * @param fields    comparison fields; each agreement adds the
+   *                  value-frequency weight of the B-side value
+   * @return (id_a, id_b, score, n_agree, corpus_n) — one row per
+   *         candidate pair; callers threshold on `score` (e.g.
+   *         `score > 500000 * corpus_n`: agreement evidence rarer
+   *         than half the corpus)
+   */
+  def linkPairs(a: DataFrame, b: DataFrame, idA: String, idB: String,
+                blockCols: Seq[String], fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "linkPairs: no comparison fields")
+    require(blockCols.nonEmpty, "linkPairs: blocking columns required (never all-pairs)")
+    val n = b.agg(count(lit(1)).cast(LongType).as("__N"))
+    val aP = a.select((blockCols ++ fields).map(c => col(c).as(s"a_$c"))
+      :+ col(idA).as("id_a"): _*)
+    val bP = b.select((blockCols ++ fields).map(c => col(c).as(s"b_$c"))
+      :+ col(idB).as("id_b"): _*)
+    val cands = aP.join(bP,
+        blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _))
+      .crossJoin(broadcast(n))
+    val withW = fields.foldLeft(cands) { (df, f) =>
+      val freq = b.groupBy(col(f).as(s"__v_$f"))
+        .agg(count(lit(1)).cast(LongType).as(s"__n_$f"))
+      df.join(broadcast(freq), col(s"b_$f") === col(s"__v_$f"), "left")
+        .withColumn(s"__w_$f",
+          when(col(s"a_$f") === col(s"b_$f"),
+            expr(s"(1000000 * __N) div __n_$f")).otherwise(0L))
+        .drop(s"__v_$f", s"__n_$f")
+    }
+    withW.select(col("id_a"), col("id_b"),
+      fields.map(f => col(s"__w_$f")).reduce(_ + _).as("score"),
+      fields.map(f => when(col(s"__w_$f") > 0, 1).otherwise(0))
+        .reduce(_ + _).as("n_agree"),
+      col("__N").as("corpus_n"))
+  }
+}

@@ -3222,6 +3222,84 @@ object ExtQueries {
               |SELECT lang, doc_id, n_tok, quality, cum_tok FROM c
               |WHERE cum_tok <= 3000 ORDER BY lang, cum_tok, doc_id""".stripMargin)),
 
+    // Probabilistic record linkage ([[Linkage.linkPairs]],
+    // Fellegi–Sunter with exact-integer value-frequency weights): the
+    // customer table is matched against a deterministically DIRTIED
+    // copy (every 3rd name lowercased — normalization must recover it;
+    // every 21st corrupted outright — those pairs must link on the
+    // REMAINING evidence). Candidates come from a (nation, name-digit)
+    // blocking equi-join, never all-pairs; each field agreement adds
+    // (1e6·N) div n_value micro-points — rare-value agreement is
+    // near-proof, common-value agreement is noise — and the match
+    // threshold `score > 500000·N` ("evidence rarer than half the
+    // corpus") is corpus-size-free. All-BIGINT scores hash identically
+    // in any engine; the oracle replays the whole pipeline in SQL.
+    Q("er_linkage",
+      (s, dir) => {
+        def norm(df: DataFrame) = df.select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_n"),
+          col("c_nationkey"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_c"),
+          col("c_mktsegment"),
+          expr("right(regexp_replace(c_name, '[^0-9]', ''), 2)").as("bk"))
+        val cust = Tables.customer(s, dir)
+        val dirty = cust.withColumn("c_name",
+          when(pmod(col("c_custkey"), lit(21)) === 0, concat(col("c_name"), lit("x")))
+            .when(pmod(col("c_custkey"), lit(3)) === 0, lower(col("c_name")))
+            .otherwise(col("c_name")))
+        val pairs = graft.ops.Linkage.linkPairs(norm(cust), norm(dirty),
+          "c_custkey", "c_custkey",
+          blockCols = Seq("c_nationkey", "bk"),
+          fields = Seq("name_n", "bal_c", "c_mktsegment"))
+        pairs.filter(col("score") > expr("500000 * corpus_n"))
+          .select(col("id_a"), col("id_b"), col("score"), col("n_agree"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT c_custkey,
+             |         CASE WHEN c_custkey % 21 = 0 THEN c_name || 'x'
+             |              WHEN c_custkey % 3 = 0 THEN lower(c_name)
+             |              ELSE c_name END AS c_name,
+             |         c_nationkey, c_acctbal, c_mktsegment
+             |  FROM customer),
+             |a_n AS (SELECT c_custkey AS id_a, upper(c_name) AS name_n, c_nationkey,
+             |               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+             |               c_mktsegment,
+             |               right(regexp_replace(c_name, '[^0-9]', '', 'g'), 2) AS bk
+             |        FROM customer),
+             |b_n AS (SELECT c_custkey AS id_b, upper(c_name) AS name_n, c_nationkey,
+             |               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_c,
+             |               c_mktsegment,
+             |               right(regexp_replace(c_name, '[^0-9]', '', 'g'), 2) AS bk
+             |        FROM dirty),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS N FROM b_n),
+             |f_name AS (SELECT name_n AS v, CAST(count(*) AS BIGINT) AS nv FROM b_n GROUP BY 1),
+             |f_bal AS (SELECT bal_c AS v, CAST(count(*) AS BIGINT) AS nv FROM b_n GROUP BY 1),
+             |f_seg AS (SELECT c_mktsegment AS v, CAST(count(*) AS BIGINT) AS nv FROM b_n GROUP BY 1),
+             |cands AS (
+             |  SELECT a.id_a, b.id_b,
+             |    CASE WHEN a.name_n = b.name_n
+             |         THEN (1000000 * nn.N) // fn.nv ELSE 0 END AS w_name,
+             |    CASE WHEN a.bal_c = b.bal_c
+             |         THEN (1000000 * nn.N) // fb.nv ELSE 0 END AS w_bal,
+             |    CASE WHEN a.c_mktsegment = b.c_mktsegment
+             |         THEN (1000000 * nn.N) // fs.nv ELSE 0 END AS w_seg,
+             |    nn.N AS n
+             |  FROM a_n a JOIN b_n b
+             |    ON a.c_nationkey = b.c_nationkey AND a.bk = b.bk
+             |  CROSS JOIN nn
+             |  LEFT JOIN f_name fn ON fn.v = b.name_n
+             |  LEFT JOIN f_bal fb ON fb.v = b.bal_c
+             |  LEFT JOIN f_seg fs ON fs.v = b.c_mktsegment)
+             |SELECT id_a, id_b,
+             |       CAST(w_name + w_bal + w_seg AS BIGINT) AS score,
+             |       CAST((CASE WHEN w_name > 0 THEN 1 ELSE 0 END)
+             |          + (CASE WHEN w_bal > 0 THEN 1 ELSE 0 END)
+             |          + (CASE WHEN w_seg > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_agree
+             |FROM cands WHERE w_name + w_bal + w_seg > 500000 * n
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Fuzzy entity resolution over supplier names (edit distance ≤ 1):
     // deletion-neighborhood blocking + exact Levenshtein verify
     // ([[Dedup.editDistancePairs]]). The corpus injects KNOWN ED-1

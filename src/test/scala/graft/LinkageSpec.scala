@@ -1,0 +1,51 @@
+package graft
+
+import graft.ops.Linkage
+import org.apache.spark.sql.functions._
+
+/** Value-frequency record linkage: weight math, null evidence, and
+  * the rare-beats-common ranking property. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rare-value agreement outweighs common-value agreement") {
+    // B side: 4 records; "x" name unique (n_v=1), city shared by all
+    val a = Seq((1L, "x", "metro"), (2L, "y", "metro")).toDF("id", "nm", "city")
+      .withColumn("blk", lit(1))
+    val b = Seq((10L, "x", "metro"), (11L, "q", "metro"),
+      (12L, "r", "metro"), (13L, "s", "metro")).toDF("id", "nm", "city")
+      .withColumn("blk", lit(1))
+    val out = Linkage.linkPairs(a, b, "id", "id", Seq("blk"), Seq("nm", "city"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+    // N=4; unique name weight = 4e6/1, shared city weight = 4e6/4 = 1e6
+    assert(out((1L, 10L)) == ((4000000L + 1000000L, 2, 4L)))
+    // city-only pairs score exactly the common weight
+    assert(out((2L, 11L)) == ((1000000L, 1, 4L)))
+    // ranking: the rare agreement dominates any number of common ones
+    assert(out((1L, 10L))._1 > out((2L, 11L))._1)
+  }
+
+  test("nulls contribute no evidence and never agree") {
+    val a = Seq((1L, Option.empty[String], "m")).toDF("id", "nm", "city")
+      .withColumn("blk", lit(1))
+    val b = Seq((10L, Option.empty[String], "m"), (11L, Some("z"), "m"))
+      .toDF("id", "nm", "city").withColumn("blk", lit(1))
+    val out = Linkage.linkPairs(a, b, "id", "id", Seq("blk"), Seq("nm", "city"))
+      .orderBy("id_b").collect()
+    // null-null name: no agreement (FS: missing = no evidence)
+    assert(out(0).getInt(out(0).fieldIndex("n_agree")) == 1) // city only
+    assert(out(1).getInt(out(1).fieldIndex("n_agree")) == 1)
+  }
+
+  test("blocking is mandatory and bounds the pair space") {
+    val df = Seq((1L, "a")).toDF("id", "nm")
+    intercept[IllegalArgumentException] {
+      Linkage.linkPairs(df, df, "id", "id", Seq(), Seq("nm"))
+    }
+    // disjoint blocks → zero candidates, not a cross join
+    val a = Seq((1L, "a", 1)).toDF("id", "nm", "blk")
+    val b = Seq((2L, "a", 2)).toDF("id", "nm", "blk")
+    assert(Linkage.linkPairs(a, b, "id", "id", Seq("blk"), Seq("nm")).count() == 0)
+  }
+}
