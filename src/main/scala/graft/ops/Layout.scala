@@ -81,4 +81,88 @@ object Layout {
       .sortWithinPartitions(zvName)
       .drop(zvName)
   }
+
+  /** Hilbert-curve index of two `bits`-bit dimensions, appended as
+    * `outCol` — the standard per-level xy→d transform (quadrant digit
+    * joins d, then (x, y) reflect/swap into the sub-square's frame).
+    * Unlike Morton order, the Hilbert curve is CONTINUOUS: consecutive
+    * indexes are always spatially adjacent cells, so an arbitrary
+    * index range (a file's worth of rows) covers a compact region —
+    * Morton ranges that straddle a quadrant seam jump across the
+    * domain and blow the file's min/max extents wide. Same write cost
+    * as z-order (one range exchange over the value), tighter skipping
+    * on file-sized chunks.
+    *
+    * Everything is integer CASE/+/× arithmetic — the quadrant digit
+    * `(3·rx) XOR ry` is folded to `rx·(3−ry) + (1−rx)·ry` so no
+    * engine-specific bitwise XOR appears — and each level lands in its
+    * OWN projection (a `select` per level keeps the expression tree
+    * linear in `bits`; the chain still fuses into one codegen stage).
+    * [[hilbertSql]] emits the same arithmetic as chained SQL CTEs for
+    * engine-independent replay. */
+  def hilbertIndexed(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                     outCol: String): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val n = 1L << bits
+    val keep = df.columns.toSeq
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn(outCol, lit(0L))
+    for (lvl <- (bits - 1) to 0 by -1) {
+      val s = 1L << lvl
+      def bit(c: String) =
+        when(col(c).bitwiseAND(lit(s)) =!= 0L, lit(1L)).otherwise(lit(0L))
+      val (rx, ry) = (bit("__hx"), bit("__hy"))
+      cur = cur.select(
+        keep.map(col) ++ Seq(
+          when(ry === 1L, col("__hx"))
+            .when(rx === 1L, lit(n - 1) - col("__hy"))
+            .otherwise(col("__hy")).as("__hx"),
+          when(ry === 1L, col("__hy"))
+            .when(rx === 1L, lit(n - 1) - col("__hx"))
+            .otherwise(col("__hx")).as("__hy"),
+          (col(outCol) + lit(s * s) *
+            (rx * (lit(3L) - ry) + (lit(1L) - rx) * ry)).as(outCol)): _*)
+    }
+    cur.select((keep :+ outCol).map(col): _*)
+  }
+
+  /** Hilbert clustering: the [[hilbertIndexed]] analogue of
+    * [[zorderN]] — one range exchange on the curve value. */
+  def hilbertCluster(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                     numPartitions: Int): DataFrame = {
+    val hv = Iterator.from(0).map(i => if (i == 0) "__hv" else s"__hv$i")
+      .find(n => !df.columns.contains(n)).get
+    hilbertIndexed(df, xCol, yCol, bits, hv)
+      .repartitionByRange(numPartitions, col(hv))
+      .sortWithinPartitions(hv)
+      .drop(hv)
+  }
+
+  /** The same per-level Hilbert arithmetic as chained SQL CTEs:
+    * `hilbertSql("src", "x", "y", bits, "hv")` yields
+    * `WITH h0 AS (...), …, hB AS (...)` whose last CTE exposes
+    * (src.*, hv) — integer-exact in any ANSI engine. */
+  def hilbertSql(src: String, x: String, y: String, bits: Int,
+                 out: String): (String, String) = {
+    require(bits >= 1 && bits <= 16, s"bits must be in [1,16], got $bits")
+    val n = 1L << bits
+    val base = s"h0 AS (SELECT *, CAST($x AS BIGINT) AS __hx, " +
+      s"CAST($y AS BIGINT) AS __hy, CAST(0 AS BIGINT) AS __hd FROM $src)"
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map { case (lvl, i) =>
+      val s = 1L << lvl
+      val rx = s"(CASE WHEN (__hx & $s) <> 0 THEN 1 ELSE 0 END)"
+      val ry = s"(CASE WHEN (__hy & $s) <> 0 THEN 1 ELSE 0 END)"
+      s"""h${i + 1} AS (SELECT * EXCLUDE (__hx, __hy, __hd),
+         |  CASE WHEN $ry = 1 THEN __hx
+         |       WHEN $rx = 1 THEN ${n - 1} - __hy ELSE __hy END AS __hx,
+         |  CASE WHEN $ry = 1 THEN __hy
+         |       WHEN $rx = 1 THEN ${n - 1} - __hx ELSE __hx END AS __hy,
+         |  __hd + ${s * s} * ($rx * (3 - $ry) + (1 - $rx) * $ry) AS __hd
+         |  FROM h$i)""".stripMargin
+    }
+    ((base +: levels).mkString(",\n"),
+      s"SELECT * EXCLUDE (__hx, __hy, __hd), __hd AS $out FROM h$bits")
+  }
 }

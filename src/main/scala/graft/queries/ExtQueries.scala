@@ -2756,6 +2756,60 @@ object ExtQueries {
               |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
               |FROM z GROUP BY 1 ORDER BY zone""".stripMargin)),
 
+    // Hilbert-curve layout vs Morton ([[graft.ops.Layout
+    // .hilbertIndexed]]): both curves index the same (x, y) domain and
+    // the rows chunk into FILE-SIZED index ranges (6000 cells — a
+    // deliberately non-power-of-4 size, where the curves differ: any
+    // aligned 4^k block is a perfect square under BOTH). The Hilbert
+    // curve is continuous — consecutive indexes are adjacent cells —
+    // so its chunks stay compact, while Morton chunks straddling a
+    // quadrant seam jump across the domain and blow their extents
+    // wide. The output is each chunk's spatial extent under each
+    // curve; the in-query require pins the story quantitatively (total
+    // Hilbert chunk extent strictly below Morton's). At 100 TB the
+    // chunk extent IS the file's min/max footer: tighter extents =
+    // more files skipped per predicate, at identical write cost (one
+    // range exchange either way).
+    Q("layout_hilbert",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          (col("l_orderkey") % 1024).cast(LongType).as("x"),
+          (col("l_partkey") % 1024).cast(LongType).as("y"))
+        val h = graft.ops.Layout.hilbertIndexed(li, "x", "y", 10, "idx")
+          .withColumn("curve", lit("hilbert"))
+        val m = li
+          .withColumn("idx", graft.ops.Layout.zValue2(col("x"), col("y"), 10))
+          .withColumn("curve", lit("morton"))
+        val chunks = h.unionByName(m)
+          .withColumn("chunk", expr("idx div 6000"))
+          .groupBy(col("curve"), col("chunk"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        val span = chunks.groupBy("curve")
+          .agg(sum(col("max_x") - col("min_x") + col("max_y") - col("min_y"))
+            .as("total_span")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(span("hilbert") < span("morton"),
+          s"hilbert chunks not tighter than morton: $span")
+        chunks.orderBy("curve", "chunk")
+      },
+      Some {
+        val (ctes, last) = graft.ops.Layout.hilbertSql(
+          "src", "x", "y", 10, "idx")
+        s"""WITH src AS (SELECT CAST(l_orderkey % 1024 AS BIGINT) AS x,
+           |                    CAST(l_partkey % 1024 AS BIGINT) AS y FROM lineitem),
+           |$ctes,
+           |hil AS ($last),
+           |both_c AS (
+           |  SELECT 'hilbert' AS curve, idx, x, y FROM hil
+           |  UNION ALL
+           |  SELECT 'morton' AS curve, ${zSql("x", "y", 10)} AS idx, x, y FROM src)
+           |SELECT curve, idx // 6000 AS chunk, count(*) AS n_rows,
+           |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+           |FROM both_c GROUP BY 1, 2 ORDER BY curve, chunk""".stripMargin
+      }),
+
     // ── Data-quality suite (the dbt test surface, SURVEY §5) ──────────
 
     // unique / not_null / accepted_values / relationships over the

@@ -67,4 +67,54 @@ class LayoutSpec extends SparkSpec {
         s"zone ${r.getLong(0)} spans (${r.getLong(1)}, ${r.getLong(2)})")
     }
   }
+
+  /** Reference Hilbert xy→d (the standard per-level transform with the
+    * full-domain reflection), independent of the staged column form. */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertIndexed matches the reference transform and is a continuous bijection") {
+    import spark.implicits._
+    val bits = 4 // full 16x16 grid
+    val n = 1 << bits
+    val df = (for (x <- 0L until n; y <- 0L until n) yield (x, y)).toDF("x", "y")
+    val got = Layout.hilbertIndexed(df, "x", "y", bits, "hv")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // bit-for-bit parity with the reference model at every cell
+    for (x <- 0L until n; y <- 0L until n)
+      assert(got((x, y)) == hilbertRef(bits, x, y), s"mismatch at ($x, $y)")
+    // bijection onto [0, n²)
+    assert(got.values.toSeq.sorted == (0L until n.toLong * n).toSeq)
+    // CONTINUITY — the property Morton lacks: consecutive indexes are
+    // spatially adjacent cells (Manhattan distance exactly 1)
+    val byD = got.map(_.swap)
+    (0L until n.toLong * n - 1).foreach { d =>
+      val ((x1, y1), (x2, y2)) = (byD(d), byD(d + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"discontinuity between d=$d and d=${d + 1}")
+    }
+  }
+
+  test("hilbertCluster is a permutation of its input") {
+    import spark.implicits._
+    val df = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val out = Layout.hilbertCluster(df, "x", "y", 5, numPartitions = 4)
+    assert(out.columns.toSeq == Seq("x", "y"))
+    assert(out.count() == 1024)
+    assert(out.distinct().count() == 1024)
+  }
 }
