@@ -70,6 +70,59 @@ object EventOps {
         Det.ntz(col("w.end")).as("session_end"), col("n_events"))
 
   /**
+   * INCREMENTAL sessionization: fold a new batch of events into an
+   * already-materialized session table so the result equals
+   * [[sessions]] over everything — without re-sessionizing history.
+   * The warehouse pattern behind daily "user sessions" tables: only a
+   * user's LAST existing session can bridge with their FIRST new-batch
+   * session (CONTRACT: batch events are strictly newer than every
+   * ingested event — the incremental watermark guarantee upstream
+   * filters enforce); every other session on either side passes
+   * through untouched.
+   *
+   * Scale shape: the existing table is first SEMI-JOINED down to the
+   * batch's users (broadcast of the batch's distinct user set), so the
+   * per-run cost is the batch plus the touched users' session tails —
+   * never a rescan of the full history. A bridged pair merges by pure
+   * arithmetic (start = old start, end = new end, counts add) because
+   * `session_end` already carries the gap: `new.start <= old.end` IS
+   * the "quiet time within gap" test, boundary-inclusive, exactly
+   * matching the batch operator's merge rule.
+   */
+  def mergeSessions(existing: DataFrame, batch: DataFrame,
+                    gap: String = "30 minutes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bs = sessions(batch, gap)
+    val users = batch.select(col("user_id")).distinct()
+    val touched = existing.join(broadcast(users), Seq("user_id"), "left_semi")
+    val lastOld = touched
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_start").desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    val firstNew = bs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("session_start"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val bridged = lastOld.alias("o")
+      .join(firstNew.alias("n"), Seq("user_id"))
+      .filter(col("n.session_start") <= col("o.session_end"))
+      .select(col("user_id"),
+        col("o.session_start").as("session_start"),
+        col("n.session_end").as("session_end"),
+        (col("o.n_events") + col("n.n_events")).as("n_events"),
+        col("o.session_start").as("__old_key"),
+        col("n.session_start").as("__new_key"))
+    val keepOld = existing.join(
+      bridged.select(col("user_id"), col("__old_key").as("session_start")),
+      Seq("user_id", "session_start"), "left_anti")
+    val keepNew = bs.join(
+      bridged.select(col("user_id"), col("__new_key").as("session_start")),
+      Seq("user_id", "session_start"), "left_anti")
+    keepOld.unionByName(keepNew)
+      .unionByName(bridged.drop("__old_key", "__new_key"))
+  }
+
+  /**
    * Interval union (gaps-and-islands over EXPLICIT extents): merge each
    * key's overlapping-or-touching `[startCol, endCol]` intervals into
    * maximal islands and report per island its span and the number of

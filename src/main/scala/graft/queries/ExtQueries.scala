@@ -1939,6 +1939,38 @@ object ExtQueries {
              |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
              |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // INCREMENTAL sessionization ([[EventOps.mergeSessions]]): the
+    // session table is built from history (events before the cut),
+    // then a new batch folds in WITHOUT re-sessionizing history — only
+    // each touched user's last session can bridge with their first
+    // new one (the gap test is `new.start <= old.end`, exactly the
+    // batch operator's boundary-inclusive merge rule), and the
+    // existing table is semi-joined down to the batch's users first,
+    // so a daily run costs the batch plus the touched session tails.
+    // The maintained table must equal the full-corpus sessionization
+    // EXACTLY — same oracle as ev_sessions.
+    Q("ev_sessions_incremental",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cut = ev.agg(
+          timestamp_micros(expr(
+            "unix_micros(min(ts)) + (unix_micros(max(ts)) - unix_micros(min(ts))) div 2"))
+            .as("c")).head.getTimestamp(0)
+        val existing = EventOps.sessions(ev.filter(col("ts") <= lit(cut)), "30 minutes")
+        EventOps.mergeSessions(existing, ev.filter(col("ts") > lit(cut)), "30 minutes")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH m AS (SELECT user_id, ts,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |g AS (SELECT user_id, ts,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+             |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
     // Linear multi-touch attribution ([[EventOps.linearAttribution]]):
     // each purchase splits one credit unit equally across the user's
     // click/view touches in the prior hour; channel totals are exact

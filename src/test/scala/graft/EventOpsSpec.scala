@@ -206,4 +206,37 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("sep", true, false), ("svp", true, true),
       ("v", false, false)))
   }
+
+  test("mergeSessions: bridge at the exact boundary, pass-through otherwise") {
+    def sess(rows: (Long, String)*) = {
+      import spark.implicits._
+      EventOps.sessions(rows.toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp")), "30 minutes")
+    }
+    // user 1: old session ends 10:30 (last event 10:00) — new event at
+    // EXACTLY 10:30 bridges (boundary-inclusive, the batch rule);
+    // user 2: new event 1s past the old end starts a fresh session;
+    // user 3: only old; user 4: only new
+    val existing = sess((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:00"),
+      (3L, "2024-01-01 09:00:00"))
+    val batch = Seq((1L, "2024-01-01 10:30:00"), (2L, "2024-01-01 10:30:01"),
+      (4L, "2024-01-01 11:00:00"))
+    import spark.implicits._
+    val batchDf = batch.toDF("user_id", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val got = EventOps.mergeSessions(existing, batchDf, "30 minutes")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.get(1).toString,
+        r.get(2).toString, r.getLong(3))).toSeq
+    // oracle: full-rebuild sessionization over the union
+    val full = sess((Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:00"),
+      (3L, "2024-01-01 09:00:00")) ++ batch): _*)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.get(1).toString,
+        r.get(2).toString, r.getLong(3))).toSeq
+    assert(got == full)
+    // the bridge actually merged: user 1 has ONE session of 2 events
+    assert(got.count(_._1 == 1L) == 1 && got.find(_._1 == 1L).get._4 == 2L)
+    // the 1s-late event did NOT merge: user 2 has two sessions
+    assert(got.count(_._1 == 2L) == 2)
+  }
 }
