@@ -508,6 +508,38 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
         read(layer, table).agg(count(lit(1)).as(alias))
     }
 
+  /** Iceberg's `partitions` METADATA TABLE: per-partition file and row
+    * counts derived entirely from the manifest — partition values are
+    * parsed from the file paths' `k=v` dir chains and row counts come
+    * from the per-file stats recorded at commit time, so the answer is
+    * a driver walk over KB of metadata that opens ZERO data files at
+    * any table size (the per-partition generalization of [[countDF]];
+    * callers can assert `.inputFiles.isEmpty`). Flat files report
+    * partition `""` — a mixed-layout table (partition evolution) lists
+    * each era's partitions side by side. Fails loudly when row-count
+    * stats are incomplete or equality deletes are pending (metadata
+    * counts would lie); the caller falls back to a data-side GROUP BY
+    * in those states, never to a wrong answer. */
+  def partitionsDF(layer: String, table: String): DataFrame = {
+    val id = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val m = readMf(layer, table, id)
+    require(m.deletes.isEmpty,
+      s"SnapshotStore: $layer/$table has pending equality deletes — metadata " +
+        "partition counts would overcount; compact first or GROUP BY the data")
+    val rows = m.files.groupBy(partOf).toSeq.map { case (part, fs) =>
+      val counts = fs.map(f =>
+        m.stats.get(f).flatMap(_.get(RowCountStat)).map(_._1.toLong).getOrElse(
+          throw new IllegalStateException(
+            s"SnapshotStore: $layer/$table file $f has no row-count stats — " +
+              "the metadata partitions table needs statsFor-enabled commits")))
+      (part, fs.size.toLong, counts.sum)
+    }.sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("partition", "n_files", "n_rows")
+  }
+
   /** Schema including hive partition columns (the pool write moves
     * `partitionBy` cols into directory names; the manifest records the
     * LOGICAL schema so empty snapshots stay readable). */

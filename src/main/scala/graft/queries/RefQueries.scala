@@ -1642,6 +1642,36 @@ object RefQueries {
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Iceberg-style `partitions` METADATA table ([[SnapshotStore
+    // .partitionsDF]]): per-partition file and row counts served
+    // entirely from the manifest — partition values parsed from the
+    // file paths, row counts from commit-time per-file stats. The
+    // in-query require pins that the answer opened ZERO data files
+    // (`inputFiles.isEmpty`), so at 100 TB "how big is each
+    // partition?" costs a driver metadata walk, not a table scan —
+    // while the oracle proves the metadata agrees with a data-side
+    // GROUP BY exactly. One file per partition is deterministic here
+    // because the write repartitions on the partition keys.
+    Q("m_partitions_meta",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_pmeta_${new java.io.File(dir).getName}",
+          statsFor = Seq("y"))
+        st.dropTable("bronze", "li")
+        val li = Tables.lineitem(s, dir).select(
+          year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"),
+          col("l_quantity"))
+        st.overwrite(li.repartition(col("y"), col("m")), "bronze", "li", Seq("y", "m"))
+        val parts = st.partitionsDF("bronze", "li")
+        require(parts.inputFiles.isEmpty,
+          "metadata partitions table opened data files")
+        parts.orderBy("partition")
+      },
+      Some("""SELECT 'y=' || CAST(CAST(year(l_shipdate) AS INTEGER) AS VARCHAR)
+             |         || '/m=' || CAST(CAST(month(l_shipdate) AS INTEGER) AS VARCHAR)
+             |         AS partition,
+             |       CAST(1 AS BIGINT) AS n_files, CAST(count(*) AS BIGINT) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY partition""".stripMargin)),
+
     // Partition evolution (Iceberg's flagship layout feature): the
     // table starts FLAT (era 1), then evolves to hive-partitioning by
     // year (era 2) WITHOUT rewriting a single era-1 file — the
