@@ -33,6 +33,41 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col(textCol), col("n_copies"))
 
+  /** Unicode confusables commonly abused to evade text filters: the
+    * Cyrillic and Greek characters visually identical to Latin (left)
+    * and their Latin skeleton (right). A SUBSET of Unicode TR39's
+    * confusable table — the high-frequency spam set, kept 1:1 so a
+    * plain `translate` (same semantics in every engine) applies it. */
+  val ConfusablesFrom = "аеорсхуіјѕԁοαε"
+  val ConfusablesTo = "aeopcxyijsdoae"
+
+  /** Homoglyph skeleton of a text: lowercase, confusables folded to
+    * Latin. Texts equal under the skeleton but DIFFERENT raw are the
+    * signature of confusable-substitution spam. */
+  def skeleton(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(lower(c), ConfusablesFrom, ConfusablesTo)
+
+  /**
+   * Homoglyph-variant dedup: group documents by their confusable
+   * skeleton and report every group whose members are NOT raw-equal —
+   * the duplicates only the skeleton can see (exact dedup keys on the
+   * raw bytes; shingle/minhash signatures shatter because every
+   * substituted character breaks its shingles). Two-level aggregate:
+   * (skeleton, raw text) counts first, then per-skeleton roll-up — so
+   * no distinct-aggregate Expand ever touches corpus-sized data, and
+   * both shuffles are hash-keyed on text (md5-narrow them at 100 TB,
+   * like [[exactDedup]]).
+   */
+  def homoglyphGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), col(textCol), skeleton(col(textCol)).as("__sk"))
+      .groupBy(col("__sk"), col(textCol))
+      .agg(min(col(idCol)).as("__min_id"), count(lit(1)).as("__n"))
+      .groupBy(col("__sk"))
+      .agg(min(col("__min_id")).as("keep_id"), sum(col("__n")).as("n_docs"),
+        count(lit(1)).as("n_variants"))
+      .filter(col("n_variants") > 1)
+      .select(col("keep_id"), col("n_docs"), col("n_variants"))
+
   /** Incremental (continuous-ingestion) exact dedup: admit only the
     * `batch` documents whose text appears neither in the already-
     * committed `corpus` nor EARLIER in the batch itself (first id wins

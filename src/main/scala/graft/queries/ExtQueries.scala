@@ -335,6 +335,40 @@ object ExtQueries {
 
     // ── Deduplication ──────────────────────────────────────────────────
 
+    // Homoglyph-variant dedup ([[Dedup.homoglyphGroups]]): the corpus
+    // is salted with confusable-substitution spam — copies of every
+    // 9th document with Latin a/e/o swapped for their Cyrillic
+    // lookalikes, the classic filter-evasion move. Exact dedup keys on
+    // raw bytes and misses them; shingle signatures shatter because
+    // every substituted character breaks its shingles; the TR39-style
+    // skeleton (lowercase + confusable fold, a plain `translate`)
+    // groups them exactly. Two-level aggregate — (skeleton, raw)
+    // counts, then per-skeleton roll-up — so no distinct-Expand
+    // touches corpus-sized data.
+    Q("dd_homoglyph",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val spam = d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + off).as("doc_id"),
+            translate(col("text"), "aeo", "аео").as("text"))
+        Dedup.homoglyphGroups(d.unionByName(spam), "doc_id", "text")
+          .orderBy("keep_id")
+      },
+      Some(s"""WITH corpus AS (
+              |  SELECT doc_id, text FROM documents
+              |  UNION ALL
+              |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+              |         translate(text, 'aeo', 'аео')
+              |  FROM documents WHERE doc_id % 9 = 0),
+              |l1 AS (SELECT translate(lower(text),
+              |           '${Dedup.ConfusablesFrom}', '${Dedup.ConfusablesTo}') AS sk,
+              |         text, min(doc_id) AS min_id, count(*) AS n
+              |       FROM corpus GROUP BY 1, 2)
+              |SELECT min(min_id) AS keep_id, CAST(sum(n) AS BIGINT) AS n_docs,
+              |       CAST(count(*) AS BIGINT) AS n_variants
+              |FROM l1 GROUP BY sk HAVING count(*) > 1 ORDER BY keep_id""".stripMargin)),
+
     // Exact dedup: one hash-aggregate shuffle keyed on the text; at
     // 100 TB you'd key on md5(text) to keep shuffle rows narrow — the
     // aggregate shape is identical.

@@ -315,6 +315,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs(hashKey = true) == pairs(hashKey = false))
   }
 
+  test("homoglyphGroups catches confusable variants exact dedup misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "free money now"),
+      (2L, "frее mоnеy nоw"),   // Cyrillic е/о — same skeleton as doc 1
+      (3L, "FREE Money Now"),   // case variant — skeleton lowercases
+      (4L, "free money now"),   // raw-exact copy of 1: same VARIANT, not a new one
+      (5L, "совершенно другой"), // genuinely different text, no group
+      (6L, "unique doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.homoglyphGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // one group: keep doc 1, 4 docs total, 3 DISTINCT raw variants
+    assert(got == Seq((1L, 4L, 3L)))
+    // raw-exact-only duplicates are NOT homoglyph groups (n_variants = 1)
+    val rawOnly = Seq((1L, "same"), (2L, "same")).toDF("doc_id", "text")
+    assert(Dedup.homoglyphGroups(rawOnly, "doc_id", "text").count() == 0)
+  }
+
   test("substringSpans merges overlapping dup windows into maximal spans") {
     import spark.implicits._
     // docs 1 and 2 share one verbatim 12-char passage ("SHAREDPASSAGE"
