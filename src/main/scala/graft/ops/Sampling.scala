@@ -148,6 +148,41 @@ object Sampling {
   }
 
   /**
+   * Temperature-rebalanced corpus mixture at α = 1/2 — the LLM
+   * data-recipe move of sampling domain d in proportion to n_d^α with
+   * α < 1, flattening head domains and boosting tail ones. α is
+   * EXACTLY one half because sqrt is the one fractional power IEEE 754
+   * rounds correctly (pow(x, 0.7) can differ in the last ulp across
+   * libms and flip a quota at a floor boundary; sqrt cannot), and the
+   * weights are integerized — w_d = floor(sqrt(n_d)), exact for any
+   * realistic domain count — so the quota arithmetic
+   * `quota_d = (budget × w_d) div Σw` is all-BIGINT: deterministic,
+   * order-independent, and bit-identical in any engine. Selection
+   * within a domain follows the md5(id) order (engine-portable, unlike
+   * xxhash64), so the chosen DOCUMENT IDENTITIES — not just the
+   * per-domain counts — are reproducible and oracle-verifiable.
+   * Quotas exceeding a domain's size self-cap through the rank filter.
+   * One window shuffle + a broadcast quota join; the quota table is
+   * one row per domain and never routes through the driver.
+   */
+  def temperatureMixture(df: DataFrame, keyCol: String, idCol: String,
+                         budget: Long): DataFrame = {
+    require(budget > 0, s"temperatureMixture: budget must be positive, got $budget")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n").cast("double"))).cast("long"))
+    val tot = counts.agg(sum(col("__w")).as("__tw"))
+    val quotas = counts.crossJoin(tot)
+      .select(col(keyCol), expr(s"($budget * __w) div __tw").as("__quota"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(quotas), Seq(keyCol))
+      .filter(col("__rn") <= col("__quota"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /**
    * Deterministic negative sampling for contrastive training: for every
    * anchor, `k` pseudo-random candidates from the pool (anchor itself
    * excluded), reproducible across reruns, partitionings, and engines —

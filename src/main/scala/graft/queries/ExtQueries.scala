@@ -644,6 +644,33 @@ object ExtQueries {
              |             count(*)) AS BIGINT) AS n_docs
              |FROM documents GROUP BY 1 ORDER BY source""".stripMargin)),
 
+    // Temperature-rebalanced mixture ([[Sampling.temperatureMixture]],
+    // α = 1/2): domains draw quota ∝ floor(√n_d) — head domains
+    // flattened, tail boosted, the standard LLM data-recipe
+    // rebalancing — with ALL-BIGINT quota arithmetic (sqrt is the one
+    // correctly-rounded fractional power; floor-integerized weights
+    // make Σw and the div exact in any engine) and md5-ordered
+    // selection, so the oracle verifies the chosen document
+    // IDENTITIES, not just per-domain counts.
+    Q("samp_temperature",
+      (s, dir) => Sampling.temperatureMixture(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "source", "doc_id", budget = 2000L)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id"),
+      Some("""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+             |           FROM documents GROUP BY 1),
+             |w AS (SELECT source, n,
+             |        CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+             |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM w),
+             |q AS (SELECT source, (2000 * w) // tw AS quota FROM w CROSS JOIN t),
+             |r AS (SELECT source, doc_id,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |      FROM documents)
+             |SELECT source, doc_id FROM r JOIN q USING (source)
+             |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin)),
+
     // Corpus length profile: equi-width histogram of document lengths
     // per source — pure INTEGER bucket arithmetic (n_chars div 200,
     // clamped), so both engines agree bit-exactly; one narrow shuffle
