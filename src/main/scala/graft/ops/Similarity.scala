@@ -430,6 +430,51 @@ object Similarity {
       .join(dominated, Seq(idCol), "left_anti")
   }
 
+  /**
+   * INCREMENTAL SemDeDup — the continuous-ingestion form of
+   * [[semanticDedup]]: admit only the `batch` vectors that are not
+   * semantically dominated (cosine ≥ `minCosine`, same cell) by the
+   * already-committed `corpus` or by a SMALLER-ID batch member. The
+   * committed corpus is never re-deduped against itself.
+   *
+   * Scale shape (why a daily batch costs the batch): the batch assigns
+   * against broadcast centroids; the corpus side is SEMI-JOINED down
+   * to the batch's touched cells before any pairing, so the corpus
+   * contributes only those cells' vectors — at 100 TB with stored
+   * per-cell assignments ([[semanticDedup]]'s `partitionBy(centroid_
+   * id)` layout) that read is partition-pruned, and the pair join is
+   * batch × cell-density, never corpus². Ids must be globally unique
+   * across corpus and batch (the committed set wins ties by
+   * construction — it is already admitted).
+   */
+  def semanticDedupIncremental(corpus: DataFrame, batch: DataFrame,
+                               vecCol: String, idCol: String,
+                               centroids: DataFrame, cVecCol: String, cIdCol: String,
+                               minCosine: Double): DataFrame = {
+    val bCells = ivfAssign(batch, vecCol, idCol, centroids, cVecCol, cIdCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(batch.select(col(idCol), col(vecCol)), Seq(idCol))
+    val touched = bCells.select(col("centroid_id")).distinct()
+    val cCells = ivfAssign(corpus, vecCol, idCol, centroids, cVecCol, cIdCol)
+      .select(col(idCol), col("centroid_id"))
+      .join(broadcast(touched), Seq("centroid_id"), "left_semi")
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    val b = bCells.select(col("centroid_id"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val byCorpus = cCells
+      .select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .join(b, Seq("centroid_id"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= minCosine)
+      .select(col("id_b").as(idCol))
+    val byBatch = bCells
+      .select(col("centroid_id"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .join(b, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .filter(cosine(col("vec_a"), col("vec_b")) >= minCosine)
+      .select(col("id_b").as(idCol))
+    bCells.select(col(idCol), col("centroid_id"))
+      .join(byCorpus.unionByName(byBatch).distinct(), Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold among
     * same-LSH-bucket candidates (the embedding analogue of MinHash). */
   def embeddingNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,

@@ -805,6 +805,61 @@ object ExtQueries {
     // (vec_id%5, +100000) share their original's cell with cosine 1.0,
     // so the operator provably removes them; the oracle replays the
     // full assignment + within-cell pair discovery in SQL.
+    // INCREMENTAL semantic dedup ([[Similarity
+    // .semanticDedupIncremental]]): a new batch is admitted against
+    // the committed corpus — batch vectors dominated by a corpus
+    // member (injected exact copies of corpus vectors prove the
+    // cross-set path) or by a smaller-id batch member (injected
+    // batch-internal copies prove that path) in the same cell are
+    // dropped; the corpus is never re-paired with itself, and only
+    // its TOUCHED cells' vectors join the batch. The daily-ingestion
+    // cost shape: batch × cell density, never corpus².
+    Q("dd_semantic_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val off = emb.agg(coalesce(max("vec_id"), lit(0L))).head.getLong(0) + 1
+        val corpus = emb.filter(col("vec_id") % 4 =!= 0)
+        val batch = emb.filter(col("vec_id") % 4 === 0)
+          .unionByName(corpus.filter(col("vec_id") % 6 === 1)
+            .select((col("vec_id") + off).as("vec_id"), col("embedding")))
+          .unionByName(emb.filter(col("vec_id") % 8 === 0)
+            .select((col("vec_id") + off * 2).as("vec_id"), col("embedding")))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        Similarity.semanticDedupIncremental(corpus, batch, "embedding", "vec_id",
+          cents, "c_vec", "c_id", minCosine = 0.99)
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 0),
+              |off AS (SELECT MAX(vec_id) + 1 AS o FROM embeddings),
+              |batch AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+              |          UNION ALL
+              |          SELECT vec_id + (SELECT o FROM off), embedding FROM corpus WHERE vec_id % 6 = 1
+              |          UNION ALL
+              |          SELECT vec_id + 2 * (SELECT o FROM off), embedding
+              |          FROM embeddings WHERE vec_id % 8 = 0),
+              |cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+              |bc AS (SELECT vec_id, embedding, c_id AS centroid_id FROM (
+              |         SELECT b.vec_id, b.embedding, c.c_id,
+              |                row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              |                  ${Similarity.cosineSql("b.embedding", "c.c_vec")} DESC, c.c_id) AS rn
+              |         FROM batch b CROSS JOIN cents c) WHERE rn = 1),
+              |cc AS (SELECT vec_id, embedding, c_id AS centroid_id FROM (
+              |         SELECT e.vec_id, e.embedding, c.c_id,
+              |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+              |                  ${Similarity.cosineSql("e.embedding", "c.c_vec")} DESC, c.c_id) AS rn
+              |         FROM corpus e CROSS JOIN cents c) WHERE rn = 1),
+              |dom AS (
+              |  SELECT DISTINCT b.vec_id FROM cc a JOIN bc b USING (centroid_id)
+              |  WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.99
+              |  UNION
+              |  SELECT DISTINCT b.vec_id FROM bc a JOIN bc b USING (centroid_id)
+              |  WHERE a.vec_id < b.vec_id
+              |    AND ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.99)
+              |SELECT vec_id, centroid_id FROM bc
+              |WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+              |ORDER BY vec_id""".stripMargin)),
+
     Q("dd_semantic",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
