@@ -186,16 +186,85 @@ object Multimodal {
 
   /** Decode one image/video payload: real BMP or AVI parse when the
     * container is recognized, deterministic stub otherwise. */
+  /** REAL JPEG header parser — pure JVM marker-segment walk: validates
+    * SOI, steps marker segments by their big-endian lengths (skipping
+    * 0xFF fill bytes), and reads the first SOF0/SOF1/SOF2 frame
+    * header: (width, height, components). None for anything malformed,
+    * for SOS/EOI reached before any SOF, and for segments running past
+    * the buffer — a truncated file can never mis-parse. */
+  def parseJpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return None
+      var j = i
+      while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1 // fill bytes
+      val marker = b(j + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS before SOF
+      if (j + 3 >= b.length) return None
+      val len = ((b(j + 2) & 0xff) << 8) | (b(j + 3) & 0xff)
+      if (len < 2 || j + 2 + len > b.length) return None
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+        if (len < 8) return None
+        val h = ((b(j + 5) & 0xff) << 8) | (b(j + 6) & 0xff)
+        val w = ((b(j + 7) & 0xff) << 8) | (b(j + 8) & 0xff)
+        val comps = b(j + 9) & 0xff
+        if (w <= 0 || h <= 0 || comps <= 0) return None
+        return Some((w, h, comps))
+      }
+      i = j + 2 + len
+    }
+    None
+  }
+
+  /** Minimal well-formed JPEG (SOI + JFIF APP0 + a COM segment of
+    * `comLen` filler bytes + SOF0 with 3 components + EOI) — the
+    * synthesis side of [[parseJpeg]]: container structure real, no
+    * entropy-coded data. Total bytes = 45 + comLen. */
+  def jpegBytes(w: Int, h: Int, comLen: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(45 + comLen)
+    out.put(0xff.toByte).put(0xd8.toByte) // SOI
+    out.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte)
+      .put(1.toByte).put(1.toByte) // version 1.1
+      .put(0.toByte).putShort(1).putShort(1) // no units, 1:1 aspect
+      .put(0.toByte).put(0.toByte) // no thumbnail
+    out.put(0xff.toByte).put(0xfe.toByte).putShort((comLen + 2).toShort) // COM
+    (0 until comLen).foreach(k => out.put((k % 251).toByte))
+    out.put(0xff.toByte).put(0xc0.toByte).putShort(17) // SOF0, len 8 + 3*3
+      .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+    (1 to 3).foreach { c =>
+      out.put(c.toByte).put(0x11.toByte).put(0.toByte) // 1x1 sampling, QT 0
+    }
+    out.put(0xff.toByte).put(0xd9.toByte) // EOI
+    out.array()
+  }
+
+  /** Deterministic JPEG corpus with id-keyed dimensions and COM
+    * padding, so an oracle predicts width/height/byte_len analytically
+    * while the bytes exercise the REAL marker-walk parse. */
+  def synthJpegCorpus(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (16 + id % 256).toInt
+      val h = (16 + (id * 5) % 256).toInt
+      (id, jpegBytes(w, h, comLen = (id % 40).toInt))
+    }.toDF(idCol, "payload")
+  }
+
   def imageDecode(id: Long, payload: Array[Byte]): MediaMeta = {
     val header = () => payload.take(8).map("%02x".format(_)).mkString
     parsePng(payload) match {
       case Some((w, h, _)) => MediaMeta(id, payload.length.toLong, header(), w, h, 1)
       case None => parseBmp(payload) match {
         case Some((w, h, _)) => MediaMeta(id, payload.length.toLong, header(), w, h, 1)
-        case None => parseAvi(payload) match {
-          case Some((frames, w, h)) =>
-            MediaMeta(id, payload.length.toLong, header(), w, h, frames)
-          case None => fakeDecode(id, payload)
+        case None => parseJpeg(payload) match {
+          case Some((w, h, _)) => MediaMeta(id, payload.length.toLong, header(), w, h, 1)
+          case None => parseAvi(payload) match {
+            case Some((frames, w, h)) =>
+              MediaMeta(id, payload.length.toLong, header(), w, h, frames)
+            case None => fakeDecode(id, payload)
+          }
         }
       }
     }

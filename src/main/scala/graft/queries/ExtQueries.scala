@@ -2745,6 +2745,26 @@ object ExtQueries {
              |  CAST(1 AS INTEGER) AS n_frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Image multimodal path with a REAL JPEG marker-walk parse:
+    // genuine JFIF containers (SOI + APP0 + COM padding + SOF0 + EOI)
+    // with id-keyed dimensions, decoded by Multimodal.parseJpeg —
+    // big-endian segment lengths stepped to the first SOF frame
+    // header, truncation-safe. The oracle predicts every column
+    // analytically; a mis-stepped segment or endian slip
+    // hash-mismatches.
+    Q("mm_jpeg_meta",
+      (s, dir) => Multimodal.decodeMeta(s,
+        Multimodal.synthJpegCorpus(s, Tables.documents(s, dir), "doc_id"),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(45 + doc_id % 40 AS BIGINT) AS byte_len,
+             |  'ffd8ffe000104a46' AS header_hex,
+             |  CAST(16 + doc_id % 256 AS INTEGER) AS width,
+             |  CAST(16 + (doc_id * 5) % 256 AS INTEGER) AS height,
+             |  CAST(1 AS INTEGER) AS n_frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Image multimodal path with a REAL BMP container parse: genuine
     // 24bpp BMPs with id-keyed dimensions, decoded by
     // Multimodal.parseBmp (LE header fields, stride/size sanity). The

@@ -66,6 +66,28 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.header_hex == "89504e470d0a1a0a")
   }
 
+  test("parseJpeg walks markers to SOF, rejects malformed inputs") {
+    import graft.ops.Multimodal._
+    val jpg = jpegBytes(1920, 1080, comLen = 11)
+    assert(jpg.length == 45 + 11)
+    assert(parseJpeg(jpg).contains((1920, 1080, 3)))
+    // truncation mid-segment, empty, and wrong signature never throw
+    assert(parseJpeg(jpg.take(30)).isEmpty)
+    assert(parseJpeg(Array.empty[Byte]).isEmpty)
+    val badSig = jpg.clone(); badSig(1) = 0x00
+    assert(parseJpeg(badSig).isEmpty)
+    // a segment whose declared length runs past the buffer is rejected
+    val badLen = jpg.clone(); badLen(4) = 0x7f // APP0 length high byte
+    assert(parseJpeg(badLen).isEmpty)
+    // SOS/EOI before any SOF → None (no frame header to trust)
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(parseJpeg(noSof).isEmpty)
+    // a JPEG payload routes through the real parser in imageDecode
+    val meta = imageDecode(9L, jpg)
+    assert(meta.width == 1920 && meta.height == 1080 && meta.n_frames == 1)
+    assert(meta.header_hex == "ffd8ffe000104a46")
+  }
+
   test("parseBmp round-trips the synthesized container exactly") {
     val bmp = Multimodal.bmpBytes(17, 9, 0x7f.toByte) // odd width exercises row padding
     val (w, h, bpp) = Multimodal.parseBmp(bmp).get
