@@ -1243,6 +1243,35 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     rows.toDF("snapshot_id", "op", "n_files", "txn", "detail")
   }
 
+  /** Commit wall-clock time of a snapshot: the manifest file's
+    * modification time (the manifest is written once and renamed into
+    * place, so its mtime IS the commit instant — exactly how Delta
+    * resolves `TIMESTAMP AS OF` from its log files). Epoch millis. */
+  def commitTimeMs(layer: String, table: String, id: Long): Long =
+    fs.getFileStatus(new Path(manifestDir(layer, table),
+      f"m$id%012d")).getModificationTime
+
+  /** `TIMESTAMP AS OF` time travel: the latest snapshot committed at
+    * or before `tsMs` — resolved from manifest mtimes, a driver
+    * metadata walk over the retained snapshot list (no data IO).
+    * Fails loudly when `tsMs` predates every retained snapshot, like
+    * Delta's timestamp-before-earliest error — never silently returns
+    * newer data than the caller asked for. */
+  def snapshotAsOf(layer: String, table: String, tsMs: Long): Long = {
+    val ids = snapshots(layer, table)
+    require(ids.nonEmpty,
+      s"SnapshotStore: no committed snapshot for $layer/$table")
+    val at = ids.filter(commitTimeMs(layer, table, _) <= tsMs)
+    require(at.nonEmpty,
+      s"SnapshotStore: no snapshot of $layer/$table at or before $tsMs " +
+        s"(earliest retained commit: ${commitTimeMs(layer, table, ids.head)})")
+    at.max
+  }
+
+  /** Read the table as of a wall-clock instant ([[snapshotAsOf]]). */
+  def readAsOf(layer: String, table: String, tsMs: Long): DataFrame =
+    readSnapshot(layer, table, snapshotAsOf(layer, table, tsMs))
+
   /** Delete pool files referenced by NO retained manifest (Delta
     * VACUUM): a driver-side set difference over file paths, then
     * deletes. Safe at any time — retained snapshots keep every file

@@ -1642,6 +1642,38 @@ object RefQueries {
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // `TIMESTAMP AS OF` time travel ([[SnapshotStore.readAsOf]]):
+    // snapshots resolve by WALL-CLOCK commit instant — the manifest
+    // file's mtime, which is exactly how Delta resolves timestamps
+    // from its log — so "the table as the 09:00 report saw it" needs
+    // no version number. The query builds two generations, captures an
+    // instant between the commits, and reads both the as-of state and
+    // the current state; pre-history timestamps fail loudly
+    // (unit-tested), never silently returning newer data.
+    Q("m_snapshot_asof",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_asof_${new java.io.File(dir).getName}")
+        st.dropTable("gold", "monthly")
+        def gold(src: DataFrame) =
+          StockOps.goldMonthly(StockOps.silverDaily(StockOps.bronzeFromLineitem(src)))
+        val li = Tables.lineitem(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+        st.overwrite(gold(li.filter(col("l_shipdate") < lit(cut))), "gold", "monthly")
+        Thread.sleep(30) // commit-mtime granularity guard
+        val mid = System.currentTimeMillis
+        Thread.sleep(30)
+        st.overwrite(gold(li), "gold", "monthly")
+        st.readAsOf("gold", "monthly", mid).withColumn("version", lit("prev"))
+          .unionByName(st.read("gold", "monthly").withColumn("version", lit("curr")))
+          .orderBy("version", "sigla_empresa", "ano", "mes")
+      },
+      Some(s"""WITH prev_g AS (${StockOps.goldSql("WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'")}),
+              |curr_g AS (${StockOps.goldSql()})
+              |SELECT *, 'prev' AS version FROM prev_g
+              |UNION ALL
+              |SELECT *, 'curr' AS version FROM curr_g
+              |ORDER BY version, sigla_empresa, ano, mes""".stripMargin)),
+
     // Iceberg-style `partitions` METADATA table ([[SnapshotStore
     // .partitionsDF]]): per-partition file and row counts served
     // entirely from the manifest — partition values parsed from the

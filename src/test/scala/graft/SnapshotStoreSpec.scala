@@ -594,6 +594,21 @@ class SnapshotStoreSpec extends SparkSpec {
       Seq((1L, "a"), (3L, "e")))
   }
 
+  test("TIMESTAMP AS OF resolves commits by wall-clock, refuses pre-history") {
+    val st = newStore("asof")
+    val v1 = st.overwrite(Seq((1L, "a")).toDF("id", "v"), "s", "t")
+    Thread.sleep(50) // mtime granularity guard
+    val mid = System.currentTimeMillis
+    Thread.sleep(50)
+    val v2 = st.append(Seq((2L, "b")).toDF("id", "v"), "s", "t")
+    assert(st.snapshotAsOf("s", "t", mid) == v1)
+    assert(st.snapshotAsOf("s", "t", System.currentTimeMillis) == v2)
+    assert(st.readAsOf("s", "t", mid).select("id").as[Long].collect().toSeq == Seq(1L))
+    // a timestamp before every retained commit fails loudly (Delta's
+    // timestamp-before-earliest contract) — never newer data than asked
+    intercept[IllegalArgumentException] { st.snapshotAsOf("s", "t", 0L) }
+  }
+
   test("partition evolution: old-layout files stay readable, scoped ops fence") {
     val st = new SnapshotStore(spark,
       java.nio.file.Files.createTempDirectory("graft_ss_pevo").toString,
