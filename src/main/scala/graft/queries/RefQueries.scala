@@ -1642,6 +1642,53 @@ object RefQueries {
               |WHERE data_inicio_mes BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern, composed from the
+    // store's own branches + audits): a batch lands on a ZERO-COPY
+    // audit branch, quality checks run against the branch while prod
+    // serves the old snapshot, and only a passing audit publishes —
+    // one fast-forward manifest commit, no data movement. The dirty
+    // attempt (injected negative prices) is caught ON THE BRANCH and
+    // discarded; prod provably never saw it (in-query require on the
+    // prod audit between attempts). This is the governed-ingestion
+    // flow the medallion reference runs blind (its daily MERGE lands
+    // straight in the serving table, ingest_stocks.py:87-100).
+    Q("m_wap",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_wap_${new java.io.File(dir).getName}")
+        st.dropTable("prod", "orders"); st.dropTable("audit", "orders")
+        val ord = Tables.orders(s, dir)
+        val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+        def slim(df: DataFrame) =
+          df.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        val base = slim(ord.filter(col("o_orderdate") < lit(cut)))
+        val batch = slim(ord.filter(col("o_orderdate") >= lit(cut)))
+        st.overwrite(base, "prod", "orders")
+        // attempt 1: the batch arrives corrupted (negative prices)
+        val dirty = batch.withColumn("o_totalprice",
+          when(col("o_orderkey") % 1000 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        st.shallowClone("prod", "orders", "audit", "orders")
+        st.append(dirty, "audit", "orders")
+        val branchViolations = st.read("audit", "orders")
+          .filter(col("o_totalprice") <= 0).count()
+        require(branchViolations > 0, "audit failed to catch the injected corruption")
+        st.dropTable("audit", "orders") // audit failed → branch discarded
+        require(st.read("prod", "orders").filter(col("o_totalprice") <= 0).count() == 0,
+          "prod saw the dirty batch — WAP isolation broken")
+        // attempt 2: the clean batch passes audit and publishes
+        st.shallowClone("prod", "orders", "audit", "orders")
+        st.append(batch, "audit", "orders")
+        require(st.read("audit", "orders").filter(col("o_totalprice") <= 0).count() == 0,
+          "clean batch failed audit")
+        st.mergeBranch("audit", "orders")
+        // the publish is BY REFERENCE — the branch pool owns the
+        // batch's files, so the published branch stays (a failed one
+        // is droppable: nothing in prod references it, see attempt 1)
+        st.read("prod", "orders").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
     // `TIMESTAMP AS OF` time travel ([[SnapshotStore.readAsOf]]):
     // snapshots resolve by WALL-CLOCK commit instant — the manifest
     // file's mtime, which is exactly how Delta resolves timestamps
