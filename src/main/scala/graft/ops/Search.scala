@@ -49,10 +49,32 @@ object Search {
   def bm25(docs: DataFrame, idCol: String, textCol: String,
            queryTerms: DataFrame, k: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (tf, dl) = indexBatch(docs, idCol, textCol)
+    bm25FromIndex(tf, dl, queryTerms, k, k1, b)
+  }
+
+  /** The inverted-index TABLES for a document batch — per-(doc, term)
+    * frequencies and per-doc lengths, both from ONE tokenize pass.
+    * Documents are immutable, so disjoint batches' index rows simply
+    * APPEND: the search index is an incrementally-maintained table
+    * whose daily cost is the batch's own tokenization, never a corpus
+    * re-index. df/N/avgdl are deliberately NOT materialized — they
+    * derive from tf/dl at query time ([[bm25FromIndex]]), so an
+    * append can never leave them stale. */
+  def indexBatch(docs: DataFrame, idCol: String,
+                 textCol: String): (DataFrame, DataFrame) = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    (toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")),
+      toks.groupBy("doc_id").agg(count(lit(1)).as("dl")))
+  }
+
+  /** [[bm25]] scoring over MAINTAINED index tables (`tf(doc_id, term,
+    * tf)`, `dl(doc_id, dl)`) — identical math and plan shape; the
+    * corpus text never re-tokenizes at query time. */
+  def bm25FromIndex(tf: DataFrame, dl: DataFrame,
+                    queryTerms: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
     val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
 

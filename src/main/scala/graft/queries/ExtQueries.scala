@@ -1273,6 +1273,37 @@ object ExtQueries {
         "(1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'sort'),(3,'stream'),(3,'table')",
         k = 10) + "\nORDER BY q_id, rank")),
 
+    // INCREMENTALLY-MAINTAINED BM25 index ([[Search.indexBatch]] +
+    // [[Search.bm25FromIndex]]): the inverted index lives as two
+    // snapshot-store TABLES (per-(doc,term) tf, per-doc dl) built from
+    // one half of the corpus and APPENDED with the other — documents
+    // are immutable, so a batch's index rows are a pure append costing
+    // the batch's own tokenization, never a corpus re-index; df/N/
+    // avgdl deliberately derive from the tables at query time so
+    // appends can't leave them stale. Scoring from the maintained
+    // tables must hash-equal search_bm25's full-corpus run — same
+    // oracle.
+    Q("search_bm25_incremental",
+      (s, dir) => {
+        import s.implicits._
+        val st = new graft.engine.SnapshotStore(s, s"/tmp/graft_ss_bm25_${new java.io.File(dir).getName}")
+        st.dropTable("idx", "tf"); st.dropTable("idx", "dl")
+        val docs = Tables.documents(s, dir)
+        val (tf1, dl1) = Search.indexBatch(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text")
+        val (tf2, dl2) = Search.indexBatch(docs.filter(col("doc_id") % 2 =!= 0),
+          "doc_id", "text")
+        st.overwrite(tf1, "idx", "tf"); st.overwrite(dl1, "idx", "dl")
+        st.append(tf2, "idx", "tf"); st.append(dl2, "idx", "dl")
+        val qt = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+          (2L, "sort"), (3L, "stream"), (3L, "table")).toDF("q_id", "term")
+        Search.bm25FromIndex(st.read("idx", "tf"), st.read("idx", "dl"), qt, k = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some(Search.bm25Sql("documents",
+        "(1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'sort'),(3,'stream'),(3,'table')",
+        k = 10) + "\nORDER BY q_id, rank")),
+
     // Reciprocal-rank fusion ([[Search.rrfFuse]]): BM25 relevance fused
     // with a document-quality ranking over the SAME candidate set —
     // the calibration-free way to blend ranking signals (1/(60+rA) +
