@@ -2446,6 +2446,61 @@ object ExtQueries {
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Streaming CDC APPLY, oracle-hashed end state ([[StreamOps
+    // .cdcApplySink]]): a change feed derived from lineitem — per
+    // order key, line numbers are successive versions (op 'u'), and
+    // every 7th key's final change is a DELETE — replays as
+    // sequence-ordered micro-batches (one staged file per version,
+    // written in order) into a warehouse table. Within each batch only
+    // the key's highest-sequence change applies; deletes remove rows
+    // an earlier batch upserted. The drained table must equal the
+    // last-version-per-surviving-key relation — the Debezium-consumer
+    // contract, hash-verified.
+    Q("stream_cdc_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_cdc_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val li = Tables.lineitem(s, dir)
+        val mx = li.groupBy(col("l_orderkey")).agg(max("l_linenumber").as("__mx"))
+        // the synthetic lineitem repeats (orderkey, linenumber) pairs,
+        // so the CDC sequence tie-breaks by the quantity's exact cents
+        // — a unique-enough total order (rows tying on ALL of key,
+        // linenumber, and qty are identical payloads, so either wins)
+        val feed = li.join(mx, Seq("l_orderkey"))
+          .select(col("l_orderkey").as("k"),
+            (col("l_linenumber").cast(LongType) * 10000000L +
+              expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("seq"),
+            when(col("l_orderkey") % 7 === 0 && col("l_linenumber") === col("__mx"),
+              lit("d")).otherwise(lit("u")).as("op"),
+            col("l_quantity").as("qty"),
+            col("l_linenumber").as("__v"))
+        val staged = s"$base/in"
+        // one file per version number, written IN ORDER: the file
+        // source replays them as sequence-ordered micro-batches
+        (1 to 7).foreach { v =>
+          feed.filter(col("__v") === v).drop("__v").coalesce(1)
+            .write.mode("append").parquet(staged)
+        }
+        val wh = new graft.engine.Warehouse(s, s"$base/wh", keepVersions = 0)
+        wh.dropTable("serve", "orders_cdc")
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        StreamOps.cdcApplySink(stream, wh, "serve", "orders_cdc",
+          keys = Seq("k"), seqCol = "seq", opCol = "op",
+          checkpoint = s"$base/ckpt").awaitTermination()
+        wh.read("serve", "orders_cdc").orderBy("k")
+      },
+      Some("""SELECT k, qty FROM (
+             |  SELECT l_orderkey AS k, l_quantity AS qty,
+             |         row_number() OVER (PARTITION BY l_orderkey
+             |           ORDER BY l_linenumber DESC,
+             |             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) DESC) AS rn
+             |  FROM lineitem)
+             |WHERE rn = 1 AND k % 7 <> 0
+             |ORDER BY k""".stripMargin)),
+
     // Streaming SESSION WINDOWS, oracle-hashed end state ([[StreamOps
     // .sessionsStream]]): the event corpus replays as real micro-
     // batches into the state-store-backed `session_window` aggregate —

@@ -258,6 +258,46 @@ object StreamOps {
       .start()
 
   /**
+   * Streaming CDC APPLY — the Debezium-feed consumer: a change stream
+   * of (key columns, sequence, op ∈ {'u','d'}, payload) applied to a
+   * warehouse table per micro-batch. Within a batch only each key's
+   * HIGHEST-sequence change applies (intermediate churn collapses to
+   * one write); an upsert overwrites the key's row, a delete removes
+   * it, and a later batch's upsert REINSERTS a previously-deleted key.
+   * CONTRACT: the feed is per-key sequence-ordered across batches (a
+   * CDC log's offset order — what Kafka-partition-by-key delivery
+   * gives); under that order the apply is idempotent per batch, so
+   * checkpoint replays converge to the same table.
+   *
+   * Scale shape: per batch, one bounded window over the BATCH (not
+   * the table) collapses churn, then one keyed merge against the
+   * maintained table — the table is read/written once per batch
+   * regardless of feed rate, and the merge's anti-join sides are
+   * batch-sized (broadcast at daily-feed scale).
+   */
+  def cdcApplySink(changes: DataFrame, wh: Warehouse, layer: String, table: String,
+                   keys: Seq[String], seqCol: String, opCol: String,
+                   checkpoint: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+        val last = batch.toDF()
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .drop("__rn")
+        val ups = last.filter(col(opCol) =!= "d").drop(opCol, seqCol)
+        val dels = last.filter(col(opCol) === "d").select(keys.map(col): _*)
+        if (wh.tableExists(layer, table)) {
+          val kept = wh.read(layer, table).join(dels, keys, "left_anti")
+          Merge.schemaGuard(kept, ups)
+          wh.atomicOverwrite(Merge.upsert(kept, ups, keys), layer, table)
+        } else wh.atomicOverwrite(ups, layer, table)
+      }
+      .start()
+
+  /**
    * Incremental retention cohorts — the classic "cohort table
    * maintained by upsert". Each micro-batch MERGEs two compact
    * warehouse tables instead of re-scanning the event history:

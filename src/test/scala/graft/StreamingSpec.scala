@@ -375,4 +375,27 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "session_start").collect()
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("cdcApplySink: churn collapses, deletes remove, later upserts reinsert") {
+    import spark.implicits._
+    val staged = tmp("graft_cdc_in")
+    // batch 1: k=1 v1, k=2 v1, and k=1 churns to v2 inside the batch
+    Seq((1L, 1L, "u", 10.0), (2L, 2L, "u", 20.0), (1L, 3L, "u", 11.0))
+      .toDF("k", "seq", "op", "qty").coalesce(1).write.mode("append").parquet(staged)
+    // batch 2: delete k=1, update k=2
+    Seq((1L, 4L, "d", 0.0), (2L, 5L, "u", 21.0))
+      .toDF("k", "seq", "op", "qty").coalesce(1).write.mode("append").parquet(staged)
+    // batch 3: k=1 REINSERTS after its delete, k=3 appears
+    Seq((1L, 6L, "u", 12.0), (3L, 7L, "u", 30.0))
+      .toDF("k", "seq", "op", "qty").coalesce(1).write.mode("append").parquet(staged)
+    val wh = new graft.engine.Warehouse(spark, tmp("graft_cdc_wh"), keepVersions = 0)
+    val stream = StreamOps.eventStream(spark, staged, schemaOf(staged),
+      maxFilesPerTrigger = Some(1))
+    StreamOps.cdcApplySink(stream, wh, "serve", "t",
+      keys = Seq("k"), seqCol = "seq", opCol = "op",
+      checkpoint = tmp("graft_cdc_ck")).awaitTermination()
+    val got = wh.read("serve", "t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 12.0), (2L, 21.0), (3L, 30.0)))
+  }
 }
