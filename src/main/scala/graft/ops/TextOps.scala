@@ -345,6 +345,50 @@ object TextOps {
   def truncateTokens(text: Column, maxTokens: Int): Column =
     array_join(slice(tokens(text), 1, maxTokens), " ")
 
+  /**
+   * T5-style SPAN CORRUPTION pair construction: every `every`-th token
+   * (1-based positions divisible by `every`) is replaced by an
+   * incrementing sentinel `<X_k>` in the model INPUT, and the TARGET
+   * is the sentinel-prefixed sequence of the removed tokens — the
+   * denoising objective's (input, target) example, built as a pure
+   * zero-shuffle projection (one tokenize, three array HOFs) that
+   * scales with the scan. Documents shorter than `every` tokens yield
+   * an uncorrupted input and an empty target — never dropped, so the
+   * example count is stable under length filtering decisions made
+   * elsewhere. Deterministic: positions, not randomness, choose the
+   * spans (auditable corpora re-generate bit-identically; swap the
+   * position rule for a salted hash to approximate i.i.d. masking).
+   */
+  def spanCorrupt(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, every: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(every >= 2, s"spanCorrupt: every must be >= 2, got $every")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val sentinel = (p: Column) =>
+      concat(lit("<X_"), (p / lit(every)).cast("int").cast("string"), lit(">"))
+    val input = concat_ws(" ", transform(col("__toks"), (t, i0) =>
+      when((i0 + 1) % every === 0, sentinel(i0 + 1)).otherwise(t)))
+    val masked = filter(
+      transform(col("__toks"), (t, i0) => struct((i0 + 1).as("p"), t.as("t"))),
+      s => s("p") % every === 0)
+    val target = concat_ws(" ",
+      transform(masked, s => concat(sentinel(s("p")), lit(" "), s("t"))))
+    base.select(col(idCol), input.as("input_text"), target.as("target_text"),
+      size(masked).cast(LongType).as("n_masked"))
+  }
+
+  /** DuckDB mirror of [[spanCorrupt]] (its lambda index is 1-based
+    * where Spark's is 0-based — aligned here). */
+  def spanCorruptSql(col: String, every: Int): (String, String, String) = {
+    val sent = (p: String) => s"'<X_' || CAST($p // $every AS VARCHAR) || '>'"
+    val toks = tokensSql(col)
+    (s"array_to_string(list_transform($toks, (t, i) -> " +
+      s"CASE WHEN i % $every = 0 THEN ${sent("i")} ELSE t END), ' ')",
+      s"array_to_string(list_transform(list_filter(list_transform($toks, " +
+        s"(t, i) -> {'p': i, 't': t}), s -> s.p % $every = 0), " +
+        s"s -> ${sent("s.p")} || ' ' || s.t), ' ')",
+      s"CAST(len(list_filter($toks, (t, i) -> i % $every = 0)) AS BIGINT)")
+  }
+
   def truncateTokensSql(col: String, maxTokens: Int): String =
     s"array_to_string(list_slice(${tokensSql(col)}, 1, $maxTokens), ' ')"
 

@@ -671,6 +671,23 @@ object ExtQueries {
              |SELECT source, doc_id FROM r JOIN q USING (source)
              |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin)),
 
+    // T5-style span-corruption examples ([[TextOps.spanCorrupt]]):
+    // every 5th token becomes an incrementing `<X_k>` sentinel in the
+    // input and the target carries the sentinel-prefixed removed
+    // tokens — the denoising objective's (input, target) pair built as
+    // a zero-shuffle projection that scales with the scan. Positions
+    // (not randomness) choose spans, so the corpus regenerates
+    // bit-identically; the oracle replays the full construction.
+    Q("t_span_corrupt",
+      (s, dir) => TextOps.spanCorrupt(Tables.documents(s, dir), "doc_id", "text",
+          every = 5)
+        .orderBy("doc_id"),
+      Some {
+        val (inp, tgt, nm) = TextOps.spanCorruptSql("text", 5)
+        s"""SELECT doc_id, $inp AS input_text, $tgt AS target_text, $nm AS n_masked
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
     // Corpus length profile: equi-width histogram of document lengths
     // per source — pure INTEGER bucket arithmetic (n_chars div 200,
     // clamped), so both engines agree bit-exactly; one narrow shuffle
