@@ -2463,6 +2463,44 @@ object ExtQueries {
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Streaming EXACT heavy hitters, oracle-hashed end state
+    // ([[StreamOps.keyedCountsSink]]): the token stream's per-batch
+    // (token, cnt) partials append exactly-once; re-summing the
+    // maintained table IS the corpus term-count relation, so the
+    // heavy-hitter epilogue (count > ⌊φ·total⌋) lands exactly on the
+    // batch GROUP BY/HAVING — continuous frequent-term monitoring
+    // whose maintained state is batches × touched tokens, with no raw
+    // token retention and replay-proof commits. Same oracle semantics
+    // as t_heavy_hitters.
+    Q("stream_heavy_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_hh_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val tok = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("w"))
+        val staged = s"$base/in"
+        tok.repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        StreamOps.keyedCountsSink(stream, st, "metrics", "term_counts",
+          Seq("w"), checkpoint = s"$base/ckpt").awaitTermination()
+        val counts = st.read("metrics", "term_counts")
+          .groupBy("w").agg(sum("cnt").as("n"))
+        val total = counts.agg(sum("n").as("t"))
+        counts.crossJoin(broadcast(total))
+          .filter(col("n") > floor(lit(0.005) * col("t").cast(DoubleType)).cast(LongType))
+          .select(col("w").as("token"), col("n").cast(LongType).as("n_occ"))
+          .orderBy("token")
+      },
+      Some(s"""WITH tok AS (SELECT unnest(${TextOps.tokensSql("text")}) AS w FROM documents),
+              |nn AS (SELECT count(*) AS n FROM tok)
+              |SELECT w AS token, CAST(count(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1
+              |HAVING count(*) > (SELECT CAST(floor(0.005 * n) AS BIGINT) FROM nn)
+              |ORDER BY token""".stripMargin)),
+
     // Streaming CDC APPLY, oracle-hashed end state ([[StreamOps
     // .cdcApplySink]]): a change feed derived from lineitem — per
     // order key, line numbers are successive versions (op 'u'), and

@@ -193,6 +193,27 @@ object StreamOps {
       }
       .start()
 
+  /** Additive KEYED-COUNT maintenance: each micro-batch appends its
+    * (keys, cnt) partial counts exactly-once (batch-id transaction
+    * tags), so re-summing the maintained table equals a batch count
+    * over everything ever streamed — the streaming form of any
+    * additive rollup (term counts feeding exact heavy hitters,
+    * per-key event totals). State = batches × keys touched per batch,
+    * no raw rows retained; compaction re-merges additively. */
+  def keyedCountsSink(stream: DataFrame, st: SnapshotStore, layer: String,
+                      table: String, keys: Seq[String], checkpoint: String,
+                      sinkId: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        st.appendIfAbsent(
+          batch.toDF().groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt")),
+          layer, table, txnTag(checkpoint, sinkId, batchId))
+        ()
+      }
+      .start()
+
   /** EXACTLY-ONCE streaming append into a [[SnapshotStore]] table: each
     * micro-batch commits one snapshot tagged with its batch id
     * ([[SnapshotStore.appendIfAbsent]]), so a checkpoint-recovery
