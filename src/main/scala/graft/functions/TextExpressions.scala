@@ -98,3 +98,57 @@ case class NormalizeNfc(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Histogram of a bucket-id array: `graft_bucket_counts(arr, dim)` →
+ * ARRAY<BIGINT> of length `dim` where slot j counts elements equal to
+ * j (null elements and out-of-range ids are ignored; a null array is
+ * null). One compiled pass over the array — the codegen'd replacement
+ * for `dim` higher-order `filter` lambdas, which run INTERPRETED in
+ * Spark (every HigherOrderFunction is CodegenFallback) and were
+ * measured at ~Dim× this expression's cost in the hashed-feature
+ * pipeline (Classifier.withFeatureCol).
+ */
+case class BucketCounts(child: Expression, dim: Int) extends UnaryExpression {
+  require(dim >= 1 && dim <= (1 << 20), s"graft_bucket_counts: bad dim $dim")
+
+  override def prettyName: String = "graft_bucket_counts"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<BIGINT>, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.bucketCounts(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.bucketCounts($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextKernels {
+  /** One-pass bucket histogram (see [[BucketCounts]]). */
+  def bucketCounts(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                   dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Long](dim)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getLong(i)
+        if (b >= 0 && b < dim) out(b.toInt) += 1L
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}

@@ -60,6 +60,38 @@ object Classifier {
         j => size(filter(toks, t => md5Bucket(t, Dim) === j)).cast(LongType)))
   }
 
+  /** Per-token bucket array — md5 hashed ONCE per token. Kept in its
+    * own projection by callers (the bucket column is referenced Dim
+    * times downstream, so CollapseProject leaves the barrier), because
+    * the inline [[features]]/[[rawCounts]] forms re-tokenize AND
+    * re-hash every token once per bucket: higher-order-function
+    * lambdas run interpreted and share no subexpressions — measured
+    * ~Dim× the md5 cost on the corpus scans (ml_centroid_eval
+    * 11.7 → ~2 s at sf0.1). */
+  private def tokenBuckets(text: Column): Column =
+    transform(TextOps.tokens(text), t => md5Bucket(t, Dim))
+
+  /** Bucket-count vector over a PRECOMPUTED bucket array: ONE compiled
+    * pass ([[graft.functions.BucketCounts]]) — the Dim filter-lambda
+    * form ran interpreted (HOFs are CodegenFallback) and cost ~Dim×
+    * this. */
+  private def countsOf(bk: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.BucketCounts(Bridge.expression(bk), Dim))
+  }
+
+  /** `df` + feature column `outCol` via the staged two-projection
+    * form (buckets once, then counts); `bias` prepends the constant-1
+    * slot [[features]] carries. */
+  private def withFeatureCol(df: DataFrame, textCol: String, label: Column,
+                             outCol: String, bias: Boolean): DataFrame = {
+    val staged = df.select(label.cast(LongType).as("y"),
+      tokenBuckets(col(textCol)).as("__bk"))
+    val counts = countsOf(col("__bk"))
+    staged.select(col("y"),
+      (if (bias) concat(array(lit(1L)), counts) else counts).as(outCol))
+  }
+
   /** DuckDB mirror of [[features]] (1-based lists downstream). */
   def featuresSql(text: String): String =
     s"[CAST(1 AS BIGINT)] || list_transform(range(0, $Dim), " +
@@ -86,8 +118,7 @@ object Classifier {
                       epochs: Int): Seq[Epoch] = {
     require(epochs >= 1, s"trainPerceptron: epochs must be >= 1, got $epochs")
     val n = Dim + 1
-    val feats = docs.select(label.cast(LongType).as("y"),
-      features(col(textCol)).as("x")).cache()
+    val feats = withFeatureCol(docs, textCol, label, "x", bias = true).cache()
     val out = scala.collection.mutable.ArrayBuffer.empty[Epoch]
     try {
       val w = Array.fill(n)(0L)
@@ -115,8 +146,8 @@ object Classifier {
       s"confusion: expected ${Dim + 1} weights, got ${weights.length}")
     val dot = weights.indices.map(j => lit(weights(j)) * get(col("x"), lit(j)))
       .reduce(_ + _)
-    docs.select(label.cast(LongType).as("label"), features(col(textCol)).as("x"))
-      .select(col("label"),
+    withFeatureCol(docs, textCol, label, "x", bias = true)
+      .select(col("y").as("label"),
         when(dot > 0, lit(1L)).otherwise(lit(-1L)).as("predicted"))
       .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
   }
@@ -178,8 +209,7 @@ object Classifier {
    * 10³⁸, far past any realistic corpus.
    */
   def centroidModel(docs: DataFrame, textCol: String, label: Column): CentroidModel = {
-    val feats = docs.select(label.cast(LongType).as("y"),
-      rawCounts(col(textCol)).as("x")).cache()
+    val feats = withFeatureCol(docs, textCol, label, "x", bias = false).cache()
     try {
       val statAggs =
         count(when(col("y") === 1, lit(1))).as("npos") +:
@@ -215,8 +245,8 @@ object Classifier {
     val score = (0 until Dim).map(j => lit(m.w(j)) * get(col("x"), lit(j))).reduce(_ + _)
     val lhs = lit(new java.math.BigDecimal(m.lhsScale.bigInteger)).cast(dec) * score.cast(dec)
     val rhs = lit(new java.math.BigDecimal(m.rhs.bigInteger)).cast(dec)
-    docs.select(label.cast(LongType).as("label"), rawCounts(col(textCol)).as("x"))
-      .select(col("label"), when(lhs > rhs, lit(1L)).otherwise(lit(-1L)).as("predicted"))
+    withFeatureCol(docs, textCol, label, "x", bias = false)
+      .select(col("y").as("label"), when(lhs > rhs, lit(1L)).otherwise(lit(-1L)).as("predicted"))
       .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
   }
 }
