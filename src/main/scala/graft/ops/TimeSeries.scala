@@ -542,4 +542,41 @@ object TimeSeries {
        |       ((datediff('day', DATE '1970-01-01', $dateCol) % 7 + 7) % 7)) AS DOUBLE)
        |  / CAST(COUNT($valueCol) OVER (PARTITION BY $partitionKeys,
        |       ((datediff('day', DATE '1970-01-01', $dateCol) % 7 + 7) % 7)) AS DOUBLE) AS baseline""".stripMargin
+
+  /**
+   * Exponentially-weighted moving average at α = 1/2, engine-EXACT:
+   * each step is `s ← (x + s)/2` — one correctly-rounded IEEE addition
+   * and one exact halving — so any engine folding the same ordered
+   * series produces bit-identical doubles, where a general-α EWMA
+   * multiplies by non-dyadic weights and drifts ulps between libms.
+   * Evaluated at `checkpoints` evenly-spaced prefix lengths per key
+   * (each an O(prefix) left fold over the key's time-sorted series);
+   * the per-key collected array is the operator's state — the same
+   * bounded-series contract as the trailing-feature frames, with the
+   * documented chunked-fold escape when a key's history outgrows one
+   * task. Output: `(keys…, idx, ewma)`, deduped where short series
+   * collapse checkpoints.
+   */
+  def ewmaHalf(df: DataFrame, keys: Seq[String], orderCol: String,
+               valueCol: String, checkpoints: Int): DataFrame = {
+    require(checkpoints >= 1, s"ewmaHalf: checkpoints must be >= 1, got $checkpoints")
+    val sorted = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__s"))
+      .select(keys.map(col) :+ transform(col("__s"), s => s("v")).as("__v"): _*)
+    val cps = transform(sequence(lit(1), lit(checkpoints)), c => {
+      val idx = greatest(
+        floor(size(col("__v")) * c / lit(checkpoints)).cast("int"), lit(1))
+      struct(idx.cast("long").as("idx"),
+        aggregate(slice(col("__v"), lit(2), idx - 1),
+          element_at(col("__v"), 1),
+          (acc, x) => (x + acc) / lit(2.0)).as("ewma"))
+    })
+    sorted.filter(size(col("__v")) > 0)
+      .select(keys.map(col) :+ explode(cps).as("__c"): _*)
+      .select(keys.map(col) :+ col("__c.idx").as("idx") :+ col("__c.ewma").as("ewma"): _*)
+      .dropDuplicates(keys :+ "idx")
+  }
 }

@@ -671,6 +671,31 @@ object ExtQueries {
              |SELECT source, doc_id FROM r JOIN q USING (source)
              |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin)),
 
+    // α=1/2 EWMA checkpoints ([[TimeSeries.ewmaHalf]]): the
+    // exponential smoother whose every step — s ← (x+s)/2 — is one
+    // correctly-rounded addition plus an EXACT halving, so the folded
+    // doubles are bit-identical in any engine (general-α EWMAs drift
+    // ulps through non-dyadic weights and can't hash-verify). Four
+    // evenly-spaced prefix checkpoints per ticker over the daily close
+    // series; the fold order is the time order, pinned by the same
+    // sorted-collect the trailing features use.
+    Q("ts_ewma",
+      (s, dir) => TimeSeries.ewmaHalf(
+          graft.ops.StockOps.silverDaily(graft.ops.StockOps.bronzeFromLineitem(
+            Tables.lineitem(s, dir))),
+          Seq("sigla_empresa"), "data_pregao", "valor_fechamento", checkpoints = 4)
+        .orderBy("sigla_empresa", "idx"),
+      Some(s"""WITH silver AS (${graft.ops.StockOps.silverSql()}),
+              |g AS (SELECT sigla_empresa,
+              |        list(CAST(valor_fechamento AS DOUBLE) ORDER BY data_pregao) AS v
+              |      FROM silver GROUP BY 1),
+              |c AS (SELECT sigla_empresa,
+              |        greatest(CAST(floor(len(v) * i / 4.0) AS INT), 1) AS idx, v
+              |      FROM g, unnest(range(1, 5)) t(i))
+              |SELECT DISTINCT sigla_empresa, CAST(idx AS BIGINT) AS idx,
+              |       list_reduce(list_slice(v, 1, idx), (acc, x) -> (x + acc) / 2) AS ewma
+              |FROM c ORDER BY sigla_empresa, idx""".stripMargin)),
+
     // T5-style span-corruption examples ([[TextOps.spanCorrupt]]):
     // every 5th token becomes an incrementing `<X_k>` sentinel in the
     // input and the target carries the sentinel-prefixed removed
