@@ -220,6 +220,35 @@ object RefQueries {
              |      FROM orders WHERE o_orderkey % 100 = 0)
              |ORDER BY o_orderkey, half""".stripMargin)),
 
+    // MAP-typed column surface: build per-row maps, merge
+    // (map_concat), look up (element_at), prune entries (map_filter —
+    // a lambda over entries), and explode back to rows. Everything is
+    // a narrow codegen'd/HOF projection; the oracle mirrors the
+    // SEMANTICS as a flat UNION (DuckDB maps serialize differently but
+    // the exploded relation is engine-neutral).
+    Q("p_map_funcs",
+      (s, dir) => Tables.orders(s, dir)
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          map_concat(
+            map(lit("status"), col("o_orderstatus"),
+              lit("priority"), col("o_orderpriority")),
+            map(lit("bucket"),
+              when(col("o_totalprice") >= 150000, lit("hi")).otherwise(lit("lo"))))
+            .as("m"))
+        .select(col("o_orderkey"),
+          element_at(col("m"), "status").as("status"),
+          explode(map_filter(col("m"), (k, _) => k =!= "priority")))
+        .select(col("o_orderkey"), col("status"), col("key"), col("value"))
+        .orderBy("o_orderkey", "key"),
+      Some("""SELECT o_orderkey, o_orderstatus AS status, 'bucket' AS key,
+             |       CASE WHEN o_totalprice >= 150000 THEN 'hi' ELSE 'lo' END AS value
+             |FROM orders WHERE o_orderkey % 100 = 0
+             |UNION ALL
+             |SELECT o_orderkey, o_orderstatus, 'status', o_orderstatus
+             |FROM orders WHERE o_orderkey % 100 = 0
+             |ORDER BY o_orderkey, key""".stripMargin)),
+
     // ── Filters ────────────────────────────────────────────────────────
 
     // F2: quality predicates (daily_stocks.sql:26-27).
