@@ -2558,19 +2558,33 @@ object ExtQueries {
             col("l_quantity").as("qty"),
             col("l_linenumber").as("__v"))
         val staged = s"$base/in"
-        // one file per version number, written IN ORDER: the file
-        // source replays them as sequence-ordered micro-batches
+        // one file per version number in ONE pass (hive-partitioned by
+        // version, repartitioned so each dir is a single file), then
+        // explicit mtimes force the file source's replay order — the
+        // 7 sequential per-version writes this replaces re-scanned the
+        // feed 7 times for pure fixture setup
+        feed.repartition(col("__v")).write.partitionBy("__v").parquet(staged)
+        val t0 = System.currentTimeMillis - 70000
         (1 to 7).foreach { v =>
-          feed.filter(col("__v") === v).drop("__v").coalesce(1)
-            .write.mode("append").parquet(staged)
+          val dir = new org.apache.hadoop.fs.Path(s"$staged/__v=$v")
+          fs.listStatus(dir).filter(_.getPath.getName.endsWith(".parquet"))
+            .foreach(st => fs.setTimes(st.getPath, t0 + v * 1000L, -1))
         }
         val wh = new graft.engine.Warehouse(s, s"$base/wh", keepVersions = 0)
         wh.dropTable("serve", "orders_cdc")
         val stream = StreamOps.eventStream(s, staged,
           s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
-        StreamOps.cdcApplySink(stream, wh, "serve", "orders_cdc",
-          keys = Seq("k"), seqCol = "seq", opCol = "op",
-          checkpoint = s"$base/ckpt").awaitTermination()
+          .drop("__v") // the hive staging dir column is not feed payload
+        // per-batch plans (window + merge + table write) bill fixed
+        // cost per shuffle partition × batch — scope the fan-out for
+        // the drive (restored in finally), the stream_join lesson
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          StreamOps.cdcApplySink(stream, wh, "serve", "orders_cdc",
+            keys = Seq("k"), seqCol = "seq", opCol = "op",
+            checkpoint = s"$base/ckpt").awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
         wh.read("serve", "orders_cdc").orderBy("k")
       },
       Some("""SELECT k, qty FROM (
