@@ -237,6 +237,19 @@ object Classifier {
     } finally feats.unpersist()
   }
 
+  /** Per-document integer scores of a centroid model —
+    * `(id, y, s)` with `s = w·x` exact BIGINT: the ranking/calibration
+    * surface (confusion folds it to a decision; calibration needs the
+    * scores themselves). Pure projection over the staged features. */
+  def centroidScores(docs: DataFrame, idCol: String, textCol: String,
+                     label: Column, m: CentroidModel): DataFrame = {
+    val staged = docs.select(col(idCol).as("id"), label.cast(LongType).as("y"),
+      tokenBuckets(col(textCol)).as("__bk"))
+    val withX = staged.select(col("id"), col("y"), countsOf(col("__bk")).as("x"))
+    val score = (0 until Dim).map(j => lit(m.w(j)) * get(col("x"), lit(j))).reduce(_ + _)
+    withX.select(col("id"), col("y"), score.as("s"))
+  }
+
   /** Confusion counts of a centroid model: the exact rational decision
     * `lhsScale·(w·x) > rhs`, compared in DECIMAL(38,0). One scan. */
   def centroidConfusion(docs: DataFrame, textCol: String, label: Column,

@@ -114,7 +114,7 @@ object ExtQueries {
       .mkString(",\n              ")
     val ws = (0 until D).map(j => s"nneg * sp_$j - npos * sn_$j AS w_$j").mkString(", ")
     val dot = (0 until D).map(j => s"w_$j * x[${j + 1}]").mkString(" + ")
-    s"""feats AS (SELECT ${graft.ops.Classifier.qualityLabelSql("text")} AS y,
+    s"""feats AS (SELECT doc_id, ${graft.ops.Classifier.qualityLabelSql("text")} AS y,
        |                 ${graft.ops.Classifier.rawCountsSql("text")} AS x
        |          FROM documents),
        |st AS (SELECT CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS npos,
@@ -122,7 +122,7 @@ object ExtQueries {
        |              $spSn
        |       FROM feats),
        |w AS (SELECT $ws, npos, nneg FROM st),
-       |scored AS (SELECT y, ($dot) AS s FROM feats, w),
+       |scored AS (SELECT doc_id, y, ($dot) AS s FROM feats, w),
        |cls AS (SELECT coalesce(sum(CASE WHEN y = 1 THEN CAST(s AS HUGEINT) END), 0) AS spos,
        |               coalesce(sum(CASE WHEN y = -1 THEN CAST(s AS HUGEINT) END), 0) AS sneg
        |        FROM scored)""".stripMargin
@@ -1242,6 +1242,39 @@ object ExtQueries {
               |       CAST(count(*) AS BIGINT) AS n
               |FROM scored, w, cls
               |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin)),
+
+    // Classifier CALIBRATION curve (reliability diagram): corpus
+    // ranked by the centroid model's exact integer score, cut into
+    // score deciles (ntile over the (score, id) total order —
+    // deterministic), each reporting its size and positive rate. The
+    // eval that tells you whether higher score actually MEANS more
+    // positive — the quality-gate threshold picker. The global ntile
+    // sort is eval-only; at 100 TB rank via bucketed prefix sums like
+    // ml_auc (same statistic, O(buckets) state).
+    Q("ml_calibration",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val label = graft.ops.Classifier.qualityLabel(col("text"))
+        val m = graft.ops.Classifier.centroidModel(docs, "text", label)
+        graft.ops.Classifier.centroidScores(docs, "doc_id", "text", label, m)
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy(col("s"), col("id"))).cast(LongType))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("y") === 1, lit(1))).as("n_pos"))
+          .select(col("decile"), col("n"), col("n_pos"),
+            (col("n_pos").cast(DoubleType) / col("n").cast(DoubleType)).as("pos_rate"))
+          .orderBy("decile")
+      },
+      Some(s"""WITH ${centroidCtes()},
+              |ranked AS (SELECT y, ntile(10) OVER (ORDER BY s, doc_id) AS decile
+              |           FROM scored)
+              |SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n,
+              |       CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS n_pos,
+              |       CAST(count(CASE WHEN y = 1 THEN 1 END) AS DOUBLE)
+              |         / CAST(count(*) AS DOUBLE) AS pos_rate
+              |FROM ranked GROUP BY decile ORDER BY decile""".stripMargin)),
 
     // EXACT heavy hitters with bounded memory ([[graft.ops.Ranking.
     // heavyHitters]]): tokens above 0.5% corpus frequency via the
