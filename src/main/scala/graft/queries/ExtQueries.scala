@@ -1243,6 +1243,26 @@ object ExtQueries {
               |FROM scored, w, cls
               |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin)),
 
+    // Order-independent corpus CHECKSUM: per source, the bitwise XOR
+    // of each document's 60-bit md5 reduction — associative,
+    // commutative, overflow-free, so the checksum is identical at any
+    // partitioning/order and across engines: the cheap "are these two
+    // corpora THE SAME" audit primitive for pipeline handoffs (a
+    // changed/dropped/duplicated doc flips it; XOR's self-inverse
+    // means a doc added twice cancels — pair it with n_docs, which
+    // catches exactly that). One narrow map-side-combined aggregate.
+    Q("t_corpus_checksum",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)").as("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("checksum"))
+        .orderBy("source"),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) AS BIGINT)
+             |         AS checksum
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
     // Classifier CALIBRATION curve (reliability diagram): corpus
     // ranked by the centroid model's exact integer score, cut into
     // score deciles (ntile over the (score, id) total order —
