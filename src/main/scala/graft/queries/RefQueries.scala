@@ -220,6 +220,50 @@ object RefQueries {
              |      FROM orders WHERE o_orderkey % 100 = 0)
              |ORDER BY o_orderkey, half""".stripMargin)),
 
+    // TPC-H Q5 (the canonical local-supplier-volume composition): the
+    // full 6-table shape — region→nation→{customer, supplier} star
+    // dims onto the orders⋈lineitem fact spine, with the c.nation =
+    // s.nation locality constraint. Catalyst broadcasts every dim
+    // (region/nation/supplier/customer are orders-of-magnitude below
+    // the fact side) so the facts shuffle only for their own join;
+    // revenue is an exact decimal sum cast once at the end. The classic
+    // benchmark query, present so a TPC-H-trained eye finds the plan
+    // it expects.
+    Q("j_tpch_q5",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+            && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        val li = Tables.lineitem(s, dir)
+        val sup = Tables.supplier(s, dir)
+        val nat = Tables.nation(s, dir)
+        val reg = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        cust.join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .join(reg, col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .cast(DoubleType).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      Some(s"""SELECT n_name,
+              |       CAST(${Det.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE)
+              |         AS revenue,
+              |       CAST(count(*) AS BIGINT) AS n_lines
+              |FROM customer, orders, lineitem, supplier, nation, region
+              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              |  AND r_name = 'ASIA'
+              |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
+
     // MAP-typed column surface: build per-row maps, merge
     // (map_concat), look up (element_at), prune entries (map_filter —
     // a lambda over entries), and explode back to rows. Everything is
