@@ -640,6 +640,26 @@ class SnapshotStoreSpec extends SparkSpec {
       Seq((1996, 1L, "a"), (1998, 4L, "d"), (1997, 9L, "x")))
   }
 
+  test("partitionsDF lists mixed-layout eras and refuses incomplete stats") {
+    val st = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_ss_pmeta").toString,
+      statsFor = Seq("y"))
+    st.overwrite(Seq((1996, 1L), (1996, 2L)).toDF("y", "id").coalesce(1), "s", "t")
+    st.append(Seq((1997, 3L)).toDF("y", "id"), "s", "t", partitionBy = Seq("y"))
+    val parts = st.partitionsDF("s", "t").orderBy("partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // the flat era lists as partition "" next to the hive era
+    assert(parts == Seq(("", 1L, 2L), ("y=1997", 1L, 1L)))
+    assert(st.partitionsDF("s", "t").inputFiles.isEmpty)
+    // a store that never collected row counts fails loudly, not wrong
+    val bare = newStore("pmeta_bare")
+    bare.overwrite(Seq((1, 1L)).toDF("y", "id"), "s", "t")
+    intercept[IllegalStateException] { bare.partitionsDF("s", "t") }
+    // pending equality deletes: metadata counts would lie — refuse
+    st.deleteKeys(Seq(Tuple1(2L)).toDF("id"), "s", "t", Seq("id"))
+    intercept[IllegalArgumentException] { st.partitionsDF("s", "t") }
+  }
+
   test("bloom lookup stays correct without an index and under deletes") {
     // files committed WITHOUT a bloom are conservatively read
     val plain = newStore("bloom_none")
