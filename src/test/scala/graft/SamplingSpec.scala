@@ -132,4 +132,28 @@ class SamplingSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
     assert(chain(e).exists(_.contains("[0, 1]")), chain(e).mkString(" | "))
   }
+
+  test("temperatureMixture: sqrt quotas, self-capping, determinism under repartition") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    // 100 'big' docs vs 4 'small': sqrt weights 10 vs 2 -> quotas
+    // (budget 24) = 24*10/12 = 20 and 24*2/12 = 4 (self-capped at 4)
+    val df = ((1L to 100L).map(i => (i, "big")) ++ (101L to 104L).map(i => (i, "small")))
+      .toDF("id", "src")
+    val out = Sampling.temperatureMixture(df, "src", "id", budget = 24L)
+    val counts = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("big" -> 20L, "small" -> 4L))
+    // head flattened: raw share 100/104 = 96%, sampled share 20/24 = 83%
+    // selection identity is layout-independent
+    val ids = out.select("id").as[Long].collect().toSet
+    val ids7 = Sampling.temperatureMixture(df.repartition(7), "src", "id", 24L)
+      .select("id").as[Long].collect().toSet
+    assert(ids == ids7)
+    // budget beyond the corpus: every row survives, nothing duplicates
+    assert(Sampling.temperatureMixture(df, "src", "id", 100000L).count() == 104)
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "src", "id", 0L)
+    }
+  }
 }

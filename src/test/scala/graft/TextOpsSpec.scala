@@ -231,4 +231,22 @@ class TextOpsSpec extends SparkSpec {
       TextOps.bpeEncodeTokens(col("text"), merges).as("e")))
     assert(enc.getSeq[String](0) == Seq("n e w est", "x", "lo"))
   }
+
+  test("spanCorrupt: sentinel numbering, short docs, round-trip token counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),  // 10 tokens -> masks pos 5, 10
+      (2L, "one two three"),        // shorter than every=5: untouched
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.spanCorrupt(docs, "doc_id", "text", every = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got(0) == ((1L, "a b c d <X_1> f g h i <X_2>", "<X_1> e <X_2> j", 2L)))
+    assert(got(1) == ((2L, "one two three", "", 0L)))
+    assert(got(2) == ((3L, "", "", 0L)))
+    // input + target together carry every original token exactly once
+    val in0 = got(0)._2.split(" ").filterNot(_.startsWith("<X_"))
+    val tg0 = got(0)._3.split(" ").filterNot(_.startsWith("<X_"))
+    assert((in0 ++ tg0).sorted.toSeq == "a b c d e f g h i j".split(" ").sorted.toSeq)
+  }
 }
