@@ -476,4 +476,105 @@ object EventOps {
       df.withColumn(name, col("journey").rlike(re))
     }
   }
+
+  /** Exact cent conversion with the zscore guard (see
+    * [[graft.ops.TimeSeries]]): DECIMAL(18,2)·100 → BIGINT, loud on
+    * overflow, loud on negatives where the caller requires them. */
+  private def centsOf(valueCol: String, requireNonNeg: Boolean = false): org.apache.spark.sql.Column = {
+    val vc = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("bigint")
+    val guarded = when(col(valueCol).isNotNull && vc.isNull,
+      raise_error(concat(
+        lit(s"events: $valueCol out of DECIMAL(18,2) cent range: "),
+        col(valueCol).cast("string"))).cast("bigint"))
+      .otherwise(vc)
+    if (!requireNonNeg) guarded
+    else when(guarded < 0,
+      raise_error(concat(lit(s"events: $valueCol must be non-negative, got "),
+        col(valueCol).cast("string"))).cast("bigint")).otherwise(guarded)
+  }
+
+  /** RFM segmentation — the classic recency/frequency/monetary quintile
+    * grid over a user event stream. Each user gets three 1–5 scores
+    * (quintile index ASCENDING in the metric: r=1 most recent, f=5 most
+    * frequent, m=5 biggest spender) and lands in segment "rfm".
+    *
+    * The quintile thresholds are NOT a global ntile — a global ntile is
+    * one all-rows sort through a single partition, the exact shape that
+    * dies at 10⁹ users. Instead, threshold k = the smallest metric
+    * value v with #users(metric ≤ v) ≥ k·n/5, computed from a
+    * VALUE-COUNT cumsum whose size is the metric's distinct-value count:
+    * recency is calendar-bounded, frequency is count-bounded, and
+    * monetary is pre-binned to `monetaryBinCents` buckets (the
+    * agg_binned_quantile bound) — so every window runs over a bounded
+    * bin table, never the user table. Scoring is then a pure
+    * broadcast-threshold projection. All arithmetic is exact integers;
+    * `cum·5 ≥ n·k` keeps the quintile rule division-free. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+                  monetaryBinCents: Long = 10000L): DataFrame = {
+    require(monetaryBinCents >= 1, s"rfmSegments: bad bin $monetaryBinCents")
+    val anchor = events.agg(max(to_date(col(tsCol))).as("__anchor"))
+    val per = events
+      .groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(centsOf(valueCol, requireNonNeg = true)).as("monetary_cents"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("__anchor"), col("__last")).cast("long"))
+      .withColumn("__mbin", expr(s"monetary_cents div $monetaryBinCents"))
+    val n = broadcast(per.agg(count(lit(1)).as("__n")))
+    def thresholds(metric: String, pfx: String): DataFrame = {
+      val cum = per.groupBy(col(metric).as("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum(col("__c")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__v"))))
+        .crossJoin(n)
+      cum.agg(
+        min(when(col("__cum") * 5 >= col("__n") * 1, col("__v"))).as(s"${pfx}1"),
+        min(when(col("__cum") * 5 >= col("__n") * 2, col("__v"))).as(s"${pfx}2"),
+        min(when(col("__cum") * 5 >= col("__n") * 3, col("__v"))).as(s"${pfx}3"),
+        min(when(col("__cum") * 5 >= col("__n") * 4, col("__v"))).as(s"${pfx}4"))
+    }
+    def score(metric: String, pfx: String) =
+      (lit(1) + (col(metric) > col(s"${pfx}1")).cast("int")
+        + (col(metric) > col(s"${pfx}2")).cast("int")
+        + (col(metric) > col(s"${pfx}3")).cast("int")
+        + (col(metric) > col(s"${pfx}4")).cast("int"))
+    per
+      .crossJoin(broadcast(thresholds("recency_days", "__r")))
+      .crossJoin(broadcast(thresholds("frequency", "__f")))
+      .crossJoin(broadcast(thresholds("__mbin", "__m")))
+      .select(col(userCol),
+        col("recency_days"), col("frequency"), col("monetary_cents"),
+        score("recency_days", "__r").as("r"),
+        score("frequency", "__f").as("f"),
+        score("__mbin", "__m").as("m"))
+  }
+
+  /** Cohort lifetime-value triangle: users cohorted by first-event day,
+    * revenue rolled up per (cohort, day offset) and accumulated across
+    * the offset axis — the "how much has the Jan-3 cohort spent by day
+    * 14" table every growth dashboard carries next to the retention
+    * triangle ([[retentionCohorts]]).
+    *
+    * Scale shape: one keyed aggregate for first-touch, one keyed join
+    * back to events (both sides keyed by user — co-partitioned), one
+    * (cohort, offset) aggregate, then a per-cohort running sum whose
+    * partitions are calendar-bounded (≤ observed days per cohort).
+    * Revenue is exact integer cents end-to-end. */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val firstDay = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("cohort_d"))
+    events
+      .select(col(userCol), to_date(col(tsCol)).as("__d"),
+        centsOf(valueCol).as("__cents"))
+      .join(firstDay, Seq(userCol))
+      .groupBy(col("cohort_d"),
+        datediff(col("__d"), col("cohort_d")).cast("long").as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"),
+        sum(col("__cents")).as("revenue_cents"))
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cohort_d")).orderBy(col("day_offset"))))
+  }
 }

@@ -127,6 +127,104 @@ object Multimodal {
       chunk("IEND", Array.empty)
   }
 
+  /** REAL GIF (87a/89a) parser — pure JVM. Validates the signature,
+    * reads the little-endian logical-screen dimensions, skips the
+    * global color table per the packed flags, then walks the block
+    * stream — 0x21 extensions and 0x2C image descriptors (each with
+    * its local color table, LZW min-code byte, and length-prefixed
+    * data sub-blocks) — to the 0x3B trailer, counting frames. Returns
+    * (frames, w, h); None for anything malformed, truncated, or
+    * frameless — a parser that guesses on a 100 TB crawl poisons every
+    * downstream sample. */
+  def parseGif(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 14) return None
+    val sig = new String(b, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u8(i: Int) = b(i) & 0xff
+    def u16(i: Int) = u8(i) | (u8(i + 1) << 8) // little-endian
+    val w = u16(6); val h = u16(8)
+    if (w <= 0 || h <= 0) return None
+    var off = 13
+    if ((u8(10) & 0x80) != 0) off += 3 * (1 << ((u8(10) & 0x07) + 1))
+    // length-prefixed sub-blocks until a 0 terminator; -1 = truncated
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (o < b.length) {
+        val n = u8(o); o += 1
+        if (n == 0) return o
+        o += n
+      }
+      -1
+    }
+    var frames = 0
+    while (off < b.length) {
+      u8(off) match {
+        case 0x3b =>
+          return if (frames > 0) Some((frames, w, h)) else None
+        case 0x2c =>
+          if (off + 10 > b.length) return None
+          val lp = u8(off + 9)
+          var o = off + 10
+          if ((lp & 0x80) != 0) o += 3 * (1 << ((lp & 0x07) + 1))
+          if (o >= b.length) return None
+          o += 1 // LZW min code size
+          o = skipSubBlocks(o)
+          if (o < 0) return None
+          frames += 1; off = o
+        case 0x21 =>
+          if (off + 2 > b.length) return None
+          val o = skipSubBlocks(off + 2)
+          if (o < 0) return None
+          off = o
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Minimal well-formed animated GIF (89a, no global color table,
+    * per-frame graphic-control extension + image descriptor + one
+    * id-keyed data sub-block) — the synthesis side of [[parseGif]]'s
+    * tests and oracle. Frame f carries 1 + (f % 5) payload bytes, so
+    * byte_len is analytically 14 + Σ_f (22 + 1 + f % 5). */
+  def gifBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
+    require(w > 0 && w < 65536 && h > 0 && h < 65536 && frames > 0,
+      s"gifBytes: bad ($w x $h x $frames)")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    def u16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+    out ++= "GIF89a".getBytes("US-ASCII")
+    u16(w); u16(h)
+    out += 0.toByte // packed: no global color table
+    out += 0.toByte // background color index
+    out += 0.toByte // pixel aspect ratio
+    (0 until frames).foreach { f =>
+      out += 0x21.toByte; out += 0xf9.toByte; out += 4.toByte // GCE
+      out += 0.toByte; out += 10.toByte; out += 0.toByte; out += 0.toByte
+      out += 0.toByte // GCE terminator
+      out += 0x2c.toByte // image descriptor
+      u16(0); u16(0); u16(w); u16(h)
+      out += 0.toByte // no local color table
+      out += 2.toByte // LZW min code size
+      val n = 1 + (f % 5)
+      out += n.toByte
+      (0 until n).foreach(i => out += ((f + i) % 251).toByte)
+      out += 0.toByte // sub-block terminator
+    }
+    out += 0x3b.toByte
+    out.toArray
+  }
+
+  /** Deterministic GIF corpus with id-keyed dimensions and frame
+    * counts ([[gifBytes]]), so the oracle predicts every decoded
+    * column analytically. */
+  def synthGifCorpus(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      (id, gifBytes((16 + id % 200).toInt, (16 + (id * 7) % 200).toInt,
+        frames = (1 + id % 4).toInt))
+    }.toDF(idCol, "payload")
+  }
+
   /** REAL AVI (RIFF video) header parser — pure JVM. Validates the
     * RIFF/'AVI ' container, walks top-level chunks into the LIST(hdrl)
     * sub-list, and reads the avih main header little-endian:
@@ -263,7 +361,11 @@ object Multimodal {
           case None => parseAvi(payload) match {
             case Some((frames, w, h)) =>
               MediaMeta(id, payload.length.toLong, header(), w, h, frames)
-            case None => fakeDecode(id, payload)
+            case None => parseGif(payload) match {
+              case Some((frames, w, h)) =>
+                MediaMeta(id, payload.length.toLong, header(), w, h, frames)
+              case None => fakeDecode(id, payload)
+            }
           }
         }
       }

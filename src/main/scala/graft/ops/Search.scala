@@ -157,4 +157,34 @@ object Search {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
   }
+
+  /** Positional phrase search: documents containing the EXACT token
+    * sequence `phrase`, with the per-doc occurrence count — the
+    * "quoted query" feature a tf-only index (bm25) cannot answer.
+    *
+    * Postings carry token positions (one posexplode over the shared
+    * tokenization); an n-term phrase closes with n−1 equi-joins on
+    * (doc, position − term offset), i.e. every leg is re-anchored to
+    * the phrase START so all joins share one key. Each leg filters to
+    * ITS term before joining — the joined relations are term-selective
+    * posting lists, never the corpus — and the join keys carry the doc
+    * id, so the shuffles are the phrase-AND semantics and nothing
+    * more. At warehouse scale the exploded postings are a maintained
+    * TABLE (the search_bm25_incremental pattern, plus a position
+    * column) and the corpus scan disappears entirely. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    require(phrase.forall(t => t.nonEmpty && !t.contains(" ")),
+      s"phraseSearch: terms must be single non-empty tokens, got $phrase")
+    val post = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "term")))
+    val anchored = phrase.zipWithIndex.map { case (t, i) =>
+      post.filter(col("term") === t)
+        .select(col(idCol), (col("pos") - i).as("pos"))
+    }
+    anchored.reduceLeft((a, b) => a.join(b, Seq(idCol, "pos")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -593,4 +593,64 @@ object Similarity {
       .select(col(qIdCol), (col("pos") + 1).cast(LongType).as("rank"),
         col("col.id").as(idCol), col("col.score").cast(LongType).as("score_pts"))
   }
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    * greedily pick k items maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} cos(item, s)` — the standard
+    * diversification pass between retrieval and the consumer (dedup the
+    * "ten near-identical top hits" problem without losing relevance).
+    *
+    * The greedy recursion is SEQUENTIAL BY DEFINITION — pick i+1 depends
+    * on picks 1..i — so this runs k driver-coordinated rounds, each one
+    * a full-candidate scoring job with the selected vectors inlined as
+    * broadcast literals (the kmeans-round shape). Per-round cost is one
+    * scan of the candidate set; the k collects are single-row scalar
+    * reads (the watermark-read pattern). Candidates are bounded by
+    * construction (a top-N retrieval feeds MMR), so cache-ability is a
+    * given; at fleet scale the same greedy runs per query over its own
+    * bounded candidate group.
+    *
+    * Ties break (score DESC, id ASC). μ is computed as `1.0 − λ` ONCE
+    * and exposed to oracle mirrors via the same double (0.7 ⇒
+    * 0.30000000000000004 — interpolate, don't re-type). Returns
+    * `(rank, id, rel, mmr_score)` with exactly min(k, |cands|) rows. */
+  def mmrSelect(cands: DataFrame, idCol: String, vecCol: String, relCol: String,
+                k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && lambda > 0.0 && lambda <= 1.0, s"mmrSelect: bad (k=$k, λ=$lambda)")
+    val mu = 1.0 - lambda
+    val base = cands.select(col(idCol).cast(LongType).as("__id"),
+      col(vecCol).as("__vec"), col(relCol).cast(DoubleType).as("__rel")).cache()
+    try {
+      val spark = cands.sparkSession
+      var picked = Vector.empty[(Long, Seq[Float], Double, Double)] // id, vec, rel, score
+      var it = 0
+      while (it < k) {
+        val rem = base.filter(!col("__id").isInCollection(
+          if (picked.isEmpty) Seq(-1L) else picked.map(_._1)))
+        val sims = picked.map { case (_, v, _, _) =>
+          cosine(col("__vec"), array(v.map(x => lit(x)): _*))
+        }
+        // NOT clamped at 0 — SQL MAX over the selected set can be
+        // negative, and the mirror must land on the identical double
+        val maxSim =
+          if (sims.isEmpty) lit(0.0)
+          else if (sims.size == 1) sims.head
+          else greatest(sims: _*)
+        val scored = rem.withColumn("__score", lit(lambda) * col("__rel") - lit(mu) * maxSim)
+          .orderBy(col("__score").desc, col("__id")).limit(1)
+          .select(col("__id"), col("__vec"), col("__rel"), col("__score")).collect()
+        if (scored.isEmpty) it = k
+        else {
+          val r = scored.head
+          picked :+= ((r.getLong(0), r.getSeq[Float](1), r.getDouble(2), r.getDouble(3)))
+          it += 1
+        }
+      }
+      import spark.implicits._
+      picked.zipWithIndex
+        .map { case ((id, _, rel, score), i) => (i + 1, id, rel, score) }
+        .toDF("rank", "__id", "rel", "mmr_score")
+        .select(col("rank"), col("__id").as(idCol), col("rel"), col("mmr_score"))
+    } finally base.unpersist()
+  }
 }

@@ -518,6 +518,72 @@ object TextOps {
 
   def normalizeNfcSql(col: String): String = s"nfc_normalize($col)"
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    * hash every character k-gram, slide a w-gram window, keep each
+    * window's minimal hash — the MOSS document-fingerprint scheme. Any
+    * substring of length ≥ k + w − 1 shared by two documents shares at
+    * least one fingerprint (the guarantee threshold), while the
+    * expected density is only 2/(w+1) of the grams — the right
+    * selectivity knob between exact-hash dedup and full shingle sets.
+    *
+    * Engine-portable determinism: a gram "hash" is its md5-hex 8-char
+    * prefix COMPARED AS A STRING (min = lexicographic min — no hex
+    * parse, the samp_* rank-key rule), disambiguated by appending the
+    * zero-padded gram position, so each window selects exactly one
+    * (hash, pos) winner in any engine. Short documents (fewer than w
+    * full windows) winnow their whole gram list as one window instead
+    * of fingerprinting nothing.
+    *
+    * Scale shape: one explode to (id, pos, key) — 8+1+7 chars per gram,
+    * the gram TEXT never leaves its partition (the dd_substring_spans
+    * rule) — one per-doc window min over a (pos)-sorted partition, one
+    * distinct. Returns (idCol, fp, fp_hash, fp_pos). */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnow: bad (k=$k, w=$w)")
+    import org.apache.spark.sql.expressions.Window
+    val npos = greatest(length(col(textCol)) - lit(k - 1), lit(0))
+    val keyed = docs
+      .select(col(idCol), col(textCol), npos.as("__n"),
+        explode(when(npos >= 1, sequence(lit(1), npos))
+          .otherwise(array())).as("__p"))
+      .select(col(idCol), col("__n"), col("__p"),
+        concat(
+          substring(md5(col(textCol).substr(col("__p"), lit(k))), 1, 8),
+          lit("@"), lpad(col("__p").cast("string"), 7, "0")).as("__key"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    keyed
+      .withColumn("__fp", min(col("__key")).over(win))
+      // full windows only — except short docs, whose single truncated
+      // window (start 1) stands in for the whole gram list
+      .filter(col("__p") <= greatest(col("__n") - lit(w - 1), lit(1)))
+      .select(col(idCol), col("__fp").as("fp"))
+      .distinct()
+      .select(col(idCol), col("fp"),
+        substring(col("fp"), 1, 8).as("fp_hash"),
+        substring(col("fp"), 10, 7).cast(LongType).as("fp_pos"))
+  }
+
+  /** DuckDB mirror of [[winnow]] as a `WITH`-fragment producing
+    * relation `wfp(doc_id, fp)` from `documents`. */
+  def winnowSql(k: Int = 5, w: Int = 4): String =
+    s"""wg AS (
+       |  SELECT doc_id, p,
+       |         substr(md5(substr(text, CAST(p AS INTEGER), $k)), 1, 8)
+       |           || '@' || lpad(CAST(p AS VARCHAR), 7, '0') AS key0,
+       |         GREATEST(length(text) - ${k - 1}, 0) AS npos
+       |  FROM (SELECT doc_id, text,
+       |               unnest(range(1, GREATEST(length(text) - ${k - 1}, 0) + 1)) AS p
+       |        FROM documents)),
+       |wmin AS (
+       |  SELECT doc_id, p, npos,
+       |         MIN(key0) OVER (PARTITION BY doc_id ORDER BY p
+       |                         ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM wg),
+       |wfp AS (SELECT DISTINCT doc_id, fp FROM wmin
+       |        WHERE p <= GREATEST(npos - ${w - 1}, 1))""".stripMargin
+
   /**
    * Corpus-trained bigram language-model scoring — the CCNet-style
    * fluency screen: score every document by the add-one-smoothed

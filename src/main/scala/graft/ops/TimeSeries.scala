@@ -579,4 +579,53 @@ object TimeSeries {
       .select(keys.map(col) :+ col("__c.idx").as("idx") :+ col("__c.ewma").as("ewma"): _*)
       .dropDuplicates(keys :+ "idx")
   }
+
+  /** Single change-point detection per key via the cumulative-deviation
+    * statistic (CUSUM / binary-segmentation level one): on the ordered
+    * series x_1..x_n, the candidate split after t scores
+    * `S_t = n·Σ_{i≤t} x_i − t·Σ x_i` — n·count-scaled cumulative
+    * deviation from the global mean, i.e. the classic Σ(x_i − x̄)
+    * statistic cleared of division. The change point is the argmax of
+    * |S_t| (earliest date on ties, never the last row — a split after
+    * x_n is no split). The mean shift itself is reported as the exact
+    * sufficient statistics (n/Σ before and after) rather than the two
+    * means, so every output column is exact integer arithmetic
+    * (DECIMAL(38,0) — n·cum products overflow BIGINT once
+    * n·Σ|cents| > 2^63, which a 100 TB series reaches).
+    *
+    * Input must be an aggregated series (one row per (key, order))
+    * with an exact integer value column (cents). Scale shape: ONE
+    * shuffle on the key; the per-key cumsum/count/total all ride a
+    * single WindowExec (unbounded frames over the same partition
+    * order), and the argmax is a second frame over the same
+    * partitioning — no joins, no collect. */
+  def changePoint(series: DataFrame, keys: Seq[String], orderCol: String,
+                  valueCentsCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val whole = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = series
+      .withColumn("__t", row_number().over(w).cast(dec))
+      .withColumn("__cum", sum(col(valueCentsCol)).over(w).cast(dec))
+      .withColumn("__n", count(lit(1)).over(whole).cast(dec))
+      .withColumn("__tot", sum(col(valueCentsCol)).over(whole).cast(dec))
+      .withColumn("__s", col("__n") * col("__cum") - col("__t") * col("__tot"))
+      .filter(col("__t") < col("__n")) // a split after the last row is no split
+    val best = Window.partitionBy(keys.map(col): _*)
+      .orderBy(abs(col("__s")).desc, col(orderCol))
+    scored
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(keys.map(col) ++ Seq(
+        col(orderCol).as("cp_at"),
+        // exact decimal internally; ONE correctly-rounded conversion out
+        // (a DECIMAL(38,0) output column would hash engine-differently)
+        abs(col("__s")).cast("double").as("cusum_abs"),
+        col("__t").cast("bigint").as("n_before"),
+        col("__cum").cast("bigint").as("sum_before_cents"),
+        (col("__n") - col("__t")).cast("bigint").as("n_after"),
+        (col("__tot") - col("__cum")).cast("bigint").as("sum_after_cents")): _*)
+  }
 }

@@ -4597,8 +4597,312 @@ object ExtQueries {
               |  FROM bfs b JOIN edges e ON e.src = b.node
               |  WHERE b.dist < 3)
               |SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
-              |ORDER BY node""".stripMargin))
+              |ORDER BY node""".stripMargin)),
+
+    // ── Link prediction ────────────────────────────────────────────────
+
+    // Common-neighbors / Jaccard link prediction
+    // ([[Graph.linkPrediction]]) over the part co-occurrence graph (the
+    // gr_triangles fixture): which part pairs NEVER bought together
+    // share the most co-purchase neighbors — the classic
+    // recommendation-candidate / graph-completion primitive. Wedges are
+    // enumerated at their shared center (one equi-join keyed by center,
+    // O(Σ deg²) where the data lives), hub centers above degree 50
+    // contribute no wedges (the shingle-df-cap reasoning), existing
+    // edges leave via one anti-join. Counts exact; Jaccard is one
+    // correctly-rounded division.
+    Q("gr_link_pred",
+      (s, dir) => {
+        val lp = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
+            && col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+        val co = lp.as("x").join(lp.as("y"),
+            col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+        val edges = co.unionByName(co.select(col("dst").as("src"), col("src").as("dst")))
+        Graph.linkPrediction(edges, maxCenterDegree = 50L)
+          .orderBy(col("common").desc, col("a"), col("b")).limit(20)
+      },
+      Some("""WITH lp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'),
+             |eraw AS (SELECT DISTINCT x.p AS src, y.p AS dst
+             |         FROM lp x JOIN lp y ON x.ok = y.ok AND x.p < y.p),
+             |edges AS (SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw),
+             |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+             |via AS (SELECT e.src, e.dst FROM edges e JOIN deg d ON e.src = d.node AND d.deg <= 50),
+             |w AS (SELECT v1.dst AS a, v2.dst AS b, CAST(COUNT(*) AS BIGINT) AS common
+             |      FROM via v1 JOIN via v2 ON v1.src = v2.src AND v1.dst < v2.dst
+             |      GROUP BY 1, 2),
+             |cand AS (SELECT w.* FROM w WHERE NOT EXISTS
+             |         (SELECT 1 FROM edges e WHERE e.src = w.a AND e.dst = w.b))
+             |SELECT a, b, common,
+             |       CAST(da.deg + db.deg - common AS BIGINT) AS union_size,
+             |       CAST(common AS DOUBLE) / (da.deg + db.deg - common) AS jaccard
+             |FROM cand JOIN deg da ON cand.a = da.node JOIN deg db ON cand.b = db.node
+             |ORDER BY common DESC, a, b LIMIT 20""".stripMargin)),
+
+    // ── Change-point detection ─────────────────────────────────────────
+
+    // CUSUM mean-shift detection ([[TimeSeries.changePoint]]) on the
+    // per-returnflag daily revenue series: the argmax of the cumulative
+    // deviation |n·CumSum_t − t·Total| locates the split a level shift
+    // creates — monitoring's "when did this series change regime"
+    // primitive next to the threshold screens (ts_zscore family). All
+    // internals are exact integer cents in DECIMAL(38,0)/HUGEINT
+    // (n·cum products outgrow BIGINT at 100 TB); outputs are the exact
+    // before/after sufficient statistics plus one double conversion.
+    Q("ts_changepoint",
+      (s, dir) => {
+        val daily = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_shipdate").cast(DateType).as("d"))
+          .agg(sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .as("cents"))
+        TimeSeries.changePoint(daily, Seq("l_returnflag"), "d", "cents")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH daily AS (
+             |  SELECT l_returnflag, CAST(l_shipdate AS DATE) AS d,
+             |         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+             |  FROM lineitem GROUP BY 1, 2),
+             |st AS (SELECT l_returnflag, d,
+             |         CAST(ROW_NUMBER() OVER w AS HUGEINT) AS t,
+             |         CAST(SUM(cents) OVER w AS HUGEINT) AS cum,
+             |         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS HUGEINT) AS n,
+             |         CAST(SUM(cents) OVER (PARTITION BY l_returnflag) AS HUGEINT) AS tot
+             |       FROM daily WINDOW w AS (PARTITION BY l_returnflag ORDER BY d)),
+             |sc AS (SELECT l_returnflag, d, n * cum - t * tot AS s, t, cum, n, tot
+             |       FROM st WHERE t < n),
+             |best AS (SELECT *, ROW_NUMBER() OVER
+             |           (PARTITION BY l_returnflag ORDER BY ABS(s) DESC, d) AS rn FROM sc)
+             |SELECT l_returnflag, d AS cp_at, CAST(ABS(s) AS DOUBLE) AS cusum_abs,
+             |       CAST(t AS BIGINT) AS n_before, CAST(cum AS BIGINT) AS sum_before_cents,
+             |       CAST(n - t AS BIGINT) AS n_after, CAST(tot - cum AS BIGINT) AS sum_after_cents
+             |FROM best WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // ── Customer analytics ─────────────────────────────────────────────
+
+    // RFM quintile segmentation ([[EventOps.rfmSegments]]) over purchase
+    // events, rolled up to the segment grid. The quintile thresholds
+    // come from bounded VALUE-COUNT cumsums (never a global ntile — that
+    // is one all-users sort through a single partition), so the plan
+    // survives 10⁹ users; scoring is a broadcast-threshold projection.
+    // Monetary rides exact integer cents throughout.
+    Q("ev_rfm",
+      (s, dir) => EventOps.rfmSegments(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value")
+        .groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("monetary_cents")).as("monetary_cents_total"))
+        .orderBy("r", "f", "m"),
+      Some("""WITH ev AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+             |anchor AS (SELECT MAX(CAST(ts AS DATE)) AS ad FROM ev),
+             |per AS (SELECT user_id,
+             |          date_diff('day', MAX(CAST(ts AS DATE)), (SELECT ad FROM anchor)) AS recency_days,
+             |          CAST(COUNT(*) AS BIGINT) AS frequency,
+             |          CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS monetary_cents
+             |        FROM ev GROUP BY user_id),
+             |perb AS (SELECT *, monetary_cents // 10000 AS mbin FROM per),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM perb),
+             |rc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+             |       FROM (SELECT recency_days AS v, COUNT(*) AS c FROM perb GROUP BY 1)),
+             |rt AS (SELECT MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 1 THEN v END) AS t1,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 2 THEN v END) AS t2,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 3 THEN v END) AS t3,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 4 THEN v END) AS t4 FROM rc),
+             |fc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+             |       FROM (SELECT frequency AS v, COUNT(*) AS c FROM perb GROUP BY 1)),
+             |ft AS (SELECT MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 1 THEN v END) AS t1,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 2 THEN v END) AS t2,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 3 THEN v END) AS t3,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 4 THEN v END) AS t4 FROM fc),
+             |mc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+             |       FROM (SELECT mbin AS v, COUNT(*) AS c FROM perb GROUP BY 1)),
+             |mt AS (SELECT MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 1 THEN v END) AS t1,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 2 THEN v END) AS t2,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 3 THEN v END) AS t3,
+             |              MIN(CASE WHEN cum * 5 >= (SELECT n FROM nn) * 4 THEN v END) AS t4 FROM mc),
+             |scored AS (SELECT user_id, monetary_cents,
+             |    1 + CAST(recency_days > rt.t1 AS INTEGER) + CAST(recency_days > rt.t2 AS INTEGER)
+             |      + CAST(recency_days > rt.t3 AS INTEGER) + CAST(recency_days > rt.t4 AS INTEGER) AS r,
+             |    1 + CAST(frequency > ft.t1 AS INTEGER) + CAST(frequency > ft.t2 AS INTEGER)
+             |      + CAST(frequency > ft.t3 AS INTEGER) + CAST(frequency > ft.t4 AS INTEGER) AS f,
+             |    1 + CAST(mbin > mt.t1 AS INTEGER) + CAST(mbin > mt.t2 AS INTEGER)
+             |      + CAST(mbin > mt.t3 AS INTEGER) + CAST(mbin > mt.t4 AS INTEGER) AS m
+             |  FROM perb, rt, ft, mt)
+             |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_users,
+             |       CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents_total
+             |FROM scored GROUP BY 1, 2, 3 ORDER BY r, f, m""".stripMargin)),
+
+    // Cohort lifetime-value triangle ([[EventOps.cohortLtv]]): purchase
+    // revenue per (first-purchase-day cohort, day offset), accumulated
+    // across the offset axis — the LTV curve next to ev_retention's
+    // user-count triangle. Exact integer cents end-to-end; the running
+    // sum's partitions are calendar-bounded.
+    Q("ev_cohort_ltv",
+      (s, dir) => EventOps.cohortLtv(
+          Tables.events(s, dir).filter(col("event_type") === "purchase"),
+          "user_id", "ts", "value")
+        .orderBy("cohort_d", "day_offset"),
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d,
+             |              CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |            FROM events WHERE event_type = 'purchase'),
+             |f AS (SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY 1),
+             |g AS (SELECT f.cohort_d, date_diff('day', f.cohort_d, ev.d) AS day_offset,
+             |             CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_active,
+             |             CAST(SUM(ev.cents) AS BIGINT) AS revenue_cents
+             |      FROM ev JOIN f USING (user_id) GROUP BY 1, 2)
+             |SELECT cohort_d, day_offset, n_active, revenue_cents,
+             |       CAST(SUM(revenue_cents) OVER
+             |         (PARTITION BY cohort_d ORDER BY day_offset) AS BIGINT) AS cum_revenue_cents
+             |FROM g ORDER BY cohort_d, day_offset""".stripMargin)),
+
+    // ── kNN classification ─────────────────────────────────────────────
+
+    // k-nearest-neighbor classifier evaluation over the embedding table:
+    // every 10th vector is held out, classified by majority label of its
+    // 5 nearest training neighbors (exact cosine — the brute-force
+    // baseline; the scale path swaps in the IVF/LSH candidate generators
+    // already here, sim_ivf_search/sim_lsh_topk). The held-out side is
+    // a broadcast; the corpus side is one narrow scan, so no shuffle
+    // touches the big table until the bounded per-query top-k. Ties
+    // break (cosine DESC, id) for neighbors and (votes DESC, label) for
+    // the prediction — deterministic in both engines.
+    Q("ml_knn",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val test = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("true_label"))
+        val train = emb.filter(col("vec_id") % 10 =!= 0)
+        val top = train.crossJoin(broadcast(test))
+          .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+            Similarity.cosine(col("embedding"), col("q_vec")).as("cos"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rn") <= 5)
+        val pred = top.groupBy(col("q_id"), col("true_label"), col("label"))
+          .agg(count(lit(1)).as("v"))
+          .withColumn("pr", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("v").desc, col("label"))))
+          .filter(col("pr") === 1)
+        pred.groupBy(col("true_label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+          .orderBy("true_label")
+      },
+      Some(s"""WITH test AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS true_label
+              |             FROM embeddings WHERE vec_id % 10 = 0),
+              |train AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 <> 0),
+              |scored AS (SELECT t.q_id, t.true_label, r.vec_id, r.label,
+              |                  ${Similarity.cosineSql("r.embedding", "t.q_vec")} AS cos
+              |           FROM train r CROSS JOIN test t),
+              |top AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+              |          (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn FROM scored)
+              |        WHERE rn <= 5),
+              |votes AS (SELECT q_id, true_label, label, COUNT(*) AS v FROM top GROUP BY 1, 2, 3),
+              |pred AS (SELECT q_id, true_label, label FROM (SELECT *, ROW_NUMBER() OVER
+              |           (PARTITION BY q_id ORDER BY v DESC, label) AS pr FROM votes)
+              |         WHERE pr = 1)
+              |SELECT true_label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+              |       CAST(SUM(CASE WHEN label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+              |FROM pred GROUP BY 1 ORDER BY true_label""".stripMargin)),
+
+    // ── MMR diversified re-ranking ─────────────────────────────────────
+
+    // Maximal-marginal-relevance re-ranking ([[Similarity.mmrSelect]]):
+    // the top-8 cosine candidates for query vector 0, greedily re-ranked
+    // to 4 picks with λ=0.7 — retrieval diversification between the ANN
+    // shortlist and the consumer. The greedy recursion is sequential by
+    // definition: k driver-coordinated rounds over the cached bounded
+    // candidate set (the kmeans-round shape). The oracle unrolls the
+    // identical 4 rounds as CTEs; all arithmetic is the shared
+    // left-to-right double fold, so the hash is exact.
+    Q("sim_mmr",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        val cands = emb.crossJoin(broadcast(q))
+          .where(col("vec_id") =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            Similarity.cosine(col("embedding"), col("qv")).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id"))
+          .limit(8)
+        Similarity.mmrSelect(cands, "vec_id", "embedding", "rel", k = 4, lambda = 0.7)
+          .orderBy("rank")
+      },
+      Some(mmrOracleSql(k = 4, nCands = 8, lambda = 0.7))),
+
+    // ── Corpus export sharding ─────────────────────────────────────────
+
+    // Deterministic shard assignment for corpus handoff: shard =
+    // md5(doc_id) first hex digit (engine-portable, partition-invariant
+    // — the samp_* rank-key rule), with per-shard doc/byte accounting
+    // and an IN-PLAN balance fence (max ≤ 4× min docs — a skewed export
+    // starves downstream loader parallelism; fail loudly, not quietly).
+    // One hash-agg shuffle over narrow columns; the oracle checks the
+    // ASSIGNMENT (per-shard identities via min/max/count), not just
+    // sizes.
+    Q("t_shard_assign",
+      (s, dir) => {
+        val per = Tables.documents(s, dir)
+          .groupBy(substring(md5(col("doc_id").cast("string")), 1, 1).as("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+            min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        val bounds = per.agg(max(col("n_docs")).as("__mx"), min(col("n_docs")).as("__mn"))
+        per.crossJoin(broadcast(bounds))
+          .select(col("shard"),
+            when(col("__mx") > col("__mn") * 4,
+              raise_error(concat(lit("t_shard_assign: unbalanced shards (max "),
+                col("__mx"), lit(" > 4x min "), col("__mn"), lit(")"))).cast("long"))
+              .otherwise(col("n_docs")).as("n_docs"),
+            col("total_chars"), col("min_doc"), col("max_doc"))
+          .orderBy("shard")
+      },
+      Some("""SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin))
   )
+
+  /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds
+    * unrolled as CTEs — round i scores every unpicked candidate
+    * `λ·rel − μ·MAX(cos to picks 1..i−1)` and takes the (score DESC,
+    * vec_id) head. μ is interpolated from the SAME `1.0 − λ` double the
+    * Scala op computes (0.7 ⇒ 0.30000000000000004 — re-typing "0.3"
+    * would be a DIFFERENT double and the hash would drift). */
+  private def mmrOracleSql(k: Int, nCands: Int, lambda: Double): String = {
+    val mu = 1.0 - lambda
+    val b = Seq.newBuilder[String]
+    b += s"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            |cand AS (SELECT vec_id, embedding, cos AS rel FROM (
+            |    SELECT vec_id, embedding,
+            |           ${Similarity.cosineSql("embedding", "qv")} AS cos
+            |    FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+            |  ORDER BY cos DESC, vec_id LIMIT $nCands)""".stripMargin
+    b += s"""s1 AS (SELECT vec_id, embedding, rel,
+            |         $lambda * rel - $mu * 0.0 AS score
+            |       FROM cand ORDER BY $lambda * rel - $mu * 0.0 DESC, vec_id LIMIT 1)""".stripMargin
+    for (i <- 2 to k) {
+      val prevIds = (1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")
+      val prevVecs = (1 until i).map(j => s"SELECT embedding FROM s$j").mkString(" UNION ALL ")
+      // the picked-vector alias must dodge dotSql's lambda vars (s/x/y/v)
+      b += s"""s$i AS (SELECT vec_id, embedding, rel, score FROM (
+              |    SELECT c.vec_id, c.embedding, c.rel,
+              |           $lambda * c.rel - $mu * (SELECT MAX(${Similarity.cosineSql("c.embedding", "pk.embedding")})
+              |                                    FROM ($prevVecs) pk(embedding)) AS score
+              |    FROM cand c WHERE c.vec_id NOT IN ($prevIds))
+              |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val sel = (1 to k).map(i =>
+      s"SELECT CAST($i AS INTEGER) AS rank, vec_id, rel, score AS mmr_score FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${b.result().mkString(",\n")}\n$sel\nORDER BY rank"
+  }
 
   /** Symmetrized WEIGHTED customer↔supplier edges: weight = number of
     * lineitems traded between the pair (interaction strength). */

@@ -264,6 +264,41 @@ object RefQueries {
               |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
               |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)),
 
+    // TPC-H Q3 (shipping priority): the BUILDING-segment revenue top-10
+    // — customer dim broadcast onto the orders⋈lineitem fact spine with
+    // the classic "ordered before / shipped after the cutoff" asymmetric
+    // date split, grouped per order, top-10 by revenue. The limit rides
+    // a TakeOrderedAndProject (partial top-k per partition, no full
+    // sort); the order key includes l_orderkey so the cut is total.
+    // (The driver schema carries no o_shippriority column — the grouping
+    // drops it, everything else is verbatim Q3.)
+    Q("j_tpch_q3",
+      (s, dir) => {
+        val cutoff = lit(java.sql.Timestamp.valueOf("1996-07-01 00:00:00"))
+        Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, dir).filter(col("o_orderdate") < cutoff),
+            col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some(s"""SELECT l_orderkey, o_orderdate,
+              |       CAST(${Det.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE)
+              |         AS revenue,
+              |       CAST(count(*) AS BIGINT) AS n_lines
+              |FROM customer, orders, lineitem
+              |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              |  AND l_orderkey = o_orderkey
+              |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              |  AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+              |GROUP BY l_orderkey, o_orderdate
+              |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)),
+
     // MAP-typed column surface: build per-row maps, merge
     // (map_concat), look up (element_at), prune entries (map_filter —
     // a lambda over entries), and explode back to rows. Everything is

@@ -239,4 +239,66 @@ class EventOpsSpec extends SparkSpec {
     // the 1s-late event did NOT merge: user 2 has two sessions
     assert(got.count(_._1 == 2L) == 2)
   }
+
+  private def purchases(rows: (Long, String, Double)*) = {
+    import spark.implicits._
+    rows.toDF("user_id", "ts", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+  }
+
+  test("rfmSegments: distinct metric values land in their own quintiles") {
+    // five users whose recency/frequency/monetary are all co-monotone:
+    // user u has u purchases of $100 on day (5-u)..  — so every score
+    // axis must come out r = 6-u ↔ day recency, f = u, m = u
+    val evs = (1 to 5).flatMap { u =>
+      (1 to u).map(i => (u.toLong, f"2024-01-${u}%02d 0$i:00:00", 100.0))
+    }
+    val out = EventOps.rfmSegments(purchases(evs: _*), "user_id", "ts", "value",
+        monetaryBinCents = 10000L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    // user 5 bought last (day 5 = anchor, recency 0) and most
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, 10000L, 5, 1, 1),
+      (2L, 3L, 2L, 20000L, 4, 2, 2),
+      (3L, 2L, 3L, 30000L, 3, 3, 3),
+      (4L, 1L, 4L, 40000L, 2, 4, 4),
+      (5L, 0L, 5L, 50000L, 1, 5, 5)))
+  }
+
+  test("rfmSegments: thresholds are value-count quintiles, ties share a score") {
+    // four identical users + one whale: the four tie on every axis and
+    // must share one (r,f,m) cell; the whale sits strictly above on m
+    val evs = (1 to 4).map(u => (u.toLong, "2024-01-01 01:00:00", 10.0)) :+
+      ((9L, "2024-01-01 02:00:00", 990.0))
+    val out = EventOps.rfmSegments(purchases(evs: _*), "user_id", "ts", "value")
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getInt(5), r.getInt(6))).toSeq
+    val (whale, rest) = out.partition(_._1 == 9L)
+    assert(rest.map(t => (t._2, t._3, t._4)).distinct.size == 1)
+    assert(whale.head._4 > rest.head._4)
+  }
+
+  test("rfmSegments fails loudly on negative purchase values") {
+    intercept[Exception] {
+      EventOps.rfmSegments(purchases((1L, "2024-01-01 00:00:00", -5.0)),
+        "user_id", "ts", "value").collect()
+    }
+  }
+
+  test("cohortLtv: per-cohort cumulative cents across day offsets") {
+    val evs = purchases(
+      (1L, "2024-01-01 08:00:00", 10.0),  // cohort d0
+      (1L, "2024-01-03 08:00:00", 5.0),   //   offset 2
+      (2L, "2024-01-03 09:00:00", 1.0),   // cohort d2
+      (3L, "2024-01-01 10:00:00", 2.0))   // cohort d0, same cell as user 1
+    val out = EventOps.cohortLtv(evs, "user_id", "ts", "value")
+      .orderBy("cohort_d", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 2L, 1200L, 1200L),
+      ("2024-01-01", 2L, 1L, 500L, 1700L),
+      ("2024-01-03", 0L, 1L, 100L, 100L)))
+  }
 }

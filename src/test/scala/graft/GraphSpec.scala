@@ -210,4 +210,44 @@ class GraphSpec extends SparkSpec {
       Graph.kcore(edges((path ++ path.map(_.swap)): _*), k = 2, maxRounds = 1)
     }
   }
+
+  private def sym(pairs: (Long, Long)*) =
+    edges((pairs ++ pairs.map(_.swap)): _*)
+
+  test("linkPrediction: square predicts exactly the diagonals with jaccard 1") {
+    // 1-2-3-4-1: the only 2-hop non-edges are the diagonals; each shares
+    // BOTH neighbors with its partner → common=2, union=2+2-2=2
+    val out = Graph.linkPrediction(sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 3L, 2L, 2L, 1.0), (2L, 4L, 2L, 2L, 1.0)))
+  }
+
+  test("linkPrediction: adjacent pairs never appear (triangle predicts nothing)") {
+    val out = Graph.linkPrediction(sym((1L, 2L), (2L, 3L), (1L, 3L))).collect()
+    assert(out.isEmpty)
+  }
+
+  test("linkPrediction: jaccard uses full degrees, not just shared centers") {
+    // path 1-2-3 plus pendant 4 on node 3: candidate (1,3) via center 2
+    // has common=1, deg(1)=1, deg(3)=2 → union=2, jaccard=0.5; candidate
+    // (2,4) via center 3: deg(2)=2, deg(4)=1 → union=2, jaccard=0.5;
+    // candidate (1,4)? no shared center (1-2, 4-3) → absent
+    val out = Graph.linkPrediction(sym((1L, 2L), (2L, 3L), (3L, 4L)))
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 3L, 1L, 2L, 0.5), (2L, 4L, 1L, 2L, 0.5)))
+  }
+
+  test("linkPrediction: the center-degree cap silences hub wedges but keeps degrees") {
+    // star center 0 → 1..4 (deg 4): capped at 3 the hub contributes no
+    // wedges → nothing predicted; uncapped all 6 leaf pairs appear
+    val star = sym((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+    assert(Graph.linkPrediction(star, maxCenterDegree = 3L).collect().isEmpty)
+    val full = Graph.linkPrediction(star).orderBy("a", "b").collect()
+    assert(full.length == 6)
+    // leaves have degree 1 each, common=1 → union=1, jaccard exactly 1
+    assert(full.forall(r => r.getLong(2) == 1L && r.getDouble(4) == 1.0))
+  }
 }

@@ -319,4 +319,58 @@ class SimilaritySpec extends SparkSpec {
       s"ADC must retrieve the aligned vector first: ${top.mkString(", ")}")
     assert(top.head.getAs[Long]("score_pts") > top.last.getAs[Long]("score_pts"))
   }
+
+  test("mmrSelect: diversity penalty demotes the near-duplicate of pick 1") {
+    import spark.implicits._
+    // rel and vectors chosen so greedy-by-relevance would pick the
+    // near-duplicate second but MMR must not: b's small relevance gap
+    // (0.05) is outweighed by a2's similarity to the first pick
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f), 0.99),            // top relevance
+      (2L, Array(0.995f, 0.0998749f), 0.95),    // near-dup of 1
+      (3L, Array(0.6f, 0.8f), 0.90))            // diverse
+      .toDF("vec_id", "embedding", "rel")
+    val out = Similarity.mmrSelect(cands, "vec_id", "embedding", "rel",
+      k = 3, lambda = 0.7).orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1, 1L), (2, 3L), (3, 2L)),
+      "MMR must interleave the diverse candidate ahead of the near-duplicate")
+  }
+
+  test("mmrSelect scores equal a brute-force greedy replay; k caps at |cands|") {
+    import spark.implicits._
+    val vecs = Map(
+      1L -> Array(1.0f, 0.0f, 0.0f), 2L -> Array(0.8f, 0.6f, 0.0f),
+      3L -> Array(0.0f, 1.0f, 0.0f), 4L -> Array(0.5f, 0.5f, 0.70710677f))
+    val rel = Map(1L -> 0.9, 2L -> 0.85, 3L -> 0.8, 4L -> 0.75)
+    val cands = vecs.toSeq.map { case (id, v) => (id, v, rel(id)) }
+      .toDF("vec_id", "embedding", "rel")
+    val lambda = 0.7; val mu = 1.0 - lambda
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def fold(f: (Int) => Double) = (0 until a.length).foldLeft(0.0)((acc, i) => acc + f(i))
+      fold(i => a(i).toDouble * b(i).toDouble) /
+        (math.sqrt(fold(i => a(i).toDouble * a(i).toDouble)) *
+          math.sqrt(fold(i => b(i).toDouble * b(i).toDouble)))
+    }
+    // brute-force greedy replay in plain Scala doubles
+    var picked = Vector.empty[(Long, Double)]
+    (1 to 4).foreach { _ =>
+      val best = vecs.keys.toSeq.filterNot(id => picked.exists(_._1 == id))
+        .map { id =>
+          val pen = if (picked.isEmpty) 0.0
+            else picked.map(p => cos(vecs(id), vecs(p._1))).max
+          (id, lambda * rel(id) - mu * pen)
+        }.sortBy { case (id, sc) => (-sc, id) }.head
+      picked :+= best
+    }
+    // ask for MORE than |cands|: must return exactly 4 rows
+    val out = Similarity.mmrSelect(cands, "vec_id", "embedding", "rel",
+      k = 10, lambda = lambda).orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(out.length == 4)
+    out.zip(picked).foreach { case ((id, sc), (eid, esc)) =>
+      assert(id == eid)
+      assert(math.abs(sc - esc) < 1e-12, s"score drift for $id: $sc vs $esc")
+    }
+  }
 }

@@ -231,4 +231,42 @@ class TimeSeriesSpec extends SparkSpec {
       ("2024-01-08", 4L, 20.0, false),
       ("2024-01-15", 4L, 20.0, true))) // |40-20|*2 = 40 > 20
   }
+
+  test("changePoint lands on the level shift with exact sufficient statistics") {
+    import spark.implicits._
+    // 0,0,0 then 600,600,600: S_t = 6·cum_t − t·1800 peaks in magnitude
+    // at t=3 (|S|=5400) — the true regime boundary
+    val daily = Seq(
+      ("k", 1L, 0L), ("k", 2L, 0L), ("k", 3L, 0L),
+      ("k", 4L, 600L), ("k", 5L, 600L), ("k", 6L, 600L))
+      .toDF("key", "d", "cents")
+    val r = TimeSeries.changePoint(daily, Seq("key"), "d", "cents").collect().head
+    assert(r.getLong(1) == 3L)            // cp_at
+    assert(r.getDouble(2) == 5400.0)      // cusum_abs
+    assert((r.getLong(3), r.getLong(4)) == ((3L, 0L)))     // before: n, sum
+    assert((r.getLong(5), r.getLong(6)) == ((3L, 1800L)))  // after: n, sum
+  }
+
+  test("changePoint: constant series scores 0 at the earliest split; keys independent") {
+    import spark.implicits._
+    val daily = Seq(
+      ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L),
+      ("step", 1L, 0L), ("step", 2L, 100L))
+      .toDF("key", "d", "cents")
+    val out = TimeSeries.changePoint(daily, Seq("key"), "d", "cents")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // flat: every S_t = 0 → tie broken to the EARLIEST candidate split;
+    // step: the only candidate split t=1 has |S| = |2·0 − 1·100| = 100
+    assert(out.toSeq == Seq(("flat", 1L, 0.0), ("step", 1L, 100.0)))
+  }
+
+  test("changePoint never splits after the last row (n-1 candidates only)") {
+    import spark.implicits._
+    // monotone ramp: S_t < 0 strictly for all t < n; t = n would score 0
+    // and win on |S| if it were (wrongly) admitted as a candidate
+    val daily = Seq(("k", 1L, 0L), ("k", 2L, 10L), ("k", 3L, 20L)).toDF("key", "d", "cents")
+    val r = TimeSeries.changePoint(daily, Seq("key"), "d", "cents").collect().head
+    assert(r.getLong(1) < 3L && r.getDouble(2) > 0.0)
+  }
 }
