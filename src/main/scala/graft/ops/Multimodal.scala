@@ -185,8 +185,9 @@ object Multimodal {
   /** Minimal well-formed animated GIF (89a, no global color table,
     * per-frame graphic-control extension + image descriptor + one
     * id-keyed data sub-block) — the synthesis side of [[parseGif]]'s
-    * tests and oracle. Frame f carries 1 + (f % 5) payload bytes, so
-    * byte_len is analytically 14 + Σ_f (22 + 1 + f % 5). */
+    * tests and oracle. Frame f carries 1 + (f % 5) payload bytes for
+    * 21 + 1 + (f % 5) frame bytes total, so byte_len is analytically
+    * 14 + Σ_f (22 + f % 5). */
   def gifBytes(w: Int, h: Int, frames: Int): Array[Byte] = {
     require(w > 0 && w < 65536 && h > 0 && h < 65536 && frames > 0,
       s"gifBytes: bad ($w x $h x $frames)")

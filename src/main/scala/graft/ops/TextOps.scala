@@ -570,8 +570,8 @@ object TextOps {
   def winnowSql(k: Int = 5, w: Int = 4): String =
     s"""wg AS (
        |  SELECT doc_id, p,
-       |         substr(md5(substr(text, CAST(p AS INTEGER), $k)), 1, 8)
-       |           || '@' || lpad(CAST(p AS VARCHAR), 7, '0') AS key0,
+       |         concat(substr(md5(substr(text, CAST(p AS INTEGER), $k)), 1, 8),
+       |                '@', lpad(CAST(p AS VARCHAR), 7, '0')) AS key0,
        |         GREATEST(length(text) - ${k - 1}, 0) AS npos
        |  FROM (SELECT doc_id, text,
        |               unnest(range(1, GREATEST(length(text) - ${k - 1}, 0) + 1)) AS p

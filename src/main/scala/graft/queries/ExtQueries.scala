@@ -4866,7 +4866,75 @@ object ExtQueries {
              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
              |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
              |       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)),
+
+    // ── Winnowing fingerprints ─────────────────────────────────────────
+
+    // MOSS-style winnowing ([[TextOps.winnow]], Schleimer et al.
+    // SIGMOD'03): per-window minimal k-gram hashes — the classic
+    // document-fingerprint scheme between exact-hash dedup and full
+    // shingle sets (any shared substring ≥ k+w−1 chars shares a
+    // fingerprint at ~2/(w+1) density). Gram hashes are md5-prefix
+    // STRINGS (min = lexicographic min, engine-portable); the oracle
+    // replays the identical explode → window-min → distinct chain. The
+    // density invariant n_fp ≤ n_windows is implied by the per-doc
+    // counts the hash pins.
+    Q("t_winnow",
+      (s, dir) => TextOps.winnow(Tables.documents(s, dir), "doc_id", "text",
+          k = 5, w = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), min(col("fp")).as("min_fp"),
+          max(col("fp")).as("max_fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH ${TextOps.winnowSql(k = 5, w = 4)}
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+              |       MIN(fp) AS min_fp, MAX(fp) AS max_fp
+              |FROM wfp GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ── Positional phrase search ───────────────────────────────────────
+
+    // Quoted-phrase retrieval ([[Search.phraseSearch]]): documents
+    // containing the exact token sequence "fast sort", with occurrence
+    // counts — the positional-index capability tf-only BM25 cannot
+    // answer. Each phrase term filters the postings BEFORE its join
+    // (term-selective posting lists, never the corpus), all n−1 joins
+    // share the phrase-start key.
+    Q("search_phrase",
+      (s, dir) => Search.phraseSearch(Tables.documents(s, dir), "doc_id", "text",
+          Seq("fast", "sort"))
+        .orderBy("doc_id"),
+      Some(s"""WITH tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t FROM documents),
+              |post AS (SELECT doc_id, i AS pos, t[i] AS term
+              |         FROM tok, unnest(range(1, len(t) + 1)) AS r(i)),
+              |m0 AS (SELECT doc_id, pos FROM post WHERE term = 'fast'),
+              |m1 AS (SELECT doc_id, pos - 1 AS pos FROM post WHERE term = 'sort')
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+              |FROM (SELECT m0.doc_id, m0.pos FROM m0 JOIN m1 USING (doc_id, pos))
+              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // Animated-GIF multimodal path with a REAL block-walk parse:
+    // genuine GIF89a containers (logical screen descriptor, per-frame
+    // graphic-control extension + image descriptor + data sub-blocks,
+    // trailer) with id-keyed dimensions AND frame counts, decoded by
+    // [[Multimodal.parseGif]]. The oracle predicts every column
+    // analytically — byte_len = 14 + Σ_f (22 + f % 5) exercises the
+    // whole sub-block walk; a mis-stepped block or LE/BE slip
+    // hash-mismatches. The only multi-frame IMAGE container in the
+    // suite (AVI covers video): frame-sample planning gets its n_frames
+    // from the header without decoding a pixel.
+    Q("mm_gif_meta",
+      (s, dir) => Multimodal.decodeMeta(s,
+        Multimodal.synthGifCorpus(s, Tables.documents(s, dir), "doc_id"),
+        "doc_id", "payload")
+        .orderBy("doc_id"),
+      Some("""WITH fr AS (SELECT doc_id, 1 + doc_id % 4 AS nf FROM documents)
+             |SELECT doc_id,
+             |  CAST(14 + 22 * nf + (nf * (nf - 1)) / 2 AS BIGINT) AS byte_len,
+             |  '474946383961' || printf('%02x', 16 + doc_id % 200) || '00' AS header_hex,
+             |  CAST(16 + doc_id % 200 AS INTEGER) AS width,
+             |  CAST(16 + (doc_id * 7) % 200 AS INTEGER) AS height,
+             |  CAST(nf AS INTEGER) AS n_frames
+             |FROM fr ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

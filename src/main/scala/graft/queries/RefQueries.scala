@@ -299,6 +299,42 @@ object RefQueries {
               |GROUP BY l_orderkey, o_orderdate
               |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)),
 
+    // TPC-H Q10 (returned-item reporting): which customers returned the
+    // most revenue in 1996Q4 — orders⋈lineitem facts filtered to
+    // returnflag 'R', customer + nation dims broadcast, top-20 by lost
+    // revenue. The classic "rank entities by a filtered fact rollup"
+    // composition; the limit rides TakeOrderedAndProject. (Driver
+    // schema carries no c_address/phone/comment — the verbatim-Q10
+    // group-by keys that exist are kept.)
+    Q("j_tpch_q10",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-10-01 00:00:00"))
+            && col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        Tables.customer(s, dir)
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some(s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+              |       CAST(${Det.dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS DOUBLE)
+              |         AS revenue,
+              |       CAST(count(*) AS BIGINT) AS n_lines
+              |FROM customer, orders, lineitem, nation
+              |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+              |  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              |GROUP BY c_custkey, c_name, c_acctbal, n_name
+              |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)),
+
     // MAP-typed column surface: build per-row maps, merge
     // (map_concat), look up (element_at), prune entries (map_filter —
     // a lambda over entries), and explode back to rows. Everything is

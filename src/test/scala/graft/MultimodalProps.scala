@@ -15,10 +15,26 @@ object MultimodalProps extends Properties("Multimodal") {
   private val riffJunk: Gen[Array[Byte]] =
     junk.map(b => "RIFF".getBytes("US-ASCII") ++ b)
 
-  property("parseWav/parseBmp/parseAvi are total on arbitrary bytes") =
+  property("parseWav/parseBmp/parseAvi/parseGif are total on arbitrary bytes") =
     Prop.forAll(junk) { b =>
       Multimodal.parseWav(b); Multimodal.parseBmp(b); Multimodal.parseAvi(b)
+      Multimodal.parseGif(b)
       true
+    }
+
+  // GIF-prefixed junk probes the block-walk paths specifically
+  property("parseGif is total on GIF-signature-prefixed junk") =
+    Prop.forAll(junk) { b =>
+      Multimodal.parseGif("GIF89a".getBytes("US-ASCII") ++ b)
+      Multimodal.parseGif("GIF87a".getBytes("US-ASCII") ++ b)
+      true
+    }
+
+  property("GIF round-trip for arbitrary frames/dimensions") =
+    Prop.forAll(Gen.choose(1, 65535), Gen.choose(1, 65535), Gen.choose(1, 20)) {
+      (w, h, frames) =>
+        Multimodal.parseGif(Multimodal.gifBytes(w, h, frames))
+          .contains((frames, w, h))
     }
 
   property("parsers are total on RIFF-prefixed junk") =

@@ -166,4 +166,35 @@ class MultimodalSpec extends SparkSpec {
     assert(bad == 0)
     assert(feats.count() == docs.count())
   }
+
+  test("parseGif round-trips the synthesized container exactly") {
+    for (frames <- Seq(1, 2, 4, 7); (w, h) <- Seq((1, 1), (16, 215), (640, 480))) {
+      val b = Multimodal.gifBytes(w, h, frames)
+      assert(Multimodal.parseGif(b).contains((frames, w, h)),
+        s"($w x $h x $frames)")
+      // analytic length contract the oracle leans on
+      val expect = 14 + (0 until frames).map(f => 22 + f % 5).sum
+      assert(b.length == expect, s"byte_len $frames: ${b.length} vs $expect")
+    }
+  }
+
+  test("parseGif rejects malformed containers; imageDecode dispatches GIF") {
+    val good = Multimodal.gifBytes(20, 30, 2)
+    assert(Multimodal.parseGif(good).contains((2, 20, 30)))
+    // truncations anywhere must parse to None, never throw
+    (1 until good.length).foreach { cut =>
+      assert(Multimodal.parseGif(good.take(cut)).isEmpty, s"cut=$cut")
+    }
+    assert(Multimodal.parseGif("GIF89a".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseGif(Array.empty[Byte]).isEmpty)
+    // frameless (header straight to trailer) is malformed by contract
+    assert(Multimodal.parseGif(good.take(13) :+ 0x3b.toByte).isEmpty)
+    // unknown block type aborts
+    val bad = good.clone(); bad(13) = 0x55.toByte
+    assert(Multimodal.parseGif(bad).isEmpty)
+    // dispatch: the GIF branch feeds MediaMeta with the frame count
+    val m = Multimodal.imageDecode(7L, good)
+    assert((m.width, m.height, m.n_frames) == ((20, 30, 2)))
+    assert(m.header_hex.startsWith("474946383961"))
+  }
 }

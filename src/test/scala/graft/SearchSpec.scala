@@ -71,4 +71,33 @@ class SearchSpec extends SparkSpec {
     val pts = out.map(r => (r.getAs[Long]("pts_total"), r.getAs[Long]("n_bigrams")))
     pts.foreach { case (tot, n) => assert(tot >= 0 && tot <= n * 1000000L) }
   }
+
+  test("phraseSearch: adjacency required, overlaps counted, absences excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "quick brown fox jumps"),        // phrase once
+      (2L, "quick red brown fox"),          // terms present, not adjacent
+      (3L, "quick brown quick brown fox"),  // phrase once + prefix repeat
+      (4L, "a a a a"),                      // overlapping self-phrase
+      (5L, "nothing relevant here")).toDF("doc_id", "text")
+    val two = Search.phraseSearch(docs, "doc_id", "text", Seq("quick", "brown"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // doc 2 has both terms but never adjacent -> absent, not zero
+    assert(two == Map(1L -> 1L, 3L -> 2L))
+    val three = Search.phraseSearch(docs, "doc_id", "text",
+      Seq("quick", "brown", "fox")).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(three == Map(1L -> 1L, 3L -> 1L))
+    val overlap = Search.phraseSearch(docs, "doc_id", "text", Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(overlap == Map(4L -> 3L)) // positions 1-2, 2-3, 3-4
+    val single = Search.phraseSearch(docs, "doc_id", "text", Seq("quick"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(single == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    intercept[IllegalArgumentException] {
+      Search.phraseSearch(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Search.phraseSearch(docs, "doc_id", "text", Seq("two words"))
+    }
+  }
 }

@@ -249,4 +249,66 @@ class TextOpsSpec extends SparkSpec {
     val tg0 = got(0)._3.split(" ").filterNot(_.startsWith("<X_"))
     assert((in0 ++ tg0).sorted.toSeq == "a b c d e f g h i j".split(" ").sorted.toSeq)
   }
+
+  /** Driver-side winnowing reference: md5-prefix gram keys, window
+    * minima, distinct — the exact algorithm [[TextOps.winnow]] claims. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(String, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(p: Int): String = {
+      val g = text.substring(p - 1, p - 1 + k)
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.take(8) + "@" + f"$p%07d"
+    }
+    val npos = math.max(text.length - (k - 1), 0)
+    if (npos == 0) return Set.empty
+    val starts = 1 to math.max(npos - (w - 1), 1)
+    starts.map { t =>
+      val fp = (t to math.min(t + w - 1, npos)).map(key).min
+      val Array(h, p) = fp.split("@")
+      (h, p.toLong)
+    }.toSet
+  }
+
+  test("winnow matches the driver-side reference fingerprint set exactly") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "abcdefgabcdefg repeated structure here"),
+      (2L, "zzzzzzzzzz"), // degenerate: all grams identical
+      (3L, "short"),      // len == k: one truncated window
+      (4L, "abc"))        // len < k: no grams at all
+    val out = TextOps.winnow(texts.toDF("doc_id", "text"), "doc_id", "text",
+        k = 5, w = 4).collect()
+      .map(r => (r.getLong(0), (r.getString(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    texts.foreach { case (id, t) =>
+      val expect = winnowRef(t, 5, 4)
+      assert(out.getOrElse(id, Set.empty) == expect, s"doc $id")
+    }
+    assert(!out.contains(4L)) // sub-k docs have no fingerprints
+  }
+
+  test("winnow guarantee: a shared substring of length >= k+w-1 shares a fingerprint") {
+    import spark.implicits._
+    val shared = "THE-COMMON-RUN!!" // 16 chars >= 5+4-1
+    val docs = Seq(
+      (1L, s"left padding junk $shared and a tail"),
+      (2L, s"$shared completely different remainder xyz")).toDF("doc_id", "text")
+    val fps = TextOps.winnow(docs, "doc_id", "text", k = 5, w = 4)
+      .select("doc_id", "fp_hash").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val a = fps.filter(_._1 == 1L).map(_._2).toSet
+    val b = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert(a.intersect(b).nonEmpty,
+      "winnowing guarantee violated: no shared fingerprint hash")
+  }
+
+  test("winnow density: at most one fingerprint per window, at least one overall") {
+    import spark.implicits._
+    val doc = Seq((1L, "a regular document with plenty of distinct grams inside"))
+      .toDF("doc_id", "text")
+    val n = TextOps.winnow(doc, "doc_id", "text", k = 5, w = 4).count()
+    val len = "a regular document with plenty of distinct grams inside".length
+    val windows = (len - 4) - 3 // npos - (w-1)
+    assert(n >= 1 && n <= windows)
+  }
 }
