@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.StockOps
-import graft.queries.{ExtQueries, RefQueries, TpchQueries}
+import graft.queries.{AnalyticsQueries, ExtQueries, RefQueries, TpchQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -18,12 +18,12 @@ object SparkEntry {
   /** One entry per implemented operator: reference parity (SURVEY.md §2)
     * plus the training-data-pipeline extensions (SURVEY.md §7.3 step 4). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RefQueries.queryMap ++ TpchQueries.queryMap ++
+    RefQueries.queryMap ++ TpchQueries.queryMap ++ AnalyticsQueries.queryMap ++
       ExtQueries.queries.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RefQueries.oracleMap ++ TpchQueries.oracleMap ++
+    RefQueries.oracleMap ++ TpchQueries.oracleMap ++ AnalyticsQueries.oracleMap ++
       ExtQueries.queries.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

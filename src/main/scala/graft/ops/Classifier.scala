@@ -262,4 +262,81 @@ object Classifier {
       .select(col("y").as("label"), when(lhs > rhs, lit(1L)).otherwise(lit(-1L)).as("predicted"))
       .groupBy("label", "predicted").agg(count(lit(1)).as("n"))
   }
+
+  /**
+   * Exact-arithmetic decision stump: for every candidate threshold `t`
+   * of an integral feature, the Gini purity of the split
+   * `feature <= t` vs `feature > t` against a binary label — scored
+   * WITHOUT floating point, so the best split is partition- and
+   * engine-invariant.
+   *
+   * Standard CART minimizes the weighted impurity
+   * `n_l·G_l + n_r·G_r` with `G = 1 − (pos² + neg²)/n²`; that is
+   * equivalent to MAXIMIZING `A/n_l + B/n_r` where `A = pos_l² + neg_l²`
+   * (and B likewise on the right). The division is replaced by
+   * micro-point integer division (`× 10⁴` then `div`, exact floor in
+   * both Spark and DuckDB for non-negative operands) — a deterministic
+   * 1e-4-resolution total order on splits, in the spirit of the
+   * Fellegi-Sunter micro-point weights in [[Linkage]]. Bound: exact
+   * while `n² · 10⁴` fits a BIGINT, i.e. up to ~3·10⁷ input rows —
+   * beyond that, widen to DECIMAL(38,0) accumulators.
+   *
+   * One aggregate over the fact table (distinct feature values), one
+   * bounded cumulative window over those values (≤ |domain| rows), no
+   * per-threshold rescans. Output: one row per threshold with the
+   * left/right tallies, the purity score, and `is_best`.
+   */
+  def giniStump(df: DataFrame, featureCol: Column, labelCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(featureCol.cast(LongType).as("thr"))
+      .agg(count(lit(1)).as("n"), sum(labelCol.cast(LongType)).as("pos"))
+    val cum = Window.orderBy(col("thr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("thr"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("nl", sum(col("n")).over(cum))
+      .withColumn("pl", sum(col("pos")).over(cum))
+      .withColumn("nr", sum(col("n")).over(whole) - col("nl"))
+      .withColumn("pr", sum(col("pos")).over(whole) - col("pl"))
+      .filter(col("nr") > 0) // no right side ⇒ not a split
+      .withColumn("score", expr(
+        """(10000 * (pl * pl + (nl - pl) * (nl - pl))) div nl
+          | + (10000 * (pr * pr + (nr - pr) * (nr - pr))) div nr""".stripMargin))
+      .withColumn("is_best",
+        (col("score") === max(col("score")).over(whole)).cast("int"))
+      .select("thr", "nl", "pl", "nr", "pr", "score", "is_best")
+  }
+
+  /** DuckDB mirror of [[giniStump]]'s score + flag epilogue over a
+    * relation with (thr, nl, pl, nr, pr) columns. */
+  def giniScoreSql: String =
+    """(10000 * (pl * pl + (nl - pl) * (nl - pl))) // nl
+      | + (10000 * (pr * pr + (nr - pr) * (nr - pr))) // nr""".stripMargin
+
+  /**
+   * Leave-one-out target encoding — the standard high-cardinality
+   * categorical feature: each row's category replaced by the mean
+   * target of OTHER rows in its category, `(Σ_cat − own)/(n_cat − 1)`,
+   * which never leaks the row's own label into its feature.
+   *
+   * The sums are exact integer cents (DECIMAL-anchored, associative),
+   * so every row's encoding is one correctly-rounded double division —
+   * partition-order-independent. Singleton categories encode NULL
+   * (no "others" to average). One keyed window, no self-join.
+   */
+  def targetEncode(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast(LongType)
+    val w = Window.partitionBy(col(keyCol))
+    df.withColumn("__own", cents)
+      .withColumn("__sum", sum(col("__own")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("enc",
+        when(col("__n") === 1, lit(null).cast("double"))
+          .otherwise((col("__sum") - col("__own")).cast("double")
+            / (col("__n") - 1).cast("double") / 100.0))
+      .drop("__own", "__sum", "__n")
+  }
 }

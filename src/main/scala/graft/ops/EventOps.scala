@@ -577,4 +577,31 @@ object EventOps {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("cohort_d")).orderBy(col("day_offset"))))
   }
+
+  /**
+   * Top-k session paths: each user session's first `pathLen` event
+   * types joined `a>b>c`, counted across all sessions — the "what do
+   * users actually do first" path-analysis staple.
+   *
+   * Shape: ONE `session_window` aggregate builds per-session event
+   * lists (state bounded by the session, exactly like [[sessions]]);
+   * the list is totally ordered by `sort_array` over
+   * `(ts, event_id, type)` structs (event_id breaks ts ties, so
+   * collect_list's arrival order can't leak in); the path is a pure
+   * projection; the final count is a low-cardinality aggregate whose
+   * top-k rides TakeOrderedAndProject. No window over raw events, no
+   * self-join.
+   */
+  def topPaths(events: DataFrame, gap: String, pathLen: Int, k: Int): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("__evs"))
+      .select(array_join(
+        transform(slice(col("__evs"), 1, pathLen), e => e("event_type")), ">")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
 }

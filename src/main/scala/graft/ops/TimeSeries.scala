@@ -628,4 +628,30 @@ object TimeSeries {
         (col("__n") - col("__t")).cast("bigint").as("n_after"),
         (col("__tot") - col("__cum")).cast("bigint").as("sum_after_cents")): _*)
   }
+
+  /**
+   * Autocorrelation function (ACF) of an ordered series at lags
+   * 1..maxLag: Pearson correlation between the series and its own
+   * k-step-lagged copy, one row per lag — the standard seasonality /
+   * momentum probe before fitting any forecasting model.
+   *
+   * The input is an already-aggregated series (e.g. one row per day),
+   * so the single-partition window over `orderCol` is bounded by the
+   * date span, not the fact-table size — same posture as the other
+   * series epilogues here ([[changePoint]], gap-fill): the heavy
+   * reduction happened upstream in a keyed aggregate. All lags come
+   * from ONE WindowExec (one sort), stacked to rows, and the per-lag
+   * statistics ride [[pearsonByKey]]'s exact integer accumulators.
+   */
+  def autocorr(series: DataFrame, orderCol: String, valueCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"autocorr: maxLag must be >= 1, got $maxLag")
+    val w = Window.orderBy(col(orderCol))
+    val lagged = series.select(
+      col(orderCol) +: col(valueCol).as("__x") +:
+        (1 to maxLag).map(k => lag(col(valueCol), k).over(w).as(s"__y$k")): _*)
+    val stacked = lagged.select(expr(
+      s"stack($maxLag, ${(1 to maxLag).map(k => s"$k, __x, __y$k").mkString(", ")}) AS (lag, x, y)"))
+    pearsonByKey(stacked, Seq("lag"), "x", "y")
+  }
 }

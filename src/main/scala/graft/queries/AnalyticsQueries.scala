@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.{Det, Tables}
+import graft.ops.{Classifier, EventOps, TextOps, TimeSeries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Round-12 analytics additions: series diagnostics (ACF), exact-
+ * arithmetic ML primitives (Gini stump, leave-one-out target
+ * encoding), behavioral path mining, Spark-4 VARIANT semi-structured
+ * access, and corpus diversity — each a first-class operator with a
+ * DuckDB oracle, same determinism discipline as the rest of the
+ * inventory (integer/decimal-exact statistics, one correctly-rounded
+ * double conversion at the edge, total-order sorts).
+ */
+object AnalyticsQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // ACF of the daily demand series ([[TimeSeries.autocorr]]): lags
+    // 1-3 of daily total quantity. The heavy reduction is the one
+    // keyed date aggregate; the window + per-lag Pearson run on the
+    // bounded daily series. Exact integer sufficient statistics
+    // (pearsonByKey's DECIMAL(38,0) accumulators), double epilogue
+    // mirrored operation-for-operation in the oracle.
+    Q("ts_acf",
+      (s, dir) => {
+        val daily = Tables.lineitem(s, dir)
+          .groupBy(to_date(col("l_shipdate")).as("d"))
+          .agg(sum(col("l_quantity")).as("qty")) // integer-valued: exact
+        TimeSeries.autocorr(daily, "d", "qty", maxLag = 3)
+          .orderBy("lag")
+      },
+      Some {
+        val nd = "CAST(n_pairs AS DOUBLE)"
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        val num = s"($nd * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+        val varx = s"($nd * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+        val vary = s"($nd * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+        val den = s"(sqrt(GREATEST($varx, 0.0)) * sqrt(GREATEST($vary, 0.0)))"
+        val lagSel = (1 to 3).map(k =>
+          s"SELECT $k AS lag, qty AS x, lag(qty, $k) OVER (ORDER BY d) AS y FROM daily")
+          .mkString("\n  UNION ALL ")
+        s"""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, SUM(l_quantity) AS qty
+           |               FROM lineitem GROUP BY 1),
+           |l AS (\n  $lagSel),
+           |c AS (SELECT lag,
+           |        CAST(CAST(x AS DECIMAL(18,2)) * 100 AS BIGINT) AS cx,
+           |        CAST(CAST(y AS DECIMAL(18,2)) * 100 AS BIGINT) AS cy
+           |      FROM l WHERE x IS NOT NULL AND y IS NOT NULL),
+           |a AS (SELECT lag, ${TimeSeries.pearsonSql("cx", "cy")}
+           |      FROM c GROUP BY lag)
+           |SELECT lag, n_pairs,
+           |       CASE WHEN n_pairs = 0 OR $den = 0.0 THEN NULL
+           |            ELSE $num / $den END AS corr
+           |FROM a ORDER BY lag""".stripMargin
+      }),
+
+    // Exact-integer decision stump ([[Classifier.giniStump]]): best
+    // Gini split of l_quantity against "was returned" — CART's split
+    // search as one aggregate + one bounded window, micro-point
+    // integer scores (no floating point anywhere in the decision).
+    Q("ml_gini_stump",
+      (s, dir) => Classifier.giniStump(
+        Tables.lineitem(s, dir),
+        col("l_quantity"), (col("l_returnflag") === "R").cast("long"))
+        .orderBy("thr"),
+      Some(s"""WITH per AS (SELECT CAST(l_quantity AS BIGINT) AS thr,
+              |         CAST(count(*) AS BIGINT) AS n,
+              |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+              |       FROM lineitem GROUP BY 1),
+              |c AS (SELECT thr,
+              |        CAST(SUM(n) OVER (ORDER BY thr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+              |        CAST(SUM(pos) OVER (ORDER BY thr ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+              |        CAST(SUM(n) OVER () AS BIGINT) AS nn,
+              |        CAST(SUM(pos) OVER () AS BIGINT) AS pp
+              |      FROM per),
+              |s AS (SELECT thr, nl, pl, nn - nl AS nr, pp - pl AS pr
+              |      FROM c WHERE nn - nl > 0),
+              |sc AS (SELECT thr, nl, pl, nr, pr,
+              |         CAST(${Classifier.giniScoreSql} AS BIGINT) AS score
+              |       FROM s)
+              |SELECT thr, nl, pl, nr, pr, score,
+              |       CAST(score = MAX(score) OVER () AS INT) AS is_best
+              |FROM sc ORDER BY thr""".stripMargin)),
+
+    // Leave-one-out target encoding ([[Classifier.targetEncode]]):
+    // o_totalprice mean of the OTHER orders in each priority class as
+    // a per-row feature — exact cent sums, one keyed window, no
+    // self-join, no label leakage.
+    Q("feat_target_enc",
+      (s, dir) => Classifier.targetEncode(
+        Tables.orders(s, dir), "o_orderpriority", "o_totalprice")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"), col("enc"))
+        .orderBy("o_orderkey"),
+      Some("""WITH c AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS own
+             |       FROM orders),
+             |w AS (SELECT *,
+             |        CAST(SUM(own) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS s,
+             |        COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+             |      FROM c)
+             |SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |       CASE WHEN n = 1 THEN NULL
+             |            ELSE CAST(s - own AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0
+             |       END AS enc
+             |FROM w ORDER BY o_orderkey""".stripMargin)),
+
+    // Top-15 session paths ([[EventOps.topPaths]]): the first three
+    // event types of every 30-minute session, counted corpus-wide.
+    // The oracle replays session_window's STRICT-gap merge rule
+    // (quiet time must EXCEED the gap to split — the ev_sessions
+    // boundary lesson) with lag/cumsum, and orders each path by
+    // (ts, event_id) exactly like the struct sort.
+    Q("ev_paths",
+      (s, dir) => EventOps.topPaths(
+        Tables.events(s, dir), "30 minutes", pathLen = 3, k = 15),
+      Some("""WITH m AS (SELECT user_id, ts, event_id, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                                 ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+             |                                   ORDER BY ts, event_id) AS rn
+             |      FROM g),
+             |p AS (SELECT user_id, sid,
+             |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+             |      FROM r WHERE rn <= 3 GROUP BY user_id, sid)
+             |SELECT path, count(*) AS n_sessions FROM p
+             |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin)),
+
+    // Spark-4 VARIANT surface: parse_json → binary variant,
+    // variant_get typed path extraction, try_variant_get on a missing
+    // path — the semi-structured column type Snowflake/Databricks
+    // users expect, here exercised end-to-end and aggregated so the
+    // JSON-function oracle can verify the SEMANTICS (the variant
+    // binary itself is engine-internal).
+    Q("p_variant_shred",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          (variant_get(col("v"), "$.k", "int") % 10).as("bucket"),
+          variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.missing", "int").as("miss"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          count(when(col("miss").isNull, lit(1))).as("n_missing"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS bucket,
+             |       count(*) AS n,
+             |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+             |       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Simpson diversity of the token distribution per language — the
+    // log-free concentration measure (Σ c·(c−1) / n·(n−1): the
+    // probability two random tokens collide). An entropy-style corpus
+    // health metric whose statistic is pure BIGINT, so it hashes
+    // exactly; one explode + two aggregates, no ln().
+    Q("t_simpson",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy(col("lang"), col("token"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("lang"))
+        .agg(sum(col("c") * (col("c") - 1)).as("coll_pairs"),
+          sum(col("c")).as("n_tokens"))
+        .select(col("lang"), col("n_tokens"), col("coll_pairs"),
+          when(col("n_tokens") > 1,
+            col("coll_pairs").cast("double")
+              / (col("n_tokens") * (col("n_tokens") - 1)).cast("double"))
+            .otherwise(lit(null).cast("double")).as("simpson"))
+        .orderBy("lang"),
+      Some(s"""WITH tok AS (SELECT lang, unnest(${TextOps.tokensSql("text")}) AS token
+              |             FROM documents),
+              |pc AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+              |       FROM tok GROUP BY 1, 2),
+              |a AS (SELECT lang, CAST(SUM(c * (c - 1)) AS BIGINT) AS coll_pairs,
+              |        CAST(SUM(c) AS BIGINT) AS n_tokens
+              |      FROM pc GROUP BY 1)
+              |SELECT lang, n_tokens, coll_pairs,
+              |       CASE WHEN n_tokens > 1
+              |            THEN CAST(coll_pairs AS DOUBLE)
+              |                 / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+              |            ELSE NULL END AS simpson
+              |FROM a ORDER BY lang""".stripMargin)),
+  )
+
+  def queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    queries.map(q => q.name -> q.fn).toMap
+
+  def oracleMap: Map[String, String] =
+    queries.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

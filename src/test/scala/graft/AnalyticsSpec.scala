@@ -1,0 +1,80 @@
+package graft
+
+import graft.ops.{Classifier, EventOps, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Unit/hand-case coverage for the round-12 analytics wave: ACF,
+  * Gini stump, leave-one-out target encoding, session path mining. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("autocorr: an exactly periodic series has ACF 1.0 at its period") {
+    // period-2 alternation 10,20,10,20,... → lag-2 pairs identical
+    // (corr exactly 1), lag-1 pairs perfectly anti-correlated (−1)
+    val series = (1 to 40).map(i => (i, if (i % 2 == 0) 10.0 else 20.0))
+      .toDF("t", "v")
+    val acf = TimeSeries.autocorr(series, "t", "v", maxLag = 2)
+      .orderBy("lag").collect()
+    assert(acf.length == 2)
+    assert(math.abs(acf(1).getAs[Double]("corr") - 1.0) < 1e-12)
+    assert(math.abs(acf(0).getAs[Double]("corr") + 1.0) < 1e-12)
+  }
+
+  test("autocorr: lag pair counts shrink by one per lag") {
+    val series = (1 to 10).map(i => (i, i.toDouble)).toDF("t", "v")
+    val acf = TimeSeries.autocorr(series, "t", "v", maxLag = 3)
+      .orderBy("lag").collect()
+    assert(acf.map(_.getAs[Long]("n_pairs")).toSeq == Seq(9L, 8L, 7L))
+    // a strictly increasing series is perfectly lag-correlated
+    acf.foreach(r => assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12))
+  }
+
+  test("giniStump finds a perfectly separating threshold") {
+    // label = feature <= 5, so the split at 5 is pure on both sides
+    val df = (1 to 100).map(i => (i % 10 + 1, if (i % 10 + 1 <= 5) 1L else 0L))
+      .toDF("f", "y")
+    val best = Classifier.giniStump(df, col("f"), col("y"))
+      .filter(col("is_best") === 1).collect()
+    assert(best.length == 1 && best.head.getAs[Long]("thr") == 5L,
+      s"expected the pure split at 5, got ${best.toSeq}")
+    // pure split: left is all-positive, right all-negative
+    assert(best.head.getAs[Long]("pl") == best.head.getAs[Long]("nl"))
+    assert(best.head.getAs[Long]("pr") == 0L)
+  }
+
+  test("giniStump score is partition-count invariant") {
+    val df = (1 to 500).map(i => (i % 7, (i * 13) % 3 == 0))
+      .toDF("f", "b").withColumn("y", col("b").cast("long"))
+    val a = Classifier.giniStump(df.repartition(1), col("f"), col("y"))
+      .orderBy("thr").collect().toSeq
+    val b = Classifier.giniStump(df.repartition(11), col("f"), col("y"))
+      .orderBy("thr").collect().toSeq
+    assert(a == b)
+  }
+
+  test("targetEncode: hand case, leave-one-out means and singleton NULL") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("b", 5.0))
+      .toDF("k", "v")
+    val got = Classifier.targetEncode(df, "k", "v")
+      .orderBy("k", "v").collect()
+    // a: each row's enc = mean of the other two
+    assert(got(0).getAs[Double]("enc") == 25.0) // (20+30)/2
+    assert(got(1).getAs[Double]("enc") == 20.0) // (10+30)/2
+    assert(got(2).getAs[Double]("enc") == 15.0) // (10+20)/2
+    assert(got(3).isNullAt(got(3).fieldIndex("enc"))) // singleton b
+  }
+
+  test("topPaths orders events within a session by (ts, event_id)") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, t(0), 100L, "view"), (1L, t(1), 101L, "click"),
+      (1L, t(2), 102L, "buy"), (1L, t(2), 103L, "error"), // ts tie → id order
+      (2L, t(0), 200L, "view"), (2L, t(1), 201L, "click"), (2L, t(2), 202L, "buy"),
+      // user 2's second session (gap > 30 min)
+      (2L, t(50), 203L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.topPaths(ev, "30 minutes", pathLen = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view>click>buy" -> 2L, "view" -> 1L))
+  }
+}
