@@ -27,6 +27,35 @@ object Det {
   def davg(c: Column, scale: Int = 6): Column =
     dsum(c, scale) / count(lit(1))
 
+  /**
+   * Fast exact SUM, value-identical to [[dsum]] but ~3× cheaper in the
+   * aggregate hot loop: the per-row decimal cast (a Decimal allocation
+   * per row per aggregate) becomes pure codegen double arithmetic
+   * `floor(x·10^s + 0.5)` → BIGINT, the sum runs on primitive longs,
+   * and the exact rational `S/10^s` is recovered once at the end via
+   * decimal division (exact: result scale ≥ s) before the single
+   * correctly-rounded cast to double.
+   *
+   * PRECONDITION (why floor(+0.5) is safe here despite the round-3
+   * lesson): the input must be an s-decimal rational stored in double
+   * (prices, quantities, their small products), so x·10^s sits within
+   * ~1e-6 of an integer — never at a .5 boundary — and |x|·10^s must
+   * stay under 2^51 so that distance survives the multiply. Under the
+   * same precondition the decimal cast in [[dsum]] recovers the same
+   * integer, which is why the results are bit-identical and the DuckDB
+   * mirror remains [[dsumSql]]. For arbitrary doubles use [[dsum]].
+   */
+  def fsum(c: Column, scale: Int = 2): Column = {
+    val f = math.pow(10, scale) // integral powers ≤ 10^15 are exact doubles
+    (sum(floor(c * lit(f) + lit(0.5)).cast(org.apache.spark.sql.types.LongType))
+      .cast(DecimalType(38, 0)) / lit(f).cast(DecimalType(16, 0)))
+      .cast(DoubleType)
+  }
+
+  /** [[fsum]]-based mean, value-identical to [[davg]]. */
+  def favg(c: Column, scale: Int = 6): Column =
+    fsum(c, scale) / count(lit(1))
+
   /** Computed timestamps (session-TZ TimestampType) written to parquet
     * carry isAdjustedToUTC=true and read back tz-aware in DuckDB, while
     * the test tables and oracle results are tz-naive. Cast outputs to

@@ -44,15 +44,15 @@ object TpchQueries {
         .filter(col("l_shipdate") <= ts("2001-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          Det.dsum(col("l_quantity"), 2).as("sum_qty"),
-          Det.dsum(col("l_extendedprice"), 2).as("sum_base_price"),
-          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          Det.fsum(col("l_quantity"), 2).as("sum_qty"),
+          Det.fsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Det.fsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
             .as("sum_disc_price"),
-          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          Det.fsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
             * (lit(1) + col("l_tax")), 6).as("sum_charge"),
-          Det.davg(col("l_quantity"), 2).as("avg_qty"),
-          Det.davg(col("l_extendedprice"), 2).as("avg_price"),
-          Det.davg(col("l_discount"), 2).as("avg_disc"),
+          Det.favg(col("l_quantity"), 2).as("avg_qty"),
+          Det.favg(col("l_extendedprice"), 2).as("avg_price"),
+          Det.favg(col("l_discount"), 2).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus"),
       Some(s"""SELECT l_returnflag, l_linestatus,
