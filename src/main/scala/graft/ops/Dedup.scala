@@ -699,4 +699,56 @@ object Dedup {
           .otherwise(coalesce(col("dup_chars"), lit(0L)).cast(DoubleType) /
             col("n_chars").cast(DoubleType)).as("dup_frac"))
   }
+
+  /**
+   * Cross-source content-overlap matrix: for every source pair, how
+   * many distinct word n-gram shingles they share, and the containment
+   * ratio `shared / min(|A|,|B|)` — the corpus-provenance audit that
+   * catches mirrored crawls, re-posted content, and cross-source
+   * contamination BEFORE sources are mixed into a training set.
+   *
+   * Scale shape: documents reduce to DISTINCT (source, shingle-hash)
+   * rows first (one hash aggregate — the posting-list trick), so the
+   * shingle self-join on the 60-bit md5 key fans out at most
+   * |sources|² per shingle regardless of how many documents share it;
+   * with a bounded source count the join output is bounded by
+   * |distinct shingles|·|sources|². Hashes are md5-derived (engine-
+   * portable, same collisions in the oracle — the dd_substring_spans
+   * pattern).
+   */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val shingles = transform(
+      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
+      i => array_join(slice(toks, i, lit(n)), " "))
+    // ONE pass over the corpus: per shingle hash, the sorted set of
+    // sources holding it (collect_set dedups — the distinct and the
+    // self-join collapse into this aggregate). localCheckpoint because
+    // two consumers read it (per-source counts, pair expansion) — the
+    // Eval.scala pattern; size is bounded by distinct shingles.
+    val byH = docs
+      .select(col(srcCol).as("src"), explode(shingles).as("g"))
+      .select(col("src"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast(LongType).as("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("src"))).as("ss"))
+      .localCheckpoint()
+    val counts = byH.select(explode(col("ss")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_sh"))
+    // all i<j pairs of each shingle's (sorted, ≤|sources|) holder set —
+    // a bounded nested transform, never a raw-table self-join
+    val pairs = byH.filter(size(col("ss")) > 1)
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("src_a"), y.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(counts.select(col("src").as("src_a"), col("n_sh").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("src").as("src_b"), col("n_sh").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"), col("n_a"), col("n_b"),
+        (col("shared").cast(DoubleType) /
+          least(col("n_a"), col("n_b")).cast(DoubleType)).as("containment"))
+  }
 }

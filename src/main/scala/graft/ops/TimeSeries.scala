@@ -654,4 +654,46 @@ object TimeSeries {
       s"stack($maxLag, ${(1 to maxLag).map(k => s"$k, __x, __y$k").mkString(", ")}) AS (lag, x, y)"))
     pearsonByKey(stacked, Seq("lag"), "x", "y")
   }
+
+  /**
+   * Classical additive decomposition of a daily series with weekly
+   * seasonality: `value = trend + season(weekday) + residual`, where
+   * trend is the 7-row centered moving average and season is the mean
+   * detrended value per weekday — the pre-model decomposition every
+   * forecasting pipeline starts from.
+   *
+   * Exactness: `value` must be integral (counts, integer quantities).
+   * The detrended numerator `7·v − Σ₇` stays in BIGINT, so the weekday
+   * season means are single correctly-rounded divisions of exact
+   * integer sums — partition- and engine-invariant (no mean-of-doubles
+   * order dependence). Weekday = epoch-days mod 7 (engine-neutral —
+   * DAYOFWEEK numbers Sunday differently per engine, the ts_seasonal
+   * lesson). The ±3-ROW window runs over OBSERVED days in date order
+   * (index-based; calendar gaps are the caller's concern), is bounded
+   * by the date span like [[autocorr]], and edge rows (incomplete
+   * window) emit NULL trend/residual rather than a biased average.
+   */
+  def decomposeWeekly(daily: DataFrame, dateCol: String, valueCol: String): DataFrame = {
+    val w = Window.orderBy(col(dateCol)).rowsBetween(-3, 3)
+    val base = daily
+      .select(col(dateCol).as("d"), col(valueCol).cast("long").as("value"))
+      .withColumn("weekday",
+        (datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01"))) % 7).cast("int"))
+      .withColumn("__sum7", sum(col("value")).over(w))
+      .withColumn("__cnt7", count(lit(1)).over(w))
+      .withColumn("__det_num",
+        when(col("__cnt7") === 7, lit(7) * col("value") - col("__sum7")))
+    val season = base.filter(col("__cnt7") === 7)
+      .groupBy(col("weekday"))
+      .agg(sum(col("__det_num")).as("__s_num"), count(lit(1)).as("__s_cnt"))
+      .select(col("weekday"),
+        (col("__s_num").cast("double") / (lit(7) * col("__s_cnt")).cast("double"))
+          .as("season"))
+    base.join(broadcast(season), Seq("weekday"), "left")
+      .select(col("d"), col("value"), col("weekday"),
+        when(col("__cnt7") === 7, col("__sum7").cast("double") / 7.0).as("trend"),
+        col("season"),
+        when(col("__cnt7") === 7,
+          col("__det_num").cast("double") / 7.0 - col("season")).as("residual"))
+  }
 }

@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.{Det, Tables}
-import graft.ops.{Classifier, EventOps, TextOps, TimeSeries}
+import graft.ops.{Classifier, Dedup, EventOps, TextOps, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /**
  * Round-12 analytics additions: series diagnostics (ACF), exact-
@@ -190,6 +191,120 @@ object AnalyticsQueries {
               |                 / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
               |            ELSE NULL END AS simpson
               |FROM a ORDER BY lang""".stripMargin)),
+
+    // Classical additive decomposition ([[TimeSeries.decomposeWeekly]]):
+    // daily demand = centered-7 trend + weekday season + residual.
+    // Detrended numerators stay BIGINT (7·v − Σ₇), so the season means
+    // are single exact-integer divisions — no mean-of-doubles order
+    // dependence; weekday is epoch-days mod 7 (engine-neutral).
+    Q("ts_decompose",
+      (s, dir) => {
+        val daily = Tables.lineitem(s, dir)
+          .groupBy(to_date(col("l_shipdate")).as("d"))
+          .agg(sum(col("l_quantity")).as("qty")) // integer-valued: exact
+        TimeSeries.decomposeWeekly(daily, "d", "qty").orderBy("d")
+      },
+      Some("""WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d,
+             |         CAST(SUM(l_quantity) AS BIGINT) AS value
+             |       FROM lineitem GROUP BY 1),
+             |b AS (SELECT d, value,
+             |        CAST((d - DATE '1970-01-01') % 7 AS INT) AS weekday,
+             |        CAST(SUM(value) OVER w7 AS BIGINT) AS sum7,
+             |        COUNT(*) OVER w7 AS cnt7
+             |      FROM daily
+             |      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |bb AS (SELECT *, CASE WHEN cnt7 = 7 THEN 7 * value - sum7 END AS det_num
+             |       FROM b),
+             |se AS (SELECT weekday, CAST(SUM(det_num) AS BIGINT) AS s_num,
+             |         COUNT(*) AS s_cnt
+             |       FROM bb WHERE cnt7 = 7 GROUP BY 1),
+             |s2 AS (SELECT weekday,
+             |         CAST(s_num AS DOUBLE) / CAST(7 * s_cnt AS DOUBLE) AS season
+             |       FROM se)
+             |SELECT d, value, weekday,
+             |       CASE WHEN cnt7 = 7 THEN CAST(sum7 AS DOUBLE) / 7.0 END AS trend,
+             |       season,
+             |       CASE WHEN cnt7 = 7
+             |            THEN CAST(det_num AS DOUBLE) / 7.0 - season END AS residual
+             |FROM bb LEFT JOIN s2 USING (weekday) ORDER BY d""".stripMargin)),
+
+    // Cross-source shingle-overlap matrix ([[Dedup.sourceOverlap]]):
+    // the corpus-provenance audit — shared distinct 5-gram shingles and
+    // containment per source pair. Posting-list distinct first, so the
+    // hash self-join fans out at most |sources|² per shingle.
+    Q("dd_source_overlap",
+      (s, dir) => Dedup.sourceOverlap(
+        Tables.documents(s, dir), "source", "text", n = 5)
+        .orderBy("src_a", "src_b"),
+      Some(s"""WITH grams AS (
+              |  SELECT DISTINCT src,
+              |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+              |  FROM (SELECT source AS src,
+              |          unnest(list_transform(range(1, greatest(len(${TextOps.tokensSql("text")}) - 4, 0) + 1),
+              |            i -> array_to_string(list_slice(${TextOps.tokensSql("text")}, i, i + 4), ' '))) AS g
+              |        FROM documents)),
+              |counts AS (SELECT src, CAST(count(*) AS BIGINT) AS n_sh FROM grams GROUP BY 1),
+              |pairs AS (SELECT a.src AS src_a, b.src AS src_b,
+              |            CAST(count(*) AS BIGINT) AS shared
+              |          FROM grams a JOIN grams b ON a.h = b.h AND a.src < b.src
+              |          GROUP BY 1, 2)
+              |SELECT src_a, src_b, shared, ca.n_sh AS n_a, cb.n_sh AS n_b,
+              |       CAST(shared AS DOUBLE) / CAST(least(ca.n_sh, cb.n_sh) AS DOUBLE)
+              |         AS containment
+              |FROM pairs
+              |JOIN counts ca ON ca.src = src_a
+              |JOIN counts cb ON cb.src = src_b
+              |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Correlated LATERAL subquery with LIMIT (SQL surface): top-2
+    // orders per customer. Catalyst decorrelates this into
+    // WindowGroupLimit — a PARTIAL per-partition top-k BEFORE the
+    // shuffle, then the rank filter — with the customer dim broadcast:
+    // the plan a hand-written window query can't beat, from the SQL a
+    // warehouse user actually writes.
+    Q("j_lateral_topn",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("lat_orders")
+        s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+                |FROM lat_customer c,
+                |LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders
+                |         WHERE o_custkey = c.c_custkey
+                |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+                |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+             |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)),
+
+    // min_by / max_by (argmin/argmax aggregate surface): which order
+    // is the cheapest / priciest per priority class. Ties exist in
+    // o_totalprice, so the selector is a composite BIGINT
+    // (cents·10⁷ + orderkey) — total order, engine-portable (DuckDB
+    // arg_min/arg_max take scalar keys only).
+    Q("agg_minmax_by",
+      (s, dir) => {
+        val key = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType) * lit(10000000L) + col("o_orderkey")
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            min_by(col("o_orderkey"), key).as("cheapest_order"),
+            max_by(col("o_orderkey"), key).as("priciest_order"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |  arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |            * 10000000 + o_orderkey) AS cheapest_order,
+             |  arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |            * 10000000 + o_orderkey) AS priciest_order,
+             |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Classifier, EventOps, TimeSeries}
+import graft.ops.{Classifier, Dedup, EventOps, TimeSeries}
 import org.apache.spark.sql.functions._
 
 /** Unit/hand-case coverage for the round-12 analytics wave: ACF,
@@ -76,5 +76,53 @@ class AnalyticsSpec extends SparkSpec {
     val got = EventOps.topPaths(ev, "30 minutes", pathLen = 3, k = 10)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == Map("view>click>buy" -> 2L, "view" -> 1L))
+  }
+
+  test("decomposeWeekly recovers an exact weekly pattern with zero residual") {
+    // value = 100 + weekday bump, 35 consecutive days: every full
+    // centered window sums the same 7 bumps, so trend is constant,
+    // season equals the bump (centered), residual is exactly 0
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val bump = (wd: Int) => (wd * 3 - 9).toDouble // mean-0 over 0..6
+    val series = (0 until 35).map { i =>
+      val d = d0.plusDays(i)
+      val wd = ((d.toEpochDay % 7) + 7) % 7
+      (java.sql.Date.valueOf(d), 100.0 + bump(wd.toInt))
+    }.toDF("d", "v")
+    val rows = TimeSeries.decomposeWeekly(series, "d", "v")
+      .filter(col("trend").isNotNull).collect()
+    assert(rows.length == 35 - 6)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("trend") - 100.0) < 1e-9,
+        s"trend ${r.getAs[Double]("trend")} != 100")
+      assert(math.abs(r.getAs[Double]("residual")) < 1e-9,
+        s"nonzero residual ${r.getAs[Double]("residual")}")
+      assert(math.abs(r.getAs[Double]("season")
+        - bump(r.getAs[Int]("weekday"))) < 1e-9)
+    }
+  }
+
+  test("decomposeWeekly: edge rows keep NULL trend, never a biased average") {
+    val d0 = java.time.LocalDate.of(2024, 1, 1)
+    val series = (0 until 10).map(i =>
+      (java.sql.Date.valueOf(d0.plusDays(i)), 5.0)).toDF("d", "v")
+    val rows = TimeSeries.decomposeWeekly(series, "d", "v").orderBy("d").collect()
+    assert(rows.count(_.isNullAt(rows.head.fieldIndex("trend"))) == 6) // 3 each edge
+  }
+
+  test("sourceOverlap counts shared shingles and containment by hand") {
+    val shared = "a b c d e f g h" // 4 distinct 5-gram shingles
+    val docs = Seq(
+      (1L, "s1", shared),
+      (2L, "s2", shared + " x y z"),  // s2 ⊇ s1's shingles (7 total)
+      (3L, "s3", "p q r s t u v w")) // disjoint
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(docs, "source", "text").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[String]("src_a") == "s1" && r.getAs[String]("src_b") == "s2")
+    assert(r.getAs[Long]("shared") == 4L && r.getAs[Long]("n_a") == 4L
+      && r.getAs[Long]("n_b") == 7L)
+    assert(r.getAs[Double]("containment") == 1.0) // s1 fully contained
   }
 }
