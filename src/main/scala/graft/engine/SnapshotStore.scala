@@ -1099,6 +1099,204 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     }
   }
 
+  // ── Row lineage (Iceberg v3 row-id mechanism) ─────────────────────
+
+  /** Reserved per-file stats key carrying row lineage: for an
+    * appendLineage file, `(firstRowId, firstRowId)`; for a
+    * compactLineage file, `("phys", nextRowIdExclusive)` — the file
+    * carries a PHYSICAL `_row_id` column and the second slot preserves
+    * the id high-water mark across compactions. */
+  val FirstRowIdStat = "__frid"
+  val RowIdCol = "_row_id"
+  private val PhysMarker = "phys"
+
+  /** The next unassigned row id — derived from manifest CONTENT (the
+    * [[nextSeq]] design), so restore/clone/branch keep ids monotone. */
+  private def nextRowIdOf(m: Option[Mf]): Long = m match {
+    case None => 0L
+    case Some(mf) =>
+      val ends = mf.files.flatMap(f =>
+        mf.stats.get(f).flatMap(_.get(FirstRowIdStat)).map {
+          case (PhysMarker, end) => end.toLong
+          case (frid, _) => frid.toLong + mf.stats(f)(RowCountStat)._1.toLong
+        })
+      if (ends.isEmpty) 0L else ends.max
+  }
+
+  /**
+   * Append with ROW LINEAGE: every row of this table carries a stable
+   * `_row_id`, assigned once at commit time and preserved for the
+   * row's whole life — the Iceberg v3 row-lineage mechanism that makes
+   * row-level audit, incremental consumers, and CDC joins possible
+   * without a natural key.
+   *
+   * The ids cost NOTHING at write time: the commit records one
+   * `firstRowId` per new file (from the manifest's content-derived
+   * high-water mark, advanced by the per-file row counts the stats
+   * pass already gathers), and [[readLineage]] synthesizes
+   * `_row_id = firstRowId + _metadata.row_index` from the parquet
+   * row position — no global sort, no per-row write amplification,
+   * distributed-safe at any file count. [[compactLineage]] is the one
+   * place ids materialize physically (a rewrite reorders rows, so
+   * position-derived ids would change — exactly why Iceberg stamps
+   * row ids into rewritten files).
+   */
+  def appendLineage(df: DataFrame, layer: String, table: String,
+                    partitionBy: Seq[String] = Nil): Long = {
+    val added = writeIntoPool(df, layer, table, partitionBy)
+    val st = statsOf(layer, table, added)
+    val counts: Map[String, Long] =
+      if (added.forall(f => st.get(f).exists(_.contains(RowCountStat))))
+        added.map(f => f -> st(f)(RowCountStat)._1.toLong).toMap
+      else {
+        import org.apache.spark.sql.functions.input_file_name
+        val base = dataDir(layer, table)
+        val baseUriPath = new Path(base).toUri.getPath
+        val counted = spark.read.option("basePath", base)
+          .parquet(added.map(f => s"$base/$f"): _*)
+          .groupBy(input_file_name().as("__f")).count().collect()
+          .map(r => new Path(new java.net.URI(r.getString(0))).toUri.getPath
+            .stripPrefix(baseUriPath).stripPrefix("/") -> r.getLong(1)).toMap
+        added.map(f => f -> counted.getOrElse(f, 0L)).toMap // zero-row files
+      }
+    commitBuildD(layer, table) { latest =>
+      val pm = latest.map(readMf(layer, table, _))
+      val (prev, prevSt, prevDel) = pm
+        .map(m => (m.files, m.stats, m.deletes))
+        .getOrElse((Nil, Map.empty: FileStats, Nil))
+      require(pm.forall(m => m.files.forall(f =>
+        m.stats.get(f).exists(_.contains(FirstRowIdStat)))),
+        s"SnapshotStore: $layer/$table has files without row lineage — " +
+          "a lineage table must be written by appendLineage/compactLineage only")
+      var next = nextRowIdOf(pm)
+      val frids = added.sorted.map { f =>
+        val assigned = f -> next; next += counts(f); assigned
+      }.toMap
+      val stL = added.map { f =>
+        f -> (st.getOrElse(f, Map.empty[String, (String, String)]) +
+          (RowCountStat -> (counts(f).toString, counts(f).toString)) +
+          (FirstRowIdStat -> (frids(f).toString, frids(f).toString)))
+      }.toMap
+      (df.schema, (prev ++ added).sorted, Map("op" -> "append_lineage"),
+        prevSt ++ stL, prevDel,
+        pm.map(_.seqs).getOrElse(Map.empty) ++ added.map(_ -> nextSeq(pm)))
+    }
+  }
+
+  /** Read the latest snapshot WITH its `_row_id` column: files from
+    * [[compactLineage]] serve their physical column; append files get
+    * `firstRowId + _metadata.row_index` (parquet row order is stable,
+    * so the id is a pure metadata projection). Files group by layout
+    * era like every manifest read (the partition-evolution fence).
+    * Refuses loudly on non-lineage files and under pending equality
+    * deletes (a positional id must not silently renumber around
+    * filtered rows). */
+  def readLineage(layer: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
+    val id = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val m = readMf(layer, table, id)
+    require(m.deletes.isEmpty,
+      s"SnapshotStore: $layer/$table has pending equality deletes — " +
+        "compact before readLineage")
+    val frids = m.files.map { f =>
+      f -> m.stats.getOrElse(f, Map.empty).getOrElse(FirstRowIdStat,
+        throw new IllegalStateException(
+          s"SnapshotStore: file $f of $layer/$table carries no row lineage — " +
+            "only appendLineage/compactLineage commits support readLineage"))
+    }.toMap
+    if (m.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(m.schema :+ org.apache.spark.sql.types.StructField(RowIdCol,
+          org.apache.spark.sql.types.LongType)))
+    val logical = m.schema.fieldNames.map(col)
+    def baseOf(p: String): String = {
+      val dirChain = p.split('/').dropRight(1)
+      val cut = dirChain.indexWhere(_.contains("="))
+      (if (cut >= 0) dirChain.take(cut) else dirChain).mkString("/")
+    }
+    def specOf(p: String): String =
+      p.split('/').dropRight(1).filter(_.contains("="))
+        .map(_.takeWhile(_ != '=')).mkString("/")
+    val (phys, derived) = m.files.partition(f => frids(f)._1 == PhysMarker)
+    val physParts = phys.map(absFile(layer, table, _))
+      .groupBy(p => (baseOf(p), specOf(p))).toSeq.sortBy(_._1.toString)
+      .map { case ((base, _), fls) =>
+        spark.read
+          .schema(StructType(m.schema :+ org.apache.spark.sql.types.StructField(
+            RowIdCol, org.apache.spark.sql.types.LongType)))
+          .option("basePath", base).parquet(fls.sorted: _*)
+          .select(logical :+ col(RowIdCol): _*)
+      }
+    val derivedParts =
+      if (derived.isEmpty) Nil
+      else {
+        // keyed by the full pool-relative path (basenames REPEAT across
+        // partition dirs of one write — a task writes the same
+        // part-NNNNN-uuid name into every partition dir it touches);
+        // every pool lives under a `/data/` dir, so the relative path
+        // is the suffix after the LAST `/data/`. The map is
+        // file-count-sized (driver metadata, like manifests).
+        import spark.implicits._
+        // clone references are recorded absolute — normalize them to
+        // the same after-/data/ suffix the read side extracts; write
+        // UUIDs keep suffixes unique, and the require makes a
+        // collision loud instead of a silent row duplication
+        def keyOf(f: String): String =
+          if (f.startsWith("/")) f.split("/data/").last else f
+        val entries = derived.map(f => (keyOf(f), frids(f)._1.toLong))
+        require(entries.map(_._1).distinct.size == entries.size,
+          s"SnapshotStore: colliding relative file paths in lineage read of $layer/$table")
+        val baseMap = broadcast(entries.toDF("__frel", "__frid"))
+        derived.map(absFile(layer, table, _))
+          .groupBy(p => (baseOf(p), specOf(p))).toSeq.sortBy(_._1.toString)
+          .map { case ((base, _), fls) =>
+            spark.read.schema(m.schema).option("basePath", base)
+              .parquet(fls.sorted: _*)
+              .select(logical :+
+                col("_metadata.row_index").as("__ri") :+
+                regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1)
+                  .as("__frel"): _*)
+              .join(baseMap, "__frel")
+              .select(logical :+ (col("__frid") + col("__ri")).as(RowIdCol): _*)
+          }
+      }
+    (physParts ++ derivedParts).reduce(_.unionByName(_))
+  }
+
+  /** Rewrite the table into `numFiles` files, MATERIALIZING `_row_id`
+    * physically — compaction reorders rows, so the position-derived
+    * ids of [[appendLineage]] files are stamped into the rewritten
+    * parquet (Iceberg v3's rewrite rule). The id high-water mark rides
+    * the new files' stats, so later appends continue the sequence.
+    * Aborts on a concurrent commit like [[compactSmall]]. */
+  def compactLineage(layer: String, table: String, numFiles: Int = 1): Long = {
+    val id = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val m = readMf(layer, table, id)
+    val nextId = nextRowIdOf(Some(m))
+    val df = readLineage(layer, table)
+    val added = writeIntoPool(df.repartition(numFiles), layer, table, Nil)
+    val st = statsOf(layer, table, added)
+    commitRetry(layer, table) { () =>
+      val latest = snapshots(layer, table).lastOption
+      if (latest != Some(id))
+        throw new java.util.ConcurrentModificationException(
+          s"SnapshotStore: $layer/$table advanced past snapshot $id during " +
+            "compactLineage — the rewrite no longer reflects the table; re-run")
+      val stL = added.map { f =>
+        f -> (st.getOrElse(f, Map.empty[String, (String, String)]) +
+          (FirstRowIdStat -> (PhysMarker, nextId.toString)))
+      }.toMap
+      if (tryWriteManifest(layer, table, id + 1, m.schema, added.sorted,
+        Map("op" -> "compact_lineage"), stL,
+        seqs = added.map(_ -> nextSeq(Some(m))).toMap)) Some(id + 1)
+      else None
+    }
+  }
+
   /** CDC between two snapshots, pruned at FILE granularity: pool files
     * are immutable, so files present in both manifests hold identical
     * rows and are never scanned — each side reads only its exclusive

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Det, Tables}
+import graft.engine.SnapshotStore
 import graft.ops.{Classifier, Dedup, EventOps, TextOps, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -305,6 +306,41 @@ object AnalyticsQueries {
              |            * 10000000 + o_orderkey) AS priciest_order,
              |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ROW LINEAGE ([[SnapshotStore.appendLineage]]/readLineage/
+    // compactLineage — the Iceberg v3 row-id mechanism): three batches
+    // append (ids assigned at commit from per-file firstRowId + parquet
+    // row position, zero write cost, no global sort), a compaction in
+    // the middle MATERIALIZES ids physically (a rewrite reorders rows),
+    // and the ids must come out stable, dense, and unique — the
+    // in-query require pins dense+unique, the oracle replays the exact
+    // assignment (batches are single sorted files, so ids are
+    // row_number over (batch, key)).
+    Q("m_row_lineage",
+      (s, dir) => {
+        val st = new SnapshotStore(s,
+          s"/tmp/graft_ss_rowlin_${new java.io.File(dir).getName}",
+          statsFor = Seq("o_orderkey"))
+        st.dropTable("silver", "ord")
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        def batch(r: Int) = o.filter(col("o_orderkey") % 3 === r)
+          .repartition(1).sortWithinPartitions("o_orderkey")
+        st.appendLineage(batch(0), "silver", "ord")
+        st.appendLineage(batch(1), "silver", "ord")
+        st.compactLineage("silver", "ord")
+        st.appendLineage(batch(2), "silver", "ord")
+        val out = st.readLineage("silver", "ord")
+        val chk = out.agg(count(lit(1)).as("n"),
+          countDistinct(col("_row_id")).as("d"), max(col("_row_id")).as("mx")).head
+        require(chk.getLong(0) == chk.getLong(1) && chk.getLong(2) == chk.getLong(0) - 1,
+          s"row ids not dense/unique: n=${chk.getLong(0)} distinct=${chk.getLong(1)} max=${chk.getLong(2)}")
+        out.select(col("o_orderkey"), col("o_totalprice"), col("_row_id"))
+          .orderBy("_row_id")
+      },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |       CAST(row_number() OVER (ORDER BY o_orderkey % 3, o_orderkey) - 1
+             |            AS BIGINT) AS _row_id
+             |FROM orders ORDER BY _row_id""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
