@@ -592,6 +592,48 @@ object EventOps {
    * top-k rides TakeOrderedAndProject. No window over raw events, no
    * self-join.
    */
+  /**
+   * Stationary distribution of the user-journey Markov chain: `iters`
+   * power-iteration steps of `p·T` from the uniform start, where T is
+   * [[transitionMatrix]]'s row-stochastic matrix — "where do journeys
+   * spend their time" as a single vector, the PageRank-role summary of
+   * the transition matrix.
+   *
+   * Determinism: the matrix entries are exact-count ratios (single
+   * correctly-rounded divisions); each step's Σ over sources is an
+   * ORDERED fold over the source-sorted term array (the prof_drift
+   * reduction), so the double sums are partition- and
+   * engine-invariant. State space = distinct event types (bounded),
+   * so every iteration is one small join + one bounded aggregate.
+   * States with no outgoing edges would leak mass (absorbing) — with
+   * journey event types every state transitions onward; the oracle
+   * replays the identical joins so any asymmetry shows as a hash
+   * mismatch, not silence.
+   */
+  def stationaryDistribution(events: DataFrame, userCol: String,
+                             typeCol: String, tsCol: String, idCol: String,
+                             iters: Int = 3): DataFrame = {
+    val m = transitionMatrix(events, userCol, typeCol, tsCol, idCol)
+      .select(col("from_type"), col("to_type"), col("p"))
+    val states = m.select(col("from_type").as("st"))
+      .unionByName(m.select(col("to_type").as("st"))).distinct()
+    val nStates = broadcast(states.agg(count(lit(1)).as("__ns")))
+    var pk = states.crossJoin(nStates)
+      .select(col("st"), (lit(1.0) / col("__ns").cast("double")).as("prob"))
+    (1 to iters).foreach { _ =>
+      pk = pk.join(m, col("st") === col("from_type"))
+        .groupBy(col("to_type"))
+        .agg(aggregate(
+          transform(
+            sort_array(collect_list(struct(col("from_type").as("f"),
+              (col("prob") * col("p")).as("t")))),
+            s => s("t")),
+          lit(0.0), (acc, v) => acc + v).as("prob"))
+        .select(col("to_type").as("st"), col("prob"))
+    }
+    pk.select(col("st").as("state"), col("prob"))
+  }
+
   def topPaths(events: DataFrame, gap: String, pathLen: Int, k: Int): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap), col("user_id"))

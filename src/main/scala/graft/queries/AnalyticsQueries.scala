@@ -341,6 +341,137 @@ object AnalyticsQueries {
              |       CAST(row_number() OVER (ORDER BY o_orderkey % 3, o_orderkey) - 1
              |            AS BIGINT) AS _row_id
              |FROM orders ORDER BY _row_id""".stripMargin)),
+
+    // Benford first-digit audit: the classic fraud/fabrication screen
+    // over monetary amounts. The first digit comes from the CENTS
+    // BIGINT's string form (double formatting is engine-specific;
+    // integer formatting is not); expected shares are literal
+    // log10(1+1/d) doubles (identical parses both engines); the χ²
+    // term stays per-digit, so no cross-row double-sum order exists.
+    Q("prof_benford",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val benford = Map(
+          1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+          3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+          5 -> 0.079181246047624818, 6 -> 0.066946789630613221,
+          7 -> 0.057991946977686733, 8 -> 0.051152522447381291,
+          9 -> 0.045757490560675143)
+        val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType)
+        val expected = benford.foldLeft(lit(null).cast("double")) {
+          case (acc, (d, p)) => when(col("digit") === d.toString, lit(p)).otherwise(acc)
+        }
+        val all = Window.partitionBy()
+        Tables.orders(s, dir)
+          .select(substring(cents.cast("string"), 1, 1).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("__tot", sum(col("n")).over(all))
+          .withColumn("share", col("n").cast("double") / col("__tot").cast("double"))
+          .withColumn("expected_share", expected)
+          .withColumn("chisq_term",
+            (col("n").cast("double") - col("__tot").cast("double") * col("expected_share"))
+              * (col("n").cast("double") - col("__tot").cast("double") * col("expected_share"))
+              / (col("__tot").cast("double") * col("expected_share")))
+          .drop("__tot")
+          .orderBy("digit")
+      },
+      Some {
+        val benfordCase = Seq(
+          1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+          3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+          5 -> "0.079181246047624818", 6 -> "0.066946789630613221",
+          7 -> "0.057991946977686733", 8 -> "0.051152522447381291",
+          9 -> "0.045757490560675143")
+          .map { case (d, p) => s"WHEN digit = '$d' THEN $p" }.mkString(" ")
+        s"""WITH d AS (SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |             AS BIGINT) AS VARCHAR), 1, 1) AS digit
+           |           FROM orders),
+           |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+           |t AS (SELECT *, CAST(SUM(n) OVER () AS BIGINT) AS tot,
+           |        CASE $benfordCase END AS expected_share
+           |      FROM c)
+           |SELECT digit, n, CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+           |       expected_share,
+           |       (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * expected_share)
+           |         * (CAST(n AS DOUBLE) - CAST(tot AS DOUBLE) * expected_share)
+           |         / (CAST(tot AS DOUBLE) * expected_share) AS chisq_term
+           |FROM t ORDER BY digit""".stripMargin
+      }),
+
+    // Flesch-style readability over the corpus — ln-free linear
+    // formula on three exact integer counts per document (words,
+    // terminal-punct sentence runs, vowel-run syllable proxy); each
+    // document's score is a fixed chain of correctly-rounded IEEE ops,
+    // mirrored operation-for-operation.
+    Q("t_readability",
+      (s, dir) => {
+        val words = size(TextOps.tokens(col("text"))).cast(LongType)
+        val sentences = greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+          .cast(LongType)
+        val syllables = regexp_count(col("text"), lit("[aeiouyAEIOUY]+"))
+          .cast(LongType)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), words.as("n_words"),
+            sentences.as("n_sentences"), syllables.as("n_syllables"))
+          .withColumn("flesch",
+            when(col("n_words") > 0,
+              lit(206.835)
+                - lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double"))
+                - lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH c AS (SELECT doc_id,
+              |    CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_words,
+              |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+              |      AS n_sentences,
+              |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT)
+              |      AS n_syllables
+              |  FROM documents)
+              |SELECT doc_id, n_words, n_sentences, n_syllables,
+              |       CASE WHEN n_words > 0 THEN
+              |         206.835
+              |           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+              |           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+              |       END AS flesch
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Stationary distribution of the journey Markov chain
+    // ([[EventOps.stationaryDistribution]]): 3 power-iteration steps
+    // from uniform — exact-ratio matrix entries, ordered-fold double
+    // sums (the prof_drift reduction), every iteration one bounded
+    // join + aggregate. The oracle unrolls the identical iterations.
+    Q("ev_stationary",
+      (s, dir) => EventOps.stationaryDistribution(
+        Tables.events(s, dir), "user_id", "event_type", "ts", "event_id",
+        iters = 3)
+        .orderBy("state"),
+      Some {
+        def step(prev: String, out: String) =
+          s"""$out AS (SELECT to_type AS st,
+             |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list(prob * p ORDER BY from_type)), (acc, v) -> acc + v) AS prob
+             |  FROM $prev JOIN m ON st = from_type GROUP BY to_type)""".stripMargin
+        s"""WITH seq AS (SELECT user_id, event_type,
+           |         lag(event_type) OVER (PARTITION BY user_id
+           |                               ORDER BY ts, event_id) AS from_type
+           |       FROM events),
+           |cnt AS (SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+           |        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |tot AS (SELECT from_type AS ft, CAST(SUM(n) AS BIGINT) AS row_total
+           |        FROM cnt GROUP BY 1),
+           |m AS (SELECT from_type, to_type,
+           |        CAST(n AS DOUBLE) / CAST(row_total AS DOUBLE) AS p
+           |      FROM cnt JOIN tot ON from_type = ft),
+           |states AS (SELECT DISTINCT st FROM
+           |  (SELECT from_type AS st FROM m UNION ALL SELECT to_type FROM m)),
+           |p0 AS (SELECT st, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM states) AS prob
+           |       FROM states),
+           |${step("p0", "p1")},
+           |${step("p1", "p2")},
+           |${step("p2", "p3")}
+           |SELECT st AS state, prob FROM p3 ORDER BY state""".stripMargin
+      }),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

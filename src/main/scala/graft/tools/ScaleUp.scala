@@ -70,14 +70,34 @@ object ScaleUp {
     })
     embN.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // lineitem + orders share the orderkey space — offset both by the
+    // SAME base (max over either side) so the fact-fact join stays
+    // consistent at every replica. Customers/parts/suppliers are held
+    // constant (dims don't scale 1:1 with facts in real warehouses),
+    // so per-entity fan-outs DEEPEN by N× — the harder aggregate case.
     val li = spark.read.parquet(s"$src/lineitem.parquet")
-    val liOff = li.agg(coalesce(max("l_orderkey"), lit(0L))).head.getLong(0) + 1
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val keyOff = math.max(
+      li.agg(coalesce(max("l_orderkey"), lit(0L))).head.getLong(0),
+      ord.agg(coalesce(max("o_orderkey"), lit(0L))).head.getLong(0)) + 1
     val liN = replicate(li, { (d, i) =>
-      if (i == 0) d else d.withColumn("l_orderkey", col("l_orderkey") + lit(i * liOff))
+      if (i == 0) d else d.withColumn("l_orderkey", col("l_orderkey") + lit(i * keyOff))
     })
     liN.repartition(32).write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    val ordN = replicate(ord, { (d, i) =>
+      if (i == 0) d else d.withColumn("o_orderkey", col("o_orderkey") + lit(i * keyOff))
+    })
+    ordN.repartition(8).write.mode("overwrite").parquet(s"$dst/orders.parquet")
 
-    println(s"""{"scaled":"$dst","replicas":$reps,"docs":${docsN.count()},"emb":${embN.count()},"lineitem":${liN.count()}}""")
+    // dims + events copied verbatim (events feed no headline scale op;
+    // present so any query can run against the scaled dir)
+    Seq("customer", "supplier", "part", "nation", "region", "events").foreach { t =>
+      val p = new java.io.File(s"$src/$t.parquet")
+      if (p.exists)
+        spark.read.parquet(p.toString).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+
+    println(s"""{"scaled":"$dst","replicas":$reps,"docs":${docsN.count()},"emb":${embN.count()},"lineitem":${liN.count()},"orders":${ordN.count()}}""")
     spark.stop()
   }
 }

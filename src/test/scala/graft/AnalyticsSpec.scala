@@ -110,6 +110,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(rows.head.fieldIndex("trend"))) == 6) // 3 each edge
   }
 
+  test("stationaryDistribution conserves mass on a closed chain") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // strict 3-cycle a→b→c→a per user: uniform is stationary exactly
+    val ev = (0 until 30).map { i =>
+      (i / 10L, t(i % 10), i.toLong, Seq("a", "b", "c")(i % 3))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventOps.stationaryDistribution(ev, "user_id", "event_type",
+      "ts", "event_id", iters = 3).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, s"mass leaked: $got")
+    got.values.foreach(p => assert(math.abs(p - 1.0 / 3) < 1e-12, s"$got"))
+  }
+
   test("sourceOverlap counts shared shingles and containment by hand") {
     val shared = "a b c d e f g h" // 4 distinct 5-gram shingles
     val docs = Seq(
