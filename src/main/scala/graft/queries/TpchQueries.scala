@@ -335,8 +335,11 @@ object TpchQueries {
               |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)),
 
     // Q18 (large-volume customers): the HAVING subquery is a
-    // self-aggregate left-semi join on the orderkey — the outer join
-    // spine then re-aggregates only surviving orders. Top-100 rides
+    // self-aggregate whose survivors broadcast-semi-filter ORDERS
+    // FIRST — the selective filter must reach the fact spine before
+    // the big joins, not after (the unfiltered 3-way join was 24 s at
+    // sf1; this shape is ~1 s: lineitem's second scan hash-probes a
+    // broadcast of the few big orders). Top-100 rides
     // TakeOrderedAndProject.
     Q("j_tpch_q18",
       (s, dir) => {
@@ -345,10 +348,12 @@ object TpchQueries {
           .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
           .filter(col("q") > 300)
           .select(col("big_okey"))
-        Tables.customer(s, dir)
-          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
-          .join(l, col("o_orderkey") === col("l_orderkey"))
+        val bigOrders = Tables.orders(s, dir)
           .join(broadcast(big), col("o_orderkey") === col("big_okey"), "left_semi")
+        broadcast(bigOrders)
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)),
+            col("c_custkey") === col("o_custkey"))
           .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
             col("o_orderdate"), col("o_totalprice"))
           .agg(Det.dsum(col("l_quantity"), 2).as("sum_qty"))
