@@ -656,6 +656,40 @@ object TimeSeries {
   }
 
   /**
+   * Ordinary-least-squares simple regression per key — slope and
+   * intercept of `y ~ x` from the SAME exact integer sufficient
+   * statistics as [[pearsonByKey]] (cent-anchored DECIMAL(38,0)
+   * accumulators): `slope = (nΣxy−ΣxΣy)/(nΣxx−(Σx)²)`, intercept from
+   * the means. The cent scale cancels in the slope (cents/cents); the
+   * intercept converts back to value units with one literal /100.
+   * Degenerate x (zero variance) or empty keys yield NULL, never
+   * NaN/∞. One keyed aggregate; epilogue is a fixed chain of
+   * correctly-rounded IEEE ops mirrored in [[pearsonSql]]-style SQL.
+   */
+  def linregByKey(df: DataFrame, keys: Seq[String],
+                  xCol: String, yCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val vx = when(both, cents(xCol)).cast(dec)
+    val vy = when(both, cents(yCol)).cast(dec)
+    val agg = df.groupBy(keys.map(col): _*).agg(
+      count(when(both, lit(1))).as("n_pairs"),
+      sum(vx).as("__sx"), sum(vy).as("__sy"),
+      sum(vx * vy).as("__sxy"), sum(vx * vx).as("__sxx"))
+    val n = col("n_pairs").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("__sxy") - d("__sx") * d("__sy")
+    val varx = n * d("__sxx") - d("__sx") * d("__sx")
+    agg
+      .withColumn("slope",
+        when(col("n_pairs") === 0 || varx === 0.0, lit(null).cast("double"))
+          .otherwise(num / varx))
+      .withColumn("intercept",
+        (d("__sy") - col("slope") * d("__sx")) / n / 100.0)
+      .drop("__sx", "__sy", "__sxy", "__sxx")
+  }
+
+  /**
    * Classical additive decomposition of a daily series with weekly
    * seasonality: `value = trend + season(weekday) + residual`, where
    * trend is the 7-row centered moving average and season is the mean

@@ -472,6 +472,138 @@ object AnalyticsQueries {
            |${step("p2", "p3")}
            |SELECT st AS state, prob FROM p3 ORDER BY state""".stripMargin
       }),
+
+    // OLS simple regression per key ([[TimeSeries.linregByKey]]):
+    // price ~ quantity per supplier, from the same exact integer
+    // sufficient statistics as ts_corr — one keyed aggregate, a fixed
+    // chain of correctly-rounded IEEE ops out.
+    Q("ts_linreg",
+      (s, dir) => TimeSeries.linregByKey(
+        Tables.lineitem(s, dir).filter(col("l_suppkey") < 200),
+        Seq("l_suppkey"), "l_quantity", "l_extendedprice")
+        .orderBy("l_suppkey"),
+      Some {
+        val nd = "CAST(n_pairs AS DOUBLE)"
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        val num = s"($nd * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+        val varx = s"($nd * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+        s"""WITH c AS (SELECT l_suppkey,
+           |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS cx,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cy
+           |  FROM lineitem
+           |  WHERE l_suppkey < 200 AND l_quantity IS NOT NULL
+           |    AND l_extendedprice IS NOT NULL),
+           |a AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |        CAST(SUM(cx) AS BIGINT) AS sx, CAST(SUM(cy) AS BIGINT) AS sy,
+           |        CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+           |        CAST(SUM(cx * cx) AS BIGINT) AS sxx
+           |      FROM c GROUP BY l_suppkey),
+           |sl AS (SELECT l_suppkey, n_pairs, sx, sy,
+           |         CASE WHEN n_pairs = 0 OR $varx = 0.0 THEN NULL
+           |              ELSE $num / $varx END AS slope
+           |       FROM a)
+           |SELECT l_suppkey, n_pairs, slope,
+           |       (${d("sy")} - slope * ${d("sx")}) / $nd / 100.0 AS intercept
+           |FROM sl ORDER BY l_suppkey""".stripMargin
+      }),
+
+    // Window NAVIGATION surface: first/last/nth over an explicit
+    // full-partition frame (the default RANGE-to-current frame makes
+    // last_value a footgun — pinned explicitly in BOTH engines) and
+    // lag(... IGNORE NULLS) for "previous urgent order" — the
+    // fill-forward idiom.
+    Q("w_nav_funcs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val order = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            first(col("o_orderkey")).over(full).as("first_order"),
+            last(col("o_orderkey")).over(full).as("last_order"),
+            nth_value(col("o_orderkey"), 2).over(full).as("second_order"),
+            lag(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice")),
+              1, null, true).over(order).as("prev_urgent_price"))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  first_value(o_orderkey) OVER wf AS first_order,
+             |  last_value(o_orderkey) OVER wf AS last_order,
+             |  nth_value(o_orderkey, 2) OVER wf AS second_order,
+             |  lag(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END
+             |      IGNORE NULLS) OVER wo AS prev_urgent_price
+             |FROM orders
+             |WINDOW wo AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Exact distinct via BITMAPS (Spark 3.5 bitmap aggregate family):
+    // per-bucket bitmaps are MERGEABLE partials — the pre-aggregable
+    // exact-distinct infrastructure (ClickHouse/Iceberg pattern) that
+    // an incremental pipeline can maintain additively, unlike a raw
+    // COUNT(DISTINCT). Buckets partition the key space, so the
+    // per-group total is the sum of per-bucket cardinalities.
+    Q("agg_bitmap_distinct",
+      (s, dir) => Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"),
+          bitmap_bucket_number(col("o_custkey")).as("__bucket"))
+        .agg(bitmap_construct_agg(bitmap_bit_position(col("o_custkey")))
+          .as("__bm"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(bitmap_count(col("__bm"))).as("n_distinct"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |       count(DISTINCT o_custkey) AS n_distinct
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Wilson 95% confidence interval per event type — the A/B-test
+    // bound that stays honest at small n (unlike the normal
+    // approximation). All inputs exact BIGINTs; z = 1.96 literal; the
+    // interval is a fixed chain of correctly-rounded IEEE ops (sqrt
+    // included) mirrored exactly.
+    Q("ev_conversion_ci",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val totals = ev.agg(countDistinct(col("user_id")).as("n_users"))
+        val perType = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("k_users"))
+        val n = col("n_users").cast("double")
+        val p = col("k_users").cast("double") / n
+        val z = lit(1.96)
+        val denom = lit(1.0) + z * z / n
+        val center = p + z * z / (lit(2.0) * n)
+        val margin = z * sqrt(p * (lit(1.0) - p) / n
+          + z * z / (lit(4.0) * n * n))
+        perType.crossJoin(broadcast(totals))
+          .select(col("event_type"), col("k_users"), col("n_users"),
+            p.as("p"),
+            ((center - margin) / denom).as("ci_lo"),
+            ((center + margin) / denom).as("ci_hi"))
+          .orderBy("event_type")
+      },
+      Some("""WITH t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |           FROM events),
+             |k AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS k_users
+             |      FROM events GROUP BY 1)
+             |SELECT event_type, k_users, n_users,
+             |  CAST(k_users AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+             |  ((CAST(k_users AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |     + 1.96 * 1.96 / (2.0 * CAST(n_users AS DOUBLE)))
+             |   - 1.96 * sqrt(CAST(k_users AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |       * (1.0 - CAST(k_users AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |       / CAST(n_users AS DOUBLE)
+             |     + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+             |  / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)) AS ci_lo,
+             |  ((CAST(k_users AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |     + 1.96 * 1.96 / (2.0 * CAST(n_users AS DOUBLE)))
+             |   + 1.96 * sqrt(CAST(k_users AS DOUBLE) / CAST(n_users AS DOUBLE)
+             |       * (1.0 - CAST(k_users AS DOUBLE) / CAST(n_users AS DOUBLE))
+             |       / CAST(n_users AS DOUBLE)
+             |     + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
+             |  / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)) AS ci_hi
+             |FROM k CROSS JOIN t ORDER BY event_type""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
