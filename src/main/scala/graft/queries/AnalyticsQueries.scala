@@ -604,6 +604,78 @@ object AnalyticsQueries {
              |     + 1.96 * 1.96 / (4.0 * CAST(n_users AS DOUBLE) * CAST(n_users AS DOUBLE))))
              |  / (1.0 + 1.96 * 1.96 / CAST(n_users AS DOUBLE)) AS ci_hi
              |FROM k CROSS JOIN t ORDER BY event_type""".stripMargin)),
+
+    // HITS hubs/authorities on the bipartite customer↔supplier trade
+    // graph — EXACT-INTEGER power iteration: two unnormalized rounds
+    // from h₀=1 keep every score a sum of products of exact counts
+    // (DECIMAL(38,0) against sf1-scale overflow), so the ranking is
+    // bit-deterministic with no float normalization to mirror. Each
+    // round is one keyed join + one keyed aggregate, the gr_pagerank
+    // cost shape.
+    Q("gr_hits",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val e = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .agg(count(lit(1)).as("w"))
+        val a1 = e.groupBy(col("p")).agg(sum(col("w")).as("a1"))
+        val h1 = e.join(a1, "p").groupBy(col("c"))
+          .agg(sum(col("w").cast(dec) * col("a1").cast(dec)).as("h1"))
+        val a2 = e.join(h1, "c").groupBy(col("p"))
+          .agg(sum(col("w").cast(dec) * col("h1")).as("a2"))
+        a2.join(a1, "p")
+          .join(broadcast(Tables.supplier(s, dir)), col("p") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("a1"),
+            col("a2").cast("double").as("auth_score"))
+          .orderBy(col("auth_score").desc, col("s_suppkey"))
+          .limit(10)
+      },
+      Some("""WITH e AS (SELECT o_custkey AS c, l_suppkey AS p,
+             |         CAST(count(*) AS BIGINT) AS w
+             |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |       GROUP BY 1, 2),
+             |a1 AS (SELECT p, CAST(SUM(w) AS BIGINT) AS a1 FROM e GROUP BY 1),
+             |h1 AS (SELECT c, SUM(CAST(w AS HUGEINT) * CAST(a1 AS HUGEINT)) AS h1
+             |       FROM e JOIN a1 USING (p) GROUP BY 1),
+             |a2 AS (SELECT p, SUM(CAST(w AS HUGEINT) * h1) AS a2
+             |       FROM e JOIN h1 USING (c) GROUP BY 1)
+             |SELECT s_suppkey, s_name, a1, CAST(a2 AS DOUBLE) AS auth_score
+             |FROM a2 JOIN a1 USING (p) JOIN supplier ON p = s_suppkey
+             |ORDER BY auth_score DESC, s_suppkey LIMIT 10""".stripMargin)),
+
+    // Streaming EXACT DISTINCT, oracle-hashed end state
+    // ([[graft.streaming.StreamOps.bitmapPartialsSink]]): orders
+    // replay as micro-batches; each batch appends mergeable bitmap
+    // partials exactly-once; the epilogue (OR-merge per bucket, count,
+    // sum) must equal COUNT(DISTINCT) over the whole stream — the
+    // agg_bitmap_distinct contract held continuously, with no raw-id
+    // state.
+    Q("stream_bitmap_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_bm_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val staged = s"$base/in"
+        Tables.orders(s, dir).select(col("o_orderpriority"), col("o_custkey"))
+          .repartition(4).write.parquet(staged)
+        val stream = graft.streaming.StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val st = new SnapshotStore(s, s"$base/store")
+        graft.streaming.StreamOps.bitmapPartialsSink(stream, st,
+          "metrics", "cust_bitmaps", Seq("o_orderpriority"), "o_custkey",
+          checkpoint = s"$base/ckpt").awaitTermination()
+        st.read("metrics", "cust_bitmaps")
+          .groupBy(col("o_orderpriority"), col("bucket"))
+          .agg(bitmap_or_agg(col("bm")).as("bm"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum(bitmap_count(col("bm"))).as("n_distinct"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |       count(DISTINCT o_custkey) AS n_distinct
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -193,6 +193,33 @@ object StreamOps {
       }
       .start()
 
+  /** Additive BITMAP-DISTINCT maintenance: each micro-batch appends
+    * its per-(keys, bucket) bitmap partials exactly-once (batch-id
+    * transaction tags). Bitmaps OR-merge, so the epilogue —
+    * `bitmap_or_agg` per (keys, bucket), `bitmap_count`, sum per keys
+    * — equals COUNT(DISTINCT id) over everything ever streamed: exact
+    * streaming distinct with NO raw-id retention and no growing state
+    * store (the state is the maintained table, batches × touched
+    * buckets rows, and compaction re-merges it additively — the
+    * mergeable-distinct property raw COUNT(DISTINCT) lacks). */
+  def bitmapPartialsSink(stream: DataFrame, st: SnapshotStore, layer: String,
+                         table: String, keys: Seq[String], idCol: String,
+                         checkpoint: String,
+                         sinkId: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        st.appendIfAbsent(
+          batch.toDF()
+            .groupBy(keys.map(col) :+
+              bitmap_bucket_number(col(idCol)).as("bucket"): _*)
+            .agg(bitmap_construct_agg(bitmap_bit_position(col(idCol))).as("bm")),
+          layer, table, txnTag(checkpoint, sinkId, batchId))
+        ()
+      }
+      .start()
+
   /** Additive KEYED-COUNT maintenance: each micro-batch appends its
     * (keys, cnt) partial counts exactly-once (batch-id transaction
     * tags), so re-summing the maintained table equals a batch count
