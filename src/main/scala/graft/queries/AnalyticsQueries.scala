@@ -676,6 +676,66 @@ object AnalyticsQueries {
       Some("""SELECT o_orderpriority,
              |       count(DISTINCT o_custkey) AS n_distinct
              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CCNet-style quality bucketing: corpus terciles by bigram-LM
+    // fluency score (head / middle / tail — the split CCNet trains and
+    // filters by). Scores are the exact micro-point LM sums; the
+    // tercile cut is ntile(3) over a TOTAL order (score desc, doc_id),
+    // identical split rule both engines; the per-bucket rollup stays
+    // BIGINT + min/max doubles (exact).
+    Q("t_quality_buckets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = TextOps.bigramLmScore(Tables.documents(s, dir), "doc_id", "text")
+        val w = Window.orderBy(col("avg_pts").desc, col("doc_id"))
+        scored.withColumn("__t", ntile(3).over(w))
+          .withColumn("bucket",
+            when(col("__t") === 1, "head")
+              .when(col("__t") === 2, "middle").otherwise("tail"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("pts_total")).as("pts_total"),
+            min(col("avg_pts")).as("min_avg_pts"),
+            max(col("avg_pts")).as("max_avg_pts"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH base AS (
+              |${TextOps.bigramLmScoreSql("documents")}
+              |),
+              |scored AS (SELECT doc_id, pts_total, avg_pts,
+              |             ntile(3) OVER (ORDER BY avg_pts DESC, doc_id) AS t
+              |           FROM base)
+              |SELECT CASE WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+              |            ELSE 'tail' END AS bucket,
+              |       count(*) AS n_docs,
+              |       CAST(SUM(pts_total) AS BIGINT) AS pts_total,
+              |       min(avg_pts) AS min_avg_pts, max(avg_pts) AS max_avg_pts
+              |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // String-function surface parity: pad/translate/split_part/
+    // levenshtein/repeat/reverse as one codegen'd projection — the
+    // everyday string toolkit, pinned engine-identical.
+    Q("p_string_funcs",
+      (s, dir) => Tables.part(s, dir)
+        .filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, ".").as("padded"),
+          rpad(col("p_type"), 10, "*").as("rpadded"),
+          translate(col("p_name"), "aeiou", "#####").as("devoweled"),
+          split_part(col("p_name"), lit(" "), lit(2)).as("second_word"),
+          levenshtein(col("p_brand"), col("p_type")).as("edit_dist"),
+          repeat(col("p_brand"), 2).as("doubled"),
+          reverse(col("p_name")).as("reversed"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  lpad(p_brand, 12, '.') AS padded,
+             |  rpad(p_type, 10, '*') AS rpadded,
+             |  translate(p_name, 'aeiou', '#####') AS devoweled,
+             |  split_part(p_name, ' ', 2) AS second_word,
+             |  CAST(levenshtein(p_brand, p_type) AS INT) AS edit_dist,
+             |  repeat(p_brand, 2) AS doubled,
+             |  reverse(p_name) AS reversed
+             |FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
