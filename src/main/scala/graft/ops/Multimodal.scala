@@ -127,6 +127,123 @@ object Multimodal {
       chunk("IEND", Array.empty)
   }
 
+  /** FULLY-DECODED 8-bit grayscale PNG (color type 0): real scanline
+    * serialization (filter byte 0 + w pixel bytes per row), REAL zlib
+    * deflate of the image data, CRC-correct chunks — a PNG any viewer
+    * opens, and the synthesis side of [[decodePngPixels]]. */
+  def pngBytesPixels(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // 8-bit grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val raw = new Array[Byte](h * (1 + w))
+    var y = 0
+    while (y < h) {
+      raw(y * (1 + w)) = 0 // filter type 0 (None)
+      var x = 0
+      while (x < w) { raw(y * (1 + w) + 1 + x) = (pix(x, y) & 0xff).toByte; x += 1 }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty)
+  }
+
+  /** REAL PNG pixel decode — pure JVM, the full read path: signature +
+    * IHDR (8-bit grayscale only), chunk walk collecting IDAT payloads
+    * with each chunk's CRC32 VERIFIED, zlib inflate, per-scanline
+    * filter-byte check (only filter 0 accepted — these are our own
+    * encodes; a real filter reconstructor would slot in here), then
+    * pixel statistics. Returns `(w, h, pixSum, pixMin, pixMax)`;
+    * None for anything malformed, truncated, or CRC-corrupt. */
+  def decodePngPixels(b: Array[Byte]): Option[(Int, Int, Long, Int, Int)] = {
+    val hdr = parsePng(b)
+    if (hdr.isEmpty) return None
+    val (w, h, depth) = hdr.get
+    if (depth != 8 || (b(25) & 0xff) != 0) return None // grayscale only
+    val buf = java.nio.ByteBuffer.wrap(b)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33 // first chunk after IHDR
+    var ended = false
+    while (!ended) {
+      if (off + 8 > b.length) return None
+      val len = buf.getInt(off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue != (buf.getInt(off + 8 + len).toLong & 0xffffffffL)) return None
+      if (typ == "IDAT") idat.write(b, off + 8, len)
+      if (typ == "IEND") ended = true
+      off += 12 + len
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + w))
+    val got = try inflater.inflate(raw) finally inflater.end()
+    if (got != raw.length) return None
+    var sum = 0L; var mn = 255; var mx = 0
+    var y = 0
+    while (y < h) {
+      if (raw(y * (1 + w)) != 0) return None // unsupported filter
+      var x = 0
+      while (x < w) {
+        val v = raw(y * (1 + w) + 1 + x) & 0xff
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, sum, mn, mx))
+  }
+
+  /** Deterministic REAL-pixel PNG corpus: id-keyed dimensions, pixel
+    * (x,y) = (id + 7x + 13y) mod 256 — an oracle predicts every pixel
+    * statistic analytically while the bytes exercise the full
+    * deflate→inflate→defilter read path. */
+  def synthPngPixelCorpus(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id * 3) % 9).toInt
+      (id, pngBytesPixels(w, h, (x, y) => ((id + 7L * x + 13L * y) % 256).toInt))
+    }.toDF(idCol, "payload")
+  }
+
+  case class PngPixelStats(doc_id: Long, width: Int, height: Int,
+                           n_pixels: Long, pix_sum: Long, pix_min: Int, pix_max: Int)
+
+  /** Distributed pixel-statistics pass over a binary PNG column — the
+    * [[decodeMeta]] shape with the FULL decode inside the partition
+    * loop. A payload that fails the decode fails the JOB (these are
+    * pipeline-owned encodes; silent nulls would hide corruption). */
+  def pngPixelStats(spark: SparkSession, docs: DataFrame,
+                    idCol: String, payloadCol: String): DataFrame = {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[PngPixelStats]
+    docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val id = r.getLong(0)
+          val s = decodePngPixels(r.getAs[Array[Byte]](1)).getOrElse(
+            throw new IllegalStateException(s"undecodable PNG payload for id $id"))
+          PngPixelStats(id, s._1, s._2, s._1.toLong * s._2, s._3, s._4, s._5)
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** REAL GIF (87a/89a) parser — pure JVM. Validates the signature,
     * reads the little-endian logical-screen dimensions, skips the
     * global color table per the packed flags, then walks the block

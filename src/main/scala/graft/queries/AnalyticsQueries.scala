@@ -736,6 +736,34 @@ object AnalyticsQueries {
              |  repeat(p_brand, 2) AS doubled,
              |  reverse(p_name) AS reversed
              |FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey""".stripMargin)),
+
+    // FULL PNG pixel decode ([[graft.ops.Multimodal.decodePngPixels]]):
+    // genuine 8-bit grayscale PNGs (real zlib-deflated scanlines,
+    // CRC-correct chunks) decoded end-to-end — chunk walk with
+    // per-chunk CRC verification, inflate, per-scanline defilter,
+    // pixel statistics. Pixels are (id + 7x + 13y) mod 256, so the
+    // oracle computes every statistic analytically — a wrong inflate,
+    // a filter-byte slip, or a mis-walked chunk hash-mismatches.
+    Q("mm_png_decode",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        Multimodal.pngPixelStats(s,
+          Multimodal.synthPngPixelCorpus(s, Tables.documents(s, dir), "doc_id"),
+          "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+             |         8 + (doc_id * 3) % 9 AS h
+             |       FROM documents),
+             |px AS (SELECT doc_id, w, h,
+             |         (doc_id + 7 * x.i + 13 * y.i) % 256 AS v
+             |       FROM dims, unnest(range(0, w)) AS x(i),
+             |            unnest(range(0, h)) AS y(i))
+             |SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |       CAST(w * h AS BIGINT) AS n_pixels,
+             |       CAST(SUM(v) AS BIGINT) AS pix_sum,
+             |       CAST(min(v) AS INT) AS pix_min, CAST(max(v) AS INT) AS pix_max
+             |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -197,4 +197,30 @@ class MultimodalSpec extends SparkSpec {
     assert((m.width, m.height, m.n_frames) == ((20, 30, 2)))
     assert(m.header_hex.startsWith("474946383961"))
   }
+
+  test("decodePngPixels round-trips a real deflated grayscale image") {
+    val png = Multimodal.pngBytesPixels(5, 3, (x, y) => 10 * y + x)
+    val (w, h, sum, mn, mx) = Multimodal.decodePngPixels(png).get
+    // pixels: rows (0..4), (10..14), (20..24) → sum 3·(0+..+4) + 15·(0+10+20)
+    assert((w, h) == ((5, 3)))
+    assert(sum == (0 to 4).sum * 3 + 5 * (10 + 20))
+    assert(mn == 0 && mx == 24)
+  }
+
+  test("decodePngPixels rejects corruption instead of misreading") {
+    val png = Multimodal.pngBytesPixels(8, 8, (x, y) => x ^ y)
+    assert(Multimodal.decodePngPixels(png).isDefined)
+    // flip one IDAT payload byte → chunk CRC must catch it
+    val idatData = 33 + 8 + 2 // first chunk after IHDR: len+type, skip into data
+    val bad = png.clone(); bad(idatData) = (bad(idatData) ^ 0x41).toByte
+    assert(Multimodal.decodePngPixels(bad).isEmpty)
+    // truncation anywhere in the chunk stream
+    assert(Multimodal.decodePngPixels(png.take(png.length - 7)).isEmpty)
+    // declared dimensions must match the inflated payload: lie about h
+    val lied = png.clone()
+    val bb = java.nio.ByteBuffer.wrap(lied); bb.putInt(20, 9) // h 8→9
+    val crc = new java.util.zip.CRC32; crc.update(lied, 12, 17)
+    bb.putInt(29, crc.getValue.toInt) // re-sign IHDR so only the LIE differs
+    assert(Multimodal.decodePngPixels(lied).isEmpty)
+  }
 }
