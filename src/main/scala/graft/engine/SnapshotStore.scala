@@ -747,6 +747,109 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
                   predicate: org.apache.spark.sql.Column): Long =
     deleteKeys(read(layer, table).filter(predicate), layer, table, keyCols)
 
+  // ── Position deletes (Iceberg's second delete-file type) ──────────
+
+  /** Reserved keyCols marker distinguishing a POSITION-delete file
+    * from an equality-delete file in the manifest's `-` lines. */
+  private val PosDeleteMarker = "__pos_delete__"
+  val PosFileCol = "__file"
+  val PosIdxCol = "__pos"
+
+  /** The latest snapshot WITH each row's physical address: pool-
+    * relative file path + parquet row index (`_metadata.row_index`) —
+    * the coordinates a position delete names. Rows already removed by
+    * pending deletes are excluded (addresses must reflect what a
+    * reader sees). */
+  def readPositions(layer: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    val id = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val m = readMf(layer, table, id)
+    val withPos = readFilesWithPos(layer, table, m.schema, m.files)
+    // pending deletes still apply (equality by key, position by address)
+    val (pos, eq) = m.deletes.partition(_.keyCols == Seq(PosDeleteMarker))
+    val afterPos = antiJoinPositions(withPos, layer, table, pos)
+    antiJoinDeletes(afterPos, layer, table, m.schema, eq)
+  }
+
+  /** Commit a POSITION DELETE: `positions` names rows by
+    * ([[PosFileCol]], [[PosIdxCol]]) — normally a filtered
+    * [[readPositions]]. This is the delete equality files cannot
+    * express: it removes ONE specific physical row, so one of two
+    * value-identical duplicates can be deleted. Zero data rewriting —
+    * the commit adds one small address file; readers anti-join on the
+    * address; [[compact]] materializes. */
+  def deletePositions(positions: DataFrame, layer: String, table: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val added = writeIntoPool(
+      positions.select(col(PosFileCol), col(PosIdxCol))
+        .dropDuplicates(PosFileCol, PosIdxCol),
+      layer, table, Nil)
+    commitBuildD(layer, table) { l =>
+      val m = l.map(readMf(layer, table, _)).getOrElse(
+        throw new IllegalStateException(
+          s"SnapshotStore: $layer/$table vanished during deletePositions"))
+      (m.schema, m.files, Map("op" -> "delete_positions"), m.stats,
+        m.deletes ++ added.map(DeleteEntry(_, Seq(PosDeleteMarker), nextSeq(Some(m)))),
+        m.seqs)
+    }
+  }
+
+  /** `DELETE FROM t WHERE p` as a position delete. */
+  def deleteWherePositions(layer: String, table: String,
+                           predicate: org.apache.spark.sql.Column): Long =
+    deletePositions(readPositions(layer, table).filter(predicate), layer, table)
+
+  /** [[readFiles]] with each row's physical address attached — the
+    * same layout-era grouping, plus `_metadata` projection and the
+    * after-`/data/` relative-path extraction [[readLineage]] uses. */
+  private def readFilesWithPos(layer: String, table: String,
+                               schema: StructType, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema
+          :+ org.apache.spark.sql.types.StructField(PosFileCol,
+            org.apache.spark.sql.types.StringType)
+          :+ org.apache.spark.sql.types.StructField(PosIdxCol,
+            org.apache.spark.sql.types.LongType)))
+    def baseOf(p: String): String = {
+      val dirChain = p.split('/').dropRight(1)
+      val cut = dirChain.indexWhere(_.contains("="))
+      (if (cut >= 0) dirChain.take(cut) else dirChain).mkString("/")
+    }
+    def specOf(p: String): String =
+      p.split('/').dropRight(1).filter(_.contains("="))
+        .map(_.takeWhile(_ != '=')).mkString("/")
+    val logical = schema.fieldNames.map(col)
+    files.map(absFile(layer, table, _))
+      .groupBy(p => (baseOf(p), specOf(p))).toSeq.sortBy(_._1.toString)
+      .map { case ((base, _), fls) =>
+        spark.read.schema(schema).option("basePath", base).parquet(fls.sorted: _*)
+          .select(logical :+
+            regexp_extract(col("_metadata.file_path"), "^.*/data/(.*)$", 1)
+              .as(PosFileCol) :+
+            col("_metadata.row_index").as(PosIdxCol): _*)
+      }.reduce(_.unionByName(_))
+  }
+
+  /** Anti-join rows against position-delete files on the physical
+    * address. Delete files are commit-sized → Catalyst broadcasts. */
+  private def antiJoinPositions(df: DataFrame, layer: String, table: String,
+                                deletes: Seq[DeleteEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (deletes.isEmpty) return df
+    val posSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField(PosFileCol,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(PosIdxCol,
+        org.apache.spark.sql.types.LongType)))
+    val addrs = readFiles(layer, table, posSchema, deletes.map(_.file).sorted)
+    df.join(addrs.dropDuplicates(PosFileCol, PosIdxCol),
+      Seq(PosFileCol, PosIdxCol), "left_anti")
+  }
+
   /** Dynamic partition overwrite (Spark's `partitionOverwriteMode=
     * dynamic`, Delta `replaceWhere` by partition): replace ONLY the
     * partitions `df` carries rows for; every other partition keeps its
@@ -961,8 +1064,15 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     files.groupBy(f => m.deletes.filter(_.seq > m.seqs.getOrElse(f, 0L)))
       .toSeq.sortBy(_._2.min) // deterministic plan order
       .map { case (dels, bucket) =>
-        antiJoinDeletes(readFiles(layer, table, m.schema, bucket.sorted),
-          layer, table, m.schema, dels)
+        val (pos, eq) = dels.partition(_.keyCols == Seq(PosDeleteMarker))
+        val base =
+          if (pos.isEmpty) readFiles(layer, table, m.schema, bucket.sorted)
+          else // metadata-addressed read ONLY for files position deletes touch
+            antiJoinPositions(
+              readFilesWithPos(layer, table, m.schema, bucket.sorted),
+              layer, table, pos)
+              .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+        antiJoinDeletes(base, layer, table, m.schema, eq)
       }.reduce(_.unionByName(_))
   }
 

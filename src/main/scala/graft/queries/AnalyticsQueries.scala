@@ -764,6 +764,34 @@ object AnalyticsQueries {
              |       CAST(SUM(v) AS BIGINT) AS pix_sum,
              |       CAST(min(v) AS INT) AS pix_min, CAST(max(v) AS INT) AS pix_max
              |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
+    // POSITION DELETES ([[SnapshotStore.deleteWherePositions]] —
+    // Iceberg's second delete-file type): rows named by physical
+    // address (file, row index), committed zero-copy (in-query require
+    // pins that no data file was rewritten), applied by readers as a
+    // broadcast address anti-join. Re-appending value-IDENTICAL rows
+    // after the delete must NOT be swallowed (addresses point at old
+    // files only) — the oracle proves it by landing exactly back on
+    // the even-key relation.
+    Q("m_position_deletes",
+      (s, dir) => {
+        val st = new SnapshotStore(s,
+          s"/tmp/graft_ss_posdel_${new java.io.File(dir).getName}")
+        st.dropTable("silver", "ord")
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        st.overwrite(o.filter(col("o_orderkey") % 2 === 0).repartition(2),
+          "silver", "ord")
+        val before = st.read("silver", "ord").inputFiles.toSet
+        st.deleteWherePositions("silver", "ord", col("o_orderkey") % 10 === 6)
+        val after = st.read("silver", "ord").inputFiles.toSet
+        require(before.subsetOf(after),
+          "position delete rewrote data files (expected zero-copy)")
+        st.append(o.filter(col("o_orderkey") % 10 === 6).repartition(1),
+          "silver", "ord")
+        st.read("silver", "ord").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
