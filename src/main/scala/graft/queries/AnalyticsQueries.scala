@@ -792,6 +792,34 @@ object AnalyticsQueries {
       },
       Some("""SELECT o_orderkey, o_totalprice FROM orders
              |WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // FULL PCM16 WAV sample decode ([[graft.ops.Multimodal
+    // .wavSampleStats]]): genuine RIFF containers whose int16 samples
+    // follow an id-keyed formula, scanned for EXACT integer energy
+    // (Σ s², BIGINT) and zero-crossings — the real audio-feature read
+    // path next to the header-walk metadata pass. The oracle replays
+    // every sample; one double sqrt at the edge for RMS.
+    Q("mm_wav_energy",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        Multimodal.wavFeatureStats(s,
+          Multimodal.synthWavSignalCorpus(s, Tables.documents(s, dir), "doc_id"),
+          "doc_id", "payload")
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, 120 + doc_id % 40 AS n FROM documents),
+             |sm AS (SELECT doc_id, n, i.i AS i,
+             |         ((doc_id * 31 + i.i * 17) % 65536) - 32768 AS v
+             |       FROM base, unnest(range(0, n)) AS i(i)),
+             |st AS (SELECT doc_id, n,
+             |         CAST(SUM(v * v) AS BIGINT) AS energy,
+             |         CAST(SUM(CASE WHEN i > 0 AND
+             |             ((v >= 0) <> (((doc_id * 31 + (i - 1) * 17) % 65536) - 32768 >= 0))
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+             |       FROM sm GROUP BY 1, 2)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, energy, zero_crossings,
+             |       sqrt(CAST(energy AS DOUBLE) / CAST(CAST(n AS BIGINT) AS DOUBLE)) AS rms
+             |FROM st ORDER BY doc_id""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -223,4 +223,18 @@ class MultimodalSpec extends SparkSpec {
     bb.putInt(29, crc.getValue.toInt) // re-sign IHDR so only the LIE differs
     assert(Multimodal.decodePngPixels(lied).isEmpty)
   }
+
+  test("wavSampleStats: exact energy and zero-crossings by hand") {
+    val samples = Array[Short](100, -50, -2, 3, 0, -1)
+    val wav = Multimodal.wavBytes(8000, 1, samples)
+    val (n, energy, zc) = Multimodal.wavSampleStats(wav).get
+    assert(n == 6L)
+    assert(energy == 100L * 100 + 50 * 50 + 2 * 2 + 3 * 3 + 0 + 1)
+    // sign runs: + | - - | + + (0 counts non-negative) | - → 3 crossings
+    assert(zc == 3L)
+    // stereo and truncated payloads refuse
+    assert(Multimodal.wavSampleStats(
+      Multimodal.wavBytes(8000, 2, samples)).isEmpty)
+    assert(Multimodal.wavSampleStats(wav.take(wav.length - 3)).isEmpty)
+  }
 }
