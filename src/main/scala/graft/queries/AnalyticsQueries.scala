@@ -820,6 +820,86 @@ object AnalyticsQueries {
              |SELECT doc_id, CAST(n AS BIGINT) AS n_samples, energy, zero_crossings,
              |       sqrt(CAST(energy AS DOUBLE) / CAST(CAST(n AS BIGINT) AS DOUBLE)) AS rms
              |FROM st ORDER BY doc_id""".stripMargin)),
+
+    // Pareto revenue concentration: users ranked into deciles by exact
+    // cent totals, cumulative share per decile — the "top 10% drive
+    // X%" curve every revenue review opens with. The only windows run
+    // over 10 decile rows; the per-user reduction is one keyed
+    // aggregate.
+    Q("ev_pareto",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val perUser = Tables.events(s, dir)
+          .select(col("user_id"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("__c"))
+          .groupBy(col("user_id")).agg(sum(col("__c")).as("c"))
+        val ranked = perUser.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("c").desc, col("user_id"))))
+        val deciles = ranked.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("c")).as("revenue_cents"))
+        val wc = Window.orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val all = Window.partitionBy()
+        deciles
+          .withColumn("cum_share",
+            sum(col("revenue_cents")).over(wc).cast("double")
+              / sum(col("revenue_cents")).over(all).cast("double"))
+          .orderBy("decile")
+      },
+      Some("""WITH pu AS (SELECT user_id,
+             |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+             |       FROM events GROUP BY 1),
+             |r AS (SELECT user_id, c,
+             |        ntile(10) OVER (ORDER BY c DESC, user_id) AS decile
+             |      FROM pu),
+             |d AS (SELECT decile, count(*) AS n_users,
+             |        CAST(SUM(c) AS BIGINT) AS revenue_cents
+             |      FROM r GROUP BY 1)
+             |SELECT decile, n_users, revenue_cents,
+             |       CAST(SUM(revenue_cents) OVER (ORDER BY decile
+             |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             |         / CAST(SUM(revenue_cents) OVER () AS DOUBLE) AS cum_share
+             |FROM d ORDER BY decile""".stripMargin)),
+
+    // Degree assortativity of the trade graph: Pearson correlation of
+    // endpoint degrees over the distinct customer↔supplier edges —
+    // "do high-degree customers trade with high-degree suppliers".
+    // Exact integer sufficient statistics ([[TimeSeries.pearsonByKey]]
+    // with a constant key); degrees are distinct-neighbor counts from
+    // one aggregate each.
+    Q("gr_assortativity",
+      (s, dir) => {
+        val e = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("p"))
+          .distinct()
+        val degC = e.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
+        val degP = e.groupBy(col("p")).agg(count(lit(1)).as("deg_p"))
+        val pairs = e.join(degC, "c").join(broadcast(degP), "p")
+          .withColumn("g", lit(1))
+        TimeSeries.pearsonByKey(pairs, Seq("g"), "deg_c", "deg_p")
+          .select(col("n_pairs"), col("corr").as("assortativity"))
+      },
+      Some {
+        val nd = "CAST(n_pairs AS DOUBLE)"
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        val num = s"($nd * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+        val varx = s"($nd * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+        val vary = s"($nd * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+        val den = s"(sqrt(GREATEST($varx, 0.0)) * sqrt(GREATEST($vary, 0.0)))"
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS p
+           |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |dc AS (SELECT c, CAST(count(*) AS BIGINT) AS deg_c FROM e GROUP BY 1),
+           |dp AS (SELECT p, CAST(count(*) AS BIGINT) AS deg_p FROM e GROUP BY 1),
+           |pr AS (SELECT CAST(CAST(deg_c AS DECIMAL(18,2)) * 100 AS BIGINT) AS cx,
+           |         CAST(CAST(deg_p AS DECIMAL(18,2)) * 100 AS BIGINT) AS cy
+           |       FROM e JOIN dc USING (c) JOIN dp USING (p)),
+           |a AS (SELECT ${TimeSeries.pearsonSql("cx", "cy")} FROM pr)
+           |SELECT n_pairs,
+           |       CASE WHEN n_pairs = 0 OR $den = 0.0 THEN NULL
+           |            ELSE $num / $den END AS assortativity
+           |FROM a""".stripMargin
+      }),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
