@@ -900,6 +900,95 @@ object AnalyticsQueries {
            |            ELSE $num / $den END AS assortativity
            |FROM a""".stripMargin
       }),
+
+    // Code-vs-prose detection — the corpus-routing gate an LLM data
+    // pipeline runs before language-specific filters: symbol density,
+    // bracket/brace counts, and an assignment/semicolon signal, all
+    // exact integer counts from Java∩RE2-safe patterns, combined into
+    // a deterministic integer score (micro-point weights, no floats).
+    // The corpus gets deterministic injected "code" (doc_id-keyed) so
+    // the gate provably routes rather than matching nothing.
+    Q("t_code_detect",
+      (s, dir) => {
+        val codeSnip = lit(" x = f(a[i]); y += 2; { return (x < y); }")
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0, concat(col("text"), codeSnip))
+            .otherwise(col("text")).as("text"))
+        val braces = regexp_count(col("text"), lit("[{}\\[\\]()]")).cast(LongType)
+        val assigns = regexp_count(col("text"), lit("(=|;|\\+=)")).cast(LongType)
+        val chars = length(col("text")).cast(LongType)
+        docs.select(col("doc_id"), braces.as("n_brackets"),
+          assigns.as("n_assign"), chars.as("n_chars"))
+          .withColumn("code_score", // `div`, not `/` (always double in Spark)
+            expr("(1000000 * (n_brackets * 3 + n_assign * 2)) div n_chars"))
+          .withColumn("is_code", (col("code_score") >= 20000).cast("int"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |         CASE WHEN doc_id % 4 = 0
+             |              THEN text || ' x = f(a[i]); y += 2; { return (x < y); }'
+             |              ELSE text END AS text
+             |       FROM documents),
+             |c AS (SELECT doc_id,
+             |        CAST(len(regexp_extract_all(text, '[{}\[\]()]')) AS BIGINT) AS n_brackets,
+             |        CAST(len(regexp_extract_all(text, '(=|;|\+=)')) AS BIGINT) AS n_assign,
+             |        CAST(length(text) AS BIGINT) AS n_chars
+             |      FROM d)
+             |SELECT doc_id, n_brackets, n_assign, n_chars,
+             |       (1000000 * (n_brackets * 3 + n_assign * 2)) // n_chars AS code_score,
+             |       CAST((1000000 * (n_brackets * 3 + n_assign * 2)) // n_chars >= 20000
+             |            AS INT) AS is_code
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // New-vs-returning daily active users — the growth-dashboard
+    // staple: each user's first-touch day from one keyed aggregate,
+    // then per-day splits (is this activity day the user's first?).
+    // Both aggregates keyed by user/day; no window over raw events.
+    Q("ev_new_returning",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val userDays = ev.distinct()
+        val first = userDays.groupBy(col("user_id"))
+          .agg(min(col("d")).as("first_d"))
+        userDays.join(first, "user_id")
+          .groupBy(col("d"))
+          .agg(
+            count(when(col("d") === col("first_d"), lit(1))).as("new_users"),
+            count(when(col("d") =!= col("first_d"), lit(1))).as("returning_users"))
+          .orderBy("d")
+      },
+      Some("""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+             |f AS (SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1)
+             |SELECT d,
+             |       CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS new_users,
+             |       CAST(SUM(CASE WHEN d <> first_d THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS returning_users
+             |FROM ud JOIN f USING (user_id)
+             |GROUP BY d ORDER BY d""".stripMargin)),
+
+    // Aggregate FILTER clause surface (SQL:2003, supported by both
+    // engines): conditional counts/sums without CASE scaffolding,
+    // through the spark.sql entry path.
+    Q("agg_filter_clause",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("afc_orders")
+        s.sql(s"""SELECT o_orderpriority,
+                 |  count(*) AS n,
+                 |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+                 |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 |       FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_revenue
+                 |FROM afc_orders GROUP BY o_orderpriority
+                 |ORDER BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority,
+             |  count(*) AS n,
+             |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             |       FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_revenue
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
