@@ -989,6 +989,60 @@ object AnalyticsQueries {
              |       FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_revenue
              |FROM orders GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    // join keys MATCH each other instead of dropping — the semantics
+    // dimension-key joins with "unknown" buckets need. NULLs are
+    // injected deterministically on both sides; a plain equi-join
+    // would silently lose those rows (counted and pinned in-query).
+    Q("j_null_safe",
+      (s, dir) => {
+        val n = Tables.nation(s, dir).select(
+          when(col("n_nationkey") % 5 === 0, lit(null).cast("int"))
+            .otherwise(col("n_regionkey")).as("rk"),
+          col("n_nationkey"), col("n_name"))
+        val r = Tables.region(s, dir).select(
+          when(col("r_regionkey") === 0, lit(null).cast("int"))
+            .otherwise(col("r_regionkey")).as("rk"),
+          col("r_name"))
+        val joined = n.join(r, n("rk") <=> r("rk"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        val nullMatches = joined.join(
+          n.filter(col("rk").isNull).select(col("n_nationkey")),
+          Seq("n_nationkey"), "left_semi").count()
+        require(nullMatches > 0, "null-safe join matched no NULL keys")
+        joined.orderBy("n_nationkey", "r_name")
+      },
+      Some("""WITH n AS (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+             |                       ELSE n_regionkey END AS rk,
+             |                n_nationkey, n_name
+             |           FROM nation),
+             |r AS (SELECT CASE WHEN r_regionkey = 0 THEN NULL
+             |                  ELSE r_regionkey END AS rk, r_name
+             |      FROM region)
+             |SELECT n_nationkey, n_name, r_name
+             |FROM n JOIN r ON n.rk IS NOT DISTINCT FROM r.rk
+             |ORDER BY n_nationkey, r_name""".stripMargin)),
+
+    // Systematic sampling over a hash order: every k-th row of the
+    // md5-shuffled corpus — deterministic, partition-invariant, and
+    // evenly spread across the (pseudo-random) order, the classic
+    // alternative to Bernoulli sampling when exact quota matters.
+    Q("samp_systematic",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        Tables.documents(s, dir)
+          .withColumn("__rn", row_number().over(
+            Window.orderBy(md5(col("text")), col("doc_id"))))
+          .filter((col("__rn") - 1) % 20 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM (
+             |  SELECT doc_id, lang, n_chars,
+             |         row_number() OVER (ORDER BY md5(text), doc_id) AS rn
+             |  FROM documents)
+             |WHERE (rn - 1) % 20 = 0 ORDER BY doc_id""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
