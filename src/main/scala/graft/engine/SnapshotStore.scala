@@ -1584,6 +1584,24 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * VACUUM): a driver-side set difference over file paths, then
     * deletes. Safe at any time — retained snapshots keep every file
     * they reference. Returns how many files were removed. */
+  /** VACUUM DRY-RUN (Delta's `VACUUM ... DRY RUN`): the orphan report
+    * — pool files no retained manifest references, with their sizes —
+    * WITHOUT deleting anything. A driver-side metadata walk (the same
+    * sets [[vacuum]] computes); lets operators audit reclaimable bytes
+    * before committing to the irreversible sweep. */
+  def orphanReport(layer: String, table: String): DataFrame = {
+    import spark.implicits._
+    val referenced = snapshots(layer, table)
+      .flatMap { id =>
+        val m = readMf(layer, table, id)
+        m.files ++ m.deletes.map(_.file)
+      }.toSet
+    val orphans = (listPool(layer, table) -- referenced).toSeq.sorted
+    orphans.map { f =>
+      (f, fs.getFileStatus(new Path(s"${dataDir(layer, table)}/$f")).getLen)
+    }.toDF("file", "bytes")
+  }
+
   def vacuum(layer: String, table: String): Int = {
     val referenced = snapshots(layer, table)
       .flatMap { id =>

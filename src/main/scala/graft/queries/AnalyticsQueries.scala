@@ -1043,6 +1043,68 @@ object AnalyticsQueries {
              |         row_number() OVER (ORDER BY md5(text), doc_id) AS rn
              |  FROM documents)
              |WHERE (rn - 1) % 20 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Duplicate-cluster size histogram: how much of the corpus sits in
+    // clusters of each size — the dedup-impact summary ("N docs are
+    // singletons, M sit in pairs, ...") run before choosing a dedup
+    // threshold. Exact-duplicate components via one hash aggregate on
+    // the (line-injected) corpus; two more bounded aggregates for the
+    // histogram.
+    Q("dd_cluster_sizes",
+      (s, dir) => {
+        // deterministic duplicate groups: every run of 7 consecutive
+        // ids shares its base doc's text (the corpus has no full-doc
+        // exact dups of its own — injected, like the PII fixture)
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val base = d.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+        val docs = d.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 7).as("b_id"))
+          .join(base, "b_id")
+          .select(col("doc_id"), col("b_text").as("text"))
+        val clusters = docs.groupBy(col("text"))
+          .agg(count(lit(1)).as("cluster_size"))
+        clusters.groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).cast("long").as("n_docs"))
+          .orderBy("cluster_size")
+      },
+      Some("""WITH docs AS (SELECT d.doc_id, b.text
+             |              FROM documents d
+             |              JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 7),
+             |cl AS (SELECT text, CAST(count(*) AS BIGINT) AS cluster_size
+             |       FROM docs GROUP BY 1)
+             |SELECT cluster_size, count(*) AS n_clusters,
+             |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+             |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // VACUUM dry-run ([[SnapshotStore.orphanReport]]): three
+    // generations under keepSnapshots=1 leave exactly two orphaned
+    // single-file generations; the report must name them (without
+    // deleting), vacuum must then reclaim exactly those, and a second
+    // report must come back empty — the audit-before-sweep contract.
+    Q("m_orphan_report",
+      (s, dir) => {
+        val st = new SnapshotStore(s,
+          s"/tmp/graft_ss_orphan_${new java.io.File(dir).getName}",
+          keepSnapshots = 1)
+        st.dropTable("gold", "t")
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        (1 to 3).foreach(i =>
+          st.overwrite(o.filter(col("o_orderkey") % 3 === i % 3).repartition(1),
+            "gold", "t"))
+        val report = st.orphanReport("gold", "t")
+        val nOrphans = report.count()
+        val bytesPositive = report.agg(min(col("bytes")).as("mn")).head.getLong(0) > 0
+        val reclaimed = st.vacuum("gold", "t")
+        val after = st.orphanReport("gold", "t").count()
+        val s2 = s // one-row summary, all invariants data-carried
+        import s2.implicits._
+        Seq((nOrphans, bytesPositive, reclaimed.toLong, after))
+          .toDF("n_orphans", "bytes_positive", "n_reclaimed", "n_after_vacuum")
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS n_orphans, TRUE AS bytes_positive,
+             |       CAST(2 AS BIGINT) AS n_reclaimed,
+             |       CAST(0 AS BIGINT) AS n_after_vacuum""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
