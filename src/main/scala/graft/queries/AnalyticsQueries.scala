@@ -1105,6 +1105,71 @@ object AnalyticsQueries {
       Some("""SELECT CAST(2 AS BIGINT) AS n_orphans, TRUE AS bytes_positive,
              |       CAST(2 AS BIGINT) AS n_reclaimed,
              |       CAST(0 AS BIGINT) AS n_after_vacuum""".stripMargin)),
+
+    // INTERVAL RANGE window frame (calendar-aware trailing window on a
+    // TIMESTAMP order key — `RANGE BETWEEN INTERVAL 30 DAYS PRECEDING
+    // AND CURRENT ROW`): the time-based frame both engines implement
+    // with identical tie semantics (all rows at the current instant
+    // join the frame). Exact decimal sums; per-order output.
+    Q("w_interval_range",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("wir_orders")
+        s.sql("""SELECT o_custkey, o_orderkey, o_orderdate,
+                |  count(*) OVER w AS n_trailing_30d,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                |    AS spend_trailing_30d
+                |FROM wir_orders
+                |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  count(*) OVER w AS n_trailing_30d,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             |    AS spend_trailing_30d
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+             |             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Subquery-semantics family through spark.sql: IN, NOT IN, EXISTS,
+    // and scalar subquery in projection context. DIVERGENCE FOUND AND
+    // EXCLUDED: `NOT IN (subquery with a NULL element)` in a SELECT
+    // list returns the SQL-standard UNKNOWN in DuckDB but FALSE in
+    // Spark — Spark compiles the projection-context IN-subquery to an
+    // ExistenceJoin that is not null-aware (the WHERE-context
+    // null-aware anti-join machinery doesn't apply to projections).
+    // Measured at sf0.001 where the only building-segment customers of
+    // a nation carry negative balances. The parity surface here stays
+    // on NULL-free lists; the divergence is the documented caveat.
+    Q("j_subquery_family",
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("sqf_nation")
+        Tables.customer(s, dir).createOrReplaceTempView("sqf_customer")
+        Tables.supplier(s, dir).createOrReplaceTempView("sqf_supplier")
+        s.sql("""SELECT n_nationkey, n_name,
+                |  n_nationkey IN (SELECT c_nationkey FROM sqf_customer
+                |                  WHERE c_acctbal > 9000) AS has_rich,
+                |  EXISTS (SELECT 1 FROM sqf_supplier
+                |          WHERE s_nationkey = n_nationkey) AS has_supplier,
+                |  (SELECT count(*) FROM sqf_customer
+                |   WHERE c_nationkey = n_nationkey) AS n_customers,
+                |  n_nationkey NOT IN (SELECT c_nationkey FROM sqf_customer
+                |                      WHERE c_mktsegment = 'BUILDING')
+                |    AS not_in_building
+                |FROM sqf_nation ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name,
+             |  n_nationkey IN (SELECT c_nationkey FROM customer
+             |                  WHERE c_acctbal > 9000) AS has_rich,
+             |  EXISTS (SELECT 1 FROM supplier
+             |          WHERE s_nationkey = n_nationkey) AS has_supplier,
+             |  (SELECT count(*) FROM customer
+             |   WHERE c_nationkey = n_nationkey) AS n_customers,
+             |  n_nationkey NOT IN (SELECT c_nationkey FROM customer
+             |                      WHERE c_mktsegment = 'BUILDING')
+             |    AS not_in_building
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
