@@ -1170,6 +1170,40 @@ object AnalyticsQueries {
              |                      WHERE c_mktsegment = 'BUILDING')
              |    AS not_in_building
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Templated-document detection by normalized-prefix clustering:
+    // lowercase, digits→'#', whitespace collapsed, first 48 chars —
+    // the skeleton that groups "Invoice #123 for..." / "Invoice #456
+    // for..." boilerplate exact dedup and shingles both miss. One
+    // hash aggregate on the short skeleton key (never the full text);
+    // deterministic digit-suffix injection proves the fold clusters.
+    Q("dd_template_prefix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("Report #"), (col("doc_id") % 1000).cast("string"),
+            lit(" :: "), col("text")).as("text"))
+        val skeleton = substring(
+          regexp_replace(regexp_replace(lower(col("text")), "[0-9]+", "#"),
+            "\\s+", " "), 1, 48)
+        docs.select(col("doc_id"), skeleton.as("skel"))
+          .groupBy(col("skel"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("doc_id")).as("exemplar_id"))
+          .filter(col("n_docs") > 1)
+          .orderBy(col("n_docs").desc, col("skel"))
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |         'Report #' || CAST(doc_id % 1000 AS VARCHAR) || ' :: ' || text AS text
+             |       FROM documents),
+             |s AS (SELECT doc_id,
+             |        substr(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+             |               '\s+', ' ', 'g'), 1, 48) AS skel
+             |      FROM d)
+             |SELECT skel, count(*) AS n_docs,
+             |       CAST(min(doc_id) AS BIGINT) AS exemplar_id
+             |FROM s GROUP BY skel HAVING count(*) > 1
+             |ORDER BY n_docs DESC, skel LIMIT 20""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
