@@ -1301,11 +1301,14 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * Refuses loudly on non-lineage files and under pending equality
     * deletes (a positional id must not silently renumber around
     * filtered rows). */
-  def readLineage(layer: String, table: String): DataFrame = {
+  def readLineage(layer: String, table: String,
+                  snapshot: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit, regexp_extract}
-    val id = snapshots(layer, table).lastOption.getOrElse(
+    val id = snapshot.getOrElse(snapshots(layer, table).lastOption.getOrElse(
       throw new IllegalArgumentException(
-        s"SnapshotStore: no committed snapshot for $layer/$table"))
+        s"SnapshotStore: no committed snapshot for $layer/$table")))
+    require(snapshots(layer, table).contains(id),
+      s"SnapshotStore: snapshot $id of $layer/$table not retained")
     val m = readMf(layer, table, id)
     require(m.deletes.isEmpty,
       s"SnapshotStore: $layer/$table has pending equality deletes — " +

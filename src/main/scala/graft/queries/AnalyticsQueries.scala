@@ -1204,6 +1204,39 @@ object AnalyticsQueries {
              |       CAST(min(doc_id) AS BIGINT) AS exemplar_id
              |FROM s GROUP BY skel HAVING count(*) > 1
              |ORDER BY n_docs DESC, skel LIMIT 20""".stripMargin)),
+
+    // Row-id CDC ([[SnapshotStore.readLineage]] with time travel): the
+    // change feed between two lineage snapshots keyed by the STABLE
+    // `_row_id` — no natural key needed, the consumer Iceberg v3 row
+    // lineage exists for. Inserts are ids present only in the new
+    // snapshot (one anti-join on the id; file-immutability means no
+    // updates-in-place to classify). The oracle replays the id
+    // assignment and the batch split.
+    Q("m_lineage_cdc",
+      (s, dir) => {
+        val st = new SnapshotStore(s,
+          s"/tmp/graft_ss_lincdc_${new java.io.File(dir).getName}",
+          statsFor = Seq("o_orderkey"))
+        st.dropTable("silver", "ord")
+        val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+        def batch(r: Int) = o.filter(col("o_orderkey") % 2 === r)
+          .repartition(1).sortWithinPartitions("o_orderkey")
+        val v1 = st.appendLineage(batch(0), "silver", "ord")
+        st.appendLineage(batch(1), "silver", "ord")
+        val prev = st.readLineage("silver", "ord", Some(v1))
+          .select(col("_row_id").as("__prev_id"))
+        st.readLineage("silver", "ord")
+          .join(prev, col("_row_id") === col("__prev_id"), "left_anti")
+          .select(col("o_orderkey"), col("o_totalprice"), col("_row_id"))
+          .orderBy("_row_id")
+      },
+      Some("""WITH evens AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 2 = 0)
+             |SELECT o_orderkey, o_totalprice,
+             |       CAST((SELECT n FROM evens)
+             |            + row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+             |         AS _row_id
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |ORDER BY _row_id""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
