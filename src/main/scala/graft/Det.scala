@@ -44,11 +44,19 @@ object Det {
    * same precondition the decimal cast in [[dsum]] recovers the same
    * integer, which is why the results are bit-identical and the DuckDB
    * mirror remains [[dsumSql]]. For arbitrary doubles use [[dsum]].
+   *
+   * The per-row long is widened to DECIMAL(38,0) BEFORE the sum, so the
+   * aggregate total is exact at any cardinality — only the per-row
+   * magnitude is bounded (2^51), never the running sum. (Summing raw
+   * BIGINT would wrap silently past 2^63 with ANSI off: for Q1-style
+   * scale-6 charges that cliff sits near sf~100.) The double→long
+   * conversion stays codegen'd; the Decimal add is the same kernel
+   * [[dsum]] pays, minus its per-row double→Decimal rescale.
    */
   def fsum(c: Column, scale: Int = 2): Column = {
     val f = math.pow(10, scale) // integral powers ≤ 10^15 are exact doubles
-    (sum(floor(c * lit(f) + lit(0.5)).cast(org.apache.spark.sql.types.LongType))
-      .cast(DecimalType(38, 0)) / lit(f).cast(DecimalType(16, 0)))
+    (sum(floor(c * lit(f) + lit(0.5)).cast(org.apache.spark.sql.types.LongType)
+      .cast(DecimalType(38, 0))) / lit(f).cast(DecimalType(16, 0)))
       .cast(DoubleType)
   }
 

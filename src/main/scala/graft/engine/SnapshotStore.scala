@@ -761,16 +761,15 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * pending deletes are excluded (addresses must reflect what a
     * reader sees). */
   def readPositions(layer: String, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, regexp_extract}
     val id = snapshots(layer, table).lastOption.getOrElse(
       throw new IllegalArgumentException(
         s"SnapshotStore: no committed snapshot for $layer/$table"))
     val m = readMf(layer, table, id)
-    val withPos = readFilesWithPos(layer, table, m.schema, m.files)
-    // pending deletes still apply (equality by key, position by address)
-    val (pos, eq) = m.deletes.partition(_.keyCols == Seq(PosDeleteMarker))
-    val afterPos = antiJoinPositions(withPos, layer, table, pos)
-    antiJoinDeletes(afterPos, layer, table, m.schema, eq)
+    // pending deletes apply with the SAME sequence scoping read() uses
+    // (readMerged): an equality delete removes keys only from files
+    // older than it, so a delete-then-reinsert round-trip lists the
+    // re-appended row — address listings never diverge from contents.
+    readMerged(layer, table, m, m.files, withPos = true)
   }
 
   /** Commit a POSITION DELETE: `positions` names rows by
@@ -1058,20 +1057,24 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     * costs broadcast anti-joins at read time and ZERO data rewriting
     * at commit time, until [[compact]] materializes it. */
   private def readMerged(layer: String, table: String, m: Mf,
-                         files: Seq[String]): DataFrame = {
+                         files: Seq[String], withPos: Boolean = false): DataFrame = {
     if (m.deletes.isEmpty || files.isEmpty)
-      return readFiles(layer, table, m.schema, files)
+      return if (withPos) readFilesWithPos(layer, table, m.schema, files)
+             else readFiles(layer, table, m.schema, files)
     files.groupBy(f => m.deletes.filter(_.seq > m.seqs.getOrElse(f, 0L)))
       .toSeq.sortBy(_._2.min) // deterministic plan order
       .map { case (dels, bucket) =>
         val (pos, eq) = dels.partition(_.keyCols == Seq(PosDeleteMarker))
         val base =
-          if (pos.isEmpty) readFiles(layer, table, m.schema, bucket.sorted)
-          else // metadata-addressed read ONLY for files position deletes touch
-            antiJoinPositions(
+          if (pos.isEmpty && !withPos) readFiles(layer, table, m.schema, bucket.sorted)
+          else { // metadata-addressed read ONLY where addresses are needed
+            val addressed = antiJoinPositions(
               readFilesWithPos(layer, table, m.schema, bucket.sorted),
               layer, table, pos)
-              .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+            if (withPos) addressed
+            else addressed.select(
+              m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+          }
         antiJoinDeletes(base, layer, table, m.schema, eq)
       }.reduce(_.unionByName(_))
   }
@@ -1311,8 +1314,9 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       s"SnapshotStore: snapshot $id of $layer/$table not retained")
     val m = readMf(layer, table, id)
     require(m.deletes.isEmpty,
-      s"SnapshotStore: $layer/$table has pending equality deletes — " +
-        "compact before readLineage")
+      s"SnapshotStore: $layer/$table has pending deletes (equality or " +
+        "position) — compact before readLineage; ids must not be served " +
+        "for deleted rows")
     val frids = m.files.map { f =>
       f -> m.stats.getOrElse(f, Map.empty).getOrElse(FirstRowIdStat,
         throw new IllegalStateException(

@@ -153,11 +153,14 @@ object Multimodal {
     }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
-    val buf = new Array[Byte](raw.length + 64)
-    val n = deflater.deflate(buf)
+    // loop until finished(): zlib stored-block worst case (~5 B/16 KiB
+    // + header) exceeds any fixed slack on large incompressible images
+    val idat = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) idat.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat.toByteArray) ++ chunk("IEND", Array.empty)
   }
 
   /** REAL PNG pixel decode — pure JVM, the full read path: signature +

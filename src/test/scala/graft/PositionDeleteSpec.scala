@@ -63,6 +63,24 @@ class PositionDeleteSpec extends SparkSpec {
     assert(st.countRows("l", "t").isEmpty || st.countRows("l", "t").contains(2L))
   }
 
+  test("readPositions sequence-scopes equality deletes like read does") {
+    // delete key K, re-append K: read() shows the re-appended row, and
+    // readPositions must list its address too — same scoping as
+    // readMerged, so deleteWherePositions can target re-inserted rows
+    val st = freshStore("rescope")
+    st.overwrite(Seq((1, "old"), (2, "keep")).toDF("k", "v").coalesce(1), "l", "t")
+    st.deleteKeys(Seq(1).toDF("k"), "l", "t", Seq("k"))
+    st.append(Seq((1, "new")).toDF("k", "v").coalesce(1), "l", "t")
+    assert(st.read("l", "t").select("v").as[String].collect().sorted.toSeq
+      == Seq("keep", "new"))
+    val addrs = st.readPositions("l", "t")
+    assert(addrs.count() == 2, "readPositions hides the re-appended row")
+    assert(addrs.filter(col("v") === "new").count() == 1)
+    // and the re-inserted row is now position-deletable
+    st.deleteWherePositions("l", "t", col("v") === "new")
+    assert(st.read("l", "t").select("v").as[String].collect().toSeq == Seq("keep"))
+  }
+
   test("position and equality deletes compose on one table") {
     val st = freshStore("mixed")
     st.overwrite(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v")
