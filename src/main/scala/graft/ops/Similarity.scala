@@ -594,6 +594,56 @@ object Similarity {
         col("col.id").as(idCol), col("col.score").cast(LongType).as("score_pts"))
   }
 
+  /** IVF+PQ search — the full FAISS-IVFPQ composition
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): the coarse quantizer prunes candidates to
+    * the query's `nprobe` cells, PQ-ADC scores only those candidates
+    * via the broadcast per-query lookup table. Cost per query is
+    * ~nprobe/|cells| of the corpus × m integer lookups — BOTH axes of
+    * the billion-vector recipe at once (cell pruning bounds the scan,
+    * m-byte codes bound the memory). At scale the encoded corpus is
+    * written `partitionBy(cell)` so the probe join partition-prunes;
+    * everything after the coarse ranking is equi-joins and one keyed
+    * integer aggregate. Determinism matches [[pqAdcTopK]]: micro-point
+    * BIGINT scores, ties to the smaller id. Queries must be members of
+    * `emb` (by id); self-matches are excluded like [[ivfSearch]].
+    * Returns `(q_id, rank, idCol, score_pts)`. */
+  def ivfPqSearch(emb: DataFrame, queryIds: DataFrame, vecCol: String, idCol: String,
+                  coarse: DataFrame, cVecCol: String, cIdCol: String,
+                  codebook: DataFrame, m: Int, dim: Int, k: Int,
+                  nprobe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = dim / m
+    val scored = emb.crossJoin(broadcast(coarse))
+      .withColumn("__ccos", cosine(col(vecCol), col(cVecCol)))
+    val wA = Window.partitionBy(col(idCol)).orderBy(col("__ccos").desc, col(cIdCol))
+    val ranked = scored.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= math.max(1, nprobe))
+    val cells = ranked.filter(col("arn") === 1)
+      .select(col(idCol), col(cIdCol).as("__cell"))
+    val qcells = ranked.filter(col("arn") <= nprobe)
+      .join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__q"), col(cIdCol).as("__cell"))
+    val codes = pqEncode(emb, vecCol, idCol, codebook, m, dim)
+      .join(cells, Seq(idCol))
+    val queries = emb.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("__q"), col(vecCol))
+    val lut = pqSliced(queries, vecCol, "__q", m, sub)
+      .join(broadcast(codebook), Seq("sub_id"))
+      .select(col("__q"), col("sub_id"), col("c_id").as("code"),
+        floor(dot(col("__sv"), col("c_vec")) * lit(1e6)).cast(LongType).as("pts"))
+    codes.join(broadcast(qcells), Seq("__cell"))
+      .filter(col(idCol) =!= col("__q"))
+      .join(broadcast(lut), Seq("__q", "sub_id", "code"))
+      .groupBy(col("__q"), col(idCol))
+      .agg(sum("pts").as("score_pts"))
+      .groupBy(col("__q"))
+      .agg(Ranking.topKBy(col("score_pts"), col(idCol), k).as("__top"))
+      .select(col("__q").as("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as(idCol), col("col.score").cast(LongType).as("score_pts"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
     * greedily pick k items maximizing
     * `λ·rel − (1−λ)·max_{s∈selected} cos(item, s)` — the standard

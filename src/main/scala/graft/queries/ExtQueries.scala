@@ -3431,6 +3431,66 @@ object ExtQueries {
            |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       }),
 
+    // IVF+PQ combined ([[Similarity.ivfPqSearch]] — full FAISS-IVFPQ):
+    // coarse cells prune candidates to each query's nprobe=2 inverted
+    // lists, PQ-ADC scores only those — the cell gate bounds the scan,
+    // the m-byte codes bound the memory, in ONE search. The oracle
+    // chains sim_ivf_probe2's coarse assignment into sim_pq_adc's
+    // subspace unroll with the cell-membership join as the gate.
+    Q("sim_ivfpq_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val coarse = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val cb = Similarity.pqCodebook(emb, "embedding", "vec_id", m = 4, dim = 64, k = 8)
+        Similarity.ivfPqSearch(emb, emb.filter(col("vec_id") < 3).select(col("vec_id")),
+          "embedding", "vec_id", coarse, "c_vec", "c_id", cb,
+          m = 4, dim = 64, k = 10, nprobe = 2)
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val subsSql = (0 until 4).map { j =>
+          val lo = j * 16 + 1; val hi = (j + 1) * 16
+          s"""sub$j AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+             |c0_$j AS (SELECT vec_id AS c_id, embedding AS c_vec FROM sub$j ORDER BY vec_id LIMIT 8),
+             |b_$j AS (SELECT vec_id, ${Similarity.quantScaleSql("embedding")} AS sc, embedding FROM sub$j),
+             |q_$j AS (SELECT vec_id, ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM b_$j),
+             |${kmAssignSql(s"sub$j", s"c0_$j", s"a0_$j")},
+             |${kmMStepSql(s"a0_$j", s"c0_$j", s"c1_$j", codes = s"q_$j")},
+             |${kmAssignSql(s"sub$j", s"c1_$j", s"enc_$j")},
+             |lut_$j AS (SELECT q.q_id, $j AS sub_id, c.c_id AS code,
+             |             CAST(floor(${Similarity.dotSql(s"(q.embedding[$lo:$hi])", "c.c_vec")} * 1000000.0) AS BIGINT) AS pts
+             |           FROM qs q CROSS JOIN c1_$j c)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH qs AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 3),
+           |coarse AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+           |cscored AS (SELECT e.vec_id, c.c_id,
+           |                   ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+           |            FROM embeddings e CROSS JOIN coarse c),
+           |cranked AS (SELECT vec_id, c_id,
+           |                   row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS arn
+           |            FROM cscored),
+           |cells AS (SELECT vec_id, c_id AS cell FROM cranked WHERE arn = 1),
+           |qcells AS (SELECT vec_id AS q_id, c_id AS cell FROM cranked
+           |           WHERE arn <= 2 AND vec_id < 3),
+           |$subsSql,
+           |codes_all AS (${(0 until 4).map(j =>
+              s"SELECT vec_id, $j AS sub_id, centroid_id AS code FROM enc_$j")
+              .mkString("\n UNION ALL ")}),
+           |lut AS (${(0 until 4).map(j => s"SELECT * FROM lut_$j").mkString(" UNION ALL ")}),
+           |sc AS (SELECT qc.q_id, c.vec_id, CAST(SUM(l.pts) AS BIGINT) AS score_pts
+           |       FROM codes_all c
+           |       JOIN cells ce ON ce.vec_id = c.vec_id
+           |       JOIN qcells qc ON qc.cell = ce.cell AND qc.q_id <> c.vec_id
+           |       JOIN lut l ON l.q_id = qc.q_id AND l.sub_id = c.sub_id AND l.code = c.code
+           |       GROUP BY 1, 2)
+           |SELECT q_id, rank, vec_id, score_pts FROM (
+           |  SELECT q_id, vec_id, score_pts,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY score_pts DESC, vec_id) AS rank
+           |  FROM sc)
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      }),
+
     // Trained SemDeDup, end to end ([[Similarity.kmeansFit]] →
     // [[Similarity.semanticDedup]]): the centroids are LEARNED by the
     // E/M loop on the base embeddings, then the dup-injected corpus is

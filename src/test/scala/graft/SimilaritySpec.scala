@@ -320,6 +320,39 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head.getAs[Long]("score_pts") > top.last.getAs[Long]("score_pts"))
   }
 
+  test("ivfPqSearch gates ADC scoring to the probed cells and excludes self") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)), (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)), // centroids
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)), (3L, Seq(0.8f, 0.2f, 0.2f, 0.8f)), // cell of 0
+      (4L, Seq(0.1f, 0.9f, 0.9f, 0.1f))                                     // cell of 1
+    ).toDF("vec_id", "embedding")
+    val coarse = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val cb = Similarity.pqCodebook(emb, "embedding", "vec_id", m = 2, dim = 4, k = 2)
+    // nprobe=1: query 0 scores only its own cell — items 2 and 3, never
+    // 1/4 (other cell), never itself
+    val out = Similarity.ivfPqSearch(emb, emb.filter($"vec_id" === 0L).select($"vec_id"),
+      "embedding", "vec_id", coarse, "c_vec", "c_id", cb,
+      m = 2, dim = 4, k = 5, nprobe = 1).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSet == Set(2L, 3L),
+      s"nprobe=1 must stay in the query's cell: ${out.mkString(", ")}")
+    // nprobe=2 widens to both cells; the full ADC ranking matches
+    // pqAdcTopK over the whole corpus (minus self) — the gate only
+    // prunes, the scoring is the same LUT arithmetic
+    val out2 = Similarity.ivfPqSearch(emb, emb.filter($"vec_id" === 0L).select($"vec_id"),
+      "embedding", "vec_id", coarse, "c_vec", "c_id", cb,
+      m = 2, dim = 4, k = 5, nprobe = 2).orderBy("rank").collect()
+    assert(out2.map(_.getAs[Long]("vec_id")).toSet == Set(1L, 2L, 3L, 4L))
+    val codes = Similarity.pqEncode(emb, "embedding", "vec_id", cb, m = 2, dim = 4)
+    val full = Similarity.pqAdcTopK(codes, "vec_id", cb,
+      emb.filter($"vec_id" === 0L).select($"vec_id".as("q_id"), $"embedding"),
+      "q_id", "embedding", m = 2, dim = 4, k = 5)
+      .filter($"vec_id" =!= 0L).orderBy("rank").collect()
+    assert(out2.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score_pts"))).toSeq
+      == full.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score_pts"))).toSeq)
+  }
+
   test("mmrSelect: diversity penalty demotes the near-duplicate of pick 1") {
     import spark.implicits._
     // rel and vectors chosen so greedy-by-relevance would pick the
