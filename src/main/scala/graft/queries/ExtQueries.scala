@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, Tables}
 import graft.engine.Warehouse
-import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Sampling, Search, Similarity, TextOps, TimeSeries}
+import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Sampling, Search, Similarity, TextOps, TimeSeries, UrlOps}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -22,6 +22,25 @@ import org.apache.spark.sql.types._
  * rows-only check per the contract).
  */
 object ExtQueries {
+
+  /** The synthesized crawl-spelling URL of each document row as a
+    * DuckDB expression — the SQL twin of the Column built inline in
+    * dd_url_dedup / p_url_parts (same modulo arithmetic on doc_id). */
+  private val synthUrlSql: String =
+    """(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://WWW.Site'
+      |      WHEN doc_id % 3 = 1 THEN 'http://www.site'
+      |      ELSE 'http://CDN.site' END
+      | || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      | || CASE WHEN doc_id % 5 = 0 THEN ':80' ELSE '' END
+      | || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+      | || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      | || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |         WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+      |         WHEN doc_id % 4 = 2 THEN '?b=2&a=1&fbclid=X'
+      |         ELSE '' END
+      | || CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END)"""
+      .stripMargin.replaceAll("\\s*\\n\\s*", " ") // single-line: interpolated
+      // into stripMargin'd templates, which would eat a leading `||`
 
   /** documents ∪ exact copies of every doc_id % 5 == 0, copy ids offset
     * by MAX(doc_id)+1 (smallest copy id = offset > every real id, so the
@@ -4994,7 +5013,80 @@ object ExtQueries {
              |  CAST(16 + doc_id % 200 AS INTEGER) AS width,
              |  CAST(16 + (doc_id * 7) % 200 AS INTEGER) AS height,
              |  CAST(nf AS INTEGER) AS n_frames
-             |FROM fr ORDER BY doc_id""".stripMargin))
+             |FROM fr ORDER BY doc_id""".stripMargin)),
+
+    // ── URL canonicalization ([[UrlOps]]) ─────────────────────────────
+
+    // Canonical-URL dedup: the synthesized crawl spellings (case, www,
+    // default port, trailing slash, param order, tracking params,
+    // fragments — all deterministic functions of doc_id, mirrored in
+    // SQL) collapse under [[UrlOps.urlCanonicalize]] into clusters on a
+    // ~60-byte key. This is the FIRST dedup pass of a web corpus: one
+    // narrow hash aggregate, before any content shingling.
+    Q("dd_url_dedup",
+      (s, dir) => {
+        val d = col("doc_id")
+        val url = concat(
+          when(d % 3 === 0, lit("HTTP://WWW.Site"))
+            .when(d % 3 === 1, lit("http://www.site"))
+            .otherwise(lit("http://CDN.site")),
+          (d % 7).cast(StringType), lit(".com"),
+          when(d % 5 === 0, lit(":80")).otherwise(lit("")),
+          lit("/docs/"), (d % 40).cast(StringType),
+          when(d % 2 === 0, lit("/")).otherwise(lit("")),
+          when(d % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when(d % 4 === 1, lit("?a=1&b=2"))
+            .when(d % 4 === 2, lit("?b=2&a=1&fbclid=X"))
+            .otherwise(lit("")),
+          when(d % 6 === 0, lit("#section-2")).otherwise(lit("")))
+        Tables.documents(s, dir)
+          .select(d.as("doc_id"), UrlOps.urlCanonicalize(url).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+          .filter(col("n_docs") > 1)
+          .orderBy("canonical_url")
+      },
+      Some(s"""SELECT ${UrlOps.urlCanonicalizeSql(synthUrlSql)} AS canonical_url,
+              |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+              |       MIN(doc_id) AS keep_doc
+              |FROM documents
+              |GROUP BY 1 HAVING COUNT(*) > 1
+              |ORDER BY canonical_url""".stripMargin)),
+
+    // URL structural projection: canonical form + host + registered
+    // domain per document — the per-domain keys a crawl pipeline
+    // partitions, rate-limits, and quality-priors by.
+    Q("p_url_parts",
+      (s, dir) => {
+        val d = col("doc_id")
+        val url = concat(
+          when(d % 3 === 0, lit("HTTP://WWW.Site"))
+            .when(d % 3 === 1, lit("http://www.site"))
+            .otherwise(lit("http://CDN.site")),
+          (d % 7).cast(StringType), lit(".com"),
+          when(d % 5 === 0, lit(":80")).otherwise(lit("")),
+          lit("/docs/"), (d % 40).cast(StringType),
+          when(d % 2 === 0, lit("/")).otherwise(lit("")),
+          when(d % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when(d % 4 === 1, lit("?a=1&b=2"))
+            .when(d % 4 === 2, lit("?b=2&a=1&fbclid=X"))
+            .otherwise(lit("")),
+          when(d % 6 === 0, lit("#section-2")).otherwise(lit("")))
+        Tables.documents(s, dir).filter(d < 60)
+          .select(d.as("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"),
+            UrlOps.urlCanonicalize(col("url")).as("canonical_url"),
+            UrlOps.urlHost(col("url")).as("host"),
+            UrlOps.urlRegisteredDomain(col("url")).as("reg_domain"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $synthUrlSql AS url
+              |           FROM documents WHERE doc_id < 60)
+              |SELECT doc_id, url,
+              |       ${UrlOps.urlCanonicalizeSql("url")} AS canonical_url,
+              |       ${UrlOps.urlHostSql("url")} AS host,
+              |       ${UrlOps.urlRegisteredDomainSql("url")} AS reg_domain
+              |FROM u ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds
