@@ -347,4 +347,120 @@ object Classifier {
             / (col("__n") - 1).cast("double") / 100.0))
       .drop("__own", "__sum", "__n", "__k")
   }
+
+  /**
+   * Multinomial naive Bayes, trained and scored in-engine — the third
+   * classical text classifier next to the perceptron and the centroid
+   * model, and the standard langid/quality baseline (scikit-learn's
+   * MultinomialNB, fastText's `-loss ns` cousin).
+   *
+   * LN-FREE (libm log is banned for cross-engine determinism — the
+   * bigramLmScore precedent): instead of summing log-likelihoods, each
+   * class's posterior is expressed RELATIVE to a reference class (the
+   * byte-wise smallest label), so the per-token likelihood ratio
+   *
+   *   f(w, c) = ((n_wc + 1) · (N₀ + V)) / ((n_w0 + 1) · (N_c + V))
+   *
+   * stays O(1) and the per-document score is the ORDERED product of
+   * the f's over the token sequence times the prior odds
+   * (D_c+1)/(D₀+1). Every count is an exact integer; each factor is
+   * one correctly-rounded IEEE division of two correctly-rounded
+   * products; the fold multiplies in token order (array_sort on
+   * (pos, factor) structs ↔ DuckDB `list(... ORDER BY pos)` +
+   * list_reduce) — bit-identical across engines and partitionings.
+   * argmax is the exact MAP decision (the reference-relative form is a
+   * monotone transform of the posterior); ties break to the smaller
+   * label. Extreme class separation can overflow a product to +Inf —
+   * identically in both engines, and Inf ties still order by label.
+   *
+   * Scale shape: training is two map-side-combined keyed counts
+   * (token×class, class) + two scalars (V, reference row); the model
+   * is vocab×k rows (vocabulary-bounded, not corpus-bounded — the
+   * standard NB model size); scoring shuffles tokens once on `w` and
+   * folds per (doc, class). No driver loops, no collects beyond the
+   * broadcast scalars.
+   *
+   * Returns `(doc_id, true_lab, pred_lab, score)` per document.
+   */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType}
+    val base = docs.select(col(idCol).as("doc_id"), col(labelCol).as("lab"),
+      TextOps.tokens(col(textCol)).as("t"))
+    val tok = base.select(col("doc_id"), col("lab"),
+      posexplode(col("t")).as(Seq("pos", "w")))
+    val ntc = tok.groupBy("w", "lab").agg(count(lit(1)).as("n"))
+    val nc = tok.groupBy("lab").agg(count(lit(1)).as("n_tok"))
+    val dc = base.groupBy("lab").agg(count(lit(1)).as("n_doc"))
+    val vDf = ntc.select("w").distinct().agg(count(lit(1)).as("v"))
+    val refDf = base.agg(min("lab").as("ref"))
+    val cls = nc.join(dc, "lab")
+    val c0 = cls.crossJoin(broadcast(refDf)).filter(col("lab") === col("ref"))
+      .select(col("n_tok").as("n_tok0"), col("n_doc").as("n_doc0"))
+    val nRef = ntc.crossJoin(broadcast(refDf)).filter(col("lab") === col("ref"))
+      .select(col("w"), col("n").as("n0"))
+    val vocab = ntc.select("w").distinct()
+    val model = vocab
+      .crossJoin(broadcast(cls))
+      .crossJoin(broadcast(vDf)).crossJoin(broadcast(c0))
+      .join(ntc.withColumnRenamed("n", "ntc"), Seq("w", "lab"), "left")
+      .join(nRef, Seq("w"), "left")
+      .select(col("w"), col("lab"),
+        ((coalesce(col("ntc"), lit(0L)) + 1).cast(DoubleType)
+          * (col("n_tok0") + col("v")).cast(DoubleType)
+          / ((coalesce(col("n0"), lit(0L)) + 1).cast(DoubleType)
+            * (col("n_tok") + col("v")).cast(DoubleType))).as("factor"))
+    val folded = tok.drop("lab").join(model, Seq("w"))
+      .groupBy(col("doc_id"), col("lab"))
+      .agg(expr("""aggregate(
+        transform(array_sort(collect_list(struct(pos, factor))), s -> s.factor),
+        CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)""").as("lik"))
+    val scored = folded.join(broadcast(cls.select(col("lab"), col("n_doc"))), Seq("lab"))
+      .crossJoin(broadcast(c0.select(col("n_doc0"))))
+      .withColumn("score", col("lik")
+        * ((col("n_doc") + 1).cast(DoubleType) / (col("n_doc0") + 1).cast(DoubleType)))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("lab"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lab").as("pred_lab"), col("score"))
+      .join(base.select(col("doc_id"), col("lab").as("true_lab")), Seq("doc_id"))
+      .select(col("doc_id"), col("true_lab"), col("pred_lab"), col("score"))
+  }
+
+  /** DuckDB mirror of [[naiveBayes]] over `docsRel(doc_id, text)` with
+    * label column `labelCol` — identical counts, factor arithmetic,
+    * fold order, and tie-breaks. Ends unclosed: append the final
+    * SELECT (the caller picks prediction vs confusion shape). */
+  def naiveBayesSql(docsRel: String, labelCol: String): String =
+    s"""base AS (SELECT doc_id, $labelCol AS lab, ${TextOps.tokensSql("text")} AS t FROM $docsRel),
+       |tok AS (SELECT doc_id, lab, i AS pos, t[i] AS w
+       |        FROM base, unnest(range(1, len(t) + 1)) AS r(i)),
+       |ntc AS (SELECT w, lab, count(*) AS n FROM tok GROUP BY 1, 2),
+       |ncl AS (SELECT lab, count(*) AS n_tok FROM tok GROUP BY 1),
+       |dcl AS (SELECT lab, count(*) AS n_doc FROM base GROUP BY 1),
+       |vv AS (SELECT count(DISTINCT w) AS v FROM ntc),
+       |rr AS (SELECT min(lab) AS ref FROM base),
+       |cls AS (SELECT ncl.lab, n_tok, n_doc FROM ncl JOIN dcl USING (lab)),
+       |c0 AS (SELECT n_tok AS n_tok0, n_doc AS n_doc0 FROM cls, rr WHERE cls.lab = rr.ref),
+       |nref AS (SELECT ntc.w, ntc.n AS n0 FROM ntc, rr WHERE ntc.lab = rr.ref),
+       |vocab AS (SELECT DISTINCT w FROM ntc),
+       |model AS (SELECT vocab.w, cls.lab,
+       |            (CAST(COALESCE(ntc.n, 0) + 1 AS DOUBLE) * CAST(n_tok0 + v AS DOUBLE))
+       |          / (CAST(COALESCE(nref.n0, 0) + 1 AS DOUBLE) * CAST(cls.n_tok + v AS DOUBLE))
+       |            AS factor
+       |          FROM vocab CROSS JOIN cls CROSS JOIN vv CROSS JOIN c0
+       |          LEFT JOIN ntc ON ntc.w = vocab.w AND ntc.lab = cls.lab
+       |          LEFT JOIN nref ON nref.w = vocab.w),
+       |st AS (SELECT tok.doc_id, tok.pos, model.lab, model.factor
+       |       FROM tok JOIN model USING (w)),
+       |folded AS (SELECT doc_id, lab,
+       |             list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+       |               list(factor ORDER BY pos)), (x, y) -> x * y) AS lik
+       |           FROM st GROUP BY 1, 2),
+       |scored AS (SELECT f.doc_id, f.lab,
+       |             f.lik * (CAST(n_doc + 1 AS DOUBLE) / CAST(n_doc0 + 1 AS DOUBLE)) AS score
+       |           FROM folded f JOIN cls USING (lab) CROSS JOIN c0),
+       |pred AS (SELECT doc_id, lab AS pred_lab, score,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lab) AS rn
+       |         FROM scored)""".stripMargin
 }

@@ -1237,6 +1237,34 @@ object AnalyticsQueries {
              |         AS _row_id
              |FROM orders WHERE o_orderkey % 2 = 1
              |ORDER BY _row_id""".stripMargin)),
+
+    // Multinomial naive Bayes langid ([[Classifier.naiveBayes]]): the
+    // classical generative text classifier, trained and scored with
+    // keyed counts + an ln-free reference-relative likelihood (the
+    // exact MAP decision, bit-identical across engines — scaladoc).
+    // Per-document predictions, exact double scores included.
+    Q("ml_naive_bayes",
+      (s, dir) => Classifier.naiveBayes(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id"),
+      Some(s"""WITH ${Classifier.naiveBayesSql("documents", "lang")}
+              |SELECT p.doc_id, b.lab AS true_lab, p.pred_lab, p.score
+              |FROM pred p JOIN base b USING (doc_id)
+              |WHERE p.rn = 1 ORDER BY p.doc_id""".stripMargin)),
+
+    // The NB confusion matrix — the model-quality artifact a pipeline
+    // actually gates on (per-class precision/recall derive from it).
+    Q("ml_nb_confusion",
+      (s, dir) => Classifier.naiveBayes(
+          Tables.documents(s, dir), "doc_id", "text", "lang")
+        .groupBy(col("true_lab"), col("pred_lab"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_lab", "pred_lab"),
+      Some(s"""WITH ${Classifier.naiveBayesSql("documents", "lang")}
+              |SELECT b.lab AS true_lab, p.pred_lab, CAST(count(*) AS BIGINT) AS n
+              |FROM pred p JOIN base b USING (doc_id)
+              |WHERE p.rn = 1
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -105,4 +105,35 @@ class ClassifierSpec extends SparkSpec {
       Classifier.centroidModel(oneClass, "text", Classifier.qualityLabel(col("text")))
     }
   }
+
+  test("naiveBayes recovers an obvious vocabulary split and self-classifies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha beta", "a"), (2L, "alpha beta beta alpha", "a"),
+      (3L, "gamma delta gamma", "b"), (4L, "delta delta gamma", "b"),
+      (5L, "alpha beta alpha", "a"), (6L, "gamma gamma delta", "b")
+    ).toDF("doc_id", "text", "lang")
+    val out = Classifier.naiveBayes(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    assert(out.length == 6)
+    assert(out.forall(r => r.getAs[String]("pred_lab") == r.getAs[String]("true_lab")),
+      s"disjoint vocabularies must self-classify: ${out.mkString(", ")}")
+    // reference class 'a' scores exactly prior-odds-adjusted 1-products
+    // relative to itself; class scores are strictly ordered (no tie on
+    // separable data)
+    assert(out.map(_.getAs[Double]("score")).forall(s => s > 0.0 && !s.isNaN))
+  }
+
+  test("naiveBayes is invariant to input partitioning") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z x", "p"), (2L, "y y z", "p"), (3L, "u v u", "q"),
+      (4L, "v v u w", "q"), (5L, "x z z", "p"), (6L, "w u v", "q")
+    ).toDF("doc_id", "text", "lang")
+    val a = Classifier.naiveBayes(docs.repartition(1), "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    val b = Classifier.naiveBayes(docs.repartition(7), "doc_id", "text", "lang")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
+    assert(a.toSeq == b.toSeq, "scores must be bit-identical at any parallelism")
+  }
 }
