@@ -426,6 +426,41 @@ object Graph {
     lastDeg
   }
 
+  /** Synchronous label propagation (Raghavan–Albert–Kumara 2007) —
+    * the near-linear community-detection baseline: every node starts
+    * as its own community and, each round, adopts the most frequent
+    * label among its neighbors, ALL nodes simultaneously. Input is a
+    * symmetrized `(src, dst)` edge list. Ties break to the smaller
+    * label (the determinism knob the original randomized algorithm
+    * leaves open — required here so a fixed-round unroll is
+    * oracle-hashable; labels are exact integers throughout, zero float
+    * risk). A fixed `rounds` budget rather than convergence detection:
+    * synchronous LPA can 2-cycle on bipartite structures, so
+    * production runs cap rounds anyway (GraphX's LPA does exactly
+    * this).
+    *
+    * Per round: one keyed join (neighbor labels) + one keyed count +
+    * one per-node argmax window — everything partitions by node id;
+    * labels localCheckpoint per round to cut the lineage like the
+    * other iterative ops. Returns `(node, label)`. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1, s"labelPropagation: rounds=$rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val freq = e.join(labels.select(col("node").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("label"))
+      labels = freq.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Link prediction by neighborhood overlap: for every NON-adjacent
     * pair reachable in two hops, the common-neighbor count and the
     * Jaccard overlap of the two neighborhoods — the classic

@@ -4511,6 +4511,32 @@ object ExtQueries {
               |SELECT node, MIN(r) AS component FROM reach
               |GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Label-propagation communities ([[Graph.labelPropagation]], 2
+    // synchronous rounds): each node adopts its neighbors' most
+    // frequent label, ties to the smaller — exact integer labels, so
+    // the 2-round SQL unroll hash-matches with zero tolerance. The
+    // community structure is the curation signal componentry can't
+    // give: components only split DISCONNECTED parts, LPA splits
+    // dense regions inside one component.
+    Q("gr_label_prop",
+      (s, dir) => Graph.labelPropagation(graphEdges(s, dir), rounds = 2)
+        .select(col("node"), col("label").as("community"))
+        .orderBy("node"),
+      Some {
+        def round(prev: String, out: String) =
+          s"""f_$out AS (SELECT e.src, l.label, COUNT(*) AS cnt
+             |  FROM edges e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2),
+             |$out AS (SELECT src AS node, label FROM (
+             |    SELECT src, label,
+             |           row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+             |    FROM f_$out) WHERE rn = 1)""".stripMargin
+        s"""WITH $graphEdgesSql,
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+           |${round("l0", "l1")},
+           |${round("l1", "l2")}
+           |SELECT node, label AS community FROM l2 ORDER BY node""".stripMargin
+      }),
+
     // PageRank, 3 fixed-point rounds (graph-importance curation signal;
     // [[graft.ops.Graph.pageRank]] — per-round one keyed join + one
     // keyed aggregate over the edge table, ranks cached and lineage cut

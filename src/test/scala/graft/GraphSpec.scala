@@ -250,4 +250,19 @@ class GraphSpec extends SparkSpec {
     // leaves have degree 1 each, common=1 → union=1, jaccard exactly 1
     assert(full.forall(r => r.getLong(2) == 1L && r.getDouble(4) == 1.0))
   }
+
+  test("labelPropagation: two disjoint cliques converge to distinct communities") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a != b
+    } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)))
+      .toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: every clique node adopts the smallest OTHER id; round 2:
+    // the smallest id dominates the neighbor label counts → all 1 / all 10
+    assert(Seq(1L, 2L, 3L).map(out) == Seq(1L, 1L, 1L), s"got $out")
+    assert(Seq(10L, 11L, 12L).map(out) == Seq(10L, 10L, 10L), s"got $out")
+  }
 }
