@@ -580,6 +580,46 @@ object TimeSeries {
       .dropDuplicates(keys :+ "idx")
   }
 
+  /** Holt's linear (double-exponential) smoothing with α = β = 1/2 —
+    * the trend-aware forecaster one step up from [[ewmaHalf]]:
+    * `l_t = (x_t + (l + b))/2`, `b_t = ((l_t − l) + b)/2`, initialized
+    * `l₁ = x₁, b₁ = 0`. The ½ coefficients keep every update to
+    * adds/subtracts and one exact halving (correctly-rounded IEEE ops,
+    * bit-identical in any engine) — the same determinism argument as
+    * ewmaHalf, extended to a two-component state carried as a struct
+    * through the ordered fold (Spark `aggregate` with a named_struct
+    * accumulator ↔ DuckDB `list_reduce` over struct_pack elements).
+    *
+    * Scale shape: one groupBy collects each key's series (bounded by
+    * series length, the same contract as every per-key fold here);
+    * the recurrence is inherently sequential per key, so a fold IS the
+    * minimal computation — no window tricks buy parallelism inside one
+    * key. Returns `(keys..., n, level, trend, forecast)` where
+    * forecast = level + trend (the one-step-ahead prediction). */
+  def holtHalf(df: DataFrame, keys: Seq[String], orderCol: String,
+               valueCol: String): DataFrame = {
+    val sorted = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        col(valueCol).cast("double").as("v")))).as("__s"))
+      .select(keys.map(col) :+ transform(col("__s"), s => s("v")).as("__v"): _*)
+    sorted.filter(size(col("__v")) > 0)
+      .withColumn("__st", expr(
+        """aggregate(
+          |  slice(__v, 2, size(__v) - 1),
+          |  named_struct('l', CAST(element_at(__v, 1) AS DOUBLE),
+          |               'b', CAST(0.0 AS DOUBLE)),
+          |  (a, x) -> named_struct(
+          |    'l', (x + (a.l + a.b)) / 2.0D,
+          |    'b', (((x + (a.l + a.b)) / 2.0D - a.l) + a.b) / 2.0D))""".stripMargin))
+      .select(keys.map(col)
+        :+ size(col("__v")).cast("long").as("n")
+        :+ col("__st.l").as("level")
+        :+ col("__st.b").as("trend")
+        :+ (col("__st.l") + col("__st.b")).as("forecast"): _*)
+  }
+
   /** Single change-point detection per key via the cumulative-deviation
     * statistic (CUSUM / binary-segmentation level one): on the ordered
     * series x_1..x_n, the candidate split after t scores

@@ -715,6 +715,43 @@ object ExtQueries {
               |       list_reduce(list_slice(v, 1, idx), (acc, x) -> (x + acc) / 2) AS ewma
               |FROM c ORDER BY sigla_empresa, idx""".stripMargin)),
 
+    // Holt's linear smoothing ([[TimeSeries.holtHalf]]): level + trend
+    // with α = β = ½ — every update is adds and one exact halving, so
+    // the two-component struct fold hash-matches DuckDB's list_reduce
+    // bit-for-bit. The one-step forecast (level + trend) is the
+    // trend-aware successor to ts_ewma's flat smoother.
+    Q("ts_holt",
+      (s, dir) => TimeSeries.holtHalf(
+          graft.ops.StockOps.silverDaily(graft.ops.StockOps.bronzeFromLineitem(
+            Tables.lineitem(s, dir))),
+          Seq("sigla_empresa"), "data_pregao", "valor_fechamento")
+        .orderBy("sigla_empresa"),
+      // oracle replays the recurrence as a recursive CTE, NOT DuckDB's
+      // list_reduce: with a STRUCT accumulator, DuckDB 1.0 updates the
+      // accumulator field-by-field in place, so a later field's
+      // expression reads the earlier field's ALREADY-UPDATED value
+      // (measured: b saw the new l) — the CTE makes each step's inputs
+      // explicit and matches Spark's fold bit-for-bit
+      Some(s"""WITH RECURSIVE silver AS (${graft.ops.StockOps.silverSql()}),
+              |ord AS (SELECT sigla_empresa,
+              |          row_number() OVER (PARTITION BY sigla_empresa
+              |                             ORDER BY data_pregao) AS i,
+              |          CAST(valor_fechamento AS DOUBLE) AS x
+              |        FROM silver),
+              |nn AS (SELECT sigla_empresa, max(i) AS n FROM ord GROUP BY 1),
+              |rec(sigla_empresa, i, l, b) AS (
+              |  SELECT sigla_empresa, i, x, CAST(0.0 AS DOUBLE) FROM ord WHERE i = 1
+              |  UNION ALL
+              |  SELECT r.sigla_empresa, r.i + 1,
+              |         (o.x + (r.l + r.b)) / 2.0,
+              |         (((o.x + (r.l + r.b)) / 2.0 - r.l) + r.b) / 2.0
+              |  FROM rec r JOIN ord o
+              |    ON o.sigla_empresa = r.sigla_empresa AND o.i = r.i + 1)
+              |SELECT r.sigla_empresa, CAST(nn.n AS BIGINT) AS n,
+              |       r.l AS level, r.b AS trend, r.l + r.b AS forecast
+              |FROM rec r JOIN nn ON r.sigla_empresa = nn.sigla_empresa AND r.i = nn.n
+              |ORDER BY r.sigla_empresa""".stripMargin)),
+
     // T5-style span-corruption examples ([[TextOps.spanCorrupt]]):
     // every 5th token becomes an incrementing `<X_k>` sentinel in the
     // input and the target carries the sentinel-prefixed removed

@@ -269,4 +269,28 @@ class TimeSeriesSpec extends SparkSpec {
     val r = TimeSeries.changePoint(daily, Seq("key"), "d", "cents").collect().head
     assert(r.getLong(1) < 3L && r.getDouble(2) > 0.0)
   }
+
+  test("holtHalf matches a driver-side replay of the recurrence exactly") {
+    import spark.implicits._
+    val xs = Seq(10.0, 12.0, 14.0, 13.0, 18.0, 17.0, 21.0)
+    val df = xs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("key", "t", "v")
+    val r = TimeSeries.holtHalf(df, Seq("key"), "t", "v").collect().head
+    var (l, b) = (xs.head, 0.0)
+    xs.tail.foreach { x =>
+      val nl = (x + (l + b)) / 2.0
+      b = ((nl - l) + b) / 2.0
+      l = nl
+    }
+    assert(r.getAs[Long]("n") == xs.length)
+    assert(r.getAs[Double]("level") == l, s"level ${r.getAs[Double]("level")} != $l")
+    assert(r.getAs[Double]("trend") == b)
+    assert(r.getAs[Double]("forecast") == l + b)
+    // a rising series must carry positive trend; 1-point series degrades
+    // to (level = x1, trend = 0)
+    assert(b > 0.0)
+    val one = TimeSeries.holtHalf(Seq(("k", 1L, 5.0)).toDF("key", "t", "v"),
+      Seq("key"), "t", "v").collect().head
+    assert(one.getAs[Double]("level") == 5.0 && one.getAs[Double]("trend") == 0.0)
+  }
 }
