@@ -2224,6 +2224,35 @@ object ExtQueries {
     // merges an event landing EXACTLY at the previous session's end
     // (next.start <= prev_end), so a new session starts only when the
     // quiet time strictly exceeds the gap — hence `>` here.
+    // Spark's NATIVE session_window aggregate (the same batch operator
+    // Structured Streaming uses for stateful sessions): one groupBy
+    // with a dynamic-gap window, no lag/cumsum window chain — Catalyst
+    // plans UpdatingSessions + MergingSessions with partial merge, so
+    // sessions build map-side like any aggregate. Must land on the
+    // identical sessions as the explicit gap-islands construction
+    // (ev_sessions); the distinct-type count rides the same pass.
+    Q("ev_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("n_types"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH m AS (SELECT user_id, ts, event_type,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+             |       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |g AS (SELECT user_id, ts, event_type,
+             |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+             |      FROM m)
+             |SELECT user_id, min(ts) AS session_start,
+             |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       count(*) AS n_events,
+             |       count(DISTINCT event_type) AS n_types
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, session_start""".stripMargin)),
+
     Q("ev_sessions",
       (s, dir) => EventOps.sessions(Tables.events(s, dir), "30 minutes")
         .orderBy("user_id", "session_start"),
