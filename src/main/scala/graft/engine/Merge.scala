@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.{broadcast, col, sum}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, sum}
 
 /**
  * Keyed merge semantics — the reference's most distinctive operators,
@@ -78,6 +78,26 @@ object Merge {
   def upsert(existing: DataFrame, staged: DataFrame, keys: Seq[String]): DataFrame =
     existing.join(staged.select(keys.map(staged(_)): _*), keys, "left_anti")
       .unionByName(staged)
+
+  /** The FULL three-clause MERGE (Delta `MERGE INTO` with
+    * `WHEN MATCHED AND cond THEN DELETE / WHEN MATCHED THEN UPDATE SET * /
+    * WHEN NOT MATCHED THEN INSERT *`), `cond` evaluated on the staged
+    * row: a matched staged row with `cond` removes the target row and
+    * inserts nothing; a matched row without it replaces; an unmatched
+    * row without it inserts; an unmatched row WITH it is a no-op
+    * (DELETE never inserts — the Delta rule). Algebra: the anti-join
+    * drops every matched target row (updated or deleted alike), and
+    * the union re-adds exactly the staged survivors — one anti-join +
+    * one union, the same two-operator shape as [[upsert]], so the
+    * delete clause costs nothing extra at any scale. NULL `cond`
+    * counts as not-delete (SQL WHEN ... AND semantics). */
+  def upsertWithDelete(existing: DataFrame, staged: DataFrame, keys: Seq[String],
+                       deleteCond: org.apache.spark.sql.Column): DataFrame = {
+    schemaGuard(existing, staged)
+    val survivors = staged.filter(!coalesce(deleteCond, lit(false)))
+    existing.join(staged.select(keys.map(staged(_)): _*), keys, "left_anti")
+      .unionByName(survivors)
+  }
 
   /** Upsert hinting that the staged increment is small enough to
     * broadcast — the steady-state shape of the reference's daily runs

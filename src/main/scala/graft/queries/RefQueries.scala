@@ -859,6 +859,37 @@ object RefQueries {
               |WHERE o_orderkey % 3 = 0
               |ORDER BY o_orderkey""".stripMargin)),
 
+    // Full three-clause MERGE ([[Merge.upsertWithDelete]] — Delta's
+    // WHEN MATCHED AND cond DELETE / WHEN MATCHED UPDATE / WHEN NOT
+    // MATCHED INSERT): staged rows with o_orderstatus = 'F' DELETE
+    // their match (and insert nothing when unmatched — the Delta
+    // rule), the rest upsert. Same anti-join + union plan as
+    // j2_keyed_upsert: the delete clause is free.
+    Q("j4_merge_delete",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val existing = orders
+          .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+            lit("existing").as("src"))
+        val staged = orders.filter(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"),
+            col("o_orderstatus"), lit("staged").as("src"))
+        Merge.upsertWithDelete(existing, staged, Seq("o_orderkey"),
+          col("o_orderstatus") === "F")
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_totalprice, o_orderstatus, 'existing' AS src
+              |FROM orders
+              |WHERE o_orderdate < $TS97 AND o_orderkey NOT IN
+              |      (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+              |UNION ALL
+              |SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderstatus,
+              |       'staged' AS src
+              |FROM orders
+              |WHERE o_orderkey % 3 = 0 AND o_orderstatus <> 'F'
+              |ORDER BY o_orderkey""".stripMargin)),
+
     // J3/W7-history: SCD Type-2 dimension merge (dbt snapshot / Delta
     // MERGE whenMatched+insert semantics). The dimension is built
     // deterministically from customer — a history row for every 10th

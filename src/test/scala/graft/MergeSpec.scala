@@ -210,4 +210,21 @@ class MergeSpec extends SparkSpec {
     val v = Merge.joinViewDelta(vOld, a, none, b, noneB, Seq("k"))
     assert(v.collect().map(_.toSeq).toSeq == vOld.collect().map(_.toSeq).toSeq)
   }
+
+  test("upsertWithDelete: the four Delta MERGE cases, null cond = keep") {
+    import spark.implicits._
+    val existing = Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "x"))
+      .toDF("k", "v", "flag")
+    val staged = Seq(
+      (1L, "A", "del"),   // matched + cond        → target row deleted
+      (2L, "B", "keep"),  // matched, no cond      → updated to staged
+      (4L, "D", "del"),   // unmatched + cond      → NO-OP (never inserts)
+      (5L, "E", "keep"),  // unmatched, no cond    → inserted
+      (6L, "F", null)     // NULL cond             → not-delete → inserted
+    ).toDF("k", "v", "flag")
+    val out = Merge.upsertWithDelete(existing, staged, Seq("k"),
+      col("flag") === "del")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((2L, "B"), (3L, "c"), (5L, "E"), (6L, "F")), s"got $out")
+  }
 }
