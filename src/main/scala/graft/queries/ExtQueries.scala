@@ -2055,6 +2055,70 @@ object ExtQueries {
               |SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rn
               |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)),
 
+    // The PERSISTED IVF index — the production ANN shape every
+    // Similarity scaladoc promises: the assignment is WRITTEN
+    // partitionBy(centroid_id), and a probe reads ONLY the probed
+    // cells' partition directories (asserted in-query on inputFiles:
+    // every file read must live under a probed centroid_id= dir).
+    // At 100 TB this is the difference between scanning the corpus
+    // and scanning nprobe/|cells| of it — the cells literal comes from
+    // a ≤|queries| scalar read (the watermark pattern). Results must
+    // equal the in-memory sim_ivf_search ranking exactly.
+    Q("sim_ivf_persisted",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val assigned = Similarity.ivfAssign(emb, "embedding", "vec_id",
+            cents, "c_vec", "c_id")
+          .select(col("vec_id"), col("centroid_id"))
+          .join(emb, Seq("vec_id"))
+        val path = s"/tmp/graft_ivf_idx_${new java.io.File(dir).getName}"
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+        val idx = s.read.parquet(path)
+        val qc = assigned.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("centroid_id"),
+            col("embedding").as("qv"))
+        val cells = qc.select("centroid_id").distinct().collect().map(_.getLong(0))
+        val pruned = idx.filter(col("centroid_id").isInCollection(cells))
+        // the pruning REQUIRE reads the physical plan (inputFiles lists
+        // the relation's files BEFORE partition pruning — measured):
+        // the scan must carry a centroid_id partition filter
+        val plan = pruned.queryExecution.sparkPlan.toString
+        require(plan.contains("PartitionFilters: [centroid_id")
+            || (plan.contains("PartitionFilters: [") && plan.contains("centroid_id")),
+          s"sim_ivf_persisted: probe scan carries no centroid_id partition filter:\n" +
+            plan.linesIterator.take(12).mkString("\n"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("item_id"))
+        qc.join(pruned.select(col("centroid_id"), col("vec_id").as("item_id"),
+            col("embedding").as("item_vec")), Seq("centroid_id"))
+          .where(col("query_id") =!= col("item_id"))
+          .withColumn("cosine", Similarity.cosine(col("qv"), col("item_vec")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("query_id"), col("item_id"), col("cosine"), col("rn"))
+          .orderBy("query_id", "rn")
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id < 8),
+              |scored AS (SELECT e.vec_id, e.embedding, c.c_id,
+              |                  ${Similarity.cosineSql("e.embedding", "c.c_vec")} AS cosine
+              |           FROM embeddings e CROSS JOIN cents c),
+              |assign AS (SELECT vec_id, embedding, c_id,
+              |                  row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_id) AS arn
+              |           FROM scored),
+              |a1 AS (SELECT vec_id, embedding, c_id FROM assign WHERE arn = 1),
+              |qs AS (SELECT vec_id AS query_id, embedding AS qv, c_id FROM a1 WHERE vec_id < 3),
+              |cand AS (SELECT qs.query_id, a1.vec_id AS item_id,
+              |                ${Similarity.cosineSql("qs.qv", "a1.embedding")} AS cosine
+              |         FROM qs JOIN a1 USING (c_id) WHERE a1.vec_id <> qs.query_id),
+              |r AS (SELECT query_id, item_id, cosine,
+              |             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) AS rn
+              |      FROM cand)
+              |SELECT query_id, item_id, cosine, CAST(rn AS INTEGER) AS rn
+              |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin)),
+
     // IVF probe with nprobe=2: each query unions its two nearest cells
     // before ranking — the recall-vs-scan knob turned one notch.
     Q("sim_ivf_probe2",
