@@ -248,4 +248,48 @@ object Sampling {
        |    AND $anchors.$aId IS NOT NULL AND $pool.$pId IS NOT NULL$slice)
        |WHERE rank <= $k""".stripMargin
   }
+
+  /**
+   * Neyman-optimal stratified allocation (Neyman 1934): the sample
+   * budget `total` splits across strata proportionally to N_h·S_h —
+   * size × in-stratum standard deviation — the allocation minimizing
+   * the stratified-mean variance at fixed budget. The sizing pass a
+   * quality-stratified corpus sample runs BEFORE drawing (the draw
+   * itself is [[deterministicPerKey]] with k = the allocation).
+   *
+   * Exactness: per-stratum (n, Σx, Σx²) are EXACT integers (cents in
+   * DECIMAL(38,0) ↔ HUGEINT — magnitudes to ~1e21 fit both); the
+   * population variance `(n·Σx² − (Σx)²)/n²` pays one correctly-
+   * rounded double division; sqrt is IEEE-exact; and the cross-stratum
+   * total Σ N_k·S_k is folded in STRATUM ORDER (array fold ↔
+   * list_reduce), because a plain SUM over doubles would be
+   * partition-order-dependent. Allocation = floor(total·share):
+   * truncation, so Σ alloc ≤ total (largest-remainder top-up is the
+   * caller's policy choice). Returns
+   * `(stratum, n_rows, stddev, alloc)`. */
+  def neymanAllocation(df: DataFrame, keyCol: String, valueCol: String,
+                       total: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    require(total >= 1, s"neymanAllocation: total=$total must be >= 1")
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * 100)
+      .cast(DecimalType(38, 0))
+    val stats = df.select(col(keyCol).as("stratum"), cents.as("__x"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_rows"), sum(col("__x")).as("sx"),
+        sum(col("__x") * col("__x")).as("sxx"))
+    val varNum = (col("n_rows").cast(DecimalType(38, 0)) * col("sxx")) -
+      (col("sx") * col("sx"))
+    val sd = sqrt(varNum.cast(DoubleType)
+      / (col("n_rows").cast(DoubleType) * col("n_rows").cast(DoubleType)))
+    val scored = stats.withColumn("stddev", sd)
+      .withColumn("nhsh", col("n_rows").cast(DoubleType) * col("stddev"))
+    val tot = scored.agg(expr(
+      """aggregate(
+        |  transform(array_sort(collect_list(struct(stratum, nhsh))), s -> s.nhsh),
+        |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin).as("__tot"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_rows"), col("stddev"),
+        floor(lit(total.toDouble) * col("nhsh") / col("__tot"))
+          .cast(LongType).as("alloc"))
+  }
 }

@@ -630,6 +630,36 @@ object ExtQueries {
     // vs. repartition(7)) and reports per-key sample size plus the
     // count of ids picked by one run and not the other; the oracle
     // asserts (LEAST(k, n), 0) per key.
+    // Neyman-optimal allocation ([[Sampling.neymanAllocation]]): the
+    // budget splits ∝ N_h·S_h from exact integer sufficient statistics;
+    // the only doubles are one division, one sqrt, and a stratum-ORDERED
+    // fold for the cross-stratum total (a plain double SUM would be
+    // partition-order-dependent) — so the floor()ed allocations
+    // hash-match exactly.
+    Q("samp_neyman",
+      (s, dir) => Sampling.neymanAllocation(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice", total = 1000)
+        .orderBy("stratum"),
+      Some("""WITH st AS (SELECT o_orderpriority AS stratum,
+             |         count(*) AS n_rows,
+             |         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sx,
+             |         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             |           * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS sxx
+             |       FROM orders GROUP BY 1),
+             |sc AS (SELECT stratum, n_rows,
+             |         sqrt(CAST(CAST(n_rows AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+             |              / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))) AS stddev
+             |       FROM st),
+             |tt AS (SELECT list_reduce(
+             |         list_prepend(CAST(0.0 AS DOUBLE),
+             |           list(CAST(n_rows AS DOUBLE) * stddev ORDER BY stratum)),
+             |         (a, x) -> a + x) AS tot
+             |       FROM sc)
+             |SELECT stratum, n_rows, stddev,
+             |       CAST(floor(1000.0 * (CAST(n_rows AS DOUBLE) * stddev) / tot) AS BIGINT)
+             |         AS alloc
+             |FROM sc, tt ORDER BY stratum""".stripMargin)),
+
     Q("samp_per_key",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -2288,13 +2318,12 @@ object ExtQueries {
     // merges an event landing EXACTLY at the previous session's end
     // (next.start <= prev_end), so a new session starts only when the
     // quiet time strictly exceeds the gap — hence `>` here.
-    // Spark's NATIVE session_window aggregate (the same batch operator
-    // Structured Streaming uses for stateful sessions): one groupBy
-    // with a dynamic-gap window, no lag/cumsum window chain — Catalyst
-    // plans UpdatingSessions + MergingSessions with partial merge, so
-    // sessions build map-side like any aggregate. Must land on the
-    // identical sessions as the explicit gap-islands construction
-    // (ev_sessions); the distinct-type count rides the same pass.
+    // session_window with a COMPOSITE aggregate: the distinct-type
+    // cardinality rides the same UpdatingSessions/MergingSessions pass
+    // as the event count — one dynamic-gap groupBy, partial merge
+    // included, where a window-function formulation would need a
+    // second shuffle for the DISTINCT. Sessions must equal the
+    // explicit gap-islands construction (the oracle's lag+cumsum).
     Q("ev_session_window",
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))

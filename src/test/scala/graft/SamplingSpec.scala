@@ -156,4 +156,23 @@ class SamplingSpec extends SparkSpec {
       Sampling.temperatureMixture(df, "src", "id", 0L)
     }
   }
+
+  test("neymanAllocation: variance-weighted split, zero-variance stratum gets 0") {
+    import spark.implicits._
+    // stratum a: constant (sd 0); b: spread {0,20}; c: spread {0,40} with
+    // twice the rows — alloc ∝ N_h·S_h = 0 : 2·10 : 4·20 = 0 : 20 : 80
+    val df = (Seq(("a", 5.0), ("a", 5.0))
+      ++ Seq(("b", 0.0), ("b", 20.0))
+      ++ Seq(("c", 0.0), ("c", 40.0), ("c", 0.0), ("c", 40.0)))
+      .toDF("k", "v")
+    val out = Sampling.neymanAllocation(df, "k", "v", total = 100)
+      .orderBy("stratum").collect()
+    assert(out.map(_.getAs[Long]("alloc")).toSeq == Seq(0L, 20L, 80L),
+      s"got ${out.mkString(", ")}")
+    assert(out.head.getAs[Double]("stddev") == 0.0)
+    // partition invariance: exact same doubles at any parallelism
+    val out7 = Sampling.neymanAllocation(df.repartition(7), "k", "v", total = 100)
+      .orderBy("stratum").collect()
+    assert(out.map(_.toSeq).toSeq == out7.map(_.toSeq).toSeq)
+  }
 }
