@@ -33,6 +33,22 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col(textCol), col("n_copies"))
 
+  /** SOFT dedup: instead of dropping duplicates, every member of an
+    * exact-duplicate cluster keeps a sampling weight 1/n — the corpus
+    * still contributes each distinct text with total mass 1, but no
+    * arbitrary keep-choice is made (the reweighting used when
+    * duplicates carry signal, e.g. popularity, that hard dedup would
+    * erase). One hash aggregate + one equi-join back on the text key;
+    * the weight is a single correctly-rounded division, so outputs
+    * hash-match across engines. Returns every row + `(cluster_n,
+    * weight)`. */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sizes = docs.groupBy(col(textCol)).agg(count(lit(1)).as("cluster_n"))
+    docs.join(sizes, Seq(textCol))
+      .select(col(idCol), col("cluster_n"),
+        (lit(1.0) / col("cluster_n").cast(DoubleType)).as("weight"))
+  }
+
   /** Unicode confusables commonly abused to evade text filters: the
     * Cyrillic and Greek characters visually identical to Latin (left)
     * and their Latin skeleton (right). A SUBSET of Unicode TR39's

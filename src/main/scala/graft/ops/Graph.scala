@@ -461,6 +461,43 @@ object Graph {
     labels
   }
 
+  /** Newman modularity of a node→community assignment over a
+    * SYMMETRIZED edge list — the standard "are these communities
+    * real" score (Q ≈ 0 random, Q > 0.3 meaningful). Computed in the
+    * EXACT integer form: with E2 = directed edge rows (= 2m), e_c =
+    * directed intra-community rows, d_c = community degree sums,
+    *
+    *   Q = Σ e_c/E2 − Σ (d_c/E2)²  =  (E2·Σe_c − Σd_c²) / E2²
+    *
+    * — numerator and denominator are exact BIGINTs from three keyed
+    * counts, so the single final division is the only float op and
+    * the score is bit-identical in any engine/partitioning. Returns
+    * one row `(n_communities, e2, intra_edges, sum_deg_sq,
+    * modularity)`. */
+  def modularity(edges: DataFrame, assignment: DataFrame): DataFrame = {
+    val a = assignment.select(col("node"), col("label"))
+    val e = edges.select(col("src"), col("dst"))
+      .join(a.select(col("node").as("src"), col("label").as("cs")), Seq("src"))
+      .join(a.select(col("node").as("dst"), col("label").as("cd")), Seq("dst"))
+    val tot = e.agg(count(lit(1)).as("e2"),
+      sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("intra"))
+    val degSq = e.groupBy(col("cs"))
+      .agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("d") * col("d")).as("sum_deg_sq"))
+    // DECIMAL(38) products: at web scale E2² overflows BIGINT (E2 ~
+    // 1e12 edges squares past 2^63); int128-class arithmetic keeps the
+    // numerator exact everywhere, one double division at the end
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    tot.crossJoin(degSq)
+      .select(col("n_communities"), col("e2"), col("intra").as("intra_edges"),
+        col("sum_deg_sq"),
+        ((dec(col("e2")) * dec(col("intra")) - dec(col("sum_deg_sq")))
+          .cast(DoubleType)
+          / (dec(col("e2")) * dec(col("e2"))).cast(DoubleType)).as("modularity"))
+  }
+
   /** Link prediction by neighborhood overlap: for every NON-adjacent
     * pair reachable in two hops, the common-neighbor count and the
     * Jaccard overlap of the two neighborhoods — the classic

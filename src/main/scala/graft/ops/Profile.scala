@@ -221,6 +221,70 @@ object Profile {
        |  FROM agg)""".stripMargin
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance — the classical
+    * distribution-shift test next to [[histogramDrift]]'s binned L1:
+    * D = max over pooled values of |F_a(v) − F_b(v)|. The statistic is
+    * kept EXACT until the last step: at each pooled distinct value the
+    * comparison quantity is the integer |C_a·n_b − C_b·n_a| (cumulative
+    * counts cross-multiplied — the common-denominator form of the ECDF
+    * gap), carried in DECIMAL(38,0) so the max/argmax involve no float
+    * comparison at any corpus size; KS = d_num/(n_a·n_b) pays the one
+    * double division at the end.
+    *
+    * Scale shape: one keyed count per pooled value + one GLOBAL
+    * cumulative window over the distinct values — bounded by the
+    * column's distinct cardinality, not row count. For a 100 TB raw
+    * column, pre-quantize (bin) the value first and accept binned-KS —
+    * identical code over the binned column; the exact form here is the
+    * profiling-scale contract. Returns one row
+    * `(n_a, n_b, d_num, ks)`. */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    def side(df: DataFrame, ia: Long, ib: Long) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(DoubleType).as("v"),
+        lit(ia).as("ia"), lit(ib).as("ib"))
+    val per = side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
+      .groupBy("v").agg(sum("ia").as("ca"), sum("ib").as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    per.select(col("v"), sum("ca").over(w).as("fa"), sum("cb").over(w).as("fb"))
+      .crossJoin(broadcast(tot))
+      .select(abs(dec(col("fa")) * dec(col("nb")) - dec(col("fb")) * dec(col("na")))
+        .as("dnum"), col("na"), col("nb"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("dnum")).as("__d"))
+      .select(col("n_a"), col("n_b"), col("__d").cast(LongType).as("d_num"),
+        (col("__d").cast(DoubleType)
+          / (dec(col("n_a")) * dec(col("n_b"))).cast(DoubleType)).as("ks"))
+  }
+
+  /** DuckDB mirror of [[ksTest]] over relations `aRel`/`bRel`. */
+  def ksTestSql(aRel: String, bRel: String, valueCol: String): String =
+    s"""WITH pooled AS (
+       |  SELECT CAST($valueCol AS DOUBLE) AS v, 1 AS ia, 0 AS ib
+       |  FROM $aRel WHERE $valueCol IS NOT NULL
+       |  UNION ALL
+       |  SELECT CAST($valueCol AS DOUBLE) AS v, 0 AS ia, 1 AS ib
+       |  FROM $bRel WHERE $valueCol IS NOT NULL),
+       |per AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb FROM pooled GROUP BY v),
+       |tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per),
+       |cum AS (SELECT v,
+       |          SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+       |          SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+       |        FROM per),
+       |d AS (SELECT abs(CAST(fa AS HUGEINT) * CAST(nb AS HUGEINT)
+       |                 - CAST(fb AS HUGEINT) * CAST(na AS HUGEINT)) AS dnum,
+       |             na, nb
+       |      FROM cum, tot)
+       |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+       |       CAST(MAX(dnum) AS BIGINT) AS d_num,
+       |       CAST(MAX(dnum) AS DOUBLE)
+       |         / CAST(CAST(MAX(na) AS HUGEINT) * CAST(MAX(nb) AS HUGEINT) AS DOUBLE)
+       |         AS ks
+       |FROM d""".stripMargin
+
   /** Column name for quantile `p`: the full decimal of `p·100` with
     * `_` for the decimal point — collision-free by construction (two
     * distinct ps always differ in some digit). Shared by the Scala

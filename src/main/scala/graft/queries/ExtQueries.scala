@@ -398,6 +398,21 @@ object ExtQueries {
               |SELECT min(doc_id) AS doc_id, text, count(*) AS n_copies
               |FROM corpus GROUP BY text ORDER BY doc_id""".stripMargin)),
 
+    // SOFT dedup ([[Dedup.softDedupWeights]]): duplicates keep a 1/n
+    // sampling weight instead of being dropped — each distinct text
+    // contributes total mass 1 while duplication signal survives for
+    // downstream weighting (feeds samp_weighted). One hash aggregate +
+    // one join back; the weight is a single correctly-rounded divide.
+    Q("dd_soft_weights",
+      (s, dir) => Dedup.softDedupWeights(dupCorpus(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $dupCorpusSql,
+              |sizes AS (SELECT text, count(*) AS cluster_n FROM corpus GROUP BY text)
+              |SELECT doc_id, cluster_n,
+              |       CAST(1.0 AS DOUBLE) / CAST(cluster_n AS DOUBLE) AS weight
+              |FROM corpus JOIN sizes USING (text)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Incremental (continuous-ingestion) dedup: a new batch — fresh
     // docs + a simulated re-crawl of committed docs under new ids + a
     // within-batch duplicate slice — is admitted against the committed
@@ -4113,6 +4128,23 @@ object ExtQueries {
            |SELECT node, deg FROM r12 ORDER BY node""".stripMargin
       }),
 
+    // Two-sample Kolmogorov–Smirnov drift ([[Profile.ksTest]]): 1996 vs
+    // 1997 order values. The ECDF gap is carried as the exact integer
+    // |C_a·n_b − C_b·n_a| (common-denominator form) so the max/argmax
+    // never compares floats; KS pays one double division at the end —
+    // the classical test made hash-exact.
+    Q("prof_ks",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+        def yr(y: Int) = ord.filter(year(col("o_orderdate")) === y)
+          .select(col("o_totalprice"))
+        Profile.ksTest(yr(1996), yr(1997), "o_totalprice")
+      },
+      Some(Profile.ksTestSql(
+        "(SELECT o_totalprice FROM orders WHERE year(o_orderdate) = 1996)",
+        "(SELECT o_totalprice FROM orders WHERE year(o_orderdate) = 1997)",
+        "o_totalprice"))),
+
     // Histogram drift monitor ([[Profile.histogramDrift]]): order-value
     // distribution before vs after 1996 on a fixed 12-bin grid — the
     // PSI-style distribution-shift gate (L1 + χ², ln-free), with the
@@ -4694,6 +4726,44 @@ object ExtQueries {
            |${round("l0", "l1")},
            |${round("l1", "l2")}
            |SELECT node, label AS community FROM l2 ORDER BY node""".stripMargin
+      }),
+
+    // Modularity of the LPA communities ([[Graph.modularity]]): the
+    // "are these communities real" score in its exact integer form
+    // (E2·Σe_c − Σd_c²)/E2² — three keyed counts, DECIMAL(38) products
+    // (E2² overflows BIGINT at web scale), ONE double division. The
+    // oracle recomputes the same integers over the 2-round LPA unroll.
+    Q("gr_modularity",
+      (s, dir) => Graph.modularity(graphEdges(s, dir),
+        Graph.labelPropagation(graphEdges(s, dir), rounds = 2)),
+      Some {
+        def round(prev: String, out: String) =
+          s"""f_$out AS (SELECT e.src, l.label, COUNT(*) AS cnt
+             |  FROM edges e JOIN $prev l ON e.dst = l.node GROUP BY 1, 2),
+             |$out AS (SELECT src AS node, label FROM (
+             |    SELECT src, label,
+             |           row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label) AS rn
+             |    FROM f_$out) WHERE rn = 1)""".stripMargin
+        s"""WITH $graphEdgesSql,
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+           |${round("l0", "l1")},
+           |${round("l1", "l2")},
+           |tagged AS (SELECT e.src, e.dst, ls.label AS cs, ld.label AS cd
+           |           FROM edges e
+           |           JOIN l2 ls ON e.src = ls.node
+           |           JOIN l2 ld ON e.dst = ld.node),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS e2,
+           |               CAST(SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS intra
+           |        FROM tagged),
+           |dg AS (SELECT CAST(count(*) AS BIGINT) AS n_communities,
+           |              CAST(SUM(d * d) AS BIGINT) AS sum_deg_sq FROM (
+           |         SELECT cs, count(*) AS d FROM tagged GROUP BY cs))
+           |SELECT n_communities, e2, intra AS intra_edges, sum_deg_sq,
+           |       CAST(CAST(e2 AS HUGEINT) * CAST(intra AS HUGEINT)
+           |            - CAST(sum_deg_sq AS HUGEINT) AS DOUBLE)
+           |       / CAST(CAST(e2 AS HUGEINT) * CAST(e2 AS HUGEINT) AS DOUBLE)
+           |         AS modularity
+           |FROM tot, dg""".stripMargin
       }),
 
     // PageRank, 3 fixed-point rounds (graph-importance curation signal;

@@ -2023,6 +2023,47 @@ object RefQueries {
               |FROM lineitem GROUP BY 1, 2
               |ORDER BY l_returnflag, m""".stripMargin)),
 
+    // Incremental rollup maintenance UNDER DELETES ([[Merge.
+    // mergeAdditive]] with retraction rows): a CDC delta carrying
+    // updates/deletes maintains a SUM/COUNT rollup by contributing
+    // NEGATED measures for removed rows (+ new rows as usual) — the
+    // refresh costs the delta, never a history rescan, and the result
+    // must equal a from-scratch recompute over the post-change table.
+    // Exact integer measures only (cents BIGINT-sized, counts), so
+    // retraction is algebraically exact — a double SUM could drift
+    // from the recompute by accumulation order.
+    Q("m_incremental_retract",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(DecimalType(38, 0))
+        def partial(src: DataFrame, sign: Int) = src
+          .groupBy(col("o_orderpriority"))
+          .agg((count(lit(1)) * sign).as("n_rows"),
+            sum(cents * sign).as("sum_cents"))
+        val rollup = partial(o, 1)                                  // v1: everything
+        val retract = partial(o.filter(col("o_orderkey") % 7 === 0), -1)
+        val inserts = partial(
+          o.filter(col("o_orderkey") % 11 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2), 1)
+        Merge.mergeAdditive(
+          Merge.mergeAdditive(rollup, retract, Seq("o_orderpriority"),
+            Seq("n_rows", "sum_cents")),
+          inserts, Seq("o_orderpriority"), Seq("n_rows", "sum_cents"))
+          .select(col("o_orderpriority"), col("n_rows").cast(LongType).as("n_rows"),
+            col("sum_cents").cast(LongType).as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH post AS (
+             |  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT o_orderpriority, o_totalprice * 2 AS o_totalprice
+             |  FROM orders WHERE o_orderkey % 11 = 0)
+             |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT))
+             |            AS BIGINT) AS sum_cents
+             |FROM post GROUP BY 1 ORDER BY o_orderpriority""".stripMargin)),
+
     // Bucket-co-located join ([[Warehouse.writeBucketed]] /
     // readBucketed): both sides hash-bucketed AND sorted on the join
     // key at write time, so the sort-merge join runs with ZERO shuffle

@@ -361,4 +361,16 @@ class DedupSpec extends SparkSpec {
       .filter($"doc_id" === 3L).select($"dup_frac").head.getDouble(0)
     assert(fr == 0.0)
   }
+
+  test("softDedupWeights: each cluster's weights sum to exactly 1 in count terms") {
+    import spark.implicits._
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "z"), (6L, "z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L) == (3L, 1.0 / 3.0) && out(2L) == (3L, 1.0 / 3.0))
+    assert(out(4L) == (1L, 1.0))
+    assert(out(5L) == (2L, 0.5) && out(6L) == (2L, 0.5))
+    assert(out.size == 6, "soft dedup DROPS nothing")
+  }
 }

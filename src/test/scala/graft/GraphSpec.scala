@@ -265,4 +265,25 @@ class GraphSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).map(out) == Seq(1L, 1L, 1L), s"got $out")
     assert(Seq(10L, 11L, 12L).map(out) == Seq(10L, 10L, 10L), s"got $out")
   }
+
+  test("modularity: two perfect cliques score exactly 1/2") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a != b
+    } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L)))
+      .toDF("src", "dst")
+    val perfect = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 2L), (11L, 2L), (12L, 2L)).toDF("node", "label")
+    val r = Graph.modularity(edges, perfect).collect().head
+    // E2 = 12, intra = 12, d_c = 6 each → (12·12 − 72)/144 = 0.5 exactly
+    assert(r.getAs[Long]("e2") == 12L && r.getAs[Long]("intra_edges") == 12L)
+    assert(r.getAs[Long]("sum_deg_sq") == 72L)
+    assert(r.getAs[Double]("modularity") == 0.5)
+    // everything-in-one-community scores exactly 0
+    val one = Seq((1L, 9L), (2L, 9L), (3L, 9L), (10L, 9L), (11L, 9L), (12L, 9L))
+      .toDF("node", "label")
+    assert(Graph.modularity(edges, one).collect().head
+      .getAs[Double]("modularity") == 0.0)
+  }
 }

@@ -127,4 +127,17 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Double]("l1") == 2.0)
     assert(r.getAs[Long]("n_bins") == 2L) // only touched bins materialize
   }
+
+  test("ksTest: hand-computed D on a shifted sample; 0 on identical ones") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Profile.ksTest(a, b, "v").collect().head
+    // max |F_a − F_b| = 2/4 (at v=2..4): d_num = |C_a·n_b − C_b·n_a| = 8
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[Long]("d_num") == 8L)
+    assert(r.getAs[Double]("ks") == 0.5)
+    val same = Profile.ksTest(a, a, "v").collect().head
+    assert(same.getAs[Long]("d_num") == 0L && same.getAs[Double]("ks") == 0.0)
+  }
 }
