@@ -642,6 +642,39 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       }
     }
 
+  /** Delta's `replaceWhere` with an ARBITRARY predicate, as ONE atomic
+    * commit: rows matching `predicate` leave via a position-delete
+    * file (zero data rewriting) and `df`'s files land in the SAME
+    * snapshot — a reader sees the table before or after the swap,
+    * never the deleted-but-not-yet-reinserted middle a
+    * deleteWherePositions + append pair would expose. Position deletes
+    * address (file, row) coordinates, so the replacement files are
+    * untouched even where they match the predicate. Matched positions
+    * come from the pre-commit snapshot; a txnId makes the whole swap
+    * idempotent (the foreachBatch sink contract). */
+  def replaceWhere(df: DataFrame, layer: String, table: String,
+                   predicate: org.apache.spark.sql.Column,
+                   txnId: Option[String] = None): Long =
+    txnSeen(layer, table, txnId).getOrElse {
+      import org.apache.spark.sql.functions.col
+      val matched = readPositions(layer, table).filter(predicate)
+        .select(col(PosFileCol), col(PosIdxCol))
+        .dropDuplicates(PosFileCol, PosIdxCol)
+      val delFiles = writeIntoPool(matched, layer, table, Nil)
+      val added = writeIntoPool(df, layer, table, Nil)
+      val st = statsOf(layer, table, added)
+      commitBuildD(layer, table) { latest =>
+        val pm = latest.map(readMf(layer, table, _))
+        val (prev, prevSt, prevDel) = pm.map(m => (m.files, m.stats, m.deletes))
+          .getOrElse((Nil, Map.empty: FileStats, Nil))
+        val sq = nextSeq(pm)
+        (df.schema, (prev ++ added).sorted,
+          txnProps(txnId) + ("op" -> "replace_where"), prevSt ++ st,
+          prevDel ++ delFiles.map(DeleteEntry(_, Seq(PosDeleteMarker), sq)),
+          pm.map(_.seqs).getOrElse(Map.empty) ++ added.map(_ -> sq))
+      }
+    }
+
   /** Schema-EVOLVING append (Delta `mergeSchema=true`, the reference's
     * own write option at transforme_stock_silver.py:146): `df` may carry
     * columns the table has never seen — the commit records the MERGED

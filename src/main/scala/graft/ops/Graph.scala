@@ -446,7 +446,10 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1, s"labelPropagation: rounds=$rounds must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE — each round joins it again, and an
+    // expensive upstream derivation would otherwise re-execute per round
+    // (the gr_components round-11 lesson)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
     (1 to rounds).foreach { _ =>

@@ -1238,6 +1238,37 @@ object AnalyticsQueries {
              |FROM orders WHERE o_orderkey % 2 = 1
              |ORDER BY _row_id""".stripMargin)),
 
+    // Delta replaceWhere as ONE commit ([[SnapshotStore.replaceWhere]]):
+    // the predicate's rows leave via a position-delete file and the
+    // replacement rows land in the SAME snapshot — the in-query require
+    // pins exactly one new snapshot id, so no reader can observe the
+    // deleted-but-not-yet-reinserted middle. Urgent orders are replaced
+    // by their doubled-price restatement; everything else is untouched
+    // and unrewitten.
+    Q("m_replace_where",
+      (s, dir) => {
+        val st = new SnapshotStore(s,
+          s"/tmp/graft_ss_rw_${new java.io.File(dir).getName}")
+        st.dropTable("silver", "ord")
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        st.overwrite(o, "silver", "ord")
+        val before = st.snapshots("silver", "ord").size
+        val replacement = o.filter(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        st.replaceWhere(replacement, "silver", "ord",
+          col("o_orderpriority") === "1-URGENT")
+        require(st.snapshots("silver", "ord").size == before + 1,
+          "m_replace_where: the swap must be exactly ONE commit")
+        st.read("silver", "ord").orderBy("o_orderkey", "o_totalprice")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+             |WHERE o_orderpriority <> '1-URGENT'
+             |UNION ALL
+             |SELECT o_orderkey, o_orderpriority, o_totalprice * 2 AS o_totalprice
+             |FROM orders WHERE o_orderpriority = '1-URGENT'
+             |ORDER BY o_orderkey, o_totalprice""".stripMargin)),
+
     // Multinomial naive Bayes langid ([[Classifier.naiveBayes]]): the
     // classical generative text classifier, trained and scored with
     // keyed counts + an ln-free reference-relative likelihood (the

@@ -4734,8 +4734,13 @@ object ExtQueries {
     // (E2² overflows BIGINT at web scale), ONE double division. The
     // oracle recomputes the same integers over the 2-round LPA unroll.
     Q("gr_modularity",
-      (s, dir) => Graph.modularity(graphEdges(s, dir),
-        Graph.labelPropagation(graphEdges(s, dir), rounds = 2)),
+      (s, dir) => {
+        // one edge materialization feeds BOTH the LPA rounds and the
+        // modularity tagging joins — the orders⋈lineitem derivation
+        // would otherwise run 3×
+        val e = graphEdges(s, dir).localCheckpoint()
+        Graph.modularity(e, Graph.labelPropagation(e, rounds = 2))
+      },
       Some {
         def round(prev: String, out: String) =
           s"""f_$out AS (SELECT e.src, l.label, COUNT(*) AS cnt

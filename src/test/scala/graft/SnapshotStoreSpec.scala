@@ -678,4 +678,34 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st.readPoint("s", "t", "id", Seq("1")).as[(Long, String)]
       .collect().toSeq == Seq((1L, "a")))
   }
+
+  test("replaceWhere: one commit, replacement rows survive their own predicate") {
+    val st = newStore("rw")
+    st.overwrite(Seq((1L, "keep", 10L), (2L, "swap", 20L), (3L, "swap", 30L))
+      .toDF("id", "tag", "v"), "s", "t")
+    val n0 = st.snapshots("s", "t").size
+    // replacement rows MATCH the predicate — position deletes address
+    // the old files only, so they must survive
+    st.replaceWhere(Seq((2L, "swap", 200L), (3L, "swap", 300L)).toDF("id", "tag", "v"),
+      "s", "t", col("tag") === "swap")
+    assert(st.snapshots("s", "t").size == n0 + 1, "must be exactly one commit")
+    assert(st.read("s", "t").as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+      == Seq((1L, "keep", 10L), (2L, "swap", 200L), (3L, "swap", 300L)))
+    // time travel still serves the pre-swap content
+    assert(st.readSnapshot("s", "t", n0).count() == 3)
+    assert(st.readSnapshot("s", "t", n0).filter(col("v") === 20L).count() == 1)
+  }
+
+  test("replaceWhere with a txnId is idempotent (foreachBatch replay)") {
+    val st = newStore("rwtxn")
+    st.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), "s", "t")
+    st.replaceWhere(Seq((2L, 99L)).toDF("id", "v"), "s", "t",
+      col("id") === 2L, txnId = Some("batch-7"))
+    val afterFirst = st.snapshots("s", "t")
+    st.replaceWhere(Seq((2L, 99L)).toDF("id", "v"), "s", "t",
+      col("id") === 2L, txnId = Some("batch-7"))
+    assert(st.snapshots("s", "t") == afterFirst, "replayed txn must not commit")
+    assert(st.read("s", "t").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      == Seq((1L, 10L), (2L, 99L)))
+  }
 }
