@@ -2735,6 +2735,45 @@ object ExtQueries {
               |SELECT * FROM curr_g WHERE ano = 1996 AND mes BETWEEN 4 AND 9
               |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
 
+    // Streaming RESTATEMENT sink, oracle-hashed end state
+    // ([[StreamOps.replaceWhereSink]] → [[SnapshotStore.replaceWhere]]):
+    // 1996's months arrive as restatement batches (doubled prices,
+    // whole months per file via month-hash repartition) and each batch
+    // ATOMICALLY replaces exactly its own months' slice — one snapshot
+    // per batch, txn-tagged so a checkpoint replay is a no-op. The end
+    // state must equal "every other year untouched + 1996 restated".
+    Q("stream_replace_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_rw_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("m"),
+          col("o_totalprice"))
+        st.overwrite(o, "silver", "ord")
+        val staged = s"$base/in"
+        o.filter(year(col("m")) === 1996)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .repartition(4, col("m")).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        StreamOps.replaceWhereSink(stream, st, "silver", "ord",
+          sliceOf = b => col("m").isInCollection(
+            b.select("m").distinct().collect().map(_.getDate(0)).toSeq),
+          checkpoint = s"$base/ckpt").awaitTermination()
+        st.read("silver", "ord").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             |       o_totalprice
+             |FROM orders WHERE year(o_orderdate) <> 1996
+             |UNION ALL
+             |SELECT o_orderkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             |       o_totalprice * 2 AS o_totalprice
+             |FROM orders WHERE year(o_orderdate) = 1996
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Streaming EXACT heavy hitters, oracle-hashed end state
     // ([[StreamOps.keyedCountsSink]]): the token stream's per-batch
     // (token, cnt) partials append exactly-once; re-summing the

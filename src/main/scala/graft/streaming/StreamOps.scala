@@ -287,6 +287,32 @@ object StreamOps {
       }
       .start()
 
+  /** RESTATEMENT sink — `foreachBatch` + [[SnapshotStore.replaceWhere]]:
+    * every micro-batch atomically replaces the slice it restates
+    * (`sliceOf(batch)` derives the predicate from the batch's own
+    * rows, e.g. its partition dates), landing the position-delete and
+    * the replacement files in ONE snapshot. The txn tag makes a
+    * checkpoint-replayed batch a no-op, so the sink is exactly-once —
+    * the streaming form of the warehouse "late data restates its day"
+    * pattern (Delta's replaceWhere sink). The table must exist
+    * (restatement without a baseline is an append). */
+  def replaceWhereSink(stream: DataFrame, st: SnapshotStore, layer: String,
+                       table: String,
+                       sliceOf: DataFrame => org.apache.spark.sql.Column,
+                       checkpoint: String,
+                       sinkId: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty)
+          st.replaceWhere(b, layer, table, sliceOf(b),
+            txnId = Some(txnTag(checkpoint, sinkId, batchId)))
+        ()
+      }
+      .start()
+
   /** Keyed-upsert sink: every micro-batch MERGEs into the warehouse
     * table by unique key (staged wins) — `foreachBatch` + [[Merge]] is
     * Spark's idiom for the reference's Delta MERGE sink. */
