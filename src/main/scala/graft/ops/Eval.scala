@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /**
  * Model-evaluation aggregates over prediction/label columns — the
@@ -157,4 +158,32 @@ object Eval {
        |         THEN NULL
        |         ELSE 2.0 * precision * recall / (precision + recall) END AS f1
        |  FROM pr)""".stripMargin
+
+  /** Modified bigram precision (BLEU's core clipped-count term, n=2):
+    * per (candidate, reference) text pair,
+    * `p₂ = Σ_g min(count_cand(g), count_ref(g)) / Σ_g count_cand(g)` —
+    * the generation-eval / paraphrase-detection primitive. Counts are
+    * exact integers from two keyed aggregates joined per (id, gram);
+    * the single division is the only float op. Empty candidates yield
+    * NULL (unmeasurable), matching the report conventions above.
+    * Returns `(idCol, n_cand, n_matched, precision)`. */
+  def bigramPrecision(pairs: DataFrame, idCol: String,
+                      candCol: String, refCol: String): DataFrame = {
+    def counts(c: Column, n: String) = pairs
+      .select(col(idCol), explode(TextOps.bigramsOf(TextOps.tokens(c))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as(n))
+    val j = counts(col(candCol), "cc")
+      .join(counts(col(refCol), "rc"), Seq(idCol, "g"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cc")).as("n_cand"),
+        sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("n_matched"))
+    pairs.select(col(idCol)).distinct()
+      .join(j, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        when(coalesce(col("n_cand"), lit(0L)) === 0L, lit(null).cast(DoubleType))
+          .otherwise(col("n_matched").cast(DoubleType)
+            / col("n_cand").cast(DoubleType)).as("precision"))
+  }
 }

@@ -1903,6 +1903,43 @@ object ExtQueries {
               |${graft.ops.Eval.classificationReportSql("rel")}
               |SELECT * FROM rep ORDER BY clazz""".stripMargin)),
 
+    // Modified bigram precision ([[Eval.bigramPrecision]] — BLEU's
+    // clipped-count core): each document scored against a reference
+    // built by dropping every 5th token (position-deterministic,
+    // mirrored 1-based in DuckDB) — exact clipped counts per (doc,
+    // gram), one division at the end. The generation-eval primitive.
+    Q("eval_bleu2",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val ref = array_join(
+          filter(toks, (x, i) => (i + 1) % 5 =!= 0), " ")
+        graft.ops.Eval.bigramPrecision(
+          Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id"), col("text").as("cand"), ref.as("ref")),
+          "doc_id", "cand", "ref")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pairs AS (SELECT doc_id, text AS cand,
+              |    array_to_string(list_filter(${TextOps.tokensSql("text")},
+              |      (x, i) -> i % 5 <> 0), ' ') AS ref
+              |  FROM documents WHERE doc_id < 300),
+              |cgr AS (SELECT doc_id, unnest(${TextOps.bigramsSql("cand")}) AS g FROM pairs),
+              |rgr AS (SELECT doc_id, unnest(${TextOps.bigramsSql("ref")}) AS g FROM pairs),
+              |cc AS (SELECT doc_id, g, count(*) AS cc FROM cgr GROUP BY 1, 2),
+              |rc AS (SELECT doc_id, g, count(*) AS rc FROM rgr GROUP BY 1, 2),
+              |j AS (SELECT cc.doc_id, CAST(SUM(cc.cc) AS BIGINT) AS n_cand,
+              |        CAST(SUM(LEAST(cc.cc, COALESCE(rc.rc, 0))) AS BIGINT) AS n_matched
+              |      FROM cc LEFT JOIN rc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+              |      GROUP BY 1)
+              |SELECT p.doc_id, COALESCE(j.n_cand, 0) AS n_cand,
+              |       COALESCE(j.n_matched, 0) AS n_matched,
+              |       CASE WHEN COALESCE(j.n_cand, 0) = 0 THEN NULL
+              |            ELSE CAST(j.n_matched AS DOUBLE) / CAST(j.n_cand AS DOUBLE)
+              |       END AS precision
+              |FROM (SELECT DISTINCT doc_id FROM pairs) p
+              |LEFT JOIN j ON p.doc_id = j.doc_id
+              |ORDER BY p.doc_id""".stripMargin)),
+
     // Exact bucketed ROC-AUC ([[graft.ops.Eval.bucketAuc]]): a
     // nearest-prototype classifier (cosine to the first label-1
     // vector) scored against the true label, AUC computed in the
