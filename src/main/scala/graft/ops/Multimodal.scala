@@ -247,6 +247,78 @@ object Multimodal {
       .toDF()
   }
 
+  /** Strided PNG decode — the nearest-neighbor DOWNSCALE primitive:
+    * the same full read path as [[decodePngPixels]] (CRC walk, inflate,
+    * defilter), but only every `step`-th pixel in both axes is kept —
+    * exactly the pixels a step-factor nearest-neighbor resize would
+    * emit. Returns `(outW, outH, pixSum)` over the sampled grid
+    * (outW = ⌈w/step⌉); None on anything malformed. The thumbnail /
+    * preview / training-resolution pass of an image pipeline, with its
+    * statistics analytic under the synthetic corpus. */
+  def decodePngPixelsStrided(b: Array[Byte], step: Int): Option[(Int, Int, Long)] = {
+    require(step >= 1, s"decodePngPixelsStrided: step=$step")
+    val hdr = parsePng(b)
+    if (hdr.isEmpty) return None
+    val (w, h, depth) = hdr.get
+    if (depth != 8 || (b(25) & 0xff) != 0) return None
+    val buf = java.nio.ByteBuffer.wrap(b)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var ended = false
+    while (!ended) {
+      if (off + 8 > b.length) return None
+      val len = buf.getInt(off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue != (buf.getInt(off + 8 + len).toLong & 0xffffffffL)) return None
+      if (typ == "IDAT") idat.write(b, off + 8, len)
+      if (typ == "IEND") ended = true
+      off += 12 + len
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + w))
+    val got = try inflater.inflate(raw) finally inflater.end()
+    if (got != raw.length) return None
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      if (raw(y * (1 + w)) != 0) return None
+      if (y % step == 0) {
+        var x = 0
+        while (x < w) {
+          if (x % step == 0) sum += raw(y * (1 + w) + 1 + x) & 0xff
+          x += step // only sampled columns are even touched
+        }
+      }
+      y += 1
+    }
+    Some(((w + step - 1) / step, (h + step - 1) / step, sum))
+  }
+
+  case class PngResizeStats(doc_id: Long, out_w: Int, out_h: Int,
+                            n_pixels: Long, pix_sum: Long)
+
+  /** Distributed strided-decode pass — [[pngPixelStats]]'s shape with
+    * the downscale sampler inside the partition loop. */
+  def pngResizeStats(spark: SparkSession, docs: DataFrame,
+                     idCol: String, payloadCol: String, step: Int): DataFrame = {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[PngResizeStats]
+    docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val id = r.getLong(0)
+          val s = decodePngPixelsStrided(r.getAs[Array[Byte]](1), step).getOrElse(
+            throw new IllegalStateException(s"undecodable PNG payload for id $id"))
+          PngResizeStats(id, s._1, s._2, s._1.toLong * s._2, s._3)
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** REAL GIF (87a/89a) parser — pure JVM. Validates the signature,
     * reads the little-endian logical-screen dimensions, skips the
     * global color table per the packed flags, then walks the block

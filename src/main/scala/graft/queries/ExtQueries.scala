@@ -5327,6 +5327,28 @@ object ExtQueries {
               |FROM (SELECT m0.doc_id, m0.pos FROM m0 JOIN m1 USING (doc_id, pos))
               |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // Nearest-neighbor PNG downscale ([[Multimodal.pngResizeStats]] /
+    // decodePngPixelsStrided): the full CRC→inflate→defilter read path
+    // with a stride-2 sampler — exactly the pixels a ×½ resize emits,
+    // statistics predicted analytically per pixel by the oracle. The
+    // thumbnail/training-resolution pass with a zero-tolerance check.
+    Q("mm_resize",
+      (s, dir) => Multimodal.pngResizeStats(s,
+        Multimodal.synthPngPixelCorpus(s, Tables.documents(s, dir), "doc_id"),
+        "doc_id", "payload", step = 2)
+        .orderBy("doc_id"),
+      Some("""WITH dims AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+             |                     8 + (doc_id * 3) % 9 AS h
+             |              FROM documents),
+             |px AS (SELECT doc_id, w, h, unnest(range(0, w, 2)) AS x FROM dims),
+             |pxy AS (SELECT doc_id, w, h, x, unnest(range(0, h, 2)) AS y FROM px)
+             |SELECT doc_id,
+             |       CAST((w + 1) // 2 AS INTEGER) AS out_w,
+             |       CAST((h + 1) // 2 AS INTEGER) AS out_h,
+             |       CAST(count(*) AS BIGINT) AS n_pixels,
+             |       CAST(SUM((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS pix_sum
+             |FROM pxy GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)),
+
     // Animated-GIF multimodal path with a REAL block-walk parse:
     // genuine GIF89a containers (logical screen descriptor, per-frame
     // graphic-control extension + image descriptor + data sub-blocks,
