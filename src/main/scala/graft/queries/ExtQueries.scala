@@ -1397,6 +1397,86 @@ object ExtQueries {
               |         / CAST(count(*) AS DOUBLE) AS pos_rate
               |FROM ranked GROUP BY decile ORDER BY decile""".stripMargin)),
 
+    // Precision-recall curve at 20 bucketed thresholds (the companion
+    // to ml_auc/ml_calibration): bucket 1 = highest scores; predicting
+    // positive for buckets ≤ b gives cumulative exact TP/N counts, so
+    // every precision/recall point is two integer divisions — the
+    // operating-point picker for a quality gate (choose recall, read
+    // off precision).
+    Q("ml_pr_curve",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val label = graft.ops.Classifier.qualityLabel(col("text"))
+        val m = graft.ops.Classifier.centroidModel(docs, "text", label)
+        val sc = graft.ops.Classifier.centroidScores(docs, "doc_id", "text", label, m)
+          .withColumn("b",
+            ntile(20).over(Window.orderBy(col("s").desc, col("id"))).cast(LongType))
+        val per = sc.groupBy("b")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("y") === 1, lit(1))).as("n_pos"))
+        val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = per.agg(sum("n_pos").as("p")).select(col("p"))
+        per.withColumn("cum_n", sum("n").over(w))
+          .withColumn("cum_pos", sum("n_pos").over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("b"), col("cum_n"), col("cum_pos"),
+            (col("cum_pos").cast(DoubleType) / col("cum_n").cast(DoubleType))
+              .as("precision"),
+            when(col("p") === 0, lit(null).cast(DoubleType))
+              .otherwise(col("cum_pos").cast(DoubleType) / col("p").cast(DoubleType))
+              .as("recall"))
+          .orderBy("b")
+      },
+      Some(s"""WITH ${centroidCtes()},
+              |bk AS (SELECT y, ntile(20) OVER (ORDER BY s DESC, doc_id) AS b FROM scored),
+              |per AS (SELECT b, CAST(count(*) AS BIGINT) AS n,
+              |               CAST(count(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS n_pos
+              |        FROM bk GROUP BY b),
+              |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p FROM per),
+              |cum AS (SELECT b, n, n_pos,
+              |          SUM(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_n,
+              |          SUM(n_pos) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS cum_pos
+              |        FROM per)
+              |SELECT CAST(b AS BIGINT) AS b, CAST(cum_n AS BIGINT) AS cum_n,
+              |       CAST(cum_pos AS BIGINT) AS cum_pos,
+              |       CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE) AS precision,
+              |       CASE WHEN p = 0 THEN NULL
+              |            ELSE CAST(cum_pos AS DOUBLE) / CAST(p AS DOUBLE) END AS recall
+              |FROM cum, tot ORDER BY b""".stripMargin)),
+
+    // Gaps-and-islands streaks: each customer's longest run of
+    // CONSECUTIVE order dates — the classic `date − row_number()`
+    // island key, exact integers end to end. The engagement-streak /
+    // continuity-audit pattern every warehouse eventually writes.
+    Q("w_streaks",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate").cast(DateType).as("d"))
+          .distinct()
+        val w = Window.partitionBy("o_custkey").orderBy("d")
+        val st = d.withColumn("grp", date_sub(col("d"), row_number().over(w)))
+          .groupBy(col("o_custkey"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+        st.groupBy("o_custkey")
+          .agg(max("len").as("max_streak"), count(lit(1)).as("n_streaks"))
+          .filter(col("max_streak") >= 2)
+          .orderBy("o_custkey")
+      },
+      Some("""WITH d AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+             |           FROM orders),
+             |g AS (SELECT o_custkey, d,
+             |        d - CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY d)
+             |                 AS INTEGER) AS grp
+             |      FROM d),
+             |st AS (SELECT o_custkey, grp, CAST(count(*) AS BIGINT) AS len
+             |       FROM g GROUP BY 1, 2)
+             |SELECT o_custkey, CAST(MAX(len) AS BIGINT) AS max_streak,
+             |       CAST(count(*) AS BIGINT) AS n_streaks
+             |FROM st GROUP BY o_custkey HAVING MAX(len) >= 2
+             |ORDER BY o_custkey""".stripMargin)),
+
     // EXACT heavy hitters with bounded memory ([[graft.ops.Ranking.
     // heavyHitters]]): tokens above 0.5% corpus frequency via the
     // two-pass Misra-Gries pattern — a mergeable ≤k-counter sketch
