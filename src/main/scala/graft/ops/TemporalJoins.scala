@@ -57,6 +57,37 @@ object TemporalJoins {
     out.filter(col("__side") === 1).drop("__ts", "__side", "__vals", "__latest")
   }
 
+  /** FORWARD as-of join — the mirror of [[asofJoin]]: each left row
+    * takes the EARLIEST right row with `rightTs >= leftTs` (inclusive)
+    * per key. The "next scheduled event / next snapshot" direction:
+    * next price revision, next maintenance window, the settlement date
+    * after a trade. Same union + one window shuffle; at equal ts the
+    * left row sorts first so a simultaneous right row matches. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      valueCols: Seq[String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__vals",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          valueCols.map(v => org.apache.spark.sql.types.StructField(v, right.schema(v).dataType)))))
+    val rTagged = right.select(
+      col(key), col(rightTs).as("__ts"),
+      struct(valueCols.map(col): _*).as("__vals"))
+      .withColumn("__side", lit(1))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // left rows (__side=0) sort before right rows at equal ts → `>=`
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = unioned.withColumn("__next",
+      first(col("__vals"), ignoreNulls = true).over(w))
+    val out = valueCols.foldLeft(filled) { (df, v) =>
+      df.withColumn(v, col(s"__next.$v"))
+    }
+    out.filter(col("__side") === 0).drop("__ts", "__side", "__vals", "__next")
+  }
+
   /**
    * Point-in-interval range join via binning: intervals explode into
    * the fixed-size bins they cover; points equi-join their single bin;

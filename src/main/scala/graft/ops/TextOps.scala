@@ -649,4 +649,45 @@ object TextOps {
        |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(pts) AS BIGINT) AS pts_total,
        |       CAST(SUM(pts) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_pts
        |FROM pts GROUP BY 1""".stripMargin
+
+  /**
+   * Windowed co-occurrence with LN-FREE lift — the word-association /
+   * embedding-prep statistic (the counts word2vec's sampling and PMI
+   * tables are built from): directional pairs (w, v) with v at
+   * distance 1..maxDist after w, scored by
+   * `lift = (T · c_wv) / (c_w · c_v)` — exp(PMI), same ranking, no
+   * libm log. All counts exact integers from keyed aggregates; the
+   * products ride DECIMAL(38)/HUGEINT (corpus² overflows BIGINT at
+   * scale); lift is ONE double division.
+   *
+   * Scale shape: the pair stream is `maxDist` projections of the
+   * token stream (positions are array indexes — no self-join of the
+   * corpus, the pair explode is per-doc-local); pair/unigram counts
+   * are map-side-combined keyed aggregates bounded by vocabulary², not
+   * corpus size. Returns `(pair, n_pair, n_left, n_right, lift)`.
+   */
+  def cooccurrence(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"cooccurrence: maxDist=$maxDist")
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val tok = docs.select(col(idCol).as("__id"), tokens(col(textCol)).as("__t"))
+    val pairs = tok.select(explode(flatten(transform(
+        sequence(lit(1), lit(maxDist)),
+        d => zip_with(col("__t"), slice(col("__t"), d + 1, size(col("__t"))),
+          (a, b) => concat(a, lit(" "), b))))).as("pair"))
+      .filter(col("pair").isNotNull)
+    val pc = pairs.groupBy("pair").agg(count(lit(1)).as("n_pair"))
+      .withColumn("w", split(col("pair"), " ").getItem(0))
+      .withColumn("v", split(col("pair"), " ").getItem(1))
+    val uni = tok.select(explode(col("__t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("t"))
+    pc.join(uni.select(col("w"), col("c").as("n_left")), Seq("w"))
+      .join(uni.select(col("w").as("v"), col("c").as("n_right")), Seq("v"))
+      .crossJoin(broadcast(tot))
+      .select(col("pair"), col("n_pair"), col("n_left"), col("n_right"),
+        ((dec(col("t")) * dec(col("n_pair"))).cast(org.apache.spark.sql.types.DoubleType)
+          / (dec(col("n_left")) * dec(col("n_right")))
+            .cast(org.apache.spark.sql.types.DoubleType)).as("lift"))
+  }
 }

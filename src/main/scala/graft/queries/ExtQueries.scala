@@ -1477,6 +1477,98 @@ object ExtQueries {
              |FROM st GROUP BY o_custkey HAVING MAX(len) >= 2
              |ORDER BY o_custkey""".stripMargin)),
 
+    // Windowed co-occurrence with ln-free lift ([[TextOps.
+    // cooccurrence]]): directional token pairs at distance ≤ 2, scored
+    // by exp(PMI) = T·c_wv/(c_w·c_v) — same ranking as PMI with zero
+    // libm risk; pair stream is per-doc-local array projections (no
+    // corpus self-join), counts vocabulary-bounded. Top-50 by support.
+    Q("t_cooccurrence",
+      (s, dir) => TextOps.cooccurrence(Tables.documents(s, dir),
+          "doc_id", "text", maxDist = 2)
+        .orderBy(col("n_pair").desc, col("pair"))
+        .limit(50),
+      Some(s"""WITH tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS t FROM documents),
+              |pr AS (SELECT unnest(flatten(list_transform(range(1, 3), d ->
+              |         list_transform(range(1, len(t) - d + 1),
+              |           i -> t[i] || ' ' || t[i + d])))) AS pair
+              |       FROM tok),
+              |pc AS (SELECT pair, count(*) AS n_pair,
+              |              string_split(pair, ' ')[1] AS w,
+              |              string_split(pair, ' ')[2] AS v
+              |       FROM pr GROUP BY 1),
+              |uni AS (SELECT unnest(t) AS w FROM tok),
+              |uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+              |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM uc)
+              |SELECT pair, CAST(n_pair AS BIGINT) AS n_pair,
+              |       CAST(ul.c AS BIGINT) AS n_left, CAST(ur.c AS BIGINT) AS n_right,
+              |       CAST(CAST(t AS HUGEINT) * CAST(n_pair AS HUGEINT) AS DOUBLE)
+              |       / CAST(CAST(ul.c AS HUGEINT) * CAST(ur.c AS HUGEINT) AS DOUBLE)
+              |         AS lift
+              |FROM pc JOIN uc ul ON pc.w = ul.w JOIN uc ur ON pc.v = ur.w
+              |CROSS JOIN tot
+              |ORDER BY n_pair DESC, pair LIMIT 50""".stripMargin)),
+
+    // Higher-moment statistics from EXACT integer power sums: per
+    // priority stratum, skewness and excess kurtosis of the order value
+    // — Σx..Σx⁴ in cents ride DECIMAL(38,0)/HUGEINT (x⁴ sums reach
+    // ~1e36 at sf1, far past BIGINT), then a FIXED correctly-rounded
+    // double chain both engines share; pow(m2, 1.5) is written
+    // m2·sqrt(m2) because pow is libm (banned), sqrt is IEEE-exact.
+    Q("agg_moments",
+      (s, dir) => {
+        val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+        val cents = dec(col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        val st = Tables.orders(s, dir)
+          .select(col("o_orderpriority"), cents.as("x"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+            sum(col("x") * col("x")).as("s2"),
+            sum(col("x") * col("x") * col("x")).as("s3"),
+            sum(col("x") * col("x") * col("x") * col("x")).as("s4"))
+        val nd = col("n").cast(DoubleType)
+        val d1 = col("s1").cast(DoubleType); val d2 = col("s2").cast(DoubleType)
+        val d3 = col("s3").cast(DoubleType); val d4 = col("s4").cast(DoubleType)
+        val mu = d1 / nd
+        val m2 = d2 / nd - mu * mu
+        val m3 = d3 / nd - lit(3.0) * mu * (d2 / nd) + lit(2.0) * mu * mu * mu
+        val m4 = (d4 / nd - lit(4.0) * mu * (d3 / nd)
+          + lit(6.0) * mu * mu * (d2 / nd) - lit(3.0) * mu * mu * mu * mu)
+        st.select(col("o_orderpriority"), col("n"),
+          (m3 / (m2 * sqrt(m2))).as("skewness"),
+          (m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH st AS (SELECT o_orderpriority, count(*) AS n,
+             |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s1,
+             |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s2,
+             |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s3,
+             |    SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)
+             |      * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS HUGEINT)) AS s4
+             |  FROM orders GROUP BY 1),
+             |m AS (SELECT o_orderpriority, n,
+             |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS d1,
+             |    CAST(s2 AS DOUBLE) AS d2, CAST(s3 AS DOUBLE) AS d3,
+             |    CAST(s4 AS DOUBLE) AS d4
+             |  FROM st),
+             |k AS (SELECT o_orderpriority, n,
+             |    d1 / nd AS mu,
+             |    d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+             |    d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)
+             |      + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+             |    d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+             |      + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+             |      - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+             |  FROM m)
+             |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+             |       m3 / (m2 * sqrt(m2)) AS skewness,
+             |       m4 / (m2 * m2) - 3.0 AS kurtosis
+             |FROM k ORDER BY o_orderpriority""".stripMargin)),
+
     // EXACT heavy hitters with bounded memory ([[graft.ops.Ranking.
     // heavyHitters]]): tokens above 0.5% corpus frequency via the
     // two-pass Misra-Gries pattern — a mergeable ≤k-counter sketch

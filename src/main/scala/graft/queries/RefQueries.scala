@@ -1036,6 +1036,31 @@ object RefQueries {
              |  ON o.o_custkey = s.o_custkey AND o.o_orderdate >= s.snap_ts
              |ORDER BY o.o_orderkey""".stripMargin)),
 
+    // FORWARD as-of ([[TemporalJoins.asofJoinForward]]): each order
+    // takes its customer's NEXT snapshot at-or-after the order date —
+    // the "next scheduled revision" direction, completing the temporal
+    // join family (backward j_asof, interval j_range/j_interval_overlap,
+    // PIT j_scd2_pit). Same single union+window shuffle as backward.
+    Q("j_asof_forward",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val snaps = orders.filter(col("o_orderkey") % 7 === 0)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_totalprice")).as("snap_price"))
+        graft.ops.TemporalJoins.asofJoinForward(
+          orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          snaps, key = "o_custkey", leftTs = "o_orderdate", rightTs = "o_orderdate",
+          valueCols = Seq("snap_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH snaps AS (SELECT o_custkey, o_orderdate AS snap_ts,
+             |                      max(o_totalprice) AS snap_price
+             |               FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1, 2)
+             |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, s.snap_price
+             |FROM orders o ASOF LEFT JOIN snaps s
+             |  ON o.o_custkey = s.o_custkey AND o.o_orderdate <= s.snap_ts
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
     // SCD2 point-in-time enrichment: each fact joined to the dimension
     // VERSION valid at the fact's event time — the join every SCD2
     // history table exists to serve. Because versions per key are
