@@ -5583,6 +5583,47 @@ object ExtQueries {
               |GROUP BY 1 HAVING COUNT(*) > 1
               |ORDER BY canonical_url""".stripMargin)),
 
+    // IPv4 parse + CIDR containment (crawl-log infrastructure): the
+    // dotted-quad STRING is parsed back to its uint32 (split → cast →
+    // shift-add), the /16 subnet key extracted, and 10.0.0.0/9
+    // membership tested on the numeric form — all integer arithmetic,
+    // the rate-limit / dedup-by-subnet key of a fetch pipeline.
+    Q("p_ipv4_cidr",
+      (s, dir) => {
+        val d = col("doc_id")
+        val ip = concat(lit("10."), (d % 200).cast(StringType), lit("."),
+          ((d * 7) % 256).cast(StringType), lit("."), ((d * 13) % 256).cast(StringType))
+        val oct = split(col("ip"), "\\.")
+        val ipNum = (oct.getItem(0).cast(LongType) * lit(16777216L)
+          + oct.getItem(1).cast(LongType) * lit(65536L)
+          + oct.getItem(2).cast(LongType) * lit(256L)
+          + oct.getItem(3).cast(LongType))
+        Tables.documents(s, dir).filter(d < 100)
+          .select(d.as("doc_id"), ip.as("ip"))
+          .withColumn("ip_num", ipNum)
+          .withColumn("subnet16",
+            concat(oct.getItem(0), lit("."), oct.getItem(1)))
+          .withColumn("in_10_0_0_0_9",
+            col("ip_num") >= lit(167772160L) && col("ip_num") < lit(176160768L))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    '10.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+             |          || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+             |          || CAST((doc_id * 13) % 256 AS VARCHAR) AS ip
+             |  FROM documents WHERE doc_id < 100),
+             |p AS (SELECT doc_id, ip, string_split(ip, '.') AS o FROM u)
+             |SELECT doc_id, ip,
+             |       CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+             |         + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT) AS ip_num,
+             |       o[1] || '.' || o[2] AS subnet16,
+             |       (CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+             |         + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT)) >= 167772160
+             |       AND (CAST(o[1] AS BIGINT) * 16777216 + CAST(o[2] AS BIGINT) * 65536
+             |         + CAST(o[3] AS BIGINT) * 256 + CAST(o[4] AS BIGINT)) < 176160768
+             |         AS in_10_0_0_0_9
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // URL structural projection: canonical form + host + registered
     // domain per document — the per-domain keys a crawl pipeline
     // partitions, rate-limits, and quality-priors by.

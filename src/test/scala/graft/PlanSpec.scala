@@ -215,4 +215,24 @@ class PlanSpec extends SparkSpec {
         s"gather aggregate re-shuffled the edges:\n$plan")
     } finally e.unpersist()
   }
+
+  test("URL canonicalization dedup: codegen expressions only, one narrow-key shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val qe = SparkEntry.queries("dd_url_dedup")(spark, dir).queryExecution
+    val plan = qe.executedPlan
+    assert(!plan.toString.contains("ScalaUDF") && !plan.toString.contains("BatchEval"),
+      s"canonicalizer must be expression-composed, no UDF:\n$plan")
+    // one hash-aggregate shuffle on the ~60-byte canonical key plus the
+    // presentation sort — nothing else may move data
+    val shuffles = plan.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size <= 2, s"expected agg+sort shuffles only, got:\n$plan")
+  }
+
+  test("naive Bayes: vocabulary-keyed joins only — no cartesian, broadcast model legs") {
+    val plan = SparkEntry.queries("ml_naive_bayes")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"NB must never go cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the model/scalar legs should broadcast:\n$plan")
+  }
 }
