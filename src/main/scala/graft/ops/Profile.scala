@@ -221,6 +221,58 @@ object Profile {
        |  FROM agg)""".stripMargin
   }
 
+  /** EXACT per-group median with BOUNDED state — the two-pass
+    * bin-then-select that makes an exact quantile feasible at 100 TB
+    * where a global sort is not: pass 1 is one keyed (group, bin)
+    * count (map-side combined, state = groups × bins); the driver
+    * walks the bin histogram (bounded metadata, the watermark-read
+    * pattern) to find each group's median bin and residual rank; pass
+    * 2 ranks ONLY the median bin's rows. The selected value is the
+    * LOWER median (rank ⌊(n+1)/2⌋ ascending) — exact, not interpolated,
+    * deterministic in both engines. `binWidthCents` trades pass-2 scan
+    * volume against histogram size; a still-huge bin recurses the same
+    * trick (documented, not needed at test scale). Values ride cents
+    * BIGINT. Returns `(group, n, median_cents)`. */
+  def exactMedianBinned(df: DataFrame, keyCol: String, valueCol: String,
+                        binWidthCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binWidthCents >= 1, s"exactMedianBinned: binWidthCents=$binWidthCents")
+    val cents = (col(valueCol).cast(DecimalType(18, 2)) * 100).cast(LongType)
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("g"), cents.as("c"))
+    val hist = base.withColumn("bin", floor(col("c") / binWidthCents).cast(LongType))
+      .groupBy("g", "bin").agg(count(lit(1)).as("n"))
+    // driver walk: groups × bins rows — bounded metadata
+    val plan = hist.collect().groupBy(_.getAs[Any]("g")).map { case (g, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("bin"))
+      val total = sorted.map(_.getAs[Long]("n")).sum
+      val k = (total + 1) / 2
+      var cum = 0L
+      val hit = sorted.find { r =>
+        val nb = r.getAs[Long]("n"); val in = cum + nb >= k; if (!in) cum += nb; in
+      }.get
+      (g, hit.getAs[Long]("bin"), k - cum, total)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(plan.map(p => org.apache.spark.sql.Row(
+        p._1, p._2, p._3, p._4)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        hist.schema("g").copy(name = "pg"),
+        org.apache.spark.sql.types.StructField("mbin", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("r", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_total", org.apache.spark.sql.types.LongType))))
+    val w = Window.partitionBy("g").orderBy(col("c"))
+    base.join(broadcast(planDf), col("g") === col("pg")
+        && floor(col("c") / binWidthCents).cast(LongType) === col("mbin"))
+      .drop("pg")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === col("r"))
+      .select(col("g").as(keyCol), col("n_total").as("n"),
+        col("c").as("median_cents"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance — the classical
     * distribution-shift test next to [[histogramDrift]]'s binned L1:
     * D = max over pooled values of |F_a(v) − F_b(v)|. The statistic is

@@ -4376,6 +4376,29 @@ object ExtQueries {
            |SELECT node, deg FROM r12 ORDER BY node""".stripMargin
       }),
 
+    // EXACT median with bounded state ([[Profile.exactMedianBinned]]):
+    // pass 1 bins (groups × bins state), a driver histogram walk finds
+    // each group's median bin + residual rank, pass 2 ranks ONLY that
+    // bin's rows — the exact-quantile-at-100 TB recipe where a global
+    // sort is a non-starter. Lower median (rank ⌊(n+1)/2⌋), cents
+    // BIGINT, mirrored by a per-group row_number selection.
+    Q("agg_exact_median",
+      (s, dir) => Profile.exactMedianBinned(
+          Tables.orders(s, dir), "o_orderpriority", "o_totalprice",
+          binWidthCents = 1000000L)
+        .orderBy("o_orderpriority"),
+      Some("""WITH c AS (SELECT o_orderpriority AS g,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+             |  FROM orders WHERE o_totalprice IS NOT NULL),
+             |r AS (SELECT g, c,
+             |        row_number() OVER (PARTITION BY g ORDER BY c) AS rn,
+             |        count(*) OVER (PARTITION BY g) AS n
+             |      FROM c)
+             |SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+             |       c AS median_cents
+             |FROM r WHERE rn = (n + 1) // 2
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // Two-sample Kolmogorov–Smirnov drift ([[Profile.ksTest]]): 1996 vs
     // 1997 order values. The ECDF gap is carried as the exact integer
     // |C_a·n_b − C_b·n_a| (common-denominator form) so the max/argmax
