@@ -363,6 +363,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** The banded LSH index of a corpus — `(band, bucket, id, sig)` —
+    * the table an INCREMENTAL near-dup pipeline maintains: appends add
+    * the new docs' rows; [[incrementalMinhashAdmit]] probes it. */
+  def minhashIndexMd5(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    minhashSignaturesMd5(docs, idCol, textCol, n, k)
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        array_join(slice(col("sig"), col("band") * rows + 1, lit(rows)), ","))
+  }
+
+  /**
+   * INCREMENTAL near-dup admission — [[incrementalExact]]'s role for
+   * NEAR duplicates: a new batch is admitted against the maintained
+   * corpus LSH index ([[minhashIndexMd5]]) without ever touching
+   * corpus text. A batch doc is REJECTED iff its estimated Jaccard
+   * (matching signature slots / k, over shared band buckets) reaches
+   * `maxEstJaccard` against ANY corpus doc, or against any batch doc
+   * with a SMALLER id (first-id-wins within the batch, independent of
+   * that doc's own fate — a deterministic, order-free rule). Docs too
+   * short to shingle carry no signature and are admitted.
+   *
+   * Scale shape: the corpus contributes index rows only (bands ×
+   * ~30 bytes per doc); the probe is a bucket equi-join whose cost
+   * tracks the BATCH and the duplicate density, never the corpus
+   * volume — the property that keeps daily near-dedup affordable at
+   * 100 TB corpus size. Returns the admitted batch rows.
+   */
+  def incrementalMinhashAdmit(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              n: Int = 5, k: Int = 16, bands: Int = 4,
+                              maxEstJaccard: Double = 0.5): DataFrame = {
+    def est(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast(DoubleType) / lit(k.toDouble)
+    val ci = minhashIndexMd5(corpus, idCol, textCol, n, k, bands)
+      .select(col("band"), col("bucket"), col("sig").as("sig_c"))
+    val bi = minhashIndexMd5(batch, idCol, textCol, n, k, bands)
+    val vsCorpus = bi.join(ci, Seq("band", "bucket"))
+      .select(col(idCol), col("sig"), col("sig_c")).distinct()
+      .filter(est(col("sig"), col("sig_c")) >= maxEstJaccard)
+      .select(col(idCol))
+    val a = bi.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = bi.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val within = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .filter(est(col("sig_a"), col("sig_b")) >= maxEstJaccard)
+      .select(col("id_b").as(idCol))
+    batch.join(vsCorpus.unionByName(within).distinct(), Seq(idCol), "left_anti")
+  }
+
   /**
    * MinHash+LSH candidate pairs: signatures split into `bands` bands of
    * k/bands rows; docs sharing any band bucket become candidates;

@@ -42,6 +42,23 @@ object ExtQueries {
       .stripMargin.replaceAll("\\s*\\n\\s*", " ") // single-line: interpolated
       // into stripMargin'd templates, which would eat a leading `||`
 
+  /** The md5-portable MinHash signature + banding chain as CTEs over
+    * `rel` (prefix `p` keeps two chains in one query) — the same
+    * construction dd_minhash_lsh inlines; n=5 shingles, k=16, 4 bands. */
+  private def mhChainSql(rel: String, p: String): String =
+    s"""${p}tok AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks FROM $rel),
+       |${p}sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 3),
+       |  i -> array_to_string(list_slice(toks, i, i + 4), ' '))) AS shingles
+       |  FROM ${p}tok WHERE len(toks) >= 5),
+       |${p}hs AS (SELECT doc_id, list_transform(shingles, s ->
+       |  CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) % 2147483647) AS hs FROM ${p}sh),
+       |${p}sig AS (SELECT doc_id, list_transform(range(0, 16), i ->
+       |  CAST(list_min(list_transform(hs, h ->
+       |    (h * (2*i+1) + 1000003*(i+1)) % 2147483647)) AS BIGINT)) AS sig FROM ${p}hs),
+       |${p}bk AS (SELECT doc_id, sig, b AS band,
+       |  array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
+       |  FROM ${p}sig, (SELECT unnest(range(0, 4)) AS b) bb)""".stripMargin
+
   /** documents ∪ exact copies of every doc_id % 5 == 0, copy ids offset
     * by MAX(doc_id)+1 (smallest copy id = offset > every real id, so the
     * injection is collision-free at ANY scale factor) — a corpus with
@@ -552,6 +569,56 @@ object ExtQueries {
               |        FROM cand)
               |SELECT id_a, id_b, est_jaccard FROM est
               |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    // INCREMENTAL near-dup admission ([[Dedup.incrementalMinhashAdmit]]
+    // — incrementalExact's role for NEAR duplicates): the corpus
+    // contributes only its banded LSH index rows; the batch mixes
+    // exact re-crawls (rejected vs corpus at est-Jaccard 1), token-
+    // reversed texts (fresh shingle sets → admitted), and a duplicated
+    // reversed slice (first-id-wins within the batch). Probe cost
+    // tracks the batch, never corpus volume — the daily-dedup
+    // affordability property, here for near-dups.
+    Q("dd_minhash_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val rev = d.filter(col("doc_id") % 10 === 3)
+          .select(col("doc_id"),
+            array_join(reverse(TextOps.tokens(col("text"))), " ").as("text"))
+        val batch = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"), col("text"))
+          .unionByName(rev.select((col("doc_id") + 2 * off).as("doc_id"), col("text")))
+          .unionByName(rev.select((col("doc_id") + 3 * off).as("doc_id"), col("text")))
+        Dedup.incrementalMinhashAdmit(d, batch, "doc_id", "text")
+          .select(col("doc_id")).orderBy("doc_id")
+      },
+      Some(s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+              |rev AS (SELECT doc_id,
+              |          array_to_string(list_reverse(${TextOps.tokensSql("text")}), ' ') AS text
+              |        FROM documents WHERE doc_id % 10 = 3),
+              |batch AS (
+              |  SELECT d.doc_id + off.o AS doc_id, d.text
+              |  FROM documents d, off WHERE d.doc_id % 10 = 0
+              |  UNION ALL SELECT r.doc_id + 2 * off.o, r.text FROM rev r, off
+              |  UNION ALL SELECT r.doc_id + 3 * off.o, r.text FROM rev r, off),
+              |${mhChainSql("documents", "c")},
+              |${mhChainSql("batch", "b")},
+              |vsc AS (SELECT doc_id FROM (
+              |    SELECT DISTINCT b.doc_id, b.sig AS sig_b, c.sig AS sig_c
+              |    FROM bbk b JOIN cbk c ON b.band = c.band AND b.bucket = c.bucket)
+              |  WHERE CAST(len(list_filter(range(1, 17),
+              |          j -> sig_b[j] = sig_c[j])) AS DOUBLE) / 16.0 >= 0.5),
+              |win AS (SELECT id_b AS doc_id FROM (
+              |    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+              |           a.sig AS sig_a, b.sig AS sig_b
+              |    FROM bbk a JOIN bbk b ON a.band = b.band AND a.bucket = b.bucket
+              |    WHERE a.doc_id < b.doc_id)
+              |  WHERE CAST(len(list_filter(range(1, 17),
+              |          j -> sig_a[j] = sig_b[j])) AS DOUBLE) / 16.0 >= 0.5),
+              |rej AS (SELECT doc_id FROM vsc UNION SELECT doc_id FROM win)
+              |SELECT doc_id FROM batch
+              |WHERE doc_id NOT IN (SELECT doc_id FROM rej)
+              |ORDER BY doc_id""".stripMargin)),
 
     // SimHash banded Hamming-≤3 candidates over the PORTABLE 60-bit
     // md5 bit-vote sketch (4 bands × 15 bits — pigeonhole still

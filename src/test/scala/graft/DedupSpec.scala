@@ -362,6 +362,22 @@ class DedupSpec extends SparkSpec {
     assert(fr == 0.0)
   }
 
+  test("incrementalMinhashAdmit: re-crawls rejected, fresh admitted, first-id-wins") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val fresh = "one two three four five six seven eight nine ten"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),   // exact re-crawl → rejected vs corpus
+      (11L, fresh),  // genuinely new → admitted
+      (12L, fresh),  // batch-duplicate of 11 → rejected (first id wins)
+      (13L, "too short")  // no signature → admitted by contract
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashAdmit(corpus, batch, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 13L), s"got $out")
+  }
+
   test("softDedupWeights: each cluster's weights sum to exactly 1 in count terms") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "z"), (6L, "z"))
