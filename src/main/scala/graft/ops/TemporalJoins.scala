@@ -57,6 +57,28 @@ object TemporalJoins {
     out.filter(col("__side") === 1).drop("__ts", "__side", "__vals", "__latest")
   }
 
+  /**
+   * As-of join with a staleness tolerance: like [[asofJoin]], but a
+   * matched right row older than `toleranceExpr` (e.g. `expr("INTERVAL
+   * 7 DAYS")` for timestamps, or a numeric bound for numeric ts) is
+   * discarded — the left row gets NULLs instead of an arbitrarily
+   * stale snapshot. The standard quote-staleness guard in market-data
+   * joins (pandas `merge_asof(tolerance=...)`). Same single
+   * union+window shuffle as [[asofJoin]]: the matched right timestamp
+   * rides inside the value struct and the tolerance check is a post
+   * projection, not a second join.
+   */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String, valueCols: Seq[String],
+                        tolerance: Column): DataFrame = {
+    val withTs = right.withColumn("__rts", col(rightTs))
+    val joined = asofJoin(left, withTs, key, leftTs, rightTs, valueCols :+ "__rts")
+    val fresh = col("__rts").isNotNull && col(leftTs) - tolerance <= col("__rts")
+    valueCols.foldLeft(joined) { (df, v) =>
+      df.withColumn(v, when(fresh, col(v)))
+    }.drop("__rts")
+  }
+
   /** FORWARD as-of join — the mirror of [[asofJoin]]: each left row
     * takes the EARLIEST right row with `rightTs >= leftTs` (inclusive)
     * per key. The "next scheduled event / next snapshot" direction:

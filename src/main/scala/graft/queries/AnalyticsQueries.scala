@@ -5,7 +5,7 @@ import graft.engine.SnapshotStore
 import graft.ops.{Classifier, Dedup, EventOps, TextOps, TimeSeries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /**
  * Round-12 analytics additions: series diagnostics (ACF), exact-
@@ -715,7 +715,7 @@ object AnalyticsQueries {
     // String-function surface parity: pad/translate/split_part/
     // levenshtein/repeat/reverse as one codegen'd projection — the
     // everyday string toolkit, pinned engine-identical.
-    Q("p_string_funcs",
+    Q("p_string_extras",
       (s, dir) => Tables.part(s, dir)
         .filter(col("p_partkey") % 10 === 0)
         .select(col("p_partkey"),
@@ -1296,6 +1296,157 @@ object AnalyticsQueries {
               |FROM pred p JOIN base b USING (doc_id)
               |WHERE p.rn = 1
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Bitwise scalar surface (AND/OR/XOR/NOT/shifts/popcount) — the
+    // bit-manipulation toolkit behind bitmap indexes, feature flags,
+    // and hash mixing, pinned engine-identical in one codegen'd
+    // projection. Popcount is the bitmap-cardinality primitive
+    // agg_bitmap_distinct builds on.
+    Q("p_bitwise",
+      (s, dir) => Tables.part(s, dir)
+        .filter(col("p_partkey") % 7 === 0)
+        .select(col("p_partkey"),
+          col("p_partkey").bitwiseAND(col("p_size").cast(LongType)).as("band"),
+          col("p_partkey").bitwiseOR(col("p_size").cast(LongType)).as("bor"),
+          col("p_partkey").bitwiseXOR(col("p_size").cast(LongType)).as("bxor"),
+          bitwise_not(col("p_size")).as("bnot"),
+          shiftleft(col("p_size").cast(LongType), 2).as("shl"),
+          shiftright(col("p_partkey"), 1).as("shr"),
+          bit_count(col("p_partkey")).as("popcount"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  p_partkey & CAST(p_size AS BIGINT) AS band,
+             |  p_partkey | CAST(p_size AS BIGINT) AS bor,
+             |  xor(p_partkey, CAST(p_size AS BIGINT)) AS bxor,
+             |  ~p_size AS bnot,
+             |  CAST(p_size AS BIGINT) << 2 AS shl,
+             |  p_partkey >> 1 AS shr,
+             |  CAST(bit_count(p_partkey) AS INT) AS popcount
+             |FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey""".stripMargin)),
+
+    // Local-extrema detection over the daily revenue series — the peak
+    // finder under every alerting/seasonality-inspection pass. One
+    // keyed-date aggregate (exact DECIMAL sums) is the only heavy
+    // shuffle; the lag/lead comparisons ride a per-priority window
+    // whose partitions are tiny (one row per observed day). Strict `>`
+    // on both sides: plateaus are not peaks.
+    Q("ts_peaks",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("d"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prio")).orderBy(col("d"))
+        daily
+          .withColumn("prev", lag(col("rev"), 1).over(w))
+          .withColumn("nxt", lead(col("rev"), 1).over(w))
+          .filter(col("prev").isNotNull && col("nxt").isNotNull &&
+            col("rev") > col("prev") && col("rev") > col("nxt"))
+          .select(col("prio"), col("d"), col("rev").cast(DecimalType(18, 2)).as("rev"))
+          .orderBy("prio", "d")
+      },
+      Some("""WITH daily AS (SELECT o_orderpriority AS prio, o_orderdate AS d,
+             |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+             |       FROM orders GROUP BY 1, 2),
+             |w AS (SELECT prio, d, rev,
+             |        lag(rev) OVER (PARTITION BY prio ORDER BY d) AS prev,
+             |        lead(rev) OVER (PARTITION BY prio ORDER BY d) AS nxt
+             |      FROM daily)
+             |SELECT prio, d, CAST(rev AS DECIMAL(18,2)) AS rev
+             |FROM w
+             |WHERE prev IS NOT NULL AND nxt IS NOT NULL AND rev > prev AND rev > nxt
+             |ORDER BY prio, d""".stripMargin)),
+
+    // Exact Gini concentration coefficient per priority class over
+    // order totals — the inequality measure behind revenue-concentration
+    // dashboards. Computed from the rank-weighted identity
+    // G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x) with every sum exact
+    // DECIMAL (the Σ i·x term is invariant under tie permutations, so
+    // the o_orderkey tiebreak only pins determinism, not the value);
+    // ONE double division at the edge. One window sort + one aggregate
+    // per group — no pairwise |x_i − x_j| blowup.
+    Q("agg_gini",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("prio")).orderBy(col("xc"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast(LongType).as("xc"))
+          .withColumn("i", row_number().over(w).cast(LongType))
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xc")).as("sxc"),
+            sum(col("xc") * col("i")).as("sixc"))
+          .select(col("prio"), col("n"), col("sxc").as("total_cents"),
+            (((lit(2L) * col("sixc")) - ((col("n") + 1) * col("sxc"))).cast(DoubleType) /
+              (col("n") * col("sxc")).cast(DoubleType)).as("gini"))
+          .orderBy("prio")
+      },
+      Some("""WITH xs AS (SELECT o_orderpriority AS prio, o_orderkey,
+             |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+             |       FROM orders),
+             |rk AS (SELECT prio, xc,
+             |         row_number() OVER (PARTITION BY prio ORDER BY xc, o_orderkey) AS i
+             |       FROM xs),
+             |agg AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+             |          CAST(SUM(xc) AS BIGINT) AS sxc,
+             |          CAST(SUM(xc * i) AS BIGINT) AS sixc
+             |        FROM rk GROUP BY prio)
+             |SELECT prio, n, sxc AS total_cents,
+             |       CAST(2 * sixc - (n + 1) * sxc AS DOUBLE)
+             |         / CAST(n * sxc AS DOUBLE) AS gini
+             |FROM agg ORDER BY prio""".stripMargin)),
+
+    // Approximate functional-dependency profiling (q_fd_check): for
+    // candidate FDs lhs→rhs, how many lhs groups exist, how many carry
+    // more than one rhs variant, and the worst fan-out — the
+    // TANE-style violation report a schema-inference pass runs before
+    // trusting a column as a key. Each FD costs one hash-agg shuffle
+    // keyed by its lhs (count-distinct per group, then a scalar
+    // re-aggregate); candidates run independently and union.
+    Q("q_fd_check",
+      (s, dir) => {
+        def fd(name: String, lhs: String, rhs: String): DataFrame =
+          Tables.orders(s, dir)
+            .groupBy(col(lhs))
+            .agg(countDistinct(col(rhs)).as("variants"))
+            .agg(count(lit(1)).as("lhs_groups"),
+              sum(when(col("variants") > 1, 1L).otherwise(0L)).as("violating"),
+              max(col("variants")).as("max_variants"))
+            .select(lit(name).as("fd"), col("lhs_groups"), col("violating"),
+              col("max_variants"),
+              (col("violating").cast(DoubleType) /
+                col("lhs_groups").cast(DoubleType)).as("violation_rate"))
+        fd("o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+          .unionByName(fd("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+          .unionByName(fd("o_orderdate->o_orderstatus", "o_orderdate", "o_orderstatus"))
+          .orderBy("fd")
+      },
+      Some("""WITH f1 AS (SELECT o_orderkey AS lhs, COUNT(DISTINCT o_custkey) AS variants
+             |        FROM orders GROUP BY 1),
+             |f2 AS (SELECT o_custkey AS lhs, COUNT(DISTINCT o_orderpriority) AS variants
+             |       FROM orders GROUP BY 1),
+             |f3 AS (SELECT o_orderdate AS lhs, COUNT(DISTINCT o_orderstatus) AS variants
+             |       FROM orders GROUP BY 1),
+             |r AS (
+             |  SELECT 'o_orderkey->o_custkey' AS fd, CAST(COUNT(*) AS BIGINT) AS lhs_groups,
+             |         CAST(SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT) AS violating,
+             |         CAST(MAX(variants) AS BIGINT) AS max_variants
+             |  FROM f1
+             |  UNION ALL
+             |  SELECT 'o_custkey->o_orderpriority', CAST(COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(MAX(variants) AS BIGINT)
+             |  FROM f2
+             |  UNION ALL
+             |  SELECT 'o_orderdate->o_orderstatus', CAST(COUNT(*) AS BIGINT),
+             |         CAST(SUM(CASE WHEN variants > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |         CAST(MAX(variants) AS BIGINT)
+             |  FROM f3)
+             |SELECT fd, lhs_groups, violating, max_variants,
+             |       CAST(violating AS DOUBLE) / CAST(lhs_groups AS DOUBLE) AS violation_rate
+             |FROM r ORDER BY fd""".stripMargin)),
   )
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =

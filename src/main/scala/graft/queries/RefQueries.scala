@@ -1061,6 +1061,34 @@ object RefQueries {
              |  ON o.o_custkey = s.o_custkey AND o.o_orderdate <= s.snap_ts
              |ORDER BY o.o_orderkey""".stripMargin)),
 
+    // As-of join with a STALENESS TOLERANCE
+    // ([[graft.ops.TemporalJoins.asofJoinTolerance]] — pandas
+    // merge_asof(tolerance=...)): a matched snapshot older than 90 days
+    // is discarded (NULL) rather than served arbitrarily stale. Same
+    // single union+window shuffle as j_asof; the matched right ts rides
+    // in the value struct and the freshness check is a projection.
+    Q("j_asof_tolerance",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val snaps = orders.filter(col("o_orderkey") % 7 === 0)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_totalprice")).as("snap_price"))
+        graft.ops.TemporalJoins.asofJoinTolerance(
+          orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          snaps, key = "o_custkey", leftTs = "o_orderdate", rightTs = "o_orderdate",
+          valueCols = Seq("snap_price"), tolerance = expr("INTERVAL 90 DAYS"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH snaps AS (SELECT o_custkey, o_orderdate AS snap_ts,
+             |                      max(o_totalprice) AS snap_price
+             |               FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1, 2)
+             |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             |       CASE WHEN s.snap_ts >= o.o_orderdate - INTERVAL 90 DAY
+             |            THEN s.snap_price END AS snap_price
+             |FROM orders o ASOF LEFT JOIN snaps s
+             |  ON o.o_custkey = s.o_custkey AND o.o_orderdate >= s.snap_ts
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
     // SCD2 point-in-time enrichment: each fact joined to the dimension
     // VERSION valid at the fact's event time — the join every SCD2
     // history table exists to serve. Because versions per key are

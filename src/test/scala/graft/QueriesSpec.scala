@@ -15,6 +15,17 @@ class QueriesSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("query names are unique across the contributing inventories") {
+    // SparkEntry merges four Maps with ++; a name collision silently
+    // drops the earlier query (found live: two distinct p_string_funcs).
+    import graft.queries._
+    val all = RefQueries.queries.map(_.name) ++ TpchQueries.queries.map(_.name) ++
+      AnalyticsQueries.queries.map(_.name) ++ ExtQueries.queries.map(_.name)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names (later map shadows earlier): $dups")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
   test("approx_count_distinct stays within the Spark-side HLL bound") {
     // the query itself bound-checks the estimate (approx_ok, also
     // asserted by the oracle); here we just require the flag holds
