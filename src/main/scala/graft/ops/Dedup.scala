@@ -823,4 +823,60 @@ object Dedup {
         (col("shared").cast(DoubleType) /
           least(col("n_a"), col("n_b")).cast(DoubleType)).as("containment"))
   }
+
+  /**
+   * Prefix-filtered set-similarity self-join (the AllPairs/PPJoin
+   * family): EXACT token-set Jaccard ≥ `minJaccard` pairs, but
+   * candidates are generated only from each document's PREFIX — its
+   * `n − ⌈t·n⌉ + 1` globally-rarest tokens under the total order
+   * (document frequency, token). Lossless by the prefix-filter lemma:
+   * for the first common token of A and B in the global order at
+   * positions i, j, `|A∩B| ≤ min(n_a−i+1, n_b−j+1)`; Jaccard ≥ t
+   * forces `|A∩B| ≥ ⌈t·n_a⌉`, so i ≤ n_a − ⌈t·n_a⌉ + 1 — the first
+   * common token sits inside BOTH prefixes and the equi-join on
+   * prefix tokens finds every qualifying pair. Candidates also pass
+   * the length filter (`⌈t·n_a⌉ ≤ n_b` and vice versa) before the
+   * exact intersection-count verification.
+   *
+   * Scale: where a raw posting-list self-join fans out on every
+   * token, this joins only on the rare end of the vocabulary —
+   * per-token fan-out is df², and the prefix keeps exactly the
+   * low-df tokens. Verification re-joins the candidate pair table
+   * (already small) against the exploded token table twice, both
+   * joins keyed and shuffle-partitioned, no driver participation.
+   * Output: `(id_a, id_b, n_a, n_b, n_shared, jaccard)`, id_a < id_b.
+   */
+  def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
+                  minJaccard: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+    val dfs = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfs, "tok")
+    val byDoc = Window.partitionBy(col("id"))
+    val withPos = ranked
+      .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = withPos
+      .filter(col("pos") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .select(col("id"), col("tok"), col("n"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .filter(col("n_b") >= ceil(lit(minJaccard) * col("n_a")) &&
+        col("n_a") >= ceil(lit(minJaccard) * col("n_b")))
+      .distinct()
+    cand
+      .join(tok.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(tok.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("jaccard", col("n_shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_shared"), col("jaccard"))
+  }
 }

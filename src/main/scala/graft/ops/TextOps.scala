@@ -690,4 +690,37 @@ object TextOps {
           / (dec(col("n_left")) * dec(col("n_right")))
             .cast(org.apache.spark.sql.types.DoubleType)).as("lift"))
   }
+
+  /**
+   * Per-document n-gram NOVELTY: the fraction of a document's distinct
+   * token n-grams never seen in any lower-id document — the
+   * contribution-scoring pass a curriculum/data-mixing pipeline runs
+   * to rank candidate documents by how much genuinely new text they
+   * add (the complement of the near-dup view: not "is this a copy"
+   * but "how much of it is new"). First-occurrence attribution is
+   * one `min(doc_id)` aggregate keyed by gram — no per-pair work at
+   * all, so unlike pairwise dedup this is strictly linear in the
+   * exploded gram count. At 100 TB you'd group on a 64-bit gram hash
+   * to keep the shuffle narrow; raw gram strings keep the DuckDB
+   * oracle engine-portable here.
+   * Output: `(docId, n_grams, n_novel, novelty)` per doc with ≥ n tokens.
+   */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n >= 1, s"ngramNovelty: n=$n")
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), explode(array_distinct(
+        transform(sequence(lit(1), size(col("__t")) - (n - 1)),
+          i => concat_ws(" ", slice(col("__t"), i, lit(n)))))).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col(idCol)).as("__first"))
+    grams.join(first, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_grams").cast(org.apache.spark.sql.types.DoubleType))
+  }
 }

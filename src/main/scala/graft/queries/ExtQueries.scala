@@ -5747,7 +5747,124 @@ object ExtQueries {
               |       ${UrlOps.urlCanonicalizeSql("url")} AS canonical_url,
               |       ${UrlOps.urlHostSql("url")} AS host,
               |       ${UrlOps.urlRegisteredDomainSql("url")} AS reg_domain
-              |FROM u ORDER BY doc_id""".stripMargin))
+              |FROM u ORDER BY doc_id""".stripMargin)),
+
+    // Prefix-filtered set-similarity self-join
+    // ([[graft.ops.Dedup.ppjoinPairs]] — the AllPairs/PPJoin family):
+    // exact token-set Jaccard ≥ 0.95 pairs where candidate generation
+    // touches only each document's (n − ⌈t·n⌉ + 1) globally-RAREST
+    // tokens instead of every posting. Lossless (prefix-filter lemma),
+    // so the brute-force oracle must agree exactly — the filter is
+    // pure candidate pruning, never recall loss. The third member of
+    // the exact-near-dup family next to dd_jaccard (df-capped shingle
+    // postings) and dd_minhash_lsh (probabilistic banding): this one
+    // keeps exactness AND prunes, the trade the others each give up.
+    Q("dd_ppjoin",
+      (s, dir) => Dedup.ppjoinPairs(
+          Tables.documents(s, dir), "doc_id", "text", minJaccard = 0.95)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH tok AS (SELECT DISTINCT doc_id AS id,
+             |         unnest(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS tok
+             |       FROM documents),
+             |n AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+             |inter AS (SELECT a.id AS ia, b.id AS ib, CAST(COUNT(*) AS BIGINT) AS shared
+             |          FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+             |          GROUP BY 1, 2)
+             |SELECT ia AS id_a, ib AS id_b, na.n AS n_a, nb.n AS n_b,
+             |       shared AS n_shared,
+             |       CAST(shared AS DOUBLE) / CAST(na.n + nb.n - shared AS DOUBLE) AS jaccard
+             |FROM inter JOIN n na ON na.id = ia JOIN n nb ON nb.id = ib
+             |WHERE CAST(shared AS DOUBLE) / CAST(na.n + nb.n - shared AS DOUBLE) >= 0.95
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Per-document n-gram novelty ([[graft.ops.TextOps.ngramNovelty]]):
+    // fraction of each doc's distinct 3-grams never seen in a lower-id
+    // document — contribution scoring for data mixing ("how much NEW
+    // text does this candidate add"), the complement of pairwise
+    // near-dup. One min(doc_id) aggregate keyed by gram: strictly
+    // linear in exploded grams, no pair table at any scale.
+    Q("t_ngram_novelty",
+      (s, dir) => TextOps.ngramNovelty(
+          Tables.documents(s, dir), "doc_id", "text", n = 3)
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+             |         list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+             |       FROM documents),
+             |g AS (SELECT doc_id, unnest(list_distinct(
+             |         list_transform(range(1, len(toks) - 1),
+             |           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS gram
+             |      FROM tok WHERE len(toks) >= 3),
+             |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+             |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(COUNT(*) AS DOUBLE) AS novelty
+             |FROM g JOIN f USING (gram)
+             |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin)),
+
+    // Market-basket association rules (Apriori's two levels): brands
+    // co-purchased within an order, directed rules a→b with support /
+    // confidence / lift, thresholds RELATIVE to basket count so the
+    // query is scale-invariant. The frequent-item filter runs BEFORE
+    // the per-basket self-join — Apriori's anti-monotone pruning is
+    // what bounds the pair fan-out at scale (here every brand is
+    // frequent, so the gate is exercised, not load-bearing) — and the
+    // item list broadcasts. Counts exact BIGINT; conf/lift are single
+    // correctly-rounded divisions of exact integer products.
+    Q("t_assoc_rules",
+      (s, dir) => {
+        val items = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+          .distinct()
+        val nb = items.agg(countDistinct(col("basket")).as("n_baskets"))
+        val supp = items.groupBy(col("item")).agg(count(lit(1)).as("supp"))
+        val freq = supp.crossJoin(broadcast(nb))
+          .filter(col("supp") >= lit(0.05) * col("n_baskets"))
+        val fi = items.join(broadcast(freq.select("item", "supp")), "item")
+        val pairs = fi.as("x").join(fi.as("y"),
+            col("x.basket") === col("y.basket") && col("x.item") < col("y.item"))
+          .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"),
+            col("x.supp").as("supp_a"), col("y.supp").as("supp_b"))
+          .agg(count(lit(1)).as("supp_ab"))
+          .crossJoin(broadcast(nb))
+          .filter(col("supp_ab") >= lit(0.025) * col("n_baskets"))
+        val directed = pairs.select(
+            col("item_a").as("ante"), col("item_b").as("cons"),
+            col("supp_a").as("supp_ante"), col("supp_b").as("supp_cons"),
+            col("supp_ab"), col("n_baskets"))
+          .unionByName(pairs.select(
+            col("item_b").as("ante"), col("item_a").as("cons"),
+            col("supp_b").as("supp_ante"), col("supp_a").as("supp_cons"),
+            col("supp_ab"), col("n_baskets")))
+        directed.select(col("ante"), col("cons"), col("supp_ab"),
+            (col("supp_ab").cast(org.apache.spark.sql.types.DoubleType) /
+              col("supp_ante").cast(org.apache.spark.sql.types.DoubleType)).as("confidence"),
+            ((col("supp_ab") * col("n_baskets")).cast(org.apache.spark.sql.types.DoubleType) /
+              (col("supp_ante") * col("supp_cons")).cast(org.apache.spark.sql.types.DoubleType)).as("lift"))
+          .orderBy("ante", "cons")
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+             |         FROM lineitem JOIN part ON l_partkey = p_partkey),
+             |nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM items),
+             |s AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS supp FROM items GROUP BY 1),
+             |freq AS (SELECT item, supp FROM s, nb WHERE supp >= 0.05 * n_baskets),
+             |fi AS (SELECT i.basket, i.item, f.supp FROM items i JOIN freq f USING (item)),
+             |p AS (SELECT x.item AS item_a, y.item AS item_b,
+             |        x.supp AS supp_a, y.supp AS supp_b,
+             |        CAST(COUNT(*) AS BIGINT) AS supp_ab
+             |      FROM fi x JOIN fi y ON x.basket = y.basket AND x.item < y.item
+             |      GROUP BY 1, 2, 3, 4),
+             |pf AS (SELECT p.* FROM p, nb WHERE supp_ab >= 0.025 * n_baskets),
+             |d AS (SELECT item_a AS ante, item_b AS cons, supp_a AS supp_ante,
+             |             supp_b AS supp_cons, supp_ab FROM pf
+             |      UNION ALL
+             |      SELECT item_b, item_a, supp_b, supp_a, supp_ab FROM pf)
+             |SELECT ante, cons, supp_ab,
+             |       CAST(supp_ab AS DOUBLE) / CAST(supp_ante AS DOUBLE) AS confidence,
+             |       CAST(supp_ab * (SELECT n_baskets FROM nb) AS DOUBLE)
+             |         / CAST(supp_ante * supp_cons AS DOUBLE) AS lift
+             |FROM d ORDER BY ante, cons""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

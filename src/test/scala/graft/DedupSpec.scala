@@ -389,4 +389,34 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == (2L, 0.5) && out(6L) == (2L, 0.5))
     assert(out.size == 6, "soft dedup DROPS nothing")
   }
+
+  test("ppjoinPairs equals brute-force token-set Jaccard (prefix filter is lossless)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f"),     // J(1,2) = 5/6
+      (3L, "e d c b a"),       // J(1,3) = 1 (order-independent sets)
+      (4L, "a b x y z"),       // J(1,4) = 2/8 — below any threshold here
+      (5L, "p q r")            // disjoint from 1-4 except nothing
+    ).toDF("doc_id", "text")
+    val got = Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 0.8)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(got == Seq((1L, 2L, 5.0 / 6.0), (1L, 3L, 1.0), (2L, 3L, 5.0 / 6.0)))
+    // brute force over every pair must agree at a looser threshold too
+    val tok = docs.select(col("doc_id"), explode(array_distinct(
+      graft.ops.TextOps.tokens(col("text")))).as("tok"))
+    val n = tok.groupBy("doc_id").count()
+    val brute = tok.as("x").join(tok.as("y"),
+        col("x.tok") === col("y.tok") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("sh"))
+      .join(n.select(col("doc_id").as("a"), col("count").as("na")), "a")
+      .join(n.select(col("doc_id").as("b"), col("count").as("nb")), "b")
+      .filter(col("sh") / (col("na") + col("nb") - col("sh")) >= 0.3)
+      .select("a", "b").as[(Long, Long)].collect().sorted.toSeq
+    val got2 = Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    assert(got2 == brute)
+  }
 }

@@ -94,4 +94,22 @@ class TemporalJoinsSpec extends SparkSpec {
       TemporalJoins.intervalOverlapJoin(left, left, "ls", "le", "ls", "le", 10L)
     }
   }
+
+  test("asofJoinTolerance NULLs a match older than the tolerance, keeps fresh ones") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 100L, ts("2024-01-10 00:00:00")), // snap at 01-08: 2 days old → fresh
+      (2L, 100L, ts("2024-01-20 00:00:00")), // latest snap 01-08: 12 days → stale
+      (3L, 200L, ts("2024-01-05 00:00:00"))  // no snap at all → NULL
+    ).toDF("id", "k", "lts")
+    val right = Seq(
+      (100L, ts("2024-01-08 00:00:00"), 8.0)
+    ).toDF("k", "rts", "v")
+    val out = TemporalJoins.asofJoinTolerance(left, right, "k", "lts", "rts",
+        Seq("v"), tolerance = org.apache.spark.sql.functions.expr("INTERVAL 5 DAYS"))
+      .orderBy("id").select("id", "v")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+    assert(out == Seq((1L, Some(8.0)), (2L, None), (3L, None)))
+  }
 }

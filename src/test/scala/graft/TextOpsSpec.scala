@@ -311,4 +311,18 @@ class TextOpsSpec extends SparkSpec {
     val windows = (len - 4) - 3 // npos - (w-1)
     assert(n >= 1 && n <= windows)
   }
+
+  test("ngramNovelty attributes each gram to its first (lowest-id) document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // grams "a b c","b c d" — both novel: 2/2
+      (2L, "a b c x"),   // "a b c" seen in 1, "b c x" new: 1/2
+      (3L, "a b c d"),   // both seen: 0/2
+      (4L, "q r")        // < 3 tokens → dropped entirely
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
+  }
 }
