@@ -31,6 +31,8 @@ object GraftFunctions {
     "graft_int8_cosine" -> arity("graft_int8_cosine", 2) { args =>
       Int8CosineSimilarity(args(0), args(1)) },
     "graft_rolling_hash" -> arity("graft_rolling_hash", 1) { args => RollingHash(args(0)) },
+    "graft_jaro_winkler" -> arity("graft_jaro_winkler", 2) { args =>
+      JaroWinkler(args(0), args(1)) },
     "graft_nfc" -> arity("graft_nfc", 1) { args => NormalizeNfc(args(0)) },
     "graft_shingle_hashes" -> arity("graft_shingle_hashes", 3) { args =>
       def lit[T](e: Expression, what: String): Any =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.LongType
  * value key — same plan, no driver involvement).
  */
 object Linkage {
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** Jaro-Winkler similarity ([[graft.functions.JaroWinkler]]) — the
+    * native codegen comparator for fuzzy-name scoring; RapidFuzz/DuckDB
+    * semantics, so oracle comparison needs no rounding tolerance. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    column(graft.functions.JaroWinkler(expression(a), expression(b)))
 
   /**
    * Score all blocked candidate pairs of `a` × `b`.

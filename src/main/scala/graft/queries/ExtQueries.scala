@@ -5865,6 +5865,35 @@ object ExtQueries {
              |       CAST(supp_ab * (SELECT n_baskets FROM nb) AS DOUBLE)
              |         / CAST(supp_ante * supp_cons AS DOUBLE) AS lift
              |FROM d ORDER BY ante, cons""".stripMargin)),
+
+    // Jaro-Winkler fuzzy-name pairs ([[graft.functions.JaroWinkler]] —
+    // a native codegen BinaryExpression, Spark's missing member of the
+    // string-similarity family next to levenshtein). Semantics pinned
+    // to RapidFuzz (which DuckDB vendors): identical match-window /
+    // transposition / prefix-boost rules AND the identical double
+    // association order, so the oracle compares UNROUNDED doubles.
+    // Candidates are brand-blocked (never all-pairs); the comparator
+    // runs inside whole-stage codegen on the blocked join output.
+    Q("er_jaro",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+          .filter(col("p_partkey") % 10 === 0)
+          .select(col("p_partkey"), col("p_brand"), col("p_name"))
+        p.as("a").join(p.as("b"),
+            col("a.p_brand") === col("b.p_brand") &&
+              col("a.p_partkey") < col("b.p_partkey"))
+          .select(col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+            graft.ops.Linkage.jaroWinkler(col("a.p_name"), col("b.p_name")).as("jw"))
+          .filter(col("jw") >= 0.85)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             |       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+             |FROM part a JOIN part b
+             |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+             | AND a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0
+             |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
+             |ORDER BY id_a, id_b""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -48,4 +48,30 @@ class LinkageSpec extends SparkSpec {
     val b = Seq((2L, "a", 2)).toDF("id", "nm", "blk")
     assert(Linkage.linkPairs(a, b, "id", "id", Seq("blk"), Seq("nm")).count() == 0)
   }
+
+  test("jaroWinkler matches the published reference values and DuckDB's conventions") {
+    import spark.implicits._
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),  // classic Winkler example
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("CRATE", "TRACE", 0.7333333333333334),    // jaro > 0.7 but prefix 0 → no boost
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0),                         // window 0: no matches
+      ("x", "y", 0.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),                             // RapidFuzz/DuckDB convention, NOT textbook 1.0
+      ("0", "00", 0.8500000000000001),
+      ("aa", "a", 0.8500000000000001))
+    val out = cases.toDF("a", "b", "want")
+      .withColumn("got", Linkage.jaroWinkler(col("a"), col("b")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getDouble(2) == r.getDouble(3),
+        s"jw(${r.getString(0)}, ${r.getString(1)}): want ${r.getDouble(2)} got ${r.getDouble(3)}")
+    }
+    // SQL registration path
+    graft.functions.GraftFunctions.register(spark)
+    val s = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS j").collect().head
+    assert(s.getDouble(0) == 0.9611111111111111)
+  }
 }
