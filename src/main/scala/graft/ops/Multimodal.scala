@@ -224,6 +224,155 @@ object Multimodal {
     }.toDF(idCol, "payload")
   }
 
+  /** Like [[synthPngPixelCorpus]] but emitting VARIANT images: ids
+    * offset by `idOffset`, dimensions still derived from the BASE id,
+    * pixels shifted by `pixShift` before the mod-256 wrap — the
+    * brightness-nudged re-encode of an existing image that a
+    * perceptual-hash dedup pass exists to catch. */
+  def synthPngShiftedCorpus(spark: SparkSession, docs: DataFrame, idCol: String,
+                            idOffset: Long, pixShift: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id * 3) % 9).toInt
+      (id + idOffset, pngBytesPixels(w, h,
+        (x, y) => ((id + pixShift + 7L * x + 13L * y) % 256).toInt))
+    }.toDF(idCol, "payload")
+  }
+
+  /** Full PNG decode returning the raster (row-major, w·h ints) —
+    * the pixel source for [[pngAHash]]. Same walk as
+    * [[decodePngPixels]]: per-chunk CRC verification, inflate,
+    * filter-0 defilter; None on anything malformed. */
+  def decodePngRaster(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val hdr = parsePng(b)
+    if (hdr.isEmpty) return None
+    val (w, h, depth) = hdr.get
+    if (depth != 8 || (b(25) & 0xff) != 0) return None
+    val buf = java.nio.ByteBuffer.wrap(b)
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var ended = false
+    while (!ended) {
+      if (off + 8 > b.length) return None
+      val len = buf.getInt(off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue != (buf.getInt(off + 8 + len).toLong & 0xffffffffL)) return None
+      if (typ == "IDAT") idat.write(b, off + 8, len)
+      if (typ == "IEND") ended = true
+      off += 12 + len
+    }
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val raw = new Array[Byte](h * (1 + w))
+    val got = try inflater.inflate(raw) finally inflater.end()
+    if (got != raw.length) return None
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      if (raw(y * (1 + w)) != 0) return None
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = raw(y * (1 + w) + 1 + x) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** Average-hash (aHash) of a raster as four 16-bit bands: sample an
+    * 8×8 nearest-neighbor grid (x = i·w/8, y = j·h/8), set bit
+    * k = j·8+i when `64·v_k > Σv` (strictly above the mean, kept in
+    * exact integers), and pack k∈[16b, 16b+16) into band b — the
+    * SimHash-style banding that makes Hamming-≤3 search an equi-join. */
+  def aHashBands(w: Int, h: Int, px: Array[Int]): Array[Int] = {
+    val v = new Array[Int](64)
+    var s = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val p = px((j * h / 8) * w + (i * w / 8))
+        v(j * 8 + i) = p; s += p
+        i += 1
+      }
+      j += 1
+    }
+    val bands = new Array[Int](4)
+    var k = 0
+    while (k < 64) {
+      if (64L * v(k) > s) bands(k / 16) |= 1 << (k % 16)
+      k += 1
+    }
+    bands
+  }
+
+  case class PngAHash(doc_id: Long, width: Int, height: Int,
+                      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual hash over a binary PNG column: full decode (CRC walk,
+    * inflate, defilter) then [[aHashBands]], one pass per partition. */
+  def pngAHash(spark: SparkSession, docs: DataFrame,
+               idCol: String, payloadCol: String): DataFrame = {
+    import spark.implicits._
+    val enc = org.apache.spark.sql.Encoders.product[PngAHash]
+    docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val id = r.getLong(0)
+          val (w, h, px) = decodePngRaster(r.getAs[Array[Byte]](1)).getOrElse(
+            throw new IllegalStateException(s"undecodable PNG payload for id $id"))
+          val b = aHashBands(w, h, px)
+          PngAHash(id, w, h, b(0), b(1), b(2), b(3))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /**
+   * Image NEAR-DUP pairs by perceptual hash: all pairs with aHash
+   * Hamming distance ≤ `maxHamming`, found by the banded equi-join —
+   * with 4 bands, any pair within Hamming 3 shares at least one
+   * identical band (pigeonhole), so candidates come from one join on
+   * (band index, band value) and the exact XOR-popcount check runs
+   * only on them. `maxHamming ≤ 3` is enforced: beyond it the banding
+   * would silently lose recall. The multimodal twin of
+   * [[Dedup]]'s SimHash text path — brightness-shifted / re-encoded
+   * images land within a few bits of their source while the
+   * byte-level hashes differ completely. Hashes are computed once
+   * (localCheckpoint) — the self-join must not re-decode the corpus.
+   */
+  def pngAHashPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+                    payloadCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"pngAHashPairs: maxHamming=$maxHamming exceeds the 4-band pigeonhole bound (3)")
+    val hashes = pngAHash(spark, docs, idCol, payloadCol).localCheckpoint()
+    val bands = hashes.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "bidx", "bval")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val ha = hashes.select(col("doc_id").as("id_a"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = hashes.select(col("doc_id").as("id_b"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   case class PngPixelStats(doc_id: Long, width: Int, height: Int,
                            n_pixels: Long, pix_sum: Long, pix_min: Int, pix_max: Int)
 

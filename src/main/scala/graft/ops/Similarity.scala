@@ -76,6 +76,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Squared Euclidean distance as the same left-to-right double fold
+    * shape as [[dotFold]] — [[distSqSql]] is its DuckDB mirror, so
+    * distances are bit-identical across engines. */
+  private[graft] def distSqFold(a: Column, b: Column): Column =
+    aggregate(zip_with(dbl(a), dbl(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** DuckDB mirror of [[distSqFold]] (same fold, same order). */
+  def distSqSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |  list_transform(list_zip($a, $b),
+       |                 s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) *
+       |                      (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)))),
+       |  (x, y) -> x + y)""".stripMargin
+
+  /**
+   * EXACT radius (range) search with triangle-inequality cell pruning
+   * — the epsilon-neighborhood primitive under radius dedup, density
+   * estimation, and DBSCAN-style clustering. Unlike [[ivfSearch]]
+   * (which trades recall for probe volume), this stays EXACT: every
+   * item within Euclidean `maxDist` of a query is returned, yet whole
+   * cells are skipped using the ball-tree bound — a member x of cell c
+   * with d(q,x) ≤ τ forces d(q,c) ≤ d(q,x) + d(x,c) ≤ τ + r_c, so a
+   * cell with d(q,c) > τ + r_c cannot contain an answer. Per-cell
+   * radii come from the assignment aggregate; the gate carries a 1e-9
+   * slack so float rounding can only ADMIT extra cells (re-verified
+   * exactly), never drop a true answer.
+   *
+   * Scale: centroids/radii broadcast; candidate generation is the
+   * pruned cell equi-join against the centroid-partitioned assignment
+   * (same layout as [[ivfSearch]]'s production shape); the exact
+   * `dist² ≤ τ²` verification runs in whole-stage codegen on the
+   * surviving candidates. Queries are members of `emb` by id.
+   * Output: `(query_id, item_id, dist)` — equals brute force exactly.
+   */
+  def rangeSearch(emb: DataFrame, queryIds: DataFrame, vecCol: String, idCol: String,
+                  centroids: DataFrame, cVecCol: String, cIdCol: String,
+                  maxDist: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = emb.crossJoin(broadcast(centroids))
+      .withColumn("d2", distSqFold(col(vecCol), col(cVecCol)))
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("d2"), col(cIdCol))
+    val assigned = joined.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col(idCol).as("item_id"), col(cIdCol).as("centroid_id"),
+        col(vecCol).as("item_vec"), sqrt(col("d2")).as("dc"))
+    val radii = assigned.groupBy(col("centroid_id")).agg(max(col("dc")).as("radius"))
+    val qcells = emb.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(centroids))
+      .withColumn("dqc", sqrt(distSqFold(col(vecCol), col(cVecCol))))
+      .join(broadcast(radii), col(cIdCol) === col("centroid_id"))
+      .filter(col("dqc") <= lit(maxDist) + col("radius") + lit(1e-9))
+      .select(col(idCol).as("query_id"), col("centroid_id"), col(vecCol).as("query_vec"))
+    qcells.join(assigned.select(col("centroid_id"), col("item_id"), col("item_vec")),
+        Seq("centroid_id"))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("dist_sq", distSqFold(col("query_vec"), col("item_vec")))
+      .filter(col("dist_sq") <= lit(maxDist * maxDist))
+      .select(col("query_id"), col("item_id"), sqrt(col("dist_sq")).as("dist"))
+  }
+
   /**
    * Int8 scalar quantization — the memory-bandwidth scale path for
    * similarity search. Each vector is mapped to `round(x / scale)`

@@ -5894,6 +5894,78 @@ object ExtQueries {
              | AND a.p_partkey % 10 = 0 AND b.p_partkey % 10 = 0
              |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // EXACT radius search with triangle-inequality cell pruning
+    // ([[Similarity.rangeSearch]]): every item within Euclidean 1.2 of
+    // each query — the epsilon-neighborhood primitive (radius dedup,
+    // DBSCAN) — with whole cells skipped by the ball-tree bound
+    // d(q,c) > τ + r_c. Pruning is recall-free (unlike ivfSearch's
+    // nprobe trade): the brute-force oracle must agree EXACTLY, both
+    // engines comparing dist² against the identical Scala-computed τ²
+    // double on the identical distance fold.
+    Q("sim_range_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        val queries = emb.filter(col("vec_id") % 25 === 0).select("vec_id")
+        Similarity.rangeSearch(emb, queries, "embedding", "vec_id",
+            cents, "c_vec", "c_id", maxDist = 1.2)
+          .orderBy("query_id", "item_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+              |d AS (SELECT q.vec_id AS query_id, e.vec_id AS item_id,
+              |        ${Similarity.distSqSql("q.embedding", "e.embedding")} AS dist_sq
+              |      FROM q CROSS JOIN embeddings e WHERE q.vec_id <> e.vec_id)
+              |SELECT query_id, item_id, sqrt(dist_sq) AS dist
+              |FROM d WHERE dist_sq <= ${1.2 * 1.2}
+              |ORDER BY query_id, item_id""".stripMargin)),
+
+    // Image near-dup by PERCEPTUAL HASH ([[Multimodal.pngAHashPairs]]):
+    // real PNGs (CRC walk → inflate → defilter) hashed to a 64-bit
+    // aHash (8×8 nearest-neighbor grid, bit = strictly above the exact
+    // integer mean), banded into 4×16 bits so Hamming-≤3 search is one
+    // equi-join (pigeonhole: ≤3 flips leave a band intact) — the
+    // multimodal twin of SimHash text dedup. The corpus plants
+    // brightness-shifted variants (+1 gray level, wrapped) of every
+    // 5th image: byte-identical nowhere, perceptually a few bits away.
+    // Oracle replays decode-free from the analytic pixel formula —
+    // sampling grid, exact-integer bits, banding, pairing, popcounts.
+    Q("mm_phash_neardup",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        val corpus = Multimodal.synthPngPixelCorpus(s, base, "doc_id")
+          .unionByName(Multimodal.synthPngShiftedCorpus(s,
+            base.filter(col("doc_id") % 5 === 0), "doc_id", 10000L, 1))
+        Multimodal.pngAHashPairs(s, corpus, "doc_id", "payload", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+             |imgs AS (SELECT doc_id AS img_id, doc_id AS base, 0 AS shift FROM ids
+             |         UNION ALL
+             |         SELECT doc_id + 10000, doc_id, 1 FROM ids WHERE doc_id % 5 = 0),
+             |dims AS (SELECT img_id, base, shift,
+             |           8 + base % 9 AS w, 8 + (base * 3) % 9 AS h
+             |         FROM imgs),
+             |samp AS (SELECT img_id, jj.j * 8 + ii.i AS k,
+             |           (base + shift + 7 * ((ii.i * w) // 8)
+             |                         + 13 * ((jj.j * h) // 8)) % 256 AS v
+             |         FROM dims, unnest(range(0, 8)) ii(i), unnest(range(0, 8)) jj(j)),
+             |sums AS (SELECT img_id, SUM(v) AS s FROM samp GROUP BY 1),
+             |bits AS (SELECT samp.img_id, k,
+             |           CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS bit
+             |         FROM samp JOIN sums USING (img_id)),
+             |bands AS (SELECT img_id, k // 16 AS bidx,
+             |            CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS bval
+             |          FROM bits GROUP BY 1, 2),
+             |hj AS (SELECT a.img_id AS ia, b.img_id AS ib,
+             |         CAST(SUM(bit_count(xor(a.bval, b.bval))) AS BIGINT) AS hamming
+             |       FROM bands a JOIN bands b
+             |         ON a.bidx = b.bidx AND a.img_id < b.img_id
+             |       GROUP BY 1, 2)
+             |SELECT ia AS id_a, ib AS id_b, hamming
+             |FROM hj WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -237,4 +237,42 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.wavBytes(8000, 2, samples)).isEmpty)
     assert(Multimodal.wavSampleStats(wav.take(wav.length - 3)).isEmpty)
   }
+
+  test("aHashBands: bits are strict above-mean on the 8x8 grid, packed per band") {
+    // 8x8 image, pixel = x (column index): row-constant gradient.
+    // mean = 3.5 ⇒ bits set exactly where x >= 4, in every row.
+    val w = 8; val h = 8
+    val px = Array.tabulate(w * h)(idx => idx % w)
+    val bands = Multimodal.aHashBands(w, h, px)
+    // per 8-bit row the pattern is 0b11110000 (bits 4-7 of each row)
+    val expectRow = (4 to 7).map(1 << _).sum // 0xF0
+    assert(bands.toSeq == Seq.fill(4)(expectRow | (expectRow << 8)))
+    // round-trips through a real PNG encode/decode
+    val png = Multimodal.pngBytesPixels(w, h, (x, _) => x)
+    val (dw, dh, raster) = Multimodal.decodePngRaster(png).get
+    assert((dw, dh) == (w, h) && raster.toSeq == px.toSeq)
+    assert(Multimodal.aHashBands(dw, dh, raster).toSeq == bands.toSeq)
+  }
+
+  test("pngAHashPairs equals brute-force hamming <= 3 (banding is lossless)") {
+    import spark.implicits._
+    val ids = (0L until 30L).toDF("doc_id")
+    val corpus = Multimodal.synthPngPixelCorpus(spark, ids, "doc_id")
+      .unionByName(Multimodal.synthPngShiftedCorpus(spark,
+        ids.filter(col("doc_id") % 5 === 0), "doc_id", 1000L, 1))
+    val got = Multimodal.pngAHashPairs(spark, corpus, "doc_id", "payload", 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+    val h = Multimodal.pngAHash(spark, corpus, "doc_id", "payload").collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    val brute = for {
+      a <- h.keys.toSeq; b <- h.keys.toSeq if a < b
+      d = h(a).zip(h(b)).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if d <= 3
+    } yield (a, b)
+    assert(got == brute.sorted && got.nonEmpty)
+    // the bound is enforced: hamming 4 could slip the 4-band pigeonhole
+    intercept[IllegalArgumentException] {
+      Multimodal.pngAHashPairs(spark, corpus, "doc_id", "payload", 4)
+    }
+  }
 }

@@ -406,4 +406,28 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(sc - esc) < 1e-12, s"score drift for $id: $sc vs $esc")
     }
   }
+
+  test("rangeSearch equals brute force on clustered data (pruning is recall-free)") {
+    import spark.implicits._
+    // two tight clusters far apart + their centers as the two centroids:
+    // cross-cluster distances (~100) dwarf tau, so the ball-tree gate
+    // must prune the far cell while intra-cluster neighbors all surface
+    val mk = (base: Double, i: Int) => Array(base + i * 0.1, base - i * 0.1)
+    val emb = ((0 until 5).map(i => (i.toLong, mk(0.0, i))) ++
+      (0 until 5).map(i => (100L + i, mk(100.0, i)))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(100.0, 100.0)))
+      .toDF("c_id", "c_vec")
+    val queries = Seq(0L, 100L).toDF("vec_id")
+    val tau = 0.5
+    val got = Similarity.rangeSearch(emb, queries, "embedding", "vec_id",
+        cents, "c_vec", "c_id", maxDist = tau)
+      .select("query_id", "item_id").as[(Long, Long)].collect().sorted.toSeq
+    val brute = emb.as("q").join(emb.as("e"), col("q.vec_id") =!= col("e.vec_id"))
+      .join(queries.select(col("vec_id").as("qid")), col("q.vec_id") === col("qid"))
+      .filter(Similarity.distSqFold(col("q.embedding"), col("e.embedding")) <= tau * tau)
+      .select(col("q.vec_id"), col("e.vec_id")).as[(Long, Long)].collect().sorted.toSeq
+    assert(got == brute && got.nonEmpty, s"got $got vs brute $brute")
+    // dist 0->1 = sqrt(0.1^2*2) ≈ 0.1414... so ids 1-3 are within 0.5 of 0
+    assert(got.filter(_._1 == 0L).map(_._2) == Seq(1L, 2L, 3L))
+  }
 }
