@@ -5966,6 +5966,148 @@ object ExtQueries {
              |       GROUP BY 1, 2)
              |SELECT ia AS id_a, ib AS id_b, hamming
              |FROM hj WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Lead-lag CROSS-correlation: Pearson between series A (URGENT
+    // daily revenue) and series B (HIGH) at every alignment lag in
+    // [-3, 3] — the lead/lag detector behind "does A predict B".
+    // Pairs per lag come from ONE equi-join on shifted day index (the
+    // lag dimension explodes on the smaller aggregated series, never
+    // the fact table); statistics are the exact integer-cents
+    // sufficient sums of [[TimeSeries.pearsonByKey]], one double
+    // epilogue per lag.
+    Q("ts_crosscorr",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .groupBy(col("o_orderpriority").as("prio"),
+            datediff(col("o_orderdate").cast(DateType),
+              lit("1995-01-01").cast(DateType)).as("day"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+        val a = daily.filter(col("prio") === "1-URGENT")
+          .select(col("day"), col("rev").as("x"))
+        val bl = daily.filter(col("prio") === "2-HIGH")
+          .select(col("day").as("dayb"), col("rev").as("y"))
+          .withColumn("lag", explode(sequence(lit(-3), lit(3))))
+          .withColumn("day", col("dayb") - col("lag"))
+        TimeSeries.pearsonByKey(a.join(bl, "day").select(col("lag"), col("x"), col("y")),
+            Seq("lag"), "x", "y")
+          .orderBy("lag")
+      },
+      Some {
+        val nd = "CAST(n_pairs AS DOUBLE)"
+        def d(c: String) = s"CAST($c AS DOUBLE)"
+        val num = s"($nd * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+        val varx = s"($nd * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+        val vary = s"($nd * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+        val den = s"(sqrt(GREATEST($varx, 0.0)) * sqrt(GREATEST($vary, 0.0)))"
+        s"""WITH daily AS (SELECT o_orderpriority AS prio,
+           |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+           |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+           |         * 100 AS BIGINT) AS c
+           |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           |  GROUP BY 1, 2),
+           |a AS (SELECT day, c AS cx FROM daily WHERE prio = '1-URGENT'),
+           |b AS (SELECT day, c AS cy FROM daily WHERE prio = '2-HIGH'),
+           |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+           |p AS (SELECT l.lag, a.cx, b.cy
+           |      FROM lags l JOIN b ON TRUE JOIN a ON b.day = a.day + l.lag),
+           |ag AS (SELECT lag, ${TimeSeries.pearsonSql("cx", "cy")}
+           |       FROM p GROUP BY lag)
+           |SELECT CAST(lag AS INT) AS lag, n_pairs,
+           |       CASE WHEN n_pairs = 0 OR $den = 0.0 THEN NULL
+           |            ELSE $num / $den END AS corr
+           |FROM ag ORDER BY lag""".stripMargin
+      }),
+
+    // One-sided CUSUM drift detection over the daily demand series —
+    // the sequential change detector (alarm when cumulative excess
+    // over a reference drifts past h) behind data-volume monitors.
+    // The recursive S_t = max(0, S_{t-1} + d_t) is rewritten in its
+    // closed form S_t = P_t − min(0, min_{j≤t} P_j) (P = prefix sum of
+    // deviations), so the whole pass is two cumulative windows over
+    // exact integer cents — no sequential fold, no driver loop. A
+    // single bounded daily series rides one window partition; per-key
+    // monitoring at scale partitions the same windows by key.
+    Q("ts_cusum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 65000L   // reference (cents): slightly above median daily load
+        val h = 300000L  // alarm threshold (cents)
+        val daily = Tables.lineitem(s, dir)
+          .groupBy(datediff(col("l_shipdate").cast(DateType),
+            lit("1995-01-01").cast(DateType)).as("day"))
+          .agg((sum(col("l_quantity").cast(DecimalType(18, 2))) * 100)
+            .cast(LongType).as("qc"))
+        val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("p", sum(col("qc") - lit(k)).over(w))
+          .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+          .withColumn("alarm", (col("s") > lit(h)).cast("int"))
+          .select(col("day"), col("qc"), col("s").as("cusum"), col("alarm"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT
+             |    date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qc
+             |  FROM lineitem GROUP BY 1),
+             |p AS (SELECT day, qc,
+             |        CAST(SUM(qc - 65000) OVER (ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+             |      FROM daily),
+             |s AS (SELECT day, qc,
+             |        pf - LEAST(CAST(MIN(pf) OVER (ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+             |          0) AS cusum
+             |      FROM p)
+             |SELECT CAST(day AS INT) AS day, qc, cusum,
+             |       CAST(CASE WHEN cusum > 300000 THEN 1 ELSE 0 END AS INT) AS alarm
+             |FROM s ORDER BY day""".stripMargin)),
+
+    // Char-trigram fuzzy search (the pg_trgm shape): misspelled probe
+    // strings find their catalog names by distinct-trigram Jaccard over
+    // an inverted trigram posting join — typo-tolerant lookup that
+    // needs no pairwise comparison against the whole catalog. Queries
+    // broadcast; candidate fan-out is bounded by trigram selectivity
+    // (a df cap on hot trigrams is the 100 TB lever, same as the
+    // shingle stop-list).
+    Q("search_trigram",
+      (s, dir) => {
+        import s.implicits._
+        def tg(c: org.apache.spark.sql.Column) = array_distinct(
+          transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+        val qs = Seq("smal ring", "red widgt", "blue blot").toDF("q")
+          .select(col("q"), tg(col("q")).as("ts"))
+          .select(col("q"), size(col("ts")).cast(LongType).as("nq"),
+            explode(col("ts")).as("tg"))
+        val names = Tables.part(s, dir)
+          .filter(length(col("p_name")) >= 3)
+          .select(col("p_partkey"), tg(col("p_name")).as("ts"))
+          .select(col("p_partkey"), size(col("ts")).cast(LongType).as("np"),
+            explode(col("ts")).as("tg"))
+        names.join(broadcast(qs), "tg")
+          .groupBy(col("q"), col("p_partkey"), col("nq"), col("np"))
+          .agg(count(lit(1)).as("shared"))
+          .withColumn("sim", col("shared").cast(DoubleType) /
+            (col("nq") + col("np") - col("shared")).cast(DoubleType))
+          .filter(col("sim") >= 0.3)
+          .select(col("q"), col("p_partkey"), col("shared"), col("sim"))
+          .orderBy("q", "p_partkey")
+      },
+      Some("""WITH qs AS (SELECT unnest(['smal ring', 'red widgt', 'blue blot']) AS q),
+             |qt AS (SELECT q, CAST(len(lt) AS BIGINT) AS nq, unnest(lt) AS tg FROM (
+             |         SELECT q, list_distinct(list_transform(range(1, len(q) - 1),
+             |           i -> substr(q, CAST(i AS INT), 3))) AS lt FROM qs)),
+             |pt AS (SELECT p_partkey, CAST(len(lt) AS BIGINT) AS np, unnest(lt) AS tg FROM (
+             |         SELECT p_partkey, list_distinct(list_transform(range(1, len(p_name) - 1),
+             |           i -> substr(p_name, CAST(i AS INT), 3))) AS lt
+             |         FROM part WHERE len(p_name) >= 3)),
+             |sh AS (SELECT q, p_partkey, nq, np, CAST(COUNT(*) AS BIGINT) AS shared
+             |       FROM pt JOIN qt USING (tg) GROUP BY 1, 2, 3, 4)
+             |SELECT q, p_partkey, shared,
+             |       CAST(shared AS DOUBLE) / CAST(nq + np - shared AS DOUBLE) AS sim
+             |FROM sh
+             |WHERE CAST(shared AS DOUBLE) / CAST(nq + np - shared AS DOUBLE) >= 0.3
+             |ORDER BY q, p_partkey""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds
