@@ -6108,6 +6108,97 @@ object ExtQueries {
              |FROM sh
              |WHERE CAST(shared AS DOUBLE) / CAST(nq + np - shared AS DOUBLE) >= 0.3
              |ORDER BY q, p_partkey""".stripMargin)),
+
+    // Per-document TF-IDF KEYWORDS: the top-3 most characteristic
+    // tokens of each document by the same smoothed tf·idf weight as
+    // the corpus-level t_tfidf, ranked inside a per-doc window — the
+    // keyword-extraction pass behind tagging/faceting. The df table is
+    // the one corpus-level aggregate; ranking rides a per-doc window
+    // whose partitions are vocabulary-bounded.
+    Q("t_keywords",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        val nDocs = docs.count()
+        val tf = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("token"))
+          .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+        val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("weight").desc, col("token"))
+        tf.join(dfr, Seq("token"))
+          .withColumn("weight",
+            col("tf").cast(DoubleType) *
+              (lit((nDocs + 1).toDouble) / (col("df") + 1).cast(DoubleType)))
+          .withColumn("kw_rank", row_number().over(w))
+          .filter(col("kw_rank") <= 3)
+          .select(col("doc_id"), col("kw_rank"), col("token"), col("tf"),
+            col("df"), col("weight"))
+          .orderBy("doc_id", "kw_rank")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+              |tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS token FROM d),
+              |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+              |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+              |nd AS (SELECT count(*) AS n FROM d),
+              |r AS (SELECT doc_id, token, tf, df,
+              |        CAST(tf AS DOUBLE) * (CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)) AS weight
+              |      FROM tf JOIN dfr USING (token) CROSS JOIN nd),
+              |rk AS (SELECT doc_id, token, tf, df, weight,
+              |         CAST(row_number() OVER (PARTITION BY doc_id
+              |           ORDER BY weight DESC, token) AS INT) AS kw_rank
+              |       FROM r)
+              |SELECT doc_id, kw_rank, token, tf, df, weight
+              |FROM rk WHERE kw_rank <= 3 ORDER BY doc_id, kw_rank""".stripMargin)),
+
+    // Array-function scalar surface: sort/dedup-union/intersect/except/
+    // contains/position/max/min/slice over per-row arrays. Every array
+    // result is SORTED then serialized with array_join — both to make
+    // engine-internal orderings (Spark array_union's first-seen order
+    // vs DuckDB list_distinct) canonical AND because the oracle
+    // comparator row-sorts its frames, which array-typed cells break.
+    // All codegen'd projections, no shuffle.
+    Q("p_array_funcs",
+      (s, dir) => {
+        def js(c: org.apache.spark.sql.Column) = array_join(sort_array(c), ",")
+        Tables.part(s, dir)
+          .filter(col("p_partkey") % 20 === 0)
+          .select(col("p_partkey"),
+            array(col("p_partkey") % 10, col("p_size").cast(LongType),
+              col("p_partkey") % 7, col("p_size").cast(LongType)).as("a"),
+            array(col("p_size").cast(LongType), col("p_partkey") % 5, lit(3L)).as("b"))
+          .select(col("p_partkey"),
+            js(col("a")).as("sorted_a"),
+            js(array_distinct(col("a"))).as("dedup_a"),
+            js(array_union(col("a"), col("b"))).as("union_ab"),
+            js(array_intersect(col("a"), col("b"))).as("inter_ab"),
+            js(array_except(col("a"), col("b"))).as("except_ab"),
+            array_contains(col("a"), 3L).cast("int").as("has3"),
+            array_position(col("a"), col("p_partkey") % 7).cast(LongType).as("pos7"),
+            array_max(col("a")).as("max_a"),
+            array_min(col("b")).as("min_b"),
+            array_join(slice(col("a"), 2, 2), ",").as("slice_a"))
+          .orderBy("p_partkey")
+      },
+      Some("""WITH base AS (SELECT p_partkey,
+             |    [p_partkey % 10, CAST(p_size AS BIGINT), p_partkey % 7,
+             |     CAST(p_size AS BIGINT)] AS a,
+             |    [CAST(p_size AS BIGINT), p_partkey % 5, CAST(3 AS BIGINT)] AS b
+             |  FROM part WHERE p_partkey % 20 = 0)
+             |SELECT p_partkey,
+             |  array_to_string(list_sort(a), ',') AS sorted_a,
+             |  array_to_string(list_sort(list_distinct(a)), ',') AS dedup_a,
+             |  array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS union_ab,
+             |  array_to_string(list_sort(list_distinct(
+             |    list_filter(a, x -> list_contains(b, x)))), ',') AS inter_ab,
+             |  array_to_string(list_sort(list_distinct(
+             |    list_filter(a, x -> NOT list_contains(b, x)))), ',') AS except_ab,
+             |  CAST(CASE WHEN list_contains(a, 3) THEN 1 ELSE 0 END AS INT) AS has3,
+             |  CAST(list_position(a, p_partkey % 7) AS BIGINT) AS pos7,
+             |  list_max(a) AS max_a,
+             |  list_min(b) AS min_b,
+             |  array_to_string(list_slice(a, 2, 3), ',') AS slice_a
+             |FROM base ORDER BY p_partkey""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

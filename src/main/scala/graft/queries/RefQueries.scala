@@ -1207,6 +1207,29 @@ object RefQueries {
              |SELECT s_nationkey AS nationkey FROM supplier
              |ORDER BY nationkey""".stripMargin)),
 
+    // BAG-semantics set ops — the ALL variants Spark exposes as
+    // exceptAll/intersectAll (multiplicities subtract / take the min,
+    // not collapse): the multiset algebra reconciliation queries use
+    // ("which rows of A are NOT accounted for by B, counting copies").
+    // One shuffle each, same as the distinct forms.
+    Q("set_except_all",
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |EXCEPT ALL
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    Q("set_intersect_all",
+      (s, dir) => Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+        .orderBy("nationkey"),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT ALL
+             |SELECT s_nationkey AS nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
     // ── Window functions (dedup-rank + running aggregates) ─────────────
 
     // Latest row per key — the windowed generalization of keyed dedup.
