@@ -6199,6 +6199,60 @@ object ExtQueries {
              |  list_min(b) AS min_b,
              |  array_to_string(list_slice(a, 2, 3), ',') AS slice_a
              |FROM base ORDER BY p_partkey""".stripMargin)),
+
+    // STREAMING CUSUM monitor ([[StreamOps.keyedSumsSink]]): the
+    // order-sensitive drift detector made streamable by splitting it
+    // into a commutative accumulation (per-day partial cent sums,
+    // committed exactly-once per micro-batch — unordered arrival
+    // converges to the exact batch aggregate) and a read-time epilogue
+    // (the same closed-form two-window CUSUM as ts_cusum). End state
+    // must equal the batch computation exactly — one oracle serves
+    // both.
+    Q("stream_cusum_final",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_cusum_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val li = Tables.lineitem(s, dir).select(
+          datediff(col("l_shipdate").cast(DateType),
+            lit("1995-01-01").cast(DateType)).as("day"),
+          (col("l_quantity").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("qc"))
+        val staged = s"$base/in"
+        li.repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        StreamOps.keyedSumsSink(stream, st, "metrics", "daily_qc",
+          Seq("day"), "qc", checkpoint = s"$base/ckpt").awaitTermination()
+        val daily = st.read("metrics", "daily_qc")
+          .groupBy(col("day")).agg(sum(col("part_sum")).as("qc"))
+        val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("p", sum(col("qc") - lit(65000L)).over(w))
+          .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+          .withColumn("alarm", (col("s") > lit(300000L)).cast("int"))
+          .select(col("day"), col("qc"), col("s").as("cusum"), col("alarm"))
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (SELECT
+             |    date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS day,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT) AS qc
+             |  FROM lineitem GROUP BY 1),
+             |p AS (SELECT day, qc,
+             |        CAST(SUM(qc - 65000) OVER (ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+             |      FROM daily),
+             |s AS (SELECT day, qc,
+             |        pf - LEAST(CAST(MIN(pf) OVER (ORDER BY day
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+             |          0) AS cusum
+             |      FROM p)
+             |SELECT CAST(day AS INT) AS day, qc, cusum,
+             |       CAST(CASE WHEN cusum > 300000 THEN 1 ELSE 0 END AS INT) AS alarm
+             |FROM s ORDER BY day""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -241,6 +241,30 @@ object StreamOps {
       }
       .start()
 
+  /** Exactly-once per-key partial SUM accumulation — the mergeable-
+    * state metrics sink for monitors whose epilogue (CUSUM, drift,
+    * z-score) runs at read time over the accumulated table. Each batch
+    * commits its per-key partial sums as one txn-tagged snapshot;
+    * arrival ORDER is irrelevant because partials are commutative
+    * adds, so an unordered file stream still converges to the exact
+    * batch aggregate — the trick that makes order-sensitive monitors
+    * streamable without ordered delivery. */
+  def keyedSumsSink(stream: DataFrame, st: SnapshotStore, layer: String,
+                    table: String, keys: Seq[String], valueCol: String,
+                    checkpoint: String,
+                    sinkId: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        st.appendIfAbsent(
+          batch.toDF().groupBy(keys.map(col): _*)
+            .agg(sum(col(valueCol)).as("part_sum"), count(lit(1)).as("part_cnt")),
+          layer, table, txnTag(checkpoint, sinkId, batchId))
+        ()
+      }
+      .start()
+
   /** EXACTLY-ONCE streaming append into a [[SnapshotStore]] table: each
     * micro-batch commits one snapshot tagged with its batch id
     * ([[SnapshotStore.appendIfAbsent]]), so a checkpoint-recovery
