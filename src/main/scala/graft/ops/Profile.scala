@@ -312,6 +312,103 @@ object Profile {
           / (dec(col("n_a")) * dec(col("n_b"))).cast(DoubleType)).as("ks"))
   }
 
+  /**
+   * Mann–Whitney U rank-sum test between two samples — the
+   * nonparametric "did the distribution shift" companion to [[ksTest]]
+   * (U is sensitive to location where KS is sensitive to any shape
+   * difference). Same bounded-state shape as ksTest: ranks come from
+   * the VALUE-COUNT table (state = distinct values, never a per-row
+   * rank window), so 10⁹ rows with bounded value domains aggregate
+   * map-side first.
+   *
+   * Exactness: everything up to `z` is exact integer arithmetic in
+   * DOUBLED rank units — a tied group's average rank `(min+max)/2` can
+   * end in .5, so we carry `2·avgrank = 2·cum − c + 1` and the doubled
+   * statistics `u2 = 2·U` stay BIGINT-exact (DECIMAL(38,0)
+   * accumulators; Σ(c³−c) for the tie correction outgrows BIGINT on
+   * heavy ties). `z` is the normal approximation with tie-corrected
+   * variance — one fixed chain of correctly-rounded IEEE ops mirrored
+   * verbatim in [[mannWhitneySql]]. Degenerate pools (all values tied,
+   * an empty side, or ≤1 total rows) have zero/undefined variance and
+   * yield `z_a = NULL` in both engines (DuckDB's x/0.0 IS NULL; the
+   * Spark side guards explicitly because ANSI division throws).
+   */
+  def mannWhitney(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    def side(df: DataFrame, ia: Long, ib: Long) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast(LongType).as("v"),
+        lit(ia).as("ia"), lit(ib).as("ib"))
+    val per = side(a, 1L, 0L).unionByName(side(b, 0L, 1L))
+      .groupBy("v").agg(sum("ia").as("ca"), sum("ib").as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = per
+      .withColumn("cum", sum("c").over(w))
+      .agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(dec(col("ca")) * dec(lit(2) * col("cum") - col("c") + lit(1))).as("__r2a"),
+        sum(dec(col("c")) * dec(col("c")) * dec(col("c")) - dec(col("c"))).as("__ties"))
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    // Degenerate pools (every value tied, or an empty side) have zero
+    // tie-corrected variance: z is undefined → NULL in BOTH engines
+    // (DuckDB's x/0.0 is NULL; ANSI Spark throws, so guard explicitly).
+    val sd = lit(2.0) * sqrt(
+      (d(col("n_a")) * d(col("n_b")) / lit(12.0)) *
+        ((d(col("n_a") + col("n_b")) + lit(1.0)) -
+          when(col("n_a") + col("n_b") > lit(1),
+            d(col("tie_cubes")) /
+              (d(col("n_a") + col("n_b")) * (d(col("n_a") + col("n_b")) - lit(1.0))))))
+    agg
+      .withColumn("u2_a",
+        (col("__r2a") - dec(col("n_a")) * dec(col("n_a") + lit(1))).cast(LongType))
+      .withColumn("u2_b",
+        (dec(lit(2)) * dec(col("n_a")) * dec(col("n_b")) - col("u2_a")).cast(LongType))
+      .withColumn("tie_cubes", col("__ties").cast(LongType))
+      .withColumn("z_a",
+        when(sd > lit(0.0), (d(col("u2_a")) - d(col("n_a")) * d(col("n_b"))) / sd))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"),
+        col("tie_cubes"), col("z_a"))
+  }
+
+  /** DuckDB mirror of [[mannWhitney]] — same value-count chain, same
+    * doubled-rank integers, identical z expression tree. */
+  def mannWhitneySql(aRel: String, bRel: String, valueCol: String): String =
+    s"""WITH pooled AS (
+       |  SELECT CAST($valueCol AS BIGINT) AS v, 1 AS ia, 0 AS ib
+       |  FROM $aRel WHERE $valueCol IS NOT NULL
+       |  UNION ALL
+       |  SELECT CAST($valueCol AS BIGINT) AS v, 0 AS ia, 1 AS ib
+       |  FROM $bRel WHERE $valueCol IS NOT NULL),
+       |per AS (SELECT v, SUM(ia) AS ca, SUM(ib) AS cb, SUM(ia) + SUM(ib) AS c
+       |        FROM pooled GROUP BY v),
+       |cum AS (SELECT v, ca, cb, c,
+       |          SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+       |        FROM per),
+       |agg AS (SELECT
+       |    CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+       |    SUM(CAST(ca AS HUGEINT) * CAST(2 * cum - c + 1 AS HUGEINT)) AS r2a,
+       |    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+       |        - CAST(c AS HUGEINT)) AS ties
+       |  FROM cum),
+       |st AS (SELECT n_a, n_b,
+       |    CAST(r2a - CAST(n_a AS HUGEINT) * CAST(n_a + 1 AS HUGEINT) AS BIGINT) AS u2_a,
+       |    CAST(ties AS BIGINT) AS tie_cubes
+       |  FROM agg)
+       |SELECT n_a, n_b, u2_a,
+       |  CAST(CAST(2 AS HUGEINT) * CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+       |       - u2_a AS BIGINT) AS u2_b,
+       |  tie_cubes,
+       |  (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+       |    (2.0 * sqrt(
+       |      (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+       |        ((CAST(n_a + n_b AS DOUBLE) + 1.0) -
+       |          CAST(tie_cubes AS DOUBLE) /
+       |            (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))))
+       |  AS z_a
+       |FROM st""".stripMargin
+
   /** DuckDB mirror of [[ksTest]] over relations `aRel`/`bRel`. */
   def ksTestSql(aRel: String, bRel: String, valueCol: String): String =
     s"""WITH pooled AS (

@@ -158,6 +158,90 @@ object Search {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** Classic vector-space retrieval: cosine similarity between tf·idf
+    * document vectors and tf·idf query vectors, computed as a SPARSE
+    * dot product over the shared inverted index — only (query-term,
+    * doc) postings ever join; a document's non-query terms contribute
+    * solely through its precomputed norm. The geometric complement to
+    * [[bm25]]'s probabilistic ranking (Salton's SMART lineage).
+    *
+    * Determinism contract (the bm25 rules, pushed further):
+    *  - idf is INTEGER milli-idf `(N·1000) div df` — floor division,
+    *    exact in both engines (`div`/`//`), no libm ln anywhere.
+    *  - Per-(doc,term) weight `tf·idfm` is exact BIGINT; the dot
+    *    product and both squared norms accumulate in DECIMAL(38,0)
+    *    (w² outgrows BIGINT once idfm ~ N·1000), so every Σ is exact
+    *    and order-independent. The ONLY doubles are the final
+    *    `dot / (sqrt(n²_d) · sqrt(n²_q))` — a fixed-arity chain of
+    *    correctly-rounded ops on exact integers (the ts_changepoint
+    *    precedent for >2^53 exact-int→double casts).
+    *  - Ties break to the smaller doc_id via [[Ranking.topKBy]].
+    *
+    * Scale shape: one tokenize pass builds tf/dl-free postings; doc
+    * norms are a per-doc aggregate over the SAME postings (map-side
+    * combined); the query table broadcasts; docs sharing no query term
+    * never shuffle. At warehouse scale tf and norms are maintained
+    * tables (the search_bm25_incremental pattern — norms are per-doc
+    * constants, appended with the batch). */
+  def tfidfCosine(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: DataFrame, k: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val (tf, _) = indexBatch(docs, idCol, textCol)
+    val stats = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfr, Seq("term")).crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * expr("(n_docs * 1000) div df")).as("w"))
+    val docNorm = weighted.groupBy("doc_id")
+      .agg(sum(col("w").cast(dec) * col("w").cast(dec)).as("n2d"))
+    val qw = queryTerms.join(dfr, Seq("term")).crossJoin(broadcast(stats))
+      .select(col("q_id"), col("term"),
+        (col("qtf") * expr("(n_docs * 1000) div df")).as("wq"))
+    val qNorm = qw.groupBy("q_id")
+      .agg(sum(col("wq").cast(dec) * col("wq").cast(dec)).as("n2q"))
+    val dot = weighted.join(broadcast(qw), Seq("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("w").cast(dec) * col("wq").cast(dec)).as("dot"))
+    val cos = dot
+      .join(docNorm, Seq("doc_id"))
+      .join(broadcast(qNorm), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("n2d").cast(DoubleType)) * sqrt(col("n2q").cast(DoubleType))))
+          .as("cos"))
+    cos.groupBy("q_id")
+      .agg(Ranking.topKBy(col("cos"), col("doc_id"), k).as("__top"))
+      .select(col("q_id"), posexplode(col("__top")))
+      .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("cos"))
+  }
+
+  /** DuckDB mirror of [[tfidfCosine]] — same CTE chain, same floor
+    * divisions (`//`), DECIMAL(38,0)/HUGEINT exact sums, identical
+    * final double expression tree. */
+  def tfidfCosineSql(docsRel: String, qtValues: String, k: Int): String =
+    s"""WITH qt(q_id, term, qtf) AS (VALUES $qtValues),
+       |tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS term FROM $docsRel),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |weighted AS (SELECT doc_id, term, CAST(tf * ((n_docs * 1000) // df) AS BIGINT) AS w
+       |  FROM tf JOIN dfr USING (term) CROSS JOIN stats),
+       |dnorm AS (SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS n2d FROM weighted GROUP BY 1),
+       |qw AS (SELECT q_id, term, CAST(qtf * ((n_docs * 1000) // df) AS BIGINT) AS wq
+       |  FROM qt JOIN dfr USING (term) CROSS JOIN stats),
+       |qnorm AS (SELECT q_id, SUM(CAST(wq AS HUGEINT) * wq) AS n2q FROM qw GROUP BY 1),
+       |dotp AS (SELECT q_id, doc_id, SUM(CAST(w AS HUGEINT) * wq) AS dot
+       |  FROM weighted JOIN qw USING (term) GROUP BY 1, 2),
+       |cosd AS (SELECT q_id, doc_id,
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n2d AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) AS cos
+       |  FROM dotp JOIN dnorm USING (doc_id) JOIN qnorm USING (q_id))
+       |SELECT q_id, rank, doc_id, cos FROM (
+       |  SELECT q_id, doc_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS rank
+       |  FROM cosd)
+       |WHERE rank <= $k""".stripMargin
+
   /** Positional phrase search: documents containing the EXACT token
     * sequence `phrase`, with the per-doc occurrence count — the
     * "quoted query" feature a tf-only index (bm25) cannot answer.

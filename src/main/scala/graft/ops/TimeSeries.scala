@@ -706,6 +706,44 @@ object TimeSeries {
    * NaN/∞. One keyed aggregate; epilogue is a fixed chain of
    * correctly-rounded IEEE ops mirrored in [[pearsonSql]]-style SQL.
    */
+  /**
+   * Theil–Sen robust trend per key: the LOWER MEDIAN of all pairwise
+   * slopes `(y_j − y_i)/(t_j − t_i)`, the rank-based slope estimator
+   * with 29% breakdown where OLS ([[linregByKey]]) breaks on one wild
+   * outlier. Input must be a PRE-AGGREGATED series (one row per
+   * (keys, `orderCol`), integral `valueCol`) — the pair enumeration is
+   * O(len²) per key in the SERIES length (date span), never the fact
+   * table, the same bounded-span posture as [[autocorr]]; callers
+   * bound the span (e.g. one year) explicitly.
+   *
+   * Determinism: each slope is ONE correctly-rounded division of exact
+   * integers — engine-identical doubles; the estimator is the lower
+   * median (the element at index ⌊(n+1)/2⌋ of the total order
+   * (slope, t_i, t_j)), a REAL pair's slope — never an interpolated
+   * midpoint, whose `(a+b)/2` vs `0.5a+0.5b` arities differ across
+   * engines by one ulp. Returned with the anchor pair that produced
+   * it, so the answer is auditable.
+   */
+  def theilSenSlope(series: DataFrame, keys: Seq[String],
+                    orderCol: String, valueCol: String): DataFrame = {
+    val kcols = keys.map(col)
+    val x = series.select(kcols :+ col(orderCol).cast("long").as("__t") :+
+      col(valueCol).cast("long").as("__v"): _*)
+    val y = x.select(kcols :+ col("__t").as("__t2") :+ col("__v").as("__v2"): _*)
+    val pairs = x.join(y, keys).filter(col("__t") < col("__t2"))
+      .select(kcols :+ col("__t") :+ col("__t2") :+
+        ((col("__v2") - col("__v")).cast("double") /
+          (col("__t2") - col("__t")).cast("double")).as("slope"): _*)
+    val w = Window.partitionBy(kcols: _*)
+      .orderBy(col("slope"), col("__t"), col("__t2"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(kcols: _*)))
+      .filter(col("__rn") === expr("(n_pairs + 1) div 2"))
+      .select(kcols ++ Seq(col("n_pairs"), col("slope").as("ts_slope"),
+        col("__t").as("anchor_t1"), col("__t2").as("anchor_t2")): _*)
+  }
+
   def linregByKey(df: DataFrame, keys: Seq[String],
                   xCol: String, yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)

@@ -6253,6 +6253,85 @@ object ExtQueries {
              |SELECT CAST(day AS INT) AS day, qc, cusum,
              |       CAST(CASE WHEN cusum > 300000 THEN 1 ELSE 0 END AS INT) AS alarm
              |FROM s ORDER BY day""".stripMargin)),
+
+    // Vector-space tf·idf cosine retrieval ([[Search.tfidfCosine]]):
+    // the geometric complement to search_bm25 over the SAME inverted
+    // index — sparse dot product on (query-term, doc) postings only,
+    // integer milli-idf (floor division, no libm ln), DECIMAL(38,0)
+    // exact dot/norms, doubles only in the final fixed-arity
+    // dot/(|d||q|). Query table + corpus stats broadcast; docs sharing
+    // no query term never shuffle.
+    Q("search_tfidf",
+      (s, dir) => {
+        import s.implicits._
+        val qt = Seq((1L, "hash", 1L), (1L, "join", 1L), (2L, "window", 1L),
+          (2L, "agg", 1L), (2L, "sort", 1L), (3L, "stream", 2L), (3L, "table", 1L))
+          .toDF("q_id", "term", "qtf")
+        Search.tfidfCosine(Tables.documents(s, dir), "doc_id", "text", qt, k = 10)
+          .orderBy("q_id", "rank")
+      },
+      Some(Search.tfidfCosineSql("documents",
+        "(1,'hash',1),(1,'join',1),(2,'window',1),(2,'agg',1),(2,'sort',1),(3,'stream',2),(3,'table',1)",
+        k = 10) + "\nORDER BY q_id, rank")),
+
+    // Theil–Sen robust trend ([[TimeSeries.theilSenSlope]]): the lower
+    // median of all pairwise slopes of the daily order count per
+    // priority, H1-1995 — the 29%-breakdown rank estimator where OLS
+    // (ts_linreg's shape) folds to one outlier. Pair enumeration is
+    // O(span²) per key in the PRE-AGGREGATED series (≤181 days here),
+    // never the fact table; each slope is one correctly-rounded
+    // division of exact integers and the estimator is a REAL pair's
+    // slope (lower median), so both engines pick the identical double.
+    Q("ts_theil_sen",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .filter(col("o_orderdate").cast(DateType) >= lit("1995-01-01").cast(DateType) &&
+            col("o_orderdate").cast(DateType) < lit("1995-07-01").cast(DateType))
+          .groupBy(col("o_orderpriority").as("prio"),
+            datediff(col("o_orderdate").cast(DateType),
+              lit("1995-01-01").cast(DateType)).as("day"))
+          .agg(count(lit(1)).as("n"))
+        TimeSeries.theilSenSlope(daily, Seq("prio"), "day", "n").orderBy("prio")
+      },
+      Some("""WITH daily AS (SELECT o_orderpriority AS prio,
+             |    date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM orders
+             |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+             |    AND CAST(o_orderdate AS DATE) < DATE '1995-07-01'
+             |  GROUP BY 1, 2),
+             |pairs AS (SELECT a.prio, a.day AS t1, b.day AS t2,
+             |    CAST(b.n - a.n AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+             |  FROM daily a JOIN daily b ON a.prio = b.prio AND a.day < b.day),
+             |rk AS (SELECT prio, t1, t2, slope,
+             |    row_number() OVER (PARTITION BY prio ORDER BY slope, t1, t2) AS rn,
+             |    count(*) OVER (PARTITION BY prio) AS n_pairs
+             |  FROM pairs)
+             |SELECT prio, CAST(n_pairs AS BIGINT) AS n_pairs, slope AS ts_slope,
+             |       CAST(t1 AS BIGINT) AS anchor_t1, CAST(t2 AS BIGINT) AS anchor_t2
+             |FROM rk WHERE rn = (n_pairs + 1) // 2 ORDER BY prio""".stripMargin)),
+
+    // Mann–Whitney U rank-sum test ([[Profile.mannWhitney]]): did the
+    // quantity distribution shift between return flags R and A — the
+    // location-sensitive companion to q_ks_test, with ranks derived
+    // from the VALUE-COUNT table (state = 50 distinct quantities, never
+    // a per-row rank window). Doubled-rank integers keep every Σ exact
+    // (tie-corrected variance included); the z-score is one fixed chain
+    // of correctly-rounded IEEE ops mirrored verbatim in the oracle.
+    Q("q_mann_whitney",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        Profile.mannWhitney(
+          li.filter(col("l_returnflag") === "R")
+            .select(col("l_quantity").cast(LongType).as("qty")),
+          li.filter(col("l_returnflag") === "A")
+            .select(col("l_quantity").cast(LongType).as("qty")),
+          "qty")
+      },
+      Some(Profile.mannWhitneySql(
+        "(SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R')",
+        "(SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A')",
+        "qty"))),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

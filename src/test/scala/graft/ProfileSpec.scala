@@ -140,4 +140,24 @@ class ProfileSpec extends SparkSpec {
     val same = Profile.ksTest(a, a, "v").collect().head
     assert(same.getAs[Long]("d_num") == 0L && same.getAs[Double]("ks") == 0.0)
   }
+
+  test("mannWhitney: hand-computed doubled-U and z on disjoint samples; tie correction") {
+    import spark.implicits._
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq(3L, 4L).toDF("v")
+    val r = Profile.mannWhitney(a, b, "v").collect().head
+    // ranks 1,2 | 3,4: U_a = 0, U_b = 4 (doubled: 0 and 8), no ties
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("u2_a") == 0L && r.getAs[Long]("u2_b") == 8L)
+    assert(r.getAs[Long]("tie_cubes") == 0L)
+    val expectedZ = (0.0 - 2.0 * 2.0) / (2.0 * math.sqrt((2.0 * 2.0 / 12.0) * 5.0))
+    assert(r.getAs[Double]("z_a") == expectedZ)
+    // fully tied pools: U_a = U_b = n_a*n_b/2 and tie term = c^3 - c
+    val t = Profile.mannWhitney(Seq(1L, 1L).toDF("v"), Seq(1L, 1L).toDF("v"), "v")
+      .collect().head
+    assert(t.getAs[Long]("u2_a") == 4L && t.getAs[Long]("u2_b") == 4L)
+    assert(t.getAs[Long]("tie_cubes") == 60L)
+    assert(t.isNullAt(t.fieldIndex("z_a")), "zero-variance pool must yield NULL z")
+  }
+
 }

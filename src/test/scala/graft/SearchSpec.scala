@@ -100,4 +100,23 @@ class SearchSpec extends SparkSpec {
       Search.phraseSearch(docs, "doc_id", "text", Seq("two words"))
     }
   }
+
+  test("tfidfCosine: proportional doc scores ~1, partial match scores below, non-match absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a a b b"), (3L, "a c c c"),
+      (4L, "d d d")).toDF("doc_id", "text")
+    val qt = Seq((1L, "a", 1L), (1L, "b", 1L)).toDF("q_id", "term", "qtf")
+    val out = Search.tfidfCosine(docs, "doc_id", "text", qt, k = 10)
+      .orderBy("rank").collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(4L), "doc sharing no query term must not appear")
+    assert(ids.length == 3 && ids.last == 3L,
+      s"partial-term doc must rank below proportional docs: $ids")
+    // docs 1 and 2 are scalar multiples of the query vector -> cos = 1
+    // up to sqrt rounding; doc 3 is far off
+    out.take(2).foreach(r => assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12))
+    assert(out.last.getAs[Double]("cos") < 0.5)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
 }

@@ -293,4 +293,18 @@ class TimeSeriesSpec extends SparkSpec {
       Seq("key"), "t", "v").collect().head
     assert(one.getAs[Double]("level") == 5.0 && one.getAs[Double]("trend") == 0.0)
   }
+
+  test("theilSenSlope: lower median of pairwise slopes shrugs off one wild outlier") {
+    import spark.implicits._
+    // y = 2t except a wild y(4)=100; 6 of 10 pairwise slopes are exactly 2,
+    // so the lower median (element 5 of the (slope, t1, t2) order) is 2 and
+    // its anchor is the 5th slope-2 pair, (1, 3).
+    val df = Seq(("k", 0L, 0L), ("k", 1L, 2L), ("k", 2L, 4L), ("k", 3L, 6L),
+      ("k", 4L, 100L)).toDF("key", "t", "v")
+    val r = TimeSeries.theilSenSlope(df, Seq("key"), "t", "v").collect().head
+    assert(r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Double]("ts_slope") == 2.0)
+    assert(r.getAs[Long]("anchor_t1") == 1L && r.getAs[Long]("anchor_t2") == 3L)
+  }
+
 }
