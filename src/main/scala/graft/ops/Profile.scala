@@ -409,6 +409,87 @@ object Profile {
        |  AS z_a
        |FROM st""".stripMargin
 
+  /**
+   * Spearman rank correlation between two integral columns — Pearson
+   * over average ranks, the monotone-association measure that survives
+   * nonlinear (but monotone) relationships and outliers where raw
+   * Pearson folds. Ranks come from each column's VALUE-COUNT table
+   * (the [[mannWhitney]] machinery): 2·avgrank = 2·cum − c + 1 keeps
+   * tied-group average ranks in exact DOUBLED integer units, and each
+   * row picks up its two ranks by joining the (distinct-value-sized)
+   * lookups — bounded rank state, never a per-row rank window.
+   *
+   * All six sufficient statistics (n, Σrx, Σry, Σrx², Σry², Σrx·ry)
+   * accumulate in DECIMAL(38,0) — exact and order-independent at any
+   * cardinality. ρ = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)·(nΣy²−(Σy)²)) is the
+   * one fixed-arity double chain at the end (doubling both rank scales
+   * cancels). The denominator is ONE sqrt over the variance product —
+   * `sqrt(a)*sqrt(b)` loses an ulp even when a = b, turning a perfect
+   * monotone's exact 1.0 into 0.99999999999999978. A constant column
+   * has zero rank variance → ρ NULL in both engines (DuckDB x/0.0 IS
+   * NULL; ANSI Spark guarded).
+   */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+    def rankLookup(c: String) = {
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col(c).as("v")).agg(count(lit(1)).as("c"))
+        .select(col("v"), (lit(2) * sum("c").over(w) - col("c") + lit(1)).as(s"r_$c"))
+    }
+    val ranked = base
+      .join(rankLookup("x").withColumnRenamed("v", "x"), Seq("x"))
+      .join(rankLookup("y").withColumnRenamed("v", "y"), Seq("y"))
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(dec(col("r_x"))).as("sx"), sum(dec(col("r_y"))).as("sy"),
+      sum(dec(col("r_x")) * dec(col("r_x"))).as("sxx"),
+      sum(dec(col("r_y")) * dec(col("r_y"))).as("syy"),
+      sum(dec(col("r_x")) * dec(col("r_y"))).as("sxy"))
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val den = sqrt(d(dec(col("n")) * col("sxx") - col("sx") * col("sx")) *
+      d(dec(col("n")) * col("syy") - col("sy") * col("sy")))
+    agg.select(col("n"),
+      when(den > lit(0.0),
+        d(dec(col("n")) * col("sxy") - col("sx") * col("sy")) / den).as("rho"))
+  }
+
+  /** DuckDB mirror of [[spearman]] — same value-count rank lookups,
+    * HUGEINT-exact sufficient statistics, identical ρ double chain.
+    * DuckDB's HUGEINT→DOUBLE cast is NOT correctly rounded (probed: it
+    * double-rounds via 64-bit halves, 1 ulp off on a 76-bit numerator
+    * at sf0.1) where Spark's Decimal→Double is round-to-nearest — so
+    * the mirror casts through an exact hi/lo 2³² split: hi·2³² is
+    * exact in double (hi < 2⁵³ for |v| < 2⁸⁵), lo < 2³² is exact, and
+    * their one addition rounds once = the correctly-rounded value. */
+  def spearmanSql(rel: String, xCol: String, yCol: String): String = {
+    def d(v: String) =
+      s"(CAST($v // 4294967296 AS DOUBLE) * 4294967296.0 + CAST($v % 4294967296 AS DOUBLE))"
+    s"""WITH base AS (SELECT CAST($xCol AS BIGINT) AS x, CAST($yCol AS BIGINT) AS y
+       |  FROM $rel WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL),
+       |rx AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r_x
+       |  FROM (SELECT x AS v, count(*) AS c FROM base GROUP BY 1)),
+       |ry AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r_y
+       |  FROM (SELECT y AS v, count(*) AS c FROM base GROUP BY 1)),
+       |rk AS (SELECT r_x, r_y FROM base
+       |  JOIN rx ON base.x = rx.v JOIN ry ON base.y = ry.v),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    SUM(CAST(r_x AS HUGEINT)) AS sx, SUM(CAST(r_y AS HUGEINT)) AS sy,
+       |    SUM(CAST(r_x AS HUGEINT) * r_x) AS sxx,
+       |    SUM(CAST(r_y AS HUGEINT) * r_y) AS syy,
+       |    SUM(CAST(r_x AS HUGEINT) * r_y) AS sxy
+       |  FROM rk),
+       |mom AS (SELECT n,
+       |    CAST(n AS HUGEINT) * sxy - sx * sy AS num,
+       |    CAST(n AS HUGEINT) * sxx - sx * sx AS vx,
+       |    CAST(n AS HUGEINT) * syy - sy * sy AS vy
+       |  FROM agg)
+       |SELECT n, ${d("num")} / sqrt(${d("vx")} * ${d("vy")}) AS rho
+       |FROM mom""".stripMargin
+  }
+
   /** DuckDB mirror of [[ksTest]] over relations `aRel`/`bRel`. */
   def ksTestSql(aRel: String, bRel: String, valueCol: String): String =
     s"""WITH pooled AS (

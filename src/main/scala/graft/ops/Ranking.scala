@@ -81,4 +81,53 @@ object Ranking {
       .select(keys.map(col) :+ col("__m.id").as("mode")
         :+ col("__m.score").cast("bigint").as("n"): _*)
   }
+
+  /** 2-D Pareto SKYLINE (maximize `upCol`, minimize `downCol`): the
+    * points no other point dominates — q dominates p iff q.up ≥ p.up ∧
+    * q.down ≤ p.down with one strict. The frontier computes at the
+    * DISTINCT-`upCol` level: one keyed agg takes min(down) per up
+    * value (map-side combined — the only pass over the data), then a
+    * window over up DESC takes the running strictly-above min; a
+    * frontier point is a (up, min-down) pair that beats every
+    * strictly-larger up's best. State and window size are bounded by
+    * `upCol`'s distinct cardinality, never row count — the 100 TB
+    * shape. Value-identical duplicates are all reported via `n_rows`
+    * (mutual non-strict domination keeps them, per the classical
+    * definition). Integral columns only: every comparison is exact.
+    * Returns `(up, down, n_rows)` — `orderBy(up)` is also down DESC,
+    * a total order. */
+  def skyline2d(df: org.apache.spark.sql.DataFrame,
+                upCol: String, downCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val perUp = df.filter(col(upCol).isNotNull && col(downCol).isNotNull)
+      .groupBy(col(upCol).cast("long").as("up"))
+      .agg(min(col(downCol).cast("long")).as("down"), count(lit(1)).as("__n_at_up"))
+    // min(down) among STRICTLY larger up: shift the running min by one
+    val w = Window.orderBy(col("up").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perUp
+      .withColumn("__best_above", min("down").over(w))
+      .filter(col("__best_above").isNull || col("down") < col("__best_above"))
+    // recover the duplicate count at the exact frontier point
+    df.select(col(upCol).cast("long").as("up"), col(downCol).cast("long").as("down"))
+      .join(broadcast(frontier.select("up", "down")), Seq("up", "down"))
+      .groupBy("up", "down").agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** DuckDB mirror of [[skyline2d]] — same per-up min, same shifted
+    * running min over up DESC, same duplicate-count join-back. */
+  def skyline2dSql(rel: String, upCol: String, downCol: String): String =
+    s"""WITH pts AS (SELECT CAST($upCol AS BIGINT) AS up, CAST($downCol AS BIGINT) AS down
+       |  FROM $rel WHERE $upCol IS NOT NULL AND $downCol IS NOT NULL),
+       |per_up AS (SELECT up, MIN(down) AS down FROM pts GROUP BY 1),
+       |fr AS (SELECT up, down,
+       |    MIN(down) OVER (ORDER BY up DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_above
+       |  FROM per_up)
+       |SELECT pts.up, pts.down, CAST(count(*) AS BIGINT) AS n_rows
+       |FROM pts JOIN (SELECT up, down FROM fr
+       |               WHERE best_above IS NULL OR down < best_above) f
+       |  ON pts.up = f.up AND pts.down = f.down
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -696,16 +696,43 @@ object TimeSeries {
   }
 
   /**
-   * Ordinary-least-squares simple regression per key — slope and
-   * intercept of `y ~ x` from the SAME exact integer sufficient
-   * statistics as [[pearsonByKey]] (cent-anchored DECIMAL(38,0)
-   * accumulators): `slope = (nΣxy−ΣxΣy)/(nΣxx−(Σx)²)`, intercept from
-   * the means. The cent scale cancels in the slope (cents/cents); the
-   * intercept converts back to value units with one literal /100.
-   * Degenerate x (zero variance) or empty keys yield NULL, never
-   * NaN/∞. One keyed aggregate; epilogue is a fixed chain of
-   * correctly-rounded IEEE ops mirrored in [[pearsonSql]]-style SQL.
+   * MAD robust outlier flagging per key: flags series points where
+   * |v − median| > k·MAD, with median = lower median of v and MAD =
+   * lower median of |v − median| (median absolute deviation — 50%
+   * breakdown where mean±3σ moves with the very outliers it hunts).
+   * Input is a PRE-AGGREGATED series with integral `valueCol` (the
+   * [[autocorr]]/[[theilSenSlope]] posture: per-key length is a
+   * bounded span, so the two per-key rank windows sort bounded
+   * series, never the fact table).
+   *
+   * Every quantity is an exact integer — lower medians are REAL
+   * elements, deviations are |int − int|, and the flag compares
+   * `|v−med| > k·MAD` in integers. No doubles anywhere: the result is
+   * bit-free of FP, deterministic in any engine. A zero-MAD key
+   * (>50% of points share one value) flags every deviating point —
+   * the standard MAD caveat, inherited deliberately.
    */
+  def madOutliers(series: DataFrame, keys: Seq[String], orderCol: String,
+                  valueCol: String, k: Int): DataFrame = {
+    val kcols = keys.map(col)
+    val x = series.select(kcols :+ col(orderCol).cast("long").as("t") :+
+      col(valueCol).cast("long").as("v"): _*)
+    def lowerMedian(df: DataFrame, vCol: String, out: String) = {
+      val w = Window.partitionBy(kcols: _*).orderBy(col(vCol), col("t"))
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(kcols: _*)))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(kcols :+ col(vCol).as(out): _*)
+    }
+    val med = lowerMedian(x, "v", "med")
+    val dev = x.join(med, keys).withColumn("absdev", abs(col("v") - col("med")))
+    val mad = lowerMedian(dev.withColumnRenamed("absdev", "ad"), "ad", "mad")
+    dev.join(mad, keys)
+      .filter(col("absdev") > lit(k) * col("mad"))
+      .select(kcols ++ Seq(col("t"), col("v"), col("med"), col("mad"),
+        col("absdev")): _*)
+  }
+
   /**
    * Theil–Sen robust trend per key: the LOWER MEDIAN of all pairwise
    * slopes `(y_j − y_i)/(t_j − t_i)`, the rank-based slope estimator
@@ -744,6 +771,17 @@ object TimeSeries {
         col("__t").as("anchor_t1"), col("__t2").as("anchor_t2")): _*)
   }
 
+  /**
+   * Ordinary-least-squares simple regression per key — slope and
+   * intercept of `y ~ x` from the SAME exact integer sufficient
+   * statistics as [[pearsonByKey]] (cent-anchored DECIMAL(38,0)
+   * accumulators): `slope = (nΣxy−ΣxΣy)/(nΣxx−(Σx)²)`, intercept from
+   * the means. The cent scale cancels in the slope (cents/cents); the
+   * intercept converts back to value units with one literal /100.
+   * Degenerate x (zero variance) or empty keys yield NULL, never
+   * NaN/∞. One keyed aggregate; epilogue is a fixed chain of
+   * correctly-rounded IEEE ops mirrored in [[pearsonSql]]-style SQL.
+   */
   def linregByKey(df: DataFrame, keys: Seq[String],
                   xCol: String, yCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)

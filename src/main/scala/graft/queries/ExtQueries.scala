@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, Tables}
 import graft.engine.Warehouse
-import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Sampling, Search, Similarity, TextOps, TimeSeries, UrlOps}
+import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Ranking, Sampling, Search, Similarity, TextOps, TimeSeries, UrlOps}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -6332,6 +6332,89 @@ object ExtQueries {
         "(SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'R')",
         "(SELECT CAST(l_quantity AS BIGINT) AS qty FROM lineitem WHERE l_returnflag = 'A')",
         "qty"))),
+
+    // Spearman rank correlation ([[Profile.spearman]]): monotone
+    // association between quantity and extended price (cents) over
+    // lineitem — rank-based, so one wild price can't fold it the way
+    // raw Pearson folds. Ranks ride the VALUE-COUNT lookups in doubled
+    // integer units; all six sufficient statistics are DECIMAL(38,0)
+    // exact; ρ is one fixed double chain mirrored verbatim.
+    Q("q_spearman",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_quantity").cast(LongType).as("qty"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents"))
+        Profile.spearman(li, "qty", "price_cents")
+      },
+      Some(Profile.spearmanSql(
+        """(SELECT CAST(l_quantity AS BIGINT) AS qty,
+          |        CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+          |   FROM lineitem)""".stripMargin.replace("\n", " "),
+        "qty", "price_cents"))),
+
+    // 2-D Pareto skyline ([[Ranking.skyline2d]]): parts that are
+    // undominated in (size↑, retail-price↓) — "no strictly bigger part
+    // is as cheap". The frontier computes on the DISTINCT-size level
+    // (one keyed min + a 50-row window), never the row level — state is
+    // the size domain's cardinality at any corpus size. All-integer
+    // comparisons; duplicates at a frontier point counted, not dropped.
+    Q("o_skyline",
+      (s, dir) => {
+        val pts = Tables.part(s, dir).select(
+          col("p_size").cast(LongType).as("size"),
+          (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents"))
+        Ranking.skyline2d(pts, "size", "price_cents")
+          .select(col("up").as("size"), col("down").as("price_cents"),
+            col("n_rows"))
+          .orderBy("size")
+      },
+      Some("""SELECT up AS size, down AS price_cents, n_rows FROM (""" +
+        Ranking.skyline2dSql(
+          """(SELECT CAST(p_size AS BIGINT) AS size,
+            |        CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+            |   FROM part)""".stripMargin.replace("\n", " "),
+          "size", "price_cents") +
+        ")\nORDER BY size")),
+
+    // MAD robust outlier days ([[TimeSeries.madOutliers]]): days whose
+    // per-priority order count sits more than 3 MADs from that
+    // priority's median — the 50%-breakdown outlier rule whose
+    // thresholds don't move with the outliers themselves. Lower
+    // medians are REAL series elements and every comparison is integer:
+    // zero floating point end to end. Windows sort the PRE-AGGREGATED
+    // daily series (≤ date-span rows per key), never the fact table.
+    Q("ts_mad_outliers",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("prio"),
+            datediff(col("o_orderdate").cast(DateType),
+              lit("1992-01-01").cast(DateType)).as("day"))
+          .agg(count(lit(1)).as("n"))
+        TimeSeries.madOutliers(daily, Seq("prio"), "day", "n", k = 3)
+          .orderBy("prio", "t")
+      },
+      Some("""WITH daily AS (SELECT o_orderpriority AS prio,
+             |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1, 2),
+             |med AS (SELECT prio, n AS med FROM (
+             |    SELECT prio, day, n,
+             |      row_number() OVER (PARTITION BY prio ORDER BY n, day) AS rn,
+             |      count(*) OVER (PARTITION BY prio) AS cnt
+             |    FROM daily) WHERE rn = (cnt + 1) // 2),
+             |dev AS (SELECT daily.prio, day, n, med, abs(n - med) AS absdev
+             |  FROM daily JOIN med ON daily.prio = med.prio),
+             |mad AS (SELECT prio, absdev AS mad FROM (
+             |    SELECT prio, day, absdev,
+             |      row_number() OVER (PARTITION BY prio ORDER BY absdev, day) AS rn,
+             |      count(*) OVER (PARTITION BY prio) AS cnt
+             |    FROM dev) WHERE rn = (cnt + 1) // 2)
+             |SELECT dev.prio, CAST(day AS BIGINT) AS t, n AS v, med, mad, absdev
+             |FROM dev JOIN mad ON dev.prio = mad.prio
+             |WHERE absdev > 3 * mad
+             |ORDER BY dev.prio, t""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

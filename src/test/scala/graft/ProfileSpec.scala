@@ -160,4 +160,19 @@ class ProfileSpec extends SparkSpec {
     assert(t.isNullAt(t.fieldIndex("z_a")), "zero-variance pool must yield NULL z")
   }
 
+  test("spearman: perfect monotone = 1, reversed = -1, constant column = NULL") {
+    import spark.implicits._
+    // y = x^3 is nonlinearly monotone: Spearman 1.0 exactly
+    val mono = Seq((1L, 1L), (2L, 8L), (3L, 27L), (4L, 64L)).toDF("x", "y")
+    assert(Profile.spearman(mono, "x", "y").collect().head.getAs[Double]("rho") == 1.0)
+    val rev = Seq((1L, 4L), (2L, 3L), (3L, 2L), (4L, 1L)).toDF("x", "y")
+    assert(Profile.spearman(rev, "x", "y").collect().head.getAs[Double]("rho") == -1.0)
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("x", "y")
+    val r = Profile.spearman(const, "x", "y").collect().head
+    assert(r.isNullAt(r.fieldIndex("rho")), "zero rank variance must yield NULL rho")
+    // ties: x=(1,1,2), y=(10,10,20) -> still perfectly concordant
+    val tied = Seq((1L, 10L), (1L, 10L), (2L, 20L)).toDF("x", "y")
+    assert(Profile.spearman(tied, "x", "y").collect().head.getAs[Double]("rho") == 1.0)
+  }
+
 }

@@ -106,4 +106,21 @@ class RankingSpec extends SparkSpec {
       .getSeq[org.apache.spark.sql.Row](0)
     assert(out.map(r => (r.getString(0), r.getLong(1))) == Seq(("a", 2L), ("b", 1L)))
   }
+
+  test("skyline2d: dominated points drop, frontier duplicates counted, ties kept") {
+    import spark.implicits._
+    // (size, price): frontier is (3,10) and (5,30); (4,40) is dominated by
+    // (5,30); (3,50) dominated within its own size; (5,30) appears twice.
+    val pts = Seq((3L, 10L), (3L, 50L), (4L, 40L), (5L, 30L), (5L, 30L))
+      .toDF("size", "price")
+    val out = Ranking.skyline2d(pts, "size", "price")
+      .orderBy("up").collect()
+      .map(r => (r.getAs[Long]("up"), r.getAs[Long]("down"), r.getAs[Long]("n_rows")))
+    assert(out.toSeq == Seq((3L, 10L, 1L), (5L, 30L, 2L)))
+    // a point equal in one dim and better in the other still dominates
+    val eq = Seq((2L, 10L), (2L, 20L)).toDF("size", "price")
+    val out2 = Ranking.skyline2d(eq, "size", "price").collect()
+      .map(r => (r.getAs[Long]("up"), r.getAs[Long]("down")))
+    assert(out2.toSeq == Seq((2L, 10L)))
+  }
 }

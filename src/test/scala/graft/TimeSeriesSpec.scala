@@ -307,4 +307,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getAs[Long]("anchor_t1") == 1L && r.getAs[Long]("anchor_t2") == 3L)
   }
 
+  test("madOutliers: integer medians, outlier flagged, zero-MAD key flags all deviants") {
+    import spark.implicits._
+    // v = (10,11,12,13,100): med=12, absdevs=(2,1,0,1,88), MAD=1 -> only 100 flags
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 11L), ("k", 3L, 12L), ("k", 4L, 13L),
+      ("k", 5L, 100L)).toDF("key", "t", "v")
+    val out = TimeSeries.madOutliers(df, Seq("key"), "t", "v", k = 3).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("t") == 5L && r.getAs[Long]("v") == 100L)
+    assert(r.getAs[Long]("med") == 12L && r.getAs[Long]("mad") == 1L
+      && r.getAs[Long]("absdev") == 88L)
+    // majority-constant key: MAD=0, every deviating point flags
+    val z = Seq(("z", 1L, 5L), ("z", 2L, 5L), ("z", 3L, 5L), ("z", 4L, 6L))
+      .toDF("key", "t", "v")
+    val outZ = TimeSeries.madOutliers(z, Seq("key"), "t", "v", k = 3).collect()
+    assert(outZ.map(_.getAs[Long]("t")).toSeq == Seq(4L))
+  }
 }
