@@ -71,6 +71,24 @@ object Det {
     * sides compare naive-to-naive. */
   def ntz(c: Column): Column = c.cast(org.apache.spark.sql.types.TimestampNTZType)
 
+  /**
+   * DuckDB SQL: correctly-rounded integer→DOUBLE for values past 2^53.
+   * DuckDB's HUGEINT→DOUBLE cast is NOT round-to-nearest (probed: it
+   * double-rounds via 64-bit halves — a 76-bit value landed 1 ulp high)
+   * while Spark's Decimal→Double is correctly rounded, so any mirror
+   * casting an exact statistic that can exceed 2^53 must go through an
+   * exact hi/lo 2^32 split: hi·2^32 is exact in double for |v| < 2^85,
+   * lo (< 2^32) is exact, and their single addition rounds once — the
+   * round-to-nearest value, engine-independent. Holds for negatives:
+   * DuckDB `%` keeps the dividend's sign, so hi·2^32 + lo = v under
+   * truncating `//`. `expr` must be a HUGEINT (or cast-to-HUGEINT)
+   * expression; it is interpolated twice, so keep it a column or CTE
+   * field, not a side-effecting subquery.
+   */
+  def hiLoDoubleSql(expr: String): String =
+    s"(CAST(($expr) // 4294967296 AS DOUBLE) * 4294967296.0 + " +
+      s"CAST(($expr) % 4294967296 AS DOUBLE))"
+
   /** DuckDB SQL mirroring [[dsum]]. */
   def dsumSql(col: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE)"

@@ -177,6 +177,67 @@ object EventOps {
   }
 
   /**
+   * PEAK CONCURRENCY per key — the sweep-line maximum of simultaneously
+   * open half-open intervals [start, end): +1 at each start, −1 at each
+   * end, cumulative-sum over time, max. The classic occupancy /
+   * max-connections / in-flight-shipments statistic that
+   * [[mergeIntervals]]'s union-length cannot answer.
+   *
+   * Scale shape: deltas PRE-AGGREGATE onto the per-(key, time) grid
+   * (one keyed agg with map-side combine over 2 rows per interval), so
+   * the cumulative window walks each key's DISTINCT event times — at
+   * 100 TB the window state is the time-grid cardinality (dates: a few
+   * thousand), never the interval count. The cumulative sum is exact
+   * integers; `peak_at` is the EARLIEST time attaining the peak (the
+   * min-over-filter makes the answer a total function of the data, no
+   * tie ambiguity). Inverted/NULL intervals fail loudly like
+   * [[mergeIntervals]] — a silent drop would understate occupancy.
+   */
+  def peakConcurrency(df: DataFrame, keys: Seq[String],
+                      startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(startCol)
+    val e = col(endCol)
+    val guarded = when(s.isNull || e.isNull || e < s,
+      raise_error(lit(s"peakConcurrency: NULL or inverted [$startCol, $endCol)"))
+        .cast(df.schema(startCol).dataType)).otherwise(s)
+    val kcols = keys.map(col)
+    val events = df.withColumn("__s", guarded)
+      .select(kcols :+ col("__s").as("t") :+ lit(1L).as("d"): _*)
+      .unionAll(df.select(kcols :+ e.as("t") :+ lit(-1L).as("d"): _*))
+    val deltas = events.groupBy(kcols :+ col("t"): _*).agg(sum("d").as("delta"))
+    val walk = Window.partitionBy(kcols: _*).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas.withColumn("__open", sum("delta").over(walk))
+      .withColumn("__peak", max(col("__open"))
+        .over(Window.partitionBy(kcols: _*)))
+    run.filter(col("__open") === col("__peak"))
+      .groupBy(kcols: _*)
+      .agg(max("__peak").as("peak"), min("t").as("peak_at"))
+  }
+
+  /** DuckDB mirror of [[peakConcurrency]] — same ±1 grid deltas,
+    * cumulative walk, earliest-peak pick. `keys`/cols are interpolated
+    * verbatim; `rel` supplies start/end columns by those names. */
+  def peakConcurrencySql(rel: String, keys: Seq[String],
+                         startCol: String, endCol: String): String = {
+    val ks = keys.mkString(", ")
+    s"""WITH ev AS (
+       |  SELECT $ks, $startCol AS t, CAST(1 AS BIGINT) AS d FROM $rel
+       |  UNION ALL
+       |  SELECT $ks, $endCol AS t, CAST(-1 AS BIGINT) AS d FROM $rel),
+       |deltas AS (SELECT $ks, t, SUM(d) AS delta FROM ev GROUP BY ALL),
+       |walk AS (SELECT $ks, t,
+       |    SUM(delta) OVER (PARTITION BY $ks ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS open
+       |  FROM deltas),
+       |pk AS (SELECT $ks, t, open,
+       |    MAX(open) OVER (PARTITION BY $ks) AS peak FROM walk)
+       |SELECT $ks, CAST(MAX(peak) AS BIGINT) AS peak, MIN(t) AS peak_at
+       |FROM pk WHERE open = peak GROUP BY ALL""".stripMargin
+  }
+
+  /**
    * First-order Markov transition matrix over each user's event-type
    * sequence: counts of (previous type → type) transitions plus the
    * row-normalized transition probability — the standard

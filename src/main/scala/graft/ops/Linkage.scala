@@ -76,4 +76,44 @@ object Linkage {
         .reduce(_ + _).as("n_agree"),
       col("__N").as("corpus_n"))
   }
+
+  /**
+   * Blocked EDIT-DISTANCE pairs — full Levenshtein (arbitrary distance,
+   * unlike [[graft.ops.Dedup]]'s ED≤1 deletion-neighborhood fast path),
+   * for the "same entity, differently typed" band the ED≤1 trick can't
+   * reach. Uses Spark's builtin codegen `levenshtein` (classic unit-cost
+   * DP — identical in DuckDB, so pairs oracle-verify exactly).
+   *
+   * Blocking is MANDATORY: candidates come from an equi-join on
+   * `blockCols` (a shuffle hash join at any scale); the quadratic DP
+   * runs only within blocks, so cost is Σ block² — the linkage-survey
+   * posture, never all-pairs. Each unordered pair appears once
+   * (`id_a < id_b`); self-pairs are excluded by the same inequality.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String], maxDistance: Int): DataFrame = {
+    require(blockCols.nonEmpty,
+      "editDistancePairs: blocking columns required (never all-pairs)")
+    require(maxDistance >= 1, "editDistancePairs: maxDistance must be >= 1")
+    val aP = df.select(blockCols.map(col) :+ col(idCol).as("id_a")
+      :+ col(textCol).as("__t_a"): _*)
+    val bP = df.select(blockCols.map(col) :+ col(idCol).as("id_b")
+      :+ col(textCol).as("__t_b"): _*)
+    aP.join(bP, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("distance", levenshtein(col("__t_a"), col("__t_b")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("distance"))
+  }
+
+  /** DuckDB mirror of [[editDistancePairs]] — same block equi-join,
+    * same builtin DP levenshtein, same `id_a < id_b` dedup. */
+  def editDistancePairsSql(rel: String, idCol: String, textCol: String,
+                           blockCols: Seq[String], maxDistance: Int): String = {
+    val on = blockCols.map(c => s"a.$c = b.$c").mkString(" AND ")
+    s"""SELECT a.$idCol AS id_a, b.$idCol AS id_b,
+       |  CAST(levenshtein(a.$textCol, b.$textCol) AS INT) AS distance
+       |FROM $rel a JOIN $rel b ON $on AND a.$idCol < b.$idCol
+       |WHERE levenshtein(a.$textCol, b.$textCol) <= $maxDistance""".stripMargin
+  }
 }

@@ -465,8 +465,7 @@ object Profile {
     * exact in double (hi < 2⁵³ for |v| < 2⁸⁵), lo < 2³² is exact, and
     * their one addition rounds once = the correctly-rounded value. */
   def spearmanSql(rel: String, xCol: String, yCol: String): String = {
-    def d(v: String) =
-      s"(CAST($v // 4294967296 AS DOUBLE) * 4294967296.0 + CAST($v % 4294967296 AS DOUBLE))"
+    def d(v: String) = graft.Det.hiLoDoubleSql(v)
     s"""WITH base AS (SELECT CAST($xCol AS BIGINT) AS x, CAST($yCol AS BIGINT) AS y
        |  FROM $rel WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL),
        |rx AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c + 1 AS r_x
@@ -488,6 +487,195 @@ object Profile {
        |  FROM agg)
        |SELECT n, ${d("num")} / sqrt(${d("vx")} * ${d("vy")}) AS rho
        |FROM mom""".stripMargin
+  }
+
+  /**
+   * Kendall τ-b rank correlation between two integral columns — the
+   * concordant/discordant-pair measure with the standard tie
+   * correction. The pair counting NEVER touches row pairs: it runs on
+   * the JOINT VALUE-COUNT contingency (one `groupBy(x, y)` pass), and
+   * C/D come from a broadcast self-join of those cells — cost is
+   * |X|·|Y| domain cells squared, independent of row count, so a
+   * 50×7-domain fact can be 100 TB and the pair stage stays a few
+   * hundred cells. C = Σ n_i·n_j over cell pairs concordant in both
+   * coordinates (each unordered pair once via x_i < x_j), D the
+   * discordant ones; ties come off the marginals:
+   * τ-b = (C−D)/√((n₀−t_x)(n₀−t_y)), n₀ = n(n−1)/2.
+   *
+   * Every count is DECIMAL(38,0)-exact; the epilogue casts the three
+   * big exact integers to double once each (correctly rounded — the
+   * mirror uses [[graft.Det.hiLoDoubleSql]]) and runs one fixed IEEE
+   * chain with a single sqrt over the product. Degenerate marginals
+   * (either column constant) → NULL, both engines.
+   */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast(LongType).as("x"), col(yCol).cast(LongType).as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).cast(dec38).as("c"))
+    val a = cells.select(col("x").as("xa"), col("y").as("ya"), col("c").as("ca"))
+    val b = cells.select(col("x").as("xb"), col("y").as("yb"), col("c").as("cb"))
+    val pairs = a.join(broadcast(b), col("xa") < col("xb"))
+      .agg(
+        sum(when(col("ya") < col("yb"), col("ca") * col("cb"))
+          .otherwise(lit(0).cast(dec38))).as("cc"),
+        sum(when(col("ya") > col("yb"), col("ca") * col("cb"))
+          .otherwise(lit(0).cast(dec38))).as("dd"))
+    // marginal tie masses: t = Σ m(m−1)/2 over each coordinate's counts
+    def tieMass(cc: String, out: String) = cells
+      .groupBy(col(cc)).agg(sum(col("c")).as("m"))
+      .agg(coalesce(sum(col("m") * (col("m") - lit(1))), lit(0).cast(dec38))
+        .as(out)) // doubled: m(m−1), halve exactly below
+    val n = cells.agg(sum(col("c")).as("n"))
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    pairs.crossJoin(broadcast(tieMass("x", "tx2")))
+      .crossJoin(broadcast(tieMass("y", "ty2")))
+      .crossJoin(broadcast(n))
+      .select(col("n").cast(LongType).as("n"),
+        (col("cc") - col("dd")).as("cmd"),
+        // doubled everywhere: 2n₀ − 2t = n(n−1) − m(m−1)Σ; the /2 pair
+        // cancels inside the sqrt product against the (C−D) doubling
+        (col("n") * (col("n") - lit(1)) - col("tx2")).as("dx2"),
+        (col("n") * (col("n") - lit(1)) - col("ty2")).as("dy2"))
+      .select(col("n"),
+        when(col("dx2") > 0 && col("dy2") > 0,
+          d(col("cmd") * lit(2)) / sqrt(d(col("dx2")) * d(col("dy2"))))
+          .as("tau_b"))
+  }
+
+  /** DuckDB mirror of [[kendallTau]] — same contingency-cell pair
+    * counting, HUGEINT-exact, same doubled-scale epilogue with
+    * hi/lo-split casts. */
+  def kendallTauSql(rel: String, xCol: String, yCol: String): String = {
+    def d(v: String) = graft.Det.hiLoDoubleSql(v)
+    s"""WITH cells AS (SELECT CAST($xCol AS BIGINT) AS x, CAST($yCol AS BIGINT) AS y,
+       |    CAST(count(*) AS HUGEINT) AS c
+       |  FROM $rel WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL GROUP BY 1, 2),
+       |pairs AS (SELECT
+       |    COALESCE(SUM(CASE WHEN a.y < b.y THEN a.c * b.c END), 0) AS cc,
+       |    COALESCE(SUM(CASE WHEN a.y > b.y THEN a.c * b.c END), 0) AS dd
+       |  FROM cells a JOIN cells b ON a.x < b.x),
+       |tx AS (SELECT COALESCE(SUM(m * (m - 1)), 0) AS tx2
+       |  FROM (SELECT SUM(c) AS m FROM cells GROUP BY x)),
+       |ty AS (SELECT COALESCE(SUM(m * (m - 1)), 0) AS ty2
+       |  FROM (SELECT SUM(c) AS m FROM cells GROUP BY y)),
+       |nn AS (SELECT SUM(c) AS n FROM cells),
+       |mom AS (SELECT n, cc - dd AS cmd,
+       |    n * (n - 1) - tx2 AS dx2, n * (n - 1) - ty2 AS dy2
+       |  FROM pairs, tx, ty, nn)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CASE WHEN dx2 > 0 AND dy2 > 0
+       |    THEN ${d("cmd * 2")} / sqrt(${d("dx2")} * ${d("dy2")}) END AS tau_b
+       |FROM mom""".stripMargin
+  }
+
+  /**
+   * Pearson chi-squared test of independence over two categorical
+   * columns — on the CONTINGENCY CELLS (one `groupBy(x, y)` pass plus
+   * two marginal re-aggregations of the cells, never a second fact
+   * scan). χ² = Σ (O·n − r·k)² / (r·k·n), computed per cell in EXACT
+   * micro-unit fixed point: the numerator (O·n − r·k)²·10⁶ is a
+   * DECIMAL(38,0) integer, the division is INTEGRAL (`div` / `//` —
+   * truncation identical in both engines on non-negative operands),
+   * and the per-cell longs sum exactly, so the statistic is
+   * deterministic to 10⁻⁶ with zero order-dependent FP. Exactness
+   * bound: |O·n − r·k|²·10⁶ < 10³⁸ ⇒ n ≲ 3×10⁹ rows; past that,
+   * χ² is count-scale-covariant (χ²(λO) = λ·χ²) so compute on
+   * per-λ-sampled counts and multiply back — documented, not silent.
+   * Also reports Cramér's V = √(χ²/(n·min(|X|−1,|Y|−1))) — the
+   * [0,1]-normalized association strength.
+   */
+  def chiSquared(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast(dec38).as("o"))
+    val rx = cells.groupBy("x").agg(sum("o").as("r"))
+    val ky = cells.groupBy("y").agg(sum("o").as("k"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("x").as("nx"), countDistinct("y").as("ny"))
+    val diff = col("o") * col("n") - col("r") * col("k")
+    val cellTerms = cells.join(broadcast(rx), Seq("x")).join(broadcast(ky), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("nx"), col("ny"),
+        expr("(o * n - r * k) * (o * n - r * k) * 1000000")
+          .as("num"), (col("r") * col("k") * col("n")).as("den"))
+      .select(col("n"), col("nx"), col("ny"), expr("num div den").as("term"))
+    cellTerms.groupBy("n", "nx", "ny")
+      .agg(sum("term").as("chi2_micro"))
+      .select(col("n").cast(LongType).as("n"),
+        (col("chi2_micro").cast(DoubleType) / lit(1e6)).as("chi2"),
+        sqrt((col("chi2_micro").cast(DoubleType) / lit(1e6)) /
+          (col("n").cast(DoubleType) *
+            (least(col("nx"), col("ny")) - lit(1)).cast(DoubleType)))
+          .as("cramers_v"))
+  }
+
+  /** DuckDB mirror of [[chiSquared]] — same cells/marginals, HUGEINT
+    * micro fixed point, same `//` truncation, same double epilogue
+    * (chi2_micro ≤ 10⁶·χ²·cells stays well under 2⁵³ for any χ² this
+    * bound admits, so the plain cast is exact). */
+  def chiSquaredSql(rel: String, xCol: String, yCol: String): String =
+    s"""WITH cells AS (SELECT $xCol AS x, $yCol AS y, CAST(count(*) AS HUGEINT) AS o
+       |  FROM $rel WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL GROUP BY 1, 2),
+       |rx AS (SELECT x, SUM(o) AS r FROM cells GROUP BY 1),
+       |ky AS (SELECT y, SUM(o) AS k FROM cells GROUP BY 1),
+       |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT x) AS nx, COUNT(DISTINCT y) AS ny
+       |  FROM cells),
+       |terms AS (SELECT n, nx, ny,
+       |    ((o * n - r * k) * (o * n - r * k) * 1000000) // (r * k * n) AS term
+       |  FROM cells JOIN rx USING (x) JOIN ky USING (y), tot)
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  CAST(SUM(term) AS DOUBLE) / 1e6 AS chi2,
+       |  sqrt((CAST(SUM(term) AS DOUBLE) / 1e6) /
+       |       (CAST(n AS DOUBLE) * (LEAST(nx, ny) - 1))) AS cramers_v
+       |FROM terms GROUP BY n, nx, ny""".stripMargin
+
+  /**
+   * Exact WEIGHTED median per key — the smallest value v whose
+   * cumulative weight reaches half the key's total (lower weighted
+   * median: 2·cum(v) ≥ W, all integer, no interpolation). Runs on the
+   * per-key VALUE-COUNT table (one `groupBy(key, v) sum(w)` pass with
+   * map-side combine), so the window sorts each key's DISTINCT values,
+   * never its rows — at 100 TB the window state is the value domain.
+   * Weights must be non-negative integers; zero-weight keys produce no
+   * row (no median of nothing).
+   */
+  def weightedMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                     weightCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kcols = keys.map(col)
+    val vc = df.filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(kcols :+ col(valueCol).cast(LongType).as("v"): _*)
+      .agg(sum(col(weightCol).cast(LongType)).as("wc"))
+    val cum = Window.partitionBy(kcols: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(kcols: _*)
+    vc.withColumn("__cum", sum("wc").over(cum))
+      .withColumn("__tot", sum("wc").over(all))
+      .filter(lit(2) * col("__cum") >= col("__tot") && col("__tot") > 0)
+      .groupBy(kcols: _*)
+      .agg(min("v").as("weighted_median"), max("__tot").as("total_weight"))
+  }
+
+  /** DuckDB mirror of [[weightedMedian]] — same value-count table,
+    * same cumulative-weight walk, same lower-median pick. */
+  def weightedMedianSql(rel: String, keys: Seq[String], valueCol: String,
+                        weightCol: String): String = {
+    val ks = keys.mkString(", ")
+    s"""WITH vc AS (SELECT $ks, CAST($valueCol AS BIGINT) AS v,
+       |    SUM(CAST($weightCol AS BIGINT)) AS wc
+       |  FROM $rel WHERE $valueCol IS NOT NULL AND $weightCol IS NOT NULL
+       |  GROUP BY ALL),
+       |walk AS (SELECT $ks, v,
+       |    SUM(wc) OVER (PARTITION BY $ks ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(wc) OVER (PARTITION BY $ks) AS tot
+       |  FROM vc)
+       |SELECT $ks, CAST(MIN(v) AS BIGINT) AS weighted_median,
+       |  CAST(MAX(tot) AS BIGINT) AS total_weight
+       |FROM walk WHERE 2 * cum >= tot AND tot > 0
+       |GROUP BY ALL""".stripMargin
   }
 
   /** DuckDB mirror of [[ksTest]] over relations `aRel`/`bRel`. */

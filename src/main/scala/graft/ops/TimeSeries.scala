@@ -751,6 +751,41 @@ object TimeSeries {
    * engines by one ulp. Returned with the anchor pair that produced
    * it, so the answer is auditable.
    */
+  /**
+   * Business days (Mon–Fri) in the half-open span [d1, d2) — the SLA /
+   * lead-time calendar arithmetic every ops dashboard needs, as a pure
+   * closed-form integer expression (no calendar table, no explode, no
+   * UDF: stays inside whole-stage codegen). With anchor Monday
+   * 1970-01-05 and e = days(d) − days(anchor):
+   * B(e) = (e div 7)·5 + least(e mod 7, 5) counts business days in
+   * [anchor, d); the span is B(e2) − B(e1). Weekend-start spans and
+   * multi-week spans fall out of the same formula — no cases.
+   *
+   * PRECONDITION: both dates ≥ 1970-01-05 (truncating div/mod equal
+   * floor semantics only for non-negative e; TPC-H-era data is 1992+).
+   * d2 < d1 yields the negative of the reversed span — well-defined.
+   */
+  def busdays(d1: org.apache.spark.sql.Column,
+              d2: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def b(d: org.apache.spark.sql.Column) = {
+      val e = datediff(d, to_date(lit("1970-01-05")))
+      // floor(e/7) in double is exact for e ≤ 2^52 (correctly-rounded
+      // division can't cross an integer boundary); `/` on longs would
+      // be true division and `div` needs expr-string plumbing
+      floor(e / lit(7.0)).cast("long") * 5 + least(e % 7, lit(5)).cast("long")
+    }
+    b(d2) - b(d1)
+  }
+
+  /** DuckDB mirror of [[busdays]] — an expression fragment over date
+    * expressions `d1`/`d2`, same anchor and closed form. */
+  def busdaysSql(d1: String, d2: String): String = {
+    def b(d: String) =
+      s"((date_diff('day', DATE '1970-01-05', $d) // 7) * 5 + " +
+        s"LEAST(date_diff('day', DATE '1970-01-05', $d) % 7, 5))"
+    s"(${b(d2)} - ${b(d1)})"
+  }
+
   def theilSenSlope(series: DataFrame, keys: Seq[String],
                     orderCol: String, valueCol: String): DataFrame = {
     val kcols = keys.map(col)

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, Tables}
 import graft.engine.Warehouse
-import graft.ops.{Dedup, EventOps, Graph, Multimodal, Packing, Profile, Quality, Ranking, Sampling, Search, Similarity, TextOps, TimeSeries, UrlOps}
+import graft.ops.{Dedup, EventOps, Graph, Linkage, Multimodal, Packing, Profile, Quality, Ranking, Sampling, Search, Similarity, TextOps, TimeSeries, UrlOps}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -6415,6 +6415,114 @@ object ExtQueries {
              |FROM dev JOIN mad ON dev.prio = mad.prio
              |WHERE absdev > 3 * mad
              |ORDER BY dev.prio, t""".stripMargin)),
+
+    // Kendall τ-b ([[Profile.kendallTau]]): concordance between
+    // quantity and line number over lineitem. The pair counting runs on
+    // the 50×7 joint contingency — a few hundred broadcast cells
+    // squared, row-count-independent — with DECIMAL(38,0)-exact C/D and
+    // hi/lo-split casts in the mirror (DuckDB's HUGEINT→DOUBLE is not
+    // correctly rounded; see Det.hiLoDoubleSql).
+    Q("q_kendall",
+      (s, dir) => Profile.kendallTau(
+        Tables.lineitem(s, dir), "l_quantity", "l_linenumber"),
+      Some(Profile.kendallTauSql("lineitem", "l_quantity", "l_linenumber"))),
+
+    // Chi-squared independence + Cramér's V ([[Profile.chiSquared]]):
+    // is order priority independent of order status? Computed on the
+    // 5×3 contingency cells in exact micro fixed point — integral
+    // division truncates identically in both engines, per-cell longs
+    // sum exactly, zero order-dependent FP.
+    Q("q_chi2",
+      (s, dir) => Profile.chiSquared(
+        Tables.orders(s, dir), "o_orderpriority", "o_orderstatus"),
+      Some(Profile.chiSquaredSql("orders", "o_orderpriority", "o_orderstatus"))),
+
+    // Exact weighted median ([[Profile.weightedMedian]]): the
+    // quantity-weighted median unit price per return flag — "the price
+    // at which half the shipped units are cheaper". Walks the per-key
+    // VALUE-COUNT table, so window state is the distinct-price domain,
+    // never the fact rows; all-integer lower-median pick.
+    Q("q_weighted_median",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents"),
+          col("l_quantity").cast(LongType).as("qty"))
+        Profile.weightedMedian(li, Seq("l_returnflag"), "price_cents", "qty")
+          .orderBy("l_returnflag")
+      },
+      Some(Profile.weightedMedianSql(
+        """(SELECT l_returnflag,
+          |        CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+          |        CAST(l_quantity AS BIGINT) AS qty FROM lineitem)"""
+          .stripMargin.replace("\n", " "),
+        Seq("l_returnflag"), "price_cents", "qty") + "\nORDER BY l_returnflag")),
+
+    // Peak interval concurrency ([[EventOps.peakConcurrency]]): each
+    // supplier's maximum simultaneous in-transit shipments over the
+    // same derived transit windows as ev_interval_union — the
+    // sweep-line occupancy statistic interval UNION cannot answer.
+    // Deltas pre-aggregate onto the (supplier, date) grid, so the
+    // cumulative window walks ~2500 distinct dates per key at any
+    // fact size; earliest peak date breaks ties totally.
+    Q("ev_peak_concurrency",
+      (s, dir) => {
+        val iv = Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_shipdate").cast(DateType).as("s"),
+            date_add(col("l_shipdate").cast(DateType),
+              (col("l_linenumber") % 14) + 1).as("e"))
+        EventOps.peakConcurrency(iv, Seq("l_suppkey"), "s", "e")
+          .orderBy("l_suppkey")
+      },
+      Some("SELECT * FROM (" + EventOps.peakConcurrencySql(
+        """(SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+          |   CAST(l_shipdate AS DATE) + INTERVAL ((l_linenumber % 14) + 1) DAY AS e
+          | FROM lineitem)""".stripMargin.replace("\n", " "),
+        Seq("l_suppkey"), "s", "e") + ")\nORDER BY l_suppkey")),
+
+    // Blocked full-Levenshtein linkage ([[Linkage.editDistancePairs]]):
+    // near-identical part names within (brand, type) blocks at edit
+    // distance ≤ 3 — the band the ED≤1 deletion-neighborhood fast path
+    // (dd_fuzzy_pairs) cannot reach. Builtin codegen DP on both
+    // engines; quadratic work confined to blocks (Σ block², never
+    // all-pairs).
+    Q("er_edit_distance",
+      (s, dir) => Linkage.editDistancePairs(
+        Tables.part(s, dir), "p_partkey", "p_name",
+        Seq("p_brand", "p_type"), maxDistance = 3)
+        .orderBy("id_a", "id_b"),
+      Some(Linkage.editDistancePairsSql(
+        "part", "p_partkey", "p_name", Seq("p_brand", "p_type"), 3) +
+        "\nORDER BY id_a, id_b")),
+
+    // Business-day lead time ([[TimeSeries.busdays]]): Mon–Fri days
+    // between order date and ship date per priority — closed-form
+    // integer calendar arithmetic (no calendar table, no explode, fully
+    // codegen) over the order⋈lineitem join; exact BIGINT sum, one
+    // double division for the mean.
+    Q("p_busdays",
+      (s, dir) => {
+        val j = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+        j.select(col("o_orderpriority"),
+            TimeSeries.busdays(col("o_orderdate").cast(DateType),
+              col("l_shipdate").cast(DateType)).as("bd"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum("bd").as("sum_busdays"))
+          .withColumn("avg_busdays",
+            col("sum_busdays").cast(DoubleType) / col("n").cast(DoubleType))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(SUM(${TimeSeries.busdaysSql(
+                   "CAST(o_orderdate AS DATE)", "CAST(l_shipdate AS DATE)")}) AS BIGINT)
+              |    AS sum_busdays,
+              |  CAST(SUM(${TimeSeries.busdaysSql(
+                   "CAST(o_orderdate AS DATE)", "CAST(l_shipdate AS DATE)")}) AS DOUBLE)
+              |    / count(*) AS avg_busdays
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -301,4 +301,23 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-01", 2L, 1L, 500L, 1700L),
       ("2024-01-03", 0L, 1L, 100L, 100L)))
   }
+
+  test("peakConcurrency: sweep-line max, half-open ends, inverted fails") {
+    import spark.implicits._
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-01-$day%02d")
+    // [1,5) [2,4) [3,6): all three open on day 3 and 3..4 window
+    val iv = Seq(("k", d(1), d(5)), ("k", d(2), d(4)), ("k", d(3), d(6)),
+      // half-open: [1,3) and [3,5) never overlap
+      ("h", d(1), d(3)), ("h", d(3), d(5)))
+      .toDF("key", "s", "e")
+    val out = EventOps.peakConcurrency(iv, Seq("key"), "s", "e")
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("peak"), r.getDate(2).toString))
+    assert(out.toSeq == Seq(("h", 1L, "2024-01-01"), ("k", 3L, "2024-01-03")))
+    val bad = Seq(("k", d(5), d(1))).toDF("key", "s", "e")
+    val ex = intercept[Exception] {
+      EventOps.peakConcurrency(bad, Seq("key"), "s", "e").collect()
+    }
+    assert(ex.getMessage.contains("inverted"))
+  }
 }

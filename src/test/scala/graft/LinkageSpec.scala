@@ -74,4 +74,20 @@ class LinkageSpec extends SparkSpec {
     val s = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS j").collect().head
     assert(s.getDouble(0) == 0.9611111111111111)
   }
+
+  test("editDistancePairs: blocked DP distances, cross-block never compared") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "kitten", "b1"), (2L, "sitting", "b1"), (3L, "kitten", "b1"),
+      (4L, "kitten", "b2"), // identical text, different block: no pair
+      (5L, "zzzzzzzz", "b1")) // too far from everything at max 3
+      .toDF("id", "name", "blk")
+    val out = Linkage.editDistancePairs(df, "id", "name", Seq("blk"), 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1L, 2L, 3), (1L, 3L, 0), (2L, 3L, 3)))
+    intercept[IllegalArgumentException] {
+      Linkage.editDistancePairs(df, "id", "name", Seq.empty, 3)
+    }
+  }
 }

@@ -175,4 +175,47 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.spearman(tied, "x", "y").collect().head.getAs[Double]("rho") == 1.0)
   }
 
+  test("kendallTau: hand-computed tau-b with ties, extremes, degenerate NULL") {
+    import spark.implicits._
+    // x=(1,1,2,3), y=(1,2,2,3): C=4, D=0, tx=1, ty=1, n0=6
+    // tau-b = 4 / sqrt(5*5) = 0.8 exactly
+    val t = Seq((1L, 1L), (1L, 2L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val r = Profile.kendallTau(t, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Double]("tau_b") == 0.8)
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    assert(Profile.kendallTau(mono, "x", "y").collect().head
+      .getAs[Double]("tau_b") == 1.0)
+    val rev = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y")
+    assert(Profile.kendallTau(rev, "x", "y").collect().head
+      .getAs[Double]("tau_b") == -1.0)
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    val c = Profile.kendallTau(const, "x", "y").collect().head
+    assert(c.isNullAt(c.fieldIndex("tau_b")), "constant column must yield NULL")
+  }
+
+  test("chiSquared: hand-computed 2x2 in exact micro fixed point") {
+    import spark.implicits._
+    // O = [[10,20],[30,40]]: per-cell micro terms 333333+222222+142857+95238
+    // = 793650 -> chi2 = 0.79365 exactly (true quotient is the decimal)
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val r = Profile.chiSquared(rows.toDF("u", "v"), "u", "v").collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("chi2") == 0.79365)
+    assert(r.getAs[Double]("cramers_v") == math.sqrt(0.79365 / 100.0))
+  }
+
+  test("weightedMedian: lower pick, even split, zero-weight keys vanish") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 1L), // W=4, cum(2)=3 -> 2
+      ("b", 1L, 1L), ("b", 2L, 1L),                           // even split -> lower 1
+      ("z", 9L, 0L))                                          // zero total weight
+      .toDF("k", "v", "w")
+    val out = Profile.weightedMedian(df, Seq("k"), "v", "w")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("weighted_median"),
+        r.getAs[Long]("total_weight")))
+    assert(out.toSeq == Seq(("a", 2L, 4L), ("b", 1L, 2L)))
+  }
+
 }

@@ -324,4 +324,23 @@ class TimeSeriesSpec extends SparkSpec {
     val outZ = TimeSeries.madOutliers(z, Seq("key"), "t", "v", k = 3).collect()
     assert(outZ.map(_.getAs[Long]("t")).toSeq == Seq(4L))
   }
+
+  test("busdays: closed form matches the calendar on known spans") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday
+    val cases = Seq(
+      ("2024-01-01", "2024-01-08", 5L),  // Mon -> next Mon: one full week
+      ("2024-01-06", "2024-01-08", 0L),  // Sat -> Mon: pure weekend
+      ("2024-01-05", "2024-01-06", 1L),  // Fri -> Sat: just Friday
+      ("2024-01-01", "2024-01-16", 11L), // two weeks + Mon
+      ("2024-01-03", "2024-01-03", 0L),  // empty span
+      ("2024-01-08", "2024-01-01", -5L)) // reversed = negative
+    val out = cases.toDF("d1", "d2", "want")
+      .select(col("want"),
+        TimeSeries.busdays(col("d1").cast(DateType), col("d2").cast(DateType))
+          .as("got"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"want ${r.getLong(0)} got ${r.getLong(1)}"))
+  }
 }
