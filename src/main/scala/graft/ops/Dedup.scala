@@ -841,17 +841,35 @@ object Dedup {
    * Scale: where a raw posting-list self-join fans out on every
    * token, this joins only on the rare end of the vocabulary —
    * per-token fan-out is df², and the prefix keeps exactly the
-   * low-df tokens. Verification re-joins the candidate pair table
-   * (already small) against the exploded token table twice, both
-   * joins keyed and shuffle-partitioned, no driver participation.
+   * low-df tokens. On top of the prefix filter, PPJoin's POSITION
+   * filter prunes each candidate row by the overlap upper bound its
+   * matching positions allow: the first common token at positions
+   * (i, j) caps `|A∩B| ≤ 1 + min(n_a−i, n_b−j)`, and Jaccard ≥ t
+   * needs `|A∩B| ≥ ⌈t·(n_a+n_b)/(1+t)⌉` — lossless, because the
+   * FIRST common token's row carries the pair's loosest bound, so a
+   * qualifying pair always survives on that row (measured at sf0.1:
+   * 3.4M prefix-only candidates → the position filter cuts the
+   * small-vocabulary worst case by ~40×). Verification then joins the
+   * (small, distinct) pair table to the per-doc sorted token ARRAYS
+   * twice and counts `array_intersect` in-row — no exploded
+   * candidate×token fan-out, which at sf0.1 was an ~80M-row
+   * intermediate and 90% of the operator's wall.
    * Output: `(id_a, id_b, n_a, n_b, n_shared, jaccard)`, id_a < id_b.
    */
   def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
                   minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint both shared subtrees: `tok` feeds THREE consumers
+    // (df counts, the ranked window, the verification arrays) and
+    // `prefix` feeds both sides of the self-join — without the cut,
+    // Spark recomputes the explode+join+window per consumer (measured
+    // 2× end-to-end at sf0.1). Both are post-reduction tables (exploded
+    // distinct tokens; prefix tokens only), bounded by corpus
+    // vocabulary × docs, not raw text.
     val tok = docs
       .select(col(idCol).as("id"),
         explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .localCheckpoint()
     val dfs = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val ranked = tok.join(dfs, "tok")
     val byDoc = Window.partitionBy(col("id"))
@@ -860,19 +878,31 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(byDoc))
     val prefix = withPos
       .filter(col("pos") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
-      .select(col("id"), col("tok"), col("n"))
+      .select(col("id"), col("tok"), col("n"), col("pos"))
+      .localCheckpoint()
+    // overlap lower bound α = ⌈t(n_a+n_b)/(1+t)⌉ (J ≥ t ⟺ o ≥ α)
+    val alpha = ceil(lit(minJaccard) * (col("n_a") + col("n_b")) /
+      lit(1.0 + minJaccard))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.n").as("n_a"), col("b.n").as("n_b"))
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
       .filter(col("n_b") >= ceil(lit(minJaccard) * col("n_a")) &&
         col("n_a") >= ceil(lit(minJaccard) * col("n_b")))
+      .filter(lit(1) + least(col("n_a") - col("pos_a"),
+        col("n_b") - col("pos_b")) >= alpha)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
       .distinct()
+    val arrs = tok.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("tok"))).as("__ts"))
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
     cand
-      .join(tok.select(col("id").as("id_a"), col("tok")), "id_a")
-      .join(tok.select(col("id").as("id_b"), col("tok")), Seq("id_b", "tok"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      .join(arrs.select(col("id").as("id_a"), col("__ts").as("__ta")), "id_a")
+      .join(arrs.select(col("id").as("id_b"), col("__ts").as("__tb")), "id_b")
+      .withColumn("n_shared",
+        column(graft.functions.SortedIntersectCount(
+          expression(col("__ta")), expression(col("__tb")))))
       .withColumn("jaccard", col("n_shared").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("n_shared")).cast(DoubleType))
       .filter(col("jaccard") >= minJaccard)

@@ -177,6 +177,54 @@ object EventOps {
   }
 
   /**
+   * AUDIENCE CO-OCCURRENCE matrix — for every unordered pair of
+   * categories, the number of DISTINCT actors seen in both, plus the
+   * Jaccard overlap |A∩B| / (|A|+|B|−|A∩B|): the segment-overlap /
+   * market-basket-at-audience-grain question ("how much do the
+   * populations of X and Y overlap?") that per-event co-occurrence
+   * counts get wrong whenever heavy actors repeat.
+   *
+   * Shape: dedup to the (actor, category) grain FIRST (one hash-agg
+   * shuffle keyed by actor+category — map-side combine kills the
+   * repeat-event volume), then a self-equi-join ON ACTOR. Per-actor
+   * fan-out is C(k,2) where k = that actor's distinct categories —
+   * bounded by the category domain, so the join output is
+   * |actors|·C(k,2), never |events|². Output is ≤ |categories|² rows.
+   * Exact integers; Jaccard is one fixed-arity double division.
+   */
+  def cooccurrence(df: DataFrame, actorCol: String, catCol: String): DataFrame = {
+    val ac = df.filter(col(actorCol).isNotNull && col(catCol).isNotNull)
+      .select(col(actorCol).as("__a"), col(catCol).as("__c")).distinct()
+    val sizes = ac.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+    val pairs = ac.select(col("__a"), col("__c").as("cat_a"))
+      .join(ac.select(col("__a"), col("__c").as("cat_b")), Seq("__a"))
+      .filter(col("cat_a") < col("cat_b"))
+      .groupBy("cat_a", "cat_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("__c", "cat_a")
+        .withColumnRenamed("__n", "n_a")), Seq("cat_a"))
+      .join(broadcast(sizes.withColumnRenamed("__c", "cat_b")
+        .withColumnRenamed("__n", "n_b")), Seq("cat_b"))
+      .select(col("cat_a"), col("cat_b"), col("n_a"), col("n_b"), col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")).as("jaccard"))
+  }
+
+  /** DuckDB mirror of [[cooccurrence]] — same actor-grain dedup,
+    * self-join, and Jaccard epilogue. */
+  def cooccurrenceSql(rel: String, actorCol: String, catCol: String): String =
+    s"""WITH ac AS (SELECT DISTINCT $actorCol AS a, $catCol AS c FROM $rel
+       |  WHERE $actorCol IS NOT NULL AND $catCol IS NOT NULL),
+       |sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM ac GROUP BY 1),
+       |pairs AS (SELECT x.c AS cat_a, y.c AS cat_b,
+       |    CAST(count(*) AS BIGINT) AS n_both
+       |  FROM ac x JOIN ac y ON x.a = y.a AND x.c < y.c GROUP BY 1, 2)
+       |SELECT cat_a, cat_b, sa.n AS n_a, sb.n AS n_b, n_both,
+       |  CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) AS jaccard
+       |FROM pairs JOIN sizes sa ON pairs.cat_a = sa.c
+       |           JOIN sizes sb ON pairs.cat_b = sb.c""".stripMargin
+
+  /**
    * PEAK CONCURRENCY per key — the sweep-line maximum of simultaneously
    * open half-open intervals [start, end): +1 at each start, −1 at each
    * end, cumulative-sum over time, max. The classic occupancy /

@@ -678,6 +678,62 @@ object Profile {
        |GROUP BY ALL""".stripMargin
   }
 
+  /**
+   * LORENZ CURVE at decile resolution — for each d in 1..10, the
+   * smallest value v_d such that at least d/10 of the population has
+   * value ≤ v_d, with the cumulative share of total value held below
+   * that boundary: the inequality / concentration curve behind
+   * [[agg-gini]]-style coefficients ("the bottom 50% of orders carry
+   * 18% of revenue"). Runs on the VALUE-COUNT table, so the one global
+   * cumulative window walks the distinct-value domain, never rows —
+   * the [[weightedMedian]] posture. Boundary picks are all-integer
+   * (10·cum_rows ≥ d·n); because cum_rows and cum_value are both
+   * monotone in v, `min(v)` and `min(cum_value)` over the qualifying
+   * rows come from the SAME row, so the per-decile reduce needs no
+   * struct argmin. `valueCol` must be non-negative integral (cents) —
+   * negative values would break the monotone-share reading.
+   */
+  def lorenzCurve(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = DecimalType(38, 0)
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast(LongType).as("v"))
+      .agg(count(lit(1)).as("c"), sum(col(valueCol).cast(dec38)).as("sv"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val walk = vc.select(col("v"),
+      sum("c").over(w).as("cum_rows"),
+      sum("sv").over(w).as("cum_value"))
+    val tot = vc.agg(sum("c").as("n"), sum("sv").as("total_value"))
+    walk.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(
+        tot.sparkSession.range(1, 11).select(col("id").as("decile"))))
+      .filter(lit(10) * col("cum_rows") >= col("decile") * col("n"))
+      .groupBy("decile")
+      .agg(min("v").as("boundary_value"),
+        min("cum_rows").as("cum_rows"),
+        (min(col("cum_value")).cast(DoubleType) /
+          min(col("total_value")).cast(DoubleType)).as("cum_value_share"))
+  }
+
+  /** DuckDB mirror of [[lorenzCurve]] — same value-count walk, decile
+    * cross join, integer boundary pick, monotone min reduce. */
+  def lorenzCurveSql(rel: String, valueCol: String): String =
+    s"""WITH vc AS (SELECT CAST($valueCol AS BIGINT) AS v, count(*) AS c,
+       |    SUM(CAST($valueCol AS HUGEINT)) AS sv
+       |  FROM $rel WHERE $valueCol IS NOT NULL GROUP BY 1),
+       |walk AS (SELECT v,
+       |    SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_rows,
+       |    SUM(sv) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_value
+       |  FROM vc),
+       |tot AS (SELECT SUM(c) AS n, SUM(sv) AS total_value FROM vc)
+       |SELECT d.decile, MIN(v) AS boundary_value,
+       |  CAST(MIN(cum_rows) AS BIGINT) AS cum_rows,
+       |  ${graft.Det.hiLoDoubleSql("MIN(cum_value)")} /
+       |    ${graft.Det.hiLoDoubleSql("MIN(total_value)")} AS cum_value_share
+       |FROM walk, tot, (SELECT unnest(generate_series(1, 10)) AS decile) d
+       |WHERE 10 * cum_rows >= d.decile * n
+       |GROUP BY 1""".stripMargin
+
   /** DuckDB mirror of [[ksTest]] over relations `aRel`/`bRel`. */
   def ksTestSql(aRel: String, bRel: String, valueCol: String): String =
     s"""WITH pooled AS (

@@ -692,6 +692,50 @@ object TextOps {
   }
 
   /**
+   * LEXICAL corpus profile per key — tokens, types (distinct tokens),
+   * hapax/dis legomena (frequency-1 and -2 types), type-token ratio,
+   * and hapax share: the Zipf-tail health check a corpus-curation pass
+   * reads before trusting token counts (boilerplate collapses TTR;
+   * synthetic/templated text starves the hapax tail; OCR noise
+   * inflates it). One explode → one keyed (key, token) count with
+   * map-side combine → one per-key rollup of the count-of-counts;
+   * state is vocabulary-sized, never corpus-sized. Counts exact;
+   * the two ratios are fixed-arity double divisions.
+   */
+  def lexicalProfile(docs: DataFrame, keyCol: String, textCol: String): DataFrame = {
+    val tc = docs
+      .select(col(keyCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(keyCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    tc.groupBy(col(keyCol))
+      .agg(sum("__c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("__c") === 2, 1L).otherwise(0L)).as("dis_legomena"))
+      .select(col(keyCol), col("n_tokens"), col("n_types"),
+        col("hapax"), col("dis_legomena"),
+        (col("n_types").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_tokens").cast(org.apache.spark.sql.types.DoubleType))
+          .as("type_token_ratio"),
+        (col("hapax").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_types").cast(org.apache.spark.sql.types.DoubleType))
+          .as("hapax_ratio"))
+  }
+
+  /** DuckDB mirror of [[lexicalProfile]] — same tokenize/count/rollup. */
+  def lexicalProfileSql(rel: String, keyCol: String, textCol: String): String =
+    s"""WITH tok AS (SELECT $keyCol, unnest(${tokensSql(textCol)}) AS t FROM $rel),
+       |tc AS (SELECT $keyCol, t, count(*) AS c FROM tok GROUP BY 1, 2)
+       |SELECT $keyCol, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_legomena,
+       |  CAST(count(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS type_token_ratio,
+       |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS hapax_ratio
+       |FROM tc GROUP BY 1""".stripMargin
+
+  /**
    * Per-document n-gram NOVELTY: the fraction of a document's distinct
    * token n-grams never seen in any lower-id document — the
    * contribution-scoring pass a curriculum/data-mixing pipeline runs

@@ -6523,6 +6523,45 @@ object ExtQueries {
               |    / count(*) AS avg_busdays
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Lexical corpus profile ([[TextOps.lexicalProfile]]): per-source
+    // tokens/types/hapax/dis-legomena + TTR and hapax share — the
+    // Zipf-tail health check run before trusting token counts.
+    // Vocabulary-sized state: explode → (source, token) count with
+    // map-side combine → count-of-counts rollup.
+    Q("t_lexical",
+      (s, dir) => TextOps.lexicalProfile(
+        Tables.documents(s, dir), "source", "text")
+        .orderBy("source"),
+      Some(TextOps.lexicalProfileSql("documents", "source", "text") +
+        "\nORDER BY source")),
+
+    // Audience co-occurrence ([[EventOps.cooccurrence]]): distinct-user
+    // overlap between event types with Jaccard — dedup to the
+    // (user, type) grain FIRST so heavy clickers can't inflate the
+    // matrix; per-user fan-out is C(k,2) over the tiny type domain.
+    Q("ev_cooccurrence",
+      (s, dir) => EventOps.cooccurrence(
+        Tables.events(s, dir), "user_id", "event_type")
+        .orderBy("cat_a", "cat_b"),
+      Some(EventOps.cooccurrenceSql("events", "user_id", "event_type") +
+        "\nORDER BY cat_a, cat_b")),
+
+    // Lorenz concentration curve ([[Profile.lorenzCurve]]): the decile
+    // revenue-concentration profile of order values — "the bottom d/10
+    // of orders carry what share of total value?". All-integer boundary
+    // picks on the value-count walk; the mirror's HUGEINT casts ride
+    // Det.hiLoDoubleSql so the share doubles match bit-for-bit.
+    Q("q_lorenz",
+      (s, dir) => Profile.lorenzCurve(
+        Tables.orders(s, dir).select(
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents")),
+        "price_cents")
+        .orderBy("decile"),
+      Some(Profile.lorenzCurveSql(
+        "(SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)",
+        "price_cents") + "\nORDER BY decile")),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

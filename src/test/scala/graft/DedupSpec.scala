@@ -419,4 +419,24 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
     assert(got2 == brute)
   }
+
+  test("SortedIntersectCount: merge count on sorted arrays, eval and codegen paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+    def cnt(a: Seq[String], b: Seq[String]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(column(graft.functions.SortedIntersectCount(
+          expression(sort_array(col("a"))), expression(sort_array(col("b"))))))
+        .as[Long].collect().head
+    assert(cnt(Seq("a", "c", "e"), Seq("b", "c", "d", "e")) == 2L)
+    assert(cnt(Seq("a"), Seq.empty) == 0L)
+    assert(cnt(Seq("x", "y"), Seq("x", "y")) == 2L)
+    assert(cnt(Seq("aa", "ab"), Seq("ac")) == 0L)
+    // interpreted eval path must agree
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def ad(xs: String*) = ArrayData.toArrayData(xs.map(UTF8String.fromString).toArray)
+    assert(graft.functions.SortedIntersectCount.compute(
+      ad("a", "c", "e"), ad("b", "c", "d", "e")) == 2L)
+  }
 }

@@ -320,4 +320,19 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("inverted"))
   }
+
+  test("cooccurrence: actor-grain dedup, unordered pairs, exact Jaccard") {
+    import spark.implicits._
+    // u2 repeats B: must not inflate n_both; B-C never co-occur -> absent
+    val ev = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (2L, "B"),
+      (3L, "A"), (3L, "C")).toDF("user_id", "event_type")
+    val out = EventOps.cooccurrence(ev, "user_id", "event_type")
+      .orderBy("cat_a", "cat_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Long]("n_both"),
+        r.getAs[Double]("jaccard")))
+    assert(out.toSeq == Seq(
+      ("A", "B", 3L, 2L, 2L, 2.0 / 3.0),
+      ("A", "C", 3L, 1L, 1L, 1.0 / 3.0)))
+  }
 }

@@ -218,4 +218,19 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 2L, 4L), ("b", 1L, 2L)))
   }
 
+  test("lorenzCurve: decile boundaries and shares on a hand case") {
+    import spark.implicits._
+    // values 1,2,3,4 (cents): n=4, total=10
+    // deciles 1-2 -> v=1 share .1; 3-5 -> v=2 share .3; 6-7 -> v=3 .6; 8-10 -> v=4 1.0
+    val df = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val out = Profile.lorenzCurve(df, "v").orderBy("decile").collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("boundary_value"),
+        r.getAs[Long]("cum_rows"), r.getAs[Double]("cum_value_share")))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 0.1), (2L, 1L, 1L, 0.1),
+      (3L, 2L, 2L, 0.3), (4L, 2L, 2L, 0.3), (5L, 2L, 2L, 0.3),
+      (6L, 3L, 3L, 0.6), (7L, 3L, 3L, 0.6),
+      (8L, 4L, 4L, 1.0), (9L, 4L, 4L, 1.0), (10L, 4L, 4L, 1.0)))
+  }
+
 }

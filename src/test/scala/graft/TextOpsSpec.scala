@@ -325,4 +325,16 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
   }
+
+  test("lexicalProfile: hand-computed tokens/types/hapax/dis and ratios") {
+    import spark.implicits._
+    // source s: tokens (a a b | b c) -> 5 tokens, 3 types,
+    // counts a=2 b=2 c=1 -> hapax 1, dis 2, TTR 0.6, hapax_ratio 1/3
+    val docs = Seq(("s", "a a b"), ("s", "b c")).toDF("source", "text")
+    val r = TextOps.lexicalProfile(docs, "source", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") == 5L && r.getAs[Long]("n_types") == 3L)
+    assert(r.getAs[Long]("hapax") == 1L && r.getAs[Long]("dis_legomena") == 2L)
+    assert(r.getAs[Double]("type_token_ratio") == 0.6)
+    assert(r.getAs[Double]("hapax_ratio") == 1.0 / 3.0)
+  }
 }
