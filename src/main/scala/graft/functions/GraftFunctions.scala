@@ -33,6 +33,8 @@ object GraftFunctions {
     "graft_rolling_hash" -> arity("graft_rolling_hash", 1) { args => RollingHash(args(0)) },
     "graft_jaro_winkler" -> arity("graft_jaro_winkler", 2) { args =>
       JaroWinkler(args(0), args(1)) },
+    "graft_sorted_intersect_count" -> arity("graft_sorted_intersect_count", 2) { args =>
+      SortedIntersectCount(args(0), args(1)) },
     "graft_nfc" -> arity("graft_nfc", 1) { args => NormalizeNfc(args(0)) },
     "graft_shingle_hashes" -> arity("graft_shingle_hashes", 3) { args =>
       def lit[T](e: Expression, what: String): Any =

@@ -734,6 +734,128 @@ object Profile {
        |WHERE 10 * cum_rows >= d.decile * n
        |GROUP BY 1""".stripMargin
 
+  /**
+   * Tukey-fence (IQR) outlier report per key — the boxplot rule:
+   * values outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR], with the quartiles
+   * taken as the SMALLEST value whose cumulative count reaches k/4 of
+   * the key's rows (lower empirical quartile — a real element, exact).
+   * The complement of [[graft.ops.TimeSeries]]'s MAD rule: IQR fences
+   * are THE convention dashboards expect, MAD survives heavier
+   * contamination; a profiler ships both. All comparisons are integer
+   * (×2 scaling folds the 1.5 into `2v < 5·q1 − 3·q3` / `2v > 5·q3 −
+   * 3·q1`), and the walk runs on the per-key VALUE-COUNT table —
+   * window state is the value domain, the [[weightedMedian]] posture.
+   * Output: one row per flagged DISTINCT value `(key, v, c, q1, q3,
+   * side)` — row counts ride along, raw rows never re-scan.
+   */
+  def iqrOutliers(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kcols = keys.map(col)
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(kcols :+ col(valueCol).cast(LongType).as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val walk = Window.partitionBy(kcols: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(kcols: _*)
+    val cum = vc.withColumn("__cum", sum("c").over(walk))
+      .withColumn("__n", sum("c").over(all))
+    def quartile(k: Int, out: String) = cum
+      .filter(lit(4) * col("__cum") >= lit(k) * col("__n"))
+      .groupBy(kcols: _*).agg(min("v").as(out))
+    val q = quartile(1, "q1").join(quartile(3, "q3"), keys)
+    vc.join(q, keys)
+      .withColumn("side",
+        when(lit(2) * col("v") < lit(5) * col("q1") - lit(3) * col("q3"), lit("low"))
+          .when(lit(2) * col("v") > lit(5) * col("q3") - lit(3) * col("q1"), lit("high")))
+      .filter(col("side").isNotNull)
+      .select(kcols ++ Seq(col("v"), col("c"), col("q1"), col("q3"), col("side")): _*)
+  }
+
+  /** DuckDB mirror of [[iqrOutliers]] — same value-count quartile walk
+    * and doubled-integer fences. */
+  def iqrOutliersSql(rel: String, keys: Seq[String], valueCol: String): String = {
+    val ks = keys.mkString(", ")
+    s"""WITH vc AS (SELECT $ks, CAST($valueCol AS BIGINT) AS v, count(*) AS c
+       |  FROM $rel WHERE $valueCol IS NOT NULL GROUP BY ALL),
+       |cum AS (SELECT $ks, v, c,
+       |    SUM(c) OVER (PARTITION BY $ks ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
+       |    SUM(c) OVER (PARTITION BY $ks) AS n
+       |  FROM vc),
+       |q1 AS (SELECT $ks, MIN(v) AS q1 FROM cum WHERE 4 * cr >= n GROUP BY ALL),
+       |q3 AS (SELECT $ks, MIN(v) AS q3 FROM cum WHERE 4 * cr >= 3 * n GROUP BY ALL)
+       |SELECT vc.*, q1, q3,
+       |  CASE WHEN 2 * v < 5 * q1 - 3 * q3 THEN 'low'
+       |       WHEN 2 * v > 5 * q3 - 3 * q1 THEN 'high' END AS side
+       |FROM vc JOIN q1 USING ($ks) JOIN q3 USING ($ks)
+       |WHERE 2 * v < 5 * q1 - 3 * q3 OR 2 * v > 5 * q3 - 3 * q1""".stripMargin
+  }
+
+  /**
+   * Exact Pearson CORRELATION MATRIX over k integral columns in ONE
+   * aggregate pass — all k + k(k+1)/2 sufficient statistics (Σxᵢ,
+   * Σxᵢxⱼ) accumulate as DECIMAL(38,0) in a single map-side-combined
+   * aggregate, so the fact table is scanned once no matter how many
+   * pairs are profiled (the per-pair [[graft.ops.TimeSeries]]
+   * machinery would re-scan per pair). Output is one row per UNordered
+   * pair i<j with `r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²))` — one
+   * sqrt over the variance product (the [[spearman]] ulp lesson), NULL
+   * on degenerate columns. Callers pre-scale to integral units
+   * (cents/basis points); the mirror's big-int casts must ride
+   * [[graft.Det.hiLoDoubleSql]].
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"corrMatrix: 2..16 columns, got ${cols.size}")
+    val dec38 = DecimalType(38, 0)
+    val base = df.select(cols.map(c => col(c).cast(LongType).cast(dec38).as(c)): _*)
+      .na.drop()
+    val sums =
+      Seq(count(lit(1)).cast(dec38).as("n")) ++
+        cols.map(c => sum(col(c)).as(s"s_$c")) ++
+        (for (i <- cols.indices; j <- i until cols.size)
+          yield sum(col(cols(i)) * col(cols(j))).as(s"p_${cols(i)}__${cols(j)}"))
+    // one-row stats table read once per pair row: cut the lineage or
+    // the unionAll of pair SELECTs re-scans the fact table per pair
+    val agg = base.agg(sums.head, sums.tail: _*).localCheckpoint()
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val pairRows = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      val num = col("n") * col(s"p_${a}__$b") - col(s"s_$a") * col(s"s_$b")
+      val va = col("n") * col(s"p_${a}__$a") - col(s"s_$a") * col(s"s_$a")
+      val vb = col("n") * col(s"p_${b}__$b") - col(s"s_$b") * col(s"s_$b")
+      agg.select(lit(a).as("col_x"), lit(b).as("col_y"),
+        col("n").cast(LongType).as("n"),
+        when(d(va) * d(vb) > 0.0, d(num) / sqrt(d(va) * d(vb))).as("corr"))
+    }
+    pairRows.reduce(_ unionAll _)
+  }
+
+  /** DuckDB mirror of [[corrMatrix]] — one aggregate CTE, one SELECT
+    * per pair, hi/lo-split casts for every >2⁵³ statistic. */
+  def corrMatrixSql(rel: String, cols: Seq[String]): String = {
+    def d(v: String) = graft.Det.hiLoDoubleSql(v)
+    val sums =
+      Seq("CAST(count(*) AS HUGEINT) AS n") ++
+        cols.map(c => s"SUM(CAST($c AS HUGEINT)) AS s_$c") ++
+        (for (i <- cols.indices; j <- i until cols.size)
+          yield s"SUM(CAST(${cols(i)} AS HUGEINT) * ${cols(j)}) AS p_${cols(i)}__${cols(j)}")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val pairSelects = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      s"""SELECT '$a' AS col_x, '$b' AS col_y, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN ${d(s"n * p_${a}__$a - s_$a * s_$a")} *
+         |            ${d(s"n * p_${b}__$b - s_$b * s_$b")} > 0.0
+         |    THEN ${d(s"n * p_${a}__$b - s_$a * s_$b")} /
+         |      sqrt(${d(s"n * p_${a}__$a - s_$a * s_$a")} *
+         |           ${d(s"n * p_${b}__$b - s_$b * s_$b")}) END AS corr
+         |FROM agg""".stripMargin
+    }
+    s"""WITH base AS (SELECT ${cols.map(c => s"CAST($c AS BIGINT) AS $c").mkString(", ")}
+       |  FROM $rel WHERE $notNull),
+       |agg AS (SELECT ${sums.mkString(", ")} FROM base)
+       |${pairSelects.mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   /** DuckDB mirror of [[ksTest]] over relations `aRel`/`bRel`. */
   def ksTestSql(aRel: String, bRel: String, valueCol: String): String =
     s"""WITH pooled AS (

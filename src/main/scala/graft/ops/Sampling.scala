@@ -292,4 +292,79 @@ object Sampling {
         floor(lit(total.toDouble) * col("nhsh") / col("__tot"))
           .cast(LongType).as("alloc"))
   }
+
+  /** Poisson(1) CDF thresholds scaled to 2³² and floored — the ONE
+    * source both engines' CASE ladders are generated from, so the
+    * replicate weights are identical bit-for-bit. P(K ≤ k) for
+    * k = 0..7; counts are capped at 8 (P ≈ 1 − 1.1e-7 at the cap). */
+  private[ops] val PoissonCdf32: Seq[Long] = {
+    val e1 = math.exp(-1.0)
+    val pmf = Iterator.iterate((e1, 0)) { case (p, k) => (p / (k + 1), k + 1) }
+      .map(_._1).take(8).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /**
+   * Deterministic POISSON BOOTSTRAP — `replicas` resampled copies of
+   * the data where each row's multiplicity in replica r is a
+   * Poisson(1) draw derived from `md5(id:r)` (the classic
+   * streaming-friendly bootstrap: multinomial resampling needs the
+   * global row count per draw; independent Poisson(1) weights need
+   * only the row). Returns per-replica weighted aggregates of
+   * `valueCol` (must be integral cents): `(replica, n_eff, mean)` —
+   * the spread across replica means IS the standard error of the
+   * mean, measured rather than assumed.
+   *
+   * Determinism contract of [[hashSplit]]: stateless per (row,
+   * replica), engine-portable MD5, no RNG state — re-runs, different
+   * partitionings, and the DuckDB oracle all produce the SAME
+   * replicas. The fan-out is rows×replicas but each fanned row is two
+   * longs wide and immediately aggregated map-side; sums are
+   * DECIMAL(38,0)-exact.
+   */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+                       replicas: Int): DataFrame = {
+    require(replicas >= 2 && replicas <= 1024,
+      s"poissonBootstrap: replicas must be in [2, 1024], got $replicas")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val u = expr("CAST(conv(substring(md5(concat(CAST(__id AS STRING), ':', " +
+      "CAST(replica AS STRING))), 1, 8), 16, 10) AS BIGINT)")
+    val cnt = PoissonCdf32.zipWithIndex.foldRight(lit(8L): org.apache.spark.sql.Column) {
+      case ((thr, k), rest) => when(col("__u") < thr, lit(k.toLong)).otherwise(rest)
+    }
+    df.select(col(idCol).as("__id"),
+        col(valueCol).cast(org.apache.spark.sql.types.LongType).as("__v"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("replica"))
+      .withColumn("__u", u)
+      .withColumn("__w", cnt)
+      .groupBy("replica")
+      .agg(sum("__w").as("n_eff"),
+        sum(col("__w").cast(dec38) * col("__v").cast(dec38)).as("__sv"))
+      .select(col("replica").cast(org.apache.spark.sql.types.LongType).as("replica"),
+        col("n_eff"),
+        when(col("n_eff") > 0,
+          col("__sv").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_eff").cast(org.apache.spark.sql.types.DoubleType)).as("mean"))
+  }
+
+  /** DuckDB mirror of [[poissonBootstrap]] — same md5 weights from the
+    * same threshold literals, same exact sums. */
+  def poissonBootstrapSql(rel: String, idCol: String, valueCol: String,
+                          replicas: Int): String = {
+    val ladder = PoissonCdf32.zipWithIndex
+      .map { case (thr, k) => s"WHEN u < $thr THEN $k" }
+      .mkString(" ")
+    s"""WITH fan AS (SELECT CAST($idCol AS VARCHAR) AS id,
+       |    CAST($valueCol AS BIGINT) AS v, r.replica
+       |  FROM $rel, (SELECT unnest(generate_series(0, ${replicas - 1})) AS replica) r),
+       |w AS (SELECT replica, v,
+       |    CASE $ladder ELSE 8 END AS w
+       |  FROM (SELECT *, CAST(('0x' || substr(md5(id || ':' || CAST(replica AS VARCHAR)), 1, 8))
+       |          AS BIGINT) AS u FROM fan))
+       |SELECT CAST(replica AS BIGINT) AS replica,
+       |  CAST(SUM(w) AS BIGINT) AS n_eff,
+       |  CASE WHEN SUM(w) > 0 THEN
+       |    CAST(SUM(CAST(w AS HUGEINT) * v) AS DOUBLE) / CAST(SUM(w) AS BIGINT) END AS mean
+       |FROM w GROUP BY 1""".stripMargin
+  }
 }

@@ -6562,6 +6562,69 @@ object ExtQueries {
       Some(Profile.lorenzCurveSql(
         "(SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)",
         "price_cents") + "\nORDER BY decile")),
+
+    // Deterministic Poisson bootstrap ([[Sampling.poissonBootstrap]]):
+    // 32 resampled replicas of mean order value, replicate weights
+    // drawn from md5(id:replica) against Poisson(1) CDF thresholds
+    // generated ONCE and embedded in both engines — stateless,
+    // partition-independent, oracle-identical. The replica spread is a
+    // MEASURED standard error; no normality assumed anywhere.
+    Q("samp_bootstrap",
+      (s, dir) => Sampling.poissonBootstrap(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents")),
+        "o_orderkey", "price_cents", replicas = 32)
+        .orderBy("replica"),
+      Some(Sampling.poissonBootstrapSql(
+        "(SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders)",
+        "o_orderkey", "price_cents", replicas = 32) + "\nORDER BY replica")),
+
+    // Tukey-fence outliers ([[Profile.iqrOutliers]]): event values
+    // outside [Q1−1.5·IQR, Q3+1.5·IQR] per event type — the boxplot
+    // convention next to ts_mad_outliers' MAD rule (order totals were
+    // probed first and are fence-clean at every SF: sums of uniform
+    // line items have no Tukey tail — an empty report proves nothing,
+    // so the query targets the heavy-tailed column). Doubled-integer
+    // fences, lower-quartile picks on the value-count walk, flagged
+    // DISTINCT values with their row counts.
+    Q("q_iqr_outliers",
+      (s, dir) => Profile.iqrOutliers(
+        Tables.events(s, dir).select(col("event_type"),
+          (col("value").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("value_cents")),
+        Seq("event_type"), "value_cents")
+        .orderBy("event_type", "v"),
+      Some(Profile.iqrOutliersSql(
+        "(SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents FROM events)",
+        Seq("event_type"), "value_cents") +
+        "\nORDER BY event_type, v")),
+
+    // Exact correlation matrix ([[Profile.corrMatrix]]): all pairwise
+    // Pearson r over four lineitem measures in ONE fact-table pass —
+    // k(k+1)/2 DECIMAL(38,0) sufficient statistics in a single
+    // map-side-combined aggregate, per-pair epilogues off a one-row
+    // checkpointed stats table. Mirror casts ride Det.hiLoDoubleSql.
+    Q("prof_corr_matrix",
+      (s, dir) => Profile.corrMatrix(
+        Tables.lineitem(s, dir).select(
+          col("l_quantity").cast(LongType).as("qty"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents"),
+          (col("l_discount").cast(DecimalType(18, 4)) * 10000)
+            .cast(LongType).as("discount_bp"),
+          (col("l_tax").cast(DecimalType(18, 4)) * 10000)
+            .cast(LongType).as("tax_bp")),
+        Seq("qty", "price_cents", "discount_bp", "tax_bp"))
+        .orderBy("col_x", "col_y"),
+      Some(Profile.corrMatrixSql(
+        """(SELECT CAST(l_quantity AS BIGINT) AS qty,
+          |   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+          |   CAST(round(l_discount * 10000) AS BIGINT) AS discount_bp,
+          |   CAST(round(l_tax * 10000) AS BIGINT) AS tax_bp FROM lineitem)"""
+          .stripMargin.replace("\n", " "),
+        Seq("qty", "price_cents", "discount_bp", "tax_bp")) +
+        "\nORDER BY col_x, col_y")),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

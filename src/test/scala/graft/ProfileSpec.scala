@@ -233,4 +233,30 @@ class ProfileSpec extends SparkSpec {
       (8L, 4L, 4L, 1.0), (9L, 4L, 4L, 1.0), (10L, 4L, 4L, 1.0)))
   }
 
+  test("iqrOutliers: Tukey fences flag the tails, clean keys report nothing") {
+    import spark.implicits._
+    // key a: 1..8 plus 100 -> n=9, q1 at 4*cum>=9 -> v=3, q3 at >=27 -> v=7
+    // IQR=4: low fence 3-6=-3, high 7+6=13 -> only 100 flags (high)
+    val df = ((1L to 8L).map(("a", _)) ++ Seq(("a", 100L)) ++
+      (1L to 4L).map(("b", _))).toDF("k", "v")
+    val out = Profile.iqrOutliers(df, Seq("k"), "v").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("v"), r.getAs[Long]("q1"),
+        r.getAs[Long]("q3"), r.getAs[String]("side")))
+    assert(out.toSeq == Seq(("a", 100L, 3L, 7L, "high")))
+  }
+
+  test("corrMatrix: one-pass exact pairwise r — perfect, inverse, degenerate") {
+    import spark.implicits._
+    // y = 2x -> r=1; z = -x -> r(x,z) = -1; c constant -> NULL with everything
+    val df = Seq((1L, 2L, 3L, 5L), (2L, 4L, 2L, 5L), (3L, 6L, 1L, 5L))
+      .toDF("x", "y", "z", "c")
+    val out = Profile.corrMatrix(df, Seq("x", "y", "z", "c"))
+      .orderBy("col_x", "col_y").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.toSeq == Seq(
+      ("x", "c", None), ("x", "y", Some(1.0)), ("x", "z", Some(-1.0)),
+      ("y", "c", None), ("y", "z", Some(-1.0)), ("z", "c", None)))
+  }
+
 }

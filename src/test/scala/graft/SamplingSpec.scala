@@ -175,4 +175,26 @@ class SamplingSpec extends SparkSpec {
       .orderBy("stratum").collect()
     assert(out.map(_.toSeq).toSeq == out7.map(_.toSeq).toSeq)
   }
+
+  test("poissonBootstrap: deterministic, partition-invariant, Poisson(1)-shaped") {
+    import spark.implicits._
+    val df = (1L to 2000L).map(i => (i, 100L + (i % 7))).toDF("id", "v")
+    val a = Sampling.poissonBootstrap(df, "id", "v", replicas = 8)
+      .orderBy("replica").collect().map(_.toSeq).toSeq
+    val b = Sampling.poissonBootstrap(df.repartition(13), "id", "v", replicas = 8)
+      .orderBy("replica").collect().map(_.toSeq).toSeq
+    assert(a == b, "bootstrap must not depend on partitioning")
+    // Poisson(1) weights: each replica's effective n concentrates near
+    // the true n (sd ≈ sqrt(n) ≈ 45 here; allow 5 sd)
+    val ns = a.map(_(1).asInstanceOf[Long])
+    assert(ns.forall(n => math.abs(n - 2000L) < 225),
+      s"n_eff far from n: $ns")
+    // replica means hover around the true mean (100..106 range)
+    val means = a.map(_(2).asInstanceOf[Double])
+    assert(means.forall(m => m > 100.0 && m < 106.0))
+    assert(means.distinct.size > 1, "replicas must actually differ")
+    intercept[IllegalArgumentException] {
+      Sampling.poissonBootstrap(df, "id", "v", replicas = 1)
+    }
+  }
 }
