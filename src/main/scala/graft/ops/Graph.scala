@@ -176,6 +176,75 @@ object Graph {
     } finally g.unpersistAll()
   }
 
+  /**
+   * DETERMINISTIC random walks — `steps` hops from each seed, the next
+   * hop at step s chosen as the neighbor minimizing `md5(walk:s:dst)`:
+   * a uniform-at-random choice (md5 is equidistributed over neighbors)
+   * that is STATELESS and engine-portable, so walks re-generate
+   * identically on any cluster layout, on re-runs, and in the DuckDB
+   * oracle — the node2vec-style corpus generator for graph-embedding
+   * training data, with the reproducibility a training pipeline
+   * actually needs (an RNG-state walker cannot give lineage-stable
+   * walks across retries).
+   *
+   * Shape: `steps` keyed equi-joins frontier⋈edges (frontier is one
+   * row per walk), each followed by a per-walk min-struct reduce —
+   * map-side combinable, no windows over the edge table. The frontier
+   * is localCheckpoint'd per hop so the unrolled plan stays
+   * constant-size. A dead-end node (no out-edges) ends its walk early
+   * (inner join) — on the symmetrized graphs here every edge is
+   * bidirectional so walks always complete.
+   * Output: `(walk_id, step, node)`, step 0 = the seed.
+   */
+  def randomWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 32, s"randomWalks: steps in [1, 32], got $steps")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var frontier = seeds.select(col("walk_id"), col("node"))
+      .withColumn("step", lit(0L)).localCheckpoint()
+    val legs = scala.collection.mutable.Buffer(frontier)
+    for (s <- 1 to steps) {
+      // ONE string min key: 32-hex md5, ':', then the candidate node
+      // zero-padded to fixed width — lexicographic min = (hash, node)
+      // order in BOTH engines (a struct min has no DuckDB min_by
+      // equivalent; a numeric tie-break only matters on an md5
+      // collision, but the padded key pins it for free)
+      frontier = frontier.select(col("walk_id"), col("node"))
+        .join(e, col("node") === col("src"))
+        .select(col("walk_id"),
+          concat(md5(concat_ws(":", col("walk_id"), lit(s), col("dst"))),
+            lit(":"), lpad(col("dst").cast("string"), 20, "0")).as("__c"))
+        .groupBy("walk_id").agg(min("__c").as("__m"))
+        .select(col("walk_id"),
+          substring(col("__m"), 34, 20).cast("long").as("node"),
+          lit(s.toLong).as("step"))
+        .localCheckpoint()
+      legs += frontier
+    }
+    legs.reduce(_ unionAll _).select("walk_id", "step", "node")
+  }
+
+  /** DuckDB mirror of [[randomWalks]] — one CTE per hop, the same
+    * single-string (md5 ‖ padded node) min key. Expects CTEs
+    * `edges(src, dst)` and `seeds(walk_id, node)` in scope. */
+  def randomWalksSql(steps: Int): String = {
+    // single-line hop CTEs: emitting multi-line SQL here would put a
+    // line-leading `||` under the CALLER's stripMargin, which eats the
+    // first pipe (the round-13 UrlOps lesson in NOTES.md)
+    val hops = (1 to steps).map { s =>
+      val prev = if (s == 1) "w0" else s"w${s - 1}"
+      s"w$s AS (SELECT walk_id, " +
+        s"CAST(substr(MIN(md5(walk_id || ':' || $s || ':' || dst) || ':' || " +
+        s"lpad(CAST(dst AS VARCHAR), 20, '0')), 34, 20) AS BIGINT) AS node, " +
+        s"CAST($s AS BIGINT) AS step " +
+        s"FROM $prev JOIN edges ON $prev.node = edges.src GROUP BY walk_id)"
+    }
+    val union = (0 to steps).map(s => s"SELECT walk_id, step, node FROM w$s")
+      .mkString("\nUNION ALL\n")
+    s"""w0 AS (SELECT walk_id, node, CAST(0 AS BIGINT) AS step FROM seeds),
+       |${hops.mkString(",\n")}
+       |$union""".stripMargin
+  }
+
   /** Per-node triangle counts and local clustering coefficient over an
     * UNDIRECTED simple graph (input edges may be directed/duplicated/
     * self-looped — they are canonicalized first). Output: one row per

@@ -856,6 +856,42 @@ object Profile {
        |${pairSelects.mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /**
+   * Empirical-CDF normalization lookup per key — the quantile
+   * transform of ML feature prep ("replace the raw value with its
+   * percentile within its segment"), emitted as the DOMAIN-SIZED
+   * mapping table `(keys..., v, c, cdf)` with cdf = P(X ≤ v) =
+   * cum_rows/n: join it back to the facts to materialize the feature,
+   * or ship it as the serving-side lookup (which is how a trained
+   * preprocessing step deploys anyway — the table IS the model).
+   * Value-count walk, integer cumulative counts, one fixed double
+   * division per distinct value.
+   */
+  def cdfLookup(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kcols = keys.map(col)
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(kcols :+ col(valueCol).cast(LongType).as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val walk = Window.partitionBy(kcols: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(kcols: _*)
+    vc.withColumn("__cum", sum("c").over(walk))
+      .withColumn("__n", sum("c").over(all))
+      .select(kcols ++ Seq(col("v"), col("c"),
+        (col("__cum").cast(DoubleType) / col("__n").cast(DoubleType)).as("cdf")): _*)
+  }
+
+  /** DuckDB mirror of [[cdfLookup]]. */
+  def cdfLookupSql(rel: String, keys: Seq[String], valueCol: String): String = {
+    val ks = keys.mkString(", ")
+    s"""SELECT $ks, v, c,
+       |  CAST(SUM(c) OVER (PARTITION BY $ks ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |    AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY $ks) AS DOUBLE) AS cdf
+       |FROM (SELECT $ks, CAST($valueCol AS BIGINT) AS v, count(*) AS c
+       |      FROM $rel WHERE $valueCol IS NOT NULL GROUP BY ALL)""".stripMargin
+  }
+
   /** DuckDB mirror of [[ksTest]] over relations `aRel`/`bRel`. */
   def ksTestSql(aRel: String, bRel: String, valueCol: String): String =
     s"""WITH pooled AS (

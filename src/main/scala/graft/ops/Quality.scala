@@ -47,4 +47,46 @@ object Quality {
       c.select(lit(name).as("check_name"),
         coalesce(col("n_violations"), lit(0L)).cast("long").as("n_violations"))
     }.reduce(_ unionByName _)
+
+  /**
+   * K-ANONYMITY / L-DIVERSITY audit — the privacy gate a dataset passes
+   * before release: every quasi-identifier combination must describe at
+   * least `k` rows (else its members are re-identifiable) AND carry at
+   * least `l` distinct values of the sensitive column (else membership
+   * reveals the sensitive value even in a big group — the homogeneity
+   * attack k-anonymity alone misses). Returns the VIOLATING equivalence
+   * classes only: `(quasi..., n_rows, n_sensitive, violation)` with
+   * violation ∈ {k_anonymity, l_diversity, both}.
+   *
+   * One keyed aggregate over the quasi columns (map-side combined;
+   * count distinct of one column per group — bounded by the sensitive
+   * domain). Exact integers; the suppression list this emits is the
+   * deterministic input to a masking/generalization pass.
+   */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 k: Int, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: quasi-identifier columns required")
+    require(k >= 2 && l >= 1, s"kAnonymity: need k >= 2, l >= 1 (got $k, $l)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("violation",
+        when(col("n_rows") < k && col("n_sensitive") < l, lit("both"))
+          .when(col("n_rows") < k, lit("k_anonymity"))
+          .when(col("n_sensitive") < l, lit("l_diversity")))
+      .filter(col("violation").isNotNull)
+  }
+
+  /** DuckDB mirror of [[kAnonymity]]. */
+  def kAnonymitySql(rel: String, quasiCols: Seq[String], sensitiveCol: String,
+                    k: Int, l: Int): String = {
+    val qs = quasiCols.mkString(", ")
+    s"""SELECT $qs, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(COUNT(DISTINCT $sensitiveCol) AS BIGINT) AS n_sensitive,
+       |  CASE WHEN count(*) < $k AND COUNT(DISTINCT $sensitiveCol) < $l THEN 'both'
+       |       WHEN count(*) < $k THEN 'k_anonymity'
+       |       WHEN COUNT(DISTINCT $sensitiveCol) < $l THEN 'l_diversity' END AS violation
+       |FROM $rel GROUP BY $qs
+       |HAVING count(*) < $k OR COUNT(DISTINCT $sensitiveCol) < $l""".stripMargin
+  }
 }

@@ -6625,6 +6625,72 @@ object ExtQueries {
           .stripMargin.replace("\n", " "),
         Seq("qty", "price_cents", "discount_bp", "tax_bp")) +
         "\nORDER BY col_x, col_y")),
+
+    // K-anonymity / l-diversity audit ([[Quality.kAnonymity]]): the
+    // privacy gate before release — (market segment, nation, balance
+    // sign) equivalence classes smaller than k=25 or with fewer than
+    // l=5 distinct account-balance cents are re-identification /
+    // homogeneity risks. One keyed aggregate; the output IS the
+    // suppression list.
+    Q("q_kanonymity",
+      (s, dir) => Quality.kAnonymity(
+        Tables.customer(s, dir).select(col("c_mktsegment"),
+          col("c_nationkey"),
+          signum(col("c_acctbal")).cast(LongType).as("bal_sign"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("bal_cents")),
+        Seq("c_mktsegment", "c_nationkey", "bal_sign"), "bal_cents",
+        k = 25, l = 5)
+        .orderBy("c_mktsegment", "c_nationkey", "bal_sign"),
+      Some(Quality.kAnonymitySql(
+        """(SELECT c_mktsegment, c_nationkey,
+          |   CAST(CASE WHEN c_acctbal > 0 THEN 1 WHEN c_acctbal < 0 THEN -1 ELSE 0 END AS BIGINT) AS bal_sign,
+          |   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer)"""
+          .stripMargin.replace("\n", " "),
+        Seq("c_mktsegment", "c_nationkey", "bal_sign"), "bal_cents",
+        k = 25, l = 5) +
+        "\nORDER BY c_mktsegment, c_nationkey, bal_sign")),
+
+    // Empirical-CDF quantile transform ([[Profile.cdfLookup]]): the
+    // per-segment percentile mapping of order values — the
+    // preprocessing "model" a feature pipeline trains (join back to
+    // facts to materialize the feature; the table is the deployable).
+    // Domain-sized output; integer walk; one division per value.
+    Q("feat_cdf_norm",
+      (s, dir) => Profile.cdfLookup(
+        Tables.orders(s, dir).select(col("o_orderpriority"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents"))
+          .filter(col("price_cents") % 97 === 0), // domain sample: keep the output parquet bounded
+        Seq("o_orderpriority"), "price_cents")
+        .orderBy("o_orderpriority", "v"),
+      Some(Profile.cdfLookupSql(
+        """(SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+          |   FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) % 97 = 0)"""
+          .stripMargin.replace("\n", " "),
+        Seq("o_orderpriority"), "price_cents") +
+        "\nORDER BY o_orderpriority, v")),
+
+    // Deterministic random walks ([[Graph.randomWalks]]): 4-hop
+    // node2vec-style walk corpus from the first 20 customer nodes over
+    // the customer↔supplier graph — next hop = md5-argmin neighbor, so
+    // the corpus regenerates identically on any layout, retry, or
+    // engine (an RNG walker can't give lineage-stable training data).
+    // One keyed join + min-reduce per hop, frontier checkpointed.
+    Q("gr_random_walk",
+      (s, dir) => {
+        val seeds = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 20)
+          .select((col("c_custkey") * 2).as("walk_id"),
+            (col("c_custkey") * 2).as("node"))
+        Graph.randomWalks(graphEdges(s, dir), seeds, steps = 4)
+          .orderBy("walk_id", "step")
+      },
+      Some(s"""WITH $graphEdgesSql,
+              |seeds AS (SELECT c_custkey * 2 AS walk_id, c_custkey * 2 AS node
+              |          FROM customer WHERE c_custkey < 20),
+              |${Graph.randomWalksSql(4)}
+              |ORDER BY walk_id, step""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

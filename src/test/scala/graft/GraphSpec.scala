@@ -286,4 +286,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.modularity(edges, one).collect().head
       .getAs[Double]("modularity") == 0.0)
   }
+
+  test("randomWalks: deterministic, hops ride real edges, full length on symmetric graphs") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (2L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq((1L, 1L), (4L, 4L)).toDF("walk_id", "node")
+    val a = Graph.randomWalks(edges, seeds, steps = 3)
+      .orderBy("walk_id", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val b = Graph.randomWalks(edges.repartition(5), seeds, steps = 3)
+      .orderBy("walk_id", "step").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(a == b, "walks must be layout-invariant")
+    assert(a.count(_._1 == 1L) == 4 && a.count(_._1 == 4L) == 4,
+      "symmetric graph: every walk runs steps+1 rows")
+    val edgeSet = (und ++ und.map(_.swap)).toSet
+    val byWalk = a.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    byWalk.foreach { case (_, path) =>
+      path.sliding(2).foreach { case Seq(u, v) =>
+        assert(edgeSet.contains((u, v)), s"hop $u->$v is not an edge")
+      }
+    }
+  }
 }

@@ -245,6 +245,14 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 100L, 3L, 7L, "high")))
   }
 
+  test("cdfLookup: right-closed empirical CDF per key on the value domain") {
+    import spark.implicits._
+    val df = Seq(("k", 1L), ("k", 1L), ("k", 2L), ("k", 5L)).toDF("g", "v")
+    val out = Profile.cdfLookup(df, Seq("g"), "v").orderBy("v").collect()
+      .map(r => (r.getAs[Long]("v"), r.getAs[Long]("c"), r.getAs[Double]("cdf")))
+    assert(out.toSeq == Seq((1L, 2L, 0.5), (2L, 1L, 0.75), (5L, 1L, 1.0)))
+  }
+
   test("corrMatrix: one-pass exact pairwise r — perfect, inverse, degenerate") {
     import spark.implicits._
     // y = 2x -> r=1; z = -x -> r(x,z) = -1; c constant -> NULL with everything

@@ -56,4 +56,22 @@ class QualitySpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("nn", 1L), ("orph", 0L), ("uniq", 1L)))
   }
+
+  test("kAnonymity: flags small classes and homogeneous classes, passes the rest") {
+    import spark.implicits._
+    // class (a): 3 rows, 3 distinct sensitive -> k-violation only (k=4, l=2)
+    // class (b): 5 rows, 1 distinct -> l-violation only
+    // class (c): 2 rows, 1 distinct -> both
+    // class (d): 4 rows, 2 distinct -> clean, absent from the report
+    val df = (Seq(("a", 1L), ("a", 2L), ("a", 3L)) ++
+      (1 to 5).map(_ => ("b", 9L)) ++ Seq(("c", 7L), ("c", 7L)) ++
+      Seq(("d", 1L), ("d", 1L), ("d", 2L), ("d", 2L))).toDF("q", "s")
+    val out = Quality.kAnonymity(df, Seq("q"), "s", k = 4, l = 2)
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_sensitive"), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("a", 3L, 3L, "k_anonymity"), ("b", 5L, 1L, "l_diversity"),
+      ("c", 2L, 1L, "both")))
+  }
 }
