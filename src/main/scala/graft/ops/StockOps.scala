@@ -137,4 +137,182 @@ object StockOps {
       col("valor_fechamento").cast(d).as("valor_fechamento"),
       col("volume_negociado").cast(d).as("volume_negociado"))
   }
+
+  import org.apache.spark.sql.expressions.Window
+
+  /** Silver daily series reduced to the integer indicator grain:
+    * `(ticker, d, px, vol)` with close in exact 10⁻⁴ units and volume
+    * as an exact integer — every indicator below computes on integers
+    * until its one documented double epilogue. */
+  private def indicatorBase(silver: DataFrame): DataFrame =
+    silver.select(col("sigla_empresa").as("ticker"),
+      col("data_pregao").as("d"),
+      (col("valor_fechamento").cast(DecimalType(28, 4)) * 10000)
+        .cast("long").as("px"),
+      col("volume_negociado").cast("long").as("vol"))
+
+  private val IndicatorBaseSql =
+    """SELECT sigla_empresa AS ticker, data_pregao AS d,
+      |  CAST(round(valor_fechamento * 10000) AS BIGINT) AS px,
+      |  CAST(volume_negociado AS BIGINT) AS vol
+      |FROM silver""".stripMargin
+
+  /**
+   * Monthly VWAP per ticker — Σ(close·volume)/Σ(volume), the
+   * volume-weighted price the reference's gold layer approximates with
+   * a plain AVG (monthly_stock_summary.sql uses AVG(close); VWAP is
+   * what a trading consumer actually wants). Exact DECIMAL(38,0)
+   * numerator, one double division.
+   */
+  def vwapMonthly(silver: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    indicatorBase(silver)
+      .groupBy(col("ticker"), year(col("d")).as("ano"), month(col("d")).as("mes"))
+      .agg(sum(col("vol")).as("volume_total"),
+        sum(col("px").cast(dec38) * col("vol").cast(dec38)).as("__pv"))
+      .select(col("ticker"), col("ano"), col("mes"), col("volume_total"),
+        when(col("volume_total") > 0,
+          col("__pv").cast("double") /
+            (col("volume_total").cast("double") * 10000.0)).as("vwap"))
+  }
+
+  /** DuckDB mirror of [[vwapMonthly]] over `silver`. */
+  def vwapMonthlySql: String =
+    s"""SELECT ticker, CAST(year(d) AS INTEGER) AS ano,
+       |  CAST(month(d) AS INTEGER) AS mes,
+       |  CAST(SUM(vol) AS BIGINT) AS volume_total,
+       |  CASE WHEN SUM(vol) > 0 THEN
+       |    CAST(SUM(CAST(px AS HUGEINT) * vol) AS DOUBLE)
+       |      / (CAST(SUM(vol) AS BIGINT) * 10000.0) END AS vwap
+       |FROM ($IndicatorBaseSql) GROUP BY 1, 2, 3""".stripMargin
+
+  /**
+   * MAXIMUM DRAWDOWN per ticker — the deepest peak-to-trough loss of
+   * the close series, in exact basis points: running peak is a
+   * cumulative-max window over the (bounded, pre-aggregated) daily
+   * series, per-day drawdown is `((peak − px)·10000) div peak`
+   * (integral — truncation identical in both engines on non-negative
+   * prices), and the report is each ticker's max with the EARLIEST
+   * date attaining it. The stock-risk statistic a monthly gold table
+   * cannot see (it needs the running extremum, not a group agg).
+   */
+  def maxDrawdown(silver: DataFrame): DataFrame = {
+    val w = Window.partitionBy("ticker").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = indicatorBase(silver)
+      .withColumn("__peak", max("px").over(w))
+      .withColumn("dd_bp", expr("((__peak - px) * 10000) div __peak"))
+    dd.withColumn("__max", max("dd_bp").over(Window.partitionBy("ticker")))
+      .filter(col("dd_bp") === col("__max"))
+      .groupBy("ticker")
+      .agg(max("dd_bp").as("max_drawdown_bp"), min("d").as("trough_date"))
+  }
+
+  /** DuckDB mirror of [[maxDrawdown]] over `silver`. */
+  def maxDrawdownSql: String =
+    s"""WITH base AS ($IndicatorBaseSql),
+       |dd AS (SELECT ticker, d,
+       |    ((MAX(px) OVER (PARTITION BY ticker ORDER BY d
+       |        ROWS UNBOUNDED PRECEDING) - px) * 10000)
+       |      // MAX(px) OVER (PARTITION BY ticker ORDER BY d
+       |        ROWS UNBOUNDED PRECEDING) AS dd_bp
+       |  FROM base),
+       |mx AS (SELECT ticker, MAX(dd_bp) AS m FROM dd GROUP BY 1)
+       |SELECT dd.ticker, CAST(MAX(dd_bp) AS BIGINT) AS max_drawdown_bp,
+       |  MIN(d) AS trough_date
+       |FROM dd JOIN mx ON dd.ticker = mx.ticker AND dd.dd_bp = mx.m
+       |GROUP BY 1""".stripMargin
+
+  /**
+   * Cutler's RSI over `period` days — `100·ΣG/(ΣG+ΣL)` with gains and
+   * losses as exact integer rolling sums over the daily diffs (the
+   * simple-moving-average RSI variant; Wilder's exponential smoothing
+   * is a sequential recursion with no closed form, so the SMA variant
+   * is what batch engines and most charting SQL actually compute).
+   * Rows before a full window are withheld (an RSI over 3 points is
+   * not an RSI); a flat window (ΣG+ΣL = 0) is NULL, both engines.
+   */
+  def rsi(silver: DataFrame, period: Int = 14): DataFrame = {
+    require(period >= 2, s"rsi: period must be >= 2, got $period")
+    val byT = Window.partitionBy("ticker").orderBy("d")
+    val roll = byT.rowsBetween(-(period - 1), Window.currentRow)
+    val diffs = indicatorBase(silver)
+      .withColumn("__diff", col("px") - lag("px", 1).over(byT))
+      .withColumn("__rn", row_number().over(byT))
+    diffs
+      .withColumn("__g", sum(greatest(col("__diff"), lit(0L))).over(roll))
+      .withColumn("__l", sum(greatest(-col("__diff"), lit(0L))).over(roll))
+      // a full window needs `period` DIFFS = period+1 price rows
+      .filter(col("__rn") > period)
+      .select(col("ticker"), col("d"),
+        when(col("__g") + col("__l") > 0,
+          lit(100.0) * col("__g").cast("double") /
+            (col("__g") + col("__l")).cast("double")).as("rsi"))
+  }
+
+  /** DuckDB mirror of [[rsi]] over `silver`. */
+  def rsiSql(period: Int = 14): String =
+    s"""WITH base AS ($IndicatorBaseSql),
+       |diffs AS (SELECT ticker, d,
+       |    px - lag(px, 1) OVER (PARTITION BY ticker ORDER BY d) AS diff,
+       |    row_number() OVER (PARTITION BY ticker ORDER BY d) AS rn
+       |  FROM base),
+       |roll AS (SELECT ticker, d, rn,
+       |    SUM(GREATEST(diff, 0)) OVER (PARTITION BY ticker ORDER BY d
+       |      ROWS BETWEEN ${period - 1} PRECEDING AND CURRENT ROW) AS g,
+       |    SUM(GREATEST(-diff, 0)) OVER (PARTITION BY ticker ORDER BY d
+       |      ROWS BETWEEN ${period - 1} PRECEDING AND CURRENT ROW) AS l
+       |  FROM diffs)
+       |SELECT ticker, d,
+       |  CASE WHEN g + l > 0 THEN 100.0 * CAST(g AS DOUBLE) / CAST(g + l AS DOUBLE) END AS rsi
+       |FROM roll WHERE rn > $period""".stripMargin
+
+  /**
+   * SMA CROSSOVER signals (golden/death cross): days where the
+   * fast-window mean crosses the slow-window mean. The comparison is
+   * CROSS-MULTIPLIED — `ΣF·slow > ΣS·fast` — so the signal is pure
+   * integer arithmetic with zero FP, and a crossing is a strict sign
+   * change of that relation vs the previous full-window day (touch-
+   * and-revert days, rel = 0, are neither above nor below: the signal
+   * fires only on a strict flip, matching how charting packages
+   * deduplicate). Output: `(ticker, d, direction)`.
+   */
+  def smaCross(silver: DataFrame, fast: Int = 5, slow: Int = 20): DataFrame = {
+    require(fast >= 2 && slow > fast, s"smaCross: need 2 <= fast < slow, got $fast, $slow")
+    val byT = Window.partitionBy("ticker").orderBy("d")
+    val base = indicatorBase(silver)
+      .withColumn("__sf", sum("px").over(byT.rowsBetween(-(fast - 1), Window.currentRow)))
+      .withColumn("__ss", sum("px").over(byT.rowsBetween(-(slow - 1), Window.currentRow)))
+      .withColumn("__rn", row_number().over(byT))
+      .filter(col("__rn") >= slow)
+    val rel = (col("__sf") * lit(slow.toLong)) - (col("__ss") * lit(fast.toLong))
+    base.withColumn("__above", when(rel > 0, 1).when(rel < 0, -1).otherwise(0))
+      .withColumn("__prev", lag("__above", 1).over(byT))
+      .filter(col("__prev").isNotNull &&
+        col("__above") =!= col("__prev") && col("__above") =!= 0 && col("__prev") =!= 0)
+      .select(col("ticker"), col("d"),
+        when(col("__above") > 0, lit("golden")).otherwise(lit("death")).as("direction"))
+  }
+
+  /** DuckDB mirror of [[smaCross]] over `silver`. */
+  def smaCrossSql(fast: Int = 5, slow: Int = 20): String =
+    s"""WITH base AS ($IndicatorBaseSql),
+       |sums AS (SELECT ticker, d,
+       |    SUM(px) OVER (PARTITION BY ticker ORDER BY d
+       |      ROWS BETWEEN ${fast - 1} PRECEDING AND CURRENT ROW) AS sf,
+       |    SUM(px) OVER (PARTITION BY ticker ORDER BY d
+       |      ROWS BETWEEN ${slow - 1} PRECEDING AND CURRENT ROW) AS ss,
+       |    row_number() OVER (PARTITION BY ticker ORDER BY d) AS rn
+       |  FROM base),
+       |rel AS (SELECT ticker, d, rn,
+       |    CASE WHEN sf * $slow - ss * $fast > 0 THEN 1
+       |         WHEN sf * $slow - ss * $fast < 0 THEN -1 ELSE 0 END AS above
+       |  FROM sums WHERE rn >= $slow),
+       |flips AS (SELECT ticker, d, above,
+       |    lag(above, 1) OVER (PARTITION BY ticker ORDER BY d) AS prev
+       |  FROM rel)
+       |SELECT ticker, d,
+       |  CASE WHEN above > 0 THEN 'golden' ELSE 'death' END AS direction
+       |FROM flips
+       |WHERE prev IS NOT NULL AND above <> prev AND above <> 0 AND prev <> 0""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, Tables}
 import graft.engine.Warehouse
-import graft.ops.{Dedup, EventOps, Graph, Linkage, Multimodal, Packing, Profile, Quality, Ranking, Sampling, Search, Similarity, TextOps, TimeSeries, UrlOps}
+import graft.ops.{Dedup, EventOps, Graph, Linkage, Multimodal, Packing, Profile, Quality, Ranking, Sampling, Search, Similarity, StockOps, TextOps, TimeSeries, UrlOps}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -6691,6 +6691,58 @@ object ExtQueries {
               |          FROM customer WHERE c_custkey < 20),
               |${Graph.randomWalksSql(4)}
               |ORDER BY walk_id, step""".stripMargin)),
+
+    // Monthly VWAP ([[graft.ops.StockOps.vwapMonthly]]): the
+    // volume-weighted price the reference's gold layer approximates
+    // with AVG(close) (monthly_stock_summary.sql:15) — exact
+    // DECIMAL(38,0) price·volume numerator over the silver dailies,
+    // one double division.
+    Q("stock_vwap",
+      (s, dir) => StockOps.vwapMonthly(
+        StockOps.silverDaily(StockOps.bronzeFromLineitem(Tables.lineitem(s, dir))))
+        .orderBy("ticker", "ano", "mes"),
+      Some(s"""WITH silver AS (${StockOps.silverSql()})
+              |SELECT * FROM (${StockOps.vwapMonthlySql})
+              |ORDER BY ticker, ano, mes""".stripMargin)),
+
+    // Maximum drawdown ([[StockOps.maxDrawdown]]): deepest
+    // peak-to-trough loss per ticker in exact basis points — running
+    // cumulative-max over the pre-aggregated dailies, integral
+    // division, earliest trough date. The risk statistic a monthly
+    // group-by gold table structurally cannot express.
+    Q("stock_drawdown",
+      (s, dir) => StockOps.maxDrawdown(
+        StockOps.silverDaily(StockOps.bronzeFromLineitem(Tables.lineitem(s, dir))))
+        .orderBy("ticker"),
+      Some(s"""WITH silver AS (${StockOps.silverSql()})
+              |SELECT * FROM (${StockOps.maxDrawdownSql})
+              |ORDER BY ticker""".stripMargin)),
+
+    // Cutler's RSI-14 ([[StockOps.rsi]]): exact integer rolling
+    // gain/loss sums over daily diffs; full windows only; flat window
+    // → NULL in both engines. Output restricted to one quarter to keep
+    // the dump bounded — the operator itself is series-length-linear.
+    Q("stock_rsi",
+      (s, dir) => StockOps.rsi(
+        StockOps.silverDaily(StockOps.bronzeFromLineitem(Tables.lineitem(s, dir))))
+        .filter(col("d") >= lit("1995-01-01").cast(DateType) &&
+          col("d") < lit("1995-04-01").cast(DateType))
+        .orderBy("ticker", "d"),
+      Some(s"""WITH silver AS (${StockOps.silverSql()})
+              |SELECT * FROM (${StockOps.rsiSql()})
+              |WHERE d >= DATE '1995-01-01' AND d < DATE '1995-04-01'
+              |ORDER BY ticker, d""".stripMargin)),
+
+    // SMA 5/20 crossover signals ([[StockOps.smaCross]]): golden/death
+    // crosses as STRICT sign flips of the cross-multiplied relation
+    // ΣF·20 − ΣS·5 — the whole signal is integer arithmetic, zero FP.
+    Q("stock_sma_cross",
+      (s, dir) => StockOps.smaCross(
+        StockOps.silverDaily(StockOps.bronzeFromLineitem(Tables.lineitem(s, dir))))
+        .orderBy("ticker", "d"),
+      Some(s"""WITH silver AS (${StockOps.silverSql()})
+              |SELECT * FROM (${StockOps.smaCrossSql()})
+              |ORDER BY ticker, d""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -74,4 +74,59 @@ class StockOpsSpec extends SparkSpec {
     assert(out(0).getInt(3) == out(1).getInt(3))           // same bytes → same width
     assert(out(2).getLong(1) == 1L)
   }
+
+  private def silverOf(rows: Seq[(String, String, Double, Long)]) = {
+    import spark.implicits._
+    rows.toDF("sigla_empresa", "d", "valor_fechamento", "volume_negociado")
+      .withColumn("data_pregao", col("d").cast(org.apache.spark.sql.types.DateType))
+      .drop("d")
+  }
+
+  test("vwapMonthly: exact price*volume weighting") {
+    val s = silverOf(Seq(
+      ("T", "1995-01-02", 1.0, 1L), ("T", "1995-01-03", 3.0, 3L),
+      ("T", "1995-02-01", 5.0, 2L)))
+    val out = StockOps.vwapMonthly(s).orderBy("ano", "mes").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getAs[Long]("volume_total"),
+        r.getAs[Double]("vwap")))
+    assert(out.toSeq == Seq((1995, 1, 4L, 2.5), (1995, 2, 2L, 5.0)))
+  }
+
+  test("maxDrawdown: running peak, integral basis points, earliest trough") {
+    val days = Seq("01-02", "01-03", "01-04", "01-05", "01-06", "01-09")
+    val px = Seq(100L, 120L, 90L, 95L, 60L, 80L)
+    val s = silverOf(days.zip(px).map { case (d, p) =>
+      ("T", s"1995-$d", p / 10000.0, 1L) })
+    val r = StockOps.maxDrawdown(s).collect().head
+    assert(r.getAs[Long]("max_drawdown_bp") == 5000L)
+    assert(r.getAs[java.sql.Date]("trough_date").toString == "1995-01-06")
+  }
+
+  test("rsi: full windows only, hand-computed Cutler values, flat window NULL") {
+    val days = Seq("01-02", "01-03", "01-04", "01-05", "01-06")
+    val px = Seq(10L, 11L, 13L, 12L, 12L)
+    val s = silverOf(days.zip(px).map { case (d, p) =>
+      ("T", s"1995-$d", p / 10000.0, 1L) })
+    val out = StockOps.rsi(s, period = 2).orderBy("d").collect()
+      .map(r => (r.getDate(1).toString,
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.toSeq == Seq(
+      ("1995-01-04", Some(100.0)),
+      ("1995-01-05", Some(100.0 * 2.0 / 3.0)),
+      ("1995-01-06", Some(0.0))))
+    // an all-flat series: gains+losses = 0 -> NULL rsi
+    val flat = silverOf(days.map(d => ("T", s"1995-$d", 1.0, 1L)))
+    val fr = StockOps.rsi(flat, period = 2).orderBy("d").collect()
+    assert(fr.nonEmpty && fr.forall(_.isNullAt(2)))
+  }
+
+  test("smaCross: strict sign flip only, zero-relation days break signals") {
+    val days = Seq("01-02", "01-03", "01-04", "01-05", "01-06", "01-09", "01-10")
+    val px = Seq(10L, 10L, 10L, 20L, 20L, 1L, 1L)
+    val s = silverOf(days.zip(px).map { case (d, p) =>
+      ("T", s"1995-$d", p / 10000.0, 1L) })
+    val out = StockOps.smaCross(s, fast = 2, slow = 3).collect()
+      .map(r => (r.getDate(1).toString, r.getString(2)))
+    assert(out.toSeq == Seq(("1995-01-09", "death")))
+  }
 }
