@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
  */
 object ExtQueries {
 
+  /** Hive-partitioned DPP fact tables this JVM already wrote — j_dpp
+    * times the dynamically-pruned join, not the once-per-ingest
+    * partitioned write (the j_bucketed_join fixture discipline). */
+  private val builtDppFacts = scala.collection.mutable.Set.empty[String]
+
   /** The synthesized crawl-spelling URL of each document row as a
     * DuckDB expression — the SQL twin of the Column built inline in
     * dd_url_dedup / p_url_parts (same modulo arithmetic on doc_id). */
@@ -6743,6 +6748,117 @@ object ExtQueries {
       Some(s"""WITH silver AS (${StockOps.silverSql()})
               |SELECT * FROM (${StockOps.smaCrossSql()})
               |ORDER BY ticker, d""".stripMargin)),
+
+    // DYNAMIC PARTITION PRUNING, plan-asserted: the fact table is
+    // written hive-partitioned by ship month ONCE per JVM (ingest-time
+    // cost, like j_bucketed_join's bucket build), and the join's month
+    // set comes from DATA (distinct order months — not foldable, so
+    // static pruning cannot fire). The in-query require pins the
+    // runtime behavior that matters at 100 TB: the broadcast of the
+    // dim REUSED as a partition filter on the fact scan, reading 3
+    // month directories instead of 84. Without DPP this plan scans
+    // every partition and filters after IO.
+    Q("j_dpp",
+      (s, dir) => {
+        val factPath = s"/tmp/graft_dpp_${new java.io.File(dir).getName}/fact"
+        builtDppFacts.synchronized {
+          if (!builtDppFacts.contains(factPath)) {
+            val li = Tables.lineitem(s, dir).select(
+              col("l_quantity").cast(LongType).as("qty"),
+              date_format(col("l_shipdate").cast(DateType), "yyyy-MM")
+                .as("ship_month"))
+            li.write.mode("overwrite").partitionBy("ship_month").parquet(factPath)
+            builtDppFacts.add(factPath)
+          }
+        }
+        val fact = s.read.parquet(factPath)
+        val dim = Tables.orders(s, dir)
+          .select(date_format(col("o_orderdate").cast(DateType), "yyyy-MM").as("m"))
+          .distinct()
+          .filter(col("m") >= "1995-01" && col("m") <= "1995-03")
+        val agg = fact.join(broadcast(dim), col("ship_month") === col("m"))
+          .groupBy("ship_month").agg(sum("qty").as("sum_qty"))
+          .orderBy("ship_month")
+        val plan = agg.queryExecution.executedPlan.toString
+        require(plan.toLowerCase.contains("dynamicpruning"),
+          s"expected dynamic partition pruning on the fact scan:\n$plan")
+        agg
+      },
+      Some("""WITH m AS (SELECT DISTINCT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS m
+             |  FROM orders
+             |  WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') BETWEEN '1995-01' AND '1995-03')
+             |SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+             |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN m ON strftime(CAST(l_shipdate AS DATE), '%Y-%m') = m.m
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // STREAMING PEAK CONCURRENCY ([[StreamOps.keyedSumsSink]] reuse):
+    // the sweep-line made streamable the stream_cusum way — the ±1
+    // grid deltas are COMMUTATIVE partial sums (any arrival order,
+    // any batch boundaries converge to the same per-(supplier, date)
+    // delta), committed exactly-once per micro-batch; the order-
+    // sensitive part (cumulative walk → peak, earliest date) runs at
+    // read time over the bounded grid. End state must equal the batch
+    // operator exactly — the ev_peak_concurrency oracle serves both.
+    Q("stream_peak_final",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_peak_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val iv = Tables.lineitem(s, dir).filter(col("l_suppkey") < 50)
+          .select(col("l_suppkey"), col("l_shipdate").cast(DateType).as("sd"),
+            date_add(col("l_shipdate").cast(DateType),
+              (col("l_linenumber") % 14) + 1).as("ed"))
+        val ev = iv.select(col("l_suppkey"), col("sd").as("t"), lit(1L).as("d"))
+          .unionAll(iv.select(col("l_suppkey"), col("ed").as("t"), lit(-1L).as("d")))
+        val staged = s"$base/in"
+        ev.repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        StreamOps.keyedSumsSink(stream, st, "metrics", "grid_deltas",
+          Seq("l_suppkey", "t"), "d", checkpoint = s"$base/ckpt")
+          .awaitTermination()
+        val deltas = st.read("metrics", "grid_deltas")
+          .groupBy("l_suppkey", "t").agg(sum("part_sum").as("delta"))
+        val walk = Window.partitionBy("l_suppkey").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas.withColumn("__open", sum("delta").over(walk))
+          .withColumn("__peak", max(col("__open"))
+            .over(Window.partitionBy("l_suppkey")))
+          .filter(col("__open") === col("__peak"))
+          .groupBy("l_suppkey")
+          .agg(max("__peak").as("peak"), min("t").as("peak_at"))
+          .orderBy("l_suppkey")
+      },
+      Some("SELECT * FROM (" + EventOps.peakConcurrencySql(
+        """(SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+          |   CAST(l_shipdate AS DATE) + INTERVAL ((l_linenumber % 14) + 1) DAY AS e
+          | FROM lineitem WHERE l_suppkey < 50)""".stripMargin.replace("\n", " "),
+        Seq("l_suppkey"), "s", "e") + ")\nORDER BY l_suppkey")),
+
+    // SQL-registration path end-to-end ([[graft.functions
+    // .GraftFunctions]]): the native codegen expressions exercised the
+    // way a SQL-only user reaches them — `spark.sql` over a registered
+    // view with graft_jaro_winkler + graft_rolling_hash, hash-compared
+    // against DuckDB's independent implementations (er_jaro pinned the
+    // bit-identity; this pins the REGISTRATION plumbing).
+    Q("sql_native_funcs",
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.part(s, dir).filter(col("p_partkey") < 200)
+          .createOrReplaceTempView("__nf_part")
+        s.sql("""SELECT p_partkey,
+                |  graft_jaro_winkler(p_name, 'red widget') AS jw,
+                |  graft_rolling_hash(p_name) AS rh
+                |FROM __nf_part ORDER BY p_partkey""".stripMargin)
+      },
+      Some(s"""SELECT p_partkey,
+              |  jaro_winkler_similarity(p_name, 'red widget') AS jw,
+              |  ${TextOps.rollingHashSql("p_name")} AS rh
+              |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds
