@@ -176,6 +176,127 @@ object EventOps {
       .drop("__island")
   }
 
+  private def periodShift(c: org.apache.spark.sql.Column, period: String,
+                          steps: Int): org.apache.spark.sql.Column = period match {
+    case "month" => add_months(c, steps)
+    case "week"  => date_add(c, steps * 7)
+    case other   => throw new IllegalArgumentException(
+      s"period must be week or month, got $other")
+  }
+
+  /** DuckDB twin of [[periodShift]] as an expression fragment —
+    * negative steps emit `- INTERVAL n`, DuckDB rejects a signed
+    * interval literal. */
+  private def periodShiftSql(e: String, period: String, steps: Int): String = {
+    val (op, n) = if (steps < 0) ("-", -steps) else ("+", steps)
+    period match {
+      case "month" => s"$e $op INTERVAL $n MONTH"
+      case "week"  => s"$e $op INTERVAL ${n * 7} DAY"
+      case other   => throw new IllegalArgumentException(
+        s"period must be week or month, got $other")
+    }
+  }
+
+  /**
+   * PERIOD CHURN / RETENTION — per activity period (week or month):
+   * active users, how many return next period (retained), how many
+   * don't (churned), and how many of next period's actives are new.
+   * Computed on the DISTINCT (user, period) grain (one hash-agg dedup
+   * — repeat events never inflate), then two self equi-joins keyed on
+   * (user, period±1): every count is an exact integer, rates one
+   * division each. The last period reports NULL churn (its successor
+   * is unobserved, not zero) — silently reporting 100% churn there is
+   * the classic dashboard bug.
+   */
+  def periodChurn(events: DataFrame, userCol: String, tsCol: String,
+                  period: String = "month"): DataFrame = {
+    val um = events.select(col(userCol).as("u"),
+      date_trunc(period, col(tsCol)).cast(DateType).as("m")).distinct()
+    val lastM = um.agg(max("m").as("__last"))
+    val nxt = um.select(col("u"), periodShift(col("m"), period, -1).as("m"),
+      lit(1).as("__in_next"))
+    val prv = um.select(col("u"), periodShift(col("m"), period, 1).as("m"),
+      lit(1).as("__in_prev"))
+    um.join(nxt, Seq("u", "m"), "left")
+      .join(prv, Seq("u", "m"), "left")
+      .groupBy("m")
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("__in_next"), lit(0))).cast(LongType).as("n_retained"),
+        sum(when(col("__in_next").isNull, 1).otherwise(0)).cast(LongType)
+          .as("n_churned"),
+        sum(when(col("__in_prev").isNull, 1).otherwise(0)).cast(LongType)
+          .as("n_new"))
+      .crossJoin(broadcast(lastM))
+      .select(col("m"), col("n_active"), col("n_new"),
+        when(col("m") < col("__last"), col("n_retained")).as("n_retained"),
+        when(col("m") < col("__last"), col("n_churned")).as("n_churned"),
+        when(col("m") < col("__last"),
+          col("n_churned").cast(DoubleType) / col("n_active").cast(DoubleType))
+          .as("churn_rate"))
+  }
+
+  /** DuckDB mirror of [[periodChurn]]. */
+  def periodChurnSql(rel: String, userCol: String, tsCol: String,
+                     period: String = "month"): String =
+    s"""WITH um AS (SELECT DISTINCT $userCol AS u,
+       |    CAST(date_trunc('$period', $tsCol) AS DATE) AS m FROM $rel),
+       |lastm AS (SELECT MAX(m) AS lm FROM um),
+       |base AS (SELECT um.m, count(*) AS n_active,
+       |    SUM(CASE WHEN nx.u IS NOT NULL THEN 1 ELSE 0 END) AS n_retained,
+       |    SUM(CASE WHEN nx.u IS NULL THEN 1 ELSE 0 END) AS n_churned,
+       |    SUM(CASE WHEN pv.u IS NULL THEN 1 ELSE 0 END) AS n_new
+       |  FROM um
+       |  LEFT JOIN um nx ON um.u = nx.u AND nx.m = ${periodShiftSql("um.m", period, 1)}
+       |  LEFT JOIN um pv ON um.u = pv.u AND pv.m = ${periodShiftSql("um.m", period, -1)}
+       |  GROUP BY 1)
+       |SELECT m, CAST(n_active AS BIGINT) AS n_active, CAST(n_new AS BIGINT) AS n_new,
+       |  CASE WHEN m < lm THEN CAST(n_retained AS BIGINT) END AS n_retained,
+       |  CASE WHEN m < lm THEN CAST(n_churned AS BIGINT) END AS n_churned,
+       |  CASE WHEN m < lm THEN CAST(n_churned AS DOUBLE) / n_active END AS churn_rate
+       |FROM base, lastm""".stripMargin
+
+  /**
+   * DAU / period-AU stickiness — mean daily actives over the period's
+   * OBSERVED days divided by the period's distinct actives (DAU/MAU
+   * monthly, DAU/WAU weekly): the engagement ratio every consumer
+   * dashboard leads with ("how much of the period audience shows up on
+   * a given day"). Two dedup aggregates on the (user, day) and
+   * (user, period) grains; mean DAU is the exact integer
+   * Σ(daily distinct)/days; both divisions are fixed-arity doubles
+   * over exact integers.
+   */
+  def dauMau(events: DataFrame, userCol: String, tsCol: String,
+             period: String = "month"): DataFrame = {
+    val ud = events.select(col(userCol).as("u"),
+      col(tsCol).cast(DateType).as("d")).distinct()
+    val daily = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      .groupBy(date_trunc(period, col("d")).cast(DateType).as("m"))
+      .agg(sum("dau").as("__dau_sum"), count(lit(1)).as("n_days"))
+    val mau = ud.select(col("u"), date_trunc(period, col("d")).cast(DateType).as("m"))
+      .distinct().groupBy("m").agg(count(lit(1)).as("mau"))
+    daily.join(mau, Seq("m"))
+      .select(col("m"), col("n_days"), col("mau"),
+        (col("__dau_sum").cast(DoubleType) / col("n_days").cast(DoubleType))
+          .as("avg_dau"),
+        (col("__dau_sum").cast(DoubleType) /
+          (col("n_days") * col("mau")).cast(DoubleType)).as("stickiness"))
+  }
+
+  /** DuckDB mirror of [[dauMau]]. */
+  def dauMauSql(rel: String, userCol: String, tsCol: String,
+                period: String = "month"): String =
+    s"""WITH ud AS (SELECT DISTINCT $userCol AS u, CAST($tsCol AS DATE) AS d FROM $rel),
+       |daily AS (SELECT CAST(date_trunc('$period', d) AS DATE) AS m,
+       |    SUM(dau) AS dau_sum, count(*) AS n_days
+       |  FROM (SELECT d, count(*) AS dau FROM ud GROUP BY 1) GROUP BY 1),
+       |mau AS (SELECT m, count(*) AS mau FROM (
+       |    SELECT DISTINCT u, CAST(date_trunc('$period', d) AS DATE) AS m FROM ud)
+       |  GROUP BY 1)
+       |SELECT m, CAST(n_days AS BIGINT) AS n_days, CAST(mau AS BIGINT) AS mau,
+       |  CAST(dau_sum AS DOUBLE) / n_days AS avg_dau,
+       |  CAST(dau_sum AS DOUBLE) / (n_days * mau) AS stickiness
+       |FROM daily JOIN mau USING (m)""".stripMargin
+
   /**
    * AUDIENCE CO-OCCURRENCE matrix — for every unordered pair of
    * categories, the number of DISTINCT actors seen in both, plus the

@@ -882,6 +882,66 @@ object Profile {
         (col("__cum").cast(DoubleType) / col("__n").cast(DoubleType)).as("cdf")): _*)
   }
 
+  /**
+   * Exact TRIMMED MEAN per key — the mean of the middle (1−2p) of each
+   * key's rows, dropping exactly `k = ⌊n·p⌋` rows from each tail (the
+   * robust location estimate between mean and median). Runs on the
+   * value-count walk: each distinct value contributes
+   * `max(0, min(cum, n−k) − max(cum−c, k))` rows — the overlap of its
+   * [cum−c, cum) row span with the kept [k, n−k) window — so ties and
+   * partial trims inside one value are handled exactly, with NO row
+   * sort. All counts integer; Σ(v·take) is DECIMAL(38,0); one double
+   * division. `trimPerMille` (‰, integer) keeps the trim fraction
+   * engine-exact — a double p would make k itself FP-dependent.
+   */
+  def trimmedMean(df: DataFrame, keys: Seq[String], valueCol: String,
+                  trimPerMille: Int): DataFrame = {
+    require(trimPerMille >= 0 && trimPerMille < 500,
+      s"trimmedMean: trimPerMille in [0, 500), got $trimPerMille")
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = DecimalType(38, 0)
+    val kcols = keys.map(col)
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(kcols :+ col(valueCol).cast(LongType).as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val walk = Window.partitionBy(kcols: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(kcols: _*)
+    vc.withColumn("__cum", sum("c").over(walk))
+      .withColumn("__n", sum("c").over(all))
+      .withColumn("__k", expr(s"(__n * $trimPerMille) div 1000"))
+      .withColumn("__take", greatest(lit(0L),
+        least(col("__cum"), col("__n") - col("__k")) -
+          greatest(col("__cum") - col("c"), col("__k"))))
+      .groupBy(kcols: _*)
+      .agg(sum("__take").as("n_kept"),
+        sum(col("v").cast(dec38) * col("__take").cast(dec38)).as("__sv"))
+      .filter(col("n_kept") > 0)
+      .select(kcols ++ Seq(col("n_kept"),
+        (col("__sv").cast(DoubleType) / col("n_kept").cast(DoubleType))
+          .as("trimmed_mean")): _*)
+  }
+
+  /** DuckDB mirror of [[trimmedMean]] — same span-overlap take counts. */
+  def trimmedMeanSql(rel: String, keys: Seq[String], valueCol: String,
+                     trimPerMille: Int): String = {
+    val ks = keys.mkString(", ")
+    s"""WITH vc AS (SELECT $ks, CAST($valueCol AS BIGINT) AS v, count(*) AS c
+       |  FROM $rel WHERE $valueCol IS NOT NULL GROUP BY ALL),
+       |walk AS (SELECT $ks, v, c,
+       |    SUM(c) OVER (PARTITION BY $ks ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY $ks) AS n
+       |  FROM vc),
+       |take AS (SELECT $ks, v,
+       |    GREATEST(0, LEAST(cum, n - (n * $trimPerMille) // 1000)
+       |      - GREATEST(cum - c, (n * $trimPerMille) // 1000)) AS tk
+       |  FROM walk)
+       |SELECT $ks, CAST(SUM(tk) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CAST(v AS HUGEINT) * tk) AS DOUBLE) / CAST(SUM(tk) AS BIGINT)
+       |    AS trimmed_mean
+       |FROM take GROUP BY ALL HAVING SUM(tk) > 0""".stripMargin
+  }
+
   /** DuckDB mirror of [[cdfLookup]]. */
   def cdfLookupSql(rel: String, keys: Seq[String], valueCol: String): String = {
     val ks = keys.mkString(", ")

@@ -6859,6 +6859,45 @@ object ExtQueries {
               |  jaro_winkler_similarity(p_name, 'red widget') AS jw,
               |  ${TextOps.rollingHashSql("p_name")} AS rh
               |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin)),
+
+    // Exact 10% trimmed mean ([[Profile.trimmedMean]]): the robust
+    // location estimate between mean and median — per-value kept-row
+    // counts from span overlap with the [k, n−k) window, so ties and
+    // partial trims are exact with NO row sort; ‰ trim keeps k itself
+    // integer-derived in both engines.
+    Q("q_trimmed_mean",
+      (s, dir) => Profile.trimmedMean(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("price_cents")),
+        Seq("l_returnflag"), "price_cents", trimPerMille = 100)
+        .orderBy("l_returnflag"),
+      Some(Profile.trimmedMeanSql(
+        "(SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents FROM lineitem)",
+        Seq("l_returnflag"), "price_cents", trimPerMille = 100) +
+        "\nORDER BY l_returnflag")),
+
+    // Weekly churn / retention ([[EventOps.periodChurn]]): per
+    // activity week — active, retained into next week, churned, and
+    // next-week-new users on the distinct (user, week) grain (the
+    // events table spans one month, so weeks are the period with a
+    // real successor structure). The last observed week reports NULL
+    // churn (unobserved ≠ 100%).
+    Q("ev_churn",
+      (s, dir) => EventOps.periodChurn(Tables.events(s, dir), "user_id", "ts",
+        period = "week").orderBy("m"),
+      Some(EventOps.periodChurnSql("events", "user_id", "ts", period = "week") +
+        "\nORDER BY m")),
+
+    // DAU/WAU stickiness ([[EventOps.dauMau]]): mean daily actives
+    // over observed days vs the week's distinct actives — the
+    // engagement headline ratio; exact integer dedup grains, two
+    // fixed-arity divisions.
+    Q("ev_dau_mau",
+      (s, dir) => EventOps.dauMau(Tables.events(s, dir), "user_id", "ts",
+        period = "week").orderBy("m"),
+      Some(EventOps.dauMauSql("events", "user_id", "ts", period = "week") +
+        "\nORDER BY m")),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

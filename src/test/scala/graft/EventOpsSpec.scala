@@ -321,6 +321,36 @@ class EventOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("inverted"))
   }
 
+  test("periodChurn: retained/churned/new per week, last week NULL not 100%") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    // u1 active both weeks, u2 week1 only, u3 week2 only (2024-01-01 is a Monday)
+    val ev = Seq((1L, ts("2024-01-02")), (1L, ts("2024-01-09")),
+      (2L, ts("2024-01-03")), (3L, ts("2024-01-10")))
+      .toDF("user_id", "ts")
+    val out = EventOps.periodChurn(ev, "user_id", "ts", period = "week")
+      .orderBy("m").collect()
+    assert(out.length == 2)
+    val w1 = out(0)
+    assert(w1.getAs[Long]("n_active") == 2L && w1.getAs[Long]("n_new") == 2L)
+    assert(w1.getAs[Long]("n_retained") == 1L && w1.getAs[Long]("n_churned") == 1L)
+    assert(w1.getAs[Double]("churn_rate") == 0.5)
+    val w2 = out(1)
+    assert(w2.getAs[Long]("n_active") == 2L && w2.getAs[Long]("n_new") == 1L)
+    assert(w2.isNullAt(w2.fieldIndex("n_churned")), "last week churn must be NULL")
+  }
+
+  test("dauMau: mean daily actives over observed days vs period actives") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")
+    val ev = Seq((1L, ts("2024-01-01")), (1L, ts("2024-01-01")), // dup: one (u, d)
+      (1L, ts("2024-01-02")), (2L, ts("2024-01-01")))
+      .toDF("user_id", "ts")
+    val r = EventOps.dauMau(ev, "user_id", "ts", period = "week").collect().head
+    assert(r.getAs[Long]("n_days") == 2L && r.getAs[Long]("mau") == 2L)
+    assert(r.getAs[Double]("avg_dau") == 1.5 && r.getAs[Double]("stickiness") == 0.75)
+  }
+
   test("cooccurrence: actor-grain dedup, unordered pairs, exact Jaccard") {
     import spark.implicits._
     // u2 repeats B: must not inflate n_both; B-C never co-occur -> absent

@@ -253,6 +253,21 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0.5), (2L, 1L, 0.75), (5L, 1L, 1.0)))
   }
 
+  test("trimmedMean: exact span-overlap trims, ties and partial trims included") {
+    import spark.implicits._
+    // 1..10, trim 10% each side -> drop 1 and 10 -> mean(2..9) = 5.5
+    val a = (1L to 10L).map(("a", _)).toDF("k", "v")
+    val ra = Profile.trimmedMean(a, Seq("k"), "v", trimPerMille = 100).collect().head
+    assert(ra.getAs[Long]("n_kept") == 8L && ra.getAs[Double]("trimmed_mean") == 5.5)
+    // ties spanning the cut: (1,5,5,5,9) trim 20% -> k=1 -> keep three 5s
+    val b = Seq(1L, 5L, 5L, 5L, 9L).map(("b", _)).toDF("k", "v")
+    val rb = Profile.trimmedMean(b, Seq("k"), "v", trimPerMille = 200).collect().head
+    assert(rb.getAs[Long]("n_kept") == 3L && rb.getAs[Double]("trimmed_mean") == 5.0)
+    intercept[IllegalArgumentException] {
+      Profile.trimmedMean(a, Seq("k"), "v", trimPerMille = 500)
+    }
+  }
+
   test("corrMatrix: one-pass exact pairwise r — perfect, inverse, degenerate") {
     import spark.implicits._
     // y = 2x -> r=1; z = -x -> r(x,z) = -1; c constant -> NULL with everything
