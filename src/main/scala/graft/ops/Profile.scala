@@ -942,6 +942,55 @@ object Profile {
        |FROM take GROUP BY ALL HAVING SUM(tk) > 0""".stripMargin
   }
 
+  /**
+   * Exact DISCRETE QUANTILES per key — for each requested per-mille
+   * level p, the smallest value whose cumulative count reaches p‰ of
+   * the key's rows (the lower empirical quantile: always a REAL
+   * element, the [[weightedMedian]]/[[iqrOutliers]] convention).
+   * One value-count walk serves every level — levels fan out over a
+   * broadcast literal table, so asking for p50/p90/p99 costs the same
+   * walk as asking for one. All-integer picks; output
+   * `(keys..., p_mille, v)`.
+   */
+  def discQuantiles(df: DataFrame, keys: Seq[String], valueCol: String,
+                    pMille: Seq[Int]): DataFrame = {
+    require(pMille.nonEmpty && pMille.forall(p => p >= 1 && p <= 1000),
+      s"discQuantiles: levels must be in [1, 1000]‰, got $pMille")
+    import org.apache.spark.sql.expressions.Window
+    val kcols = keys.map(col)
+    val vc = df.filter(col(valueCol).isNotNull)
+      .groupBy(kcols :+ col(valueCol).cast(LongType).as("v"): _*)
+      .agg(count(lit(1)).as("c"))
+    val walk = Window.partitionBy(kcols: _*).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(kcols: _*)
+    val cum = vc.withColumn("__cum", sum("c").over(walk))
+      .withColumn("__n", sum("c").over(all))
+    val levels = vc.sparkSession.createDataFrame(
+      pMille.map(p => Tuple1(p.toLong))).toDF("p_mille")
+    cum.crossJoin(broadcast(levels))
+      .filter(lit(1000) * col("__cum") >= col("p_mille") * col("__n"))
+      .groupBy(kcols :+ col("p_mille"): _*)
+      .agg(min("v").as("v"))
+  }
+
+  /** DuckDB mirror of [[discQuantiles]]. */
+  def discQuantilesSql(rel: String, keys: Seq[String], valueCol: String,
+                       pMille: Seq[Int]): String = {
+    val ks = keys.mkString(", ")
+    val lv = pMille.map(p => s"($p)").mkString(", ")
+    s"""WITH vc AS (SELECT $ks, CAST($valueCol AS BIGINT) AS v, count(*) AS c
+       |  FROM $rel WHERE $valueCol IS NOT NULL GROUP BY ALL),
+       |cum AS (SELECT $ks, v,
+       |    SUM(c) OVER (PARTITION BY $ks ORDER BY v ROWS UNBOUNDED PRECEDING) AS cr,
+       |    SUM(c) OVER (PARTITION BY $ks) AS n
+       |  FROM vc),
+       |lv(p_mille) AS (VALUES $lv)
+       |SELECT $ks, CAST(p_mille AS BIGINT) AS p_mille, MIN(v) AS v
+       |FROM cum, lv WHERE 1000 * cr >= p_mille * n
+       |GROUP BY ALL""".stripMargin
+  }
+
   /** DuckDB mirror of [[cdfLookup]]. */
   def cdfLookupSql(rel: String, keys: Seq[String], valueCol: String): String = {
     val ks = keys.mkString(", ")

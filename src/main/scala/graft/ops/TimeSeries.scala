@@ -752,6 +752,47 @@ object TimeSeries {
    * it, so the answer is auditable.
    */
   /**
+   * ROLLING MEDIAN filter per key — the median of the trailing
+   * `window` points at each step: the standard despiking filter (a
+   * rolling MEAN drags toward the very spike it should reject; the
+   * median ignores up to half the window). Lower-median convention so
+   * every output is a REAL series element, exact in integers: Spark
+   * sorts the trailing `collect_list` (bounded by `window`, ≤ 64
+   * enforced) and picks element ⌈n/2⌉; DuckDB's windowed
+   * `quantile_disc(v, 0.5)` picks the identical element (probed:
+   * floor(0.5·(n−1)) 0-based = ⌈n/2⌉ 1-based). Partial head windows
+   * compute over the rows available — same in both engines. Input is
+   * the PRE-AGGREGATED series ([[madOutliers]] posture).
+   */
+  def rollingMedian(series: DataFrame, keys: Seq[String], orderCol: String,
+                    valueCol: String, window: Int): DataFrame = {
+    require(window >= 2 && window <= 64,
+      s"rollingMedian: window in [2, 64], got $window")
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*).orderBy(orderCol)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    series.select(kcols :+ col(orderCol).cast("long").as("t") :+
+        col(valueCol).cast("long").as("v"): _*)
+      .withColumn("__arr", sort_array(collect_list("v").over(
+        Window.partitionBy(kcols: _*).orderBy("t")
+          .rowsBetween(-(window - 1), Window.currentRow))))
+      .select(kcols ++ Seq(col("t"), col("v"),
+        element_at(col("__arr"), ((size(col("__arr")) + 1) / 2)
+          .cast("int")).as("roll_median")): _*)
+  }
+
+  /** DuckDB mirror of [[rollingMedian]] — windowed quantile_disc. */
+  def rollingMedianSql(rel: String, keys: Seq[String], orderCol: String,
+                       valueCol: String, window: Int): String = {
+    val ks = keys.mkString(", ")
+    s"""SELECT $ks, CAST($orderCol AS BIGINT) AS t, CAST($valueCol AS BIGINT) AS v,
+       |  quantile_disc(CAST($valueCol AS BIGINT), 0.5) OVER (
+       |    PARTITION BY $ks ORDER BY $orderCol
+       |    ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS roll_median
+       |FROM $rel""".stripMargin
+  }
+
+  /**
    * Business days (Mon–Fri) in the half-open span [d1, d2) — the SLA /
    * lead-time calendar arithmetic every ops dashboard needs, as a pure
    * closed-form integer expression (no calendar table, no explode, no

@@ -6898,6 +6898,90 @@ object ExtQueries {
         period = "week").orderBy("m"),
       Some(EventOps.dauMauSql("events", "user_id", "ts", period = "week") +
         "\nORDER BY m")),
+
+    // Rolling 7-day median ([[TimeSeries.rollingMedian]]): the
+    // despiking filter over each priority's daily order counts — the
+    // rolling MEAN drags toward the spike it should reject. Lower
+    // medians are real elements; windows sort ≤7 collected values on
+    // the pre-aggregated series.
+    Q("ts_rolling_median",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("prio"),
+            datediff(col("o_orderdate").cast(DateType),
+              lit("1992-01-01").cast(DateType)).as("day"))
+          .agg(count(lit(1)).as("n"))
+        TimeSeries.rollingMedian(daily, Seq("prio"), "day", "n", window = 7)
+          .orderBy("prio", "t")
+      },
+      Some(TimeSeries.rollingMedianSql(
+        """(SELECT o_orderpriority AS prio,
+          |   date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+          |   CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1, 2)"""
+          .stripMargin.replace("\n", " "),
+        Seq("prio"), "day", "n", window = 7) + "\nORDER BY prio, t")),
+
+    // Inter-arrival time quantiles ([[Profile.discQuantiles]]): p50 /
+    // p90 / p99 of the microsecond gap between each user's consecutive
+    // events, keyed by the arriving event's type — the latency-style
+    // SLO readout for event feeds. Gaps are exact integer micros
+    // (lag over (ts, event_id) total order); one value-count walk
+    // serves all three levels via a broadcast level table.
+    Q("ev_interarrival",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+          .filter(col("gap_us").isNotNull)
+        Profile.discQuantiles(gaps, Seq("event_type"), "gap_us",
+          pMille = Seq(500, 900, 990))
+          .orderBy("event_type", "p_mille")
+      },
+      Some(Profile.discQuantilesSql(
+        """(SELECT event_type,
+          |   epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+          |     PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+          | FROM events)""".stripMargin.replace("\n", " "),
+        Seq("event_type"), "gap_us", pMille = Seq(500, 900, 990)) +
+        "\nORDER BY event_type, p_mille")),
+
+    // Sequence-gap report, keyed: each supplier's IDLE shipping
+    // windows — runs of days with no shipment between two active days
+    // (the driver's synthetic key spaces are dense, so the interesting
+    // gaps live in per-key activity calendars, the same scan that
+    // catches dropped ingest batches on a real feed). Gaps-and-islands
+    // over the DISTINCT (supplier, active-day) domain: one keyed lag,
+    // rows where the step exceeds 1 become (gap_start, gap_end,
+    // n_missing) ranges — output is gap-count-sized.
+    Q("q_key_gaps",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("sk").orderBy("k")
+        Tables.lineitem(s, dir).filter(col("l_suppkey") < 10)
+          .select(col("l_suppkey").as("sk"),
+            datediff(col("l_shipdate").cast(DateType),
+              lit("1992-01-01").cast(DateType)).cast(LongType).as("k"))
+          .distinct()
+          .withColumn("__prev", lag("k", 1).over(w))
+          .filter(col("__prev").isNotNull && col("k") - col("__prev") > 1)
+          .select(col("sk"), (col("__prev") + 1).as("gap_start"),
+            (col("k") - 1).as("gap_end"),
+            (col("k") - col("__prev") - 1).as("n_missing"))
+          .orderBy("sk", "gap_start")
+      },
+      Some("""SELECT sk, CAST(prev + 1 AS BIGINT) AS gap_start,
+             |  CAST(k - 1 AS BIGINT) AS gap_end,
+             |  CAST(k - prev - 1 AS BIGINT) AS n_missing
+             |FROM (SELECT sk, k, lag(k, 1) OVER (PARTITION BY sk ORDER BY k) AS prev
+             |      FROM (SELECT DISTINCT l_suppkey AS sk,
+             |              CAST(date_diff('day', DATE '1992-01-01',
+             |                CAST(l_shipdate AS DATE)) AS BIGINT) AS k
+             |            FROM lineitem WHERE l_suppkey < 10))
+             |WHERE prev IS NOT NULL AND k - prev > 1
+             |ORDER BY sk, gap_start""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -253,6 +253,16 @@ class ProfileSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 0.5), (2L, 1L, 0.75), (5L, 1L, 1.0)))
   }
 
+  test("discQuantiles: one walk, many levels, lower-element picks") {
+    import spark.implicits._
+    val df = (1L to 10L).map(("k", _)).toDF("g", "v")
+    val out = Profile.discQuantiles(df, Seq("g"), "v", pMille = Seq(500, 900, 990))
+      .orderBy("p_mille").collect()
+      .map(r => (r.getAs[Long]("p_mille"), r.getAs[Long]("v")))
+    // p50: smallest v with cum >= 5 -> 5; p90 -> 9; p99: cum >= 9.9 -> 10
+    assert(out.toSeq == Seq((500L, 5L), (900L, 9L), (990L, 10L)))
+  }
+
   test("trimmedMean: exact span-overlap trims, ties and partial trims included") {
     import spark.implicits._
     // 1..10, trim 10% each side -> drop 1 and 10 -> mean(2..9) = 5.5

@@ -325,6 +325,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(outZ.map(_.getAs[Long]("t")).toSeq == Seq(4L))
   }
 
+  test("rollingMedian: despikes, partial head windows, lower-median convention") {
+    import spark.implicits._
+    // window 3 over (1, 9, 2, 3): medians 1 (partial), 1 (lower of {1,9}), 2, 3
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 9L), ("k", 3L, 2L), ("k", 4L, 3L))
+      .toDF("key", "t", "v")
+    val out = TimeSeries.rollingMedian(df, Seq("key"), "t", "v", window = 3)
+      .orderBy("t").collect().map(_.getAs[Long]("roll_median"))
+    assert(out.toSeq == Seq(1L, 1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingMedian(df, Seq("key"), "t", "v", window = 1)
+    }
+  }
+
   test("busdays: closed form matches the calendar on known spans") {
     import spark.implicits._
     // 2024-01-01 is a Monday
