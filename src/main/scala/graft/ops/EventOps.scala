@@ -198,6 +198,72 @@ object EventOps {
   }
 
   /**
+   * FIRST/LAST-TOUCH attribution within a lookback window — for every
+   * conversion, the earliest and the latest preceding touch in the
+   * window: the two endpoint models bracketing [[linearAttribution]]'s
+   * equal-split (marketing reads all three side by side). The per-pair
+   * join is time-bounded (`conv − lookback ≤ touch < conv`, same shape
+   * as the stream-stream correlate), so fan-out is events-per-window,
+   * never a user's full history². Endpoint picks ride ONE padded
+   * string key `lpad(µs)·:·lpad(id)·:·type` — min = (ts, id)-first,
+   * max = (ts, id)-last, identical in both engines with no composite
+   * argmin — parsed back by fixed offsets. Conversions with no touch
+   * in window report NULLs (dropped conversions would silently
+   * overstate coverage).
+   */
+  def firstLastTouch(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, idCol: String, convType: String,
+                     lookbackUs: Long): DataFrame = {
+    require(lookbackUs > 0, s"firstLastTouch: lookbackUs must be > 0")
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__u"), col(idCol).as("conv_id"),
+        unix_micros(col(tsCol)).as("__cus"))
+    val touch = events.filter(col(typeCol) =!= convType)
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__tus"),
+        concat(lpad(unix_micros(col(tsCol)).cast("string"), 20, "0"), lit(":"),
+          lpad(col(idCol).cast("string"), 20, "0"), lit(":"),
+          col(typeCol)).as("__k"))
+    def parse(k: org.apache.spark.sql.Column) = (
+      substring(k, 22, 20).cast("long"), substring(k, 43, 1000))
+    // time-bounded pair join, LEFT so empty-window conversions survive
+    val pairs = conv.as("c").join(touch.as("t"),
+      col("c.__u") === col("t.__u") &&
+        col("t.__tus") < col("c.__cus") &&
+        col("t.__tus") >= col("c.__cus") - lookbackUs,
+      "left")
+    val agg = pairs.groupBy(col("c.conv_id").as("conv_id"))
+      .agg(count(col("t.__k")).as("n_touches"),
+        min(col("t.__k")).as("__fk"), max(col("t.__k")).as("__lk"))
+    val (fid, fty) = parse(col("__fk"))
+    val (lid, lty) = parse(col("__lk"))
+    agg.select(col("conv_id"), col("n_touches"),
+      fid.as("first_touch_id"), fty.as("first_type"),
+      lid.as("last_touch_id"), lty.as("last_type"))
+  }
+
+  /** DuckDB mirror of [[firstLastTouch]]. */
+  def firstLastTouchSql(rel: String, userCol: String, typeCol: String,
+                        tsCol: String, idCol: String, convType: String,
+                        lookbackUs: Long): String =
+    s"""WITH conv AS (SELECT $userCol AS u, $idCol AS conv_id,
+       |    epoch_us($tsCol) AS cus FROM $rel WHERE $typeCol = '$convType'),
+       |touch AS (SELECT $userCol AS u, epoch_us($tsCol) AS tus,
+       |    lpad(CAST(epoch_us($tsCol) AS VARCHAR), 20, '0') || ':' ||
+       |    lpad(CAST($idCol AS VARCHAR), 20, '0') || ':' || $typeCol AS k
+       |  FROM $rel WHERE $typeCol <> '$convType'),
+       |j AS (SELECT conv.conv_id, touch.k
+       |  FROM conv LEFT JOIN touch ON conv.u = touch.u
+       |    AND touch.tus < conv.cus AND touch.tus >= conv.cus - $lookbackUs),
+       |agg AS (SELECT conv_id, COUNT(k) AS n_touches,
+       |    MIN(k) AS fk, MAX(k) AS lk FROM j GROUP BY 1)
+       |SELECT conv_id, CAST(n_touches AS BIGINT) AS n_touches,
+       |  CAST(substr(fk, 22, 20) AS BIGINT) AS first_touch_id,
+       |  substr(fk, 43) AS first_type,
+       |  CAST(substr(lk, 22, 20) AS BIGINT) AS last_touch_id,
+       |  substr(lk, 43) AS last_type
+       |FROM agg""".stripMargin
+
+  /**
    * PERIOD CHURN / RETENTION — per activity period (week or month):
    * active users, how many return next period (retained), how many
    * don't (churned), and how many of next period's actives are new.

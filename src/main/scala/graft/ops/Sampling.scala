@@ -293,6 +293,45 @@ object Sampling {
           .cast(LongType).as("alloc"))
   }
 
+  /**
+   * CLASS REBALANCING — downsample every class to the size of the
+   * SMALLEST class (the uniform-prior training set for a skewed label
+   * column), selecting rows per class by `(md5(id), id)` order: the
+   * same stateless, engine-portable determinism contract as
+   * [[hashSplit]] — re-runs, any partitioning, and the oracle pick the
+   * identical rows, where a `sampleBy`-fraction approach would neither
+   * hit the exact count nor replay. One keyed count (broadcast scalar
+   * min) + one per-class window over hash order.
+   */
+  def rebalanceClasses(df: DataFrame, labelCol: String, idCol: String): DataFrame = {
+    val minN = df.filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol)).agg(count(lit(1)).as("__n"))
+      .agg(min("__n").as("__min_n"))
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.filter(col(labelCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .filter(col("__rn") <= col("__min_n"))
+      .drop("__rn", "__min_n")
+  }
+
+  /** DuckDB mirror of [[rebalanceClasses]] — same md5 pick order.
+    * Emits the full mirrored SELECT over `rel`; `cols` lists the
+    * output columns to carry. */
+  def rebalanceClassesSql(rel: String, labelCol: String, idCol: String,
+                          cols: Seq[String]): String = {
+    val cs = cols.mkString(", ")
+    s"""WITH ranked AS (SELECT $cs,
+       |    row_number() OVER (PARTITION BY $labelCol
+       |      ORDER BY md5(CAST($idCol AS VARCHAR)), $idCol) AS rn
+       |  FROM $rel WHERE $labelCol IS NOT NULL),
+       |mn AS (SELECT MIN(n) AS min_n FROM (
+       |    SELECT count(*) AS n FROM $rel WHERE $labelCol IS NOT NULL
+       |    GROUP BY $labelCol))
+       |SELECT $cs FROM ranked, mn WHERE rn <= min_n""".stripMargin
+  }
+
   /** Poisson(1) CDF thresholds scaled to 2³² and floored — the ONE
     * source both engines' CASE ladders are generated from, so the
     * replicate weights are identical bit-for-bit. P(K ≤ k) for

@@ -111,6 +111,41 @@ object TemporalJoins {
   }
 
   /**
+   * NEAREST as-of join — pandas `merge_asof(direction='nearest')`,
+   * completing the direction family (backward [[asofJoin]], forward
+   * [[asofJoinForward]], staleness [[asofJoinTolerance]]): each left
+   * row takes whichever adjacent right row is CLOSER in time, ties
+   * to the backward match (the pandas tie rule). Composed as the
+   * backward pass then the forward pass — two union+window shuffles
+   * on the same key, no theta-join — with both candidate timestamps
+   * riding in the value structs and one fixed projection picking the
+   * winner per value column. Left timestamps must be date or
+   * timestamp (distance compares in epoch seconds).
+   */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      valueCols: Seq[String]): DataFrame = {
+    def secs(c: Column) = c.cast("timestamp").cast("long")
+    val rb = right.select(col(key) +: col(rightTs) +:
+      valueCols.map(v => col(v).as(s"__b_$v")): _*)
+      .withColumn("__bts", col(rightTs))
+    val rf = right.select(col(key) +: col(rightTs) +:
+      valueCols.map(v => col(v).as(s"__f_$v")): _*)
+      .withColumn("__fts", col(rightTs))
+    val bwd = asofJoin(left, rb, key, leftTs, rightTs,
+      valueCols.map(v => s"__b_$v") :+ "__bts")
+    val both = asofJoinForward(bwd, rf, key, leftTs, rightTs,
+      valueCols.map(v => s"__f_$v") :+ "__fts")
+    val backWins = col("__fts").isNull || (col("__bts").isNotNull &&
+      secs(col(leftTs)) - secs(col("__bts")) <= secs(col("__fts")) - secs(col(leftTs)))
+    val out = valueCols.foldLeft(both) { (df, v) =>
+      df.withColumn(v, when(backWins, col(s"__b_$v")).otherwise(col(s"__f_$v")))
+    }
+    out.drop(valueCols.flatMap(v => Seq(s"__b_$v", s"__f_$v")) ++
+      Seq("__bts", "__fts"): _*)
+  }
+
+  /**
    * Point-in-interval range join via binning: intervals explode into
    * the fixed-size bins they cover; points equi-join their single bin;
    * the residual predicate keeps exact containment

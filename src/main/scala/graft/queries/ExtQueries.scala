@@ -6982,6 +6982,68 @@ object ExtQueries {
              |            FROM lineitem WHERE l_suppkey < 10))
              |WHERE prev IS NOT NULL AND k - prev > 1
              |ORDER BY sk, gap_start""".stripMargin)),
+
+    // NEAREST as-of ([[graft.ops.TemporalJoins.asofJoinNearest]]):
+    // pandas merge_asof(direction='nearest'), ties backward —
+    // completing the direction family. Two union+window shuffles on
+    // the key, one fixed winner projection; the DuckDB mirror composes
+    // its backward and forward ASOF JOINs with the same tie rule.
+    Q("j_asof_nearest",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir)
+        val snaps = orders.filter(col("o_orderkey") % 7 === 0)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max(col("o_totalprice")).as("snap_price"))
+        graft.ops.TemporalJoins.asofJoinNearest(
+          orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+          snaps, key = "o_custkey", leftTs = "o_orderdate",
+          rightTs = "o_orderdate", valueCols = Seq("snap_price"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH snaps AS (SELECT o_custkey, o_orderdate AS snap_ts,
+             |                      max(o_totalprice) AS snap_price
+             |               FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 1, 2),
+             |b AS (SELECT o.o_orderkey, s.snap_ts AS bts, s.snap_price AS bp
+             |      FROM orders o ASOF LEFT JOIN snaps s
+             |        ON o.o_custkey = s.o_custkey AND o.o_orderdate >= s.snap_ts),
+             |f AS (SELECT o.o_orderkey, s.snap_ts AS fts, s.snap_price AS fp
+             |      FROM orders o ASOF LEFT JOIN snaps s
+             |        ON o.o_custkey = s.o_custkey AND o.o_orderdate <= s.snap_ts)
+             |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+             |  CASE WHEN f.fts IS NULL OR (b.bts IS NOT NULL AND
+             |         epoch(CAST(o.o_orderdate AS TIMESTAMP)) - epoch(CAST(b.bts AS TIMESTAMP))
+             |           <= epoch(CAST(f.fts AS TIMESTAMP)) - epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+             |       THEN b.bp ELSE f.fp END AS snap_price
+             |FROM orders o JOIN b USING (o_orderkey) JOIN f USING (o_orderkey)
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    // Deterministic class rebalancing ([[Sampling.rebalanceClasses]]):
+    // every language downsampled to the smallest class by (md5(id),
+    // id) order — the uniform-prior training carve that replays
+    // identically on any layout, where sampleBy fractions neither hit
+    // the exact count nor reproduce.
+    Q("samp_rebalance",
+      (s, dir) => Sampling.rebalanceClasses(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+        .orderBy("lang", "doc_id"),
+      Some(Sampling.rebalanceClassesSql(
+        "(SELECT doc_id, lang FROM documents)", "lang", "doc_id",
+        Seq("doc_id", "lang")) + "\nORDER BY lang, doc_id")),
+
+    // First/last-touch attribution ([[EventOps.firstLastTouch]]): the
+    // endpoint models bracketing ev_attribution's linear split — each
+    // purchase credited to its earliest and latest preceding touch in
+    // a 1-hour lookback; padded-string endpoint keys are engine-
+    // identical; empty-window purchases report NULLs, not silence.
+    Q("ev_attribution_ends",
+      (s, dir) => EventOps.firstLastTouch(Tables.events(s, dir),
+        "user_id", "event_type", "ts", "event_id",
+        convType = "purchase", lookbackUs = 3600L * 1000000L)
+        .orderBy("conv_id"),
+      Some(EventOps.firstLastTouchSql("events", "user_id", "event_type",
+        "ts", "event_id", convType = "purchase",
+        lookbackUs = 3600L * 1000000L) + "\nORDER BY conv_id")),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -321,6 +321,29 @@ class EventOpsSpec extends SparkSpec {
     assert(ex.getMessage.contains("inverted"))
   }
 
+  test("firstLastTouch: window-bounded endpoints, empty window reports NULLs") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    val ev = Seq(
+      (1L, 7L, "click", ts("10:00:00")),
+      (2L, 7L, "view", ts("10:30:00")),
+      (3L, 7L, "purchase", ts("10:45:00")), // window: both touches -> first 1, last 2
+      (4L, 7L, "purchase", ts("12:00:00")), // both touches older than 1h -> NULLs
+      (5L, 8L, "click", ts("09:00:00")),
+      (6L, 8L, "purchase", ts("09:30:00"))  // one touch -> first = last = 5
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = EventOps.firstLastTouch(ev, "user_id", "event_type", "ts",
+      "event_id", "purchase", lookbackUs = 3600L * 1000000L)
+      .orderBy("conv_id").collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("n_touches"),
+        Option(r.get(r.fieldIndex("first_touch_id"))),
+        Option(r.get(r.fieldIndex("last_touch_id")))))
+    assert(out.toSeq == Seq(
+      (3L, 2L, Some(1L), Some(2L)),
+      (4L, 0L, None, None),
+      (6L, 1L, Some(5L), Some(5L))))
+  }
+
   test("periodChurn: retained/churned/new per week, last week NULL not 100%") {
     import spark.implicits._
     def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 10:00:00")

@@ -176,6 +176,21 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == out7.map(_.toSeq).toSeq)
   }
 
+  test("rebalanceClasses: exact min-class counts, deterministic, NULL labels dropped") {
+    import spark.implicits._
+    val df = ((1L to 50L).map((_, "big")) ++ (100L to 106L).map((_, "small")))
+      .toDF("id", "lab")
+      .unionByName(Seq((999L, null.asInstanceOf[String])).toDF("id", "lab"))
+    val out = Sampling.rebalanceClasses(df, "lab", "id")
+    val counts = out.groupBy("lab").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("big" -> 7L, "small" -> 7L))
+    val a = out.orderBy("lab", "id").collect().map(_.toSeq).toSeq
+    val b = Sampling.rebalanceClasses(df.repartition(9), "lab", "id")
+      .orderBy("lab", "id").collect().map(_.toSeq).toSeq
+    assert(a == b, "pick must be layout-invariant")
+  }
+
   test("poissonBootstrap: deterministic, partition-invariant, Poisson(1)-shaped") {
     import spark.implicits._
     val df = (1L to 2000L).map(i => (i, 100L + (i % 7))).toDF("id", "v")

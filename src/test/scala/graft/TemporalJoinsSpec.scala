@@ -112,4 +112,23 @@ class TemporalJoinsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq
     assert(out == Seq((1L, Some(8.0)), (2L, None), (3L, None)))
   }
+
+  test("asofJoinNearest picks the closer side, ties backward, one-sided falls through") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2024-01-$s 00:00:00")
+    val left = Seq(
+      (1L, 9L, ts("10")),  // back 08 (2d), fwd 11 (1d) -> forward
+      (2L, 9L, ts("09")),  // back 08 (1d), fwd 11 (2d) -> backward
+      (3L, 9L, ts("13")),  // back 11 (2d), fwd 15 (2d) -> TIE -> backward
+      (4L, 9L, ts("01")),  // nothing before -> forward only
+      (5L, 9L, ts("25"))   // nothing after -> backward only
+    ).toDF("id", "k", "lts")
+    val right = Seq((9L, ts("08"), 80.0), (9L, ts("11"), 110.0),
+      (9L, ts("15"), 150.0)).toDF("k", "rts", "v")
+    val out = TemporalJoins.asofJoinNearest(left, right, "k", "lts", "rts", Seq("v"))
+      .orderBy("id").select("id", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 110.0), (2L, 80.0), (3L, 110.0),
+      (4L, 80.0), (5L, 150.0)))
+  }
 }
