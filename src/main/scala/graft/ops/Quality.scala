@@ -77,6 +77,54 @@ object Quality {
       .filter(col("violation").isNotNull)
   }
 
+  /**
+   * Keyed TABLE DIFF — the datacompy/reconciliation primitive: full
+   * outer join two versions on the key and classify every row as
+   * added / removed / changed / unchanged, with `changed_cols` naming
+   * exactly the differing columns (null-safe comparison — NULL→value
+   * and value→NULL are changes, NULL→NULL is not). One co-partitioned
+   * full-outer shuffle; the classification is pure projection. The
+   * audit answer "what exactly did this rewrite touch" that row
+   * counts and checksums can't give.
+   */
+  def tableDiff(a: DataFrame, b: DataFrame, key: String,
+                compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "tableDiff: compare columns required")
+    val aP = a.select(col(key) +: compareCols.map(c => col(c).as(s"a_$c")): _*)
+      .withColumn("__in_a", lit(1))
+    val bP = b.select(col(key) +: compareCols.map(c => col(c).as(s"b_$c")): _*)
+      .withColumn("__in_b", lit(1))
+    val j = aP.join(bP, Seq(key), "full_outer")
+    val changed = concat_ws(",",
+      compareCols.map(c =>
+        when(!(col(s"a_$c") <=> col(s"b_$c")), lit(c))): _*)
+    j.withColumn("status",
+        when(col("__in_a").isNull, lit("added"))
+          .when(col("__in_b").isNull, lit("removed"))
+          .when(changed =!= "", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .withColumn("changed_cols", when(col("status") === "changed", changed))
+      .select(col(key), col("status"), col("changed_cols"))
+  }
+
+  /** DuckDB mirror of [[tableDiff]] over relations `aRel`/`bRel`. */
+  def tableDiffSql(aRel: String, bRel: String, key: String,
+                   compareCols: Seq[String]): String = {
+    val aCols = compareCols.map(c => s"a.$c AS a_$c").mkString(", ")
+    val bCols = compareCols.map(c => s"b.$c AS b_$c").mkString(", ")
+    val changed = "concat_ws(',', " + compareCols.map(c =>
+      s"CASE WHEN a_$c IS DISTINCT FROM b_$c THEN '$c' END").mkString(", ") + ")"
+    s"""WITH j AS (SELECT COALESCE(a.$key, b.$key) AS $key,
+       |    $aCols, $bCols,
+       |    (a.$key IS NOT NULL) AS in_a, (b.$key IS NOT NULL) AS in_b
+       |  FROM $aRel a FULL OUTER JOIN $bRel b ON a.$key = b.$key)
+       |SELECT $key,
+       |  CASE WHEN NOT in_a THEN 'added' WHEN NOT in_b THEN 'removed'
+       |       WHEN $changed <> '' THEN 'changed' ELSE 'unchanged' END AS status,
+       |  CASE WHEN in_a AND in_b AND $changed <> '' THEN $changed END AS changed_cols
+       |FROM j""".stripMargin
+  }
+
   /** DuckDB mirror of [[kAnonymity]]. */
   def kAnonymitySql(rel: String, quasiCols: Seq[String], sensitiveCol: String,
                     k: Int, l: Int): String = {

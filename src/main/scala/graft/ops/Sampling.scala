@@ -294,6 +294,41 @@ object Sampling {
   }
 
   /**
+   * EMBARGOED TEMPORAL SPLIT — train strictly before `cutoff` minus an
+   * `embargoDays` buffer, test at-or-after `cutoff`, and the buffer
+   * rows DROPPED: the leakage guard for temporally-correlated data
+   * (finance CV's "purged" split — a trailing feature computed at the
+   * train boundary would otherwise read test-period rows). Pure
+   * stateless filters: reproducible on any layout, no shuffle beyond
+   * the caller's. Returns rows labeled `split` ∈ {train, test};
+   * embargo rows are absent by construction, not flagged.
+   */
+  def timeSplit(df: DataFrame, tsCol: String, cutoff: String,
+                embargoDays: Int): DataFrame = {
+    require(embargoDays >= 0, s"timeSplit: embargoDays must be >= 0")
+    val cut = to_date(lit(cutoff))
+    val d = col(tsCol).cast(org.apache.spark.sql.types.DateType)
+    df.withColumn("split",
+        when(d < date_sub(cut, embargoDays), lit("train"))
+          .when(d >= cut, lit("test")))
+      .filter(col("split").isNotNull)
+  }
+
+  /** DuckDB mirror of [[timeSplit]] — emits the labeled SELECT over
+    * `rel` carrying `cols`. */
+  def timeSplitSql(rel: String, tsCol: String, cutoff: String,
+                   embargoDays: Int, cols: Seq[String]): String = {
+    val cs = cols.mkString(", ")
+    s"""SELECT $cs,
+       |  CASE WHEN CAST($tsCol AS DATE) < DATE '$cutoff' - INTERVAL $embargoDays DAY
+       |         THEN 'train'
+       |       WHEN CAST($tsCol AS DATE) >= DATE '$cutoff' THEN 'test' END AS split
+       |FROM $rel
+       |WHERE CAST($tsCol AS DATE) < DATE '$cutoff' - INTERVAL $embargoDays DAY
+       |   OR CAST($tsCol AS DATE) >= DATE '$cutoff'""".stripMargin
+  }
+
+  /**
    * CLASS REBALANCING — downsample every class to the size of the
    * SMALLEST class (the uniform-prior training set for a skewed label
    * column), selecting rows per class by `(md5(id), id)` order: the

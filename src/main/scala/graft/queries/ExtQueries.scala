@@ -7044,6 +7044,90 @@ object ExtQueries {
       Some(EventOps.firstLastTouchSql("events", "user_id", "event_type",
         "ts", "event_id", convType = "purchase",
         lookbackUs = 3600L * 1000000L) + "\nORDER BY conv_id")),
+
+    // Entity-resolution CLUSTERS over the blocked edit-distance pairs
+    // ([[Linkage.editDistancePairs]] → [[Dedup.connectedComponents]]):
+    // the step after pairwise matching every ER pipeline needs — the
+    // transitive closure into canonical cluster ids (min member). The
+    // oracle runs the identical pair SQL then a recursive min-label
+    // CTE; the Spark side is bounded-round label propagation on the
+    // pair edges (84k at sf0.1), never the part table.
+    Q("er_edit_clusters",
+      (s, dir) => Dedup.connectedComponents(
+        Linkage.editDistancePairs(Tables.part(s, dir), "p_partkey", "p_name",
+          Seq("p_brand", "p_type"), maxDistance = 3)
+          .select(col("id_a"), col("id_b")),
+        maxIter = 20)
+        .select(col("id").as("p_partkey"), col("component").as("cluster"))
+        .orderBy("p_partkey"),
+      Some(s"""WITH RECURSIVE pe AS (
+              |${Linkage.editDistancePairsSql("part", "p_partkey", "p_name",
+                  Seq("p_brand", "p_type"), 3)}),
+              |edges AS (SELECT id_a AS src, id_b AS dst FROM pe
+              |          UNION ALL SELECT id_b AS src, id_a AS dst FROM pe),
+              |reach(node, r) AS (
+              |  SELECT src AS node, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src AS node, reach.r FROM edges e JOIN reach ON e.dst = reach.node)
+              |SELECT node AS p_partkey, MIN(r) AS cluster FROM reach
+              |GROUP BY node ORDER BY p_partkey""".stripMargin)),
+
+    // Embargoed temporal split ([[Sampling.timeSplit]]): train/test at
+    // a 1997-01-01 cutoff with a 30-day purge buffer dropped — the
+    // leakage guard trailing-window features require. Verified at the
+    // row level (split label per order), aggregated for output size.
+    Q("samp_time_split",
+      (s, dir) => Sampling.timeSplit(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        "o_orderdate", cutoff = "1997-01-01", embargoDays = 30)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderdate").cast(DateType)).as("min_d"),
+          max(col("o_orderdate").cast(DateType)).as("max_d"))
+        .orderBy("split"),
+      Some("SELECT split, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "MIN(CAST(o_orderdate AS DATE)) AS min_d, MAX(CAST(o_orderdate AS DATE)) AS max_d FROM (" +
+        Sampling.timeSplitSql("orders", "o_orderdate", "1997-01-01", 30,
+          Seq("o_orderkey", "o_orderdate")) +
+        ")\nGROUP BY split ORDER BY split")),
+
+    // Keyed table diff ([[Quality.tableDiff]]): reconcile two versions
+    // of orders — a deterministic synthetic rewrite removes every
+    // 97th key, reprices every 13th, and adds shifted keys — and the
+    // diff must name exactly what changed per row (null-safe column
+    // compare; unchanged rows withheld). The audit primitive row
+    // counts and checksums can't give.
+    Q("q_table_diff",
+      (s, dir) => {
+        val a = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+        val b = a.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .unionByName(a.filter(col("o_orderkey") % 101 === 0)
+            .select((col("o_orderkey") + 1000000000L).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderpriority")))
+        Quality.tableDiff(a, b, "o_orderkey",
+          Seq("o_totalprice", "o_orderpriority"))
+          .filter(col("status") =!= "unchanged")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM (\n" +
+        """WITH a AS (SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+          |b AS (SELECT o_orderkey,
+          |        CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+          |             ELSE o_totalprice END AS o_totalprice,
+          |        o_orderpriority
+          |      FROM a WHERE o_orderkey % 97 <> 0
+          |      UNION ALL
+          |      SELECT o_orderkey + 1000000000, o_totalprice, o_orderpriority
+          |      FROM a WHERE o_orderkey % 101 = 0),
+          |""".stripMargin +
+        Quality.tableDiffSql("a", "b", "o_orderkey",
+          Seq("o_totalprice", "o_orderpriority"))
+          .replaceFirst("WITH j AS", "j AS") +
+        ")\nWHERE status <> 'unchanged'\nORDER BY o_orderkey")),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

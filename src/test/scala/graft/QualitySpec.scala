@@ -57,6 +57,25 @@ class QualitySpec extends SparkSpec {
     assert(out.toSeq == Seq(("nn", 1L), ("orph", 0L), ("uniq", 1L)))
   }
 
+  test("tableDiff: all four statuses, null transitions are changes, NULL=NULL is not") {
+    import spark.implicits._
+    val a = Seq((1L, Some(10.0), "x"), (2L, Some(20.0), "y"),
+      (3L, None: Option[Double], "z"), (4L, Some(40.0), "w"))
+      .toDF("k", "p", "q")
+    val b = Seq((1L, Some(10.0), "x"),   // unchanged
+      (2L, None: Option[Double], "y"),   // p: value -> NULL = changed
+      (3L, None: Option[Double], "z2"),  // q changed; p NULL=NULL not flagged
+      (5L, Some(50.0), "v"))             // added; 4 removed
+      .toDF("k", "p", "q")
+    val out = Quality.tableDiff(a, b, "k", Seq("p", "q"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(out.toSeq == Seq(
+      (1L, "unchanged", None), (2L, "changed", Some("p")),
+      (3L, "changed", Some("q")), (4L, "removed", None),
+      (5L, "added", None)))
+  }
+
   test("kAnonymity: flags small classes and homogeneous classes, passes the rest") {
     import spark.implicits._
     // class (a): 3 rows, 3 distinct sensitive -> k-violation only (k=4, l=2)

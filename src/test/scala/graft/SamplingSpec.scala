@@ -176,6 +176,17 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == out7.map(_.toSeq).toSeq)
   }
 
+  test("timeSplit: embargo rows dropped, boundaries half-open on the right side") {
+    import spark.implicits._
+    val df = Seq("1996-11-30", "1996-12-01", "1996-12-02", "1996-12-31",
+      "1997-01-01", "1997-02-01").map(d => (d, d)).toDF("id", "d")
+    val out = Sampling.timeSplit(df, "d", cutoff = "1997-01-01", embargoDays = 30)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(2)))
+    // embargo zone [1996-12-02, 1997-01-01) dropped; 12-01 < cutoff-30 -> train
+    assert(out.toSeq == Seq(("1996-11-30", "train"), ("1996-12-01", "train"),
+      ("1997-01-01", "test"), ("1997-02-01", "test")))
+  }
+
   test("rebalanceClasses: exact min-class counts, deterministic, NULL labels dropped") {
     import spark.implicits._
     val df = ((1L to 50L).map((_, "big")) ++ (100L to 106L).map((_, "small")))
