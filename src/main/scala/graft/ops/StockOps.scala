@@ -268,6 +268,103 @@ object StockOps {
        |FROM roll WHERE rn > $period""".stripMargin
 
   /**
+   * Month-over-month growth on the GOLD monthly summary — the BI
+   * staple the reference's dashboards would compute downstream:
+   * previous month's volume via one lag window per ticker, change in
+   * exact units and in basis points (integral `div` — deterministic,
+   * no FP percentage). First month per ticker reports NULLs (no
+   * predecessor ≠ zero growth).
+   */
+  def momGrowth(gold: DataFrame): DataFrame = {
+    val w = Window.partitionBy("sigla_empresa").orderBy("ano", "mes")
+    gold.select(col("sigla_empresa"), col("ano"), col("mes"),
+        col("volume_total_mensal").cast("long").as("vol"))
+      .withColumn("__prev", lag("vol", 1).over(w))
+      .select(col("sigla_empresa"), col("ano"), col("mes"), col("vol"),
+        (col("vol") - col("__prev")).as("delta"),
+        when(col("__prev") > 0,
+          expr("((vol - __prev) * 10000) div __prev")).as("growth_bp"))
+  }
+
+  /** DuckDB mirror of [[momGrowth]] over a `gold` relation with the
+    * same column names. */
+  def momGrowthSql: String =
+    s"""SELECT sigla_empresa, ano, mes, vol,
+       |  CAST(vol - prev AS BIGINT) AS delta,
+       |  CASE WHEN prev > 0 THEN ((vol - prev) * 10000) // prev END AS growth_bp
+       |FROM (SELECT sigla_empresa, ano, mes,
+       |        CAST(volume_total_mensal AS BIGINT) AS vol,
+       |        lag(CAST(volume_total_mensal AS BIGINT), 1) OVER (
+       |          PARTITION BY sigla_empresa ORDER BY ano, mes) AS prev
+       |      FROM gold)""".stripMargin
+
+  /**
+   * CAPM BETA vs the equal-weight market — cov(rᵢ, r_m)/var(r_m) over
+   * daily returns, every return an INTEGER basis-point quantity
+   * (`(px_t − px_{t−1})·10⁴ div px_{t−1}` — integral division, no FP
+   * ratios), sufficient statistics in DECIMAL(38,0), one double
+   * division at the end. The market return is the equal-weight mean
+   * in DOUBLED-sum form (Σ over tickers; dividing by the constant
+   * ticker count cancels in cov/var, so no division enters the
+   * accumulators). Only days where EVERY ticker trades enter (an
+   * unbalanced panel would bias the market mean — inner-join
+   * semantics made explicit by the day-count filter).
+   */
+  def beta(silver: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val byT = Window.partitionBy("ticker").orderBy("d")
+    val rets = indicatorBase(silver)
+      .withColumn("__prev", lag("px", 1).over(byT))
+      .filter(col("__prev") > 0)
+      .withColumn("r", expr("((px - __prev) * 10000) div __prev"))
+      .select(col("ticker"), col("d"), col("r"))
+    val nTickers = rets.agg(countDistinct("ticker").as("__nt"))
+    val market = rets.groupBy("d")
+      .agg(sum("r").as("rm_sum"), count(lit(1)).as("__k"))
+      .crossJoin(broadcast(nTickers))
+      .filter(col("__k") === col("__nt"))
+      .select(col("d"), col("rm_sum"))
+    val j = rets.join(broadcast(market), Seq("d"))
+    val stats = j.groupBy("ticker").agg(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("r").cast(dec38)).as("sr"),
+      sum(col("rm_sum").cast(dec38)).as("sm"),
+      sum(col("r").cast(dec38) * col("rm_sum").cast(dec38)).as("srm"),
+      sum(col("rm_sum").cast(dec38) * col("rm_sum").cast(dec38)).as("smm"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    stats.select(col("ticker"), col("n").cast("long").as("n_days"),
+      when(d(col("n") * col("smm") - col("sm") * col("sm")) > 0.0,
+        d(col("n") * col("srm") - col("sr") * col("sm")) /
+          d(col("n") * col("smm") - col("sm") * col("sm"))).as("beta"))
+  }
+
+  /** DuckDB mirror of [[beta]] — same integer-bp returns, same
+    * balanced-day filter, hi/lo-split casts on the big statistics. */
+  def betaSql: String = {
+    def d(v: String) = graft.Det.hiLoDoubleSql(v)
+    s"""WITH base AS ($IndicatorBaseSql),
+       |rets AS (SELECT ticker, d, ((px - prev) * 10000) // prev AS r
+       |  FROM (SELECT ticker, d, px,
+       |          lag(px, 1) OVER (PARTITION BY ticker ORDER BY d) AS prev
+       |        FROM base)
+       |  WHERE prev > 0),
+       |nt AS (SELECT COUNT(DISTINCT ticker) AS k FROM rets),
+       |market AS (SELECT d, SUM(r) AS rm_sum FROM rets, nt
+       |  GROUP BY d, k HAVING count(*) = k),
+       |j AS (SELECT rets.ticker, rets.r, market.rm_sum
+       |  FROM rets JOIN market ON rets.d = market.d),
+       |stats AS (SELECT ticker, CAST(count(*) AS HUGEINT) AS n,
+       |    SUM(CAST(r AS HUGEINT)) AS sr, SUM(CAST(rm_sum AS HUGEINT)) AS sm,
+       |    SUM(CAST(r AS HUGEINT) * rm_sum) AS srm,
+       |    SUM(CAST(rm_sum AS HUGEINT) * rm_sum) AS smm
+       |  FROM j GROUP BY 1)
+       |SELECT ticker, CAST(n AS BIGINT) AS n_days,
+       |  CASE WHEN ${d("n * smm - sm * sm")} > 0.0
+       |    THEN ${d("n * srm - sr * sm")} / ${d("n * smm - sm * sm")} END AS beta
+       |FROM stats""".stripMargin
+  }
+
+  /**
    * SMA CROSSOVER signals (golden/death cross): days where the
    * fast-window mean crosses the slow-window mean. The comparison is
    * CROSS-MULTIPLIED — `ΣF·slow > ΣS·fast` — so the signal is pure

@@ -736,6 +736,56 @@ object TextOps {
        |FROM tc GROUP BY 1""".stripMargin
 
   /**
+   * VOCABULARY GROWTH curve (Heaps' law) — cumulative distinct-token
+   * count after each doc-id milestone: the corpus-health curve whose
+   * flattening says "more of the same" (templated/duplicated intake)
+   * and whose unusual steepness says OCR noise. NO per-milestone
+   * recompute: each token's FIRST document (one min(doc_id) aggregate,
+   * the [[ngramNovelty]] trick) makes vocab(m) = #{tokens: first ≤ m}
+   * — milestones fan out over a broadcast literal table, so k
+   * milestones cost one aggregate, not k scans. Also reports
+   * cumulative token volume per milestone (the Heaps x-axis), exact.
+   */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  milestones: Seq[Long]): DataFrame = {
+    require(milestones.nonEmpty && milestones == milestones.sorted,
+      s"vocabGrowth: milestones must be non-empty ascending, got $milestones")
+    val tok = docs.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__tok"))
+    val first = tok.groupBy("__tok").agg(min("__id").as("__first"))
+    val vols = docs.select(col(idCol).as("__id"),
+      size(tokens(col(textCol))).cast(LongType).as("__n"))
+    val ms = docs.sparkSession.createDataFrame(milestones.map(Tuple1(_)))
+      .toDF("milestone")
+    val vocab = first.crossJoin(broadcast(ms))
+      .filter(col("__first") <= col("milestone"))
+      .groupBy("milestone").agg(count(lit(1)).as("vocab_size"))
+    val volume = vols.crossJoin(broadcast(ms))
+      .filter(col("__id") <= col("milestone"))
+      .groupBy("milestone").agg(sum("__n").as("n_tokens"))
+    volume.join(vocab, Seq("milestone"), "left")
+      .withColumn("vocab_size", coalesce(col("vocab_size"), lit(0L)))
+  }
+
+  /** DuckDB mirror of [[vocabGrowth]]. */
+  def vocabGrowthSql(rel: String, idCol: String, textCol: String,
+                     milestones: Seq[Long]): String = {
+    val ms = milestones.map(m => s"($m)").mkString(", ")
+    s"""WITH tok AS (SELECT $idCol AS id, unnest(${tokensSql(textCol)}) AS t FROM $rel),
+       |first AS (SELECT t, MIN(id) AS f FROM tok GROUP BY 1),
+       |vols AS (SELECT $idCol AS id, CAST(len(${tokensSql(textCol)}) AS BIGINT) AS n
+       |  FROM $rel),
+       |ms(milestone) AS (VALUES $ms),
+       |vocab AS (SELECT milestone, CAST(count(*) AS BIGINT) AS vocab_size
+       |  FROM first, ms WHERE f <= milestone GROUP BY 1),
+       |volume AS (SELECT milestone, CAST(SUM(n) AS BIGINT) AS n_tokens
+       |  FROM vols, ms WHERE id <= milestone GROUP BY 1)
+       |SELECT volume.milestone AS milestone, n_tokens,
+       |  COALESCE(vocab_size, 0) AS vocab_size
+       |FROM volume LEFT JOIN vocab ON volume.milestone = vocab.milestone""".stripMargin
+  }
+
+  /**
    * Per-document n-gram NOVELTY: the fraction of a document's distinct
    * token n-grams never seen in any lower-id document — the
    * contribution-scoring pass a curriculum/data-mixing pipeline runs

@@ -7128,6 +7128,42 @@ object ExtQueries {
           Seq("o_totalprice", "o_orderpriority"))
           .replaceFirst("WITH j AS", "j AS") +
         ")\nWHERE status <> 'unchanged'\nORDER BY o_orderkey")),
+
+    // Month-over-month growth on the GOLD summary
+    // ([[StockOps.momGrowth]]): the BI staple downstream of the
+    // reference's monthly table — exact delta + integral basis points
+    // (no FP percentage); first month NULL, not zero.
+    Q("stock_mom",
+      (s, dir) => StockOps.momGrowth(StockOps.goldMonthly(
+        StockOps.silverDaily(StockOps.bronzeFromLineitem(Tables.lineitem(s, dir)))))
+        .orderBy("sigla_empresa", "ano", "mes"),
+      Some(s"""WITH gold AS (${StockOps.goldSql()})
+              |SELECT * FROM (${StockOps.momGrowthSql})
+              |ORDER BY sigla_empresa, ano, mes""".stripMargin)),
+
+    // CAPM beta vs the equal-weight market ([[StockOps.beta]]):
+    // integer basis-point daily returns, DECIMAL(38,0) sufficient
+    // statistics, doubled-sum market (the /k cancels in cov/var), only
+    // balanced days — one double division per ticker at the end.
+    Q("stock_beta",
+      (s, dir) => StockOps.beta(
+        StockOps.silverDaily(StockOps.bronzeFromLineitem(Tables.lineitem(s, dir))))
+        .orderBy("ticker"),
+      Some(s"""WITH silver AS (${StockOps.silverSql()})
+              |SELECT * FROM (${StockOps.betaSql})
+              |ORDER BY ticker""".stripMargin)),
+
+    // Heaps'-law vocabulary growth ([[TextOps.vocabGrowth]]):
+    // cumulative distinct tokens + token volume at doc milestones —
+    // one min(doc_id)-per-token aggregate serves every milestone via a
+    // broadcast literal fan-out; the corpus-health curve whose
+    // flattening means templated intake.
+    Q("t_vocab_growth",
+      (s, dir) => TextOps.vocabGrowth(Tables.documents(s, dir), "doc_id", "text",
+        milestones = Seq(50L, 100L, 200L, 400L, 800L, 1600L))
+        .orderBy("milestone"),
+      Some(TextOps.vocabGrowthSql("documents", "doc_id", "text",
+        Seq(50L, 100L, 200L, 400L, 800L, 1600L)) + "\nORDER BY milestone")),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -120,6 +120,32 @@ class StockOpsSpec extends SparkSpec {
     assert(fr.nonEmpty && fr.forall(_.isNullAt(2)))
   }
 
+  test("momGrowth: lag deltas, integral basis points, first month NULL") {
+    import spark.implicits._
+    val gold = Seq(("T", 1995, 1, 100.0), ("T", 1995, 2, 150.0), ("T", 1995, 3, 120.0))
+      .toDF("sigla_empresa", "ano", "mes", "volume_total_mensal")
+    val out = StockOps.momGrowth(gold).orderBy("ano", "mes").collect()
+      .map(r => (r.getInt(2), Option(r.get(r.fieldIndex("delta"))),
+        Option(r.get(r.fieldIndex("growth_bp")))))
+    assert(out.toSeq == Seq(
+      (1, None, None),
+      (2, Some(50L), Some(5000L)),
+      (3, Some(-30L), Some(-2000L))))
+  }
+
+  test("beta: integer-bp returns, equal-weight market, exact proportional betas") {
+    // X returns (10, -10, 20) bp, Y = X/2 -> market(sum) = 1.5X
+    // beta_X = 2/3, beta_Y = 1/3, both exactly (correctly-rounded 1/3 ulps)
+    val days = Seq("01-02", "01-03", "01-04", "01-05")
+    val px = Seq(10000L, 10010L, 9999L, 10019L)   // r: 10, -10, 20
+    val py = Seq(20000L, 20010L, 19999L, 20019L)  // r: 5, -5, 10
+    val s = silverOf(days.zip(px).map { case (d, p) => ("X", s"1995-$d", p / 10000.0, 1L) }
+      ++ days.zip(py).map { case (d, p) => ("Y", s"1995-$d", p / 10000.0, 1L) })
+    val out = StockOps.beta(s).orderBy("ticker").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_days"), r.getAs[Double]("beta")))
+    assert(out.toSeq == Seq(("X", 3L, 2.0 / 3.0), ("Y", 3L, 1.0 / 3.0)))
+  }
+
   test("smaCross: strict sign flip only, zero-relation days break signals") {
     val days = Seq("01-02", "01-03", "01-04", "01-05", "01-06", "01-09", "01-10")
     val px = Seq(10L, 10L, 10L, 20L, 20L, 1L, 1L)

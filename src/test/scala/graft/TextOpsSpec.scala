@@ -326,6 +326,19 @@ class TextOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 2L, 0L, 0.0)))
   }
 
+  test("vocabGrowth: first-occurrence attribution, cumulative volume per milestone") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "b c"), (3L, "a d")).toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(docs, "doc_id", "text", Seq(1L, 2L, 3L))
+      .orderBy("milestone").collect()
+      .map(r => (r.getAs[Long]("milestone"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("vocab_size")))
+    assert(out.toSeq == Seq((1L, 2L, 2L), (2L, 4L, 3L), (3L, 6L, 4L)))
+    intercept[IllegalArgumentException] {
+      TextOps.vocabGrowth(docs, "doc_id", "text", Seq(3L, 1L))
+    }
+  }
+
   test("lexicalProfile: hand-computed tokens/types/hapax/dis and ratios") {
     import spark.implicits._
     // source s: tokens (a a b | b c) -> 5 tokens, 3 types,
