@@ -294,6 +294,35 @@ object Sampling {
   }
 
   /**
+   * Deterministic K-FOLD assignment — fold = first md5 byte of the id
+   * mod k, the cross-validation counterpart of [[hashSplit]] with the
+   * same contract: stateless, shuffle-free, engine-portable, so fold
+   * membership survives re-runs, repartitions, and incremental
+   * appends (a row's fold never depends on other rows — the property
+   * randomSplit cannot give). k ≤ 16 keeps the 256-value byte's fold
+   * imbalance under 3% worst-case (256 mod k spillover); NULL ids get
+   * NULL folds, surfaced.
+   */
+  def kfold(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 16, s"kfold: k in [2, 16], got $k")
+    df.withColumn("fold",
+      when(col(idCol).isNotNull,
+        expr(s"CAST(conv(substring(md5(CAST($idCol AS STRING)), 1, 2), 16, 10) " +
+          s"AS BIGINT) % $k")))
+  }
+
+  /** DuckDB mirror of [[kfold]] — emits the labeled SELECT over `rel`
+    * carrying `cols`. */
+  def kfoldSql(rel: String, idCol: String, k: Int, cols: Seq[String]): String = {
+    val cs = cols.mkString(", ")
+    s"""SELECT $cs,
+       |  CASE WHEN $idCol IS NOT NULL THEN
+       |    CAST(('0x' || substr(md5(CAST($idCol AS VARCHAR)), 1, 2)) AS BIGINT) % $k
+       |  END AS fold
+       |FROM $rel""".stripMargin
+  }
+
+  /**
    * EMBARGOED TEMPORAL SPLIT — train strictly before `cutoff` minus an
    * `embargoDays` buffer, test at-or-after `cutoff`, and the buffer
    * rows DROPPED: the leakage guard for temporally-correlated data

@@ -365,6 +365,55 @@ object StockOps {
   }
 
   /**
+   * SHARPE RATIO (rf = 0, per-period) per ticker — mean daily return
+   * over its standard deviation, both from the SAME integer
+   * basis-point returns as [[beta]]: exact DECIMAL(38,0) Σr and Σr²,
+   * sample variance, one double chain at the end (single sqrt; NULL on
+   * fewer than 2 returns or zero variance). The risk-adjusted
+   * companion to [[maxDrawdown]].
+   */
+  def sharpe(silver: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val byT = Window.partitionBy("ticker").orderBy("d")
+    val rets = indicatorBase(silver)
+      .withColumn("__prev", lag("px", 1).over(byT))
+      .filter(col("__prev") > 0)
+      .withColumn("r", expr("((px - __prev) * 10000) div __prev"))
+    val stats = rets.groupBy("ticker").agg(
+      count(lit(1)).cast(dec38).as("n"),
+      sum(col("r").cast(dec38)).as("sr"),
+      sum(col("r").cast(dec38) * col("r").cast(dec38)).as("srr"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    // mean/sd in one chain: sharpe = (Σr/n) / sqrt((nΣr²−(Σr)²)/(n(n−1)))
+    stats.select(col("ticker"), col("n").cast("long").as("n_days"),
+      when(col("n") > 1 &&
+          d(col("n") * col("srr") - col("sr") * col("sr")) > 0.0,
+        (d(col("sr")) / d(col("n"))) /
+          sqrt(d(col("n") * col("srr") - col("sr") * col("sr")) /
+            d(col("n") * (col("n") - 1)))).as("sharpe"))
+  }
+
+  /** DuckDB mirror of [[sharpe]] — same integer returns, same chain,
+    * hi/lo-split casts on the big statistics. */
+  def sharpeSql: String = {
+    def d(v: String) = graft.Det.hiLoDoubleSql(v)
+    s"""WITH base AS ($IndicatorBaseSql),
+       |rets AS (SELECT ticker, ((px - prev) * 10000) // prev AS r
+       |  FROM (SELECT ticker, d, px,
+       |          lag(px, 1) OVER (PARTITION BY ticker ORDER BY d) AS prev
+       |        FROM base)
+       |  WHERE prev > 0),
+       |stats AS (SELECT ticker, CAST(count(*) AS HUGEINT) AS n,
+       |    SUM(CAST(r AS HUGEINT)) AS sr, SUM(CAST(r AS HUGEINT) * r) AS srr
+       |  FROM rets GROUP BY 1)
+       |SELECT ticker, CAST(n AS BIGINT) AS n_days,
+       |  CASE WHEN n > 1 AND ${d("n * srr - sr * sr")} > 0.0
+       |    THEN (${d("sr")} / ${d("n")}) /
+       |      sqrt(${d("n * srr - sr * sr")} / ${d("n * (n - 1)")}) END AS sharpe
+       |FROM stats""".stripMargin
+  }
+
+  /**
    * SMA CROSSOVER signals (golden/death cross): days where the
    * fast-window mean crosses the slow-window mean. The comparison is
    * CROSS-MULTIPLIED — `ΣF·slow > ΣS·fast` — so the signal is pure

@@ -7164,6 +7164,58 @@ object ExtQueries {
         .orderBy("milestone"),
       Some(TextOps.vocabGrowthSql("documents", "doc_id", "text",
         Seq(50L, 100L, 200L, 400L, 800L, 1600L)) + "\nORDER BY milestone")),
+
+    // Deterministic k-fold CV ([[Sampling.kfold]]): fold = md5 byte
+    // mod 5 — stateless, append-stable (a row's fold never moves),
+    // engine-portable. Verified at the ASSIGNMENT level per document
+    // plus fold-size balance in the same output.
+    Q("samp_kfold",
+      (s, dir) => Sampling.kfold(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id", k = 5)
+        .groupBy("fold").agg(count(lit(1)).as("n_rows"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("fold"),
+      Some("SELECT fold, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM (" +
+        Sampling.kfoldSql("documents", "doc_id", 5, Seq("doc_id")) +
+        ")\nGROUP BY fold ORDER BY fold")),
+
+    // Sharpe ratio ([[StockOps.sharpe]]): risk-adjusted return per
+    // ticker from the same integer-bp daily returns as stock_beta —
+    // exact Σr/Σr², sample-variance chain, NULL under 2 returns or
+    // zero variance.
+    Q("stock_sharpe",
+      (s, dir) => StockOps.sharpe(
+        StockOps.silverDaily(StockOps.bronzeFromLineitem(Tables.lineitem(s, dir))))
+        .orderBy("ticker"),
+      Some(s"""WITH silver AS (${StockOps.silverSql()})
+              |SELECT * FROM (${StockOps.sharpeSql})
+              |ORDER BY ticker""".stripMargin)),
+
+    // Hour-of-day × type activity profile: the usage heat grid every
+    // ops dashboard opens with — event counts and the hour's share of
+    // its type's daily total (exact counts, one fixed division).
+    // Complements ts_seasonal (weekday VALUE means on orders) with the
+    // event-grain WHEN structure.
+    Q("ev_hourly_profile",
+      (s, dir) => {
+        val base = Tables.events(s, dir)
+          .select(col("event_type"), hour(col("ts")).cast(LongType).as("hod"))
+          .groupBy("event_type", "hod").agg(count(lit(1)).as("n"))
+        val tot = base.groupBy("event_type").agg(sum("n").as("__t"))
+        base.join(broadcast(tot), Seq("event_type"))
+          .select(col("event_type"), col("hod"), col("n"),
+            (col("n").cast(DoubleType) / col("__t").cast(DoubleType)).as("share"))
+          .orderBy("event_type", "hod")
+      },
+      Some("""WITH base AS (SELECT event_type,
+             |    CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |tot AS (SELECT event_type, SUM(n) AS t FROM base GROUP BY 1)
+             |SELECT base.event_type, hod, CAST(n AS BIGINT) AS n,
+             |  CAST(n AS DOUBLE) / CAST(t AS BIGINT) AS share
+             |FROM base JOIN tot ON base.event_type = tot.event_type
+             |ORDER BY base.event_type, hod""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -176,6 +176,22 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq == out7.map(_.toSeq).toSeq)
   }
 
+  test("kfold: every fold hit, layout-invariant, append-stable per row") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val out = Sampling.kfold(df, "id", k = 5)
+    val folds = out.groupBy("fold").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(folds.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(folds.values.forall(n => n > 60 && n < 140), s"imbalanced: $folds")
+    // append stability: first 100 ids keep their fold inside a bigger set
+    val small = Sampling.kfold((1L to 100L).toDF("id"), "id", 5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val big = Sampling.kfold(df, "id", 5).filter(col("id") <= 100)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(small == big)
+  }
+
   test("timeSplit: embargo rows dropped, boundaries half-open on the right side") {
     import spark.implicits._
     val df = Seq("1996-11-30", "1996-12-01", "1996-12-02", "1996-12-31",

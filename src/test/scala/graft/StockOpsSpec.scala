@@ -146,6 +146,21 @@ class StockOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("X", 3L, 2.0 / 3.0), ("Y", 3L, 1.0 / 3.0)))
   }
 
+  test("sharpe: exact chain on hand returns, degenerate cases NULL") {
+    // X returns (10, -10, 20): mean 20/3, sample var (n*srr - sr^2)/(n(n-1))
+    // = (3*600 - 400)/6 = 1400/6; sharpe = (20/3)/sqrt(1400/6)
+    val days = Seq("01-02", "01-03", "01-04", "01-05")
+    val px = Seq(10000L, 10010L, 9999L, 10019L)
+    val s = silverOf(days.zip(px).map { case (d, p) => ("X", s"1995-$d", p / 10000.0, 1L) })
+    val r = StockOps.sharpe(s).collect().head
+    val want = (20.0 / 3.0) / math.sqrt(1400.0 / 6.0)
+    assert(r.getAs[Long]("n_days") == 3L && r.getAs[Double]("sharpe") == want)
+    // constant price: zero variance -> NULL
+    val flat = silverOf(days.map(d => ("F", s"1995-$d", 1.0, 1L)))
+    val fr = StockOps.sharpe(flat).collect().head
+    assert(fr.isNullAt(fr.fieldIndex("sharpe")))
+  }
+
   test("smaCross: strict sign flip only, zero-relation days break signals") {
     val days = Seq("01-02", "01-03", "01-04", "01-05", "01-06", "01-09", "01-10")
     val px = Seq(10L, 10L, 10L, 20L, 20L, 1L, 1L)
