@@ -859,6 +859,21 @@ object Dedup {
   def ppjoinPairs(docs: DataFrame, idCol: String, textCol: String,
                   minJaccard: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The pruning bounds (prefix length, length filter, overlap bound
+    // α) are computed in EXACT integer arithmetic on the per-mille
+    // rational t = tPm/1000 — ceil()-of-double-products overshoots at
+    // exact-integer boundaries for thresholds whose double rounds
+    // ABOVE the decimal (0.55 → 0.55000000000000004 makes ceil(0.55·n)
+    // one too large whenever 0.55·n is integral), silently dropping
+    // qualifying pairs and breaking the lossless claim. ceil(a/b) on
+    // non-negative integers is `(a + b - 1) div b`; the final Jaccard
+    // gate stays the same double compare as the brute-force oracle
+    // (equivalent to the exact rational compare for any doc under
+    // ~2.6e13 tokens — the two can only disagree when |sh/union − t|
+    // < 1 ulp, impossible for small-denominator rationals).
+    val tPm = math.round(minJaccard * 1000).toInt
+    require(math.abs(minJaccard * 1000 - tPm) < 1e-9 && tPm > 0 && tPm <= 1000,
+      s"ppjoinPairs: minJaccard must be a per-mille rational in (0, 1], got $minJaccard")
     // localCheckpoint both shared subtrees: `tok` feeds THREE consumers
     // (df counts, the ranked window, the verification arrays) and
     // `prefix` feeds both sides of the self-join — without the cut,
@@ -877,19 +892,20 @@ object Dedup {
       .withColumn("pos", row_number().over(byDoc.orderBy(col("df"), col("tok"))))
       .withColumn("n", count(lit(1)).over(byDoc))
     val prefix = withPos
-      .filter(col("pos") <= col("n") - ceil(lit(minJaccard) * col("n")) + 1)
+      .filter(expr(s"pos <= n - (($tPm * n + 999) div 1000) + 1"))
       .select(col("id"), col("tok"), col("n"), col("pos"))
       .localCheckpoint()
-    // overlap lower bound α = ⌈t(n_a+n_b)/(1+t)⌉ (J ≥ t ⟺ o ≥ α)
-    val alpha = ceil(lit(minJaccard) * (col("n_a") + col("n_b")) /
-      lit(1.0 + minJaccard))
+    // overlap lower bound α = ⌈t(n_a+n_b)/(1+t)⌉ = ⌈tPm(n_a+n_b)/(1000+tPm)⌉
+    // (J ≥ t ⟺ o ≥ α), exact integer ceil-division
+    val alpha = expr(s"($tPm * (n_a + n_b) + ${1000 + tPm - 1}) div ${1000 + tPm}")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"),
         col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
-      .filter(col("n_b") >= ceil(lit(minJaccard) * col("n_a")) &&
-        col("n_a") >= ceil(lit(minJaccard) * col("n_b")))
+      // length filter n_b ≥ t·n_a cross-multiplied: 1000·n_b ≥ tPm·n_a
+      .filter(lit(1000) * col("n_b") >= lit(tPm) * col("n_a") &&
+        lit(1000) * col("n_a") >= lit(tPm) * col("n_b"))
       .filter(lit(1) + least(col("n_a") - col("pos_a"),
         col("n_b") - col("pos_b")) >= alpha)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"))

@@ -594,8 +594,14 @@ object Profile {
     val ky = cells.groupBy("y").agg(sum("o").as("k"))
     val tot = cells.agg(sum("o").as("n"),
       countDistinct("x").as("nx"), countDistinct("y").as("ny"))
-    val diff = col("o") * col("n") - col("r") * col("k")
-    val cellTerms = cells.join(broadcast(rx), Seq("x")).join(broadcast(ky), Seq("y"))
+    // Full r×k grid (marginal cross join), observed COALESCEd to 0: a
+    // cell with O=0 but E=r·k/n>0 contributes E to the true Pearson
+    // statistic — summing only observed cells understates χ² on any
+    // sparse contingency table. Grid size is |X|·|Y| (categorical
+    // domains, both marginals already broadcast-small by construction).
+    val cellTerms = rx.crossJoin(broadcast(ky))
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0).cast(dec38)))
       .crossJoin(broadcast(tot))
       .select(col("n"), col("nx"), col("ny"),
         expr("(o * n - r * k) * (o * n - r * k) * 1000000")
@@ -611,7 +617,8 @@ object Profile {
           .as("cramers_v"))
   }
 
-  /** DuckDB mirror of [[chiSquared]] — same cells/marginals, HUGEINT
+  /** DuckDB mirror of [[chiSquared]] — same full-grid cells/marginals
+    * (O=0 cells COALESCEd in via the marginal cross join), HUGEINT
     * micro fixed point, same `//` truncation, same double epilogue
     * (chi2_micro ≤ 10⁶·χ²·cells stays well under 2⁵³ for any χ² this
     * bound admits, so the plain cast is exact). */
@@ -622,9 +629,11 @@ object Profile {
        |ky AS (SELECT y, SUM(o) AS k FROM cells GROUP BY 1),
        |tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT x) AS nx, COUNT(DISTINCT y) AS ny
        |  FROM cells),
+       |grid AS (SELECT rx.x, rx.r, ky.y, ky.k, COALESCE(cells.o, 0) AS o
+       |  FROM rx CROSS JOIN ky LEFT JOIN cells ON cells.x = rx.x AND cells.y = ky.y),
        |terms AS (SELECT n, nx, ny,
        |    ((o * n - r * k) * (o * n - r * k) * 1000000) // (r * k * n) AS term
-       |  FROM cells JOIN rx USING (x) JOIN ky USING (y), tot)
+       |  FROM grid, tot)
        |SELECT CAST(n AS BIGINT) AS n,
        |  CAST(SUM(term) AS DOUBLE) / 1e6 AS chi2,
        |  sqrt((CAST(SUM(term) AS DOUBLE) / 1e6) /
@@ -922,7 +931,10 @@ object Profile {
           .as("trimmed_mean")): _*)
   }
 
-  /** DuckDB mirror of [[trimmedMean]] — same span-overlap take counts. */
+  /** DuckDB mirror of [[trimmedMean]] — same span-overlap take counts.
+    * The HUGEINT Σ(v·take) routes through [[graft.Det.hiLoDoubleSql]]
+    * (not correctly rounded past 2^53 via a direct cast, while Spark's
+    * Decimal→Double is). */
   def trimmedMeanSql(rel: String, keys: Seq[String], valueCol: String,
                      trimPerMille: Int): String = {
     val ks = keys.mkString(", ")
@@ -935,11 +947,12 @@ object Profile {
        |take AS (SELECT $ks, v,
        |    GREATEST(0, LEAST(cum, n - (n * $trimPerMille) // 1000)
        |      - GREATEST(cum - c, (n * $trimPerMille) // 1000)) AS tk
-       |  FROM walk)
-       |SELECT $ks, CAST(SUM(tk) AS BIGINT) AS n_kept,
-       |  CAST(SUM(CAST(v AS HUGEINT) * tk) AS DOUBLE) / CAST(SUM(tk) AS BIGINT)
-       |    AS trimmed_mean
-       |FROM take GROUP BY ALL HAVING SUM(tk) > 0""".stripMargin
+       |  FROM walk),
+       |agg AS (SELECT $ks, SUM(tk) AS ntk, SUM(CAST(v AS HUGEINT) * tk) AS sv
+       |  FROM take GROUP BY ALL HAVING SUM(tk) > 0)
+       |SELECT $ks, CAST(ntk AS BIGINT) AS n_kept,
+       |  ${graft.Det.hiLoDoubleSql("sv")} / CAST(ntk AS BIGINT) AS trimmed_mean
+       |FROM agg""".stripMargin
   }
 
   /**

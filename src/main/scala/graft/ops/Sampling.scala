@@ -451,7 +451,9 @@ object Sampling {
   }
 
   /** DuckDB mirror of [[poissonBootstrap]] — same md5 weights from the
-    * same threshold literals, same exact sums. */
+    * same threshold literals, same exact sums. The HUGEINT Σ(w·v)
+    * routes through [[graft.Det.hiLoDoubleSql]] (not correctly rounded
+    * past 2^53 via a direct cast, while Spark's Decimal→Double is). */
   def poissonBootstrapSql(rel: String, idCol: String, valueCol: String,
                           replicas: Int): String = {
     val ladder = PoissonCdf32.zipWithIndex
@@ -463,11 +465,13 @@ object Sampling {
        |w AS (SELECT replica, v,
        |    CASE $ladder ELSE 8 END AS w
        |  FROM (SELECT *, CAST(('0x' || substr(md5(id || ':' || CAST(replica AS VARCHAR)), 1, 8))
-       |          AS BIGINT) AS u FROM fan))
+       |          AS BIGINT) AS u FROM fan)),
+       |agg AS (SELECT replica, SUM(w) AS sw, SUM(CAST(w AS HUGEINT) * v) AS sv
+       |  FROM w GROUP BY 1)
        |SELECT CAST(replica AS BIGINT) AS replica,
-       |  CAST(SUM(w) AS BIGINT) AS n_eff,
-       |  CASE WHEN SUM(w) > 0 THEN
-       |    CAST(SUM(CAST(w AS HUGEINT) * v) AS DOUBLE) / CAST(SUM(w) AS BIGINT) END AS mean
-       |FROM w GROUP BY 1""".stripMargin
+       |  CAST(sw AS BIGINT) AS n_eff,
+       |  CASE WHEN sw > 0 THEN
+       |    ${graft.Det.hiLoDoubleSql("sv")} / CAST(sw AS BIGINT) END AS mean
+       |FROM agg""".stripMargin
   }
 }

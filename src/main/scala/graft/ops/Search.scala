@@ -218,7 +218,11 @@ object Search {
 
   /** DuckDB mirror of [[tfidfCosine]] — same CTE chain, same floor
     * divisions (`//`), DECIMAL(38,0)/HUGEINT exact sums, identical
-    * final double expression tree. */
+    * final double expression tree. The HUGEINT→DOUBLE casts of
+    * dot/n2d/n2q ride [[graft.Det.hiLoDoubleSql]]: w² ~ (tf·N·1000)²
+    * exceeds 2^53 at modest corpus sizes, and DuckDB's direct
+    * HUGEINT→DOUBLE cast is not correctly rounded past 2^53 while
+    * Spark's Decimal→Double is. */
   def tfidfCosineSql(docsRel: String, qtValues: String, k: Int): String =
     s"""WITH qt(q_id, term, qtf) AS (VALUES $qtValues),
        |tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS term FROM $docsRel),
@@ -234,7 +238,8 @@ object Search {
        |dotp AS (SELECT q_id, doc_id, SUM(CAST(w AS HUGEINT) * wq) AS dot
        |  FROM weighted JOIN qw USING (term) GROUP BY 1, 2),
        |cosd AS (SELECT q_id, doc_id,
-       |    CAST(dot AS DOUBLE) / (sqrt(CAST(n2d AS DOUBLE)) * sqrt(CAST(n2q AS DOUBLE))) AS cos
+       |    ${graft.Det.hiLoDoubleSql("dot")} /
+       |      (sqrt(${graft.Det.hiLoDoubleSql("n2d")}) * sqrt(${graft.Det.hiLoDoubleSql("n2q")})) AS cos
        |  FROM dotp JOIN dnorm USING (doc_id) JOIN qnorm USING (q_id))
        |SELECT q_id, rank, doc_id, cos FROM (
        |  SELECT q_id, doc_id, cos,

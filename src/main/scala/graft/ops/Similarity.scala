@@ -114,14 +114,20 @@ object Similarity {
   def rangeSearch(emb: DataFrame, queryIds: DataFrame, vecCol: String, idCol: String,
                   centroids: DataFrame, cVecCol: String, cIdCol: String,
                   maxDist: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // Nearest-cell assignment is a min_by AGGREGATE over the k-expanded
+    // emb×centroids frame, not a row_number window: the aggregate gets
+    // map-side combine and no sort, where the window was a sort-based
+    // shuffle of k× the corpus. Ties break to the smaller centroid id
+    // via the (d2, cId) ordering struct — same semantics, cheaper.
     val joined = emb.crossJoin(broadcast(centroids))
       .withColumn("d2", distSqFold(col(vecCol), col(cVecCol)))
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("d2"), col(cIdCol))
-    val assigned = joined.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col(idCol).as("item_id"), col(cIdCol).as("centroid_id"),
-        col(vecCol).as("item_vec"), sqrt(col("d2")).as("dc"))
+    val assigned = joined.groupBy(col(idCol).as("item_id"))
+      .agg(min_by(
+        struct(col(cIdCol).as("centroid_id"), col(vecCol).as("item_vec"),
+          sqrt(col("d2")).as("dc")),
+        struct(col("d2"), col(cIdCol))).as("__a"))
+      .select(col("item_id"), col("__a.centroid_id"), col("__a.item_vec"),
+        col("__a.dc"))
     val radii = assigned.groupBy(col("centroid_id")).agg(max(col("dc")).as("radius"))
     val qcells = emb.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
       .crossJoin(broadcast(centroids))

@@ -176,13 +176,17 @@ object StockOps {
             (col("volume_total").cast("double") * 10000.0)).as("vwap"))
   }
 
-  /** DuckDB mirror of [[vwapMonthly]] over `silver`. */
+  /** DuckDB mirror of [[vwapMonthly]] over `silver`. The HUGEINT
+    * numerator Σ(px·vol) routes through [[graft.Det.hiLoDoubleSql]]:
+    * it exceeds 2^53 at modest volumes and DuckDB's direct
+    * HUGEINT→DOUBLE cast is not correctly rounded past 2^53 while
+    * Spark's Decimal→Double is. */
   def vwapMonthlySql: String =
     s"""SELECT ticker, CAST(year(d) AS INTEGER) AS ano,
        |  CAST(month(d) AS INTEGER) AS mes,
        |  CAST(SUM(vol) AS BIGINT) AS volume_total,
        |  CASE WHEN SUM(vol) > 0 THEN
-       |    CAST(SUM(CAST(px AS HUGEINT) * vol) AS DOUBLE)
+       |    ${graft.Det.hiLoDoubleSql("SUM(CAST(px AS HUGEINT) * vol)")}
        |      / (CAST(SUM(vol) AS BIGINT) * 10000.0) END AS vwap
        |FROM ($IndicatorBaseSql) GROUP BY 1, 2, 3""".stripMargin
 

@@ -1326,47 +1326,62 @@ object AnalyticsQueries {
 
     // Local-extrema detection over the daily revenue series — the peak
     // finder under every alerting/seasonality-inspection pass. One
-    // keyed-date aggregate (exact DECIMAL sums) is the only heavy
-    // shuffle; the lag/lead comparisons ride a per-priority window
-    // whose partitions are tiny (one row per observed day). Strict `>`
-    // on both sides: plateaus are not peaks.
+    // keyed-date aggregate (exact integer-cent sums: per-row 2-decimal
+    // prices cast exactly to cents, summed as BIGINT — r13's DECIMAL
+    // output hashed red in the driver despite value-identical rows, so
+    // the output basis is pure integers, which hash identically in any
+    // engine) is the only heavy shuffle; the lag/lead comparisons ride
+    // a per-priority window whose partitions are tiny (one row per
+    // observed day). Strict `>` on both sides: plateaus are not peaks.
     Q("ts_peaks",
       (s, dir) => {
         val daily = Tables.orders(s, dir)
-          .groupBy(col("o_orderpriority").as("prio"), col("o_orderdate").as("d"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+          .select(col("o_orderpriority").as("prio"), col("o_orderdate").as("d"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast(LongType).as("xc"))
+          .groupBy(col("prio"), col("d"))
+          .agg(sum(col("xc")).as("rev_cents"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("prio")).orderBy(col("d"))
         daily
-          .withColumn("prev", lag(col("rev"), 1).over(w))
-          .withColumn("nxt", lead(col("rev"), 1).over(w))
+          .withColumn("prev", lag(col("rev_cents"), 1).over(w))
+          .withColumn("nxt", lead(col("rev_cents"), 1).over(w))
           .filter(col("prev").isNotNull && col("nxt").isNotNull &&
-            col("rev") > col("prev") && col("rev") > col("nxt"))
-          .select(col("prio"), col("d"), col("rev").cast(DecimalType(18, 2)).as("rev"))
+            col("rev_cents") > col("prev") && col("rev_cents") > col("nxt"))
+          .select(col("prio"), col("d"), col("rev_cents"))
           .orderBy("prio", "d")
       },
-      Some("""WITH daily AS (SELECT o_orderpriority AS prio, o_orderdate AS d,
-             |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
-             |       FROM orders GROUP BY 1, 2),
-             |w AS (SELECT prio, d, rev,
-             |        lag(rev) OVER (PARTITION BY prio ORDER BY d) AS prev,
-             |        lead(rev) OVER (PARTITION BY prio ORDER BY d) AS nxt
+      Some("""WITH xs AS (SELECT o_orderpriority AS prio, o_orderdate AS d,
+             |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+             |       FROM orders),
+             |daily AS (SELECT prio, d, CAST(SUM(xc) AS BIGINT) AS rev_cents
+             |       FROM xs GROUP BY 1, 2),
+             |w AS (SELECT prio, d, rev_cents,
+             |        lag(rev_cents) OVER (PARTITION BY prio ORDER BY d) AS prev,
+             |        lead(rev_cents) OVER (PARTITION BY prio ORDER BY d) AS nxt
              |      FROM daily)
-             |SELECT prio, d, CAST(rev AS DECIMAL(18,2)) AS rev
+             |SELECT prio, d, rev_cents
              |FROM w
-             |WHERE prev IS NOT NULL AND nxt IS NOT NULL AND rev > prev AND rev > nxt
+             |WHERE prev IS NOT NULL AND nxt IS NOT NULL
+             |  AND rev_cents > prev AND rev_cents > nxt
              |ORDER BY prio, d""".stripMargin)),
 
     // Exact Gini concentration coefficient per priority class over
     // order totals — the inequality measure behind revenue-concentration
     // dashboards. Computed from the rank-weighted identity
-    // G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x) with every sum exact
-    // DECIMAL (the Σ i·x term is invariant under tie permutations, so
-    // the o_orderkey tiebreak only pins determinism, not the value);
-    // ONE double division at the edge. One window sort + one aggregate
-    // per group — no pairwise |x_i − x_j| blowup.
+    // G = (2·Σ i·x_i − (n+1)·Σ x) / (n·Σ x) with every sum exact (the
+    // Σ i·x term is invariant under tie permutations, so the o_orderkey
+    // tiebreak only pins determinism, not the value); the xc·i products
+    // are widened to DECIMAL(38,0) BEFORE multiply/sum — at sf10 the
+    // running Σ i·x exceeds Long range (n≈3e6 rows/group × xc≈5e7
+    // cents) and a LongType sum would wrap silently while DuckDB's
+    // promotes to HUGEINT — and the single double division at the edge
+    // rides the hi/lo-split epilogue so both engines round the >2^53
+    // integers identically. One window sort + one aggregate per group —
+    // no pairwise |x_i − x_j| blowup.
     Q("agg_gini",
       (s, dir) => {
+        val dec38 = DecimalType(38, 0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("prio")).orderBy(col("xc"), col("o_orderkey"))
         Tables.orders(s, dir)
@@ -1376,26 +1391,27 @@ object AnalyticsQueries {
           .withColumn("i", row_number().over(w).cast(LongType))
           .groupBy(col("prio"))
           .agg(count(lit(1)).as("n"),
-            sum(col("xc")).as("sxc"),
-            sum(col("xc") * col("i")).as("sixc"))
-          .select(col("prio"), col("n"), col("sxc").as("total_cents"),
-            (((lit(2L) * col("sixc")) - ((col("n") + 1) * col("sxc"))).cast(DoubleType) /
-              (col("n") * col("sxc")).cast(DoubleType)).as("gini"))
+            sum(col("xc").cast(dec38)).as("sxc"),
+            sum(col("xc").cast(dec38) * col("i").cast(dec38)).as("sixc"))
+          .select(col("prio"), col("n"), col("sxc").cast(LongType).as("total_cents"),
+            (((lit(2L).cast(dec38) * col("sixc")) -
+              ((col("n") + 1).cast(dec38) * col("sxc"))).cast(DoubleType) /
+              (col("n").cast(dec38) * col("sxc")).cast(DoubleType)).as("gini"))
           .orderBy("prio")
       },
-      Some("""WITH xs AS (SELECT o_orderpriority AS prio, o_orderkey,
+      Some(s"""WITH xs AS (SELECT o_orderpriority AS prio, o_orderkey,
              |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
              |       FROM orders),
              |rk AS (SELECT prio, xc,
              |         row_number() OVER (PARTITION BY prio ORDER BY xc, o_orderkey) AS i
              |       FROM xs),
              |agg AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
-             |          CAST(SUM(xc) AS BIGINT) AS sxc,
-             |          CAST(SUM(xc * i) AS BIGINT) AS sixc
+             |          SUM(CAST(xc AS HUGEINT)) AS sxc,
+             |          SUM(CAST(xc AS HUGEINT) * i) AS sixc
              |        FROM rk GROUP BY prio)
-             |SELECT prio, n, sxc AS total_cents,
-             |       CAST(2 * sixc - (n + 1) * sxc AS DOUBLE)
-             |         / CAST(n * sxc AS DOUBLE) AS gini
+             |SELECT prio, n, CAST(sxc AS BIGINT) AS total_cents,
+             |       ${graft.Det.hiLoDoubleSql("2 * sixc - (n + 1) * sxc")}
+             |         / ${graft.Det.hiLoDoubleSql("n * sxc")} AS gini
              |FROM agg ORDER BY prio""".stripMargin)),
 
     // Approximate functional-dependency profiling (q_fd_check): for

@@ -420,6 +420,27 @@ class DedupSpec extends SparkSpec {
     assert(got2 == brute)
   }
 
+  test("ppjoinPairs: lossless at exact-integer threshold boundaries (rational bounds)") {
+    import spark.implicits._
+    // J = 22/(31+31-22) = 22/40 = 0.55 EXACTLY, with t = 0.55 whose
+    // double rounds ABOVE the decimal (0.55000000000000004). The r13
+    // ceil-of-double alpha ⌈0.55·62/1.55⌉ hit ceil(22.000000000000004)
+    // = 23 > 22 and silently dropped this qualifying pair; the integer
+    // bound (550·62 + 1549) div 1550 = 22 keeps it.
+    val shared = (0 until 22).map(i => s"s$i")
+    val a = shared ++ (0 until 9).map(i => s"a$i")   // n_a = 31
+    val b = shared ++ (0 until 9).map(i => s"b$i")   // n_b = 31
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 0.55)
+      .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 22L)),
+      s"boundary pair at J=0.55 must survive the pruning bounds, got $got")
+    // and a non-per-mille threshold is rejected, not silently mangled
+    intercept[IllegalArgumentException] {
+      Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 0.5554321)
+    }
+  }
+
   test("SortedIntersectCount: merge count on sorted arrays, eval and codegen paths") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.Bridge.{column, expression}

@@ -205,6 +205,23 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") == math.sqrt(0.79365 / 100.0))
   }
 
+  test("chiSquared: sparse table — an unobserved cell contributes its expected count") {
+    import spark.implicits._
+    // O = [[5,0],[5,5]]: the (a,y) cell is ABSENT from the grouped cells.
+    // Marginals r=(5,10), k=(10,5), n=15. True Pearson terms E=(10/3,5/3,20/3,10/3):
+    // (5-10/3)^2/(10/3) + (0-5/3)^2/(5/3) + (5-20/3)^2/(20/3) + (5-10/3)^2/(10/3)
+    // = 5/6 + 5/3 + 5/12 + 5/6 = 15/4 = 3.75. Micro fixed point:
+    // terms (O*n-r*k)^2*1e6 div (r*k*n): 833333+1666666+416666+833333
+    // = 3749998 -> chi2 = 3.749998. Summing only observed cells would
+    // lose the 1666666 term (chi2 = 2.083332) — the zero cell is the test.
+    val rows = Seq.fill(5)(("a", "x")) ++
+      Seq.fill(5)(("b", "x")) ++ Seq.fill(5)(("b", "y"))
+    val r = Profile.chiSquared(rows.toDF("u", "v"), "u", "v").collect().head
+    assert(r.getAs[Long]("n") == 15L)
+    assert(r.getAs[Double]("chi2") == 3.749998)
+    assert(r.getAs[Double]("cramers_v") == math.sqrt(3.749998 / 15.0))
+  }
+
   test("weightedMedian: lower pick, even split, zero-weight keys vanish") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 1L), // W=4, cum(2)=3 -> 2

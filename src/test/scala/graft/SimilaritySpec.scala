@@ -430,4 +430,21 @@ class SimilaritySpec extends SparkSpec {
     // dist 0->1 = sqrt(0.1^2*2) ≈ 0.1414... so ids 1-3 are within 0.5 of 0
     assert(got.filter(_._1 == 0L).map(_._2) == Seq(1L, 2L, 3L))
   }
+
+  test("rangeSearch: cell assignment is a min_by aggregate — no WindowExec in the plan") {
+    import spark.implicits._
+    // the r13 shape row_number()'d the k-expanded emb×centroids frame —
+    // a sort-based shuffle of k× the corpus; the aggregate gets map-side
+    // combine and no sort, same semantics (VERDICT r13 item 5)
+    val emb = (0 until 8).map(i => (i.toLong, Array(i * 1.0, i * 2.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(8.0, 16.0)))
+      .toDF("c_id", "c_vec")
+    val queries = Seq(0L, 7L).toDF("vec_id")
+    val plan = Similarity.rangeSearch(emb, queries, "embedding", "vec_id",
+        cents, "c_vec", "c_id", maxDist = 3.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"),
+      s"rangeSearch must assign cells via min_by aggregate, not a window:\n$plan")
+  }
 }
