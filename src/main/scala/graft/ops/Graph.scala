@@ -147,32 +147,100 @@ object Graph {
     require(materializeEvery >= 1, "pageRank: materializeEvery must be >= 1")
     val g = prepare(edges, weightCol, "pageRank")
     try {
-      val baseInt = (1000L - dampingPerMille) * SCALE / (1000L * g.n)
-      var ranks = g.nodes.withColumn("rank", lit(SCALE / g.n))
-      for (r <- 1 to iterations) {
-        val updated = round(g, ranks, baseInt, dampingPerMille)
-        // cut the lineage every few rounds so deep iteration keeps
-        // plans bounded, without a job barrier per round when shallow.
-        // localCheckpoint (not cache): a chain of cached generations
-        // NESTS each prior InMemoryRelation's plan inside the next —
-        // plan strings grow superlinearly and a deep run OOMs just
-        // RENDERING them; the checkpoint truncates to a constant-size
-        // leaf. (On a cluster where executor loss matters, swap for
-        // reliable `checkpoint()` — same call shape.)
-        // The FINAL round is always checkpointed too: it severs the
-        // result from the cached edge/strength tables (released in the
-        // finally below) and materializes it — replacing the
-        // cache()+count() this previously used, which pinned a
-        // CacheManager entry the caller had no handle to unpersist, so
-        // repeated invocations (the 125-query bench, iterative use)
-        // accumulated pinned executor storage forever. Checkpoint
-        // blocks are released when the result is garbage-collected.
-        ranks =
-          if (r % materializeEvery == 0 || r == iterations) updated.localCheckpoint()
-          else updated
-      }
-      // pure projection over the checkpointed leaf — nothing to pin
-      toDoubleRanks(ranks)
+      toDoubleRanks(iterate(g,
+        g.nodes.withColumn("rank", lit(SCALE / g.n)),
+        iterations, dampingPerMille, materializeEvery))
+    } finally g.unpersistAll()
+  }
+
+  /** The shared fixed-iteration loop behind [[pageRank]] /
+    * [[pageRankUnits]] / [[pageRankResume]]. Lineage is cut every few
+    * rounds so deep iteration keeps plans bounded, without a job
+    * barrier per round when shallow. localCheckpoint (not cache): a
+    * chain of cached generations NESTS each prior InMemoryRelation's
+    * plan inside the next — plan strings grow superlinearly and a deep
+    * run OOMs just RENDERING them; the checkpoint truncates to a
+    * constant-size leaf. (On a cluster where executor loss matters,
+    * swap for reliable `checkpoint()` — same call shape.) The FINAL
+    * round is always checkpointed too: it severs the result from the
+    * cached edge/strength tables (released by the callers' finally)
+    * and materializes it — replacing a cache()+count() that pinned a
+    * CacheManager entry the caller had no handle to unpersist, so
+    * repeated invocations (the full-bench runs, iterative use)
+    * accumulated pinned executor storage forever. Checkpoint blocks
+    * are released when the result is garbage-collected. */
+  private def iterate(g: Prepared, init: DataFrame, iterations: Int,
+                      dampingPerMille: Int, materializeEvery: Int): DataFrame = {
+    val baseInt = (1000L - dampingPerMille) * SCALE / (1000L * g.n)
+    var ranks = init
+    for (r <- 1 to iterations) {
+      val updated = round(g, ranks, baseInt, dampingPerMille)
+      ranks =
+        if (r % materializeEvery == 0 || r == iterations) updated.localCheckpoint()
+        else updated
+    }
+    ranks
+  }
+
+  /** [[pageRank]] returning RAW fixed-point units `(node, rank:
+    * BIGINT)` — the maintainable representation: exact, mergeable into
+    * a warehouse table, and the warm-start input [[pageRankResume]]
+    * resumes from. (The double form is presentation-only; units are
+    * the currency of incremental maintenance.) */
+  def pageRankUnits(edges: DataFrame, iterations: Int,
+                    dampingPerMille: Int = 850,
+                    materializeEvery: Int = 4,
+                    weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"pageRankUnits: iterations must be >= 1, got $iterations")
+    require(dampingPerMille > 0 && dampingPerMille < 1000,
+      s"pageRankUnits: dampingPerMille must be in (0, 1000), got $dampingPerMille")
+    require(materializeEvery >= 1, "pageRankUnits: materializeEvery must be >= 1")
+    val g = prepare(edges, weightCol, "pageRankUnits")
+    try iterate(g, g.nodes.withColumn("rank", lit(SCALE / g.n)),
+      iterations, dampingPerMille, materializeEvery)
+    finally g.unpersistAll()
+  }
+
+  /**
+   * INCREMENTAL (warm-start) PageRank: resume fixed-point iteration on
+   * an UPDATED edge list from a previously-maintained rank table —
+   * the graph family's incremental twin (every other maintained
+   * relation here has one). When a delta of edges lands, the prior
+   * ranks are already near the new fixed point, so a handful of rounds
+   * re-converges where a cold start needs the full schedule — the
+   * refresh cost at 100 TB is `rounds_resumed × (one keyed join + one
+   * keyed aggregate over the updated edges)`, with `rounds_resumed`
+   * shrinking as the delta's relative mass does (GraphSpec pins the
+   * claim: 3 warm rounds land closer to the converged ranks than 3
+   * cold rounds on the same updated graph).
+   *
+   * `priorUnits` is `(node, rank)` in fixed-point units (a
+   * [[pageRankUnits]] output or the maintained table). Nodes NEW to
+   * the graph initialize at `SCALE/n` (n = updated node count); nodes
+   * that left the graph drop. Total mass therefore deviates from
+   * SCALE by the delta's churn — the iteration contracts it back
+   * toward the fixed point (the standard warm-start treatment; exact
+   * mass renormalization would cost a scalar pass and buy nothing:
+   * the fixed point is the same). All arithmetic stays exact integer
+   * fixed-point, so a resumed schedule is bit-reproducible and the
+   * DuckDB oracle replays it by unrolling both phases.
+   */
+  def pageRankResume(edges: DataFrame, priorUnits: DataFrame, iterations: Int,
+                     dampingPerMille: Int = 850,
+                     materializeEvery: Int = 4,
+                     weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"pageRankResume: iterations must be >= 1, got $iterations")
+    require(dampingPerMille > 0 && dampingPerMille < 1000,
+      s"pageRankResume: dampingPerMille must be in (0, 1000), got $dampingPerMille")
+    require(materializeEvery >= 1, "pageRankResume: materializeEvery must be >= 1")
+    val g = prepare(edges, weightCol, "pageRankResume")
+    try {
+      val init = g.nodes
+        .join(priorUnits.select(col("node"), col("rank").as("__prior")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__prior"), lit(SCALE / g.n)).as("rank"))
+      toDoubleRanks(iterate(g, init, iterations, dampingPerMille, materializeEvery))
     } finally g.unpersistAll()
   }
 

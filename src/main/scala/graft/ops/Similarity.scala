@@ -711,6 +711,155 @@ object Similarity {
         col("col.id").as(idCol), col("col.score").cast(LongType).as("score_pts"))
   }
 
+  /**
+   * NN-DESCENT k-NN graph construction (Dong, Charikar & Li, WWW'11) —
+   * the GRAPH-BASED index family next to IVF (cell probe) and PQ
+   * (code compression): the k-NN graph is the build artifact behind
+   * HNSW/NSG-style search and is itself the "similar items" relation
+   * recommendation and near-dup triage read directly.
+   *
+   * The principle: *a neighbor of a neighbor is likely a neighbor.*
+   *  - INIT: deterministic bucket joins — each id hashes (md5, the
+   *    engine-portable Sampling convention) into one of `buckets`
+   *    cells, under `initHashes` INDEPENDENT seeded hashings whose
+   *    within-cell k-NN lists union into the seed graph. One hashing
+   *    is not enough: a single partitioning is transitively closed
+   *    (co-neighbor candidates stay inside the cell, so the within-
+   *    cell top-k is already the fixed point and refinement is a
+   *    no-op — caught by the recall spec); overlapping cells from
+   *    independent hashes connect the seed graph the way NN-descent's
+   *    random init does, with no RNG state: re-runs, any
+   *    partitioning, and the DuckDB oracle produce the same start.
+   *  - ROUND (×`rounds`): symmetrize the current lists (forward ∪
+   *    reverse = each node's "general" neighborhood), generate every
+   *    pair that CO-OCCURS in some neighborhood (join on the shared
+   *    pivot), score the new pairs, and re-select each node's k best
+   *    from old ∪ new. Lists only improve (the new list is a top-k of
+   *    a superset of the old one) — SimilaritySpec pins the monotone
+   *    k-th-distance invariant and measures recall against brute
+   *    force.
+   *
+   * Scale shape: per-round work is Σ_v C(deg_v, 2) ≤ N·C(2k,2)
+   * distance evaluations — linear in N for fixed k, never all-pairs;
+   * the joins key on node id / pivot id (plain hash shuffles); the
+   * k-selection is the bounded-state mergeable [[Ranking.topKBy]]
+   * aggregate (k structs per node, map-side combined), not a window
+   * sort; per-round lineage is cut. Distances ride the bit-portable
+   * double fold ([[distSqFold]]), so the whole schedule — including
+   * tie-breaks (d², then smaller id) — replays exactly in the oracle
+   * ([[nnDescentSql]] unrolls the same rounds).
+   *
+   * A node whose bucket is a singleton emits no initial list but
+   * still enters others' lists via reverse edges in later rounds; a
+   * node with no edges after all rounds is absent from the output
+   * (documented, matches the mirror). Output:
+   * `(vec_id, rank, nbr_id, dist)` — rank 1..≤k by (dist, nbr_id).
+   */
+  def nnDescent(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, rounds: Int, buckets: Int, initHashes: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 64, s"nnDescent: k in [1, 64], got $k")
+    require(rounds >= 0 && rounds <= 8, s"nnDescent: rounds in [0, 8], got $rounds")
+    require(buckets >= 1, s"nnDescent: buckets must be >= 1, got $buckets")
+    require(initHashes >= 1 && initHashes <= 8,
+      s"nnDescent: initHashes in [1, 8], got $initHashes")
+    val e = emb.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint() // joined once per round per side — cut the source plan
+    def topK(pairs: DataFrame): DataFrame = pairs
+      .groupBy("src")
+      .agg(Ranking.topKBy(-col("d2"), col("dst"), k).as("__t"))
+      .select(col("src"), explode(col("__t")).as("__s"))
+      .select(col("src"), col("__s.id").as("dst"), (-col("__s.score")).as("d2"))
+    val initPairs = (0 until initHashes).map { h =>
+      val withB = e.withColumn("b",
+        expr(s"CAST(conv(substring(md5(CONCAT('$h:', CAST(id AS STRING))), 1, 8)," +
+          s" 16, 10) AS BIGINT) % $buckets"))
+      withB.as("a")
+        .join(withB.as("c"), col("a.b") === col("c.b") && col("a.id") =!= col("c.id"))
+        .select(col("a.id").as("src"), col("c.id").as("dst"),
+          distSqFold(col("a.vec"), col("c.vec")).as("d2"))
+    }.reduce(_ unionByName _)
+      .groupBy("src", "dst").agg(min("d2").as("d2"))
+    var knn = topK(initPairs).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val adj = knn
+        .unionByName(knn.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
+        .groupBy("src", "dst").agg(min("d2").as("d2"))
+        .localCheckpoint() // feeds both sides of the pivot join
+      // explicit renames, not .as() aliases: both sides of this
+      // self-join share attribute ids (adj is one checkpointed frame),
+      // and alias-qualified `x.dst < y.dst` silently resolved both to
+      // the SAME attribute (a constant-false predicate → empty
+      // candidates → every round a no-op; caught by the recall spec)
+      val cand = adj.select(col("src").as("__p"), col("dst").as("__n1"))
+        .join(adj.select(col("src").as("__p"), col("dst").as("__n2")), "__p")
+        .filter(col("__n1") < col("__n2"))
+        .select(col("__n1").as("src"), col("__n2").as("dst"))
+        .distinct()
+      val candD = cand
+        .join(e.select(col("id").as("src"), col("vec").as("__va")), "src")
+        .join(e.select(col("id").as("dst"), col("vec").as("__vb")), "dst")
+        .select(col("src"), col("dst"), distSqFold(col("__va"), col("__vb")).as("d2"))
+      val candBoth = candD.unionByName(
+        candD.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
+      knn = topK(knn.unionByName(candBoth)
+          .groupBy("src", "dst").agg(min("d2").as("d2")))
+        .localCheckpoint()
+    }
+    knn.groupBy("src")
+      .agg(Ranking.topKBy(-col("d2"), col("dst"), k).as("__t"))
+      .select(col("src"), posexplode(col("__t")))
+      .select(col("src").as(idCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("nbr_id"), sqrt(-col("col.score")).as("dist"))
+  }
+
+  /** DuckDB mirror of [[nnDescent]] over CTE `e(id, vec)` — the same
+    * seeded md5 buckets, the same unrolled rounds, the same (d², id)
+    * tie-break via `row_number` (order-equivalent to the top-k heap). */
+  def nnDescentSql(k: Int, rounds: Int, buckets: Int, initHashes: Int = 2): String = {
+    def topK(src: String, out: String) =
+      s"""$out AS (SELECT src, dst, d2 FROM (
+         |  SELECT src, dst, d2,
+         |         row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+         |  FROM $src) WHERE rn <= $k)""".stripMargin
+    def roundSql(prev: String, r: Int) =
+      s"""adj$r AS (SELECT src, dst, MIN(d2) AS d2 FROM (
+         |    SELECT src, dst, d2 FROM $prev
+         |    UNION ALL SELECT dst AS src, src AS dst, d2 FROM $prev)
+         |  GROUP BY 1, 2),
+         |cand$r AS (SELECT DISTINCT x.dst AS src, y.dst AS dst
+         |  FROM adj$r x JOIN adj$r y ON x.src = y.src AND x.dst < y.dst),
+         |candd$r AS (SELECT c.src, c.dst, ${distSqSql("ea.vec", "eb.vec")} AS d2
+         |  FROM cand$r c JOIN e ea ON ea.id = c.src JOIN e eb ON eb.id = c.dst),
+         |all$r AS (SELECT src, dst, MIN(d2) AS d2 FROM (
+         |    SELECT src, dst, d2 FROM $prev
+         |    UNION ALL SELECT src, dst, d2 FROM candd$r
+         |    UNION ALL SELECT dst AS src, src AS dst, d2 FROM candd$r)
+         |  GROUP BY 1, 2),
+         |${topK(s"all$r", s"knn$r")}""".stripMargin
+    val roundChain = (1 to rounds).map(r => roundSql(s"knn${r - 1}", r)).mkString(",\n")
+    val hashCtes = (0 until initHashes).map { h =>
+      s"""b$h AS (SELECT id, vec,
+         |    CAST(('0x' || substr(md5('$h:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      % $buckets AS b
+         |  FROM e),
+         |p$h AS (SELECT a.id AS src, c.id AS dst,
+         |    ${distSqSql("a.vec", "c.vec")} AS d2
+         |  FROM b$h a JOIN b$h c ON a.b = c.b AND a.id <> c.id)""".stripMargin
+    }.mkString(",\n")
+    val unionInit = (0 until initHashes)
+      .map(h => s"SELECT src, dst, d2 FROM p$h").mkString(" UNION ALL ")
+    s"""$hashCtes,
+       |init_pairs AS (SELECT src, dst, MIN(d2) AS d2 FROM (
+       |    $unionInit) GROUP BY 1, 2),
+       |${topK("init_pairs", "knn0")}${if (rounds > 0) ",\n" + roundChain else ""}
+       |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS nbr_id,
+       |       sqrt(d2) AS dist
+       |FROM (SELECT src, dst, d2,
+       |        row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+       |      FROM knn$rounds)
+       |ORDER BY vec_id, rank""".stripMargin
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
     * greedily pick k items maximizing
     * `λ·rel − (1−λ)·max_{s∈selected} cos(item, s)` — the standard

@@ -1077,6 +1077,63 @@ object AnalyticsQueries {
              |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
              |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dedup COST/BENEFIT report — the decision artifact every pipeline
+    // run wants before committing to a dedup pass: per duplicate-
+    // cluster size, how many docs dedup would drop and how many TOKENS
+    // that saves (training-data budget is token-denominated, not
+    // doc-denominated). Chains the dd_cluster_sizes clusters into
+    // token-count deltas: keep-one-per-cluster (min doc_id, the
+    // dd_exact convention), tokens_removed = cluster tokens minus the
+    // representative's. Clusters key on md5(text) — 16 bytes through
+    // the shuffle instead of full bodies (the at-scale shape;
+    // dd_cluster_sizes groups raw text only because its output IS
+    // text-keyed). One token-count projection, two bounded aggregates.
+    Q("dd_cost_benefit",
+      (s, dir) => {
+        // same injected duplicate groups as dd_cluster_sizes: every
+        // run of 7 consecutive ids shares its base doc's text
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val base = d.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+        val docs = d.select(col("doc_id"),
+          (col("doc_id") - col("doc_id") % 7).as("b_id"))
+          .join(base, "b_id")
+          .select(col("doc_id"), md5(col("b_text")).as("h"),
+            size(TextOps.tokens(col("b_text"))).cast(LongType).as("n_tok"))
+        val clusters = docs.groupBy(col("h"))
+          .agg(count(lit(1)).as("cluster_size"),
+            sum(col("n_tok")).as("tok_total"),
+            min(col("n_tok")).as("tok_kept")) // dup texts: all n_tok equal
+        clusters.groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("cluster_size")).cast(LongType).as("n_docs"),
+            sum(col("cluster_size") - 1).cast(LongType).as("docs_removed"),
+            sum(col("tok_total")).cast(LongType).as("tokens_total"),
+            sum(col("tok_kept")).cast(LongType).as("tokens_kept"))
+          .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+            col("docs_removed"), col("tokens_total"), col("tokens_kept"),
+            (col("tokens_total") - col("tokens_kept")).as("tokens_removed"),
+            ((col("tokens_total") - col("tokens_kept")).cast(DoubleType) /
+              col("tokens_total").cast(DoubleType)).as("pct_tokens_saved"))
+          .orderBy("cluster_size")
+      },
+      Some(s"""WITH docs AS (SELECT d.doc_id, md5(b.text) AS h,
+             |         CAST(len(${TextOps.tokensSql("b.text")}) AS BIGINT) AS n_tok
+             |       FROM documents d
+             |       JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 7),
+             |cl AS (SELECT h, CAST(count(*) AS BIGINT) AS cluster_size,
+             |         CAST(SUM(n_tok) AS BIGINT) AS tok_total,
+             |         CAST(MIN(n_tok) AS BIGINT) AS tok_kept
+             |       FROM docs GROUP BY 1)
+             |SELECT cluster_size, count(*) AS n_clusters,
+             |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+             |  CAST(SUM(cluster_size - 1) AS BIGINT) AS docs_removed,
+             |  CAST(SUM(tok_total) AS BIGINT) AS tokens_total,
+             |  CAST(SUM(tok_kept) AS BIGINT) AS tokens_kept,
+             |  CAST(SUM(tok_total) - SUM(tok_kept) AS BIGINT) AS tokens_removed,
+             |  CAST(SUM(tok_total) - SUM(tok_kept) AS DOUBLE)
+             |    / CAST(SUM(tok_total) AS DOUBLE) AS pct_tokens_saved
+             |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // VACUUM dry-run ([[SnapshotStore.orphanReport]]): three
     // generations under keepSnapshots=1 leave exactly two orphaned
     // single-file generations; the report must name them (without

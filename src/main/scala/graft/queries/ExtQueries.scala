@@ -5174,6 +5174,70 @@ object ExtQueries {
            |SELECT node, CAST(rank AS DOUBLE) / $s.0 AS rank FROM r3 ORDER BY node""".stripMargin
       }),
 
+    // INCREMENTAL PageRank ([[graft.ops.Graph.pageRankResume]]): the
+    // maintained-graph refresh — ranks from the pre-1997 interaction
+    // graph are the maintained table ([[Graph.pageRankUnits]], exact
+    // fixed-point BIGINTs); when 1997+ edges land, iteration RESUMES
+    // from those units on the full graph instead of cold-starting.
+    // New nodes seed at SCALE/n; 3 warm rounds follow 3 maintained
+    // rounds. Every operation is integer (div/sum), so the oracle —
+    // both phases unrolled in SQL, warm start via COALESCE — matches
+    // bit-for-bit. GraphSpec pins the incremental CLAIM (warm rounds
+    // land closer to the converged ranks than the same cold rounds);
+    // this query pins the exact arithmetic of the resumed schedule.
+    Q("gr_pagerank_incremental",
+      (s, dir) => {
+        def edgesFrom(o: DataFrame) = {
+          val pairs = o
+            .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+            .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+            .distinct()
+          pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
+        }
+        val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+        val prior = Graph.pageRankUnits(
+          edgesFrom(Tables.orders(s, dir).filter(col("o_orderdate") < lit(cut))),
+          iterations = 3)
+        Graph.pageRankResume(edgesFrom(Tables.orders(s, dir)), prior, iterations = 3)
+          .orderBy("node")
+      },
+      Some {
+        val sc = Graph.SCALE
+        def round(prev: String, out: String, e: String, od: String, nn: String) =
+          s"""c_$out AS (SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS in_rank
+             |  FROM $e e JOIN $prev r ON e.src = r.node JOIN $od d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |$out AS (SELECT n0.node,
+             |    (150 * $sc) // (1000 * (SELECT n FROM $nn))
+             |      + (850 * COALESCE(c.in_rank, 0)) // 1000 AS rank
+             |  FROM (SELECT node FROM ${if (nn == "nn0") "nodes0" else "nodes"}) n0
+             |  LEFT JOIN c_$out c ON n0.node = c.node)""".stripMargin
+        s"""WITH eraw0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |         WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+           |edges0 AS (SELECT src, dst FROM eraw0 UNION ALL SELECT dst AS src, src AS dst FROM eraw0),
+           |eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |edges AS (SELECT src, dst FROM eraw UNION ALL SELECT dst AS src, src AS dst FROM eraw),
+           |nodes0 AS (SELECT DISTINCT src AS node FROM edges0),
+           |nn0 AS (SELECT COUNT(*) AS n FROM nodes0),
+           |outdeg0 AS (SELECT src, COUNT(*) AS out_deg FROM edges0 GROUP BY src),
+           |p0 AS (SELECT node, $sc // (SELECT n FROM nn0) AS rank FROM nodes0),
+           |${round("p0", "p1", "edges0", "outdeg0", "nn0")},
+           |${round("p1", "p2", "edges0", "outdeg0", "nn0")},
+           |${round("p2", "p3", "edges0", "outdeg0", "nn0")},
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+           |w0 AS (SELECT nodes.node,
+           |    COALESCE(p3.rank, $sc // (SELECT n FROM nn)) AS rank
+           |  FROM nodes LEFT JOIN p3 ON nodes.node = p3.node),
+           |${round("w0", "w1", "edges", "outdeg", "nn")},
+           |${round("w1", "w2", "edges", "outdeg", "nn")},
+           |${round("w2", "w3", "edges", "outdeg", "nn")}
+           |SELECT node, CAST(rank AS DOUBLE) / $sc.0 AS rank FROM w3 ORDER BY node""".stripMargin
+      }),
+
     // Triangle counting + local clustering coefficient over the PART
     // CO-OCCURRENCE graph (parts bought together in one order — the
     // customer↔supplier graph is bipartite and trivially triangle-free).
@@ -5925,6 +5989,22 @@ object ExtQueries {
               |SELECT query_id, item_id, sqrt(dist_sq) AS dist
               |FROM d WHERE dist_sq <= ${1.2 * 1.2}
               |ORDER BY query_id, item_id""".stripMargin)),
+
+    // NN-DESCENT k-NN graph build ([[Similarity.nnDescent]], Dong et
+    // al. WWW'11) — the graph-based ANN index family next to IVF
+    // (sim_ivf_*) and PQ (sim_ivfpq_*): md5-bucket seeding, then two
+    // neighbor-of-neighbor refinement rounds, k best per node by
+    // (d², id). Deterministic end to end (no RNG state), so the
+    // oracle unrolls the IDENTICAL schedule on the identical distance
+    // fold and must hash-match exactly; SimilaritySpec separately
+    // measures recall vs brute force and pins the monotone-improvement
+    // invariant. Per-round cost N·C(2k,2) distances — never all-pairs.
+    Q("sim_nndescent",
+      (s, dir) => Similarity.nnDescent(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 6, rounds = 2, buckets = 16)
+        .orderBy("vec_id", "rank"),
+      Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |${Similarity.nnDescentSql(k = 6, rounds = 2, buckets = 16)}""".stripMargin)),
 
     // Image near-dup by PERCEPTUAL HASH ([[Multimodal.pngAHashPairs]]):
     // real PNGs (CRC walk → inflate → defilter) hashed to a 64-bit

@@ -309,4 +309,38 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("pageRankResume: warm start beats cold start and matches units round-trip") {
+    import spark.implicits._
+    // base graph: a 30-node binary tree (IRREGULAR degrees — a regular
+    // graph's fixed point is uniform, where cold start is already
+    // converged and warm start can't win); delta: two new leaves —
+    // small relative mass, so prior ranks are near the new fixed point
+    def sym(p: Seq[(Long, Long)]) = p ++ p.map(_.swap)
+    val tree = sym((1L until 30L).map(i => (i, (i - 1) / 2)))
+    val delta = sym(Seq((30L, 3L), (31L, 5L)))
+    val e0 = tree.toDF("src", "dst")
+    val eAll = (tree ++ delta).toDF("src", "dst")
+    val prior = Graph.pageRankUnits(e0, iterations = 6)
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // damping 0.85 contracts ~0.85^r: 1e-8 rank units needs ~115 rounds
+    val converged = ranks(Graph.pageRankConverged(eAll, maxIter = 150,
+      tolUnits = 10000000L)._1)
+    val warm = ranks(Graph.pageRankResume(eAll, prior, iterations = 3))
+    val cold = ranks(Graph.pageRank(eAll, iterations = 3))
+    def l1(m: Map[Long, Double]): Double =
+      converged.map { case (k, v) => math.abs(m(k) - v) }.sum
+    assert(l1(warm) < l1(cold),
+      s"warm start must be closer to the fixed point: warm=${l1(warm)} cold=${l1(cold)}")
+    // new nodes seed at 1/n and participate
+    assert(warm.contains(30L) && warm(30L) > 0.0 && warm.contains(31L))
+    // resuming zero extra information (same edges, prior = cold init)
+    // reproduces pageRank exactly — the unit/double round trip is exact
+    val uniformPrior = Graph.pageRankUnits(eAll, iterations = 1)
+    val viaResume = ranks(Graph.pageRankResume(eAll, uniformPrior, iterations = 2))
+    val direct = ranks(Graph.pageRank(eAll, iterations = 3))
+    assert(viaResume == direct,
+      "resume(units after r rounds, k more) must equal pageRank(r + k) bit-for-bit")
+  }
 }

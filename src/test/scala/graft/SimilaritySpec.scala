@@ -431,6 +431,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(_._1 == 0L).map(_._2) == Seq(1L, 2L, 3L))
   }
 
+  test("nnDescent: refinement is monotone, layout-invariant, and recovers clustered neighbors") {
+    import spark.implicits._
+    // three tight 2-D clusters of 12 points each; true k-NN of every
+    // point lies inside its own cluster, far from the md5 buckets'
+    // arbitrary seeding
+    val pts = for (c <- 0 until 3; i <- 0 until 12) yield
+      ((c * 12 + i).toLong, Array((c * 50 + i * 0.1).toFloat, (c * 50 - i * 0.1).toFloat))
+    val emb = pts.toDF("vec_id", "embedding")
+    val k = 4
+    val got = Similarity.nnDescent(emb, "vec_id", "embedding", k, rounds = 3, buckets = 6)
+      .select("vec_id", "nbr_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // brute-force truth
+    val brute = pts.flatMap { case (a, va) =>
+      pts.filter(_._1 != a).map { case (b, vb) =>
+        val d = math.sqrt(va.zip(vb).map { case (x, y) =>
+          (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum)
+        (a, b, d)
+      }.sortBy(p => (p._3, p._2)).take(k)
+    }
+    val recall = got.map(g => (g._1, g._2)).toSet
+      .intersect(brute.map(b => (b._1, b._2)).toSet).size.toDouble / brute.size
+    assert(recall >= 0.9, s"3-round NN-descent recall on clustered data: $recall")
+    // monotone improvement: every node's worst kept distance never
+    // worsens round over round (new list = top-k of a superset)
+    def worst(rounds: Int): Map[Long, Double] =
+      Similarity.nnDescent(emb, "vec_id", "embedding", k, rounds, buckets = 6)
+        .groupBy("vec_id").agg(max("dist").as("w")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w0 = worst(0); val w2 = worst(2)
+    w2.foreach { case (id, w) =>
+      w0.get(id).foreach(prev => assert(w <= prev, s"node $id worsened: $prev -> $w"))
+    }
+    // layout invariance: same rows under a different input partitioning
+    val re = Similarity.nnDescent(emb.repartition(7), "vec_id", "embedding",
+        k, rounds = 3, buckets = 6)
+      .select("vec_id", "nbr_id", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(re.sorted.toSeq == got.sorted.toSeq, "nnDescent must be partition-invariant")
+  }
+
   test("rangeSearch: cell assignment is a min_by aggregate — no WindowExec in the plan") {
     import spark.implicits._
     // the r13 shape row_number()'d the k-expanded emb×centroids frame —
