@@ -372,6 +372,67 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /**
+   * PERSONALIZED PageRank: the teleport distribution concentrates on a
+   * SEED set instead of all nodes — `rank(v) = (1−d)·1[v∈S]/|S| +
+   * d·Σ contribs` — the "importance relative to these entities"
+   * variant behind related-item retrieval, seed-expanded curation
+   * (find pages "near" a trusted set), and local community scoring.
+   * Same exact integer fixed-point currency as [[pageRank]] (seeds
+   * carry base mass `(1000−d)·SCALE/(1000·|S|)`, non-seeds 0; init is
+   * SCALE/|S| on seeds, 0 elsewhere), so the unrolled-SQL oracle
+   * matches bit-for-bit. Seeds not present in the graph are ignored
+   * (they can neither receive nor emit mass); rank-0 rows are kept —
+   * "unreachable from the seeds" is signal, not noise.
+   *
+   * Scale shape: identical to [[pageRank]]'s round (one keyed join +
+   * one keyed aggregate per round) plus one broadcast-sized seed
+   * membership join per round — the seed table is a curated set,
+   * orders of magnitude below the node table.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iterations: Int,
+                           dampingPerMille: Int = 850,
+                           materializeEvery: Int = 4,
+                           weightCol: Option[String] = None): DataFrame = {
+    require(iterations >= 1, s"personalizedPageRank: iterations must be >= 1, got $iterations")
+    require(dampingPerMille > 0 && dampingPerMille < 1000,
+      s"personalizedPageRank: dampingPerMille must be in (0, 1000), got $dampingPerMille")
+    require(materializeEvery >= 1, "personalizedPageRank: materializeEvery must be >= 1")
+    val g = prepare(edges, weightCol, "personalizedPageRank")
+    try {
+      val s = g.nodes.join(seeds.select(col("node")), Seq("node"), "left_semi")
+        .localCheckpoint()
+      val nSeeds = s.count()
+      require(nSeeds > 0, "personalizedPageRank: no seed is a graph node")
+      val seedBase = (1000L - dampingPerMille) * SCALE / (1000L * nSeeds)
+      val isSeed = g.hint(s.withColumn("__seed", lit(true)))
+      def pprRound(ranks: DataFrame): DataFrame = {
+        val contribs = g.e
+          .join(g.hint(ranks.withColumnRenamed("node", "src")), Seq("src"))
+          .join(g.hint(g.strength), Seq("src"))
+          .selectExpr("dst AS node", "(rank * w) div strength AS contrib")
+        g.nodes
+          .join(contribs.groupBy(col("node")).agg(sum(col("contrib")).as("in_rank")),
+            Seq("node"), "left")
+          .join(isSeed, Seq("node"), "left")
+          .selectExpr("node",
+            s"CASE WHEN __seed THEN ${seedBase}L ELSE 0L END" +
+              s" + ($dampingPerMille * coalesce(in_rank, 0)) div 1000 AS rank")
+      }
+      var ranks = g.nodes
+        .join(isSeed, Seq("node"), "left")
+        .selectExpr("node",
+          s"CASE WHEN __seed THEN ${SCALE / nSeeds}L ELSE 0L END AS rank")
+      for (r <- 1 to iterations) {
+        val updated = pprRound(ranks)
+        ranks =
+          if (r % materializeEvery == 0 || r == iterations) updated.localCheckpoint()
+          else updated
+      }
+      toDoubleRanks(ranks)
+    } finally g.unpersistAll()
+  }
+
   /** PageRank iterated to a FIXED POINT: stops when no node's rank
     * moved more than `tolUnits` fixed-point units (1e-15 each) in a
     * round, or at `maxIter`. Returns `(ranks, roundsRun)`.

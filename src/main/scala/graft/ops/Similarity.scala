@@ -812,10 +812,11 @@ object Similarity {
         col("col.id").as("nbr_id"), sqrt(-col("col.score")).as("dist"))
   }
 
-  /** DuckDB mirror of [[nnDescent]] over CTE `e(id, vec)` — the same
-    * seeded md5 buckets, the same unrolled rounds, the same (d², id)
-    * tie-break via `row_number` (order-equivalent to the top-k heap). */
-  def nnDescentSql(k: Int, rounds: Int, buckets: Int, initHashes: Int = 2): String = {
+  /** The CTE chain of [[nnDescentSql]] up to its final k-NN table
+    * `knn<rounds>` — a `WITH`-clause fragment expecting `e(id, vec)`
+    * in scope, composable by consumers that search the built graph
+    * ([[graphSearchSql]]). */
+  def nnDescentCtesSql(k: Int, rounds: Int, buckets: Int, initHashes: Int = 2): String = {
     def topK(src: String, out: String) =
       s"""$out AS (SELECT src, dst, d2 FROM (
          |  SELECT src, dst, d2,
@@ -851,13 +852,130 @@ object Similarity {
     s"""$hashCtes,
        |init_pairs AS (SELECT src, dst, MIN(d2) AS d2 FROM (
        |    $unionInit) GROUP BY 1, 2),
-       |${topK("init_pairs", "knn0")}${if (rounds > 0) ",\n" + roundChain else ""}
+       |${topK("init_pairs", "knn0")}${if (rounds > 0) ",\n" + roundChain else ""}""".stripMargin
+  }
+
+  /** DuckDB mirror of [[nnDescent]] over CTE `e(id, vec)` — the same
+    * seeded md5 buckets, the same unrolled rounds, the same (d², id)
+    * tie-break via `row_number` (order-equivalent to the top-k heap). */
+  def nnDescentSql(k: Int, rounds: Int, buckets: Int, initHashes: Int = 2): String =
+    s"""${nnDescentCtesSql(k, rounds, buckets, initHashes)}
        |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS nbr_id,
        |       sqrt(d2) AS dist
        |FROM (SELECT src, dst, d2,
        |        row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
        |      FROM knn$rounds)
        |ORDER BY vec_id, rank""".stripMargin
+
+  /**
+   * BEAM SEARCH over a k-NN graph — the query half of graph-based ANN
+   * (the [[nnDescent]] build's consumer; HNSW/NSG answer queries this
+   * way): start every query at a fixed entry node, repeatedly expand
+   * the current beam's graph neighbors, score them against the query,
+   * and keep the `beam` best; after `hops` rounds report the `k`
+   * nearest found (the query's own node excluded). The search never
+   * scans the corpus — per query it touches ≤ `hops·beam·deg` nodes,
+   * the property that makes graph ANN the low-latency family.
+   *
+   * Deterministic by construction: entries are a fixed md5-hash
+   * sample of the corpus (~1/`entryMod` of nodes, plus the minimum id
+   * so the set is never empty) — MULTIPLE entries, because a
+   * converged k-NN graph is near-cluster-pure and a beam from one
+   * entry can never cross into a disconnected cluster (caught by the
+   * recall spec; HNSW solves this with hierarchy, DiskANN-style
+   * multi-start with spread entries — the latter is the declarative
+   * fit). Expansion is a set union, scoring the bit-portable double
+   * fold, every selection ordered by (d², id) — so the DuckDB mirror
+   * ([[graphSearchSql]]) replays the identical schedule. Queries must
+   * be members of `emb` by id (their vectors are looked up, the id
+   * excluded from results).
+   *
+   * Scale shape: per hop one equi-join beam⋈graph on the node id +
+   * one id-keyed vector lookup + the bounded-state per-query top-`beam`
+   * heap; the beam table is |queries|·beam rows — broadcast-sized
+   * against the graph. Graph edges are used symmetrized (an edge is
+   * evidence of proximity in either direction).
+   */
+  def graphSearch(emb: DataFrame, idCol: String, vecCol: String,
+                  graph: DataFrame, queryIds: DataFrame,
+                  beam: Int, hops: Int, k: Int, entryMod: Int = 8): DataFrame = {
+    require(beam >= 1 && beam <= 256, s"graphSearch: beam in [1, 256], got $beam")
+    require(hops >= 1 && hops <= 8, s"graphSearch: hops in [1, 8], got $hops")
+    require(k >= 1 && k <= beam, s"graphSearch: k in [1, beam], got $k")
+    require(entryMod >= 1, s"graphSearch: entryMod must be >= 1, got $entryMod")
+    val e = emb.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint()
+    val g = graph.select(col("src"), col("dst"))
+      .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val qs = queryIds.select(col(idCol).cast(LongType).as("q"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(e.select(col("id").as("q"), col("vec").as("__qv")), "q")
+      .join(e.select(col("id").as("node"), col("vec").as("__nv")), "node")
+      .select(col("q"), col("node"), distSqFold(col("__qv"), col("__nv")).as("d2"))
+    def topBeam(scored: DataFrame): DataFrame = scored
+      .groupBy("q")
+      .agg(Ranking.topKBy(-col("d2"), col("node"), beam).as("__t"))
+      .select(col("q"), explode(col("__t")).as("__s"))
+      .select(col("q"), col("__s.id").as("node"), (-col("__s.score")).as("d2"))
+    val entries = e
+      .filter(expr("CAST(conv(substring(md5(CONCAT('e:', CAST(id AS STRING))), 1, 8)," +
+        s" 16, 10) AS BIGINT) % $entryMod = 0"))
+      .select(col("id").as("node"))
+      .unionByName(e.agg(min(col("id")).as("node")))
+      .distinct()
+    var frontier = topBeam(score(qs.crossJoin(broadcast(entries)))).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val expanded = frontier.select(col("q"), col("node"))
+        .join(g.withColumnRenamed("src", "node"), "node")
+        .select(col("q"), col("dst").as("node"))
+        .union(frontier.select(col("q"), col("node")))
+        .distinct()
+      frontier = topBeam(score(expanded)).localCheckpoint()
+    }
+    frontier.filter(col("node") =!= col("q"))
+      .groupBy("q")
+      .agg(Ranking.topKBy(-col("d2"), col("node"), k).as("__t"))
+      .select(col("q"), posexplode(col("__t")))
+      .select(col("q").as("query_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("item_id"), sqrt(-col("col.score")).as("dist"))
+  }
+
+  /** DuckDB mirror of [[graphSearch]] — expects CTEs `e(id, vec)`,
+    * `knn(src, dst)` (the built graph, any direction), and
+    * `queries(q)` in scope; unrolls the identical hops. */
+  def graphSearchSql(beam: Int, hops: Int, k: Int, entryMod: Int = 8): String = {
+    def topBeam(src: String, out: String) =
+      s"""$out AS (SELECT q, node, d2 FROM (
+         |  SELECT q, node, d2,
+         |         row_number() OVER (PARTITION BY q ORDER BY d2, node) AS rn
+         |  FROM $src) WHERE rn <= $beam)""".stripMargin
+    def hop(prev: String, r: Int) =
+      s"""x$r AS (SELECT DISTINCT s.q, g.dst AS node
+         |  FROM $prev s JOIN sg g ON g.src = s.node
+         |  UNION SELECT q, node FROM $prev),
+         |d$r AS (SELECT x.q, x.node, ${distSqSql("eq.vec", "en.vec")} AS d2
+         |  FROM x$r x JOIN e eq ON eq.id = x.q JOIN e en ON en.id = x.node),
+         |${topBeam(s"d$r", s"s$r")}""".stripMargin
+    val hopChain = (1 to hops).map(r => hop(s"s${r - 1}", r)).mkString(",\n")
+    s"""sg AS (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
+       |ent AS (SELECT id AS node FROM e
+       |    WHERE CAST(('0x' || substr(md5('e:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |      % $entryMod = 0
+       |  UNION SELECT MIN(id) FROM e),
+       |d0 AS (SELECT q.q, ent.node, ${distSqSql("eq.vec", "en.vec")} AS d2
+       |  FROM queries q CROSS JOIN ent
+       |  JOIN e eq ON eq.id = q.q JOIN e en ON en.id = ent.node),
+       |${topBeam("d0", "s0")},
+       |$hopChain
+       |SELECT q AS query_id, CAST(rn AS BIGINT) AS rank, node AS item_id,
+       |       sqrt(d2) AS dist
+       |FROM (SELECT q, node, d2,
+       |        row_number() OVER (PARTITION BY q ORDER BY d2, node) AS rn
+       |      FROM s$hops WHERE node <> q)
+       |WHERE rn <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):

@@ -5238,6 +5238,50 @@ object ExtQueries {
            |SELECT node, CAST(rank AS DOUBLE) / $sc.0 AS rank FROM w3 ORDER BY node""".stripMargin
       }),
 
+    // Personalized PageRank ([[Graph.personalizedPageRank]]): teleport
+    // mass concentrates on a SEED set (every 100th customer) instead
+    // of all nodes — "importance relative to these entities", the
+    // seed-expansion primitive behind related-item retrieval and
+    // trusted-set curation. Seeds carry base (1000−d)·SCALE/(1000·|S|),
+    // non-seeds 0; init SCALE/|S| on seeds. Same integer fixed-point
+    // currency as gr_pagerank, so the unrolled oracle (seed CASE in
+    // every round) matches bit-for-bit; rank-0 rows (unreachable from
+    // seeds) are kept — absence of seed proximity is signal.
+    Q("gr_ppr",
+      (s, dir) => {
+        val seeds = Tables.customer(s, dir).filter(col("c_custkey") % 100 === 0)
+          .select((col("c_custkey") * 2).as("node"))
+        Graph.personalizedPageRank(graphEdges(s, dir), seeds, iterations = 3)
+          .orderBy("node")
+      },
+      Some {
+        val sc = Graph.SCALE
+        def round(prev: String, out: String) =
+          s"""c_$out AS (SELECT e.dst AS node, SUM(r.rank // d.out_deg) AS in_rank
+             |  FROM edges e JOIN $prev r ON e.src = r.node JOIN outdeg d ON e.src = d.src
+             |  GROUP BY e.dst),
+             |$out AS (SELECT nodes.node,
+             |    CASE WHEN sn.node IS NOT NULL
+             |      THEN (150 * $sc) // (1000 * (SELECT n FROM ns)) ELSE 0 END
+             |      + (850 * COALESCE(c.in_rank, 0)) // 1000 AS rank
+             |  FROM nodes LEFT JOIN c_$out c ON nodes.node = c.node
+             |             LEFT JOIN sn ON nodes.node = sn.node)""".stripMargin
+        s"""WITH $graphEdgesSql,
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |outdeg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src),
+           |sn AS (SELECT node FROM nodes WHERE node IN
+           |         (SELECT c_custkey * 2 FROM customer WHERE c_custkey % 100 = 0)),
+           |ns AS (SELECT COUNT(*) AS n FROM sn),
+           |r0 AS (SELECT nodes.node,
+           |    CASE WHEN sn.node IS NOT NULL
+           |      THEN $sc // (SELECT n FROM ns) ELSE 0 END AS rank
+           |  FROM nodes LEFT JOIN sn ON nodes.node = sn.node),
+           |${round("r0", "r1")},
+           |${round("r1", "r2")},
+           |${round("r2", "r3")}
+           |SELECT node, CAST(rank AS DOUBLE) / $sc.0 AS rank FROM r3 ORDER BY node""".stripMargin
+      }),
+
     // Triangle counting + local clustering coefficient over the PART
     // CO-OCCURRENCE graph (parts bought together in one order — the
     // customer↔supplier graph is bipartite and trivially triangle-free).
@@ -6005,6 +6049,86 @@ object ExtQueries {
         .orderBy("vec_id", "rank"),
       Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
               |${Similarity.nnDescentSql(k = 6, rounds = 2, buckets = 16)}""".stripMargin)),
+
+    // BEAM SEARCH over the NN-descent graph ([[Similarity.graphSearch]])
+    // — the query half of graph-based ANN (build: sim_nndescent): fixed
+    // entry at the minimum node id, 3 expansion hops, beam 8, top-5
+    // reported per query. Per query the search touches ≤ hops·beam·deg
+    // nodes, never the corpus — the low-latency property HNSW-family
+    // indexes are built for. Fully deterministic (set-union expansion,
+    // (d², id) selection, bit-portable folds), so the oracle rebuilds
+    // the same graph and replays the same hops, hash-exact.
+    Q("sim_graph_search",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val nn = Similarity.nnDescent(emb, "vec_id", "embedding",
+            k = 6, rounds = 2, buckets = 16)
+          .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+        val queries = emb.filter(col("vec_id") % 50 === 0).select("vec_id")
+        Similarity.graphSearch(emb, "vec_id", "embedding", nn, queries,
+            beam = 8, hops = 3, k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16)},
+              |knn AS (SELECT src, dst FROM knn2),
+              |queries AS (SELECT vec_id AS q FROM embeddings WHERE vec_id % 50 = 0),
+              |${Similarity.graphSearchSql(beam = 8, hops = 3, k = 5)}""".stripMargin)),
+
+    // LATE-INTERACTION (MaxSim) retrieval scoring — the ColBERT
+    // (Khattab & Zaharia, SIGIR'20) multi-vector ranking function:
+    // documents and queries are BAGS of token vectors and
+    // score(q, d) = Σ_{t∈q} max_{u∈d} ⟨t, u⟩ — finer-grained than one
+    // pooled vector per doc (a query token matches its best doc token
+    // independently). Here consecutive embedding ids form 5-token
+    // multi-vector docs and the first two docs act as queries.
+    // Determinism: dots ride the bit-portable fold, MAX over doubles
+    // is order-free, and the per-token maxima enter the sum as exact
+    // floor-micro integers — no double addition anywhere. Scale: the
+    // query token set broadcasts; the (query-token × doc-token) dot
+    // map is corpus-linear; max and sum are map-side-combinable keyed
+    // aggregates; top-k is the bounded-state heap.
+    Q("sim_maxsim",
+      (s, dir) => {
+        val toks = Tables.embeddings(s, dir)
+          .selectExpr("vec_id div 5 AS doc_id", "vec_id AS tok_id", "embedding AS v")
+        val qtoks = toks.filter(col("doc_id") < 2)
+          .select(col("doc_id").as("q_id"), col("tok_id").as("q_tok"),
+            col("v").as("qv"))
+        toks.join(broadcast(qtoks))
+          .select(col("q_id"), col("q_tok"), col("doc_id"),
+            Similarity.dot(col("qv"), col("v")).as("dp"))
+          .groupBy("q_id", "q_tok", "doc_id")
+          .agg(max("dp").as("m"))
+          .groupBy("q_id", "doc_id")
+          .agg(sum(floor(col("m") * lit(1e6)).cast(LongType)).as("score_micro"))
+          .groupBy("q_id")
+          .agg(Ranking.topKBy(col("score_micro").cast(DoubleType), col("doc_id"), 5)
+            .as("__top"))
+          .select(col("q_id"), posexplode(col("__top")))
+          .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
+            col("col.id").as("doc_id"),
+            col("col.score").cast(LongType).as("score_micro"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH toks AS (SELECT vec_id // 5 AS doc_id, vec_id AS tok_id,
+              |         embedding AS v
+              |       FROM embeddings),
+              |qt AS (SELECT doc_id AS q_id, tok_id AS q_tok, v AS qv
+              |       FROM toks WHERE doc_id < 2),
+              |m AS (SELECT q_id, q_tok, t.doc_id,
+              |        MAX(${Similarity.dotSql("qv", "t.v")}) AS m
+              |      FROM qt, toks t GROUP BY 1, 2, 3),
+              |sc AS (SELECT q_id, doc_id,
+              |         CAST(SUM(CAST(floor(m * 1000000.0) AS BIGINT)) AS BIGINT)
+              |           AS score_micro
+              |       FROM m GROUP BY 1, 2)
+              |SELECT q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+              |FROM (SELECT q_id, doc_id, score_micro,
+              |        row_number() OVER (PARTITION BY q_id
+              |          ORDER BY score_micro DESC, doc_id) AS rank
+              |      FROM sc)
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
     // Image near-dup by PERCEPTUAL HASH ([[Multimodal.pngAHashPairs]]):
     // real PNGs (CRC walk → inflate → defilter) hashed to a 64-bit

@@ -310,6 +310,27 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: mass decays with distance from the seed, zero where unreachable") {
+    import spark.implicits._
+    // path 0-1-2-3-4 (symmetrized) + disconnected pair 10-11
+    def sym(p: Seq[(Long, Long)]) = p ++ p.map(_.swap)
+    val edges = sym((0L until 4L).map(i => (i, i + 1)) :+ (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val r = Graph.personalizedPageRank(edges, seeds, iterations = 8)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(0L) > r(1L) && r(1L) > r(2L) && r(2L) > r(3L),
+      s"rank must decay along the path from the seed: $r")
+    assert(r(10L) == 0.0 && r(11L) == 0.0,
+      s"components unreachable from the seeds carry zero mass: $r")
+    // a seed absent from the graph is ignored; all-absent seeds fail loudly
+    val r2 = Graph.personalizedPageRank(edges, Seq(0L, 999L).toDF("node"), 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(!r2.contains(999L) && r2(0L) > 0.0)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, Seq(999L).toDF("node"), 2).collect()
+    }
+  }
+
   test("pageRankResume: warm start beats cold start and matches units round-trip") {
     import spark.implicits._
     // base graph: a 30-node binary tree (IRREGULAR degrees — a regular

@@ -472,6 +472,31 @@ class SimilaritySpec extends SparkSpec {
     assert(re.sorted.toSeq == got.sorted.toSeq, "nnDescent must be partition-invariant")
   }
 
+  test("graphSearch: beam over the built graph recovers clustered neighbors, never scans the corpus") {
+    import spark.implicits._
+    val pts = for (c <- 0 until 3; i <- 0 until 12) yield
+      ((c * 12 + i).toLong, Array((c * 50 + i * 0.1).toFloat, (c * 50 - i * 0.1).toFloat))
+    val emb = pts.toDF("vec_id", "embedding")
+    val graph = Similarity.nnDescent(emb, "vec_id", "embedding", 4, rounds = 3, buckets = 6)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val queries = Seq(5L, 17L, 29L).toDF("vec_id") // one per cluster
+    val got = Similarity.graphSearch(emb, "vec_id", "embedding", graph, queries,
+        beam = 6, hops = 4, k = 3, entryMod = 4)
+      .select("query_id", "item_id").as[(Long, Long)].collect()
+    // brute truth: top-3 per query
+    val brute = Seq(5L, 17L, 29L).flatMap { q =>
+      val vq = pts.find(_._1 == q).get._2
+      pts.filter(_._1 != q).map { case (b, vb) =>
+        val d = vq.zip(vb).map { case (x, y) =>
+          (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+        (q, b, d)
+      }.sortBy(p => (p._3, p._2)).take(3).map(p => (p._1, p._2))
+    }.toSet
+    val recall = got.toSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.85, s"graph beam search recall: $recall (got ${got.toSeq})")
+    assert(got.length == 9, "exactly k results per query")
+  }
+
   test("rangeSearch: cell assignment is a min_by aggregate — no WindowExec in the plan") {
     import spark.implicits._
     // the r13 shape row_number()'d the k-expanded emb×centroids frame —
