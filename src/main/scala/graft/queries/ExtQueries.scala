@@ -1925,6 +1925,140 @@ object ExtQueries {
               |      FROM documents)
               |ORDER BY doc_id""".stripMargin)),
 
+    // FEATURE HASHING (the hashing trick, Weinberger et al. ICML'09):
+    // tokens hash into a fixed 64-bucket signed feature space —
+    // bucket = md5(token) % 64, sign = ±1 from an independent hash
+    // bit, weight = Σ sign·tf per (doc, bucket) — the fixed-width
+    // vectorizer that feeds linear classifiers/regressors without a
+    // vocabulary table (no fit step, no OOV, mergeable across shards:
+    // exactly what a 100 TB featurizer needs). Stateless md5 keeps it
+    // engine-portable; weights are exact integers. One tokenize +
+    // two keyed aggregates, both map-side combined.
+    Q("t_feature_hash",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        tf.withColumn("bucket",
+            expr("CAST(conv(substring(md5(CONCAT('b:', tok)), 1, 8), 16, 10)" +
+              " AS BIGINT) % 64"))
+          .withColumn("sign",
+            lit(1L) - lit(2L) * expr(
+              "CAST(conv(substring(md5(CONCAT('s:', tok)), 1, 8), 16, 10)" +
+                " AS BIGINT) % 2"))
+          .groupBy("doc_id", "bucket")
+          .agg(sum(col("sign") * col("tf")).as("weight"))
+          .filter(col("weight") =!= 0)
+          .orderBy("doc_id", "bucket")
+      },
+      Some(s"""WITH tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS tok
+              |        FROM documents WHERE doc_id < 100)
+              |  GROUP BY 1, 2),
+              |h AS (SELECT doc_id,
+              |    CAST(('0x' || substr(md5('b:' || tok), 1, 8)) AS BIGINT) % 64 AS bucket,
+              |    1 - 2 * (CAST(('0x' || substr(md5('s:' || tok), 1, 8)) AS BIGINT) % 2) AS sign,
+              |    tf
+              |  FROM tf)
+              |SELECT doc_id, bucket, CAST(SUM(sign * tf) AS BIGINT) AS weight
+              |FROM h GROUP BY 1, 2 HAVING SUM(sign * tf) <> 0
+              |ORDER BY doc_id, bucket""".stripMargin)),
+
+    // Quality-filter FUNNEL report — the cascade attrition artifact a
+    // pipeline run reads before committing to a rule set: the Gopher
+    // rules applied IN ORDER, with per-stage survivors, docs/tokens
+    // removed at that stage (first-failing-rule attribution), and each
+    // rule's MARGINAL kill count (docs it fails regardless of order) —
+    // marginal vs cascade is exactly the "is this rule redundant after
+    // the others" question. One corpus projection computes every
+    // predicate + the first-failing stage; ONE aggregate row carries
+    // all 17 conditional sums (the single-row agg is checkpointed so
+    // the 5 stage rows cost nothing more); rates are single divisions
+    // of exact integers.
+    Q("t_filter_funnel",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val nTok = TextOps.tokenCount(col("text"))
+        val safeTok = nullif(nTok.cast(DoubleType), lit(0.0))
+        val meanLen = length(col("text")).cast(DoubleType) / safeTok
+        val distinctRatio = size(array_distinct(toks)).cast(DoubleType) / safeTok
+        val stopHits = TextOps.stopwordCount(col("text"))
+        val perDoc = Tables.documents(s, dir).select(
+          nTok.as("n_tok"),
+          coalesce(nTok >= 50, lit(false)).as("p1"),
+          coalesce(nTok <= 100000, lit(false)).as("p2"),
+          coalesce(meanLen >= 3.0 && meanLen <= 10.0, lit(false)).as("p3"),
+          coalesce(distinctRatio >= 0.2, lit(false)).as("p4"),
+          coalesce(stopHits >= 2, lit(false)).as("p5"))
+          .withColumn("fail_stage",
+            when(!col("p1"), 1).when(!col("p2"), 2).when(!col("p3"), 3)
+              .when(!col("p4"), 4).when(!col("p5"), 5).otherwise(0))
+        val aggs = Seq(count(lit(1)).as("total")) ++ (1 to 5).flatMap(i => Seq(
+          sum(when(col("fail_stage") === i, 1L).otherwise(0L)).as(s"f$i"),
+          sum(when(col("fail_stage") === i, col("n_tok")).otherwise(0L)).as(s"t$i"),
+          sum(when(!col(s"p$i"), 1L).otherwise(0L)).as(s"m$i")))
+        val a = perDoc.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+        val names = Seq("min_tokens", "max_tokens", "mean_word_len",
+          "distinct_ratio", "stopword_hits")
+        (1 to 5).map { i =>
+          val prevF = (1 until i).map(j => col(s"f$j")).foldLeft(lit(0L))(_ + _)
+          val docsIn = col("total") - prevF
+          val docsOut = docsIn - col(s"f$i")
+          a.select(lit(i.toLong).as("stage"), lit(names(i - 1)).as("rule"),
+            docsIn.cast(LongType).as("docs_in"),
+            col(s"f$i").cast(LongType).as("failed_here"),
+            col(s"m$i").cast(LongType).as("marginal_fail"),
+            col(s"t$i").cast(LongType).as("tokens_removed"),
+            docsOut.cast(LongType).as("docs_out"),
+            when(docsIn > 0, docsOut.cast(DoubleType) / docsIn.cast(DoubleType))
+              .as("pass_rate"))
+        }.reduce(_ unionByName _).orderBy("stage")
+      },
+      Some {
+        val names = Seq("min_tokens", "max_tokens", "mean_word_len",
+          "distinct_ratio", "stopword_hits")
+        val stageSelects = (1 to 5).map { i =>
+          val prevF = if (i == 1) "0" else (1 until i).map(j => s"f$j").mkString(" + ")
+          s"""SELECT ${i} AS stage, '${names(i - 1)}' AS rule,
+             |  CAST(total - ($prevF) AS BIGINT) AS docs_in,
+             |  CAST(f$i AS BIGINT) AS failed_here,
+             |  CAST(m$i AS BIGINT) AS marginal_fail,
+             |  CAST(t$i AS BIGINT) AS tokens_removed,
+             |  CAST(total - ($prevF) - f$i AS BIGINT) AS docs_out,
+             |  CASE WHEN total - ($prevF) > 0 THEN
+             |    CAST(total - ($prevF) - f$i AS DOUBLE)
+             |      / CAST(total - ($prevF) AS DOUBLE) END AS pass_rate
+             |FROM a""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val aggCols = (1 to 5).map(i =>
+          s"""SUM(CASE WHEN fail_stage = $i THEN 1 ELSE 0 END) AS f$i,
+             |  SUM(CASE WHEN fail_stage = $i THEN n_tok ELSE 0 END) AS t$i,
+             |  SUM(CASE WHEN NOT p$i THEN 1 ELSE 0 END) AS m$i""".stripMargin)
+          .mkString(",\n  ")
+        s"""WITH per_doc AS (SELECT n_tok, p1, p2, p3, p4, p5,
+           |    CASE WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2 WHEN NOT p3 THEN 3
+           |         WHEN NOT p4 THEN 4 WHEN NOT p5 THEN 5 ELSE 0 END AS fail_stage
+           |  FROM (SELECT n_tok,
+           |      COALESCE(n_tok >= 50, false) AS p1,
+           |      COALESCE(n_tok <= 100000, false) AS p2,
+           |      COALESCE(mean_len >= 3.0 AND mean_len <= 10.0, false) AS p3,
+           |      COALESCE(distinct_ratio >= 0.2, false) AS p4,
+           |      COALESCE(stop_hits >= 2, false) AS p5
+           |    FROM (SELECT
+           |        CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok,
+           |        CAST(length(text) AS DOUBLE)
+           |          / nullif(CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE), 0) AS mean_len,
+           |        CAST(len(list_distinct(${TextOps.tokensSql("text")})) AS DOUBLE)
+           |          / nullif(CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE), 0) AS distinct_ratio,
+           |        ${TextOps.stopwordCountSql("text")} AS stop_hits
+           |      FROM documents))),
+           |a AS (SELECT COUNT(*) AS total,
+           |  $aggCols
+           |  FROM per_doc)
+           |$stageSelects
+           |ORDER BY stage""".stripMargin
+      }),
+
     // Gopher repetition rule: top-bigram fraction — docs dominated by a
     // single repeated phrase are boilerplate. Exact-integer top/total
     // counts divide identically on both engines.
@@ -6047,7 +6181,7 @@ object ExtQueries {
       (s, dir) => Similarity.nnDescent(Tables.embeddings(s, dir),
           "vec_id", "embedding", k = 6, rounds = 2, buckets = 16)
         .orderBy("vec_id", "rank"),
-      Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
               |${Similarity.nnDescentSql(k = 6, rounds = 2, buckets = 16)}""".stripMargin)),
 
     // BEAM SEARCH over the NN-descent graph ([[Similarity.graphSearch]])
@@ -6069,10 +6203,10 @@ object ExtQueries {
             beam = 8, hops = 3, k = 5)
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH e AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
               |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16)},
-              |knn AS (SELECT src, dst FROM knn2),
-              |queries AS (SELECT vec_id AS q FROM embeddings WHERE vec_id % 50 = 0),
+              |knn AS MATERIALIZED (SELECT src, dst FROM knn2),
+              |queries AS MATERIALIZED (SELECT vec_id AS q FROM embeddings WHERE vec_id % 50 = 0),
               |${Similarity.graphSearchSql(beam = 8, hops = 3, k = 5)}""".stripMargin)),
 
     // LATE-INTERACTION (MaxSim) retrieval scoring — the ColBERT
