@@ -822,7 +822,8 @@ object Similarity {
     * the unrolled chain re-evaluates the init join exponentially —
     * measured 17 min → out-of-temp-disk at 2000 vectors, vs 4.2 s
     * materialized. Results are identical; only evaluation is pinned. */
-  def nnDescentCtesSql(k: Int, rounds: Int, buckets: Int, initHashes: Int = 2): String = {
+  def nnDescentCtesSql(k: Int, rounds: Int, buckets: Int, initHashes: Int = 2,
+                       srcRel: String = "e"): String = {
     def topK(src: String, out: String) =
       s"""$out AS MATERIALIZED (SELECT src, dst, d2 FROM (
          |  SELECT src, dst, d2,
@@ -836,7 +837,7 @@ object Similarity {
          |cand$r AS MATERIALIZED (SELECT DISTINCT x.dst AS src, y.dst AS dst
          |  FROM adj$r x JOIN adj$r y ON x.src = y.src AND x.dst < y.dst),
          |candd$r AS MATERIALIZED (SELECT c.src, c.dst, ${distSqSql("ea.vec", "eb.vec")} AS d2
-         |  FROM cand$r c JOIN e ea ON ea.id = c.src JOIN e eb ON eb.id = c.dst),
+         |  FROM cand$r c JOIN $srcRel ea ON ea.id = c.src JOIN $srcRel eb ON eb.id = c.dst),
          |all$r AS MATERIALIZED (SELECT src, dst, MIN(d2) AS d2 FROM (
          |    SELECT src, dst, d2 FROM $prev
          |    UNION ALL SELECT src, dst, d2 FROM candd$r
@@ -848,7 +849,7 @@ object Similarity {
       s"""b$h AS MATERIALIZED (SELECT id, vec,
          |    CAST(('0x' || substr(md5('$h:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
          |      % $buckets AS b
-         |  FROM e),
+         |  FROM $srcRel),
          |p$h AS MATERIALIZED (SELECT a.id AS src, c.id AS dst,
          |    ${distSqSql("a.vec", "c.vec")} AS d2
          |  FROM b$h a JOIN b$h c ON a.b = c.b AND a.id <> c.id)""".stripMargin
@@ -884,8 +885,11 @@ object Similarity {
    * the property that makes graph ANN the low-latency family.
    *
    * Deterministic by construction: entries are a fixed md5-hash
-   * sample of the corpus (~1/`entryMod` of nodes, plus the minimum id
-   * so the set is never empty) — MULTIPLE entries, because a
+   * sample of the GRAPH'S nodes (~1/`entryMod` of them, plus the
+   * minimum node id so the set is never empty; graph nodes, not the
+   * whole corpus — so results are always graph members even when
+   * `emb` carries extra vectors, e.g. a not-yet-inserted batch in
+   * [[nnDescentInsert]]) — MULTIPLE entries, because a
    * converged k-NN graph is near-cluster-pure and a beam from one
    * entry can never cross into a disconnected cluster (caught by the
    * recall spec; HNSW solves this with hierarchy, DiskANN-style
@@ -924,11 +928,12 @@ object Similarity {
       .agg(Ranking.topKBy(-col("d2"), col("node"), beam).as("__t"))
       .select(col("q"), explode(col("__t")).as("__s"))
       .select(col("q"), col("__s.id").as("node"), (-col("__s.score")).as("d2"))
-    val entries = e
+    val gNodes = g.select(col("src").as("id")).distinct()
+    val entries = gNodes
       .filter(expr("CAST(conv(substring(md5(CONCAT('e:', CAST(id AS STRING))), 1, 8)," +
         s" 16, 10) AS BIGINT) % $entryMod = 0"))
       .select(col("id").as("node"))
-      .unionByName(e.agg(min(col("id")).as("node")))
+      .unionByName(gNodes.agg(min(col("id")).as("node")))
       .distinct()
     var frontier = topBeam(score(qs.crossJoin(broadcast(entries)))).localCheckpoint()
     for (_ <- 1 to hops) {
@@ -947,10 +952,14 @@ object Similarity {
         col("col.id").as("item_id"), sqrt(-col("col.score")).as("dist"))
   }
 
-  /** DuckDB mirror of [[graphSearch]] — expects CTEs `e(id, vec)`,
-    * `knn(src, dst)` (the built graph, any direction), and
-    * `queries(q)` in scope; unrolls the identical hops. */
-  def graphSearchSql(beam: Int, hops: Int, k: Int, entryMod: Int = 8): String = {
+  /** The CTE chain of [[graphSearchSql]] up to the final beam table
+    * `s<hops>` plus the ranked answer CTE `found(q, rn, node, d2)`
+    * (top-`k`, self excluded) — a `WITH`-clause fragment expecting
+    * `e(id, vec)`, `knn(src, dst)`, and `queries(q)` in scope,
+    * composable by consumers that merge search results onward
+    * (incremental graph maintenance). Same MATERIALIZED discipline as
+    * [[nnDescentCtesSql]]. */
+  def graphSearchCtesSql(beam: Int, hops: Int, k: Int, entryMod: Int = 8): String = {
     def topBeam(src: String, out: String) =
       s"""$out AS MATERIALIZED (SELECT q, node, d2 FROM (
          |  SELECT q, node, d2,
@@ -966,22 +975,80 @@ object Similarity {
     val hopChain = (1 to hops).map(r => hop(s"s${r - 1}", r)).mkString(",\n")
     s"""sg AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
-       |ent AS MATERIALIZED (SELECT id AS node FROM e
-       |    WHERE CAST(('0x' || substr(md5('e:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |ent AS MATERIALIZED (SELECT node FROM (SELECT DISTINCT src AS node FROM sg)
+       |    WHERE CAST(('0x' || substr(md5('e:' || CAST(node AS VARCHAR)), 1, 8)) AS BIGINT)
        |      % $entryMod = 0
-       |  UNION SELECT MIN(id) FROM e),
+       |  UNION SELECT MIN(src) FROM sg),
        |d0 AS MATERIALIZED (SELECT q.q, ent.node, ${distSqSql("eq.vec", "en.vec")} AS d2
        |  FROM queries q CROSS JOIN ent
        |  JOIN e eq ON eq.id = q.q JOIN e en ON en.id = ent.node),
        |${topBeam("d0", "s0")},
-       |$hopChain
+       |$hopChain,
+       |found AS MATERIALIZED (SELECT q, rn, node, d2
+       |  FROM (SELECT q, node, d2,
+       |          row_number() OVER (PARTITION BY q ORDER BY d2, node) AS rn
+       |        FROM s$hops WHERE node <> q)
+       |  WHERE rn <= $k)""".stripMargin
+  }
+
+  /** DuckDB mirror of [[graphSearch]] — expects CTEs `e(id, vec)`,
+    * `knn(src, dst)` (the built graph, any direction), and
+    * `queries(q)` in scope; unrolls the identical hops. */
+  def graphSearchSql(beam: Int, hops: Int, k: Int, entryMod: Int = 8): String =
+    s"""${graphSearchCtesSql(beam, hops, k, entryMod)}
        |SELECT q AS query_id, CAST(rn AS BIGINT) AS rank, node AS item_id,
        |       sqrt(d2) AS dist
-       |FROM (SELECT q, node, d2,
-       |        row_number() OVER (PARTITION BY q ORDER BY d2, node) AS rn
-       |      FROM s$hops WHERE node <> q)
-       |WHERE rn <= $k
+       |FROM found
        |ORDER BY query_id, rank""".stripMargin
+
+  /**
+   * INCREMENTAL k-NN graph maintenance — the [[nnDescent]] build's
+   * incremental twin (every maintained relation in this engine has
+   * one): when a BATCH of new vectors lands, the graph updates
+   * without a rebuild.
+   *  - Phase 1 (search): each new vector runs [[graphSearch]] over
+   *    the EXISTING graph → its own k-best list. Cost per new vector
+   *    is the beam walk (`hops·beam·deg` nodes), never a corpus scan.
+   *  - Phase 2 (reverse offers): every found edge (new → b) is
+   *    offered back to b — b's list is re-selected from old ∪ offers
+   *    by the same (dist, id) order. Only TOUCHED base nodes (≤
+   *    batch·k of them) re-rank; untouched lists pass through
+   *    verbatim, so the refresh cost tracks the batch, not the
+   *    corpus — the same contract as the incremental MinHash/semantic
+   *    dedup admissions.
+   *
+   * `baseGraph` is [[nnDescent]]'s output shape `(idCol, rank,
+   * nbr_id, dist)`; `newIds` must be present in `emb` by id. Returns
+   * the updated graph in the same shape (new nodes' lists appended).
+   * Deterministic end to end, so the oracle composes
+   * [[nnDescentCtesSql]] + [[graphSearchCtesSql]] + the same merge.
+   */
+  def nnDescentInsert(emb: DataFrame, idCol: String, vecCol: String,
+                      baseGraph: DataFrame, newIds: DataFrame,
+                      k: Int, beam: Int, hops: Int, entryMod: Int = 8): DataFrame = {
+    require(k >= 1 && k <= beam, s"nnDescentInsert: k in [1, beam], got $k")
+    val g = baseGraph.select(col(idCol).cast(LongType).as("src"),
+      col("nbr_id").cast(LongType).as("dst"))
+    val searched = graphSearch(emb, idCol, vecCol, g, newIds, beam, hops, k, entryMod)
+      .localCheckpoint() // feeds both the new lists and the reverse offers
+    val offers = searched.select(col("item_id").as("__id"),
+      col("query_id").as("nbr_id"), col("dist"))
+    val touched = offers.select(col("__id")).distinct()
+    val old = baseGraph.select(col(idCol).cast(LongType).as("__id"), col("rank"),
+      col("nbr_id"), col("dist"))
+    val upd = old.join(touched, Seq("__id"), "left_semi")
+      .select(col("__id"), col("nbr_id"), col("dist"))
+      .unionByName(offers)
+      .groupBy("__id")
+      .agg(Ranking.topKBy(-col("dist"), col("nbr_id"), k).as("__t"))
+      .select(col("__id"), posexplode(col("__t")))
+      .select(col("__id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("nbr_id"), (-col("col.score")).as("dist"))
+    val untouched = old.join(touched, Seq("__id"), "left_anti")
+    val newLists = searched.select(col("query_id").as("__id"), col("rank"),
+      col("item_id").as("nbr_id"), col("dist"))
+    untouched.unionByName(upd).unionByName(newLists)
+      .select(col("__id").as(idCol), col("rank"), col("nbr_id"), col("dist"))
   }
 
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):

@@ -6209,6 +6209,50 @@ object ExtQueries {
               |queries AS MATERIALIZED (SELECT vec_id AS q FROM embeddings WHERE vec_id % 50 = 0),
               |${Similarity.graphSearchSql(beam = 8, hops = 3, k = 5)}""".stripMargin)),
 
+    // INCREMENTAL k-NN graph maintenance ([[Similarity.nnDescentInsert]])
+    // — the build's incremental twin: the base graph (90% of vectors)
+    // is the maintained table; the arriving 10% batch SEARCHES the
+    // graph for its lists (beam walk, no corpus scan) and offers each
+    // found edge back to its endpoint, so only ≤ batch·k base lists
+    // re-rank and the refresh cost tracks the batch — the same
+    // admission contract as dd_minhash_incremental. The oracle
+    // composes the build CTEs, the search CTEs, and the identical
+    // merge, hash-exact.
+    Q("sim_nn_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val delta = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+        val g0 = Similarity.nnDescent(base, "vec_id", "embedding",
+          k = 6, rounds = 2, buckets = 16)
+        Similarity.nnDescentInsert(emb, "vec_id", "embedding", g0, delta,
+            k = 6, beam = 8, hops = 3)
+          .orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |eb AS MATERIALIZED (SELECT id, vec FROM e WHERE id % 10 <> 0),
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16, srcRel = "eb")},
+              |knn AS MATERIALIZED (SELECT src, dst FROM knn2),
+              |queries AS MATERIALIZED (SELECT id AS q FROM e WHERE id % 10 = 0),
+              |${Similarity.graphSearchCtesSql(beam = 8, hops = 3, k = 6)},
+              |old AS MATERIALIZED (SELECT src, dst, sqrt(d2) AS dist,
+              |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+              |  FROM knn2),
+              |offers AS MATERIALIZED (SELECT node AS src, q AS dst, sqrt(d2) AS dist
+              |  FROM found),
+              |touched AS MATERIALIZED (SELECT DISTINCT src FROM offers),
+              |upd AS MATERIALIZED (SELECT src, dst, dist,
+              |    row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+              |  FROM (SELECT o.src, o.dst, o.dist FROM old o JOIN touched USING (src)
+              |        UNION ALL SELECT src, dst, dist FROM offers))
+              |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS nbr_id, dist
+              |FROM old WHERE src NOT IN (SELECT src FROM touched)
+              |UNION ALL
+              |SELECT src, CAST(rn AS BIGINT), dst, dist FROM upd WHERE rn <= 6
+              |UNION ALL
+              |SELECT q, CAST(rn AS BIGINT), node, sqrt(d2) FROM found
+              |ORDER BY vec_id, rank""".stripMargin)),
+
     // LATE-INTERACTION (MaxSim) retrieval scoring — the ColBERT
     // (Khattab & Zaharia, SIGIR'20) multi-vector ranking function:
     // documents and queries are BAGS of token vectors and

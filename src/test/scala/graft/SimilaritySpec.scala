@@ -497,6 +497,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 9, "exactly k results per query")
   }
 
+  test("nnDescentInsert: batch insertion finds true neighbors and only improves touched lists") {
+    import spark.implicits._
+    val pts = for (c <- 0 until 3; i <- 0 until 12) yield
+      ((c * 12 + i).toLong, Array((c * 50 + i * 0.1).toFloat, (c * 50 - i * 0.1).toFloat))
+    val emb = pts.toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 6 =!= 0)     // 30 base vectors
+    val delta = emb.filter(col("vec_id") % 6 === 0).select("vec_id") // 6 new, 2/cluster
+    val k = 4
+    val g0 = Similarity.nnDescent(base, "vec_id", "embedding", k, rounds = 3, buckets = 5)
+    val g1 = Similarity.nnDescentInsert(emb, "vec_id", "embedding", g0, delta,
+      k, beam = 6, hops = 4, entryMod = 4)
+    val rows = g1.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // shape: every node has <= k rows, ranks 1..n contiguous
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.length <= k && rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq,
+        s"bad list shape for $id: ${rs.toSeq}")
+    }
+    // every new node's list exists and stays inside its own cluster
+    val newIds = Seq(0L, 6L, 12L, 18L, 24L, 30L)
+    newIds.foreach { q =>
+      val nbrs = rows.filter(_._1 == q).map(_._3)
+      assert(nbrs.nonEmpty, s"new node $q got no list")
+      assert(nbrs.forall(b => b / 12 == q / 12),
+        s"new node $q crossed clusters: ${nbrs.toSeq}")
+    }
+    // touched base lists only improve: worst kept distance never worsens
+    val w0 = g0.groupBy("vec_id").agg(max("dist").as("w")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.filter(r => !newIds.contains(r._1)).groupBy(_._1).foreach { case (id, rs) =>
+      val w1 = rs.map(_._4).max
+      w0.get(id).foreach(prev =>
+        assert(w1 <= prev + 1e-12, s"base node $id worsened: $prev -> $w1"))
+    }
+  }
+
   test("rangeSearch: cell assignment is a min_by aggregate — no WindowExec in the plan") {
     import spark.implicits._
     // the r13 shape row_number()'d the k-expanded emb×centroids frame —
