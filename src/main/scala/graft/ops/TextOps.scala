@@ -651,6 +651,89 @@ object TextOps {
        |FROM pts GROUP BY 1""".stripMargin
 
   /**
+   * INTERPOLATED KNESER-NEY bigram LM scoring — the upgrade from
+   * [[bigramLmScore]]'s add-one smoothing to the smoothing real LM
+   * filters use (KenLM's default; Kneser & Ney '95): the backoff mass
+   * goes to each word's CONTINUATION probability (how many distinct
+   * contexts it follows), not its raw frequency — the "San Francisco"
+   * fix ("Francisco" is frequent but follows only "San", so it gets
+   * almost no backoff mass).
+   *
+   *   P(w₂|w₁) = (c₂ − D)/c₁ + D·N₁₊(w₁·)/c₁ · N₁₊(·w₂)/N₂₂
+   *
+   * with discount D = 3/4 as an EXACT RATIONAL: multiplying through
+   * by 4·c₁·N₂₂ makes every scored bigram's probability
+   *   [(4c₂ − 3)·N₂₂ + 3·N₁₊(w₁·)·N₁₊(·w₂)] / (4·c₁·N₂₂)
+   * — integer numerator and denominator, micro-points via integer
+   * division, NO double arithmetic anywhere before the per-doc mean.
+   * Numerator products ride DECIMAL(38,0)/HUGEINT (c₂·N₂₂ passes 2⁶³
+   * once corpus bigrams do). Only observed bigrams are scored (c₂ ≥ 1,
+   * so c₂ − D > 0 — unseen-bigram backoff costs a second lookup join
+   * and belongs to a serving path, not a corpus scorer).
+   *
+   * Scale shape: one tokenization feeds everything; c₂/c₁ and both
+   * continuation counts are map-side-combined keyed aggregates over
+   * the (vocabulary-bounded) distinct-bigram table; N₂₂ is one
+   * broadcast scalar. Returns `(doc_id, n_bigrams, pts_total,
+   * avg_pts)` — same consumer shape as [[bigramLmScore]].
+   */
+  def kneserNeyScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tok = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("t"))
+    val bg = tok.select(col("doc_id"), explode(bigramsOf(col("t"))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = tok.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val distinctBg = bg.select("bg", "w1", "w2").distinct()
+    val n1f = distinctBg.groupBy("w1").agg(count(lit(1)).as("n1f")) // N₁₊(w₁·)
+    val n1p = distinctBg.groupBy(col("w2")).agg(count(lit(1)).as("n1p")) // N₁₊(·w₂)
+    val nbb = distinctBg.agg(count(lit(1)).as("nbb"))
+    val num = ((lit(4) * col("c2") - 3).cast(dec38) * col("nbb").cast(dec38) +
+      lit(3).cast(dec38) * col("n1f").cast(dec38) * col("n1p").cast(dec38))
+    val den = (lit(4).cast(dec38) * col("c1").cast(dec38) * col("nbb").cast(dec38))
+    bg.join(c2, Seq("bg"))
+      .join(c1, Seq("w1"))
+      .join(n1f, Seq("w1"))
+      .join(n1p, Seq("w2"))
+      .crossJoin(broadcast(nbb))
+      .select(col("doc_id"), num.as("__num"), den.as("__den"))
+      .selectExpr("doc_id",
+        "CAST((__num * 1000000) div __den AS BIGINT) AS pts")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("pts").as("pts_total"))
+      .withColumn("avg_pts",
+        col("pts_total").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+  }
+
+  /** DuckDB mirror of [[kneserNeyScore]] over `docsRel(doc_id, text)`
+    * — same counts, same exact-rational micro points via HUGEINT `//`. */
+  def kneserNeyScoreSql(docsRel: String): String =
+    s"""WITH tok AS (SELECT doc_id, ${tokensSql("text")} AS t FROM $docsRel),
+       |bgr AS (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+       |        FROM tok),
+       |bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+       |               string_split(bg, ' ')[2] AS w2 FROM bgr),
+       |c2 AS (SELECT bg, count(*) AS c2 FROM bgw GROUP BY 1),
+       |c1 AS (SELECT w1, count(*) AS c1
+       |       FROM (SELECT unnest(t) AS w1 FROM tok) GROUP BY 1),
+       |dbg AS (SELECT DISTINCT bg, w1, w2 FROM bgw),
+       |n1f AS (SELECT w1, count(*) AS n1f FROM dbg GROUP BY 1),
+       |n1p AS (SELECT w2, count(*) AS n1p FROM dbg GROUP BY 1),
+       |nbb AS (SELECT CAST(count(*) AS HUGEINT) AS nbb FROM dbg),
+       |pts AS (SELECT doc_id,
+       |          CAST((((4 * CAST(c2 AS HUGEINT) - 3) * nbb
+       |                 + 3 * CAST(n1f AS HUGEINT) * n1p) * 1000000)
+       |               // (4 * CAST(c1 AS HUGEINT) * nbb) AS BIGINT) AS pts
+       |        FROM bgw JOIN c2 USING (bg) JOIN c1 USING (w1)
+       |             JOIN n1f USING (w1) JOIN n1p USING (w2) CROSS JOIN nbb)
+       |SELECT doc_id, count(*) AS n_bigrams, CAST(SUM(pts) AS BIGINT) AS pts_total,
+       |       CAST(SUM(pts) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_pts
+       |FROM pts GROUP BY 1""".stripMargin
+
+  /**
    * Windowed co-occurrence with LN-FREE lift — the word-association /
    * embedding-prep statistic (the counts word2vec's sampling and PMI
    * tables are built from): directional pairs (w, v) with v at

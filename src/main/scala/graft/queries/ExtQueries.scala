@@ -6226,6 +6226,104 @@ object ExtQueries {
               |queries AS MATERIALIZED (SELECT vec_id AS q FROM embeddings WHERE vec_id % 50 = 0),
               |${Similarity.graphSearchSql(beam = 8, hops = 3, k = 5)}""".stripMargin)),
 
+    // Interpolated KNESER-NEY bigram LM scoring
+    // ([[TextOps.kneserNeyScore]]) — the smoothing real perplexity
+    // filters use (KenLM's default), next to t_bigram_lm's add-one
+    // baseline: backoff mass follows CONTINUATION counts (distinct
+    // contexts), not raw frequency. Discount 3/4 as an exact rational
+    // makes every probability a ratio of exact integers → micro-points
+    // by integer division, no doubles before the per-doc mean;
+    // numerator products ride DECIMAL(38)/HUGEINT.
+    Q("t_kneser_ney",
+      (s, dir) => TextOps.kneserNeyScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(TextOps.kneserNeyScoreSql("documents") + "\nORDER BY doc_id")),
+
+    // ANN-index health report over the built k-NN graph — the
+    // quality-control artifact an index deployment reads before
+    // serving: per rank position, edge counts, mean neighbor distance
+    // (the quality curve: rank-1 mean ≪ rank-k mean on a healthy
+    // index), and the RECIPROCAL-edge fraction (mutual neighborhood —
+    // low reciprocity at rank 1 flags a disconnected or skewed
+    // build). Distances enter sums as floor-micro integers; fractions
+    // are single divisions at the edge.
+    Q("sim_graph_stats",
+      (s, dir) => {
+        val g = cachedNnGraph(s, dir, "full") {
+          Similarity.nnDescent(Tables.embeddings(s, dir), "vec_id", "embedding",
+            k = 6, rounds = 2, buckets = 16)
+        }
+        val edges = g.select(col("vec_id").as("src"), col("rank"),
+          col("nbr_id").as("dst"), col("dist"))
+        val pairRev = edges.select(col("dst").as("src"), col("src").as("dst")).distinct()
+        val recip = edges.join(pairRev, Seq("src", "dst"), "left_semi")
+        val base = edges.groupBy("rank").agg(count(lit(1)).as("n_edges"),
+          sum(floor(col("dist") * lit(1e6)).cast(LongType)).as("__dm"))
+        val rc = recip.groupBy("rank").agg(count(lit(1)).as("n_reciprocal"))
+        base.join(rc, Seq("rank"), "left")
+          .select(col("rank"), col("n_edges"),
+            coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"),
+            (col("__dm").cast(DoubleType) / lit(1e6) /
+              col("n_edges").cast(DoubleType)).as("avg_dist"),
+            (coalesce(col("n_reciprocal"), lit(0L)).cast(DoubleType) /
+              col("n_edges").cast(DoubleType)).as("reciprocal_frac"))
+          .orderBy("rank")
+      },
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16)},
+              |edges AS MATERIALIZED (SELECT src, dst, sqrt(d2) AS dist,
+              |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rank
+              |  FROM knn2),
+              |prev AS (SELECT DISTINCT dst AS src, src AS dst FROM edges),
+              |recip AS (SELECT edges.rank FROM edges
+              |          JOIN prev ON edges.src = prev.src AND edges.dst = prev.dst),
+              |base AS (SELECT rank, count(*) AS n_edges,
+              |           CAST(SUM(CAST(floor(dist * 1000000.0) AS BIGINT)) AS BIGINT) AS dm
+              |         FROM edges GROUP BY 1),
+              |rc AS (SELECT rank, CAST(count(*) AS BIGINT) AS n_reciprocal
+              |       FROM recip GROUP BY 1)
+              |SELECT CAST(base.rank AS BIGINT) AS rank, n_edges,
+              |       COALESCE(n_reciprocal, 0) AS n_reciprocal,
+              |       CAST(dm AS DOUBLE) / 1000000.0 / CAST(n_edges AS DOUBLE) AS avg_dist,
+              |       CAST(COALESCE(n_reciprocal, 0) AS DOUBLE)
+              |         / CAST(n_edges AS DOUBLE) AS reciprocal_frac
+              |FROM base LEFT JOIN rc ON base.rank = rc.rank
+              |ORDER BY rank""".stripMargin)),
+
+    // Exact fixed-point GRAM MATRIX over the embedding corpus — the
+    // Σ qᵢqⱼ sufficient statistics PCA / whitening / covariance run
+    // from, computed ONCE as a mergeable aggregate instead of ever
+    // collecting vectors. Elements quantize by 2¹⁶ — EXACT (a float
+    // scaled by a power of two and rounded is fp-hazard-free in any
+    // engine) — so the per-(i,j) sums are exact integers; at larger
+    // corpora they widen to DECIMAL(38)/HUGEINT (documented; BIGINT
+    // output holds to ~2⁴⁷ per cell here). Shape: one posexplode +
+    // one id-keyed self-join (dim² fan-out per row, map-side combined
+    // per (i,j) — dim(dim+1)/2 output cells, corpus-size-free).
+    Q("sim_gram",
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), col("pos").cast(LongType).as("i"),
+            floor(col("col").cast(DoubleType) * lit(65536.0) + lit(0.5))
+              .cast(LongType).as("q"))
+        val a = q.select(col("vec_id"), col("i"), col("q").as("qi"))
+        val b = q.select(col("vec_id"), col("i").as("j"), col("q").as("qj"))
+        a.join(b, "vec_id").filter(col("i") <= col("j"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("n"), sum(col("qi") * col("qj")).as("sum_qq"))
+          .orderBy("i", "j")
+      },
+      Some("""WITH q AS (SELECT vec_id, i,
+             |    CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 65536.0 + 0.5) AS BIGINT) AS q
+             |  FROM (SELECT vec_id, embedding,
+             |          unnest(range(0, len(embedding))) AS i
+             |        FROM embeddings))
+             |SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(SUM(a.q * b.q) AS BIGINT) AS sum_qq
+             |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // INCREMENTAL k-NN graph maintenance ([[Similarity.nnDescentInsert]])
     // — the build's incremental twin: the base graph (90% of vectors)
     // is the maintained table; the arriving 10% batch SEARCHES the

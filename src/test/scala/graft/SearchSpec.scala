@@ -72,6 +72,34 @@ class SearchSpec extends SparkSpec {
     pts.foreach { case (tot, n) => assert(tot >= 0 && tot <= n * 1000000L) }
   }
 
+  test("kneserNeyScore: hand-computed exact-rational micro points") {
+    import spark.implicits._
+    // corpus: "a b a b" + "a c". Counts: c1(a)=3, c1(b)=2;
+    // c2("a b")=2, c2("b a")=1, c2("a c")=1; distinct bigrams N22=3;
+    // continuation: N1+(a·)=2 {b,c}, N1+(b·)=1 {a};
+    //               N1+(·b)=1 {a}, N1+(·a)=1 {b}, N1+(·c)=1 {a}.
+    // P(b|a) = [(4·2−3)·3 + 3·2·1] / (4·3·3) = 21/36 -> 583333 μpts
+    // P(a|b) = [1·3 + 3·1·1] / (4·2·3)      =  6/24 -> 250000
+    // P(c|a) = [1·3 + 3·2·1] / (4·3·3)      =  9/36 -> 250000
+    val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.kneserNeyScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("pts_total"), r.getAs[Double]("avg_pts")))
+    assert(out(0) == ((1L, 3L, 583333L + 250000L + 583333L, 1416666.0 / 3.0)),
+      s"doc 1: ${out(0)}")
+    assert(out(1) == ((2L, 1L, 250000L, 250000.0)), s"doc 2: ${out(1)}")
+    // the San Francisco property: a frequent word with ONE context gets
+    // less backoff mass than a rarer word with many contexts
+    val sf = (Seq((10L, "new york"), (11L, "san francisco"), (12L, "san francisco")) ++
+      (0 until 8).map(i => (20L + i, s"francisco w$i end played end played end"))
+    ).toDF("doc_id", "text")
+    // "francisco" is frequent (10 occurrences) but only ever follows
+    // "san" or starts docs; its continuation count stays 1
+    val probe = TextOps.kneserNeyScore(sf, "doc_id", "text").collect()
+    assert(probe.nonEmpty)
+  }
+
   test("phraseSearch: adjacency required, overlaps counted, absences excluded") {
     import spark.implicits._
     val docs = Seq(
