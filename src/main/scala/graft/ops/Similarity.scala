@@ -959,37 +959,61 @@ object Similarity {
     * composable by consumers that merge search results onward
     * (incremental graph maintenance). Same MATERIALIZED discipline as
     * [[nnDescentCtesSql]]. */
-  def graphSearchCtesSql(beam: Int, hops: Int, k: Int, entryMod: Int = 8): String = {
+  def graphSearchCtesSql(beam: Int, hops: Int, k: Int, entryMod: Int = 8,
+                         p: String = "", eRel: String = "e",
+                         knnRel: String = "knn", qRel: String = "queries"): String = {
     def topBeam(src: String, out: String) =
       s"""$out AS MATERIALIZED (SELECT q, node, d2 FROM (
          |  SELECT q, node, d2,
          |         row_number() OVER (PARTITION BY q ORDER BY d2, node) AS rn
          |  FROM $src) WHERE rn <= $beam)""".stripMargin
     def hop(prev: String, r: Int) =
-      s"""x$r AS MATERIALIZED (SELECT DISTINCT s.q, g.dst AS node
-         |  FROM $prev s JOIN sg g ON g.src = s.node
+      s"""${p}x$r AS MATERIALIZED (SELECT DISTINCT s.q, g.dst AS node
+         |  FROM $prev s JOIN ${p}sg g ON g.src = s.node
          |  UNION SELECT q, node FROM $prev),
-         |d$r AS MATERIALIZED (SELECT x.q, x.node, ${distSqSql("eq.vec", "en.vec")} AS d2
-         |  FROM x$r x JOIN e eq ON eq.id = x.q JOIN e en ON en.id = x.node),
-         |${topBeam(s"d$r", s"s$r")}""".stripMargin
-    val hopChain = (1 to hops).map(r => hop(s"s${r - 1}", r)).mkString(",\n")
-    s"""sg AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM knn UNION ALL SELECT dst AS src, src AS dst FROM knn)),
-       |ent AS MATERIALIZED (SELECT node FROM (SELECT DISTINCT src AS node FROM sg)
+         |${p}d$r AS MATERIALIZED (SELECT x.q, x.node, ${distSqSql("eq.vec", "en.vec")} AS d2
+         |  FROM ${p}x$r x JOIN $eRel eq ON eq.id = x.q JOIN $eRel en ON en.id = x.node),
+         |${topBeam(s"${p}d$r", s"${p}s$r")}""".stripMargin
+    val hopChain = (1 to hops).map(r => hop(s"${p}s${r - 1}", r)).mkString(",\n")
+    s"""${p}sg AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM $knnRel UNION ALL SELECT dst AS src, src AS dst FROM $knnRel)),
+       |${p}ent AS MATERIALIZED (SELECT node FROM (SELECT DISTINCT src AS node FROM ${p}sg)
        |    WHERE CAST(('0x' || substr(md5('e:' || CAST(node AS VARCHAR)), 1, 8)) AS BIGINT)
        |      % $entryMod = 0
-       |  UNION SELECT MIN(src) FROM sg),
-       |d0 AS MATERIALIZED (SELECT q.q, ent.node, ${distSqSql("eq.vec", "en.vec")} AS d2
-       |  FROM queries q CROSS JOIN ent
-       |  JOIN e eq ON eq.id = q.q JOIN e en ON en.id = ent.node),
-       |${topBeam("d0", "s0")},
+       |  UNION SELECT MIN(src) FROM ${p}sg),
+       |${p}d0 AS MATERIALIZED (SELECT q.q, ent.node, ${distSqSql("eq.vec", "en.vec")} AS d2
+       |  FROM $qRel q CROSS JOIN ${p}ent ent
+       |  JOIN $eRel eq ON eq.id = q.q JOIN $eRel en ON en.id = ent.node),
+       |${topBeam(s"${p}d0", s"${p}s0")},
        |$hopChain,
-       |found AS MATERIALIZED (SELECT q, rn, node, d2
+       |${p}found AS MATERIALIZED (SELECT q, rn, node, d2
        |  FROM (SELECT q, node, d2,
        |          row_number() OVER (PARTITION BY q ORDER BY d2, node) AS rn
-       |        FROM s$hops WHERE node <> q)
+       |        FROM ${p}s$hops WHERE node <> q)
        |  WHERE rn <= $k)""".stripMargin
   }
+
+  /** The reverse-offer MERGE of [[nnDescentInsert]] as a composable
+    * SQL fragment: expects `oldRankedRel(src, dst, dist, rn)` (the
+    * maintained ranked graph) and `foundRel(q, rn, node, d2)` (a
+    * [[graphSearchCtesSql]] answer); produces
+    * `<p>merged(src, rn, dst, dist)` — untouched lists verbatim,
+    * touched lists re-ranked from old ∪ offers, new lists appended. */
+  def nnInsertMergeSql(p: String, oldRankedRel: String, foundRel: String,
+                       k: Int): String =
+    s"""${p}offers AS MATERIALIZED (SELECT node AS src, q AS dst, sqrt(d2) AS dist
+       |  FROM $foundRel),
+       |${p}touched AS MATERIALIZED (SELECT DISTINCT src FROM ${p}offers),
+       |${p}upd AS MATERIALIZED (SELECT src, dst, dist,
+       |    row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+       |  FROM (SELECT o.src, o.dst, o.dist
+       |        FROM $oldRankedRel o JOIN ${p}touched USING (src)
+       |        UNION ALL SELECT src, dst, dist FROM ${p}offers)),
+       |${p}merged AS MATERIALIZED (
+       |  SELECT src, rn, dst, dist FROM $oldRankedRel
+       |  WHERE src NOT IN (SELECT src FROM ${p}touched)
+       |  UNION ALL SELECT src, rn, dst, dist FROM ${p}upd WHERE rn <= $k
+       |  UNION ALL SELECT q AS src, rn, node AS dst, sqrt(d2) AS dist FROM $foundRel)""".stripMargin
 
   /** DuckDB mirror of [[graphSearch]] — expects CTEs `e(id, vec)`,
     * `knn(src, dst)` (the built graph, any direction), and

@@ -6226,6 +6226,57 @@ object ExtQueries {
               |queries AS MATERIALIZED (SELECT vec_id AS q FROM embeddings WHERE vec_id % 50 = 0),
               |${Similarity.graphSearchSql(beam = 8, hops = 3, k = 5)}""".stripMargin)),
 
+    // STREAMING ANN-INDEX MAINTENANCE, oracle-hashed end state
+    // ([[StreamOps.knnInsertSink]] → [[Similarity.nnDescentInsert]]):
+    // the maintained k-NN graph is seeded from the base corpus, then
+    // two vector batches arrive as ordered micro-batches (one staged
+    // file each, maxFilesPerTrigger=1 — the stream_cdc discipline,
+    // because batch 1's nodes serve batch 2's searches); each batch
+    // beam-searches the CURRENT graph, reverse-offers its edges, and
+    // lands graph + vectors. The drained graph must equal the two
+    // insert phases unrolled in SQL — build CTEs, twice-instantiated
+    // search CTEs (prefixed), and the shared merge fragment.
+    Q("stream_nn_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_nn_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val b0 = emb.filter(col("vec_id") % 8 =!= 0 && col("vec_id") % 8 =!= 4)
+        st.overwrite(b0, "ann", "vectors")
+        st.overwrite(Similarity.nnDescent(b0, "vec_id", "embedding",
+          k = 6, rounds = 2, buckets = 16), "ann", "graph")
+        val staged = s"$base/in"
+        emb.filter(col("vec_id") % 8 === 0).coalesce(1).write.parquet(staged)
+        emb.filter(col("vec_id") % 8 === 4).coalesce(1)
+          .write.mode("append").parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        StreamOps.knnInsertSink(stream, st, "ann", "vec_id", "embedding",
+          k = 6, beam = 8, hops = 3, entryMod = 8,
+          checkpoint = s"$base/ckpt").awaitTermination()
+        st.read("ann", "graph").orderBy("vec_id", "rank")
+      },
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |e0 AS MATERIALIZED (SELECT id, vec FROM e WHERE id % 8 <> 0 AND id % 8 <> 4),
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16, srcRel = "e0")},
+              |ga AS MATERIALIZED (SELECT src, dst, sqrt(d2) AS dist,
+              |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+              |  FROM knn2),
+              |ea AS MATERIALIZED (SELECT id, vec FROM e WHERE id % 8 <> 4),
+              |qa AS MATERIALIZED (SELECT id AS q FROM e WHERE id % 8 = 0),
+              |${Similarity.graphSearchCtesSql(beam = 8, hops = 3, k = 6,
+                   p = "a_", eRel = "ea", knnRel = "ga", qRel = "qa")},
+              |${Similarity.nnInsertMergeSql("a_", "ga", "a_found", k = 6)},
+              |qb AS MATERIALIZED (SELECT id AS q FROM e WHERE id % 8 = 4),
+              |${Similarity.graphSearchCtesSql(beam = 8, hops = 3, k = 6,
+                   p = "b_", eRel = "e", knnRel = "a_merged", qRel = "qb")},
+              |${Similarity.nnInsertMergeSql("b_", "a_merged", "b_found", k = 6)}
+              |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS nbr_id, dist
+              |FROM b_merged ORDER BY vec_id, rank""".stripMargin)),
+
     // Interpolated KNESER-NEY bigram LM scoring
     // ([[TextOps.kneserNeyScore]]) — the smoothing real perplexity
     // filters use (KenLM's default), next to t_bigram_lm's add-one
@@ -6355,20 +6406,9 @@ object ExtQueries {
               |old AS MATERIALIZED (SELECT src, dst, sqrt(d2) AS dist,
               |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
               |  FROM knn2),
-              |offers AS MATERIALIZED (SELECT node AS src, q AS dst, sqrt(d2) AS dist
-              |  FROM found),
-              |touched AS MATERIALIZED (SELECT DISTINCT src FROM offers),
-              |upd AS MATERIALIZED (SELECT src, dst, dist,
-              |    row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-              |  FROM (SELECT o.src, o.dst, o.dist FROM old o JOIN touched USING (src)
-              |        UNION ALL SELECT src, dst, dist FROM offers))
+              |${Similarity.nnInsertMergeSql("", "old", "found", k = 6)}
               |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS nbr_id, dist
-              |FROM old WHERE src NOT IN (SELECT src FROM touched)
-              |UNION ALL
-              |SELECT src, CAST(rn AS BIGINT), dst, dist FROM upd WHERE rn <= 6
-              |UNION ALL
-              |SELECT q, CAST(rn AS BIGINT), node, sqrt(d2) FROM found
-              |ORDER BY vec_id, rank""".stripMargin)),
+              |FROM merged ORDER BY vec_id, rank""".stripMargin)),
 
     // LATE-INTERACTION (MaxSim) retrieval scoring — the ColBERT
     // (Khattab & Zaharia, SIGIR'20) multi-vector ranking function:

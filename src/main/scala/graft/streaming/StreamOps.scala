@@ -337,6 +337,41 @@ object StreamOps {
       }
       .start()
 
+  /**
+   * STREAMING ANN-INDEX MAINTENANCE sink — `foreachBatch` +
+   * [[graft.ops.Similarity.nnDescentInsert]]: each micro-batch of new
+   * vectors searches the MAINTAINED k-NN graph for its lists (beam
+   * walk, no corpus scan), offers its edges back to the touched
+   * endpoints, and lands the updated graph + the appended vector
+   * table. The streaming form of "the index keeps up with ingest":
+   * per-batch cost is the batch's beam walks plus ≤ batch·k list
+   * re-ranks — state is the maintained tables, not the state store.
+   * Batch ORDER matters (an earlier batch's nodes serve the next
+   * batch's searches), so stage one file per batch in sequence and
+   * run `maxFilesPerTrigger = 1` — the stream_cdc_final discipline.
+   * Expects `<layer>/vectors` and `<layer>/graph` pre-seeded with the
+   * base corpus and its [[graft.ops.Similarity.nnDescent]] build.
+   */
+  def knnInsertSink(newVecs: DataFrame, st: SnapshotStore, layer: String,
+                    idCol: String, vecCol: String,
+                    k: Int, beam: Int, hops: Int, entryMod: Int,
+                    checkpoint: String): StreamingQuery =
+    newVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          val all = st.read(layer, "vectors").unionByName(b)
+          val g1 = graft.ops.Similarity.nnDescentInsert(all, idCol, vecCol,
+            st.read(layer, "graph"), b.select(col(idCol)), k, beam, hops, entryMod)
+          st.overwrite(g1, layer, "graph")
+          st.overwrite(all, layer, "vectors")
+        }
+        ()
+      }
+      .start()
+
   /** Keyed-upsert sink: every micro-batch MERGEs into the warehouse
     * table by unique key (staged wins) — `foreachBatch` + [[Merge]] is
     * Spark's idiom for the reference's Delta MERGE sink. */

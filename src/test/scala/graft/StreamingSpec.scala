@@ -376,6 +376,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("knnInsertSink: streamed batches equal sequential nnDescentInsert; replay is a no-op") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.engine.SnapshotStore
+    val pts = (0 until 24).map(i => (i.toLong, Array(i * 1.0f, (i % 7) * 2.0f)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val b0 = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch1 = emb.filter(col("vec_id") % 8 === 0)
+    val batch2 = emb.filter(col("vec_id") % 8 === 4)
+    val root = tmp("graft_knn_sink")
+    val st = new SnapshotStore(spark, s"$root/store")
+    st.overwrite(b0, "ann", "vectors")
+    st.overwrite(Similarity.nnDescent(b0, "vec_id", "embedding",
+      k = 3, rounds = 2, buckets = 4), "ann", "graph")
+    val staged = s"$root/in"
+    batch1.coalesce(1).write.parquet(staged)
+    Thread.sleep(20)
+    batch2.coalesce(1).write.mode("append").parquet(staged)
+    val ck = s"$root/ckpt"
+    def run(): Unit = StreamOps.knnInsertSink(
+      StreamOps.eventStream(spark, staged, spark.read.parquet(staged).schema,
+        maxFilesPerTrigger = Some(1)),
+      st, "ann", "vec_id", "embedding", k = 3, beam = 6, hops = 3, entryMod = 4,
+      checkpoint = ck).awaitTermination()
+    run()
+    val streamed = st.read("ann", "graph").orderBy("vec_id", "rank").collect().toSeq
+    // sequential batch replay must agree exactly
+    val g0 = Similarity.nnDescent(b0, "vec_id", "embedding", k = 3, rounds = 2, buckets = 4)
+    val e1 = b0.unionByName(batch1)
+    val g1 = Similarity.nnDescentInsert(e1, "vec_id", "embedding", g0,
+      batch1.select("vec_id"), k = 3, beam = 6, hops = 3, entryMod = 4)
+    val e2 = e1.unionByName(batch2)
+    val g2 = Similarity.nnDescentInsert(e2, "vec_id", "embedding", g1,
+      batch2.select("vec_id"), k = 3, beam = 6, hops = 3, entryMod = 4)
+    val replayed = g2.orderBy("vec_id", "rank").collect().toSeq
+    assert(streamed == replayed, "streamed graph must equal sequential batch inserts")
+    // checkpoint replay: re-running the drained stream changes nothing
+    run()
+    val again = st.read("ann", "graph").orderBy("vec_id", "rank").collect().toSeq
+    assert(again == streamed, "replaying a drained stream must be a no-op")
+    // all inserted nodes present with non-empty lists
+    val ids = streamed.map(_.getLong(0)).toSet
+    assert((0 until 24 by 8).forall(i => ids.contains(i.toLong)))
+    assert((4 until 24 by 8).forall(i => ids.contains(i.toLong)))
+  }
+
   test("cdcApplySink: churn collapses, deletes remove, later upserts reinsert") {
     import spark.implicits._
     val staged = tmp("graft_cdc_in")
