@@ -822,7 +822,7 @@ object Similarity {
     * the unrolled chain re-evaluates the init join exponentially —
     * measured 17 min → out-of-temp-disk at 2000 vectors, vs 4.2 s
     * materialized. Results are identical; only evaluation is pinned. */
-  def nnDescentCtesSql(k: Int, rounds: Int, buckets: Int, initHashes: Int = 2,
+  def nnDescentCtesSql(k: Int, rounds: Int, bucketsSql: String, initHashes: Int = 2,
                        srcRel: String = "e"): String = {
     def topK(src: String, out: String) =
       s"""$out AS MATERIALIZED (SELECT src, dst, d2 FROM (
@@ -848,7 +848,7 @@ object Similarity {
     val hashCtes = (0 until initHashes).map { h =>
       s"""b$h AS MATERIALIZED (SELECT id, vec,
          |    CAST(('0x' || substr(md5('$h:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
-         |      % $buckets AS b
+         |      % $bucketsSql AS b
          |  FROM $srcRel),
          |p$h AS MATERIALIZED (SELECT a.id AS src, c.id AS dst,
          |    ${distSqSql("a.vec", "c.vec")} AS d2
@@ -865,8 +865,8 @@ object Similarity {
   /** DuckDB mirror of [[nnDescent]] over CTE `e(id, vec)` — the same
     * seeded md5 buckets, the same unrolled rounds, the same (d², id)
     * tie-break via `row_number` (order-equivalent to the top-k heap). */
-  def nnDescentSql(k: Int, rounds: Int, buckets: Int, initHashes: Int = 2): String =
-    s"""${nnDescentCtesSql(k, rounds, buckets, initHashes)}
+  def nnDescentSql(k: Int, rounds: Int, bucketsSql: String, initHashes: Int = 2): String =
+    s"""${nnDescentCtesSql(k, rounds, bucketsSql, initHashes)}
        |SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS nbr_id,
        |       sqrt(d2) AS dist
        |FROM (SELECT src, dst, d2,

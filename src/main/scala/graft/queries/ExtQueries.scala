@@ -44,6 +44,16 @@ object ExtQueries {
       s"${System.identityHashCode(s)}#$dir#$variant",
       _ => build.localCheckpoint())
 
+  /** Corpus-adaptive NN-descent bucket count — buckets ∝ N keeps the
+    * bucket self-join's init cost linear (fixed buckets would make it
+    * N²/B). Spark computes it from one bounded count (the watermark-
+    * read pattern); the oracle embeds the identical arithmetic as a
+    * scalar subquery over the same source relation. Floors at 16 so
+    * every driver SF (≤2000 vectors) keeps the r14 bucket count. */
+  private def adaptiveBuckets(n: Long): Int = math.max(16L, n / 128).toInt
+  private def adaptiveBucketsSql(rel: String): String =
+    s"(SELECT GREATEST(16, COUNT(*) // 128) FROM $rel)" 
+
   /** The synthesized crawl-spelling URL of each document row as a
     * DuckDB expression — the SQL twin of the Column built inline in
     * dd_url_dedup / p_url_parts (same modulo arithmetic on doc_id). */
@@ -6194,11 +6204,14 @@ object ExtQueries {
     // measures recall vs brute force and pins the monotone-improvement
     // invariant. Per-round cost N·C(2k,2) distances — never all-pairs.
     Q("sim_nndescent",
-      (s, dir) => Similarity.nnDescent(Tables.embeddings(s, dir),
-          "vec_id", "embedding", k = 6, rounds = 2, buckets = 16)
-        .orderBy("vec_id", "rank"),
+      (s, dir) => {
+        val src = Tables.embeddings(s, dir)
+        Similarity.nnDescent(src, "vec_id", "embedding", k = 6, rounds = 2,
+            buckets = adaptiveBuckets(src.count()))
+          .orderBy("vec_id", "rank")
+      },
       Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-              |${Similarity.nnDescentSql(k = 6, rounds = 2, buckets = 16)}""".stripMargin)),
+              |${Similarity.nnDescentSql(k = 6, rounds = 2, adaptiveBucketsSql("e"))}""".stripMargin)),
 
     // BEAM SEARCH over the NN-descent graph ([[Similarity.graphSearch]])
     // — the query half of graph-based ANN (build: sim_nndescent): fixed
@@ -6213,7 +6226,7 @@ object ExtQueries {
         val emb = Tables.embeddings(s, dir)
         val nn = cachedNnGraph(s, dir, "full") {
           Similarity.nnDescent(emb, "vec_id", "embedding",
-            k = 6, rounds = 2, buckets = 16)
+            k = 6, rounds = 2, buckets = adaptiveBuckets(emb.count()))
         }.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
         val queries = emb.filter(col("vec_id") % 50 === 0).select("vec_id")
         Similarity.graphSearch(emb, "vec_id", "embedding", nn, queries,
@@ -6221,7 +6234,7 @@ object ExtQueries {
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16)},
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("e"))},
               |knn AS MATERIALIZED (SELECT src, dst FROM knn2),
               |queries AS MATERIALIZED (SELECT vec_id AS q FROM embeddings WHERE vec_id % 50 = 0),
               |${Similarity.graphSearchSql(beam = 8, hops = 3, k = 5)}""".stripMargin)),
@@ -6251,7 +6264,7 @@ object ExtQueries {
         // consumers (the timed body measures the per-batch maintenance)
         st.overwrite(cachedNnGraph(s, dir, "base8") {
           Similarity.nnDescent(b0, "vec_id", "embedding",
-            k = 6, rounds = 2, buckets = 16)
+            k = 6, rounds = 2, buckets = adaptiveBuckets(b0.count()))
         }, "ann", "graph")
         val staged = s"$base/in"
         emb.filter(col("vec_id") % 8 === 0).coalesce(1).write.parquet(staged)
@@ -6266,7 +6279,7 @@ object ExtQueries {
       },
       Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
               |e0 AS MATERIALIZED (SELECT id, vec FROM e WHERE id % 8 <> 0 AND id % 8 <> 4),
-              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16, srcRel = "e0")},
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("e0"), srcRel = "e0")},
               |ga AS MATERIALIZED (SELECT src, dst, sqrt(d2) AS dist,
               |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
               |  FROM knn2),
@@ -6306,8 +6319,9 @@ object ExtQueries {
     Q("sim_graph_stats",
       (s, dir) => {
         val g = cachedNnGraph(s, dir, "full") {
-          Similarity.nnDescent(Tables.embeddings(s, dir), "vec_id", "embedding",
-            k = 6, rounds = 2, buckets = 16)
+          val src = Tables.embeddings(s, dir)
+          Similarity.nnDescent(src, "vec_id", "embedding",
+            k = 6, rounds = 2, buckets = adaptiveBuckets(src.count()))
         }
         val edges = g.select(col("vec_id").as("src"), col("rank"),
           col("nbr_id").as("dst"), col("dist"))
@@ -6326,7 +6340,7 @@ object ExtQueries {
           .orderBy("rank")
       },
       Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16)},
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("e"))},
               |edges AS MATERIALIZED (SELECT src, dst, sqrt(d2) AS dist,
               |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rank
               |  FROM knn2),
@@ -6396,7 +6410,7 @@ object ExtQueries {
         val delta = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
         val g0 = cachedNnGraph(s, dir, "base") {
           Similarity.nnDescent(base, "vec_id", "embedding",
-            k = 6, rounds = 2, buckets = 16)
+            k = 6, rounds = 2, buckets = adaptiveBuckets(base.count()))
         }
         Similarity.nnDescentInsert(emb, "vec_id", "embedding", g0, delta,
             k = 6, beam = 8, hops = 3)
@@ -6404,7 +6418,7 @@ object ExtQueries {
       },
       Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
               |eb AS MATERIALIZED (SELECT id, vec FROM e WHERE id % 10 <> 0),
-              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, buckets = 16, srcRel = "eb")},
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("eb"), srcRel = "eb")},
               |knn AS MATERIALIZED (SELECT src, dst FROM knn2),
               |queries AS MATERIALIZED (SELECT id AS q FROM e WHERE id % 10 = 0),
               |${Similarity.graphSearchCtesSql(beam = 8, hops = 3, k = 6)},
