@@ -884,12 +884,14 @@ object Similarity {
    * scans the corpus — per query it touches ≤ `hops·beam·deg` nodes,
    * the property that makes graph ANN the low-latency family.
    *
-   * Deterministic by construction: entries are a fixed md5-hash
-   * sample of the GRAPH'S nodes (~1/`entryMod` of them, plus the
-   * minimum node id so the set is never empty; graph nodes, not the
-   * whole corpus — so results are always graph members even when
-   * `emb` carries extra vectors, e.g. a not-yet-inserted batch in
-   * [[nnDescentInsert]]) — MULTIPLE entries, because a
+   * Deterministic by construction: entries are the `entries` GRAPH
+   * nodes with the smallest md5 keys — a BOUNDED uniform sample
+   * (graph nodes, not the whole corpus — so results are always graph
+   * members even when `emb` carries extra vectors, e.g. a
+   * not-yet-inserted batch in [[nnDescentInsert]]; bounded, because a
+   * fixed FRACTION of nodes made the init scoring |queries|·N/c —
+   * measured 19 of stream_nn_final's 21 s/batch at sf1 before the
+   * fix) — MULTIPLE entries, because a
    * converged k-NN graph is near-cluster-pure and a beam from one
    * entry can never cross into a disconnected cluster (caught by the
    * recall spec; HNSW solves this with hierarchy, DiskANN-style
@@ -908,11 +910,11 @@ object Similarity {
    */
   def graphSearch(emb: DataFrame, idCol: String, vecCol: String,
                   graph: DataFrame, queryIds: DataFrame,
-                  beam: Int, hops: Int, k: Int, entryMod: Int = 8): DataFrame = {
+                  beam: Int, hops: Int, k: Int, entries: Int = 32): DataFrame = {
     require(beam >= 1 && beam <= 256, s"graphSearch: beam in [1, 256], got $beam")
     require(hops >= 1 && hops <= 8, s"graphSearch: hops in [1, 8], got $hops")
     require(k >= 1 && k <= beam, s"graphSearch: k in [1, beam], got $k")
-    require(entryMod >= 1, s"graphSearch: entryMod must be >= 1, got $entryMod")
+    require(entries >= 1, s"graphSearch: entries must be >= 1, got $entries")
     val e = emb.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .localCheckpoint()
     val g = graph.select(col("src"), col("dst"))
@@ -928,14 +930,17 @@ object Similarity {
       .agg(Ranking.topKBy(-col("d2"), col("node"), beam).as("__t"))
       .select(col("q"), explode(col("__t")).as("__s"))
       .select(col("q"), col("__s.id").as("node"), (-col("__s.score")).as("d2"))
-    val gNodes = g.select(col("src").as("id")).distinct()
-    val entries = gNodes
-      .filter(expr("CAST(conv(substring(md5(CONCAT('e:', CAST(id AS STRING))), 1, 8)," +
-        s" 16, 10) AS BIGINT) % $entryMod = 0"))
-      .select(col("id").as("node"))
-      .unionByName(gNodes.agg(min(col("id")).as("node")))
-      .distinct()
-    var frontier = topBeam(score(qs.crossJoin(broadcast(entries)))).localCheckpoint()
+    // hash-ordered top-E: the same E entry nodes on any layout/engine
+    // (the randomWalks md5‖padded-id key: total order even on an md5
+    // collision); a global sort-limit over the node table — top-E per
+    // partition then merge, never a full sort at scale
+    val entrySet = g.select(col("src").as("id")).distinct()
+      .select(col("id").as("node"),
+        concat(md5(concat(lit("e:"), col("id").cast("string"))),
+          lpad(col("id").cast("string"), 20, "0")).as("__ek"))
+      .orderBy("__ek").limit(entries)
+      .select("node")
+    var frontier = topBeam(score(qs.crossJoin(broadcast(entrySet)))).localCheckpoint()
     for (_ <- 1 to hops) {
       val expanded = frontier.select(col("q"), col("node"))
         .join(g.withColumnRenamed("src", "node"), "node")
@@ -959,7 +964,7 @@ object Similarity {
     * composable by consumers that merge search results onward
     * (incremental graph maintenance). Same MATERIALIZED discipline as
     * [[nnDescentCtesSql]]. */
-  def graphSearchCtesSql(beam: Int, hops: Int, k: Int, entryMod: Int = 8,
+  def graphSearchCtesSql(beam: Int, hops: Int, k: Int, entries: Int = 32,
                          p: String = "", eRel: String = "e",
                          knnRel: String = "knn", qRel: String = "queries"): String = {
     def topBeam(src: String, out: String) =
@@ -977,10 +982,10 @@ object Similarity {
     val hopChain = (1 to hops).map(r => hop(s"${p}s${r - 1}", r)).mkString(",\n")
     s"""${p}sg AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM $knnRel UNION ALL SELECT dst AS src, src AS dst FROM $knnRel)),
-       |${p}ent AS MATERIALIZED (SELECT node FROM (SELECT DISTINCT src AS node FROM ${p}sg)
-       |    WHERE CAST(('0x' || substr(md5('e:' || CAST(node AS VARCHAR)), 1, 8)) AS BIGINT)
-       |      % $entryMod = 0
-       |  UNION SELECT MIN(src) FROM ${p}sg),
+       |${p}ent AS MATERIALIZED (SELECT node FROM (
+       |    SELECT node, md5('e:' || CAST(node AS VARCHAR)) || lpad(CAST(node AS VARCHAR), 20, '0') AS ek
+       |    FROM (SELECT DISTINCT src AS node FROM ${p}sg))
+       |  ORDER BY ek LIMIT $entries),
        |${p}d0 AS MATERIALIZED (SELECT q.q, ent.node, ${distSqSql("eq.vec", "en.vec")} AS d2
        |  FROM $qRel q CROSS JOIN ${p}ent ent
        |  JOIN $eRel eq ON eq.id = q.q JOIN $eRel en ON en.id = ent.node),
@@ -1018,8 +1023,8 @@ object Similarity {
   /** DuckDB mirror of [[graphSearch]] — expects CTEs `e(id, vec)`,
     * `knn(src, dst)` (the built graph, any direction), and
     * `queries(q)` in scope; unrolls the identical hops. */
-  def graphSearchSql(beam: Int, hops: Int, k: Int, entryMod: Int = 8): String =
-    s"""${graphSearchCtesSql(beam, hops, k, entryMod)}
+  def graphSearchSql(beam: Int, hops: Int, k: Int, entries: Int = 32): String =
+    s"""${graphSearchCtesSql(beam, hops, k, entries)}
        |SELECT q AS query_id, CAST(rn AS BIGINT) AS rank, node AS item_id,
        |       sqrt(d2) AS dist
        |FROM found
@@ -1049,11 +1054,11 @@ object Similarity {
    */
   def nnDescentInsert(emb: DataFrame, idCol: String, vecCol: String,
                       baseGraph: DataFrame, newIds: DataFrame,
-                      k: Int, beam: Int, hops: Int, entryMod: Int = 8): DataFrame = {
+                      k: Int, beam: Int, hops: Int, entries: Int = 32): DataFrame = {
     require(k >= 1 && k <= beam, s"nnDescentInsert: k in [1, beam], got $k")
     val g = baseGraph.select(col(idCol).cast(LongType).as("src"),
       col("nbr_id").cast(LongType).as("dst"))
-    val searched = graphSearch(emb, idCol, vecCol, g, newIds, beam, hops, k, entryMod)
+    val searched = graphSearch(emb, idCol, vecCol, g, newIds, beam, hops, k, entries)
       .localCheckpoint() // feeds both the new lists and the reverse offers
     val offers = searched.select(col("item_id").as("__id"),
       col("query_id").as("nbr_id"), col("dist"))

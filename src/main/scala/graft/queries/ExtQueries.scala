@@ -6273,7 +6273,7 @@ object ExtQueries {
         val stream = StreamOps.eventStream(s, staged,
           s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
         StreamOps.knnInsertSink(stream, st, "ann", "vec_id", "embedding",
-          k = 6, beam = 8, hops = 3, entryMod = 8,
+          k = 6, beam = 8, hops = 3, entries = 32,
           checkpoint = s"$base/ckpt").awaitTermination()
         st.read("ann", "graph").orderBy("vec_id", "rank")
       },

@@ -354,7 +354,7 @@ object StreamOps {
    */
   def knnInsertSink(newVecs: DataFrame, st: SnapshotStore, layer: String,
                     idCol: String, vecCol: String,
-                    k: Int, beam: Int, hops: Int, entryMod: Int,
+                    k: Int, beam: Int, hops: Int, entries: Int,
                     checkpoint: String): StreamingQuery =
     newVecs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -364,7 +364,7 @@ object StreamOps {
         if (!b.isEmpty) {
           val all = st.read(layer, "vectors").unionByName(b)
           val g1 = graft.ops.Similarity.nnDescentInsert(all, idCol, vecCol,
-            st.read(layer, "graph"), b.select(col(idCol)), k, beam, hops, entryMod)
+            st.read(layer, "graph"), b.select(col(idCol)), k, beam, hops, entries)
           st.overwrite(g1, layer, "graph")
           st.overwrite(all, layer, "vectors")
         }

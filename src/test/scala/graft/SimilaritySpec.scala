@@ -481,7 +481,7 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val queries = Seq(5L, 17L, 29L).toDF("vec_id") // one per cluster
     val got = Similarity.graphSearch(emb, "vec_id", "embedding", graph, queries,
-        beam = 6, hops = 4, k = 3, entryMod = 4)
+        beam = 6, hops = 4, k = 3, entries = 8)
       .select("query_id", "item_id").as[(Long, Long)].collect()
     // brute truth: top-3 per query
     val brute = Seq(5L, 17L, 29L).flatMap { q =>
@@ -507,7 +507,7 @@ class SimilaritySpec extends SparkSpec {
     val k = 4
     val g0 = Similarity.nnDescent(base, "vec_id", "embedding", k, rounds = 3, buckets = 5)
     val g1 = Similarity.nnDescentInsert(emb, "vec_id", "embedding", g0, delta,
-      k, beam = 6, hops = 4, entryMod = 4)
+      k, beam = 6, hops = 4, entries = 8)
     val rows = g1.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     // shape: every node has <= k rows, ranks 1..n contiguous

@@ -398,7 +398,7 @@ class StreamingSpec extends SparkSpec {
     def run(): Unit = StreamOps.knnInsertSink(
       StreamOps.eventStream(spark, staged, spark.read.parquet(staged).schema,
         maxFilesPerTrigger = Some(1)),
-      st, "ann", "vec_id", "embedding", k = 3, beam = 6, hops = 3, entryMod = 4,
+      st, "ann", "vec_id", "embedding", k = 3, beam = 6, hops = 3, entries = 8,
       checkpoint = ck).awaitTermination()
     run()
     val streamed = st.read("ann", "graph").orderBy("vec_id", "rank").collect().toSeq
@@ -406,10 +406,10 @@ class StreamingSpec extends SparkSpec {
     val g0 = Similarity.nnDescent(b0, "vec_id", "embedding", k = 3, rounds = 2, buckets = 4)
     val e1 = b0.unionByName(batch1)
     val g1 = Similarity.nnDescentInsert(e1, "vec_id", "embedding", g0,
-      batch1.select("vec_id"), k = 3, beam = 6, hops = 3, entryMod = 4)
+      batch1.select("vec_id"), k = 3, beam = 6, hops = 3, entries = 8)
     val e2 = e1.unionByName(batch2)
     val g2 = Similarity.nnDescentInsert(e2, "vec_id", "embedding", g1,
-      batch2.select("vec_id"), k = 3, beam = 6, hops = 3, entryMod = 4)
+      batch2.select("vec_id"), k = 3, beam = 6, hops = 3, entries = 8)
     val replayed = g2.orderBy("vec_id", "rank").collect().toSeq
     assert(streamed == replayed, "streamed graph must equal sequential batch inserts")
     // checkpoint replay: re-running the drained stream changes nothing
