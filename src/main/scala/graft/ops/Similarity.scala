@@ -1080,6 +1080,69 @@ object Similarity {
       .select(col("__id").as(idCol), col("rank"), col("nbr_id"), col("dist"))
   }
 
+  /**
+   * Greedy k-CENTER coreset selection (Gonzalez '85 farthest-point
+   * traversal) — the diversity-sampling primitive for training-data
+   * selection: pick the corpus's most mutually-distant k exemplars,
+   * with the guarantee that every point lies within the final
+   * selection radius of some center (a 2-approximation of the optimal
+   * k-center cover). The reported per-pick radius sequence IS the
+   * coverage curve a data-selection run reads ("how much does exemplar
+   * i still add").
+   *
+   * Deterministic: the first center is the minimum id; each round
+   * picks the point maximizing min-distance-to-selected, ties to the
+   * smaller id; distances ride the bit-portable fold with the
+   * selected vectors inlined as broadcast literals — the mmrSelect
+   * driver-round shape, so the oracle unrolls the same k rounds with
+   * scalar MIN subqueries. Like MMR, the greedy recursion is
+   * SEQUENTIAL BY DEFINITION: k driver-coordinated rounds, each one
+   * corpus scan + a single-row collect (the watermark-read pattern).
+   * For large k at 100 TB, pre-sample (hash sample or per-cell
+   * representatives) and run k-center on the sample — the standard
+   * two-stage coreset.
+   * Returns `(rank, id, radius)`; the first center's radius is NULL.
+   */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"kCenterSelect: k in [1, 64], got $k")
+    val base = emb.select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__vec"))
+      .cache()
+    try {
+      val spark = emb.sparkSession
+      val first = base.orderBy("__id").limit(1).collect().head
+      var picked = Vector[(Long, Seq[Float], Option[Double])](
+        (first.getLong(0), first.getSeq[Float](1), None))
+      while (picked.size < k) {
+        val dists = picked.map { case (_, v, _) =>
+          distSqFold(col("__vec"), array(v.map(x => lit(x)): _*))
+        }
+        val minD = if (dists.size == 1) dists.head else least(dists: _*)
+        val next = base.filter(!col("__id").isInCollection(picked.map(_._1)))
+          .select(col("__id"), col("__vec"), minD.as("__d"))
+          .orderBy(col("__d").desc, col("__id")).limit(1).collect()
+        if (next.isEmpty) picked = picked ++ Vector.empty // corpus exhausted
+        else {
+          val r = next.head
+          picked :+= ((r.getLong(0), r.getSeq[Float](1),
+            Some(math.sqrt(r.getDouble(2)))))
+        }
+        if (next.isEmpty) return toOut(spark, picked, idCol)
+      }
+      toOut(spark, picked, idCol)
+    } finally { base.unpersist(); () }
+  }
+
+  private def toOut(spark: org.apache.spark.sql.SparkSession,
+                    picked: Vector[(Long, Seq[Float], Option[Double])],
+                    idCol: String): DataFrame = {
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, _, rad), i) => (i + 1L, id, rad) }
+      .toDF("rank", "__id", "radius")
+      .select(col("rank"), col("__id").as(idCol), col("radius"))
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
     * greedily pick k items maximizing
     * `λ·rel − (1−λ)·max_{s∈selected} cos(item, s)` — the standard

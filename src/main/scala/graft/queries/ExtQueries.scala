@@ -5786,6 +5786,19 @@ object ExtQueries {
       },
       Some(mmrOracleSql(k = 4, nCands = 8, lambda = 0.7))),
 
+    // Greedy k-CENTER coreset selection ([[Similarity.kCenterSelect]],
+    // Gonzalez '85): the corpus's 6 most mutually-distant exemplars
+    // with the per-pick coverage radius — the diversity-sampling
+    // decision curve ("how much does exemplar i still add") behind
+    // training-data selection; a 2-approximation of the optimal
+    // k-center cover. Sequential by definition (the mmrSelect
+    // driver-round shape); the oracle unrolls the same greedy picks.
+    Q("samp_kcenter",
+      (s, dir) => Similarity.kCenterSelect(Tables.embeddings(s, dir),
+          "vec_id", "embedding", k = 6)
+        .orderBy("rank"),
+      Some(kCenterOracleSql(k = 6))),
+
     // ── Corpus export sharding ─────────────────────────────────────────
 
     // Deterministic shard assignment for corpus handoff: shard =
@@ -7782,6 +7795,29 @@ object ExtQueries {
     * vec_id) head. μ is interpolated from the SAME `1.0 − λ` double the
     * Scala op computes (0.7 ⇒ 0.30000000000000004 — re-typing "0.3"
     * would be a DIFFERENT double and the hash would drift). */
+  /** Unrolled DuckDB mirror of [[Similarity.kCenterSelect]] — one CTE
+    * per greedy pick, scalar MIN-over-selected subqueries (the
+    * mmrOracleSql discipline). */
+  private def kCenterOracleSql(k: Int): String = {
+    val b = Seq.newBuilder[String]
+    b += "s1 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings ORDER BY vec_id LIMIT 1)"
+    for (i <- 2 to k) {
+      val prevIds = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+      val prevVecs = (1 until i).map(j => s"SELECT vec FROM s$j").mkString(" UNION ALL ")
+      b += s"""s$i AS (SELECT id, vec, d FROM (
+              |    SELECT c.vec_id AS id, c.embedding AS vec,
+              |           (SELECT MIN(${Similarity.distSqSql("c.embedding", "pk.vec")})
+              |            FROM ($prevVecs) pk(vec)) AS d
+              |    FROM embeddings c WHERE c.vec_id NOT IN ($prevIds))
+              |  ORDER BY d DESC, id LIMIT 1)""".stripMargin
+    }
+    val sel = (s"SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM s1" +:
+      (2 to k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, id AS vec_id, sqrt(d) AS radius FROM s$i"))
+      .mkString("\nUNION ALL\n")
+    s"WITH ${b.result().mkString(",\n")}\n$sel\nORDER BY rank"
+  }
+
   private def mmrOracleSql(k: Int, nCands: Int, lambda: Double): String = {
     val mu = 1.0 - lambda
     val b = Seq.newBuilder[String]

@@ -533,6 +533,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kCenterSelect: one center per far cluster, non-increasing radii, min-id start") {
+    import spark.implicits._
+    val pts = for (c <- 0 until 3; i <- 0 until 10) yield
+      ((c * 10 + i).toLong, Array((c * 100 + i * 0.1).toFloat, (c * 100).toFloat))
+    val out = Similarity.kCenterSelect(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(out.length == 5)
+    assert(out(0) == ((1L, 0L, None)), "first center is the minimum id, radius NULL")
+    // first three centers cover all three clusters (farthest-point property)
+    assert(out.take(3).map(_._2 / 10).toSet == Set(0L, 1L, 2L),
+      s"first 3 centers must hit all 3 clusters: ${out.toSeq}")
+    // radii never increase (each pick covers at least as well as the last)
+    val radii = out.flatMap(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-12, s"radius increased: $a -> $b") }
+    // within-cluster picks 4-5 have tiny radii vs the cross-cluster ~100
+    assert(radii.take(2).forall(_ > 90.0) && radii.drop(2).forall(_ < 2.0))
+  }
+
   test("rangeSearch: cell assignment is a min_by aggregate — no WindowExec in the plan") {
     import spark.implicits._
     // the r13 shape row_number()'d the k-expanded emb×centroids frame —
