@@ -5799,6 +5799,90 @@ object ExtQueries {
         .orderBy("rank"),
       Some(kCenterOracleSql(k = 6))),
 
+    // k-CENTER COVER assignment ([[Similarity.kCenterSelect]]'s
+    // consumer): every vector assigned to its nearest selected
+    // exemplar (ties → smaller center rank), with per-center member
+    // counts, the REALIZED cover radius (max assigned distance — the
+    // quantity the 2-approximation bounds), and mean member distance.
+    // Centers are a bounded collect (6 rows, the watermark pattern);
+    // assignment is one broadcast cross join + a struct-min aggregate
+    // (map-side combined, no window).
+    Q("samp_kcenter_cover",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cents = Similarity.kCenterSelect(emb, "vec_id", "embedding", k = 6)
+          .join(emb, "vec_id")
+          .select(col("rank").as("crank"), col("vec_id").as("center_id"),
+            col("embedding").as("cvec"))
+        val asg = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("crank"),
+            Similarity.distSqFold(col("embedding"), col("cvec")).as("d2"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("d2"), col("crank"))).as("m"))
+          .select(col("vec_id"), col("m.crank").as("crank"), col("m.d2").as("d2"))
+        asg.groupBy("crank")
+          .agg(count(lit(1)).as("n_assigned"),
+            max(sqrt(col("d2"))).as("cover_radius"),
+            sum(floor(sqrt(col("d2")) * lit(1e6)).cast(LongType)).as("__dm"))
+          .join(broadcast(cents.select(col("crank"), col("center_id"))), "crank")
+          .select(col("crank").as("center_rank"), col("center_id"),
+            col("n_assigned"), col("cover_radius"),
+            (col("__dm").cast(DoubleType) / lit(1e6) /
+              col("n_assigned").cast(DoubleType)).as("mean_dist"))
+          .orderBy("center_rank")
+      },
+      Some {
+        val cents = (1 to 6).map(i => s"SELECT CAST($i AS BIGINT) AS crank, id, vec FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""${kCenterOracleCtes(k = 6)},
+           |cents AS (${cents}),
+           |asg AS (SELECT p.vec_id, c.crank, c.id,
+           |          ${Similarity.distSqSql("p.embedding", "c.vec")} AS d2
+           |        FROM embeddings p CROSS JOIN cents c),
+           |best AS (SELECT vec_id, crank, id, d2 FROM (
+           |    SELECT vec_id, crank, id, d2,
+           |           row_number() OVER (PARTITION BY vec_id ORDER BY d2, crank) AS rn
+           |    FROM asg) WHERE rn = 1)
+           |SELECT crank AS center_rank, id AS center_id,
+           |       count(*) AS n_assigned,
+           |       MAX(sqrt(d2)) AS cover_radius,
+           |       CAST(SUM(CAST(floor(sqrt(d2) * 1000000.0) AS BIGINT)) AS DOUBLE)
+           |         / 1000000.0 / count(*) AS mean_dist
+           |FROM best GROUP BY 1, 2 ORDER BY center_rank""".stripMargin
+      }),
+
+    // Per-language TOKENIZER-FERTILITY report — the budget planner's
+    // table: docs/tokens/chars per detected language plus chars-per-
+    // token fertility (how many characters one token "costs" in each
+    // language — the statistic multilingual token budgets are priced
+    // with, since whitespace-tokenizer fertility varies by script and
+    // morphology). One projection (shared langId + counts), one keyed
+    // aggregate; the ratio is a single division of exact integers.
+    Q("t_lang_fertility",
+      (s, dir) => Tables.documents(s, dir)
+        .select(TextOps.langId(col("text")).as("lang"),
+          TextOps.tokenCount(col("text")).as("n_tok"),
+          length(col("text")).cast(LongType).as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast(LongType).as("tokens_total"),
+          sum("n_chars").cast(LongType).as("chars_total"))
+        .withColumn("chars_per_token",
+          when(col("tokens_total") > 0,
+            col("chars_total").cast(DoubleType) / col("tokens_total").cast(DoubleType)))
+        .orderBy("lang"),
+      Some(s"""SELECT lang, count(*) AS n_docs,
+              |  CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+              |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+              |  CASE WHEN SUM(n_tok) > 0 THEN
+              |    CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) END
+              |    AS chars_per_token
+              |FROM (SELECT ${TextOps.langIdSql("text")} AS lang,
+              |        CAST(len(${TextOps.tokensSql("text")}) AS BIGINT) AS n_tok,
+              |        CAST(length(text) AS BIGINT) AS n_chars
+              |      FROM documents)
+              |GROUP BY 1 ORDER BY lang""".stripMargin)),
+
     // ── Corpus export sharding ─────────────────────────────────────────
 
     // Deterministic shard assignment for corpus handoff: shard =
@@ -7795,10 +7879,11 @@ object ExtQueries {
     * vec_id) head. μ is interpolated from the SAME `1.0 − λ` double the
     * Scala op computes (0.7 ⇒ 0.30000000000000004 — re-typing "0.3"
     * would be a DIFFERENT double and the hash would drift). */
-  /** Unrolled DuckDB mirror of [[Similarity.kCenterSelect]] — one CTE
-    * per greedy pick, scalar MIN-over-selected subqueries (the
-    * mmrOracleSql discipline). */
-  private def kCenterOracleSql(k: Int): String = {
+  /** The greedy-pick CTE chain of [[kCenterOracleSql]] (`WITH s1..sk`)
+    * — one CTE per pick, scalar MIN-over-selected subqueries (the
+    * mmrOracleSql discipline); composable by cover-assignment
+    * consumers. */
+  private def kCenterOracleCtes(k: Int): String = {
     val b = Seq.newBuilder[String]
     b += "s1 AS (SELECT vec_id AS id, embedding AS vec FROM embeddings ORDER BY vec_id LIMIT 1)"
     for (i <- 2 to k) {
@@ -7811,11 +7896,16 @@ object ExtQueries {
               |    FROM embeddings c WHERE c.vec_id NOT IN ($prevIds))
               |  ORDER BY d DESC, id LIMIT 1)""".stripMargin
     }
+    s"WITH ${b.result().mkString(",\n")}"
+  }
+
+  /** Unrolled DuckDB mirror of [[Similarity.kCenterSelect]]. */
+  private def kCenterOracleSql(k: Int): String = {
     val sel = (s"SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, CAST(NULL AS DOUBLE) AS radius FROM s1" +:
       (2 to k).map(i =>
         s"SELECT CAST($i AS BIGINT) AS rank, id AS vec_id, sqrt(d) AS radius FROM s$i"))
       .mkString("\nUNION ALL\n")
-    s"WITH ${b.result().mkString(",\n")}\n$sel\nORDER BY rank"
+    s"${kCenterOracleCtes(k)}\n$sel\nORDER BY rank"
   }
 
   private def mmrOracleSql(k: Int, nCands: Int, lambda: Double): String = {
