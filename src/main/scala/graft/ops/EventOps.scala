@@ -508,6 +508,86 @@ object EventOps {
   }
 
   /**
+   * Markov-chain STEADY-STATE distribution over event-type transitions
+   * — the long-run occupancy the [[transitionMatrix]] implies ("where
+   * do user journeys spend their time"), the stationary π with
+   * π(j) = Σ_i π(i)·P(i,j). Fixed-point iteration in the
+   * [[graft.ops.Graph]] integer currency (BIGINT multiples of 1e-15):
+   * each round is `π'(j) = Σ_i (π(i)·c_ij) div r_i` — the per-row
+   * product widened to DECIMAL(38)/HUGEINT (π·c exceeds 2⁶³ at modest
+   * event counts), integer SUM, no FP anywhere — so the unrolled-SQL
+   * oracle matches bit-for-bit. The chain is CLOSED over from-types
+   * (transitions into a type that never emits are dropped and row
+   * sums recomputed), so every round is exactly stochastic; |types|
+   * is tiny, the per-round cost is the counts join.
+   */
+  def markovSteady(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, eventIdCol: String,
+                   iterations: Int = 6): DataFrame = {
+    require(iterations >= 1 && iterations <= 32,
+      s"markovSteady: iterations in [1, 32], got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val SCALE = graft.ops.Graph.SCALE
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(eventIdCol))
+    val pairs = events
+      .withColumn("__from", lag(col(typeCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .select(col("__from").as("from_type"), col(typeCol).as("to_type"))
+    val fromTypes = pairs.select(col("from_type").as("t")).distinct().localCheckpoint()
+    val c = pairs
+      .join(fromTypes.select(col("t").as("to_type")), Seq("to_type"), "left_semi")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val r = c.groupBy("from_type").agg(sum("cnt").as("rt"))
+    val n = fromTypes.count()
+    require(n > 0, "markovSteady: no transitions")
+    var pi = fromTypes.select(col("t").as("event_type"),
+      lit(SCALE / n).as("pi"))
+    for (_ <- 1 to iterations) {
+      val m = c.join(pi.withColumnRenamed("event_type", "from_type"), "from_type")
+        .join(r, "from_type")
+        .selectExpr("to_type AS event_type",
+          "(CAST(pi AS DECIMAL(38,0)) * cnt) div rt AS m")
+        .groupBy("event_type").agg(sum("m").as("__pi"))
+      pi = fromTypes.select(col("t").as("event_type"))
+        .join(m, Seq("event_type"), "left")
+        .select(col("event_type"), coalesce(col("__pi"), lit(0L)).as("pi"))
+        .localCheckpoint()
+    }
+    pi.select(col("event_type"),
+      (col("pi").cast(org.apache.spark.sql.types.DoubleType) /
+        lit(SCALE.toDouble)).as("steady"))
+  }
+
+  /** DuckDB mirror of [[markovSteady]] — the same closed-chain counts
+    * and unrolled integer rounds. Expects the events relation name. */
+  def markovSteadySql(rel: String, iterations: Int = 6): String = {
+    val sc = graft.ops.Graph.SCALE
+    def round(prev: String, i: Int) =
+      s"""m$i AS (SELECT c.to_type AS event_type,
+         |    SUM((CAST(p.pi AS HUGEINT) * c.cnt) // r.rt) AS pi
+         |  FROM c JOIN $prev p ON c.from_type = p.event_type
+         |       JOIN r ON c.from_type = r.from_type
+         |  GROUP BY 1),
+         |p$i AS (SELECT ft.t AS event_type, CAST(COALESCE(m.pi, 0) AS BIGINT) AS pi
+         |  FROM ft LEFT JOIN m$i m ON ft.t = m.event_type)""".stripMargin
+    val rounds = (1 to iterations).map(i => round(s"p${i - 1}", i)).mkString(",\n")
+    s"""WITH pairs AS (SELECT prev AS from_type, event_type AS to_type FROM (
+       |    SELECT event_type,
+       |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+       |    FROM $rel) WHERE prev IS NOT NULL),
+       |ft AS (SELECT DISTINCT from_type AS t FROM pairs),
+       |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+       |      FROM pairs WHERE to_type IN (SELECT t FROM ft) GROUP BY 1, 2),
+       |r AS (SELECT from_type, SUM(cnt) AS rt FROM c GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM ft),
+       |p0 AS (SELECT t AS event_type, $sc // (SELECT n FROM nn) AS pi FROM ft),
+       |$rounds
+       |SELECT event_type, CAST(pi AS DOUBLE) / $sc.0 AS steady
+       |FROM p$iterations""".stripMargin
+  }
+
+  /**
    * Linear multi-touch attribution: every conversion splits one unit
    * of credit EQUALLY across the user's touch events inside the
    * lookback window (touch_ts ∈ (conv_ts − window, conv_ts]), and each

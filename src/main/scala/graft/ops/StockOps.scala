@@ -3,7 +3,7 @@ package graft.ops
 import graft.Det
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, DecimalType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, LongType}
 
 /**
  * The reference's medallion transforms (bronze → silver → gold),
@@ -416,6 +416,68 @@ object StockOps {
        |      sqrt(${d("n * srr - sr * sr")} / ${d("n * (n - 1)")}) END AS sharpe
        |FROM stats""".stripMargin
   }
+
+  /**
+   * Historical VaR / CVaR (expected shortfall) per ticker at the 95%
+   * level over the same integer-bp daily returns as [[beta]]/[[sharpe]]:
+   * VaR = the k-th WORST return with k = ⌈5%·n⌉ (exact integer ceil
+   * division — no double quantile), CVaR = the exact mean of the k
+   * worst, with ties at the cutoff contributing only the remaining
+   * quota (the [[graft.ops.Profile.trimmedMean]] span-overlap
+   * discipline: the cumulative walk runs over the per-ticker
+   * VALUE-COUNT table, so the window sorts distinct return values,
+   * never rows). One double division at the edge. The risk report a
+   * monthly gold table cannot see — it needs the return distribution's
+   * tail, not a mean.
+   */
+  def varCvar(silver: DataFrame): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val byT = Window.partitionBy("ticker").orderBy("d")
+    val rets = indicatorBase(silver)
+      .withColumn("__prev", lag("px", 1).over(byT))
+      .filter(col("__prev") > 0)
+      .withColumn("r", expr("((px - __prev) * 10000) div __prev"))
+    val vc = rets.groupBy(col("ticker"), col("r")).agg(count(lit(1)).as("c"))
+    val walk = Window.partitionBy("ticker").orderBy("r")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("ticker")
+    vc.withColumn("__cum", sum("c").over(walk))
+      .withColumn("__n", sum("c").over(all))
+      .withColumn("__k", expr("(__n * 5 + 99) div 100"))
+      .withColumn("__take", greatest(lit(0L),
+        least(col("__cum"), col("__k")) - (col("__cum") - col("c"))))
+      .groupBy("ticker")
+      .agg(max("__n").cast(LongType).as("n_days"),
+        max(when(col("__take") > 0, col("r"))).as("var95_bp"),
+        sum(col("r").cast(dec38) * col("__take").cast(dec38)).as("__tv"),
+        max("__k").as("__kk"))
+      .select(col("ticker"), col("n_days"), col("var95_bp"),
+        (col("__tv").cast(DoubleType) / col("__kk").cast(DoubleType))
+          .as("cvar95_bp"))
+  }
+
+  /** DuckDB mirror of [[varCvar]] — same value-count walk, same
+    * span-overlap take counts, same integer ceil-division. */
+  def varCvarSql: String =
+    s"""WITH base AS ($IndicatorBaseSql),
+       |rets AS (SELECT ticker, ((px - prev) * 10000) // prev AS r
+       |  FROM (SELECT ticker, d, px,
+       |          lag(px, 1) OVER (PARTITION BY ticker ORDER BY d) AS prev
+       |        FROM base)
+       |  WHERE prev > 0),
+       |vc AS (SELECT ticker, r, count(*) AS c FROM rets GROUP BY 1, 2),
+       |walk AS (SELECT ticker, r, c,
+       |    SUM(c) OVER (PARTITION BY ticker ORDER BY r ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(c) OVER (PARTITION BY ticker) AS n
+       |  FROM vc),
+       |take AS (SELECT ticker, r, n, (n * 5 + 99) // 100 AS k,
+       |    GREATEST(0, LEAST(cum, (n * 5 + 99) // 100) - (cum - c)) AS tk
+       |  FROM walk)
+       |SELECT ticker, CAST(MAX(n) AS BIGINT) AS n_days,
+       |  MAX(CASE WHEN tk > 0 THEN r END) AS var95_bp,
+       |  CAST(SUM(CAST(r AS HUGEINT) * tk) AS DOUBLE) / CAST(MAX(k) AS DOUBLE)
+       |    AS cvar95_bp
+       |FROM take GROUP BY 1""".stripMargin
 
   /**
    * SMA CROSSOVER signals (golden/death cross): days where the

@@ -7847,6 +7847,34 @@ object ExtQueries {
               |SELECT * FROM (${StockOps.sharpeSql})
               |ORDER BY ticker""".stripMargin)),
 
+    // Historical VaR / CVaR at 95% ([[StockOps.varCvar]]): the k-th
+    // worst integer-bp daily return (k = ⌈5%·n⌉, exact integer ceil
+    // division) and the exact mean of the k worst — ties at the
+    // cutoff contribute only the remaining quota (the trimmedMean
+    // span-overlap walk over the per-ticker VALUE-COUNT table, so the
+    // window sorts distinct return values, never rows). The tail-risk
+    // statistic next to stock_sharpe's mean-variance view.
+    Q("stock_var",
+      (s, dir) => StockOps.varCvar(
+        StockOps.silverDaily(StockOps.bronzeFromLineitem(Tables.lineitem(s, dir))))
+        .orderBy("ticker"),
+      Some(s"""WITH silver AS (${StockOps.silverSql()})
+              |SELECT * FROM (${StockOps.varCvarSql})
+              |ORDER BY ticker""".stripMargin)),
+
+    // Markov-chain steady state over event-type transitions
+    // ([[EventOps.markovSteady]]): the long-run occupancy the
+    // transition matrix implies — where user journeys spend their
+    // time. Closed-chain counts, 6 integer fixed-point rounds in the
+    // Graph SCALE currency (π·c products ride HUGEINT/DECIMAL(38)),
+    // zero FP before the final division — the oracle unrolls the
+    // identical rounds.
+    Q("ev_markov_steady",
+      (s, dir) => EventOps.markovSteady(Tables.events(s, dir),
+          "user_id", "event_type", "ts", "event_id")
+        .orderBy("event_type"),
+      Some(EventOps.markovSteadySql("events") + "\nORDER BY event_type")),
+
     // Hour-of-day × type activity profile: the usage heat grid every
     // ops dashboard opens with — event counts and the hour's share of
     // its type's daily total (exact counts, one fixed division).

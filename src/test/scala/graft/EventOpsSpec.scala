@@ -388,4 +388,24 @@ class EventOpsSpec extends SparkSpec {
       ("A", "B", 3L, 2L, 2L, 2.0 / 3.0),
       ("A", "C", 3L, 1L, 1L, 1.0 / 3.0)))
   }
+  test("markovSteady: converges to the analytic stationary distribution") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    // chain: A->A x3, A->B x1, B->A x1 => P=[[3/4,1/4],[1,0]],
+    // stationary pi = (4/5, 1/5); |lambda2| = 1/4 so 6 rounds from
+    // uniform land within (1/4)^6 of it
+    // user journey emitting exactly those transition counts:
+    // A A A A B A  -> A->A x3, A->B x1, B->A x1
+    val seq = Seq("A", "A", "A", "A", "B", "A")
+    val events = seq.zipWithIndex.map { case (t, i) =>
+      (i.toLong, s"2024-01-01 10:0$i:00", 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val out = EventOps.markovSteady(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out("A") - 0.8) < 0.002, s"pi(A): $out")
+    assert(math.abs(out("B") - 0.2) < 0.002, s"pi(B): $out")
+    // mass conserved up to integer truncation
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+  }
 }

@@ -161,6 +161,31 @@ class StockOpsSpec extends SparkSpec {
     assert(fr.isNullAt(fr.fieldIndex("sharpe")))
   }
 
+  test("varCvar: k-th-worst pick, exact tail mean, tie quota") {
+    // prices 1.0000 then steps: px in 1e-4 units via valor_fechamento.
+    // 21 days -> 20 returns; k = ceil(0.05*20) = 1 -> var = worst, cvar = worst.
+    val days = (2 to 22).map(i => f"01-$i%02d")
+    // px path: one big crash (-50% = -5000bp) then tiny moves
+    val px = Seq(1.0) ++ Seq(0.5) ++ (3 to 21).map(i => 0.5 + (i % 3) * 0.0001)
+    val s1 = silverOf(days.zip(px).map { case (d, p) => ("T", s"1995-$d", p, 1L) })
+    val r1 = StockOps.varCvar(s1).collect().head
+    assert(r1.getAs[Long]("n_days") == 20L)
+    assert(r1.getAs[Long]("var95_bp") == -5000L, s"worst return: $r1")
+    assert(r1.getAs[Double]("cvar95_bp") == -5000.0)
+    // 40 returns -> k = 2 -> cvar = mean of the two worst; ties at the
+    // cutoff take only the remaining quota
+    val days2 = (2 to 28).map(i => f"01-$i%02d") ++ (1 to 14).map(i => f"02-$i%02d")
+    assert(days2.size == 41)
+    // two crashes of equal size (-50%): both enter the k=2 tail exactly once
+    val px2 = Seq(1.0, 0.5) ++ (1 to 19).map(_ => 0.5) ++ Seq(0.25) ++ (1 to 19).map(_ => 0.25)
+    assert(px2.size == 41)
+    val s2 = silverOf(days2.zip(px2).map { case (d, p) => ("T", s"1995-$d", p, 1L) })
+    val r2 = StockOps.varCvar(s2).collect().head
+    assert(r2.getAs[Long]("n_days") == 40L)
+    assert(r2.getAs[Long]("var95_bp") == -5000L)
+    assert(r2.getAs[Double]("cvar95_bp") == -5000.0, s"mean of two -5000 tails: $r2")
+  }
+
   test("smaCross: strict sign flip only, zero-relation days break signals") {
     val days = Seq("01-02", "01-03", "01-04", "01-05", "01-06", "01-09", "01-10")
     val px = Seq(10L, 10L, 10L, 20L, 20L, 1L, 1L)
