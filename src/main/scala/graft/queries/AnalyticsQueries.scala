@@ -1471,6 +1471,45 @@ object AnalyticsQueries {
              |         / ${graft.Det.hiLoDoubleSql("n * sxc")} AS gini
              |FROM agg ORDER BY prio""".stripMargin)),
 
+    // Herfindahl–Hirschman concentration index per market (priority
+    // class over customer revenue shares): HHI = Σ share_i² =
+    // Σ x_i² / (Σ x)² — the antitrust-grade concentration statistic
+    // next to agg_gini's inequality view. Both Σ x_i² and (Σ x)² are
+    // exact integer statistics (cents, DECIMAL(38,0) accumulators);
+    // ONE division at the edge rides the hi/lo-split epilogue since
+    // both sides exceed 2⁵³ at scale. Two keyed aggregates (per-entity
+    // totals, then per-market moments) — no pairwise work.
+    Q("agg_hhi",
+      (s, dir) => {
+        val dec38 = DecimalType(38, 0)
+        val perCust = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("prio"), col("o_custkey"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast(LongType).as("xc"))
+          .groupBy("prio", "o_custkey")
+          .agg(sum(col("xc").cast(dec38)).as("cx"))
+        perCust.groupBy("prio")
+          .agg(count(lit(1)).as("n_entities"),
+            sum(col("cx")).as("sx"),
+            sum(col("cx") * col("cx")).as("sxx"))
+          .select(col("prio"), col("n_entities"),
+            col("sx").cast(LongType).as("total_cents"),
+            (col("sxx").cast(DoubleType) /
+              (col("sx") * col("sx")).cast(DoubleType)).as("hhi"))
+          .orderBy("prio")
+      },
+      Some(s"""WITH pc AS (SELECT o_orderpriority AS prio, o_custkey,
+             |         SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             |             AS HUGEINT)) AS cx
+             |       FROM orders GROUP BY 1, 2),
+             |agg AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_entities,
+             |          SUM(cx) AS sx, SUM(cx * cx) AS sxx
+             |        FROM pc GROUP BY 1)
+             |SELECT prio, n_entities, CAST(sx AS BIGINT) AS total_cents,
+             |       ${graft.Det.hiLoDoubleSql("sxx")}
+             |         / ${graft.Det.hiLoDoubleSql("sx * sx")} AS hhi
+             |FROM agg ORDER BY prio""".stripMargin)),
+
     // Approximate functional-dependency profiling (q_fd_check): for
     // candidate FDs lhs→rhs, how many lhs groups exist, how many carry
     // more than one rhs variant, and the worst fan-out — the
