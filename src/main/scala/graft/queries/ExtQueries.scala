@@ -5786,6 +5786,35 @@ object ExtQueries {
       },
       Some(mmrOracleSql(k = 4, nCands = 8, lambda = 0.7))),
 
+    // ANN-assisted near-dup CANDIDATE PAIRS from the k-NN graph — the
+    // index's production dedup use: instead of LSH banding or an
+    // all-pairs verify, the maintained graph's edges under a distance
+    // threshold ARE the candidate set (each node's k nearest were
+    // already computed once, at build time). Canonicalized id_a <
+    // id_b with the min distance per pair (an edge can appear in both
+    // endpoints' lists). Candidate recall is the graph's recall —
+    // sim_graph_stats' reciprocal fraction is its health gauge.
+    Q("sim_nn_dedup_pairs",
+      (s, dir) => {
+        val g = cachedNnGraph(s, dir, "full") {
+          val src = Tables.embeddings(s, dir)
+          Similarity.nnDescent(src, "vec_id", "embedding",
+            k = 6, rounds = 2, buckets = adaptiveBuckets(src.count()))
+        }
+        g.filter(col("dist") <= 1.2)
+          .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+            greatest(col("vec_id"), col("nbr_id")).as("id_b"), col("dist"))
+          .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("e"))},
+              |edges AS (SELECT src, dst, sqrt(d2) AS dist FROM knn2)
+              |SELECT LEAST(src, dst) AS id_a, GREATEST(src, dst) AS id_b,
+              |       MIN(dist) AS dist
+              |FROM edges WHERE dist <= 1.2
+              |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin)),
+
     // Greedy k-CENTER coreset selection ([[Similarity.kCenterSelect]],
     // Gonzalez '85): the corpus's 6 most mutually-distant exemplars
     // with the per-pick coverage radius — the diversity-sampling
