@@ -861,19 +861,27 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // The pruning bounds (prefix length, length filter, overlap bound
     // α) are computed in EXACT integer arithmetic on the per-mille
-    // rational t = tPm/1000 — ceil()-of-double-products overshoots at
+    // rational t' = tPm/1000 — ceil()-of-double-products overshoots at
     // exact-integer boundaries for thresholds whose double rounds
     // ABOVE the decimal (0.55 → 0.55000000000000004 makes ceil(0.55·n)
     // one too large whenever 0.55·n is integral), silently dropping
     // qualifying pairs and breaking the lossless claim. ceil(a/b) on
-    // non-negative integers is `(a + b - 1) div b`; the final Jaccard
-    // gate stays the same double compare as the brute-force oracle
-    // (equivalent to the exact rational compare for any doc under
-    // ~2.6e13 tokens — the two can only disagree when |sh/union − t|
-    // < 1 ulp, impossible for small-denominator rationals).
-    val tPm = math.round(minJaccard * 1000).toInt
-    require(math.abs(minJaccard * 1000 - tPm) < 1e-9 && tPm > 0 && tPm <= 1000,
-      s"ppjoinPairs: minJaccard must be a per-mille rational in (0, 1], got $minJaccard")
+    // non-negative integers is `(a + b - 1) div b`. ANY double
+    // threshold is accepted: tPm is minJaccard FLOORED to the nearest
+    // per-mille (with a 1e-9 nudge so exact per-mille doubles like 0.3
+    // whose binary form sits a hair BELOW the decimal still land on
+    // it), so t' ≤ t up to that sub-ulp nudge — the integer bounds
+    // prune at a threshold no tighter than the caller's, which keeps
+    // the candidate set a superset (lossless; at worst ~0.1 per-mille
+    // looser, i.e. marginally more candidates to verify). The final
+    // Jaccard gate stays the caller's exact double compare, identical
+    // to the brute-force oracle (the floored bound and the true gate
+    // can only disagree on a pair when |sh/union − t| < 1 ulp,
+    // impossible for small-denominator rationals under ~2.6e13
+    // tokens).
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"ppjoinPairs: minJaccard in (0, 1], got $minJaccard")
+    val tPm = math.floor(minJaccard * 1000 + 1e-9).toInt.min(1000)
     // localCheckpoint both shared subtrees: `tok` feeds THREE consumers
     // (df counts, the ranked window, the verification arrays) and
     // `prefix` feeds both sides of the self-join — without the cut,

@@ -516,10 +516,22 @@ object EventOps {
    * each round is `π'(j) = Σ_i (π(i)·c_ij) div r_i` — the per-row
    * product widened to DECIMAL(38)/HUGEINT (π·c exceeds 2⁶³ at modest
    * event counts), integer SUM, no FP anywhere — so the unrolled-SQL
-   * oracle matches bit-for-bit. The chain is CLOSED over from-types
-   * (transitions into a type that never emits are dropped and row
-   * sums recomputed), so every round is exactly stochastic; |types|
-   * is tiny, the per-round cost is the counts join.
+   * oracle matches bit-for-bit. The chain is CLOSED TO A FIXED POINT
+   * over the type graph: repeatedly drop transitions into types that
+   * no longer emit and recompute the emitting set until stable —
+   * i.e. keep exactly the types that can reach a CYCLE of the type
+   * graph (one pass is not enough: a type whose every successor is a
+   * sink keeps its π row but loses all out-rows, and its mass would
+   * silently evaporate each round, breaking the "every round is
+   * exactly stochastic" contract). The closure runs on the
+   * driver over the DISTINCT type-pair table (|types|² rows,
+   * guarded ≤ 100k — metadata, not data), so the per-round
+   * distributed cost is still just the counts join. Types outside
+   * the recurrent closure carry zero long-run occupancy by
+   * definition, so restricting π to the closure IS the stationary
+   * answer, not an approximation. A chain whose every observed type
+   * drains (a pure DAG of types) has no stationary distribution and
+   * fails loudly.
    */
   def markovSteady(events: DataFrame, userCol: String, typeCol: String,
                    tsCol: String, eventIdCol: String,
@@ -533,14 +545,36 @@ object EventOps {
       .withColumn("__from", lag(col(typeCol), 1).over(w))
       .filter(col("__from").isNotNull)
       .select(col("__from").as("from_type"), col(typeCol).as("to_type"))
-    val fromTypes = pairs.select(col("from_type").as("t")).distinct().localCheckpoint()
+    // Recurrent-closure fixed point on the TYPE graph (tiny): start
+    // from all emitting types, repeatedly drop types whose every
+    // out-transition lands outside the surviving set. Terminates in
+    // ≤ |types| rounds; the survivors are exactly the types that can
+    // reach a cycle. Driver-side over the distinct pair table — the
+    // same bounded-metadata shape as the watermark collects.
+    val typeEdges = pairs.distinct().limit(100001).collect()
+      .map(r0 => (r0.getString(0), r0.getString(1)))
+    require(typeEdges.length <= 100000,
+      "markovSteady: > 100k distinct type-pairs — type column is not a category")
+    var surv = typeEdges.map(_._1).toSet
+    var stable = false
+    while (!stable) {
+      val next = typeEdges.filter { case (f, t) => surv(f) && surv(t) }
+        .map(_._1).toSet
+      stable = next == surv
+      surv = next
+    }
+    require(surv.nonEmpty,
+      "markovSteady: no recurrent class — every observed type drains to a sink, " +
+        "the chain has no stationary distribution")
+    val fromTypes = pairs.select(col("from_type").as("t")).distinct()
+      .filter(col("t").isInCollection(surv)).localCheckpoint()
     val c = pairs
-      .join(fromTypes.select(col("t").as("to_type")), Seq("to_type"), "left_semi")
+      .filter(col("from_type").isInCollection(surv) &&
+        col("to_type").isInCollection(surv))
       .groupBy("from_type", "to_type").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val r = c.groupBy("from_type").agg(sum("cnt").as("rt"))
     val n = fromTypes.count()
-    require(n > 0, "markovSteady: no transitions")
     var pi = fromTypes.select(col("t").as("event_type"),
       lit(SCALE / n).as("pi"))
     for (_ <- 1 to iterations) {
@@ -559,8 +593,11 @@ object EventOps {
         lit(SCALE.toDouble)).as("steady"))
   }
 
-  /** DuckDB mirror of [[markovSteady]] — the same closed-chain counts
-    * and unrolled integer rounds. Expects the events relation name. */
+  /** DuckDB mirror of [[markovSteady]] — the same recurrent-closure
+    * type set (via a recursive reachability CTE: survivors = types
+    * that reach a cycle of the internal type graph, exactly the
+    * drop-sinks-until-stable fixed point) and unrolled integer
+    * rounds. Expects the events relation name. */
   def markovSteadySql(rel: String, iterations: Int = 6): String = {
     val sc = graft.ops.Graph.SCALE
     def round(prev: String, i: Int) =
@@ -572,13 +609,23 @@ object EventOps {
          |p$i AS (SELECT ft.t AS event_type, CAST(COALESCE(m.pi, 0) AS BIGINT) AS pi
          |  FROM ft LEFT JOIN m$i m ON ft.t = m.event_type)""".stripMargin
     val rounds = (1 to iterations).map(i => round(s"p${i - 1}", i)).mkString(",\n")
-    s"""WITH pairs AS (SELECT prev AS from_type, event_type AS to_type FROM (
+    s"""WITH RECURSIVE pairs AS (SELECT prev AS from_type, event_type AS to_type FROM (
        |    SELECT event_type,
        |           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
        |    FROM $rel) WHERE prev IS NOT NULL),
-       |ft AS (SELECT DISTINCT from_type AS t FROM pairs),
+       |f0 AS (SELECT DISTINCT from_type AS t FROM pairs),
+       |ie AS (SELECT DISTINCT from_type AS a, to_type AS b FROM pairs
+       |       WHERE to_type IN (SELECT t FROM f0)),
+       |reach(a, b) AS (
+       |    SELECT a, b FROM ie
+       |  UNION
+       |    SELECT r.a, e.b FROM reach r JOIN ie e ON r.b = e.a),
+       |cyc AS (SELECT DISTINCT a FROM reach WHERE a = b),
+       |ft AS (SELECT DISTINCT r.a AS t FROM reach r
+       |       WHERE r.b IN (SELECT a FROM cyc)),
        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
-       |      FROM pairs WHERE to_type IN (SELECT t FROM ft) GROUP BY 1, 2),
+       |      FROM pairs WHERE from_type IN (SELECT t FROM ft)
+       |        AND to_type IN (SELECT t FROM ft) GROUP BY 1, 2),
        |r AS (SELECT from_type, SUM(cnt) AS rt FROM c GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM ft),
        |p0 AS (SELECT t AS event_type, $sc // (SELECT n FROM nn) AS pi FROM ft),

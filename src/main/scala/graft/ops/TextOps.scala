@@ -661,6 +661,10 @@ object TextOps {
    *
    *   P(w₂|w₁) = (c₂ − D)/c₁ + D·N₁₊(w₁·)/c₁ · N₁₊(·w₂)/N₂₂
    *
+   * where c₁ = Σ_w c(w₁·w) is the bigram-PREFIX count (not the raw
+   * unigram frequency — doc-final tokens start no bigram), so each
+   * context's probabilities sum to exactly 1.
+   *
    * with discount D = 3/4 as an EXACT RATIONAL: multiplying through
    * by 4·c₁·N₂₂ makes every scored bigram's probability
    *   [(4c₂ − 3)·N₂₂ + 3·N₁₊(w₁·)·N₁₊(·w₂)] / (4·c₁·N₂₂)
@@ -684,8 +688,13 @@ object TextOps {
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .withColumn("w2", split(col("bg"), " ").getItem(1))
     val c2 = bg.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = tok.select(explode(col("t")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c₁ is the BIGRAM-PREFIX count Σ_w c(w₁·w), NOT the raw unigram
+    // frequency: doc-final occurrences of w₁ start no bigram, and
+    // counting them would inflate the denominator so per-context
+    // probabilities no longer sum to 1 — with the prefix count,
+    // Σ_{w} P(w|w₁) = (c₁ − D·N₁₊(w₁·))/c₁ + D·N₁₊(w₁·)/c₁ · 1 = 1
+    // exactly, the interpolated-KN identity KenLM normalizes to.
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val distinctBg = bg.select("bg", "w1", "w2").distinct()
     val n1f = distinctBg.groupBy("w1").agg(count(lit(1)).as("n1f")) // N₁₊(w₁·)
     val n1p = distinctBg.groupBy(col("w2")).agg(count(lit(1)).as("n1p")) // N₁₊(·w₂)
@@ -717,8 +726,7 @@ object TextOps {
        |bgw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
        |               string_split(bg, ' ')[2] AS w2 FROM bgr),
        |c2 AS (SELECT bg, count(*) AS c2 FROM bgw GROUP BY 1),
-       |c1 AS (SELECT w1, count(*) AS c1
-       |       FROM (SELECT unnest(t) AS w1 FROM tok) GROUP BY 1),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY 1),
        |dbg AS (SELECT DISTINCT bg, w1, w2 FROM bgw),
        |n1f AS (SELECT w1, count(*) AS n1f FROM dbg GROUP BY 1),
        |n1p AS (SELECT w2, count(*) AS n1p FROM dbg GROUP BY 1),

@@ -1476,9 +1476,13 @@ object AnalyticsQueries {
     // Σ x_i² / (Σ x)² — the antitrust-grade concentration statistic
     // next to agg_gini's inequality view. Both Σ x_i² and (Σ x)² are
     // exact integer statistics (cents, DECIMAL(38,0) accumulators);
-    // ONE division at the edge rides the hi/lo-split epilogue since
-    // both sides exceed 2⁵³ at scale. Two keyed aggregates (per-entity
-    // totals, then per-market moments) — no pairwise work.
+    // the edge divides TWICE — sxx / sx / sx, not sxx / sx² — so every
+    // hi/lo-split operand stays ≤ 2⁸⁵ far past the scale where sx²
+    // itself (≈ 2e25 at sf1) would sit within 2× of the split's
+    // correctly-rounded ceiling and drift an ulp between engines.
+    // IEEE division is deterministic, so two divisions are as
+    // bit-exact as one. Two keyed aggregates (per-entity totals, then
+    // per-market moments) — no pairwise work.
     Q("agg_hhi",
       (s, dir) => {
         val dec38 = DecimalType(38, 0)
@@ -1495,7 +1499,7 @@ object AnalyticsQueries {
           .select(col("prio"), col("n_entities"),
             col("sx").cast(LongType).as("total_cents"),
             (col("sxx").cast(DoubleType) /
-              (col("sx") * col("sx")).cast(DoubleType)).as("hhi"))
+              col("sx").cast(DoubleType) / col("sx").cast(DoubleType)).as("hhi"))
           .orderBy("prio")
       },
       Some(s"""WITH pc AS (SELECT o_orderpriority AS prio, o_custkey,
@@ -1507,7 +1511,8 @@ object AnalyticsQueries {
              |        FROM pc GROUP BY 1)
              |SELECT prio, n_entities, CAST(sx AS BIGINT) AS total_cents,
              |       ${graft.Det.hiLoDoubleSql("sxx")}
-             |         / ${graft.Det.hiLoDoubleSql("sx * sx")} AS hhi
+             |         / ${graft.Det.hiLoDoubleSql("sx")}
+             |         / ${graft.Det.hiLoDoubleSql("sx")} AS hhi
              |FROM agg ORDER BY prio""".stripMargin)),
 
     // Approximate functional-dependency profiling (q_fd_check): for

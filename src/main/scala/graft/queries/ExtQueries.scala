@@ -6393,9 +6393,21 @@ object ExtQueries {
             k = 6, rounds = 2, buckets = adaptiveBuckets(b0.count()))
         }, "ann", "graph")
         val staged = s"$base/in"
+        // Batch ORDER is load-bearing (the oracle unrolls A then B) and
+        // FileStreamSource orders files by MODIFICATION TIME — two
+        // back-to-back writes can tie at millisecond granularity and
+        // make the order arbitrary. Pin it: stamp batch A's files to
+        // t0 and batch B's to t0+2000 explicitly, independent of
+        // filesystem timestamp resolution.
         emb.filter(col("vec_id") % 8 === 0).coalesce(1).write.parquet(staged)
+        val stagedPath = new org.apache.hadoop.fs.Path(staged)
+        val t0 = System.currentTimeMillis() - 60000
+        fs.listStatus(stagedPath).filter(_.isFile)
+          .foreach(f => fs.setTimes(f.getPath, t0, -1))
         emb.filter(col("vec_id") % 8 === 4).coalesce(1)
           .write.mode("append").parquet(staged)
+        fs.listStatus(stagedPath).filter(f => f.isFile && f.getModificationTime != t0)
+          .foreach(f => fs.setTimes(f.getPath, t0 + 2000, -1))
         val stream = StreamOps.eventStream(s, staged,
           s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
         StreamOps.knnInsertSink(stream, st, "ann", "vec_id", "embedding",

@@ -435,9 +435,21 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b", "n_shared").as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L, 22L)),
       s"boundary pair at J=0.55 must survive the pruning bounds, got $got")
-    // and a non-per-mille threshold is rejected, not silently mangled
+    // an arbitrary (non-per-mille) threshold is accepted: the pruning
+    // bounds floor to t' = 0.555 ≤ t (looser — lossless), and the
+    // final gate applies the caller's exact t, so the J = 0.55 pair
+    // is correctly EXCLUDED at t = 0.5554321 …
+    assert(Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 0.5554321)
+      .count() == 0L)
+    // … and correctly KEPT at a runtime-computed t just below it
+    assert(Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 1.0 / 1.8182)
+      .count() == 1L, "J=0.55 pair must survive t≈0.54999")
+    // out-of-range thresholds still fail loudly
     intercept[IllegalArgumentException] {
-      Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 0.5554321)
+      Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.ppjoinPairs(docs, "doc_id", "text", minJaccard = 1.2)
     }
   }
 

@@ -408,4 +408,35 @@ class EventOpsSpec extends SparkSpec {
     // mass conserved up to integer truncation
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
   }
+  test("markovSteady: recurrent closure drops multi-hop drains, conserves mass") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    // A<->B is the recurrent cycle; X emits ONLY into the sink S
+    // (S never emits), so X survives one naive closure pass (it has
+    // an out-row) but its mass drains — the fixed point must drop
+    // both X and S and leave the A/B stationary (1/2, 1/2) intact.
+    // journeys: u1: A B A B A ; u2: X S
+    val rows =
+      Seq((1L, "A"), (1L, "B"), (1L, "A"), (1L, "B"), (1L, "A"),
+        (2L, "X"), (2L, "S"))
+    val events = rows.zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, f"2024-01-01 10:$i%02d:00", u, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val out = EventOps.markovSteady(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("A", "B"), s"closure: $out")
+    assert(math.abs(out("A") - 0.5) < 1e-9 && math.abs(out("B") - 0.5) < 1e-9, s"$out")
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    // pure DAG of types (no cycle anywhere) must fail loudly, not
+    // return a draining distribution
+    val dag = Seq((0L, "2024-01-01 10:00:00", 9L, "V", 0.0, "{}"),
+      (1L, "2024-01-01 10:01:00", 9L, "P", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast(TimestampType))
+    val e = intercept[IllegalArgumentException] {
+      EventOps.markovSteady(dag, "user_id", "event_type", "ts", "event_id").collect()
+    }
+    assert(e.getMessage.contains("no recurrent class"))
+  }
 }

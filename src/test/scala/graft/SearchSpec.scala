@@ -74,19 +74,24 @@ class SearchSpec extends SparkSpec {
 
   test("kneserNeyScore: hand-computed exact-rational micro points") {
     import spark.implicits._
-    // corpus: "a b a b" + "a c". Counts: c1(a)=3, c1(b)=2;
-    // c2("a b")=2, c2("b a")=1, c2("a c")=1; distinct bigrams N22=3;
+    // corpus: "a b a b" + "a c". c1 is the BIGRAM-PREFIX count
+    // Σ_w c(w1·w): c1(a)=3, c1(b)=1 (NOT unigram freq — the doc-final
+    // "b" starts no bigram); c2("a b")=2, c2("b a")=1, c2("a c")=1;
+    // distinct bigrams N22=3;
     // continuation: N1+(a·)=2 {b,c}, N1+(b·)=1 {a};
     //               N1+(·b)=1 {a}, N1+(·a)=1 {b}, N1+(·c)=1 {a}.
     // P(b|a) = [(4·2−3)·3 + 3·2·1] / (4·3·3) = 21/36 -> 583333 μpts
-    // P(a|b) = [1·3 + 3·1·1] / (4·2·3)      =  6/24 -> 250000
+    // P(a|b) = [1·3 + 3·1·1] / (4·1·3)      =  6/12 -> 500000
     // P(c|a) = [1·3 + 3·2·1] / (4·3·3)      =  9/36 -> 250000
+    // KN identity check per context a: observed (21+9)/36 = 5/6 plus
+    // the unscored backoff to unseen w2 (D·N1f/c1 · Pcont(a) =
+    // 1/2 · 1/3 = 1/6) is exactly 1.
     val docs = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     val out = TextOps.kneserNeyScore(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
         r.getAs[Long]("pts_total"), r.getAs[Double]("avg_pts")))
-    assert(out(0) == ((1L, 3L, 583333L + 250000L + 583333L, 1416666.0 / 3.0)),
+    assert(out(0) == ((1L, 3L, 583333L + 500000L + 583333L, 1666666.0 / 3.0)),
       s"doc 1: ${out(0)}")
     assert(out(1) == ((2L, 1L, 250000L, 250000.0)), s"doc 2: ${out(1)}")
     // the San Francisco property: a frequent word with ONE context gets
