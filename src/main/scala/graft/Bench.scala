@@ -111,10 +111,17 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] pipeline stage timing failed: ${e.getMessage}"); "{}"
     }
-    // stdout line stays as small as the contract allows (the driver's
-    // tail-capture truncated r8's ~3.3 KB line); the richer file copy
-    // additionally carries the per-stage pipeline attribution.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout line stays as small as the contract allows: the driver's
+    // capture truncated r8's ~3.3 KB line AND r14's full 415-query map
+    // (BENCH_r14.json recorded parsed:null with only a tail) — so the
+    // stdout line carries the total plus only the SLOWEST 40 queries
+    // (~1.1 KB, the ones a regression diff needs first), while the
+    // file copy (BENCH_LOCAL.json, committed to the repo each round)
+    // remains the full per-query artifact of record.
+    val slowest = best.toSeq.sortBy(-_._2).take(40)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${best.size},"queries":$slowest,"queries_truncated_to":40,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$allSamples,"pipeline_stages":$stages,"sf":"$sfDir"}"""
     // A SPARK_GRAFT_ONLY-filtered run must NOT clobber the full record
     // (the artifact of record the judge reads) with a partial one.

@@ -913,13 +913,30 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
   private[graft] def overwritePartitionsChecked(df: DataFrame, layer: String, table: String,
                                          partitionBy: Seq[String],
                                          txnId: Option[String], op: String,
-                                         mergeBase: Option[Long]): Long = {
+                                         mergeBase: Option[Long],
+                                         forceTouched: Set[String] = Set.empty): Long = {
     require(partitionBy.nonEmpty,
       "overwritePartitions: partitionBy is required (use overwrite for flat tables)")
     txnSeen(layer, table, txnId).foreach(return _)
     val added = writeIntoPool(df, layer, table, partitionBy)
     val st = statsOf(layer, table, added)
-    val touched = added.map(partOf).toSet
+    // forceTouched (explicit partition-dir strings, caller-escaped with
+    // the same hive escaping this write path uses) widens the replaced
+    // set beyond the partitions df wrote files for — the CDC-apply
+    // case, where a batch of pure deletes EMPTIES a partition and must
+    // still drop its files even though the merged frame carries no row
+    // (and thus no file) for it. The subset require is the encoding
+    // tripwire: every dir the write actually produced must be one the
+    // caller declared, or the caller's escaping diverged from the
+    // write path's and the replace would silently leave stale twins.
+    if (forceTouched.nonEmpty) {
+      val written = added.map(partOf).toSet
+      require(written.subsetOf(forceTouched),
+        s"overwritePartitionsChecked: written partition dirs ${written.diff(forceTouched).mkString(", ")} " +
+          s"are not in the declared touched set [${forceTouched.mkString(", ")}] — " +
+          "partition-path escaping diverged between caller and write path")
+    }
+    val touched = added.map(partOf).toSet ++ forceTouched
     // lazy: the no-race fast path (latest == mergeBase) never pays the
     // extra manifest read the comparison needs
     lazy val baseTouchedFiles = mergeBase.map { id =>
@@ -1018,6 +1035,73 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     Merge.schemaGuard(existingTouched, staged)
     overwritePartitionsChecked(Merge.upsert(existingTouched, staged, keys),
       layer, table, partitionBy, txnId, op = "upsert_partitions", mergeBase = Some(baseId))
+  }
+
+  /** Partition-pruned CDC APPLY (upserts + deletes in one commit):
+    * apply a collapsed change batch — `ups` (full payload rows, staged
+    * wins per key) and `delKeys` (key tuples to remove) — touching ONLY
+    * the partitions the batch's keys land in. The existing side reads
+    * just those partitions off a pinned snapshot, deletes leave via an
+    * anti-join, upserts via [[Merge.upsert]], and the commit is one
+    * partition-scoped replace with write-conflict detection — so at
+    * 100 TB a CDC batch costs its touched partitions' volume, never the
+    * maintained table's (the full-table fallback is
+    * [[graft.streaming.StreamOps.cdcApplySink]]).
+    *
+    * Same precondition as [[upsertPartitions]] (`partitionBy ⊆ keys`:
+    * keys cannot move partitions, so every row a change must reconcile
+    * provably lives in a touched partition). A batch of pure deletes
+    * that EMPTIES a partition still drops that partition's files: the
+    * touched set is declared explicitly from the batch's key values
+    * (hive-escaped exactly as the write path escapes them, with a loud
+    * tripwire on divergence), not inferred from the merged frame's
+    * written files. */
+  def cdcApplyPartitions(ups: DataFrame, delKeys: DataFrame, layer: String,
+                         table: String, keys: Seq[String], partitionBy: Seq[String],
+                         txnId: Option[String] = None): Long = {
+    require(partitionBy.nonEmpty,
+      "cdcApplyPartitions: partitionBy is required (flat tables: cdcApplySink)")
+    txnSeen(layer, table, txnId).foreach(return _)
+    require(partitionBy.forall(keys.contains),
+      s"cdcApplyPartitions: partition columns (${partitionBy.mkString(",")}) must be a " +
+        s"subset of the keys (${keys.mkString(",")}) — otherwise a key can move " +
+        "partitions and the pruned apply would leave a stale twin behind")
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!tableExists(layer, table))
+      return overwrite(ups, layer, table, partitionBy, txnId)
+    // touched partitions from BOTH change kinds; raw values drive the
+    // pruned read predicate, string casts (Spark's own cast = the
+    // dynamic-partition writer's value rendering) drive the dir names
+    val batchKeys = ups.select(keys.map(col): _*)
+      .unionByName(delKeys.select(keys.map(col): _*))
+    val touched = batchKeys
+      .select(partitionBy.map(col) ++
+        partitionBy.map(c => col(c).cast("string").as(s"__s_$c")): _*)
+      .distinct().limit(10001).collect()
+    require(touched.length <= 10000,
+      s"cdcApplyPartitions: batch touches ${touched.length} partitions — " +
+        "that is a full-table apply; use cdcApplySink, or coarsen the layout")
+    if (touched.isEmpty) return snapshots(layer, table).last
+    val pred = touched.map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val n = partitionBy.length
+    val dirs = touched.map { r =>
+      partitionBy.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, if (r.isNullAt(n + i)) null else r.getString(n + i))
+      }.mkString("/")
+    }.toSet
+    val baseId = snapshots(layer, table).last
+    val existingTouched = readSnapshot(layer, table, baseId).filter(pred)
+    val kept = existingTouched.join(delKeys, keys, "left_anti")
+    Merge.schemaGuard(kept, ups)
+    overwritePartitionsChecked(Merge.upsert(kept, ups, keys),
+      layer, table, partitionBy, txnId, op = "cdc_apply_partitions",
+      mergeBase = Some(baseId), forceTouched = dirs)
   }
 
   /** Read a manifest's file list. Files are grouped by their pool base

@@ -3322,6 +3322,92 @@ object ExtQueries {
              |WHERE rn = 1 AND k % 7 <> 0
              |ORDER BY k""".stripMargin)),
 
+    // PARTITION-PRUNED streaming CDC apply, oracle-hashed end state
+    // ([[StreamOps.cdcApplyPrunedSink]] →
+    // [[graft.engine.SnapshotStore.cdcApplyPartitions]]) — the 100 TB
+    // form of stream_cdc_final's full-table-per-batch merge: the
+    // maintained table is partitioned by the key bucket kb = k % 8,
+    // seeded with every key's version-1 row, and the same Debezium
+    // feed arrives as one micro-batch PER BUCKET (key-disjoint
+    // batches satisfy the per-key sequence-order contract trivially,
+    // and each key's whole history collapses inside its one batch),
+    // so each batch reads and rewrites exactly ONE partition of
+    // eight off a pinned snapshot — upserts and deletes in one
+    // txn-tagged commit. Bucket 5 is withheld from the feed: its keys
+    // must surface their SEED rows unchanged, and — the pruning proof
+    // a result hash alone cannot give — its PHYSICAL FILES must ride
+    // through all seven commits by manifest reference, asserted
+    // in-query on file identity.
+    Q("stream_cdc_pruned_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_cdcp_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val li = Tables.lineitem(s, dir)
+        val mx = li.groupBy(col("l_orderkey")).agg(max("l_linenumber").as("__mx"))
+        // same feed as stream_cdc_final (versions = line numbers, every
+        // 7th key's last change is a delete), plus the partition bucket
+        val feed = li.join(mx, Seq("l_orderkey"))
+          .select((col("l_orderkey") % 8).cast(IntegerType).as("kb"),
+            col("l_orderkey").as("k"),
+            (col("l_linenumber").cast(LongType) * 10000000L +
+              expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("seq"),
+            when(col("l_orderkey") % 7 === 0 && col("l_linenumber") === col("__mx"),
+              lit("d")).otherwise(lit("u")).as("op"),
+            col("l_quantity").as("qty"),
+            col("l_linenumber").as("__v"))
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        // seed = each key's version-1 row (synthetic lineitem repeats
+        // (orderkey, linenumber) pairs; ties collapse by the same
+        // cents-sequence the feed orders by)
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy("kb", "k").orderBy(col("seq").desc)
+        val seed = feed.filter(col("__v") === 1)
+          .withColumn("__rn", row_number().over(w1)).filter(col("__rn") === 1)
+          .select("kb", "k", "qty")
+        st.overwrite(seed, "serve", "orders_cdc", Seq("kb"))
+        val seedFiles5 = st.read("serve", "orders_cdc")
+          .inputFiles.filter(_.contains("kb=5")).toSet
+        // one staged file per bucket (hive dir per kb, one file each);
+        // bucket 5 withheld. Batch ORDER is immaterial here — batches
+        // are key-disjoint — so no mtime pinning is needed.
+        val staged = s"$base/in"
+        feed.filter(col("kb") =!= 5).drop("__v")
+          .repartition(col("kb")).write.partitionBy("kb").parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          StreamOps.cdcApplyPrunedSink(stream, st, "serve", "orders_cdc",
+            keys = Seq("kb", "k"), seqCol = "seq", opCol = "op",
+            partitionBy = Seq("kb"),
+            checkpoint = s"$base/ckpt").awaitTermination()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        val result = st.read("serve", "orders_cdc")
+        val finalFiles5 = result.inputFiles.filter(_.contains("kb=5")).toSet
+        require(finalFiles5 == seedFiles5,
+          s"cdc pruning: untouched partition kb=5 must keep its seed files by " +
+            s"reference (seed=${seedFiles5.size}, final=${finalFiles5.size})")
+        result.select("k", "qty").orderBy("k")
+      },
+      Some("""SELECT k, qty FROM (
+             |  SELECT l_orderkey AS k, l_quantity AS qty,
+             |         row_number() OVER (PARTITION BY l_orderkey
+             |           ORDER BY l_linenumber DESC,
+             |             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) DESC) AS rn
+             |  FROM lineitem)
+             |WHERE rn = 1 AND k % 7 <> 0 AND k % 8 <> 5
+             |UNION ALL
+             |SELECT k, qty FROM (
+             |  SELECT l_orderkey AS k, l_quantity AS qty,
+             |         row_number() OVER (PARTITION BY l_orderkey
+             |           ORDER BY CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) DESC) AS rn
+             |  FROM lineitem WHERE l_linenumber = 1)
+             |WHERE rn = 1 AND k % 8 = 5
+             |ORDER BY k""".stripMargin)),
+
     // Streaming SESSION WINDOWS, oracle-hashed end state ([[StreamOps
     // .sessionsStream]]): the event corpus replays as real micro-
     // batches into the state-store-backed `session_window` aggregate —

@@ -431,6 +431,43 @@ object StreamOps {
       .start()
 
   /**
+   * PARTITION-PRUNED streaming CDC apply — [[cdcApplySink]]'s 100 TB
+   * form, for maintained tables whose keys include a partition-
+   * derivable column (`partitionBy ⊆ keys`): the same per-batch churn
+   * collapse (highest sequence per key wins), then
+   * [[SnapshotStore.cdcApplyPartitions]] applies upserts AND deletes
+   * to only the partitions the batch's keys land in — untouched
+   * partitions' files ride into the new snapshot by manifest
+   * reference, never read or rewritten, and a batch of pure deletes
+   * that empties a partition still drops its files. Batch-id txn tags
+   * make checkpoint replays no-ops (exactly once). Where
+   * [[cdcApplySink]] reads + rewrites the ENTIRE table per micro-batch
+   * (cost = the table), this costs the touched partitions (cost = the
+   * delta) — keep the full-table sink only for non-partitionable keys.
+   */
+  def cdcApplyPrunedSink(changes: DataFrame, st: SnapshotStore, layer: String,
+                         table: String, keys: Seq[String], seqCol: String,
+                         opCol: String, partitionBy: Seq[String],
+                         checkpoint: String,
+                         sinkId: Option[String] = None): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+        val last = batch.toDF()
+          .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+          .drop("__rn")
+        val ups = last.filter(col(opCol) =!= "d").drop(opCol, seqCol)
+        val dels = last.filter(col(opCol) === "d").select(keys.map(col): _*)
+        st.cdcApplyPartitions(ups, dels, layer, table, keys, partitionBy,
+          txnId = Some(txnTag(checkpoint, sinkId, batchId)))
+        ()
+      }
+      .start()
+
+  /**
    * Incremental retention cohorts — the classic "cohort table
    * maintained by upsert". Each micro-batch MERGEs two compact
    * warehouse tables instead of re-scanning the event history:

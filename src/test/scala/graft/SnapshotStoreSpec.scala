@@ -114,6 +114,47 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(st2.read("gold", "t").count() == 1)
   }
 
+  test("cdcApplyPartitions: pruned upsert+delete, emptied partition drops files") {
+    val st = newStore("cdcp")
+    st.overwrite(
+      Seq((1L, "keep", 2024), (2L, "old", 2025), (3L, "bye", 2026), (4L, "bye2", 2026))
+        .toDF("id", "v", "year"),
+      "gold", "t", Seq("year"))
+    val filesV1 = st.read("gold", "t").inputFiles.toSet
+    // one batch: upsert id=2 + insert id=5 (year=2025), delete BOTH
+    // 2026 rows — 2026 is emptied, so its files must leave the
+    // manifest even though the merged frame writes nothing there
+    st.cdcApplyPartitions(
+      ups = Seq((2L, "new", 2025), (5L, "born", 2025)).toDF("id", "v", "year"),
+      delKeys = Seq((3L, 2026), (4L, 2026)).toDF("id", "year"),
+      "gold", "t", keys = Seq("id", "year"), partitionBy = Seq("year"),
+      txnId = Some("b-0"))
+    val out = st.read("gold", "t")
+    assert(out.orderBy("id").select("id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "keep"), (2L, "new"), (5L, "born")))
+    val files = out.inputFiles.toSet
+    assert(!files.exists(_.contains("year=2026")), s"emptied partition files remain: $files")
+    // the untouched 2024 partition rides through by physical reference
+    val shared = filesV1.intersect(files)
+    assert(shared.nonEmpty && shared.forall(_.contains("year=2024")), s"shared: $shared")
+    // checkpoint replay of the same txn is a no-op
+    val snapBefore = st.snapshots("gold", "t").last
+    st.cdcApplyPartitions(
+      ups = Seq((9L, "evil", 2025)).toDF("id", "v", "year"),
+      delKeys = Seq.empty[(Long, Int)].toDF("id", "year"),
+      "gold", "t", keys = Seq("id", "year"), partitionBy = Seq("year"),
+      txnId = Some("b-0"))
+    assert(st.snapshots("gold", "t").last == snapBefore)
+    assert(st.read("gold", "t").count() == 3)
+    // partition columns outside the keys are refused
+    intercept[IllegalArgumentException] {
+      st.cdcApplyPartitions(
+        Seq((9L, "x", 2025)).toDF("id", "v", "year"),
+        Seq((9L, 2025)).toDF("id", "year"),
+        "gold", "t", keys = Seq("id"), partitionBy = Seq("year"))
+    }
+  }
+
   test("countRows answers COUNT(*) from manifest metadata alone") {
     val st = new SnapshotStore(spark,
       java.nio.file.Files.createTempDirectory("graft_ss_cnt").toString,
