@@ -5291,6 +5291,41 @@ object ExtQueries {
               |SELECT node, MIN(r) AS component FROM reach
               |GROUP BY node ORDER BY node""".stripMargin)),
 
+    // Connected components on CHAIN-SHAPED graphs
+    // ([[Dedup.connectedComponentsStar]] — alternating large-star/
+    // small-star contraction, O(log n) rounds): the fixture is the
+    // shape min-label propagation provably cannot close — consecutive
+    // order keys chained within 1000-key chunks, i.e. 1000-node PATHS
+    // (diameter 999, vs min-label's default 10-20 rounds) — standing
+    // in for URL-canonicalization chains and citation paths. The
+    // oracle needs no recursion: components of a sorted-adjacency
+    // chain are gaps-and-islands runs, exact integer labels.
+    Q("gr_components_star",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("chunk").orderBy("k")
+        val edges = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"),
+            expr("o_orderkey div 1000").as("chunk"))
+          .withColumn("nk", lead(col("k"), 1).over(w))
+          .filter(col("nk").isNotNull && col("nk") - col("k") <= 25)
+          .select(col("k").as("id_a"), col("nk").as("id_b"))
+        Dedup.connectedComponentsStar(edges)
+          .select(col("id").as("node"), col("component"))
+          .orderBy("node")
+      },
+      Some("""WITH s AS (SELECT o_orderkey AS k, o_orderkey // 1000 AS chunk FROM orders),
+             |g AS (SELECT k, chunk,
+             |        CASE WHEN k - lag(k) OVER (PARTITION BY chunk ORDER BY k) <= 25
+             |             THEN 0 ELSE 1 END AS brk
+             |      FROM s),
+             |i AS (SELECT k, chunk, SUM(brk) OVER (PARTITION BY chunk ORDER BY k) AS isl FROM g),
+             |c AS (SELECT k, MIN(k) OVER (PARTITION BY chunk, isl) AS component,
+             |        COUNT(*) OVER (PARTITION BY chunk, isl) AS sz
+             |      FROM i)
+             |SELECT k AS node, component FROM c WHERE sz >= 2
+             |ORDER BY node""".stripMargin)),
+
     // Label-propagation communities ([[Graph.labelPropagation]], 2
     // synchronous rounds): each node adopts its neighbors' most
     // frequent label, ties to the smaller — exact integer labels, so

@@ -256,6 +256,36 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(chain, maxIter = 1).collect())
   }
 
+  test("connectedComponentsStar: 50-node path closes in O(log n) where min-label cannot") {
+    import spark.implicits._
+    // a 50-node PATH has diameter 49: min-label needs 49 rounds and
+    // provably cannot converge in its default 10 — star contraction
+    // must close it inside ITS default (≈ log₂ 50 alternations)
+    val path = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException](
+      Dedup.connectedComponents(path).collect()) // default maxIter = 10
+    val star = Dedup.connectedComponentsStar(path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == (1L to 50L).map(_ -> 1L).toMap)
+    // mixed shapes in one edge set: a clique {100..104}, a chain
+    // {200..230}, a star {300; 301..309}, reversed/duplicated edges,
+    // self-loops — labels must equal min-label's (run with enough
+    // rounds) on every node
+    val clique = for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (b, a)
+    val chain = (200L until 230L).map(i => (i + 1, i))
+    val hub = (301L to 309L).map(i => (i, 300L))
+    val edges = (clique ++ chain ++ hub ++ Seq((100L, 100L), (104L, 100L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsStar(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ref = Dedup.connectedComponents(edges, maxIter = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == ref, s"star vs min-label: ${got.toSeq.sorted.diff(ref.toSeq.sorted)}")
+    // an edge set of only self-loops has no components to report
+    assert(Dedup.connectedComponentsStar(
+      Seq((7L, 7L)).toDF("id_a", "id_b")).count() == 0)
+  }
+
   test("native simhash sketch is bit-identical to the aggregate formulation") {
     import spark.implicits._
     val docs = corpus.unionByName(Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text"))
