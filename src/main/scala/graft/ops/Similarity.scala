@@ -1092,12 +1092,15 @@ object Similarity {
    *
    * Deterministic: the first center is the minimum id; each round
    * picks the point maximizing min-distance-to-selected, ties to the
-   * smaller id; distances ride the bit-portable fold with the
-   * selected vectors inlined as broadcast literals — the mmrSelect
-   * driver-round shape, so the oracle unrolls the same k rounds with
-   * scalar MIN subqueries. Like MMR, the greedy recursion is
-   * SEQUENTIAL BY DEFINITION: k driver-coordinated rounds, each one
-   * corpus scan + a single-row collect (the watermark-read pattern).
+   * smaller id; distances ride the bit-portable fold with the new
+   * center's vector inlined as broadcast literals. The greedy
+   * recursion is SEQUENTIAL BY DEFINITION: k driver-coordinated
+   * rounds, each one scan + a single-row collect (the watermark-read
+   * pattern) — but each point carries a RUNNING min-distance column
+   * updated against only the newest center per round (min is exact,
+   * so the values equal the recompute-everything form the oracle
+   * unrolls), making the total work O(k·N) with constant-size
+   * per-round plans instead of O(k²·N) with k-growing ones.
    * For large k at 100 TB, pre-sample (hash sample or per-cell
    * representatives) and run k-center on the sample — the standard
    * two-stage coreset.
@@ -1113,21 +1116,31 @@ object Similarity {
       val first = base.orderBy("__id").limit(1).collect().head
       var picked = Vector[(Long, Seq[Float], Option[Double])](
         (first.getLong(0), first.getSeq[Float](1), None))
+      // RUNNING min-distance state: each point carries its min distSq
+      // to the picked set, updated with ONE new-center distance per
+      // pick (min is exact — no FP reassociation — so the values, the
+      // greedy sequence, and the unrolled oracle are identical to the
+      // recompute-against-all-picked form this replaces, which was
+      // O(k²·N) with a per-round plan growing in k: a least() chain of
+      // k distance folds plus a k-literal isInCollection). Each round
+      // is localCheckpoint'd: constant-size plans, O(k·N) total work.
+      var state = base.filter(col("__id") =!= first.getLong(0))
+        .select(col("__id"), col("__vec"),
+          distSqFold(col("__vec"),
+            array(first.getSeq[Float](1).map(x => lit(x)): _*)).as("__d"))
+        .localCheckpoint()
       while (picked.size < k) {
-        val dists = picked.map { case (_, v, _) =>
-          distSqFold(col("__vec"), array(v.map(x => lit(x)): _*))
-        }
-        val minD = if (dists.size == 1) dists.head else least(dists: _*)
-        val next = base.filter(!col("__id").isInCollection(picked.map(_._1)))
-          .select(col("__id"), col("__vec"), minD.as("__d"))
-          .orderBy(col("__d").desc, col("__id")).limit(1).collect()
-        if (next.isEmpty) picked = picked ++ Vector.empty // corpus exhausted
-        else {
-          val r = next.head
-          picked :+= ((r.getLong(0), r.getSeq[Float](1),
-            Some(math.sqrt(r.getDouble(2)))))
-        }
-        if (next.isEmpty) return toOut(spark, picked, idCol)
+        val next = state.orderBy(col("__d").desc, col("__id")).limit(1).collect()
+        if (next.isEmpty) return toOut(spark, picked, idCol) // corpus exhausted
+        val r = next.head
+        val cVec = r.getSeq[Float](1)
+        picked :+= ((r.getLong(0), cVec, Some(math.sqrt(r.getDouble(2)))))
+        if (picked.size < k)
+          state = state.filter(col("__id") =!= r.getLong(0))
+            .select(col("__id"), col("__vec"),
+              least(col("__d"),
+                distSqFold(col("__vec"), array(cVec.map(x => lit(x)): _*))).as("__d"))
+            .localCheckpoint()
       }
       toOut(spark, picked, idCol)
     } finally { base.unpersist(); () }

@@ -555,6 +555,49 @@ class SimilaritySpec extends SparkSpec {
     assert(radii.take(2).forall(_ > 90.0) && radii.drop(2).forall(_ < 2.0))
   }
 
+  test("kCenterSelect: running-min state matches the exact driver-side greedy at k=20") {
+    import spark.implicits._
+    // the O(k·N) running-min refactor must reproduce the
+    // recompute-against-all-picked greedy EXACTLY (min is exact in FP,
+    // so sequence, ids, and radii are bit-identical) — pinned against
+    // a driver-side reference on a deterministic pseudo-random cloud.
+    // Per-round plans are constant-size by construction (each round is
+    // a localCheckpoint'd scan + ONE new-center distance fold, not a
+    // k-term least() chain over a k-literal isInCollection filter).
+    val pts = (0 until 100).map { i =>
+      val h = (i * 2654435761L) & 0xffffL
+      (i.toLong, Array(((h % 251).toFloat - 125f) / 10f,
+        (((h / 251) % 251).toFloat - 125f) / 10f))
+    }
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) {
+        val d = a(j).toDouble - b(j).toDouble; s += d * d; j += 1
+      }
+      s
+    }
+    // reference greedy: start at min id, pick argmax of min-dist² with
+    // ties to the smaller id, radius = sqrt of the pick's min-dist²
+    var picked = Vector(0L)
+    var refRadii = Vector.empty[Double]
+    while (picked.size < 20) {
+      val cand = pts.filterNot(p => picked.contains(p._1))
+        .map { case (id, v) =>
+          (id, picked.map(pid => d2(pts(pid.toInt)._2, v)).min)
+        }
+      val best = cand.minBy { case (id, d) => (-d, id) }
+      picked :+= best._1
+      refRadii :+= math.sqrt(best._2)
+    }
+    val out = Similarity.kCenterSelect(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 20)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toVector == picked,
+      s"greedy sequence diverged: ${out.map(_.getLong(1)).toVector} vs $picked")
+    assert(out.drop(1).map(_.getDouble(2)).toVector == refRadii,
+      "radii must be bit-identical to the exact reference")
+  }
+
   test("rangeSearch: cell assignment is a min_by aggregate — no WindowExec in the plan") {
     import spark.implicits._
     // the r13 shape row_number()'d the k-expanded emb×centroids frame —
