@@ -548,30 +548,37 @@ object Dedup {
     var iter = 0
     var done = e.isEmpty // an empty edge set is already converged
     while (!done && iter < maxIter) {
-      // large-star: symmetrize to see each node's FULL neighborhood
+      // Each phase is ONE unbounded-min window over the grouping node
+      // (neighborhoods are per-node partitions — tiny next to the edge
+      // set, so the window sort is trivial) instead of an aggregate +
+      // self-join pair: 3 exchanges per alternation, not 5, and the
+      // only dedup is the single distinct at ss. The per-round wall at
+      // bench scale is exchange count × fixed latency, and the round
+      // count (~log n) is the algorithm's whole point.
+      // large-star: symmetrize to see each node's FULL neighborhood;
+      // every neighbor v > center hangs off min(Γ(center) ∪ {center})
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-      val nMin = sym.groupBy("u").agg(min("v").as("mn"))
-      val ls = sym.join(nMin, "u")
+      val ls = sym.withColumn("mn", min(col("v")).over(wU))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-        .distinct()
       // small-star: edges already point big→small; hang each node and
       // all its smaller neighbors off the smallest of them
-      val sMin = ls.groupBy("u").agg(min("v").as("mm"))
-      val ss = ls.join(sMin, "u")
-        .select(col("v").as("w"), col("mm"))
-        .unionByName(sMin.select(col("u").as("w"), col("mm")))
+      val ss = ls.withColumn("mm", min(col("v")).over(wU))
+        .select(explode(array(col("v"), col("u"))).as("w"), col("mm"))
         .filter(col("w") =!= col("mm"))
         .select(col("w").as("u"), col("mm").as("v"))
         .distinct()
         .localCheckpoint()
-      // exact star-forest test: no child with two roots, no root that
-      // is also a child — both one cheap aggregate over the edge table
-      val multiRoot = ss.groupBy("u").agg(countDistinct("v").as("d"))
-        .filter(col("d") > 1).limit(1).count()
-      val rootIsChild = ss.select(col("v"))
-        .intersect(ss.select(col("u").as("v"))).limit(1).count()
-      done = multiRoot == 0 && rootIsChild == 0
+      // exact star-forest test, ONE job: a child with two roots (rows
+      // are distinct pairs, so count(1) per child counts roots) or a
+      // root that is also a child breaks the star property
+      val children = ss.groupBy("u").agg(count(lit(1)).as("d"))
+      val bad = children.filter(col("d") > 1).select(col("u"))
+        .unionByName(ss.select(col("v").as("u"))
+          .join(children, Seq("u"), "left_semi"))
+        .limit(1).count()
+      done = bad == 0
       e = ss
       iter += 1
     }

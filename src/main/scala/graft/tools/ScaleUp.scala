@@ -19,8 +19,14 @@ import org.apache.spark.sql.functions._
  *    destroys the shingle sets while preserving token/length/quality
  *    statistics, so dedup/BM25/quality costs scale the way corpus
  *    GROWTH scales, not the way corpus COPYING would.
- *  - `embeddings`: ids offset, vectors kept — k-means/IVF/PQ training
- *    sees the same distribution at N× the mass (noted in SCALING.md).
+ *  - `embeddings`: ids offset AND every replica vector perturbed by
+ *    deterministic per-(id, component) jitter of amplitude 0.15σ
+ *    (σ = the corpus's own component stddev, measured once) — a
+ *    verbatim copy left the sf1 ANN corpus 90% exact duplicates
+ *    (distances degenerate to 0, near-dup pair density blows up
+ *    N×), where the jitter keeps the component distribution's shape
+ *    while giving replicas realistic nonzero distances, so ANN and
+ *    semantic-dedup curves measure corpus GROWTH.
  *  - `lineitem`: order keys offset per replica (key-space grows with
  *    the data, as TPC-H scaling does); dates untouched so partition
  *    layouts deepen rather than widen — the harder incremental case.
@@ -65,8 +71,20 @@ object ScaleUp {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val idCol = emb.columns.find(_.endsWith("_id")).getOrElse(emb.columns.head)
     val embOff = emb.agg(coalesce(max(idCol), lit(0L))).head.getLong(0) + 1
+    val vecCol = emb.schema.fields
+      .find(_.dataType.typeName == "array").map(_.name).getOrElse("embedding")
+    // jitter amplitude from the corpus itself: 0.15 × component stddev
+    val sigma = emb.select(explode(col(vecCol)).as("x"))
+      .agg(stddev_pop(col("x"))).head.getDouble(0)
+    val amp = 0.15 * sigma
     val embN = replicate(emb, { (d, i) =>
-      if (i == 0) d else d.withColumn(idCol, col(idCol) + lit(i * embOff))
+      if (i == 0) d
+      else d.withColumn(idCol, col(idCol) + lit(i * embOff))
+        // per-(new id, component) hash → uniform in [-amp, amp];
+        // md5-derived like every other determinism anchor in the repo
+        .withColumn(vecCol, transform(col(vecCol), (x, j) =>
+          (x + lit(amp) * (((xxhash64(col(idCol), j) % 10001L + 10001L) % 10001L)
+            .cast("double") / 5000.0 - 1.0)).cast("float")))
     })
     embN.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 

@@ -186,6 +186,33 @@ class StockOpsSpec extends SparkSpec {
     assert(r2.getAs[Double]("cvar95_bp") == -5000.0, s"mean of two -5000 tails: $r2")
   }
 
+  test("varCvar: tie group straddling an exactly-integral quantile boundary") {
+    // 61 days -> 60 returns, 5%·60 = 3 EXACTLY (k = 3, no ceil slack):
+    // two -5000bp crashes (cum 2), then a TIE GROUP of two -3000bp
+    // drops straddling the k boundary (cum 4 > 3) — the span-overlap
+    // quota must take exactly ONE of them: VaR = -3000 (the value AT
+    // position k), CVaR = (2·(-5000) + 1·(-3000)) / 3. An off-by-one
+    // in the walk (k-1 / k+1, or full-group instead of quota) moves
+    // either number — this is the exact-boundary case the r14 audit
+    // flagged as the mirror family's highest risk.
+    val days = (2 to 28).map(i => f"01-$i%02d") ++ (1 to 28).map(i => f"02-$i%02d") ++
+      (1 to 6).map(i => f"03-$i%02d")
+    assert(days.size == 61)
+    // px path in exact 1e-4 units: 1.0 →(-50%) 0.5 →(-50%) 0.25, flats,
+    // then two separated -30% drops (0.25→0.175→0.1225), flats after —
+    // each drop is exactly -3000bp because (px·10000) divides evenly
+    val px = Seq(1.0, 0.5, 0.25) ++ (1 to 20).map(_ => 0.25) ++
+      Seq(0.175) ++ (1 to 15).map(_ => 0.175) ++
+      Seq(0.1225) ++ (1 to 21).map(_ => 0.1225)
+    assert(px.size == 61)
+    val s = silverOf(days.zip(px).map { case (d, p) => ("T", s"1995-$d", p, 1L) })
+    val r = StockOps.varCvar(s).collect().head
+    assert(r.getAs[Long]("n_days") == 60L)
+    assert(r.getAs[Long]("var95_bp") == -3000L, s"value at position k: $r")
+    assert(r.getAs[Double]("cvar95_bp") == (2.0 * -5000.0 + -3000.0) / 3.0,
+      s"tie at the boundary must contribute its quota only: $r")
+  }
+
   test("smaCross: strict sign flip only, zero-relation days break signals") {
     val days = Seq("01-02", "01-03", "01-04", "01-05", "01-06", "01-09", "01-10")
     val px = Seq(10L, 10L, 10L, 20L, 20L, 1L, 1L)
