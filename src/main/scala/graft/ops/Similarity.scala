@@ -823,43 +823,43 @@ object Similarity {
     * measured 17 min → out-of-temp-disk at 2000 vectors, vs 4.2 s
     * materialized. Results are identical; only evaluation is pinned. */
   def nnDescentCtesSql(k: Int, rounds: Int, bucketsSql: String, initHashes: Int = 2,
-                       srcRel: String = "e"): String = {
+                       srcRel: String = "e", p: String = ""): String = {
     def topK(src: String, out: String) =
       s"""$out AS MATERIALIZED (SELECT src, dst, d2 FROM (
          |  SELECT src, dst, d2,
          |         row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
          |  FROM $src) WHERE rn <= $k)""".stripMargin
     def roundSql(prev: String, r: Int) =
-      s"""adj$r AS MATERIALIZED (SELECT src, dst, MIN(d2) AS d2 FROM (
+      s"""${p}adj$r AS MATERIALIZED (SELECT src, dst, MIN(d2) AS d2 FROM (
          |    SELECT src, dst, d2 FROM $prev
          |    UNION ALL SELECT dst AS src, src AS dst, d2 FROM $prev)
          |  GROUP BY 1, 2),
-         |cand$r AS MATERIALIZED (SELECT DISTINCT x.dst AS src, y.dst AS dst
-         |  FROM adj$r x JOIN adj$r y ON x.src = y.src AND x.dst < y.dst),
-         |candd$r AS MATERIALIZED (SELECT c.src, c.dst, ${distSqSql("ea.vec", "eb.vec")} AS d2
-         |  FROM cand$r c JOIN $srcRel ea ON ea.id = c.src JOIN $srcRel eb ON eb.id = c.dst),
-         |all$r AS MATERIALIZED (SELECT src, dst, MIN(d2) AS d2 FROM (
+         |${p}cand$r AS MATERIALIZED (SELECT DISTINCT x.dst AS src, y.dst AS dst
+         |  FROM ${p}adj$r x JOIN ${p}adj$r y ON x.src = y.src AND x.dst < y.dst),
+         |${p}candd$r AS MATERIALIZED (SELECT c.src, c.dst, ${distSqSql("ea.vec", "eb.vec")} AS d2
+         |  FROM ${p}cand$r c JOIN $srcRel ea ON ea.id = c.src JOIN $srcRel eb ON eb.id = c.dst),
+         |${p}all$r AS MATERIALIZED (SELECT src, dst, MIN(d2) AS d2 FROM (
          |    SELECT src, dst, d2 FROM $prev
-         |    UNION ALL SELECT src, dst, d2 FROM candd$r
-         |    UNION ALL SELECT dst AS src, src AS dst, d2 FROM candd$r)
+         |    UNION ALL SELECT src, dst, d2 FROM ${p}candd$r
+         |    UNION ALL SELECT dst AS src, src AS dst, d2 FROM ${p}candd$r)
          |  GROUP BY 1, 2),
-         |${topK(s"all$r", s"knn$r")}""".stripMargin
-    val roundChain = (1 to rounds).map(r => roundSql(s"knn${r - 1}", r)).mkString(",\n")
+         |${topK(s"${p}all$r", s"${p}knn$r")}""".stripMargin
+    val roundChain = (1 to rounds).map(r => roundSql(s"${p}knn${r - 1}", r)).mkString(",\n")
     val hashCtes = (0 until initHashes).map { h =>
-      s"""b$h AS MATERIALIZED (SELECT id, vec,
+      s"""${p}b$h AS MATERIALIZED (SELECT id, vec,
          |    CAST(('0x' || substr(md5('$h:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT)
          |      % $bucketsSql AS b
          |  FROM $srcRel),
-         |p$h AS MATERIALIZED (SELECT a.id AS src, c.id AS dst,
+         |${p}p$h AS MATERIALIZED (SELECT a.id AS src, c.id AS dst,
          |    ${distSqSql("a.vec", "c.vec")} AS d2
-         |  FROM b$h a JOIN b$h c ON a.b = c.b AND a.id <> c.id)""".stripMargin
+         |  FROM ${p}b$h a JOIN ${p}b$h c ON a.b = c.b AND a.id <> c.id)""".stripMargin
     }.mkString(",\n")
     val unionInit = (0 until initHashes)
-      .map(h => s"SELECT src, dst, d2 FROM p$h").mkString(" UNION ALL ")
+      .map(h => s"SELECT src, dst, d2 FROM ${p}p$h").mkString(" UNION ALL ")
     s"""$hashCtes,
-       |init_pairs AS MATERIALIZED (SELECT src, dst, MIN(d2) AS d2 FROM (
+       |${p}init_pairs AS MATERIALIZED (SELECT src, dst, MIN(d2) AS d2 FROM (
        |    $unionInit) GROUP BY 1, 2),
-       |${topK("init_pairs", "knn0")}${if (rounds > 0) ",\n" + roundChain else ""}""".stripMargin
+       |${topK(s"${p}init_pairs", s"${p}knn0")}${if (rounds > 0) ",\n" + roundChain else ""}""".stripMargin
   }
 
   /** DuckDB mirror of [[nnDescent]] over CTE `e(id, vec)` — the same
@@ -911,9 +911,6 @@ object Similarity {
   def graphSearch(emb: DataFrame, idCol: String, vecCol: String,
                   graph: DataFrame, queryIds: DataFrame,
                   beam: Int, hops: Int, k: Int, entries: Int = 32): DataFrame = {
-    require(beam >= 1 && beam <= 256, s"graphSearch: beam in [1, 256], got $beam")
-    require(hops >= 1 && hops <= 8, s"graphSearch: hops in [1, 8], got $hops")
-    require(k >= 1 && k <= beam, s"graphSearch: k in [1, beam], got $k")
     require(entries >= 1, s"graphSearch: entries must be >= 1, got $entries")
     val e = emb.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .localCheckpoint()
@@ -921,6 +918,35 @@ object Similarity {
       .unionByName(graph.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     val qs = queryIds.select(col(idCol).cast(LongType).as("q"))
+    // hash-ordered top-E: the same E entry nodes on any layout/engine
+    // (the randomWalks md5‖padded-id key: total order even on an md5
+    // collision); a global sort-limit over the node table — top-E per
+    // partition then merge, never a full sort at scale
+    val entrySet = hashMinNodes(g.select(col("src").as("id")).distinct(), entries)
+    searchFrom(e, g, qs.crossJoin(broadcast(entrySet)), beam, hops, k)
+  }
+
+  /** The E nodes of `ids(id)` with the smallest md5‖padded-id keys —
+    * the bounded deterministic entry sample shared by [[graphSearch]]
+    * and the [[hnswSearch]] per-layer fallback. Returns (node). */
+  private def hashMinNodes(ids: DataFrame, entries: Int): DataFrame =
+    ids.select(col("id").as("node"),
+        concat(md5(concat(lit("e:"), col("id").cast("string"))),
+          lpad(col("id").cast("string"), 20, "0")).as("__ek"))
+      .orderBy("__ek").limit(entries)
+      .select("node")
+
+  /** Beam-search core over symmetrized edges `g(src, dst)` from an
+    * explicit per-query seed frame `seeds(q, node)` — the shared body
+    * of [[graphSearch]] (seeds = queries × hash-min entries) and
+    * [[hnswSearch]] (seeds = the layer above's results). Returns
+    * `(query_id, rank, item_id, dist)`, self excluded, top-k by
+    * (d², id). */
+  private def searchFrom(e: DataFrame, g: DataFrame, seeds: DataFrame,
+                         beam: Int, hops: Int, k: Int): DataFrame = {
+    require(beam >= 1 && beam <= 256, s"searchFrom: beam in [1, 256], got $beam")
+    require(hops >= 1 && hops <= 8, s"searchFrom: hops in [1, 8], got $hops")
+    require(k >= 1 && k <= beam, s"searchFrom: k in [1, beam], got $k")
     def score(pairs: DataFrame): DataFrame = pairs
       .join(e.select(col("id").as("q"), col("vec").as("__qv")), "q")
       .join(e.select(col("id").as("node"), col("vec").as("__nv")), "node")
@@ -930,17 +956,10 @@ object Similarity {
       .agg(Ranking.topKBy(-col("d2"), col("node"), beam).as("__t"))
       .select(col("q"), explode(col("__t")).as("__s"))
       .select(col("q"), col("__s.id").as("node"), (-col("__s.score")).as("d2"))
-    // hash-ordered top-E: the same E entry nodes on any layout/engine
-    // (the randomWalks md5‖padded-id key: total order even on an md5
-    // collision); a global sort-limit over the node table — top-E per
-    // partition then merge, never a full sort at scale
-    val entrySet = g.select(col("src").as("id")).distinct()
-      .select(col("id").as("node"),
-        concat(md5(concat(lit("e:"), col("id").cast("string"))),
-          lpad(col("id").cast("string"), 20, "0")).as("__ek"))
-      .orderBy("__ek").limit(entries)
-      .select("node")
-    var frontier = topBeam(score(qs.crossJoin(broadcast(entrySet)))).localCheckpoint()
+    // seed dedup: fallback ∪ carried entries may overlap, and a
+    // duplicate (q, node) row would occupy two beam slots
+    var frontier = topBeam(score(seeds.select(col("q"), col("node")).distinct()))
+      .localCheckpoint()
     for (_ <- 1 to hops) {
       val expanded = frontier.select(col("q"), col("node"))
         .join(g.withColumnRenamed("src", "node"), "node")
@@ -957,6 +976,107 @@ object Similarity {
         col("col.id").as("item_id"), sqrt(-col("col.score")).as("dist"))
   }
 
+  /** Deterministic HNSW layer level for a node id: the largest
+    * l ≤ maxLevel with h % 4^l == 0, h = the node's md5-derived 32-bit
+    * key — the geometric (p = 1/4) layer assignment HNSW draws from
+    * exp(−ln U · mL), made reproducible (same id → same level on any
+    * engine/layout, so the oracle mirrors it with the identical CASE). */
+  def hnswLevelExpr(id: Column, maxLevel: Int): Column = {
+    val h = conv(substring(md5(concat(lit("hl:"), id.cast("string"))), 1, 8),
+      16, 10).cast(LongType)
+    // fold LOW level first so the HIGHEST passing modulus wins the
+    // outermost when() — h % 16 == 0 implies h % 4 == 0, so the other
+    // order would cap every node at level 1
+    (1 to maxLevel).foldLeft(lit(0)) { (acc, l) =>
+      when(h % lit(math.pow(4, l).toLong) === 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /**
+   * HNSW INDEX BUILD (Malkov & Yashunin '16, re-expressed declaratively):
+   * a hierarchy of k-NN graphs where layer l contains the nodes with
+   * [[hnswLevelExpr]] level ≥ l (geometric: each layer ~1/4 the one
+   * below), each layer's edges built by [[nnDescent]] over just its
+   * members. The hierarchy is what [[graphSearch]]'s flat beam lacks:
+   * a top layer of ~N/4^L nodes gives every query a LONG-RANGE entry
+   * path, so the layer-0 walk starts near the answer instead of at
+   * corpus-global entry points — the property that keeps hop counts
+   * flat as N grows.
+   *
+   * Scale shape: layer sizes are geometric, so the total build is
+   * ≤ 4/3 of the layer-0 [[nnDescent]] build; each layer is the same
+   * bucketed, never-all-pairs construction. Returns
+   * `(layer, vec_id, rank, nbr_id, dist)` — one k-NN table per layer.
+   */
+  def hnswBuild(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, rounds: Int, maxLevel: Int,
+                bucketsFor: Long => Int): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 6, s"hnswBuild: maxLevel in [1, 6], got $maxLevel")
+    val lv = emb.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"),
+        hnswLevelExpr(col(idCol).cast(LongType), maxLevel).as("lvl"))
+      .localCheckpoint()
+    (0 to maxLevel).map { l =>
+      val layer = lv.filter(col("lvl") >= l).select(col("id"), col("vec"))
+      val n = layer.count()
+      nnDescent(layer, "id", "vec", k, rounds, buckets = bucketsFor(n))
+        .select(lit(l).as("layer"), col("id").as(idCol), col("rank"),
+          col("nbr_id"), col("dist"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * HNSW LAYERED SEARCH over a [[hnswBuild]] index: start at the top
+   * layer, beam-walk each layer's graph, and carry each query's
+   * `carry` best nodes down as the next layer's entries; the layer-0
+   * walk runs at full `beam`/`k`. Every layer's entry set ALSO unions
+   * the layer's own `fallback` hash-min nodes, so a sparse top layer
+   * (or an empty layer graph on a tiny corpus) degrades to scored
+   * entries instead of an empty descent — the bounded-entry discipline
+   * graphSearch uses globally, here applied per layer. All selections
+   * order by (d², id); the oracle unrolls the same layers.
+   *
+   * Scale shape: per layer one seed scoring + `hops` bounded
+   * expansions; upper layers are geometrically small, so the search
+   * cost is the layer-0 walk plus a vanishing tail — while the carried
+   * entries localize that walk (the flat form's global entries are the
+   * recall risk at large N, SCALING.md graph family).
+   */
+  def hnswSearch(emb: DataFrame, idCol: String, vecCol: String,
+                 layered: DataFrame, queryIds: DataFrame,
+                 beam: Int, hops: Int, k: Int, maxLevel: Int,
+                 descentBeam: Int = 4, carry: Int = 2,
+                 fallback: Int = 2): DataFrame = {
+    require(carry >= 1 && carry <= descentBeam,
+      s"hnswSearch: carry in [1, descentBeam], got $carry")
+    val e = emb.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
+      .localCheckpoint()
+    val lv = e.select(col("id"),
+      hnswLevelExpr(col("id"), maxLevel).as("lvl"))
+    val qs = queryIds.select(col(idCol).cast(LongType).as("q"))
+    var carried: DataFrame = null
+    var out: DataFrame = null
+    for (l <- maxLevel to 0 by -1) {
+      val g = layered.filter(col("layer") === l)
+        .select(col(idCol).cast(LongType).as("src"), col("nbr_id").as("dst"))
+      val gSym = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      val fb = hashMinNodes(lv.filter(col("lvl") >= l).select("id"), fallback)
+      val seeds = {
+        val base = qs.crossJoin(broadcast(fb))
+        if (carried == null) base else base.unionByName(carried)
+      }
+      val found = searchFrom(e, gSym,
+        seeds,
+        beam = if (l == 0) beam else descentBeam,
+        hops = hops,
+        k = if (l == 0) k else carry)
+      if (l == 0) out = found
+      else carried = found.select(col("query_id").as("q"), col("item_id").as("node"))
+        .localCheckpoint()
+    }
+    out
+  }
+
   /** The CTE chain of [[graphSearchSql]] up to the final beam table
     * `s<hops>` plus the ranked answer CTE `found(q, rn, node, d2)`
     * (top-`k`, self excluded) — a `WITH`-clause fragment expecting
@@ -966,7 +1086,8 @@ object Similarity {
     * [[nnDescentCtesSql]]. */
   def graphSearchCtesSql(beam: Int, hops: Int, k: Int, entries: Int = 32,
                          p: String = "", eRel: String = "e",
-                         knnRel: String = "knn", qRel: String = "queries"): String = {
+                         knnRel: String = "knn", qRel: String = "queries",
+                         seedRel: Option[String] = None): String = {
     def topBeam(src: String, out: String) =
       s"""$out AS MATERIALIZED (SELECT q, node, d2 FROM (
          |  SELECT q, node, d2,
@@ -980,15 +1101,26 @@ object Similarity {
          |  FROM ${p}x$r x JOIN $eRel eq ON eq.id = x.q JOIN $eRel en ON en.id = x.node),
          |${topBeam(s"${p}d$r", s"${p}s$r")}""".stripMargin
     val hopChain = (1 to hops).map(r => hop(s"${p}s${r - 1}", r)).mkString(",\n")
+    // seedRel(q, node), when given, replaces the global hash-min entry
+    // construction — the HNSW descent shape, where a layer's entries
+    // are the previous layer's results
+    val seed = seedRel match {
+      case Some(sr) =>
+        s"""${p}d0 AS MATERIALIZED (SELECT s.q, s.node, ${distSqSql("eq.vec", "en.vec")} AS d2
+           |  FROM $sr s
+           |  JOIN $eRel eq ON eq.id = s.q JOIN $eRel en ON en.id = s.node)""".stripMargin
+      case None =>
+        s"""${p}ent AS MATERIALIZED (SELECT node FROM (
+           |    SELECT node, md5('e:' || CAST(node AS VARCHAR)) || lpad(CAST(node AS VARCHAR), 20, '0') AS ek
+           |    FROM (SELECT DISTINCT src AS node FROM ${p}sg))
+           |  ORDER BY ek LIMIT $entries),
+           |${p}d0 AS MATERIALIZED (SELECT q.q, ent.node, ${distSqSql("eq.vec", "en.vec")} AS d2
+           |  FROM $qRel q CROSS JOIN ${p}ent ent
+           |  JOIN $eRel eq ON eq.id = q.q JOIN $eRel en ON en.id = ent.node)""".stripMargin
+    }
     s"""${p}sg AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |    SELECT src, dst FROM $knnRel UNION ALL SELECT dst AS src, src AS dst FROM $knnRel)),
-       |${p}ent AS MATERIALIZED (SELECT node FROM (
-       |    SELECT node, md5('e:' || CAST(node AS VARCHAR)) || lpad(CAST(node AS VARCHAR), 20, '0') AS ek
-       |    FROM (SELECT DISTINCT src AS node FROM ${p}sg))
-       |  ORDER BY ek LIMIT $entries),
-       |${p}d0 AS MATERIALIZED (SELECT q.q, ent.node, ${distSqSql("eq.vec", "en.vec")} AS d2
-       |  FROM $qRel q CROSS JOIN ${p}ent ent
-       |  JOIN $eRel eq ON eq.id = q.q JOIN $eRel en ON en.id = ent.node),
+       |$seed,
        |${topBeam(s"${p}d0", s"${p}s0")},
        |$hopChain,
        |${p}found AS MATERIALIZED (SELECT q, rn, node, d2

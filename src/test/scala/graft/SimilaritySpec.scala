@@ -497,6 +497,44 @@ class SimilaritySpec extends SparkSpec {
     assert(got.length == 9, "exactly k results per query")
   }
 
+  test("hnswBuild/hnswSearch: nested layers, geometric levels, clustered recall") {
+    import spark.implicits._
+    val pts = for (c <- 0 until 4; i <- 0 until 16) yield
+      ((c * 16 + i).toLong, Array((c * 50 + i * 0.1).toFloat, (c * 50 - i * 0.1).toFloat))
+    val emb = pts.toDF("vec_id", "embedding")
+    // levels are md5-deterministic, bounded, and geometric-ish
+    val lvls = emb.select(col("vec_id"),
+        Similarity.hnswLevelExpr(col("vec_id"), 2).as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lvls.values.forall(l => l >= 0 && l <= 2))
+    assert(lvls.values.count(_ >= 1) < lvls.size,
+      "level 0 must hold the majority (p = 1/4 per level)")
+    val layered = Similarity.hnswBuild(emb, "vec_id", "embedding",
+      k = 4, rounds = 2, maxLevel = 2, bucketsFor = _ => 4)
+    // layer graphs only contain members of that level set, which nest
+    val srcs = (0 to 2).map(l => layered.filter(col("layer") === l)
+      .select("vec_id").distinct().as[Long].collect().toSet)
+    assert(srcs(2).subsetOf(srcs(1)) && srcs(1).subsetOf(srcs(0)), "layers must nest")
+    assert(srcs(2) == lvls.filter(_._2 >= 2).keySet.filter(srcs(2).contains) &&
+      srcs(2).forall(id => lvls(id) >= 2), "layer-2 members must have level >= 2")
+    // search: one query per cluster; brute-force truth top-3
+    val queries = Seq(5L, 21L, 37L, 53L).toDF("vec_id")
+    val got = Similarity.hnswSearch(emb, "vec_id", "embedding", layered, queries,
+        beam = 6, hops = 4, k = 3, maxLevel = 2)
+      .select("query_id", "item_id").as[(Long, Long)].collect()
+    val brute = Seq(5L, 21L, 37L, 53L).flatMap { q =>
+      val vq = pts.find(_._1 == q).get._2
+      pts.filter(_._1 != q).map { case (b, vb) =>
+        val d = vq.zip(vb).map { case (x, y) =>
+          (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+        (q, b, d)
+      }.sortBy(p => (p._3, p._2)).take(3).map(p => (p._1, p._2))
+    }.toSet
+    val recall = got.toSet.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.85, s"hnsw layered search recall: $recall (got ${got.toSeq})")
+    assert(got.length == 12, "exactly k results per query")
+  }
+
   test("nnDescentInsert: batch insertion finds true neighbors and only improves touched lists") {
     import spark.implicits._
     val pts = for (c <- 0 until 3; i <- 0 until 12) yield
