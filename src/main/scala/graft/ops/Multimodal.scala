@@ -624,6 +624,192 @@ object Multimodal {
     buf.array()
   }
 
+  /** Canonical AVI with a REAL movi payload on top of [[aviBytes]]'s
+    * header: RIFF → LIST hdrl (avih) → LIST movi with one '00db' chunk
+    * per frame of raw 8-bit grayscale (row-major, top-down, odd sizes
+    * padded per RIFF). The synthesis side of the video near-dup path's
+    * tests and oracle — every pixel an analytic function of
+    * (frame, x, y). */
+  def aviBytesMovi(w: Int, h: Int, frames: Int,
+                   pix: (Int, Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && frames > 0, s"aviBytesMovi: bad ($w, $h, $frames)")
+    val avihSize = 56
+    val hdrlSize = 4 + 8 + avihSize
+    val frameSize = w * h
+    val pad = frameSize & 1
+    val moviSize = 4 + frames * (8 + frameSize + pad)
+    val riffSize = 4 + 8 + hdrlSize + 8 + moviSize
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize).put("AVI ".getBytes("US-ASCII"))
+    buf.put("LIST".getBytes("US-ASCII")).putInt(hdrlSize).put("hdrl".getBytes("US-ASCII"))
+    buf.put("avih".getBytes("US-ASCII")).putInt(avihSize)
+    buf.putInt(33333).putInt(0).putInt(0).putInt(0)
+    buf.putInt(frames).putInt(0).putInt(1).putInt(0)
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(moviSize).put("movi".getBytes("US-ASCII"))
+    var f = 0
+    while (f < frames) {
+      buf.put("00db".getBytes("US-ASCII")).putInt(frameSize)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { buf.put((pix(f, x, y) & 0xff).toByte); x += 1 }
+        y += 1
+      }
+      if (pad == 1) buf.put(0.toByte)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Decode an [[aviBytesMovi]]-shaped AVI: dimensions and frame count
+    * from the avih header ([[parseAvi]]'s walk), then the movi LIST's
+    * '00db' chunks as w·h-byte grayscale rasters. None for anything
+    * malformed — a missing movi list, a frame chunk of the wrong size,
+    * or a frame count that disagrees with the header. */
+  def decodeAviFrames(b: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+    parseAvi(b).flatMap { case (nf, w, h) =>
+      def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12
+      var movi = -1
+      var moviEnd = -1
+      while (off + 8 <= b.length && movi < 0) {
+        val id = ascii(off, 4)
+        val size = buf.getInt(off + 4)
+        if (size < 0 || off.toLong + 8 + size > b.length) return None
+        if (id == "LIST" && size >= 4 && ascii(off + 8, 4) == "movi") {
+          movi = off + 12; moviEnd = off + 8 + size
+        }
+        off += 8 + size + (size & 1)
+      }
+      if (movi < 0) return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+      var o = movi
+      while (o + 8 <= moviEnd) {
+        val id = ascii(o, 4)
+        val size = buf.getInt(o + 4)
+        if (size < 0 || o.toLong + 8 + size > moviEnd) return None
+        if (id == "00db") {
+          if (size != w * h) return None
+          val base = o + 8
+          frames += Array.tabulate(w * h)(i => b(base + i) & 0xff)
+        }
+        o += 8 + size + (size & 1)
+      }
+      if (frames.size != nf) None else Some((w, h, frames.toArray))
+    }
+  }
+
+  /** Deterministic AVI corpus WITH frame payloads: id-keyed dims and
+    * frame counts, pixel(f, x, y) = (id + 17f + 7x + 13y) mod 256 —
+    * analytic, so the oracle replays the hash decode-free. */
+  def synthAviPixelCorpus(spark: SparkSession, docs: DataFrame, idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id * 3) % 9).toInt
+      val nf = (4 + id % 5).toInt
+      (id, aviBytesMovi(w, h, nf,
+        (f, x, y) => ((id + 17L * f + 7L * x + 13L * y) % 256).toInt))
+    }.toDF(idCol, "payload")
+  }
+
+  /** Like [[synthAviPixelCorpus]] but emitting RE-ENCODE variants: ids
+    * offset, same dims/frames as the BASE id, every pixel shifted by
+    * `pixShift` before the mod-256 wrap — the brightness-nudged
+    * re-render a video near-dup pass exists to catch (hashes a few
+    * bits away where the bytes differ everywhere). */
+  def synthAviShiftedCorpus(spark: SparkSession, docs: DataFrame, idCol: String,
+                            idOffset: Long, pixShift: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id * 3) % 9).toInt
+      val nf = (4 + id % 5).toInt
+      (id + idOffset, aviBytesMovi(w, h, nf,
+        (f, x, y) => ((id + pixShift + 17L * f + 7L * x + 13L * y) % 256).toInt))
+    }.toDF(idCol, "payload")
+  }
+
+  case class AviFrameHash(doc_id: Long, slot: Int, frame_idx: Int,
+                          b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Per-video SAMPLED-FRAME perceptual hashes: decode the movi
+    * payload once per partition pass, take `maxFrames` evenly-strided
+    * frame slots (slot t reads frame ⌊t·nf/maxFrames⌋ — duplicates
+    * when nf < maxFrames, so every video fills every slot
+    * deterministically), and [[aHashBands]] each sampled raster.
+    * Returns `(doc_id, slot, frame_idx, b0..b3)` — the bounded
+    * per-video sketch (maxFrames × 4 ints) downstream dedup joins on,
+    * the "never ship rasters across the shuffle" discipline. */
+  def aviFrameAHash(spark: SparkSession, docs: DataFrame,
+                    idCol: String, payloadCol: String, maxFrames: Int): DataFrame = {
+    import spark.implicits._
+    require(maxFrames >= 1 && maxFrames <= 64, s"aviFrameAHash: maxFrames=$maxFrames")
+    val enc = org.apache.spark.sql.Encoders.product[AviFrameHash]
+    docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .flatMap { r: Row =>
+        val id = r.getLong(0)
+        val (w, h, frames) = decodeAviFrames(r.getAs[Array[Byte]](1)).getOrElse(
+          throw new IllegalStateException(s"undecodable AVI payload for id $id"))
+        (0 until maxFrames).map { t =>
+          val fi = t * frames.length / maxFrames
+          val b = aHashBands(w, h, frames(fi))
+          AviFrameHash(id, t, fi, b(0), b(1), b(2), b(3))
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /**
+   * VIDEO NEAR-DUP pairs — [[pngAHashPairs]]'s temporal composition:
+   * two videos are near-dups when at least `minMatch` of their
+   * `maxFrames` aligned frame slots hash within Hamming ≤ `maxHamming`.
+   * Candidates come from one banded equi-join on (slot, band index,
+   * band value) — within a slot, any pair ≤ Hamming 3 shares a band
+   * (pigeonhole) — then the exact XOR-popcount runs per candidate
+   * (pair, slot) and a keyed count gates on `minMatch`. Slot alignment
+   * is the re-encode model (same content, same sampling grid); a
+   * clipped/re-cut video needs slot-free matching, which is the same
+   * join minus the slot key at band-collision × maxFrames² cost.
+   * Output: `(id_a, id_b, n_matched)`, id_a < id_b.
+   */
+  def aviNearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+                      payloadCol: String, maxFrames: Int,
+                      maxHamming: Int, minMatch: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"aviNearDupPairs: maxHamming=$maxHamming exceeds the 4-band pigeonhole bound (3)")
+    require(minMatch >= 1 && minMatch <= maxFrames,
+      s"aviNearDupPairs: minMatch in [1, maxFrames], got $minMatch")
+    val hashes = aviFrameAHash(spark, docs, idCol, payloadCol, maxFrames)
+      .localCheckpoint() // the self-join must not re-decode the corpus
+    val bands = hashes.select(col("doc_id"), col("slot"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "slot", "bidx", "bval")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.slot") === col("b.slot") && col("a.bidx") === col("b.bidx") &&
+          col("a.bval") === col("b.bval") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("a.slot").as("slot"))
+      .distinct()
+    val ha = hashes.select(col("doc_id").as("id_a"), col("slot"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = hashes.select(col("doc_id").as("id_b"), col("slot"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ha, Seq("id_a", "slot")).join(hb, Seq("id_b", "slot"))
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+  }
+
   /** Decode one image/video payload: real BMP or AVI parse when the
     * container is recognized, deterministic stub otherwise. */
   /** REAL JPEG header parser — pure JVM marker-segment walk: validates

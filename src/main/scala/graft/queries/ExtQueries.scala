@@ -6873,6 +6873,60 @@ object ExtQueries {
              |SELECT ia AS id_a, ib AS id_b, hamming
              |FROM hj WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin)),
 
+    // VIDEO near-dup by sampled-frame perceptual hashes
+    // ([[Multimodal.aviNearDupPairs]]) — mm_phash_neardup's TEMPORAL
+    // composition, closing the multimodal dedup gap (images only until
+    // now): real AVI payloads (RIFF → hdrl/avih → movi '00db' raw
+    // grayscale frames) decoded per partition, 4 evenly-strided frame
+    // slots aHashed, and two videos pair when ≥3 aligned slots hash
+    // within Hamming ≤ 2 — candidates from one banded equi-join on
+    // (slot, band, value), exact popcounts only on collisions. The
+    // corpus plants brightness-nudged re-renders (+1 gray wrap) of
+    // every 4th video: bytes differ everywhere, hashes a few bits
+    // away. Oracle replays decode-free from the analytic pixel
+    // formula, slot arithmetic included.
+    Q("mm_video_neardup",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        val corpus = Multimodal.synthAviPixelCorpus(s, base, "doc_id")
+          .unionByName(Multimodal.synthAviShiftedCorpus(s,
+            base.filter(col("doc_id") % 4 === 0), "doc_id", 10000L, 1))
+        Multimodal.aviNearDupPairs(s, corpus, "doc_id", "payload",
+            maxFrames = 4, maxHamming = 2, minMatch = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+             |vids AS (SELECT doc_id AS vid, doc_id AS base, 0 AS shift FROM ids
+             |         UNION ALL
+             |         SELECT doc_id + 10000, doc_id, 1 FROM ids WHERE doc_id % 4 = 0),
+             |dims AS (SELECT vid, base, shift,
+             |           8 + base % 9 AS w, 8 + (base * 3) % 9 AS h,
+             |           4 + base % 5 AS nf
+             |         FROM vids),
+             |slots AS (SELECT vid, base, shift, w, h, tt.t AS slot, (tt.t * nf) // 4 AS f
+             |          FROM dims, unnest(range(0, 4)) tt(t)),
+             |samp AS (SELECT vid, slot, jj.j * 8 + ii.i AS k,
+             |           (base + shift + 17 * f + 7 * ((ii.i * w) // 8)
+             |                         + 13 * ((jj.j * h) // 8)) % 256 AS v
+             |         FROM slots, unnest(range(0, 8)) ii(i), unnest(range(0, 8)) jj(j)),
+             |sums AS (SELECT vid, slot, SUM(v) AS s FROM samp GROUP BY 1, 2),
+             |bits AS (SELECT samp.vid, samp.slot, k,
+             |           CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS bit
+             |         FROM samp JOIN sums USING (vid, slot)),
+             |bands AS (SELECT vid, slot, k // 16 AS bidx,
+             |            CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS bval
+             |          FROM bits GROUP BY 1, 2, 3),
+             |hj AS (SELECT a.vid AS ia, b.vid AS ib, a.slot AS slot,
+             |         CAST(SUM(bit_count(xor(a.bval, b.bval))) AS BIGINT) AS hamming
+             |       FROM bands a JOIN bands b
+             |         ON a.slot = b.slot AND a.bidx = b.bidx AND a.vid < b.vid
+             |       GROUP BY 1, 2, 3)
+             |SELECT ia AS id_a, ib AS id_b, CAST(COUNT(*) AS BIGINT) AS n_matched
+             |FROM hj WHERE hamming <= 2
+             |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Lead-lag CROSS-correlation: Pearson between series A (URGENT
     // daily revenue) and series B (HIGH) at every alignment lag in
     // [-3, 3] — the lead/lag detector behind "does A predict B".

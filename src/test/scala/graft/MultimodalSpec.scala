@@ -148,6 +148,52 @@ class MultimodalSpec extends SparkSpec {
     assert(m == Multimodal.fakeDecode(5L, truncated))
   }
 
+  test("decodeAviFrames round-trips movi payloads; malformed frames fail") {
+    def pix(f: Int, x: Int, y: Int) = (f * 50 + x * 3 + y * 7) % 256
+    val b = Multimodal.aviBytesMovi(9, 5, 3, pix) // odd frame size -> RIFF pad
+    val (w, h, frames) = Multimodal.decodeAviFrames(b).get
+    assert(w == 9 && h == 5 && frames.length == 3)
+    for (f <- 0 until 3; y <- 0 until 5; x <- 0 until 9)
+      assert(frames(f)(y * 9 + x) == pix(f, x, y), s"pixel ($f,$x,$y)")
+    // header-only AVI (no movi) and frame-count mismatch both fail
+    assert(Multimodal.decodeAviFrames(Multimodal.aviBytes(3, 9, 5)).isEmpty)
+    val lying = Multimodal.aviBytesMovi(9, 5, 2, pix)
+    // patch the avih totalFrames to disagree with the movi chunk count
+    val buf = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(32 + 16, 7) // avih data starts at 32; totalFrames at +16
+    assert(Multimodal.decodeAviFrames(lying).isEmpty)
+  }
+
+  test("aviNearDupPairs: planted re-renders pair with their source, slot quota holds") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+    val corpus = Multimodal.synthAviPixelCorpus(spark, base, "doc_id")
+      .unionByName(Multimodal.synthAviShiftedCorpus(spark,
+        base.filter(col("doc_id") % 4 === 0), "doc_id", 10000L, 1))
+    val pairs = Multimodal.aviNearDupPairs(spark, corpus, "doc_id", "payload",
+        maxFrames = 4, maxHamming = 2, minMatch = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted (base, base+10000) re-render must surface
+    val planted = (0L until 40L by 4).map(id => (id, id + 10000L)).toSet
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(got),
+      s"missing planted re-render pairs: ${planted.diff(got)}")
+    // matched-slot counts respect the quota bounds
+    assert(pairs.forall(p => p._3 >= 3 && p._3 <= 4))
+    // exactness: a brute-force per-slot Hamming check over the hashes
+    // agrees on every reported pair
+    val hs = Multimodal.aviFrameAHash(spark, corpus, "doc_id", "payload", 4)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        Seq(r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+    pairs.foreach { case (a, b, n) =>
+      val m = (0 until 4).count { t =>
+        hs((a, t)).zip(hs((b, t)))
+          .map { case (x, y) => Integer.bitCount(x ^ y) }.sum <= 2
+      }
+      assert(m.toLong == n, s"pair ($a,$b): reported $n matched slots, brute $m")
+    }
+  }
+
   test("imageDecode dispatches by container: BMP, AVI, stub") {
     val bmp = Multimodal.imageDecode(1L, Multimodal.bmpBytes(20, 10, 0))
     assert(bmp.width == 20 && bmp.height == 10 && bmp.n_frames == 1)
