@@ -1134,6 +1134,164 @@ object AnalyticsQueries {
              |    / CAST(SUM(tok_total) AS DOUBLE) AS pct_tokens_saved
              |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Dedup THRESHOLD-SWEEP report — the curve a curation run actually
+    // tunes against before committing to a near-dup pass: for each
+    // candidate Jaccard threshold, how many doc pairs fire, how many
+    // duplicate components form, and how many docs/tokens
+    // keep-one-per-component (min doc_id) would drop. Structured the
+    // way a 100 TB run is: EXACT-SET CONTRACTION first (identical
+    // token sets collapse to one supernode — J = 1 keeps them together
+    // at every threshold, so the contraction is lossless for the
+    // sweep), then ONE prefix-filtered candidate pass over the
+    // representatives at the loosest threshold
+    // ([[graft.ops.Dedup.ppjoinPairs]]), then T cheap component passes
+    // over the filtered GROUP graph. Doc-level pair counts come back
+    // arithmetically (cross pairs Σ sa·sb + within-group Σ C(s,2)) —
+    // identical numbers to the uncontracted sweep at a fraction of the
+    // join volume (the synthetic corpus is dup-dense: 5,000 docs
+    // contract to far fewer distinct sets, and candidate work falls
+    // quadratically in the dup factor).
+    Q("dd_threshold_sweep",
+      (s, dir) => {
+        val tokCol = graft.ops.TextOps.tokens(col("text"))
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            md5(concat_ws(" ", array_sort(array_distinct(tokCol)))).as("h"),
+            size(tokCol).cast(LongType).as("n_tok"), col("text"))
+          .localCheckpoint()
+        val corpus = base.agg(sum("n_tok").cast(LongType).as("__ct"))
+        val groups = base.groupBy("h")
+          .agg(min("doc_id").as("gid"),
+            count(lit(1)).as("gsize"),
+            sum("n_tok").cast(LongType).as("gtok"),
+            // keep-one keeps the component's MIN doc id; within the
+            // min-gid group that is its min doc — min_by pins its
+            // exact token count (set-equal docs can differ in repeats)
+            min_by(col("n_tok"), col("doc_id")).cast(LongType).as("tok_kept1"))
+          .localCheckpoint()
+        val reps = base.join(groups.select(col("gid").as("doc_id")), "doc_id")
+          .select(col("doc_id"), col("text"))
+        val pairs = graft.ops.Dedup.ppjoinPairs(reps, "doc_id", "text", 0.90)
+          .select(col("id_a"), col("id_b"), col("jaccard")).localCheckpoint()
+        val g = groups.select(col("gid"), col("gsize"), col("gtok"), col("tok_kept1"))
+          .localCheckpoint()
+        // within-group doc pairs are J = 1 — they fire at EVERY threshold
+        val within = g.agg(sum(col("gsize") * (col("gsize") - 1) / 2)
+          .cast(LongType).as("__wp"))
+        // ONE component run for all four thresholds: encode the
+        // threshold index into the node id (id·4 + ti — superlevel
+        // graphs never cross-connect, min-label decodes exactly), so
+        // the sweep pays one driver-coordinated label loop, not four
+        // (measured: the four eager loops were over half the query's
+        // wall, all of it per-round fixed latency)
+        val thresholds = Seq(0.90, 0.92, 0.95, 0.98)
+        val multiEdges = thresholds.zipWithIndex.map { case (t, ti) =>
+          pairs.filter(col("jaccard") >= t)
+            .select((col("id_a") * 4 + ti).as("id_a"),
+              (col("id_b") * 4 + ti).as("id_b"))
+        }.reduce(_ unionByName _)
+        val compAll = graft.ops.Dedup.connectedComponents(multiEdges, maxIter = 30)
+          .select((col("id") % 4).cast("int").as("__ti"),
+            expr("id div 4").as("id"), expr("component div 4").as("component"))
+          .localCheckpoint()
+        val rows = thresholds.zipWithIndex.map { case (t, ti) =>
+          val e = pairs.filter(col("jaccard") >= t)
+          val comp0 = compAll.filter(col("__ti") === ti).drop("__ti")
+          // dup groups untouched by any cross-set edge are their own
+          // singleton components
+          val lone = g.filter(col("gsize") >= 2)
+            .join(comp0.withColumnRenamed("id", "gid"), Seq("gid"), "left_anti")
+            .select(col("gid").as("id"), col("gid").as("component"))
+          val comp = comp0.unionByName(lone)
+            .join(g.withColumnRenamed("gid", "id"), "id")
+          val byComp = comp.groupBy("component")
+            .agg(sum("gsize").as("docs"), sum("gtok").as("toks"),
+              min_by(col("tok_kept1"), col("id")).as("kept"))
+          val cc = byComp.agg(
+            count(lit(1)).as("n_components"),
+            coalesce(sum("docs"), lit(0L)).cast(LongType).as("n_dup_docs"),
+            coalesce(sum(col("toks") - col("kept")), lit(0L)).cast(LongType)
+              .as("tokens_removed"))
+          val cross = e
+            .join(g.select(col("gid").as("id_a"), col("gsize").as("__sa")), "id_a")
+            .join(g.select(col("gid").as("id_b"), col("gsize").as("__sb")), "id_b")
+            .agg(coalesce(sum(col("__sa") * col("__sb")), lit(0L))
+              .cast(LongType).as("__cp"))
+          cross.crossJoin(broadcast(within)).crossJoin(broadcast(cc))
+            .crossJoin(broadcast(corpus))
+            .select(lit(t).as("threshold"),
+              (col("__cp") + col("__wp")).as("n_pairs"),
+              col("n_dup_docs"), col("n_components"),
+              (col("n_dup_docs") - col("n_components")).as("docs_removed"),
+              col("tokens_removed"),
+              (col("tokens_removed").cast(DoubleType) /
+                col("__ct").cast(DoubleType)).as("pct_corpus_tokens_saved"))
+        }
+        rows.reduce(_ unionByName _).orderBy("threshold")
+      },
+      Some {
+        def block(tag: String, t: String): String =
+          s"""e$tag AS (SELECT ia, ib FROM j WHERE jac >= $t),
+             |sym$tag AS (SELECT ia AS a, ib AS b FROM e$tag
+             |            UNION ALL SELECT ib, ia FROM e$tag),
+             |reach$tag(node, r) AS (
+             |    SELECT a, a FROM sym$tag
+             |  UNION
+             |    SELECT s.a, reach$tag.r FROM sym$tag s
+             |    JOIN reach$tag ON s.b = reach$tag.node),
+             |comp0$tag AS (SELECT node, MIN(r) AS component
+             |              FROM reach$tag GROUP BY 1),
+             |comp$tag AS (SELECT c.node, c.component, g.gsize, g.gtok, g.tok_kept1
+             |  FROM (SELECT node, component FROM comp0$tag
+             |        UNION ALL
+             |        SELECT gid, gid FROM groups
+             |        WHERE gsize >= 2 AND gid NOT IN (SELECT node FROM comp0$tag)) c
+             |  JOIN groups g ON g.gid = c.node),
+             |byc$tag AS (SELECT component, SUM(gsize) AS docs, SUM(gtok) AS toks,
+             |              MIN_BY(tok_kept1, node) AS kept
+             |            FROM comp$tag GROUP BY 1),
+             |row$tag AS (SELECT CAST($t AS DOUBLE) AS threshold,
+             |    (SELECT CAST(COALESCE(SUM(ga.gsize * gb.gsize), 0) AS BIGINT)
+             |     FROM e$tag JOIN groups ga ON ga.gid = ia
+             |                JOIN groups gb ON gb.gid = ib)
+             |      + (SELECT wp FROM within) AS n_pairs,
+             |    CAST(COALESCE(SUM(docs), 0) AS BIGINT) AS n_dup_docs,
+             |    CAST(COUNT(*) AS BIGINT) AS n_components,
+             |    CAST(COALESCE(SUM(docs), 0) - COUNT(*) AS BIGINT) AS docs_removed,
+             |    CAST(COALESCE(SUM(toks - kept), 0) AS BIGINT) AS tokens_removed,
+             |    CAST(COALESCE(SUM(toks - kept), 0) AS DOUBLE)
+             |      / (SELECT CAST(ct AS DOUBLE) FROM ct) AS pct_corpus_tokens_saved
+             |  FROM byc$tag)""".stripMargin
+        val tags = Seq("90" -> "0.90", "92" -> "0.92", "95" -> "0.95", "98" -> "0.98")
+        s"""WITH RECURSIVE base AS (SELECT doc_id,
+           |         md5(array_to_string(list_sort(list_distinct(
+           |           list_filter(string_split(text, ' '), t -> len(t) > 0))), ' ')) AS h,
+           |         CAST(len(${graft.ops.TextOps.tokensSql("text")}) AS BIGINT) AS n_tok
+           |       FROM documents),
+           |ct AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS ct FROM base),
+           |groups AS (SELECT h, MIN(doc_id) AS gid,
+           |             CAST(COUNT(*) AS BIGINT) AS gsize,
+           |             CAST(SUM(n_tok) AS BIGINT) AS gtok,
+           |             CAST(MIN_BY(n_tok, doc_id) AS BIGINT) AS tok_kept1
+           |           FROM base GROUP BY 1),
+           |within AS (SELECT CAST(SUM(gsize * (gsize - 1) // 2) AS BIGINT) AS wp
+           |           FROM groups),
+           |gt AS (SELECT DISTINCT g.gid AS id,
+           |         unnest(list_filter(string_split(d.text, ' '), t -> len(t) > 0)) AS tok
+           |       FROM groups g JOIN documents d ON d.doc_id = g.gid),
+           |n AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM gt GROUP BY 1),
+           |inter AS (SELECT a.id AS ia, b.id AS ib, CAST(COUNT(*) AS BIGINT) AS shared
+           |          FROM gt a JOIN gt b ON a.tok = b.tok AND a.id < b.id
+           |          GROUP BY 1, 2),
+           |j AS (SELECT ia, ib,
+           |        CAST(shared AS DOUBLE) / CAST(na.n + nb.n - shared AS DOUBLE) AS jac
+           |      FROM inter JOIN n na ON na.id = ia JOIN n nb ON nb.id = ib),
+           |${tags.map { case (tag, t) => block(tag, t) }.mkString(",\n")}
+           |${tags.map { case (tag, _) => s"SELECT * FROM row$tag" }
+                .mkString("\nUNION ALL\n")}
+           |ORDER BY threshold""".stripMargin
+      }),
+
     // VACUUM dry-run ([[SnapshotStore.orphanReport]]): three
     // generations under keepSnapshots=1 leave exactly two orphaned
     // single-file generations; the report must name them (without
