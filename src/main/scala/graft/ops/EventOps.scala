@@ -635,6 +635,99 @@ object EventOps {
   }
 
   /**
+   * A/B EXPERIMENT ANALYSIS — the two-proportion z-test every feature
+   * launch reads: users split into two arms by a DETERMINISTIC md5
+   * hash of the user key (the stateless assignment real experiment
+   * platforms use — stable under replays, joins, and re-runs, where
+   * `rand()` is none of those), exposure = the user's first
+   * `exposeType` event, conversion = a `convType` event INSIDE the
+   * attribution window [t₀, t₀ + window] after exposure (conditioning
+   * on exposure time — a purchase before the first view is not
+   * treatment effect; an unbounded window saturates to "eventually
+   * everyone"). Reports one row: per-arm exposed/converted counts
+   * (exact integers), rates, absolute lift, and the pooled
+   * two-proportion z statistic
+   * `z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₀ + 1/n₁))` — every double op in a
+   * fixed order, so the mirror lands on the identical bits; z is NULL
+   * when the pooled variance is 0 (all or none converted — the test is
+   * undefined, and 0/0 must not masquerade as evidence).
+   *
+   * Scale shape: one keyed min-aggregate (first exposures), one
+   * time-qualified LEFT SEMI join on the user key for conversions
+   * (state bounded by users, not events), one conditional aggregate to
+   * a single row. No windows, no collects.
+   */
+  def abTest(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             exposeType: String, convType: String, window: Column): DataFrame = {
+    val fv = events.filter(col(typeCol) === exposeType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
+    val arm = fv.withColumn("__arm",
+      expr(s"CAST(conv(substring(md5(CONCAT('ab:', CAST($userCol AS STRING))), 1, 8)," +
+        " 16, 10) AS BIGINT) % 2")
+      .cast(org.apache.spark.sql.types.IntegerType))
+    val purch = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("__cu"), col(tsCol).as("__cts"))
+    val convUsers = arm.join(purch,
+        arm(userCol) === col("__cu") && col("__cts") >= col("__t0") &&
+          col("__cts") <= col("__t0") + window, "left_semi")
+      .select(col(userCol)).withColumn("__c", lit(1L))
+    val flags = arm.join(convUsers, Seq(userCol), "left")
+      .select(col("__arm"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val s = flags.agg(
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__arm") === 0, col("__c")).otherwise(0L)).as("conv_a"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("__arm") === 1, col("__c")).otherwise(0L)).as("conv_b"))
+    val d = (c: Column) => c.cast(DoubleType)
+    val rateA = d(col("conv_a")) / d(col("n_a"))
+    val rateB = d(col("conv_b")) / d(col("n_b"))
+    val pool = d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    s.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      rateA.as("rate_a"), rateB.as("rate_b"),
+      (rateB - rateA).as("lift"),
+      when(se > 0.0, (rateB - rateA) / se).as("z_pooled"))
+  }
+
+  /** DuckDB mirror of [[abTest]] — same md5 arms, same time-qualified
+    * conversion join, same fixed-order double epilogue. */
+  def abTestSql(rel: String, userCol: String, typeCol: String, tsCol: String,
+                exposeType: String, convType: String, windowSql: String): String =
+    s"""WITH fv AS (SELECT $userCol AS u, MIN($tsCol) AS t0 FROM $rel
+       |  WHERE $typeCol = '$exposeType' GROUP BY 1),
+       |arm AS (SELECT u, t0,
+       |    CAST(CAST(('0x' || substr(md5('ab:' || CAST(u AS VARCHAR)), 1, 8)) AS BIGINT)
+       |         % 2 AS INTEGER) AS arm
+       |  FROM fv),
+       |cv AS (SELECT DISTINCT a.u FROM arm a
+       |  JOIN $rel e ON e.$userCol = a.u AND e.$typeCol = '$convType'
+       |             AND e.$tsCol >= a.t0 AND e.$tsCol <= a.t0 + $windowSql),
+       |fl AS (SELECT a.arm, CASE WHEN cv.u IS NULL THEN 0 ELSE 1 END AS c
+       |       FROM arm a LEFT JOIN cv ON cv.u = a.u),
+       |s AS (SELECT
+       |    CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
+       |  FROM fl)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+       |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+       |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
+       |  CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
+       |  THEN (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+       |  / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       |  END AS z_pooled
+       |FROM s""".stripMargin
+
+  /**
    * Linear multi-touch attribution: every conversion splits one unit
    * of credit EQUALLY across the user's touch events inside the
    * lookback window (touch_ts ∈ (conv_ts − window, conv_ts]), and each

@@ -734,6 +734,29 @@ object Multimodal {
     }.toDF(idCol, "payload")
   }
 
+  /** Deterministic AVI corpus with MOTION — per-frame STRUCTURED
+    * content, pixel(f, x, y) = (id + (f + frameShift + 1)·x·y + 7x +
+    * 13y) mod 256: the f-dependent curvature term changes each frame's
+    * thresholded BIT LAYOUT, where [[synthAviPixelCorpus]]'s constant
+    * per-frame offset is invisible to the brightness-invariant aHash
+    * (any two frames there hash alike — fine for slot-aligned
+    * re-render matching, useless for distinguishing frames). With
+    * `frameShift` = s, frame f renders the unshifted corpus's frame
+    * f + s EXACTLY — the re-cut variant whose frames match pairwise
+    * but never at the same slot. */
+  def synthAviMotionCorpus(spark: SparkSession, docs: DataFrame, idCol: String,
+                           idOffset: Long = 0L, frameShift: Int = 0): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      val w = (8 + id % 9).toInt
+      val h = (8 + (id * 3) % 9).toInt
+      val nf = (4 + id % 5).toInt
+      (id + idOffset, aviBytesMovi(w, h, nf,
+        (f, x, y) => ((id + (f + frameShift + 1L) * x * y + 7L * x + 13L * y)
+          % 256).toInt))
+    }.toDF(idCol, "payload")
+  }
+
   case class AviFrameHash(doc_id: Long, slot: Int, frame_idx: Int,
                           b0: Int, b1: Int, b2: Int, b3: Int)
 
@@ -807,6 +830,54 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_matched"))
+      .filter(col("n_matched") >= minMatch)
+  }
+
+  /**
+   * CLIP-ROBUST video near-dup — [[aviNearDupPairs]] minus the slot
+   * alignment, for re-CUT videos (trimmed intros, shifted sampling
+   * grids) whose frames match pairwise but never at the same slot:
+   * candidates come from the banded equi-join on (band index, band
+   * value) across ALL slot pairs, the exact popcount runs per
+   * (pair, slot_a, slot_b), and a pair reports when ≥ `minMatch`
+   * DISTINCT slots of the smaller-id video find a Hamming-≤
+   * `maxHamming` partner anywhere in the other. Costs the aligned
+   * form's band-collision volume × up to maxFrames² per colliding
+   * pair — run it on the residue the aligned pass left, not instead
+   * of it. Output: `(id_a, id_b, n_matched)`, id_a < id_b,
+   * n_matched = matched distinct slots of id_a.
+   */
+  def aviClipNearDupPairs(spark: SparkSession, docs: DataFrame, idCol: String,
+                          payloadCol: String, maxFrames: Int,
+                          maxHamming: Int, minMatch: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"aviClipNearDupPairs: maxHamming=$maxHamming exceeds the 4-band pigeonhole bound (3)")
+    require(minMatch >= 1 && minMatch <= maxFrames,
+      s"aviClipNearDupPairs: minMatch in [1, maxFrames], got $minMatch")
+    val hashes = aviFrameAHash(spark, docs, idCol, payloadCol, maxFrames)
+      .localCheckpoint()
+    val bands = hashes.select(col("doc_id"), col("slot"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "slot", "bidx", "bval")
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("a.slot").as("slot_a"),
+        col("b.doc_id").as("id_b"), col("b.slot").as("slot_b"))
+      .distinct()
+    val ha = hashes.select(col("doc_id").as("id_a"), col("slot").as("slot_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = hashes.select(col("doc_id").as("id_b"), col("slot").as("slot_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    cand.join(ha, Seq("id_a", "slot_a")).join(hb, Seq("id_b", "slot_b"))
+      .withColumn("hamming",
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+          bit_count(col("a1").bitwiseXOR(col("c1"))) +
+          bit_count(col("a2").bitwiseXOR(col("c2"))) +
+          bit_count(col("a3").bitwiseXOR(col("c3")))).cast(LongType))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("slot_a")).as("n_matched"))
       .filter(col("n_matched") >= minMatch)
   }
 

@@ -6927,6 +6927,61 @@ object ExtQueries {
              |GROUP BY 1, 2 HAVING COUNT(*) >= 3
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // CLIP-ROBUST video near-dup ([[Multimodal.aviClipNearDupPairs]])
+    // — mm_video_neardup minus the slot alignment: the corpus plants
+    // RE-CUT variants (every frame's content advanced by one — the
+    // trimmed-intro re-render) whose frames match pairwise but never
+    // at the same slot, so the aligned matcher provably misses them
+    // (unit-asserted) and the slot-free banded join finds them. Only
+    // bases with nf ∈ {4, 5} are clipped: their 4-slot sampling grids
+    // overlap the shifted grid in exactly 3 frames (≥ minMatch);
+    // longer videos' strided grids diverge — the sampling-density
+    // limit, stated rather than hidden.
+    Q("mm_video_clip_neardup",
+      (s, dir) => {
+        import graft.ops.Multimodal
+        val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        val corpus = Multimodal.synthAviMotionCorpus(s, base, "doc_id")
+          .unionByName(Multimodal.synthAviMotionCorpus(s,
+            base.filter(col("doc_id") % 5 <= 1), "doc_id", 20000L, 1))
+        Multimodal.aviClipNearDupPairs(s, corpus, "doc_id", "payload",
+            maxFrames = 4, maxHamming = 1, minMatch = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+             |vids AS (SELECT doc_id AS vid, doc_id AS base, 0 AS fs FROM ids
+             |         UNION ALL
+             |         SELECT doc_id + 20000, doc_id, 1 FROM ids WHERE doc_id % 5 <= 1),
+             |dims AS (SELECT vid, base, fs,
+             |           8 + base % 9 AS w, 8 + (base * 3) % 9 AS h,
+             |           4 + base % 5 AS nf
+             |         FROM vids),
+             |slots AS (SELECT vid, base, fs, w, h, tt.t AS slot,
+             |            (tt.t * nf) // 4 AS f
+             |          FROM dims, unnest(range(0, 4)) tt(t)),
+             |samp AS (SELECT vid, slot, jj.j * 8 + ii.i AS k,
+             |           (base + (f + fs + 1) * ((ii.i * w) // 8) * ((jj.j * h) // 8)
+             |                 + 7 * ((ii.i * w) // 8)
+             |                 + 13 * ((jj.j * h) // 8)) % 256 AS v
+             |         FROM slots, unnest(range(0, 8)) ii(i), unnest(range(0, 8)) jj(j)),
+             |sums AS (SELECT vid, slot, SUM(v) AS s FROM samp GROUP BY 1, 2),
+             |bits AS (SELECT samp.vid, samp.slot, k,
+             |           CASE WHEN 64 * v > s THEN 1 ELSE 0 END AS bit
+             |         FROM samp JOIN sums USING (vid, slot)),
+             |bands AS (SELECT vid, slot, k // 16 AS bidx,
+             |            CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS bval
+             |          FROM bits GROUP BY 1, 2, 3),
+             |hj AS (SELECT a.vid AS ia, a.slot AS sa, b.vid AS ib, b.slot AS sb,
+             |         CAST(SUM(bit_count(xor(a.bval, b.bval))) AS BIGINT) AS hamming
+             |       FROM bands a JOIN bands b
+             |         ON a.bidx = b.bidx AND a.vid < b.vid
+             |       GROUP BY 1, 2, 3, 4)
+             |SELECT ia AS id_a, ib AS id_b,
+             |       CAST(COUNT(DISTINCT sa) AS BIGINT) AS n_matched
+             |FROM hj WHERE hamming <= 1
+             |GROUP BY 1, 2 HAVING COUNT(DISTINCT sa) >= 3
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // Lead-lag CROSS-correlation: Pearson between series A (URGENT
     // daily revenue) and series B (HIGH) at every alignment lag in
     // [-3, 3] — the lead/lag detector behind "does A predict B".
@@ -7853,6 +7908,21 @@ object ExtQueries {
         period = "week").orderBy("m"),
       Some(EventOps.dauMauSql("events", "user_id", "ts", period = "week") +
         "\nORDER BY m")),
+
+    // A/B experiment analysis ([[EventOps.abTest]]): stateless md5
+    // arm assignment, exposure = first 'view', conversion = 'purchase'
+    // within a 24-hour attribution window of exposure (unbounded
+    // saturates to "eventually everyone" on this corpus — rates 1.0,
+    // variance 0, z undefined), pooled two-proportion z — the
+    // launch-gate statistic, exact integer counts with one fixed-order
+    // double epilogue, z NULL on zero pooled variance.
+    Q("ev_ab_test",
+      (s, dir) => EventOps.abTest(Tables.events(s, dir), "user_id",
+        "event_type", "ts", exposeType = "view", convType = "purchase",
+        window = expr("INTERVAL 24 HOURS")),
+      Some(EventOps.abTestSql("events", "user_id", "event_type", "ts",
+        exposeType = "view", convType = "purchase",
+        windowSql = "INTERVAL 24 HOUR"))),
 
     // Rolling 7-day median ([[TimeSeries.rollingMedian]]): the
     // despiking filter over each priority's daily order counts — the

@@ -408,6 +408,57 @@ class EventOpsSpec extends SparkSpec {
     // mass conserved up to integer truncation
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
   }
+  test("abTest: window-scoped conversions, exact counts, hand-computed z, NULL on zero variance") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    // arm assignment is the opaque md5 hash — recover it with the same
+    // expression so the expected counts are arm-exact, not approximate
+    val users = (1L to 40L)
+    val arms = users.toDF("u").select(col("u"),
+        expr("CAST(conv(substring(md5(CONCAT('ab:', CAST(u AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2").as("arm"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every user: view at 10:00. Conversion schedule: u%4==0 purchases
+    // INSIDE the window (+1h); u%4==1 purchases BEFORE exposure
+    // (09:00 — must not count); u%4==2 purchases AFTER the window
+    // (+30h — must not count); u%4==3 never purchases.
+    def ts(h: Int, m: Int = 0) = f"2024-01-0${1 + h / 24}%d ${h % 24}%02d:$m%02d:00"
+    val rows = users.flatMap { u =>
+      val view = (u * 10, ts(10), u, "view")
+      val p = u % 4 match {
+        case 0 => Seq((u * 10 + 1, ts(11), u, "purchase"))
+        case 1 => Seq((u * 10 + 1, ts(9), u, "purchase"))
+        case 2 => Seq((u * 10 + 1, ts(40), u, "purchase"))
+        case _ => Seq.empty
+      }
+      view +: p
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val out = EventOps.abTest(events, "user_id", "event_type", "ts",
+      "view", "purchase", window = expr("INTERVAL 24 HOURS")).collect().head
+    val expNa = users.count(u => arms(u) == 0)
+    val expNb = users.count(u => arms(u) == 1)
+    val expCa = users.count(u => arms(u) == 0 && u % 4 == 0)
+    val expCb = users.count(u => arms(u) == 1 && u % 4 == 0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((expNa.toLong, expCa.toLong, expNb.toLong, expCb.toLong)), s"counts: $out")
+    val (ra, rb) = (expCa.toDouble / expNa, expCb.toDouble / expNb)
+    val pool = (expCa + expCb).toDouble / (expNa + expNb)
+    val se = math.sqrt(pool * (1.0 - pool) * (1.0 / expNa + 1.0 / expNb))
+    assert(out.getDouble(4) == ra && out.getDouble(5) == rb)
+    assert(out.getDouble(7) == (rb - ra) / se, s"z: $out")
+    // zero variance (every exposed user converts) -> z is NULL, not 0/0
+    val allConv = users.flatMap { u =>
+      Seq((u * 10, ts(10), u, "view"), (u * 10 + 1, ts(11), u, "purchase"))
+    }.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val degenerate = EventOps.abTest(allConv, "user_id", "event_type", "ts",
+      "view", "purchase", window = expr("INTERVAL 24 HOURS")).collect().head
+    assert(degenerate.isNullAt(degenerate.fieldIndex("z_pooled")))
+  }
+
   test("markovSteady: recurrent closure drops multi-hop drains, conserves mass") {
     import spark.implicits._
     import org.apache.spark.sql.types.TimestampType

@@ -194,6 +194,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aviClipNearDupPairs finds re-cut variants the aligned matcher provably misses") {
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 40)
+    // clips only for nf ∈ {4, 5} (doc_id % 5 <= 1): the 4-slot grids
+    // of base and shifted video overlap in exactly 3 frames
+    val clipped = base.filter(col("doc_id") % 5 <= 1)
+    val corpus = Multimodal.synthAviMotionCorpus(spark, base, "doc_id")
+      .unionByName(Multimodal.synthAviMotionCorpus(spark, clipped, "doc_id", 20000L, 1))
+    val plantedIds = clipped.select("doc_id").collect().map(_.getLong(0))
+    val planted = plantedIds.map(id => (id, id + 20000L)).toSet
+    val clipPairs = Multimodal.aviClipNearDupPairs(spark, corpus, "doc_id", "payload",
+        maxFrames = 4, maxHamming = 0, minMatch = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.subsetOf(clipPairs),
+      s"slot-free matcher missed planted clips: ${planted.diff(clipPairs)}")
+    // the slot-ALIGNED matcher cannot see a single planted pair: frame
+    // content matches only across different slots
+    val aligned = Multimodal.aviNearDupPairs(spark, corpus, "doc_id", "payload",
+        maxFrames = 4, maxHamming = 0, minMatch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.intersect(aligned).isEmpty,
+      s"aligned matcher should miss all re-cut pairs: ${planted.intersect(aligned)}")
+  }
+
   test("imageDecode dispatches by container: BMP, AVI, stub") {
     val bmp = Multimodal.imageDecode(1L, Multimodal.bmpBytes(20, 10, 0))
     assert(bmp.width == 20 && bmp.height == 10 && bmp.n_frames == 1)
