@@ -635,9 +635,9 @@ object EventOps {
   }
 
   /**
-   * A/B EXPERIMENT ANALYSIS — the two-proportion z-test every feature
-   * launch reads: users split into two arms by a DETERMINISTIC md5
-   * hash of the user key (the stateless assignment real experiment
+   * EXPOSURE-CONDITIONED A/B experiment analysis — the windowed
+   * companion to [[abTest]]'s whole-history readout: users split into
+   * two arms by a DETERMINISTIC md5 hash of the user key (the stateless assignment real experiment
    * platforms use — stable under replays, joins, and re-runs, where
    * `rand()` is none of those), exposure = the user's first
    * `exposeType` event, conversion = a `convType` event INSIDE the
@@ -657,8 +657,8 @@ object EventOps {
    * (state bounded by users, not events), one conditional aggregate to
    * a single row. No windows, no collects.
    */
-  def abTest(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
-             exposeType: String, convType: String, window: Column): DataFrame = {
+  def abTestExposure(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                     exposeType: String, convType: String, window: Column): DataFrame = {
     val fv = events.filter(col(typeCol) === exposeType)
       .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t0"))
     val arm = fv.withColumn("__arm",
@@ -690,10 +690,10 @@ object EventOps {
       when(se > 0.0, (rateB - rateA) / se).as("z_pooled"))
   }
 
-  /** DuckDB mirror of [[abTest]] — same md5 arms, same time-qualified
-    * conversion join, same fixed-order double epilogue. */
-  def abTestSql(rel: String, userCol: String, typeCol: String, tsCol: String,
-                exposeType: String, convType: String, windowSql: String): String =
+  /** DuckDB mirror of [[abTestExposure]] — same md5 arms, same
+    * time-qualified conversion join, same fixed-order double epilogue. */
+  def abTestExposureSql(rel: String, userCol: String, typeCol: String, tsCol: String,
+                        exposeType: String, convType: String, windowSql: String): String =
     s"""WITH fv AS (SELECT $userCol AS u, MIN($tsCol) AS t0 FROM $rel
        |  WHERE $typeCol = '$exposeType' GROUP BY 1),
        |arm AS (SELECT u, t0,

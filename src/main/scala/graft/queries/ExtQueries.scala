@@ -7909,18 +7909,19 @@ object ExtQueries {
       Some(EventOps.dauMauSql("events", "user_id", "ts", period = "week") +
         "\nORDER BY m")),
 
-    // A/B experiment analysis ([[EventOps.abTest]]): stateless md5
-    // arm assignment, exposure = first 'view', conversion = 'purchase'
-    // within a 24-hour attribution window of exposure (unbounded
-    // saturates to "eventually everyone" on this corpus — rates 1.0,
-    // variance 0, z undefined), pooled two-proportion z — the
-    // launch-gate statistic, exact integer counts with one fixed-order
-    // double epilogue, z NULL on zero pooled variance.
-    Q("ev_ab_test",
-      (s, dir) => EventOps.abTest(Tables.events(s, dir), "user_id",
+    // EXPOSURE-CONDITIONED A/B analysis ([[EventOps.abTestExposure]])
+    // — ev_ab_test's windowed companion (that one reads whole-history
+    // conversions on parity arms): stateless md5 arms, exposure =
+    // first 'view', conversion = 'purchase' within a 24-hour
+    // attribution window of exposure (unbounded saturates to
+    // "eventually everyone" on this corpus — rates 1.0, variance 0, z
+    // undefined), pooled two-proportion z, NULL on zero pooled
+    // variance.
+    Q("ev_ab_exposure",
+      (s, dir) => EventOps.abTestExposure(Tables.events(s, dir), "user_id",
         "event_type", "ts", exposeType = "view", convType = "purchase",
         window = expr("INTERVAL 24 HOURS")),
-      Some(EventOps.abTestSql("events", "user_id", "event_type", "ts",
+      Some(EventOps.abTestExposureSql("events", "user_id", "event_type", "ts",
         exposeType = "view", convType = "purchase",
         windowSql = "INTERVAL 24 HOUR"))),
 

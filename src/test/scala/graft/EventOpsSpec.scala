@@ -408,7 +408,7 @@ class EventOpsSpec extends SparkSpec {
     // mass conserved up to integer truncation
     assert(math.abs(out.values.sum - 1.0) < 1e-9)
   }
-  test("abTest: window-scoped conversions, exact counts, hand-computed z, NULL on zero variance") {
+  test("abTestExposure: window-scoped conversions, exact counts, hand-computed z, NULL on zero variance") {
     import spark.implicits._
     import org.apache.spark.sql.types.TimestampType
     // arm assignment is the opaque md5 hash — recover it with the same
@@ -435,7 +435,7 @@ class EventOpsSpec extends SparkSpec {
     val events = rows.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("ts", col("ts").cast(TimestampType))
       .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
-    val out = EventOps.abTest(events, "user_id", "event_type", "ts",
+    val out = EventOps.abTestExposure(events, "user_id", "event_type", "ts",
       "view", "purchase", window = expr("INTERVAL 24 HOURS")).collect().head
     val expNa = users.count(u => arms(u) == 0)
     val expNb = users.count(u => arms(u) == 1)
@@ -454,7 +454,7 @@ class EventOpsSpec extends SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type")
       .withColumn("ts", col("ts").cast(TimestampType))
       .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
-    val degenerate = EventOps.abTest(allConv, "user_id", "event_type", "ts",
+    val degenerate = EventOps.abTestExposure(allConv, "user_id", "event_type", "ts",
       "view", "purchase", window = expr("INTERVAL 24 HOURS")).collect().head
     assert(degenerate.isNullAt(degenerate.fieldIndex("z_pooled")))
   }
