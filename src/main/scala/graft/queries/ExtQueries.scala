@@ -6514,7 +6514,7 @@ object ExtQueries {
     // sim_graph_search's flat beam lacks, completing the graph-ANN
     // family the way IVF+PQ completed quantization: md5-geometric
     // levels (p = 1/4) stack three nnDescent layer graphs; each query
-    // descends top→0, carrying its 2 best nodes per layer as the next
+    // descends top→0, carrying its 4 best nodes per layer as the next
     // layer's entries (union a 2-node hash-min fallback per layer, so
     // sparse layers degrade to scored entries, never an empty
     // descent), then runs the full beam walk at layer 0. The oracle
@@ -6530,7 +6530,7 @@ object ExtQueries {
         val queries = emb.filter(col("vec_id") % 40 === 0).select("vec_id")
         Similarity.hnswSearch(emb, "vec_id", "embedding", layered, queries,
             beam = 8, hops = 3, k = 6, maxLevel = 2,
-            descentBeam = 4, carry = 2, fallback = 2)
+            descentBeam = 4, carry = 4, fallback = 2)
           .orderBy("query_id", "rank")
       },
       Some {
@@ -6557,10 +6557,10 @@ object ExtQueries {
            |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("e"), srcRel = "e", p = "l0_")},
            |queries AS MATERIALIZED (SELECT vec_id AS q FROM embeddings WHERE vec_id % 40 = 0),
            |${fbSeed(2, "e2", None)},
-           |${Similarity.graphSearchCtesSql(beam = 4, hops = 3, k = 2,
+           |${Similarity.graphSearchCtesSql(beam = 4, hops = 3, k = 4,
                 p = "h2_", eRel = "e", knnRel = "l2_knn2", seedRel = Some("seed2"))},
            |${fbSeed(1, "e1", Some("h2_found"))},
-           |${Similarity.graphSearchCtesSql(beam = 4, hops = 3, k = 2,
+           |${Similarity.graphSearchCtesSql(beam = 4, hops = 3, k = 4,
                 p = "h1_", eRel = "e", knnRel = "l1_knn2", seedRel = Some("seed1"))},
            |${fbSeed(0, "e", Some("h1_found"))},
            |${Similarity.graphSearchCtesSql(beam = 8, hops = 3, k = 6,
@@ -6568,6 +6568,98 @@ object ExtQueries {
            |SELECT q AS query_id, CAST(rn AS BIGINT) AS rank, node AS item_id,
            |       sqrt(d2) AS dist
            |FROM h0_found ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // HNSW retrieval QUALITY, not just output correctness (the
+    // sim_ivf_recall discipline): recall@6 of the layered search vs
+    // the brute-force exact top-6 (same Euclidean metric, same query
+    // set as sim_hnsw_search). Both result sets and the recall number
+    // itself are oracle-HASHED — the denominator is the measured
+    // ground-truth pair count, not a literal, so the query is
+    // SF-portable.
+    Q("sim_hnsw_recall",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val layered = cachedNnGraph(s, dir, "hnsw2") {
+          Similarity.hnswBuild(emb, "vec_id", "embedding",
+            k = 6, rounds = 2, maxLevel = 2, bucketsFor = adaptiveBuckets)
+        }
+        val queries = emb.filter(col("vec_id") % 40 === 0).select("vec_id")
+        val got = Similarity.hnswSearch(emb, "vec_id", "embedding", layered, queries,
+            beam = 8, hops = 3, k = 6, maxLevel = 2,
+            descentBeam = 4, carry = 4, fallback = 2)
+          .select("query_id", "item_id")
+        val qs = emb.filter(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+        val wq = Window.partitionBy(col("query_id"))
+          .orderBy(col("__d2"), col("item_id"))
+        val exact6 = emb.crossJoin(broadcast(qs))
+          .where(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("item_id"),
+            Similarity.distSqFold(col("embedding"), col("__qv")).as("__d2"))
+          .withColumn("__rn", row_number().over(wq))
+          .filter(col("__rn") <= 6)
+          .select("query_id", "item_id")
+          .localCheckpoint() // feeds the hit semi-join AND the denominator
+        val hits = got.join(exact6, Seq("query_id", "item_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+        val truth = exact6.agg(count(lit(1)).as("n_truth"))
+        hits.crossJoin(broadcast(truth))
+          .select(col("hits"), col("n_truth"),
+            (col("hits").cast(DoubleType) / col("n_truth").cast(DoubleType))
+              .as("recall"))
+      },
+      Some {
+        s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+           |lv AS MATERIALIZED (SELECT id, vec,
+           |    CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+           |  FROM (SELECT id, vec,
+           |          CAST(('0x' || substr(md5('hl:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           |        FROM e)),
+           |e2 AS MATERIALIZED (SELECT id, vec FROM lv WHERE lvl >= 2),
+           |e1 AS MATERIALIZED (SELECT id, vec FROM lv WHERE lvl >= 1),
+           |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("e2"), srcRel = "e2", p = "l2_")},
+           |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("e1"), srcRel = "e1", p = "l1_")},
+           |${Similarity.nnDescentCtesSql(k = 6, rounds = 2, adaptiveBucketsSql("e"), srcRel = "e", p = "l0_")},
+           |queries AS MATERIALIZED (SELECT vec_id AS q FROM embeddings WHERE vec_id % 40 = 0),
+           |fb2 AS MATERIALIZED (SELECT id AS node FROM (
+           |    SELECT id, md5('e:' || CAST(id AS VARCHAR)) || lpad(CAST(id AS VARCHAR), 20, '0') AS ek
+           |    FROM e2) ORDER BY ek LIMIT 2),
+           |seed2 AS MATERIALIZED (SELECT DISTINCT q.q, f.node FROM queries q CROSS JOIN fb2 f),
+           |${Similarity.graphSearchCtesSql(beam = 4, hops = 3, k = 4,
+                p = "h2_", eRel = "e", knnRel = "l2_knn2", seedRel = Some("seed2"))},
+           |fb1 AS MATERIALIZED (SELECT id AS node FROM (
+           |    SELECT id, md5('e:' || CAST(id AS VARCHAR)) || lpad(CAST(id AS VARCHAR), 20, '0') AS ek
+           |    FROM e1) ORDER BY ek LIMIT 2),
+           |seed1 AS MATERIALIZED (SELECT DISTINCT q, node FROM (
+           |    SELECT q.q, f.node FROM queries q CROSS JOIN fb1 f
+           |    UNION SELECT q, node FROM h2_found)),
+           |${Similarity.graphSearchCtesSql(beam = 4, hops = 3, k = 4,
+                p = "h1_", eRel = "e", knnRel = "l1_knn2", seedRel = Some("seed1"))},
+           |fb0 AS MATERIALIZED (SELECT id AS node FROM (
+           |    SELECT id, md5('e:' || CAST(id AS VARCHAR)) || lpad(CAST(id AS VARCHAR), 20, '0') AS ek
+           |    FROM e) ORDER BY ek LIMIT 2),
+           |seed0 AS MATERIALIZED (SELECT DISTINCT q, node FROM (
+           |    SELECT q.q, f.node FROM queries q CROSS JOIN fb0 f
+           |    UNION SELECT q, node FROM h1_found)),
+           |${Similarity.graphSearchCtesSql(beam = 8, hops = 3, k = 6,
+                p = "h0_", eRel = "e", knnRel = "l0_knn2", seedRel = Some("seed0"))},
+           |got AS MATERIALIZED (SELECT q AS query_id, node AS item_id FROM h0_found),
+           |exact6 AS MATERIALIZED (SELECT query_id, item_id FROM (
+           |    SELECT q.q AS query_id, e.id AS item_id,
+           |           row_number() OVER (PARTITION BY q.q
+           |               ORDER BY ${Similarity.distSqSql("e.vec", "qv.vec")}, e.id) AS rn
+           |    FROM queries q JOIN e qv ON qv.id = q.q
+           |    JOIN e ON e.id <> q.q)
+           |  WHERE rn <= 6),
+           |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS hits
+           |      FROM got g JOIN exact6 x
+           |        ON g.query_id = x.query_id AND g.item_id = x.item_id),
+           |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM exact6)
+           |SELECT hits, n_truth,
+           |       CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+           |FROM h, t""".stripMargin
       }),
 
     // STREAMING ANN-INDEX MAINTENANCE, oracle-hashed end state
