@@ -109,6 +109,73 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorB
 }
 
 /**
+ * dist²(a, b) = Σ (aᵢ−bᵢ)² accumulated in index order from 0.0 —
+ * bit-identical to the `zip_with`+`aggregate` fold it replaces (NOT the
+ * algebraically-equal `aa − 2ab + bb`, whose different rounding would
+ * break the DuckDB mirrors). Its own accumulator loop because the
+ * [[VectorBinaryExpression]] (ab, aa, bb) triple can't express the
+ * differenced square without changing the fold order.
+ */
+case class DistanceSquared(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_dist_sq"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+      if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two ARRAY<FLOAT|DOUBLE> arguments, got $other")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  private def getElem(e: Expression, arr: ArrayData, i: Int): Double =
+    if (elemType(e) == FloatType) arr.getFloat(i).toDouble else arr.getDouble(i)
+  private def getElemCode(e: Expression, arr: String, i: String): String =
+    if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = getElem(left, x, i) - getElem(right, y, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (i, n, acc) = (ctx.freshName("i"), ctx.freshName("n"), ctx.freshName("acc"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double d = ${getElemCode(left, a, i)} - ${getElemCode(right, b, i)};
+         |    $acc += d * d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/**
  * Integer sibling of [[VectorBinaryExpression]] for int8-quantized code
  * vectors (`ARRAY<BIGINT>`, every element in [-127, 127]): the dot and
  * both squared norms accumulate in EXACT int64 arithmetic inside the

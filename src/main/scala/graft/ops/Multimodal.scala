@@ -1243,4 +1243,105 @@ object Multimodal {
       }(enc)
       .toDF()
   }
+
+  /**
+   * Leading-grid ENVELOPE FINGERPRINT of a mono PCM16 WAV: the first
+   * `nWindows · windowLen` samples are cut into `nWindows` windows,
+   * window w sets bit w iff its exact integer energy exceeds the grid
+   * mean — cross-multiplied (`energy_w · nWindows > Σ energies`), so no
+   * division and no floats anywhere. The sketch hears the amplitude
+   * PROFILE, which survives the two transforms audio re-encoders apply
+   * that byte hashes can't see through: header relabeling (sample-rate
+   * remark) and tail padding/truncation past the grid. None when
+   * undecodable, not mono 16-bit, or shorter than the grid.
+   */
+  def wavEnvelopeBits(b: Array[Byte], nWindows: Int, windowLen: Int): Option[Long] = {
+    require(nWindows >= 1 && nWindows <= 63 && windowLen >= 1,
+      s"wavEnvelopeBits: bad grid ($nWindows × $windowLen)")
+    val info = parseWav(b)
+    if (info.isEmpty || info.get.bitsPerSample != 16 || info.get.numChannels != 1)
+      return None
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = ascii(off, 4)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off.toLong + 8 + size > b.length) return None
+      if (id == "data") {
+        val need = nWindows * windowLen
+        if (size / 2 < need) return None
+        val energies = Array.fill(nWindows)(0L)
+        var i = 0
+        while (i < need) {
+          val s = buf.getShort(off + 8 + 2 * i).toLong
+          energies(i / windowLen) += s * s
+          i += 1
+        }
+        val total = energies.sum
+        var fp = 0L; var w = 0
+        while (w < nWindows) {
+          if (energies(w) * nWindows > total) fp |= 1L << w
+          w += 1
+        }
+        return Some(fp)
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** Per-sample signal for [[synthWavNearDupCorpus]]: md5("id_i")'s
+    * first 16 bits, shifted to int16. NONLINEAR by construction — both
+    * cheaper schemes failed measurably: [[synthWavSignalCorpus]]'s
+    * linear ramp drifts ~1.6k counts across the grid (every window
+    * equal energy → every fingerprint 0 → all C(n,2) pairs "matched"),
+    * and a Knuth multiplicative hash is still linear mod 2¹⁶ (every doc
+    * = the same wrapped ramp at a different phase → correlated
+    * envelopes, 7.7% of pairs inside Hamming 2). md5 makes window
+    * energies independent across docs; the DuckDB mirror replays the
+    * identical digest. */
+  def nearDupSample(id: Long, i: Int): Short = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id}_$i".getBytes("US-ASCII"))
+    val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    (v - 32768).toShort
+  }
+
+  /** Near-dup WAV corpus: per doc a [[nearDupSample]] signal (16 kHz,
+    * 120 + id%40 frames); every id%5==0 doc additionally gets a
+    * RE-ENCODED copy at `maxId+1 + id` — same leading samples, 8 kHz
+    * header relabel, 16 extra tail frames (the signal formula
+    * continued) — byte-different but envelope-identical, the planted
+    * truth [[wavEnvelopeBits]] banding must recover. */
+  def synthWavNearDupCorpus(spark: SparkSession, docs: DataFrame,
+                            idCol: String): DataFrame = {
+    import spark.implicits._
+    val off = docs.agg(coalesce(max(col(idCol)), lit(0L))).head.getLong(0) + 1
+    docs.select(col(idCol).cast(LongType)).as[Long].flatMap { id =>
+      val nBase = (120 + id % 40).toInt
+      val base = (id, wavBytes(16000, 1,
+        Array.tabulate(nBase)(nearDupSample(id, _))))
+      if (id % 5 == 0)
+        Seq(base, (off + id, wavBytes(8000, 1,
+          Array.tabulate(nBase + 16)(nearDupSample(id, _)))))
+      else Seq(base)
+    }.toDF(idCol, "payload")
+  }
+
+  /** Distributed envelope-fingerprint pass (the [[wavFeatureStats]]
+    * shape): `(id, fp)` per payload; pipeline-owned encodes, so an
+    * undecodable payload fails the job rather than nulling. */
+  def wavEnvelopePass(spark: SparkSession, docs: DataFrame, idCol: String,
+                      payloadCol: String, nWindows: Int, windowLen: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .map { r: Row =>
+        val id = r.getLong(0)
+        val fp = wavEnvelopeBits(r.getAs[Array[Byte]](1), nWindows, windowLen)
+          .getOrElse(throw new IllegalStateException(
+            s"undecodable/short WAV payload for id $id"))
+        (id, fp)
+      }.toDF(idCol, "fp")
+  }
 }

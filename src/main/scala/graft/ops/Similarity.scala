@@ -49,6 +49,14 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     column(graft.functions.CosineSimilarity(expression(a), expression(b)))
 
+  /** Native codegen'd Σ(aᵢ−bᵢ)² ([[graft.functions.DistanceSquared]]) —
+    * bit-identical to [[distSqFold]] (SimilaritySpec parity test); the
+    * all-candidates verify in [[rangeSearch]]/[[dbscan]] runs it inside
+    * the whole-stage loop instead of an interpreted lambda per element
+    * (sim_dbscan at sf0.1: 57 s → the fold was ~µs per pair). */
+  def distSq(a: Column, b: Column): Column =
+    column(graft.functions.DistanceSquared(expression(a), expression(b)))
+
   /** DuckDB SQL mirroring [[dot]] — the SAME left-to-right double fold,
     * so results are bit-identical (no tolerance needed in the oracle). */
   def dotSql(a: String, b: String): String =
@@ -120,7 +128,7 @@ object Similarity {
     // shuffle of k× the corpus. Ties break to the smaller centroid id
     // via the (d2, cId) ordering struct — same semantics, cheaper.
     val joined = emb.crossJoin(broadcast(centroids))
-      .withColumn("d2", distSqFold(col(vecCol), col(cVecCol)))
+      .withColumn("d2", distSq(col(vecCol), col(cVecCol)))
     val assigned = joined.groupBy(col(idCol).as("item_id"))
       .agg(min_by(
         struct(col(cIdCol).as("centroid_id"), col(vecCol).as("item_vec"),
@@ -131,14 +139,14 @@ object Similarity {
     val radii = assigned.groupBy(col("centroid_id")).agg(max(col("dc")).as("radius"))
     val qcells = emb.join(queryIds.select(col(idCol)), Seq(idCol), "left_semi")
       .crossJoin(broadcast(centroids))
-      .withColumn("dqc", sqrt(distSqFold(col(vecCol), col(cVecCol))))
+      .withColumn("dqc", sqrt(distSq(col(vecCol), col(cVecCol))))
       .join(broadcast(radii), col(cIdCol) === col("centroid_id"))
       .filter(col("dqc") <= lit(maxDist) + col("radius") + lit(1e-9))
       .select(col(idCol).as("query_id"), col("centroid_id"), col(vecCol).as("query_vec"))
     qcells.join(assigned.select(col("centroid_id"), col("item_id"), col("item_vec")),
         Seq("centroid_id"))
       .filter(col("query_id") =!= col("item_id"))
-      .withColumn("dist_sq", distSqFold(col("query_vec"), col("item_vec")))
+      .withColumn("dist_sq", distSq(col("query_vec"), col("item_vec")))
       .filter(col("dist_sq") <= lit(maxDist * maxDist))
       .select(col("query_id"), col("item_id"), sqrt(col("dist_sq")).as("dist"))
   }
@@ -776,7 +784,7 @@ object Similarity {
       withB.as("a")
         .join(withB.as("c"), col("a.b") === col("c.b") && col("a.id") =!= col("c.id"))
         .select(col("a.id").as("src"), col("c.id").as("dst"),
-          distSqFold(col("a.vec"), col("c.vec")).as("d2"))
+          distSq(col("a.vec"), col("c.vec")).as("d2"))
     }.reduce(_ unionByName _)
       .groupBy("src", "dst").agg(min("d2").as("d2"))
     var knn = topK(initPairs).localCheckpoint()
@@ -798,7 +806,7 @@ object Similarity {
       val candD = cand
         .join(e.select(col("id").as("src"), col("vec").as("__va")), "src")
         .join(e.select(col("id").as("dst"), col("vec").as("__vb")), "dst")
-        .select(col("src"), col("dst"), distSqFold(col("__va"), col("__vb")).as("d2"))
+        .select(col("src"), col("dst"), distSq(col("__va"), col("__vb")).as("d2"))
       val candBoth = candD.unionByName(
         candD.select(col("dst").as("src"), col("src").as("dst"), col("d2")))
       knn = topK(knn.unionByName(candBoth)
@@ -950,7 +958,7 @@ object Similarity {
     def score(pairs: DataFrame): DataFrame = pairs
       .join(e.select(col("id").as("q"), col("vec").as("__qv")), "q")
       .join(e.select(col("id").as("node"), col("vec").as("__nv")), "node")
-      .select(col("q"), col("node"), distSqFold(col("__qv"), col("__nv")).as("d2"))
+      .select(col("q"), col("node"), distSq(col("__qv"), col("__nv")).as("d2"))
     def topBeam(scored: DataFrame): DataFrame = scored
       .groupBy("q")
       .agg(Ranking.topKBy(-col("d2"), col("node"), beam).as("__t"))
@@ -1258,7 +1266,7 @@ object Similarity {
       // is localCheckpoint'd: constant-size plans, O(k·N) total work.
       var state = base.filter(col("__id") =!= first.getLong(0))
         .select(col("__id"), col("__vec"),
-          distSqFold(col("__vec"),
+          distSq(col("__vec"),
             array(first.getSeq[Float](1).map(x => lit(x)): _*)).as("__d"))
         .localCheckpoint()
       while (picked.size < k) {
@@ -1271,7 +1279,7 @@ object Similarity {
           state = state.filter(col("__id") =!= r.getLong(0))
             .select(col("__id"), col("__vec"),
               least(col("__d"),
-                distSqFold(col("__vec"), array(cVec.map(x => lit(x)): _*))).as("__d"))
+                distSq(col("__vec"), array(cVec.map(x => lit(x)): _*))).as("__d"))
             .localCheckpoint()
       }
       toOut(spark, picked, idCol)
@@ -1346,5 +1354,140 @@ object Similarity {
         .toDF("rank", "__id", "rel", "mmr_score")
         .select(col("rank"), col("__id").as(idCol), col("rel"), col("mmr_score"))
     } finally base.unpersist()
+  }
+
+  /**
+   * DBSCAN (Ester et al., KDD'96) over an embedding column — DENSITY
+   * clustering, the shape k-means can't express: clusters are maximal
+   * chains of eps-reachable core points (≥ `minPts` neighbors within
+   * `eps`, self excluded), low-density points are noise, and non-core
+   * points inside a core's ball attach as borders.
+   *
+   * Scale composition — every stage is an operator this engine already
+   * runs at corpus scale, never an all-pairs loop:
+   *   1. the eps-neighbor graph comes from [[rangeSearch]] (cell-pruned
+   *      ball-bound candidate generation; exact d² ≤ eps² verify),
+   *   2. core tagging is one map-side-combinable count,
+   *   3. cluster ids are the min-id connected component of the
+   *      core-core subgraph via [[Dedup.connectedComponentsStar]]
+   *      (O(log n) alternations, so giant clusters don't stall it),
+   *   4. borders attach with one semi/anti join pair + a keyed MIN.
+   *
+   * Determinism: both engines compare the identical double fold to the
+   * same eps² literal, and every label is an integer MIN — so the
+   * output is oracle-hashable with zero tolerance. Noise rows are
+   * dropped (they carry no label; the caller anti-joins if it wants
+   * them). Output: `(id, cluster, role)` with role ∈ {core, border}.
+   */
+  def dbscan(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: DataFrame, cVecCol: String, cIdCol: String,
+             eps: Double, minPts: Int): DataFrame = {
+    require(eps > 0.0 && minPts >= 1, s"dbscan: bad (eps=$eps, minPts=$minPts)")
+    val nbrs = rangeSearch(emb, emb.select(col(idCol)), vecCol, idCol,
+        centroids, cVecCol, cIdCol, eps)
+      .select(col("query_id"), col("item_id"))
+      .localCheckpoint() // feeds 3 consumers; the eps-graph is the expensive part
+    val core = nbrs.groupBy("query_id").agg(count(lit(1)).as("n_nbrs"))
+      .filter(col("n_nbrs") >= minPts).select(col("query_id").as("id"))
+    val coreEdges = nbrs
+      .join(core.select(col("id").as("query_id")), Seq("query_id"), "left_semi")
+      .join(core.select(col("id").as("item_id")), Seq("item_id"), "left_semi")
+      .select(col("query_id").as("id_a"), col("item_id").as("id_b"))
+    val comps = Dedup.connectedComponentsStar(coreEdges)
+    // a core whose eps-ball holds only borders is its own 1-core cluster
+    val coreClusters = core.join(comps.withColumnRenamed("id", "__cid"),
+        core("id") === col("__cid"), "left")
+      .select(core("id"), coalesce(col("component"), core("id")).as("cluster"))
+    val borders = nbrs
+      .join(core.select(col("id").as("query_id")), Seq("query_id"), "left_anti")
+      .join(coreClusters.select(col("id").as("item_id"), col("cluster")),
+        Seq("item_id"))
+      .groupBy(col("query_id")).agg(min("cluster").as("cluster"))
+      .select(col("query_id").as("id"), col("cluster"))
+    coreClusters.withColumn("role", lit("core"))
+      .unionByName(borders.withColumn("role", lit("border")))
+  }
+
+  /**
+   * Exact integer GRAM MATRIX of the `round(x·qScale)` quantized corpus,
+   * reduced distributedly (posexplode + id-keyed self-join, map-side
+   * combined per (i,j)) and collected as dim² scalars — BOUNDED
+   * metadata (schema-sized, corpus-size-free), the same contract as the
+   * watermark reads. qScale is a power of two so the quantization is
+   * fp-hazard-free in any engine. BIGINT cells hold to ~10⁸ vectors at
+   * dim 64; past that widen to DECIMAL(38) (the [[gramSql]] note).
+   */
+  def gramMatrix(emb: DataFrame, idCol: String, vecCol: String,
+                 qScale: Double): Array[Array[Long]] = {
+    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()(0).getInt(0)
+    val quant = emb.select(col(idCol).as("__rid"), posexplode(col(vecCol)))
+      .select(col("__rid"), col("pos").as("i"),
+        floor(col("col").cast(DoubleType) * lit(qScale) + lit(0.5))
+          .cast(LongType).as("q"))
+    val a = quant.select(col("__rid"), col("i"), col("q").as("qi"))
+    val b = quant.select(col("__rid"), col("i").as("j"), col("q").as("qj"))
+    val out = Array.ofDim[Long](dim, dim)
+    a.join(b, "__rid").filter(col("i") <= col("j"))
+      .groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("g"))
+      .collect().foreach { r =>
+        val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+        out(i)(j) = v; out(j)(i) = v
+      }
+    out
+  }
+
+  /**
+   * Dominant eigenvector of an integer Gram matrix by FIXED-POINT power
+   * iteration — `rounds` identical integer rounds (w = G·v exact BIGINT;
+   * rescale v ← w / max(1, max|w|/scale), truncating division), so the
+   * trajectory is bit-reproducible in any engine: no norm, no sqrt, no
+   * float accumulation anywhere. The Gram is PSD, so the iterate never
+   * flips sign and converges monotonically toward PC1; `rounds` is a
+   * fixed contract (both engines run the same count), not a tolerance.
+   */
+  def powerIteration(g: Array[Array[Long]], rounds: Int, scale: Long): Array[Long] = {
+    val dim = g.length
+    var v = Array.fill(dim)(scale)
+    var r = 0
+    while (r < rounds) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0L; var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = w.map(math.abs).max
+      val d = math.max(m / scale, 1L)
+      v = w.map(_ / d)
+      r += 1
+    }
+    v
+  }
+
+  /** DuckDB CTE chain mirroring [[gramMatrix]] + [[powerIteration]]:
+    * `q` (quantized cells), `g` (full integer Gram), `v0..v{rounds}`
+    * (the identical truncating-division rescale). Final vector CTE is
+    * `v{rounds}(j, v)`. */
+  def pcaPowerCtesSql(rel: String, vecCol: String, qScale: Long, rounds: Int,
+                      scale: Long): String = {
+    // every round CTE is MATERIALIZED: v{r} reads w{r} twice (scalar MAX
+    // + projection), and DuckDB's default inlining would re-evaluate the
+    // whole chain exponentially across rounds (the NOTES.md stream_nn
+    // lesson)
+    val rounds_ = (1 to rounds).map { r =>
+      val p = s"v${r - 1}"
+      s"""w$r AS MATERIALIZED (SELECT g.i, CAST(SUM(g.g * $p.v) AS BIGINT) AS w
+         |  FROM g JOIN $p ON g.j = $p.j GROUP BY 1),
+         |v$r AS MATERIALIZED (SELECT i AS j,
+         |    w // GREATEST((SELECT MAX(ABS(w)) FROM w$r) // $scale, 1) AS v
+         |  FROM w$r)""".stripMargin
+    }.mkString(",\n")
+    s"""q AS MATERIALIZED (SELECT vec_id, i,
+       |    CAST(floor(CAST(v[i + 1] AS DOUBLE) * $qScale.0 + 0.5) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, $vecCol AS v, unnest(range(0, len($vecCol))) AS i
+       |        FROM $rel)),
+       |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS MATERIALIZED (SELECT DISTINCT i AS j, CAST($scale AS BIGINT) AS v FROM q),
+       |$rounds_""".stripMargin
   }
 }

@@ -57,6 +57,24 @@ object ExtQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def adaptiveBuckets(n: Long): Int = math.max(16L, n / 128).toInt
+
+  /** Once-per-(session, dir) integer Gram matrix — the PCA family's
+    * once-per-ingest sufficient statistic (dim² bounded scalars; the
+    * UNCACHED distributed build is what sim_gram times). */
+  private val gramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Long]]]()
+  private def cachedGram(s: SparkSession, dir: String): Array[Array[Long]] =
+    gramCache.computeIfAbsent(s"${System.identityHashCode(s)}#$dir",
+      _ => Similarity.gramMatrix(Tables.embeddings(s, dir), "vec_id", "embedding",
+        qScale = 256.0))
+
+  /** PCA fixed-point contract shared by the sim_pca_* family and their
+    * oracles: round(x·2⁸) quantization, 2²⁰ iterate scale, 12 rounds. */
+  private val PcaQScale = 256L
+  private val PcaScale = 1L << 20
+  private val PcaRounds = 12
+  private def pcaCtes: String =
+    Similarity.pcaPowerCtesSql("embeddings", "embedding", PcaQScale, PcaRounds, PcaScale)
   private def adaptiveBucketsSql(rel: String): String =
     s"(SELECT GREATEST(16, COUNT(*) // 128) FROM $rel)" 
 
@@ -8362,6 +8380,373 @@ object ExtQueries {
              |  CAST(n AS DOUBLE) / CAST(t AS BIGINT) AS share
              |FROM base JOIN tot ON base.event_type = tot.event_type
              |ORDER BY base.event_type, hod""".stripMargin)),
+
+    // ── Density clustering / PCA / sketch overlap (round 15 march) ────
+
+    // DBSCAN density clustering ([[Similarity.dbscan]]) — the cluster
+    // shape k-means/SemDeDup cells can't express: arbitrary-shaped
+    // dense regions with explicit noise. The corpus plants structure
+    // the raw uniform embeddings lack (min natural pair distance ≈0.89
+    // at every driver SF, measured): per base b%10=0 a CHAIN of three
+    // replicas at +0.4·r along coord (b div 10)%64 — middle nodes are
+    // core (2 neighbors at 0.4 ≤ eps), chain ENDS are borders — and per
+    // b%10=5 a single 0.4-pair whose two 1-neighbor members stay below
+    // minPts=2 and are dropped as noise, with every natural point
+    // isolated noise too. Exercises all three DBSCAN roles with clean
+    // margins (next non-planted distance ≥ 0.89 ≫ eps = 0.5).
+    Q("sim_dbscan",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+        val off = base.agg(coalesce(max("vec_id"), lit(0L))).head.getLong(0) + 1
+        val reps = emb.filter(col("vec_id") % 10 === 0)
+          .select(col("vec_id"), col("embedding"),
+            explode(array(lit(1L), lit(2L), lit(3L))).as("r"))
+          .unionByName(emb.filter(col("vec_id") % 10 === 5)
+            .select(col("vec_id"), col("embedding"), lit(1L).as("r")))
+          .withColumn("c", expr("CAST((vec_id div 10) % 64 AS INT)"))
+          .withColumn("delta", col("r").cast(DoubleType) * lit(0.4))
+          .select((lit(off) + col("vec_id") * 4 + col("r")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x.cast(DoubleType) +
+                when(i === col("c"), col("delta")).otherwise(lit(0.0))).as("v"))
+        val corpus = base.unionByName(reps)
+        val cents = corpus.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("c_id"), col("v").as("c_vec"))
+        Similarity.dbscan(corpus, "vec_id", "v", cents, "c_vec", "c_id",
+            eps = 0.5, minPts = 2)
+          .select(col("id").as("vec_id"), col("cluster"), col("role"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |ec AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              |       FROM embeddings),
+              |rep0 AS (SELECT vec_id, embedding, r,
+              |    CAST((vec_id // 10) % 64 AS BIGINT) AS c, CAST(r AS DOUBLE) * 0.4 AS delta
+              |  FROM (SELECT vec_id, embedding, rr.r FROM embeddings
+              |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) rr
+              |        WHERE vec_id % 10 = 0
+              |        UNION ALL
+              |        SELECT vec_id, embedding, 1 AS r FROM embeddings WHERE vec_id % 10 = 5)),
+              |reps AS (SELECT (SELECT MAX(vec_id) + 1 FROM embeddings) + vec_id * 4 + r AS vec_id,
+              |    list_transform(list_zip(embedding, range(0, len(embedding))), s ->
+              |      CAST(s[1] AS DOUBLE) + CASE WHEN s[2] = c THEN delta ELSE 0.0 END) AS v
+              |  FROM rep0),
+              |corpus AS MATERIALIZED (SELECT * FROM ec UNION ALL SELECT * FROM reps),
+              |pr AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS iid
+              |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+              |  WHERE ${Similarity.distSqSql("a.v", "b.v")} <= 0.25),
+              |cnt AS (SELECT qid, COUNT(*) AS n FROM pr GROUP BY 1),
+              |core AS MATERIALIZED (SELECT qid AS id FROM cnt WHERE n >= 2),
+              |ce AS MATERIALIZED (SELECT pr.qid AS src, pr.iid AS dst FROM pr
+              |  JOIN core c1 ON pr.qid = c1.id JOIN core c2 ON pr.iid = c2.id),
+              |reach(node, rt) AS (SELECT src, src FROM ce
+              |  UNION
+              |  SELECT ce.src, reach.rt FROM ce JOIN reach ON ce.dst = reach.node),
+              |comp AS (SELECT node, MIN(rt) AS component FROM reach GROUP BY 1),
+              |cc AS MATERIALIZED (SELECT core.id, COALESCE(comp.component, core.id) AS cluster
+              |  FROM core LEFT JOIN comp ON core.id = comp.node),
+              |bd AS (SELECT pr.qid AS id, MIN(cc.cluster) AS cluster
+              |  FROM pr JOIN cc ON pr.iid = cc.id
+              |  WHERE pr.qid NOT IN (SELECT id FROM core) GROUP BY 1)
+              |SELECT id AS vec_id, cluster, 'core' AS role FROM cc
+              |UNION ALL
+              |SELECT id AS vec_id, cluster, 'border' AS role FROM bd
+              |ORDER BY vec_id""".stripMargin)),
+
+    // PC1 of the embedding corpus by FIXED-POINT POWER ITERATION on the
+    // integer Gram sufficient statistic ([[Similarity.gramMatrix]] —
+    // distributed, corpus-size-free dim² reduction; [[Similarity
+    // .powerIteration]] — 12 identical integer rounds on the bounded
+    // dim² metadata, the watermark-read contract). No norm, no sqrt, no
+    // float accumulation: both engines walk the same integer trajectory,
+    // so the eigenvector is hashable with zero tolerance. At ~10⁸+
+    // vectors the BIGINT Gram cells widen to DECIMAL(38) (sim_gram's
+    // documented path); the iteration itself is scale-free.
+    Q("sim_pca_power",
+      (s, dir) => {
+        val v = Similarity.powerIteration(cachedGram(s, dir), PcaRounds, PcaScale)
+        import s.implicits._
+        v.toSeq.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          .toDF("dim_i", "v_fixed").orderBy("dim_i")
+      },
+      Some(s"""WITH $pcaCtes
+              |SELECT j AS dim_i, v AS v_fixed FROM v$PcaRounds ORDER BY dim_i""".stripMargin)),
+
+    // Distributed projection onto the learned PC1 — the scale half of
+    // the PCA family: the eigenvector broadcasts as a literal and the
+    // projection is one exact-integer dot per row inside whole-stage
+    // codegen (top-20 magnitudes = the corpus' dominant-direction
+    // outliers, the rows an embedding-quality audit reads first).
+    Q("sim_pca_project",
+      (s, dir) => {
+        val v = Similarity.powerIteration(cachedGram(s, dir), PcaRounds, PcaScale)
+        val vArr = array(v.map(lit).toIndexedSeq: _*)
+        val q = transform(col("embedding"), x =>
+          floor(x.cast(DoubleType) * lit(PcaQScale.toDouble) + lit(0.5)).cast(LongType))
+        val proj = aggregate(zip_with(q, vArr, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), proj.as("proj_fixed"))
+          .orderBy(abs(col("proj_fixed")).desc, col("vec_id")).limit(20)
+      },
+      Some(s"""WITH $pcaCtes,
+              |p AS (SELECT q.vec_id, CAST(SUM(q.q * v.v) AS BIGINT) AS proj_fixed
+              |      FROM q JOIN v$PcaRounds v ON q.i = v.j GROUP BY 1)
+              |SELECT vec_id, proj_fixed FROM p
+              |ORDER BY ABS(proj_fixed) DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // Explained-variance summary of PC1: Rayleigh quotient λ₁ ≈ vᵀGv/vᵀv
+    // and its share of trace(G) — the "is this corpus anisotropic"
+    // one-liner (a large share means one direction dominates, the
+    // classic symptom of uncentered or collapsed embeddings). All
+    // integer: BigInt on the driver's bounded dim² metadata, HUGEINT in
+    // the mirror, truncating division in both.
+    Q("sim_pca_variance",
+      (s, dir) => {
+        val g = cachedGram(s, dir)
+        val v = Similarity.powerIteration(g, PcaRounds, PcaScale)
+        val dim = g.length
+        var num = BigInt(0); var den = BigInt(0); var trace = 0L
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { num += BigInt(v(i)) * g(i)(j) * v(j); j += 1 }
+          den += BigInt(v(i)) * v(i); trace += g(i)(i); i += 1
+        }
+        val lambdaFixed = (num / den).toLong
+        val sharePpm = (BigInt(lambdaFixed) * 1000000 / trace).toLong
+        import s.implicits._
+        Seq((lambdaFixed, trace, sharePpm))
+          .toDF("lambda_fixed", "trace_qq", "share_ppm")
+      },
+      Some(s"""WITH $pcaCtes,
+              |ray AS (SELECT SUM(CAST(vi.v AS HUGEINT) * g.g * vj.v) AS num
+              |        FROM g JOIN v$PcaRounds vi ON g.i = vi.j
+              |               JOIN v$PcaRounds vj ON g.j = vj.j),
+              |dn AS (SELECT SUM(CAST(v AS HUGEINT) * v) AS den FROM v$PcaRounds),
+              |tr AS (SELECT CAST(SUM(g) AS BIGINT) AS trace_qq FROM g WHERE i = j)
+              |SELECT CAST(num // den AS BIGINT) AS lambda_fixed, trace_qq,
+              |       CAST((num // den) * 1000000 // trace_qq AS BIGINT) AS share_ppm
+              |FROM ray, dn, tr""".stripMargin)),
+
+    // KMV (k-minimum-values) DISTINCT-OVERLAP SKETCH across two corpus
+    // halves, in 5-token SHINGLE space (the near-dup currency: shared
+    // shingle mass between corpora is the phrase-level contamination
+    // screen) — the Beyer et al. (SIGMOD'07) estimator: each side keeps
+    // only its k smallest md5 hash values (mergeable: k smallest per
+    // partition → k smallest global, which is exactly Spark's
+    // orderBy+limit physical plan — partial top-k, no full sort), the
+    // kth value estimates distinct counts, and the union sketch's
+    // both-sides fraction estimates Jaccard. At 100 TB the sketches are
+    // 200 longs per corpus where the exact path is a giant distinct —
+    // the exact columns ride along here only to exhibit estimator
+    // error. All-integer: BIGINT hashes, truncating divisions.
+    Q("agg_kmv_overlap",
+      (s, dir) => {
+        val K = 200
+        val MaxH = 281474976710656L // 2^48: md5's first 12 hex chars
+        val sh = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", n = 5)
+        def side(m: Int) = sh.filter(col("doc_id") % 2 === m)
+          .select(conv(substring(md5(col("shingle")), 1, 12), 16, 10)
+            .cast(LongType).as("h"))
+          .distinct().localCheckpoint() // 3 consumers: kmv, exact, probes
+        val ha = side(0); val hb = side(1)
+        val hu = ha.unionByName(hb).distinct().localCheckpoint()
+        def kmvStats(hx: DataFrame, suffix: String) =
+          hx.orderBy("h").limit(K)
+            .agg(count(lit(1)).as(s"k_$suffix"), max("h").as(s"th_$suffix"))
+        val kmvU = hu.orderBy("h").limit(K).localCheckpoint()
+        val matches = kmvU.join(ha, Seq("h"), "left_semi")
+          .join(hb, Seq("h"), "left_semi").agg(count(lit(1)).as("m"))
+        val kU = kmvU.agg(count(lit(1)).as("k_u"))
+        val exact = ha.agg(count(lit(1)).as("exact_a"))
+          .crossJoin(hb.agg(count(lit(1)).as("exact_b")))
+          .crossJoin(ha.join(hb, Seq("h"), "left_semi")
+            .agg(count(lit(1)).as("inter_n")))
+          .crossJoin(hu.agg(count(lit(1)).as("union_n")))
+        kmvStats(ha, "a").crossJoin(kmvStats(hb, "b"))
+          .crossJoin(matches).crossJoin(kU).crossJoin(exact)
+          .selectExpr(
+            "k_a", "k_b",
+            s"(k_a - 1) * $MaxH div th_a AS est_a",
+            s"(k_b - 1) * $MaxH div th_b AS est_b",
+            "exact_a", "exact_b",
+            "m * 1000000 div k_u AS jacc_est_ppm",
+            "inter_n * 1000000 div union_n AS jacc_exact_ppm")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+              |           FROM documents),
+              |t AS (SELECT doc_id, unnest(list_distinct(
+              |    list_transform(range(1, len(toks) - 3),
+              |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS tok
+              |  FROM tk WHERE len(toks) >= 5),
+              |ha AS MATERIALIZED (SELECT DISTINCT
+              |    CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+              |  FROM t WHERE doc_id % 2 = 0),
+              |hb AS MATERIALIZED (SELECT DISTINCT
+              |    CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h
+              |  FROM t WHERE doc_id % 2 = 1),
+              |hu AS MATERIALIZED (SELECT h FROM ha UNION SELECT h FROM hb),
+              |ka AS (SELECT COUNT(*) AS k_a, MAX(h) AS th_a
+              |       FROM (SELECT h FROM ha ORDER BY h LIMIT 200)),
+              |kb AS (SELECT COUNT(*) AS k_b, MAX(h) AS th_b
+              |       FROM (SELECT h FROM hb ORDER BY h LIMIT 200)),
+              |ku AS MATERIALIZED (SELECT h FROM hu ORDER BY h LIMIT 200),
+              |mt AS (SELECT (SELECT COUNT(*) FROM ku
+              |               WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)) AS m,
+              |              (SELECT COUNT(*) FROM ku) AS k_u),
+              |ex AS (SELECT (SELECT COUNT(*) FROM ha) AS exact_a,
+              |              (SELECT COUNT(*) FROM hb) AS exact_b,
+              |              (SELECT COUNT(*) FROM ha WHERE h IN (SELECT h FROM hb)) AS inter_n,
+              |              (SELECT COUNT(*) FROM hu) AS union_n)
+              |SELECT k_a, k_b,
+              |       (k_a - 1) * 281474976710656 // th_a AS est_a,
+              |       (k_b - 1) * 281474976710656 // th_b AS est_b,
+              |       exact_a, exact_b,
+              |       m * 1000000 // k_u AS jacc_est_ppm,
+              |       inter_n * 1000000 // union_n AS jacc_exact_ppm
+              |FROM ka, kb, mt, ex""".stripMargin)),
+
+    // HARD-NEGATIVE MINING for contrastive training — per query, the
+    // top-5 most-similar corpus vectors whose LABEL DIFFERS (the
+    // near-misses a bi-encoder learns most from; samp_negatives is the
+    // random-negative baseline this upgrades). Query side broadcasts;
+    // the label-mismatch dot map is corpus-linear; top-k is the
+    // bounded-state heap aggregate — at production scale the corpus
+    // side swaps to the IVF/graph candidates, the scoring is unchanged.
+    Q("sim_hard_negatives",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val qs = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("label").as("q_lab"),
+            col("embedding").as("qv"))
+        emb.join(broadcast(qs), col("label") =!= col("q_lab"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.cosine(col("embedding"), col("qv")).as("cos"))
+          .groupBy("q_id")
+          .agg(Ranking.topKBy(col("cos"), col("vec_id"), 5).as("__top"))
+          .select(col("q_id"), posexplode(col("__top")))
+          .select(col("q_id"), (col("pos") + 1).cast(LongType).as("rank"),
+            col("col.id").as("neg_id"), col("col.score").as("cosine"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label AS q_lab, embedding AS qv
+              |           FROM embeddings WHERE vec_id < 8),
+              |c AS (SELECT q.q_id, e.vec_id,
+              |        ${Similarity.cosineSql("e.embedding", "q.qv")} AS cosine
+              |      FROM embeddings e JOIN q ON e.label <> q.q_lab),
+              |r AS (SELECT q_id, vec_id, cosine,
+              |        row_number() OVER (PARTITION BY q_id
+              |                           ORDER BY cosine DESC, vec_id) AS rank
+              |      FROM c)
+              |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id, cosine
+              |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // AUDIO near-duplicates by envelope-fingerprint banding
+    // ([[Multimodal.wavEnvelopeBits]]) — completing the modality triple
+    // next to mm_phash_neardup (images) and mm_video_neardup (video):
+    // real mono PCM16 WAV payloads are decoded to a 24-window
+    // amplitude-profile bitmask (exact integer energies, cross-
+    // multiplied mean test), banded into three 8-bit buckets so
+    // candidates come from an equi-join (never all-pairs), and
+    // verified at Hamming ≤ 2. The planted truth: every id%5==0 doc
+    // has a RE-ENCODED copy (8 kHz header relabel + 16 extra tail
+    // frames — byte-different, envelope-identical) that byte hashing
+    // cannot pair. The oracle replays the synth signal formula
+    // analytically; the engine decodes actual RIFF bytes.
+    Q("mm_audio_neardup",
+      (s, dir) => {
+        val corpus = Multimodal.synthWavNearDupCorpus(
+          s, Tables.documents(s, dir), "doc_id")
+        val fp = Multimodal.wavEnvelopePass(s, corpus, "doc_id", "payload",
+            nWindows = 24, windowLen = 4)
+          .localCheckpoint() // decode once; feeds both sides of the band join
+        val bands = fp.select(col("doc_id"), col("fp"),
+            explode(array(lit(0), lit(1), lit(2))).as("b"))
+          .withColumn("bv", expr("shiftright(fp, 8 * b) & 255"))
+        val a = bands.select(col("b"), col("bv"),
+          col("doc_id").as("id_a"), col("fp").as("fa"))
+        val c = bands.select(col("b"), col("bv"),
+          col("doc_id").as("id_b"), col("fp").as("fb"))
+        a.join(c, Seq("b", "bv")).filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "fa", "fb").distinct()
+          .withColumn("hamming",
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast(LongType))
+          .filter(col("hamming") <= 2)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT doc_id AS id, doc_id AS src FROM documents
+             |  UNION ALL
+             |  SELECT (SELECT MAX(doc_id) + 1 FROM documents) + doc_id, doc_id
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |sv AS (SELECT b.id, i // 4 AS w,
+             |         CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || '_' ||
+             |                                   CAST(i AS VARCHAR)), 1, 4)) AS BIGINT)
+             |           - 32768 AS v
+             |       FROM base b CROSS JOIN (SELECT unnest(range(0, 96)) AS i) ii),
+             |we AS (SELECT id, w, SUM(v * v) AS e FROM sv GROUP BY 1, 2),
+             |tot AS (SELECT id, SUM(e) AS te FROM we GROUP BY 1),
+             |fp AS MATERIALIZED (SELECT we.id,
+             |         CAST(SUM(CASE WHEN e * 24 > te
+             |                       THEN CAST(1 AS BIGINT) << CAST(w AS INT)
+             |                       ELSE 0 END) AS BIGINT) AS fp
+             |       FROM we JOIN tot ON we.id = tot.id GROUP BY 1),
+             |bands AS (SELECT id, fp, b, (fp >> CAST(8 * b AS INT)) & 255 AS bv
+             |          FROM fp CROSS JOIN (SELECT unnest([0, 1, 2]) AS b) bb),
+             |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.fp AS fa, c.fp AS fb
+             |         FROM bands a JOIN bands c
+             |           ON a.b = c.b AND a.bv = c.bv AND a.id < c.id)
+             |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+             |FROM cand WHERE bit_count(xor(fa, fb)) <= 2
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // STREAMING KMV sketch maintenance ([[StreamOps.kmvPartialsSink]]),
+    // oracle-hashed end state: the corpus' 5-shingle hashes arrive as
+    // four unordered micro-batches; each batch appends its k smallest
+    // distinct hashes exactly-once, and the drained epilogue re-takes
+    // the k smallest distinct over the maintained partials. k-min is a
+    // semilattice — associative, commutative, idempotent — so the
+    // result equals the single-pass corpus sketch for ANY batching or
+    // arrival order (no mtime pinning needed, unlike the
+    // order-sensitive sinks), and the estimator runs over a table of
+    // batches × k rows however much data ever streamed.
+    Q("stream_kmv_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_kmv_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val hashes = Dedup.shingles(Tables.documents(s, dir), "doc_id", "text", n = 5)
+          .select(conv(substring(md5(col("shingle")), 1, 12), 16, 10)
+            .cast(LongType).as("h"))
+        val staged = s"$base/in"
+        hashes.repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        StreamOps.kmvPartialsSink(stream, st, "metrics", "kmv_shingles",
+          "h", k = 200, checkpoint = s"$base/ckpt").awaitTermination()
+        val sk = st.read("metrics", "kmv_shingles").select("h").distinct()
+          .orderBy("h").limit(200)
+        sk.agg(count(lit(1)).as("k_sketch"), max("h").as("th"))
+          .selectExpr("k_sketch", "th",
+            "(k_sketch - 1) * 281474976710656 div th AS est_distinct")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+              |           FROM documents),
+              |t AS (SELECT doc_id, unnest(list_distinct(
+              |    list_transform(range(1, len(toks) - 3),
+              |      i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) AS tok
+              |  FROM tk WHERE len(toks) >= 5),
+              |hh AS (SELECT DISTINCT
+              |    CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS h FROM t),
+              |ks AS (SELECT COUNT(*) AS k_sketch, MAX(h) AS th
+              |       FROM (SELECT h FROM hh ORDER BY h LIMIT 200))
+              |SELECT k_sketch, th,
+              |       (k_sketch - 1) * 281474976710656 // th AS est_distinct
+              |FROM ks""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

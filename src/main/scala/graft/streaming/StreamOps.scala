@@ -241,6 +241,31 @@ object StreamOps {
       }
       .start()
 
+  /** Mergeable KMV partial-sketch maintenance: each micro-batch appends
+    * its k smallest DISTINCT hash values exactly-once (txn-tagged).
+    * k-min is a semilattice (associative, commutative, idempotent), so
+    * any global k smallest hash is also within its own batch's k
+    * smallest — re-taking the k smallest DISTINCT values over the
+    * maintained table equals the single-pass corpus sketch EXACTLY,
+    * whatever the batch boundaries or arrival order. State = batches ×
+    * k rows, no raw retention; compaction re-merges losslessly. The
+    * distinct-cardinality / overlap estimators run at read time
+    * (agg_kmv_overlap's epilogue). */
+  def kmvPartialsSink(stream: DataFrame, st: SnapshotStore, layer: String,
+                      table: String, hashCol: String, k: Int, checkpoint: String,
+                      sinkId: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        st.appendIfAbsent(
+          batch.toDF().select(col(hashCol).as("h")).distinct()
+            .orderBy("h").limit(k),
+          layer, table, txnTag(checkpoint, sinkId, batchId))
+        ()
+      }
+      .start()
+
   /** Exactly-once per-key partial SUM accumulation — the mergeable-
     * state metrics sink for monitors whose epilogue (CUSUM, drift,
     * z-score) runs at read time over the accumulated table. Each batch

@@ -345,4 +345,51 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.pngAHashPairs(spark, corpus, "doc_id", "payload", 4)
     }
   }
+
+  test("wavEnvelopeBits: exact bits, re-encode invariance, short/stereo → None") {
+    def sample(id: Long, i: Int) = Multimodal.nearDupSample(id, i)
+    val base = Multimodal.wavBytes(16000, 1, Array.tabulate(120)(sample(7L, _)))
+    // reference computation straight off the definition
+    val want = {
+      val e = Array.tabulate(24) { w =>
+        (0 until 4).map { j =>
+          val s = sample(7L, 4 * w + j).toLong; s * s
+        }.sum
+      }
+      val t = e.sum
+      e.zipWithIndex.collect { case (x, w) if x * 24 > t => 1L << w }
+        .foldLeft(0L)(_ | _)
+    }
+    assert(Multimodal.wavEnvelopeBits(base, 24, 4).contains(want))
+    // header relabel + tail padding (the re-encode transforms) keep the
+    // fingerprint; byte equality obviously doesn't survive them
+    val reenc = Multimodal.wavBytes(8000, 1, Array.tabulate(136)(sample(7L, _)))
+    assert(!java.util.Arrays.equals(base, reenc))
+    assert(Multimodal.wavEnvelopeBits(reenc, 24, 4).contains(want))
+    // a different signal fingerprints differently
+    val other = Multimodal.wavBytes(16000, 1, Array.tabulate(120)(sample(8L, _)))
+    assert(Multimodal.wavEnvelopeBits(other, 24, 4).exists(_ != want))
+    // shorter than the grid / non-mono → None
+    val short = Multimodal.wavBytes(16000, 1, Array.tabulate(90)(sample(7L, _)))
+    assert(Multimodal.wavEnvelopeBits(short, 24, 4).isEmpty)
+    val stereo = Multimodal.wavBytes(16000, 2, Array.tabulate(120)(sample(7L, _)))
+    assert(Multimodal.wavEnvelopeBits(stereo, 24, 4).isEmpty)
+  }
+
+  test("mm_audio_neardup pairs every planted re-encode with its source at Hamming 0") {
+    val out = graft.SparkEntry.queries("mm_audio_neardup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(_.getLong(0))
+    val off = docs.max + 1
+    val planted = docs.filter(_ % 5 == 0).map(id => (id, off + id)).toSet
+    val found = out.map { case (a, b, _) => (a, b) }.toSet
+    assert(planted.subsetOf(found),
+      s"missing planted pairs: ${planted -- found}")
+    planted.foreach { p =>
+      val h = out.find(r => (r._1, r._2) == p).get._3
+      assert(h == 0L, s"planted pair $p must be envelope-identical, got hamming $h")
+    }
+  }
 }

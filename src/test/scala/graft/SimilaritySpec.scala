@@ -652,4 +652,132 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("WindowExec"),
       s"rangeSearch must assign cells via min_by aggregate, not a window:\n$plan")
   }
+
+  test("native distSq is bit-identical to the zip_with+aggregate fold") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .select(Similarity.distSq(col("a.embedding"), col("b.embedding")).as("native"),
+        graft.ops.Similarity.distSqFold(col("a.embedding"), col("b.embedding")).as("fold"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"native=${r.getDouble(0)} fold=${r.getDouble(1)}")
+    }
+    // null / length-mismatch parity with the fold's zip_with padding
+    val edge = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))
+    ).toDF("a", "b")
+      .select(Similarity.distSq(col("a"), col("b")).as("d"))
+      .collect()
+    assert(edge.head.isNullAt(0), "length mismatch must yield NULL like the fold")
+  }
+
+  test("dbscan: chain → core middles + border ends; sparse pair + isolate → noise") {
+    import spark.implicits._
+    // 0-1-2-3 is a 0.4-spaced chain (eps=0.5, minPts=2): 1,2 have two
+    // eps-neighbors (core), 0,3 one (border); 10-11 is an isolated pair
+    // (one neighbor each — noise); 20 is fully isolated (noise)
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.4f, 0.0f)),
+      (2L, Array(0.8f, 0.0f)), (3L, Array(1.2f, 0.0f)),
+      (10L, Array(9.0f, 0.0f)), (11L, Array(9.4f, 0.0f)),
+      (20L, Array(20.0f, 20.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 0.0f)),
+      (2L, Array(20.0f, 20.0f))).toDF("c_id", "c_vec")
+    val out = Similarity.dbscan(pts, "vec_id", "embedding",
+        cents, "c_vec", "c_id", eps = 0.5, minPts = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+    // cluster label = min id of the core component {1,2} = 1; border 3
+    // reaches it through its only core neighbor 2
+    assert(out.toSeq == Seq(
+      0L -> ((1L, "border")), 1L -> ((1L, "core")),
+      2L -> ((1L, "core")), 3L -> ((1L, "border"))),
+      s"got ${out.toSeq}")
+  }
+
+  test("dbscan: lone core with only border satellites keeps its own id as cluster") {
+    import spark.implicits._
+    // hub 0 has two eps-neighbors (core); satellites 1,2 have one each
+    // (borders) and are NOT within eps of each other — the core-core
+    // edge set is empty, so the hub must fall back to cluster = own id
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(0.45f, 0.0f)),
+      (2L, Array(-0.45f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.0f, 0.0f))).toDF("c_id", "c_vec")
+    val out = Similarity.dbscan(pts, "vec_id", "embedding",
+        cents, "c_vec", "c_id", eps = 0.5, minPts = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.toSeq == Seq((0L, 0L, "core"), (1L, 0L, "border"), (2L, 0L, "border")))
+  }
+
+  test("gramMatrix: exact integer cells on hand-quantizable vectors") {
+    import spark.implicits._
+    // components are multiples of 2^-8, so round(x·256) is exact
+    val emb = Seq(
+      (0L, Array(1.0f, 0.5f)),
+      (1L, Array(0.25f, -0.25f))
+    ).toDF("vec_id", "embedding")
+    val g = Similarity.gramMatrix(emb, "vec_id", "embedding", qScale = 256.0)
+    // q0 = (256, 128), q1 = (64, -64)
+    assert(g(0)(0) == 256L * 256 + 64L * 64)
+    assert(g(0)(1) == 256L * 128 + 64L * -64)
+    assert(g(1)(0) == g(0)(1), "Gram must be symmetric")
+    assert(g(1)(1) == 128L * 128 + 64L * 64)
+  }
+
+  test("powerIteration: converges to the dominant eigendirection, exactly reproducible") {
+    // [[2,1],[1,2]] has eigenpairs (3, (1,1)) and (1, (1,-1)) — the
+    // iterate must equalize its two components (the (1,1) direction)
+    val g = Array(Array(2L, 1L), Array(1L, 2L))
+    val v = Similarity.powerIteration(g, rounds = 12, scale = 1L << 20)
+    assert(v(0) == v(1), s"expected (1,1) direction, got ${v.toSeq}")
+    assert(math.abs(v(0) - (1L << 20)) <= 1, "iterate stays at the fixed-point scale")
+    // diag(4,1): dominant axis 0 — component 1 decays toward 0
+    val d = Array(Array(4L, 0L), Array(0L, 1L))
+    val w = Similarity.powerIteration(d, rounds = 12, scale = 1L << 20)
+    assert(w(0) == (1L << 20) && math.abs(w(1)) < 16,
+      s"expected e0 direction, got ${w.toSeq}")
+    // identical inputs → identical trajectory (pure integer fn)
+    assert(Similarity.powerIteration(g, 12, 1L << 20).toSeq == v.toSeq)
+  }
+
+  test("agg_kmv_overlap: sketch estimates track the exact counts on driver data") {
+    val row = graft.SparkEntry.queries("agg_kmv_overlap")(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (kA, kB) = (row.getLong(0), row.getLong(1))
+    val (estA, estB) = (row.getLong(2), row.getLong(3))
+    val (exactA, exactB) = (row.getLong(4), row.getLong(5))
+    val (jaccEst, jaccExact) = (row.getLong(6), row.getLong(7))
+    assert(kA == 200 && kB == 200, "vocab ≫ k at every driver SF")
+    // KMV with k=200 has relative σ ≈ 1/√199 ≈ 7%; 30% is a safe gate
+    assert(math.abs(estA - exactA).toDouble / exactA < 0.30, s"est_a=$estA exact_a=$exactA")
+    assert(math.abs(estB - exactB).toDouble / exactB < 0.30, s"est_b=$estB exact_b=$exactB")
+    // Jaccard estimator σ ≈ √(j(1−j)/k) ≤ 0.036 — 0.15 absolute gate
+    assert(math.abs(jaccEst - jaccExact) < 150000L, s"est=$jaccEst exact=$jaccExact ppm")
+  }
+
+  test("sim_hard_negatives: every negative has a different label, scores descend") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("sim_hard_negatives")(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, _, neg, _) =>
+      assert(emb(q) != emb(neg), s"negative $neg shares query $q's label") }
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted(Ordering[Double].reverse).toSeq,
+        "cosine must be non-increasing in rank")
+    }
+  }
 }

@@ -444,4 +444,31 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == Seq((1L, 12.0), (2L, 21.0), (3L, 30.0)))
   }
+
+  test("kmvPartialsSink: merged partials equal the single-pass sketch; replay is a no-op") {
+    import graft.engine.SnapshotStore
+    import spark.implicits._
+    // three unordered batches with cross-batch duplicates; k = 4
+    val batches = Seq(Seq(90L, 40L, 10L, 70L), Seq(40L, 20L, 95L), Seq(15L, 10L, 99L, 30L))
+    val dir = tmp("graft_kmv_in")
+    batches.foreach { b =>
+      b.toDF("h").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val st = new SnapshotStore(spark, tmp("graft_kmv_st"))
+    val ck = tmp("graft_ck")
+    def drain(): Unit = StreamOps.kmvPartialsSink(
+      StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1)),
+      st, "metrics", "kmv", "h", k = 4, checkpoint = ck).awaitTermination()
+    drain()
+    // the maintained table holds per-batch partials: ≤ batches × k rows
+    assert(st.read("metrics", "kmv").count() <= 12)
+    val sketch = st.read("metrics", "kmv").select("h").distinct()
+      .orderBy("h").limit(4).as[Long].collect().toSeq
+    // global 4 smallest DISTINCT values — whatever the batch boundaries
+    assert(sketch == Seq(10L, 15L, 20L, 30L))
+    // drained rerun from the same checkpoint: nothing commits twice
+    drain()
+    assert(st.read("metrics", "kmv").select("h").distinct()
+      .orderBy("h").limit(4).as[Long].collect().toSeq == sketch)
+  }
 }
