@@ -75,6 +75,87 @@ object ExtQueries {
   private val PcaRounds = 12
   private def pcaCtes: String =
     Similarity.pcaPowerCtesSql("embeddings", "embedding", PcaQScale, PcaRounds, PcaScale)
+
+  /** Planted-structure DBSCAN corpus shared by sim_dbscan and
+    * sim_dbscan_lsh: per base b%10=0 a CHAIN of three replicas at
+    * +0.4·r along coord (b div 10)%64 (middles core at minPts=2, ends
+    * border), per b%10=5 a single 0.4-pair (both below minPts → noise),
+    * every natural point isolated noise. Margins measured: next
+    * non-planted distance ≥ 0.89 ≫ eps = 0.5 at every driver SF. */
+  private def dbscanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val off = base.agg(coalesce(max("vec_id"), lit(0L))).head.getLong(0) + 1
+    val reps = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("r"))
+      .unionByName(emb.filter(col("vec_id") % 10 === 5)
+        .select(col("vec_id"), col("embedding"), lit(1L).as("r")))
+      .withColumn("c", expr("CAST((vec_id div 10) % 64 AS INT)"))
+      .withColumn("delta", col("r").cast(DoubleType) * lit(0.4))
+      .select((lit(off) + col("vec_id") * 4 + col("r")).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast(DoubleType) +
+            when(i === col("c"), col("delta")).otherwise(lit(0.0))).as("v"))
+    base.unionByName(reps)
+  }
+
+  /** The corpus above as DuckDB CTEs (`ec`, `rep0`, `reps` → `corpus`). */
+  private val dbscanCorpusCtesSql: String =
+    """ec AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |       FROM embeddings),
+      |rep0 AS (SELECT vec_id, embedding, r,
+      |    CAST((vec_id // 10) % 64 AS BIGINT) AS c, CAST(r AS DOUBLE) * 0.4 AS delta
+      |  FROM (SELECT vec_id, embedding, rr.r FROM embeddings
+      |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) rr
+      |        WHERE vec_id % 10 = 0
+      |        UNION ALL
+      |        SELECT vec_id, embedding, 1 AS r FROM embeddings WHERE vec_id % 10 = 5)),
+      |reps AS (SELECT (SELECT MAX(vec_id) + 1 FROM embeddings) + vec_id * 4 + r AS vec_id,
+      |    list_transform(list_zip(embedding, range(0, len(embedding))), s ->
+      |      CAST(s[1] AS DOUBLE) + CASE WHEN s[2] = c THEN delta ELSE 0.0 END) AS v
+      |  FROM rep0),
+      |corpus AS MATERIALIZED (SELECT * FROM ec UNION ALL SELECT * FROM reps)""".stripMargin
+
+  /** The DBSCAN labeling CTE chain + final select over a candidate-
+    * verified directed pair table `pr(qid, iid)` — shared mirror of
+    * [[graft.ops.Similarity]]'s dbscanFromNbrs. */
+  private val dbscanLabelSql: String =
+    """cnt AS (SELECT qid, COUNT(*) AS n FROM pr GROUP BY 1),
+      |core AS MATERIALIZED (SELECT qid AS id FROM cnt WHERE n >= 2),
+      |ce AS MATERIALIZED (SELECT pr.qid AS src, pr.iid AS dst FROM pr
+      |  JOIN core c1 ON pr.qid = c1.id JOIN core c2 ON pr.iid = c2.id),
+      |reach(node, rt) AS (SELECT src, src FROM ce
+      |  UNION
+      |  SELECT ce.src, reach.rt FROM ce JOIN reach ON ce.dst = reach.node),
+      |comp AS (SELECT node, MIN(rt) AS component FROM reach GROUP BY 1),
+      |cc AS MATERIALIZED (SELECT core.id, COALESCE(comp.component, core.id) AS cluster
+      |  FROM core LEFT JOIN comp ON core.id = comp.node),
+      |bd AS (SELECT pr.qid AS id, MIN(cc.cluster) AS cluster
+      |  FROM pr JOIN cc ON pr.iid = cc.id
+      |  WHERE pr.qid NOT IN (SELECT id FROM core) GROUP BY 1)
+      |SELECT id AS vec_id, cluster, 'core' AS role FROM cc
+      |UNION ALL
+      |SELECT id AS vec_id, cluster, 'border' AS role FROM bd
+      |ORDER BY vec_id""".stripMargin
+
+  /** Deterministic ±1 planes for the LSH DBSCAN (8 bands × 8 planes)
+    * and their compact SQL literal / band-arm renderings. */
+  private lazy val radPlanes64: Array[Array[Double]] =
+    Similarity.rademacherPlanes(64, 64)
+  private def radPlaneSql(p: Array[Double]): String =
+    "[" + p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",") + "]"
+  private def bandArmsSql(planes: Array[Array[Double]], bands: Int): String = {
+    val r = planes.length / bands
+    (0 until bands).map { b =>
+      val bits = (0 until r).map { j =>
+        s"""CASE WHEN ${Similarity.dotSql("v", radPlaneSql(planes(b * r + j)))} > 0
+           |THEN ${1L << j} ELSE 0 END""".stripMargin.replace("\n", " ")
+      }.mkString(" + ")
+      s"SELECT vec_id, $b AS band, $bits AS bv FROM corpus"
+    }.mkString("\nUNION ALL\n")
+  }
   private def adaptiveBucketsSql(rel: String): String =
     s"(SELECT GREATEST(16, COUNT(*) // 128) FROM $rel)" 
 
@@ -8396,22 +8477,7 @@ object ExtQueries {
     // margins (next non-planted distance ≥ 0.89 ≫ eps = 0.5).
     Q("sim_dbscan",
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val base = emb.select(col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-        val off = base.agg(coalesce(max("vec_id"), lit(0L))).head.getLong(0) + 1
-        val reps = emb.filter(col("vec_id") % 10 === 0)
-          .select(col("vec_id"), col("embedding"),
-            explode(array(lit(1L), lit(2L), lit(3L))).as("r"))
-          .unionByName(emb.filter(col("vec_id") % 10 === 5)
-            .select(col("vec_id"), col("embedding"), lit(1L).as("r")))
-          .withColumn("c", expr("CAST((vec_id div 10) % 64 AS INT)"))
-          .withColumn("delta", col("r").cast(DoubleType) * lit(0.4))
-          .select((lit(off) + col("vec_id") * 4 + col("r")).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              x.cast(DoubleType) +
-                when(i === col("c"), col("delta")).otherwise(lit(0.0))).as("v"))
-        val corpus = base.unionByName(reps)
+        val corpus = dbscanCorpus(s, dir)
         val cents = corpus.filter(col("vec_id") < 8)
           .select(col("vec_id").as("c_id"), col("v").as("c_vec"))
         Similarity.dbscan(corpus, "vec_id", "v", cents, "c_vec", "c_id",
@@ -8420,40 +8486,88 @@ object ExtQueries {
           .orderBy("vec_id")
       },
       Some(s"""WITH RECURSIVE
-              |ec AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              |       FROM embeddings),
-              |rep0 AS (SELECT vec_id, embedding, r,
-              |    CAST((vec_id // 10) % 64 AS BIGINT) AS c, CAST(r AS DOUBLE) * 0.4 AS delta
-              |  FROM (SELECT vec_id, embedding, rr.r FROM embeddings
-              |          CROSS JOIN (SELECT unnest([1, 2, 3]) AS r) rr
-              |        WHERE vec_id % 10 = 0
-              |        UNION ALL
-              |        SELECT vec_id, embedding, 1 AS r FROM embeddings WHERE vec_id % 10 = 5)),
-              |reps AS (SELECT (SELECT MAX(vec_id) + 1 FROM embeddings) + vec_id * 4 + r AS vec_id,
-              |    list_transform(list_zip(embedding, range(0, len(embedding))), s ->
-              |      CAST(s[1] AS DOUBLE) + CASE WHEN s[2] = c THEN delta ELSE 0.0 END) AS v
-              |  FROM rep0),
-              |corpus AS MATERIALIZED (SELECT * FROM ec UNION ALL SELECT * FROM reps),
+              |$dbscanCorpusCtesSql,
               |pr AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS iid
               |  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
               |  WHERE ${Similarity.distSqSql("a.v", "b.v")} <= 0.25),
-              |cnt AS (SELECT qid, COUNT(*) AS n FROM pr GROUP BY 1),
-              |core AS MATERIALIZED (SELECT qid AS id FROM cnt WHERE n >= 2),
-              |ce AS MATERIALIZED (SELECT pr.qid AS src, pr.iid AS dst FROM pr
-              |  JOIN core c1 ON pr.qid = c1.id JOIN core c2 ON pr.iid = c2.id),
-              |reach(node, rt) AS (SELECT src, src FROM ce
-              |  UNION
-              |  SELECT ce.src, reach.rt FROM ce JOIN reach ON ce.dst = reach.node),
-              |comp AS (SELECT node, MIN(rt) AS component FROM reach GROUP BY 1),
-              |cc AS MATERIALIZED (SELECT core.id, COALESCE(comp.component, core.id) AS cluster
-              |  FROM core LEFT JOIN comp ON core.id = comp.node),
-              |bd AS (SELECT pr.qid AS id, MIN(cc.cluster) AS cluster
-              |  FROM pr JOIN cc ON pr.iid = cc.id
-              |  WHERE pr.qid NOT IN (SELECT id FROM core) GROUP BY 1)
-              |SELECT id AS vec_id, cluster, 'core' AS role FROM cc
-              |UNION ALL
-              |SELECT id AS vec_id, cluster, 'border' AS role FROM bd
-              |ORDER BY vec_id""".stripMargin)),
+              |$dbscanLabelSql""".stripMargin)),
+
+    // LSH-candidate DBSCAN ([[Similarity.dbscanLsh]]) — the 100 TB form
+    // of sim_dbscan: the exact eps-graph is Ω(N²) on concentrated
+    // high-dim distances (measured 6.3× at 10× data — the cell bound
+    // admits everything), so candidates come from 8 bands × 8
+    // deterministic ±1 sign-planes (a pair is considered iff some
+    // band's full sign-slice matches: the ~90° bulk prunes as 2⁻⁸ per
+    // band while 0.4-offset planted pairs survive with p ≈ 0.985 per
+    // edge — measured label recall 187/200 vs the exact variant), and
+    // only survivors pay the exact d² ≤ eps² verify. Same corpus, same
+    // labeling phase; the found graph is deterministic (md5 planes), so
+    // the approximate result is still hash-exact across engines.
+    Q("sim_dbscan_lsh",
+      (s, dir) => Similarity.dbscanLsh(dbscanCorpus(s, dir), "vec_id", "v",
+          radPlanes64, bands = 8, eps = 0.5, minPts = 2)
+        .select(col("id").as("vec_id"), col("cluster"), col("role"))
+        .orderBy("vec_id"),
+      Some(s"""WITH RECURSIVE
+              |$dbscanCorpusCtesSql,
+              |bnd AS MATERIALIZED (${bandArmsSql(radPlanes64, 8)}),
+              |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS iid
+              |  FROM bnd a JOIN bnd c ON a.band = c.band AND a.bv = c.bv
+              |                       AND a.vec_id < c.vec_id),
+              |ver AS MATERIALIZED (SELECT qid, iid FROM cand
+              |  JOIN corpus x ON x.vec_id = cand.qid
+              |  JOIN corpus y ON y.vec_id = cand.iid
+              |  WHERE ${Similarity.distSqSql("x.v", "y.v")} <= 0.25),
+              |pr AS MATERIALIZED (SELECT qid, iid FROM ver
+              |  UNION ALL SELECT iid, qid FROM ver),
+              |$dbscanLabelSql""".stripMargin)),
+
+    // INDEX-ASSISTED DBSCAN — the composition that actually changes the
+    // law: the maintained NN-descent k-NN graph (the once-per-ingest
+    // artifact sim_nndescent builds and stream_nn_final keeps fresh)
+    // already holds each point's nearest neighbors, so the eps-graph is
+    // ONE filter (dist ≤ eps) + symmetrize over N·k edges — no pair
+    // enumeration at all, and the labeling phase is linear in edges.
+    // Exact whenever every eps-ball fits in k AND the index is exact
+    // (the planted chains have ≤ 3 true neighbors, k = 6); quality
+    // tracks the index — 4 init hashes × 3 rounds measures 195/200
+    // labels vs the exact baseline at sf0.001 (2 × 2 measured 92/200:
+    // tiny 4-node families are the descent's hardest case, since
+    // neighbor-of-neighbor expansion has almost nothing to walk).
+    // sim_dbscan is the exact baseline; sim_dbscan_lsh the banding
+    // constant-factor; this is the production shape.
+    Q("sim_dbscan_graph",
+      (s, dir) => {
+        val corpus = dbscanCorpus(s, dir).localCheckpoint()
+        val g = cachedNnGraph(s, dir, "dbscan") {
+          Similarity.nnDescent(corpus, "vec_id", "v", k = 6, rounds = 3,
+            buckets = adaptiveBuckets(corpus.count()), initHashes = 4)
+        }
+        val e = g.filter(col("dist") <= 0.5)
+          .select(col("vec_id").as("query_id"), col("nbr_id").as("item_id"))
+        val nbrs = e.unionByName(
+            e.select(col("item_id").as("query_id"), col("query_id").as("item_id")))
+          .distinct()
+        Similarity.dbscanFromNbrs(nbrs, minPts = 2)
+          .select(col("id").as("vec_id"), col("cluster"), col("role"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |$dbscanCorpusCtesSql,
+              |cx AS MATERIALIZED (SELECT vec_id AS id, v AS vec FROM corpus),
+              |${Similarity.nnDescentCtesSql(k = 6, rounds = 3,
+                 adaptiveBucketsSql("cx"), initHashes = 4, srcRel = "cx")},
+              |ge AS (SELECT src, dst FROM knn3 WHERE d2 <= 0.25),
+              |-- DISTINCT over UNION ALL, not UNION: DuckDB 1.0 silently
+              |-- skips the UNION dedup for non-recursive CTEs inside a
+              |-- WITH RECURSIVE block (reproduced against VALUES), so the
+              |-- reciprocal edges knn2 carries would double-count toward
+              |-- minPts where the Spark side's .distinct() collapses them
+              |pr AS MATERIALIZED (SELECT DISTINCT qid, iid FROM (
+              |  SELECT src AS qid, dst AS iid FROM ge
+              |  UNION ALL
+              |  SELECT dst AS qid, src AS iid FROM ge)),
+              |$dbscanLabelSql""".stripMargin)),
 
     // PC1 of the embedding corpus by FIXED-POINT POWER ITERATION on the
     // integer Gram sufficient statistic ([[Similarity.gramMatrix]] —

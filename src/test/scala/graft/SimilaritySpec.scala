@@ -718,6 +718,26 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 0L, "core"), (1L, 0L, "border"), (2L, 0L, "border")))
   }
 
+  test("approximate DBSCAN variants label only planted-chain members, ≥90% of the exact baseline") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = graft.SparkEntry.queries("sim_dbscan")(spark, dir).collect()
+    val ids = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val off = ids.max + 1
+    // only the %10==0 chain families can be labeled: pairs (%10==5) and
+    // naturals are noise by construction (measured margins in the query)
+    val legal = ids.filter(_ % 10 == 0)
+      .flatMap(b => Seq(b, off + 4 * b + 1, off + 4 * b + 2, off + 4 * b + 3)).toSet
+    assert(exact.map(_.getLong(0)).forall(legal), "exact labels a non-planted id")
+    Seq("sim_dbscan_lsh", "sim_dbscan_graph").foreach { q =>
+      val out = graft.SparkEntry.queries(q)(spark, dir).collect()
+      assert(out.map(_.getLong(0)).forall(legal), s"$q labels a non-planted id")
+      assert(out.forall(r => Set("core", "border")(r.getString(2))))
+      assert(out.length >= (exact.length * 9) / 10,
+        s"$q recovered ${out.length} of ${exact.length} exact labels")
+    }
+  }
+
   test("gramMatrix: exact integer cells on hand-quantizable vectors") {
     import spark.implicits._
     // components are multiples of 2^-8, so round(x·256) is exact
