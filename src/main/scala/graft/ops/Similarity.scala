@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /**
  * Similarity search over embedding columns (`ARRAY<FLOAT>`):
@@ -1484,21 +1484,37 @@ object Similarity {
    * dim 64; past that widen to DECIMAL(38) (the [[gramSql]] note).
    */
   def gramMatrix(emb: DataFrame, idCol: String, vecCol: String,
-                 qScale: Double): Array[Array[Long]] = {
-    val dim = emb.select(size(col(vecCol)).as("d")).limit(1).collect()(0).getInt(0)
+                 qScale: Double): Array[Array[Long]] =
+    collectGram(gramCells(emb, idCol, vecCol, qScale))
+
+  /** The distributed (i ≤ j) integer Gram cells `(i, j, g)` of the
+    * round(x·qScale) corpus — ADDITIVE over row subsets, so per-batch
+    * partials appended by [[graft.streaming.StreamOps.gramPartialsSink]]
+    * re-sum to the exact corpus Gram whatever the batching. */
+  def gramCells(emb: DataFrame, idCol: String, vecCol: String,
+                qScale: Double): DataFrame = {
     val quant = emb.select(col(idCol).as("__rid"), posexplode(col(vecCol)))
       .select(col("__rid"), col("pos").as("i"),
         floor(col("col").cast(DoubleType) * lit(qScale) + lit(0.5))
           .cast(LongType).as("q"))
     val a = quant.select(col("__rid"), col("i"), col("q").as("qi"))
     val b = quant.select(col("__rid"), col("i").as("j"), col("q").as("qj"))
-    val out = Array.ofDim[Long](dim, dim)
     a.join(b, "__rid").filter(col("i") <= col("j"))
       .groupBy("i", "j").agg(sum(col("qi") * col("qj")).as("g"))
-      .collect().foreach { r =>
-        val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
-        out(i)(j) = v; out(j)(i) = v
-      }
+  }
+
+  /** Collect (i ≤ j) Gram cells into the symmetric dim² driver matrix
+    * (bounded metadata — the watermark-read contract). */
+  def collectGram(cells: DataFrame): Array[Array[Long]] = {
+    val rows = cells.select(col("i").cast(IntegerType), col("j").cast(IntegerType),
+      col("g").cast(LongType)).collect()
+    require(rows.nonEmpty, "collectGram: empty cell table")
+    val dim = rows.map(r => math.max(r.getInt(0), r.getInt(1))).max + 1
+    val out = Array.ofDim[Long](dim, dim)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      out(i)(j) = v; out(j)(i) = v
+    }
     out
   }
 

@@ -8861,6 +8861,141 @@ object ExtQueries {
               |SELECT k_sketch, th,
               |       (k_sketch - 1) * 281474976710656 // th AS est_distinct
               |FROM ks""".stripMargin)),
+
+    // ALL-BUT-THE-TOP embedding post-processing (Mu & Viswanath,
+    // ICLR'18): remove the dominant principal direction from every
+    // vector — the standard fix for anisotropic embedding spaces where
+    // one rogue direction swamps cosine. All integer: the PC1 iterate
+    // v (fixed-point, from the same cached Gram), per-vector projection
+    // q·v exact, correction qᵢ − (proj·vᵢ) div (v·v) truncating in both
+    // engines. Output: query 0's raw quantized-cosine top-10 with each
+    // pair's corrected cosine alongside — the before/after re-ranking
+    // an embedding-quality audit reads.
+    Q("sim_all_but_top",
+      (s, dir) => {
+        val g = cachedGram(s, dir)
+        val v = Similarity.powerIteration(g, PcaRounds, PcaScale)
+        val den = v.map(x => x * x).sum
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            transform(col("embedding"), x =>
+              floor(x.cast(DoubleType) * lit(PcaQScale.toDouble) + lit(0.5))
+                .cast(LongType)).as("q"))
+          .withColumn("vv", array(v.map(lit).toIndexedSeq: _*))
+          .withColumn("proj", aggregate(zip_with(col("q"), col("vv"),
+            (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+          .withColumn("cq",
+            expr(s"zip_with(q, vv, (qi, vi) -> qi - (proj * vi) div ${den}L)"))
+        val q0 = base.filter(col("vec_id") === 0)
+          .select(col("q").as("q0"), col("cq").as("cq0"))
+        base.filter(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+          .select(col("vec_id"),
+            Similarity.quantizedCosine(col("q"), col("q0")).as("cos_raw"),
+            Similarity.quantizedCosine(col("cq"), col("cq0")).as("cos_corrected"))
+          .orderBy(col("cos_raw").desc, col("vec_id")).limit(10)
+      },
+      Some(s"""WITH $pcaCtes,
+              |vden AS (SELECT CAST(SUM(v * v) AS BIGINT) AS den FROM v$PcaRounds),
+              |pj AS (SELECT q.vec_id, CAST(SUM(q.q * v.v) AS BIGINT) AS proj
+              |       FROM q JOIN v$PcaRounds v ON q.i = v.j GROUP BY 1),
+              |cells AS (SELECT q.vec_id, q.i, q.q,
+              |    q.q - (pj.proj * v.v) // (SELECT den FROM vden) AS c
+              |  FROM q JOIN v$PcaRounds v ON q.i = v.j
+              |         JOIN pj ON q.vec_id = pj.vec_id),
+              |lists AS MATERIALIZED (SELECT vec_id,
+              |    list(q ORDER BY i) AS q, list(c ORDER BY i) AS cq
+              |  FROM cells GROUP BY 1),
+              |q0 AS (SELECT q AS q0, cq AS cq0 FROM lists WHERE vec_id = 0)
+              |SELECT vec_id,
+              |  ${Similarity.quantizedCosineSql("lists.q", "q0.q0")} AS cos_raw,
+              |  ${Similarity.quantizedCosineSql("lists.cq", "q0.cq0")} AS cos_corrected
+              |FROM lists CROSS JOIN q0 WHERE vec_id <> 0
+              |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // STREAMING PCA sufficient-statistic maintenance
+    // ([[StreamOps.gramPartialsSink]]), oracle-hashed end state: the
+    // embedding corpus arrives as four unordered micro-batches; each
+    // appends its (i, j, Σqᵢqⱼ) integer Gram partials exactly-once, and
+    // the drained epilogue re-sums the dim²-bounded table and runs the
+    // SAME fixed-point power iteration as sim_pca_power. The Gram is a
+    // sum over rows — order-free, batch-free — so the oracle IS
+    // sim_pca_power's single-pass mirror: streamed index maintenance
+    // provably equals the batch build, the second order-free sink after
+    // stream_kmv_final.
+    Q("stream_pca_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_pca_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val staged = s"$base/in"
+        Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        StreamOps.gramPartialsSink(stream, st, "metrics", "gram_cells",
+          "vec_id", "embedding", qScale = PcaQScale.toDouble,
+          checkpoint = s"$base/ckpt").awaitTermination()
+        val merged = st.read("metrics", "gram_cells")
+          .groupBy("i", "j").agg(sum("g").as("g"))
+        val v = Similarity.powerIteration(
+          Similarity.collectGram(merged), PcaRounds, PcaScale)
+        import s.implicits._
+        v.toSeq.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+          .toDF("dim_i", "v_fixed").orderBy("dim_i")
+      },
+      Some(s"""WITH $pcaCtes
+              |SELECT j AS dim_i, v AS v_fixed FROM v$PcaRounds ORDER BY dim_i""".stripMargin)),
+
+    // Best-window SNIPPET EXTRACTION (search result highlighting): per
+    // document the 10-token window holding the most query-term
+    // occurrences (ties → earliest window), materialized as the snippet
+    // string. Plan shape: hits are a narrow filtered projection, the
+    // window score is one RANGE frame over hit positions (state = hits
+    // in a 10-token span, not the document), the winner is a max_by
+    // aggregate, and the token array joins back ONCE for the slice —
+    // the full text never rides through the window shuffle.
+    Q("search_highlight",
+      (s, dir) => {
+        val W = 10
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        val hits = docs.select(col("doc_id"), posexplode(col("toks")))
+          .filter(col("col").isin("join", "merge", "hash"))
+          .select(col("doc_id"), col("pos"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos").rangeBetween(0, W - 1)
+        val best = hits.withColumn("n_hits", count(lit(1)).over(w))
+          .groupBy("doc_id")
+          .agg(max_by(struct(col("pos").as("start"), col("n_hits")),
+            struct(col("n_hits"), (-col("pos")).as("np"))).as("b"))
+          .select(col("doc_id"), col("b.start").cast(LongType).as("start"),
+            col("b.n_hits").as("n_hits"))
+        best.join(docs, Seq("doc_id"))
+          .select(col("doc_id"), col("start"), col("n_hits"),
+            array_join(slice(col("toks"), (col("start") + 1).cast(IntegerType), lit(W)), " ")
+              .as("snippet"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSql("text")} AS toks
+              |           FROM documents),
+              |hits AS (SELECT doc_id, i AS pos
+              |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM tk)
+              |  WHERE toks[i + 1] IN ('join', 'merge', 'hash')),
+              |sc AS (SELECT doc_id, pos,
+              |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+              |                   RANGE BETWEEN CURRENT ROW AND 9 FOLLOWING) AS n_hits
+              |  FROM hits),
+              |bs AS (SELECT doc_id, pos AS start, n_hits,
+              |    row_number() OVER (PARTITION BY doc_id
+              |                       ORDER BY n_hits DESC, pos) AS rn
+              |  FROM sc)
+              |SELECT bs.doc_id, CAST(start AS BIGINT) AS start,
+              |  CAST(n_hits AS BIGINT) AS n_hits,
+              |  array_to_string(list_slice(tk.toks, start + 1, start + 10), ' ') AS snippet
+              |FROM bs JOIN tk ON bs.doc_id = tk.doc_id
+              |WHERE rn = 1 ORDER BY bs.doc_id""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

@@ -266,6 +266,28 @@ object StreamOps {
       }
       .start()
 
+  /** Additive GRAM-CELL maintenance: each micro-batch appends its
+    * (i, j, Σqᵢqⱼ) integer partials exactly-once; the Gram is a sum over
+    * rows, so re-summing the maintained table equals the single-pass
+    * corpus Gram for any batching — the streaming form of the PCA
+    * sufficient statistic (power iteration runs at read time on the
+    * dim²-bounded merge). State = batches × dim(dim+1)/2 rows, no
+    * vectors retained; compaction re-merges additively. */
+  def gramPartialsSink(stream: DataFrame, st: SnapshotStore, layer: String,
+                       table: String, idCol: String, vecCol: String,
+                       qScale: Double, checkpoint: String,
+                       sinkId: Option[String] = None): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        st.appendIfAbsent(
+          graft.ops.Similarity.gramCells(batch.toDF(), idCol, vecCol, qScale),
+          layer, table, txnTag(checkpoint, sinkId, batchId))
+        ()
+      }
+      .start()
+
   /** Exactly-once per-key partial SUM accumulation — the mergeable-
     * state metrics sink for monitors whose epilogue (CUSUM, drift,
     * z-score) runs at read time over the accumulated table. Each batch

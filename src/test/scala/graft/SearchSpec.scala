@@ -152,4 +152,27 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("search_highlight equals a brute-force best-window replay on the driver corpus") {
+    val W = 10
+    val terms = Set("join", "merge", "hash")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val hits = toks.zipWithIndex.collect { case (t, i) if terms(t) => i }
+      if (hits.isEmpty) None
+      else {
+        // window anchored at each hit (the query's frame): hits in [p, p+W-1]
+        val best = hits.map(p => (p, hits.count(h => h >= p && h < p + W)))
+          .maxBy { case (p, n) => (n, -p) }
+        Some((id, best._1.toLong, best._2.toLong,
+          toks.slice(best._1, best._1 + W).mkString(" ")))
+      }
+    }.sortBy(_._1)
+    val got = graft.SparkEntry.queries("search_highlight")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == want.toSeq)
+  }
 }

@@ -769,6 +769,33 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.powerIteration(g, 12, 1L << 20).toSeq == v.toSeq)
   }
 
+  test("sim_all_but_top: corrected vectors are orthogonal to PC1 up to truncation") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val g = graft.ops.Similarity.gramMatrix(
+      graft.Tables.embeddings(spark, dir), "vec_id", "embedding", 256.0)
+    val v = graft.ops.Similarity.powerIteration(g, 12, 1L << 20)
+    val den = v.map(x => x * x).sum
+    val rows = graft.Tables.embeddings(spark, dir).limit(50)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    rows.foreach { case (_, e) =>
+      val q = e.map(x => math.floor(x.toDouble * 256.0 + 0.5).toLong)
+      val proj = q.zip(v).map { case (a, b) => a * b }.sum
+      val c = q.zip(v).map { case (qi, vi) => qi - (proj * vi) / den }
+      val corrected = c.zip(v).map { case (a, b) => a * b }.sum
+      // each component truncates by < 1, so |c·v| < Σ|vᵢ| ≤ dim·scale —
+      // the bound that holds for EVERY vector
+      val noise = 64L * (1L << 20)
+      assert(math.abs(corrected) < noise,
+        s"|corrected·v| = $corrected exceeds the truncation bound")
+      // the ≥90% kill is only meaningful once the projection dwarfs the
+      // truncation noise floor
+      if (math.abs(proj) > 10 * noise)
+        assert(math.abs(corrected) < math.abs(proj) / 10,
+          s"correction must kill ≥90% of a large projection ($proj → $corrected)")
+    }
+  }
+
   test("agg_kmv_overlap: sketch estimates track the exact counts on driver data") {
     val row = graft.SparkEntry.queries("agg_kmv_overlap")(spark, "/root/testdata/sf0.001")
       .collect().head

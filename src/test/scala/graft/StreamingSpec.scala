@@ -471,4 +471,33 @@ class StreamingSpec extends SparkSpec {
     assert(st.read("metrics", "kmv").select("h").distinct()
       .orderBy("h").limit(4).as[Long].collect().toSeq == sketch)
   }
+
+  test("gramPartialsSink: re-summed partials equal the single-pass Gram; replay is a no-op") {
+    import graft.engine.SnapshotStore
+    import graft.ops.Similarity
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.5f)), (2L, Array(0.25f, -0.25f)),
+      (3L, Array(-0.5f, 1.0f)), (4L, Array(0.75f, 0.0f)))
+    val dir = tmp("graft_gram_in")
+    vecs.grouped(2).foreach { b =>
+      b.toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(dir)
+    }
+    val st = new SnapshotStore(spark, tmp("graft_gram_st"))
+    val ck = tmp("graft_ck")
+    def drain(): Unit = StreamOps.gramPartialsSink(
+      StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1)),
+      st, "metrics", "gram", "vec_id", "embedding", qScale = 256.0,
+      checkpoint = ck).awaitTermination()
+    drain()
+    def merged() = Similarity.collectGram(
+      st.read("metrics", "gram").groupBy("i", "j")
+        .agg(org.apache.spark.sql.functions.sum("g").as("g")))
+    val batchGram = Similarity.gramMatrix(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", qScale = 256.0)
+    assert(merged().map(_.toSeq).toSeq == batchGram.map(_.toSeq).toSeq,
+      "streamed partials must re-sum to the single-pass Gram")
+    drain() // replay: txn tags commit nothing twice
+    assert(merged().map(_.toSeq).toSeq == batchGram.map(_.toSeq).toSeq)
+  }
 }
