@@ -186,4 +186,35 @@ object Eval {
           .otherwise(col("n_matched").cast(DoubleType)
             / col("n_cand").cast(DoubleType)).as("precision"))
   }
+
+  /** ROUGE-2 (Lin, 2004): clipped-bigram overlap as RECALL against the
+    * reference plus the F1 — the summary-eval complement of
+    * [[bigramPrecision]]'s BLEU-style view. Exact integers end-to-end;
+    * F₁ = 2·overlap/(n_cand + n_ref) (P and R share the overlap, so the
+    * harmonic mean collapses to one exact rational), emitted as ppm
+    * BIGINTs. NULL metrics where a denominator is empty. */
+  def rouge2(pairs: DataFrame, idCol: String,
+             candCol: String, refCol: String): DataFrame = {
+    def counts(c: Column, n: String) = pairs
+      .select(col(idCol), explode(TextOps.bigramsOf(TextOps.tokens(c))).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as(n))
+    val cc = counts(col(candCol), "cc")
+    val rc = counts(col(refCol), "rc")
+    val j = cc.join(rc, Seq(idCol, "g"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("cc"), lit(0L))).as("n_cand"),
+        sum(coalesce(col("rc"), lit(0L))).as("n_ref"),
+        sum(least(coalesce(col("cc"), lit(0L)), coalesce(col("rc"), lit(0L))))
+          .as("overlap"))
+    pairs.select(col(idCol)).distinct()
+      .join(j, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .selectExpr("*",
+        "CASE WHEN n_ref = 0 THEN NULL ELSE overlap * 1000000 div n_ref END AS recall_ppm",
+        "CASE WHEN n_cand = 0 THEN NULL ELSE overlap * 1000000 div n_cand END AS precision_ppm",
+        "CASE WHEN n_cand + n_ref = 0 THEN NULL ELSE 2 * overlap * 1000000 div (n_cand + n_ref) END AS f1_ppm")
+  }
 }

@@ -8996,6 +8996,114 @@ object ExtQueries {
               |  array_to_string(list_slice(tk.toks, start + 1, start + 10), ' ') AS snippet
               |FROM bs JOIN tk ON bs.doc_id = tk.doc_id
               |WHERE rn = 1 ORDER BY bs.doc_id""".stripMargin)),
+
+    // ROUGE-2 summary evaluation ([[graft.ops.Eval.rouge2]]) — the
+    // recall-oriented complement of eval_bleu2: clipped-bigram overlap
+    // against the reference, with F₁ collapsing to the exact rational
+    // 2·overlap/(n_cand + n_ref) (P and R share the overlap). The
+    // candidate "summary" drops every 4th token of the reference, so
+    // recall < 1 and clipping binds. All-integer ppm outputs.
+    Q("eval_rouge2",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val cand = array_join(filter(toks, (x, i) => (i + 1) % 4 =!= 0), " ")
+        graft.ops.Eval.rouge2(
+          Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id"), cand.as("cand"), col("text").as("ref")),
+          "doc_id", "cand", "ref")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH pairs AS (SELECT doc_id,
+              |    array_to_string(list_filter(${TextOps.tokensSql("text")},
+              |      (x, i) -> i % 4 <> 0), ' ') AS cand,
+              |    text AS ref
+              |  FROM documents WHERE doc_id < 300),
+              |cgr AS (SELECT doc_id, unnest(${TextOps.bigramsSql("cand")}) AS g FROM pairs),
+              |rgr AS (SELECT doc_id, unnest(${TextOps.bigramsSql("ref")}) AS g FROM pairs),
+              |cc AS (SELECT doc_id, g, count(*) AS cc FROM cgr GROUP BY 1, 2),
+              |rc AS (SELECT doc_id, g, count(*) AS rc FROM rgr GROUP BY 1, 2),
+              |j AS (SELECT COALESCE(cc.doc_id, rc.doc_id) AS doc_id,
+              |        CAST(SUM(COALESCE(cc.cc, 0)) AS BIGINT) AS n_cand,
+              |        CAST(SUM(COALESCE(rc.rc, 0)) AS BIGINT) AS n_ref,
+              |        CAST(SUM(LEAST(COALESCE(cc.cc, 0), COALESCE(rc.rc, 0))) AS BIGINT) AS overlap
+              |      FROM cc FULL JOIN rc ON cc.doc_id = rc.doc_id AND cc.g = rc.g
+              |      GROUP BY 1),
+              |o AS (SELECT p.doc_id, COALESCE(n_cand, 0) AS n_cand,
+              |        COALESCE(n_ref, 0) AS n_ref, COALESCE(overlap, 0) AS overlap
+              |      FROM (SELECT DISTINCT doc_id FROM pairs) p
+              |      LEFT JOIN j ON p.doc_id = j.doc_id)
+              |SELECT doc_id, n_cand, n_ref, overlap,
+              |  CASE WHEN n_ref = 0 THEN NULL
+              |       ELSE overlap * 1000000 // n_ref END AS recall_ppm,
+              |  CASE WHEN n_cand = 0 THEN NULL
+              |       ELSE overlap * 1000000 // n_cand END AS precision_ppm,
+              |  CASE WHEN n_cand + n_ref = 0 THEN NULL
+              |       ELSE 2 * overlap * 1000000 // (n_cand + n_ref) END AS f1_ppm
+              |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // Welch's unequal-variance t-test between the A and N return-flag
+    // populations' quantities — the two-sample significance screen next
+    // to q_mann_whitney's rank form. Sufficient statistics are exact
+    // integers (cents, cents²); sample variances come from the
+    // DECIMAL(38)/HUGEINT identity n·Σx² − (Σx)² with ONE correctly-
+    // rounded conversion each ([[graft.Det.hiLoDoubleSql]] on the
+    // mirror side), and every double step after that is the same
+    // literal formula in both engines.
+    Q("q_welch_ttest",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("f"),
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qc"))
+          .filter(col("f").isin("A", "N"))
+        val st = li.groupBy("f").agg(count(lit(1)).as("n"), sum("qc").as("s"),
+          sum(col("qc") * col("qc")).as("ssq"))
+        def side(flag: String, sfx: String) = st.filter(col("f") === flag)
+          .select(col("n").as(s"n_$sfx"), col("s").as(s"s_$sfx"),
+            col("ssq").as(s"ssq_$sfx"))
+        side("A", "a").crossJoin(side("N", "b"))
+          .selectExpr("n_a", "n_b", "s_a", "s_b",
+            "CAST(CAST(ssq_a AS DECIMAL(38,0)) * n_a - CAST(s_a AS DECIMAL(38,0)) * s_a AS DOUBLE)" +
+              " / CAST(n_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE) AS va",
+            "CAST(CAST(ssq_b AS DECIMAL(38,0)) * n_b - CAST(s_b AS DECIMAL(38,0)) * s_b AS DOUBLE)" +
+              " / CAST(n_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE) AS vb")
+          .selectExpr("n_a", "n_b",
+            "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a",
+            "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b",
+            "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS dm",
+            "va / CAST(n_a AS DOUBLE) AS sea", "vb / CAST(n_b AS DOUBLE) AS seb",
+            "n_a - 1 AS dfa", "n_b - 1 AS dfb")
+          .selectExpr("n_a", "n_b", "mean_a", "mean_b",
+            "dm / sqrt(sea + seb) AS t_stat",
+            "(sea + seb) * (sea + seb) / (sea * sea / CAST(dfa AS DOUBLE)" +
+              " + seb * seb / CAST(dfb AS DOUBLE)) AS df_welch")
+      },
+      Some(s"""WITH st AS (SELECT l_returnflag AS f, COUNT(*) AS n,
+              |    CAST(SUM(qc) AS BIGINT) AS s, CAST(SUM(qc * qc) AS BIGINT) AS ssq
+              |  FROM (SELECT l_returnflag,
+              |          CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc
+              |        FROM lineitem WHERE l_returnflag IN ('A', 'N')) GROUP BY 1),
+              |ab AS (SELECT a.n AS n_a, a.s AS s_a, a.ssq AS ssq_a,
+              |              b.n AS n_b, b.s AS s_b, b.ssq AS ssq_b
+              |       FROM (SELECT * FROM st WHERE f = 'A') a,
+              |            (SELECT * FROM st WHERE f = 'N') b),
+              |v AS (SELECT n_a, n_b, s_a, s_b,
+              |    ${Det.hiLoDoubleSql("CAST(ssq_a AS HUGEINT) * n_a - CAST(s_a AS HUGEINT) * s_a")}
+              |      / CAST(n_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE) AS va,
+              |    ${Det.hiLoDoubleSql("CAST(ssq_b AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * s_b")}
+              |      / CAST(n_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE) AS vb
+              |  FROM ab),
+              |m AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+              |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a,
+              |    CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b,
+              |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS dm,
+              |    va / CAST(n_a AS DOUBLE) AS sea, vb / CAST(n_b AS DOUBLE) AS seb,
+              |    n_a - 1 AS dfa, n_b - 1 AS dfb
+              |  FROM v)
+              |SELECT n_a, n_b, mean_a, mean_b,
+              |  dm / sqrt(sea + seb) AS t_stat,
+              |  (sea + seb) * (sea + seb) / (sea * sea / CAST(dfa AS DOUBLE)
+              |    + seb * seb / CAST(dfb AS DOUBLE)) AS df_welch
+              |FROM m""".stripMargin)),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

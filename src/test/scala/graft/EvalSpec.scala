@@ -58,4 +58,49 @@ class EvalSpec extends SparkSpec {
     // degenerate: one class empty → NULL, not a crash or a fake number
     assert(auc(Seq((1L, 1L), (1L, 2L))) == null)
   }
+
+  test("rouge2: clipped bigram overlap, recall/precision/F1 as exact ppm rationals") {
+    import spark.implicits._
+    // cand "a b a b": bigrams {ab×2, ba×1} (n=3); ref "a b c a b":
+    // {ab×2, bc×1, ca×1} (n=4); clipped overlap = min(2,2) = 2
+    val pairs = Seq((1L, "a b a b", "a b c a b"), (2L, "", "x y")).toDF("id", "cand", "ref")
+    val out = Eval.rouge2(pairs, "id", "cand", "ref").orderBy("id").collect()
+    val r1 = out.head
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) == ((3L, 4L, 2L)))
+    assert(r1.getLong(4) == 500000L, "recall = 2/4")
+    assert(r1.getLong(5) == 666666L, "precision = 2/3 truncated")
+    assert(r1.getLong(6) == 2L * 2 * 1000000 / 7, "F1 = 2·o/(nc+nr)")
+    // empty candidate: zero counts, NULL precision/F1 guarded
+    val r2 = out.last
+    assert(r2.getLong(1) == 0L && r2.getLong(3) == 0L)
+    assert(r2.isNullAt(5), "precision NULL on empty candidate")
+    assert(r2.getLong(4) == 0L, "recall 0 against a real reference")
+  }
+
+  test("q_welch_ttest equals a BigInt/Double replay of the Welch formulas") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, dir)
+      .selectExpr("l_returnflag AS f",
+        "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qc")
+      .filter(col("f").isin("A", "N"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def stats(fl: String) = {
+      val xs = li.filter(_._1 == fl).map(_._2)
+      val n = xs.length.toLong
+      val s = xs.sum
+      val ssq = xs.map(x => x * x).sum
+      val va = (BigInt(ssq) * n - BigInt(s) * s).toDouble / n.toDouble / (n - 1).toDouble
+      (n, s, va)
+    }
+    val (na, sa, va) = stats("A"); val (nb, sb, vb) = stats("N")
+    val dm = sa.toDouble / na.toDouble - sb.toDouble / nb.toDouble
+    val (sea, seb) = (va / na.toDouble, vb / nb.toDouble)
+    val wantT = dm / math.sqrt(sea + seb)
+    val wantDf = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1).toDouble + seb * seb / (nb - 1).toDouble)
+    val row = graft.SparkEntry.queries("q_welch_ttest")(spark, dir).collect().head
+    assert(row.getLong(0) == na && row.getLong(1) == nb)
+    assert(math.abs(row.getDouble(4) - wantT) < 1e-12, s"t: ${row.getDouble(4)} vs $wantT")
+    assert(math.abs(row.getDouble(5) - wantDf) < 1e-9, s"df: ${row.getDouble(5)} vs $wantDf")
+  }
 }
