@@ -132,10 +132,17 @@ object Search {
     * `(1,'hash'),(1,'join')`; `docsRel` the corpus relation with
     * `doc_id, text`. */
   def bm25Sql(docsRel: String, qtValues: String, k: Int,
-              k1: Double = 1.2, b: Double = 0.75): String = {
+              k1: Double = 1.2, b: Double = 0.75): String =
+    bm25SqlFrom(docsRel, s"VALUES $qtValues", k, k1, b)
+
+  /** [[bm25Sql]] with the query-term relation given as an arbitrary
+    * SELECT/VALUES body (derived query sets — e.g. search_mrr's
+    * per-document self-queries — can't be a literal VALUES list). */
+  def bm25SqlFrom(docsRel: String, qtBody: String, k: Int,
+                  k1: Double = 1.2, b: Double = 0.75): String = {
     val k1p1 = (k1 + 1.0).toString
     val oneMb = (1.0 - b).toString
-    s"""WITH qt(q_id, term) AS (VALUES $qtValues),
+    s"""WITH qt(q_id, term) AS ($qtBody),
        |tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS term FROM $docsRel),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),

@@ -9104,6 +9104,77 @@ object ExtQueries {
               |  (sea + seb) * (sea + seb) / (sea * sea / CAST(dfa AS DOUBLE)
               |    + seb * seb / CAST(dfb AS DOUBLE)) AS df_welch
               |FROM m""".stripMargin)),
+
+    // Retrieval-quality eval: MEAN-RECIPROCAL-RANK reciprocal ranks
+    // over the BM25 engine, with relevance labels that are TRUE BY
+    // CONSTRUCTION — the corpus is the dedup family's dup-injected one
+    // (every doc_id%5==0 has an exact copy at off+id), each such doc
+    // queries with its 4 most DISTINCTIVE tokens (smallest global df,
+    // ties to the token — the keyword-formulation step; leading-token
+    // and pure self-retrieval probes both collapsed to rank-nowhere on
+    // this corpus' 31-word shared vocabulary, measured), and the rank
+    // of the KNOWN-relevant copy is the metric. The identical-text self
+    // sorts first on the id tiebreak, so a healthy engine lands the
+    // copy at rank ≈ 2. Retrieval runs in BIGRAM space — the corpus'
+    // 31-word vocabulary makes unigram df useless (every token is in
+    // hundreds of docs; both unigram probes measured rank-nowhere),
+    // while its ~12k distinct bigrams actually identify documents —
+    // the same unigram→shingle lesson as agg_kmv_overlap. nDCG's log₂
+    // is deliberately avoided — transcendental rounding isn't pinned
+    // cross-engine; reciprocal ranks are exact rationals. NULL rank =
+    // outside the top-10.
+    Q("search_mrr",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+        val off = base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val bigramText = array_join(transform(
+          TextOps.bigramsOf(TextOps.tokens(col("text"))),
+          g => translate(g, " ", "_")), " ")
+        val corpus = dupCorpus(s, dir).select(col("doc_id"), bigramText.as("text"))
+        val docTok = corpus.select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        val dfr = docTok.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("term"))
+        val qt = docTok.filter(col("doc_id") % 5 === 0 && col("doc_id") < 50)
+          .join(broadcast(dfr), Seq("term"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+          .select(col("doc_id").as("q_id"), col("term"))
+        val ranked = Search.bm25(corpus, "doc_id", "text", qt, k = 10)
+        val rel = ranked.filter(col("doc_id") === col("q_id") + lit(off))
+          .select(col("q_id"), col("rank"))
+        base.filter(col("doc_id") % 5 === 0 && col("doc_id") < 50)
+          .select(col("doc_id").as("q_id")).distinct()
+          .join(rel, Seq("q_id"), "left")
+          .selectExpr("q_id", "rank", "COALESCE(1000000 div rank, 0) AS rr_ppm")
+          .orderBy("q_id")
+      },
+      Some {
+        val qtBody =
+          s"""WITH dtok AS (SELECT doc_id,
+             |    unnest(list_distinct(${TextOps.tokensSql("text")})) AS term
+             |  FROM bcorpus),
+             |dfr2 AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1)
+             |SELECT doc_id AS q_id, term FROM (
+             |  SELECT dtok.doc_id, dtok.term,
+             |         row_number() OVER (PARTITION BY dtok.doc_id
+             |                            ORDER BY dfr2.df, dtok.term) AS rn
+             |  FROM dtok JOIN dfr2 USING (term)
+             |  WHERE dtok.doc_id % 5 = 0 AND dtok.doc_id < 50)
+             |WHERE rn <= 4""".stripMargin
+        s"""WITH $dupCorpusSql,
+           |bcorpus AS MATERIALIZED (SELECT doc_id,
+           |  array_to_string(list_transform(${TextOps.bigramsSql("text")},
+           |    g -> replace(g, ' ', '_')), ' ') AS text
+           |  FROM corpus)
+           |SELECT q.q_id, r.rank, COALESCE(1000000 // r.rank, 0) AS rr_ppm
+           |FROM (SELECT DISTINCT doc_id AS q_id FROM documents
+           |      WHERE doc_id % 5 = 0 AND doc_id < 50) q
+           |LEFT JOIN (${Search.bm25SqlFrom("bcorpus", qtBody, k = 10)}) r
+           |  ON r.q_id = q.q_id
+           |  AND r.doc_id = q.q_id + (SELECT MAX(doc_id) + 1 FROM documents)
+           |ORDER BY q.q_id""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

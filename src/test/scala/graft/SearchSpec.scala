@@ -152,6 +152,20 @@ class SearchSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("search_mrr: the planted duplicate ranks right behind its identical self") {
+    val out = graft.SparkEntry.queries("search_mrr")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 10 && out.map(_.getLong(0)).toSeq == (0L until 50L by 5))
+    out.foreach { r =>
+      if (r.isNullAt(1)) assert(r.getLong(2) == 0L)
+      else assert(r.getLong(2) == 1000000L / r.getLong(1), "rr must be the exact rational")
+    }
+    // identical text ⇒ identical BM25 score ⇒ the source wins the id
+    // tiebreak and the known-relevant copy sits at rank 2
+    assert(out.count(r => !r.isNullAt(1) && r.getLong(1) == 2L) >= 8,
+      s"copy retrieval collapsed: ${out.map(r => if (r.isNullAt(1)) -1 else r.getLong(1)).toSeq}")
+  }
+
   test("search_highlight equals a brute-force best-window replay on the driver corpus") {
     val W = 10
     val terms = Set("join", "merge", "hash")
