@@ -26,4 +26,28 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("eps/kNN hot paths run the codegen'd distance kernel, not the interpreted fold") {
+    // the r15 lesson: the HOF fold costs ~µs per pair through the
+    // interpreter (sim_dbscan read 57 s at sf0.1 before the kernel) —
+    // pin graft_dist_sq into the candidate-verify plans so a refactor
+    // can't silently reintroduce the fold. Asserted on the op-level
+    // frames: the registered queries localCheckpoint the eps-graph, so
+    // their FINAL plans start from checkpointed RDDs and the verify
+    // stage isn't visible there.
+    import spark.implicits._
+    import graft.ops.Similarity
+    val emb = (0 until 8).map(i => (i.toLong, Array(i * 1.0, i * 2.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.0, 0.0))).toDF("c_id", "c_vec")
+    val rs = Similarity.rangeSearch(emb, emb.select("vec_id"), "embedding",
+        "vec_id", cents, "c_vec", "c_id", maxDist = 3.0)
+      .queryExecution.executedPlan.toString
+    assert(rs.contains("graft_dist_sq"),
+      "rangeSearch must verify candidates with the native DistanceSquared kernel")
+    // dbscan routes its eps-graph through rangeSearch, so this plan is
+    // the assertable spot; dbscanLsh builds the same distSq verify
+    // directly but checkpoints right after it (its kernel use is pinned
+    // by the code path + the planted-recovery spec instead).
+  }
 }
