@@ -1329,6 +1329,68 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Partition-evolution-aware OPTIMIZE — [[compactSmall]] per LAYOUT
+    * ERA: on an evolved table, small files are grouped by the
+    * partition-column chain their paths carry (the era: "year",
+    * "year/region", or flat "") and each era's debris is rewritten
+    * UNDER ITS OWN LAYOUT, partition values re-derived from the rows
+    * themselves — so routine compaction neither forces the full-table
+    * rewrite [[compact]] needs to UNIFY layouts nor converts old-era
+    * files to the new spec behind the reader's back (the Iceberg
+    * rewrite-data-files behavior on spec-evolved tables). At 100 TB an
+    * evolved table's old eras are the compacted bulk: a daily run
+    * touches each era's small-append debris only, and the one commit
+    * carries every untouched file by reference. Same guards as
+    * [[compactSmall]]: refuses pending equality deletes, aborts on a
+    * concurrent commit; eras with fewer than two small files are left
+    * untouched. */
+  def compactSmallEras(layer: String, table: String, thresholdBytes: Long,
+                       numFilesPerEra: Int = 1): Long = {
+    val id = snapshots(layer, table).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"SnapshotStore: no committed snapshot for $layer/$table"))
+    val m = readMf(layer, table, id)
+    require(m.deletes.isEmpty,
+      s"SnapshotStore: $layer/$table has pending equality deletes — compactSmallEras " +
+        "cannot apply key deletes to the files it leaves in place; run compact first")
+    val sized = m.files.map(f =>
+      f -> fs.getFileStatus(new Path(absFile(layer, table, f))).getLen)
+    val small = sized.filter(_._2 < thresholdBytes).map(_._1)
+    def eraOf(f: String): Seq[String] =
+      f.split('/').dropRight(1).filter(_.contains("="))
+        .map(_.takeWhile(_ != '=')).toSeq
+    val byEra = small.groupBy(eraOf).filter(_._2.size >= 2)
+    if (byEra.isEmpty) return id
+    import org.apache.spark.sql.functions.col
+    val rewritten = byEra.toSeq.sortBy(_._1.mkString("/")).map { case (era, fls) =>
+      val df = readFiles(layer, table, m.schema, fls)
+      val rearranged =
+        if (era.nonEmpty) df.repartition(numFilesPerEra, era.map(col): _*)
+        else df.repartition(numFilesPerEra)
+      (fls, writeIntoPool(rearranged, layer, table, era))
+    }
+    val dropped = rewritten.flatMap(_._1)
+    val added = rewritten.flatMap(_._2)
+    // stats per ERA, not one call over all added files: a mixed-depth
+    // listing (flat + k=v files under one basePath) breaks Spark's
+    // partition discovery — the same hazard readFiles' era grouping
+    // guards against on the read side
+    val st = rewritten.map { case (_, a) => statsOf(layer, table, a) }
+      .foldLeft(Map.empty: FileStats)(_ ++ _)
+    commitRetry(layer, table) { () =>
+      val latest = snapshots(layer, table).lastOption
+      if (latest != Some(id))
+        throw new java.util.ConcurrentModificationException(
+          s"SnapshotStore: $layer/$table advanced past snapshot $id during " +
+            "compactSmallEras — the rewrite no longer reflects the table; re-run")
+      val files = (m.files.diff(dropped) ++ added).sorted
+      if (tryWriteManifest(layer, table, id + 1, m.schema, files,
+        Map("op" -> "compact_small_eras"), (m.stats -- dropped) ++ st,
+        seqs = (m.seqs -- dropped) ++ added.map(_ -> nextSeq(Some(m))))) Some(id + 1)
+      else None
+    }
+  }
+
   // ── Row lineage (Iceberg v3 row-id mechanism) ─────────────────────
 
   /** Reserved per-file stats key carrying row lineage: for an

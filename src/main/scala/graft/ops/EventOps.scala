@@ -684,10 +684,18 @@ object EventOps {
     val pool = d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))
     val se = sqrt(pool * (lit(1.0) - pool) *
       (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    // DEGENERATE-ARM guard (r16 audit): an EMPTY arm would make the
+    // epilogue divide by zero, where Spark yields NULL but DuckDB
+    // yields ±inf/nan — a mirror-shared formula cannot be allowed to
+    // reach an expression the engines evaluate differently. Every rate
+    // column is therefore explicitly NULL unless its arm is populated,
+    // in BOTH engines; z additionally needs positive pooled variance.
+    val armed = col("n_a") > 0 && col("n_b") > 0
     s.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-      rateA.as("rate_a"), rateB.as("rate_b"),
-      (rateB - rateA).as("lift"),
-      when(se > 0.0, (rateB - rateA) / se).as("z_pooled"))
+      when(col("n_a") > 0, rateA).as("rate_a"),
+      when(col("n_b") > 0, rateB).as("rate_b"),
+      when(armed, rateB - rateA).as("lift"),
+      when(armed && se > 0.0, (rateB - rateA) / se).as("z_pooled"))
   }
 
   /** DuckDB mirror of [[abTestExposure]] — same md5 arms, same
@@ -712,11 +720,15 @@ object EventOps {
        |    CAST(SUM(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b
        |  FROM fl)
        |SELECT n_a, conv_a, n_b, conv_b,
-       |  CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-       |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-       |  CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-       |    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
-       |  CASE WHEN sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+       |  CASE WHEN n_a > 0
+       |       THEN CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS rate_a,
+       |  CASE WHEN n_b > 0
+       |       THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS rate_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |       THEN CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |          - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS lift,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |   AND sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
        |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
        |  THEN (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)

@@ -918,7 +918,8 @@ object Similarity {
    */
   def graphSearch(emb: DataFrame, idCol: String, vecCol: String,
                   graph: DataFrame, queryIds: DataFrame,
-                  beam: Int, hops: Int, k: Int, entries: Int = 32): DataFrame = {
+                  beam: Int, hops: Int, k: Int, entries: Int = 32,
+                  entryIds: Option[DataFrame] = None): DataFrame = {
     require(entries >= 1, s"graphSearch: entries must be >= 1, got $entries")
     val e = emb.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("vec"))
       .localCheckpoint()
@@ -929,8 +930,14 @@ object Similarity {
     // hash-ordered top-E: the same E entry nodes on any layout/engine
     // (the randomWalks md5‖padded-id key: total order even on an md5
     // collision); a global sort-limit over the node table — top-E per
-    // partition then merge, never a full sort at scale
-    val entrySet = hashMinNodes(g.select(col("src").as("id")).distinct(), entries)
+    // partition then merge, never a full sort at scale. `entryIds`
+    // overrides the candidate pool (e.g. LAYER MEMBERS in hnswInsert —
+    // a 1-member layer has an empty edge table but must still be
+    // enterable, exactly like hnswSearch's per-layer member fallback).
+    val pool = entryIds
+      .map(_.select(col(idCol).cast(LongType).as("id")))
+      .getOrElse(g.select(col("src").as("id"))).distinct()
+    val entrySet = hashMinNodes(pool, entries)
     searchFrom(e, g, qs.crossJoin(broadcast(entrySet)), beam, hops, k)
   }
 
@@ -1194,11 +1201,13 @@ object Similarity {
    */
   def nnDescentInsert(emb: DataFrame, idCol: String, vecCol: String,
                       baseGraph: DataFrame, newIds: DataFrame,
-                      k: Int, beam: Int, hops: Int, entries: Int = 32): DataFrame = {
+                      k: Int, beam: Int, hops: Int, entries: Int = 32,
+                      entryIds: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && k <= beam, s"nnDescentInsert: k in [1, beam], got $k")
     val g = baseGraph.select(col(idCol).cast(LongType).as("src"),
       col("nbr_id").cast(LongType).as("dst"))
-    val searched = graphSearch(emb, idCol, vecCol, g, newIds, beam, hops, k, entries)
+    val searched = graphSearch(emb, idCol, vecCol, g, newIds, beam, hops, k,
+        entries, entryIds)
       .localCheckpoint() // feeds both the new lists and the reverse offers
     val offers = searched.select(col("item_id").as("__id"),
       col("query_id").as("nbr_id"), col("dist"))
@@ -1218,6 +1227,54 @@ object Similarity {
       col("item_id").as("nbr_id"), col("dist"))
     untouched.unionByName(upd).unionByName(newLists)
       .select(col("__id").as(idCol), col("rank"), col("nbr_id"), col("dist"))
+  }
+
+  /**
+   * INCREMENTAL HNSW maintenance — [[hnswBuild]]'s incremental twin,
+   * completing the maintained-index story the flat layer-0 graph
+   * ([[nnDescentInsert]] / knnInsertSink) already has: when a batch of
+   * new vectors lands, each new id gets its [[hnswLevelExpr]]
+   * md5-geometric level (the SAME deterministic assignment a batch
+   * rebuild would give it — levels are a pure function of the id, so
+   * insertion order can never skew the layer sizes), and every layer
+   * l ≤ level runs ONE [[nnDescentInsert]] over that layer's
+   * maintained graph: the new member beam-searches the layer for its
+   * k-best list and offers each found edge back to its endpoint —
+   * ≤ batch·k touched lists re-rank per layer, untouched lists pass
+   * through verbatim. Upper layers hold ~1/4^l of the batch (the
+   * geometric assignment), so the total insert cost is ≤ 4/3 of the
+   * layer-0 insert — the same geometric-tail shape as the build.
+   * `layered` is [[hnswBuild]]'s output `(layer, idCol, rank, nbr_id,
+   * dist)`; returns the updated index in the same shape.
+   * Deterministic end to end: the oracle composes the per-layer build
+   * CTEs, search CTEs, and the identical reverse-offer merge.
+   */
+  def hnswInsert(emb: DataFrame, idCol: String, vecCol: String,
+                 layered: DataFrame, newIds: DataFrame,
+                 k: Int, beam: Int, hops: Int, maxLevel: Int,
+                 entries: Int = 32): DataFrame = {
+    require(maxLevel >= 1 && maxLevel <= 6, s"hnswInsert: maxLevel in [1, 6], got $maxLevel")
+    val nv = newIds.select(col(idCol).cast(LongType).as("__nid"),
+        hnswLevelExpr(col(idCol).cast(LongType), maxLevel).as("__lvl"))
+      .localCheckpoint() // maxLevel+1 consumers, one tiny id table
+    // entry pool per layer = the layer's MEMBERS (level ≥ l over ALL of
+    // emb), not the layer graph's edge endpoints — a 1-member upper
+    // layer has an empty edge table but must still be enterable, or a
+    // new top-level node could never connect (hnswSearch's per-layer
+    // member-fallback discipline applied to inserts)
+    val allLv = emb.select(col(idCol).cast(LongType).as(idCol),
+        hnswLevelExpr(col(idCol).cast(LongType), maxLevel).as("__lvl"))
+      .localCheckpoint()
+    (0 to maxLevel).map { l =>
+      val layerNew = nv.filter(col("__lvl") >= l).select(col("__nid").as(idCol))
+      val members = allLv.filter(col("__lvl") >= l).select(idCol)
+      val base = layered.filter(col("layer") === l)
+        .select(col(idCol), col("rank"), col("nbr_id"), col("dist"))
+      nnDescentInsert(emb, idCol, vecCol, base, layerNew, k, beam, hops,
+          entries, entryIds = Some(members))
+        .select(lit(l).as("layer"), col(idCol), col("rank"),
+          col("nbr_id"), col("dist"))
+    }.reduce(_ unionByName _)
   }
 
   /**

@@ -1445,6 +1445,137 @@ object ExtQueries {
            |FROM documents d LEFT JOIN perdoc USING (doc_id) ORDER BY doc_id""".stripMargin
       }),
 
+    // HIERARCHICAL doc → paragraph → line dedup — the production
+    // curation CHAIN as one composed query (r15 verdict item 7b; the
+    // pieces existed as independent operators, the chaining did not):
+    // stage 1 drops exact-duplicate DOCUMENTS (md5 of the full token
+    // stream, keep the min id); stage 2 segments the SURVIVORS into
+    // 32-token paragraphs and keeps only each paragraph hash's FIRST
+    // occurrence (min (doc_id, pidx)); stage 3 segments the kept
+    // paragraphs into 8-token lines and dedups those the same way —
+    // each stage runs on the PREVIOUS stage's survivors, which is what
+    // makes it the curation pipeline rather than three reports. The
+    // planted corpus exercises all three stages: full copies of every
+    // %5 doc (stage-1 kills), paragraph chimeras of every %7 doc
+    // (first 32 tokens borrowed + the rest reversed — stage-2 kills
+    // paragraph 0), line borrowers of every %11 doc (first 8 tokens
+    // borrowed + rest reversed — stage-3 kills line 0). Scale: every
+    // stage is an exact-hash groupBy/window keyed on the hash —
+    // corpus-linear, no pair enumeration anywhere; at 100 TB this is
+    // three shuffles on hash keys plus per-doc segmentation maps.
+    // Output: per surviving doc, paragraph/line survival and the kept
+    // token mass.
+    Q("dd_hierarchical",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val off = base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val tk = TextOps.tokens(col("text"))
+        def rebuilt(take: Int) = concat_ws(" ",
+          concat(slice(tk, 1, take), reverse(slice(tk, take + 1, 1000000))))
+        val corpus = base
+          .unionByName(base.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + off).as("doc_id"), col("text")))
+          .unionByName(base.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 2 * off).as("doc_id"), rebuilt(32).as("text")))
+          .unionByName(base.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 3 * off).as("doc_id"), rebuilt(8).as("text")))
+        val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+          md5(concat_ws(" ", TextOps.tokens(col("text")))).as("dh"))
+        val keep1 = toks.groupBy("dh").agg(min("doc_id").as("doc_id"))
+        val d1 = toks.join(keep1, Seq("dh", "doc_id"), "left_semi")
+          .localCheckpoint() // stage-1 survivors feed paras AND the final join
+        val paras = d1.select(col("doc_id"), posexplode(
+            expr("transform(sequence(0, CAST(ceil(size(toks) / 32.0) AS INT) - 1)," +
+              " i -> slice(toks, i * 32 + 1, 32))")))
+          .select(col("doc_id"), col("pos").as("pidx"), col("col").as("pt"))
+          .withColumn("ph", md5(concat_ws(" ", col("pt"))))
+        val pKeep = paras.withColumn("__rn", row_number().over(
+            Window.partitionBy("ph").orderBy("doc_id", "pidx")))
+          .withColumn("p_kept", col("__rn") === 1).drop("__rn")
+          .localCheckpoint() // feeds the per-doc rollup AND the line stage
+        val lines = pKeep.filter(col("p_kept"))
+          .select(col("doc_id"), col("pidx"), posexplode(
+            expr("transform(sequence(0, CAST(ceil(size(pt) / 8.0) AS INT) - 1)," +
+              " j -> slice(pt, j * 8 + 1, 8))")))
+          .select(col("doc_id"), col("pidx"), col("pos").as("lidx"), col("col").as("lt"))
+          .withColumn("lh", md5(concat_ws(" ", col("lt"))))
+        val lKeep = lines.withColumn("__rn", row_number().over(
+            Window.partitionBy("lh").orderBy("doc_id", "pidx", "lidx")))
+          .withColumn("l_kept", col("__rn") === 1).drop("__rn")
+        val pAgg = pKeep.groupBy("doc_id").agg(
+          count(lit(1)).as("n_para"),
+          sum(when(col("p_kept"), 1L).otherwise(0L)).as("n_para_kept"))
+        val lAgg = lKeep.groupBy("doc_id").agg(
+          count(lit(1)).as("n_line"),
+          sum(when(col("l_kept"), 1L).otherwise(0L)).as("n_line_kept"),
+          sum(when(col("l_kept"), size(col("lt")).cast(LongType)).otherwise(0L))
+            .as("tok_kept"))
+        d1.select(col("doc_id"), size(col("toks")).cast(LongType).as("tok_total"))
+          .join(pAgg, Seq("doc_id"), "left")
+          .join(lAgg, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_para"), lit(0L)).as("n_para"),
+            coalesce(col("n_para_kept"), lit(0L)).as("n_para_kept"),
+            coalesce(col("n_line"), lit(0L)).as("n_line"),
+            coalesce(col("n_line_kept"), lit(0L)).as("n_line_kept"),
+            col("tok_total"),
+            coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toksSql = TextOps.tokensSql("text")
+        s"""WITH b AS (SELECT doc_id, text FROM documents),
+           |off AS (SELECT MAX(doc_id) + 1 AS o FROM b),
+           |corpus AS (
+           |  SELECT doc_id, text FROM b
+           |  UNION ALL SELECT doc_id + o, text FROM b, off WHERE doc_id % 5 = 0
+           |  UNION ALL SELECT doc_id + 2 * o,
+           |    array_to_string(list_concat(list_slice($toksSql, 1, 32),
+           |      list_reverse(list_slice($toksSql, 33, 1000000))), ' ')
+           |  FROM b, off WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id + 3 * o,
+           |    array_to_string(list_concat(list_slice($toksSql, 1, 8),
+           |      list_reverse(list_slice($toksSql, 9, 1000000))), ' ')
+           |  FROM b, off WHERE doc_id % 11 = 0),
+           |tk AS (SELECT doc_id, $toksSql AS toks,
+           |         md5(array_to_string($toksSql, ' ')) AS dh FROM corpus),
+           |keep1 AS (SELECT dh, MIN(doc_id) AS doc_id FROM tk GROUP BY 1),
+           |d1 AS (SELECT tk.doc_id, tk.toks FROM tk JOIN keep1
+           |       ON tk.dh = keep1.dh AND tk.doc_id = keep1.doc_id),
+           |paras AS (SELECT doc_id, CAST(i AS INT) AS pidx,
+           |    list_slice(toks, CAST(i * 32 + 1 AS INT), CAST(i * 32 + 32 AS INT)) AS pt
+           |  FROM d1, unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT))) AS t(i)),
+           |pk AS (SELECT doc_id, pidx, pt,
+           |    row_number() OVER (PARTITION BY md5(array_to_string(pt, ' '))
+           |                       ORDER BY doc_id, pidx) = 1 AS p_kept
+           |  FROM paras),
+           |lines AS (SELECT doc_id, pidx, CAST(j AS INT) AS lidx,
+           |    list_slice(pt, CAST(j * 8 + 1 AS INT), CAST(j * 8 + 8 AS INT)) AS lt
+           |  FROM pk, unnest(range(0, CAST(ceil(len(pt) / 8.0) AS INT))) AS t(j)
+           |  WHERE p_kept),
+           |lk AS (SELECT doc_id, pidx, lidx, lt,
+           |    row_number() OVER (PARTITION BY md5(array_to_string(lt, ' '))
+           |                       ORDER BY doc_id, pidx, lidx) = 1 AS l_kept
+           |  FROM lines),
+           |pa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_para,
+           |         CAST(SUM(CASE WHEN p_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_para_kept
+           |       FROM pk GROUP BY 1),
+           |la AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_line,
+           |         CAST(SUM(CASE WHEN l_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_line_kept,
+           |         CAST(SUM(CASE WHEN l_kept THEN len(lt) ELSE 0 END) AS BIGINT) AS tok_kept
+           |       FROM lk GROUP BY 1)
+           |SELECT d1.doc_id,
+           |  COALESCE(n_para, 0) AS n_para,
+           |  COALESCE(n_para_kept, 0) AS n_para_kept,
+           |  COALESCE(n_line, 0) AS n_line,
+           |  COALESCE(n_line_kept, 0) AS n_line_kept,
+           |  CAST(len(toks) AS BIGINT) AS tok_total,
+           |  COALESCE(tok_kept, 0) AS tok_kept
+           |FROM d1 LEFT JOIN pa USING (doc_id) LEFT JOIN la USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // Matryoshka-prefix retrieval fidelity ([[Similarity]] slicing):
     // rank the corpus by cosine on the FULL 64-dim embedding and on
     // its 16-dim PREFIX (the matryoshka-representation deployment
@@ -6790,6 +6921,72 @@ object ExtQueries {
            |SELECT hits, n_truth,
            |       CAST(hits AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
            |FROM h, t""".stripMargin
+      }),
+
+    // INCREMENTAL HNSW maintenance ([[Similarity.hnswInsert]]) — the
+    // layered index's incremental twin, closing the r15 gap where only
+    // the flat layer-0 graph had a maintained-index story: the base
+    // corpus (90%) holds the built hierarchy; the arriving 10% batch
+    // gets md5-geometric levels (a pure function of the id — the SAME
+    // level a batch rebuild would assign, so insertion can never skew
+    // layer sizes) and every layer ≤ level runs one nnDescentInsert:
+    // beam-search the layer for the new member's k-best list, offer
+    // each found edge back to its endpoint, re-rank only touched
+    // lists. Upper layers hold ~1/4^l of the batch, so the insert cost
+    // is ≤ 4/3 of the layer-0 insert. The oracle composes, per layer,
+    // the build CTEs + the search CTEs + the identical reverse-offer
+    // merge — hash-exact.
+    Q("sim_hnsw_incremental",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val delta = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+        val l0 = cachedNnGraph(s, dir, "hnsw_base") {
+          Similarity.hnswBuild(base, "vec_id", "embedding",
+            k = 6, rounds = 2, maxLevel = 2, bucketsFor = adaptiveBuckets)
+        }
+        Similarity.hnswInsert(emb, "vec_id", "embedding", l0, delta,
+            k = 6, beam = 8, hops = 3, maxLevel = 2)
+          .orderBy("layer", "vec_id", "rank")
+      },
+      Some {
+        def layerChain(l: Int): String = {
+          val lvlFilter = if (l == 0) "" else s" AND lvl >= $l"
+          val memberFilter = if (l == 0) "" else s" WHERE lvl >= $l"
+          s"""bl$l AS MATERIALIZED (SELECT id, vec FROM lv WHERE id % 10 <> 0$lvlFilter),
+             |${Similarity.nnDescentCtesSql(k = 6, rounds = 2,
+                adaptiveBucketsSql(s"bl$l"), srcRel = s"bl$l", p = s"g${l}_")},
+             |q$l AS MATERIALIZED (SELECT id AS q FROM lv WHERE id % 10 = 0$lvlFilter),
+             |fbi$l AS MATERIALIZED (SELECT id AS node FROM (
+             |    SELECT id, md5('e:' || CAST(id AS VARCHAR)) || lpad(CAST(id AS VARCHAR), 20, '0') AS ek
+             |    FROM lv$memberFilter) ORDER BY ek LIMIT 32),
+             |seedi$l AS MATERIALIZED (SELECT DISTINCT q.q, f.node
+             |  FROM q$l q CROSS JOIN fbi$l f),
+             |${Similarity.graphSearchCtesSql(beam = 8, hops = 3, k = 6,
+                p = s"s${l}_", eRel = "e", knnRel = s"g${l}_knn2", qRel = s"q$l",
+                seedRel = Some(s"seedi$l"))},
+             |old$l AS MATERIALIZED (SELECT src, dst, sqrt(d2) AS dist,
+             |    row_number() OVER (PARTITION BY src ORDER BY d2, dst) AS rn
+             |  FROM g${l}_knn2),
+             |${Similarity.nnInsertMergeSql(s"m${l}_", s"old$l", s"s${l}_found", k = 6)}""".stripMargin
+        }
+        def layerSel(l: Int): String =
+          s"""SELECT CAST($l AS INTEGER) AS layer, src AS vec_id,
+             |  CAST(rn AS BIGINT) AS rank, dst AS nbr_id, dist
+             |FROM m${l}_merged""".stripMargin
+        s"""WITH e AS MATERIALIZED (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+           |lv AS MATERIALIZED (SELECT id, vec,
+           |    CASE WHEN h % 16 = 0 THEN 2 WHEN h % 4 = 0 THEN 1 ELSE 0 END AS lvl
+           |  FROM (SELECT id, vec,
+           |          CAST(('0x' || substr(md5('hl:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+           |        FROM e)),
+           |${layerChain(0)},
+           |${layerChain(1)},
+           |${layerChain(2)}
+           |${layerSel(0)}
+           |UNION ALL ${layerSel(1)}
+           |UNION ALL ${layerSel(2)}
+           |ORDER BY layer, vec_id, rank""".stripMargin
       }),
 
     // STREAMING ANN-INDEX MAINTENANCE, oracle-hashed end state

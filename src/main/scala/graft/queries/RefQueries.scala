@@ -2302,6 +2302,66 @@ object RefQueries {
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
              |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // PARTITION-EVOLUTION-AWARE OPTIMIZE ([[SnapshotStore
+    // .compactSmallEras]] — Iceberg rewrite-data-files on a
+    // spec-evolved table): the table carries a big FLAT base, two
+    // small flat appends (the old layout era), then EVOLVES to
+    // l_returnflag partitioning and takes two more small appends under
+    // the new spec. The per-era compaction folds each era's debris
+    // UNDER ITS OWN LAYOUT — the flat smalls into one flat file, the
+    // partitioned smalls into one file per flag directory — while the
+    // big base rides by reference and the metadata COUNT survives. The
+    // r15 gap: plain compactSmall would have rewritten BOTH eras into
+    // one caller-chosen layout, silently converting old-era files (and
+    // the full-rewrite [[SnapshotStore.compact]] touches the compacted
+    // bulk). Oracle: full content recompute.
+    Q("m_compact_eras",
+      (s, dir) => {
+        val st = new SnapshotStore(s, s"/tmp/graft_ss_ce_${new java.io.File(dir).getName}",
+          statsFor = Seq("l_orderkey"))
+        st.dropTable("silver", "li")
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            col("l_returnflag"))
+        st.overwrite(li.filter(col("l_orderkey") % 4 === 0).repartition(1),
+          "silver", "li")
+        val bigFiles = st.read("silver", "li").inputFiles.toSet
+        // flat era debris: two small appends under the ORIGINAL layout
+        Seq(1, 5).foreach(i => st.append(
+          li.filter(col("l_orderkey") % 8 === i).repartition(1), "silver", "li"))
+        // spec evolution: two more small appends under the NEW layout
+        Seq(3, 7).foreach(i => st.append(
+          li.filter(col("l_orderkey") % 8 === i).repartition(1),
+          "silver", "li", partitionBy = Seq("l_returnflag")))
+        val preCount = st.countRows("silver", "li")
+        require(preCount.isDefined, "metadata COUNT must be complete before compaction")
+        def sizeOf(f: String) = new java.io.File(new java.net.URI(f).getPath).length
+        val smallFiles = st.read("silver", "li").inputFiles.toSet -- bigFiles
+        val (maxSmall, minBig) = (smallFiles.map(sizeOf).max, bigFiles.map(sizeOf).min)
+        require(maxSmall < minBig, s"setup: appends ($maxSmall B) must undercut the base ($minBig B)")
+        st.compactSmallEras("silver", "li", thresholdBytes = (maxSmall + minBig) / 2,
+          numFilesPerEra = 1)
+        val post = st.read("silver", "li")
+        val postFiles = post.inputFiles.toSet
+        require(bigFiles.subsetOf(postFiles),
+          "compactSmallEras must carry the big base file by reference")
+        val newFiles = postFiles -- bigFiles
+        val (flagged, flat) = newFiles.partition(_.contains("l_returnflag="))
+        require(flat.size == 1,
+          s"flat-era debris must fold into ONE flat file, got ${flat.size}")
+        val nFlags = li.filter(col("l_orderkey") % 4 === 3)
+          .select("l_returnflag").distinct().count()
+        require(flagged.size == nFlags,
+          s"partitioned-era debris must fold into one file PER FLAG DIR " +
+            s"($nFlags), got ${flagged.size} — the era's own layout, never flattened")
+        require(st.countRows("silver", "li") == preCount,
+          "metadata COUNT must survive the per-era rewrite unchanged")
+        post.orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+             |FROM lineitem WHERE l_orderkey % 4 IN (0, 1, 3)
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // BRANCH / FAST-FORWARD MERGE ([[SnapshotStore.shallowClone]] +
     // [[SnapshotStore.mergeBranch]] — the Nessie/Iceberg-branch
     // workflow): production gold is branched zero-copy, the 1997

@@ -419,6 +419,37 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming HNSW maintenance — [[knnInsertSink]] lifted to the
+    * LAYERED index ([[graft.ops.Similarity.hnswInsert]]): each
+    * micro-batch's vectors get their md5-geometric levels (a pure
+    * function of the id, so streamed levels equal a batch rebuild's)
+    * and every layer ≤ level runs one reverse-offer insert over the
+    * maintained layer graph. Expects `<layer>/vectors` and
+    * `<layer>/graph` pre-seeded with the base corpus and its
+    * [[graft.ops.Similarity.hnswBuild]]; batch ORDER matters (earlier
+    * nodes serve later searches), so stage one file per batch with
+    * `maxFilesPerTrigger = 1` — the knnInsertSink discipline. */
+  def hnswInsertSink(newVecs: DataFrame, st: SnapshotStore, layer: String,
+                     idCol: String, vecCol: String,
+                     k: Int, beam: Int, hops: Int, maxLevel: Int, entries: Int,
+                     checkpoint: String): StreamingQuery =
+    newVecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          val all = st.read(layer, "vectors").unionByName(b)
+          val g1 = graft.ops.Similarity.hnswInsert(all, idCol, vecCol,
+            st.read(layer, "graph"), b.select(col(idCol)),
+            k, beam, hops, maxLevel, entries)
+          st.overwrite(g1, layer, "graph")
+          st.overwrite(all, layer, "vectors")
+        }
+        ()
+      }
+      .start()
+
   /** Keyed-upsert sink: every micro-batch MERGEs into the warehouse
     * table by unique key (staged wins) — `foreachBatch` + [[Merge]] is
     * Spark's idiom for the reference's Delta MERGE sink. */

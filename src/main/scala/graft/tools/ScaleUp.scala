@@ -73,18 +73,34 @@ object ScaleUp {
     val embOff = emb.agg(coalesce(max(idCol), lit(0L))).head.getLong(0) + 1
     val vecCol = emb.schema.fields
       .find(_.dataType.typeName == "array").map(_.name).getOrElse("embedding")
-    // jitter amplitude from the corpus itself: 0.15 × component stddev
+    // jitter amplitude from the corpus itself, MIXED per replica family
+    // (r16, closing the r15 eps-density caveat): a single 0.15σ
+    // amplitude put every base + its 9 replicas in a 10-clique at
+    // d ≈ 0.087 ≪ any eps of interest, so eps-family queries (dbscan,
+    // range search) saw planted-clique pair density at sf1, not corpus
+    // growth. Now 1 base family in 8 keeps the near jitter (the corpus
+    // still carries realistic near-duplicates for the ANN/semantic-
+    // dedup workloads), and the other 7 get 1.5σ — E[replica-to-base
+    // distance] ≈ σ·1.5·√(64/3) ≈ 0.87 with min > 0.5 at ~6σ, so those
+    // replicas are eps-ISOLATED organic points (far replica pairs of
+    // one base sit ~√2·0.87 apart; hitting within eps of an unrelated
+    // base is a 64-dim volume event, negligible).
     val sigma = emb.select(explode(col(vecCol)).as("x"))
       .agg(stddev_pop(col("x"))).head.getDouble(0)
-    val amp = 0.15 * sigma
+    val ampNear = 0.15 * sigma
+    val ampFar = 1.5 * sigma
     val embN = replicate(emb, { (d, i) =>
       if (i == 0) d
-      else d.withColumn(idCol, col(idCol) + lit(i * embOff))
-        // per-(new id, component) hash → uniform in [-amp, amp];
-        // md5-derived like every other determinism anchor in the repo
-        .withColumn(vecCol, transform(col(vecCol), (x, j) =>
-          (x + lit(amp) * (((xxhash64(col(idCol), j) % 10001L + 10001L) % 10001L)
-            .cast("double") / 5000.0 - 1.0)).cast("float")))
+      else {
+        val amp = when(col(idCol) % lit(embOff) % 8 === 0, lit(ampNear))
+          .otherwise(lit(ampFar))
+        d.withColumn(idCol, col(idCol) + lit(i * embOff))
+          // per-(new id, component) hash → uniform in [-amp, amp];
+          // md5-derived like every other determinism anchor in the repo
+          .withColumn(vecCol, transform(col(vecCol), (x, j) =>
+            (x + amp * (((xxhash64(col(idCol), j) % 10001L + 10001L) % 10001L)
+              .cast("double") / 5000.0 - 1.0)).cast("float")))
+      }
     })
     embN.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 

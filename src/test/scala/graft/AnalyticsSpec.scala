@@ -139,4 +139,91 @@ class AnalyticsSpec extends SparkSpec {
       && r.getAs[Long]("n_b") == 7L)
     assert(r.getAs[Double]("containment") == 1.0) // s1 fully contained
   }
+
+  test("dd_hierarchical: copies die at stage 1, chimeras lose a paragraph, borrowers lose a line") {
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0))
+    val off = base.max + 1
+    val out = graft.SparkEntry.queries("dd_hierarchical")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // stage 1: every full copy (+off of %5 docs) must be ABSENT — its
+    // original has the smaller id and the same doc hash
+    val copies = base.filter(_ % 5 == 0).map(_ + off)
+    assert(copies.forall(!out.contains(_)), "a full copy survived doc-level dedup")
+    // stage 2: every SURVIVING paragraph chimera (+2·off) shares its
+    // paragraph 0 with the original, so at least one paragraph is lost
+    val chimeras = base.filter(_ % 7 == 0).map(_ + 2 * off).filter(out.contains)
+    assert(chimeras.nonEmpty, "no chimera survived to exercise stage 2")
+    chimeras.foreach { id =>
+      val r = out(id)
+      assert(r.getLong(2) < r.getLong(1),
+        s"chimera $id kept all ${r.getLong(1)} paragraphs — borrowed para 0 not deduped")
+    }
+    // stage 3: every SURVIVING line borrower (+3·off) shares line 0 of
+    // paragraph 0 with the original, so at least one line is lost
+    val borrowers = base.filter(_ % 11 == 0).map(_ + 3 * off).filter(out.contains)
+    assert(borrowers.nonEmpty, "no borrower survived to exercise stage 3")
+    borrowers.foreach { id =>
+      val r = out(id)
+      assert(r.getLong(4) < r.getLong(3),
+        s"borrower $id kept all ${r.getLong(3)} lines — borrowed line 0 not deduped")
+    }
+    // the chain removes token mass overall
+    assert(out.values.map(_.getLong(6)).sum < out.values.map(_.getLong(5)).sum)
+  }
+
+  test("dd_threshold_sweep equals a driver-side all-pairs brute force at every threshold") {
+    // INDEPENDENT audit of the within-group + cross-group pair
+    // composition (r15 verdict item 4): the query counts within-group
+    // pairs analytically (gsize·(gsize−1)/2, J = 1 by set equality)
+    // and cross pairs as gsize_a·gsize_b per qualifying rep pair; this
+    // replay enumerates EVERY doc pair at the raw corpus grain, set
+    // Jaccard per pair, union-find components — no shared formula.
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+      .sortBy(_._1)
+    val sets = docs.map { case (id, t) => id -> t.toSet }.toMap
+    val nTok = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    val ids = docs.map(_._1)
+    val corpusTok = nTok.values.sum
+    val out = graft.SparkEntry.queries("dd_threshold_sweep")(spark, dir)
+      .orderBy("threshold").collect()
+    for (row <- out) {
+      val t = row.getDouble(0)
+      // brute force: every unordered pair, exact set Jaccard
+      val pairs = for {
+        i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+        a = sets(ids(i)); b = sets(ids(j))
+        sh = (a & b).size
+        if sh.toDouble / (a.size + b.size - sh) >= t
+      } yield (ids(i), ids(j))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      var nPairs = 0L
+      pairs.foreach { case (a, b) =>
+        nPairs += 1
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val comps = parent.keys.toSeq.groupBy(find)
+      val dupComps = comps.filter(_._2.size >= 2) // union-find only holds touched ids
+      val nDupDocs = dupComps.values.map(_.size.toLong).sum
+      val nComponents = dupComps.size.toLong
+      val toksRemoved = dupComps.values
+        .map(members => members.map(nTok).sum - nTok(members.min)).sum
+      assert(row.getLong(1) == nPairs, s"t=$t n_pairs: ${row.getLong(1)} vs $nPairs")
+      assert(row.getLong(2) == nDupDocs, s"t=$t n_dup_docs: ${row.getLong(2)} vs $nDupDocs")
+      assert(row.getLong(3) == nComponents, s"t=$t n_components")
+      assert(row.getLong(4) == nDupDocs - nComponents, s"t=$t docs_removed")
+      assert(row.getLong(5) == toksRemoved, s"t=$t tokens_removed: ${row.getLong(5)} vs $toksRemoved")
+      assert(row.getDouble(6) == toksRemoved.toDouble / corpusTok, s"t=$t pct")
+    }
+  }
 }

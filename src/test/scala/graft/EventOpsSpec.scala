@@ -457,6 +457,34 @@ class EventOpsSpec extends SparkSpec {
     val degenerate = EventOps.abTestExposure(allConv, "user_id", "event_type", "ts",
       "view", "purchase", window = expr("INTERVAL 24 HOURS")).collect().head
     assert(degenerate.isNullAt(degenerate.fieldIndex("z_pooled")))
+    // conversion EXACTLY at t0 + window is INSIDE (<= boundary, both
+    // engines); one microsecond later is outside
+    val atBoundary = Seq(
+      (1L, "2024-01-01 10:00:00.000000", 5L, "view"),
+      (2L, "2024-01-02 10:00:00.000000", 5L, "purchase"),
+      (3L, "2024-01-01 10:00:00.000000", 6L, "view"),
+      (4L, "2024-01-02 10:00:00.000001", 6L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val bOut = EventOps.abTestExposure(atBoundary, "user_id", "event_type", "ts",
+      "view", "purchase", window = expr("INTERVAL 24 HOURS")).collect().head
+    assert(bOut.getLong(1) + bOut.getLong(3) == 1L,
+      s"exactly-at-boundary must convert, one µs later must not: $bOut")
+    // EMPTY ARM: a single exposed user leaves the other arm empty —
+    // its rate, the lift, and z must be NULL (not NaN/inf; Spark's
+    // 0-division NULL vs DuckDB's inf would diverge without the guard)
+    val solo = Seq((1L, "2024-01-01 10:00:00", 7L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+    val sOut = EventOps.abTestExposure(solo, "user_id", "event_type", "ts",
+      "view", "purchase", window = expr("INTERVAL 24 HOURS")).collect().head
+    assert(sOut.getLong(0) + sOut.getLong(2) == 1L)
+    val emptyRate = if (sOut.getLong(0) == 0L) "rate_a" else "rate_b"
+    assert(sOut.isNullAt(sOut.fieldIndex(emptyRate)), s"empty arm's rate: $sOut")
+    assert(sOut.isNullAt(sOut.fieldIndex("lift")) &&
+      sOut.isNullAt(sOut.fieldIndex("z_pooled")), s"lift/z on empty arm: $sOut")
   }
 
   test("markovSteady: recurrent closure drops multi-hop drains, conserves mass") {

@@ -738,6 +738,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hnswInsert: empty delta is a no-op; inserted nodes land on every layer up to their level") {
+    import spark.implicits._
+    val pts = (0 until 32).map(i => (i.toLong, Array(i * 1.0f, (i % 5) * 3.0f)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val base = emb.filter(col("vec_id") % 4 =!= 0)
+    val g0 = Similarity.hnswBuild(base, "vec_id", "embedding",
+      k = 3, rounds = 2, maxLevel = 2, bucketsFor = _ => 4)
+    // empty delta: the maintained index passes through verbatim
+    val noop = Similarity.hnswInsert(base, "vec_id", "embedding", g0,
+      base.select("vec_id").limit(0), k = 3, beam = 6, hops = 3, maxLevel = 2)
+    assert(noop.orderBy("layer", "vec_id", "rank").collect().toSeq ==
+      g0.orderBy("layer", "vec_id", "rank").collect().toSeq)
+    // real delta: every inserted id appears on exactly layers 0..level
+    val delta = emb.filter(col("vec_id") % 4 === 0)
+    val all = base.unionByName(delta)
+    val g1 = Similarity.hnswInsert(all, "vec_id", "embedding", g0,
+      delta.select("vec_id"), k = 3, beam = 6, hops = 3, maxLevel = 2)
+    val lvls = delta.select(col("vec_id"),
+        Similarity.hnswLevelExpr(col("vec_id"), 2).as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byLayer = g1.select("layer", "vec_id").distinct().collect()
+      .groupBy(_.getInt(0)).map { case (l, rs) => l -> rs.map(_.getLong(1)).toSet }
+    lvls.foreach { case (id, lvl) =>
+      (0 to lvl).foreach(l => assert(byLayer(l).contains(id), s"$id not in layer $l"))
+      ((lvl + 1) to 2).foreach(l => assert(!byLayer.getOrElse(l, Set.empty[Long]).contains(id),
+        s"$id above its level in layer $l"))
+    }
+  }
+
   test("gramMatrix: exact integer cells on hand-quantizable vectors") {
     import spark.implicits._
     // components are multiples of 2^-8, so round(x·256) is exact

@@ -422,6 +422,67 @@ class StreamingSpec extends SparkSpec {
     assert((4 until 24 by 8).forall(i => ids.contains(i.toLong)))
   }
 
+  test("hnswInsertSink: streamed batches equal sequential hnswInsert; replay is a no-op") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.engine.SnapshotStore
+    val pts = (0 until 48).map(i => (i.toLong, Array(i * 1.0f, (i % 7) * 2.0f)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val b0 = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch1 = emb.filter(col("vec_id") % 8 === 0)
+    val batch2 = emb.filter(col("vec_id") % 8 === 4)
+    val root = tmp("graft_hnsw_sink")
+    val st = new SnapshotStore(spark, s"$root/store")
+    st.overwrite(b0, "hnsw", "vectors")
+    st.overwrite(Similarity.hnswBuild(b0, "vec_id", "embedding",
+      k = 3, rounds = 2, maxLevel = 2, bucketsFor = _ => 4), "hnsw", "graph")
+    val staged = s"$root/in"
+    batch1.coalesce(1).write.parquet(staged)
+    Thread.sleep(20)
+    batch2.coalesce(1).write.mode("append").parquet(staged)
+    val ck = s"$root/ckpt"
+    def run(): Unit = StreamOps.hnswInsertSink(
+      StreamOps.eventStream(spark, staged, spark.read.parquet(staged).schema,
+        maxFilesPerTrigger = Some(1)),
+      st, "hnsw", "vec_id", "embedding", k = 3, beam = 6, hops = 3,
+      maxLevel = 2, entries = 8, checkpoint = ck).awaitTermination()
+    run()
+    val streamed = st.read("hnsw", "graph")
+      .orderBy("layer", "vec_id", "rank").collect().toSeq
+    // sequential batch replay must agree exactly
+    val g0 = Similarity.hnswBuild(b0, "vec_id", "embedding",
+      k = 3, rounds = 2, maxLevel = 2, bucketsFor = _ => 4)
+    val e1 = b0.unionByName(batch1)
+    val g1 = Similarity.hnswInsert(e1, "vec_id", "embedding", g0,
+      batch1.select("vec_id"), k = 3, beam = 6, hops = 3, maxLevel = 2, entries = 8)
+    val e2 = e1.unionByName(batch2)
+    val g2 = Similarity.hnswInsert(e2, "vec_id", "embedding", g1,
+      batch2.select("vec_id"), k = 3, beam = 6, hops = 3, maxLevel = 2, entries = 8)
+    val replayed = g2.orderBy("layer", "vec_id", "rank").collect().toSeq
+    assert(streamed == replayed, "streamed index must equal sequential batch inserts")
+    // checkpoint replay: re-running the drained stream changes nothing
+    run()
+    val again = st.read("hnsw", "graph")
+      .orderBy("layer", "vec_id", "rank").collect().toSeq
+    assert(again == streamed, "replaying a drained stream must be a no-op")
+    // every inserted node appears at layer 0 AND at every layer up to
+    // its md5-geometric level — the batch-rebuild level assignment
+    val lvls = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        Similarity.hnswLevelExpr(col("vec_id"), 2).as("lvl"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byLayer = streamed.groupBy(_.getInt(0))
+      .map { case (l, rows) => l -> rows.map(_.getLong(1)).toSet }
+    lvls.foreach { case (id, lvl) =>
+      (0 to lvl).foreach { l =>
+        assert(byLayer(l).contains(id), s"inserted $id missing from layer $l (lvl=$lvl)")
+      }
+      ((lvl + 1) to 2).foreach { l =>
+        assert(!byLayer(l).contains(id), s"inserted $id above its level in layer $l")
+      }
+    }
+  }
+
   test("cdcApplySink: churn collapses, deletes remove, later upserts reinsert") {
     import spark.implicits._
     val staged = tmp("graft_cdc_in")
