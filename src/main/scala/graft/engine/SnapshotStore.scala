@@ -1329,21 +1329,22 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     }
   }
 
-  /** Partition-evolution-aware OPTIMIZE — [[compactSmall]] per LAYOUT
-    * ERA: on an evolved table, small files are grouped by the
-    * partition-column chain their paths carry (the era: "year",
-    * "year/region", or flat "") and each era's debris is rewritten
-    * UNDER ITS OWN LAYOUT, partition values re-derived from the rows
-    * themselves — so routine compaction neither forces the full-table
-    * rewrite [[compact]] needs to UNIFY layouts nor converts old-era
-    * files to the new spec behind the reader's back (the Iceberg
-    * rewrite-data-files behavior on spec-evolved tables). At 100 TB an
-    * evolved table's old eras are the compacted bulk: a daily run
-    * touches each era's small-append debris only, and the one commit
-    * carries every untouched file by reference. Same guards as
-    * [[compactSmall]]: refuses pending equality deletes, aborts on a
-    * concurrent commit; eras with fewer than two small files are left
-    * untouched. */
+  /** Partition-evolution-aware OPTIMIZE — [[compactSmall]] per
+    * PARTITION DIRECTORY (Delta OPTIMIZE's bin-packing unit, which
+    * carries its layout era implicitly): on an evolved table, small
+    * files are grouped by the partition dir their paths carry
+    * ("year=1996", "year=1996/region=eu", or flat "") and each dir's
+    * debris is rewritten UNDER ITS OWN LAYOUT — so routine compaction
+    * neither forces the full-table rewrite [[compact]] needs to UNIFY
+    * layouts nor converts old-era files to the new spec behind the
+    * reader's back (the Iceberg rewrite-data-files behavior on
+    * spec-evolved tables). At 100 TB an evolved table's old eras are
+    * the compacted bulk: a daily run touches only the dirs holding
+    * that day's small-append debris, and the one commit carries every
+    * untouched file by reference. Same guards as [[compactSmall]]:
+    * refuses pending equality deletes, aborts on a concurrent commit;
+    * dirs with fewer than two small files are left untouched (so the
+    * steady state — one file per dir — is a no-op, same snapshot). */
   def compactSmallEras(layer: String, table: String, thresholdBytes: Long,
                        numFilesPerEra: Int = 1): Long = {
     val id = snapshots(layer, table).lastOption.getOrElse(
@@ -1356,18 +1357,19 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     val sized = m.files.map(f =>
       f -> fs.getFileStatus(new Path(absFile(layer, table, f))).getLen)
     val small = sized.filter(_._2 < thresholdBytes).map(_._1)
-    def eraOf(f: String): Seq[String] =
-      f.split('/').dropRight(1).filter(_.contains("="))
-        .map(_.takeWhile(_ != '=')).toSeq
-    val byEra = small.groupBy(eraOf).filter(_._2.size >= 2)
-    if (byEra.isEmpty) return id
-    import org.apache.spark.sql.functions.col
-    val rewritten = byEra.toSeq.sortBy(_._1.mkString("/")).map { case (era, fls) =>
+    // the compaction unit is the PARTITION DIRECTORY (Delta OPTIMIZE's
+    // bin-packing unit), which carries its era implicitly: grouping by
+    // the mere column CHAIN would see an era's steady state (one file
+    // per partition dir) as ≥2 smalls and re-compact it forever, and
+    // would shuffle a whole era when only one dir has debris. A dir's
+    // rows all share its partition values, so the rewrite under the
+    // dir's own spec columns regenerates exactly that dir.
+    val byDir = small.groupBy(f => partOf(f)).filter(_._2.size >= 2)
+    if (byDir.isEmpty) return id
+    val rewritten = byDir.toSeq.sortBy(_._1).map { case (dir, fls) =>
+      val specCols = dir.split('/').filter(_.nonEmpty).map(_.takeWhile(_ != '=')).toSeq
       val df = readFiles(layer, table, m.schema, fls)
-      val rearranged =
-        if (era.nonEmpty) df.repartition(numFilesPerEra, era.map(col): _*)
-        else df.repartition(numFilesPerEra)
-      (fls, writeIntoPool(rearranged, layer, table, era))
+      (fls, writeIntoPool(df.repartition(numFilesPerEra), layer, table, specCols))
     }
     val dropped = rewritten.flatMap(_._1)
     val added = rewritten.flatMap(_._2)

@@ -9442,6 +9442,120 @@ object ExtQueries {
            |  AND r.doc_id = q.q_id + (SELECT MAX(doc_id) + 1 FROM documents)
            |ORDER BY q.q_id""".stripMargin
       }),
+
+    // END-TO-END retrieval-quality harness PER CORPUS SLICE (r15
+    // verdict item 7a — the eval-loop closer on top of the two-stage
+    // retrieval): stage 1 is the maintained-index BM25 (bigram space,
+    // top-50 candidates; the same once-per-ingest index search_mrr
+    // rides), stage 2 a CROSS-ENCODER-STYLE pairwise reranker — a
+    // scorer that sees (query doc, candidate doc) pairs, here
+    // unigram token-set Jaccard in exact integer ppm, applied to the
+    // 50 candidates only (the cross-encoder deployment shape: the
+    // expensive pairwise model never touches the corpus, only the
+    // candidate set). Relevance is true by construction (the planted
+    // exact copy), and every metric reports PER LENGTH SLICE of the
+    // query document (short/medium/long terciles of the corpus) —
+    // found@10 and MRR@10 for stage 1 vs reranked, which is exactly
+    // the "which corpus slice does retrieval fail on, and does the
+    // reranker pay for itself there" readout a curation run reads.
+    // All-integer metrics (ppm divisions), total-ordered ranks.
+    Q("eval_retrieval_slices",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, dir)
+        val off = base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val bigramText = array_join(transform(
+          TextOps.bigramsOf(TextOps.tokens(col("text"))),
+          g => translate(g, " ", "_")), " ")
+        val corpus = dupCorpus(s, dir).select(col("doc_id"), bigramText.as("text"))
+        val (tf, dl) = cachedBm25Index(s, dir, "mrr_bigram") {
+          Search.indexBatch(corpus, "doc_id", "text")
+        }
+        val docTok = tf.select(col("doc_id"), col("term"))
+        val dfr = docTok.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
+        val qt = docTok.filter(col("doc_id") % 5 === 0 && col("doc_id") < 150)
+          .join(broadcast(dfr), Seq("term"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+          .select(col("doc_id").as("q_id"), col("term"))
+        val stage1 = Search.bm25FromIndex(tf, dl, qt, k = 50).localCheckpoint()
+        val uni = dupCorpus(s, dir).select(col("doc_id"),
+          array_distinct(TextOps.tokens(col("text"))).as("ts"))
+        val rr = stage1
+          .join(uni.select(col("doc_id").as("q_id"), col("ts").as("__qt")), "q_id")
+          .join(uni.select(col("doc_id"), col("ts").as("__ct")), "doc_id")
+          .withColumn("score_ppm", expr(
+            "CAST(size(array_intersect(__qt, __ct)) AS BIGINT) * 1000000 div " +
+              "(CAST(size(__qt) AS BIGINT) + size(__ct) - size(array_intersect(__qt, __ct)))"))
+          .withColumn("rank2", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("score_ppm").desc, col("doc_id"))))
+        val hit1 = stage1.filter(col("doc_id") === col("q_id") + off && col("rank") <= 10)
+          .select(col("q_id"), col("rank").as("rank1"))
+        val hit2 = rr.filter(col("doc_id") === col("q_id") + off && col("rank2") <= 10)
+          .select(col("q_id"), col("rank2"))
+        val sliced = base.filter(col("doc_id") % 5 === 0 && col("doc_id") < 150)
+          .select(col("doc_id").as("q_id"),
+            size(TextOps.tokens(col("text"))).as("n_tok"))
+          .withColumn("slice", when(col("n_tok") < 40, "short")
+            .when(col("n_tok") < 70, "medium").otherwise("long"))
+        sliced.join(hit1, Seq("q_id"), "left").join(hit2, Seq("q_id"), "left")
+          .groupBy("slice").agg(
+            count(lit(1)).as("n_q"),
+            sum(when(col("rank1").isNotNull, 1L).otherwise(0L)).as("found1"),
+            expr("CAST(SUM(COALESCE(1000000 div rank1, 0)) div COUNT(*) AS BIGINT)")
+              .as("mrr1_ppm"),
+            sum(when(col("rank2").isNotNull, 1L).otherwise(0L)).as("found2"),
+            expr("CAST(SUM(COALESCE(1000000 div rank2, 0)) div COUNT(*) AS BIGINT)")
+              .as("mrr2_ppm"))
+          .orderBy("slice")
+      },
+      Some {
+        val qtBody =
+          s"""WITH dtok AS (SELECT doc_id,
+             |    unnest(list_distinct(${TextOps.tokensSql("text")})) AS term
+             |  FROM bcorpus),
+             |dfr2 AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1)
+             |SELECT doc_id AS q_id, term FROM (
+             |  SELECT dtok.doc_id, dtok.term,
+             |         row_number() OVER (PARTITION BY dtok.doc_id
+             |                            ORDER BY dfr2.df, dtok.term) AS rn
+             |  FROM dtok JOIN dfr2 USING (term)
+             |  WHERE dtok.doc_id % 5 = 0 AND dtok.doc_id < 150)
+             |WHERE rn <= 4""".stripMargin
+        s"""WITH $dupCorpusSql,
+           |bcorpus AS MATERIALIZED (SELECT doc_id,
+           |  array_to_string(list_transform(${TextOps.bigramsSql("text")},
+           |    g -> replace(g, ' ', '_')), ' ') AS text
+           |  FROM corpus),
+           |r1 AS MATERIALIZED (${Search.bm25SqlFrom("bcorpus", qtBody, k = 50)}),
+           |uni AS MATERIALIZED (SELECT doc_id,
+           |  list_distinct(${TextOps.tokensSql("text")}) AS ts FROM corpus),
+           |rr AS (SELECT q_id, doc_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY score_ppm DESC, doc_id) AS rank2
+           |  FROM (SELECT r1.q_id, r1.doc_id,
+           |          CAST(len(list_intersect(uq.ts, uc.ts)) AS BIGINT) * 1000000
+           |            // (CAST(len(uq.ts) AS BIGINT) + len(uc.ts)
+           |                - len(list_intersect(uq.ts, uc.ts))) AS score_ppm
+           |        FROM r1 JOIN uni uq ON uq.doc_id = r1.q_id
+           |                JOIN uni uc ON uc.doc_id = r1.doc_id)),
+           |o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+           |h1 AS (SELECT q_id, rank AS rank1 FROM r1, o
+           |       WHERE doc_id = q_id + off AND rank <= 10),
+           |h2 AS (SELECT q_id, rank2 FROM rr, o
+           |       WHERE doc_id = q_id + off AND rank2 <= 10),
+           |sl AS (SELECT doc_id AS q_id,
+           |    CASE WHEN len(${TextOps.tokensSql("text")}) < 40 THEN 'short'
+           |         WHEN len(${TextOps.tokensSql("text")}) < 70 THEN 'medium'
+           |         ELSE 'long' END AS slice
+           |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150)
+           |SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_q,
+           |  CAST(SUM(CASE WHEN rank1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found1,
+           |  CAST(SUM(COALESCE(1000000 // rank1, 0)) // COUNT(*) AS BIGINT) AS mrr1_ppm,
+           |  CAST(SUM(CASE WHEN rank2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found2,
+           |  CAST(SUM(COALESCE(1000000 // rank2, 0)) // COUNT(*) AS BIGINT) AS mrr2_ppm
+           |FROM sl LEFT JOIN h1 USING (q_id) LEFT JOIN h2 USING (q_id)
+           |GROUP BY slice ORDER BY slice""".stripMargin
+      }),
   )
 
   /** DuckDB mirror of the sim_mmr greedy: the identical `k` rounds

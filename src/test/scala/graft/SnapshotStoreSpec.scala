@@ -467,6 +467,35 @@ class SnapshotStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { st.compactSmall("s", "t", thr) }
   }
 
+  test("compactSmallEras folds each layout era under its own spec; guards match compactSmall") {
+    import spark.implicits._
+    val st = newStore("cse")
+    def rows(a: Long, b: Long) = spark.range(a, b)
+      .select(col("id"), (col("id") % 3).cast("string").as("k"))
+    // flat era: two small appends
+    st.overwrite(rows(0, 10).repartition(1), "s", "t")
+    st.append(rows(10, 20).repartition(1), "s", "t")
+    // evolved era: two small appends under k-partitioning
+    st.append(rows(20, 30).repartition(1), "s", "t", partitionBy = Seq("k"))
+    st.append(rows(30, 40).repartition(1), "s", "t", partitionBy = Seq("k"))
+    val v = st.compactSmallEras("s", "t", thresholdBytes = Long.MaxValue / 2)
+    val post = st.read("s", "t")
+    val (flagged, flat) = post.inputFiles.toSet.partition(_.contains("k="))
+    assert(flat.size == 1, s"flat era must fold to ONE file, got ${flat.size}")
+    assert(flagged.size == 3, s"evolved era must fold to one file per k dir, got ${flagged.size}")
+    assert(post.count() == 40)
+    assert(post.select(sum("id")).head.getLong(0) == (0L until 40L).sum)
+    // one small file per era left → no-op, same snapshot id
+    assert(st.compactSmallEras("s", "t", Long.MaxValue / 2) == v)
+    // pending equality deletes block the partial rewrite
+    st.append(rows(40, 50).repartition(1), "s", "t")
+    st.append(rows(50, 60).repartition(1), "s", "t")
+    st.deleteKeys(Seq(Tuple1(1L)).toDF("id"), "s", "t", Seq("id"))
+    intercept[IllegalArgumentException] {
+      st.compactSmallEras("s", "t", Long.MaxValue / 2)
+    }
+  }
+
   test("mergeBranch fast-forwards; a diverged source aborts the merge") {
     val st = newStore("br")
     st.overwrite(Seq((1L, "a")).toDF("id", "v"), "prod", "t")
