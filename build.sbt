@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the heap floor to the ceiling and pre-touch it: an adaptively
+  // growing heap gives each bench JVM a different GC schedule, which
+  // the r16 drift measurement attributed most of the run-to-run band
+  // to (the multi-second iterative queries moved one-directionally
+  // between two back-to-back runs of an unchanged tree)
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -126,11 +126,31 @@ object Bench {
     // (~1.1 KB, the ones a regression diff needs first), while the
     // file copy (BENCH_LOCAL.json, committed to the repo each round)
     // remains the full per-query artifact of record.
+    // MACHINE-SPEED CANARY: four back-to-back full runs on an
+    // unchanged r16 tree read 507.5 / 472.0 / 499.8 / 555.7 s with the
+    // drift direction CORRELATED across unrelated multi-second queries
+    // (a global slowdown factor — shared-host noise, not sampling or
+    // heap adaptivity; pinning -Xms/-Xmx changed nothing). No protocol
+    // can remove it, so the artifact carries a fixed deterministic
+    // CPU workload timed in the same JVM: round-over-round comparisons
+    // divide by the canary ratio before calling anything a regression.
+    // min-of-3 of a ~1 s single-thread xorshift loop (pure CPU, no
+    // alloc — tracks the host's effective cycle rate).
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L; var i = 0L
+      while (i < 400000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42L) System.err.println("never") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canary = (1 to 3).map(_ => canaryOnce()).min
     val slowest = best.toSeq.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${best.size},"queries":$slowest,"queries_truncated_to":40,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"samples":$allSamples,"pipeline_stages":$stages,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${best.size},"canary_sec":${fmt(canary)},"queries":$slowest,"queries_truncated_to":40,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},"queries":$qs,"samples":$allSamples,"pipeline_stages":$stages,"sf":"$sfDir"}"""
     // A SPARK_GRAFT_ONLY-filtered run must NOT clobber the full record
     // (the artifact of record the judge reads) with a partial one.
     val localPath = if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_PARTIAL.json"

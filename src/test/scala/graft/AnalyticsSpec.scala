@@ -173,6 +173,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.values.map(_.getLong(6)).sum < out.values.map(_.getLong(5)).sum)
   }
 
+  test("dd_hierarchical equals a driver-side replay of the full three-stage chain") {
+    // INDEPENDENT mirror audit (the r15 item-4 discipline applied to
+    // this round's own queries): replay doc → paragraph → line dedup
+    // from the raw texts in plain Scala collections — java MD5, list
+    // slicing, insertion-order maps; no Spark, no SQL — and demand
+    // every output column match for every surviving doc.
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val off = base.map(_._1).max + 1
+    def toks(t: String): Vector[String] =
+      t.split(' ').filter(_.nonEmpty).toVector
+    def rebuilt(t: String, take: Int): String = {
+      val tk = toks(t); (tk.take(take) ++ tk.drop(take).reverse).mkString(" ")
+    }
+    val corpus = (base ++
+      base.filter(_._1 % 5 == 0).map { case (id, t) => (id + off, t) } ++
+      base.filter(_._1 % 7 == 0).map { case (id, t) => (id + 2 * off, rebuilt(t, 32)) } ++
+      base.filter(_._1 % 11 == 0).map { case (id, t) => (id + 3 * off, rebuilt(t, 8)) })
+      .sortBy(_._1)
+    // stage 1: exact doc dedup, keep min id per hash
+    val keepDoc = scala.collection.mutable.Map[String, Long]()
+    corpus.foreach { case (id, t) =>
+      val h = md5hex(toks(t).mkString(" "))
+      if (!keepDoc.contains(h)) keepDoc(h) = id
+    }
+    val d1 = corpus.filter { case (id, t) => keepDoc(md5hex(toks(t).mkString(" "))) == id }
+    // stage 2 + 3: first-occurrence keeps in (doc_id, pidx[, lidx]) order
+    val seenP = scala.collection.mutable.Set[String]()
+    val seenL = scala.collection.mutable.Set[String]()
+    val expect = d1.map { case (id, t) =>
+      val tk = toks(t)
+      val paras = tk.grouped(32).toVector
+      val keptP = paras.map(p => seenP.add(md5hex(p.mkString(" "))))
+      val lines = paras.zip(keptP).filter(_._2).flatMap(_._1.grouped(8))
+      val keptL = lines.map(l => seenL.add(md5hex(l.mkString(" "))))
+      id -> (paras.size.toLong, keptP.count(identity).toLong,
+        lines.size.toLong, keptL.count(identity).toLong,
+        tk.size.toLong, lines.zip(keptL).filter(_._2).map(_._1.size.toLong).sum)
+    }.toMap
+    val out = graft.SparkEntry.queries("dd_hierarchical")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet == expect.keySet, "surviving doc sets differ")
+    out.foreach { r =>
+      val e = expect(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == e, s"doc ${r.getLong(0)}: $r vs $e")
+    }
+  }
+
   test("dd_threshold_sweep equals a driver-side all-pairs brute force at every threshold") {
     // INDEPENDENT audit of the within-group + cross-group pair
     // composition (r15 verdict item 4): the query counts within-group

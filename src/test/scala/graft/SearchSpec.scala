@@ -166,6 +166,73 @@ class SearchSpec extends SparkSpec {
       s"copy retrieval collapsed: ${out.map(r => if (r.isNullAt(1)) -1 else r.getLong(1)).toSeq}")
   }
 
+  test("eval_retrieval_slices: rerank + slicing equal a driver-side replay over the stage-1 candidates") {
+    // Independent audit of the NEW logic in the harness (the stage-1
+    // BM25 engine is covered by its own hand-case specs): recompute
+    // the pairwise-Jaccard rerank, tie order, slice assignment, and
+    // the found@10 / MRR@10 integer aggregation in plain Scala from
+    // the raw texts, and demand the query's three slice rows match.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val off = base.map(_._1).max + 1
+    val texts = (base ++ base.filter(_._1 % 5 == 0)
+      .map { case (id, t) => (id + off, t) })
+      .map { case (id, t) => id -> t.split(' ').filter(_.nonEmpty).toSet }.toMap
+    // stage-1 candidates exactly as the query builds them (bigram
+    // corpus, 4 most-distinctive terms, k = 50)
+    val bigramText = array_join(transform(
+      graft.ops.TextOps.bigramsOf(graft.ops.TextOps.tokens(col("text"))),
+      g => translate(g, " ", "_")), " ")
+    val corpus = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+      .select(col("doc_id"), bigramText.as("text"))
+    val (tf, dl) = graft.ops.Search.indexBatch(corpus, "doc_id", "text")
+    val docTok = tf.select(col("doc_id"), col("term"))
+    val dfr = docTok.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("term"))
+    val qt = docTok.filter(col("doc_id") % 5 === 0 && col("doc_id") < 150)
+      .join(broadcast(dfr), Seq("term"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val stage1 = graft.ops.Search.bm25FromIndex(tf, dl, qt, k = 50)
+      .select("q_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver replay: rerank by exact integer ppm Jaccard, (score desc, id)
+    val byQ = stage1.groupBy(_._1)
+    val qids = base.map(_._1).filter(id => id % 5 == 0 && id < 150)
+    val expect = qids.map { q =>
+      val cands = byQ.getOrElse(q, Array.empty)
+      val rank1 = cands.find(c => c._3 == q + off && c._2 <= 10).map(_._2)
+      val qs = texts(q)
+      val reranked = cands.map { case (_, _, d) =>
+        val cs = texts(d); val inter = (qs & cs).size.toLong
+        (d, inter * 1000000L / (qs.size + cs.size - inter))
+      }.sortBy { case (d, s) => (-s, d) }
+      val rank2 = reranked.zipWithIndex
+        .find { case ((d, _), _) => d == q + off }
+        .map(_._2 + 1L).filter(_ <= 10)
+      val nTok = base.find(_._1 == q).get._2.split(' ').count(_.nonEmpty)
+      val slice = if (nTok < 40) "short" else if (nTok < 70) "medium" else "long"
+      (slice, rank1, rank2)
+    }
+    val want = expect.groupBy(_._1).map { case (slice, rows) =>
+      slice -> (rows.length.toLong,
+        rows.count(_._2.isDefined).toLong,
+        rows.map(_._2.map(1000000L / _).getOrElse(0L)).sum / rows.length,
+        rows.count(_._3.isDefined).toLong,
+        rows.map(_._3.map(1000000L / _).getOrElse(0L)).sum / rows.length)
+    }
+    val got = graft.SparkEntry.queries("eval_retrieval_slices")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
   test("search_highlight equals a brute-force best-window replay on the driver corpus") {
     val W = 10
     val terms = Set("join", "merge", "hash")

@@ -738,6 +738,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ceilLog2: exact at powers of two and their neighbors (the mirror's bit-length twin)") {
+    // the adaptive-LSH width r = clamp(ceilLog2(N), 8, 18) must agree
+    // with the oracle's LENGTH(FORMAT('{:b}', N−1)) at EVERY N — the
+    // risky spots are exact powers of two, where a transcendental
+    // log2 could round either way
+    assert(Similarity.ceilLog2(1) == 0 && Similarity.ceilLog2(2) == 1)
+    for (k <- 1 to 40) {
+      val p = 1L << k
+      assert(Similarity.ceilLog2(p) == k, s"2^$k")
+      assert(Similarity.ceilLog2(p + 1) == k + 1, s"2^$k + 1")
+      if (p > 2) assert(Similarity.ceilLog2(p - 1) == k, s"2^$k - 1")
+    }
+    // bit-length identity the DuckDB twin computes: len(bin(n-1))
+    for (n <- 2L to 1030L)
+      assert(Similarity.ceilLog2(n) == java.lang.Long.toBinaryString(n - 1).length, s"n=$n")
+  }
+
   test("hnswInsert: empty delta is a no-op; inserted nodes land on every layer up to their level") {
     import spark.implicits._
     val pts = (0 until 32).map(i => (i.toLong, Array(i * 1.0f, (i % 5) * 3.0f)))
