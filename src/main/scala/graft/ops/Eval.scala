@@ -217,4 +217,45 @@ object Eval {
         "CASE WHEN n_cand = 0 THEN NULL ELSE overlap * 1000000 div n_cand END AS precision_ppm",
         "CASE WHEN n_cand + n_ref = 0 THEN NULL ELSE 2 * overlap * 1000000 div (n_cand + n_ref) END AS f1_ppm")
   }
+
+  /** Welch's unequal-variance two-sample t-test between the `a` and `b`
+    * populations of `groupCol`, over exact integer cents in `centsCol`
+    * (sufficient statistics: n, Σx, Σx² — one keyed aggregate, bounded
+    * output). Sample variances come from the DECIMAL(38) identity
+    * n·Σx² − (Σx)² with ONE correctly-rounded double conversion each;
+    * every double step after that is a fixed formula both engines can
+    * replay literally. DEGENERATE ARMS ARE NULL-GATED: an arm with
+    * n ≤ 1 has an undefined sample variance (the n−1 divisor is the
+    * audit-proven x/0 hazard class — Spark folds x/0 to NULL where
+    * DuckDB reads +inf), so va/vb and everything downstream (t_stat,
+    * df_welch) surface as NULL, identically in any engine.
+    * Returns one row: (n_a, n_b, mean_a, mean_b, t_stat, df_welch). */
+  def welchTTest(df: DataFrame, groupCol: String, centsCol: String,
+                 a: String, b: String): DataFrame = {
+    val st = df.select(col(groupCol).as("f"), col(centsCol).as("qc"))
+      .filter(col("f").isin(a, b))
+      .groupBy("f").agg(count(lit(1)).as("n"), sum("qc").as("s"),
+        sum(col("qc") * col("qc")).as("ssq"))
+    def side(flag: String, sfx: String) = st.filter(col("f") === flag)
+      .select(col("n").as(s"n_$sfx"), col("s").as(s"s_$sfx"),
+        col("ssq").as(s"ssq_$sfx"))
+    side(a, "a").crossJoin(side(b, "b"))
+      .selectExpr("n_a", "n_b", "s_a", "s_b",
+        "CASE WHEN n_a > 1 THEN " +
+          "CAST(CAST(ssq_a AS DECIMAL(38,0)) * n_a - CAST(s_a AS DECIMAL(38,0)) * s_a AS DOUBLE)" +
+          " / CAST(n_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE) END AS va",
+        "CASE WHEN n_b > 1 THEN " +
+          "CAST(CAST(ssq_b AS DECIMAL(38,0)) * n_b - CAST(s_b AS DECIMAL(38,0)) * s_b AS DOUBLE)" +
+          " / CAST(n_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE) END AS vb")
+      .selectExpr("n_a", "n_b",
+        "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a",
+        "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b",
+        "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS dm",
+        "va / CAST(n_a AS DOUBLE) AS sea", "vb / CAST(n_b AS DOUBLE) AS seb",
+        "n_a - 1 AS dfa", "n_b - 1 AS dfb")
+      .selectExpr("n_a", "n_b", "mean_a", "mean_b",
+        "dm / sqrt(sea + seb) AS t_stat",
+        "(sea + seb) * (sea + seb) / (sea * sea / CAST(dfa AS DOUBLE)" +
+          " + seb * seb / CAST(dfb AS DOUBLE)) AS df_welch")
+  }
 }

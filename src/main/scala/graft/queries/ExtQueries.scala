@@ -1485,8 +1485,12 @@ object ExtQueries {
         val keep1 = toks.groupBy("dh").agg(min("doc_id").as("doc_id"))
         val d1 = toks.join(keep1, Seq("dh", "doc_id"), "left_semi")
           .localCheckpoint() // stage-1 survivors feed paras AND the final join
+        // GREATEST(·, 1) clamp: an empty token array would make
+        // sequence(0, -1) yield [0, -1] (two phantom slices) where the
+        // mirror's range(0, 0) yields none — clamped, an empty doc
+        // segments to exactly ONE empty paragraph in both engines
         val paras = d1.select(col("doc_id"), posexplode(
-            expr("transform(sequence(0, CAST(ceil(size(toks) / 32.0) AS INT) - 1)," +
+            expr("transform(sequence(0, GREATEST(CAST(ceil(size(toks) / 32.0) AS INT), 1) - 1)," +
               " i -> slice(toks, i * 32 + 1, 32))")))
           .select(col("doc_id"), col("pos").as("pidx"), col("col").as("pt"))
           .withColumn("ph", md5(concat_ws(" ", col("pt"))))
@@ -1496,7 +1500,7 @@ object ExtQueries {
           .localCheckpoint() // feeds the per-doc rollup AND the line stage
         val lines = pKeep.filter(col("p_kept"))
           .select(col("doc_id"), col("pidx"), posexplode(
-            expr("transform(sequence(0, CAST(ceil(size(pt) / 8.0) AS INT) - 1)," +
+            expr("transform(sequence(0, GREATEST(CAST(ceil(size(pt) / 8.0) AS INT), 1) - 1)," +
               " j -> slice(pt, j * 8 + 1, 8))")))
           .select(col("doc_id"), col("pidx"), col("pos").as("lidx"), col("col").as("lt"))
           .withColumn("lh", md5(concat_ws(" ", col("lt"))))
@@ -1545,14 +1549,14 @@ object ExtQueries {
            |       ON tk.dh = keep1.dh AND tk.doc_id = keep1.doc_id),
            |paras AS (SELECT doc_id, CAST(i AS INT) AS pidx,
            |    list_slice(toks, CAST(i * 32 + 1 AS INT), CAST(i * 32 + 32 AS INT)) AS pt
-           |  FROM d1, unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT))) AS t(i)),
+           |  FROM d1, unnest(range(0, GREATEST(CAST(ceil(len(toks) / 32.0) AS INT), 1))) AS t(i)),
            |pk AS (SELECT doc_id, pidx, pt,
            |    row_number() OVER (PARTITION BY md5(array_to_string(pt, ' '))
            |                       ORDER BY doc_id, pidx) = 1 AS p_kept
            |  FROM paras),
            |lines AS (SELECT doc_id, pidx, CAST(j AS INT) AS lidx,
            |    list_slice(pt, CAST(j * 8 + 1 AS INT), CAST(j * 8 + 8 AS INT)) AS lt
-           |  FROM pk, unnest(range(0, CAST(ceil(len(pt) / 8.0) AS INT))) AS t(j)
+           |  FROM pk, unnest(range(0, GREATEST(CAST(ceil(len(pt) / 8.0) AS INT), 1))) AS t(j)
            |  WHERE p_kept),
            |lk AS (SELECT doc_id, pidx, lidx, lt,
            |    row_number() OVER (PARTITION BY md5(array_to_string(lt, ' '))
@@ -9304,40 +9308,22 @@ object ExtQueries {
 
     // Welch's unequal-variance t-test between the A and N return-flag
     // populations' quantities — the two-sample significance screen next
-    // to q_mann_whitney's rank form. Sufficient statistics are exact
-    // integers (cents, cents²); sample variances come from the
-    // DECIMAL(38)/HUGEINT identity n·Σx² − (Σx)² with ONE correctly-
-    // rounded conversion each ([[graft.Det.hiLoDoubleSql]] on the
-    // mirror side), and every double step after that is the same
-    // literal formula in both engines.
+    // to q_mann_whitney's rank form ([[Eval.welchTTest]]). Sufficient
+    // statistics are exact integers (cents, cents²); sample variances
+    // come from the DECIMAL(38)/HUGEINT identity n·Σx² − (Σx)² with ONE
+    // correctly-rounded conversion each ([[graft.Det.hiLoDoubleSql]] on
+    // the mirror side), and every double step after that is the same
+    // literal formula in both engines. An n ≤ 1 arm NULL-gates its
+    // variance and everything downstream in BOTH engines (the
+    // ev_ab_exposure-audit x/0 hazard class: Spark folds x/0 to NULL
+    // where DuckDB reads +inf) — unreachable on the driver corpora
+    // (n ≈ 2k per arm) but guarded on principle.
     Q("q_welch_ttest",
-      (s, dir) => {
-        val li = Tables.lineitem(s, dir)
+      (s, dir) => graft.ops.Eval.welchTTest(
+        Tables.lineitem(s, dir)
           .select(col("l_returnflag").as("f"),
-            expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qc"))
-          .filter(col("f").isin("A", "N"))
-        val st = li.groupBy("f").agg(count(lit(1)).as("n"), sum("qc").as("s"),
-          sum(col("qc") * col("qc")).as("ssq"))
-        def side(flag: String, sfx: String) = st.filter(col("f") === flag)
-          .select(col("n").as(s"n_$sfx"), col("s").as(s"s_$sfx"),
-            col("ssq").as(s"ssq_$sfx"))
-        side("A", "a").crossJoin(side("N", "b"))
-          .selectExpr("n_a", "n_b", "s_a", "s_b",
-            "CAST(CAST(ssq_a AS DECIMAL(38,0)) * n_a - CAST(s_a AS DECIMAL(38,0)) * s_a AS DOUBLE)" +
-              " / CAST(n_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE) AS va",
-            "CAST(CAST(ssq_b AS DECIMAL(38,0)) * n_b - CAST(s_b AS DECIMAL(38,0)) * s_b AS DOUBLE)" +
-              " / CAST(n_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE) AS vb")
-          .selectExpr("n_a", "n_b",
-            "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a",
-            "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 AS mean_b",
-            "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS dm",
-            "va / CAST(n_a AS DOUBLE) AS sea", "vb / CAST(n_b AS DOUBLE) AS seb",
-            "n_a - 1 AS dfa", "n_b - 1 AS dfb")
-          .selectExpr("n_a", "n_b", "mean_a", "mean_b",
-            "dm / sqrt(sea + seb) AS t_stat",
-            "(sea + seb) * (sea + seb) / (sea * sea / CAST(dfa AS DOUBLE)" +
-              " + seb * seb / CAST(dfb AS DOUBLE)) AS df_welch")
-      },
+            expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qc")),
+        "f", "qc", "A", "N"),
       Some(s"""WITH st AS (SELECT l_returnflag AS f, COUNT(*) AS n,
               |    CAST(SUM(qc) AS BIGINT) AS s, CAST(SUM(qc * qc) AS BIGINT) AS ssq
               |  FROM (SELECT l_returnflag,
@@ -9348,10 +9334,12 @@ object ExtQueries {
               |       FROM (SELECT * FROM st WHERE f = 'A') a,
               |            (SELECT * FROM st WHERE f = 'N') b),
               |v AS (SELECT n_a, n_b, s_a, s_b,
+              |    CASE WHEN n_a > 1 THEN
               |    ${Det.hiLoDoubleSql("CAST(ssq_a AS HUGEINT) * n_a - CAST(s_a AS HUGEINT) * s_a")}
-              |      / CAST(n_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE) AS va,
+              |      / CAST(n_a AS DOUBLE) / CAST(n_a - 1 AS DOUBLE) END AS va,
+              |    CASE WHEN n_b > 1 THEN
               |    ${Det.hiLoDoubleSql("CAST(ssq_b AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * s_b")}
-              |      / CAST(n_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE) AS vb
+              |      / CAST(n_b AS DOUBLE) / CAST(n_b - 1 AS DOUBLE) END AS vb
               |  FROM ab),
               |m AS (SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
               |    CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 AS mean_a,

@@ -207,11 +207,15 @@ class AnalyticsSpec extends SparkSpec {
     // stage 2 + 3: first-occurrence keeps in (doc_id, pidx[, lidx]) order
     val seenP = scala.collection.mutable.Set[String]()
     val seenL = scala.collection.mutable.Set[String]()
+    // seg mirrors the query's GREATEST(·, 1) clamp: an empty token list
+    // segments to exactly ONE empty slice (not zero, not two phantoms)
+    def seg(v: Vector[String], n: Int): Vector[Vector[String]] =
+      if (v.isEmpty) Vector(Vector.empty) else v.grouped(n).toVector
     val expect = d1.map { case (id, t) =>
       val tk = toks(t)
-      val paras = tk.grouped(32).toVector
+      val paras = seg(tk, 32)
       val keptP = paras.map(p => seenP.add(md5hex(p.mkString(" "))))
-      val lines = paras.zip(keptP).filter(_._2).flatMap(_._1.grouped(8))
+      val lines = paras.zip(keptP).filter(_._2).flatMap(p => seg(p._1, 8))
       val keptL = lines.map(l => seenL.add(md5hex(l.mkString(" "))))
       id -> (paras.size.toLong, keptP.count(identity).toLong,
         lines.size.toLong, keptL.count(identity).toLong,
@@ -224,6 +228,20 @@ class AnalyticsSpec extends SparkSpec {
       assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
         r.getLong(5), r.getLong(6)) == e, s"doc ${r.getLong(0)}: $r vs $e")
     }
+  }
+
+  test("dd_hierarchical's segmentation expression clamps an empty doc to one empty slice") {
+    // the un-clamped form sequence(0, ceil(0/32)-1) = sequence(0, -1)
+    // yields [0, -1] — TWO phantom slices — where the DuckDB mirror's
+    // range(0, 0) yields none; the GREATEST(·, 1) clamp pins both
+    // engines to exactly one empty segment
+    val out = spark.sql(
+      """SELECT size(transform(
+        |  sequence(0, GREATEST(CAST(ceil(size(a) / 32.0) AS INT), 1) - 1),
+        |  i -> slice(a, i * 32 + 1, 32))) AS n
+        |FROM VALUES (array()), (array('x')), (array_repeat('x', 33)) AS t(a)"""
+        .stripMargin).collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(1, 1, 2), s"segment counts: $out")
   }
 
   test("dd_threshold_sweep equals a driver-side all-pairs brute force at every threshold") {

@@ -103,4 +103,25 @@ class EvalSpec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - wantT) < 1e-12, s"t: ${row.getDouble(4)} vs $wantT")
     assert(math.abs(row.getDouble(5) - wantDf) < 1e-9, s"df: ${row.getDouble(5)} vs $wantDf")
   }
+
+  test("welchTTest NULL-gates an n <= 1 arm (the audit-proven x/0 hazard class)") {
+    import spark.implicits._
+    // arm A has a single sample: its sample variance divides by n−1 = 0,
+    // which Spark folds to NULL while DuckDB reads +inf — the exact
+    // divergence the r16 audit fixed in ev_ab_exposure. The guard must
+    // surface t_stat/df_welch as NULL, never ±Inf/NaN.
+    val df = Seq(("A", 100L), ("N", 90L), ("N", 110L), ("N", 95L))
+      .toDF("f", "qc")
+    val r = graft.ops.Eval.welchTTest(df, "f", "qc", "A", "N").collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12, "mean_a = 100 cents = 1.0")
+    assert(r.isNullAt(4), "t_stat must be NULL when an arm has n <= 1")
+    assert(r.isNullAt(5), "df_welch must be NULL when an arm has n <= 1")
+    // both arms healthy: the same call produces finite statistics
+    val ok = graft.ops.Eval.welchTTest(
+      df.unionByName(Seq(("A", 120L)).toDF("f", "qc")), "f", "qc", "A", "N")
+      .collect().head
+    assert(!ok.isNullAt(4) && !java.lang.Double.isNaN(ok.getDouble(4)))
+    assert(!ok.isNullAt(5) && !java.lang.Double.isNaN(ok.getDouble(5)))
+  }
 }
