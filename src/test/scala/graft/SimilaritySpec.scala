@@ -782,6 +782,15 @@ class SimilaritySpec extends SparkSpec {
       ((lvl + 1) to 2).foreach(l => assert(!byLayer.getOrElse(l, Set.empty[Long]).contains(id),
         s"$id above its level in layer $l"))
     }
+    // the maintained-levels path (batch-cost entry-pool derivation —
+    // levels are a pure id function, so a staged membership table must
+    // reproduce the legacy corpus-projection path bit for bit)
+    val g1lv = Similarity.hnswInsert(all, "vec_id", "embedding", g0,
+      delta.select("vec_id"), k = 3, beam = 6, hops = 3, maxLevel = 2,
+      levels = Some(Similarity.hnswLevels(base, "vec_id", maxLevel = 2)))
+    assert(g1lv.orderBy("layer", "vec_id", "rank").collect().toSeq ==
+      g1.orderBy("layer", "vec_id", "rank").collect().toSeq,
+      "maintained-levels insert must equal the corpus-derivation insert")
   }
 
   test("gramMatrix: exact integer cells on hand-quantizable vectors") {

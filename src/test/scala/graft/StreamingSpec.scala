@@ -481,6 +481,70 @@ class StreamingSpec extends SparkSpec {
         assert(!byLayer(l).contains(id), s"inserted $id above its level in layer $l")
       }
     }
+    // the maintained levels table covers the drained corpus EXACTLY
+    // once (bootstrap + per-batch appends, txn-guarded) and equals the
+    // pure-id assignment a rebuild would produce
+    val lvT = st.read("hnsw", "levels").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(lvT.map(_._1).sorted.toSeq == (0L until 48L).toSeq,
+      s"levels table must cover the corpus exactly once, got ${lvT.length} rows")
+    val wantLv = emb.select(col("vec_id"),
+        Similarity.hnswLevelExpr(col("vec_id"), 2).as("lvl"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(lvT.toMap == wantLv, "maintained levels must equal the pure-id assignment")
+    // vectors table holds each id exactly once (append-if-absent)
+    val vIds = st.read("hnsw", "vectors").collect().map(_.getLong(0))
+    assert(vIds.sorted.toSeq == (0L until 48L).toSeq, "vectors must hold each id once")
+  }
+
+  test("hnswInsertBatch converges when replayed after any partial-commit prefix") {
+    // the crash-window audit (r16 advice): the sink commits three
+    // tables per batch; a crash between any two of them followed by a
+    // checkpoint replay must still converge to the sequential-insert
+    // state. Every commit is txn-tagged, so the replay skips landed
+    // commits and recomputes the rest from the same logical inputs.
+    import spark.implicits._
+    import graft.ops.Similarity
+    import graft.engine.SnapshotStore
+    val pts = (0 until 40).map(i => (i.toLong, Array(i * 1.0f, (i % 5) * 3.0f)))
+    val emb = pts.toDF("vec_id", "embedding")
+    val b0 = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    def freshStore(tag: String): SnapshotStore = {
+      val st = new SnapshotStore(spark, tmp(s"graft_hnsw_replay_$tag"))
+      st.overwrite(b0, "hnsw", "vectors")
+      st.overwrite(Similarity.hnswBuild(b0, "vec_id", "embedding",
+        k = 3, rounds = 2, maxLevel = 2, bucketsFor = _ => 4), "hnsw", "graph")
+      st
+    }
+    def apply1(st: SnapshotStore): Unit =
+      StreamOps.hnswInsertBatch(st, "hnsw", "vec_id", "embedding", batch,
+        "t1", k = 3, beam = 6, hops = 3, maxLevel = 2, entries = 8)
+    def state(st: SnapshotStore) = (
+      st.read("hnsw", "graph").orderBy("layer", "vec_id", "rank").collect().toSeq,
+      st.read("hnsw", "vectors").collect().map(_.getLong(0)).sorted.toSeq,
+      st.read("hnsw", "levels").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq)
+    // reference: one clean application
+    val clean = freshStore("clean")
+    apply1(clean)
+    val want = state(clean)
+    assert(want._2 == (0L until 40L).toSeq)
+    // prefix 1: vectors landed, crash before levels/graph, full replay
+    val p1 = freshStore("p1")
+    p1.appendIfAbsent(batch, "hnsw", "vectors", "t1")
+    apply1(p1)
+    assert(state(p1) == want, "replay after vectors-only commit diverged")
+    // prefix 2: vectors + levels landed, crash before graph, replay
+    val p2 = freshStore("p2")
+    p2.appendIfAbsent(batch, "hnsw", "vectors", "t1")
+    p2.overwrite(Similarity.hnswLevels(p2.read("hnsw", "vectors"), "vec_id", 2),
+      "hnsw", "levels", txnId = Some("t1"))
+    apply1(p2)
+    assert(state(p2) == want, "replay after vectors+levels commit diverged")
+    // full prefix: everything landed — a second invocation is a no-op
+    apply1(clean)
+    assert(state(clean) == want, "replay after a complete batch must be a no-op")
   }
 
   test("cdcApplySink: churn collapses, deletes remove, later upserts reinsert") {
