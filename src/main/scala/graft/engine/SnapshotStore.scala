@@ -1312,22 +1312,42 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
       if (partitionBy.nonEmpty) df.repartition(numFiles, partitionBy.map(col): _*)
       else df.repartition(numFiles)
     val added = writeIntoPool(rearranged, layer, table, partitionBy)
-    val st = statsOf(layer, table, added)
-    commitRetry(layer, table) { () =>
-      val latest = snapshots(layer, table).lastOption
-      if (latest != Some(id))
-        throw new java.util.ConcurrentModificationException(
-          s"SnapshotStore: $layer/$table advanced past snapshot $id during " +
-            "compactSmall — the rewrite no longer reflects the table; re-run")
-      val files = (big.map(_._1) ++ added).sorted
-      // stats/seqs explicitly pruned to the surviving file list (the
-      // manifest writer also filters to it — belt and braces)
-      if (tryWriteManifest(layer, table, id + 1, m.schema, files,
-        Map("op" -> "compact_small"), (m.stats -- small.map(_._1)) ++ st,
-        seqs = (m.seqs -- small.map(_._1)) ++ added.map(_ -> nextSeq(Some(m))))) Some(id + 1)
-      else None
+    // commit abort (a concurrent commit raced this rewrite) must not
+    // strand the staged rewrite in the pool: delete this attempt's
+    // files before rethrowing — they are referenced by no manifest, so
+    // the delete can break no reader
+    discardOnAbort(layer, table, added) {
+      val st = statsOf(layer, table, added)
+      commitRetry(layer, table) { () =>
+        val latest = snapshots(layer, table).lastOption
+        if (latest != Some(id))
+          throw new java.util.ConcurrentModificationException(
+            s"SnapshotStore: $layer/$table advanced past snapshot $id during " +
+              "compactSmall — the rewrite no longer reflects the table; re-run")
+        val files = (big.map(_._1) ++ added).sorted
+        // stats/seqs explicitly pruned to the surviving file list (the
+        // manifest writer also filters to it — belt and braces)
+        if (tryWriteManifest(layer, table, id + 1, m.schema, files,
+          Map("op" -> "compact_small"), (m.stats -- small.map(_._1)) ++ st,
+          seqs = (m.seqs -- small.map(_._1)) ++ added.map(_ -> nextSeq(Some(m))))) Some(id + 1)
+        else None
+      }
     }
   }
+
+  /** Run `body`; on ANY failure delete this attempt's staged pool
+    * files (referenced by no manifest — the delete can break no
+    * reader) before rethrowing, so an aborted compaction leaves no
+    * orphans for [[vacuum]] to chase. */
+  private[graft] def discardOnAbort[T](layer: String, table: String,
+                                       added: => Seq[String])(body: => T): T =
+    try body
+    catch {
+      case e: Throwable =>
+        try added.foreach(f => fs.delete(new Path(absFile(layer, table, f)), false))
+        catch { case _: Throwable => () } // best-effort; vacuum remains the backstop
+        throw e
+    }
 
   /** Partition-evolution-aware OPTIMIZE — [[compactSmall]] per
     * PARTITION DIRECTORY (Delta OPTIMIZE's bin-packing unit, which
@@ -1366,30 +1386,59 @@ final class SnapshotStore(val spark: SparkSession, val root: String,
     // dir's own spec columns regenerates exactly that dir.
     val byDir = small.groupBy(f => partOf(f)).filter(_._2.size >= 2)
     if (byDir.isEmpty) return id
-    val rewritten = byDir.toSeq.sortBy(_._1).map { case (dir, fls) =>
-      val specCols = dir.split('/').filter(_.nonEmpty).map(_.takeWhile(_ != '=')).toSeq
-      val df = readFiles(layer, table, m.schema, fls)
-      (fls, writeIntoPool(df.repartition(numFilesPerEra), layer, table, specCols))
+    // ONE write job per ERA, not per dir: debris dirs sharing a spec
+    // chain read together (same depth/columns — hive partition values
+    // recover from the paths) and one repartition-by-spec-cols write
+    // fans out per dir via partitionBy, so a table with thousands of
+    // debris dirs costs #eras jobs instead of #dirs driver-side loops.
+    // Hash partitioning puts ALL of a dir's rows in one task, and
+    // partitionBy splits colliding dirs back into their own files —
+    // so each dir still folds to exactly numFilesPerEra file(s)
+    // (numFilesPerEra > 1 adds a deterministic content-hash salt to
+    // split within dirs). Flat tables are the one-dir, empty-spec era.
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val byEra = byDir.toSeq.sortBy(_._1).groupBy { case (dir, _) =>
+      dir.split('/').filter(_.nonEmpty).map(_.takeWhile(_ != '=')).toSeq
     }
-    val dropped = rewritten.flatMap(_._1)
-    val added = rewritten.flatMap(_._2)
-    // stats per ERA, not one call over all added files: a mixed-depth
-    // listing (flat + k=v files under one basePath) breaks Spark's
-    // partition discovery — the same hazard readFiles' era grouping
-    // guards against on the read side
-    val st = rewritten.map { case (_, a) => statsOf(layer, table, a) }
-      .foldLeft(Map.empty: FileStats)(_ ++ _)
-    commitRetry(layer, table) { () =>
-      val latest = snapshots(layer, table).lastOption
-      if (latest != Some(id))
-        throw new java.util.ConcurrentModificationException(
-          s"SnapshotStore: $layer/$table advanced past snapshot $id during " +
-            "compactSmallEras — the rewrite no longer reflects the table; re-run")
-      val files = (m.files.diff(dropped) ++ added).sorted
-      if (tryWriteManifest(layer, table, id + 1, m.schema, files,
-        Map("op" -> "compact_small_eras"), (m.stats -- dropped) ++ st,
-        seqs = (m.seqs -- dropped) ++ added.map(_ -> nextSeq(Some(m))))) Some(id + 1)
-      else None
+    val addedAcc = Seq.newBuilder[String]
+    discardOnAbort(layer, table, addedAcc.result()) {
+      val rewritten = byEra.toSeq.sortBy(_._1.mkString("/")).map { case (specCols, dirs) =>
+        val fls = dirs.flatMap(_._2)
+        val df = readFiles(layer, table, m.schema, fls)
+        val arranged =
+          if (specCols.isEmpty) df.repartition(numFilesPerEra)
+          else if (numFilesPerEra == 1)
+            df.repartition(dirs.size, specCols.map(col): _*)
+          else {
+            val salt = pmod(hash(df.columns.map(col).toIndexedSeq: _*),
+              lit(numFilesPerEra))
+            df.repartition(dirs.size * numFilesPerEra,
+              specCols.map(col) :+ salt: _*)
+          }
+        val a = writeIntoPool(arranged, layer, table, specCols)
+        addedAcc ++= a
+        (fls, a)
+      }
+      val dropped = rewritten.flatMap(_._1)
+      val added = rewritten.flatMap(_._2)
+      // stats per ERA, not one call over all added files: a mixed-depth
+      // listing (flat + k=v files under one basePath) breaks Spark's
+      // partition discovery — the same hazard readFiles' era grouping
+      // guards against on the read side
+      val st = rewritten.map { case (_, a) => statsOf(layer, table, a) }
+        .foldLeft(Map.empty: FileStats)(_ ++ _)
+      commitRetry(layer, table) { () =>
+        val latest = snapshots(layer, table).lastOption
+        if (latest != Some(id))
+          throw new java.util.ConcurrentModificationException(
+            s"SnapshotStore: $layer/$table advanced past snapshot $id during " +
+              "compactSmallEras — the rewrite no longer reflects the table; re-run")
+        val files = (m.files.diff(dropped) ++ added).sorted
+        if (tryWriteManifest(layer, table, id + 1, m.schema, files,
+          Map("op" -> "compact_small_eras"), (m.stats -- dropped) ++ st,
+          seqs = (m.seqs -- dropped) ++ added.map(_ -> nextSeq(Some(m))))) Some(id + 1)
+        else None
+      }
     }
   }
 

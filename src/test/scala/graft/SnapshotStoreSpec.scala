@@ -496,6 +496,65 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("compactSmallEras folds MANY debris dirs with one job per era") {
+    import spark.implicits._
+    // 40 debris-bearing dirs in one era: the rewrite must be ONE
+    // read + ONE repartition-by-spec write that fans out per dir
+    // (not 40 driver-side loops), and each dir must still fold to
+    // exactly one file with content preserved
+    val st = newStore("csem")
+    def rows(a: Long, b: Long) = spark.range(a, b)
+      .select(col("id"), (col("id") % 40).cast("string").as("k"))
+    st.overwrite(rows(0, 400).repartition(1), "s", "t", partitionBy = Seq("k"))
+    st.append(rows(400, 800).repartition(1), "s", "t", partitionBy = Seq("k"))
+    val v = st.compactSmallEras("s", "t", thresholdBytes = Long.MaxValue / 2)
+    val post = st.read("s", "t")
+    val perDir = post.inputFiles.toSeq
+      .groupBy(f => f.split('/').reverse.dropWhile(!_.contains("=")).head)
+    assert(perDir.size == 40, s"expected 40 k= dirs, got ${perDir.size}")
+    perDir.foreach { case (d, fs) =>
+      assert(fs.size == 1, s"dir $d must fold to ONE file, got ${fs.size}")
+    }
+    assert(post.count() == 800)
+    assert(post.select(sum("id")).head.getLong(0) == (0L until 800L).sum)
+    // steady state (one file per dir) is a no-op
+    assert(st.compactSmallEras("s", "t", Long.MaxValue / 2) == v)
+    // numFilesPerEra > 1: the content-hash salt splits WITHIN dirs —
+    // at most the target count per dir, content still exact
+    val st2 = newStore("csem2")
+    st2.overwrite(rows(0, 400).repartition(1), "s", "t", partitionBy = Seq("k"))
+    st2.append(rows(400, 800).repartition(1), "s", "t", partitionBy = Seq("k"))
+    st2.compactSmallEras("s", "t", Long.MaxValue / 2, numFilesPerEra = 2)
+    val post2 = st2.read("s", "t")
+    post2.inputFiles.toSeq
+      .groupBy(f => f.split('/').reverse.dropWhile(!_.contains("=")).head)
+      .foreach { case (d, fs) =>
+        assert(fs.size <= 2, s"dir $d exceeded the 2-file target: ${fs.size}")
+      }
+    assert(post2.count() == 800)
+    assert(post2.select(sum("id")).head.getLong(0) == (0L until 800L).sum)
+  }
+
+  test("an aborted compaction deletes its staged pool files (no orphans)") {
+    import spark.implicits._
+    val st = newStore("csab")
+    st.overwrite(Seq((1L, "a")).toDF("id", "v"), "s", "t")
+    // stage a file the way a rewrite would, then abort the commit —
+    // the staged file must be deleted, not left for vacuum to chase
+    val staged = new java.io.File(st.dataDir("s", "t"), "part-test-staged.parquet")
+    java.nio.file.Files.write(staged.toPath, Array[Byte](1, 2, 3))
+    assert(staged.exists)
+    val boom = intercept[RuntimeException] {
+      st.discardOnAbort("s", "t", Seq("part-test-staged.parquet")) {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(boom.getMessage == "boom", "the original failure must propagate")
+    assert(!staged.exists, "the aborted attempt's pool file must be deleted")
+    // the committed table is untouched
+    assert(st.read("s", "t").count() == 1)
+  }
+
   test("mergeBranch fast-forwards; a diverged source aborts the merge") {
     val st = newStore("br")
     st.overwrite(Seq((1L, "a")).toDF("id", "v"), "prod", "t")
