@@ -9445,16 +9445,26 @@ object ExtQueries {
     // top-50 candidates; the same once-per-ingest index search_mrr
     // rides), stage 2 a CROSS-ENCODER-STYLE pairwise reranker — a
     // scorer that sees (query doc, candidate doc) pairs, here
-    // unigram token-set Jaccard in exact integer ppm, applied to the
+    // BIGRAM-set Jaccard in exact integer ppm, applied to the
     // 50 candidates only (the cross-encoder deployment shape: the
     // expensive pairwise model never touches the corpus, only the
-    // candidate set). Relevance is true by construction (the planted
+    // candidate set). Bigrams, NOT unigrams: the r16 harness run
+    // SURFACED that a unigram scorer collapses on the `long` slice
+    // (long docs saturate the 31-word vocabulary, every candidate
+    // ties at J = 1.0, and the id tiebreak demotes the planted copy —
+    // measured mrr 500000 → 423280 ppm); the corpus' ~12k distinct
+    // bigrams carry word ORDER, so only the true copy reaches J = 1.0
+    // and the `long` slice recovers (mrr2 ≥ mrr1, pinned by spec).
+    // Relevance is true by construction (the planted
     // exact copy), and every metric reports PER LENGTH SLICE of the
     // query document (short/medium/long terciles of the corpus) —
     // found@10 and MRR@10 for stage 1 vs reranked, which is exactly
     // the "which corpus slice does retrieval fail on, and does the
     // reranker pay for itself there" readout a curation run reads.
-    // All-integer metrics (ppm divisions), total-ordered ranks.
+    // All-integer metrics (ppm divisions), total-ordered ranks; the
+    // Jaccard denominator clamps at 1 (GREATEST) so a bigram-less
+    // sub-2-token doc scores 0 identically in both engines instead
+    // of riding either engine's x/0 or NULL-ordering behavior.
     Q("eval_retrieval_slices",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
@@ -9475,14 +9485,14 @@ object ExtQueries {
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
           .select(col("doc_id").as("q_id"), col("term"))
         val stage1 = Search.bm25FromIndex(tf, dl, qt, k = 50).localCheckpoint()
-        val uni = dupCorpus(s, dir).select(col("doc_id"),
-          array_distinct(TextOps.tokens(col("text"))).as("ts"))
+        val big = dupCorpus(s, dir).select(col("doc_id"),
+          array_distinct(TextOps.bigramsOf(TextOps.tokens(col("text")))).as("ts"))
         val rr = stage1
-          .join(uni.select(col("doc_id").as("q_id"), col("ts").as("__qt")), "q_id")
-          .join(uni.select(col("doc_id"), col("ts").as("__ct")), "doc_id")
+          .join(big.select(col("doc_id").as("q_id"), col("ts").as("__qt")), "q_id")
+          .join(big.select(col("doc_id"), col("ts").as("__ct")), "doc_id")
           .withColumn("score_ppm", expr(
             "CAST(size(array_intersect(__qt, __ct)) AS BIGINT) * 1000000 div " +
-              "(CAST(size(__qt) AS BIGINT) + size(__ct) - size(array_intersect(__qt, __ct)))"))
+              "GREATEST(CAST(size(__qt) AS BIGINT) + size(__ct) - size(array_intersect(__qt, __ct)), 1)"))
           .withColumn("rank2", row_number().over(
             Window.partitionBy("q_id").orderBy(col("score_ppm").desc, col("doc_id"))))
         val hit1 = stage1.filter(col("doc_id") === col("q_id") + off && col("rank") <= 10)
@@ -9524,16 +9534,16 @@ object ExtQueries {
            |    g -> replace(g, ' ', '_')), ' ') AS text
            |  FROM corpus),
            |r1 AS MATERIALIZED (${Search.bm25SqlFrom("bcorpus", qtBody, k = 50)}),
-           |uni AS MATERIALIZED (SELECT doc_id,
-           |  list_distinct(${TextOps.tokensSql("text")}) AS ts FROM corpus),
+           |big AS MATERIALIZED (SELECT doc_id,
+           |  list_distinct(${TextOps.bigramsSql("text")}) AS ts FROM corpus),
            |rr AS (SELECT q_id, doc_id,
            |    row_number() OVER (PARTITION BY q_id ORDER BY score_ppm DESC, doc_id) AS rank2
            |  FROM (SELECT r1.q_id, r1.doc_id,
            |          CAST(len(list_intersect(uq.ts, uc.ts)) AS BIGINT) * 1000000
-           |            // (CAST(len(uq.ts) AS BIGINT) + len(uc.ts)
-           |                - len(list_intersect(uq.ts, uc.ts))) AS score_ppm
-           |        FROM r1 JOIN uni uq ON uq.doc_id = r1.q_id
-           |                JOIN uni uc ON uc.doc_id = r1.doc_id)),
+           |            // GREATEST(CAST(len(uq.ts) AS BIGINT) + len(uc.ts)
+           |                - len(list_intersect(uq.ts, uc.ts)), 1) AS score_ppm
+           |        FROM r1 JOIN big uq ON uq.doc_id = r1.q_id
+           |                JOIN big uc ON uc.doc_id = r1.doc_id)),
            |o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
            |h1 AS (SELECT q_id, rank AS rank1 FROM r1, o
            |       WHERE doc_id = q_id + off AND rank <= 10),

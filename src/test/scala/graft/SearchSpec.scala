@@ -169,17 +169,24 @@ class SearchSpec extends SparkSpec {
   test("eval_retrieval_slices: rerank + slicing equal a driver-side replay over the stage-1 candidates") {
     // Independent audit of the NEW logic in the harness (the stage-1
     // BM25 engine is covered by its own hand-case specs): recompute
-    // the pairwise-Jaccard rerank, tie order, slice assignment, and
-    // the found@10 / MRR@10 integer aggregation in plain Scala from
-    // the raw texts, and demand the query's three slice rows match.
+    // the pairwise BIGRAM-Jaccard rerank, tie order, slice assignment,
+    // and the found@10 / MRR@10 integer aggregation in plain Scala
+    // from the raw texts, and demand the query's three slice rows
+    // match. Bigram sets (not unigram): the r17 scorer fix — unigrams
+    // tie at J = 1.0 on the saturated-vocabulary `long` slice.
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
     val base = graft.Tables.documents(spark, dir).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1)))
     val off = base.map(_._1).max + 1
+    def bigramsOf(t: String): Set[String] = {
+      val tk = t.split(' ').filter(_.nonEmpty)
+      if (tk.length < 2) Set.empty
+      else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
     val texts = (base ++ base.filter(_._1 % 5 == 0)
       .map { case (id, t) => (id + off, t) })
-      .map { case (id, t) => id -> t.split(' ').filter(_.nonEmpty).toSet }.toMap
+      .map { case (id, t) => id -> bigramsOf(t) }.toMap
     // stage-1 candidates exactly as the query builds them (bigram
     // corpus, 4 most-distinctive terms, k = 50)
     val bigramText = array_join(transform(
@@ -211,7 +218,7 @@ class SearchSpec extends SparkSpec {
       val qs = texts(q)
       val reranked = cands.map { case (_, _, d) =>
         val cs = texts(d); val inter = (qs & cs).size.toLong
-        (d, inter * 1000000L / (qs.size + cs.size - inter))
+        (d, inter * 1000000L / math.max(qs.size + cs.size - inter, 1L))
       }.sortBy { case (d, s) => (-s, d) }
       val rank2 = reranked.zipWithIndex
         .find { case ((d, _), _) => d == q + off }
@@ -231,6 +238,16 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(got == want, s"\ngot:  $got\nwant: $want")
+    // the r16-surfaced defect stays fixed: the bigram reranker must
+    // never lose ground to stage 1 on ANY slice — in particular the
+    // `long` slice, where the unigram scorer measured 500000 → 423280
+    // ppm (saturated-vocabulary J = 1.0 ties demoting the copy)
+    got.foreach { case (slice, (_, _, mrr1, _, mrr2)) =>
+      assert(mrr2 >= mrr1,
+        s"$slice slice: reranked MRR $mrr2 fell below stage-1 MRR $mrr1")
+    }
+    assert(got("long")._5 >= 500000L,
+      s"long slice must put the planted copy back at rank <= 2, got ${got("long")._5} ppm")
   }
 
   test("search_highlight equals a brute-force best-window replay on the driver corpus") {
