@@ -146,11 +146,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val canary = (1 to 3).map(_ => canaryOnce()).min
+    // NORMALIZED total baked into the artifact (r16 verdict item 6):
+    // value_normalized = value / (canary_sec / CanaryRef), so
+    // round-over-round comparison is one field instead of a judge-side
+    // ratio. CanaryRef = 0.78 s pins the host speed the r16 artifacts
+    // were read at: the four-run r16 drift measurement spanned canary
+    // 0.751-0.817 with 0.78 the typical-fast reading (NOTES.md r16),
+    // so a run at canary 0.78 reports value_normalized == value.
+    val CanaryRef = 0.78
+    val normalized = total / (canary / CanaryRef)
     val slowest = best.toSeq.sortBy(-_._2).take(40)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${best.size},"canary_sec":${fmt(canary)},"queries":$slowest,"queries_truncated_to":40,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
-    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},"queries":$qs,"samples":$allSamples,"pipeline_stages":$stages,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${best.size},"canary_sec":${fmt(canary)},"canary_ref":${fmt(CanaryRef)},"value_normalized":${fmt(normalized)},"queries":$slowest,"queries_truncated_to":40,"full":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","canary_sec":${fmt(canary)},"canary_ref":${fmt(CanaryRef)},"value_normalized":${fmt(normalized)},"queries":$qs,"samples":$allSamples,"pipeline_stages":$stages,"sf":"$sfDir"}"""
     // A SPARK_GRAFT_ONLY-filtered run must NOT clobber the full record
     // (the artifact of record the judge reads) with a partial one.
     val localPath = if (only.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_PARTIAL.json"

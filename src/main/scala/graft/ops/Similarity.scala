@@ -1592,10 +1592,14 @@ object Similarity {
     * both engines (below): a runtime pow() whose last-ulp rounding
     * differed cross-engine could flip a ⌈·⌉ at an exact integer. */
   val LshR0 = 8
-  val LshRMax = 18
-  /** b(r) for r = 8..18: ⌈8 · 1.19169^(r−8)⌉ (1/p* for eps = 0.5). */
+  val LshRMax = 24
+  /** b(r) for r = 8..24: ⌈8 · 1.19169^(r−8)⌉ (1/p* for eps = 0.5).
+    * Extended 18 → 24 in r17 (the r16 design-table note): 2^24 buckets
+    * cover 16.7M-row corpora before the width caps, at the honest
+    * N^1.25 band cost — b(24) = 133. A spec pins every entry to the
+    * formula. */
   val lshBandsForWidth: Array[Int] =
-    Array(8, 10, 12, 14, 17, 20, 23, 28, 33, 39, 47)
+    Array(8, 10, 12, 14, 17, 20, 23, 28, 33, 39, 47, 56, 66, 79, 94, 112, 133)
   /** The full plane pool: bMax × rMax md5-deterministic ±1 planes,
     * laid out band-major (band b's slice is planes b·rMax .. b·rMax +
     * rMax − 1; width-r hashing uses each slice's FIRST r planes, so a
@@ -1613,9 +1617,11 @@ object Similarity {
    * integer bit-length arithmetic and the identical b from the shared
    * literal table), giving N^(1+ρ) total work with recall pinned at
    * the design level — see [[lshBandsForWidth]]. Above 2^[[LshRMax]]
-   * rows the width caps and the prune degrades gracefully toward
-   * constant-factor again; raising the cap is a one-line design-table
-   * extension, not a structural change.
+   * rows (16.7M at rMax = 24) the width caps and the prune degrades
+   * gracefully toward constant-factor again; raising the cap further
+   * is another design-table row, not a structural change — and past
+   * any cap, the maintained-index [[dbscanFromNbrs]]-over-kNN-graph
+   * composition (sim_dbscan_graph) remains the production path.
    */
   def dbscanLshAdaptive(emb: DataFrame, idCol: String, vecCol: String,
                         planePool: Array[Array[Double]],

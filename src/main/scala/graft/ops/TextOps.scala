@@ -293,6 +293,31 @@ object TextOps {
   def bigramsSql(col: String): String =
     s"list_transform(range(1, len(${tokensSql(col)})), i -> ${tokensSql(col)}[i] || ' ' || ${tokensSql(col)}[i+1])"
 
+  /** POSITIONAL agreement of two token-array columns in exact integer
+    * ppm: count of positions i where q[i] = c[i], over
+    * max(len(q), len(c)) — the unmatched tail of the longer doc counts
+    * against the score, and the GREATEST(·,1) clamp pins two empty
+    * docs to 0 in any engine. ORDER-SENSITIVE where set/bag Jaccard is
+    * not: a same-vocabulary shuffle scores near 0, only a true copy
+    * reaches 1e6 — the cross-encoder-style pairwise scorer for rerank
+    * stages whose candidates share a saturated vocabulary (the
+    * eval_retrieval_slices `long`-slice lesson). Zero shuffle: one
+    * codegen'd zip_with fold per pair. Takes column NAMES (the repo's
+    * exact-integer `div` rides a SQL expr). */
+  def positionalAgreementPpm(qToks: String, cToks: String): Column =
+    expr(s"CAST(aggregate(zip_with($qToks, $cToks," +
+      s" (a, b) -> IF(a = b, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))," +
+      s" CAST(0 AS BIGINT), (acc, x) -> acc + x) * 1000000" +
+      s" div GREATEST(GREATEST(size($qToks), size($cToks)), 1) AS BIGINT)")
+
+  /** DuckDB twin of [[positionalAgreementPpm]] — positions past the
+    * shorter doc can never match, so the mirror counts over
+    * range(1, min_len + 1) with the same max-length denominator. */
+  def positionalAgreementPpmSql(q: String, c: String): String =
+    s"CAST(len(list_filter(range(1, LEAST(len($q), len($c)) + 1)," +
+      s" i -> $q[i] = $c[i])) * 1000000" +
+      s" // GREATEST(len($q), len($c), 1) AS BIGINT)"
+
   /**
    * Gopher-style repetition stats: the fraction of all word bigrams
    * taken by the single most frequent bigram (docs dominated by one

@@ -244,6 +244,55 @@ object ExtQueries {
       |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text
       |           FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** Shared STAGE 1 of the two-stage retrieval harness
+    * (eval_retrieval_slices / eval_rerank_positional): BM25 top-k over
+    * the per-JVM staged bigram index for the %5 query docs below 150,
+    * each querying with its 4 most-distinctive terms (smallest global
+    * df, ties to the token). Returns `(q_id, rank, doc_id, ...)`,
+    * localCheckpointed — both rerank harnesses fan out from it. */
+  private def bm25Stage1(s: SparkSession, dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigramText = array_join(transform(
+      TextOps.bigramsOf(TextOps.tokens(col("text"))),
+      g => translate(g, " ", "_")), " ")
+    val corpus = dupCorpus(s, dir).select(col("doc_id"), bigramText.as("text"))
+    val (tf, dl) = cachedBm25Index(s, dir, "mrr_bigram") {
+      Search.indexBatch(corpus, "doc_id", "text")
+    }
+    val docTok = tf.select(col("doc_id"), col("term"))
+    val dfr = docTok.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
+    val qt = docTok.filter(col("doc_id") % 5 === 0 && col("doc_id") < 150)
+      .join(broadcast(dfr), Seq("term"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("doc_id").as("q_id"), col("term"))
+    Search.bm25FromIndex(tf, dl, qt, k = k).localCheckpoint()
+  }
+
+  /** DuckDB twin of [[bm25Stage1]]: the `corpus`/`bcorpus`/`r1` CTE
+    * prefix (a `WITH`-clause fragment; consumers chain their rerank
+    * CTEs after it). */
+  private def bm25Stage1Sql(k: Int): String = {
+    val qtBody =
+      s"""WITH dtok AS (SELECT doc_id,
+         |    unnest(list_distinct(${TextOps.tokensSql("text")})) AS term
+         |  FROM bcorpus),
+         |dfr2 AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1)
+         |SELECT doc_id AS q_id, term FROM (
+         |  SELECT dtok.doc_id, dtok.term,
+         |         row_number() OVER (PARTITION BY dtok.doc_id
+         |                            ORDER BY dfr2.df, dtok.term) AS rn
+         |  FROM dtok JOIN dfr2 USING (term)
+         |  WHERE dtok.doc_id % 5 = 0 AND dtok.doc_id < 150)
+         |WHERE rn <= 4""".stripMargin
+    s"""$dupCorpusSql,
+       |bcorpus AS MATERIALIZED (SELECT doc_id,
+       |  array_to_string(list_transform(${TextOps.bigramsSql("text")},
+       |    g -> replace(g, ' ', '_')), ' ') AS text
+       |  FROM corpus),
+       |r1 AS MATERIALIZED (${Search.bm25SqlFrom("bcorpus", qtBody, k = k)})""".stripMargin
+  }
+
   /** Merge-table size for the BPE train/encode queries — small enough
     * that the oracle's unrolled iteration CTEs stay readable, large
     * enough to exercise merged-symbol merges (rank 6 merges a pair
@@ -8737,7 +8786,7 @@ object ExtQueries {
     // concentrated high-dim distances (measured 6.3× at 10× data — the
     // cell bound admits everything), so candidates come from
     // deterministic ±1 sign-bands whose width AND count grow with the
-    // corpus (the r15 `weak` closed): r = clamp(⌈log₂ N⌉, 8, 18)
+    // corpus (the r15 `weak` closed): r = clamp(⌈log₂ N⌉, 8, 24)
     // planes per band keeps the bucket count 2^r ∝ N — expected
     // random-pair candidates per band N²/2^r ≈ N, LINEAR, where the
     // old fixed 8×8's 256 buckets left N²/256 — and the band count
@@ -9470,21 +9519,7 @@ object ExtQueries {
         import org.apache.spark.sql.expressions.Window
         val base = Tables.documents(s, dir)
         val off = base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
-        val bigramText = array_join(transform(
-          TextOps.bigramsOf(TextOps.tokens(col("text"))),
-          g => translate(g, " ", "_")), " ")
-        val corpus = dupCorpus(s, dir).select(col("doc_id"), bigramText.as("text"))
-        val (tf, dl) = cachedBm25Index(s, dir, "mrr_bigram") {
-          Search.indexBatch(corpus, "doc_id", "text")
-        }
-        val docTok = tf.select(col("doc_id"), col("term"))
-        val dfr = docTok.groupBy("term").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("doc_id").orderBy(col("df"), col("term"))
-        val qt = docTok.filter(col("doc_id") % 5 === 0 && col("doc_id") < 150)
-          .join(broadcast(dfr), Seq("term"))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
-          .select(col("doc_id").as("q_id"), col("term"))
-        val stage1 = Search.bm25FromIndex(tf, dl, qt, k = 50).localCheckpoint()
+        val stage1 = bm25Stage1(s, dir, k = 50)
         val big = dupCorpus(s, dir).select(col("doc_id"),
           array_distinct(TextOps.bigramsOf(TextOps.tokens(col("text")))).as("ts"))
         val rr = stage1
@@ -9516,24 +9551,7 @@ object ExtQueries {
           .orderBy("slice")
       },
       Some {
-        val qtBody =
-          s"""WITH dtok AS (SELECT doc_id,
-             |    unnest(list_distinct(${TextOps.tokensSql("text")})) AS term
-             |  FROM bcorpus),
-             |dfr2 AS (SELECT term, count(*) AS df FROM dtok GROUP BY 1)
-             |SELECT doc_id AS q_id, term FROM (
-             |  SELECT dtok.doc_id, dtok.term,
-             |         row_number() OVER (PARTITION BY dtok.doc_id
-             |                            ORDER BY dfr2.df, dtok.term) AS rn
-             |  FROM dtok JOIN dfr2 USING (term)
-             |  WHERE dtok.doc_id % 5 = 0 AND dtok.doc_id < 150)
-             |WHERE rn <= 4""".stripMargin
-        s"""WITH $dupCorpusSql,
-           |bcorpus AS MATERIALIZED (SELECT doc_id,
-           |  array_to_string(list_transform(${TextOps.bigramsSql("text")},
-           |    g -> replace(g, ' ', '_')), ' ') AS text
-           |  FROM corpus),
-           |r1 AS MATERIALIZED (${Search.bm25SqlFrom("bcorpus", qtBody, k = 50)}),
+        s"""WITH ${bm25Stage1Sql(k = 50)},
            |big AS MATERIALIZED (SELECT doc_id,
            |  list_distinct(${TextOps.bigramsSql("text")}) AS ts FROM corpus),
            |rr AS (SELECT q_id, doc_id,
@@ -9559,6 +9577,83 @@ object ExtQueries {
            |  CAST(SUM(COALESCE(1000000 // rank1, 0)) // COUNT(*) AS BIGINT) AS mrr1_ppm,
            |  CAST(SUM(CASE WHEN rank2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found2,
            |  CAST(SUM(COALESCE(1000000 // rank2, 0)) // COUNT(*) AS BIGINT) AS mrr2_ppm
+           |FROM sl LEFT JOIN h1 USING (q_id) LEFT JOIN h2 USING (q_id)
+           |GROUP BY slice ORDER BY slice""".stripMargin
+      }),
+
+    // POSITIONAL pairwise reranker as a first-class operator
+    // ([[TextOps.positionalAgreementPpm]] — the scorer the r16
+    // long-slice defect pointed at, promoted per the verdict's march):
+    // same two-stage harness as eval_retrieval_slices (staged-index
+    // BM25 top-50, the cross-encoder deployment shape), stage 2 scores
+    // each (query, candidate) pair by EXACT POSITIONAL token agreement
+    // — matches at index i over max(len), integer ppm. Order
+    // sensitivity is the point: where ANY set/bag scorer ties whole
+    // candidate lists on a saturated vocabulary, only a true copy
+    // aligns position-by-position, so copies pin to 1e6 and shuffles
+    // fall to the ~1/V chance-agreement floor — per slice, found@10
+    // and MRR@10 against the stage-1 baseline. Zero shuffle in the
+    // scorer itself (one codegen'd zip_with fold per candidate pair,
+    // candidates bounded by k per query — corpus-size-free).
+    Q("eval_rerank_positional",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, dir)
+        val off = base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val stage1 = bm25Stage1(s, dir, k = 50)
+        val tk = dupCorpus(s, dir).select(col("doc_id"),
+          TextOps.tokens(col("text")).as("ts"))
+        val rr = stage1
+          .join(tk.select(col("doc_id").as("q_id"), col("ts").as("__qt")), "q_id")
+          .join(tk.select(col("doc_id"), col("ts").as("__ct")), "doc_id")
+          .withColumn("score_ppm", TextOps.positionalAgreementPpm("__qt", "__ct"))
+          .withColumn("rank2", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("score_ppm").desc, col("doc_id"))))
+        val hit1 = stage1.filter(col("doc_id") === col("q_id") + off && col("rank") <= 10)
+          .select(col("q_id"), col("rank").as("rank1"))
+        val hit2 = rr.filter(col("doc_id") === col("q_id") + off && col("rank2") <= 10)
+          .select(col("q_id"), col("rank2"))
+        val sliced = base.filter(col("doc_id") % 5 === 0 && col("doc_id") < 150)
+          .select(col("doc_id").as("q_id"),
+            size(TextOps.tokens(col("text"))).as("n_tok"))
+          .withColumn("slice", when(col("n_tok") < 40, "short")
+            .when(col("n_tok") < 70, "medium").otherwise("long"))
+        sliced.join(hit1, Seq("q_id"), "left").join(hit2, Seq("q_id"), "left")
+          .groupBy("slice").agg(
+            count(lit(1)).as("n_q"),
+            sum(when(col("rank1").isNotNull, 1L).otherwise(0L)).as("found1"),
+            expr("CAST(SUM(COALESCE(1000000 div rank1, 0)) div COUNT(*) AS BIGINT)")
+              .as("mrr1_ppm"),
+            sum(when(col("rank2").isNotNull, 1L).otherwise(0L)).as("found_pos"),
+            expr("CAST(SUM(COALESCE(1000000 div rank2, 0)) div COUNT(*) AS BIGINT)")
+              .as("mrr_pos_ppm"))
+          .orderBy("slice")
+      },
+      Some {
+        s"""WITH ${bm25Stage1Sql(k = 50)},
+           |tk AS MATERIALIZED (SELECT doc_id,
+           |  ${TextOps.tokensSql("text")} AS ts FROM corpus),
+           |rr AS (SELECT q_id, doc_id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY score_ppm DESC, doc_id) AS rank2
+           |  FROM (SELECT r1.q_id, r1.doc_id,
+           |          ${TextOps.positionalAgreementPpmSql("uq.ts", "uc.ts")} AS score_ppm
+           |        FROM r1 JOIN tk uq ON uq.doc_id = r1.q_id
+           |                JOIN tk uc ON uc.doc_id = r1.doc_id)),
+           |o AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+           |h1 AS (SELECT q_id, rank AS rank1 FROM r1, o
+           |       WHERE doc_id = q_id + off AND rank <= 10),
+           |h2 AS (SELECT q_id, rank2 FROM rr, o
+           |       WHERE doc_id = q_id + off AND rank2 <= 10),
+           |sl AS (SELECT doc_id AS q_id,
+           |    CASE WHEN len(${TextOps.tokensSql("text")}) < 40 THEN 'short'
+           |         WHEN len(${TextOps.tokensSql("text")}) < 70 THEN 'medium'
+           |         ELSE 'long' END AS slice
+           |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 150)
+           |SELECT slice, CAST(COUNT(*) AS BIGINT) AS n_q,
+           |  CAST(SUM(CASE WHEN rank1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found1,
+           |  CAST(SUM(COALESCE(1000000 // rank1, 0)) // COUNT(*) AS BIGINT) AS mrr1_ppm,
+           |  CAST(SUM(CASE WHEN rank2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found_pos,
+           |  CAST(SUM(COALESCE(1000000 // rank2, 0)) // COUNT(*) AS BIGINT) AS mrr_pos_ppm
            |FROM sl LEFT JOIN h1 USING (q_id) LEFT JOIN h2 USING (q_id)
            |GROUP BY slice ORDER BY slice""".stripMargin
       }),

@@ -250,6 +250,77 @@ class SearchSpec extends SparkSpec {
       s"long slice must put the planted copy back at rank <= 2, got ${got("long")._5} ppm")
   }
 
+  test("eval_rerank_positional equals a driver-side replay over the stage-1 candidates") {
+    // same audit shape as the slices replay, for the POSITIONAL
+    // scorer: recompute per-pair positional agreement (matches at
+    // index i over max length), tie order, slices, and the integer
+    // metrics in plain Scala, and demand the query's rows match
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val base = graft.Tables.documents(spark, dir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val off = base.map(_._1).max + 1
+    val toks = (base ++ base.filter(_._1 % 5 == 0)
+      .map { case (id, t) => (id + off, t) })
+      .map { case (id, t) => id -> t.split(' ').filter(_.nonEmpty).toVector }.toMap
+    def posPpm(q: Vector[String], c: Vector[String]): Long = {
+      val matches = (0 until math.min(q.length, c.length))
+        .count(i => q(i) == c(i)).toLong
+      matches * 1000000L / math.max(math.max(q.length, c.length), 1).toLong
+    }
+    // stage-1 candidates exactly as the harness builds them
+    val bigramText = array_join(transform(
+      graft.ops.TextOps.bigramsOf(graft.ops.TextOps.tokens(col("text"))),
+      g => translate(g, " ", "_")), " ")
+    val corpus = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionByName(graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+      .select(col("doc_id"), bigramText.as("text"))
+    val (tf, dl) = graft.ops.Search.indexBatch(corpus, "doc_id", "text")
+    val docTok = tf.select(col("doc_id"), col("term"))
+    val dfr = docTok.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("term"))
+    val qt = docTok.filter(col("doc_id") % 5 === 0 && col("doc_id") < 150)
+      .join(broadcast(dfr), Seq("term"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val stage1 = graft.ops.Search.bm25FromIndex(tf, dl, qt, k = 50)
+      .select("q_id", "rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = stage1.groupBy(_._1)
+    val qids = base.map(_._1).filter(id => id % 5 == 0 && id < 150)
+    val expect = qids.map { q =>
+      val cands = byQ.getOrElse(q, Array.empty)
+      val rank1 = cands.find(c => c._3 == q + off && c._2 <= 10).map(_._2)
+      val reranked = cands.map { case (_, _, d) => (d, posPpm(toks(q), toks(d))) }
+        .sortBy { case (d, s) => (-s, d) }
+      val rank2 = reranked.zipWithIndex
+        .find { case ((d, _), _) => d == q + off }
+        .map(_._2 + 1L).filter(_ <= 10)
+      val nTok = toks(q).length
+      val slice = if (nTok < 40) "short" else if (nTok < 70) "medium" else "long"
+      (slice, rank1, rank2)
+    }
+    val want = expect.groupBy(_._1).map { case (slice, rows) =>
+      slice -> (rows.length.toLong,
+        rows.count(_._2.isDefined).toLong,
+        rows.map(_._2.map(1000000L / _).getOrElse(0L)).sum / rows.length,
+        rows.count(_._3.isDefined).toLong,
+        rows.map(_._3.map(1000000L / _).getOrElse(0L)).sum / rows.length)
+    }
+    val got = graft.SparkEntry.queries("eval_rerank_positional")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    // order sensitivity is the operator's point: the positional
+    // reranker must hold every slice at-or-above stage 1, long included
+    got.foreach { case (slice, (_, _, mrr1, _, mrrPos)) =>
+      assert(mrrPos >= mrr1, s"$slice: positional MRR $mrrPos below stage-1 $mrr1")
+    }
+  }
+
   test("search_highlight equals a brute-force best-window replay on the driver corpus") {
     val W = 10
     val terms = Set("join", "merge", "hash")

@@ -739,7 +739,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("ceilLog2: exact at powers of two and their neighbors (the mirror's bit-length twin)") {
-    // the adaptive-LSH width r = clamp(ceilLog2(N), 8, 18) must agree
+    // the adaptive-LSH width r = clamp(ceilLog2(N), 8, 24) must agree
     // with the oracle's LENGTH(FORMAT('{:b}', N−1)) at EVERY N — the
     // risky spots are exact powers of two, where a transcendental
     // log2 could round either way
@@ -753,6 +753,24 @@ class SimilaritySpec extends SparkSpec {
     // bit-length identity the DuckDB twin computes: len(bin(n-1))
     for (n <- 2L to 1030L)
       assert(Similarity.ceilLog2(n) == java.lang.Long.toBinaryString(n - 1).length, s"n=$n")
+  }
+
+  test("lshBandsForWidth pins b(r) to the design formula for every width up to the cap") {
+    // the r → bands table is a shared literal in both engines (a
+    // runtime pow() whose last-ulp rounding differed cross-engine
+    // could flip a ceil at an exact integer) — this spec is the single
+    // source of truth tying the literal to ⌈8 · 1.19169^(r−8)⌉
+    assert(Similarity.lshBandsForWidth.length ==
+      Similarity.LshRMax - Similarity.LshR0 + 1)
+    Similarity.lshBandsForWidth.zipWithIndex.foreach { case (b, i) =>
+      val want = math.ceil(8.0 * math.pow(1.19169, i)).toInt
+      assert(b == want, s"r=${Similarity.LshR0 + i}: table $b vs formula $want")
+    }
+    // the plane pool is band-major bMax × rMax — width-r hashing uses
+    // each band slice's FIRST r planes, so a wider corpus EXTENDS the
+    // same buckets rather than rehashing
+    assert(Similarity.lshPlanePool(4).length ==
+      Similarity.lshBandsForWidth.last * Similarity.LshRMax)
   }
 
   test("hnswInsert: empty delta is a no-op; inserted nodes land on every layer up to their level") {
