@@ -244,6 +244,36 @@ object ExtQueries {
       |           SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id, text
       |           FROM documents WHERE doc_id % 5 = 0)""".stripMargin
 
+  /** The planted hierarchical-dedup corpus shared by dd_hierarchical
+    * and its incremental twin, plus the id offset: originals, full
+    * copies of every %5 doc (+off), paragraph chimeras of every %7 doc
+    * (+2·off: first 32 tokens borrowed, rest reversed), line borrowers
+    * of every %11 doc (+3·off: first 8 borrowed, rest reversed). Every
+    * planted id exceeds every original id — stream order. */
+  private def hierCorpusOff(s: SparkSession, dir: String): (DataFrame, Long) = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val off = base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+    val tk = TextOps.tokens(col("text"))
+    def rebuilt(take: Int) = concat_ws(" ",
+      concat(slice(tk, 1, take), reverse(slice(tk, take + 1, 1000000))))
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2 * off).as("doc_id"), rebuilt(32).as("text")))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 3 * off).as("doc_id"), rebuilt(8).as("text")))
+    (corpus, off)
+  }
+
+  /** Fixed-width segmentation of a token-array column into `w`-token
+    * slices, GREATEST(·, 1)-clamped so an empty array yields exactly
+    * ONE empty segment (the mirror's range(0, GREATEST(...)) twin —
+    * without the clamp Spark's sequence(0, -1) emits two phantoms). */
+  private def segSlices(arrCol: String, w: Int): String =
+    s"transform(sequence(0, GREATEST(CAST(ceil(size($arrCol) / $w.0) AS INT), 1) - 1)," +
+      s" i -> slice($arrCol, i * $w + 1, $w))"
+
   /** Shared STAGE 1 of the two-stage retrieval harness
     * (eval_retrieval_slices / eval_rerank_positional): BM25 top-k over
     * the per-JVM staged bigram index for the %5 query docs below 150,
@@ -291,6 +321,66 @@ object ExtQueries {
        |    g -> replace(g, ' ', '_')), ' ') AS text
        |  FROM corpus),
        |r1 AS MATERIALIZED (${Search.bm25SqlFrom("bcorpus", qtBody, k = k)})""".stripMargin
+  }
+
+  /** DuckDB mirror of the FULL three-stage hierarchical chain — shared
+    * verbatim by dd_hierarchical (the batch form) and
+    * dd_hierarchical_incremental (whose streamed output must equal the
+    * batch's exactly: keeper order is ascending (doc_id, pidx, lidx)
+    * and batch ids are all higher, so incremental admission can never
+    * steal a keep — the same-oracle identity IS the correctness
+    * statement). */
+  private def hierChainOracleSql: String = {
+        val toksSql = TextOps.tokensSql("text")
+        s"""WITH b AS (SELECT doc_id, text FROM documents),
+           |off AS (SELECT MAX(doc_id) + 1 AS o FROM b),
+           |corpus AS (
+           |  SELECT doc_id, text FROM b
+           |  UNION ALL SELECT doc_id + o, text FROM b, off WHERE doc_id % 5 = 0
+           |  UNION ALL SELECT doc_id + 2 * o,
+           |    array_to_string(list_concat(list_slice($toksSql, 1, 32),
+           |      list_reverse(list_slice($toksSql, 33, 1000000))), ' ')
+           |  FROM b, off WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT doc_id + 3 * o,
+           |    array_to_string(list_concat(list_slice($toksSql, 1, 8),
+           |      list_reverse(list_slice($toksSql, 9, 1000000))), ' ')
+           |  FROM b, off WHERE doc_id % 11 = 0),
+           |tk AS (SELECT doc_id, $toksSql AS toks,
+           |         md5(array_to_string($toksSql, ' ')) AS dh FROM corpus),
+           |keep1 AS (SELECT dh, MIN(doc_id) AS doc_id FROM tk GROUP BY 1),
+           |d1 AS (SELECT tk.doc_id, tk.toks FROM tk JOIN keep1
+           |       ON tk.dh = keep1.dh AND tk.doc_id = keep1.doc_id),
+           |paras AS (SELECT doc_id, CAST(i AS INT) AS pidx,
+           |    list_slice(toks, CAST(i * 32 + 1 AS INT), CAST(i * 32 + 32 AS INT)) AS pt
+           |  FROM d1, unnest(range(0, GREATEST(CAST(ceil(len(toks) / 32.0) AS INT), 1))) AS t(i)),
+           |pk AS (SELECT doc_id, pidx, pt,
+           |    row_number() OVER (PARTITION BY md5(array_to_string(pt, ' '))
+           |                       ORDER BY doc_id, pidx) = 1 AS p_kept
+           |  FROM paras),
+           |lines AS (SELECT doc_id, pidx, CAST(j AS INT) AS lidx,
+           |    list_slice(pt, CAST(j * 8 + 1 AS INT), CAST(j * 8 + 8 AS INT)) AS lt
+           |  FROM pk, unnest(range(0, GREATEST(CAST(ceil(len(pt) / 8.0) AS INT), 1))) AS t(j)
+           |  WHERE p_kept),
+           |lk AS (SELECT doc_id, pidx, lidx, lt,
+           |    row_number() OVER (PARTITION BY md5(array_to_string(lt, ' '))
+           |                       ORDER BY doc_id, pidx, lidx) = 1 AS l_kept
+           |  FROM lines),
+           |pa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_para,
+           |         CAST(SUM(CASE WHEN p_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_para_kept
+           |       FROM pk GROUP BY 1),
+           |la AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_line,
+           |         CAST(SUM(CASE WHEN l_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_line_kept,
+           |         CAST(SUM(CASE WHEN l_kept THEN len(lt) ELSE 0 END) AS BIGINT) AS tok_kept
+           |       FROM lk GROUP BY 1)
+           |SELECT d1.doc_id,
+           |  COALESCE(n_para, 0) AS n_para,
+           |  COALESCE(n_para_kept, 0) AS n_para_kept,
+           |  COALESCE(n_line, 0) AS n_line,
+           |  COALESCE(n_line_kept, 0) AS n_line_kept,
+           |  CAST(len(toks) AS BIGINT) AS tok_total,
+           |  COALESCE(tok_kept, 0) AS tok_kept
+           |FROM d1 LEFT JOIN pa USING (doc_id) LEFT JOIN la USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
   }
 
   /** Merge-table size for the BPE train/encode queries — small enough
@@ -1517,18 +1607,7 @@ object ExtQueries {
     Q("dd_hierarchical",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val off = base.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
-        val tk = TextOps.tokens(col("text"))
-        def rebuilt(take: Int) = concat_ws(" ",
-          concat(slice(tk, 1, take), reverse(slice(tk, take + 1, 1000000))))
-        val corpus = base
-          .unionByName(base.filter(col("doc_id") % 5 === 0)
-            .select((col("doc_id") + off).as("doc_id"), col("text")))
-          .unionByName(base.filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 2 * off).as("doc_id"), rebuilt(32).as("text")))
-          .unionByName(base.filter(col("doc_id") % 11 === 0)
-            .select((col("doc_id") + 3 * off).as("doc_id"), rebuilt(8).as("text")))
+        val (corpus, _) = hierCorpusOff(s, dir)
         val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
           md5(concat_ws(" ", TextOps.tokens(col("text")))).as("dh"))
         val keep1 = toks.groupBy("dh").agg(min("doc_id").as("doc_id"))
@@ -1538,9 +1617,7 @@ object ExtQueries {
         // sequence(0, -1) yield [0, -1] (two phantom slices) where the
         // mirror's range(0, 0) yields none — clamped, an empty doc
         // segments to exactly ONE empty paragraph in both engines
-        val paras = d1.select(col("doc_id"), posexplode(
-            expr("transform(sequence(0, GREATEST(CAST(ceil(size(toks) / 32.0) AS INT), 1) - 1)," +
-              " i -> slice(toks, i * 32 + 1, 32))")))
+        val paras = d1.select(col("doc_id"), posexplode(expr(segSlices("toks", 32))))
           .select(col("doc_id"), col("pos").as("pidx"), col("col").as("pt"))
           .withColumn("ph", md5(concat_ws(" ", col("pt"))))
         val pKeep = paras.withColumn("__rn", row_number().over(
@@ -1548,9 +1625,7 @@ object ExtQueries {
           .withColumn("p_kept", col("__rn") === 1).drop("__rn")
           .localCheckpoint() // feeds the per-doc rollup AND the line stage
         val lines = pKeep.filter(col("p_kept"))
-          .select(col("doc_id"), col("pidx"), posexplode(
-            expr("transform(sequence(0, GREATEST(CAST(ceil(size(pt) / 8.0) AS INT), 1) - 1)," +
-              " j -> slice(pt, j * 8 + 1, 8))")))
+          .select(col("doc_id"), col("pidx"), posexplode(expr(segSlices("pt", 8))))
           .select(col("doc_id"), col("pidx"), col("pos").as("lidx"), col("col").as("lt"))
           .withColumn("lh", md5(concat_ws(" ", col("lt"))))
         val lKeep = lines.withColumn("__rn", row_number().over(
@@ -1576,58 +1651,109 @@ object ExtQueries {
             coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
           .orderBy("doc_id")
       },
-      Some {
-        val toksSql = TextOps.tokensSql("text")
-        s"""WITH b AS (SELECT doc_id, text FROM documents),
-           |off AS (SELECT MAX(doc_id) + 1 AS o FROM b),
-           |corpus AS (
-           |  SELECT doc_id, text FROM b
-           |  UNION ALL SELECT doc_id + o, text FROM b, off WHERE doc_id % 5 = 0
-           |  UNION ALL SELECT doc_id + 2 * o,
-           |    array_to_string(list_concat(list_slice($toksSql, 1, 32),
-           |      list_reverse(list_slice($toksSql, 33, 1000000))), ' ')
-           |  FROM b, off WHERE doc_id % 7 = 0
-           |  UNION ALL SELECT doc_id + 3 * o,
-           |    array_to_string(list_concat(list_slice($toksSql, 1, 8),
-           |      list_reverse(list_slice($toksSql, 9, 1000000))), ' ')
-           |  FROM b, off WHERE doc_id % 11 = 0),
-           |tk AS (SELECT doc_id, $toksSql AS toks,
-           |         md5(array_to_string($toksSql, ' ')) AS dh FROM corpus),
-           |keep1 AS (SELECT dh, MIN(doc_id) AS doc_id FROM tk GROUP BY 1),
-           |d1 AS (SELECT tk.doc_id, tk.toks FROM tk JOIN keep1
-           |       ON tk.dh = keep1.dh AND tk.doc_id = keep1.doc_id),
-           |paras AS (SELECT doc_id, CAST(i AS INT) AS pidx,
-           |    list_slice(toks, CAST(i * 32 + 1 AS INT), CAST(i * 32 + 32 AS INT)) AS pt
-           |  FROM d1, unnest(range(0, GREATEST(CAST(ceil(len(toks) / 32.0) AS INT), 1))) AS t(i)),
-           |pk AS (SELECT doc_id, pidx, pt,
-           |    row_number() OVER (PARTITION BY md5(array_to_string(pt, ' '))
-           |                       ORDER BY doc_id, pidx) = 1 AS p_kept
-           |  FROM paras),
-           |lines AS (SELECT doc_id, pidx, CAST(j AS INT) AS lidx,
-           |    list_slice(pt, CAST(j * 8 + 1 AS INT), CAST(j * 8 + 8 AS INT)) AS lt
-           |  FROM pk, unnest(range(0, GREATEST(CAST(ceil(len(pt) / 8.0) AS INT), 1))) AS t(j)
-           |  WHERE p_kept),
-           |lk AS (SELECT doc_id, pidx, lidx, lt,
-           |    row_number() OVER (PARTITION BY md5(array_to_string(lt, ' '))
-           |                       ORDER BY doc_id, pidx, lidx) = 1 AS l_kept
-           |  FROM lines),
-           |pa AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_para,
-           |         CAST(SUM(CASE WHEN p_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_para_kept
-           |       FROM pk GROUP BY 1),
-           |la AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_line,
-           |         CAST(SUM(CASE WHEN l_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_line_kept,
-           |         CAST(SUM(CASE WHEN l_kept THEN len(lt) ELSE 0 END) AS BIGINT) AS tok_kept
-           |       FROM lk GROUP BY 1)
-           |SELECT d1.doc_id,
-           |  COALESCE(n_para, 0) AS n_para,
-           |  COALESCE(n_para_kept, 0) AS n_para_kept,
-           |  COALESCE(n_line, 0) AS n_line,
-           |  COALESCE(n_line_kept, 0) AS n_line_kept,
-           |  CAST(len(toks) AS BIGINT) AS tok_total,
-           |  COALESCE(tok_kept, 0) AS tok_kept
-           |FROM d1 LEFT JOIN pa USING (doc_id) LEFT JOIN la USING (doc_id)
-           |ORDER BY doc_id""".stripMargin
-      }),
+      Some(hierChainOracleSql)),
+
+    // INCREMENTAL twin of dd_hierarchical — the streaming-admission
+    // form of the doc → paragraph → line chain (verdict-7 march; the
+    // incremental-exact machinery generalized to the composed chain):
+    // the MAINTAINED state from yesterday's ingest is the base chain's
+    // output plus three exact-hash indexes (doc hashes of every base
+    // doc; paragraph hashes of base survivors; line hashes of base
+    // kept paragraphs — each staged per JVM, the once-per-ingest
+    // artifact). Today's batch — every planted replica, all with
+    // HIGHER ids (stream order) — probes the indexes: a doc whose hash
+    // is indexed dies at stage 1, a paragraph whose hash is indexed is
+    // never kept, a line likewise; first-occurrence WITHIN the batch
+    // resolves the rest. Because keeper order is ascending
+    // (doc_id, pidx, lidx) and base ids precede batch ids, a later
+    // batch can never steal a keep from the maintained state — so
+    // streamed ≡ batch EXACTLY, and the oracle is dd_hierarchical's
+    // own full-batch SQL, unchanged. Per-batch cost: batch-linear
+    // segmentation + three hash-key joins against the indexes — the
+    // table is never re-deduped.
+    Q("dd_hierarchical_incremental",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val (corpus, off) = hierCorpusOff(s, dir)
+        def withHash(c: DataFrame) = c.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("toks"),
+          md5(concat_ws(" ", TextOps.tokens(col("text")))).as("dh"))
+        def paraSeg(d1: DataFrame) = d1
+          .select(col("doc_id"), posexplode(expr(segSlices("toks", 32))))
+          .select(col("doc_id"), col("pos").as("pidx"), col("col").as("pt"))
+          .withColumn("ph", md5(concat_ws(" ", col("pt"))))
+        def lineSeg(pKept: DataFrame) = pKept.filter(col("p_kept"))
+          .select(col("doc_id"), col("pidx"), posexplode(expr(segSlices("pt", 8))))
+          .select(col("doc_id"), col("pidx"), col("pos").as("lidx"), col("col").as("lt"))
+          .withColumn("lh", md5(concat_ws(" ", col("lt"))))
+        def rollup(d1: DataFrame, pKeep: DataFrame, lKeep: DataFrame) = {
+          val pAgg = pKeep.groupBy("doc_id").agg(
+            count(lit(1)).as("n_para"),
+            sum(when(col("p_kept"), 1L).otherwise(0L)).as("n_para_kept"))
+          val lAgg = lKeep.groupBy("doc_id").agg(
+            count(lit(1)).as("n_line"),
+            sum(when(col("l_kept"), 1L).otherwise(0L)).as("n_line_kept"),
+            sum(when(col("l_kept"), size(col("lt")).cast(LongType)).otherwise(0L))
+              .as("tok_kept"))
+          d1.select(col("doc_id"), size(col("toks")).cast(LongType).as("tok_total"))
+            .join(pAgg, Seq("doc_id"), "left")
+            .join(lAgg, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              coalesce(col("n_para"), lit(0L)).as("n_para"),
+              coalesce(col("n_para_kept"), lit(0L)).as("n_para_kept"),
+              coalesce(col("n_line"), lit(0L)).as("n_line"),
+              coalesce(col("n_line_kept"), lit(0L)).as("n_line_kept"),
+              col("tok_total"),
+              coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+        }
+        // ---- maintained state (per-JVM staged base chain + indexes) —
+        // the incremental run READS this, it does not pay it ----
+        def baseChain() = {
+          val toksB = withHash(corpus.filter(col("doc_id") < off))
+          val keep1B = toksB.groupBy("dh").agg(min("doc_id").as("doc_id"))
+          val d1B = toksB.join(keep1B, Seq("dh", "doc_id"), "left_semi")
+          val pKeepB = paraSeg(d1B).withColumn("__rn", row_number().over(
+              Window.partitionBy("ph").orderBy("doc_id", "pidx")))
+            .withColumn("p_kept", col("__rn") === 1).drop("__rn")
+          val lKeepB = lineSeg(pKeepB).withColumn("__rn", row_number().over(
+              Window.partitionBy("lh").orderBy("doc_id", "pidx", "lidx")))
+            .withColumn("l_kept", col("__rn") === 1).drop("__rn")
+          (toksB, d1B, pKeepB, lKeepB)
+        }
+        val baseOut = cachedNnGraph(s, dir, "hier_base_out") {
+          val (_, d1B, pKeepB, lKeepB) = baseChain(); rollup(d1B, pKeepB, lKeepB)
+        }
+        val dhIdx = cachedNnGraph(s, dir, "hier_idx_dh") {
+          baseChain()._1.select("dh").distinct()
+        }
+        val phIdx = cachedNnGraph(s, dir, "hier_idx_ph") {
+          baseChain()._3.select("ph").distinct()
+        }
+        val lhIdx = cachedNnGraph(s, dir, "hier_idx_lh") {
+          baseChain()._4.select("lh").distinct()
+        }
+        // ---- today's batch: probe the indexes, dedup within batch ----
+        val toksD = withHash(corpus.filter(col("doc_id") >= off))
+        val keep1D = toksD.join(dhIdx, Seq("dh"), "left_anti")
+          .groupBy("dh").agg(min("doc_id").as("doc_id"))
+        val d1D = toksD.join(keep1D, Seq("dh", "doc_id"), "left_semi")
+          .localCheckpoint() // feeds paras AND the final rollup join
+        val pKeepD = paraSeg(d1D)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("ph").orderBy("doc_id", "pidx")))
+          .join(phIdx.withColumn("__inb", lit(true)), Seq("ph"), "left")
+          .withColumn("p_kept", col("__rn") === 1 && col("__inb").isNull)
+          .drop("__rn", "__inb")
+          .localCheckpoint() // feeds the rollup AND the line stage
+        val lKeepD = lineSeg(pKeepD)
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("lh").orderBy("doc_id", "pidx", "lidx")))
+          .join(lhIdx.withColumn("__inb", lit(true)), Seq("lh"), "left")
+          .withColumn("l_kept", col("__rn") === 1 && col("__inb").isNull)
+          .drop("__rn", "__inb")
+        baseOut.unionByName(rollup(d1D, pKeepD, lKeepD)).orderBy("doc_id")
+      },
+      Some(hierChainOracleSql)),
 
     // Matryoshka-prefix retrieval fidelity ([[Similarity]] slicing):
     // rank the corpus by cosine on the FULL 64-dim embedding and on

@@ -230,6 +230,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("dd_hierarchical_incremental row-for-row equals the batch chain") {
+    // the correctness statement of incremental admission: keeper order
+    // is ascending (doc_id, pidx, lidx) and every batch id exceeds
+    // every base id, so probing the three maintained hash indexes +
+    // within-batch first-occurrence must reproduce the full re-dedup
+    // EXACTLY — same survivors, same per-doc paragraph/line/token
+    // numbers (both queries also share one oracle SQL verbatim)
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("dd_hierarchical")(spark, dir)
+      .collect().toSeq
+    val inc = graft.SparkEntry.queries("dd_hierarchical_incremental")(spark, dir)
+      .collect().toSeq
+    assert(inc == batch, "incremental chain diverged from the batch chain")
+    assert(batch.nonEmpty)
+  }
+
   test("dd_hierarchical's segmentation expression clamps an empty doc to one empty slice") {
     // the un-clamped form sequence(0, ceil(0/32)-1) = sequence(0, -1)
     // yields [0, -1] — TWO phantom slices — where the DuckDB mirror's
