@@ -419,6 +419,67 @@ object Dedup {
     batch.join(vsCorpus.unionByName(within).distinct(), Seq(idCol), "left_anti")
   }
 
+  /** DROP-ONE sub-bucket LSH index — the MULTI-PROBE twin of
+    * [[minhashIndexMd5]]: per band of `rows` slots, `rows` keys each
+    * omitting one slot — `(band, drop, bucket)` — so two docs collide
+    * iff some band agrees on ≥ rows−1 of its slots. OR-amplification
+    * at fixed signature size: at slot-agreement p the per-band hit
+    * rate rises from p^r to p^r + r·p^(r−1)(1−p) — the borderline
+    * near-dups that differ in exactly one slot of EVERY band (the
+    * single-probe blind spot right at the threshold) become
+    * catchable. The trade is explicit and linear: index and probe
+    * rows ×r, wider (r−1)-slot buckets admit more candidates, and
+    * every candidate still pays the same exact est-Jaccard verify —
+    * recall is bought with probe volume, never with a looser verify. */
+  def minhashIndexMd5Probe(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    minhashSignaturesMd5(docs, idCol, textCol, n, k)
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col(idCol), col("sig"), col("band"),
+        explode(sequence(lit(1), lit(rows))).as("drop"))
+      .withColumn("bucket", array_join(concat(
+        slice(col("sig"), col("band") * rows + 1, col("drop") - 1),
+        slice(col("sig"), col("band") * rows + col("drop") + 1,
+          lit(rows) - col("drop"))), ","))
+  }
+
+  /** [[incrementalMinhashAdmit]] with MULTI-PROBE candidate recall
+    * ([[minhashIndexMd5Probe]]): identical admission rule — reject iff
+    * est-Jaccard ≥ `maxEstJaccard` against any corpus doc or any
+    * smaller-id batch doc — over the drop-one candidate set, which is
+    * a SUPERSET of the full-band one (a full-band match implies every
+    * drop-one sub-bucket of that band matches), so multi-probe can
+    * only reject MORE near-dups, never fewer. Probe cost still tracks
+    * the batch: ×r probe rows, corpus contributes index rows only. */
+  def incrementalMinhashAdmitMultiProbe(corpus: DataFrame, batch: DataFrame,
+                                        idCol: String, textCol: String,
+                                        n: Int = 5, k: Int = 16, bands: Int = 4,
+                                        maxEstJaccard: Double = 0.5): DataFrame = {
+    def est(a: Column, b: Column): Column =
+      size(filter(zip_with(a, b, (x, y) => x === y), v => v))
+        .cast(DoubleType) / lit(k.toDouble)
+    val keys = Seq("band", "drop", "bucket")
+    val ci = minhashIndexMd5Probe(corpus, idCol, textCol, n, k, bands)
+      .select(col("band"), col("drop"), col("bucket"), col("sig").as("sig_c"))
+    val bi = minhashIndexMd5Probe(batch, idCol, textCol, n, k, bands)
+    val vsCorpus = bi.join(ci, keys)
+      .select(col(idCol), col("sig"), col("sig_c")).distinct()
+      .filter(est(col("sig"), col("sig_c")) >= maxEstJaccard)
+      .select(col(idCol))
+    val a = bi.select(col("band"), col("drop"), col("bucket"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val b = bi.select(col("band"), col("drop"), col("bucket"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    val within = a.join(b, keys)
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b")).distinct()
+      .filter(est(col("sig_a"), col("sig_b")) >= maxEstJaccard)
+      .select(col("id_b").as(idCol))
+    batch.join(vsCorpus.unionByName(within).distinct(), Seq(idCol), "left_anti")
+  }
+
   /**
    * MinHash+LSH candidate pairs: signatures split into `bands` bands of
    * k/bands rows; docs sharing any band bucket become candidates;

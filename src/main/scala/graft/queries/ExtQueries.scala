@@ -226,6 +226,16 @@ object ExtQueries {
        |  array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bucket
        |  FROM ${p}sig, (SELECT unnest(range(0, 4)) AS b) bb)""".stripMargin
 
+  /** DROP-ONE probe buckets over [[mhChainSql]]'s `${p}sig` — the
+    * DuckDB twin of [[Dedup.minhashIndexMd5Probe]]: per band b and
+    * dropped slot j, the bucket is the band's other 3 slot values. */
+  private def mhProbeBkSql(p: String): String =
+    s"""${p}pbk AS (SELECT doc_id, sig, b AS band, j AS drp,
+       |  array_to_string(list_concat(list_slice(sig, b*4 + 1, b*4 + j - 1),
+       |                              list_slice(sig, b*4 + j + 1, b*4 + 4)), ',') AS bucket
+       |  FROM ${p}sig, (SELECT unnest(range(0, 4)) AS b) bb,
+       |       (SELECT unnest(range(1, 5)) AS j) jj)""".stripMargin
+
   /** documents ∪ exact copies of every doc_id % 5 == 0, copy ids offset
     * by MAX(doc_id)+1 (smallest copy id = offset > every real id, so the
     * injection is collision-free at ANY scale factor) — a corpus with
@@ -925,6 +935,85 @@ object ExtQueries {
               |SELECT doc_id FROM batch
               |WHERE doc_id NOT IN (SELECT doc_id FROM rej)
               |ORDER BY doc_id""".stripMargin)),
+
+    // MULTI-PROBE incremental admission ([[Dedup
+    // .incrementalMinhashAdmitMultiProbe]]) — the RECALL dial on the
+    // maintained LSH index (verdict-7 march: multi-probe for the
+    // incremental admission path): per band, the batch also probes
+    // every drop-one sub-bucket, so a near-dup that differs in exactly
+    // one slot of EVERY band — the single-probe blind spot right at
+    // the est-Jaccard threshold — still collides and pays the same
+    // exact verify. The fixture plants exactly that borderline: every
+    // 17th token of each %10 doc replaced (shingle Jaccard ≈ 12/22,
+    // slot agreement ≈ 0.55, per-band full-hit ≈ 0.09 vs ≥3-of-4
+    // ≈ 0.39) plus fresh reversed docs; the output lays the two
+    // verdicts side by side per batch doc, and multi-probe's
+    // rejections are PROVABLY a superset (a full-band match implies
+    // all its drop-one matches). Hash-verified end to end.
+    Q("dd_minhash_multiprobe",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        val pert = d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + off).as("doc_id"), expr(
+            "array_join(transform(filter(split(text, ' '), t -> length(t) > 0)," +
+              " (t, i) -> IF(i % 17 = 0, 'q', t)), ' ')").as("text"))
+        val rev = d.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 2 * off).as("doc_id"),
+            array_join(reverse(TextOps.tokens(col("text"))), " ").as("text"))
+        val batch = pert.unionByName(rev).localCheckpoint()
+        val adm1 = Dedup.incrementalMinhashAdmit(d, batch, "doc_id", "text")
+          .select(col("doc_id"), lit(true).as("__a1"))
+        val admM = Dedup.incrementalMinhashAdmitMultiProbe(d, batch, "doc_id", "text")
+          .select(col("doc_id"), lit(true).as("__am"))
+        batch.select("doc_id")
+          .join(adm1, Seq("doc_id"), "left")
+          .join(admM, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__a1"), lit(false)).as("adm_single"),
+            coalesce(col("__am"), lit(false)).as("adm_multi"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+              |pert AS (SELECT doc_id + off.o AS doc_id,
+              |    array_to_string(list_transform(range(1, len(tk) + 1),
+              |      i -> CASE WHEN (i - 1) % 17 = 0 THEN 'q' ELSE tk[i] END), ' ') AS text
+              |  FROM (SELECT doc_id, ${TextOps.tokensSql("text")} AS tk
+              |        FROM documents WHERE doc_id % 10 = 0), off),
+              |rev AS (SELECT doc_id + 2 * off.o AS doc_id,
+              |    array_to_string(list_reverse(${TextOps.tokensSql("text")}), ' ') AS text
+              |  FROM documents, off WHERE doc_id % 10 = 3),
+              |batch AS (SELECT * FROM pert UNION ALL SELECT * FROM rev),
+              |${mhChainSql("documents", "c")},
+              |${mhChainSql("batch", "b")},
+              |${mhProbeBkSql("c")},
+              |${mhProbeBkSql("b")},
+              |rej1 AS (
+              |  SELECT doc_id FROM (SELECT DISTINCT b.doc_id, b.sig AS sb, c.sig AS sc
+              |      FROM bbk b JOIN cbk c ON b.band = c.band AND b.bucket = c.bucket)
+              |    WHERE CAST(len(list_filter(range(1, 17), j -> sb[j] = sc[j])) AS DOUBLE) / 16.0 >= 0.5
+              |  UNION
+              |  SELECT id_b FROM (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b,
+              |        a.sig AS sa, x.sig AS sx
+              |      FROM bbk a JOIN bbk x ON a.band = x.band AND a.bucket = x.bucket
+              |      WHERE a.doc_id < x.doc_id)
+              |    WHERE CAST(len(list_filter(range(1, 17), j -> sa[j] = sx[j])) AS DOUBLE) / 16.0 >= 0.5),
+              |rejm AS (
+              |  SELECT doc_id FROM (SELECT DISTINCT b.doc_id, b.sig AS sb, c.sig AS sc
+              |      FROM bpbk b JOIN cpbk c
+              |        ON b.band = c.band AND b.drp = c.drp AND b.bucket = c.bucket)
+              |    WHERE CAST(len(list_filter(range(1, 17), j -> sb[j] = sc[j])) AS DOUBLE) / 16.0 >= 0.5
+              |  UNION
+              |  SELECT id_b FROM (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b,
+              |        a.sig AS sa, x.sig AS sx
+              |      FROM bpbk a JOIN bpbk x
+              |        ON a.band = x.band AND a.drp = x.drp AND a.bucket = x.bucket
+              |      WHERE a.doc_id < x.doc_id)
+              |    WHERE CAST(len(list_filter(range(1, 17), j -> sa[j] = sx[j])) AS DOUBLE) / 16.0 >= 0.5)
+              |SELECT doc_id,
+              |  doc_id NOT IN (SELECT doc_id FROM rej1) AS adm_single,
+              |  doc_id NOT IN (SELECT doc_id FROM rejm) AS adm_multi
+              |FROM batch ORDER BY doc_id""".stripMargin)),
 
     // SimHash banded Hamming-≤3 candidates over the PORTABLE 60-bit
     // md5 bit-vote sketch (4 bands × 15 bits — pigeonhole still

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * Usage: `LshWidthProf <n1> [n2 ...]`. */
 object LshWidthProf {
   def main(args: Array[String]): Unit = {
-    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(200000, 400000)
+    val candOnly = args.headOption.contains("--candidates")
+    val rest = if (candOnly) args.tail else args
+    val sizes = if (rest.nonEmpty) rest.map(_.toInt).toSeq else Seq(200000, 400000)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -35,17 +37,47 @@ object LshWidthProf {
         body
         println(f"$tag n=$n r=$r b=$b: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
-      time("adaptive") {
-        Similarity.dbscanLshAdaptive(emb, "vec_id", "v", pool,
-            eps = 0.5, minPts = 2)
-          .write.format("noop").mode("overwrite").save()
-      }
-      if (n > (1 << 18)) time("capped-r18") {
+      def cappedSel: (Array[Array[Double]], Int) = {
         val rc = 18; val bc = 47
-        val sel = Array.tabulate(bc * rc)(idx =>
-          pool((idx / rc) * Similarity.LshRMax + idx % rc))
-        Similarity.dbscanLsh(emb, "vec_id", "v", sel, bc, eps = 0.5, minPts = 2)
-          .write.format("noop").mode("overwrite").save()
+        (Array.tabulate(bc * rc)(idx =>
+          pool((idx / rc) * Similarity.LshRMax + idx % rc)), bc)
+      }
+      if (candOnly) {
+        // the LAW itself, without paying the distinct/verify
+        // materialization: raw banded collision-pair counts — the
+        // candidate volume each form feeds its verify stage
+        def candCount(planes: Array[Array[Double]], bands: Int): Long = {
+          val rr = planes.length / bands
+          val bandCols = (0 until bands).map { bb =>
+            val bits = (0 until rr).map { j =>
+              when(expr(s"aggregate(zip_with(v, array(${planes(bb * rr + j).mkString(",")}), (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)") > 0,
+                lit(1L << j)).otherwise(lit(0L))
+            }
+            struct(lit(bb).as("band"), bits.reduce(_ + _).as("bv"))
+          }
+          val banded = emb.select(col("vec_id"),
+              explode(array(bandCols: _*)).as("__bb"))
+            .select(col("vec_id"), col("__bb.band").as("band"), col("__bb.bv").as("bv"))
+          banded.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+            .agg(sum(expr("c * (c - 1) div 2"))).head.getLong(0)
+        }
+        val adaptiveSel = Array.tabulate(b * r)(idx =>
+          pool((idx / r) * Similarity.LshRMax + idx % r))
+        val (cSel, cb) = cappedSel
+        val ca = candCount(adaptiveSel, b)
+        val cc = if (r > 18) candCount(cSel, cb) else -1L
+        println(s"candidates n=$n adaptive(r=$r,b=$b)=$ca capped(r=18,b=47)=$cc")
+      } else {
+        time("adaptive") {
+          Similarity.dbscanLshAdaptive(emb, "vec_id", "v", pool,
+              eps = 0.5, minPts = 2)
+            .write.format("noop").mode("overwrite").save()
+        }
+        if (n > (1 << 18)) time("capped-r18") {
+          val (sel, bc) = cappedSel
+          Similarity.dbscanLsh(emb, "vec_id", "v", sel, bc, eps = 0.5, minPts = 2)
+            .write.format("noop").mode("overwrite").save()
+        }
       }
     }
     spark.stop()

@@ -408,6 +408,28 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11L, 13L), s"got $out")
   }
 
+  test("multi-probe admission rejects a superset and catches borderline near-dups") {
+    // drop-one probing can only ADD candidates (a full-band match
+    // implies all its drop-one matches), so multi-probe rejections
+    // must contain single-probe's; on the planted borderline fixture
+    // (every 17th token replaced ⇒ slot agreement ≈ 0.55, right at
+    // the est threshold) it must also catch near-dups whose every
+    // band differs in exactly one slot — the single-probe blind spot
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.SparkEntry.queries("dd_minhash_multiprobe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(out.forall { case (_, s, m) => !m || s },
+      "multi-probe admitted a doc single-probe rejected — superset violated")
+    val caught = out.count { case (_, s, m) => s && !m }
+    assert(caught >= 5, s"borderline catches only by multi-probe: $caught (measured 10)")
+    // the genuinely fresh reversed docs (ids >= 2·off) stay admitted by BOTH
+    val off = graft.Tables.documents(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head.getLong(0) + 1
+    val fresh = out.filter(_._1 >= 2 * off)
+    assert(fresh.nonEmpty && fresh.forall { case (_, s, m) => s && m },
+      "a fresh reversed doc was wrongly rejected")
+  }
+
   test("softDedupWeights: each cluster's weights sum to exactly 1 in count terms") {
     import spark.implicits._
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, "z"), (6L, "z"))
