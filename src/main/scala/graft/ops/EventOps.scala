@@ -698,6 +698,73 @@ object EventOps {
       when(armed && se > 0.0, (rateB - rateA) / se).as("z_pooled"))
   }
 
+  /**
+   * CUPED variance-reduced A/B lift (Deng–Xu–Kohavi–Walker, WSDM '13)
+   * — the experimentation-platform standard for shrinking metric
+   * variance with PRE-EXPERIMENT behavior: per user, X = spend in the
+   * first half of the observation window (the covariate), Y = spend in
+   * the second half (the experiment metric; the cut is the integer
+   * midpoint of the event-time range — deterministic in any engine).
+   * θ = cov(X,Y)/var(X) is fit POOLED (assignment-independent, so
+   * adjustment cannot leak treatment), the adjusted metric is
+   * Y − θ(X − E[X]), and the adjusted lift collapses algebraically to
+   * `lift − θ·(mean_x_b − mean_x_a)` — arm-level sums suffice, no
+   * second per-user pass. `var_ratio` = 1 − cov²/(var·var) is the
+   * fraction of Y-variance CUPED keeps (the sample-size discount).
+   *
+   * Determinism: X/Y are exact integer cents; every second moment is
+   * one keyed aggregate in DECIMAL(38) (n·Σ − Σ² identities, ONE
+   * correctly-rounded double conversion each — hiLoDouble on the
+   * mirror), and each double step is a fixed shared formula. All
+   * degenerate denominators NULL-gate in BOTH engines (the
+   * ev_ab_exposure audit class): var(X) = 0 kills θ/lift_adj/
+   * var_ratio, an empty arm kills its means and both lifts.
+   *
+   * Scale shape: one scan → per-user keyed aggregate (state bounded by
+   * users), one conditional aggregate to a single row. The bounds row
+   * broadcasts; no windows, no collects.
+   */
+  def cupedLift(events: DataFrame, userCol: String, tsCol: String,
+                valCol: String, arm: Column): DataFrame = {
+    val withUs = events.select(col(userCol),
+      unix_micros(col(tsCol)).as("__us"),
+      expr(s"CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__c"))
+    val bounds = withUs.agg(min("__us").as("__mn"), max("__us").as("__mx"))
+    val per = withUs.crossJoin(broadcast(bounds))
+      .withColumn("__cut", expr("(__mn + __mx) div 2"))
+      .groupBy(col(userCol))
+      .agg(sum(when(col("__us") < col("__cut"), col("__c")).otherwise(0L)).as("x"),
+        sum(when(col("__us") >= col("__cut"), col("__c")).otherwise(0L)).as("y"))
+      .withColumn("__v", arm)
+    per.agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"),
+        sum(when(col("__v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__v") === 0, col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("__v") === 0, col("y")).otherwise(0L)).as("sy_a"),
+        sum(when(col("__v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__v") === 1, col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("__v") === 1, col("y")).otherwise(0L)).as("sy_b"))
+      .selectExpr("n", "n_a", "n_b", "sx_a", "sx_b", "sy_a", "sy_b",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE) AS vx",
+        "CAST(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DOUBLE) AS vy",
+        "CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DOUBLE) AS cxy")
+      .selectExpr("n", "n_a", "n_b", "vy", "cxy",
+        "CASE WHEN vx > 0 THEN cxy / vx END AS theta",
+        "CASE WHEN vx > 0 AND vy > 0 THEN 1.0 - cxy * cxy / vx / vy END AS var_ratio",
+        "CASE WHEN n_a > 0 THEN CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 END AS mean_x_a",
+        "CASE WHEN n_b > 0 THEN CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 END AS mean_x_b",
+        "CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 END AS mean_y_a",
+        "CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 END AS mean_y_b")
+      .selectExpr("n", "n_a", "n_b", "theta", "mean_y_a", "mean_y_b",
+        "mean_y_b - mean_y_a AS lift",
+        "mean_y_b - mean_y_a - theta * (mean_x_b - mean_x_a) AS lift_adj",
+        "var_ratio")
+  }
+
   /** DuckDB mirror of [[abTestExposure]] — same md5 arms, same
     * time-qualified conversion join, same fixed-order double epilogue. */
   def abTestExposureSql(rel: String, userCol: String, typeCol: String, tsCol: String,

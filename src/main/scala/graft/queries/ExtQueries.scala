@@ -3556,6 +3556,55 @@ object ExtQueries {
              |                * (1.0 / n_a + 1.0 / n_b)) END AS z_score
              |FROM agg""".stripMargin)),
 
+    // CUPED variance-reduced A/B lift ([[EventOps.cupedLift]] —
+    // Deng–Xu–Kohavi–Walker '13, the experimentation-platform
+    // standard): per user X = first-half spend (pre-period covariate,
+    // integer cents), Y = second-half spend; θ = cov/var fit POOLED
+    // from exact DECIMAL(38)/HUGEINT second moments (ONE rounded
+    // conversion each), adjusted lift = lift − θ·Δmean_x, var_ratio =
+    // 1 − cov²/(var·var) — the sample-size discount CUPED buys. Every
+    // degenerate denominator NULL-gates identically in both engines.
+    Q("ev_cuped",
+      (s, dir) => EventOps.cupedLift(Tables.events(s, dir),
+        "user_id", "ts", "value", pmod(col("user_id"), lit(2))),
+      Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+              |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+              |b AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+              |pu AS (SELECT user_id, user_id % 2 AS v,
+              |    CAST(COALESCE(SUM(CASE WHEN us < (SELECT cut FROM b) THEN c END), 0) AS BIGINT) AS x,
+              |    CAST(COALESCE(SUM(CASE WHEN us >= (SELECT cut FROM b) THEN c END), 0) AS BIGINT) AS y
+              |  FROM ev GROUP BY 1, 2),
+              |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+              |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+              |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+              |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+              |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+              |    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN x END), 0) AS BIGINT) AS sx_a,
+              |    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN y END), 0) AS BIGINT) AS sy_a,
+              |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+              |    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN x END), 0) AS BIGINT) AS sx_b,
+              |    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN y END), 0) AS BIGINT) AS sy_b
+              |  FROM pu),
+              |mm AS (SELECT n, n_a, n_b, sx_a, sx_b, sy_a, sy_b,
+              |    ${Det.hiLoDoubleSql("CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx")} AS vx,
+              |    ${Det.hiLoDoubleSql("CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy")} AS vy,
+              |    ${Det.hiLoDoubleSql("CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy")} AS cxy
+              |  FROM agg),
+              |ep AS (SELECT n, n_a, n_b, vy, cxy,
+              |    CASE WHEN vx > 0 THEN cxy / vx END AS theta,
+              |    CASE WHEN vx > 0 AND vy > 0 THEN 1.0 - cxy * cxy / vx / vy END AS var_ratio,
+              |    CASE WHEN n_a > 0 THEN CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 END AS mean_x_a,
+              |    CASE WHEN n_b > 0 THEN CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 END AS mean_x_b,
+              |    CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 END AS mean_y_a,
+              |    CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 END AS mean_y_b
+              |  FROM mm)
+              |SELECT n, n_a, n_b, theta, mean_y_a, mean_y_b,
+              |  mean_y_b - mean_y_a AS lift,
+              |  mean_y_b - mean_y_a - theta * (mean_x_b - mean_x_a) AS lift_adj,
+              |  var_ratio
+              |FROM ep""".stripMargin)),
+
     // Time-to-convert per funnel step ([[EventOps.funnelLatency]]):
     // reach-time differences per consecutive stage pair in exact
     // integer microseconds (fractional epoch seconds truncate

@@ -518,4 +518,61 @@ class EventOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no recurrent class"))
   }
+
+  test("ev_cuped equals a BigInt/Double replay of the CUPED formulas") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS us",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cut = (ev.map(_._2).min + ev.map(_._2).max) / 2
+    val per = ev.groupBy(_._1).map { case (u, rows) =>
+      (u, rows.filter(_._2 < cut).map(_._3).sum, rows.filter(_._2 >= cut).map(_._3).sum)
+    }.toSeq
+    val n = per.size.toLong
+    val (sx, sy) = (per.map(_._2).sum, per.map(_._3).sum)
+    def big(f: ((Long, Long, Long)) => BigInt) = per.map(f).sum
+    val sxx = big(p => BigInt(p._2) * p._2)
+    val sxy = big(p => BigInt(p._2) * p._3)
+    val syy = big(p => BigInt(p._3) * p._3)
+    val vx = (BigInt(n) * sxx - BigInt(sx) * sx).toDouble
+    val vy = (BigInt(n) * syy - BigInt(sy) * sy).toDouble
+    val cxy = (BigInt(n) * sxy - BigInt(sx) * sy).toDouble
+    val theta = cxy / vx
+    val varRatio = 1.0 - cxy * cxy / vx / vy
+    def armStats(v: Long) = {
+      val a = per.filter(_._1 % 2 == v)
+      (a.size.toLong, a.map(_._2).sum, a.map(_._3).sum)
+    }
+    val (na, sxa, sya) = armStats(0); val (nb, sxb, syb) = armStats(1)
+    val (mxa, mxb) = (sxa.toDouble / na / 100.0, sxb.toDouble / nb / 100.0)
+    val (mya, myb) = (sya.toDouble / na / 100.0, syb.toDouble / nb / 100.0)
+    val row = graft.SparkEntry.queries("ev_cuped")(spark, dir).collect().head
+    assert(row.getLong(0) == n && row.getLong(1) == na && row.getLong(2) == nb)
+    assert(math.abs(row.getDouble(3) - theta) < 1e-12 * math.abs(theta), "theta")
+    assert(math.abs(row.getDouble(6) - (myb - mya)) < 1e-9, "lift")
+    assert(math.abs(row.getDouble(7) - (myb - mya - theta * (mxb - mxa))) < 1e-9, "lift_adj")
+    assert(math.abs(row.getDouble(8) - varRatio) < 1e-12, "var_ratio")
+  }
+
+  test("cupedLift NULL-gates a zero-variance covariate (the x/0 hazard class)") {
+    import spark.implicits._
+    // every user has the SAME pre-period spend: var(X) = 0, so theta,
+    // lift_adj, and var_ratio are undefined — they must surface NULL
+    // (Spark x/0 → NULL vs DuckDB → ±inf is the audit-proven class),
+    // while the unadjusted lift stays defined
+    val rows = (1L to 4L).flatMap { u =>
+      Seq((u, "2024-01-01 00:00:00", 5.00),      // pre: identical spend
+        (u, "2024-01-02 00:00:00", u * 10.0))    // post: varies by user
+    }
+    val ev = rows.toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = EventOps.cupedLift(ev, "user_id", "ts", "value",
+      pmod(col("user_id"), lit(2))).collect().head
+    assert(r.getLong(0) == 4L)
+    assert(r.isNullAt(3), "theta must be NULL at var(X) = 0")
+    assert(r.isNullAt(7), "lift_adj must be NULL at var(X) = 0")
+    assert(r.isNullAt(8), "var_ratio must be NULL at var(X) = 0")
+    assert(!r.isNullAt(6), "plain lift stays defined")
+  }
 }
