@@ -456,12 +456,26 @@ object Dedup {
   def incrementalMinhashAdmitMultiProbe(corpus: DataFrame, batch: DataFrame,
                                         idCol: String, textCol: String,
                                         n: Int = 5, k: Int = 16, bands: Int = 4,
-                                        maxEstJaccard: Double = 0.5): DataFrame = {
+                                        maxEstJaccard: Double = 0.5): DataFrame =
+    admitAgainstIndexMultiProbe(
+      minhashIndexMd5Probe(corpus, idCol, textCol, n, k, bands),
+      batch, idCol, textCol, n, k, bands, maxEstJaccard)
+
+  /** The probe-and-admit core of [[incrementalMinhashAdmitMultiProbe]]
+    * over a PREBUILT drop-one index ([[minhashIndexMd5Probe]] rows —
+    * the table a streaming pipeline maintains by appending each
+    * admitted batch's rows; [[graft.streaming.StreamOps
+    * .minhashAdmitSink]]): corpus text is never re-shingled — the
+    * maintained index IS the corpus's entire contribution. */
+  def admitAgainstIndexMultiProbe(index: DataFrame, batch: DataFrame,
+                                  idCol: String, textCol: String,
+                                  n: Int, k: Int, bands: Int,
+                                  maxEstJaccard: Double): DataFrame = {
     def est(a: Column, b: Column): Column =
       size(filter(zip_with(a, b, (x, y) => x === y), v => v))
         .cast(DoubleType) / lit(k.toDouble)
     val keys = Seq("band", "drop", "bucket")
-    val ci = minhashIndexMd5Probe(corpus, idCol, textCol, n, k, bands)
+    val ci = index
       .select(col("band"), col("drop"), col("bucket"), col("sig").as("sig_c"))
     val bi = minhashIndexMd5Probe(batch, idCol, textCol, n, k, bands)
     val vsCorpus = bi.join(ci, keys)

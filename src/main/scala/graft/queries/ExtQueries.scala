@@ -1015,6 +1015,123 @@ object ExtQueries {
               |  doc_id NOT IN (SELECT doc_id FROM rejm) AS adm_multi
               |FROM batch ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING NEAR-DUP ADMISSION, oracle-hashed end state
+    // ([[StreamOps.minhashAdmitSink]] →
+    // [[Dedup.admitAgainstIndexMultiProbe]]): the corpus is seeded
+    // with its drop-one LSH index (the once-per-ingest artifact —
+    // corpus text is NEVER re-shingled after that); two ordered
+    // micro-batches arrive: the borderline perturbed docs, then their
+    // exact re-crawls plus fresh reversed docs. Batch order is
+    // load-bearing: a batch-1 doc that slipped past the borderline
+    // gate is IN the index when its batch-2 re-crawl arrives (rejected
+    // at est 1.0), and one whose original was caught rejects the same
+    // way against the corpus — so every re-crawl dies no matter which
+    // way the borderline went, while the reversed docs admit. The
+    // drained docs table must equal the two admission phases unrolled
+    // in SQL over the shared probe-chain fragments.
+    Q("stream_minhash_admit_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_mh_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val off = d.agg(coalesce(max("doc_id"), lit(0L))).head.getLong(0) + 1
+        st.overwrite(d, "dd", "docs")
+        // the seed index build is pre-existing maintained state, not
+        // the sink's work (the stream_nn_final fixture discipline)
+        st.overwrite(cachedNnGraph(s, dir, "mh_probe_idx") {
+          Dedup.minhashIndexMd5Probe(d, "doc_id", "text", n = 5, k = 16, bands = 4)
+        }, "dd", "index")
+        val pertText = expr(
+          "array_join(transform(filter(split(text, ' '), t -> length(t) > 0)," +
+            " (t, i) -> IF(i % 17 = 0, 'q', t)), ' ')")
+        val pert = d.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), pertText.as("text"))
+        val b1 = pert.select((col("doc_id") + off).as("doc_id"), col("text"))
+        val b2 = pert.select((col("doc_id") + 3 * off).as("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 10 === 3)
+            .select((col("doc_id") + 2 * off).as("doc_id"),
+              array_join(reverse(TextOps.tokens(col("text"))), " ").as("text")))
+        val staged = s"$base/in"
+        // batch order pinned by explicit mtimes (the stream_nn_final
+        // lesson: FileStreamSource orders by modification time)
+        b1.coalesce(1).write.parquet(staged)
+        val stagedPath = new org.apache.hadoop.fs.Path(staged)
+        val t0 = System.currentTimeMillis() - 60000
+        fs.listStatus(stagedPath).filter(_.isFile)
+          .foreach(f => fs.setTimes(f.getPath, t0, -1))
+        b2.coalesce(1).write.mode("append").parquet(staged)
+        fs.listStatus(stagedPath).filter(f => f.isFile && f.getModificationTime != t0)
+          .foreach(f => fs.setTimes(f.getPath, t0 + 2000, -1))
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        StreamOps.minhashAdmitSink(stream, st, "dd", "doc_id", "text",
+          n = 5, k = 16, bands = 4, maxEstJaccard = 0.5,
+          checkpoint = s"$base/ckpt").awaitTermination()
+        st.read("dd", "docs").select(col("doc_id")).orderBy("doc_id")
+      },
+      Some {
+        def est(a: String, b: String) =
+          s"CAST(len(list_filter(range(1, 17), j -> $a[j] = $b[j])) AS DOUBLE) / 16.0"
+        s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+           |pert AS (SELECT doc_id,
+           |    array_to_string(list_transform(range(1, len(tk) + 1),
+           |      i -> CASE WHEN (i - 1) % 17 = 0 THEN 'q' ELSE tk[i] END), ' ') AS text
+           |  FROM (SELECT doc_id, ${TextOps.tokensSql("text")} AS tk
+           |        FROM documents WHERE doc_id % 10 = 0)),
+           |batch1 AS (SELECT p.doc_id + off.o AS doc_id, p.text FROM pert p, off),
+           |batch2 AS (
+           |  SELECT p.doc_id + 3 * off.o AS doc_id, p.text FROM pert p, off
+           |  UNION ALL
+           |  SELECT doc_id + 2 * off.o,
+           |    array_to_string(list_reverse(${TextOps.tokensSql("text")}), ' ')
+           |  FROM documents, off WHERE doc_id % 10 = 3),
+           |${mhChainSql("documents", "c")},
+           |${mhProbeBkSql("c")},
+           |${mhChainSql("batch1", "p")},
+           |${mhProbeBkSql("p")},
+           |${mhChainSql("batch2", "q")},
+           |${mhProbeBkSql("q")},
+           |rej1 AS (
+           |  SELECT doc_id FROM (SELECT DISTINCT b.doc_id, b.sig AS sb, c.sig AS sc
+           |      FROM ppbk b JOIN cpbk c
+           |        ON b.band = c.band AND b.drp = c.drp AND b.bucket = c.bucket)
+           |    WHERE ${est("sb", "sc")} >= 0.5
+           |  UNION
+           |  SELECT id_b FROM (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b,
+           |        a.sig AS sa, x.sig AS sx
+           |      FROM ppbk a JOIN ppbk x
+           |        ON a.band = x.band AND a.drp = x.drp AND a.bucket = x.bucket
+           |      WHERE a.doc_id < x.doc_id)
+           |    WHERE ${est("sa", "sx")} >= 0.5),
+           |adm1 AS (SELECT doc_id FROM batch1
+           |         WHERE doc_id NOT IN (SELECT doc_id FROM rej1)),
+           |idx1 AS (SELECT band, drp, bucket, sig FROM cpbk
+           |  UNION ALL
+           |  SELECT band, drp, bucket, sig FROM ppbk
+           |  WHERE doc_id IN (SELECT doc_id FROM adm1)),
+           |rej2 AS (
+           |  SELECT doc_id FROM (SELECT DISTINCT b.doc_id, b.sig AS sb, c.sig AS sc
+           |      FROM qpbk b JOIN idx1 c
+           |        ON b.band = c.band AND b.drp = c.drp AND b.bucket = c.bucket)
+           |    WHERE ${est("sb", "sc")} >= 0.5
+           |  UNION
+           |  SELECT id_b FROM (SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b,
+           |        a.sig AS sa, x.sig AS sx
+           |      FROM qpbk a JOIN qpbk x
+           |        ON a.band = x.band AND a.drp = x.drp AND a.bucket = x.bucket
+           |      WHERE a.doc_id < x.doc_id)
+           |    WHERE ${est("sa", "sx")} >= 0.5),
+           |adm2 AS (SELECT doc_id FROM batch2
+           |         WHERE doc_id NOT IN (SELECT doc_id FROM rej2))
+           |SELECT doc_id FROM documents
+           |UNION ALL SELECT doc_id FROM adm1
+           |UNION ALL SELECT doc_id FROM adm2
+           |ORDER BY doc_id""".stripMargin
+      }),
+
     // SimHash banded Hamming-≤3 candidates over the PORTABLE 60-bit
     // md5 bit-vote sketch (4 bands × 15 bits — pigeonhole still
     // guarantees a Hamming-≤3 pair shares a band) — pair list

@@ -497,6 +497,43 @@ object StreamOps {
     ()
   }
 
+  /** Streaming NEAR-DUP ADMISSION — [[graft.ops.Dedup
+    * .admitAgainstIndexMultiProbe]] as a maintained-corpus sink: each
+    * micro-batch admits against the maintained drop-one LSH index
+    * (`<layer>/index` — the corpus's ENTIRE contribution; corpus text
+    * is never re-shingled) plus within-batch first-id-wins; the
+    * admitted docs append to `<layer>/docs` and their index rows to
+    * `<layer>/index`, both exactly-once under the batch txn. A crash
+    * between the two appends replays safely: the admission recomputes
+    * from whichever index state survived — the docs append is
+    * txn-skipped, the index rows re-derive identically (signatures are
+    * pure text functions). Batch ORDER matters (an admitted doc
+    * rejects later re-crawls) — stage one file per batch with
+    * `maxFilesPerTrigger = 1`. Expects `<layer>/docs` and
+    * `<layer>/index` pre-seeded with the base corpus. */
+  def minhashAdmitSink(docs: DataFrame, st: SnapshotStore, layer: String,
+                       idCol: String, textCol: String,
+                       n: Int, k: Int, bands: Int, maxEstJaccard: Double,
+                       checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          val txn = s"mh_admit:$batchId"
+          val adm = graft.ops.Dedup.admitAgainstIndexMultiProbe(
+              st.read(layer, "index"), b, idCol, textCol, n, k, bands,
+              maxEstJaccard)
+            .localCheckpoint() // two consumers, batch-sized
+          st.appendIfAbsent(adm, layer, "docs", txn)
+          st.appendIfAbsent(graft.ops.Dedup.minhashIndexMd5Probe(
+            adm, idCol, textCol, n, k, bands), layer, "index", txn)
+        }
+        ()
+      }
+      .start()
+
   /** Keyed-upsert sink: every micro-batch MERGEs into the warehouse
     * table by unique key (staged wins) — `foreachBatch` + [[Merge]] is
     * Spark's idiom for the reference's Delta MERGE sink. */

@@ -497,6 +497,69 @@ class StreamingSpec extends SparkSpec {
     assert(vIds.sorted.toSeq == (0L until 48L).toSeq, "vectors must hold each id once")
   }
 
+  test("minhashAdmitSink: streamed batches equal sequential admission; replay is a no-op") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    import graft.engine.SnapshotStore
+    val mk = (id: Long, t: String) => (id, t)
+    val corpusDocs = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(2L, "one two three four five six seven eight nine ten"))
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    // batch 1: a re-crawl of doc 1 (rejected vs corpus) + a fresh doc
+    val b1 = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      mk(11L, "red orange yellow green blue indigo violet black white gray"))
+      .toDF("doc_id", "text")
+    // batch 2: a re-crawl of batch-1's ADMITTED doc (rejected only
+    // because batch 1 landed in the index first) + a fresh doc
+    val b2 = Seq(
+      mk(20L, "red orange yellow green blue indigo violet black white gray"),
+      mk(21L, "lion tiger bear wolf fox deer hawk owl crow swan"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_mh_admit_sink")
+    val st = new SnapshotStore(spark, s"$root/store")
+    st.overwrite(corpus, "dd", "docs")
+    st.overwrite(Dedup.minhashIndexMd5Probe(corpus, "doc_id", "text", 5, 16, 4),
+      "dd", "index")
+    val staged = s"$root/in"
+    b1.coalesce(1).write.parquet(staged)
+    Thread.sleep(20)
+    b2.coalesce(1).write.mode("append").parquet(staged)
+    def run(): Unit = StreamOps.minhashAdmitSink(
+      StreamOps.eventStream(spark, staged, spark.read.parquet(staged).schema,
+        maxFilesPerTrigger = Some(1)),
+      st, "dd", "doc_id", "text", n = 5, k = 16, bands = 4,
+      maxEstJaccard = 0.5, checkpoint = s"$root/ckpt").awaitTermination()
+    run()
+    val streamed = st.read("dd", "docs").select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    // sequential replay: admit b1 vs corpus index, extend, admit b2
+    val idx0 = Dedup.minhashIndexMd5Probe(corpus, "doc_id", "text", 5, 16, 4)
+    val adm1 = Dedup.admitAgainstIndexMultiProbe(idx0, b1, "doc_id", "text",
+      5, 16, 4, 0.5)
+    val idx1 = idx0.unionByName(
+      Dedup.minhashIndexMd5Probe(adm1, "doc_id", "text", 5, 16, 4))
+    val adm2 = Dedup.admitAgainstIndexMultiProbe(idx1, b2, "doc_id", "text",
+      5, 16, 4, 0.5)
+    val want = (corpusDocs.map(_._1) ++
+      adm1.select("doc_id").as[Long].collect() ++
+      adm2.select("doc_id").as[Long].collect()).sorted
+    assert(streamed == want, s"streamed $streamed vs sequential $want")
+    // the batch-order semantics the fixture encodes: 11 admitted in
+    // batch 1, so its batch-2 re-crawl 20 must be rejected; 10 rejected
+    assert(streamed.contains(11L) && !streamed.contains(10L) && !streamed.contains(20L))
+    assert(streamed.contains(21L))
+    // the maintained index covers exactly the admitted docs
+    val idxIds = st.read("dd", "index").select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    assert(idxIds == streamed, "index rows must track the docs table exactly")
+    // checkpoint replay: re-running the drained stream changes nothing
+    run()
+    assert(st.read("dd", "docs").select("doc_id").as[Long].collect().sorted.toSeq
+      == streamed, "replaying a drained stream must be a no-op")
+  }
+
   test("hnswInsertBatch converges when replayed after any partial-commit prefix") {
     // the crash-window audit (r16 advice): the sink commits three
     // tables per batch; a crash between any two of them followed by a
