@@ -50,7 +50,10 @@ object LshWidthProf {
           val rr = planes.length / bands
           val bandCols = (0 until bands).map { bb =>
             val bits = (0 until rr).map { j =>
-              when(expr(s"aggregate(zip_with(v, array(${planes(bb * rr + j).mkString(",")}), (x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (s, x) -> s + x)") > 0,
+              // the codegen'd kernel, NOT an interpreted HOF fold —
+              // the r15 lesson measured in this very tool
+              when(Similarity.dot(col("v"),
+                  array(planes(bb * rr + j).map(lit).toIndexedSeq: _*)) > 0,
                 lit(1L << j)).otherwise(lit(0L))
             }
             struct(lit(bb).as("band"), bits.reduce(_ + _).as("bv"))
