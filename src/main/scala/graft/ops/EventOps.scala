@@ -726,16 +726,7 @@ object EventOps {
    */
   def cupedLift(events: DataFrame, userCol: String, tsCol: String,
                 valCol: String, arm: Column): DataFrame = {
-    val withUs = events.select(col(userCol),
-      unix_micros(col(tsCol)).as("__us"),
-      expr(s"CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__c"))
-    val bounds = withUs.agg(min("__us").as("__mn"), max("__us").as("__mx"))
-    val per = withUs.crossJoin(broadcast(bounds))
-      .withColumn("__cut", expr("(__mn + __mx) div 2"))
-      .groupBy(col(userCol))
-      .agg(sum(when(col("__us") < col("__cut"), col("__c")).otherwise(0L)).as("x"),
-        sum(when(col("__us") >= col("__cut"), col("__c")).otherwise(0L)).as("y"))
-      .withColumn("__v", arm)
+    val per = prePostCents(events, userCol, tsCol, valCol).withColumn("__v", arm)
     per.agg(
         count(lit(1)).as("n"),
         sum("x").as("sx"), sum("y").as("sy"),
@@ -764,6 +755,56 @@ object EventOps {
         "mean_y_b - mean_y_a - theta * (mean_x_b - mean_x_a) AS lift_adj",
         "var_ratio")
   }
+
+  /** Per-user (pre, post) integer-cent spend around the integer
+    * midpoint of the event-time range — the shared panel frame of
+    * [[cupedLift]] and [[didLift]]: x = first-half cents, y = second-
+    * half cents, zero-filled so every observed user appears in both
+    * periods. Deterministic in any engine (epoch-micro integer
+    * midpoint, truncating division on positive epochs). */
+  private def prePostCents(events: DataFrame, userCol: String, tsCol: String,
+                           valCol: String): DataFrame = {
+    val withUs = events.select(col(userCol),
+      unix_micros(col(tsCol)).as("__us"),
+      expr(s"CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT)").as("__c"))
+    val bounds = withUs.agg(min("__us").as("__mn"), max("__us").as("__mx"))
+    withUs.crossJoin(broadcast(bounds))
+      .withColumn("__cut", expr("(__mn + __mx) div 2"))
+      .groupBy(col(userCol))
+      .agg(sum(when(col("__us") < col("__cut"), col("__c")).otherwise(0L)).as("x"),
+        sum(when(col("__us") >= col("__cut"), col("__c")).otherwise(0L)).as("y"))
+  }
+
+  /** DIFFERENCE-IN-DIFFERENCES lift — the quasi-experimental companion
+    * of [[cupedLift]] on the same per-user pre/post panel: each arm's
+    * own pre-period mean is its counterfactual baseline, so
+    * did = (post_b − pre_b) − (post_a − pre_a) nets out any level
+    * difference between the arms AND any common time trend — the
+    * estimator a platform reads when assignment wasn't randomized
+    * (parallel-trends assumption documented, not hidden). Exact
+    * integer cents to arm-level sums, one fixed double formula per
+    * output; empty arms NULL-gate everything downstream in BOTH
+    * engines. One row: per-arm n / pre / post means, per-arm deltas,
+    * and the DiD estimate. */
+  def didLift(events: DataFrame, userCol: String, tsCol: String,
+              valCol: String, arm: Column): DataFrame =
+    prePostCents(events, userCol, tsCol, valCol).withColumn("__v", arm)
+      .agg(
+        sum(when(col("__v") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__v") === 0, col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("__v") === 0, col("y")).otherwise(0L)).as("sy_a"),
+        sum(when(col("__v") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__v") === 1, col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("__v") === 1, col("y")).otherwise(0L)).as("sy_b"))
+      .selectExpr("n_a", "n_b",
+        "CASE WHEN n_a > 0 THEN CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 END AS pre_a",
+        "CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 END AS post_a",
+        "CASE WHEN n_b > 0 THEN CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 END AS pre_b",
+        "CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 END AS post_b")
+      .selectExpr("n_a", "n_b", "pre_a", "post_a", "pre_b", "post_b",
+        "post_a - pre_a AS delta_a",
+        "post_b - pre_b AS delta_b",
+        "(post_b - pre_b) - (post_a - pre_a) AS did")
 
   /** DuckDB mirror of [[abTestExposure]] — same md5 arms, same
     * time-qualified conversion join, same fixed-order double epilogue. */

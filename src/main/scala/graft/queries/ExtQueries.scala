@@ -3722,6 +3722,43 @@ object ExtQueries {
               |  var_ratio
               |FROM ep""".stripMargin)),
 
+    // DIFFERENCE-IN-DIFFERENCES lift ([[EventOps.didLift]]) — the
+    // quasi-experimental companion on ev_cuped's per-user pre/post
+    // panel: each arm's own pre-period mean is its counterfactual, so
+    // did = (post_b − pre_b) − (post_a − pre_a) nets out arm-level
+    // baselines and common time trends — the readout when assignment
+    // wasn't randomized. Exact cents to arm sums, fixed double
+    // formulas, empty arms NULL-gated in both engines.
+    Q("ev_did",
+      (s, dir) => EventOps.didLift(Tables.events(s, dir),
+        "user_id", "ts", "value", pmod(col("user_id"), lit(2))),
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+             |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c FROM events),
+             |b AS (SELECT (MIN(us) + MAX(us)) // 2 AS cut FROM ev),
+             |pu AS (SELECT user_id, user_id % 2 AS v,
+             |    CAST(COALESCE(SUM(CASE WHEN us < (SELECT cut FROM b) THEN c END), 0) AS BIGINT) AS x,
+             |    CAST(COALESCE(SUM(CASE WHEN us >= (SELECT cut FROM b) THEN c END), 0) AS BIGINT) AS y
+             |  FROM ev GROUP BY 1, 2),
+             |agg AS (SELECT
+             |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN x END), 0) AS BIGINT) AS sx_a,
+             |    CAST(COALESCE(SUM(CASE WHEN v = 0 THEN y END), 0) AS BIGINT) AS sy_a,
+             |    CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN x END), 0) AS BIGINT) AS sx_b,
+             |    CAST(COALESCE(SUM(CASE WHEN v = 1 THEN y END), 0) AS BIGINT) AS sy_b
+             |  FROM pu),
+             |m AS (SELECT n_a, n_b,
+             |    CASE WHEN n_a > 0 THEN CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 END AS pre_a,
+             |    CASE WHEN n_a > 0 THEN CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) / 100.0 END AS post_a,
+             |    CASE WHEN n_b > 0 THEN CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 END AS pre_b,
+             |    CASE WHEN n_b > 0 THEN CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE) / 100.0 END AS post_b
+             |  FROM agg)
+             |SELECT n_a, n_b, pre_a, post_a, pre_b, post_b,
+             |  post_a - pre_a AS delta_a,
+             |  post_b - pre_b AS delta_b,
+             |  (post_b - pre_b) - (post_a - pre_a) AS did
+             |FROM m""".stripMargin)),
+
     // Time-to-convert per funnel step ([[EventOps.funnelLatency]]):
     // reach-time differences per consecutive stage pair in exact
     // integer microseconds (fractional epoch seconds truncate

@@ -555,6 +555,34 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(8) - varRatio) < 1e-12, "var_ratio")
   }
 
+  test("didLift: hand-computed micro panel; an empty arm NULL-gates the estimate") {
+    import spark.implicits._
+    // arm 0 = users 2, 4: pre means 15.00, post 18.00 → delta 3.00
+    // arm 1 = users 1, 3: pre means 10.00, post 22.00 → delta 12.00
+    // did = 12 − 3 = 9.00
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0), (1L, "2024-01-02 00:00:00", 20.0),
+      (2L, "2024-01-01 00:00:00", 10.0), (2L, "2024-01-02 00:00:00", 12.0),
+      (3L, "2024-01-01 00:00:00", 10.0), (3L, "2024-01-02 00:00:00", 24.0),
+      (4L, "2024-01-01 00:00:00", 20.0), (4L, "2024-01-02 00:00:00", 24.0))
+    val ev = rows.toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val r = EventOps.didLift(ev, "user_id", "ts", "value",
+      pmod(col("user_id"), lit(2))).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(math.abs(r.getDouble(2) - 15.0) < 1e-12, "pre_a")
+    assert(math.abs(r.getDouble(5) - 22.0) < 1e-12, "post_b")
+    assert(math.abs(r.getDouble(6) - 3.0) < 1e-12, "delta_a")
+    assert(math.abs(r.getDouble(7) - 12.0) < 1e-12, "delta_b")
+    assert(math.abs(r.getDouble(8) - 9.0) < 1e-12, "did")
+    // an empty treatment arm makes the estimate undefined, not 0/Inf
+    val oneArm = EventOps.didLift(ev.filter(col("user_id") % 2 === 0),
+      "user_id", "ts", "value", pmod(col("user_id"), lit(2))).collect().head
+    assert(oneArm.getLong(1) == 0L)
+    assert(oneArm.isNullAt(4) && oneArm.isNullAt(7) && oneArm.isNullAt(8),
+      "empty arm must NULL-gate pre_b/delta_b/did")
+  }
+
   test("cupedLift NULL-gates a zero-variance covariate (the x/0 hazard class)") {
     import spark.implicits._
     // every user has the SAME pre-period spend: var(X) = 0, so theta,
