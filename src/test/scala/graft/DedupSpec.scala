@@ -408,6 +408,36 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(11L, 13L), s"got $out")
   }
 
+  test("minhashIndexMd5Probe equals a plain-Scala drop-one reconstruction from the signatures") {
+    // independent audit of the NEW probe-bucket fragment (the
+    // mhProbeBkSql twin): rebuild every (band, drop, bucket) key from
+    // the signatures with plain list slicing — band b's key omitting
+    // slot j is the comma-join of the band's other slots — and demand
+    // the operator's rows match exactly
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet black white gray"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignaturesMd5(docs, "doc_id", "text", 5, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val want = (for {
+      (id, sig) <- sigs.toSeq
+      band <- 0 until 4
+      drop <- 1 to 4
+    } yield {
+      val slots = sig.slice(band * 4, band * 4 + 4)
+      val key = (slots.take(drop - 1) ++ slots.drop(drop)).mkString(",")
+      (id, band, drop, key)
+    }).toSet
+    val got = Dedup.minhashIndexMd5Probe(docs, "doc_id", "text", 5, 16, 4)
+      .select("doc_id", "band", "drop", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == want, s"probe keys diverge:\nonly-got ${got -- want}\nonly-want ${want -- got}")
+    assert(got.size == sigs.size * 4 * 4, "exactly bands × rows keys per doc")
+  }
+
   test("multi-probe admission rejects a superset and catches borderline near-dups") {
     // drop-one probing can only ADD candidates (a full-band match
     // implies all its drop-one matches), so multi-probe rejections
