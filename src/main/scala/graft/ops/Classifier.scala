@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /**
  * In-engine text classification: linear quality/domain classifiers
@@ -347,6 +347,82 @@ object Classifier {
             / (col("__n") - 1).cast("double") / 100.0))
       .drop("__own", "__sum", "__n", "__k")
   }
+
+  /**
+   * K-FOLD OUT-OF-FOLD m-estimate target encoding — the production
+   * form next to [[targetEncode]]'s leave-one-out baseline: the
+   * encoding for (category k, fold f) averages the target over the
+   * category's rows OUTSIDE fold f, shrunk toward the out-of-fold
+   * GLOBAL prior by pseudo-count `m`
+   *
+   *   enc(k,f) = (S_k − S_kf + m·p_f) / (N_k − N_kf + m),
+   *   p_f = (S₀ − S_f) / (N₀ − N_f)
+   *
+   * so a rare category decays to the prior instead of memorizing noise
+   * (the m-estimate / CatBoost-style smoothing LOO lacks). LEAKAGE-FREE
+   * BY CONSTRUCTION: every term excludes fold f entirely — flipping
+   * any fold-f label changes S_kf and S_k (and S_f, S₀) by the same
+   * amount, leaving enc(·, f) bit-identical (spec-pinned).
+   *
+   * Determinism: all sufficient statistics are exact BIGINT counts and
+   * sums; `enc` is a fixed double formula over correctly-rounded
+   * conversions of exact integers (< 2⁵³ up to 9·10¹⁵ rows), identical
+   * operation order in both engines. A fold holding ALL rows NULL-gates
+   * the prior (and enc) in both engines — the x/0 hazard class.
+   *
+   * Scale shape: one (key, fold) keyed aggregate with map-side
+   * partials, then key/fold/global roll-ups OF THE AGGREGATE (never
+   * the rows); fold and global tables are broadcast-bounded. No
+   * windows, no per-row joins — the output is the encoding TABLE a
+   * pipeline persists and maps over its rows.
+   */
+  def targetEncodeOof(df: DataFrame, keyCol: String, foldCol: String,
+                      targetCol: String, m: Long): DataFrame = {
+    require(m >= 1, s"targetEncodeOof: pseudo-count m must be >= 1, got $m")
+    val kf = df.groupBy(col(keyCol), col(foldCol))
+      .agg(count(lit(1)).as("n_kf"), sum(col(targetCol).cast(LongType)).as("s_kf"))
+    val k = kf.groupBy(col(keyCol))
+      .agg(sum("n_kf").as("n_k"), sum("s_kf").as("s_k"))
+    val f = kf.groupBy(col(foldCol))
+      .agg(sum("n_kf").as("n_f"), sum("s_kf").as("s_f"))
+    val g = kf.agg(sum("n_kf").as("n0"), sum("s_kf").as("s0"))
+    kf.join(k, Seq(keyCol)).join(broadcast(f), Seq(foldCol))
+      .crossJoin(broadcast(g))
+      .select(col(keyCol), col(foldCol),
+        (col("n_k") - col("n_kf")).as("n_oof"),
+        (col("s_k") - col("s_kf")).as("s_oof"),
+        when(col("n0") === col("n_f"), lit(null).cast(DoubleType))
+          .otherwise(
+            ((col("s_k") - col("s_kf")).cast(DoubleType)
+              + lit(m.toDouble) * ((col("s0") - col("s_f")).cast(DoubleType)
+                / (col("n0") - col("n_f")).cast(DoubleType)))
+              / (col("n_k") - col("n_kf") + lit(m)).cast(DoubleType))
+          .as("enc"))
+  }
+
+  /** DuckDB mirror of [[targetEncodeOof]] — same exact-integer
+    * sufficient statistics, same double formula in the same operation
+    * order, same all-rows-in-one-fold NULL gate. `rel` must expose
+    * (keyCol, foldCol, targetCol). */
+  def targetEncodeOofSql(rel: String, keyCol: String, foldCol: String,
+                         targetCol: String, m: Long): String =
+    s"""WITH te_kf AS (SELECT $keyCol, $foldCol,
+       |    CAST(count(*) AS BIGINT) AS n_kf, CAST(SUM($targetCol) AS BIGINT) AS s_kf
+       |  FROM $rel GROUP BY 1, 2),
+       |te_k AS (SELECT $keyCol, CAST(SUM(n_kf) AS BIGINT) AS n_k,
+       |    CAST(SUM(s_kf) AS BIGINT) AS s_k FROM te_kf GROUP BY 1),
+       |te_f AS (SELECT $foldCol, CAST(SUM(n_kf) AS BIGINT) AS n_f,
+       |    CAST(SUM(s_kf) AS BIGINT) AS s_f FROM te_kf GROUP BY 1),
+       |te_g AS (SELECT CAST(SUM(n_kf) AS BIGINT) AS n0,
+       |    CAST(SUM(s_kf) AS BIGINT) AS s0 FROM te_kf)
+       |SELECT te_kf.$keyCol, te_kf.$foldCol,
+       |  (n_k - n_kf) AS n_oof, (s_k - s_kf) AS s_oof,
+       |  CASE WHEN n0 - n_f = 0 THEN NULL
+       |       ELSE (CAST(s_k - s_kf AS DOUBLE)
+       |             + $m.0 * (CAST(s0 - s_f AS DOUBLE) / CAST(n0 - n_f AS DOUBLE)))
+       |            / CAST(n_k - n_kf + $m AS DOUBLE) END AS enc
+       |FROM te_kf JOIN te_k USING ($keyCol) JOIN te_f USING ($foldCol)
+       |CROSS JOIN te_g""".stripMargin
 
   /**
    * Multinomial naive Bayes, trained and scored in-engine — the third

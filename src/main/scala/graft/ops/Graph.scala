@@ -743,4 +743,73 @@ object Graph {
         (col("common").cast("double") /
           (col("deg_a") + col("deg_b") - col("common"))).as("jaccard"))
   }
+
+  /** HITS fixed-point unit (smaller than [[SCALE]] on purpose): a raw
+    * gather sums up to N in-neighbors' ≤HITS_SCALE values, so the
+    * BIGINT bound is N·HITS_SCALE ≤ 2⁶³ ⇒ N ≤ 9.2·10⁹ nodes — past
+    * that, lift the gather sums to DECIMAL(38). */
+  val HITS_SCALE: Long = 1000000000L
+
+  /**
+   * HITS hubs & authorities (Kleinberg '99) over a DIRECTED edge list —
+   * the two-sided importance signal PageRank's single score can't give
+   * on bipartite interaction graphs (who aggregates well vs who is
+   * sought): `auth_i(v) = Σ_{(u,v)∈E} hub_{i-1}(u)` then
+   * `hub_i(u) = Σ_{(u,v)∈E} auth_i(v)`, each half-round renormalized.
+   *
+   * Determinism: the classical L₂ normalization is a sqrt — banned in
+   * the iterate (rounding would be engine-visible after one round) —
+   * so the iterate renormalizes by BLOCK-FLOATING integer division
+   * instead: `x → x div (max(x) div HITS_SCALE + 1)`, which keeps every
+   * value < HITS_SCALE (for m ≥ S: d > m/S ⇒ x div d < S) without ever
+   * forming the overflowing x·SCALE product. Normalization in HITS is
+   * only there to stop magnitude drift — any positive per-round scalar
+   * divisor leaves the converged DIRECTION unchanged — so the integer
+   * form converges to the same principal pair as the L₂ form, with
+   * every step exact BIGINT and the oracle an unrolled mirror.
+   *
+   * The two per-round maxes are bounded scalar driver reads (the
+   * watermark pattern). Per half-round: one keyed join + one keyed
+   * aggregate over the edge table; ranks localCheckpoint'ed so lineage
+   * stays flat. Nodes with no out-edges hold hub 0 (pure authorities,
+   * e.g. the supplier side of a purchase graph) and vice versa — real
+   * HITS semantics on bipartite graphs, not an error. Output:
+   * `(node, hub, authority)` doubles in units of HITS_SCALE.
+   */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"hits: iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().cache()
+    require(nodes.count() > 0, "hits: empty edge list")
+    def renorm(df: DataFrame, c: String): DataFrame = {
+      val m = df.agg(max(col(c))).head.getLong(0)
+      val d = m / HITS_SCALE + 1
+      df.selectExpr("node", s"$c div $d AS $c")
+    }
+    def gather(ranks: DataFrame, joinOn: String, outAt: String,
+               in: String, out: String): DataFrame =
+      nodes.join(
+        e.join(ranks.withColumnRenamed("node", joinOn), Seq(joinOn))
+          .groupBy(col(outAt).as("node")).agg(sum(in).as(out)),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col(out), lit(0L)).as(out))
+    var hub = nodes.select(col("node"), lit(HITS_SCALE).as("hub"))
+    var auth: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      auth = renorm(gather(hub, "src", "dst", "hub", "auth"), "auth")
+        .localCheckpoint()
+      hub = renorm(gather(auth, "dst", "src", "auth", "hub"), "hub")
+        .localCheckpoint()
+    }
+    val res = hub.join(auth, Seq("node"))
+      .select(col("node"),
+        (col("hub").cast(DoubleType) / lit(HITS_SCALE.toDouble)).as("hub"),
+        (col("auth").cast(DoubleType) / lit(HITS_SCALE.toDouble)).as("authority"))
+    e.unpersist(); nodes.unpersist()
+    res
+  }
 }

@@ -1167,4 +1167,88 @@ object Profile {
        |  COUNT(DISTINCT $c) AS n_distinct,
        |  $mn AS min_value, $mx AS max_value FROM $table""".stripMargin
   }
+
+  /**
+   * Benford first-significant-digit expectations in ppm:
+   * ⌊10⁶·log₁₀(1 + 1/d)⌋ for d = 1..9. Computed ONCE here on the
+   * driver (a build-time constant — engine libm never runs, the
+   * naiveBayes ln-ban discipline) and inlined as integer literals into
+   * BOTH engines' plans, so the only data-dependent arithmetic anywhere
+   * is exact-integer counts and floor divisions.
+   */
+  val benfordExpectedPpm: Seq[(Int, Long)] =
+    (1 to 9).map(d => d -> math.floor(1e6 * math.log10(1.0 + 1.0 / d)).toLong)
+
+  /**
+   * BENFORD FIRST-DIGIT PROFILE — the fraud / synthetic-data screen:
+   * natural multi-magnitude positive quantities (prices, populations,
+   * file sizes) put ~30.1% of first significant digits at 1, falling
+   * to ~4.6% at 9; fabricated or truncated columns don't. Output: one
+   * row per digit 1..9 (absent digits kept at n = 0 — their deficit is
+   * exactly what the screen must see) with observed vs expected ppm
+   * and a χ²-style divergence Σ⌊(obs−exp)²/exp⌋ in ppm constant across
+   * rows.
+   *
+   * Determinism: the first digit comes from the decimal STRING form of
+   * the integer input (never log10 of a double — a value at a power of
+   * ten would sit on a libm boundary); shares are integer floor
+   * divisions; the expectations are the inlined literals above. Exact
+   * at any cardinality below 9.2·10¹² rows (n·10⁶ must fit BIGINT —
+   * past that, lift the share numerators to DECIMAL(38)).
+   *
+   * Scale shape: one map-side-combined 9-group aggregate over a pure
+   * projection (no window, no join wider than the 9-row digit spine);
+   * everything after the count is constant-size arithmetic.
+   * `valueCol` must be positive integral (cents).
+   */
+  def benford(df: DataFrame, valueCol: String): DataFrame =
+    benfordFromCounts(df
+      .filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(substring(col(valueCol).cast(StringType), 1, 1)
+        .cast(LongType).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n")))
+
+  /** [[benford]]'s epilogue over an already-reduced `(digit, n)` count
+    * table — shared with the STREAMING form, whose maintained per-batch
+    * count partials re-sum to exactly this relation (counts are
+    * additive, so streamed ≡ batch bit-for-bit). */
+  def benfordFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
+    val digits = spark.range(1, 10).select(col("id").as("digit"))
+    val tot = counts.agg(sum("n").as("n_total"))
+    val expCol = benfordExpectedPpm.foldLeft(lit(0L)) { case (acc, (d, e)) =>
+      when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    val scored = digits.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000) div nullif(n_total, 0)").as("obs_ppm"),
+        expCol.as("exp_ppm"))
+    val chi = scored.agg(
+      sum(expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) div exp_ppm"))
+        .as("chi2_ppm"))
+    scored.crossJoin(broadcast(chi))
+  }
+
+  /** DuckDB mirror of [[benford]] — same string-form digit, 9-row digit
+    * spine with zero-count digits kept, integer floor shares, and the
+    * SAME inlined expectation literals. */
+  def benfordSql(rel: String, valueCol: String): String = {
+    val expRows = benfordExpectedPpm
+      .map { case (d, e) => s"($d, $e)" }.mkString(", ")
+    s"""WITH cnt AS (SELECT CAST(substr(CAST($valueCol AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM $rel WHERE $valueCol IS NOT NULL AND $valueCol > 0 GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM cnt),
+       |ed AS (SELECT * FROM (VALUES $expRows) e(digit, exp_ppm)),
+       |base AS (SELECT CAST(ed.digit AS BIGINT) AS digit,
+       |    COALESCE(cnt.n, 0) AS n,
+       |    (COALESCE(cnt.n, 0) * 1000000) // NULLIF(tot.n_total, 0) AS obs_ppm,
+       |    CAST(ed.exp_ppm AS BIGINT) AS exp_ppm
+       |  FROM ed LEFT JOIN cnt ON ed.digit = cnt.digit CROSS JOIN tot),
+       |chi AS (SELECT CAST(SUM(((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) // exp_ppm)
+       |    AS BIGINT) AS chi2_ppm FROM base)
+       |SELECT digit, n, obs_ppm, exp_ppm, chi2_ppm FROM base CROSS JOIN chi""".stripMargin
+  }
 }

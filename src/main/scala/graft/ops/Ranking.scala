@@ -130,4 +130,93 @@ object Ranking {
        |               WHERE best_above IS NULL OR down < best_above) f
        |  ON pts.up = f.up AND pts.down = f.down
        |GROUP BY 1, 2""".stripMargin
+
+  /** Integer DCG discount table: D(r) = ⌊10⁹ / log₂(r+1)⌋ for
+    * r = 1..k. Computed ONCE on the driver (a build-time constant —
+    * query-time libm is banned for cross-engine determinism, the
+    * bigramLmScore/naiveBayes discipline) and inlined as literals into
+    * BOTH engines, so every data-dependent NDCG step is exact-integer. */
+  def dcgDiscountUnits(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /**
+   * NDCG@k over a scored candidate table — the graded-relevance
+   * retrieval metric next to search_mrr's binary reciprocal rank:
+   * DCG = Σ_{r≤k} (2^rel − 1)·D(r) over the SYSTEM ranking
+   * (`scoreCol` DESC, `tieCol` ASC — a total order), IDCG the same sum
+   * over the IDEAL ranking (`relCol` DESC — tie order cannot change the
+   * sum, equal rels contribute equal gains), ndcg_ppm =
+   * ⌊10⁶·DCG/IDCG⌋. With the inlined integer discounts the whole
+   * metric is exact BIGINT arithmetic — hash-stable with zero
+   * tolerance (rel ≤ 30 keeps gain·D(1)·k·10⁶ far inside 2⁶³).
+   *
+   * Input: one row per (query, candidate) with the system score and an
+   * INTEGER relevance grade. Output: one row per query
+   * `(qCol, dcg_units, idcg_units, ndcg_ppm)`; a query whose candidates
+   * are all rel = 0 reports NULL ndcg (0/0 — no ideal to normalize by)
+   * in both engines.
+   *
+   * Scale shape: two per-query rank windows (keyed by query — never
+   * global) + one keyed aggregate; candidate generation upstream is
+   * the expensive part, the metric itself is per-query top-k state.
+   */
+  def ndcgAtK(scored: org.apache.spark.sql.DataFrame, qCol: String,
+              scoreCol: String, tieCol: String, relCol: String,
+              k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val disc = dcgDiscountUnits(k)
+    def dOf(rank: Column): Column = disc.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (d, i)) => when(rank === (i + 1), lit(d)).otherwise(acc)
+    }
+    val gain =
+      expr(s"shiftleft(CAST(1 AS BIGINT), CAST($relCol AS INT)) - 1")
+    val sysW = Window.partitionBy(qCol)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    val idealW = Window.partitionBy(qCol)
+      .orderBy(col(relCol).desc, col(tieCol).asc)
+    scored
+      .withColumn("__g", gain.cast(LongType))
+      .withColumn("__sr", row_number().over(sysW))
+      .withColumn("__ir", row_number().over(idealW))
+      .groupBy(col(qCol))
+      .agg(
+        sum(when(col("__sr") <= k, col("__g") * dOf(col("__sr")))
+          .otherwise(lit(0L))).as("dcg_units"),
+        sum(when(col("__ir") <= k, col("__g") * dOf(col("__ir")))
+          .otherwise(lit(0L))).as("idcg_units"))
+      .withColumn("ndcg_ppm",
+        org.apache.spark.sql.functions
+          .expr("(dcg_units * 1000000) div nullif(idcg_units, 0)"))
+  }
+
+  /** DuckDB mirror of [[ndcgAtK]]: same two rank windows, the SAME
+    * inlined discount literals as a VALUES spine, same integer floor.
+    * `rel` must expose columns (q, score, tie, rel). */
+  def ndcgAtKSql(rel: String, qCol: String, scoreCol: String,
+                 tieCol: String, relCol: String, k: Int): String = {
+    val discRows = dcgDiscountUnits(k).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")
+    s"""WITH nd_in AS (SELECT $qCol AS q, $scoreCol AS score, $tieCol AS tie,
+       |    CAST($relCol AS BIGINT) AS rel FROM $rel),
+       |nd_disc AS (SELECT * FROM (VALUES $discRows) d(rnk, d_units)),
+       |nd_rk AS (SELECT q, rel,
+       |    row_number() OVER (PARTITION BY q ORDER BY score DESC, tie) AS sr,
+       |    row_number() OVER (PARTITION BY q ORDER BY rel DESC, tie) AS ir
+       |  FROM nd_in),
+       |nd_agg AS (SELECT q,
+       |    CAST(SUM(CASE WHEN sr <= $k
+       |      THEN ((CAST(1 AS BIGINT) << rel) - 1)
+       |           * (SELECT d_units FROM nd_disc WHERE rnk = sr)
+       |      ELSE 0 END) AS BIGINT) AS dcg_units,
+       |    CAST(SUM(CASE WHEN ir <= $k
+       |      THEN ((CAST(1 AS BIGINT) << rel) - 1)
+       |           * (SELECT d_units FROM nd_disc WHERE rnk = ir)
+       |      ELSE 0 END) AS BIGINT) AS idcg_units
+       |  FROM nd_rk GROUP BY q)
+       |SELECT q, dcg_units, idcg_units,
+       |  (dcg_units * 1000000) // NULLIF(idcg_units, 0) AS ndcg_ppm
+       |FROM nd_agg""".stripMargin
+  }
 }

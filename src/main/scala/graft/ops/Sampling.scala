@@ -474,4 +474,100 @@ object Sampling {
        |    ${graft.Det.hiLoDoubleSql("sv")} / CAST(sw AS BIGINT) END AS mean
        |FROM agg""".stripMargin
   }
+
+  /**
+   * SYSTEMATIC PPS SAMPLING (probability proportional to size, the
+   * classical survey design): lay the units out on a line in frame
+   * order (`idCol` ascending — ids must be unique so the frame is a
+   * total order), each unit occupying its weight in length; drop `n`
+   * equally-spaced picks at `start + k·step` (step = ⌊W/n⌋,
+   * start = ⌊step/2⌋ — centered, deterministic, RNG-free) and select
+   * every unit whose interval contains a pick. Units heavier than one
+   * step are selected multiple times (`n_hits` — the with-replacement
+   * convention that keeps H-T estimation unbiased). The number of
+   * picks at-or-below cumulative position x is
+   * `q(x) = min(⌊(x − start + step)/step⌋, n)` (one branch-free floor:
+   * the +step shift keeps the dividend positive for every x ≥ 0, and
+   * the min caps the pick count at n where ⌊W/n⌋ rounding would
+   * otherwise admit pick n at the very tail), so
+   * `n_hits = q(cum) − q(cum − w)` — pure exact-integer arithmetic.
+   *
+   * The global cumulative position is an EXACT DISTRIBUTED PREFIX SUM
+   * — never a global-ORDER-BY window (which Spark plans as a single
+   * partition holding the whole corpus): range-repartition by id, one
+   * per-partition keyed window for the local running sum, plus a
+   * BOUNDED per-partition total table (one row per partition — the
+   * watermark-read pattern) turned into broadcast exclusive offsets.
+   * The layout is pinned once (localCheckpoint) so the offset pass and
+   * the window pass see the same partitions; the OUTPUT is a pure
+   * function of the frame order, whatever layout the range sampler
+   * picked.
+   *
+   * Output: selected units only —
+   * `(idCol, w, cum, n_hits, pi_ppm = min(⌊10⁶·n·w/W⌋, 10⁶))`
+   * (pi is the first-order inclusion probability, the H-T weight's
+   * denominator). Weights must be positive BIGINTs with
+   * `n·w·10⁶ < 2⁶³` (lift to DECIMAL(38) past that); requires W ≥ n so
+   * step ≥ 1.
+   */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String,
+                    n: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    require(n >= 1, s"ppsSystematic: n must be >= 1, got $n")
+    val parts = df
+      .select(col(idCol), col(weightCol).cast(LongType).as("w"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val stats = parts.agg(
+      count(lit(1)) - count(col("w")), min("w"), sum("w")).head
+    require(stats.getLong(0) == 0,
+      s"ppsSystematic: ${stats.getLong(0)} NULL weight(s)")
+    require(stats.getLong(1) >= 1, "ppsSystematic: weights must be positive")
+    val total = stats.getLong(2)
+    require(total >= n,
+      s"ppsSystematic: total weight $total < n=$n (step would be 0)")
+    val step = total / n
+    val start = step / 2
+    // bounded: one row per partition → exclusive prefix offsets
+    val perPart = parts.groupBy(col("__pid")).agg(sum("w").as("__psum"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = perPart.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }.init.zip(perPart).map { case ((_, off), (pid, _)) => (pid, off) }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("cum", sum(col("w")).over(w) + col("__off"))
+      .withColumn("n_hits",
+        expr(s"least((cum - $start + $step) div $step, $n)" +
+          s" - least((cum - w - $start + $step) div $step, $n)"))
+      .filter(col("n_hits") >= 1)
+      .select(col(idCol), col("w"), col("cum"), col("n_hits"),
+        expr(s"least((w * $n * 1000000) div $total, 1000000)").as("pi_ppm"))
+  }
+
+  /** DuckDB mirror of [[ppsSystematic]] — the oracle may use the plain
+    * global cumulative window (single-node engine; the distributed
+    * prefix sum reproduces exactly this frame order). `rel` must expose
+    * (idCol, weight `w`). */
+  def ppsSystematicSql(rel: String, idCol: String, n: Int): String =
+    s"""WITH pps_src AS (SELECT $idCol, CAST(w AS BIGINT) AS w FROM $rel),
+       |pps_tot AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM pps_src),
+       |pps_par AS (SELECT total, total // $n AS step, (total // $n) // 2 AS start
+       |            FROM pps_tot),
+       |pps_cum AS (SELECT $idCol, w,
+       |    CAST(SUM(w) OVER (ORDER BY $idCol ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM pps_src)
+       |SELECT $idCol, w, cum,
+       |  LEAST((cum - start + step) // step, $n)
+       |    - LEAST((cum - w - start + step) // step, $n) AS n_hits,
+       |  LEAST((w * $n * 1000000) // total, 1000000) AS pi_ppm
+       |FROM pps_cum CROSS JOIN pps_par
+       |WHERE LEAST((cum - start + step) // step, $n)
+       |    - LEAST((cum - w - start + step) // step, $n) >= 1""".stripMargin
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Det, Tables}
 import graft.engine.Warehouse
-import graft.ops.{Dedup, EventOps, Graph, Linkage, Multimodal, Packing, Profile, Quality, Ranking, Sampling, Search, Similarity, StockOps, TextOps, TimeSeries, UrlOps}
+import graft.ops.{Classifier, Dedup, EventOps, Graph, Linkage, Multimodal, Packing, Profile, Quality, Ranking, Sampling, Search, Similarity, StockOps, TextOps, TimeSeries, UrlOps}
 import graft.streaming.StreamOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3991,6 +3991,44 @@ object ExtQueries {
               |HAVING count(*) > (SELECT CAST(floor(0.005 * n) AS BIGINT) FROM nn)
               |ORDER BY token""".stripMargin)),
 
+    // Streaming Benford drift monitor, oracle-hashed end state — the
+    // continuous form of prof_benford's data-quality screen: per-batch
+    // first-digit count partials append exactly-once
+    // ([[StreamOps.keyedCountsSink]], replay-proof txn tags); digit
+    // counts are ADDITIVE, so re-summing the maintained table equals
+    // the single-pass corpus counts for ANY batching, and the shared
+    // epilogue ([[Profile.benfordFromCounts]] — same inlined
+    // expectation literals) lands bit-for-bit on the batch query's
+    // oracle. State = batches × ≤9 digit rows; raw values never
+    // retained.
+    Q("stream_benford_final",
+      (s, dir) => {
+        val base = new org.apache.hadoop.fs.Path(
+          s"/tmp/graft_stream_benford_${new java.io.File(dir).getName}")
+        val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(base, true)
+        val digitsIn = Tables.lineitem(s, dir).select(
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("pc"))
+          .filter(col("pc").isNotNull && col("pc") > 0)
+          .select(substring(col("pc").cast(StringType), 1, 1)
+            .cast(LongType).as("digit"))
+        val staged = s"$base/in"
+        digitsIn.repartition(4).write.parquet(staged)
+        val stream = StreamOps.eventStream(s, staged,
+          s.read.parquet(staged).schema, maxFilesPerTrigger = Some(1))
+        val st = new graft.engine.SnapshotStore(s, s"$base/store")
+        StreamOps.keyedCountsSink(stream, st, "metrics", "digit_counts",
+          Seq("digit"), checkpoint = s"$base/ckpt").awaitTermination()
+        Profile.benfordFromCounts(
+          st.read("metrics", "digit_counts")
+            .groupBy("digit").agg(sum("cnt").as("n")))
+          .orderBy("digit")
+      },
+      Some(Profile.benfordSql(
+        "(SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents FROM lineitem)",
+        "price_cents") + "\nORDER BY digit")),
+
     // Streaming CDC APPLY, oracle-hashed end state ([[StreamOps
     // .cdcApplySink]]): a change feed derived from lineitem — per
     // order key, line numbers are successive versions (op 'u'), and
@@ -5193,6 +5231,87 @@ object ExtQueries {
               |WHERE ${Sampling.weightedSampleSql("doc_id", "CAST((doc_id * 7) % 10 AS DOUBLE) / 10.0")}
               |ORDER BY doc_id""".stripMargin)),
 
+    // Systematic PPS sampling ([[Sampling.ppsSystematic]]): n = 100
+    // equally-spaced picks along the order-value line — the classical
+    // survey design (big orders near-certain, small ones ∝ value, zero
+    // variance in the number drawn) behind proportional corpus
+    // subsampling, with first-order inclusion probabilities (the H-T
+    // weight denominators) carried per selected unit. RNG-free: the
+    // pick grid is centered (start = ⌊step/2⌋), so the exact kept
+    // multiset is rerun-stable and oracle-hashable. The global
+    // cumulative position is an exact DISTRIBUTED prefix sum
+    // (range-repartition + per-partition window + bounded broadcast
+    // offsets — never a global-ORDER-BY window, which serializes the
+    // corpus through one partition); the oracle replays the identical
+    // frame with DuckDB's plain global window.
+    Q("samp_pps_systematic",
+      (s, dir) => Sampling.ppsSystematic(
+        Tables.orders(s, dir).select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("pc")),
+        "o_orderkey", "pc", n = 100)
+        .orderBy("o_orderkey"),
+      Some(Sampling.ppsSystematicSql(
+        "(SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders)",
+        "o_orderkey", n = 100) + "\nORDER BY o_orderkey")),
+
+    // Hansen–Hurwitz estimation over the PPS design — the estimator
+    // systematic PPS exists to serve: draw orders ∝ value
+    // ([[Sampling.ppsSystematic]], the same 100-pick design as
+    // samp_pps_systematic), then estimate the TOTAL LINEITEM COUNT
+    // from the 100 picks alone: t̂ = (1/n)·Σ v_i/p_i with p_i = w_i/W,
+    // i.e. Σ hits·v·W/(n·w). Exactness: each term is floored to
+    // milli-units via the two-step division identity
+    // ⌊A·W/B⌋ = A·(W div B) + ⌊A·(W mod B)/B⌋ (B = n·w), which keeps
+    // every intermediate far inside BIGINT where the naive A·W product
+    // overflows — so the estimate is an exact integer sum, order-free,
+    // hash-stable. Output: the estimate next to the true total with
+    // its realized error in ppm. Honest framing: the draw is ONE
+    // deterministic centered systematic sample (no random start), so
+    // err_ppm is that single draw's realized error on a weakly
+    // size-correlated count (measured ~19% at sf0.001, in family with
+    // the ~1/√100 CV of v/w) — the receipt here is exactness and
+    // rerun-stability of the estimator arithmetic, not tightness;
+    // tightness comes from n and v↗w correlation, as the formula says.
+    Q("samp_hh_estimate",
+      (s, dir) => {
+        val ord = Tables.orders(s, dir).select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("w"))
+        val bigW = ord.agg(sum("w")).head.getLong(0) // bounded scalar (watermark pattern)
+        val li = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(count(lit(1)).as("v"))
+        val sample = Sampling.ppsSystematic(ord, "o_orderkey", "w", n = 100)
+        val terms = sample.join(li, Seq("o_orderkey"))
+          .select(expr(
+            s"n_hits * v * 1000 * ($bigW div (100 * w))" +
+              s" + (n_hits * v * 1000 * ($bigW % (100 * w))) div (100 * w)")
+            .as("term"))
+        val tTrue = Tables.lineitem(s, dir).agg(count(lit(1)).as("t_true"))
+        terms.agg(sum("term").as("t_hat_milli"))
+          .crossJoin(broadcast(tTrue))
+          .select(lit(100L).as("n_picks"), col("t_hat_milli"), col("t_true"),
+            expr("(abs(t_hat_milli - 1000 * t_true) * 1000000) div (1000 * t_true)")
+              .as("err_ppm"))
+      },
+      Some(s"""WITH src AS (SELECT o_orderkey,
+              |    CAST(round(o_totalprice * 100) AS BIGINT) AS w FROM orders),
+              |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS bw FROM src),
+              |li AS (SELECT l_orderkey AS o_orderkey, CAST(count(*) AS BIGINT) AS v
+              |       FROM lineitem GROUP BY 1),
+              |samp AS (SELECT * FROM (
+              |  ${Sampling.ppsSystematicSql("src", "o_orderkey", n = 100)})),
+              |terms AS (SELECT n_hits * v * 1000 * (bw // (100 * w))
+              |    + (n_hits * v * 1000 * (bw % (100 * w))) // (100 * w) AS term
+              |  FROM samp JOIN li USING (o_orderkey) CROSS JOIN tot),
+              |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_true FROM lineitem)
+              |SELECT CAST(100 AS BIGINT) AS n_picks,
+              |  CAST(SUM(term) AS BIGINT) AS t_hat_milli, t_true,
+              |  (abs(CAST(SUM(term) AS BIGINT) - 1000 * t_true) * 1000000)
+              |    // (1000 * t_true) AS err_ppm
+              |FROM terms CROSS JOIN tt GROUP BY t_true""".stripMargin)),
+
     // Deterministic negative sampling ([[Sampling.negativeSample]]):
     // 8 reproducible pseudo-random negatives per anchor from a 1/4
     // hash-slice of the pool — the contrastive-pairs generator whose
@@ -5508,6 +5627,15 @@ object ExtQueries {
         "(SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00') drift_a",
         "(SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00') drift_b",
         "o_totalprice", lo = 0.0, hi = 600000.0, nBins = 12))),
+
+    // NOTE: the BATCH Benford screen already ships as AnalyticsQueries'
+    // prof_benford (o_totalprice, per-digit χ² terms). The ppm-integer
+    // formulation below ([[Profile.benford]]) exists for the STREAMING
+    // drift monitor stream_benford_final, whose maintained count
+    // partials need the epilogue factored over a (digit, n) table
+    // ([[Profile.benfordFromCounts]]) — a second batch query would
+    // duplicate the name (QueriesSpec pins uniqueness; found live this
+    // round: the first draft shadowed the Analytics query silently).
 
     // Per-key z-score anomaly screen over daily order totals
     // ([[TimeSeries.zscoreAnomalies]]): exact decimal Σx/Σx² in one
@@ -6208,6 +6336,52 @@ object ExtQueries {
            |${round("r1", "r2")},
            |${round("r2", "r3")}
            |SELECT node, CAST(rank AS DOUBLE) / $s.0 AS rank FROM r3 ORDER BY node""".stripMargin
+      }),
+
+    // RENORMALIZED HITS ([[graft.ops.Graph.hits]]) on the DIRECTED
+    // customer→supplier purchase graph — the DEEP-ITERATION form next
+    // to AnalyticsQueries' gr_hits (whose unnormalized exact-integer
+    // rounds grow score magnitude ~degree^k per round: DECIMAL(38)
+    // holds 2 rounds, not 20): block-floating renormalization
+    // x div (max div S + 1) caps every iterate below S in pure BIGINT
+    // (never the overflowing x·S/max product, never an in-iterate
+    // sqrt — any positive per-round divisor preserves the converged
+    // direction), so the fixed point can run as many rounds as
+    // convergence needs at any graph size. Two rounds here; the
+    // unrolled oracle hash-matches bit-for-bit.
+    Q("gr_hits_normalized",
+      (s, dir) => {
+        val pairs = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+        Graph.hits(pairs, iterations = 2).orderBy("node")
+      },
+      Some {
+        val S = Graph.HITS_SCALE
+        // one gather+renorm half-round: sum prev over joinCol, keyed by
+        // groupCol, then integer block-floating renormalization
+        def half(prev: String, out: String, joinCol: String,
+                 groupCol: String, inCol: String, outCol: String) =
+          s"""${out}_r AS (SELECT n.node, COALESCE(s.v, 0) AS v FROM nodes n LEFT JOIN
+             |  (SELECT e.$groupCol AS node, SUM(p.$inCol) AS v
+             |   FROM eraw e JOIN $prev p ON e.$joinCol = p.node GROUP BY 1) s
+             |  ON n.node = s.node),
+             |$out AS (SELECT node,
+             |  v // ((SELECT MAX(v) FROM ${out}_r) // $S + 1) AS $outCol
+             |  FROM ${out}_r)""".stripMargin
+        s"""WITH eraw AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+           |              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+           |nodes AS (SELECT src AS node FROM eraw UNION SELECT dst AS node FROM eraw),
+           |h0 AS (SELECT node, CAST($S AS BIGINT) AS hub FROM nodes),
+           |${half("h0", "a1", "src", "dst", "hub", "auth")},
+           |${half("a1", "h1", "dst", "src", "auth", "hub")},
+           |${half("h1", "a2", "src", "dst", "hub", "auth")},
+           |${half("a2", "h2", "dst", "src", "auth", "hub")}
+           |SELECT h2.node, CAST(h2.hub AS DOUBLE) / $S.0 AS hub,
+           |       CAST(a2.auth AS DOUBLE) / $S.0 AS authority
+           |FROM h2 JOIN a2 ON h2.node = a2.node ORDER BY 1""".stripMargin
       }),
 
     // INCREMENTAL PageRank ([[graft.ops.Graph.pageRankResume]]): the
@@ -8584,6 +8758,31 @@ object ExtQueries {
         Seq("o_orderpriority"), "price_cents") +
         "\nORDER BY o_orderpriority, v")),
 
+    // K-fold out-of-fold m-estimate target encoding
+    // ([[Classifier.targetEncodeOof]]) — the smoothed, leakage-free
+    // production form next to feat_target_enc's leave-one-out
+    // baseline: order priority encoded by the out-of-fold rate of
+    // fulfilled orders, shrunk toward the out-of-fold global prior by
+    // m = 20 pseudo-counts (rare categories decay to the prior instead
+    // of memorizing noise). Exact BIGINT sufficient statistics; one
+    // fixed double formula; the all-rows-in-one-fold prior NULL-gates
+    // in both engines. Output = the deployable encoding table
+    // (category × fold), never a per-row join-back.
+    Q("feat_target_encode_oof",
+      (s, dir) => Classifier.targetEncodeOof(
+        Tables.orders(s, dir).select(
+          col("o_orderpriority").as("pri"),
+          pmod(col("o_orderkey"), lit(5L)).as("fold"),
+          when(col("o_orderstatus") === "F", lit(1L)).otherwise(lit(0L)).as("y")),
+        "pri", "fold", "y", m = 20L)
+        .orderBy("pri", "fold"),
+      Some(Classifier.targetEncodeOofSql(
+        """(SELECT o_orderpriority AS pri, o_orderkey % 5 AS fold,
+          |   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y FROM orders)"""
+          .stripMargin.replace("\n", " "),
+        "pri", "fold", "y", m = 20L) +
+        "\nORDER BY pri, fold")),
+
     // Deterministic random walks ([[Graph.randomWalks]]): 4-hop
     // node2vec-style walk corpus from the first 20 customer nodes over
     // the customer↔supplier graph — next hop = md5-argmin neighbor, so
@@ -9780,6 +9979,60 @@ object ExtQueries {
               |  CASE WHEN n_cand + n_ref = 0 THEN NULL
               |       ELSE 2 * overlap * 1000000 // (n_cand + n_ref) END AS f1_ppm
               |FROM o ORDER BY doc_id""".stripMargin)),
+
+    // NDCG@10 with graded relevance ([[Ranking.ndcgAtK]]) — the
+    // ranking-quality readout search_mrr's binary reciprocal rank
+    // can't give: here it scores the int8-QUANTIZED cosine ranking
+    // against exact-cosine relevance grades (≥0.30→3, ≥0.25→2,
+    // ≥0.20→1 — tiers measured well-populated per query at every
+    // driver SF), i.e. "how much ranking quality does 4×-cheaper
+    // quantized scoring keep, position-discounted". The log₂ discounts
+    // are driver-side integer literals inlined into BOTH engines
+    // (query-time libm banned); gains, discounted sums, and the final
+    // ppm are exact BIGINT, hash-stable with zero tolerance. Scale
+    // shape: the metric is two query-keyed rank windows + one keyed
+    // aggregate over the candidate table; candidates here are the
+    // exact-eval brute-force cross (the sim_topk posture).
+    Q("eval_ndcg",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val codes = emb.select(col("vec_id"), col("embedding"),
+          Similarity.int8Codes(col("embedding")).as("qv"))
+        val qs = codes.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("qv").as("q_qv"))
+        val scored = codes.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            Similarity.quantizedCosine(col("qv"), col("q_qv")).as("q_cosine"),
+            Similarity.cosine(col("embedding"), col("q_vec")).as("cosine"))
+          .withColumn("rel",
+            when(col("cosine") >= 0.30, lit(3L))
+              .when(col("cosine") >= 0.25, lit(2L))
+              .when(col("cosine") >= 0.20, lit(1L))
+              .otherwise(lit(0L)))
+        Ranking.ndcgAtK(scored, "q_id", "q_cosine", "vec_id", "rel", k = 10)
+          .orderBy("q_id")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding,
+              |                     ${Similarity.quantScaleSql("embedding")} AS sc
+              |              FROM embeddings),
+              |codes AS (SELECT vec_id, embedding,
+              |                 ${Similarity.quantizeInt8Sql("embedding", "sc")} AS qv FROM base),
+              |qs AS (SELECT vec_id AS q_id, embedding AS q_vec, qv AS q_qv
+              |       FROM codes WHERE vec_id < 8),
+              |scs AS (SELECT qs.q_id, c.vec_id,
+              |               ${Similarity.quantizedCosineSql("c.qv", "qs.q_qv")} AS q_cosine,
+              |               ${Similarity.cosineSql("c.embedding", "qs.q_vec")} AS cosine
+              |        FROM codes c CROSS JOIN qs WHERE c.vec_id <> qs.q_id),
+              |gr AS (SELECT q_id, vec_id, q_cosine,
+              |          CASE WHEN cosine >= 0.30 THEN 3
+              |               WHEN cosine >= 0.25 THEN 2
+              |               WHEN cosine >= 0.20 THEN 1 ELSE 0 END AS rel
+              |       FROM scs)
+              |SELECT q AS q_id, dcg_units, idcg_units, ndcg_ppm
+              |FROM (${Ranking.ndcgAtKSql("gr", "q_id", "q_cosine", "vec_id", "rel", k = 10)})
+              |ORDER BY q_id""".stripMargin)),
 
     // Welch's unequal-variance t-test between the A and N return-flag
     // populations' quantities — the two-sample significance screen next

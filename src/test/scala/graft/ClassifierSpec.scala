@@ -136,4 +136,58 @@ class ClassifierSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2), r.getDouble(3)))
     assert(a.toSeq == b.toSeq, "scores must be bit-identical at any parallelism")
   }
+
+  test("targetEncodeOof: flipping one fold's labels never moves that fold's encodings") {
+    import spark.implicits._
+    val rows = for (i <- 0L until 60L)
+      yield (if (i % 3 == 0) "a" else "b", i % 4, if ((i * 7) % 5 < 2) 1L else 0L)
+    val df = rows.toDF("k", "fold", "y")
+    def enc(d: org.apache.spark.sql.DataFrame) =
+      Classifier.targetEncodeOof(d, "k", "fold", "y", m = 10)
+        .collect()
+        .map(r => ((r.getString(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3), r.getAs[Any]("enc")))).toMap
+    val base = enc(df)
+    val flipped = enc(df.withColumn("y",
+      when(col("fold") === 2L, lit(1L) - col("y")).otherwise(col("y"))))
+    assert(base.keySet == flipped.keySet)
+    base.keySet.filter(_._2 == 2L).foreach { k =>
+      assert(base(k) == flipped(k), s"fold-2 encoding $k moved: leakage")
+    }
+    assert(base.keySet.filter(_._2 != 2L).exists(k => base(k) != flipped(k)),
+      "other folds see the flip (sanity: the test isn't vacuous)")
+  }
+
+  test("targetEncodeOof: hand replay of the m-estimate; single-fold prior NULL-gates") {
+    import spark.implicits._
+    val rows = Seq(("a", 0L, 1L), ("a", 0L, 0L), ("a", 1L, 1L),
+      ("b", 0L, 0L), ("b", 1L, 1L), ("b", 1L, 1L))
+    val out = Classifier.targetEncodeOof(rows.toDF("k", "fold", "y"),
+      "k", "fold", "y", m = 2)
+      .orderBy("k", "fold").collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    def replay(k: String, f: Long) = {
+      val nk = rows.count(_._1 == k).toLong
+      val sk = rows.filter(_._1 == k).map(_._3).sum
+      val nkf = rows.count(r => r._1 == k && r._2 == f).toLong
+      val skf = rows.filter(r => r._1 == k && r._2 == f).map(_._3).sum
+      val n0 = rows.size.toLong
+      val s0 = rows.map(_._3).sum
+      val nf = rows.count(_._2 == f).toLong
+      val sf = rows.filter(_._2 == f).map(_._3).sum
+      ((nk - nkf, sk - skf),
+        ((sk - skf).toDouble + 2.0 * ((s0 - sf).toDouble / (n0 - nf).toDouble))
+          / (nk - nkf + 2L).toDouble)
+    }
+    out.keys.foreach { case (k, f) =>
+      val ((nOof, sOof), e) = replay(k, f)
+      assert(out((k, f)) == ((nOof, sOof, e)), s"cell ($k,$f)")
+    }
+    val one = Classifier.targetEncodeOof(
+      Seq(("a", 0L, 1L), ("b", 0L, 0L)).toDF("k", "fold", "y"),
+      "k", "fold", "y", m = 2)
+    assert(one.collect().forall(_.isNullAt(4)),
+      "a fold holding all rows has no out-of-fold prior: NULL, not x/0")
+  }
 }

@@ -364,4 +364,48 @@ class GraphSpec extends SparkSpec {
     assert(viaResume == direct,
       "resume(units after r rounds, k more) must equal pageRank(r + k) bit-for-bit")
   }
+
+  test("hits matches a plain-Scala integer fixed-point replay on a bipartite graph") {
+    import spark.implicits._
+    // customers (even) -> suppliers (odd); node 0 buys from everyone
+    val edges = Seq((0L, 1L), (0L, 3L), (0L, 5L), (0L, 7L),
+      (2L, 1L), (2L, 3L), (4L, 5L))
+    val out = Graph.hits(edges.toDF("src", "dst"), iterations = 2)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // independent replay of the exact integer recurrence
+    val S = Graph.HITS_SCALE
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def renorm(m: Map[Long, Long]) = {
+      val d = m.values.max / S + 1
+      m.map { case (k, v) => k -> v / d }
+    }
+    var hub = nodes.map(n => n -> S).toMap
+    var auth = Map.empty[Long, Long]
+    (1 to 2).foreach { _ =>
+      auth = renorm(nodes.map(n =>
+        n -> edges.filter(_._2 == n).map(e => hub(e._1)).sum).toMap)
+      hub = renorm(nodes.map(n =>
+        n -> edges.filter(_._1 == n).map(e => auth(e._2)).sum).toMap)
+    }
+    val exp = nodes.map(n => (n, hub(n).toDouble / S, auth(n).toDouble / S))
+    assert(out.toSeq == exp)
+    // structure: the buy-from-everyone customer is the top hub; the
+    // sides are pure (bipartite semantics, not a bug)
+    val custs = out.filter(_._1 % 2 == 0)
+    assert(custs.maxBy(_._2)._1 == 0L)
+    assert(custs.forall(_._3 == 0.0), "customers have no in-edges: authority 0")
+    assert(out.filter(_._1 % 2 == 1).forall(_._2 == 0.0),
+      "suppliers have no out-edges: hub 0")
+  }
+
+  test("hits rejects an empty edge list and bad iteration counts") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Graph.hits(Seq.empty[(Long, Long)].toDF("src", "dst"), iterations = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hits(Seq((1L, 2L)).toDF("src", "dst"), iterations = 0)
+    }
+  }
 }

@@ -235,4 +235,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"the model/scalar legs should broadcast:\n$plan")
   }
+
+  test("systematic PPS never serializes the corpus through one partition") {
+    // the scale claim behind Sampling.ppsSystematic: the global prefix
+    // sum is range-partitioned + per-partition windows + broadcast
+    // offsets — a global-ORDER-BY window would plan Exchange
+    // SinglePartition and cap the operator at one task
+    val plan = SparkEntry.queries("samp_pps_systematic")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global-window smell:\n$plan")
+  }
 }

@@ -309,4 +309,28 @@ class ProfileSpec extends SparkSpec {
       ("y", "c", None), ("y", "z", Some(-1.0)), ("z", "c", None)))
   }
 
+  test("benford matches a plain-Scala replay, keeps zero-count digits, screens junk") {
+    val vals: Seq[Long] = (10L to 19L) ++ Seq(25L, 300L, 9L)
+    val df = (vals.map(Option(_)) ++ Seq(None, Some(0L), Some(-5L))).toDF("v")
+    val out = Profile.benford(df, "v").orderBy("digit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val n = vals.size.toLong
+    val cnt = vals.groupBy(v => v.toString.head.asDigit.toLong)
+      .map { case (d, vs) => d -> vs.size.toLong }
+    val expected = Profile.benfordExpectedPpm.map { case (d, e) => d.toLong -> e }.toMap
+    val rows = (1L to 9L).map { d =>
+      val c = cnt.getOrElse(d, 0L)
+      (d, c, c * 1000000L / n, expected(d))
+    }
+    val chi = rows.map { case (_, _, obs, e) => (obs - e) * (obs - e) / e }.sum
+    assert(out.toSeq == rows.map(r => (r._1, r._2, r._3, r._4, chi)))
+    assert(out.count(_._2 == 0L) == 5, "absent digits 4..8 stay as n=0 rows")
+  }
+
+  test("benford expectation literals are the Benford law in ppm") {
+    val m = Profile.benfordExpectedPpm.toMap
+    assert(m(1) == 301029L && m(9) == 45757L)
+    assert(Profile.benfordExpectedPpm.map(_._2).sum > 990000L,
+      "the nine shares cover ~1e6 ppm (floor loss only)")
+  }
 }

@@ -123,4 +123,35 @@ class RankingSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("up"), r.getAs[Long]("down")))
     assert(out2.toSeq == Seq((2L, 10L)))
   }
+
+  test("ndcgAtK: hand-graded example; perfect ranking = 1e6 ppm; all-zero rel NULLs") {
+    import spark.implicits._
+    val rows = Seq(
+      // q1: system order by score = rels (3, 0, 2), rel-1 doc at rank 4 (outside k)
+      (1L, 1L, 9.0, 3L), (1L, 2L, 8.0, 0L), (1L, 3L, 7.0, 2L), (1L, 4L, 6.0, 1L),
+      // q2: system order == ideal order
+      (2L, 1L, 9.0, 2L), (2L, 2L, 8.0, 1L), (2L, 3L, 7.0, 0L),
+      // q3: nothing relevant
+      (3L, 1L, 9.0, 0L), (3L, 2L, 8.0, 0L))
+      .toDF("q", "cand", "score", "rel")
+    val out = Ranking.ndcgAtK(rows, "q", "score", "cand", "rel", k = 3)
+      .orderBy("q").collect()
+    val d = Ranking.dcgDiscountUnits(3)
+    def g(r: Long) = (1L << r) - 1
+    val dcg1 = g(3) * d(0) + g(0) * d(1) + g(2) * d(2)
+    val idcg1 = g(3) * d(0) + g(2) * d(1) + g(1) * d(2)
+    assert(out(0).getLong(1) == dcg1 && out(0).getLong(2) == idcg1)
+    assert(out(0).getLong(3) == dcg1 * 1000000L / idcg1)
+    assert(out(0).getLong(3) < 1000000L, "imperfect ranking scores below 1")
+    assert(out(1).getLong(3) == 1000000L, "system == ideal scores exactly 1e6")
+    assert(out(2).getLong(1) == 0L && out(2).getLong(2) == 0L && out(2).isNullAt(3),
+      "no relevant docs: 0/0 NULL-gates, never divides")
+  }
+
+  test("ndcgAtK discounts are the inlined log2 literals, monotone decreasing") {
+    val d = Ranking.dcgDiscountUnits(10)
+    assert(d.head == 1000000000L, "rank 1: 1/log2(2) = 1")
+    assert(d == d.sorted.reverse && d.distinct == d, "strictly decreasing")
+    assert(d(9) == math.floor(1e9 / (math.log(11.0) / math.log(2.0))).toLong)
+  }
 }

@@ -239,4 +239,84 @@ class SamplingSpec extends SparkSpec {
       Sampling.poissonBootstrap(df, "id", "v", replicas = 1)
     }
   }
+
+  test("ppsSystematic matches a sequential plain-Scala reconstruction exactly") {
+    import spark.implicits._
+    val ws = (1L to 300L).map(i => (i, 1L + (i * 7) % 50))
+    val out = Sampling.ppsSystematic(ws.toDF("id", "w"), "id", "w", n = 40)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = ws.map(_._2).sum
+    val step = total / 40
+    val start = step / 2
+    def q(x: Long) = math.min((x - start + step) / step, 40L)
+    var cum = 0L
+    val exp = ws.flatMap { case (id, w) =>
+      val prev = cum; cum += w
+      val hits = q(cum) - q(prev)
+      if (hits >= 1)
+        Some((id, w, cum, hits, math.min(w * 40L * 1000000L / total, 1000000L)))
+      else None
+    }
+    assert(out.toSeq == exp)
+    assert(out.map(_._4).sum == 40L, "systematic PPS draws exactly n picks")
+  }
+
+  test("ppsSystematic is input-layout-invariant and multi-selects heavy units") {
+    import spark.implicits._
+    val ws = (1L to 20L).map(i => (i, if (i == 7) 1000L else 1L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.ppsSystematic(df, "id", "w", n = 10)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    val a = run(ws.toDF("id", "w"))
+    val b = run(ws.toDF("id", "w").repartition(7))
+    assert(a == b, "output is a pure function of the frame order, not the layout")
+    val heavy = a.find(_._1 == 7L).get
+    assert(heavy._2 >= 2, "a unit heavier than one step is drawn multiple times")
+    assert(heavy._3 == 1000000L, "heavier-than-step unit has pi capped at 1")
+    assert(a.map(_._2).sum == 10L)
+  }
+
+  test("ppsSystematic rejects nonpositive weights and W < n loudly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Sampling.ppsSystematic(Seq((1L, 0L)).toDF("id", "w"), "id", "w", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.ppsSystematic(Seq((1L, 3L)).toDF("id", "w"), "id", "w", 5)
+    }
+  }
+
+  test("Hansen-Hurwitz over the PPS design recovers a size-proportional total exactly") {
+    import spark.implicits._
+    // v = 3w exactly: HH is exact for ANY draw when the study variable
+    // is proportional to the size measure — the property the estimator
+    // query's milli-unit arithmetic must preserve
+    val ws = (1L to 20L).map(i => (i, 5L))
+    val sample = Sampling.ppsSystematic(ws.toDF("id", "w"), "id", "w", n = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    val bigW = 100L
+    val n = 10L
+    val tHatMilli = sample.map { case (w, hits) =>
+      val v = 3L * w
+      val a = hits * v * 1000L
+      a * (bigW / (n * w)) + a * (bigW % (n * w)) / (n * w)
+    }.sum
+    assert(tHatMilli == 1000L * ws.map(t => 3L * t._2).sum,
+      "size-proportional variable must be recovered exactly (zero design error)")
+  }
+
+  test("two-step floor-division identity matches BigInt exactly") {
+    // the overflow-avoiding identity samp_hh_estimate relies on:
+    // floor(a*w/b) = a*(w div b) + floor(a*(w mod b)/b)
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val a = rnd.between(1L, 1L << 20)
+      val w = rnd.between(1L, 1L << 40)
+      val b = rnd.between(1L, 1L << 20)
+      val twoStep = a * (w / b) + a * (w % b) / b
+      assert(BigInt(twoStep) == BigInt(a) * BigInt(w) / BigInt(b))
+    }
+  }
 }

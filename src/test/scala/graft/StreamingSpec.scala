@@ -688,4 +688,33 @@ class StreamingSpec extends SparkSpec {
     drain() // replay: txn tags commit nothing twice
     assert(merged().map(_.toSeq).toSeq == batchGram.map(_.toSeq).toSeq)
   }
+
+  test("keyedCountsSink digit partials: streamed Benford equals batch; replay is a no-op") {
+    import graft.engine.SnapshotStore
+    import graft.ops.Profile
+    import spark.implicits._
+    // three batches of positive integer values with all magnitudes mixed
+    val batches = Seq(Seq(12L, 25L, 301L), Seq(19L, 7L, 14L), Seq(99L, 120L, 3L, 18L))
+    val dir = tmp("graft_benford_in")
+    batches.foreach { b =>
+      b.map(v => v.toString.head.asDigit.toLong).toDF("digit")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val st = new SnapshotStore(spark, tmp("graft_benford_st"))
+    val ck = tmp("graft_ck")
+    def drain(): Unit = StreamOps.keyedCountsSink(
+      StreamOps.eventStream(spark, dir, schemaOf(dir), maxFilesPerTrigger = Some(1)),
+      st, "metrics", "digit_counts", Seq("digit"), checkpoint = ck).awaitTermination()
+    drain()
+    def streamed() = Profile.benfordFromCounts(
+      st.read("metrics", "digit_counts").groupBy("digit")
+        .agg(sum("cnt").as("n")))
+      .orderBy("digit").collect().map(_.toSeq).toSeq
+    val batch = Profile.benford(batches.flatten.toDF("v"), "v")
+      .orderBy("digit").collect().map(_.toSeq).toSeq
+    assert(streamed() == batch,
+      "additive digit counts: streamed partials re-sum to the batch screen")
+    drain() // replay from the drained checkpoint: txn tags commit nothing twice
+    assert(streamed() == batch)
+  }
 }
