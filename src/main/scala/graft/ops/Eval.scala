@@ -258,4 +258,40 @@ object Eval {
         "(sea + seb) * (sea + seb) / (sea * sea / CAST(dfa AS DOUBLE)" +
           " + seb * seb / CAST(dfb AS DOUBLE)) AS df_welch")
   }
+
+  /**
+   * AVERAGE PRECISION @ k + recall @ k over a scored candidate table
+   * with BINARY relevance — the order-sensitive retrieval pair next to
+   * [[graft.ops.Ranking.ndcgAtK]]'s graded form: AP sums precision at
+   * each relevant hit's rank (rewarding EARLY placement), recall@k
+   * just counts coverage. All-integer: the running relevant count
+   * rides one cumulative window over the total ranking order
+   * (`scoreCol` DESC, `tieCol` ASC); each precision term floors to
+   * ppm; AP divides by min(R, k) (the AP@k convention) and recall by
+   * R — integer floor divisions, NULLIF-gated when a query has no
+   * relevant candidates (NULL, never 0/0).
+   *
+   * Output per query: `(qCol, n_rel, rel_at_k, ap_ppm, recall_ppm)`.
+   * `relCol` must be 0/1 integral. Scale shape: one query-keyed rank
+   * window + one keyed aggregate — candidate generation upstream is
+   * the expensive part.
+   */
+  def apRecallAtK(scored: DataFrame, qCol: String, scoreCol: String,
+                  tieCol: String, relCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(qCol)
+      .orderBy(col(scoreCol).desc, col(tieCol).asc)
+    scored
+      .withColumn("__sr", row_number().over(ord))
+      .withColumn("__rc", sum(col(relCol))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(qCol))
+      .agg(sum(col(relCol)).as("n_rel"),
+        sum(when(col("__sr") <= k, col(relCol)).otherwise(lit(0L))).as("rel_at_k"),
+        sum(when(col("__sr") <= k && col(relCol) === 1L,
+          expr("(__rc * 1000000) div __sr")).otherwise(lit(0L))).as("__psum"))
+      .select(col(qCol), col("n_rel"), col("rel_at_k"),
+        expr(s"__psum div nullif(least(n_rel, $k), 0)").as("ap_ppm"),
+        expr("(rel_at_k * 1000000) div nullif(n_rel, 0)").as("recall_ppm"))
+  }
 }

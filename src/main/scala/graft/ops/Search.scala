@@ -135,26 +135,33 @@ object Search {
               k1: Double = 1.2, b: Double = 0.75): String =
     bm25SqlFrom(docsRel, s"VALUES $qtValues", k, k1, b)
 
+  /** The per-posting BM25 micro-point expression — factored so every
+    * mirror that scores twice (e.g. search_prf's feedback rerun) uses
+    * the ONE formula string and can't drift by a reformatted constant.
+    * Expects columns `tf, df, dl, n_docs, tot_dl` in scope. */
+  def bm25PtsSql(k1: Double = 1.2, b: Double = 0.75): String = {
+    val k1p1 = (k1 + 1.0).toString
+    val oneMb = (1.0 - b).toString
+    s"""CAST(floor(
+       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+       |    * ((CAST(tf AS DOUBLE) * $k1p1)
+       |       / (CAST(tf AS DOUBLE) + $k1 * ($oneMb + $b * (CAST(dl AS DOUBLE)
+       |            / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+       |    * 1000000.0) AS BIGINT)""".stripMargin
+  }
+
   /** [[bm25Sql]] with the query-term relation given as an arbitrary
     * SELECT/VALUES body (derived query sets — e.g. search_mrr's
     * per-document self-queries — can't be a literal VALUES list). */
   def bm25SqlFrom(docsRel: String, qtBody: String, k: Int,
                   k1: Double = 1.2, b: Double = 0.75): String = {
-    val k1p1 = (k1 + 1.0).toString
-    val oneMb = (1.0 - b).toString
     s"""WITH qt(q_id, term) AS ($qtBody),
        |tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS term FROM $docsRel),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
        |stats AS (SELECT count(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-       |pts AS (SELECT q_id, doc_id,
-       |  CAST(floor(
-       |    ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
-       |    * ((CAST(tf AS DOUBLE) * $k1p1)
-       |       / (CAST(tf AS DOUBLE) + $k1 * ($oneMb + $b * (CAST(dl AS DOUBLE)
-       |            / (CAST(tot_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-       |    * 1000000.0) AS BIGINT) AS pts
+       |pts AS (SELECT q_id, doc_id, ${bm25PtsSql(k1, b)} AS pts
        |  FROM tf JOIN qt USING (term) JOIN dfr USING (term)
        |       JOIN dl USING (doc_id) CROSS JOIN stats),
        |scored AS (SELECT q_id, doc_id, CAST(SUM(pts) AS BIGINT) AS score_pts FROM pts GROUP BY 1, 2)

@@ -2423,6 +2423,93 @@ object ExtQueries {
         "(1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'sort'),(3,'stream'),(3,'table')",
         k = 10) + "\nORDER BY q_id, rank")),
 
+    // Pseudo-relevance feedback (Rocchio-style query expansion): BM25
+    // retrieves top-5 feedback docs per query, the 3 heaviest
+    // non-query terms across them (weight = Σ tf·idfm, integer
+    // milli-idf (N·1000) div df — the tfidfCosine floor-division form,
+    // no libm) expand the query, and BM25 reruns with the expanded
+    // term set — the classic recall lever when queries underspecify.
+    // BOTH scoring stages run [[Search.bm25FromIndex]] over ONE
+    // materialized index (the tokenize pass is paid once); the mirror
+    // reuses [[Search.bm25PtsSql]] twice so the stage formulas cannot
+    // drift. Expansion picks are exact-integer ranked with term
+    // tie-break; the chosen terms ride the output (exp_terms) so the
+    // hash pins the expansion itself, not just the final ranking.
+    Q("search_prf",
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val qt = Seq((1L, "hash"), (1L, "join"), (2L, "window"), (2L, "agg"),
+          (2L, "sort"), (3L, "stream"), (3L, "table")).toDF("q_id", "term")
+        val (tf0, dl0) = Search.indexBatch(Tables.documents(s, dir), "doc_id", "text")
+        val tf = tf0.localCheckpoint(); val dl = dl0.localCheckpoint()
+        val s1 = Search.bm25FromIndex(tf, dl, qt, k = 5)
+        val nDocs = dl.count() // bounded scalar — the watermark-read pattern
+        val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val wts = s1.select(col("q_id"), col("doc_id"))
+          .join(tf, Seq("doc_id"))
+          .join(dfr, Seq("term"))
+          .select(col("q_id"), col("term"),
+            (col("tf") * expr(s"($nDocs * 1000) div df")).as("w0"))
+          .groupBy("q_id", "term").agg(sum("w0").as("w"))
+          .join(qt, Seq("q_id", "term"), "left_anti")
+        val win = Window.partitionBy("q_id").orderBy(col("w").desc, col("term"))
+        val exps = wts.withColumn("rn", row_number().over(win))
+          .filter(col("rn") <= 3).select(col("q_id"), col("term"))
+        val expStr = exps.groupBy("q_id")
+          .agg(array_join(array_sort(collect_list("term")), ",").as("exp_terms"))
+        Search.bm25FromIndex(tf, dl, qt.unionByName(exps), k = 10)
+          .join(expStr, Seq("q_id"), "left")
+          .orderBy("q_id", "rank")
+      },
+      Some {
+        val qtv = "(1,'hash'),(1,'join'),(2,'window'),(2,'agg'),(2,'sort'),(3,'stream'),(3,'table')"
+        s"""WITH qt(q_id, term) AS (VALUES $qtv),
+           |tok AS (SELECT doc_id, unnest(${TextOps.tokensSql("text")}) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+           |stats AS (SELECT count(*) AS n_docs, SUM(dl) AS tot_dl FROM dl),
+           |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |pts1 AS (SELECT q_id, doc_id, ${Search.bm25PtsSql()} AS pts
+           |  FROM tf JOIN qt USING (term) JOIN dfr USING (term)
+           |       JOIN dl USING (doc_id) CROSS JOIN stats),
+           |sc1 AS (SELECT q_id, doc_id, CAST(SUM(pts) AS BIGINT) AS score_pts
+           |        FROM pts1 GROUP BY 1, 2),
+           |s1 AS (SELECT q_id, doc_id FROM (
+           |         SELECT q_id, doc_id,
+           |                row_number() OVER (PARTITION BY q_id
+           |                  ORDER BY score_pts DESC, doc_id) AS rn
+           |         FROM sc1) WHERE rn <= 5),
+           |wts AS (SELECT s1.q_id, tf.term,
+           |    CAST(SUM(tf.tf * ((n_docs * 1000) // df)) AS BIGINT) AS w
+           |  FROM s1 JOIN tf USING (doc_id) JOIN dfr ON tf.term = dfr.term
+           |  CROSS JOIN stats
+           |  WHERE NOT EXISTS (SELECT 1 FROM qt
+           |                    WHERE qt.q_id = s1.q_id AND qt.term = tf.term)
+           |  GROUP BY 1, 2),
+           |exps AS (SELECT q_id, term FROM (
+           |           SELECT q_id, term,
+           |                  row_number() OVER (PARTITION BY q_id
+           |                    ORDER BY w DESC, term) AS rn
+           |           FROM wts) WHERE rn <= 3),
+           |qt2 AS (SELECT q_id, term FROM qt
+           |        UNION ALL SELECT q_id, term FROM exps),
+           |es AS (SELECT q_id, string_agg(term, ',' ORDER BY term) AS exp_terms
+           |       FROM exps GROUP BY 1),
+           |pts2 AS (SELECT q_id, doc_id, ${Search.bm25PtsSql()} AS pts
+           |  FROM tf JOIN qt2 USING (term) JOIN dfr USING (term)
+           |       JOIN dl USING (doc_id) CROSS JOIN stats),
+           |sc2 AS (SELECT q_id, doc_id, CAST(SUM(pts) AS BIGINT) AS score_pts
+           |        FROM pts2 GROUP BY 1, 2),
+           |fin AS (SELECT q_id, doc_id, score_pts,
+           |          row_number() OVER (PARTITION BY q_id
+           |            ORDER BY score_pts DESC, doc_id) AS rank
+           |        FROM sc2)
+           |SELECT fin.q_id, CAST(rank AS BIGINT) AS rank, doc_id, score_pts, es.exp_terms
+           |FROM fin LEFT JOIN es USING (q_id) WHERE rank <= 10
+           |ORDER BY fin.q_id, rank""".stripMargin
+      }),
+
     // Reciprocal-rank fusion ([[Search.rrfFuse]]): BM25 relevance fused
     // with a document-quality ranking over the SAME candidate set —
     // the calibration-free way to blend ranking signals (1/(60+rA) +
@@ -10014,6 +10101,8 @@ object ExtQueries {
         Ranking.ndcgAtK(scored, "q_id", "q_cosine", "vec_id", "rel", k = 10)
           .orderBy("q_id")
       },
+      // (eval_map below shares this scored-candidates construction —
+      // binary relevance over the same quantized-vs-exact setup)
       Some(s"""WITH base AS (SELECT vec_id, embedding,
               |                     ${Similarity.quantScaleSql("embedding")} AS sc
               |              FROM embeddings),
@@ -10032,6 +10121,72 @@ object ExtQueries {
               |       FROM scs)
               |SELECT q AS q_id, dcg_units, idcg_units, ndcg_ppm
               |FROM (${Ranking.ndcgAtKSql("gr", "q_id", "q_cosine", "vec_id", "rel", k = 10)})
+              |ORDER BY q_id""".stripMargin)),
+
+    // Mean average precision + recall@10 ([[graft.ops.Eval
+    // .apRecallAtK]]) — the BINARY-relevance retrieval pair next to
+    // eval_ndcg's graded form, here measuring how much ranking quality
+    // a 1-BIT-PER-DIM sign sketch keeps (the int8 ranking was probed
+    // first and SATURATES — AP 10⁶ on every probe, an uninformative
+    // eval): candidates rank by 63-bit SimHash agreement
+    // (63 − popcount(xor), dim 63's bit dropped so the packed mask
+    // never overflows a BIGINT add in either engine) against relevant
+    // = exact cosine ≥ 0.25 (9–17 relevant per probe at both driver
+    // SFs). AP sums precision at each relevant hit's rank, so it
+    // rewards EARLY placement where recall@k only counts coverage.
+    // All-integer: packed masks are disjoint power-of-two sums,
+    // agreement is a popcount, precision terms floor to ppm, AP
+    // divides by min(R, 10), recall by R — NULLIF-gated.
+    Q("eval_map",
+      (s, dir) => {
+        val sketch = expr("aggregate(transform(embedding, (x, i) -> " +
+          "CASE WHEN i < 63 AND x >= CAST(0.0 AS FLOAT) " +
+          "THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END), " +
+          "CAST(0 AS BIGINT), (a, b) -> a + b)")
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), sketch.as("sk"))
+        val qs = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("sk").as("q_sk"))
+        val scored = emb.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"),
+            (lit(63L) - expr("bit_count(sk ^ q_sk)")).as("agree"),
+            when(Similarity.cosine(col("embedding"), col("q_vec")) >= 0.25, lit(1L))
+              .otherwise(lit(0L)).as("rel"))
+        graft.ops.Eval.apRecallAtK(scored, "q_id", "agree", "vec_id", "rel", k = 10)
+          .orderBy("q_id")
+      },
+      Some(s"""WITH base AS (SELECT vec_id, embedding,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |      list_transform(embedding, (x, i) ->
+              |        CASE WHEN i <= 63 AND x >= CAST(0.0 AS FLOAT)
+              |             THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INTEGER)
+              |             ELSE CAST(0 AS BIGINT) END)),
+              |      (a, b) -> a + b) AS sk
+              |  FROM embeddings),
+              |qs AS (SELECT vec_id AS q_id, embedding AS q_vec, sk AS q_sk
+              |       FROM base WHERE vec_id < 8),
+              |scs AS (SELECT qs.q_id, c.vec_id,
+              |               63 - bit_count(xor(c.sk, qs.q_sk)) AS agree,
+              |               CASE WHEN ${Similarity.cosineSql("c.embedding", "qs.q_vec")} >= 0.25
+              |                    THEN 1 ELSE 0 END AS rel
+              |        FROM base c CROSS JOIN qs WHERE c.vec_id <> qs.q_id),
+              |rk AS (SELECT q_id, rel,
+              |         row_number() OVER (PARTITION BY q_id
+              |           ORDER BY agree DESC, vec_id) AS sr,
+              |         SUM(rel) OVER (PARTITION BY q_id
+              |           ORDER BY agree DESC, vec_id
+              |           ROWS UNBOUNDED PRECEDING) AS rc
+              |       FROM scs)
+              |SELECT q_id, CAST(SUM(rel) AS BIGINT) AS n_rel,
+              |  CAST(SUM(CASE WHEN sr <= 10 THEN rel ELSE 0 END) AS BIGINT) AS rel_at_k,
+              |  CAST(SUM(CASE WHEN sr <= 10 AND rel = 1
+              |           THEN (rc * 1000000) // sr ELSE 0 END) AS BIGINT)
+              |    // NULLIF(LEAST(CAST(SUM(rel) AS BIGINT), 10), 0) AS ap_ppm,
+              |  (CAST(SUM(CASE WHEN sr <= 10 THEN rel ELSE 0 END) AS BIGINT) * 1000000)
+              |    // NULLIF(CAST(SUM(rel) AS BIGINT), 0) AS recall_ppm
+              |FROM rk GROUP BY q_id
               |ORDER BY q_id""".stripMargin)),
 
     // Welch's unequal-variance t-test between the A and N return-flag

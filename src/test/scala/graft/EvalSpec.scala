@@ -124,4 +124,35 @@ class EvalSpec extends SparkSpec {
     assert(!ok.isNullAt(4) && !java.lang.Double.isNaN(ok.getDouble(4)))
     assert(!ok.isNullAt(5) && !java.lang.Double.isNaN(ok.getDouble(5)))
   }
+
+  test("apRecallAtK: hand-computed AP; no-relevant query NULL-gates") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1L, 9.0, 1L), (1L, 2L, 8.0, 0L), (1L, 3L, 7.0, 1L), (1L, 4L, 6.0, 0L),
+      (2L, 1L, 9.0, 0L), (2L, 2L, 8.0, 0L))
+      .toDF("q", "cand", "score", "rel")
+    val out = Eval.apRecallAtK(rows, "q", "score", "cand", "rel", k = 10)
+      .orderBy("q").collect()
+    // q1: relevant hits at ranks 1 (rc=1) and 3 (rc=2):
+    // AP = (floor(1e6*1/1) + floor(1e6*2/3)) div min(2,10)
+    assert(out(0).getLong(1) == 2L && out(0).getLong(2) == 2L)
+    assert(out(0).getLong(3) == (1000000L + 2000000L / 3L) / 2L)
+    assert(out(0).getLong(4) == 1000000L)
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(3) && out(1).isNullAt(4),
+      "zero relevant: NULL, never 0/0")
+  }
+
+  test("apRecallAtK rewards early placement at equal recall") {
+    import spark.implicits._
+    def run(scoreOf: Long => Double) = {
+      val rows = (1L to 10L).map(c => (1L, c, scoreOf(c), if (c <= 2) 1L else 0L))
+      Eval.apRecallAtK(rows.toDF("q", "cand", "score", "rel"),
+        "q", "score", "cand", "rel", k = 10).head()
+    }
+    val early = run(c => 100.0 - c)      // relevant docs land at ranks 1, 2
+    val late = run(c => c.toDouble)      // relevant docs land at ranks 9, 10
+    assert(early.getLong(4) == late.getLong(4), "same recall either way")
+    assert(early.getLong(3) > late.getLong(3),
+      "AP must separate early from late placement")
+  }
 }

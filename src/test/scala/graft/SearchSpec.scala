@@ -344,4 +344,43 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("pseudo-relevance expansion picks the heaviest non-query terms and breaks stage-1 ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // hand-checkable corpus: docs 1-3 tie exactly on the query term
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana date"),
+      (3L, "apple elder fig"), (4L, "grape happy iris"))
+      .toDF("doc_id", "text")
+    val qt = Seq((1L, "apple")).toDF("q_id", "term")
+    val (tf, dl) = Search.indexBatch(docs, "doc_id", "text")
+    val s1 = Search.bm25FromIndex(tf, dl, qt, k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(s1.map(_._1).toSeq == Seq(1L, 2L, 3L), "stage 1: the apple docs, id order")
+    assert(s1.map(_._2).distinct.size == 1, "stage 1 scores tie exactly")
+    // expansion weights: every non-query term weighs tf*idfm = 4000 here,
+    // so the pick is the lexicographic top-3: banana, cherry, date
+    val nDocs = dl.count()
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wts = Search.bm25FromIndex(tf, dl, qt, k = 5)
+      .select(col("q_id"), col("doc_id"))
+      .join(tf, Seq("doc_id")).join(dfr, Seq("term"))
+      .select(col("q_id"), col("term"),
+        (col("tf") * expr(s"($nDocs * 1000) div df")).as("w0"))
+      .groupBy("q_id", "term").agg(sum("w0").as("w"))
+      .join(qt, Seq("q_id", "term"), "left_anti")
+    val exps = wts.withColumn("rn",
+      row_number().over(Window.partitionBy("q_id").orderBy(col("w").desc, col("term"))))
+      .filter(col("rn") <= 3).select("q_id", "term")
+    assert(exps.orderBy("term").collect().map(_.getString(1)).toSeq ==
+      Seq("banana", "cherry", "date"))
+    assert(wts.collect().map(_.getLong(2)).forall(_ == 4000L),
+      "hand check: every candidate term weighs Sum(tf)*idfm = 4000 on this corpus")
+    // stage 2: the expanded query separates the stage-1 tie
+    val s2 = Search.bm25FromIndex(tf, dl, qt.unionByName(exps), k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    assert(s2.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(s2(0)._2 > s2(2)._2, "expansion separates what stage 1 tied")
+  }
 }
