@@ -294,4 +294,63 @@ object Eval {
         expr(s"__psum div nullif(least(n_rel, $k), 0)").as("ap_ppm"),
         expr("(rel_at_k * 1000000) div nullif(n_rel, 0)").as("recall_ppm"))
   }
+
+  /**
+   * COHEN'S KAPPA — chance-corrected agreement between two label
+   * columns (classifier vs ground truth, or two independent judges —
+   * the standard inter-rater readout where raw accuracy flatters
+   * skewed label distributions): κ = (p_o − p_e)/(1 − p_e) with
+   * p_e = Σ_k p_a(k)·p_b(k), computed entirely from exact BIGINT
+   * confusion-cell counts as κ_ppm = (n·agree − Σ r_k·c_k)·10⁶ /
+   * (n² − Σ r_k·c_k). Negative κ (worse-than-chance) is real output,
+   * so the ppm division TRUNCATES TOWARD ZERO explicitly in both
+   * engines (Spark `div` truncates where DuckDB `//` floors — they
+   * agree only on non-negative operands, the audit-proven divergence
+   * class); constant-identical raters (p_e = 1) NULL-gate. n² must fit
+   * BIGINT (n ≤ 3·10⁹ — lift to DECIMAL(38) past that).
+   *
+   * Output: one row `(n, n_agree, po_ppm, pe_ppm, kappa_ppm)`. Scale
+   * shape: one (a, b) keyed aggregate with map-side partials; marginals
+   * re-aggregate the label-domain-sized cell table, never the rows.
+   */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("c"))
+    val ra = cells.groupBy("a").agg(sum("c").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("c").as("cb"))
+    val rc = ra.join(cb, col("a") === col("b"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L)).as("sum_rc"))
+    cells.agg(sum("c").as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(lit(0L))).as("n_agree"))
+      .crossJoin(broadcast(rc))
+      .selectExpr("n", "n_agree",
+        "(n_agree * 1000000) div nullif(n, 0) AS po_ppm",
+        "(sum_rc * 1000000) div nullif(n * n, 0) AS pe_ppm",
+        """CASE WHEN n * n_agree - sum_rc >= 0
+             THEN ((n * n_agree - sum_rc) * 1000000) div nullif(n * n - sum_rc, 0)
+             ELSE -(((sum_rc - n * n_agree) * 1000000) div nullif(n * n - sum_rc, 0))
+           END AS kappa_ppm""")
+  }
+
+  /** DuckDB mirror of [[cohenKappa]] — same cells/marginals, same
+    * truncate-toward-zero CASE. `rel` must expose (aCol, bCol). */
+  def cohenKappaSql(rel: String, aCol: String, bCol: String): String =
+    s"""WITH ck_cells AS (SELECT $aCol AS a, $bCol AS b, CAST(count(*) AS BIGINT) AS c
+       |  FROM $rel WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL GROUP BY 1, 2),
+       |ck_ra AS (SELECT a, CAST(SUM(c) AS BIGINT) AS ra FROM ck_cells GROUP BY 1),
+       |ck_cb AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cb FROM ck_cells GROUP BY 1),
+       |ck_rc AS (SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS sum_rc
+       |          FROM ck_ra JOIN ck_cb ON ck_ra.a = ck_cb.b),
+       |ck_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM ck_cells)
+       |SELECT n, n_agree,
+       |  (n_agree * 1000000) // NULLIF(n, 0) AS po_ppm,
+       |  (sum_rc * 1000000) // NULLIF(n * n, 0) AS pe_ppm,
+       |  CASE WHEN n * n_agree - sum_rc >= 0
+       |    THEN ((n * n_agree - sum_rc) * 1000000) // NULLIF(n * n - sum_rc, 0)
+       |    ELSE -(((sum_rc - n * n_agree) * 1000000) // NULLIF(n * n - sum_rc, 0))
+       |  END AS kappa_ppm
+       |FROM ck_tot CROSS JOIN ck_rc""".stripMargin
 }

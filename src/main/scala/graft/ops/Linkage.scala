@@ -116,4 +116,70 @@ object Linkage {
        |FROM $rel a JOIN $rel b ON $on AND a.$idCol < b.$idCol
        |WHERE levenshtein(a.$textCol, b.$textCol) <= $maxDistance""".stripMargin
   }
+
+  /** American-Soundex letter→code map: vowels + y → 0 (separators,
+    * stripped last), h/w → 7 (TRANSPARENT — removed before the
+    * adjacent-duplicate collapse, so codes equal across an h/w merge:
+    * Ashcraft → A261), consonant classes 1–6. One string so the Spark
+    * and DuckDB translates are literally the same literal. */
+  val SoundexCodes = "01230127022455012623017202"
+
+  /**
+   * AMERICAN SOUNDEX — the classic phonetic blocking key for entity
+   * resolution (matches names that sound alike through spelling
+   * variation: Robert/Rupert → R163), complementing [[jaroWinkler]]'s
+   * pairwise scoring with a BLOCKING key: equal soundex = candidate
+   * pair, so ER never goes all-pairs.
+   *
+   * Exact classic algorithm, engine-portable (no UDF, no regex
+   * backreference — RE2 in DuckDB has none): letters → codes via ONE
+   * `translate`; h/w (code 7) removed FIRST so they never separate a
+   * duplicate pair; adjacent equal codes collapse via an
+   * index-vs-previous array filter; the first letter's own code drops
+   * (unless the first letter IS h/w — it contributed no code:
+   * Washington → W252, White → W300); vowel separators (code 0) strip
+   * last; pad/truncate to letter + 3 digits. Empty/non-alpha input →
+   * NULL. Pure per-row projection — no shuffle, embarrassingly
+   * parallel.
+   */
+  def soundex(name: Column): Column = {
+    val tok = regexp_replace(lower(name), "[^a-z]", "")
+    val codes = translate(tok, "abcdefghijklmnopqrstuvwxyz", SoundexCodes)
+    val cl1 = filter(split(codes, ""), c => c =!= "7")
+    val cl2 = filter(cl1, (c, i) => (i === 0) || (c =!= get(cl1, i - 1)))
+    val tail0 = when(substring(codes, 1, 1) === "7", cl2)
+      .otherwise(slice(cl2, lit(2), greatest(size(cl2) - 1, lit(0))))
+    val digits = filter(tail0, c => c =!= "0")
+    when(length(tok) === 0, lit(null).cast("string"))
+      .otherwise(concat(upper(substring(tok, 1, 1)),
+        rpad(concat_ws("", slice(digits, 1, 3)), 3, "0")))
+  }
+
+  /** DuckDB mirror of [[soundex]] as a CTE chain over a relation
+    * exposing a `tok` column (staged so the char list isn't inlined
+    * into its own dedup lambda twice) — emits CTEs `sx0..sx3`; the
+    * final stage exposes `(tok, sx)`. 1-based DuckDB lambda indexes
+    * mirror Spark's 0-based ones one-for-one. */
+  def soundexCtesSql(rel: String): String =
+    s"""sx0 AS (SELECT tok,
+       |    translate(regexp_replace(lower(tok), '[^a-z]', '', 'g'),
+       |              'abcdefghijklmnopqrstuvwxyz', '$SoundexCodes') AS codes,
+       |    regexp_replace(lower(tok), '[^a-z]', '', 'g') AS ctok
+       |  FROM $rel),
+       |sx1 AS (SELECT tok, ctok, codes,
+       |    list_filter(string_split(codes, ''), c -> c <> '7') AS cl1
+       |  FROM sx0),
+       |sx2 AS (SELECT tok, ctok, codes,
+       |    list_filter(cl1, (c, i) -> i = 1 OR c <> cl1[i - 1]) AS cl2
+       |  FROM sx1),
+       |sx3 AS (SELECT tok,
+       |    CASE WHEN ctok = '' THEN NULL
+       |         ELSE upper(ctok[1:1]) ||
+       |           -- COALESCE: DuckDB array_to_string([]) is NULL where
+       |           -- Spark concat_ws gives '' (caught live on 'new')
+       |           rpad(COALESCE(array_to_string(list_slice(
+       |             list_filter(CASE WHEN codes[1:1] = '7' THEN cl2
+       |                              ELSE cl2[2:] END, c -> c <> '0'),
+       |             1, 3), ''), ''), 3, '0') END AS sx
+       |  FROM sx2)""".stripMargin
 }

@@ -1344,4 +1344,92 @@ object Multimodal {
         (id, fp)
       }.toDF(idCol, "fp")
   }
+
+  /** Leading-grid WINDOW ENERGIES of a mono PCM16 WAV — the
+    * [[wavEnvelopeBits]] decode without the bitmask reduction: the raw
+    * per-window exact integer Σs² the VAD segmentation thresholds.
+    * None when undecodable, not mono 16-bit, or shorter than the grid. */
+  def wavWindowEnergies(b: Array[Byte], nWindows: Int,
+                        windowLen: Int): Option[Array[Long]] = {
+    require(nWindows >= 1 && windowLen >= 1,
+      s"wavWindowEnergies: bad grid ($nWindows × $windowLen)")
+    val info = parseWav(b)
+    if (info.isEmpty || info.get.bitsPerSample != 16 || info.get.numChannels != 1)
+      return None
+    def ascii(off: Int, n: Int) = new String(b, off, n, "US-ASCII")
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    while (off + 8 <= b.length) {
+      val id = ascii(off, 4)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off.toLong + 8 + size > b.length) return None
+      if (id == "data") {
+        val need = nWindows * windowLen
+        if (size / 2 < need) return None
+        val energies = Array.fill(nWindows)(0L)
+        var i = 0
+        while (i < need) {
+          val s = buf.getShort(off + 8 + 2 * i).toLong
+          energies(i / windowLen) += s * s
+          i += 1
+        }
+        return Some(energies)
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** Distributed window-energy pass: one `(id, w, e)` row per grid
+    * window per payload (real RIFF decode inside the partition loop;
+    * pipeline-owned encodes fail the job, never null). */
+  def wavWindowEnergyRows(spark: SparkSession, docs: DataFrame, idCol: String,
+                          payloadCol: String, nWindows: Int,
+                          windowLen: Int): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .flatMap { r: Row =>
+        val id = r.getLong(0)
+        val es = wavWindowEnergies(r.getAs[Array[Byte]](1), nWindows, windowLen)
+          .getOrElse(throw new IllegalStateException(
+            s"undecodable/short WAV payload for id $id"))
+        es.iterator.zipWithIndex.map { case (e, w) => (id, w.toLong, e) }
+      }.toDF(idCol, "w", "e")
+  }
+
+  /** Per-window VOICED gate for [[synthWavVadCorpus]]: md5("id_w<w>")'s
+    * first nibble ≥ 8 — a fair deterministic coin per (doc, window),
+    * replayed in SQL as `substr(md5(...), 1, 1) >= '8'` (hex chars
+    * 8..f sort above 0..7 in ASCII). */
+  def vadVoiced(id: Long, w: Int): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id}_w$w".getBytes("US-ASCII"))
+    (d(0) & 0xff) >= 0x80
+  }
+
+  /** Per-sample signal for [[synthWavVadCorpus]]: [[nearDupSample]]'s
+    * md5 noise, AMPLITUDE-MODULATED by the window's voiced gate —
+    * voiced windows carry the full int16 range, silent windows only
+    * the digest's low byte (−128..127, a ~2¹⁴× energy drop), so an
+    * energy threshold separates them with no tuning. The silent branch
+    * is `(v mod 256) − 128` on the NON-NEGATIVE 16-bit word, so `%`
+    * agrees across Scala/Spark/DuckDB. */
+  def vadSample(id: Long, i: Int, windowLen: Int): Short = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${id}_$i".getBytes("US-ASCII"))
+    val v = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    if (vadVoiced(id, i / windowLen)) (v - 32768).toShort
+    else ((v % 256) - 128).toShort
+  }
+
+  /** Speech-shaped VAD corpus: 96 samples (24 × 4 grid) of
+    * [[vadSample]] per doc — alternating voiced/silent stretches a
+    * segmentation must recover; real 16 kHz mono PCM16 RIFF bytes. */
+  def synthWavVadCorpus(spark: SparkSession, docs: DataFrame,
+                        idCol: String): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType)).as[Long].map { id =>
+      (id, wavBytes(16000, 1, Array.tabulate(96)(vadSample(id, _, 4))))
+    }.toDF(idCol, "payload")
+  }
 }

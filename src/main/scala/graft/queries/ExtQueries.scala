@@ -9282,6 +9282,44 @@ object ExtQueries {
               |SELECT node AS p_partkey, MIN(r) AS cluster FROM reach
               |GROUP BY node ORDER BY p_partkey""".stripMargin)),
 
+    // Soundex phonetic blocking ([[Linkage.soundex]]) — the classic ER
+    // blocking key next to er_edit_distance's string-metric pairs:
+    // part-name tokens group by what they SOUND like (one translate +
+    // two array filters per row, the exact published algorithm
+    // including the h/w-transparency and first-letter rules — the unit
+    // pins Ashcraft→A261, Washington→W252, White→W300 and friends).
+    // Output = the block table (code, member tokens, touched parts):
+    // equal code = candidate pair, so downstream matching never goes
+    // all-pairs. Two single-purpose aggregates joined on the block key
+    // — never one mixed-distinct groupBy (the Expand trap).
+    Q("er_soundex",
+      (s, dir) => {
+        val toks = Tables.part(s, dir)
+          .select(col("p_partkey"), explode(split(col("p_name"), " ")).as("tok"))
+        val keys = toks.select("tok").distinct()
+          .withColumn("sx", Linkage.soundex(col("tok")))
+        val blocks = keys.groupBy("sx")
+          .agg(count(lit(1)).as("n_tokens"),
+            array_join(array_sort(collect_list("tok")), ",").as("members"))
+        val parts = toks.join(keys, Seq("tok"))
+          .groupBy("sx").agg(countDistinct("p_partkey").as("n_parts"))
+        blocks.join(parts, Seq("sx"))
+          .select(col("sx").as("soundex"), col("n_tokens"),
+            col("members"), col("n_parts"))
+          .orderBy("soundex")
+      },
+      Some(s"""WITH pt AS (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS tok
+              |           FROM part),
+              |tk AS (SELECT DISTINCT tok FROM pt),
+              |${Linkage.soundexCtesSql("tk")},
+              |blocks AS (SELECT sx, CAST(count(*) AS BIGINT) AS n_tokens,
+              |    string_agg(tok, ',' ORDER BY tok) AS members
+              |  FROM sx3 GROUP BY 1),
+              |pc AS (SELECT sx, CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts
+              |       FROM pt JOIN sx3 USING (tok) GROUP BY 1)
+              |SELECT blocks.sx AS soundex, n_tokens, members, n_parts
+              |FROM blocks JOIN pc USING (sx) ORDER BY soundex""".stripMargin)),
+
     // Embargoed temporal split ([[Sampling.timeSplit]]): train/test at
     // a 1997-01-01 cutoff with a 30-day purge buffer dropped — the
     // leakage guard trailing-window features require. Verified at the
@@ -9842,6 +9880,71 @@ object ExtQueries {
              |FROM cand WHERE bit_count(xor(fa, fb)) <= 2
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // AUDIO voice-activity segmentation ([[Multimodal
+    // .wavWindowEnergyRows]]) — the SEGMENTATION capability next to
+    // mm_audio_neardup's fingerprinting: real mono PCM16 WAV payloads
+    // decode to a 24×4 window-energy grid; a window is voiced iff its
+    // exact integer energy exceeds 1/256 of the doc mean
+    // (cross-multiplied, division-free): the gate must sit BETWEEN the
+    // voiced level and the silence floor, and the plain mean does not —
+    // a voiced window whose 4 samples land near zero dips below it
+    // (caught live by the recover-the-plant spec: 2 of 24 windows on
+    // doc 1). mean/256 is ≥38× the plant's ~mean/2¹⁴ silence floor and
+    // ~256× below the voiced level, so both sides clear it by orders
+    // of magnitude; maximal voiced RUNS
+    // become segments via the gaps-and-islands key w − row_number —
+    // one doc-keyed window, no self-join. The corpus is
+    // amplitude-modulated md5 noise (voiced windows full int16 range,
+    // silent ones the low byte — a ~2¹⁴× energy drop), so the
+    // threshold recovers the planted voiced/silent pattern exactly;
+    // the oracle replays signal, energies, gate, and islands
+    // analytically while the engine decodes actual RIFF bytes.
+    Q("mm_audio_vad",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val corpus = Multimodal.synthWavVadCorpus(
+          s, Tables.documents(s, dir), "doc_id")
+        val en = Multimodal.wavWindowEnergyRows(s, corpus, "doc_id", "payload",
+          nWindows = 24, windowLen = 4)
+        val tot = en.groupBy("doc_id")
+          .agg(sum("e").as("te"), count(lit(1)).as("nw"))
+        val voiced = en.join(tot, Seq("doc_id"))
+          .filter(col("e") * col("nw") * lit(256L) > col("te"))
+        val win = Window.partitionBy("doc_id").orderBy("w")
+        voiced
+          .withColumn("g", col("w") - row_number().over(win))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(min("w").as("seg_start"), max("w").as("seg_end"),
+            count(lit(1)).as("n_windows"), sum("e").as("energy"))
+          .select("doc_id", "seg_start", "seg_end", "n_windows", "energy")
+          .orderBy("doc_id", "seg_start")
+      },
+      Some("""WITH ids AS (SELECT doc_id FROM documents),
+             |sv AS (SELECT doc_id, i // 4 AS w,
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '_w' ||
+             |                          CAST(i // 4 AS VARCHAR)), 1, 1) >= '8'
+             |      THEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+             |                                    CAST(i AS VARCHAR)), 1, 4)) AS BIGINT)
+             |           - 32768
+             |      ELSE (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_' ||
+             |                                     CAST(i AS VARCHAR)), 1, 4)) AS BIGINT)
+             |            % 256) - 128 END AS v
+             |  FROM ids CROSS JOIN (SELECT unnest(range(0, 96)) AS i) ii),
+             |we AS (SELECT doc_id, w, CAST(SUM(v * v) AS BIGINT) AS e
+             |       FROM sv GROUP BY 1, 2),
+             |tt AS (SELECT doc_id, SUM(e) AS te, COUNT(*) AS nw FROM we GROUP BY 1),
+             |vw AS (SELECT we.doc_id, w, e FROM we JOIN tt USING (doc_id)
+             |       WHERE e * nw * 256 > te),
+             |gi AS (SELECT doc_id, w, e,
+             |         w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS g
+             |       FROM vw)
+             |SELECT doc_id, CAST(MIN(w) AS BIGINT) AS seg_start,
+             |  CAST(MAX(w) AS BIGINT) AS seg_end,
+             |  CAST(COUNT(*) AS BIGINT) AS n_windows,
+             |  CAST(SUM(e) AS BIGINT) AS energy
+             |FROM gi GROUP BY doc_id, g
+             |ORDER BY doc_id, seg_start""".stripMargin)),
+
     // STREAMING KMV sketch maintenance ([[StreamOps.kmvPartialsSink]]),
     // oracle-hashed end state: the corpus' 5-shingle hashes arrive as
     // four unordered micro-batches; each batch appends its k smallest
@@ -10188,6 +10291,44 @@ object ExtQueries {
               |    // NULLIF(CAST(SUM(rel) AS BIGINT), 0) AS recall_ppm
               |FROM rk GROUP BY q_id
               |ORDER BY q_id""".stripMargin)),
+
+    // Cohen's kappa ([[graft.ops.Eval.cohenKappa]]) — chance-corrected
+    // agreement between TWO quality filters judging the same corpus
+    // (the Gopher-style length/diversity gate vs the stopword-density
+    // gate): the inter-rater readout raw overlap flatters when both
+    // filters keep most docs; κ subtracts the marginal-product chance
+    // floor. (langId-vs-label was probed first and reads κ = 0 EXACTLY
+    // — the heuristic predicts 'en' on this synthetic-English corpus
+    // whatever the label says, i.e. pure chance; ml_langid_report
+    // documents that same degeneracy per class. Two correlated filters
+    // are the honest subject.) Exact BIGINT confusion-cell arithmetic;
+    // the negative-κ branch truncates toward zero EXPLICITLY in both
+    // engines (Spark div truncates, DuckDB // floors — the
+    // audit-proven divergence class, pinned by a worse-than-chance
+    // unit).
+    Q("eval_kappa",
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        val nTok = TextOps.tokenCount(col("text"))
+        val raters = Tables.documents(s, dir).select(
+          (nTok >= 50 && TextOps.stopwordCount(col("text")) >= 2 &&
+            size(array_distinct(toks)).cast(DoubleType) * 5.0 >=
+              nTok.cast(DoubleType)).as("gopher_keep"),
+          (nTok >= 40 &&
+            TextOps.stopwordCount(col("text")) * 16 >= nTok).as("density_keep"))
+        graft.ops.Eval.cohenKappa(raters, "gopher_keep", "density_keep")
+      },
+      Some(graft.ops.Eval.cohenKappaSql(
+        s"""(SELECT
+           |   (len(${TextOps.tokensSql("text")}) >= 50
+           |    AND ${TextOps.stopwordCountSql("text")} >= 2
+           |    AND CAST(len(list_distinct(${TextOps.tokensSql("text")})) AS DOUBLE) * 5.0
+           |        >= CAST(len(${TextOps.tokensSql("text")}) AS DOUBLE)) AS gopher_keep,
+           |   (len(${TextOps.tokensSql("text")}) >= 40
+           |    AND ${TextOps.stopwordCountSql("text")} * 16
+           |        >= len(${TextOps.tokensSql("text")})) AS density_keep
+           | FROM documents)""".stripMargin.replace("\n", " "),
+        "gopher_keep", "density_keep"))),
 
     // Welch's unequal-variance t-test between the A and N return-flag
     // populations' quantities — the two-sample significance screen next

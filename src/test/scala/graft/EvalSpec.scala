@@ -155,4 +155,22 @@ class EvalSpec extends SparkSpec {
     assert(early.getLong(3) > late.getLong(3),
       "AP must separate early from late placement")
   }
+
+  test("cohenKappa: hand-computed 2x2 example; negative kappa truncates toward zero") {
+    import spark.implicits._
+    // classic: po=0.7, pe=0.5, kappa=0.4 exactly
+    val pairs = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Eval.cohenKappa(pairs.toDF("a", "b"), "a", "b").head()
+    assert(out.getLong(0) == 50L && out.getLong(1) == 35L)
+    assert(out.getLong(2) == 700000L && out.getLong(3) == 500000L)
+    assert(out.getLong(4) == 400000L)
+    // worse-than-chance with a non-divisible ratio: -100e6/140 must
+    // TRUNCATE to -714285 (a floor would give -714286 - the engine
+    // divergence class the CASE exists for)
+    val neg = Seq.fill(10)(("y", "n")) ++ Seq.fill(5)(("n", "y")) ++
+      Seq.fill(1)(("n", "n"))
+    val o2 = Eval.cohenKappa(neg.toDF("a", "b"), "a", "b").head()
+    assert(o2.getLong(4) == -714285L)
+  }
 }

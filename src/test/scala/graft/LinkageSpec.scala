@@ -90,4 +90,26 @@ class LinkageSpec extends SparkSpec {
       Linkage.editDistancePairs(df, "id", "name", Seq.empty, 3)
     }
   }
+
+  test("soundex matches the classic published vectors including the h/w rules") {
+    import spark.implicits._
+    import graft.ops.Linkage
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",     // the canonical pair
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261", // h is TRANSPARENT: s,c merge
+      "Tymczak" -> "T522",                        // vowel separates c,z? no - adjacent 2s collapse
+      "Pfister" -> "P236",                        // first-letter code absorbs the f
+      "Honeyman" -> "H555",
+      "Washington" -> "W252",                     // h/w-initial: no head-code drop
+      "White" -> "W300",
+      "Lee" -> "L000", "Gutierrez" -> "G362",
+      "Jackson" -> "J250", "VanDeusen" -> "V532")
+    val out = cases.map(_._1).toDF("name")
+      .select(col("name"), Linkage.soundex(col("name")).as("sx"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (n, e) => assert(out(n) == e, s"soundex($n)") }
+    val junk = Seq("123", "", "!!").toDF("name")
+      .select(Linkage.soundex(col("name"))).collect()
+    assert(junk.forall(_.isNullAt(0)), "non-alpha input NULL-gates")
+  }
 }

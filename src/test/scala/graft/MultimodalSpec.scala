@@ -392,4 +392,36 @@ class MultimodalSpec extends SparkSpec {
       assert(h == 0L, s"planted pair $p must be envelope-identical, got hamming $h")
     }
   }
+
+  test("wavWindowEnergyRows + the mean gate segment a hand-built wav exactly") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // 6 windows x 2 samples: loud at windows 0,1,3,4; near-silence at 2,5
+    val samples = Array[Short](1000, 1000, 1000, 1000, 1, 1,
+      1000, 1000, 1000, 1000, 1, 1)
+    val df = Seq((7L, Multimodal.wavBytes(16000, 1, samples))).toDF("doc_id", "payload")
+    val en = Multimodal.wavWindowEnergyRows(spark, df, "doc_id", "payload", 6, 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(en.toSeq == Seq((0L, 2000000L), (1L, 2000000L), (2L, 2L),
+      (3L, 2000000L), (4L, 2000000L), (5L, 2L)))
+  }
+
+  test("VAD gate on engine-decoded bytes recovers the planted voiced pattern") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val ids = Seq(1L, 2L, 3L, 4L, 5L)
+    val corpus = Multimodal.synthWavVadCorpus(spark, ids.toDF("doc_id"), "doc_id")
+    val en = Multimodal.wavWindowEnergyRows(spark, corpus, "doc_id", "payload", 24, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    ids.foreach { id =>
+      val es = (0 until 24).map(w => en((id, w.toLong)))
+      val te = es.sum
+      val gate = (0 until 24).map(w => es(w) * 24 * 256 > te)
+      val planted = (0 until 24).map(w => Multimodal.vadVoiced(id, w))
+      assert(gate.exists(identity) && !gate.forall(identity),
+        s"doc $id: degenerate pattern, test corpus must mix")
+      assert(gate == planted,
+        s"doc $id: the mean/256 gate must recover the ~2^14x-separated plant")
+    }
+  }
 }
