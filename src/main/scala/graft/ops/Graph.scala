@@ -597,7 +597,12 @@ object Graph {
     * `(node, deg)` — each survivor with its degree inside the core. */
   def kcore(edges: DataFrame, k: Int, maxRounds: Int): DataFrame = {
     require(k >= 1 && maxRounds >= 1, s"kcore: bad (k=$k, maxRounds=$maxRounds)")
-    val sym = edges.select(col("src"), col("dst"))
+    // materialize the edge list ONCE: every round joins it twice, so an
+    // expensive upstream derivation would otherwise re-execute 2× per
+    // round (the connectedComponents round-10 lesson this loop missed —
+    // r17 measured gr_kcore re-running its orders⋈lineitem+distinct
+    // lineage across all 12 rounds)
+    val sym = edges.select(col("src"), col("dst")).localCheckpoint()
     var survivors = sym.select(col("src").as("node")).distinct().localCheckpoint()
     var n = survivors.count()
     var lastDeg = survivors.withColumn("deg", lit(0L)).limit(0)

@@ -6248,8 +6248,11 @@ object ExtQueries {
     // reachable id per node via a recursive CTE — exact integer labels,
     // so the hash has zero tolerance.
     Q("gr_components",
+      // one-directional pairs: connectedComponents symmetrizes
+      // internally, so the pre-symmetrized list doubled every round's
+      // join volume (mirror edges re-added) — same result either way
       (s, dir) => Dedup.connectedComponents(
-        graphEdges(s, dir).select(col("src").as("id_a"), col("dst").as("id_b")),
+        graphPairs(s, dir).select(col("src").as("id_a"), col("dst").as("id_b")),
         maxIter = 20)
         .select(col("id").as("node"), col("component"))
         .orderBy("node"),
@@ -6484,13 +6487,16 @@ object ExtQueries {
     // this query pins the exact arithmetic of the resumed schedule.
     Q("gr_pagerank_incremental",
       (s, dir) => {
-        def edgesFrom(o: DataFrame) = {
-          val pairs = o
-            .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
-            .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-            .distinct()
-          pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-        }
+        def edgesFrom(o: DataFrame) = o
+          // single-pass explode symmetrization (the graphEdges form) —
+          // the union-of-swap planned the join+distinct twice
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+          .select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         val cut = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
         val prior = Graph.pageRankUnits(
           edgesFrom(Tables.orders(s, dir).filter(col("o_orderdate") < lit(cut))),
@@ -10692,13 +10698,17 @@ object ExtQueries {
 
   /** Symmetrized WEIGHTED customer↔supplier edges: weight = number of
     * lineitems traded between the pair (interaction strength). */
-  private def weightedGraphEdges(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir)
+  private def weightedGraphEdges(s: SparkSession, dir: String): DataFrame =
+    // same single-pass explode symmetrization as [[graphEdges]] — the
+    // union form re-planned the join+groupBy once per branch
+    Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .agg(count(lit(1)).as("w"))
-    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-  }
+      .select(explode(array(
+        struct(col("src"), col("dst"), col("w")),
+        struct(col("dst").as("src"), col("src").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
 
   /** DuckDB mirror of [[weightedGraphEdges]] (a `WITH`-clause fragment). */
   private def weightedGraphEdgesSql =
@@ -10708,15 +10718,32 @@ object ExtQueries {
       |edges AS (SELECT src, dst, w FROM eraw
       |          UNION ALL SELECT dst AS src, src AS dst, w FROM eraw)""".stripMargin
 
-  /** Symmetrized customer↔supplier edge list shared by the gr_* queries
-    * (both directions per undirected edge — no dangling nodes). */
-  private def graphEdges(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir)
+  /** One-directional DISTINCT customer→supplier pairs — the half
+    * [[graphEdges]] symmetrizes, exposed for consumers that symmetrize
+    * internally ([[graft.ops.Dedup.connectedComponents]]): passing the
+    * pre-symmetrized list made CC's own union re-add the mirror of
+    * every edge, so each label round joined 2× the rows (r17 measured). */
+  private def graphPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
-    pairs.unionByName(pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
+
+  /** Symmetrized customer↔supplier edge list shared by the gr_* queries
+    * (both directions per undirected edge — no dangling nodes).
+    * Symmetrization is ONE explode over the distinct pairs: the old
+    * `pairs UNION pairs.swap` form planned the orders⋈lineitem join and
+    * the dedup exchange once PER BRANCH (2× scans, 2 exchanges — r17
+    * StageProf measured the duplicated map stages at 6.6 s + 6.4 s run
+    * inside gr_pagerank); the mirror needs no second dedup because the
+    * parity key split (customer = 2k even, supplier = 2k+1 odd) makes
+    * forward and swapped rows disjoint classes. */
+  private def graphEdges(s: SparkSession, dir: String): DataFrame =
+    graphPairs(s, dir)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** DuckDB mirror of [[graphEdges]] (a `WITH`-clause fragment).
     * A `def`, not a `val`: it is interpolated inside `val queries`,
